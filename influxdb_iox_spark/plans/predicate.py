@@ -1,0 +1,83 @@
+"""Unified query predicate — the Spark twin of the reference's Predicate.
+
+Mirrors /root/reference/query/src/predicate.rs:53-75 (struct) and :189
+(builder): {table_names, field_columns, partition_key, time range, conjunctive
+exprs}.  Time-range semantics are half-open ``start <= time < end`` in ns
+(/root/reference/data_types/src/timestamp.rs:6-35; expression built at
+predicate.rs:115-121) — preserved exactly here.
+
+Exprs are plain ``pyspark.sql.Column`` booleans, so the whole RPC expression
+menu (Eq/NotEq/Lt/LtEq/Gt/GtEq, And/Or, arithmetic, regex-match via
+``col.rlike``) from rpc/storage/expr.rs:254-484 maps 1:1 and stays inside
+Catalyst — every predicate here is pushdown-eligible.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from influxdb_iox_spark.schema import TIME_COLUMN_NAME
+
+
+@dataclass(frozen=True)
+class TimestampRange:
+    """Half-open ns range [start, end) — timestamp.rs:6-35."""
+
+    start: int
+    end: int
+
+    def contains(self, t: int) -> bool:
+        return self.start <= t < self.end
+
+    def to_column(self, time_col: str = TIME_COLUMN_NAME) -> Column:
+        return (F.col(time_col) >= F.lit(self.start)) & (F.col(time_col) < F.lit(self.end))
+
+
+@dataclass
+class Predicate:
+    """Conjunction of: optional table filter, field projection, partition key,
+    time range, and arbitrary boolean exprs (predicate.rs:53-75)."""
+
+    table_names: list[str] | None = None
+    field_columns: list[str] | None = None
+    partition_key: str | None = None
+    range: TimestampRange | None = None
+    exprs: list[Column] = field(default_factory=list)
+
+    # -- builder API (predicate.rs:189 PredicateBuilder) ------------------
+    def with_range(self, start: int, end: int) -> "Predicate":
+        self.range = TimestampRange(start, end)
+        return self
+
+    def with_expr(self, expr: Column) -> "Predicate":
+        self.exprs.append(expr)
+        return self
+
+    def tables(self, *names: str) -> "Predicate":
+        self.table_names = list(names)
+        return self
+
+    def fields(self, *names: str) -> "Predicate":
+        self.field_columns = list(names)
+        return self
+
+    # -- application ------------------------------------------------------
+    def filter_column(self, time_col: str = TIME_COLUMN_NAME) -> Column | None:
+        """AND of time range + exprs, or None if unconstrained."""
+        parts: list[Column] = []
+        if self.range is not None:
+            parts.append(self.range.to_column(time_col))
+        parts.extend(self.exprs)
+        if not parts:
+            return None
+        return reduce(lambda a, b: a & b, parts)
+
+    def apply(self, df: DataFrame, time_col: str = TIME_COLUMN_NAME) -> DataFrame:
+        c = self.filter_column(time_col)
+        return df if c is None else df.filter(c)
+
+    def should_scan_table(self, table: str) -> bool:
+        return self.table_names is None or table in self.table_names

@@ -1,0 +1,85 @@
+"""window_bounds + selector semantics against reference-sourced expected values."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from influxdb_iox_spark.functions.time import month_window_bounds, window_bounds, window_start
+from influxdb_iox_spark.operators.selectors import (
+    selector_first,
+    selector_last,
+    selector_max,
+    selector_min,
+)
+
+
+def test_window_bounds_reference_values(spark):
+    # Exact expected values from /root/reference/query/src/func/window.rs:95-117:
+    # every=200, offset=50 → t=100 → 250; t=300 → 450.
+    df = spark.createDataFrame([Row(time=100), Row(time=300)])
+    out = df.select(window_bounds("time", every_ns=200, offset_ns=50).alias("b"))
+    assert [r.b for r in out.collect()] == [250, 450]
+
+
+def test_window_bounds_negative_time(spark):
+    # floored modulus: t=-10, every=100, offset=0 → window (-100, 0] start=-100, bound=0
+    df = spark.createDataFrame([Row(time=-10)])
+    assert df.select(window_start("time", 100, 0).alias("s")).first().s == -100
+    assert df.select(window_bounds("time", 100, 0).alias("b")).first().b == 0
+
+
+def test_window_bounds_exact_boundary(spark):
+    # t exactly on a start boundary belongs to the window it starts
+    df = spark.createDataFrame([Row(time=200)])
+    assert df.select(window_bounds("time", 100, 0).alias("b")).first().b == 300
+
+
+def test_month_window_bounds(spark):
+    # 2024-02-15T12:00:00Z in ns → end of Feb 2024 window = 2024-03-01T00:00:00Z
+    t = 1707998400 * 1_000_000_000
+    df = spark.createDataFrame([Row(time=t)])
+    end_ns = df.select(month_window_bounds("time", 1).alias("b")).first().b
+    assert end_ns == 1709251200 * 1_000_000_000
+
+
+def test_selectors_basic(spark):
+    rows = [
+        Row(k="a", v=10.0, time=300),
+        Row(k="a", v=5.0, time=100),
+        Row(k="a", v=30.0, time=200),
+        Row(k="a", v=None, time=50),  # nulls ignored
+    ]
+    df = spark.createDataFrame(rows)
+    out = df.groupBy("k").agg(
+        selector_first("v").alias("first"),
+        selector_last("v").alias("last"),
+        selector_min("v").alias("min"),
+        selector_max("v").alias("max"),
+    ).first()
+    assert (out["first"]["value"], out["first"]["time"]) == (5.0, 100)
+    assert (out["last"]["value"], out["last"]["time"]) == (10.0, 300)
+    assert (out["min"]["value"], out["min"]["time"]) == (5.0, 100)
+    assert (out["max"]["value"], out["max"]["time"]) == (30.0, 200)
+
+
+def test_selector_tie_breaks_earliest_time(spark):
+    # min/max pick the EARLIEST timestamp among equal values
+    # (selectors.rs doc comments :104-116, :134-146)
+    rows = [
+        Row(k="a", v=7.0, time=200),
+        Row(k="a", v=7.0, time=100),
+        Row(k="a", v=1.0, time=300),
+        Row(k="a", v=1.0, time=250),
+    ]
+    df = spark.createDataFrame(rows)
+    out = df.groupBy("k").agg(
+        selector_min("v").alias("mn"), selector_max("v").alias("mx")
+    ).first()
+    assert (out["mn"]["value"], out["mn"]["time"]) == (1.0, 250)
+    assert (out["mx"]["value"], out["mx"]["time"]) == (7.0, 100)
+
+
+def test_selector_all_null_group(spark):
+    df = spark.createDataFrame([Row(k="a", v=None, time=1)], "k string, v double, time long")
+    out = df.groupBy("k").agg(selector_last("v").alias("l")).first()
+    assert out["l"]["value"] is None and out["l"]["time"] is None
