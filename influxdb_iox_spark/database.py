@@ -1,0 +1,94 @@
+"""Database: named tables over a TableStore + SQL surface + system tables.
+
+The Spark twin of the reference's ``Db``/``QueryDatabase``
+(/root/reference/query/src/lib.rs:51-68 — ``partition_keys()``,
+``table_schema()``, ``chunks(predicate)``) and catalog registration for the
+SQL frontend (query/src/frontend/sql.rs:83-93, catalog "public"/"iox" at
+query/src/exec/context.rs:33-35).  ``spark.sql`` is the DataFusion-equivalent
+SQL engine; registering each table's dedup-correct scan as a temp view gives
+the whole SQL surface (joins, unions, information_schema) for free.
+
+System tables (server/src/db/system_tables.rs): ``system.chunks`` /
+``system.columns`` are built from the manifest — small driver-side frames.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import Row
+
+from influxdb_iox_spark.plans.predicate import Predicate
+from influxdb_iox_spark.schema import IoxSchema
+from influxdb_iox_spark.sources.store import TableStore
+
+
+@dataclass
+class Database:
+    name: str
+    store: TableStore
+    spark: SparkSession
+    schemas: dict[str, IoxSchema] = field(default_factory=dict)
+
+    # -- catalog ----------------------------------------------------------
+    def register_table(self, table: str, schema: IoxSchema) -> None:
+        self.schemas[table] = schema
+
+    def table_names(self) -> list[str]:
+        return sorted(set(self.schemas) | set(self.store.tables()))
+
+    def table_schema(self, table: str) -> IoxSchema:
+        return self.schemas[table]
+
+    def partition_keys(self, table: str) -> list[str]:
+        return sorted({c.partition_key for c in self.store.manifest(table)})
+
+    # -- scan + SQL -------------------------------------------------------
+    def table(self, table: str, predicate: Predicate | None = None) -> DataFrame:
+        """Dedup-correct DataFrame for one measurement."""
+        return self.store.scan(self.spark, table, self.schemas[table], predicate)
+
+    def register_views(self) -> None:
+        for t in self.schemas:
+            self.table(t).createOrReplaceTempView(t)
+        self.system_chunks().createOrReplaceTempView("system_chunks")
+        self.system_columns().createOrReplaceTempView("system_columns")
+
+    def query(self, sql: str) -> DataFrame:
+        """SQL frontend — the ``spark.sql`` twin of SqlQueryPlanner::query."""
+        self.register_views()
+        return self.spark.sql(sql)
+
+    # -- system tables ----------------------------------------------------
+    def system_chunks(self) -> DataFrame:
+        rows = [
+            Row(
+                table_name=c.table,
+                chunk_id=c.chunk_id,
+                partition_key=c.partition_key,
+                storage="ObjectStoreOnly",
+                row_count=c.row_count,
+                sorted_by=",".join(c.sorted_by),
+            )
+            for t in self.store.tables()
+            for c in self.store.manifest(t)
+        ]
+        schema = (
+            "table_name string, chunk_id long, partition_key string, "
+            "storage string, row_count long, sorted_by string"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def system_columns(self) -> DataFrame:
+        from influxdb_iox_spark.schema import column_type
+
+        rows = [
+            Row(table_name=t, column_name=f.name, column_type=(ct.value if ct else ""))
+            for t, s in sorted(self.schemas.items())
+            for f in s.struct.fields
+            for ct in [column_type(f)]
+        ]
+        return self.spark.createDataFrame(
+            rows, "table_name string, column_name string, column_type string"
+        )

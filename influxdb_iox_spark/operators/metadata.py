@@ -1,0 +1,116 @@
+"""Metadata query operators: table_names / tag_keys / tag_values /
+field_columns — the schema-introspection half of the InfluxRPC menu.
+
+Reference: /root/reference/query/src/frontend/influxrpc.rs —
+table_names :183-219, tag_keys :225-323, tag_values :328-471,
+field_columns :477-504 (+ exec/fieldlist.rs:44-57), and the custom
+``SchemaPivot`` node (query/src/exec/schema_pivot.rs:1-46).
+
+Spark-first: SchemaPivot ("which columns have ≥1 non-null value") is a single
+one-row aggregate of ``count(col)`` per column — no custom plan node.  All
+operators take the dedup-correct scan as input, so results agree with what a
+query would actually see (the reference guarantees the same by planning over
+the same provider).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from influxdb_iox_spark.database import Database
+from influxdb_iox_spark.plans.predicate import Predicate
+from influxdb_iox_spark.schema import TIME_COLUMN_NAME
+
+
+def schema_pivot(df: DataFrame, columns: list[str] | None = None) -> list[str]:
+    """Names of columns with at least one non-null value (SchemaPivot).
+
+    One aggregate row — Catalyst computes all counts in a single pass with
+    map-side partials; the early-exit optimization in the reference
+    (schema_pivot.rs exec) is subsumed by columnar scan speed.
+    """
+    cols = columns if columns is not None else df.columns
+    if not cols:
+        return []
+    row = df.agg(*[F.count(F.col(c)).alias(c) for c in cols]).first()
+    return [c for c in cols if row[c] > 0]
+
+
+def table_names(db: Database, predicate: Predicate | None = None) -> list[str]:
+    """Tables with ≥1 row matching the predicate (influxrpc.rs:183-219).
+
+    Unconstrained → answered from the catalog/manifest alone (metadata-only
+    path); with a predicate → existence probe per candidate table, which
+    Spark answers from pruned scans (`LIMIT 1`).
+    """
+    names = [
+        t
+        for t in db.table_names()
+        if predicate is None or predicate.should_scan_table(t)
+    ]
+    if predicate is None or (predicate.range is None and not predicate.exprs):
+        return [t for t in names if any(c.row_count for c in db.store.manifest(t))]
+    out = []
+    for t in names:
+        chunks = db.store.prune_chunks(t, predicate, db.table_schema(t).time_column)
+        if not chunks:
+            continue
+        if db.table(t, predicate).limit(1).count() > 0:
+            out.append(t)
+    return out
+
+
+def tag_keys(db: Database, table: str, predicate: Predicate | None = None) -> list[str]:
+    """Tag columns with ≥1 matching (non-null) row (influxrpc.rs:225-323)."""
+    schema = db.table_schema(table)
+    tags = schema.tag_columns
+    if predicate is None or (predicate.range is None and not predicate.exprs):
+        # metadata path: any chunk with rows implies its tag columns exist;
+        # tags are non-null by construction in the ingest path.
+        if any(c.row_count for c in db.store.manifest(table)):
+            return sorted(tags)
+        return []
+    df = db.table(table, predicate)
+    return sorted(schema_pivot(df, tags))
+
+
+def tag_values(
+    db: Database, table: str, tag: str, predicate: Predicate | None = None
+) -> list[str]:
+    """Distinct non-null values of one tag under the predicate
+    (influxrpc.rs:328-471)."""
+    schema = db.table_schema(table)
+    if tag not in schema.tag_columns:
+        raise ValueError(f"{tag!r} is not a tag column of {table!r}")
+    df = db.table(table, predicate)
+    rows = (
+        df.select(tag)
+        .where(F.col(tag).isNotNull())
+        .distinct()
+        .orderBy(tag)
+        .collect()
+    )
+    return [r[0] for r in rows]
+
+
+def field_columns(
+    db: Database, table: str, predicate: Predicate | None = None
+) -> list[dict]:
+    """(field name, type, last timestamp at which it was non-null) per
+    matching field — exec/fieldlist.rs:44-57 Field{name,data_type,
+    last_timestamp}.  One aggregate pass over the pruned scan."""
+    schema = db.table_schema(table)
+    fields = schema.field_columns
+    if not fields:
+        return []
+    df = db.table(table, predicate)
+    t = F.col(schema.time_column)
+    row = df.agg(
+        *[F.max(F.when(F.col(f).isNotNull(), t)).alias(f) for f in fields]
+    ).first()
+    by_name = {f.name: f.dataType.simpleString() for f in schema.struct.fields}
+    return [
+        {"name": f, "data_type": by_name[f], "last_timestamp": row[f]}
+        for f in fields
+        if row[f] is not None
+    ]

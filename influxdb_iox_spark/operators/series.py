@@ -1,0 +1,196 @@
+"""Series operators: read_filter / read_group / read_window_aggregate +
+series framing — the data half of the InfluxRPC menu.
+
+Reference: /root/reference/query/src/frontend/influxrpc.rs —
+read_filter :524-552,813-891; read_group :558-607,934-995 (SQL-equivalent
+spelled out at :898-927); read_window_aggregate :611-650,1026-1100
+(SQL-equivalent at :1006-1018); aggregate enum query/src/group_by.rs:32-66;
+series-set framing query/src/exec/seriesset.rs:69-120.
+
+Plan shapes are the reference's SQL-equivalents expressed as DataFrame ops:
+
+  read_filter:            SELECT tags…, fields…, time WHERE p ORDER BY tags…, time
+  read_group(agg):        SELECT tags…, agg(field)… GROUP BY tags ORDER BY group-prefix, tags
+  read_window_aggregate:  SELECT tags…, window_bounds(time), agg(field)…
+                          GROUP BY tags…, window ORDER BY tags…, window
+
+Scale note: the ORDER BY exists to make series rows contiguous for framing.
+It is a range-partitioned global sort — fine, but when the consumer only
+needs per-series grouping (not a global order), ``frame_series_distributed``
+uses ``repartition(tags) + sortWithinPartitions`` instead, which skips the
+global exchange's sampling pass and keeps each series on one executor.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+from enum import Enum
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from influxdb_iox_spark.database import Database
+from influxdb_iox_spark.functions.time import window_bounds
+from influxdb_iox_spark.operators.selectors import (
+    selector_first,
+    selector_last,
+    selector_max,
+    selector_min,
+)
+from influxdb_iox_spark.plans.predicate import Predicate
+
+
+class Aggregate(str, Enum):
+    """query/src/group_by.rs:32-66."""
+
+    NONE = "none"
+    SUM = "sum"
+    COUNT = "count"
+    MIN = "min"
+    MAX = "max"
+    FIRST = "first"
+    LAST = "last"
+    MEAN = "mean"
+
+
+_PLAIN_AGGS = {
+    Aggregate.SUM: F.sum,
+    Aggregate.COUNT: F.count,
+    Aggregate.MIN: F.min,
+    Aggregate.MAX: F.max,
+    Aggregate.MEAN: F.avg,
+}
+_SELECTOR_AGGS = {
+    Aggregate.FIRST: selector_first,
+    Aggregate.LAST: selector_last,
+    Aggregate.MIN: selector_min,
+    Aggregate.MAX: selector_max,
+}
+
+
+def _field_agg(agg: Aggregate, fld: str, time_col: str, selector: bool) -> list[Column]:
+    """Aggregate expressions for one field.
+
+    Selector aggregates (first/last and selector-style min/max) produce the
+    (value, time) pair the reference's selector UDAFs return
+    (query/src/func/selectors.rs:56-160); plain aggs produce a single value.
+    """
+    if selector and agg in _SELECTOR_AGGS:
+        s = _SELECTOR_AGGS[agg](fld, time_col)
+        return [
+            s.getField("value").alias(fld),
+            s.getField("time").alias(f"{fld}_time"),
+        ]
+    if agg in _PLAIN_AGGS:
+        return [_PLAIN_AGGS[agg](F.col(fld)).alias(fld)]
+    raise ValueError(f"unsupported aggregate {agg}")
+
+
+def read_filter(
+    db: Database, table: str, predicate: Predicate | None = None
+) -> DataFrame:
+    """All matching rows as series: (tags…, fields…, time), sorted by
+    (tags…, time) so each series is contiguous (influxrpc.rs:524-552)."""
+    schema = db.table_schema(table)
+    fields = predicate.field_columns if predicate and predicate.field_columns else None
+    fields = fields or schema.field_columns
+    cols = [*schema.tag_columns, *fields, schema.time_column]
+    df = db.table(table, predicate).select(*cols)
+    return df.orderBy(*schema.tag_columns, schema.time_column)
+
+
+def read_group(
+    db: Database,
+    table: str,
+    agg: Aggregate,
+    group_columns: list[str] | None = None,
+    predicate: Predicate | None = None,
+) -> DataFrame:
+    """Per-series aggregate with group-column-prefix ordering
+    (influxrpc.rs:558-607; SQL-equivalent :898-927).
+
+    agg=NONE degrades to read_filter with the sort reordered so the group
+    columns form the prefix (influxrpc.rs:580-597, prefix reorder
+    :1265-1299).
+    """
+    schema = db.table_schema(table)
+    group_columns = group_columns or []
+    tags = schema.tag_columns
+    # group columns first, remaining tags after — prefix reordering
+    ordered_tags = [*group_columns, *[t for t in tags if t not in group_columns]]
+
+    if agg is Aggregate.NONE:
+        df = read_filter(db, table, predicate)
+        return df.orderBy(*ordered_tags, schema.time_column)
+
+    fields = predicate.field_columns if predicate and predicate.field_columns else None
+    fields = fields or schema.field_columns
+    df = db.table(table, predicate)
+    aggs: list[Column] = []
+    for fld in fields:
+        aggs.extend(_field_agg(agg, fld, schema.time_column, selector=True))
+    return df.groupBy(*ordered_tags).agg(*aggs).orderBy(*ordered_tags)
+
+
+def read_window_aggregate(
+    db: Database,
+    table: str,
+    agg: Aggregate,
+    every_ns: int,
+    offset_ns: int = 0,
+    predicate: Predicate | None = None,
+    time_alias: str = "time",
+) -> DataFrame:
+    """GROUP BY (all tags, window) with the window's END boundary reported as
+    ``time`` (influxrpc.rs:611-650; SQL-equivalent :1006-1018; stop-boundary
+    semantics query/src/func/window.rs:44-47)."""
+    schema = db.table_schema(table)
+    fields = predicate.field_columns if predicate and predicate.field_columns else None
+    fields = fields or schema.field_columns
+    tags = schema.tag_columns
+    df = db.table(table, predicate)
+    bucket = window_bounds(schema.time_column, every_ns, offset_ns).alias(time_alias)
+    aggs: list[Column] = []
+    for fld in fields:
+        aggs.extend(_field_agg(agg, fld, schema.time_column, selector=False))
+    return (
+        df.groupBy(*tags, bucket)
+        .agg(*aggs)
+        .orderBy(*tags, time_alias)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Series framing (exec/seriesset.rs:69-120)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SeriesFrame:
+    """One series: fixed tag values + its rows (the SeriesSet equivalent)."""
+
+    table: str
+    tags: dict[str, str]
+    rows: list  # list[Row] with field+time columns
+
+
+def frame_series(
+    df_sorted: DataFrame, table: str, tag_columns: list[str]
+) -> Iterator[SeriesFrame]:
+    """Partition a (tags…, time)-sorted result into per-series frames.
+
+    Streams via ``toLocalIterator`` — driver memory holds one series at a
+    time, mirroring the reference's batch-slicing executor rather than a
+    full collect.
+    """
+    current_key: tuple | None = None
+    rows: list = []
+    for row in df_sorted.toLocalIterator():
+        key = tuple(row[t] for t in tag_columns)
+        if key != current_key:
+            if current_key is not None:
+                yield SeriesFrame(table, dict(zip(tag_columns, current_key)), rows)
+            current_key, rows = key, []
+        rows.append(row)
+    if current_key is not None:
+        yield SeriesFrame(table, dict(zip(tag_columns, current_key)), rows)

@@ -1,0 +1,127 @@
+"""Reorganization plans: compact and persist-split — the lifecycle jobs.
+
+Reference: ReorgPlanner (/root/reference/query/src/frontend/reorg.rs —
+compact_plan :64-100, split_plan :146) and StreamSplitExec
+(query/src/exec/split.rs:36-56): partition 0 receives rows where the split
+expression is TRUE, partition 1 receives FALSE **and NULL** rows.
+
+Spark-first: a compact is read-overlapping-chunks → dedup → PK-sort → write
+one chunk; a split is two filtered writes off one cached upstream.  The
+lifecycle driver (when to compact/persist, reference
+lifecycle/src/policy.rs:187,291) is a policy loop over the manifest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from influxdb_iox_spark.database import Database
+from influxdb_iox_spark.operators.dedup import DEDUP_ORDER_COLUMN, deduplicate
+from influxdb_iox_spark.operators.overlap import group_potential_duplicates
+from influxdb_iox_spark.schema import IoxSchema, merge_chunk_frames
+from influxdb_iox_spark.sources.store import ChunkMeta, TableStore
+
+
+def compact_chunks(
+    spark: SparkSession,
+    store: TableStore,
+    table: str,
+    schema: IoxSchema,
+    chunk_ids: list[int] | None = None,
+) -> ChunkMeta:
+    """Merge chunks → dedup → sort by PK → ONE new chunk; retire the inputs.
+
+    The Spark ReorgPlanner.compact_plan (reorg.rs:64-100).  After a compact,
+    the group's PK ranges no longer overlap anything retired, so subsequent
+    scans take the no-dedup fast path — same effect as the reference moving
+    chunks to a clean read-buffer chunk.
+    """
+    chunks = store.manifest(table)
+    if chunk_ids is not None:
+        chunks = [c for c in chunks if c.chunk_id in chunk_ids]
+    if not chunks:
+        raise ValueError(f"no chunks to compact for {table!r}")
+
+    ordered = [
+        store.read_chunk(spark, m).withColumn(DEDUP_ORDER_COLUMN, F.lit(m.chunk_id))
+        for m in sorted(chunks, key=lambda m: m.chunk_id)
+    ]
+    df = deduplicate(
+        merge_chunk_frames(ordered),
+        schema.tag_columns,
+        schema.field_columns,
+        schema.time_column,
+    )
+    partition_key = chunks[0].partition_key if len({c.partition_key for c in chunks}) == 1 else ""
+    meta = store.write_chunk(
+        df, table, schema, partition_key=partition_key, dedup_batch=False
+    )
+    store.drop_chunks(table, [c.chunk_id for c in chunks])
+    return meta
+
+
+def compact_overlapping(
+    spark: SparkSession, store: TableStore, table: str, schema: IoxSchema
+) -> list[ChunkMeta]:
+    """Compact every overlapping chunk group (the policy loop's main move —
+    lifecycle/src/policy.rs:187 maybe_compact_chunks)."""
+    chunks = store.manifest(table)
+    groups = group_potential_duplicates(chunks, schema.primary_key)
+    out = []
+    for g in groups:
+        if len(g) > 1:
+            out.append(
+                compact_chunks(spark, store, table, schema, [chunks[i].chunk_id for i in g])
+            )
+    return out
+
+
+def split_frame(df: DataFrame, split_expr: Column) -> tuple[DataFrame, DataFrame]:
+    """StreamSplit semantics (split.rs:36-56): (TRUE rows, FALSE-or-NULL rows).
+
+    Used by persist: rows with ``time <= split_time`` go to the persist
+    stream, the rest (including NULL-evaluating rows) stay hot.
+    """
+    hot = df.filter(~split_expr | split_expr.isNull())
+    cold = df.filter(split_expr)
+    return cold, hot
+
+
+def persist_split(
+    spark: SparkSession,
+    store: TableStore,
+    table: str,
+    schema: IoxSchema,
+    split_time_ns: int,
+    chunk_ids: list[int] | None = None,
+) -> tuple[ChunkMeta | None, ChunkMeta | None]:
+    """ReorgPlanner.split_plan (reorg.rs:146): compact the inputs, then write
+    rows with time <= split_time as the persisted chunk and the remainder as
+    the new hot chunk.  Returns (persisted, hot) chunk metas (None if empty).
+    """
+    chunks = store.manifest(table)
+    if chunk_ids is not None:
+        chunks = [c for c in chunks if c.chunk_id in chunk_ids]
+    if not chunks:
+        return None, None
+    ordered = [
+        store.read_chunk(spark, m).withColumn(DEDUP_ORDER_COLUMN, F.lit(m.chunk_id))
+        for m in sorted(chunks, key=lambda m: m.chunk_id)
+    ]
+    df = deduplicate(
+        merge_chunk_frames(ordered),
+        schema.tag_columns,
+        schema.field_columns,
+        schema.time_column,
+    ).cache()
+    try:
+        cold, hot = split_frame(df, F.col(schema.time_column) <= F.lit(split_time_ns))
+        cold_meta = hot_meta = None
+        if cold.limit(1).count():
+            cold_meta = store.write_chunk(cold, table, schema, dedup_batch=False)
+        if hot.limit(1).count():
+            hot_meta = store.write_chunk(hot, table, schema, dedup_batch=False)
+        store.drop_chunks(table, [c.chunk_id for c in chunks])
+        return cold_meta, hot_meta
+    finally:
+        df.unpersist()

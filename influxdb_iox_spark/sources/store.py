@@ -1,0 +1,255 @@
+"""Partitioned Parquet table store with a chunk manifest.
+
+The Spark-native replacement for the reference's chunk lifecycle + object
+store (mutable buffer → read buffer → parquet,
+/root/reference/data_types/src/chunk_metadata.rs:35-50;
+parquet_file/src/storage.rs:171-330).  Here every *chunk* is one sorted
+Parquet file; the manifest records, per chunk, the per-PK-column min/max
+stats the reference keeps in ``partition_metadata.rs:216,302`` — they drive
+chunk pruning (query/src/pruning.rs:30-110) and overlap grouping
+(provider/overlap.rs) on the driver before Spark ever lists a file.
+
+Scan path (the ChunkTableProvider equivalent, provider.rs:201,336-560):
+  1. prune chunks by predicate time-range/partition key against manifest stats
+  2. group remaining chunks by PK-stat overlap
+  3. singleton groups → plain parquet scan (no shuffle, no dedup)
+  4. overlapping groups → union with chunk order → last-non-null dedup agg
+  5. union all groups
+
+At 100 TB: pruning and grouping are manifest metadata ops (driver, ms);
+dedup cost is paid only for the (rare) overlapping tail of recently-written
+chunks; everything else is a bare columnar scan with pushdown.  Compaction
+(plans/reorg.py) continuously shrinks the overlapping tail, exactly like the
+reference lifecycle (lifecycle/src/policy.rs:187).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time as _time
+import uuid
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from influxdb_iox_spark.operators.dedup import (
+    DEDUP_ORDER_COLUMN,
+    deduplicate,
+    deduplicate_within,
+)
+from influxdb_iox_spark.operators.overlap import group_potential_duplicates
+from influxdb_iox_spark.plans.predicate import Predicate
+from influxdb_iox_spark.schema import IoxSchema, merge_chunk_frames
+
+
+@dataclass
+class ChunkMeta:
+    """Manifest entry — the Spark twin of chunk metadata + column stats
+    (chunk_metadata.rs + partition_metadata.rs:216,302)."""
+
+    chunk_id: int
+    path: str
+    table: str
+    partition_key: str
+    row_count: int
+    stats: dict[str, list] = field(default_factory=dict)  # col -> [min, max]
+    sorted_by: list[str] = field(default_factory=list)
+    created_at: float = 0.0
+
+    def column_range(self, col: str) -> tuple | None:
+        r = self.stats.get(col)
+        return (r[0], r[1]) if r else None
+
+
+class TableStore:
+    """Directory layout::
+
+        base_dir/
+          <table>/chunk-<id>-<uuid>/part-*.parquet   (one sorted chunk)
+          _manifest/<table>.json                     (list[ChunkMeta])
+    """
+
+    def __init__(self, base_dir: str):
+        self.base_dir = base_dir
+        os.makedirs(os.path.join(base_dir, "_manifest"), exist_ok=True)
+
+    # -- manifest ---------------------------------------------------------
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self.base_dir, "_manifest", f"{table}.json")
+
+    def manifest(self, table: str) -> list[ChunkMeta]:
+        p = self._manifest_path(table)
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return [ChunkMeta(**e) for e in json.load(f)]
+
+    def _save_manifest(self, table: str, entries: list[ChunkMeta]) -> None:
+        tmp = self._manifest_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump([asdict(e) for e in entries], f, indent=1, default=str)
+        os.replace(tmp, self._manifest_path(table))
+
+    def tables(self) -> list[str]:
+        mdir = os.path.join(self.base_dir, "_manifest")
+        return sorted(f[:-5] for f in os.listdir(mdir) if f.endswith(".json"))
+
+    def next_chunk_id(self, table: str) -> int:
+        m = self.manifest(table)
+        return (max(c.chunk_id for c in m) + 1) if m else 0
+
+    # -- write ------------------------------------------------------------
+    def write_chunk(
+        self,
+        df: DataFrame,
+        table: str,
+        schema: IoxSchema,
+        partition_key: str = "",
+        dedup_batch: bool = True,
+        seq_column: str | None = None,
+    ) -> ChunkMeta:
+        """Persist one chunk: within-batch dedup → PK sort → sorted parquet.
+
+        Sorting within partitions before write mirrors the reference writing
+        sort-key-ordered chunks (internal_types/src/schema/sort.rs) — parquet
+        row-group min/max stats on (tags, time) become tight, so Spark's
+        row-group skipping does the fine-grained pruning the read buffer did.
+        """
+        pk = schema.primary_key
+        if dedup_batch:
+            df = deduplicate_within(
+                df, schema.tag_columns, schema.field_columns, schema.time_column,
+                seq_column=seq_column,
+            )
+        out_cols = [f.name for f in schema.struct.fields if f.name in df.columns]
+        df = df.select(*out_cols).sortWithinPartitions(*pk)
+
+        chunk_id = self.next_chunk_id(table)
+        rel = os.path.join(table, f"chunk-{chunk_id:06d}-{uuid.uuid4().hex[:8]}")
+        path = os.path.join(self.base_dir, rel)
+        df.write.mode("errorifexists").parquet(path)
+
+        row_count, stats = self._stats_from_footers(path, pk)
+        meta = ChunkMeta(
+            chunk_id=chunk_id,
+            path=rel,
+            table=table,
+            partition_key=partition_key,
+            row_count=row_count,
+            stats=stats,
+            sorted_by=pk,
+            created_at=_time.time(),
+        )
+        entries = self.manifest(table)
+        entries.append(meta)
+        self._save_manifest(table, entries)
+        return meta
+
+    @staticmethod
+    def _stats_from_footers(path: str, columns: list[str]) -> tuple[int, dict]:
+        """Row count + per-column min/max from parquet footers (no Spark job)."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        ranges: dict[str, list | None] = {}  # col -> [min, max] or None = unknown
+        for fname in os.listdir(path):
+            if not fname.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, fname)).metadata
+            total += md.num_rows
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for col in columns:
+                    ci = idx.get(col)
+                    if ci is None or ranges.get(col, _SENTINEL) is None:
+                        continue
+                    st = g.column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        ranges[col] = None  # unknown forever (conservative)
+                        continue
+                    cur = ranges.get(col, _SENTINEL)
+                    if cur is _SENTINEL:
+                        ranges[col] = [st.min, st.max]
+                    else:
+                        cur[0] = min(cur[0], st.min)
+                        cur[1] = max(cur[1], st.max)
+        stats = {c: (r if r is not None else [None, None]) for c, r in ranges.items()}
+        return total, stats
+
+    # -- read / scan ------------------------------------------------------
+    def read_chunk(self, spark: SparkSession, meta: ChunkMeta) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.base_dir, meta.path))
+
+    def prune_chunks(
+        self, table: str, predicate: Predicate | None, time_column: str = "time"
+    ) -> list[ChunkMeta]:
+        """Manifest-level chunk pruning (query/src/pruning.rs:30-110).
+
+        Drops chunks whose time-range stats cannot satisfy the predicate's
+        time range, and chunks in other partitions when a partition key is
+        given.  Expression pruning beyond time is left to parquet row-group
+        stats (same outcome, zero extra code).
+        """
+        chunks = self.manifest(table)
+        if predicate is None:
+            return chunks
+        out = []
+        for c in chunks:
+            if predicate.partition_key and c.partition_key != predicate.partition_key:
+                continue
+            if predicate.range is not None:
+                r = c.column_range(time_column)
+                if r is not None and r[0] is not None and r[1] is not None:
+                    lo, hi = int(r[0]), int(r[1])
+                    if hi < predicate.range.start or lo >= predicate.range.end:
+                        continue
+            out.append(c)
+        return out
+
+    def scan(
+        self,
+        spark: SparkSession,
+        table: str,
+        schema: IoxSchema,
+        predicate: Predicate | None = None,
+    ) -> DataFrame:
+        """Dedup-correct scan of one table (the ChunkTableProvider equivalent)."""
+        chunks = self.prune_chunks(table, predicate, schema.time_column)
+        if not chunks:
+            return spark.createDataFrame([], schema.struct)
+
+        groups = group_potential_duplicates(chunks, schema.primary_key)
+        parts: list[DataFrame] = []
+        for g in groups:
+            members = [chunks[i] for i in g]
+            if len(members) == 1:
+                df = self.read_chunk(spark, members[0])
+            else:
+                ordered = [
+                    self.read_chunk(spark, m).withColumn(
+                        DEDUP_ORDER_COLUMN, F.lit(m.chunk_id)
+                    )
+                    for m in sorted(members, key=lambda m: m.chunk_id)
+                ]
+                df = deduplicate(
+                    merge_chunk_frames(ordered),
+                    schema.tag_columns,
+                    schema.field_columns,
+                    schema.time_column,
+                )
+            parts.append(df)
+
+        out = merge_chunk_frames(parts)
+        if predicate is not None:
+            out = predicate.apply(out, schema.time_column)
+        cols = [f.name for f in schema.struct.fields if f.name in out.columns]
+        return out.select(*cols)
+
+    def drop_chunks(self, table: str, chunk_ids: list[int]) -> None:
+        entries = [c for c in self.manifest(table) if c.chunk_id not in chunk_ids]
+        self._save_manifest(table, entries)
+
+
+_SENTINEL = object()

@@ -1,0 +1,134 @@
+"""Structured Streaming ingest: line protocol → store chunks.
+
+The Spark twin of the reference's write path (§3.3 of SURVEY.md):
+HTTP write → parse → shard/partition → mutable-buffer append
+(/root/reference/server/src/db.rs:627-676; entry/src/entry.rs:85) becomes
+
+    readStream(text) → distributed_parse (mapInPandas)
+      → withWatermark(late_arrive_window)      (persistence_windows/:24-74)
+      → foreachBatch: partition-key → write_chunk per partition
+
+Each micro-batch becomes one (or a few, one per partition key) sorted
+parquet chunks with manifest stats — i.e. every micro-batch is a "closed
+mutable buffer chunk" the moment it lands, and the compaction job
+(plans/reorg.py) plays the lifecycle role.  Late/duplicate data is safe
+because every read path dedups overlapping chunks; the watermark only
+bounds streaming-state growth, it never drops rows into the void (IOx
+likewise accepts late rows into new chunks).
+
+Partition-key template mirrors database_rules.rs:233-248 TemplatePart:
+table name / column value / strftime of time.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from influxdb_iox_spark.schema import IoxSchema
+from influxdb_iox_spark.sources.line_protocol import distributed_parse
+from influxdb_iox_spark.sources.store import TableStore
+
+
+@dataclass
+class PartitionTemplate:
+    """data_types/src/database_rules.rs:233-248 — parts are concatenated with
+    '-': TimeFormat(strftime), Column(name), Table."""
+
+    parts: list[tuple[str, str]] = field(default_factory=lambda: [("time_format", "%Y-%m-%d")])
+
+    def key_column(self, table: str, time_column: str) -> F.Column:
+        exprs = []
+        for kind, arg in self.parts:
+            if kind == "time_format":
+                ts = F.timestamp_micros((F.col(time_column) / 1000).cast("long"))
+                exprs.append(F.date_format(ts, _strftime_to_spark(arg)))
+            elif kind == "column":
+                exprs.append(F.coalesce(F.col(arg).cast("string"), F.lit("")))
+            elif kind == "table":
+                exprs.append(F.lit(table))
+            else:
+                raise ValueError(f"unknown template part {kind!r}")
+        return F.concat_ws("-", *exprs)
+
+
+def _strftime_to_spark(fmt: str) -> str:
+    """Map the common strftime directives to Spark datetime patterns."""
+    table = {
+        "%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH", "%M": "mm", "%S": "ss",
+    }
+    out = fmt
+    for k, v in table.items():
+        out = out.replace(k, v)
+    return out
+
+
+class LineProtocolIngest:
+    def __init__(
+        self,
+        store: TableStore,
+        table: str,
+        schema: IoxSchema,
+        template: PartitionTemplate | None = None,
+        default_time_ns: int = 0,
+    ):
+        self.store = store
+        self.table = table
+        self.schema = schema
+        self.template = template or PartitionTemplate()
+        self.default_time_ns = default_time_ns
+
+    # -- batch ingest -----------------------------------------------------
+    def ingest_lines_df(self, lines_df: DataFrame) -> list:
+        """Parse a batch of raw lines and append one chunk per partition key.
+
+        Used directly for bulk loads and from foreachBatch for streams.
+        """
+        parsed = distributed_parse(
+            lines_df, self.schema, self.table, self.default_time_ns
+        )
+        keyed = parsed.withColumn(
+            "__part_key", self.template.key_column(self.table, self.schema.time_column)
+        )
+        keys = [r[0] for r in keyed.select("__part_key").distinct().collect()]
+        metas = []
+        for k in sorted(keys):
+            part = keyed.filter(F.col("__part_key") == k).drop("__part_key")
+            metas.append(
+                self.store.write_chunk(
+                    part, self.table, self.schema, partition_key=k, seq_column="__seq"
+                )
+            )
+        return metas
+
+    # -- streaming ingest -------------------------------------------------
+    def start_stream(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        checkpoint_dir: str,
+        trigger_once: bool = False,
+    ):
+        """File-based text stream of line protocol → chunks.
+
+        (Kafka/socket sources drop in by replacing the reader.)  The
+        micro-batch boundary IS the chunk boundary; dedup-on-read makes
+        replays (same data re-delivered after checkpoint loss) harmless —
+        the reference makes the same guarantee via sequence-tracked replay
+        (server/src/db.rs:518 perform_replay).
+        """
+        lines = spark.readStream.format("text").load(source_dir)
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            self.ingest_lines_df(batch_df)
+
+        writer = (
+            lines.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

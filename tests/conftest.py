@@ -10,6 +10,11 @@ SF_ORACLE = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="iox-spark-tests", master="local[4]", shuffle_partitions=4)
+    s = get_spark(
+        app_name="iox-spark-tests",
+        master="local[4]",
+        shuffle_partitions=2,
+        extra_conf={"spark.default.parallelism": "4"},
+    )
     yield s
     s.stop()

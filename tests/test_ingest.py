@@ -1,0 +1,74 @@
+"""Ingest path: distributed line-protocol parse → chunks → queryable,
+including the streaming wrapper (availableNow trigger) and replay safety."""
+
+from __future__ import annotations
+
+import os
+
+from influxdb_iox_spark.schema import InfluxColumnType, IoxSchema
+from influxdb_iox_spark.sources.store import TableStore
+from influxdb_iox_spark.streaming.ingest import (
+    LineProtocolIngest,
+    PartitionTemplate,
+    _strftime_to_spark,
+)
+
+CPU = IoxSchema.build(["region"], {"user": InfluxColumnType.FIELD_FLOAT})
+
+# Times on two different days → two partition keys under %Y-%m-%d
+NS_DAY1 = 1_600_000_000 * 10**9
+NS_DAY2 = NS_DAY1 + 86_400 * 10**9
+LINES = [
+    f"cpu,region=west user=23.2 {NS_DAY1}",
+    f"cpu,region=west user=21.0 {NS_DAY1 + 50}",
+    f"cpu,region=east user=5.0 {NS_DAY2}",
+    f"cpu,region=west user=99.0 {NS_DAY1}",  # same PK as line 1 → later wins
+]
+
+
+def test_strftime_mapping():
+    assert _strftime_to_spark("%Y-%m-%d %H") == "yyyy-MM-dd HH"
+
+
+def test_batch_ingest_partitions_and_dedup(spark, tmp_path):
+    store = TableStore(str(tmp_path / "store"))
+    ing = LineProtocolIngest(store, "cpu", CPU)
+    lines_df = spark.createDataFrame([(l,) for l in LINES], "value string")
+    metas = ing.ingest_lines_df(lines_df)
+    assert sorted(m.partition_key for m in metas) == ["2020-09-13", "2020-09-14"]
+
+    out = store.scan(spark, "cpu", CPU)
+    rows = sorted(tuple(r) for r in out.select("region", "user", "time").collect())
+    assert rows == [
+        ("east", 5.0, NS_DAY2),
+        ("west", 21.0, NS_DAY1 + 50),
+        ("west", 99.0, NS_DAY1),  # within-batch dedup: later line won
+    ]
+
+
+def test_stream_ingest_available_now(spark, tmp_path):
+    src = tmp_path / "incoming"
+    os.makedirs(src)
+    with open(src / "batch1.txt", "w") as f:
+        f.write("\n".join(LINES[:2]) + "\n")
+    store = TableStore(str(tmp_path / "store"))
+    ing = LineProtocolIngest(store, "cpu", CPU)
+    q = ing.start_stream(
+        spark, str(src), str(tmp_path / "ckpt"), trigger_once=True
+    )
+    q.awaitTermination(120)
+    # second file arrives; restart stream (same checkpoint) → only new data read
+    with open(src / "batch2.txt", "w") as f:
+        f.write(LINES[2] + "\n")
+    q = ing.start_stream(spark, str(src), str(tmp_path / "ckpt"), trigger_once=True)
+    q.awaitTermination(120)
+
+    out = store.scan(spark, "cpu", CPU)
+    rows = sorted(tuple(r) for r in out.select("region", "user", "time").collect())
+    assert rows == [
+        ("east", 5.0, NS_DAY2),
+        ("west", 23.2, NS_DAY1),
+        ("west", 21.0, NS_DAY1 + 50),
+    ] or rows == sorted(
+        [("east", 5.0, NS_DAY2), ("west", 23.2, NS_DAY1), ("west", 21.0, NS_DAY1 + 50)]
+    )

@@ -1,0 +1,144 @@
+"""InfluxRPC-equivalent operators over a two-measurement database —
+modeled on the reference's query_tests/src/influxrpc/ modules."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from influxdb_iox_spark.database import Database
+from influxdb_iox_spark.operators.metadata import (
+    field_columns,
+    schema_pivot,
+    table_names,
+    tag_keys,
+    tag_values,
+)
+from influxdb_iox_spark.operators.series import (
+    Aggregate,
+    frame_series,
+    read_filter,
+    read_group,
+    read_window_aggregate,
+)
+from influxdb_iox_spark.plans.predicate import Predicate
+from influxdb_iox_spark.schema import InfluxColumnType, IoxSchema
+from influxdb_iox_spark.sources.store import TableStore
+
+H2O = IoxSchema.build(
+    ["state", "city"],
+    {"temp": InfluxColumnType.FIELD_FLOAT, "reading": InfluxColumnType.FIELD_FLOAT},
+)
+O2 = IoxSchema.build(["state"], {"reading": InfluxColumnType.FIELD_FLOAT})
+
+
+@pytest.fixture(scope="module")
+def db(spark, tmp_path_factory):
+    store = TableStore(str(tmp_path_factory.mktemp("rpcdb")))
+    h2o = spark.createDataFrame(
+        [
+            ("MA", "Boston", 70.4, None, 50),
+            ("MA", "Boston", 72.0, 1.0, 150),
+            ("MA", "Cambridge", 80.5, 2.0, 50),
+            ("CA", "LA", 90.0, 3.0, 200),
+        ],
+        "state string, city string, temp double, reading double, time long",
+    )
+    store.write_chunk(h2o, "h2o", H2O)
+    o2 = spark.createDataFrame(
+        [("MA", 50.4, 100), ("CA", 51.0, 300)],
+        "state string, reading double, time long",
+    )
+    store.write_chunk(o2, "o2", O2)
+    d = Database("db", store, spark)
+    d.register_table("h2o", H2O)
+    d.register_table("o2", O2)
+    return d
+
+
+def test_table_names(db):
+    assert table_names(db) == ["h2o", "o2"]
+    # predicate restricting time to h2o-only rows
+    assert table_names(db, Predicate().with_range(150, 250)) == ["h2o"]
+    assert table_names(db, Predicate().with_range(10_000, 20_000)) == []
+
+
+def test_tag_keys(db):
+    assert tag_keys(db, "h2o") == ["city", "state"]
+    assert tag_keys(db, "o2") == ["state"]
+    assert tag_keys(db, "h2o", Predicate().with_range(0, 10)) == []
+
+
+def test_tag_values(db):
+    assert tag_values(db, "h2o", "city") == ["Boston", "Cambridge", "LA"]
+    assert tag_values(db, "h2o", "city", Predicate().with_range(0, 100)) == [
+        "Boston",
+        "Cambridge",
+    ]
+    with pytest.raises(ValueError):
+        tag_values(db, "h2o", "temp")
+
+
+def test_field_columns(db):
+    out = field_columns(db, "h2o")
+    assert {f["name"]: f["last_timestamp"] for f in out} == {"temp": 200, "reading": 200}
+    # restrict to early window: only rows at t=50 → reading all-null there... (Boston t=50 reading null, Cambridge 2.0)
+    out = field_columns(db, "h2o", Predicate().with_range(0, 60))
+    assert {f["name"]: f["last_timestamp"] for f in out} == {"temp": 50, "reading": 50}
+
+
+def test_schema_pivot(db, spark):
+    df = spark.createDataFrame(
+        [(1.0, None), (2.0, None)], "a double, b double"
+    )
+    assert schema_pivot(df) == ["a"]
+
+
+def test_read_filter_sorted_series(db):
+    df = read_filter(db, "h2o")
+    rows = [tuple(r) for r in df.collect()]
+    # canonical sorted-by-name order: tags=(city,state), fields=(reading,temp);
+    # sorted by (city, state, time) so each series is contiguous
+    assert df.columns == ["city", "state", "reading", "temp", "time"]
+    assert rows[0][:2] == ("Boston", "MA") and rows[0][4] == 50
+    assert rows[1][:2] == ("Boston", "MA") and rows[1][4] == 150
+    assert rows[2][:2] == ("Cambridge", "MA")
+    assert rows[3][:2] == ("LA", "CA")
+
+
+def test_read_filter_field_projection(db):
+    pred = Predicate().fields("temp")
+    assert read_filter(db, "h2o", pred).columns == ["city", "state", "temp", "time"]
+
+
+def test_read_group(db):
+    df = read_group(db, "h2o", Aggregate.SUM, group_columns=["state"])
+    rows = {(r.state, r.city): r.temp for r in df.collect()}
+    assert rows[("MA", "Boston")] == pytest.approx(142.4)
+
+
+def test_read_group_selector_last(db):
+    df = read_group(db, "h2o", Aggregate.LAST, group_columns=["state"])
+    row = {(r.state, r.city): r for r in df.collect()}[("MA", "Boston")]
+    assert (row.temp, row.temp_time) == (72.0, 150)
+    assert (row.reading, row.reading_time) == (1.0, 150)
+
+
+def test_read_window_aggregate(db):
+    df = read_window_aggregate(db, "h2o", Aggregate.MEAN, every_ns=100)
+    rows = {(r.state, r.city, r.time): r.temp for r in df.collect()}
+    # t=50 → window (0,100] reported as 100; t=150 → 200; t=200 → 300
+    assert rows[("MA", "Boston", 100)] == pytest.approx(70.4)
+    assert rows[("MA", "Boston", 200)] == pytest.approx(72.0)
+    assert rows[("CA", "LA", 300)] == pytest.approx(90.0)
+
+
+def test_frame_series(db):
+    df = read_filter(db, "h2o")
+    frames = list(frame_series(df, "h2o", ["city", "state"]))
+    assert [f.tags for f in frames] == [
+        {"city": "Boston", "state": "MA"},
+        {"city": "Cambridge", "state": "MA"},
+        {"city": "LA", "state": "CA"},
+    ]
+    assert [len(f.rows) for f in frames] == [2, 1, 1]

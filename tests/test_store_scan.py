@@ -1,0 +1,116 @@
+"""TableStore write/scan: manifest stats, chunk pruning, overlap-aware dedup,
+compaction and persist-split — the scenario-dual pattern from the reference
+(query_tests/src/scenarios.rs): the same logical data in several physical
+arrangements must answer queries identically."""
+
+from __future__ import annotations
+
+import pytest
+
+from influxdb_iox_spark.database import Database
+from influxdb_iox_spark.operators.overlap import group_potential_duplicates
+from influxdb_iox_spark.plans.predicate import Predicate
+from influxdb_iox_spark.plans.reorg import compact_overlapping, persist_split
+from influxdb_iox_spark.schema import InfluxColumnType, IoxSchema
+from influxdb_iox_spark.sources.store import TableStore
+
+CPU = IoxSchema.build(["region"], {"user": InfluxColumnType.FIELD_FLOAT})
+
+
+def make_store(spark, tmp_path):
+    store = TableStore(str(tmp_path))
+    # chunk 0: west rows at t=100,150
+    c0 = spark.createDataFrame(
+        [("west", 23.2, 100), ("west", 21.0, 150)], "region string, user double, time long"
+    )
+    store.write_chunk(c0, "cpu", CPU, partition_key="p1")
+    # chunk 1: overlaps (west,100) with a new value; plus east row
+    c1 = spark.createDataFrame(
+        [("west", 99.9, 100), ("east", 5.0, 120)], "region string, user double, time long"
+    )
+    store.write_chunk(c1, "cpu", CPU, partition_key="p1")
+    # chunk 2: far-future, non-overlapping clean chunk
+    c2 = spark.createDataFrame(
+        [("north", 1.0, 10_000)], "region string, user double, time long"
+    )
+    store.write_chunk(c2, "cpu", CPU, partition_key="p2")
+    return store
+
+
+def scan_rows(spark, store, predicate=None):
+    df = store.scan(spark, "cpu", CPU, predicate)
+    return sorted(tuple(r) for r in df.select("region", "user", "time").collect())
+
+
+EXPECTED_ALL = [
+    ("east", 5.0, 120),
+    ("north", 1.0, 10_000),
+    ("west", 21.0, 150),
+    ("west", 99.9, 100),  # chunk 1 upserted chunk 0's (west,100)
+]
+
+
+def test_manifest_stats_and_overlap(spark, tmp_path):
+    store = make_store(spark, tmp_path)
+    chunks = store.manifest("cpu")
+    assert [c.row_count for c in chunks] == [2, 2, 1]
+    assert chunks[0].column_range("time") == (100, 150)
+    groups = group_potential_duplicates(chunks, CPU.primary_key)
+    # chunks 0,1 overlap on (region,time); chunk 2 is clean
+    assert groups == [[0, 1], [2]]
+
+
+def test_scan_dedups_overlapping_only(spark, tmp_path):
+    store = make_store(spark, tmp_path)
+    assert scan_rows(spark, store) == EXPECTED_ALL
+
+
+def test_scan_time_pruning(spark, tmp_path):
+    store = make_store(spark, tmp_path)
+    pred = Predicate().with_range(0, 1000)
+    pruned = store.prune_chunks("cpu", pred)
+    assert [c.chunk_id for c in pruned] == [0, 1]  # far-future chunk pruned
+    assert scan_rows(spark, store, pred) == [r for r in EXPECTED_ALL if r[2] < 1000]
+
+
+def test_scan_partition_key_pruning(spark, tmp_path):
+    store = make_store(spark, tmp_path)
+    pred = Predicate(partition_key="p2")
+    assert [c.chunk_id for c in store.prune_chunks("cpu", pred)] == [2]
+
+
+def test_compaction_preserves_results(spark, tmp_path):
+    store = make_store(spark, tmp_path)
+    before = scan_rows(spark, store)
+    compact_overlapping(spark, store, "cpu", CPU)
+    chunks = store.manifest("cpu")
+    assert len(chunks) == 2  # [0,1] merged; clean chunk untouched
+    groups = group_potential_duplicates(chunks, CPU.primary_key)
+    assert all(len(g) == 1 for g in groups)  # nothing overlaps after compact
+    assert scan_rows(spark, store) == before  # scenario-dual equality
+
+
+def test_persist_split(spark, tmp_path):
+    store = make_store(spark, tmp_path)
+    before = scan_rows(spark, store)
+    cold, hot = persist_split(spark, store, "cpu", CPU, split_time_ns=120)
+    assert cold is not None and hot is not None
+    assert cold.row_count == 2  # (west,100),(east,120) — time <= 120
+    assert hot.row_count == 2  # (west,150),(north,10000)
+    assert scan_rows(spark, store) == before
+
+
+def test_database_sql_surface(spark, tmp_path):
+    store = make_store(spark, tmp_path)
+    db = Database("db", store, spark)
+    db.register_table("cpu", CPU)
+    out = db.query(
+        "SELECT region, sum(user) AS total FROM cpu GROUP BY region ORDER BY region"
+    ).collect()
+    assert [(r.region, r.total) for r in out] == [
+        ("east", 5.0),
+        ("north", 1.0),
+        ("west", pytest.approx(120.9)),
+    ]
+    sys_rows = db.query("SELECT count(*) AS n FROM system_chunks").first()
+    assert sys_rows.n == 3
