@@ -1,0 +1,345 @@
+"""Document deduplication at corpus scale: exact, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+Scale design (the part that matters at 100 TB):
+- Exact dedup is a hash groupBy — one shuffle on a 128-bit digest, perfectly
+  distributed.
+- MinHash signatures are computed with built-in expressions only
+  (shingle array → per-permutation murmur3 → array_min), so signature
+  generation is JVM-side and embarrassingly parallel.
+- LSH banding turns the quadratic all-pairs problem into a shuffle on
+  (band_id, band_hash): only documents agreeing on a full band ever meet.
+  Candidate pairs are then verified with exact Jaccard on shingle sets.
+- SimHash uses one Arrow-batched pandas_udf (numpy bit-voting) and banded
+  Hamming join (pigeonhole: distance ≤ k ⇒ some band of the signature is
+  identical when split into k+1 bands).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import LongType
+
+from influxdb_iox_spark.pipeline.text import normalize_text, word_tokens
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group documents by md5(normalized text): (content_hash, n_docs,
+    canonical_id = min id).  ``n_docs > 1`` rows are duplicate clusters."""
+    h = F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("canonical_id"))
+    )
+
+
+def drop_exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the min-id representative of each exact-duplicate cluster.
+
+    min_by over the content-hash group — one shuffle, no window function, no
+    sort; survivors keep all their original columns.
+    """
+    h = F.md5(normalize_text(F.col(text_col)))
+    keep = (
+        df.withColumn("__h", h)
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("__h")
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Shingles + MinHash
+# ---------------------------------------------------------------------------
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of normalized text (array<string>).
+
+    Built from word_tokens with a transform over token indexes — no UDF.
+    Documents with < n tokens yield their full token array as one shingle.
+    """
+    toks = word_tokens(col)
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.array_distinct(F.when(k > 0, grams).otherwise(F.array()))
+
+
+def minhash_signature(shingle_col: Column, num_perm: int = 64) -> Column:
+    """MinHash signature (array<int>, length num_perm).
+
+    Permutation i = murmur3 hash seeded by i (Spark ``hash(x, seed)``);
+    signature element = min over shingles.  Empty shingle sets get
+    INT_MAX sentinels so Jaccard estimates stay defined.
+    """
+    mins = [
+        F.coalesce(
+            F.array_min(F.transform(shingle_col, lambda x, i=i: F.hash(x, F.lit(i)))),
+            F.lit(2**31 - 1),
+        )
+        for i in range(num_perm)
+    ]
+    return F.array(*mins)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_perm: int = 64,
+) -> DataFrame:
+    sh = shingles(F.col(text_col), shingle_n)
+    return df.select(
+        F.col(id_col),
+        sh.alias("shingles"),
+        minhash_signature(sh, num_perm).alias("signature"),
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """MinHash-LSH banding: docs sharing any full band become candidates.
+
+    Explode to (band_id, band_hash, doc) — the ONLY shuffle key; a self-join
+    inside each bucket yields ordered candidate pairs (a < b), deduped.  Band
+    width = num_perm // bands rows; with 64 perms / 16 bands the s-curve
+    threshold sits near Jaccard ≈ (1/16)^(1/4) ≈ 0.5.
+    """
+    rows = num_perm // bands
+    banded = sig_df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.hash(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("signature"), b * rows + 1, rows),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col("l.doc") < F.col("r.doc"),
+            ],
+        )
+        .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact Jaccard on distinct shingle sets for candidate pairs.
+
+    Candidates are a tiny fraction of the corpus, so the two joins pulling
+    shingle arrays are cheap; similarity is array_intersect/array_union —
+    JVM-side.  Returns (a, b, jaccard) with jaccard >= threshold.
+    """
+    sh = sig_df.select(F.col(id_col), F.col("shingles"))
+    a_sh = sh.withColumnsRenamed({id_col: "a", "shingles": "sh_a"})
+    b_sh = sh.withColumnsRenamed({id_col: "b", "shingles": "sh_b"})
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        pairs.join(a_sh, "a")
+        .join(b_sh, "b")
+        .select(
+            "a",
+            "b",
+            (inter / F.greatest(union, F.lit(1))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def near_duplicate_pairs_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """End-to-end MinHash near-dup: shingle → sign → band → verify."""
+    sigs = minhash_signatures(df, text_col, id_col, shingle_n, num_perm)
+    sigs.cache()
+    cands = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
+    return jaccard_verify(cands, sigs, id_col, threshold)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, for modest cardinalities / oracle checks)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs Jaccard via shingle inverted index (no LSH).
+
+    Explode shingles → self-join on shingle → count shared → Jaccard with
+    |A|+|B|-shared.  Quadratic only within identical shingles — the classic
+    inverted-index bound.  Use minhash for web-scale; this is the exact
+    baseline and the oracle-checkable formulation.
+    """
+    sh = df.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
+    ).select(F.col(id_col), F.col("sh"), F.size("sh").alias("n_sh"))
+    ex = sh.select(id_col, "n_sh", F.explode("sh").alias("s"))
+    a = ex.select(
+        F.col(id_col).alias("a"), F.col("n_sh").alias("na"), F.col("s")
+    )
+    b = ex.select(
+        F.col(id_col).alias("b"), F.col("n_sh").alias("nb"), F.col("s")
+    )
+    shared = (
+        a.join(b, on=[a.s == b.s, a.a < b.b])
+        .groupBy("a", "b", "na", "nb")
+        .agg(F.count("*").alias("shared"))
+    )
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return shared.select("a", "b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(LongType())
+def _simhash64(texts):
+    """64-bit SimHash over word tokens (Arrow-batched, numpy bit-voting).
+
+    Token hashes use md5 (stable across processes, unlike Python's builtin
+    hash) — first 8 bytes as uint64.
+    """
+    import numpy as np
+    import pandas as pd
+    import re
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    token_re = re.compile(r"[^\W_]+", re.UNICODE)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        votes = np.zeros(64, dtype=np.int64)
+        for tok in token_re.findall(t.lower()):
+            h = np.uint64(
+                int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+            )
+            bits = ((h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+            votes += 2 * bits - 1
+        sig = np.uint64(0)
+        for b in range(64):
+            if votes[b] > 0:
+                sig |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sig)
+    return pd.Series(out)
+
+
+def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+    return df.withColumn(out_col, _simhash64(F.col(text_col)))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Pigeonhole banding: split 64 bits into (max_hamming+1) bands; any pair
+    within distance k agrees exactly on ≥1 band → join on (band_id, band
+    bits), verify with bit_count(xor).  Same shuffle-not-crossproduct shape
+    as MinHash-LSH.
+    """
+    nbands = max_hamming + 1
+    width = 64 // nbands
+    sig = simhash(df.select(id_col, text_col), text_col, "sig").select(id_col, "sig")
+
+    bands = sig.select(
+        F.col(id_col).alias("doc"),
+        F.col("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("sig"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bits"),
+                    )
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "sig", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"))
+
+    l, r = bands.alias("l"), bands.alias("r")
+    ham = F.bit_count(F.col("l.sig").bitwiseXOR(F.col("r.sig")))
+    return (
+        l.join(
+            r,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bits") == F.col("r.bits"),
+                F.col("l.doc") < F.col("r.doc"),
+            ],
+        )
+        .select(
+            F.col("l.doc").alias("a"),
+            F.col("r.doc").alias("b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

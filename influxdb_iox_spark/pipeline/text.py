@@ -1,0 +1,115 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen'd) — no Python in the per-row path.  Each operator has an
+exact ANSI-SQL twin (used by the DuckDB oracle), so results are engine-
+checkable, which is why hashes use md5 (portable) rather than xxhash64
+(Spark-specific).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Minimal per-language stopword anchors for the n-gram/stopword heuristic.
+# Chosen to be disjoint across languages so the score argmax is stable.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "und", "die", "nicht", "ist"],
+    "fr": ["le", "et", "les", "des", "est"],
+    "es": ["el", "los", "las", "una", "es"],
+}
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for hashing/dedup: lowercase, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (0 for empty/blank text)."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def word_tokens(col: Column) -> Column:
+    """Array of lowercase word tokens (letters/digits runs) — the BPE-ish
+    pre-tokenization regex: splits on any non-alphanumeric run."""
+    return F.filter(F.split(F.lower(col), r"[^\p{L}\p{N}]+"), lambda x: x != "")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / word-shape quality signals.
+
+    One projection pass; every feature is a codegen'd expression.  The
+    classic heuristic filters (strip docs that are too short, too punctuated,
+    too repetitive) become plain ``WHERE`` clauses over these columns.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    toks = token_count(t)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[\.,;:!\?\"'`]", ""))
+    n_digit = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    n_upper = F.length(t) - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    n_space = F.length(t) - F.length(F.regexp_replace(t, r" ", ""))
+    stop_hits = _stopword_hits(t, LANG_STOPWORDS["en"])
+    return df.select(
+        "*",
+        n_chars.alias("q_n_chars"),
+        toks.alias("q_n_tokens"),
+        (n_chars / F.greatest(toks, F.lit(1))).alias("q_mean_token_len"),
+        (n_punct / F.greatest(n_chars, F.lit(1))).alias("q_punct_ratio"),
+        (n_digit / F.greatest(n_chars, F.lit(1))).alias("q_digit_ratio"),
+        (n_upper / F.greatest(n_chars, F.lit(1))).alias("q_upper_ratio"),
+        (n_space / F.greatest(n_chars, F.lit(1))).alias("q_space_ratio"),
+        (stop_hits / F.greatest(toks, F.lit(1))).alias("q_stopword_ratio"),
+    )
+
+
+def _stopword_hits(t: Column, words: list[str]) -> Column:
+    """Occurrences of any stopword as a standalone word, via the padded-text
+    substring-count trick — identical semantics in ANSI SQL:
+      (len(x) - len(replace(x, ' w ', '  '))) / (len(' w ')-2) per word
+    over x = ' ' || lower(text) || ' ' with whitespace collapsed."""
+    padded = F.concat(F.lit(" "), normalize_text(t), F.lit(" "))
+    hits = []
+    for w in words:
+        pat = f" {w} "
+        # each removal shortens by len(pat); count = removed // len(pat)
+        # overlapping " a a " cases are handled identically in both engines
+        hits.append(
+            (F.length(padded) - F.length(F.replace(padded, F.lit(pat), F.lit(" "))))
+            / F.lit(len(pat) - 1)
+        )
+    out = hits[0]
+    for h in hits[1:]:
+        out = out + h
+    return F.floor(out)
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-anchor language ID (n-gram heuristic family).
+
+    Scores each language by standalone stopword hits; argmax with a fixed
+    tie-break order (en > de > fr > es > unknown).  Pure column expressions →
+    distributes trivially; the same formula is the oracle SQL.
+    """
+    t = F.col(text_col)
+    scores = {lang: _stopword_hits(t, ws) for lang, ws in LANG_STOPWORDS.items()}
+    langs = list(LANG_STOPWORDS)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.lit("unknown")
+    for lang in reversed(langs):  # earlier langs win ties → apply last
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best <= 0, F.lit("unknown")).otherwise(pred)
+    return df.select("*", pred.alias(out_col))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """Deterministic 128-bit content fingerprint: md5 of normalized text.
+
+    Portable across engines (the oracle computes the identical md5).  For
+    shift-robust fingerprints use pipeline.dedup.simhash / minhash_signatures.
+    """
+    return df.select("*", F.md5(normalize_text(F.col(text_col))).alias(out_col))

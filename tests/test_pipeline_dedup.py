@@ -1,0 +1,95 @@
+"""Dedup-pipeline tests: exact, minhash LSH, simhash, ngram jaccard — with
+planted duplicate/near-duplicate documents."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from influxdb_iox_spark.pipeline.dedup import (
+    drop_exact_duplicates,
+    exact_duplicate_groups,
+    minhash_signatures,
+    near_duplicate_pairs_minhash,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+    simhash_near_pairs,
+)
+
+BASE = (
+    "spark is a unified analytics engine for large scale data processing "
+    "with high level apis in java scala python and r plus an optimized engine"
+)
+NEAR = BASE.replace("optimized engine", "optimized runtime engine")  # near-dup of BASE
+OTHER = (
+    "completely different content about cooking pasta with tomatoes garlic "
+    "olive oil and basil in a large pot of salted boiling water until al dente"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, BASE),
+            (2, BASE),  # exact dup of 1 (modulo nothing)
+            (3, "  " + BASE.upper() + "  "),  # exact dup after normalization
+            (4, NEAR),  # near dup of 1
+            (5, OTHER),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_duplicate_groups(spark, docs):
+    out = exact_duplicate_groups(docs)
+    dups = out.filter(F.col("n_docs") > 1).collect()
+    assert len(dups) == 1
+    assert dups[0].n_docs == 3 and dups[0].canonical_id == 1
+
+
+def test_drop_exact_duplicates(spark, docs):
+    kept = sorted(r.doc_id for r in drop_exact_duplicates(docs).collect())
+    assert kept == [1, 4, 5]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",), ("",)], "text string")
+    out = [r[0] for r in df.select(shingles(F.col("text"), 3)).collect()]
+    assert out[0] == ["a b c", "b c d"]
+    assert out[1] == ["a b"]  # fewer tokens than n → whole text
+    assert out[2] == []
+
+
+def test_minhash_near_dup(spark, docs):
+    pairs = near_duplicate_pairs_minhash(
+        docs, num_perm=64, bands=16, threshold=0.5
+    ).collect()
+    found = {(r.a, r.b) for r in pairs}
+    # exact dups always found; the near pair (1,4) should be found too
+    assert (1, 2) in found and (1, 3) in found and (2, 3) in found
+    assert (1, 4) in found
+    # unrelated doc never pairs
+    assert not any(5 in p for p in found)
+    jac = {(r.a, r.b): r.jaccard for r in pairs}
+    assert jac[(1, 2)] == pytest.approx(1.0)
+    assert 0.5 <= jac[(1, 4)] < 1.0
+
+
+def test_ngram_jaccard_exact(spark, docs):
+    pairs = {(r.a, r.b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.4).collect()}
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+    assert (1, 4) in pairs
+    assert not any(5 in p for p in pairs)
+
+
+def test_simhash_deterministic_and_near(spark, docs):
+    sig = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert sig[1] == sig[2] == sig[3]  # same normalized content
+    assert sig[1] != sig[5]
+    pairs = simhash_near_pairs(docs, max_hamming=8).collect()
+    found = {(r.a, r.b): r.hamming for r in pairs}
+    assert found[(1, 2)] == 0
+    assert (1, 4) in found and found[(1, 4)] <= 8
+    assert not any(5 in p for p in found)
