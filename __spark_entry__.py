@@ -1,38 +1,965 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the implemented operator surface from SURVEY.md §2 —
+TPC-H-style SQL queries (the reference's DataFusion-inherited SQL frontend),
+the InfluxRPC time-series menu (read_filter / read_group /
+read_window_aggregate / tag_values / field_columns / selectors / PK-dedup),
+and the LLM-pipeline operators (dedup, text analysis, similarity search,
+multimodal metadata).  ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL
+for every SQL-expressible query.
+
+Determinism strategy for value-hash matching:
+- money sums go through DECIMAL(12,2) (exact, order-independent) and are cast
+  back to DOUBLE; averages are rounded to 4-6 decimals
+- ``events.ts`` is ns in parquet: Spark reads it as ns-long (nanosAsLong) and
+  outputs epoch-µs bigints; DuckDB reads the same column µs-truncated and uses
+  epoch_us() — identical values
+- embedding math is done in DOUBLE on both engines (DuckDB via parallel
+  unnest, Spark via zip_with/aggregate) and rounded to 6 decimals
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+NS = 1_000_000_000
+US = 1_000_000
+HOUR_NS = 3600 * NS
+HOUR_US = 3600 * US
+
+# events table time window used by filtered queries (2024-01-05 .. 2024-01-20)
+T0 = 1704412800  # 2024-01-05 epoch seconds
+T1 = 1705708800  # 2024-01-20
+
+
+def _load(spark: SparkSession, sf_dir: str, *tables: str) -> dict[str, DataFrame]:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in tables}
+
+
+def _dec(col: str, prec: str = "12,2") -> F.Column:
+    return F.col(col).cast(f"decimal({prec})")
+
+
+def _money_sum(expr: F.Column, alias: str) -> F.Column:
+    return F.round(F.sum(expr).cast("double"), 2).alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style SQL surface (reference: SQL frontend inherited from DataFusion,
+# /root/reference/query/src/frontend/sql.rs:83-93; joins/aggs free in Spark)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _load(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", "4,2"))
+    charge = disc_price * (F.lit(1) + _dec("l_tax", "4,2"))
+    return (
+        t["lineitem"]
+        .filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _money_sum(_dec("l_quantity"), "sum_qty"),
+            _money_sum(_dec("l_extendedprice"), "sum_base_price"),
+            _money_sum(disc_price, "sum_disc_price"),
+            _money_sum(charge, "sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  round(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty,
+  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_base_price,
+  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS sum_disc_price,
+  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE), 2) AS sum_charge,
+  round(AVG(l_quantity), 4) AS avg_qty,
+  round(AVG(l_extendedprice), 4) AS avg_price,
+  round(AVG(l_discount), 4) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_orders_by_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _load(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            _money_sum(_dec("o_totalprice"), "total_price"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+SQL_ORDERS_BY_STATUS = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_price,
+  round(AVG(o_totalprice), 4) AS avg_price
+FROM orders GROUP BY o_orderstatus, o_orderpriority
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: broadcast the small dimension, top-10 by revenue."""
+    t = _load(spark, sf_dir, "customer", "orders", "lineitem")
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", "4,2"))
+    return (
+        t["lineitem"]
+        .filter(F.col("l_shipdate").cast("date") > F.lit("1997-06-01").cast("date"))
+        .join(
+            t["orders"].filter(
+                F.col("o_orderdate").cast("date") < F.lit("1997-06-01").cast("date")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"))
+        .agg(_money_sum(revenue, "revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND CAST(l_shipdate AS DATE) > DATE '1997-06-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1997-06-01'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join with broadcast dims, revenue per nation."""
+    t = _load(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", "4,2"))
+    nr = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(_money_sum(revenue, "revenue"))
+        .orderBy("n_name")
+    )
+
+
+SQL_LOCAL_SUPPLIER = """
+SELECT n_name,
+  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue."""
+    t = _load(spark, sf_dir, "customer", "orders", "lineitem")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", "4,2"))
+    return (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(_money_sum(revenue, "revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+SQL_RETURNED_REVENUE = """
+SELECT c_custkey, c_name,
+  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: scalar filtered aggregate."""
+    t = _load(spark, sf_dir, "lineitem")
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_quantity") < 24)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+        )
+        .agg(
+            _money_sum(_dec("l_extendedprice") * _dec("l_discount", "4,2"), "revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+SQL_REVENUE_CHANGE = """
+SELECT
+  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE), 2) AS revenue,
+  COUNT(*) AS n
+FROM lineitem
+WHERE l_quantity < 24 AND l_discount >= 0.05 AND l_discount <= 0.07
+"""
+
+
+def q_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _load(spark, sf_dir, "lineitem", "part")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            _money_sum(_dec("l_quantity"), "sum_qty"),
+            _money_sum(_dec("l_extendedprice"), "sum_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+SQL_BRAND_VOLUME = """
+SELECT p_brand, COUNT(*) AS n,
+  round(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty,
+  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS as a left-semi join."""
+    t = _load(spark, sf_dir, "orders", "lineitem")
+    o, l = t["orders"], t["lineitem"]
+    semi = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count("*").alias("n")).orderBy(
+        "o_orderpriority"
+    )
+
+
+SQL_ORDER_PRIORITY = """
+SELECT o_orderpriority, COUNT(*) AS n
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _load(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _load(spark, sf_dir, "events")
+    lo = t["events"].filter(F.col("value") < 50).select("event_type")
+    hi = t["events"].filter(F.col("value") >= 150).select("event_type")
+    return lo.union(hi).groupBy("event_type").agg(F.count("*").alias("n")).orderBy(
+        "event_type"
+    )
+
+
+SQL_UNION_ALL = """
+SELECT event_type, COUNT(*) AS n FROM (
+  SELECT event_type FROM events WHERE value < 50
+  UNION ALL
+  SELECT event_type FROM events WHERE value >= 150
+) GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# InfluxRPC menu on the events table (tags: event_type, user_id; field: value;
+# time: ts ns).  Reference: query/src/frontend/influxrpc.rs (§2.9 SURVEY.md)
+# ---------------------------------------------------------------------------
+
+
+def q_read_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """read_filter (influxrpc.rs:524-552): predicate + half-open time range,
+    series-sorted output.  time output in epoch-µs (oracle-comparable)."""
+    t = _load(spark, sf_dir, "events")
+    return (
+        t["events"]
+        .filter(
+            (F.col("event_type") == "click")
+            & (F.col("value") > 100)
+            & (F.col("ts") >= T0 * NS)
+            & (F.col("ts") < T1 * NS)
+        )
+        .select(
+            "event_type",
+            "user_id",
+            "value",
+            F.expr("ts div 1000").alias("time_us"),
+        )
+        .orderBy("event_type", "user_id", "time_us")
+    )
+
+
+SQL_READ_FILTER = f"""
+SELECT event_type, user_id, value, epoch_us(ts) AS time_us
+FROM events
+WHERE event_type = 'click' AND value > 100
+  AND epoch_us(ts) >= {T0 * US} AND epoch_us(ts) < {T1 * US}
+ORDER BY event_type, user_id, time_us
+"""
+
+
+def q_read_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """read_group with plain aggregates (influxrpc.rs:558-607)."""
+    t = _load(spark, sf_dir, "events")
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count("value").alias("count_value"),
+            _money_sum(_dec("value"), "sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.round(F.avg("value"), 4).alias("mean_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_READ_GROUP = """
+SELECT event_type, COUNT(value) AS count_value,
+  round(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_value,
+  MIN(value) AS min_value, MAX(value) AS max_value,
+  round(AVG(value), 4) AS mean_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_read_group_two_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _load(spark, sf_dir, "events")
+    return (
+        t["events"]
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.count("*").alias("n"),
+            _money_sum(_dec("value"), "sum_value"),
+        )
+        .orderBy("event_type", "user_id")
+    )
+
+
+SQL_READ_GROUP_TWO_TAGS = """
+SELECT event_type, user_id, COUNT(*) AS n,
+  round(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_value
+FROM events GROUP BY event_type, user_id ORDER BY event_type, user_id
+"""
+
+
+def q_window_agg_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """read_window_aggregate (influxrpc.rs:611-650): tumbling 1h windows,
+    stop-boundary reported as time (window.rs:44-47).  Hour boundaries are
+    µs-exact, so ns-vs-µs bucketing agrees across engines."""
+    from influxdb_iox_spark.functions.time import window_bounds
+
+    t = _load(spark, sf_dir, "events")
+    ev = t["events"].withColumn("__bucket_ns", window_bounds("ts", HOUR_NS))
+    return (
+        ev.groupBy("event_type", F.expr("__bucket_ns div 1000").alias("time_us"))
+        .agg(
+            F.count("*").alias("n"),
+            _money_sum(_dec("value"), "sum_value"),
+            F.round(F.avg("value"), 4).alias("mean_value"),
+        )
+        .orderBy("event_type", "time_us")
+    )
+
+
+SQL_WINDOW_AGG_1H = f"""
+SELECT event_type,
+  epoch_us(ts) - ((epoch_us(ts) % {HOUR_US}) + {HOUR_US}) % {HOUR_US} + {HOUR_US} AS time_us,
+  COUNT(*) AS n,
+  round(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_value,
+  round(AVG(value), 4) AS mean_value
+FROM events GROUP BY 1, 2 ORDER BY event_type, time_us
+"""
+
+
+def q_window_agg_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-min windows with 5-min offset (GetEarliestBounds semantics with
+    offset, window.rs:19-88)."""
+    from influxdb_iox_spark.functions.time import window_bounds
+
+    t = _load(spark, sf_dir, "events")
+    every, offset = 900 * NS, 300 * NS
+    ev = t["events"].withColumn("__bucket_ns", window_bounds("ts", every, offset))
+    return (
+        ev.groupBy("event_type", F.expr("__bucket_ns div 1000").alias("time_us"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("mean_value"))
+        .orderBy("event_type", "time_us")
+    )
+
+
+SQL_WINDOW_AGG_OFFSET = f"""
+SELECT event_type,
+  epoch_us(ts) - (((epoch_us(ts) - {300 * US}) % {900 * US}) + {900 * US}) % {900 * US} + {900 * US} AS time_us,
+  COUNT(*) AS n, round(AVG(value), 4) AS mean_value
+FROM events GROUP BY 1, 2 ORDER BY event_type, time_us
+"""
+
+
+def q_selector_last_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selector aggregates (query/src/func/selectors.rs): last/first
+    (value, time) per series — ns timestamps are unique per group so
+    max_by/arg_max agree across engines."""
+    t = _load(spark, sf_dir, "events")
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.max_by("value", "ts").alias("last_value"),
+            F.expr("max(ts) div 1000").alias("last_time_us"),
+            F.min_by("value", "ts").alias("first_value"),
+            F.expr("min(ts) div 1000").alias("first_time_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_SELECTOR_LAST_FIRST = """
+SELECT event_type,
+  arg_max(value, ts) AS last_value, epoch_us(MAX(ts)) AS last_time_us,
+  arg_min(value, ts) AS first_value, epoch_us(MIN(ts)) AS first_time_us
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_field_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """field_columns (influxrpc.rs:477-504): last non-null timestamp per
+    field column, one row."""
+    t = _load(spark, sf_dir, "events")
+    ts = F.col("ts")
+    return t["events"].agg(
+        F.expr("max(CASE WHEN value IS NOT NULL THEN ts END) div 1000").alias(
+            "value_last_us"
+        ),
+        F.count("value").alias("value_n"),
+        F.expr("max(CASE WHEN props IS NOT NULL THEN ts END) div 1000").alias(
+            "props_last_us"
+        ),
+        F.count("props").alias("props_n"),
+    )
+
+
+SQL_FIELD_COLUMNS = """
+SELECT
+  epoch_us(MAX(ts) FILTER (WHERE value IS NOT NULL)) AS value_last_us,
+  COUNT(value) AS value_n,
+  epoch_us(MAX(ts) FILTER (WHERE props IS NOT NULL)) AS props_last_us,
+  COUNT(props) AS props_n
+FROM events
+"""
+
+
+def q_tag_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tag_values (influxrpc.rs:328-471): distinct non-null tag values."""
+    t = _load(spark, sf_dir, "events")
+    return (
+        t["events"]
+        .select("event_type")
+        .where(F.col("event_type").isNotNull())
+        .distinct()
+        .orderBy("event_type")
+    )
+
+
+SQL_TAG_VALUES = """
+SELECT DISTINCT event_type FROM events
+WHERE event_type IS NOT NULL ORDER BY event_type
+"""
+
+
+def q_dedup_last_non_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE signature operator (provider/deduplicate.rs:28-60): two simulated
+    chunks with overlapping PKs; last chunk wins per field, null never
+    overwrites.  PK time is µs-truncated so both engines group identically."""
+    from influxdb_iox_spark.operators.dedup import deduplicate
+
+    t = _load(spark, sf_dir, "events")
+    ev = t["events"].withColumn("time_us", F.expr("ts div 1000"))
+    c0 = ev.select(
+        "user_id", "event_type", "time_us", "value", F.lit(0).alias("__chunk_order")
+    )
+    c1 = ev.filter(F.col("event_id") % 7 == 0).select(
+        "user_id",
+        "event_type",
+        "time_us",
+        F.when(F.col("value") > 150, None).otherwise(F.col("value") * 2).alias("value"),
+        F.lit(1).alias("__chunk_order"),
+    )
+    out = deduplicate(
+        c0.unionByName(c1),
+        tag_columns=["user_id", "event_type"],
+        field_columns=["value"],
+        time_column="time_us",
+    )
+    return out.select("user_id", "event_type", "time_us", "value")
+
+
+SQL_DEDUP = """
+WITH c0 AS (
+  SELECT user_id, event_type, epoch_us(ts) AS time_us, value, 0 AS chunk FROM events
+), c1 AS (
+  SELECT user_id, event_type, epoch_us(ts) AS time_us,
+         CASE WHEN value > 150 THEN NULL ELSE value * 2 END AS value, 1 AS chunk
+  FROM events WHERE event_id % 7 = 0
+), u AS (SELECT * FROM c0 UNION ALL SELECT * FROM c1)
+SELECT user_id, event_type, time_us,
+  arg_max(value, chunk) FILTER (WHERE value IS NOT NULL) AS value
+FROM u GROUP BY user_id, event_type, time_us
+"""
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _load(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("long")
+    return (
+        t["events"]
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count_distinct(F.col("k")).alias("distinct_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT event_type,
+  SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k,
+  COUNT(DISTINCT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS distinct_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline operators on documents/embeddings
+# ---------------------------------------------------------------------------
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from influxdb_iox_spark.pipeline.text import token_count
+
+    t = _load(spark, sf_dir, "documents")
+    return (
+        t["documents"]
+        .select("lang", "n_chars", token_count(F.col("text")).alias("toks"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("toks"), 4).alias("avg_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_DOC_TOKEN_STATS = r"""
+SELECT lang, COUNT(*) AS n_docs,
+  round(AVG(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END), 4) AS avg_tokens,
+  round(AVG(n_chars), 4) AS avg_chars,
+  SUM(n_chars) AS total_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring aggregated per source (pipeline/text.quality_features
+    formulas, restated column-for-column in the oracle)."""
+    t = _load(spark, sf_dir, "documents")
+    txt = F.col("text")
+    n_chars = F.length(txt)
+    n_punct = n_chars - F.length(F.regexp_replace(txt, r"[.,;:!?]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(txt, r"[0-9]", ""))
+    n_space = n_chars - F.length(F.regexp_replace(txt, r" ", ""))
+    g = F.greatest(n_chars, F.lit(1))
+    return (
+        t["documents"]
+        .select(
+            "source",
+            (n_punct / g).alias("pr"),
+            (n_digit / g).alias("dr"),
+            (n_space / g).alias("sr"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("pr"), 6).alias("avg_punct_ratio"),
+            F.round(F.avg("dr"), 6).alias("avg_digit_ratio"),
+            F.round(F.avg("sr"), 6).alias("avg_space_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_DOC_QUALITY = """
+WITH f AS (
+  SELECT source,
+    (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+      / greatest(length(text), 1) AS pr,
+    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+      / greatest(length(text), 1) AS dr,
+    (length(text) - length(replace(text, ' ', '')))
+      / greatest(length(text), 1) AS sr
+  FROM documents)
+SELECT source, COUNT(*) AS n_docs,
+  round(AVG(pr), 6) AS avg_punct_ratio,
+  round(AVG(dr), 6) AS avg_digit_ratio,
+  round(AVG(sr), 6) AS avg_space_ratio
+FROM f GROUP BY source ORDER BY source
+"""
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-anchor language ID distribution (pipeline/text.lang_id)."""
+    from influxdb_iox_spark.pipeline.text import lang_id
+
+    t = _load(spark, sf_dir, "documents")
+    return (
+        lang_id(t["documents"].select("doc_id", "text"))
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang_pred")
+    )
+
+
+def _sql_stop_hits(words: list[str]) -> str:
+    terms = " + ".join(
+        f"(length(p) - length(replace(p, ' {w} ', ' '))) / {len(w) + 1}.0"
+        for w in words
+    )
+    return f"floor({terms})"
+
+
+def _sql_lang_id() -> str:
+    from influxdb_iox_spark.pipeline.text import LANG_STOPWORDS
+
+    scores = ",\n    ".join(
+        f"{_sql_stop_hits(ws)} AS s_{lang}" for lang, ws in LANG_STOPWORDS.items()
+    )
+    langs = list(LANG_STOPWORDS)
+    greatest = ", ".join(f"s_{lang}" for lang in langs)
+    case = " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs)
+    return f"""
+WITH n AS (
+  SELECT ' ' || trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) || ' ' AS p
+  FROM documents
+), s AS (
+  SELECT {scores} FROM n
+), b AS (
+  SELECT *, greatest({greatest}) AS best FROM s
+)
+SELECT CASE WHEN best <= 0 THEN 'unknown' {case} ELSE 'unknown' END AS lang_pred,
+       COUNT(*) AS n
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from influxdb_iox_spark.pipeline.dedup import exact_duplicate_groups
+
+    t = _load(spark, sf_dir, "documents")
+    return (
+        exact_duplicate_groups(t["documents"])
+        .orderBy("content_hash")
+        .select("content_hash", "n_docs", "canonical_id")
+    )
+
+
+SQL_DOC_EXACT_DEDUP = r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+  COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from influxdb_iox_spark.pipeline.text import fingerprint
+
+    t = _load(spark, sf_dir, "documents")
+    return fingerprint(t["documents"].select("doc_id", "text")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+SQL_DOC_FINGERPRINT = r"""
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-20 vs vec_id=0 (similarity baseline)."""
+    from influxdb_iox_spark.pipeline.similarity import cosine_topk
+
+    t = _load(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in t["embeddings"].filter(F.col("vec_id") == 0).first().embedding]
+    out = cosine_topk(t["embeddings"], qv, k=20)
+    return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+SQL_EMB_COSINE_TOPK = """
+WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+d AS (
+  SELECT vec_id,
+    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dp,
+    SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
+    SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
+  FROM (SELECT vec_id, unnest(embedding) AS x, unnest((SELECT e FROM q)) AS y
+        FROM embeddings)
+  GROUP BY vec_id)
+SELECT vec_id, round(dp / (sqrt(nx) * sqrt(ny)), 6) AS cosine_sim
+FROM d ORDER BY dp / (sqrt(nx) * sqrt(ny)) DESC, vec_id LIMIT 20
+"""
+
+
+def q_emb_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding stats with double-precision folds."""
+    from influxdb_iox_spark.pipeline.similarity import l2_norm
+
+    t = _load(spark, sf_dir, "embeddings")
+    s = F.aggregate(
+        F.col("embedding"), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    return (
+        t["embeddings"]
+        .select("label", s.alias("s"), l2_norm(F.col("embedding")).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("s"), 6).alias("avg_sum"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+SQL_EMB_LABEL_STATS = """
+WITH per AS (
+  SELECT vec_id, SUM(CAST(x AS DOUBLE)) AS s,
+         sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+  GROUP BY vec_id)
+SELECT e.label, COUNT(*) AS n,
+  round(AVG(per.s), 6) AS avg_sum, round(AVG(per.nrm), 6) AS avg_norm
+FROM embeddings e JOIN per USING (vec_id)
+GROUP BY e.label ORDER BY e.label
+"""
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only media selection (never touches the blob column)."""
+    from influxdb_iox_spark.pipeline.multimodal import docs_to_media, filter_by_metadata
+
+    t = _load(spark, sf_dir, "documents")
+    media = docs_to_media(t["documents"])
+    sel = filter_by_metadata(media, min_width=300)
+    return sel.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("meta.width")).alias("total_width"),
+    )
+
+
+SQL_MULTIMODAL_META = """
+SELECT 'image' AS kind, COUNT(*) AS n, SUM(length(text)) AS total_width
+FROM documents WHERE length(text) >= 300 GROUP BY 1
+"""
+
+
+# -- non-SQL-expressible ops (rows-only driver check) -----------------------
+
+
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from influxdb_iox_spark.pipeline.dedup import near_duplicate_pairs_minhash
+
+    t = _load(spark, sf_dir, "documents")
+    out = near_duplicate_pairs_minhash(t["documents"], threshold=0.5)
+    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from influxdb_iox_spark.pipeline.dedup import simhash
+
+    t = _load(spark, sf_dir, "documents")
+    return simhash(t["documents"].select("doc_id", "text")).select("doc_id", "simhash")
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from influxdb_iox_spark.pipeline.similarity import ann_ivf_topk, train_ivf_centroids
+
+    t = _load(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    cent = train_ivf_centroids(emb, n_centroids=16, sample_rows=2000, iters=5)
+    out = ann_ivf_topk(emb, qv, cent, k=10, nprobe=4)
+    return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+# ---------------------------------------------------------------------------
+# Contract functions
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: dedup-correct scan + windowed aggregate over two simulated
+    overlapping chunks of the events table (the reference's core query
+    shape: dedup scan feeding read_window_aggregate)."""
+    sf_dir = "/root/testdata/sf0.001"
+    return q_window_agg_1h(spark, sf_dir).unionByName(
+        q_dedup_last_non_null(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            _money_sum(_dec("value"), "sum_value"),
+            F.round(F.avg("value"), 4).alias("mean_value"),
+        )
+        .withColumn("time_us", F.lit(None).cast("long"))
+        .select("event_type", "time_us", "n", "sum_value", "mean_value"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # SQL surface (DataFusion-inherited in the reference)
+        "tpch_q1_pricing_summary": q_tpch_q1,
+        "orders_by_status_priority": q_orders_by_status_priority,
+        "tpch_q3_shipping_priority": q_shipping_priority,
+        "tpch_q5_local_supplier": q_local_supplier_volume,
+        "tpch_q10_returned_revenue": q_returned_revenue,
+        "tpch_q6_revenue_change": q_revenue_change,
+        "brand_volume": q_brand_volume,
+        "tpch_q4_order_priority": q_order_priority_check,
+        "top_orders_limit": q_top_orders,
+        "union_all_counts": q_union_all,
+        # InfluxRPC menu
+        "rpc_read_filter": q_read_filter,
+        "rpc_read_group": q_read_group,
+        "rpc_read_group_two_tags": q_read_group_two_tags,
+        "rpc_window_agg_1h": q_window_agg_1h,
+        "rpc_window_agg_offset": q_window_agg_offset,
+        "rpc_selector_last_first": q_selector_last_first,
+        "rpc_field_columns": q_field_columns,
+        "rpc_tag_values": q_tag_values,
+        "dedup_last_non_null": q_dedup_last_non_null,
+        "json_props_extract": q_json_props,
+        # LLM-pipeline
+        "doc_token_stats": q_doc_token_stats,
+        "doc_quality": q_doc_quality,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_fingerprint": q_doc_fingerprint,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_label_stats": q_emb_label_stats,
+        "multimodal_meta": q_multimodal_meta,
+        # non-SQL-expressible (rows-only check)
+        "minhash_near_dup": q_minhash_near_dup,
+        "simhash_fingerprints": q_simhash,
+        "ann_ivf_topk": q_ann_ivf,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tpch_q1_pricing_summary": SQL_TPCH_Q1,
+        "orders_by_status_priority": SQL_ORDERS_BY_STATUS,
+        "tpch_q3_shipping_priority": SQL_SHIPPING_PRIORITY,
+        "tpch_q5_local_supplier": SQL_LOCAL_SUPPLIER,
+        "tpch_q10_returned_revenue": SQL_RETURNED_REVENUE,
+        "tpch_q6_revenue_change": SQL_REVENUE_CHANGE,
+        "brand_volume": SQL_BRAND_VOLUME,
+        "tpch_q4_order_priority": SQL_ORDER_PRIORITY,
+        "top_orders_limit": SQL_TOP_ORDERS,
+        "union_all_counts": SQL_UNION_ALL,
+        "rpc_read_filter": SQL_READ_FILTER,
+        "rpc_read_group": SQL_READ_GROUP,
+        "rpc_read_group_two_tags": SQL_READ_GROUP_TWO_TAGS,
+        "rpc_window_agg_1h": SQL_WINDOW_AGG_1H,
+        "rpc_window_agg_offset": SQL_WINDOW_AGG_OFFSET,
+        "rpc_selector_last_first": SQL_SELECTOR_LAST_FIRST,
+        "rpc_field_columns": SQL_FIELD_COLUMNS,
+        "rpc_tag_values": SQL_TAG_VALUES,
+        "dedup_last_non_null": SQL_DEDUP,
+        "json_props_extract": SQL_JSON_PROPS,
+        "doc_token_stats": SQL_DOC_TOKEN_STATS,
+        "doc_quality": SQL_DOC_QUALITY,
+        "doc_lang_id": _sql_lang_id(),
+        "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
+        "doc_fingerprint": SQL_DOC_FINGERPRINT,
+        "emb_cosine_topk": SQL_EMB_COSINE_TOPK,
+        "emb_label_stats": SQL_EMB_LABEL_STATS,
+        "multimodal_meta": SQL_MULTIMODAL_META,
+    }
