@@ -80,21 +80,17 @@ def shingles(col: Column, n: int = 3) -> Column:
     return F.array_distinct(F.when(k > 0, grams).otherwise(F.array()))
 
 
-def minhash_signature(shingle_col: Column, num_perm: int = 64) -> Column:
-    """MinHash signature (array<int>, length num_perm).
+_MERSENNE31 = 2**31 - 1
 
-    Permutation i = murmur3 hash seeded by i (Spark ``hash(x, seed)``);
-    signature element = min over shingles.  Empty shingle sets get
-    INT_MAX sentinels so Jaccard estimates stay defined.
-    """
-    mins = [
-        F.coalesce(
-            F.array_min(F.transform(shingle_col, lambda x, i=i: F.hash(x, F.lit(i)))),
-            F.lit(2**31 - 1),
-        )
-        for i in range(num_perm)
-    ]
-    return F.array(*mins)
+
+def _affine_params(num_perm: int, seed: int = 42) -> tuple[list[int], list[int]]:
+    """Deterministic universal-hash family params: h_i(x) = (a_i·x + b_i) mod p."""
+    import random
+
+    rng = random.Random(seed)
+    a = [rng.randrange(1, _MERSENNE31) for _ in range(num_perm)]
+    b = [rng.randrange(0, _MERSENNE31) for _ in range(num_perm)]
+    return a, b
 
 
 def minhash_signatures(
@@ -104,11 +100,41 @@ def minhash_signatures(
     shingle_n: int = 3,
     num_perm: int = 64,
 ) -> DataFrame:
-    sh = shingles(F.col(text_col), shingle_n)
-    return df.select(
-        F.col(id_col),
-        sh.alias("shingles"),
-        minhash_signature(sh, num_perm).alias("signature"),
+    """(id, shingles, signature): MinHash via explode + affine permutations.
+
+    Design for scale: higher-order array functions run INTERPRETED per
+    element in Spark, so min-over-transform signatures pay ~num_perm
+    interpreted passes per row.  Instead: explode shingles, murmur3 each
+    once (codegen'd), and take num_perm mins of affine re-hashes
+    ``(a_i·h + b_i) mod 2^31-1`` as plain aggregates — whole-stage codegen
+    end to end, map-side partial mins collapse the exploded rows back to one
+    per document BEFORE the shuffle, so the exchange carries
+    |docs|·num_perm longs regardless of document length.  Empty shingle
+    sets keep INT_MAX sentinels.
+    """
+    a, b = _affine_params(num_perm)
+    with_sh = df.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("shingles")
+    )
+    ex = with_sh.select(F.col(id_col), F.explode_outer("shingles").alias("s"))
+    base = F.when(F.col("s").isNotNull(), F.hash(F.col("s")).cast("long"))
+    mins = [
+        F.coalesce(
+            F.min(F.pmod(F.lit(a[i]) * base + F.lit(b[i]), F.lit(_MERSENNE31))),
+            F.lit(_MERSENNE31),
+        ).alias(f"__m{i}")
+        for i in range(num_perm)
+    ]
+    # collect the shingle set in the SAME aggregation — no join back, one
+    # shuffle total for signatures + shingles
+    return (
+        ex.groupBy(id_col)
+        .agg(F.collect_set("s").alias("shingles"), *mins)
+        .select(
+            F.col(id_col),
+            F.col("shingles"),
+            F.array(*[F.col(f"__m{i}") for i in range(num_perm)]).alias("signature"),
+        )
     )
 
 
@@ -147,7 +173,11 @@ def lsh_candidate_pairs(
         ).alias("bb"),
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    left = banded.alias("l")
+    # Pin the physical strategy: shuffle-hash on (band, bucket).  The planner
+    # occasionally mis-estimates this self-join (tiny inputs, exploded rows)
+    # and picks a plan that degrades badly; SHJ is optimal here at any scale
+    # and keeps each bucket's pairs on one executor.
+    left = banded.alias("l").hint("shuffle_hash")
     right = banded.alias("r")
     pairs = (
         left.join(
@@ -181,8 +211,9 @@ def jaccard_verify(
     b_sh = sh.withColumnsRenamed({id_col: "b", "shingles": "sh_b"})
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    # candidates are tiny relative to the corpus — broadcast them
     return (
-        pairs.join(a_sh, "a")
+        F.broadcast(pairs).join(a_sh, "a")
         .join(b_sh, "b")
         .select(
             "a",
@@ -204,7 +235,12 @@ def near_duplicate_pairs_minhash(
 ) -> DataFrame:
     """End-to-end MinHash near-dup: shingle → sign → band → verify."""
     sigs = minhash_signatures(df, text_col, id_col, shingle_n, num_perm)
-    sigs.cache()
+    # Materialize ONCE before branching (three consumers: banding + both
+    # sides of the verify join).  localCheckpoint instead of cache(): a
+    # cached InMemoryRelation freezes its 32-partition pre-AQE plan, so every
+    # downstream stage inherits overhead-bound micro-tasks; the checkpoint
+    # gives exact size stats and lets AQE coalesce.
+    sigs = sigs.localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
     return jaccard_verify(cands, sigs, id_col, threshold)
 

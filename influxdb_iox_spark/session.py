@@ -50,6 +50,18 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.files.maxPartitionBytes", "256m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # Whole-stage codegen emits one class per stage; wide plans (multi-agg
+        # signatures, decimal trees) exhaust the default 240m JIT code cache
+        # mid-session, silently de-optimizing EVERYTHING to interpreter speed
+        # (observed 5-10x degradation).  Reserve enough for long sessions.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseG1GC",
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseG1GC",
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
