@@ -840,6 +840,260 @@ FROM documents WHERE length(text) >= 300 GROUP BY 1
 """
 
 
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregate ratio over a broadcast join."""
+    t = _load(spark, sf_dir, "lineitem", "part")
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", "4,2"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+        F.lit(0).cast("decimal(4,2)")
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum(promo).cast("double")
+                / F.sum(disc_price).cast("double"),
+                6,
+            ).alias("promo_pct"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+SQL_PROMO_REVENUE = """
+SELECT
+  round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+      THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+      ELSE 0 END) AS DOUBLE)
+    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6) AS promo_pct,
+  COUNT(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery as a per-key aggregate join."""
+    t = _load(spark, sf_dir, "lineitem")
+    l = t["lineitem"]
+    avg_qty = l.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        l.join(avg_qty, l.l_partkey == avg_qty.p_key)
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            _money_sum(_dec("l_extendedprice"), "total_price"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+SQL_SMALL_QUANTITY = """
+SELECT
+  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_price,
+  COUNT(*) AS n
+FROM lineitem l
+WHERE l_quantity < (
+  SELECT 0.5 * AVG(l_quantity) FROM lineitem WHERE l_partkey = l.l_partkey)
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers that placed no orders."""
+    t = _load(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_mktsegment, COUNT(*) AS n FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (beyond the reference surface; free in Spark)."""
+    t = _load(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+SQL_ROLLUP_ORDERS = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT + EXCEPT set ops on user activity."""
+    t = _load(spark, sf_dir, "events")
+    clickers = t["events"].filter(F.col("event_type") == "click").select("user_id")
+    buyers = t["events"].filter(F.col("event_type") == "purchase").select("user_id")
+    errors = t["events"].filter(F.col("event_type") == "error").select("user_id")
+    both = clickers.intersect(buyers)
+    never_err = both.exceptAll(errors.distinct())
+    return never_err.agg(F.count("*").alias("n_users"))
+
+
+SQL_INTERSECT_EXCEPT = """
+SELECT COUNT(*) AS n_users FROM (
+  (SELECT user_id FROM events WHERE event_type = 'click'
+   INTERSECT
+   SELECT user_id FROM events WHERE event_type = 'purchase')
+  EXCEPT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+)
+"""
+
+
+def q_regex_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-match predicate (the reference's regex UDF,
+    query/src/func/regex.rs:14-73 — built-in rlike here)."""
+    t = _load(spark, sf_dir, "events")
+    return (
+        t["events"]
+        .filter(F.col("event_type").rlike("^(cl|vi)"))
+        .filter(~F.col("event_type").rlike("ew$"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+SQL_REGEX_PREDICATE = """
+SELECT event_type, COUNT(*) AS n FROM events
+WHERE regexp_matches(event_type, '^(cl|vi)')
+  AND NOT regexp_matches(event_type, 'ew$')
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_month_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month windows (Duration::Variable months,
+    query/src/group_by.rs:70-76) — stop boundary as time."""
+    from influxdb_iox_spark.functions.time import month_window_bounds
+
+    t = _load(spark, sf_dir, "events")
+    ev = t["events"].withColumn("__bucket_ns", month_window_bounds("ts", 1))
+    return (
+        ev.groupBy(F.expr("__bucket_ns div 1000").alias("time_us"))
+        .agg(
+            F.count("*").alias("n"),
+            _money_sum(_dec("value"), "sum_value"),
+        )
+        .orderBy("time_us")
+    )
+
+
+SQL_MONTH_WINDOW = """
+SELECT epoch_us(date_trunc('month', ts) + INTERVAL 1 MONTH) AS time_us,
+  COUNT(*) AS n,
+  round(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_value
+FROM events GROUP BY 1 ORDER BY time_us
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per series (beyond the reference:
+    row_group.rs:198-201 lists Percentile as TODO)."""
+    t = _load(spark, sf_dir, "events")
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_PERCENTILES = """
+SELECT event_type,
+  round(quantile_cont(value, 0.5), 4) AS p50,
+  round(quantile_cont(value, 0.95), 4) AS p95,
+  COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk schema merge (SchemaMerger, internal_types/src/schema/merge.rs:83;
+    test shape query_tests/src/sql.rs:134-145): two chunks with different
+    column subsets union by name, missing columns null."""
+    from influxdb_iox_spark.schema import merge_chunk_frames
+
+    t = _load(spark, sf_dir, "events")
+    c0 = t["events"].filter(F.col("event_id") % 2 == 0).select(
+        "event_type", "value", F.expr("ts div 1000").alias("time_us")
+    )
+    c1 = t["events"].filter(F.col("event_id") % 2 == 1).select(
+        "event_type", "user_id", F.expr("ts div 1000").alias("time_us")
+    )
+    merged = merge_chunk_frames([c0, c1])
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            F.count("value").alias("n_value"),
+            F.count("user_id").alias("n_user"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_SCHEMA_MERGE = """
+WITH merged AS (
+  SELECT event_type, value, NULL::BIGINT AS user_id, epoch_us(ts) AS time_us
+  FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT event_type, NULL::DOUBLE AS value, user_id, epoch_us(ts) AS time_us
+  FROM events WHERE event_id % 2 = 1)
+SELECT event_type, COUNT(value) AS n_value, COUNT(user_id) AS n_user, COUNT(*) AS n
+FROM merged GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window function: top-3 orders by price per priority."""
+    from pyspark.sql import Window
+
+    t = _load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        t["orders"]
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rk")
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders)
+WHERE rk <= 3 ORDER BY o_orderpriority, rk
+"""
+
+
 # -- non-SQL-expressible ops (rows-only driver check) -----------------------
 
 
@@ -905,6 +1159,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4_order_priority": q_order_priority_check,
         "top_orders_limit": q_top_orders,
         "union_all_counts": q_union_all,
+        "tpch_q14_promo_revenue": q_promo_revenue,
+        "tpch_q17_small_quantity": q_small_quantity_revenue,
+        "customers_without_orders": q_customers_without_orders,
+        "rollup_orders": q_rollup_orders,
+        "intersect_except_users": q_intersect_except,
+        "regex_predicate": q_regex_predicate,
+        "topk_per_group": q_topk_per_group,
         # InfluxRPC menu
         "rpc_read_filter": q_read_filter,
         "rpc_read_group": q_read_group,
@@ -914,8 +1175,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rpc_selector_last_first": q_selector_last_first,
         "rpc_field_columns": q_field_columns,
         "rpc_tag_values": q_tag_values,
+        "rpc_month_window": q_month_window,
         "dedup_last_non_null": q_dedup_last_non_null,
         "json_props_extract": q_json_props,
+        "percentiles_by_type": q_percentiles,
+        "schema_merge_union": q_schema_merge,
         # LLM-pipeline
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
@@ -944,6 +1208,16 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q4_order_priority": SQL_ORDER_PRIORITY,
         "top_orders_limit": SQL_TOP_ORDERS,
         "union_all_counts": SQL_UNION_ALL,
+        "tpch_q14_promo_revenue": SQL_PROMO_REVENUE,
+        "tpch_q17_small_quantity": SQL_SMALL_QUANTITY,
+        "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+        "rollup_orders": SQL_ROLLUP_ORDERS,
+        "intersect_except_users": SQL_INTERSECT_EXCEPT,
+        "regex_predicate": SQL_REGEX_PREDICATE,
+        "topk_per_group": SQL_TOPK_PER_GROUP,
+        "rpc_month_window": SQL_MONTH_WINDOW,
+        "percentiles_by_type": SQL_PERCENTILES,
+        "schema_merge_union": SQL_SCHEMA_MERGE,
         "rpc_read_filter": SQL_READ_FILTER,
         "rpc_read_group": SQL_READ_GROUP,
         "rpc_read_group_two_tags": SQL_READ_GROUP_TWO_TAGS,
