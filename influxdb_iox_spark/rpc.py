@@ -1,0 +1,84 @@
+"""InfluxRPC facade — the 7 storage-gRPC operations as one API class.
+
+The Spark twin of the reference's storage service + planner pairing
+(/root/reference/src/influxdb_ioxd/rpc/storage/service.rs:218-771 routing into
+query/src/frontend/influxrpc.rs).  Each method takes a Predicate and returns a
+DataFrame (or driver-side list for metadata ops), matching the reference's
+plan-then-execute split: the method builds the declarative plan, Spark executes
+it when the caller acts.
+
+Metadata ops consult the store's tag catalog first (the metadata-only fast
+path of influxrpc.rs:244-293,353-421 backed by chunk metadata; here a
+per-chunk tag-values manifest maintained at write time) and fall back to
+scans only when the predicate makes metadata insufficient.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from influxdb_iox_spark.database import Database
+from influxdb_iox_spark.operators import metadata as md
+from influxdb_iox_spark.operators import series as se
+from influxdb_iox_spark.plans.predicate import Predicate
+
+
+@dataclass
+class InfluxRpc:
+    db: Database
+
+    # -- metadata menu ----------------------------------------------------
+    def table_names(self, predicate: Predicate | None = None) -> list[str]:
+        return md.table_names(self.db, predicate)
+
+    def tag_keys(self, table: str, predicate: Predicate | None = None) -> list[str]:
+        return md.tag_keys(self.db, table, predicate)
+
+    def tag_values(
+        self, table: str, tag: str, predicate: Predicate | None = None
+    ) -> list[str]:
+        # metadata-only fast path: unconstrained predicate answered from the
+        # tag catalog without any Spark job
+        if predicate is None or (predicate.range is None and not predicate.exprs):
+            vals = self.db.store.catalog_tag_values(table, tag)
+            if vals is not None:
+                return vals
+        return md.tag_values(self.db, table, tag, predicate)
+
+    def field_columns(
+        self, table: str, predicate: Predicate | None = None
+    ) -> list[dict]:
+        return md.field_columns(self.db, table, predicate)
+
+    # -- data menu --------------------------------------------------------
+    def read_filter(self, table: str, predicate: Predicate | None = None) -> DataFrame:
+        return se.read_filter(self.db, table, predicate)
+
+    def read_group(
+        self,
+        table: str,
+        agg: se.Aggregate,
+        group_columns: list[str] | None = None,
+        predicate: Predicate | None = None,
+    ) -> DataFrame:
+        return se.read_group(self.db, table, agg, group_columns, predicate)
+
+    def read_window_aggregate(
+        self,
+        table: str,
+        agg: se.Aggregate,
+        every_ns: int,
+        offset_ns: int = 0,
+        predicate: Predicate | None = None,
+    ) -> DataFrame:
+        return se.read_window_aggregate(
+            self.db, table, agg, every_ns, offset_ns, predicate
+        )
+
+    # -- series framing (exec/seriesset.rs) -------------------------------
+    def read_filter_frames(self, table: str, predicate: Predicate | None = None):
+        df = self.read_filter(table, predicate)
+        tags = self.db.table_schema(table).tag_columns
+        return se.frame_series(df, table, tags)

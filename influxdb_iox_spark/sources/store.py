@@ -56,6 +56,10 @@ class ChunkMeta:
     stats: dict[str, list] = field(default_factory=dict)  # col -> [min, max]
     sorted_by: list[str] = field(default_factory=list)
     created_at: float = 0.0
+    # tag catalog: tag -> distinct values (None = overflowed the cap, must
+    # scan).  Backs the metadata-only fast path for tag_values/tag_keys
+    # (reference: QueryChunk::column_values, query/src/lib.rs:100-115).
+    tag_values: dict[str, list | None] = field(default_factory=dict)
 
     def column_range(self, col: str) -> tuple | None:
         r = self.stats.get(col)
@@ -131,6 +135,7 @@ class TableStore:
         df.write.mode("errorifexists").parquet(path)
 
         row_count, stats = self._stats_from_footers(path, pk)
+        tag_catalog = self._collect_tag_catalog(df.sparkSession, path, schema)
         meta = ChunkMeta(
             chunk_id=chunk_id,
             path=rel,
@@ -140,11 +145,50 @@ class TableStore:
             stats=stats,
             sorted_by=pk,
             created_at=_time.time(),
+            tag_values=tag_catalog,
         )
         entries = self.manifest(table)
         entries.append(meta)
         self._save_manifest(table, entries)
         return meta
+
+    TAG_CATALOG_CAP = 1000
+
+    def _collect_tag_catalog(
+        self, spark: SparkSession, path: str, schema: IoxSchema
+    ) -> dict[str, list | None]:
+        """Distinct tag values per tag for the just-written chunk.
+
+        One column-pruned Spark job over the sorted chunk (tags are
+        dictionary-encoded in parquet, so this reads dictionaries, not data).
+        High-cardinality tags overflow the cap and are recorded as None →
+        metadata path falls back to a scan, exactly like the reference
+        returning 'unknown' from metadata-only evaluation.
+        """
+        chunk_df = spark.read.parquet(path)
+        tags = [t for t in schema.tag_columns if t in chunk_df.columns]
+        if not tags:
+            return {}
+        row = chunk_df.agg(*[F.collect_set(t).alias(t) for t in tags]).first()
+        out: dict[str, list | None] = {}
+        for t in tags:
+            vals = row[t]
+            out[t] = sorted(vals) if len(vals) <= self.TAG_CATALOG_CAP else None
+        return out
+
+    def catalog_tag_values(self, table: str, tag: str) -> list[str] | None:
+        """Union of per-chunk tag catalogs; None if any chunk overflowed
+        (caller must fall back to a scan)."""
+        values: set[str] = set()
+        chunks = self.manifest(table)
+        if not chunks:
+            return []
+        for c in chunks:
+            v = c.tag_values.get(tag)
+            if v is None:
+                return None
+            values.update(v)
+        return sorted(values)
 
     @staticmethod
     def _stats_from_footers(path: str, columns: list[str]) -> tuple[int, dict]:

@@ -1,0 +1,115 @@
+"""Lifecycle policy: when to compact, persist-split, and evict.
+
+The Spark twin of the reference's background policy
+(/root/reference/lifecycle/src/policy.rs — maybe_compact_chunks :187,
+maybe_persist_chunks :291, check_for_work :448) plus the late-arrival
+bookkeeping of PersistenceWindows
+(persistence_windows/src/persistence_windows.rs:24-74).
+
+All decisions are driver-side manifest arithmetic (row counts, chunk
+counts, time ranges) — no data is read to decide; Spark jobs run only when
+a decision fires.  ``check_for_work`` is idempotent and safe to run on any
+schedule (cron, foreachBatch hook, loop).
+"""
+
+from __future__ import annotations
+
+import time as _time
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from influxdb_iox_spark.operators.overlap import group_potential_duplicates
+from influxdb_iox_spark.plans.reorg import compact_chunks, persist_split
+from influxdb_iox_spark.schema import IoxSchema
+from influxdb_iox_spark.sources.store import TableStore
+
+NS_PER_SECOND = 1_000_000_000
+
+
+@dataclass
+class LifecycleRules:
+    """Thresholds (shape mirrors data_types database_rules lifecycle rules)."""
+
+    # compact a group when it has at least this many overlapping chunks
+    compact_min_chunks: int = 2
+    # or when total rows across a group exceed this (merge small chunks)
+    compact_max_group_rows: int = 10_000_000
+    # persist-split rows older than (max_seen_time - late_arrive_window)
+    late_arrive_window_seconds: int = 300
+    # do not persist a chunk younger than this (let writes settle)
+    min_age_seconds: float = 0.0
+
+
+@dataclass
+class LifecyclePolicy:
+    spark: SparkSession
+    store: TableStore
+    schemas: dict[str, IoxSchema]
+    rules: LifecycleRules = field(default_factory=LifecycleRules)
+
+    def max_seen_time_ns(self, table: str) -> int | None:
+        """PersistenceWindows equivalent: newest timestamp in the manifest."""
+        schema = self.schemas[table]
+        highs = [
+            int(c.column_range(schema.time_column)[1])
+            for c in self.store.manifest(table)
+            if c.column_range(schema.time_column)
+            and c.column_range(schema.time_column)[1] is not None
+        ]
+        return max(highs) if highs else None
+
+    def maybe_compact(self, table: str) -> list:
+        """Compact every overlapping group meeting the thresholds
+        (policy.rs:187 maybe_compact_chunks)."""
+        schema = self.schemas[table]
+        chunks = self.store.manifest(table)
+        done = []
+        for g in group_potential_duplicates(chunks, schema.primary_key):
+            if len(g) < self.rules.compact_min_chunks:
+                continue
+            members = [chunks[i] for i in g]
+            if sum(c.row_count for c in members) > self.rules.compact_max_group_rows:
+                continue
+            done.append(
+                compact_chunks(
+                    self.spark, self.store, table, schema,
+                    [m.chunk_id for m in members],
+                )
+            )
+        return done
+
+    def maybe_persist(self, table: str, now_ns: int | None = None) -> tuple | None:
+        """Split-persist rows safely outside the late-arrival window
+        (policy.rs:291 maybe_persist_chunks; split rule reorg.rs:146)."""
+        schema = self.schemas[table]
+        newest = self.max_seen_time_ns(table)
+        if newest is None:
+            return None
+        split_time = newest - self.rules.late_arrive_window_seconds * NS_PER_SECOND
+        eligible = [
+            c
+            for c in self.store.manifest(table)
+            if _time.time() - c.created_at >= self.rules.min_age_seconds
+            and c.column_range(schema.time_column)
+            and c.column_range(schema.time_column)[0] is not None
+            and int(c.column_range(schema.time_column)[0]) <= split_time
+        ]
+        if not eligible:
+            return None
+        return persist_split(
+            self.spark, self.store, table, schema, split_time,
+            [c.chunk_id for c in eligible],
+        )
+
+    def check_for_work(self) -> dict[str, dict]:
+        """One policy sweep over every table (policy.rs:448)."""
+        report: dict[str, dict] = {}
+        for table in list(self.schemas):
+            compacted = self.maybe_compact(table)
+            persisted = self.maybe_persist(table)
+            report[table] = {
+                "compacted": [c.chunk_id for c in compacted],
+                "persisted": persisted is not None,
+            }
+        return report

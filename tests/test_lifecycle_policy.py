@@ -1,0 +1,116 @@
+"""Lifecycle policy + tag catalog + RPC facade + streaming windows."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from influxdb_iox_spark.database import Database
+from influxdb_iox_spark.rpc import InfluxRpc
+from influxdb_iox_spark.schema import InfluxColumnType, IoxSchema
+from influxdb_iox_spark.sources.store import TableStore
+from influxdb_iox_spark.streaming.lifecycle import LifecyclePolicy, LifecycleRules
+from influxdb_iox_spark.streaming.windows import windowed_aggregate
+
+CPU = IoxSchema.build(["region"], {"user": InfluxColumnType.FIELD_FLOAT})
+S = 1_000_000_000
+
+
+def build(spark, tmp_path):
+    store = TableStore(str(tmp_path))
+    c0 = spark.createDataFrame(
+        [("west", 1.0, 100 * S), ("east", 2.0, 200 * S)],
+        "region string, user double, time long",
+    )
+    c1 = spark.createDataFrame(
+        [("west", 3.0, 100 * S), ("west", 4.0, 900 * S)],
+        "region string, user double, time long",
+    )
+    store.write_chunk(c0, "cpu", CPU)
+    store.write_chunk(c1, "cpu", CPU)
+    db = Database("db", store, spark)
+    db.register_table("cpu", CPU)
+    return store, db
+
+
+def test_tag_catalog_fast_path(spark, tmp_path):
+    store, db = build(spark, tmp_path)
+    assert store.catalog_tag_values("cpu", "region") == ["east", "west"]
+    rpc = InfluxRpc(db)
+    # metadata-only path (no Spark job needed) must agree with scan path
+    assert rpc.tag_values("cpu", "region") == ["east", "west"]
+
+
+def test_policy_compact_then_persist(spark, tmp_path):
+    store, db = build(spark, tmp_path)
+    policy = LifecyclePolicy(
+        spark, store, {"cpu": CPU},
+        LifecycleRules(late_arrive_window_seconds=300),
+    )
+    assert policy.max_seen_time_ns("cpu") == 900 * S
+    before = sorted(
+        tuple(r) for r in db.table("cpu").select("region", "user", "time").collect()
+    )
+    report = policy.check_for_work()
+    assert report["cpu"]["compacted"]  # the two overlapping chunks merged
+    assert report["cpu"]["persisted"]  # split at 900s - 300s = 600s
+    after_chunks = store.manifest("cpu")
+    # 3 unique rows: cold chunk (<= 600s: west@100, east@200) + hot (west@900)
+    assert sorted(c.row_count for c in after_chunks) == [1, 2]
+    after = sorted(
+        tuple(r) for r in db.table("cpu").select("region", "user", "time").collect()
+    )
+    assert after == before  # scenario-dual equality across lifecycle moves
+
+
+def test_rpc_facade_data_ops(spark, tmp_path):
+    from influxdb_iox_spark.operators.series import Aggregate
+
+    store, db = build(spark, tmp_path)
+    rpc = InfluxRpc(db)
+    out = {r.region: r.user for r in rpc.read_group("cpu", Aggregate.SUM).collect()}
+    # west@100 deduped to chunk 1's 3.0 (last chunk wins) + west@900 = 7.0
+    assert out == {"east": 2.0, "west": 7.0}
+    frames = list(rpc.read_filter_frames("cpu"))
+    assert [f.tags["region"] for f in frames] == ["east", "west"]
+
+
+def test_windowed_aggregate_batch(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0, 10 * S), ("a", 3.0, 50 * S), ("a", 5.0, 70 * S)],
+        "k string, v double, time long",
+    )
+    out = windowed_aggregate(
+        df, ["k"], [F.sum("v").alias("sum_v")], every_seconds=60
+    ).orderBy("time")
+    rows = [(r.k, r.sum_v, r.time) for r in out.collect()]
+    assert rows == [("a", 4.0, 60 * 1_000_000), ("a", 5.0, 120 * 1_000_000)]
+
+
+def test_windowed_aggregate_streaming(spark, tmp_path):
+    """Drive the same op as a real stream (file source, availableNow)."""
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    df = spark.createDataFrame(
+        [("a", 1.0, 10 * S), ("a", 3.0, 50 * S), ("b", 5.0, 70 * S)],
+        "k string, v double, time long",
+    )
+    df.write.parquet(str(src / "batch0"))
+    stream = spark.readStream.schema("k string, v double, time long").parquet(
+        str(src / "*")
+    )
+    agg = windowed_aggregate(
+        stream, ["k"], [F.sum("v").alias("sum_v")], every_seconds=60,
+        late_arrive_window_seconds=60,
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r.k, r.time): r.sum_v for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    assert rows == {("a", 60 * 1_000_000): 4.0, ("b", 120 * 1_000_000): 5.0}

@@ -1,0 +1,89 @@
+"""EXPLAIN-verified pushdown goldens.
+
+Mirrors the reference's golden-file EXPLAIN tests
+(query_tests/cases/in/pushdown.sql — predicate pushdown verified against the
+physical plan) for the Spark engine: predicates and projections must reach
+the parquet scan, broadcast joins must be chosen for small dims, and the
+dedup aggregate must be a single exchange.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+
+def formatted(df) -> str:
+    jmode = df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def plan_of(spark, name: str) -> str:
+    return formatted(E.queries()[name](spark, SF))
+
+
+def scan_sections(plan: str) -> list[str]:
+    """Each '(n) Scan parquet' detail block of a formatted explain."""
+    return re.findall(r"\(\d+\) Scan parquet.*?(?=\n\(\d+\)|\Z)", plan, re.S)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "rpc_read_filter")
+    scans = scan_sections(plan)
+    assert any("EqualTo(event_type,click)" in s for s in scans)
+    assert any("GreaterThan(value,100.0)" in s for s in scans)
+    assert any("GreaterThanOrEqual(ts," in s for s in scans)
+
+
+def test_date_filter_pushdown_tpch(spark):
+    plan = plan_of(spark, "tpch_q1_pricing_summary")
+    assert any("LessThan(l_shipdate" in s for s in scan_sections(plan))
+
+
+def test_column_pruning(spark):
+    # Q1 touches 7 lineitem columns; the scan must not read the rest
+    plan = plan_of(spark, "tpch_q1_pricing_summary")
+    scan = scan_sections(plan)[0]
+    m = re.search(r"ReadSchema: struct<([^>]*)>", scan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert "l_orderkey" not in cols and "l_partkey" not in cols
+    assert {"l_quantity", "l_extendedprice", "l_discount", "l_returnflag"} <= cols
+
+
+def test_broadcast_join_for_small_dims(spark):
+    plan = plan_of(spark, "tpch_q5_local_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_single_exchange_no_sort(spark):
+    plan = plan_of(spark, "dedup_last_non_null")
+    # one hash exchange for the PK aggregate; no global sort operator
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning" in plan
+    assert not re.search(r"\(\d+\) Sort\b", plan)
+    assert "max_by" in plan
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    plan = plan_of(spark, "top_orders_limit")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_metadata_media_scan_prunes_blob(spark):
+    from influxdb_iox_spark.pipeline.multimodal import docs_to_media, filter_by_metadata
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs_to_media(docs).write.parquet(f"{d}/media")
+        df = spark.read.parquet(f"{d}/media")
+        plan = formatted(filter_by_metadata(df, min_width=100))
+        scan = scan_sections(plan)[0]
+        assert "blob" not in scan.split("ReadSchema:")[-1]
