@@ -1094,6 +1094,48 @@ WHERE rk <= 3 ORDER BY o_orderpriority, rk
 """
 
 
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user — Spark's
+    session_window (beyond the reference surface; its streaming twin is the
+    same expression under readStream)."""
+    t = _load(spark, sf_dir, "events")
+    ev = t["events"].withColumn(
+        "ts_us", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    sess = ev.groupBy(
+        "user_id", F.session_window("ts_us", "30 minutes").alias("__w")
+    ).agg(F.count("*").alias("n_events"))
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("n_events").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_SESSIONIZATION = """
+WITH ordered AS (
+  SELECT user_id, ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sessions AS (
+  SELECT user_id,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered),
+per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events
+  FROM sessions GROUP BY user_id, session_id)
+SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+       MAX(n_events) AS max_session_events
+FROM per_session GROUP BY user_id ORDER BY user_id
+"""
+
+
 # -- non-SQL-expressible ops (rows-only driver check) -----------------------
 
 
@@ -1180,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_extract": q_json_props,
         "percentiles_by_type": q_percentiles,
         "schema_merge_union": q_schema_merge,
+        "sessionization": q_sessionization,
         # LLM-pipeline
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
@@ -1218,6 +1261,7 @@ def oracle_sql() -> dict[str, str]:
         "rpc_month_window": SQL_MONTH_WINDOW,
         "percentiles_by_type": SQL_PERCENTILES,
         "schema_merge_union": SQL_SCHEMA_MERGE,
+        "sessionization": SQL_SESSIONIZATION,
         "rpc_read_filter": SQL_READ_FILTER,
         "rpc_read_group": SQL_READ_GROUP,
         "rpc_read_group_two_tags": SQL_READ_GROUP_TWO_TAGS,
