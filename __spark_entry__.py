@@ -20,7 +20,15 @@ Determinism strategy for value-hash matching:
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# The driver may import this module by file path; make sure the package next
+# to it is importable regardless of the driver's sys.path.
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 

@@ -13,7 +13,22 @@ lifecycle/src/policy.rs:187,291) is a policy loop over the manifest.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+
+@contextmanager
+def _reorg_pool(spark: SparkSession):
+    """Run reorg jobs in their own scheduler pool so background compaction
+    never starves interactive queries — the Spark twin of the reference's
+    separate reorg executor (query/src/exec/task.rs DedicatedExecutor;
+    weight pools via spark.scheduler.mode=FAIR)."""
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", "reorg")
+    try:
+        yield
+    finally:
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
 
 from influxdb_iox_spark.database import Database
 from influxdb_iox_spark.operators.dedup import DEDUP_ORDER_COLUMN, deduplicate
@@ -42,22 +57,25 @@ def compact_chunks(
     if not chunks:
         raise ValueError(f"no chunks to compact for {table!r}")
 
-    ordered = [
-        store.read_chunk(spark, m).withColumn(DEDUP_ORDER_COLUMN, F.lit(m.chunk_id))
-        for m in sorted(chunks, key=lambda m: m.chunk_id)
-    ]
-    df = deduplicate(
-        merge_chunk_frames(ordered),
-        schema.tag_columns,
-        schema.field_columns,
-        schema.time_column,
-    )
-    partition_key = chunks[0].partition_key if len({c.partition_key for c in chunks}) == 1 else ""
-    meta = store.write_chunk(
-        df, table, schema, partition_key=partition_key, dedup_batch=False
-    )
-    store.drop_chunks(table, [c.chunk_id for c in chunks])
-    return meta
+    with _reorg_pool(spark):
+        ordered = [
+            store.read_chunk(spark, m).withColumn(DEDUP_ORDER_COLUMN, F.lit(m.chunk_id))
+            for m in sorted(chunks, key=lambda m: m.chunk_id)
+        ]
+        df = deduplicate(
+            merge_chunk_frames(ordered),
+            schema.tag_columns,
+            schema.field_columns,
+            schema.time_column,
+        )
+        partition_key = (
+            chunks[0].partition_key if len({c.partition_key for c in chunks}) == 1 else ""
+        )
+        meta = store.write_chunk(
+            df, table, schema, partition_key=partition_key, dedup_batch=False
+        )
+        store.drop_chunks(table, [c.chunk_id for c in chunks])
+        return meta
 
 
 def compact_overlapping(
@@ -104,24 +122,27 @@ def persist_split(
         chunks = [c for c in chunks if c.chunk_id in chunk_ids]
     if not chunks:
         return None, None
-    ordered = [
-        store.read_chunk(spark, m).withColumn(DEDUP_ORDER_COLUMN, F.lit(m.chunk_id))
-        for m in sorted(chunks, key=lambda m: m.chunk_id)
-    ]
-    df = deduplicate(
-        merge_chunk_frames(ordered),
-        schema.tag_columns,
-        schema.field_columns,
-        schema.time_column,
-    ).cache()
-    try:
-        cold, hot = split_frame(df, F.col(schema.time_column) <= F.lit(split_time_ns))
-        cold_meta = hot_meta = None
-        if cold.limit(1).count():
-            cold_meta = store.write_chunk(cold, table, schema, dedup_batch=False)
-        if hot.limit(1).count():
-            hot_meta = store.write_chunk(hot, table, schema, dedup_batch=False)
-        store.drop_chunks(table, [c.chunk_id for c in chunks])
-        return cold_meta, hot_meta
-    finally:
-        df.unpersist()
+    with _reorg_pool(spark):
+        ordered = [
+            store.read_chunk(spark, m).withColumn(DEDUP_ORDER_COLUMN, F.lit(m.chunk_id))
+            for m in sorted(chunks, key=lambda m: m.chunk_id)
+        ]
+        df = deduplicate(
+            merge_chunk_frames(ordered),
+            schema.tag_columns,
+            schema.field_columns,
+            schema.time_column,
+        ).cache()
+        try:
+            cold, hot = split_frame(
+                df, F.col(schema.time_column) <= F.lit(split_time_ns)
+            )
+            cold_meta = hot_meta = None
+            if cold.limit(1).count():
+                cold_meta = store.write_chunk(cold, table, schema, dedup_batch=False)
+            if hot.limit(1).count():
+                hot_meta = store.write_chunk(hot, table, schema, dedup_batch=False)
+            store.drop_chunks(table, [c.chunk_id for c in chunks])
+            return cold_meta, hot_meta
+        finally:
+            df.unpersist()
