@@ -158,6 +158,38 @@ def parse_line(line: str) -> ParsedLine:
     return ParsedLine(measurement, tags, fields, ts)
 
 
+def _escape(s: str, escapable: dict[str, str]) -> str:
+    out = []
+    for c in s:
+        if c in escapable or c == "\\":
+            out.append("\\")
+        out.append(c)
+    return "".join(out)
+
+
+def format_line(pl: ParsedLine) -> str:
+    """Inverse of ``parse_line`` — serialize back to line protocol."""
+    parts = [_escape(pl.measurement, _ESCAPABLE_MEASUREMENT)]
+    for k, v in pl.tags.items():
+        parts.append(f",{_escape(k, _ESCAPABLE_KEY)}={_escape(v, _ESCAPABLE_KEY)}")
+    fields = []
+    for k, v in pl.fields.items():
+        key = _escape(k, _ESCAPABLE_KEY)
+        if isinstance(v, bool):
+            fields.append(f"{key}={'true' if v else 'false'}")
+        elif isinstance(v, int):
+            fields.append(f"{key}={v}i")
+        elif isinstance(v, float):
+            fields.append(f"{key}={v!r}")
+        else:
+            esc = v.replace("\\", "\\\\").replace('"', '\\"')
+            fields.append(f'{key}="{esc}"')
+    parts.append(" " + ",".join(fields))
+    if pl.timestamp is not None:
+        parts.append(f" {pl.timestamp}")
+    return "".join(parts)
+
+
 def parse_lines(text: str | Iterable[str]) -> Iterator[ParsedLine]:
     lines = text.splitlines() if isinstance(text, str) else text
     for ln in lines:
