@@ -64,6 +64,30 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # ingest throughput: format the events table as line protocol in-plan,
+    # then distributed-parse it back (the full ingest hot path, no disk)
+    from pyspark.sql import functions as F
+
+    from influxdb_iox_spark.schema import InfluxColumnType, IoxSchema
+    from influxdb_iox_spark.sources.line_protocol import distributed_parse
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lines_df = events.select(
+        F.concat(
+            F.lit("events,event_type="), F.col("event_type"),
+            F.lit(",user_id=u"), F.col("user_id"),
+            F.lit(" value="), F.col("value"),
+            F.lit(" "), F.col("ts"),
+        ).alias("value")
+    )
+    schema = IoxSchema.build(
+        ["event_type", "user_id"], {"value": InfluxColumnType.FIELD_FLOAT}
+    )
+    t0 = time.perf_counter()
+    n = distributed_parse(lines_df, schema, "events", 0).count()
+    timings["ingest_line_protocol"] = round(time.perf_counter() - t0, 3)
+    assert n == events.count()
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(

@@ -138,6 +138,10 @@ def parse_line(line: str) -> ParsedLine:
             fields[k] = _parse_field_value(tok)
         if i < len(s) and s[i] == ",":
             i += 1
+            # tolerate a trailing comma before the timestamp ("f=1, 250") —
+            # accepted by the reference parser (fixture scenarios.rs:476)
+            if i >= len(s) or s[i] == " ":
+                break
             continue
         break
 
