@@ -1,0 +1,160 @@
+"""RPC predicate-tree → engine Predicate translation.
+
+Port of the storage-gRPC expression layer
+(/root/reference/src/influxdb_ioxd/rpc/storage/expr.rs): the wire predicate
+is a node tree of comparisons / logical ops / arithmetic over tag refs,
+field refs and literals.  Special patterns are lifted into structured
+Predicate parts exactly like the reference (expr.rs:150-230 AddRpcNode):
+
+- ``_measurement`` pseudo-tag (wire tag key ``\\x00``) comparisons/IN-lists
+  become the table-name list
+- ``_field`` pseudo-tag (wire key ``\\xff``) comparisons become the field
+  projection
+- AND trees are flattened into conjuncts (flatten_ands, expr.rs:227-240)
+- everything else converts to a ``pyspark.sql.Column`` expression
+
+Supported operators mirror the reference's support matrix
+(query/src/frontend/influxrpc.rs:1207-1253): Eq/NotEq/Lt/LtEq/Gt/GtEq,
+And/Or, +,-,*,/, regex match / not-match.  Like and Modulo are rejected.
+
+Node format (dict-encoded tree, the JSON shape of the proto):
+    {"node_type": "comparison", "op": "eq", "children": [lhs, rhs]}
+    {"node_type": "logical", "op": "and"|"or", "children": [...]}
+    {"node_type": "arithmetic", "op": "+", "children": [...]}
+    {"node_type": "tag_ref", "value": "region"}       # or "\\x00" / "\\xff"
+    {"node_type": "field_ref", "value": "usage"}
+    {"node_type": "literal", "value": 3.5}
+    {"node_type": "regex", "value": "^we.*"}          # rhs of (not_)regex ops
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from influxdb_iox_spark.plans.predicate import Predicate
+
+MEASUREMENT_TAG_KEYS = ("\x00", "_measurement")
+FIELD_TAG_KEYS = ("\xff", "_field")
+
+_COMPARISONS = {
+    "eq": lambda a, b: a == b,
+    "not_eq": lambda a, b: a != b,
+    "lt": lambda a, b: a < b,
+    "lte": lambda a, b: a <= b,
+    "gt": lambda a, b: a > b,
+    "gte": lambda a, b: a >= b,
+}
+_ARITHMETIC = {
+    "+": lambda a, b: a + b,
+    "-": lambda a, b: a - b,
+    "*": lambda a, b: a * b,
+    "/": lambda a, b: a / b,
+}
+
+
+class RpcExprError(ValueError):
+    pass
+
+
+def _is_tag_ref(node: dict, keys: tuple[str, ...]) -> bool:
+    return node.get("node_type") == "tag_ref" and node.get("value") in keys
+
+
+def _flatten_ands(node: dict, dst: list[dict]) -> list[dict]:
+    if node.get("node_type") == "logical" and node.get("op") == "and":
+        for child in node.get("children", []):
+            _flatten_ands(child, dst)
+    else:
+        dst.append(node)
+    return dst
+
+
+def _in_list(node: dict, keys: tuple[str, ...]) -> list[str] | None:
+    """Detect ``pseudo_tag = v`` / OR-chain of equalities → value list
+    (InList::try_from, expr.rs:243-300)."""
+    nt, op = node.get("node_type"), node.get("op")
+    if nt == "comparison" and op == "eq":
+        lhs, rhs = node["children"]
+        if _is_tag_ref(lhs, keys) and rhs.get("node_type") == "literal":
+            return [str(rhs["value"])]
+        return None
+    if nt == "logical" and op == "or":
+        out: list[str] = []
+        for child in node["children"]:
+            sub = _in_list(child, keys)
+            if sub is None:
+                return None
+            out.extend(sub)
+        return out
+    return None
+
+
+def _to_column(node: dict) -> Column:
+    nt = node.get("node_type")
+    if nt == "tag_ref":
+        if node["value"] in MEASUREMENT_TAG_KEYS + FIELD_TAG_KEYS:
+            raise RpcExprError(
+                f"pseudo-tag {node['value']!r} only supported in equality/IN position"
+            )
+        return F.col(node["value"])
+    if nt == "field_ref":
+        return F.col(node["value"])
+    if nt == "literal":
+        return F.lit(node["value"])
+    if nt == "comparison":
+        op = node["op"]
+        lhs, rhs = node["children"]
+        if op in ("regex_match", "not_regex_match"):
+            if rhs.get("node_type") not in ("regex", "literal"):
+                raise RpcExprError("regex comparison needs a regex rhs")
+            matched = _to_column(lhs).rlike(str(rhs["value"]))
+            return matched if op == "regex_match" else ~matched
+        if op in ("like", "modulo", "%"):
+            # influxrpc.rs:1207-1253 rejects these
+            raise RpcExprError(f"unsupported RPC operator {op!r}")
+        if op not in _COMPARISONS:
+            raise RpcExprError(f"unknown comparison {op!r}")
+        return _COMPARISONS[op](_to_column(lhs), _to_column(rhs))
+    if nt == "logical":
+        op = node["op"]
+        children = [_to_column(c) for c in node["children"]]
+        if op == "and":
+            out = children[0]
+            for c in children[1:]:
+                out = out & c
+            return out
+        if op == "or":
+            out = children[0]
+            for c in children[1:]:
+                out = out | c
+            return out
+        raise RpcExprError(f"unknown logical op {op!r}")
+    if nt == "arithmetic":
+        op = node["op"]
+        if op in ("%", "modulo"):
+            raise RpcExprError("modulo is not supported by the RPC surface")
+        if op not in _ARITHMETIC:
+            raise RpcExprError(f"unknown arithmetic op {op!r}")
+        lhs, rhs = node["children"]
+        return _ARITHMETIC[op](_to_column(lhs), _to_column(rhs))
+    raise RpcExprError(f"unknown node type {nt!r}")
+
+
+def rpc_predicate_to_predicate(
+    root: dict | None, base: Predicate | None = None
+) -> Predicate:
+    """Convert an RPC predicate tree into the engine Predicate."""
+    pred = base or Predicate()
+    if root is None:
+        return pred
+    for conjunct in _flatten_ands(root, []):
+        tables = _in_list(conjunct, MEASUREMENT_TAG_KEYS)
+        if tables is not None:
+            pred.table_names = sorted(set(pred.table_names or []) | set(tables))
+            continue
+        fields = _in_list(conjunct, FIELD_TAG_KEYS)
+        if fields is not None:
+            pred.field_columns = sorted(set(pred.field_columns or []) | set(fields))
+            continue
+        pred.exprs.append(_to_column(conjunct))
+    return pred
