@@ -234,12 +234,31 @@ def distributed_parse(lines_df, iox_schema, measurement: str, default_time: int)
     the dedup ordering).  Runs as ``mapInPandas`` — Arrow-batched, executes on
     executors, scales with input splits.
     """
-    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
 
     out_struct = StructType(
         list(iox_schema.struct.fields) + [StructField("__seq", LongType(), False)]
     )
     colnames = [f.name for f in out_struct.fields]
+    # Declared python type per column, for write-time type checking — the
+    # reference rejects mismatched writes (entry/src/entry.rs:32-44
+    # TableColumnTypeMismatch, mutable_buffer/src/column.rs:25-29).
+    _ok_types = {
+        DoubleType: (float, int),
+        LongType: (int,),
+        StringType: (str,),
+        BooleanType: (bool,),
+    }
+    expected = {
+        f.name: _ok_types.get(type(f.dataType), (object,)) for f in out_struct.fields
+    }
 
     def parse_batches(batches):
         import pandas as pd
@@ -254,6 +273,19 @@ def distributed_parse(lines_df, iox_schema, measurement: str, default_time: int)
                 if pl.measurement != measurement:
                     continue
                 row = {**pl.tags, **pl.fields}
+                for k, v in row.items():
+                    if k not in expected:
+                        raise LineProtocolError(
+                            f"unknown column {k!r} for measurement {measurement!r}: {raw!r}"
+                        )
+                    # bool is an int subclass — check it first and exactly
+                    if isinstance(v, bool) != (expected[k] == (bool,)) or not isinstance(
+                        v, expected[k]
+                    ):
+                        raise LineProtocolError(
+                            f"type mismatch for column {k!r}: got "
+                            f"{type(v).__name__}, expected {expected[k]}: {raw!r}"
+                        )
                 row["time"] = pl.timestamp if pl.timestamp is not None else default_time
                 row["__seq"] = seq
                 seq += 1
