@@ -1102,6 +1102,32 @@ WHERE rk <= 3 ORDER BY o_orderpriority, rk
 """
 
 
+def q_window_selector_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """read_window_aggregate with the LAST selector: per (tag, window),
+    the value at the latest timestamp in the window plus that timestamp."""
+    from influxdb_iox_spark.functions.time import window_bounds
+
+    t = _load(spark, sf_dir, "events")
+    ev = t["events"].withColumn("__bucket_ns", window_bounds("ts", 6 * HOUR_NS))
+    return (
+        ev.groupBy("event_type", F.expr("__bucket_ns div 1000").alias("time_us"))
+        .agg(
+            F.max_by("value", "ts").alias("last_value"),
+            F.expr("max(ts) div 1000").alias("last_time_us"),
+        )
+        .orderBy("event_type", "time_us")
+    )
+
+
+SQL_WINDOW_SELECTOR_LAST = f"""
+SELECT event_type,
+  epoch_us(ts) - ((epoch_us(ts) % {6 * HOUR_US}) + {6 * HOUR_US}) % {6 * HOUR_US} + {6 * HOUR_US} AS time_us,
+  arg_max(value, ts) AS last_value,
+  epoch_us(MAX(ts)) AS last_time_us
+FROM events GROUP BY 1, 2 ORDER BY event_type, time_us
+"""
+
+
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min inactivity gap) per user — Spark's
     session_window (beyond the reference surface; its streaming twin is the
@@ -1231,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles_by_type": q_percentiles,
         "schema_merge_union": q_schema_merge,
         "sessionization": q_sessionization,
+        "rpc_window_selector_last": q_window_selector_last,
         # LLM-pipeline
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
@@ -1270,6 +1297,7 @@ def oracle_sql() -> dict[str, str]:
         "percentiles_by_type": SQL_PERCENTILES,
         "schema_merge_union": SQL_SCHEMA_MERGE,
         "sessionization": SQL_SESSIONIZATION,
+        "rpc_window_selector_last": SQL_WINDOW_SELECTOR_LAST,
         "rpc_read_filter": SQL_READ_FILTER,
         "rpc_read_group": SQL_READ_GROUP,
         "rpc_read_group_two_tags": SQL_READ_GROUP_TWO_TAGS,

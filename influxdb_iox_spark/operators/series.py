@@ -151,8 +151,12 @@ def read_window_aggregate(
     df = db.table(table, predicate)
     bucket = window_bounds(schema.time_column, every_ns, offset_ns).alias(time_alias)
     aggs: list[Column] = []
+    # FIRST/LAST are selectors even per-window (value at earliest/latest
+    # timestamp INSIDE the window, plus that timestamp); sum/count/min/max/
+    # mean stay plain per the reference's window aggregate menu.
+    selector = agg in (Aggregate.FIRST, Aggregate.LAST)
     for fld in fields:
-        aggs.extend(_field_agg(agg, fld, schema.time_column, selector=False))
+        aggs.extend(_field_agg(agg, fld, schema.time_column, selector=selector))
     return (
         df.groupBy(*tags, bucket)
         .agg(*aggs)
