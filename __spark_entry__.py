@@ -1102,6 +1102,87 @@ WHERE rk <= 3 ORDER BY o_orderpriority, rk
 """
 
 
+def q_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: supplier-nation x customer-nation trade volume."""
+    t = _load(spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", "4,2"))
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(_money_sum(revenue, "revenue"), F.count("*").alias("n"))
+        .orderBy("supp_nation", "cust_nation")
+    )
+
+
+SQL_NATION_VOLUME = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS revenue,
+  COUNT(*) AS n
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name < n2.n_name
+GROUP BY n1.n_name, n2.n_name
+ORDER BY supp_nation, cust_nation
+"""
+
+
+def q_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR'd bracket predicates over a broadcast join."""
+    t = _load(spark, sf_dir, "lineitem", "part")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", "4,2"))
+    j = t["lineitem"].join(
+        F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey")
+    )
+    bracket1 = (
+        (F.col("p_brand") == "Brand#12")
+        & (F.col("l_quantity") >= 1)
+        & (F.col("l_quantity") <= 11)
+        & (F.col("p_size") <= 5)
+    )
+    bracket2 = (
+        (F.col("p_brand") == "Brand#23")
+        & (F.col("l_quantity") >= 10)
+        & (F.col("l_quantity") <= 20)
+        & (F.col("p_size") <= 10)
+    )
+    bracket3 = (
+        (F.col("p_brand") == "Brand#34")
+        & (F.col("l_quantity") >= 20)
+        & (F.col("l_quantity") <= 30)
+        & (F.col("p_size") <= 15)
+    )
+    return j.filter(bracket1 | bracket2 | bracket3).agg(
+        _money_sum(revenue, "revenue"), F.count("*").alias("n")
+    )
+
+
+SQL_DISCOUNTED_REVENUE = """
+SELECT
+  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS revenue,
+  COUNT(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size <= 5)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size <= 10)
+   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size <= 15)
+"""
+
+
 def q_window_selector_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """read_window_aggregate with the LAST selector: per (tag, window),
     the value at the latest timestamp in the window plus that timestamp."""
@@ -1188,6 +1269,24 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(t["documents"].select("doc_id", "text")).select("doc_id", "simhash")
 
 
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative connected-components clustering of near-dup pairs
+    (rows-only: iterative algorithm, not SQL-expressible)."""
+    from influxdb_iox_spark.pipeline.dedup import (
+        duplicate_clusters,
+        near_duplicate_pairs_minhash,
+    )
+
+    t = _load(spark, sf_dir, "documents")
+    pairs = near_duplicate_pairs_minhash(t["documents"], threshold=0.5)
+    clusters = duplicate_clusters(pairs)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .orderBy(F.desc("cluster_size"), "cluster_id")
+    )
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from influxdb_iox_spark.pipeline.similarity import ann_ivf_topk, train_ivf_centroids
 
@@ -1242,6 +1341,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersect_except_users": q_intersect_except,
         "regex_predicate": q_regex_predicate,
         "topk_per_group": q_topk_per_group,
+        "tpch_q7_nation_volume": q_nation_volume_shipping,
+        "tpch_q19_discounted_revenue": q_discounted_revenue,
         # InfluxRPC menu
         "rpc_read_filter": q_read_filter,
         "rpc_read_group": q_read_group,
@@ -1271,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_fingerprints": q_simhash,
         "ann_ivf_topk": q_ann_ivf,
+        "near_dup_clusters": q_near_dup_clusters,
     }
 
 
@@ -1293,6 +1395,8 @@ def oracle_sql() -> dict[str, str]:
         "intersect_except_users": SQL_INTERSECT_EXCEPT,
         "regex_predicate": SQL_REGEX_PREDICATE,
         "topk_per_group": SQL_TOPK_PER_GROUP,
+        "tpch_q7_nation_volume": SQL_NATION_VOLUME,
+        "tpch_q19_discounted_revenue": SQL_DISCOUNTED_REVENUE,
         "rpc_month_window": SQL_MONTH_WINDOW,
         "percentiles_by_type": SQL_PERCENTILES,
         "schema_merge_union": SQL_SCHEMA_MERGE,

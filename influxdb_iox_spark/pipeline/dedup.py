@@ -286,6 +286,75 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Duplicate clusters (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_clusters(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Cluster ids from a near-duplicate pair list: connected components by
+    iterative min-label propagation.
+
+    (doc, cluster_id) where cluster_id = min doc id in the component.  Each
+    iteration is one join + aggregate (label flows both directions along
+    edges); converges in O(component diameter) rounds — near-dup clusters
+    are shallow, so the bound is generous.  This is the standard large-graph
+    CC recipe on DataFrames (no GraphX dependency, works at corpus scale).
+    """
+    edges = (
+        pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .union(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("x").alias("doc"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.y == labels.doc)
+            .groupBy("x")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc == neighbor_min.x, "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def drop_near_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one representative (the min-id member) per near-dup cluster."""
+    clusters = duplicate_clusters(pairs)
+    losers = clusters.filter(F.col("doc") != F.col("cluster_id")).select(
+        F.col("doc").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -93,3 +93,23 @@ def test_simhash_deterministic_and_near(spark, docs):
     assert found[(1, 2)] == 0
     assert (1, 4) in found and found[(1, 4)] <= 8
     assert not any(5 in p for p in found)
+
+
+def test_duplicate_clusters_and_drop(spark):
+    from influxdb_iox_spark.pipeline.dedup import (
+        drop_near_duplicates,
+        duplicate_clusters,
+    )
+
+    # components: {1,2,3,4} via chain, {7,9}; 5 isolated (no edges)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 9)], "a long, b long"
+    )
+    labels = {r.doc: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
+
+    docs = spark.createDataFrame(
+        [(i, f"text{i}") for i in (1, 2, 3, 4, 5, 7, 9)], "doc_id long, text string"
+    )
+    kept = sorted(r.doc_id for r in drop_near_duplicates(docs, pairs).collect())
+    assert kept == [1, 5, 7]
