@@ -1209,6 +1209,51 @@ FROM events GROUP BY 1, 2 ORDER BY event_type, time_us
 """
 
 
+def q_window_gapfill_previous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed mean with gap filling: missing 5-min buckets inside each
+    series' range materialize carrying the previous value forward
+    (fill(previous) semantics)."""
+    from influxdb_iox_spark.functions.time import window_bounds
+    from influxdb_iox_spark.operators.gapfill import fill_window_gaps
+
+    step_us = 300 * US
+    t = _load(spark, sf_dir, "events")
+    ev = t["events"].filter(F.col("event_type") == "signup").withColumn(
+        "__bucket_ns", window_bounds("ts", 300 * NS)
+    )
+    agg = ev.groupBy(F.expr("__bucket_ns div 1000").alias("time_us")).agg(
+        F.round(F.avg("value"), 4).alias("mean_value"),
+        F.count("*").alias("n"),
+    )
+    filled = fill_window_gaps(
+        agg.withColumn("series", F.lit("signup")),
+        tag_columns=["series"],
+        time_column="time_us",
+        step=step_us,
+        value_columns=["mean_value"],
+        strategy="previous",
+    )
+    return filled.select("series", "time_us", "mean_value").orderBy("time_us")
+
+
+SQL_WINDOW_GAPFILL = f"""
+WITH agg AS (
+  SELECT epoch_us(ts) - ((epoch_us(ts) % {300 * US}) + {300 * US}) % {300 * US} + {300 * US} AS time_us,
+         round(AVG(value), 4) AS mean_value
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+), bounds AS (SELECT MIN(time_us) AS lo, MAX(time_us) AS hi FROM agg),
+grid AS (
+  SELECT unnest(range(lo, hi + {300 * US}, {300 * US}::BIGINT)) AS time_us FROM bounds
+)
+SELECT 'signup' AS series, grid.time_us,
+  last_value(agg.mean_value IGNORE NULLS) OVER (
+    ORDER BY grid.time_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS mean_value
+FROM grid LEFT JOIN agg ON grid.time_us = agg.time_us
+ORDER BY grid.time_us
+"""
+
+
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min inactivity gap) per user — Spark's
     session_window (beyond the reference surface; its streaming twin is the
@@ -1359,6 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_merge_union": q_schema_merge,
         "sessionization": q_sessionization,
         "rpc_window_selector_last": q_window_selector_last,
+        "rpc_window_gapfill_previous": q_window_gapfill_previous,
         # LLM-pipeline
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
@@ -1402,6 +1448,7 @@ def oracle_sql() -> dict[str, str]:
         "schema_merge_union": SQL_SCHEMA_MERGE,
         "sessionization": SQL_SESSIONIZATION,
         "rpc_window_selector_last": SQL_WINDOW_SELECTOR_LAST,
+        "rpc_window_gapfill_previous": SQL_WINDOW_GAPFILL,
         "rpc_read_filter": SQL_READ_FILTER,
         "rpc_read_group": SQL_READ_GROUP,
         "rpc_read_group_two_tags": SQL_READ_GROUP_TWO_TAGS,

@@ -1,0 +1,79 @@
+"""Gap filling for windowed series — the TSDB ``fill()`` family.
+
+Beyond the v0 reference surface (InfluxQL's ``fill(null/previous/value)``
+lives above the storage engine there), but core to any time-series product:
+after a window aggregate, missing buckets inside each series' observed range
+must materialize, with values null / carried forward / constant.
+
+Spark-first shape (no UDFs, no driver loops):
+  1. per-series bucket grid = ``explode(sequence(min_bucket, max_bucket,
+     step))`` — generated distributedly, proportional to series span
+  2. left join the aggregated buckets onto the grid (co-partitioned on the
+     series key)
+  3. fill-previous = ``last(value, ignorenulls=True)`` over the series
+     window ordered by bucket — one pass, codegen'd
+
+At scale the window in step 3 partitions by series key (bounded state per
+series), never globally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def fill_window_gaps(
+    windowed: DataFrame,
+    tag_columns: list[str],
+    time_column: str,
+    step: int,
+    value_columns: list[str] | None = None,
+    strategy: str = "null",
+    fill_value: float | None = None,
+) -> DataFrame:
+    """Materialize missing buckets per series between its first and last
+    observed bucket.
+
+    ``windowed`` is a window-aggregate result: (tags…, time bucket, values…),
+    bucket spacing ``step`` (same unit as ``time_column``).  Strategies:
+    ``null`` (emit row, values null), ``previous`` (carry forward last
+    non-null), ``value`` (constant ``fill_value``).
+    """
+    if strategy not in ("null", "previous", "value"):
+        raise ValueError(f"unknown fill strategy {strategy!r}")
+    value_columns = value_columns or [
+        c for c in windowed.columns if c not in (*tag_columns, time_column)
+    ]
+
+    bounds = windowed.groupBy(*tag_columns).agg(
+        F.min(time_column).alias("__lo"), F.max(time_column).alias("__hi")
+    )
+    grid = bounds.select(
+        *tag_columns,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))
+        ).alias(time_column),
+    )
+    joined = grid.join(windowed, on=[*tag_columns, time_column], how="left")
+
+    if strategy == "null":
+        return joined
+    if strategy == "value":
+        return joined.select(
+            *tag_columns,
+            time_column,
+            *[
+                F.coalesce(F.col(c), F.lit(fill_value)).alias(c)
+                for c in value_columns
+            ],
+        )
+    w = (
+        Window.partitionBy(*tag_columns)
+        .orderBy(time_column)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        *tag_columns,
+        time_column,
+        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in value_columns],
+    )

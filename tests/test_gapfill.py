@@ -1,0 +1,37 @@
+"""Gap-fill operator semantics."""
+
+from __future__ import annotations
+
+from influxdb_iox_spark.operators.gapfill import fill_window_gaps
+
+
+def _windowed(spark):
+    # series 'a': buckets 10,40 present (gap at 20,30); series 'b': dense
+    return spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 40, 4.0), ("b", 10, 9.0), ("b", 20, 8.0)],
+        "series string, bucket long, v double",
+    )
+
+
+def test_fill_null(spark):
+    out = fill_window_gaps(_windowed(spark), ["series"], "bucket", 10, strategy="null")
+    rows = {(r.series, r.bucket): r.v for r in out.collect()}
+    assert rows[("a", 20)] is None and rows[("a", 30)] is None
+    assert rows[("a", 10)] == 1.0 and rows[("a", 40)] == 4.0
+    assert ("b", 30) not in rows  # grid never extends beyond a series' range
+
+
+def test_fill_previous(spark):
+    out = fill_window_gaps(
+        _windowed(spark), ["series"], "bucket", 10, strategy="previous"
+    )
+    rows = {(r.series, r.bucket): r.v for r in out.collect()}
+    assert rows[("a", 20)] == 1.0 and rows[("a", 30)] == 1.0 and rows[("a", 40)] == 4.0
+
+
+def test_fill_constant(spark):
+    out = fill_window_gaps(
+        _windowed(spark), ["series"], "bucket", 10, strategy="value", fill_value=0.0
+    )
+    rows = {(r.series, r.bucket): r.v for r in out.collect()}
+    assert rows[("a", 20)] == 0.0 and rows[("a", 10)] == 1.0
