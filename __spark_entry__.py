@@ -1209,6 +1209,47 @@ FROM events GROUP BY 1, 2 ORDER BY event_type, time_us
 """
 
 
+def q_series_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series derivative (rate of change per second) — the TSDB
+    non-negative derivative family as a series-partitioned window expr."""
+    from pyspark.sql import Window
+
+    t = _load(spark, sf_dir, "events")
+    ev = t["events"].select(
+        "event_type", "value", F.expr("ts div 1000").alias("time_us")
+    )
+    w = Window.partitionBy("event_type").orderBy("time_us")
+    dv = F.col("value") - F.lag("value").over(w)
+    dt_sec = (F.col("time_us") - F.lag("time_us").over(w)) / F.lit(US)
+    deriv = ev.withColumn("rate", F.round(dv / dt_sec, 6)).filter(
+        F.col("rate").isNotNull()
+    )
+    return (
+        deriv.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("rate"), 6).alias("avg_rate"),
+            F.max("rate").alias("max_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_SERIES_DERIVATIVE = f"""
+WITH d AS (
+  SELECT event_type,
+    round((value - lag(value) OVER w)
+      / ((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / {US}.0), 6) AS rate
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts))
+)
+SELECT event_type, COUNT(*) AS n,
+  round(AVG(rate), 6) AS avg_rate, MAX(rate) AS max_rate
+FROM d WHERE rate IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_window_gapfill_previous(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed mean with gap filling: missing 5-min buckets inside each
     series' range materialize carrying the previous value forward
@@ -1405,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization": q_sessionization,
         "rpc_window_selector_last": q_window_selector_last,
         "rpc_window_gapfill_previous": q_window_gapfill_previous,
+        "series_derivative": q_series_derivative,
         # LLM-pipeline
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
@@ -1449,6 +1491,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionization": SQL_SESSIONIZATION,
         "rpc_window_selector_last": SQL_WINDOW_SELECTOR_LAST,
         "rpc_window_gapfill_previous": SQL_WINDOW_GAPFILL,
+        "series_derivative": SQL_SERIES_DERIVATIVE,
         "rpc_read_filter": SQL_READ_FILTER,
         "rpc_read_group": SQL_READ_GROUP,
         "rpc_read_group_two_tags": SQL_READ_GROUP_TWO_TAGS,
