@@ -59,7 +59,12 @@ def month_window_bounds(time: Column | str = TIME_COLUMN_NAME, months: int = 1) 
     sub-second component so the round-trip is exact.
     """
     t = _col(time)
-    ts = F.timestamp_micros((t / NS_PER_US).cast("long"))
+    # exact ns→µs: strip the sub-µs remainder BEFORE dividing — a multiple of
+    # 1000 up to ~1.7e18 divides to <2^53, so the double division is exact
+    # (raw float division of the ns value is not: 53-bit mantissa).
+    ts = F.timestamp_micros(
+        ((t - F.pmod(t, F.lit(NS_PER_US))) / NS_PER_US).cast("long")
+    )
     start = F.date_trunc("month", ts)
     # floor to the month grid anchored at epoch when months > 1
     if months > 1:

@@ -48,8 +48,19 @@ def table_names(db: Database, predicate: Predicate | None = None) -> list[str]:
         for t in db.table_names()
         if predicate is None or predicate.should_scan_table(t)
     ]
-    if predicate is None or (predicate.range is None and not predicate.exprs):
+    if predicate is None or predicate.is_row_unconstrained():
         return [t for t in names if any(c.row_count for c in db.store.manifest(t))]
+    if predicate.range is None and not predicate.exprs:
+        # partition_key-only predicate: still metadata-answerable — a table
+        # matches iff it has ≥1 row in a chunk of that partition.
+        return [
+            t
+            for t in names
+            if any(
+                c.row_count
+                for c in db.store.prune_chunks(t, predicate, db.table_schema(t).time_column)
+            )
+        ]
     out = []
     for t in names:
         chunks = db.store.prune_chunks(t, predicate, db.table_schema(t).time_column)
@@ -66,8 +77,14 @@ def tag_keys(db: Database, table: str, predicate: Predicate | None = None) -> li
     tags = schema.tag_columns
     if predicate is None or (predicate.range is None and not predicate.exprs):
         # metadata path: any chunk with rows implies its tag columns exist;
-        # tags are non-null by construction in the ingest path.
-        if any(c.row_count for c in db.store.manifest(table)):
+        # tags are non-null by construction in the ingest path.  A
+        # partition_key-only predicate restricts which chunks count.
+        chunks = (
+            db.store.manifest(table)
+            if predicate is None or predicate.partition_key is None
+            else db.store.prune_chunks(table, predicate, schema.time_column)
+        )
+        if any(c.row_count for c in chunks):
             return sorted(tags)
         return []
     df = db.table(table, predicate)

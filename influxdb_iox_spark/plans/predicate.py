@@ -64,6 +64,13 @@ class Predicate:
         self.field_columns = list(names)
         return self
 
+    def is_row_unconstrained(self) -> bool:
+        """True iff the predicate cannot exclude any row of a candidate table:
+        no time range, no exprs, AND no partition key.  Gates the
+        metadata-only fast paths — a partition_key-only predicate still
+        constrains which chunks (and therefore which values) are visible."""
+        return self.range is None and not self.exprs and self.partition_key is None
+
     # -- application ------------------------------------------------------
     def filter_column(self, time_col: str = TIME_COLUMN_NAME) -> Column | None:
         """AND of time range + exprs, or None if unconstrained."""

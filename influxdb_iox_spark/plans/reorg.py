@@ -82,15 +82,26 @@ def compact_overlapping(
     spark: SparkSession, store: TableStore, table: str, schema: IoxSchema
 ) -> list[ChunkMeta]:
     """Compact every overlapping chunk group (the policy loop's main move —
-    lifecycle/src/policy.rs:187 maybe_compact_chunks)."""
-    chunks = store.manifest(table)
-    groups = group_potential_duplicates(chunks, schema.primary_key)
+    lifecycle/src/policy.rs:187 maybe_compact_chunks).
+
+    Groups are formed WITHIN each partition key, like the reference's
+    per-partition lifecycle: cross-partition compaction would produce chunks
+    with an unknown partition key that partition-filtered scans must then
+    conservatively include forever.
+    """
+    by_part: dict[str, list] = {}
+    for c in store.manifest(table):
+        by_part.setdefault(c.partition_key, []).append(c)
     out = []
-    for g in groups:
-        if len(g) > 1:
-            out.append(
-                compact_chunks(spark, store, table, schema, [chunks[i].chunk_id for i in g])
-            )
+    for chunks in by_part.values():
+        groups = group_potential_duplicates(chunks, schema.primary_key)
+        for g in groups:
+            if len(g) > 1:
+                out.append(
+                    compact_chunks(
+                        spark, store, table, schema, [chunks[i].chunk_id for i in g]
+                    )
+                )
     return out
 
 
@@ -137,11 +148,24 @@ def persist_split(
             cold, hot = split_frame(
                 df, F.col(schema.time_column) <= F.lit(split_time_ns)
             )
+            # Thread the source partition key through (the reference
+            # reorganizes within one partition — reorg.rs operates on a
+            # single partition's chunks); "" would make prune_chunks treat
+            # the outputs as belonging to no partition.
+            partition_key = (
+                chunks[0].partition_key
+                if len({c.partition_key for c in chunks}) == 1
+                else ""
+            )
             cold_meta = hot_meta = None
             if cold.limit(1).count():
-                cold_meta = store.write_chunk(cold, table, schema, dedup_batch=False)
+                cold_meta = store.write_chunk(
+                    cold, table, schema, partition_key=partition_key, dedup_batch=False
+                )
             if hot.limit(1).count():
-                hot_meta = store.write_chunk(hot, table, schema, dedup_batch=False)
+                hot_meta = store.write_chunk(
+                    hot, table, schema, partition_key=partition_key, dedup_batch=False
+                )
             store.drop_chunks(table, [c.chunk_id for c in chunks])
             return cold_meta, hot_meta
         finally:

@@ -39,10 +39,14 @@ class InfluxRpc:
     def tag_values(
         self, table: str, tag: str, predicate: Predicate | None = None
     ) -> list[str]:
-        # metadata-only fast path: unconstrained predicate answered from the
-        # tag catalog without any Spark job
+        # metadata-only fast path: a predicate with no row constraints is
+        # answered from the tag catalog without any Spark job; a
+        # partition_key-only predicate narrows the catalog to that
+        # partition's chunks.
         if predicate is None or (predicate.range is None and not predicate.exprs):
-            vals = self.db.store.catalog_tag_values(table, tag)
+            vals = self.db.store.catalog_tag_values(
+                table, tag, None if predicate is None else predicate.partition_key
+            )
             if vals is not None:
                 return vals
         return md.tag_values(self.db, table, tag, predicate)

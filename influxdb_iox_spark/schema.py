@@ -148,4 +148,7 @@ def merge_chunk_frames(frames: list[DataFrame]) -> DataFrame:
 
 def time_to_timestamp(df: DataFrame, time_col: str = TIME_COLUMN_NAME) -> DataFrame:
     """Derive a µs TimestampType view column from canonical ns-long time."""
-    return df.withColumn(f"{time_col}_ts", F.timestamp_micros((F.col(time_col) / 1000).cast("long")))
+    # integer div (not float /): ns epochs exceed double's 53-bit mantissa
+    return df.withColumn(
+        f"{time_col}_ts", F.timestamp_micros(F.expr(f"`{time_col}` div 1000"))
+    )

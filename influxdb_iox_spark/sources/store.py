@@ -176,11 +176,21 @@ class TableStore:
             out[t] = sorted(vals) if len(vals) <= self.TAG_CATALOG_CAP else None
         return out
 
-    def catalog_tag_values(self, table: str, tag: str) -> list[str] | None:
+    def catalog_tag_values(
+        self, table: str, tag: str, partition_key: str | None = None
+    ) -> list[str] | None:
         """Union of per-chunk tag catalogs; None if any chunk overflowed
-        (caller must fall back to a scan)."""
+        (caller must fall back to a scan).  With partition_key, only chunks
+        of that partition contribute; a chunk with an empty/unknown key MAY
+        hold rows of any partition, so its presence makes the catalog
+        insufficient (returns None — unlike data scans there is no downstream
+        row filter to correct an over-inclusive answer)."""
         values: set[str] = set()
         chunks = self.manifest(table)
+        if partition_key:
+            if any(not c.partition_key for c in chunks):
+                return None
+            chunks = [c for c in chunks if c.partition_key == partition_key]
         if not chunks:
             return []
         for c in chunks:
@@ -241,7 +251,14 @@ class TableStore:
             return chunks
         out = []
         for c in chunks:
-            if predicate.partition_key and c.partition_key != predicate.partition_key:
+            # An empty chunk partition_key means "unknown / spans partitions"
+            # (e.g. a compaction that merged mixed-key inputs) — never prune
+            # those on partition key, only on stats.
+            if (
+                predicate.partition_key
+                and c.partition_key
+                and c.partition_key != predicate.partition_key
+            ):
                 continue
             if predicate.range is not None:
                 r = c.column_range(time_column)
@@ -265,11 +282,18 @@ class TableStore:
             return spark.createDataFrame([], schema.struct)
 
         groups = group_potential_duplicates(chunks, schema.primary_key)
+        # Batch every clean (non-overlapping) chunk into ONE multi-path
+        # parquet relation: driver planning cost and the plan's relation count
+        # stay O(1) in the number of clean chunks instead of O(n) unions —
+        # at 10^4-10^5 chunks the per-chunk DataFrame+union approach spends
+        # minutes in the driver before a single task runs.  mergeSchema
+        # handles chunks written before a schema extension.
+        clean_paths: list[str] = []
         parts: list[DataFrame] = []
         for g in groups:
             members = [chunks[i] for i in g]
             if len(members) == 1:
-                df = self.read_chunk(spark, members[0])
+                clean_paths.append(os.path.join(self.base_dir, members[0].path))
             else:
                 ordered = [
                     self.read_chunk(spark, m).withColumn(
@@ -283,7 +307,11 @@ class TableStore:
                     schema.field_columns,
                     schema.time_column,
                 )
-            parts.append(df)
+                parts.append(df)
+
+        if clean_paths:
+            clean = spark.read.option("mergeSchema", "true").parquet(*clean_paths)
+            parts.insert(0, clean)
 
         out = merge_chunk_frames(parts)
         if predicate is not None:
@@ -291,9 +319,25 @@ class TableStore:
         cols = [f.name for f in schema.struct.fields if f.name in out.columns]
         return out.select(*cols)
 
-    def drop_chunks(self, table: str, chunk_ids: list[int]) -> None:
-        entries = [c for c in self.manifest(table) if c.chunk_id not in chunk_ids]
+    def drop_chunks(
+        self, table: str, chunk_ids: list[int], delete_files: bool = True
+    ) -> None:
+        """Remove chunks from the manifest, then delete their directories.
+
+        Deletion happens AFTER the manifest swap succeeds so a crash leaves
+        orphaned-but-unreferenced files (GC-able), never a manifest pointing
+        at missing data.  Continuous compaction would otherwise grow disk
+        unboundedly — every compact rewrites its inputs.
+        """
+        old = self.manifest(table)
+        dropped = [c for c in old if c.chunk_id in chunk_ids]
+        entries = [c for c in old if c.chunk_id not in chunk_ids]
         self._save_manifest(table, entries)
+        if delete_files:
+            import shutil
+
+            for c in dropped:
+                shutil.rmtree(os.path.join(self.base_dir, c.path), ignore_errors=True)
 
 
 _SENTINEL = object()

@@ -42,7 +42,10 @@ class PartitionTemplate:
         exprs = []
         for kind, arg in self.parts:
             if kind == "time_format":
-                ts = F.timestamp_micros((F.col(time_column) / 1000).cast("long"))
+                # integer div: ns epochs (~1.7e18) exceed double's 53-bit
+                # mantissa, so float division can flip a µs at the boundary
+                # — and with it the partition key.
+                ts = F.timestamp_micros(F.expr(f"`{time_column}` div 1000"))
                 exprs.append(F.date_format(ts, _strftime_to_spark(arg)))
             elif kind == "column":
                 exprs.append(F.coalesce(F.col(arg).cast("string"), F.lit("")))
