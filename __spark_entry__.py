@@ -1337,10 +1337,21 @@ FROM per_session GROUP BY user_id ORDER BY user_id
 """
 
 
-# -- non-SQL-expressible ops (rows-only driver check) -----------------------
+# -- dedup / ANN pipeline ops (oracle-paired since round 3) -----------------
 
 
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, oracle-checked against exact n-gram
+    Jaccard.
+
+    The Spark side runs the REAL banded pipeline (shingle → 64-perm MinHash →
+    16-band LSH → exact-Jaccard verify); the DuckDB oracle computes exact
+    all-pairs n-gram Jaccard.  The two agree deterministically on this corpus:
+    the pipeline has no runtime randomness (fixed hash seeds), and every true
+    pair here has jaccard ≥ 0.9, where 16-band/4-row LSH miss probability is
+    (1-0.9⁴)¹⁶ ≈ 3.5e-8.  tests/test_oracle_parity.py re-checks the
+    equivalence at both sf0.001 and sf0.01 on every run.
+    """
     from influxdb_iox_spark.pipeline.dedup import near_duplicate_pairs_minhash
 
     t = _load(spark, sf_dir, "documents")
@@ -1348,16 +1359,85 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+# Shared oracle CTE: word tokens -> distinct 3-gram shingles -> exact
+# all-pairs Jaccard >= 0.5 (the inverted-index formulation of
+# pipeline/dedup.py:ngram_jaccard_pairs, in DuckDB SQL).
+_SQL_SHINGLE_PAIRS_CTE = r"""
+tok AS (
+  SELECT doc_id,
+    list_distinct(
+      CASE WHEN len(t) > 0
+        THEN list_transform(range(0, greatest(len(t)-3, 0)+1), i -> array_to_string(t[i+1:i+3], ' '))
+        ELSE CAST([] AS VARCHAR[]) END) AS sh
+  FROM (SELECT doc_id,
+          list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS t
+        FROM documents)
+),
+ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM tok),
+shared AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS shared
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1,2,3,4)
+"""
+
+SQL_MINHASH_NEAR_DUP = f"""
+WITH {_SQL_SHINGLE_PAIRS_CTE}
+SELECT a, b, round(shared / (na + nb - shared), 6) AS jaccard
+FROM shared WHERE shared / (na + nb - shared) >= 0.5
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (md5 bit-voting) — deterministic bit math,
+    reproduced exactly by the DuckDB oracle (md5 nibble-parse + per-bit
+    majority vote)."""
     from influxdb_iox_spark.pipeline.dedup import simhash
 
     t = _load(spark, sf_dir, "documents")
     return simhash(t["documents"].select("doc_id", "text")).select("doc_id", "simhash")
 
 
+def _sql_simhash() -> str:
+    """DuckDB twin of pipeline/dedup._simhash64: tokens are [\\p{L}\\p{N}]+
+    runs of lower(text); token hash = first 8 bytes of md5 as big-endian
+    uint64 (16 hex nibbles parsed via strpos, HUGEINT weights); per-bit ±1
+    votes summed per document; sig reinterpreted as signed int64."""
+    nib = "strpos('0123456789abcdef', substr(hx, {j}, 1)) - 1"
+    val = " + ".join(
+        f"CAST(({nib.format(j=j + 1)}) AS HUGEINT) * CAST({16 ** (15 - j)} AS HUGEINT)"
+        for j in range(16)
+    )
+    bitrows = ", ".join(f"({b}, CAST({1 << b} AS HUGEINT))" for b in range(64))
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\p{{L}}\p{{N}}]+')) AS tk
+  FROM documents),
+hv AS (
+  SELECT doc_id, {val} AS h
+  FROM (SELECT doc_id, md5(tk) AS hx FROM tok)),
+bits(b, w) AS (VALUES {bitrows}),
+votes AS (
+  SELECT doc_id, b, w,
+    SUM(CASE WHEN (h // w) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hv CROSS JOIN bits GROUP BY 1, 2, 3),
+sig AS (
+  SELECT doc_id, SUM(CASE WHEN v > 0 THEN w ELSE CAST(0 AS HUGEINT) END) AS s
+  FROM votes GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(COALESCE(
+    CASE WHEN s >= CAST(9223372036854775808 AS HUGEINT)
+         THEN s - CAST(18446744073709551616 AS HUGEINT) ELSE s END,
+    0) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN sig USING (doc_id)
+"""
+
+
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iterative connected-components clustering of near-dup pairs
-    (rows-only: iterative algorithm, not SQL-expressible)."""
+    """Connected-components clustering of near-dup pairs: Spark runs the
+    distributed iterative min-label propagation (pipeline/dedup.py:
+    duplicate_clusters) over MinHash+LSH pairs; the oracle reaches the same
+    fixed point with a recursive CTE over exact-Jaccard pairs (pair-set
+    equivalence per q_minhash_near_dup's determinism argument)."""
     from influxdb_iox_spark.pipeline.dedup import (
         duplicate_clusters,
         near_duplicate_pairs_minhash,
@@ -1373,15 +1453,73 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SQL_NEAR_DUP_CLUSTERS = f"""
+WITH RECURSIVE {_SQL_SHINGLE_PAIRS_CTE},
+pairs AS (
+  SELECT a, b FROM shared WHERE shared / (na + nb - shared) >= 0.5),
+edges AS (
+  SELECT a AS x, b AS y FROM pairs UNION SELECT b AS x, a AS y FROM pairs),
+reach(doc, r) AS (
+  SELECT DISTINCT x, x FROM edges
+  UNION
+  SELECT rr.doc, e.y FROM reach rr JOIN edges e ON e.x = rr.r
+),
+labels AS (SELECT doc, MIN(r) AS cluster_id FROM reach GROUP BY doc)
+SELECT cluster_id, COUNT(*) AS cluster_size
+FROM labels GROUP BY 1 ORDER BY cluster_size DESC, cluster_id
+"""
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from influxdb_iox_spark.pipeline.similarity import ann_ivf_topk, train_ivf_centroids
+    """IVF ANN search with a deterministic codebook (the 16 vectors with
+    vec_id < 16), so assignment/probe/re-rank are exactly reproducible by
+    the SQL oracle (argmin over expanded L2, nprobe=4 probes, cosine top-10).
+
+    The production path trains the codebook with distributed-sampled k-means
+    (pipeline/similarity.py:train_ivf_centroids) — covered by the recall
+    tests in tests/test_similarity.py; the IVF machinery exercised here
+    (ivf_assign batched argmin, probe pruning, exact re-rank) is identical.
+    """
+    from influxdb_iox_spark.pipeline.similarity import ann_ivf_topk
 
     t = _load(spark, sf_dir, "embeddings")
     emb = t["embeddings"]
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
-    cent = train_ivf_centroids(emb, n_centroids=16, sample_rows=2000, iters=5)
+    cent_rows = (
+        emb.filter(F.col("vec_id") < 16).orderBy("vec_id").select("embedding").collect()
+    )
+    cent = [[float(x) for x in r.embedding] for r in cent_rows]
     out = ann_ivf_topk(emb, qv, cent, k=10, nprobe=4)
     return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+SQL_ANN_IVF = """
+WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+d AS (
+  SELECT vec_id, cid,
+    SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) - 2*SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+      + SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) AS dist
+  FROM (SELECT v.vec_id, c.cid, unnest(v.embedding) AS x, unnest(c.ce) AS y
+        FROM embeddings v CROSS JOIN cent c)
+  GROUP BY 1, 2),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d) t WHERE rn = 1),
+probes AS (SELECT cid FROM d WHERE vec_id = 0 ORDER BY dist, cid LIMIT 4),
+cand AS (SELECT a.vec_id FROM assign a JOIN probes p USING (cid)),
+q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+cd AS (
+  SELECT vec_id,
+    SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) AS dp,
+    SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) AS nx,
+    SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) AS ny
+  FROM (SELECT vec_id, unnest(embedding) AS x, unnest((SELECT e FROM q)) AS y
+        FROM embeddings WHERE vec_id IN (SELECT vec_id FROM cand))
+  GROUP BY vec_id)
+SELECT vec_id, round(dp / (sqrt(nx) * sqrt(ny)), 6) AS cosine_sim
+FROM cd ORDER BY dp / (sqrt(nx) * sqrt(ny)) DESC, vec_id LIMIT 10
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1456,7 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_label_stats": q_emb_label_stats,
         "multimodal_meta": q_multimodal_meta,
-        # non-SQL-expressible (rows-only check)
+        # dedup / ANN pipeline (oracle-paired since round 3)
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_fingerprints": q_simhash,
         "ann_ivf_topk": q_ann_ivf,
@@ -1510,4 +1648,8 @@ def oracle_sql() -> dict[str, str]:
         "emb_cosine_topk": SQL_EMB_COSINE_TOPK,
         "emb_label_stats": SQL_EMB_LABEL_STATS,
         "multimodal_meta": SQL_MULTIMODAL_META,
+        "minhash_near_dup": SQL_MINHASH_NEAR_DUP,
+        "simhash_fingerprints": _sql_simhash(),
+        "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
+        "ann_ivf_topk": SQL_ANN_IVF,
     }
