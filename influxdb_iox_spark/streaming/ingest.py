@@ -83,17 +83,31 @@ class LineProtocolIngest:
         self.default_time_ns = default_time_ns
 
     # -- batch ingest -----------------------------------------------------
-    def ingest_lines_df(self, lines_df: DataFrame) -> list:
+    def ingest_lines_df(self, lines_df: DataFrame, parse_counter=None) -> list:
         """Parse a batch of raw lines and append one chunk per partition key.
 
         Used directly for bulk loads and from foreachBatch for streams.
+
+        The parsed batch is materialized ONCE with ``localCheckpoint`` before
+        fanning out to per-key consumers (the distinct-keys scan plus one
+        filtered write per partition key, plus ``write_chunk``'s tag-catalog
+        pass) — without it, the Python parse stage re-executes for every
+        consumer, so a batch spanning N days parsed ~N+1 times.
+        ``localCheckpoint`` rather than ``cache()``: a cached
+        InMemoryRelation freezes its pre-AQE plan and every downstream stage
+        inherits the micro-task partitioning (see SCALE.md).
+
+        ``parse_counter``: optional Spark accumulator forwarded to
+        ``distributed_parse`` — counts physical parse executions (tests
+        assert exactly one pass per input partition regardless of key count).
         """
         parsed = distributed_parse(
-            lines_df, self.schema, self.table, self.default_time_ns
+            lines_df, self.schema, self.table, self.default_time_ns,
+            batch_counter=parse_counter,
         )
         keyed = parsed.withColumn(
             "__part_key", self.template.key_column(self.table, self.schema.time_column)
-        )
+        ).localCheckpoint(eager=True)
         keys = [r[0] for r in keyed.select("__part_key").distinct().collect()]
         metas = []
         for k in sorted(keys):

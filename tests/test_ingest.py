@@ -72,3 +72,17 @@ def test_stream_ingest_available_now(spark, tmp_path):
     ] or rows == sorted(
         [("east", 5.0, NS_DAY2), ("west", 23.2, NS_DAY1), ("west", 21.0, NS_DAY1 + 50)]
     )
+
+
+def test_batch_ingest_parses_once_regardless_of_key_count(spark, tmp_path):
+    """The parse stage must physically execute once per input partition, not
+    once per partition key (the batch spans 2 days = 2 keys + the distinct
+    scan + per-chunk tag catalogs; without the localCheckpoint the mapInArrow
+    stage would re-run for every consumer)."""
+    store = TableStore(str(tmp_path / "store"))
+    ing = LineProtocolIngest(store, "cpu", CPU)
+    lines_df = spark.createDataFrame([(l,) for l in LINES], "value string").coalesce(1)
+    acc = spark.sparkContext.accumulator(0)
+    metas = ing.ingest_lines_df(lines_df, parse_counter=acc)
+    assert len(metas) == 2
+    assert acc.value == 1, f"parse executed {acc.value} times for 1 input partition"
