@@ -178,6 +178,76 @@ class SeriesFrame:
     rows: list  # list[Row] with field+time columns
 
 
+def frame_series_distributed(
+    df: DataFrame,
+    table: str,
+    tag_columns: list[str],
+    order_columns: list[str] | None = None,
+) -> DataFrame:
+    """Distributed series framing: one output row per series.
+
+    The scale path of ``frame_series`` (exec/seriesset.rs:69-120): instead of
+    funneling every row through a serial driver iterator,
+    ``repartition(*tags)`` keeps each series wholly on one executor,
+    ``sortWithinPartitions(tags…, time)`` makes its rows contiguous (no
+    global exchange / range-sampling pass), and a ``mapInPandas`` pass frames
+    consecutive runs — carrying the possibly-split last series across Arrow
+    batch boundaries within a partition.
+
+    Output: tag columns + each remaining column as an array (rows in time
+    order) + ``n_rows`` — the columnar equivalent of ``SeriesFrame``.
+    """
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    order_columns = order_columns or ["time"]
+    other_cols = [c for c in df.columns if c not in tag_columns]
+    out_schema = StructType(
+        [df.schema[t] for t in tag_columns]
+        + [
+            StructField(c, ArrayType(df.schema[c].dataType), True)
+            for c in other_cols
+        ]
+        + [StructField("n_rows", LongType(), False)]
+    )
+    out_cols = [*tag_columns, *other_cols, "n_rows"]
+
+    def frames(batches):
+        import pandas as pd
+
+        def emit(groups):
+            rows = []
+            for g in groups:
+                r = {t: g.iloc[0][t] for t in tag_columns}
+                for c in other_cols:
+                    r[c] = list(g[c])
+                r["n_rows"] = len(g)
+                rows.append(r)
+            return pd.DataFrame(rows, columns=out_cols)
+
+        buf = None  # tail group of the previous batch (series may continue)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if buf is not None:
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+                buf = None
+            keys = pdf[tag_columns].astype(object)
+            # null-safe change detection (NaN != NaN would split null runs)
+            keys = keys.where(keys.notna(), "\0__null__")
+            grp = (keys != keys.shift()).any(axis=1).cumsum()
+            parts = [g for _, g in pdf.groupby(grp, sort=False)]
+            buf = parts.pop()  # hold back: may continue in the next batch
+            if parts:
+                yield emit(parts)
+        if buf is not None and len(buf):
+            yield emit([buf])
+
+    part = df.repartition(*tag_columns).sortWithinPartitions(
+        *tag_columns, *order_columns
+    )
+    return part.mapInPandas(frames, schema=out_schema)
+
+
 def frame_series(
     df_sorted: DataFrame, table: str, tag_columns: list[str]
 ) -> Iterator[SeriesFrame]:
@@ -185,7 +255,8 @@ def frame_series(
 
     Streams via ``toLocalIterator`` — driver memory holds one series at a
     time, mirroring the reference's batch-slicing executor rather than a
-    full collect.
+    full collect.  For cluster-scale consumers use
+    ``frame_series_distributed``, which never touches the driver.
     """
     current_key: tuple | None = None
     rows: list = []

@@ -142,3 +142,55 @@ def test_frame_series(db):
         {"city": "LA", "state": "CA"},
     ]
     assert [len(f.rows) for f in frames] == [2, 1, 1]
+
+
+def test_frame_series_distributed_matches_driver_framing(db, spark):
+    from influxdb_iox_spark.operators.series import frame_series_distributed
+
+    df = read_filter(db, "h2o")
+    want = {
+        tuple(sorted(f.tags.items())): [tuple(r) for r in f.rows]
+        for f in frame_series(df, "h2o", ["city", "state"])
+    }
+    out = frame_series_distributed(df, "h2o", ["city", "state"])
+    assert out.columns == ["city", "state", "reading", "temp", "time", "n_rows"]
+    got = {}
+    for r in out.collect():
+        key = tuple(sorted({"city": r.city, "state": r.state}.items()))
+        got[key] = [
+            (r.city, r.state, r.reading[i], r.temp[i], r.time[i])
+            for i in range(r.n_rows)
+        ]
+    assert got == want
+    # no driver funnel: the plan is exchange -> sort-within -> mapInPandas
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+
+
+def test_frame_series_distributed_carries_series_across_arrow_batches(db, spark):
+    """A series longer than one Arrow batch must come back as ONE frame."""
+    from influxdb_iox_spark.operators.series import frame_series_distributed
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        n = 100
+        df = spark.range(n).select(
+            F.lit("west").alias("region"),
+            (F.col("id") % 3).cast("string").alias("host"),
+            F.col("id").cast("double").alias("usage"),
+            F.col("id").alias("time"),
+        )
+        out = frame_series_distributed(df, "cpu", ["region", "host"]).collect()
+        assert len(out) == 3  # one frame per (region, host) series
+        by_host = {r.host: r for r in out}
+        for h in ("0", "1", "2"):
+            r = by_host[h]
+            assert r.n_rows == len(r.time) == len(r.usage)
+            assert list(r.time) == sorted(r.time)  # time-ordered within frame
+        assert sum(r.n_rows for r in out) == n
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
