@@ -125,11 +125,16 @@ def minhash_signatures(
         ).alias(f"__m{i}")
         for i in range(num_perm)
     ]
-    # collect the shingle set in the SAME aggregation — no join back, one
-    # shuffle total for signatures + shingles
+    # Collect the shingle set in the SAME aggregation — no join back, one
+    # shuffle total for signatures + shingles.  The set holds xxhash64 LONGS,
+    # not the raw shingle strings: the exchange carries 8 bytes per distinct
+    # shingle instead of the n-gram text (which dominates shuffle volume at
+    # corpus scale), and Jaccard over 64-bit hash sets equals string-set
+    # Jaccard modulo ~2^-64-probability collisions (deterministic either way;
+    # the DuckDB parity gate recomputes over raw strings and agrees).
     return (
         ex.groupBy(id_col)
-        .agg(F.collect_set("s").alias("shingles"), *mins)
+        .agg(F.collect_set(F.xxhash64(F.col("s"))).alias("shingles"), *mins)
         .select(
             F.col(id_col),
             F.col("shingles"),
@@ -143,6 +148,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_perm: int = 64,
     bands: int = 16,
+    max_bucket_size: int = 20_000,
 ) -> DataFrame:
     """MinHash-LSH banding: docs sharing any full band become candidates.
 
@@ -150,6 +156,14 @@ def lsh_candidate_pairs(
     inside each bucket yields ordered candidate pairs (a < b), deduped.  Band
     width = num_perm // bands rows; with 64 perms / 16 bands the s-curve
     threshold sits near Jaccard ≈ (1/16)^(1/4) ≈ 0.5.
+
+    Skew guard: a degenerate bucket (e.g. a boilerplate band value shared by
+    millions of docs) would make its self-join quadratic and pin one
+    executor.  Buckets larger than ``max_bucket_size`` are excluded via a
+    broadcast anti-join before pairing (their pair lists would be
+    ~all-duplicates of each other anyway — exact dedup catches those
+    upstream far cheaper).  Use ``lsh_hot_buckets`` to observe what was
+    dropped.
     """
     rows = num_perm // bands
     banded = sig_df.select(
@@ -173,6 +187,8 @@ def lsh_candidate_pairs(
         ).alias("bb"),
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
+    banded = _drop_hot_buckets(banded, ["band", "bucket"], max_bucket_size)
+
     # Pin the physical strategy: shuffle-hash on (band, bucket).  The planner
     # occasionally mis-estimates this self-join (tiny inputs, exploded rows)
     # and picks a plan that degrades badly; SHJ is optimal here at any scale
@@ -194,17 +210,74 @@ def lsh_candidate_pairs(
     return pairs
 
 
+def _drop_hot_buckets(
+    banded: DataFrame, keys: list[str], max_bucket_size: int
+) -> DataFrame:
+    """Exclude rows whose bucket exceeds ``max_bucket_size`` members.
+
+    The hot-bucket list is tiny (it only holds degenerate keys), so it
+    broadcasts; the anti-join is in-plan — no extra driver action.
+    """
+    if max_bucket_size is None or max_bucket_size <= 0:
+        return banded
+    hot = (
+        banded.groupBy(*keys)
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > max_bucket_size)
+        .select(*keys)
+    )
+    return banded.join(F.broadcast(hot), keys, "left_anti")
+
+
+def lsh_hot_buckets(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    max_bucket_size: int = 20_000,
+) -> DataFrame:
+    """Observability twin of the skew guard: (band, bucket, n_docs) for every
+    bucket ``lsh_candidate_pairs`` would drop at this threshold."""
+    rows = num_perm // bands
+    banded = sig_df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.hash(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("signature"), b * rows + 1, rows),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket_size)
+    )
+
+
 def jaccard_verify(
     pairs: DataFrame,
     sig_df: DataFrame,
     id_col: str = "doc_id",
     threshold: float = 0.7,
 ) -> DataFrame:
-    """Exact Jaccard on distinct shingle sets for candidate pairs.
+    """Exact Jaccard on distinct shingle-hash sets for candidate pairs.
 
     Candidates are a tiny fraction of the corpus, so the two joins pulling
-    shingle arrays are cheap; similarity is array_intersect/array_union —
-    JVM-side.  Returns (a, b, jaccard) with jaccard >= threshold.
+    shingle-hash arrays (xxhash64 longs, see ``minhash_signatures``) are
+    cheap; similarity is array_intersect/array_union — JVM-side.  Returns
+    (a, b, jaccard) with jaccard >= threshold.
     """
     sh = sig_df.select(F.col(id_col), F.col("shingles"))
     a_sh = sh.withColumnsRenamed({id_col: "a", "shingles": "sh_a"})
@@ -232,6 +305,7 @@ def near_duplicate_pairs_minhash(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.7,
+    max_bucket_size: int = 20_000,
 ) -> DataFrame:
     """End-to-end MinHash near-dup: shingle → sign → band → verify."""
     sigs = minhash_signatures(df, text_col, id_col, shingle_n, num_perm)
@@ -241,7 +315,7 @@ def near_duplicate_pairs_minhash(
     # downstream stage inherits overhead-bound micro-tasks; the checkpoint
     # gives exact size stats and lets AQE coalesce.
     sigs = sigs.localCheckpoint(eager=True)
-    cands = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
+    cands = lsh_candidate_pairs(sigs, id_col, num_perm, bands, max_bucket_size)
     return jaccard_verify(cands, sigs, id_col, threshold)
 
 
@@ -399,13 +473,15 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket_size: int = 20_000,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
     Pigeonhole banding: split 64 bits into (max_hamming+1) bands; any pair
     within distance k agrees exactly on ≥1 band → join on (band_id, band
     bits), verify with bit_count(xor).  Same shuffle-not-crossproduct shape
-    as MinHash-LSH.
+    as MinHash-LSH, including the hot-bucket guard (a band of all-zero bits
+    over boilerplate text is the classic degenerate key).
     """
     nbands = max_hamming + 1
     width = 64 // nbands
@@ -428,6 +504,8 @@ def simhash_near_pairs(
             )
         ).alias("bb"),
     ).select("doc", "sig", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"))
+
+    bands = _drop_hot_buckets(bands, ["band", "bits"], max_bucket_size)
 
     l, r = bands.alias("l"), bands.alias("r")
     ham = F.bit_count(F.col("l.sig").bitwiseXOR(F.col("r.sig")))

@@ -169,10 +169,22 @@ def train_ivf_centroids(
     """Lloyd's k-means on a driver-side sample (numpy).  Returns (n_c, dim)
     float64 centroids.  The sample bound keeps driver memory O(sample·dim)
     regardless of corpus size; centroids broadcast implicitly as UDF
-    constants."""
+    constants.
+
+    The sample is drawn with ``df.sample`` (seeded, uniform across ALL
+    partitions) — a ``limit`` would take the first partitions only, which
+    on sorted/partitioned corpora trains centroids on a biased slice.
+    """
     import numpy as np
 
-    sample = df.select(vec_col).limit(sample_rows).collect()
+    n = df.count()
+    fraction = min(1.0, (sample_rows * 1.2) / max(n, 1))
+    sample = (
+        df.select(vec_col)
+        .sample(withReplacement=False, fraction=fraction, seed=seed)
+        .limit(sample_rows)
+        .collect()
+    )
     x = np.stack([r[0] for r in sample]).astype("float64")
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]

@@ -113,3 +113,36 @@ def test_duplicate_clusters_and_drop(spark):
     )
     kept = sorted(r.doc_id for r in drop_near_duplicates(docs, pairs).collect())
     assert kept == [1, 5, 7]
+
+
+def test_lsh_hot_bucket_guard_bounds_degenerate_corpora(spark):
+    """A degenerate corpus (hundreds of identical docs -> one LSH bucket)
+    must not go quadratic: with a cap, the hot bucket is excluded and the
+    genuine near-dup pair in a small bucket still comes back."""
+    from influxdb_iox_spark.pipeline.dedup import (
+        lsh_hot_buckets,
+        minhash_signatures,
+        near_duplicate_pairs_minhash,
+    )
+
+    boiler = [(i, "the same boilerplate text repeated verbatim everywhere") for i in range(300)]
+    real = [
+        (1000, "a genuinely unique document about spark shuffle partitioning and skew"),
+        (1001, "a genuinely unique document about spark shuffle partitioning and salt"),
+        (2000, "completely unrelated content concerning maritime navigation rules"),
+    ]
+    df = spark.createDataFrame(boiler + real, "doc_id long, text string")
+
+    pairs = near_duplicate_pairs_minhash(df, threshold=0.5, max_bucket_size=50)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    # the 300-doc degenerate clique (≈45k pairs) was dropped by the guard...
+    assert got == {(1000, 1001)}
+    # ...and the observability twin reports exactly the hot buckets
+    sigs = minhash_signatures(df)
+    hot = lsh_hot_buckets(sigs, max_bucket_size=50).collect()
+    assert len(hot) == 16  # all 16 bands of the identical-signature clique
+    assert all(r.n_docs == 300 for r in hot)
+
+    # without a cap the clique pairs come back (guard off -> exact recall)
+    uncapped = near_duplicate_pairs_minhash(df, threshold=0.5, max_bucket_size=0)
+    assert uncapped.count() == 300 * 299 // 2 + 1
