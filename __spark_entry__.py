@@ -1013,6 +1013,51 @@ FROM events GROUP BY 1 ORDER BY time_us
 """
 
 
+def q_month_window_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-month calendar windows with a NEGATIVE one-month offset — the
+    general GetEarliestBounds chain (shift, absolute-anchor truncate, shift
+    back; ref internal.rs:278-345 + the 'negative calendar offset' unit
+    case), grouped per event_type."""
+    from influxdb_iox_spark.functions.time import month_window_bounds_struct
+
+    t = _load(spark, sf_dir, "events")
+    ev = t["events"].withColumn(
+        "__b", month_window_bounds_struct("ts", 2, -1)
+    )
+    return (
+        ev.groupBy(
+            "event_type", F.expr("__b.stop div 1000").alias("time_us")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            _money_sum(_dec("value"), "sum_value"),
+        )
+        .orderBy("event_type", "time_us")
+    )
+
+
+# The oracle replays the same chain in SQL: shift by +1 month (minus the -1
+# offset), truncate on the ABSOLUTE year*12+month grid mod 2, add 2 months,
+# subtract the offset month.
+SQL_MONTH_WINDOW_OFFSET = """
+WITH shifted AS (
+  SELECT event_type, value,
+    year(ts + INTERVAL 1 MONTH) * 12 + month(ts + INTERVAL 1 MONTH) - 1 AS total
+  FROM events),
+w AS (
+  SELECT event_type, value, total - (total % 2) AS aligned FROM shifted),
+b AS (
+  SELECT event_type, value,
+    make_date(CAST(aligned // 12 AS INT), CAST(aligned % 12 AS INT) + 1, 1)
+      + INTERVAL 2 MONTH - INTERVAL 1 MONTH AS stop
+  FROM w)
+SELECT event_type, epoch_us(CAST(stop AS TIMESTAMP)) AS time_us,
+  COUNT(*) AS n,
+  round(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_value
+FROM b GROUP BY 1, 2 ORDER BY event_type, time_us
+"""
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per series (beyond the reference:
     row_group.rs:198-201 lists Percentile as TODO)."""
@@ -1577,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rpc_field_columns": q_field_columns,
         "rpc_tag_values": q_tag_values,
         "rpc_month_window": q_month_window,
+        "rpc_month_window_offset": q_month_window_offset,
         "dedup_last_non_null": q_dedup_last_non_null,
         "json_props_extract": q_json_props,
         "percentiles_by_type": q_percentiles,
@@ -1624,6 +1670,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q7_nation_volume": SQL_NATION_VOLUME,
         "tpch_q19_discounted_revenue": SQL_DISCOUNTED_REVENUE,
         "rpc_month_window": SQL_MONTH_WINDOW,
+        "rpc_month_window_offset": SQL_MONTH_WINDOW_OFFSET,
         "percentiles_by_type": SQL_PERCENTILES,
         "schema_merge_union": SQL_SCHEMA_MERGE,
         "sessionization": SQL_SESSIONIZATION,

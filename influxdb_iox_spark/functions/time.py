@@ -50,30 +50,78 @@ def window_bounds(
     return window_start(time, every_ns, offset_ns) + F.lit(every_ns)
 
 
-def month_window_bounds(time: Column | str = TIME_COLUMN_NAME, months: int = 1) -> Column:
-    """End boundary (ns) of the calendar-month window containing ``time``.
+def window_bounds_struct(
+    time: Column | str = TIME_COLUMN_NAME,
+    every_ns: int = NS_PER_SECOND,
+    offset_ns: int = 0,
+    period_ns: int | None = None,
+) -> Column:
+    """Full ``GetEarliestBounds`` for fixed-ns windows: struct(start, stop).
 
-    Whole-month windows only (the common case of Duration::Variable).  The ns
-    value is converted to a µs timestamp, truncated to month start, advanced
-    ``months`` months, and converted back — month boundaries have zero
-    sub-second component so the round-trip is exact.
+    ``period`` defaults to ``every`` (tumbling); period > every gives the
+    reference's overlapping windows, period < every the underlapping ones
+    (window_test.go cases reproduced in tests/test_functions.py).
     """
-    t = _col(time)
+    period_ns = every_ns if period_ns is None else period_ns
+    stop = window_bounds(time, every_ns, offset_ns)
+    return F.struct((stop - F.lit(period_ns)).alias("start"), stop.alias("stop"))
+
+
+def _ns_to_month_ts(t: Column) -> Column:
+    """ns → µs TimestampType with FLOOR semantics (negative ns included).
+
+    Month boundaries are µs-aligned, so flooring sub-µs detail never moves a
+    timestamp across a month boundary; flooring (not truncation toward zero)
+    keeps pre-1970 values in their correct month.
+    """
     # exact ns→µs: strip the sub-µs remainder BEFORE dividing — a multiple of
     # 1000 up to ~1.7e18 divides to <2^53, so the double division is exact
-    # (raw float division of the ns value is not: 53-bit mantissa).
-    ts = F.timestamp_micros(
-        ((t - F.pmod(t, F.lit(NS_PER_US))) / NS_PER_US).cast("long")
+    # (raw float division of the ns value is not: 53-bit mantissa); pmod makes
+    # the strip a floor for negative ns.
+    return F.timestamp_micros(((t - F.pmod(t, F.lit(NS_PER_US))) / NS_PER_US).cast("long"))
+
+
+def month_window_bounds_struct(
+    time: Column | str = TIME_COLUMN_NAME,
+    every_months: int = 1,
+    offset_months: int = 0,
+    period_months: int | None = None,
+) -> Column:
+    """``GetEarliestBounds`` for calendar-month windows: struct(start, stop) ns.
+
+    Faithful to the reference chain (internal.rs:24-60 Duration,
+    :278-345 truncate_by_months + Add impl, window.go:70 GetEarliestBounds):
+
+      t'    = t + offset·(−1)          calendar shift, day clamped to month end
+      stop  = truncate_months(t', every) + every months + offset
+      start = stop − period months
+
+    - ``offset_months`` may be NEGATIVE (Duration::from_months_with_negative /
+      the reference's "negative calendar offset" unit case) — the sign simply
+      flips the two calendar shifts.
+    - truncate_by_months anchors on ABSOLUTE year·12 + (month−1) (not the
+      1970 epoch), exactly like the reference; for ``every`` not dividing
+      23640 the two anchors differ.
+    - Calendar shifts use ``add_months``, whose clamp-to-last-day behavior
+      matches the reference's Add impl (internal.rs:204-257).
+    """
+    period_months = every_months if period_months is None else period_months
+    t = _col(time)
+    shifted = F.add_months(_ns_to_month_ts(t), -offset_months)
+    total = F.year(shifted) * 12 + F.month(shifted) - 1
+    aligned = total - F.pmod(total, F.lit(every_months))
+    trunc = F.make_date(
+        F.floor(aligned / 12).cast("int"),
+        F.pmod(aligned, F.lit(12)).cast("int") + 1,
+        F.lit(1),
     )
-    start = F.date_trunc("month", ts)
-    # floor to the month grid anchored at epoch when months > 1
-    if months > 1:
-        months_since_epoch = (F.year(start) - F.lit(1970)) * 12 + F.month(start) - 1
-        aligned = months_since_epoch - F.pmod(months_since_epoch, F.lit(months))
-        start = F.make_date(
-            F.lit(1970) + F.floor(aligned / 12).cast("int"),
-            F.pmod(aligned, F.lit(12)).cast("int") + 1,
-            F.lit(1),
-        ).cast("timestamp")
-    end = F.add_months(start, months).cast("timestamp")
-    return F.unix_micros(end) * NS_PER_US
+    stop = F.add_months(F.add_months(trunc, every_months), offset_months)
+    start = F.add_months(stop, -period_months)
+    to_ns = lambda d: F.unix_micros(d.cast("timestamp")) * NS_PER_US  # noqa: E731
+    return F.struct(to_ns(start).alias("start"), to_ns(stop).alias("stop"))
+
+
+def month_window_bounds(time: Column | str = TIME_COLUMN_NAME, months: int = 1) -> Column:
+    """End boundary (ns) of the calendar-month window containing ``time``
+    (the tumbling offset-0 case of ``month_window_bounds_struct``)."""
+    return month_window_bounds_struct(time, months).getField("stop")
