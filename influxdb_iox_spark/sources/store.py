@@ -71,7 +71,21 @@ class TableStore:
 
         base_dir/
           <table>/chunk-<id>-<uuid>/part-*.parquet   (one sorted chunk)
-          _manifest/<table>.json                     (list[ChunkMeta])
+          _manifest/<table>/part-<key>.json          (list[ChunkMeta] of ONE
+                                                      partition key)
+          _manifest/<table>/_next_id                 (chunk-id counter)
+
+    The manifest is PARTITIONED BY PARTITION KEY: appending a chunk rewrites
+    only its own partition's file (O(chunks-in-partition)), not the whole
+    table (O(total chunks)) — the write-side analogue of the reference
+    keeping per-partition catalogs, and what keeps continuous ingest flat as
+    a table accumulates 10^4-10^5 chunks.  Full-table reads
+    (``manifest(table)``) concatenate the per-partition files; partition-
+    scoped readers use ``manifest_partition`` and never touch the rest.
+
+    Single-writer assumption (as documented on drop_chunks): the id counter
+    and manifest swaps are atomic-rename safe against crashes, not against
+    concurrent writers.
     """
 
     def __init__(self, base_dir: str):
@@ -79,29 +93,100 @@ class TableStore:
         os.makedirs(os.path.join(base_dir, "_manifest"), exist_ok=True)
 
     # -- manifest ---------------------------------------------------------
-    def _manifest_path(self, table: str) -> str:
-        return os.path.join(self.base_dir, "_manifest", f"{table}.json")
+    def _manifest_dir(self, table: str) -> str:
+        return os.path.join(self.base_dir, "_manifest", table)
 
-    def manifest(self, table: str) -> list[ChunkMeta]:
-        p = self._manifest_path(table)
+    @staticmethod
+    def _part_file(partition_key: str) -> str:
+        """Deterministic, filesystem-safe file name for one partition key."""
+        from urllib.parse import quote
+
+        q = quote(partition_key, safe="") or "__none__"
+        if len(q) > 80:  # cap pathological keys; md5 keeps it collision-free
+            import hashlib
+
+            q = q[:64] + "-" + hashlib.md5(q.encode()).hexdigest()[:16]
+        return f"part-{q}.json"
+
+    def _part_files(self, table: str) -> list[str]:
+        d = self._manifest_dir(table)
+        if not os.path.isdir(d):
+            return []
+        return sorted(f for f in os.listdir(d) if f.startswith("part-"))
+
+    def _load_part(self, table: str, fname: str) -> list[ChunkMeta]:
+        p = os.path.join(self._manifest_dir(table), fname)
         if not os.path.exists(p):
             return []
         with open(p) as f:
             return [ChunkMeta(**e) for e in json.load(f)]
 
-    def _save_manifest(self, table: str, entries: list[ChunkMeta]) -> None:
-        tmp = self._manifest_path(table) + ".tmp"
+    def _save_part(self, table: str, fname: str, entries: list[ChunkMeta]) -> None:
+        d = self._manifest_dir(table)
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(d, fname)
+        if not entries:
+            if os.path.exists(p):
+                os.remove(p)
+            return
+        tmp = p + ".tmp"
         with open(tmp, "w") as f:
             json.dump([asdict(e) for e in entries], f, indent=1, default=str)
-        os.replace(tmp, self._manifest_path(table))
+        os.replace(tmp, p)
+
+    def manifest(self, table: str) -> list[ChunkMeta]:
+        out: list[ChunkMeta] = []
+        for fname in self._part_files(table):
+            out.extend(self._load_part(table, fname))
+        out.sort(key=lambda c: c.chunk_id)
+        return out
+
+    def manifest_partition(self, table: str, partition_key: str) -> list[ChunkMeta]:
+        """Chunks of ONE partition — reads exactly one manifest file."""
+        return self._load_part(table, self._part_file(partition_key))
+
+    def _save_manifest(self, table: str, entries: list[ChunkMeta]) -> None:
+        """Full-table rewrite (used by bulk paths like drop_chunks)."""
+        by_part: dict[str, list[ChunkMeta]] = {}
+        for c in entries:
+            by_part.setdefault(self._part_file(c.partition_key), []).append(c)
+        for fname in set(self._part_files(table)) | set(by_part):
+            self._save_part(table, fname, by_part.get(fname, []))
+
+    def _append_manifest(self, table: str, meta: ChunkMeta) -> None:
+        """O(partition) append: rewrites only the chunk's partition file."""
+        fname = self._part_file(meta.partition_key)
+        entries = self._load_part(table, fname)
+        entries.append(meta)
+        self._save_part(table, fname, entries)
 
     def tables(self) -> list[str]:
         mdir = os.path.join(self.base_dir, "_manifest")
-        return sorted(f[:-5] for f in os.listdir(mdir) if f.endswith(".json"))
+        return sorted(
+            d for d in os.listdir(mdir)
+            if os.path.isdir(os.path.join(mdir, d)) and self._part_files(d)
+        )
 
     def next_chunk_id(self, table: str) -> int:
+        p = os.path.join(self._manifest_dir(table), "_next_id")
+        if os.path.exists(p):
+            with open(p) as f:
+                return int(f.read().strip() or 0)
         m = self.manifest(table)
         return (max(c.chunk_id for c in m) + 1) if m else 0
+
+    def _alloc_chunk_id(self, table: str) -> int:
+        """Allocate the next chunk id via the counter file — O(1), no
+        full-manifest read."""
+        nxt = self.next_chunk_id(table)
+        d = self._manifest_dir(table)
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(d, "_next_id")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(nxt + 1))
+        os.replace(tmp, p)
+        return nxt
 
     # -- write ------------------------------------------------------------
     def write_chunk(
@@ -129,7 +214,7 @@ class TableStore:
         out_cols = [f.name for f in schema.struct.fields if f.name in df.columns]
         df = df.select(*out_cols).sortWithinPartitions(*pk)
 
-        chunk_id = self.next_chunk_id(table)
+        chunk_id = self._alloc_chunk_id(table)
         rel = os.path.join(table, f"chunk-{chunk_id:06d}-{uuid.uuid4().hex[:8]}")
         path = os.path.join(self.base_dir, rel)
         df.write.mode("errorifexists").parquet(path)
@@ -147,9 +232,7 @@ class TableStore:
             created_at=_time.time(),
             tag_values=tag_catalog,
         )
-        entries = self.manifest(table)
-        entries.append(meta)
-        self._save_manifest(table, entries)
+        self._append_manifest(table, meta)
         return meta
 
     TAG_CATALOG_CAP = 1000
@@ -329,10 +412,14 @@ class TableStore:
         at missing data.  Continuous compaction would otherwise grow disk
         unboundedly — every compact rewrites its inputs.
         """
-        old = self.manifest(table)
-        dropped = [c for c in old if c.chunk_id in chunk_ids]
-        entries = [c for c in old if c.chunk_id not in chunk_ids]
-        self._save_manifest(table, entries)
+        ids = set(chunk_ids)
+        dropped: list[ChunkMeta] = []
+        for fname in self._part_files(table):
+            entries = self._load_part(table, fname)
+            keep = [c for c in entries if c.chunk_id not in ids]
+            if len(keep) != len(entries):
+                dropped.extend(c for c in entries if c.chunk_id in ids)
+                self._save_part(table, fname, keep)  # only changed partitions
         if delete_files:
             import shutil
 

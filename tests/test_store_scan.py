@@ -114,3 +114,55 @@ def test_database_sql_surface(spark, tmp_path):
     ]
     sys_rows = db.query("SELECT count(*) AS n FROM system_chunks").first()
     assert sys_rows.n == 3
+
+
+def test_manifest_scales_to_many_chunks(tmp_path):
+    """10^4 chunk registrations stay O(partition) per append: the partitioned
+    manifest rewrites one partition file per write, so total time is seconds,
+    and partition-scoped reads touch exactly one file."""
+    import time as _t
+
+    from influxdb_iox_spark.sources.store import ChunkMeta, TableStore
+
+    store = TableStore(str(tmp_path / "store"))
+    n_parts, per_part = 100, 100
+    t0 = _t.perf_counter()
+    for p in range(n_parts):
+        key = f"2024-01-{p:03d}"
+        for i in range(per_part):
+            cid = store._alloc_chunk_id("events")
+            store._append_manifest(
+                "events",
+                ChunkMeta(
+                    chunk_id=cid,
+                    path=f"events/chunk-{cid:06d}",
+                    table="events",
+                    partition_key=key,
+                    row_count=1000,
+                    stats={"time": [p * 1000, p * 1000 + 999]},
+                ),
+            )
+    elapsed = _t.perf_counter() - t0
+    assert elapsed < 30, f"10^4 manifest appends took {elapsed:.1f}s"
+
+    all_chunks = store.manifest("events")
+    assert len(all_chunks) == n_parts * per_part
+    assert len({c.chunk_id for c in all_chunks}) == n_parts * per_part
+
+    # partition-scoped read: exactly the one partition, without a full read
+    one = store.manifest_partition("events", "2024-01-007")
+    assert len(one) == per_part
+    assert {c.partition_key for c in one} == {"2024-01-007"}
+
+    # drop a partition's chunks: only that file rewritten, rest intact
+    store.drop_chunks("events", [c.chunk_id for c in one], delete_files=False)
+    assert len(store.manifest("events")) == (n_parts - 1) * per_part
+    assert store.manifest_partition("events", "2024-01-007") == []
+
+    # time-range pruning over the full 10^4-chunk manifest is metadata-fast
+    from influxdb_iox_spark.plans.predicate import Predicate
+
+    t0 = _t.perf_counter()
+    pruned = store.prune_chunks("events", Predicate().with_range(5000, 6000))
+    assert _t.perf_counter() - t0 < 2
+    assert {c.partition_key for c in pruned} == {"2024-01-005"}
