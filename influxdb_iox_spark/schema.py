@@ -146,9 +146,22 @@ def merge_chunk_frames(frames: list[DataFrame]) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), frames)
 
 
+def ns_to_us_floor(time_col: str) -> F.Column:
+    """ns → µs with FLOOR semantics, exact for the full int64 range.
+
+    One canonical helper for every ns→µs conversion (partition keys, view
+    timestamps, window bounds must agree): plain ``div`` truncates toward
+    zero, so a pre-1970 timestamp would round toward the future and can flip
+    a date-based partition key at a day boundary; float division is exact
+    only to double's 53-bit mantissa.  ``(t - pmod(t, 1000)) div 1000`` is
+    integer, exact, and floors for negative ns.
+    """
+    c = f"`{time_col}`"
+    return F.expr(f"({c} - pmod({c}, 1000)) div 1000")
+
+
 def time_to_timestamp(df: DataFrame, time_col: str = TIME_COLUMN_NAME) -> DataFrame:
     """Derive a µs TimestampType view column from canonical ns-long time."""
-    # integer div (not float /): ns epochs exceed double's 53-bit mantissa
     return df.withColumn(
-        f"{time_col}_ts", F.timestamp_micros(F.expr(f"`{time_col}` div 1000"))
+        f"{time_col}_ts", F.timestamp_micros(ns_to_us_floor(time_col))
     )

@@ -266,8 +266,12 @@ class TableStore:
         (caller must fall back to a scan).  With partition_key, only chunks
         of that partition contribute; a chunk with an empty/unknown key MAY
         hold rows of any partition, so its presence makes the catalog
-        insufficient (returns None — unlike data scans there is no downstream
-        row filter to correct an over-inclusive answer)."""
+        insufficient (returns None).  Note the data-scan path has the same
+        over-inclusion for partition keys — prune_chunks conservatively
+        includes ""-key chunks and no row-level partition filter corrects
+        that afterward (time ranges and exprs DO get row-filtered) — which
+        is why the lifecycle policy compacts/persists strictly within one
+        partition key and never mints ""-key chunks."""
         values: set[str] = set()
         chunks = self.manifest(table)
         if partition_key:
@@ -403,7 +407,11 @@ class TableStore:
         return out.select(*cols)
 
     def drop_chunks(
-        self, table: str, chunk_ids: list[int], delete_files: bool = True
+        self,
+        table: str,
+        chunk_ids: list[int],
+        delete_files: bool = True,
+        defer_delete_seconds: float = 0.0,
     ) -> None:
         """Remove chunks from the manifest, then delete their directories.
 
@@ -411,6 +419,13 @@ class TableStore:
         orphaned-but-unreferenced files (GC-able), never a manifest pointing
         at missing data.  Continuous compaction would otherwise grow disk
         unboundedly — every compact rewrites its inputs.
+
+        Concurrency note: immediate deletion assumes the SINGLE-WRITER,
+        no-concurrent-reader deployment (a lazy DataFrame still referencing
+        a retired chunk path fails at action time).  When queries run
+        alongside compaction, pass ``defer_delete_seconds > 0``: retired
+        paths are parked in ``_retired.json`` and reclaimed by
+        ``gc_retired`` once the grace period (longer than any query) passes.
         """
         ids = set(chunk_ids)
         dropped: list[ChunkMeta] = []
@@ -420,11 +435,62 @@ class TableStore:
             if len(keep) != len(entries):
                 dropped.extend(c for c in entries if c.chunk_id in ids)
                 self._save_part(table, fname, keep)  # only changed partitions
-        if delete_files:
-            import shutil
+        if not delete_files:
+            return
+        if defer_delete_seconds > 0:
+            self._park_retired(table, [c.path for c in dropped])
+            self.gc_retired(table, defer_delete_seconds)
+            return
+        import shutil
 
-            for c in dropped:
-                shutil.rmtree(os.path.join(self.base_dir, c.path), ignore_errors=True)
+        for c in dropped:
+            shutil.rmtree(os.path.join(self.base_dir, c.path), ignore_errors=True)
+
+    def _retired_path(self, table: str) -> str:
+        return os.path.join(self._manifest_dir(table), "_retired.json")
+
+    def _park_retired(self, table: str, paths: list[str]) -> None:
+        p = self._retired_path(table)
+        entries = []
+        if os.path.exists(p):
+            with open(p) as f:
+                entries = json.load(f)
+        now = _time.time()
+        entries.extend({"path": rel, "retired_at": now} for rel in paths)
+        os.makedirs(self._manifest_dir(table), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(entries, f, indent=1)
+        os.replace(tmp, p)
+
+    def gc_retired(self, table: str, grace_seconds: float) -> int:
+        """Delete parked chunk directories older than ``grace_seconds``.
+
+        Safe to call on any schedule (idempotent); returns directories
+        reclaimed this sweep.
+        """
+        p = self._retired_path(table)
+        if not os.path.exists(p):
+            return 0
+        with open(p) as f:
+            entries = json.load(f)
+        import shutil
+
+        cutoff = _time.time() - grace_seconds
+        keep, reclaimed = [], 0
+        for e in entries:
+            if e["retired_at"] <= cutoff:
+                shutil.rmtree(
+                    os.path.join(self.base_dir, e["path"]), ignore_errors=True
+                )
+                reclaimed += 1
+            else:
+                keep.append(e)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(keep, f, indent=1)
+        os.replace(tmp, p)
+        return reclaimed
 
 
 _SENTINEL = object()

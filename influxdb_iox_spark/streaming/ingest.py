@@ -42,10 +42,12 @@ class PartitionTemplate:
         exprs = []
         for kind, arg in self.parts:
             if kind == "time_format":
-                # integer div: ns epochs (~1.7e18) exceed double's 53-bit
-                # mantissa, so float division can flip a µs at the boundary
-                # — and with it the partition key.
-                ts = F.timestamp_micros(F.expr(f"`{time_column}` div 1000"))
+                from influxdb_iox_spark.schema import ns_to_us_floor
+
+                # one shared floor-semantics ns→µs (see schema.ns_to_us_floor)
+                # so partition keys agree with view timestamps and window
+                # bounds, including for pre-1970 data.
+                ts = F.timestamp_micros(ns_to_us_floor(time_column))
                 exprs.append(F.date_format(ts, _strftime_to_spark(arg)))
             elif kind == "column":
                 exprs.append(F.coalesce(F.col(arg).cast("string"), F.lit("")))

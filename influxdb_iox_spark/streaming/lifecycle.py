@@ -61,46 +61,64 @@ class LifecyclePolicy:
 
     def maybe_compact(self, table: str) -> list:
         """Compact every overlapping group meeting the thresholds
-        (policy.rs:187 maybe_compact_chunks)."""
+        (policy.rs:187 maybe_compact_chunks).
+
+        Groups form WITHIN each partition key (the reference's lifecycle is
+        per-partition): compacting across keys would mint chunks with an
+        unknown ("") partition key that partition-filtered scans and the
+        metadata fast paths must then conservatively include forever.
+        """
         schema = self.schemas[table]
-        chunks = self.store.manifest(table)
+        by_part: dict[str, list] = {}
+        for c in self.store.manifest(table):
+            by_part.setdefault(c.partition_key, []).append(c)
         done = []
-        for g in group_potential_duplicates(chunks, schema.primary_key):
-            if len(g) < self.rules.compact_min_chunks:
-                continue
-            members = [chunks[i] for i in g]
-            if sum(c.row_count for c in members) > self.rules.compact_max_group_rows:
-                continue
-            done.append(
-                compact_chunks(
-                    self.spark, self.store, table, schema,
-                    [m.chunk_id for m in members],
+        for chunks in by_part.values():
+            for g in group_potential_duplicates(chunks, schema.primary_key):
+                if len(g) < self.rules.compact_min_chunks:
+                    continue
+                members = [chunks[i] for i in g]
+                if sum(c.row_count for c in members) > self.rules.compact_max_group_rows:
+                    continue
+                done.append(
+                    compact_chunks(
+                        self.spark, self.store, table, schema,
+                        [m.chunk_id for m in members],
+                    )
                 )
-            )
         return done
 
-    def maybe_persist(self, table: str, now_ns: int | None = None) -> tuple | None:
+    def maybe_persist(self, table: str, now_ns: int | None = None) -> list[tuple]:
         """Split-persist rows safely outside the late-arrival window
-        (policy.rs:291 maybe_persist_chunks; split rule reorg.rs:146)."""
+        (policy.rs:291 maybe_persist_chunks; split rule reorg.rs:146).
+
+        One persist_split per PARTITION KEY, so outputs inherit their
+        partition's key instead of collapsing to "" (see maybe_compact).
+        Returns the list of (cold, hot) chunk-meta pairs (empty = no work).
+        """
         schema = self.schemas[table]
         newest = self.max_seen_time_ns(table)
         if newest is None:
-            return None
+            return []
         split_time = newest - self.rules.late_arrive_window_seconds * NS_PER_SECOND
-        eligible = [
-            c
-            for c in self.store.manifest(table)
-            if _time.time() - c.created_at >= self.rules.min_age_seconds
-            and c.column_range(schema.time_column)
-            and c.column_range(schema.time_column)[0] is not None
-            and int(c.column_range(schema.time_column)[0]) <= split_time
-        ]
-        if not eligible:
-            return None
-        return persist_split(
-            self.spark, self.store, table, schema, split_time,
-            [c.chunk_id for c in eligible],
-        )
+        by_part: dict[str, list] = {}
+        for c in self.store.manifest(table):
+            if (
+                _time.time() - c.created_at >= self.rules.min_age_seconds
+                and c.column_range(schema.time_column)
+                and c.column_range(schema.time_column)[0] is not None
+                and int(c.column_range(schema.time_column)[0]) <= split_time
+            ):
+                by_part.setdefault(c.partition_key, []).append(c)
+        out = []
+        for chunks in by_part.values():
+            out.append(
+                persist_split(
+                    self.spark, self.store, table, schema, split_time,
+                    [c.chunk_id for c in chunks],
+                )
+            )
+        return out
 
     def check_for_work(self) -> dict[str, dict]:
         """One policy sweep over every table (policy.rs:448)."""
@@ -110,6 +128,6 @@ class LifecyclePolicy:
             persisted = self.maybe_persist(table)
             report[table] = {
                 "compacted": [c.chunk_id for c in compacted],
-                "persisted": persisted is not None,
+                "persisted": bool(persisted),
             }
         return report

@@ -35,7 +35,9 @@ def windowed_aggregate(
     the output time is the window END in epoch-µs, matching
     read_window_aggregate's stop-boundary convention.
     """
-    ts = F.timestamp_micros(F.expr(f"{time_column} div 1000"))
+    from influxdb_iox_spark.schema import ns_to_us_floor
+
+    ts = F.timestamp_micros(ns_to_us_floor(time_column))
     with_ts = df.withColumn("__event_ts", ts)
     if with_ts.isStreaming:
         with_ts = with_ts.withWatermark(

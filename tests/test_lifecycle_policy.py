@@ -114,3 +114,54 @@ def test_windowed_aggregate_streaming(spark, tmp_path):
         (r.k, r.time): r.sum_v for r in spark.sql("SELECT * FROM win_out").collect()
     }
     assert rows == {("a", 60 * 1_000_000): 4.0, ("b", 120 * 1_000_000): 5.0}
+
+
+def test_policy_never_mints_empty_partition_keys(spark, tmp_path):
+    """Compact/persist group WITHIN partition keys: after a sweep, every
+    chunk still carries its partition's key (no ""-key chunks that
+    partition-filtered scans must conservatively include forever)."""
+    store = TableStore(str(tmp_path / "pk"))
+    for key, t in [("2020-09-13", 100 * S), ("2020-09-14", 86400 * S + 100 * S)]:
+        for v in (1.0, 2.0):  # two overlapping chunks per partition
+            df = spark.createDataFrame(
+                [("west", v, t)], "region string, user double, time long"
+            )
+            store.write_chunk(df, "cpu", CPU, partition_key=key)
+    policy = LifecyclePolicy(
+        spark, store, {"cpu": CPU}, LifecycleRules(late_arrive_window_seconds=1)
+    )
+    policy.check_for_work()
+    keys = {c.partition_key for c in store.manifest("cpu")}
+    assert "" not in keys
+    assert keys <= {"2020-09-13", "2020-09-14"}
+
+
+def test_partition_key_floors_negative_time(spark):
+    """Pre-1970 ns must floor to the previous µs/day, not round toward 1970:
+    t = -1ns belongs to 1969-12-31, never 1970-01-01."""
+    from influxdb_iox_spark.streaming.ingest import PartitionTemplate
+
+    df = spark.createDataFrame([(-1,), (-86_400 * S - 1,)], "time long")
+    keys = [
+        r.k
+        for r in df.select(
+            PartitionTemplate().key_column("cpu", "time").alias("k")
+        ).collect()
+    ]
+    assert keys == ["1969-12-31", "1969-12-30"]
+
+
+def test_drop_chunks_deferred_gc(spark, tmp_path):
+    import os
+
+    store = TableStore(str(tmp_path / "gc"))
+    df = spark.createDataFrame([("west", 1.0, 100)], "region string, user double, time long")
+    meta = store.write_chunk(df, "cpu", CPU)
+    chunk_dir = os.path.join(store.base_dir, meta.path)
+    store.drop_chunks("cpu", [meta.chunk_id], defer_delete_seconds=3600)
+    # manifest no longer lists it, but the files survive the grace period
+    assert store.manifest("cpu") == []
+    assert os.path.isdir(chunk_dir)
+    assert store.gc_retired("cpu", 3600) == 0
+    assert store.gc_retired("cpu", 0) == 1  # grace elapsed -> reclaimed
+    assert not os.path.isdir(chunk_dir)
