@@ -54,6 +54,7 @@ class Database:
             self.table(t).createOrReplaceTempView(t)
         self.system_chunks().createOrReplaceTempView("system_chunks")
         self.system_columns().createOrReplaceTempView("system_columns")
+        self.system_operations().createOrReplaceTempView("system_operations")
 
     def query(self, sql: str) -> DataFrame:
         """SQL frontend — the ``spark.sql`` twin of SqlQueryPlanner::query."""
@@ -77,6 +78,31 @@ class Database:
         schema = (
             "table_name string, chunk_id long, partition_key string, "
             "storage string, row_count long, sorted_by string"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def system_operations(self) -> DataFrame:
+        """system.operations — background-job history
+        (server/src/db/system_tables.rs:465-559 OperationsTable; columns
+        follow operations_schema:494-504, with the job kind and table name
+        added and cpu_time omitted — Spark does not expose per-job cpu)."""
+        rows = [
+            Row(
+                id=o["id"],
+                status=o["status"],
+                job=o["job"],
+                table_name=o["table_name"],
+                partition_key=o["partition_key"],
+                chunk_ids=",".join(str(i) for i in o["chunk_ids"]),
+                wall_time_used=o["wall_nanos"],
+                description=o["description"],
+            )
+            for o in self.store.operations()
+        ]
+        schema = (
+            "id string, status string, job string, table_name string, "
+            "partition_key string, chunk_ids string, wall_time_used long, "
+            "description string"
         )
         return self.spark.createDataFrame(rows, schema)
 

@@ -51,31 +51,48 @@ def compact_chunks(
     scans take the no-dedup fast path — same effect as the reference moving
     chunks to a clean read-buffer chunk.
     """
+    import time as _time
+
     chunks = store.manifest(table)
     if chunk_ids is not None:
         chunks = [c for c in chunks if c.chunk_id in chunk_ids]
     if not chunks:
         raise ValueError(f"no chunks to compact for {table!r}")
 
-    with _reorg_pool(spark):
-        ordered = [
-            store.read_chunk(spark, m).withColumn(DEDUP_ORDER_COLUMN, F.lit(m.chunk_id))
-            for m in sorted(chunks, key=lambda m: m.chunk_id)
-        ]
-        df = deduplicate(
-            merge_chunk_frames(ordered),
-            schema.tag_columns,
-            schema.field_columns,
-            schema.time_column,
+    partition_key = (
+        chunks[0].partition_key if len({c.partition_key for c in chunks}) == 1 else ""
+    )
+    ids = [c.chunk_id for c in chunks]
+    t0 = _time.perf_counter()
+    try:
+        with _reorg_pool(spark):
+            ordered = [
+                store.read_chunk(spark, m).withColumn(DEDUP_ORDER_COLUMN, F.lit(m.chunk_id))
+                for m in sorted(chunks, key=lambda m: m.chunk_id)
+            ]
+            df = deduplicate(
+                merge_chunk_frames(ordered),
+                schema.tag_columns,
+                schema.field_columns,
+                schema.time_column,
+            )
+            meta = store.write_chunk(
+                df, table, schema, partition_key=partition_key, dedup_batch=False
+            )
+            store.drop_chunks(table, ids)
+    except Exception:
+        store.record_operation(
+            "CompactChunks", table, partition_key, ids, "Error",
+            int((_time.perf_counter() - t0) * 1e9),
+            f"Compacting chunks {ids} of table '{table}'",
         )
-        partition_key = (
-            chunks[0].partition_key if len({c.partition_key for c in chunks}) == 1 else ""
-        )
-        meta = store.write_chunk(
-            df, table, schema, partition_key=partition_key, dedup_batch=False
-        )
-        store.drop_chunks(table, [c.chunk_id for c in chunks])
-        return meta
+        raise
+    store.record_operation(
+        "CompactChunks", table, partition_key, ids, "Complete",
+        int((_time.perf_counter() - t0) * 1e9),
+        f"Compacting chunks {ids} of table '{table}'",
+    )
+    return meta
 
 
 def compact_overlapping(
@@ -128,11 +145,18 @@ def persist_split(
     rows with time <= split_time as the persisted chunk and the remainder as
     the new hot chunk.  Returns (persisted, hot) chunk metas (None if empty).
     """
+    import time as _time
+
     chunks = store.manifest(table)
     if chunk_ids is not None:
         chunks = [c for c in chunks if c.chunk_id in chunk_ids]
     if not chunks:
         return None, None
+    _ids = [c.chunk_id for c in chunks]
+    _pkey = (
+        chunks[0].partition_key if len({c.partition_key for c in chunks}) == 1 else ""
+    )
+    _t0 = _time.perf_counter()
     with _reorg_pool(spark):
         ordered = [
             store.read_chunk(spark, m).withColumn(DEDUP_ORDER_COLUMN, F.lit(m.chunk_id))
@@ -167,6 +191,12 @@ def persist_split(
                     hot, table, schema, partition_key=partition_key, dedup_batch=False
                 )
             store.drop_chunks(table, [c.chunk_id for c in chunks])
+            store.record_operation(
+                "PersistChunks", table, _pkey, _ids, "Complete",
+                int((_time.perf_counter() - _t0) * 1e9),
+                f"Persisting chunks {_ids} of table '{table}' "
+                f"split at {split_time_ns}",
+            )
             return cold_meta, hot_meta
         finally:
             df.unpersist()

@@ -446,6 +446,59 @@ class TableStore:
         for c in dropped:
             shutil.rmtree(os.path.join(self.base_dir, c.path), ignore_errors=True)
 
+    # -- operations log (system.operations backing store) ------------------
+    OPERATIONS_CAP = 1000
+
+    def _operations_path(self) -> str:
+        return os.path.join(self.base_dir, "_manifest", "_operations.json")
+
+    def record_operation(
+        self,
+        job: str,
+        table: str,
+        partition_key: str,
+        chunk_ids: list[int],
+        status: str,
+        wall_nanos: int,
+        description: str = "",
+    ) -> dict:
+        """Append one background-job record (the JobRegistry equivalent —
+        ref data_types/src/job.rs + server/src/db/system_tables.rs:465-559).
+
+        Persisted JSON (last OPERATIONS_CAP entries) rather than in-memory,
+        so ``system.operations`` survives restarts; appends are O(cap).
+        """
+        entry = {
+            "id": uuid.uuid4().hex[:16],
+            "job": job,
+            "status": status,
+            "table_name": table,
+            "partition_key": partition_key,
+            "chunk_ids": chunk_ids,
+            "wall_nanos": wall_nanos,
+            "description": description,
+            "recorded_at": _time.time(),
+        }
+        p = self._operations_path()
+        entries = []
+        if os.path.exists(p):
+            with open(p) as f:
+                entries = json.load(f)
+        entries.append(entry)
+        entries = entries[-self.OPERATIONS_CAP:]
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(entries, f, indent=1)
+        os.replace(tmp, p)
+        return entry
+
+    def operations(self) -> list[dict]:
+        p = self._operations_path()
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return json.load(f)
+
     def _retired_path(self, table: str) -> str:
         return os.path.join(self._manifest_dir(table), "_retired.json")
 

@@ -21,7 +21,7 @@ def test_show_tables_and_describe(spark, tmp_path):
     db.register_views()
 
     tables = {r.tableName for r in spark.sql("SHOW TABLES").collect()}
-    assert {"cpu", "system_chunks", "system_columns"} <= tables
+    assert {"cpu", "system_chunks", "system_columns", "system_operations"} <= tables
 
     cols = {r.col_name: r.data_type for r in spark.sql("DESCRIBE cpu").collect()}
     assert cols == {"region": "string", "time": "bigint", "user": "double"}
@@ -35,3 +35,32 @@ def test_show_tables_and_describe(spark, tmp_path):
         ("time", "timestamp"),
         ("user", "field::float"),
     }
+
+
+def test_system_operations_records_lifecycle_jobs(spark, tmp_path):
+    """system.operations (ref system_tables.rs:465-559): compact and persist
+    jobs appear with status/partition/chunks/wall-time, queryable via SQL."""
+    from influxdb_iox_spark.plans.reorg import compact_chunks, persist_split
+
+    store = TableStore(str(tmp_path / "ops"))
+    for v in (1.0, 2.0):
+        df = spark.createDataFrame(
+            [("west", v, 100)], "region string, user double, time long"
+        )
+        store.write_chunk(df, "cpu", CPU, partition_key="p1")
+    db = Database("db", store, spark)
+    db.register_table("cpu", CPU)
+
+    compact_chunks(spark, store, "cpu", CPU)
+    persist_split(spark, store, "cpu", CPU, split_time_ns=50)
+
+    ops = db.query(
+        "SELECT job, status, table_name, partition_key, chunk_ids, wall_time_used "
+        "FROM system_operations ORDER BY job"
+    ).collect()
+    assert [(o.job, o.status, o.table_name, o.partition_key) for o in ops] == [
+        ("CompactChunks", "Complete", "cpu", "p1"),
+        ("PersistChunks", "Complete", "cpu", "p1"),
+    ]
+    assert all(o.wall_time_used > 0 for o in ops)
+    assert ops[0].chunk_ids == "0,1"
