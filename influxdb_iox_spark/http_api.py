@@ -1,0 +1,195 @@
+"""Minimal HTTP API: the reference's most-used entry points as a stdlib
+server over ``LineProtocolIngest`` + ``Database.query``.
+
+Reference: /root/reference/src/influxdb_ioxd/http.rs —
+routes :364-370 (``POST /api/v2/write``, ``GET /health``,
+``GET /iox/api/v1/databases/:name/query``), write handler :462-560
+(org+bucket → db name via ``org_bucket``, body = line protocol, optional
+gzip, points without timestamps get server wall-clock ns, 204 on success),
+query handler :595-660 (``q`` + ``format`` ∈ {pretty, csv, json}).
+
+Spark-first notes: the handler only *routes* — parsing and ingest run as
+the same distributed ``mapInArrow`` pipeline as every other ingest path, and
+queries run through the dedup-correct SQL surface.  The stdlib
+ThreadingHTTPServer is deliberate: the server is a thin control plane in
+front of Spark jobs, not a data plane (Flight/gRPC data planes are out of
+scope, SURVEY §2.1).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from influxdb_iox_spark.database import Database
+from influxdb_iox_spark.sources.line_protocol import LineProtocolError
+from influxdb_iox_spark.streaming.ingest import LineProtocolIngest
+
+
+def org_and_bucket_to_database(org: str, bucket: str) -> str:
+    """http.rs write path: db name = '<org>_<bucket>'."""
+    return f"{org}_{bucket}"
+
+
+class IoxHttpServer:
+    """Single-database HTTP facade.
+
+    ``ingests`` maps measurement name → LineProtocolIngest; a write request
+    fans its lines out to every registered measurement's ingest (the
+    distributed parser routes/filters per measurement).  Lines of
+    unregistered measurements are ignored, mirroring a schema-gated
+    deployment; malformed lines fail the request with 400.
+    """
+
+    def __init__(
+        self,
+        database: Database,
+        ingests: dict[str, LineProtocolIngest],
+        db_name: str = "org_bucket",
+    ):
+        self.database = database
+        self.ingests = dict(ingests)
+        self.db_name = db_name
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # -- lifecycle ---------------------------------------------------------
+    def start(self, host: str = "127.0.0.1", port: int = 0) -> int:
+        """Start serving on a daemon thread; returns the bound port."""
+        handler = _make_handler(self)
+        self._httpd = ThreadingHTTPServer((host, port), handler)
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self._httpd.server_address[1]
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+
+    # -- handlers ----------------------------------------------------------
+    def handle_write(self, org: str, bucket: str, body: bytes) -> None:
+        name = org_and_bucket_to_database(org, bucket)
+        if name != self.db_name:
+            raise _HttpError(404, f"database {name!r} not found")
+        text = body.decode("utf-8")
+        lines = [(ln,) for ln in text.splitlines() if ln.strip()]
+        if not lines:
+            return
+        spark = self.database.spark
+        lines_df = spark.createDataFrame(lines, "value string")
+        default_time = time.time_ns()
+        for ing in self.ingests.values():
+            ing.default_time_ns = default_time
+            ing.ingest_lines_df(lines_df)
+
+    def handle_query(self, name: str, q: str, fmt: str) -> tuple[bytes, str]:
+        if name != self.db_name:
+            raise _HttpError(404, f"database {name!r} not found")
+        df = self.database.query(q)
+        rows = df.collect()
+        cols = df.columns
+        if fmt == "json":
+            out = json.dumps([dict(zip(cols, [_json_val(v) for v in r])) for r in rows])
+            return out.encode(), "application/json"
+        if fmt == "csv":
+            import csv
+
+            buf = io.StringIO()
+            w = csv.writer(buf)
+            w.writerow(cols)
+            for r in rows:
+                w.writerow(list(r))
+            return buf.getvalue().encode(), "text/csv"
+        if fmt == "pretty":
+            body = df._show_string(len(rows) or 1, 0, False)
+            return body.encode(), "text/plain"
+        raise _HttpError(400, f"unknown format {fmt!r}")
+
+
+def _json_val(v):
+    return v if v is None or isinstance(v, (bool, int, float, str)) else str(v)
+
+
+class _HttpError(Exception):
+    def __init__(self, status: int, message: str):
+        super().__init__(message)
+        self.status = status
+
+
+def _make_handler(api: IoxHttpServer):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet test output
+            pass
+
+        def _reply(self, status: int, body: bytes = b"", ctype: str = "text/plain"):
+            self.send_response(status)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            if body:
+                self.wfile.write(body)
+
+        def do_GET(self):
+            u = urlparse(self.path)
+            try:
+                if u.path == "/health":
+                    self._reply(200, b"OK")
+                    return
+                parts = u.path.strip("/").split("/")
+                # /iox/api/v1/databases/:name/query
+                if (
+                    len(parts) == 6
+                    and parts[:4] == ["iox", "api", "v1", "databases"]
+                    and parts[5] == "query"
+                ):
+                    qs = parse_qs(u.query)
+                    q = (qs.get("q") or [None])[0]
+                    if not q:
+                        raise _HttpError(400, "missing q parameter")
+                    fmt = (qs.get("format") or ["json"])[0]
+                    body, ctype = api.handle_query(parts[4], q, fmt)
+                    self._reply(200, body, ctype)
+                    return
+                self._reply(404, b"not found")
+            except _HttpError as e:
+                self._reply(e.status, str(e).encode())
+            except Exception as e:  # planner/readback errors -> 400 like ref
+                self._reply(400, str(e).encode())
+
+        def do_POST(self):
+            u = urlparse(self.path)
+            try:
+                if u.path != "/api/v2/write":
+                    self._reply(404, b"not found")
+                    return
+                qs = parse_qs(u.query)
+                org = (qs.get("org") or [None])[0]
+                bucket = (qs.get("bucket") or [None])[0]
+                if not org or not bucket:
+                    raise _HttpError(400, "org and bucket are required")
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length)
+                if self.headers.get("Content-Encoding") == "gzip":
+                    body = gzip.decompress(body)
+                api.handle_write(org, bucket, body)
+                self._reply(204)
+            except _HttpError as e:
+                self._reply(e.status, str(e).encode())
+            except LineProtocolError as e:
+                self._reply(400, str(e).encode())
+            except Exception as e:
+                # Spark surfaces parse errors wrapped in Py4J/PythonException
+                msg = str(e)
+                status = 400 if "LineProtocolError" in msg else 500
+                self._reply(status, msg.encode()[:2000])
+
+    return Handler

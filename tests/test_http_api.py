@@ -1,0 +1,103 @@
+"""HTTP surface round-trip: write line protocol over POST, read it back over
+the query endpoint (ref src/influxdb_ioxd/http.rs:364-370,462,595)."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from influxdb_iox_spark.database import Database
+from influxdb_iox_spark.http_api import IoxHttpServer, org_and_bucket_to_database
+from influxdb_iox_spark.schema import InfluxColumnType, IoxSchema
+from influxdb_iox_spark.sources.store import TableStore
+from influxdb_iox_spark.streaming.ingest import LineProtocolIngest
+
+CPU = IoxSchema.build(["region"], {"user": InfluxColumnType.FIELD_FLOAT})
+
+
+@pytest.fixture()
+def server(spark, tmp_path):
+    store = TableStore(str(tmp_path / "http_store"))
+    db = Database("myorg_mybucket", store, spark)
+    db.register_table("cpu", CPU)
+    ing = LineProtocolIngest(store, "cpu", CPU)
+    api = IoxHttpServer(db, {"cpu": ing}, db_name="myorg_mybucket")
+    port = api.start()
+    yield f"http://127.0.0.1:{port}"
+    api.stop()
+
+
+def _post(url, body: bytes, headers=None):
+    req = urllib.request.Request(url, data=body, headers=headers or {})
+    return urllib.request.urlopen(req, timeout=120)
+
+
+def test_health(server):
+    with urllib.request.urlopen(f"{server}/health", timeout=30) as r:
+        assert r.status == 200 and r.read() == b"OK"
+
+
+def test_write_then_query_roundtrip(server):
+    assert org_and_bucket_to_database("myorg", "mybucket") == "myorg_mybucket"
+    lines = b"cpu,region=west user=23.2 100\ncpu,region=east user=5.0 200\n"
+    with _post(f"{server}/api/v2/write?org=myorg&bucket=mybucket", lines) as r:
+        assert r.status == 204
+
+    q = "SELECT region, user, time FROM cpu ORDER BY time"
+    url = f"{server}/iox/api/v1/databases/myorg_mybucket/query?q={urllib.request.quote(q)}&format=json"
+    with urllib.request.urlopen(url, timeout=120) as r:
+        assert r.status == 200
+        rows = json.loads(r.read())
+    assert rows == [
+        {"region": "west", "user": 23.2, "time": 100},
+        {"region": "east", "user": 5.0, "time": 200},
+    ]
+
+    # csv format too
+    url_csv = url.replace("format=json", "format=csv")
+    with urllib.request.urlopen(url_csv, timeout=120) as r:
+        text = r.read().decode()
+    assert text.splitlines()[0] == "region,user,time"
+    assert len(text.splitlines()) == 3
+
+
+def test_gzip_write(server):
+    body = gzip.compress(b"cpu,region=south user=1.5 300\n")
+    with _post(
+        f"{server}/api/v2/write?org=myorg&bucket=mybucket",
+        body,
+        {"Content-Encoding": "gzip"},
+    ) as r:
+        assert r.status == 204
+    q = "SELECT COUNT(*) AS n FROM cpu WHERE region = 'south'"
+    url = f"{server}/iox/api/v1/databases/myorg_mybucket/query?q={urllib.request.quote(q)}&format=json"
+    with urllib.request.urlopen(url, timeout=120) as r:
+        assert json.loads(r.read()) == [{"n": 1}]
+
+
+def test_write_unknown_database_404(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{server}/api/v2/write?org=no&bucket=such", b"cpu user=1 1\n")
+    assert e.value.code == 404
+
+
+def test_write_malformed_lines_400(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(
+            f"{server}/api/v2/write?org=myorg&bucket=mybucket",
+            b"cpu,region=west user=notanum 100\n",
+        )
+    assert e.value.code == 400
+
+
+def test_query_missing_q_400(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(
+            f"{server}/iox/api/v1/databases/myorg_mybucket/query?format=json",
+            timeout=30,
+        )
+    assert e.value.code == 400
