@@ -38,6 +38,7 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    load_start = os.getloadavg()
     spark = get_spark(app_name="iox-spark-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
@@ -50,6 +51,22 @@ def main() -> None:
     spark.range(1000).agg(
         F.sum(F.col("id").cast("decimal(12,2)")), F.min(F.hash("id"))
     ).collect()
+
+    # Sentinel: a fixed query whose code never changes round to round — its
+    # time is pure machine/JVM conditions, so round-over-round deltas in the
+    # headline numbers can be attributed (code vs environment).
+    def _sentinel() -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spark.range(5_000_000).select(
+                F.sum(F.col("id").cast("decimal(18,2)")).alias("s"),
+                F.min(F.hash("id")).alias("h"),
+            ).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    sentinel_before = _sentinel()
 
     # Two timed runs per query, report the minimum: local[32] micro-task
     # stages show multi-second scheduler/GC jitter that a single sample
@@ -88,6 +105,8 @@ def main() -> None:
     timings["ingest_line_protocol"] = round(time.perf_counter() - t0, 3)
     assert n == events.count()
 
+    sentinel_after = _sentinel()
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -97,6 +116,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "conditions": {
+                    "cpus": int(cpus),
+                    "fresh_jvm": True,
+                    "loadavg_start": round(load_start[0], 2),
+                    "loadavg_end": round(os.getloadavg()[0], 2),
+                    "sentinel_before_sec": sentinel_before,
+                    "sentinel_after_sec": sentinel_after,
+                },
             }
         )
     )
