@@ -102,21 +102,53 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, shingles, signature): MinHash via explode + affine permutations.
 
-    Design for scale: higher-order array functions run INTERPRETED per
-    element in Spark, so min-over-transform signatures pay ~num_perm
-    interpreted passes per row.  Instead: explode shingles, murmur3 each
-    once (codegen'd), and take num_perm mins of affine re-hashes
-    ``(a_i·h + b_i) mod 2^31-1`` as plain aggregates — whole-stage codegen
-    end to end, map-side partial mins collapse the exploded rows back to one
-    per document BEFORE the shuffle, so the exchange carries
-    |docs|·num_perm longs regardless of document length.  Empty shingle
-    sets keep INT_MAX sentinels.
+    Design for scale — this whole pipeline is WHOLE-STAGE CODEGEN, zero
+    interpreted higher-order array functions (HOFs run interpreted per
+    element in Spark, ~600µs/doc measured — they were 80% of the stage):
+
+    1. tokens posexplode (one row per token), input repartitioned by id if
+       it arrives in fewer splits than cores (a single-file corpus slice
+       otherwise pins the heavy projection to one core);
+    2. shingles rebuilt from consecutive rows with ``lead()`` over
+       (id, position) — ``concat_ws`` skips the nulls at document tails, so
+       a document shorter than ``shingle_n`` still yields its full-token
+       shingle, matching ``shingles()``;
+    3. murmur3 each shingle once (codegen), take num_perm mins of affine
+       re-hashes ``(a_i·h + b_i) mod 2^31-1`` as plain aggregates — the
+       groupBy reuses the window's hash partitioning (no second exchange),
+       and map-side partial mins collapse rows before any shuffle.
+
+    Duplicate (non-distinct) shingles are harmless here: min() is
+    idempotent and collect_set dedups.  The collected set holds xxhash64
+    LONGS, not raw n-gram strings — 8 bytes per distinct shingle on the
+    exchange; Jaccard over 64-bit hash sets equals string-set Jaccard
+    modulo ~2^-64-probability collisions (the DuckDB parity gate recomputes
+    over raw strings and agrees).  Empty/token-less documents keep INT_MAX
+    sentinel signatures and an EMPTY shingle set (the null token row maps
+    to null, never hashed — hashing null would pair all empty docs at
+    jaccard 1.0).
     """
+    from pyspark.sql import Window
+
     a, b = _affine_params(num_perm)
-    with_sh = df.select(
-        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("shingles")
+    toks = word_tokens(F.col(text_col))
+    base_df = df.select(F.col(id_col), toks.alias("__t"), F.size(toks).alias("__k"))
+    sc = df.sparkSession.sparkContext
+    if base_df.rdd.getNumPartitions() < sc.defaultParallelism:
+        base_df = base_df.repartition(sc.defaultParallelism, F.col(id_col))
+    ex = base_df.select(
+        F.col(id_col), F.col("__k"), F.posexplode_outer("__t").alias("__p", "__tok")
     )
-    ex = with_sh.select(F.col(id_col), F.explode_outer("shingles").alias("s"))
+    w = Window.partitionBy(id_col).orderBy("__p")
+    gram = F.concat_ws(
+        " ",
+        F.col("__tok"),
+        *[F.lead("__tok", j).over(w) for j in range(1, shingle_n)],
+    )
+    keep = (F.col("__p") <= F.greatest(F.col("__k") - shingle_n, F.lit(0))) | F.col(
+        "__p"
+    ).isNull()
+    ex = ex.withColumn("s", F.when(F.col("__p").isNotNull(), gram)).filter(keep)
     base = F.when(F.col("s").isNotNull(), F.hash(F.col("s")).cast("long"))
     mins = [
         F.coalesce(
@@ -125,16 +157,10 @@ def minhash_signatures(
         ).alias(f"__m{i}")
         for i in range(num_perm)
     ]
-    # Collect the shingle set in the SAME aggregation — no join back, one
-    # shuffle total for signatures + shingles.  The set holds xxhash64 LONGS,
-    # not the raw shingle strings: the exchange carries 8 bytes per distinct
-    # shingle instead of the n-gram text (which dominates shuffle volume at
-    # corpus scale), and Jaccard over 64-bit hash sets equals string-set
-    # Jaccard modulo ~2^-64-probability collisions (deterministic either way;
-    # the DuckDB parity gate recomputes over raw strings and agrees).
+    sh_hash = F.when(F.col("s").isNotNull(), F.xxhash64(F.col("s")))
     return (
         ex.groupBy(id_col)
-        .agg(F.collect_set(F.xxhash64(F.col("s"))).alias("shingles"), *mins)
+        .agg(F.collect_set(sh_hash).alias("shingles"), *mins)
         .select(
             F.col(id_col),
             F.col("shingles"),

@@ -146,3 +146,24 @@ def test_lsh_hot_bucket_guard_bounds_degenerate_corpora(spark):
     # without a cap the clique pairs come back (guard off -> exact recall)
     uncapped = near_duplicate_pairs_minhash(df, threshold=0.5, max_bucket_size=0)
     assert uncapped.count() == 300 * 299 // 2 + 1
+
+
+def test_minhash_empty_docs_never_pair(spark):
+    """Empty/token-less docs share sentinel signatures (same LSH buckets) but
+    must have EMPTY shingle sets — hashing the null token would give every
+    empty doc the same one-element set and jaccard 1.0 with each other."""
+    from influxdb_iox_spark.pipeline.dedup import (
+        minhash_signatures,
+        near_duplicate_pairs_minhash,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, None), (4, "   .,!"), (10, "real text")],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: r for r in minhash_signatures(df).collect()}
+    assert set(sigs) == {1, 2, 3, 4, 10}
+    for d in (1, 2, 3, 4):
+        assert sigs[d].shingles == [], d
+    assert len(sigs[10].shingles) == 1  # single full-token shingle (k < n)
+    assert near_duplicate_pairs_minhash(df, threshold=0.5).count() == 0
