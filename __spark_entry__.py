@@ -795,6 +795,44 @@ FROM d ORDER BY dp / (sqrt(nx) * sqrt(ny)) DESC, vec_id LIMIT 20
 """
 
 
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the EXACT all-pairs baseline
+    (cosine >= 0.45) that pipeline/similarity.py's LSH-bucketed
+    embedding_near_dup_pairs re-ranks against at scale (quadratic here by
+    design: this is the oracle-checkable formulation; the bucketed path is
+    covered by recall tests)."""
+    from influxdb_iox_spark.pipeline.similarity import cosine
+
+    t = _load(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    l = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    r = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        l.crossJoin(r)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", sim.alias("__c"))
+        .filter(F.col("__c") >= 0.45)
+        .select("a", "b", F.round("__c", 6).alias("cosine_sim"))
+    )
+
+
+SQL_EMB_NEAR_DUP = """
+WITH z AS (
+  SELECT l.vec_id AS a, r.vec_id AS b,
+         unnest(l.embedding) AS x, unnest(r.embedding) AS y
+  FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id),
+d AS (
+  SELECT a, b,
+    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dp,
+    SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
+    SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
+  FROM z GROUP BY a, b)
+SELECT a, b, round(dp / (sqrt(nx) * sqrt(ny)), 6) AS cosine_sim
+FROM d WHERE dp / (sqrt(nx) * sqrt(ny)) >= 0.45
+"""
+
+
 def q_emb_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding stats with double-precision folds."""
     from influxdb_iox_spark.pipeline.similarity import l2_norm
@@ -1638,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_fingerprint": q_doc_fingerprint,
         "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_near_dup": q_emb_near_dup,
         "emb_label_stats": q_emb_label_stats,
         "multimodal_meta": q_multimodal_meta,
         # dedup / ANN pipeline (oracle-paired since round 3)
@@ -1693,6 +1732,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "emb_cosine_topk": SQL_EMB_COSINE_TOPK,
+        "emb_near_dup": SQL_EMB_NEAR_DUP,
         "emb_label_stats": SQL_EMB_LABEL_STATS,
         "multimodal_meta": SQL_MULTIMODAL_META,
         "minhash_near_dup": SQL_MINHASH_NEAR_DUP,
