@@ -1026,6 +1026,187 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_5's share of AMERICA-customer ECONOMY-part
+    volume per order year (two broadcastable dim chains into one fact scan)."""
+    t = _load(
+        spark, sf_dir, "part", "supplier", "lineitem", "orders", "customer",
+        "nation", "region",
+    )
+    nations = t["nation"]
+    amer = (
+        t["region"].filter(F.col("r_name") == "AMERICA")
+        .join(nations, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cust_nationkey"))
+    )
+    volume = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", "4,2"))
+    joined = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].filter(F.col("p_type") == "ECONOMY")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"].filter(
+            (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate").cast("date") <= F.lit("1997-12-31").cast("date"))
+        ), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(amer), F.col("c_nationkey") == F.col("cust_nationkey"))
+        .join(
+            F.broadcast(
+                t["supplier"].join(
+                    nations.select(
+                        F.col("n_nationkey").alias("s_nk"),
+                        F.col("n_name").alias("supp_nation"),
+                    ),
+                    F.col("s_nationkey") == F.col("s_nk"),
+                )
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            F.col("supp_nation"),
+        )
+    )
+    num = F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("volume"))
+                .otherwise(F.lit(0).cast("decimal(12,2)")))
+    return (
+        joined.groupBy("o_year")
+        .agg(F.round((num / F.sum("volume")).cast("double"), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+SQL_NATIONAL_MARKET_SHARE = """
+SELECT year(o_orderdate) AS o_year,
+  round(CAST(
+    SUM(CASE WHEN sn.n_name = 'NATION_5'
+             THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+             ELSE CAST(0 AS DECIMAL(12,2)) END)
+    / SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))))
+    AS DOUBLE), 6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+JOIN orders ON l_orderkey = o_orderkey
+  AND CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+GROUP BY 1 ORDER BY o_year
+"""
+
+
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of customers by order count (left join so
+    zero-order customers appear in the c_count=0 bucket)."""
+    t = _load(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+SQL_CUSTOMER_DISTRIBUTION = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey) t
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue — the
+    revenue 'view' is a decimal aggregate (exact, so the max-equality join
+    is deterministic)."""
+    t = _load(spark, sf_dir, "lineitem", "supplier")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", "4,2"))
+    rev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1996-04-01").cast("date"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(revenue).alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_rev") == F.col("mx"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev").cast("double"), 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_TOP_SUPPLIER = """
+WITH revenue AS (
+  SELECT l_suppkey,
+    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, round(CAST(total_rev AS DOUBLE), 2) AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: customers whose orders exceed 380 total quantity (IN over
+    a grouped-HAVING subquery; quantities are integer-valued doubles, so the
+    sums are exact)."""
+    t = _load(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 380)
+        .select("l_orderkey")
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_totalprice",
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+SQL_LARGE_VOLUME_CUSTOMERS = """
+SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+  o_totalprice, round(SUM(l_quantity), 2) AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 380)
+GROUP BY c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+"""
+
+
 def q_month_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar-month windows (Duration::Variable months,
     query/src/group_by.rs:70-76) — stop boundary as time."""
@@ -1650,6 +1831,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "tpch_q7_nation_volume": q_nation_volume_shipping,
         "tpch_q19_discounted_revenue": q_discounted_revenue,
+        "tpch_q8_market_share": q_national_market_share,
+        "tpch_q13_customer_distribution": q_customer_distribution,
+        "tpch_q15_top_supplier": q_top_supplier,
+        "tpch_q18_large_volume": q_large_volume_customers,
         # InfluxRPC menu
         "rpc_read_filter": q_read_filter,
         "rpc_read_group": q_read_group,
@@ -1708,6 +1893,10 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group": SQL_TOPK_PER_GROUP,
         "tpch_q7_nation_volume": SQL_NATION_VOLUME,
         "tpch_q19_discounted_revenue": SQL_DISCOUNTED_REVENUE,
+        "tpch_q8_market_share": SQL_NATIONAL_MARKET_SHARE,
+        "tpch_q13_customer_distribution": SQL_CUSTOMER_DISTRIBUTION,
+        "tpch_q15_top_supplier": SQL_TOP_SUPPLIER,
+        "tpch_q18_large_volume": SQL_LARGE_VOLUME_CUSTOMERS,
         "rpc_month_window": SQL_MONTH_WINDOW,
         "rpc_month_window_offset": SQL_MONTH_WINDOW_OFFSET,
         "percentiles_by_type": SQL_PERCENTILES,
