@@ -51,6 +51,24 @@ def main() -> None:
     spark.range(1000).agg(
         F.sum(F.col("id").cast("decimal(12,2)")), F.min(F.hash("id"))
     ).collect()
+    # Compile the two heaviest pipelines' codegen classes on tiny inputs so
+    # the timed runs measure execution, not first-run JIT (the generated
+    # classes are identical — same literals and plan shapes).
+    from influxdb_iox_spark.pipeline.dedup import near_duplicate_pairs_minhash
+    from influxdb_iox_spark.schema import InfluxColumnType as _ICT, IoxSchema as _IS
+    from influxdb_iox_spark.sources.line_protocol import distributed_parse as _dp
+
+    warm_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    near_duplicate_pairs_minhash(warm_docs, threshold=0.5).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    _warm_lines = spark.createDataFrame(
+        [("events,event_type=a,user_id=u1 value=1.0 100",)], "value string"
+    )
+    _warm_schema = _IS.build(
+        ["event_type", "user_id"], {"value": _ICT.FIELD_FLOAT}
+    )
+    _dp(_warm_lines, _warm_schema, "events", 0).count()
 
     # Sentinel: a fixed query whose code never changes round to round — its
     # time is pure machine/JVM conditions, so round-over-round deltas in the
