@@ -49,12 +49,21 @@ class Database:
         """Dedup-correct DataFrame for one measurement."""
         return self.store.scan(self.spark, table, self.schemas[table], predicate)
 
-    def register_views(self) -> None:
+    def register_views(self, force: bool = False) -> None:
+        """(Re)register every table's dedup-correct scan + system tables as
+        temp views.  Registration is CACHED on the store's catalog_version:
+        a serving path (HTTP/Flight) issuing many queries only pays the
+        O(tables × chunks) view planning again after a write/compaction
+        actually changed the manifest."""
+        version = (self.store.catalog_version(), tuple(sorted(self.schemas)))
+        if not force and getattr(self, "_registered_version", None) == version:
+            return
         for t in self.schemas:
             self.table(t).createOrReplaceTempView(t)
         self.system_chunks().createOrReplaceTempView("system_chunks")
         self.system_columns().createOrReplaceTempView("system_columns")
         self.system_operations().createOrReplaceTempView("system_operations")
+        self._registered_version = version
 
     def query(self, sql: str) -> DataFrame:
         """SQL frontend — the ``spark.sql`` twin of SqlQueryPlanner::query."""

@@ -160,6 +160,21 @@ class TableStore:
         entries.append(meta)
         self._save_part(table, fname, entries)
 
+    def catalog_version(self) -> int:
+        """Monotonic-ish fingerprint of the whole manifest tree (max mtime_ns
+        over manifest files).  Cheap (one directory walk, no JSON parse) —
+        lets readers cache derived state (e.g. registered SQL views) and
+        refresh only when a write actually changed the catalog."""
+        root = os.path.join(self.base_dir, "_manifest")
+        v = 0
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                try:
+                    v = max(v, os.stat(os.path.join(dirpath, f)).st_mtime_ns)
+                except OSError:
+                    continue
+        return v
+
     def tables(self) -> list[str]:
         mdir = os.path.join(self.base_dir, "_manifest")
         return sorted(

@@ -64,3 +64,27 @@ def test_system_operations_records_lifecycle_jobs(spark, tmp_path):
     ]
     assert all(o.wall_time_used > 0 for o in ops)
     assert ops[0].chunk_ids == "0,1"
+
+
+def test_register_views_cached_until_catalog_changes(spark, tmp_path):
+    """View registration reuses the cached catalog version between queries
+    and refreshes when a write changes the manifest."""
+    store = TableStore(str(tmp_path / "cache"))
+    df = spark.createDataFrame(
+        [("west", 1.0, 100)], "region string, user double, time long"
+    )
+    store.write_chunk(df, "cpu", CPU)
+    db = Database("db", store, spark)
+    db.register_table("cpu", CPU)
+
+    assert db.query("SELECT COUNT(*) AS n FROM cpu").collect()[0].n == 1
+    v1 = db._registered_version
+    db.query("SELECT 1")
+    assert db._registered_version == v1  # no re-registration
+
+    df2 = spark.createDataFrame(
+        [("east", 2.0, 200)], "region string, user double, time long"
+    )
+    store.write_chunk(df2, "cpu", CPU)
+    assert db.query("SELECT COUNT(*) AS n FROM cpu").collect()[0].n == 2
+    assert db._registered_version != v1  # refreshed after the write
