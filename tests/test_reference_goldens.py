@@ -144,3 +144,123 @@ def test_sql_select_non_keys_golden(spark, tmp_path):
     )
     # sql.rs:697-701 golden: two NULLs, 53.4, 70.4
     assert [t for _, t in rows] == [None, None, 53.4, 70.4]
+
+
+# ---------------------------------------------------------------------------
+# sql_predicate_pushdown_correctness_1..11 (query_tests/src/sql.rs:410-627)
+# over TwoMeasurementsPredicatePushDown (scenarios.rs:274-294)
+# ---------------------------------------------------------------------------
+
+RESTAURANT = IoxSchema.build(
+    ["town"],
+    {
+        "count": InfluxColumnType.FIELD_UINTEGER,
+        "system": InfluxColumnType.FIELD_FLOAT,
+    },
+)
+SCHOOL = RESTAURANT
+
+PUSHDOWN_LINES = [
+    "restaurant,town=andover count=40000u,system=5.0 100",
+    "restaurant,town=reading count=632u,system=5.0 120",
+    "restaurant,town=bedford count=189u,system=7.0 110",
+    "restaurant,town=tewsbury count=471u,system=6.0 110",
+    "restaurant,town=lexington count=372u,system=5.0 100",
+    "restaurant,town=lawrence count=872u,system=6.0 110",
+    "restaurant,town=reading count=632u,system=6.0 130",
+    "school,town=reading count=17u,system=6.0 150",
+    "school,town=andover count=25u,system=6.0 160",
+]
+
+_ALL = {
+    (189, 7.0, 110, "bedford"),
+    (372, 5.0, 100, "lexington"),
+    (40000, 5.0, 100, "andover"),
+    (471, 6.0, 110, "tewsbury"),
+    (632, 5.0, 120, "reading"),
+    (632, 6.0, 130, "reading"),
+    (872, 6.0, 110, "lawrence"),
+}
+
+
+def _row(c, s, t, town):
+    return (c, s, t, town)
+
+
+# (where_clause, expected row set) — reference tests 1..11; test 11's
+# to_timestamp(...130ns) predicate is written on the canonical ns-long time.
+PUSHDOWN_CASES = [
+    ("", _ALL),
+    ("where count > 200", {r for r in _ALL if r[0] > 200}),
+    (
+        "where count > 200 and town != 'tewsbury'",
+        {r for r in _ALL if r[0] > 200 and r[3] != "tewsbury"},
+    ),
+    (
+        "where count > 200 and town != 'tewsbury' and (system =5 or town = 'lawrence')",
+        {
+            _row(372, 5.0, 100, "lexington"),
+            _row(40000, 5.0, 100, "andover"),
+            _row(632, 5.0, 120, "reading"),
+            _row(872, 6.0, 110, "lawrence"),
+        },
+    ),
+    (
+        "where count > 200 and town != 'tewsbury' and (system =5 or town = 'lawrence') and count < 40000",
+        {
+            _row(372, 5.0, 100, "lexington"),
+            _row(632, 5.0, 120, "reading"),
+            _row(872, 6.0, 110, "lawrence"),
+        },
+    ),
+    (
+        "where count > 200  and count < 40000",
+        {r for r in _ALL if 200 < r[0] < 40000},
+    ),
+    (
+        "where system > 4.0 and system < 7.0",
+        {r for r in _ALL if 4.0 < r[1] < 7.0},
+    ),
+    (
+        "where system > 5.0 and system < 7.0",
+        {r for r in _ALL if 5.0 < r[1] < 7.0},
+    ),
+    (
+        "where system > 5.0 and town != 'tewsbury' and 7.0 > system",
+        {_row(632, 6.0, 130, "reading"), _row(872, 6.0, 110, "lawrence")},
+    ),
+    (
+        "where system > 5.0 and 'tewsbury' != town and system < 7.0 and (count = 632 or town = 'reading')",
+        {_row(632, 6.0, 130, "reading")},
+    ),
+    (
+        "where 5.0 < system and town != 'tewsbury' and system < 7.0 and (count = 632 or town = 'reading') and time > 130",
+        set(),
+    ),
+]
+
+
+def test_sql_predicate_pushdown_goldens(spark, tmp_path):
+    store = TableStore(str(tmp_path / "pushdown"))
+    lines_df = spark.createDataFrame([(l,) for l in PUSHDOWN_LINES], "value string")
+    LineProtocolIngest(store, "restaurant", RESTAURANT).ingest_lines_df(lines_df)
+    LineProtocolIngest(store, "school", SCHOOL).ingest_lines_df(lines_df)
+    db = Database("db", store, spark)
+    db.register_table("restaurant", RESTAURANT)
+    db.register_table("school", SCHOOL)
+
+    for where, want in PUSHDOWN_CASES:
+        got = {
+            (r["count"], r.system, r.time, r.town)
+            for r in db.query(
+                f"SELECT count, system, time, town FROM restaurant {where}"
+            ).collect()
+        }
+        assert got == want, where
+
+    # sql_select_from_school (sql.rs:166-180)
+    school = {
+        (r.town, r["count"], r.system, r.time)
+        for r in db.query("SELECT town, count, system, time FROM school").collect()
+    }
+    assert school == {("reading", 17, 6.0, 150), ("andover", 25, 6.0, 160)}
