@@ -164,6 +164,38 @@ def read_window_aggregate(
     )
 
 
+def read_window_aggregate_months(
+    db: Database,
+    table: str,
+    agg: Aggregate,
+    every_months: int,
+    offset_months: int = 0,
+    predicate: Predicate | None = None,
+    time_alias: str = "time",
+) -> DataFrame:
+    """read_window_aggregate with CALENDAR-MONTH windows — the
+    Duration::Variable arm of the reference's WindowEvery
+    (query/src/group_by.rs:70-76 feeding influxrpc.rs:611-650); offsets may
+    be negative (from_months_with_negative)."""
+    from influxdb_iox_spark.functions.time import month_window_bounds_struct
+
+    schema = db.table_schema(table)
+    fields = predicate.field_columns if predicate and predicate.field_columns else None
+    fields = fields or schema.field_columns
+    tags = schema.tag_columns
+    df = db.table(table, predicate)
+    bucket = (
+        month_window_bounds_struct(schema.time_column, every_months, offset_months)
+        .getField("stop")
+        .alias(time_alias)
+    )
+    selector = agg in (Aggregate.FIRST, Aggregate.LAST)
+    aggs: list[Column] = []
+    for fld in fields:
+        aggs.extend(_field_agg(agg, fld, schema.time_column, selector=selector))
+    return df.groupBy(*tags, bucket).agg(*aggs).orderBy(*tags, time_alias)
+
+
 # ---------------------------------------------------------------------------
 # Series framing (exec/seriesset.rs:69-120)
 # ---------------------------------------------------------------------------

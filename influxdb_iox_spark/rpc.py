@@ -81,6 +81,20 @@ class InfluxRpc:
             self.db, table, agg, every_ns, offset_ns, predicate
         )
 
+    def read_window_aggregate_months(
+        self,
+        table: str,
+        agg: se.Aggregate,
+        every_months: int,
+        offset_months: int = 0,
+        predicate: Predicate | None = None,
+    ) -> DataFrame:
+        """Calendar-month WindowEvery (Duration::Variable, incl. negative
+        offsets)."""
+        return se.read_window_aggregate_months(
+            self.db, table, agg, every_months, offset_months, predicate
+        )
+
     # -- series framing (exec/seriesset.rs) -------------------------------
     def read_filter_frames(self, table: str, predicate: Predicate | None = None):
         df = self.read_filter(table, predicate)

@@ -194,3 +194,22 @@ def test_frame_series_distributed_carries_series_across_arrow_batches(db, spark)
             spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
         else:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_read_window_aggregate_months(db):
+    """Calendar-month WindowEvery over the rpc fixture: all rows land in the
+    Jan-1970 window (ns epochs 50..200), stop boundary = 1970-02-01."""
+    from influxdb_iox_spark.operators.series import read_window_aggregate_months
+
+    df = read_window_aggregate_months(db, "h2o", Aggregate.MEAN, every_months=1)
+    feb1_ns = 31 * 86400 * 10**9
+    rows = {(r.state, r.city, r.time): r.temp for r in df.collect()}
+    assert rows[("MA", "Boston", feb1_ns)] == pytest.approx((70.4 + 72.0) / 2)
+    assert rows[("CA", "LA", feb1_ns)] == pytest.approx(90.0)
+    # negative offset shifts the grid by -1 month: stop becomes 1970-01-01
+    df2 = read_window_aggregate_months(
+        db, "h2o", Aggregate.COUNT, every_months=2, offset_months=-1
+    )
+    # t'=t+1mo=Feb; trunc2(1970*12+1 -> even) = Jan; stop = Jan+2mo-1mo = Feb
+    stops = {r.time for r in df2.collect()}
+    assert stops == {feb1_ns}
