@@ -1661,19 +1661,19 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(t["documents"].select("doc_id", "text")).select("doc_id", "simhash")
 
 
-def _sql_simhash() -> str:
-    """DuckDB twin of pipeline/dedup._simhash64: tokens are [\\p{L}\\p{N}]+
-    runs of lower(text); token hash = first 8 bytes of md5 as big-endian
-    uint64 (16 hex nibbles parsed via strpos, HUGEINT weights); per-bit ±1
-    votes summed per document; sig reinterpreted as signed int64."""
+def _sql_simhash_cte() -> str:
+    """DuckDB twin of pipeline/dedup._simhash64 as a CTE chain ending in
+    ``sh(doc_id, simhash)``: tokens are [\\p{L}\\p{N}]+ runs of lower(text);
+    token hash = first 8 bytes of md5 as big-endian uint64 (16 hex nibbles
+    parsed via strpos, HUGEINT weights); per-bit ±1 votes summed per
+    document; sig reinterpreted as signed int64."""
     nib = "strpos('0123456789abcdef', substr(hx, {j}, 1)) - 1"
     val = " + ".join(
         f"CAST(({nib.format(j=j + 1)}) AS HUGEINT) * CAST({16 ** (15 - j)} AS HUGEINT)"
         for j in range(16)
     )
     bitrows = ", ".join(f"({b}, CAST({1 << b} AS HUGEINT))" for b in range(64))
-    return rf"""
-WITH tok AS (
+    return rf"""tok AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\p{{L}}\p{{N}}]+')) AS tk
   FROM documents),
 hv AS (
@@ -1686,13 +1686,38 @@ votes AS (
   FROM hv CROSS JOIN bits GROUP BY 1, 2, 3),
 sig AS (
   SELECT doc_id, SUM(CASE WHEN v > 0 THEN w ELSE CAST(0 AS HUGEINT) END) AS s
-  FROM votes GROUP BY doc_id)
-SELECT d.doc_id,
-  CAST(COALESCE(
-    CASE WHEN s >= CAST(9223372036854775808 AS HUGEINT)
-         THEN s - CAST(18446744073709551616 AS HUGEINT) ELSE s END,
-    0) AS BIGINT) AS simhash
-FROM documents d LEFT JOIN sig USING (doc_id)
+  FROM votes GROUP BY doc_id),
+sh AS (
+  SELECT d.doc_id,
+    CAST(COALESCE(
+      CASE WHEN s >= CAST(9223372036854775808 AS HUGEINT)
+           THEN s - CAST(18446744073709551616 AS HUGEINT) ELSE s END,
+      0) AS BIGINT) AS simhash
+  FROM documents d LEFT JOIN sig USING (doc_id))"""
+
+
+def _sql_simhash() -> str:
+    return f"WITH {_sql_simhash_cte()} SELECT doc_id, simhash FROM sh"
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 3) via pigeonhole banding — unlike
+    probabilistic LSH, the banding is EXHAUSTIVE (distance <= k implies some
+    band of k+1 is identical), so the banded result provably equals the
+    all-pairs oracle."""
+    from influxdb_iox_spark.pipeline.dedup import simhash_near_pairs
+
+    t = _load(spark, sf_dir, "documents")
+    out = simhash_near_pairs(t["documents"], max_hamming=3)
+    return out.select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def _sql_simhash_near_dup() -> str:
+    return f"""WITH {_sql_simhash_cte()}
+SELECT l.doc_id AS a, r.doc_id AS b,
+  CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
 """
 
 
@@ -1867,6 +1892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup / ANN pipeline (oracle-paired since round 3)
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_fingerprints": q_simhash,
+        "simhash_near_dup": q_simhash_near_dup,
         "ann_ivf_topk": q_ann_ivf,
         "near_dup_clusters": q_near_dup_clusters,
     }
@@ -1926,6 +1952,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": SQL_MULTIMODAL_META,
         "minhash_near_dup": SQL_MINHASH_NEAR_DUP,
         "simhash_fingerprints": _sql_simhash(),
+        "simhash_near_dup": _sql_simhash_near_dup(),
         "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
         "ann_ivf_topk": SQL_ANN_IVF,
     }
