@@ -1559,6 +1559,62 @@ ORDER BY grid.time_us
 """
 
 
+def q_window_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed mean with LINEAR gap interpolation (InfluxQL fill(linear)):
+    interior missing 5-min buckets take the straight line between their
+    neighboring observed buckets."""
+    from influxdb_iox_spark.functions.time import window_bounds
+    from influxdb_iox_spark.operators.gapfill import fill_window_gaps
+
+    step_us = 300 * US
+    t = _load(spark, sf_dir, "events")
+    ev = t["events"].filter(F.col("event_type") == "signup").withColumn(
+        "__bucket_ns", window_bounds("ts", 300 * NS)
+    )
+    agg = ev.groupBy(F.expr("__bucket_ns div 1000").alias("time_us")).agg(
+        F.round(F.avg("value"), 4).alias("mean_value")
+    )
+    filled = fill_window_gaps(
+        agg.withColumn("series", F.lit("signup")),
+        tag_columns=["series"],
+        time_column="time_us",
+        step=step_us,
+        value_columns=["mean_value"],
+        strategy="linear",
+    )
+    return filled.select(
+        "series", "time_us", F.round("mean_value", 6).alias("mean_value")
+    ).orderBy("time_us")
+
+
+SQL_WINDOW_GAPFILL_LINEAR = f"""
+WITH agg AS (
+  SELECT epoch_us(ts) - ((epoch_us(ts) % {300 * US}) + {300 * US}) % {300 * US} + {300 * US} AS time_us,
+         round(AVG(value), 4) AS mean_value
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+), bounds AS (SELECT MIN(time_us) AS lo, MAX(time_us) AS hi FROM agg),
+grid AS (
+  SELECT unnest(range(lo, hi + {300 * US}, {300 * US}::BIGINT)) AS time_us FROM bounds
+), j AS (
+  SELECT grid.time_us AS t, agg.mean_value AS v
+  FROM grid LEFT JOIN agg ON grid.time_us = agg.time_us
+), w AS (
+  SELECT t, v,
+    last_value(v IGNORE NULLS) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+    first_value(v IGNORE NULLS) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+      OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM j)
+SELECT 'signup' AS series, t AS time_us,
+  round(CASE WHEN v IS NOT NULL THEN v
+        WHEN pv IS NOT NULL AND nv IS NOT NULL
+        THEN pv + (nv - pv) * (t - pt) / (nt - pt) END, 6) AS mean_value
+FROM w ORDER BY t
+"""
+
+
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min inactivity gap) per user — Spark's
     session_window (beyond the reference surface; its streaming twin is the
@@ -1878,6 +1934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization": q_sessionization,
         "rpc_window_selector_last": q_window_selector_last,
         "rpc_window_gapfill_previous": q_window_gapfill_previous,
+        "rpc_window_gapfill_linear": q_window_gapfill_linear,
         "series_derivative": q_series_derivative,
         # LLM-pipeline
         "doc_token_stats": q_doc_token_stats,
@@ -1930,6 +1987,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionization": SQL_SESSIONIZATION,
         "rpc_window_selector_last": SQL_WINDOW_SELECTOR_LAST,
         "rpc_window_gapfill_previous": SQL_WINDOW_GAPFILL,
+        "rpc_window_gapfill_linear": SQL_WINDOW_GAPFILL_LINEAR,
         "series_derivative": SQL_SERIES_DERIVATIVE,
         "rpc_read_filter": SQL_READ_FILTER,
         "rpc_read_group": SQL_READ_GROUP,

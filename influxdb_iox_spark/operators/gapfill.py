@@ -37,9 +37,12 @@ def fill_window_gaps(
     ``windowed`` is a window-aggregate result: (tags…, time bucket, values…),
     bucket spacing ``step`` (same unit as ``time_column``).  Strategies:
     ``null`` (emit row, values null), ``previous`` (carry forward last
-    non-null), ``value`` (constant ``fill_value``).
+    non-null), ``value`` (constant ``fill_value``), ``linear``
+    (interpolate interior gaps between the neighboring observed buckets —
+    InfluxQL ``fill(linear)``; grid edges are observed by construction, so
+    every gap has both neighbors).
     """
-    if strategy not in ("null", "previous", "value"):
+    if strategy not in ("null", "previous", "value", "linear"):
         raise ValueError(f"unknown fill strategy {strategy!r}")
     value_columns = value_columns or [
         c for c in windowed.columns if c not in (*tag_columns, time_column)
@@ -67,13 +70,37 @@ def fill_window_gaps(
                 for c in value_columns
             ],
         )
-    w = (
+    wp = (
         Window.partitionBy(*tag_columns)
         .orderBy(time_column)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return joined.select(
-        *tag_columns,
-        time_column,
-        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in value_columns],
+    if strategy == "previous":
+        return joined.select(
+            *tag_columns,
+            time_column,
+            *[
+                F.last(F.col(c), ignorenulls=True).over(wp).alias(c)
+                for c in value_columns
+            ],
+        )
+    # linear: interpolate between neighboring observed buckets
+    wn = (
+        Window.partitionBy(*tag_columns)
+        .orderBy(time_column)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
+    t = F.col(time_column)
+
+    def _lerp(c: str) -> Column:
+        v = F.col(c)
+        prev_v = F.last(v, ignorenulls=True).over(wp)
+        prev_t = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(wp)
+        next_v = F.first(v, ignorenulls=True).over(wn)
+        next_t = F.first(F.when(v.isNotNull(), t), ignorenulls=True).over(wn)
+        interp = prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t)
+        return F.when(v.isNotNull(), v).otherwise(
+            F.when(prev_v.isNotNull() & next_v.isNotNull(), interp)
+        ).alias(c)
+
+    return joined.select(*tag_columns, time_column, *[_lerp(c) for c in value_columns])

@@ -35,3 +35,24 @@ def test_fill_constant(spark):
     )
     rows = {(r.series, r.bucket): r.v for r in out.collect()}
     assert rows[("a", 20)] == 0.0 and rows[("a", 10)] == 1.0
+
+
+def test_fill_linear_interpolates_interior_gaps(spark):
+    from influxdb_iox_spark.operators.gapfill import fill_window_gaps
+
+    df = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 40, 7.0), ("a", 50, 9.0), ("b", 10, 5.0)],
+        "k string, t long, v double",
+    )
+    out = fill_window_gaps(
+        df, tag_columns=["k"], time_column="t", step=10, strategy="linear"
+    )
+    rows = {(r.k, r.t): r.v for r in out.collect()}
+    # a: gap at 20/30 interpolates the 1.0 -> 7.0 line; observed stay exact
+    assert rows[("a", 10)] == 1.0
+    assert rows[("a", 20)] == 3.0
+    assert rows[("a", 30)] == 5.0
+    assert rows[("a", 40)] == 7.0
+    assert rows[("a", 50)] == 9.0
+    assert rows[("b", 10)] == 5.0
+    assert len(rows) == 6
