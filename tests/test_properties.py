@@ -72,3 +72,94 @@ def test_window_bounds_invariants(t, every, offset):
     bound = start + every
     assert start <= t < bound
     assert (start - offset) % every == 0
+
+
+# ---------------------------------------------------------------------------
+# Differential fuzz: the vectorized arrow batch parser vs the exact per-line
+# parser (the fast tier must be indistinguishable for every valid line mix)
+# ---------------------------------------------------------------------------
+
+simple_name_st = st.text(alphabet="abcdefghijklmnopqrstuvwxyz_0123456789", min_size=1, max_size=8).filter(
+    lambda s: not s[0].isdigit()
+)
+
+batch_field_value_st = st.one_of(
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.integers(min_value=-(2**61), max_value=2**61),
+    st.booleans(),
+    st.text(
+        alphabet=st.characters(exclude_categories=("Cs", "Cc"), exclude_characters="\n\r"),
+        max_size=20,
+    ),
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    lines=st.lists(
+        st.tuples(
+            st.sampled_from(["cpu", "mem", "disk"]),  # mixed measurements
+            st.dictionaries(st.sampled_from(["host", "region"]), name_st, max_size=2),
+            st.fixed_dictionaries(
+                {},
+                optional={
+                    "usage": st.floats(allow_nan=False, allow_infinity=False, width=64),
+                    "count": st.integers(min_value=-(2**61), max_value=2**61),
+                    "up": st.booleans(),
+                    "note": st.text(
+                        alphabet=st.characters(
+                            exclude_categories=("Cs", "Cc"), exclude_characters="\n\r"
+                        ),
+                        max_size=20,
+                    ),
+                },
+            ).filter(lambda d: d),
+            st.one_of(st.none(), st.integers(min_value=-(2**62), max_value=2**62)),
+        ),
+        max_size=12,
+    )
+)
+def test_batch_parser_matches_exact_parser(lines):
+    """_parse_batch (arrow fast tier + slow fallback) over a random mix of
+    escape-heavy and clean lines of several measurements must equal the
+    per-line reference parse, row for row, for the target measurement."""
+    import pandas as pd
+
+    from influxdb_iox_spark.schema import InfluxColumnType, IoxSchema
+    from influxdb_iox_spark.sources.line_protocol import (
+        ParsedLine,
+        _build_spec,
+        _parse_batch,
+        format_line,
+        parse_line,
+    )
+
+    schema = IoxSchema.build(
+        ["host", "region"],
+        {
+            "usage": InfluxColumnType.FIELD_FLOAT,
+            "count": InfluxColumnType.FIELD_INTEGER,
+            "up": InfluxColumnType.FIELD_BOOLEAN,
+            "note": InfluxColumnType.FIELD_STRING,
+        },
+    )
+    spec = _build_spec(schema, "cpu", default_time=7)
+    raw = [format_line(ParsedLine(m, t, f, ts)) for m, t, f, ts in lines]
+    got = _parse_batch(pd.Series(raw, dtype=object), spec)
+
+    want = []
+    for ln in raw:
+        pl = parse_line(ln)
+        if pl.measurement != "cpu":
+            continue
+        row = {**pl.tags, **pl.fields}
+        row["time"] = pl.timestamp if pl.timestamp is not None else 7
+        want.append(row)
+    assert len(got) == len(want)
+    for i, row in enumerate(want):
+        for c in spec.colnames:
+            g, w = got[c].iloc[i], row.get(c)
+            if isinstance(w, float):
+                assert g == w or abs(g - w) < 1e-12 * max(1.0, abs(w)), (i, c, g, w)
+            else:
+                assert (g is None and w is None) or g == w, (i, c, g, w)
