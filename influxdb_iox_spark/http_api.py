@@ -57,6 +57,10 @@ class IoxHttpServer:
         self.db_name = db_name
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
+        # The store's manifest append / chunk-id allocation are single-writer
+        # (atomic-rename safe against crashes, not concurrent writers), so
+        # writes from the threaded HTTP server serialize here.
+        self._write_lock = threading.Lock()
 
     # -- lifecycle ---------------------------------------------------------
     def start(self, host: str = "127.0.0.1", port: int = 0) -> int:
@@ -87,9 +91,16 @@ class IoxHttpServer:
         spark = self.database.spark
         lines_df = spark.createDataFrame(lines, "value string")
         default_time = time.time_ns()
-        for ing in self.ingests.values():
-            ing.default_time_ns = default_time
-            ing.ingest_lines_df(lines_df)
+        with self._write_lock:
+            # Two-phase, all-or-nothing like the reference's write handler:
+            # parse/validate EVERY measurement first (errors -> 400, nothing
+            # persisted), only then append chunks.
+            parsed = [
+                (ing, ing.parse_lines_df(lines_df, default_time_ns=default_time))
+                for ing in self.ingests.values()
+            ]
+            for ing, keyed in parsed:
+                ing.write_parsed(keyed)
 
     def handle_query(self, name: str, q: str, fmt: str) -> tuple[bytes, str]:
         if name != self.db_name:
@@ -110,8 +121,17 @@ class IoxHttpServer:
                 w.writerow(list(r))
             return buf.getvalue().encode(), "text/csv"
         if fmt == "pretty":
-            body = df._show_string(len(rows) or 1, 0, False)
-            return body.encode(), "text/plain"
+            # render from the already-collected rows (one execution)
+            cells = [[("" if v is None else str(v)) for v in r] for r in rows]
+            widths = [
+                max(len(c), *(len(row[i]) for row in cells)) if cells else len(c)
+                for i, c in enumerate(cols)
+            ]
+            sep = "+-" + "-+-".join("-" * w for w in widths) + "-+"
+            def _line(vals):
+                return "| " + " | ".join(v.ljust(w) for v, w in zip(vals, widths)) + " |"
+            out = [sep, _line(cols), sep, *[_line(r) for r in cells], sep]
+            return ("\n".join(out) + "\n").encode(), "text/plain"
         raise _HttpError(400, f"unknown format {fmt!r}")
 
 

@@ -191,28 +191,7 @@ def lsh_candidate_pairs(
     upstream far cheaper).  Use ``lsh_hot_buckets`` to observe what was
     dropped.
     """
-    rows = num_perm // bands
-    banded = sig_df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.hash(
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("signature"), b * rows + 1, rows),
-                                lambda x: x.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-
+    banded = _banded(sig_df, id_col, num_perm, bands)
     banded = _drop_hot_buckets(banded, ["band", "bucket"], max_bucket_size)
 
     # Pin the physical strategy: shuffle-hash on (band, bucket).  The planner
@@ -234,6 +213,35 @@ def lsh_candidate_pairs(
         .distinct()
     )
     return pairs
+
+
+def _banded(
+    sig_df: DataFrame, id_col: str, num_perm: int, bands: int
+) -> DataFrame:
+    """(doc, band, bucket) rows: one bucket hash per signature band — shared
+    by the candidate join and the hot-bucket observability twin so the two
+    can never disagree on bucketing."""
+    rows = num_perm // bands
+    return sig_df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.hash(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("signature"), b * rows + 1, rows),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
 def _drop_hot_buckets(
@@ -263,30 +271,12 @@ def lsh_hot_buckets(
     max_bucket_size: int = 20_000,
 ) -> DataFrame:
     """Observability twin of the skew guard: (band, bucket, n_docs) for every
-    bucket ``lsh_candidate_pairs`` would drop at this threshold."""
-    rows = num_perm // bands
-    banded = sig_df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.hash(
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("signature"), b * rows + 1, rows),
-                                lambda x: x.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select(F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    bucket ``lsh_candidate_pairs`` would drop at this threshold (same
+    ``_banded`` expression, so the report can never disagree with the
+    guard)."""
     return (
-        banded.groupBy("band", "bucket")
+        _banded(sig_df, id_col, num_perm, bands)
+        .groupBy("band", "bucket")
         .agg(F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") > max_bucket_size)
     )

@@ -157,6 +157,24 @@ def persist_split(
         chunks[0].partition_key if len({c.partition_key for c in chunks}) == 1 else ""
     )
     _t0 = _time.perf_counter()
+    try:
+        return _persist_split_inner(
+            spark, store, table, schema, split_time_ns, chunks, _ids, _pkey, _t0
+        )
+    except Exception:
+        store.record_operation(
+            "PersistChunks", table, _pkey, _ids, "Error",
+            int((_time.perf_counter() - _t0) * 1e9),
+            f"Persisting chunks {_ids} of table '{table}' split at {split_time_ns}",
+        )
+        raise
+
+
+def _persist_split_inner(
+    spark, store, table, schema, split_time_ns, chunks, _ids, _pkey, _t0
+):
+    import time as _time
+
     with _reorg_pool(spark):
         ordered = [
             store.read_chunk(spark, m).withColumn(DEDUP_ORDER_COLUMN, F.lit(m.chunk_id))

@@ -242,6 +242,9 @@ _VALUE_RE = (
     r"[-+]?(?:[iI][nN][fF](?:[iI][nN][iI][tT][yY])?|[nN][aA][nN]))"
 )
 _GENERIC_FIELDS_RE = rf"^[^,=]+={_VALUE_RE}(?:,[^,=]+={_VALUE_RE})*$"
+# Tag-set validity for dropped other-measurement lines: every piece must be
+# key=value with nonempty key (no '='/',') and nonempty value.
+_GENERIC_TAGS_RE = r"^[^,=]+=[^,]+(?:,[^,=]+=[^,]+)*$"
 _INT_FIELD_RE = r"^-?\d{1,18}i$|^\d{1,18}u$"
 # Strict float shapes Arrow's string->double cast definitely parses; anything
 # outside (inf/nan literals, underscores) routes to the exact parser.
@@ -339,13 +342,20 @@ def _parse_batch_arrow(arr, spec: "_ParseSpec"):
     )  # null when the line has no tags
     meas_eq = _b(pc.equal(meas, spec.measurement))
     target = pc.and_(pc.and_(valid, noesc), pc.and_(shape_ok, meas_eq))
-    # Escape-free lines of OTHER measurements: drop silently only when their
-    # field values are self-evidently valid; otherwise let parse_line raise.
+    # Escape-free lines of OTHER measurements: drop silently only when BOTH
+    # their tag set and field values are self-evidently valid; otherwise let
+    # parse_line raise the exact error.
+    tags_ok = pc.or_(
+        pc.invert(pc.is_valid(tagstr)),  # no tags at all
+        _b(pc.match_substring_regex(tagstr, _GENERIC_TAGS_RE)),
+    )
     other_ok = pc.and_(
         pc.and_(valid, noesc),
         pc.and_(
             pc.and_(shape_ok, pc.invert(meas_eq)),
-            _b(pc.match_substring_regex(fs, _GENERIC_FIELDS_RE)),
+            pc.and_(
+                _b(pc.match_substring_regex(fs, _GENERIC_FIELDS_RE)), _b(tags_ok)
+            ),
         ),
     )
 
@@ -461,9 +471,12 @@ def _parse_batch_arrow(arr, spec: "_ParseSpec"):
                         f"type mismatch for column {k!r}: got "
                         f"{type(v).__name__}, expected {spec.expected[k]}: {raw!r}"
                     )
-            row[spec.time_col] = (
-                pl.timestamp if pl.timestamp is not None else spec.default_time
-            )
+            ts_ns = pl.timestamp if pl.timestamp is not None else spec.default_time
+            if not (-(2**63) <= ts_ns < 2**63):
+                raise LineProtocolError(
+                    f"timestamp out of i64 range: {pl.timestamp}: {raw!r}"
+                )
+            row[spec.time_col] = ts_ns
             slow_pos.append(int(pos))
             slow_rows.append(row)
 

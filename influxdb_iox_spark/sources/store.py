@@ -98,10 +98,12 @@ class TableStore:
 
     @staticmethod
     def _part_file(partition_key: str) -> str:
-        """Deterministic, filesystem-safe file name for one partition key."""
+        """Deterministic, filesystem-safe, COLLISION-FREE file name for one
+        partition key (quote is injective; the empty key maps to
+        ``part-.json``, never sharing a file with any literal key)."""
         from urllib.parse import quote
 
-        q = quote(partition_key, safe="") or "__none__"
+        q = quote(partition_key, safe="")
         if len(q) > 80:  # cap pathological keys; md5 keeps it collision-free
             import hashlib
 
@@ -161,19 +163,22 @@ class TableStore:
         self._save_part(table, fname, entries)
 
     def catalog_version(self) -> int:
-        """Monotonic-ish fingerprint of the whole manifest tree (max mtime_ns
-        over manifest files).  Cheap (one directory walk, no JSON parse) —
-        lets readers cache derived state (e.g. registered SQL views) and
-        refresh only when a write actually changed the catalog."""
+        """Fingerprint of the whole manifest tree.  Cheap (one directory
+        walk, no JSON parse) — lets readers cache derived state (e.g.
+        registered SQL views) and refresh only when a write actually changed
+        the catalog.  Hashes (name, size, mtime_ns) per file: mtime alone
+        has coarse-clock granularity (two writes in one tick would collide),
+        but a manifest append/drop always changes the JSON size too."""
         root = os.path.join(self.base_dir, "_manifest")
-        v = 0
+        h = 0
         for dirpath, _dirs, files in os.walk(root):
             for f in files:
                 try:
-                    v = max(v, os.stat(os.path.join(dirpath, f)).st_mtime_ns)
+                    st = os.stat(os.path.join(dirpath, f))
                 except OSError:
                     continue
-        return v
+                h = hash((h, f, st.st_size, st.st_mtime_ns))
+        return h
 
     def tables(self) -> list[str]:
         mdir = os.path.join(self.base_dir, "_manifest")

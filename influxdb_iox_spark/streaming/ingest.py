@@ -103,13 +103,32 @@ class LineProtocolIngest:
         ``distributed_parse`` — counts physical parse executions (tests
         assert exactly one pass per input partition regardless of key count).
         """
+        return self.write_parsed(self.parse_lines_df(lines_df, parse_counter))
+
+    def parse_lines_df(
+        self,
+        lines_df: DataFrame,
+        parse_counter=None,
+        default_time_ns: int | None = None,
+    ) -> DataFrame:
+        """Phase 1: parse + materialize (localCheckpoint) WITHOUT writing.
+
+        Parse/validation errors surface here, before any chunk lands — a
+        multi-measurement caller (e.g. the HTTP write handler) can parse
+        every measurement first and only then commit, so a rejected request
+        persists nothing.
+        """
         parsed = distributed_parse(
-            lines_df, self.schema, self.table, self.default_time_ns,
+            lines_df, self.schema, self.table,
+            self.default_time_ns if default_time_ns is None else default_time_ns,
             batch_counter=parse_counter,
         )
-        keyed = parsed.withColumn(
+        return parsed.withColumn(
             "__part_key", self.template.key_column(self.table, self.schema.time_column)
         ).localCheckpoint(eager=True)
+
+    def write_parsed(self, keyed: DataFrame) -> list:
+        """Phase 2: append one chunk per partition key from a parsed batch."""
         keys = [r[0] for r in keyed.select("__part_key").distinct().collect()]
         metas = []
         for k in sorted(keys):

@@ -101,3 +101,37 @@ def test_query_missing_q_400(server):
             timeout=30,
         )
     assert e.value.code == 400
+
+
+def test_write_is_all_or_nothing_across_measurements(spark, tmp_path):
+    """A request whose lines fail validation for ONE measurement persists
+    NOTHING for any measurement (two-phase parse-then-write)."""
+    import json as _json
+
+    store = TableStore(str(tmp_path / "two_phase"))
+    db = Database("myorg_mybucket", store, spark)
+    mem = IoxSchema.build(["host"], {"free": InfluxColumnType.FIELD_FLOAT})
+    db.register_table("cpu", CPU)
+    db.register_table("mem", mem)
+    api = IoxHttpServer(
+        db,
+        {
+            "mem": LineProtocolIngest(store, "mem", mem),
+            "cpu": LineProtocolIngest(store, "cpu", CPU),
+        },
+        db_name="myorg_mybucket",
+    )
+    port = api.start()
+    try:
+        body = b"mem,host=h1 free=1.0 100\ncpu,region=west user=true 200\n"
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(
+                f"http://127.0.0.1:{port}/api/v2/write?org=myorg&bucket=mybucket",
+                body,
+            )
+        assert e.value.code == 400
+        # the valid mem line must NOT have been committed
+        assert store.manifest("mem") == []
+        assert store.manifest("cpu") == []
+    finally:
+        api.stop()

@@ -153,15 +153,7 @@ def test_fast_and_slow_tiers_agree(monkeypatch):
     )
     fast = lp._parse_batch(lines, spec)
 
-    # disable the fast tier by making every line look escape-bearing
-    orig = lp._parse_batch
-
-    def all_slow(values, s):
-        import pandas as pd2
-
-        return orig(pd2.Series(["\\" + "\b"] * 0), s) if False else None
-
-    # simpler: run slow tier via parse_line directly on the same corpus
+    # reference: run the exact per-line parser over the same corpus
     rows = []
     for raw in lines:
         raw = raw.strip()
@@ -199,6 +191,9 @@ def test_fast_path_anomalies_still_error():
         "cpu usage=true 1",  # bool into float field
         "cpu note=bare 1",  # unquoted string field
         "other f= 1",  # malformed non-target line must still raise
+        "other,host= f=1 1",  # malformed non-target TAGS must still raise
+        "other,host f=1 1",  # tag without value on non-target line
+        "cpu usage=1 9999999999999999999",  # ts beyond int64 -> clean error
     ]:
         with pytest.raises(LineProtocolError):
             lp._parse_batch(pd.Series([bad]), spec)

@@ -166,3 +166,21 @@ def test_manifest_scales_to_many_chunks(tmp_path):
     pruned = store.prune_chunks("events", Predicate().with_range(5000, 6000))
     assert _t.perf_counter() - t0 < 2
     assert {c.partition_key for c in pruned} == {"2024-01-005"}
+
+
+def test_partition_key_none_literal_does_not_collide_with_empty(tmp_path):
+    """A literal '__none__' partition key and the empty key must live in
+    separate manifest files."""
+    from influxdb_iox_spark.sources.store import ChunkMeta, TableStore
+
+    store = TableStore(str(tmp_path / "collide"))
+    for key in ("", "__none__"):
+        cid = store._alloc_chunk_id("t")
+        store._append_manifest(
+            "t",
+            ChunkMeta(chunk_id=cid, path=f"t/c{cid}", table="t",
+                      partition_key=key, row_count=1),
+        )
+    assert len(store.manifest("t")) == 2
+    assert [c.partition_key for c in store.manifest_partition("t", "")] == [""]
+    assert [c.partition_key for c in store.manifest_partition("t", "__none__")] == ["__none__"]
