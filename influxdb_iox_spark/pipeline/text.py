@@ -67,12 +67,20 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _stopword_hits(t: Column, words: list[str]) -> Column:
-    """Occurrences of any stopword as a standalone word, via the padded-text
-    substring-count trick — identical semantics in ANSI SQL:
-      (len(x) - len(replace(x, ' w ', '  '))) / (len(' w ')-2) per word
-    over x = ' ' || lower(text) || ' ' with whitespace collapsed."""
-    padded = F.concat(F.lit(" "), normalize_text(t), F.lit(" "))
+def _padded(t: Column) -> Column:
+    """' ' || normalized text || ' ' — the probe string for standalone-word
+    counting.  Materialize this ONCE per row (a projection) before fanning
+    out to many stopword counters: passing the raw expression would inline
+    the normalize regex into every derived expression (~25 copies for the
+    4-language scorer), which dominated lang_id's runtime."""
+    return F.concat(F.lit(" "), normalize_text(t), F.lit(" "))
+
+
+def _stopword_hits_padded(padded: Column, words: list[str]) -> Column:
+    """Occurrences of any stopword as a standalone word over a pre-padded
+    normalized text column, via the substring-count trick — identical
+    semantics in ANSI SQL:
+      (len(x) - len(replace(x, ' w ', '  '))) / (len(' w ')-2) per word."""
     hits = []
     for w in words:
         pat = f" {w} "
@@ -88,6 +96,10 @@ def _stopword_hits(t: Column, words: list[str]) -> Column:
     return F.floor(out)
 
 
+def _stopword_hits(t: Column, words: list[str]) -> Column:
+    return _stopword_hits_padded(_padded(t), words)
+
+
 def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
     """Stopword-anchor language ID (n-gram heuristic family).
 
@@ -95,15 +107,18 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
     tie-break order (en > de > fr > es > unknown).  Pure column expressions →
     distributes trivially; the same formula is the oracle SQL.
     """
-    t = F.col(text_col)
-    scores = {lang: _stopword_hits(t, ws) for lang, ws in LANG_STOPWORDS.items()}
+    with_padded = df.withColumn("__padded", _padded(F.col(text_col)))
+    p = F.col("__padded")
+    scores = {
+        lang: _stopword_hits_padded(p, ws) for lang, ws in LANG_STOPWORDS.items()
+    }
     langs = list(LANG_STOPWORDS)
     best = F.greatest(*[scores[lang] for lang in langs])
     pred = F.lit("unknown")
     for lang in reversed(langs):  # earlier langs win ties → apply last
         pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best <= 0, F.lit("unknown")).otherwise(pred)
-    return df.select("*", pred.alias(out_col))
+    return with_padded.select(*df.columns, pred.alias(out_col))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
