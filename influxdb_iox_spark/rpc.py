@@ -97,6 +97,25 @@ class InfluxRpc:
 
     # -- series framing (exec/seriesset.rs) -------------------------------
     def read_filter_frames(self, table: str, predicate: Predicate | None = None):
+        """Driver-side streaming frames (one series in memory at a time) —
+        for a local consumer.  Cluster-scale consumers should use
+        ``read_filter_frames_distributed``."""
         df = self.read_filter(table, predicate)
         tags = self.db.table_schema(table).tag_columns
         return se.frame_series(df, table, tags)
+
+    def read_filter_frames_distributed(
+        self, table: str, predicate: Predicate | None = None
+    ) -> DataFrame:
+        """One row per series (tags + columnar arrays), produced entirely on
+        executors — no driver iterator, no global sort (see
+        operators/series.frame_series_distributed)."""
+        schema = self.db.table_schema(table)
+        fields = (
+            predicate.field_columns if predicate and predicate.field_columns else None
+        ) or schema.field_columns
+        cols = [*schema.tag_columns, *fields, schema.time_column]
+        df = self.db.table(table, predicate).select(*cols)
+        return se.frame_series_distributed(
+            df, table, schema.tag_columns, [schema.time_column]
+        )

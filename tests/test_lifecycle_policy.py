@@ -165,3 +165,19 @@ def test_drop_chunks_deferred_gc(spark, tmp_path):
     assert store.gc_retired("cpu", 3600) == 0
     assert store.gc_retired("cpu", 0) == 1  # grace elapsed -> reclaimed
     assert not os.path.isdir(chunk_dir)
+
+
+def test_rpc_distributed_frames_match_driver_frames(spark, tmp_path):
+    store, db = build(spark, tmp_path)
+    rpc = InfluxRpc(db)
+    driver = {
+        tuple(sorted(f.tags.items())): [tuple(r) for r in f.rows]
+        for f in rpc.read_filter_frames("cpu")
+    }
+    dist = {}
+    for r in rpc.read_filter_frames_distributed("cpu").collect():
+        key = tuple(sorted({"region": r.region}.items()))
+        dist[key] = [
+            (r.region, r.user[i], r.time[i]) for i in range(r.n_rows)
+        ]
+    assert dist == driver
