@@ -417,7 +417,11 @@ class TableStore:
                 parts.append(df)
 
         if clean_paths:
-            clean = spark.read.option("mergeSchema", "true").parquet(*clean_paths)
+            # Explicit schema, NOT mergeSchema: mergeSchema reads every
+            # file's footer on the driver (measured ~13 s at 10^4 chunks);
+            # the registered table schema is authoritative and the reader
+            # null-fills columns a pre-extension chunk lacks.
+            clean = spark.read.schema(schema.struct).parquet(*clean_paths)
             parts.insert(0, clean)
 
         out = merge_chunk_frames(parts)

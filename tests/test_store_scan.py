@@ -184,3 +184,78 @@ def test_partition_key_none_literal_does_not_collide_with_empty(tmp_path):
     assert len(store.manifest("t")) == 2
     assert [c.partition_key for c in store.manifest_partition("t", "")] == [""]
     assert [c.partition_key for c in store.manifest_partition("t", "__none__")] == ["__none__"]
+
+
+def test_overlap_sweep_equals_bruteforce_randomized():
+    """The interval-sweep grouping must produce exactly the all-pairs
+    transitive closure for random range layouts (incl. unknown bounds)."""
+    import random
+
+    from influxdb_iox_spark.operators.overlap import (
+        chunks_overlap,
+        group_potential_duplicates,
+    )
+    from influxdb_iox_spark.sources.store import ChunkMeta
+
+    rng = random.Random(7)
+    for trial in range(30):
+        n = rng.randint(1, 40)
+        chunks = []
+        for i in range(n):
+            if rng.random() < 0.1:
+                stats = {}  # unknown everything -> overlaps all
+            else:
+                lo = rng.randint(0, 200)
+                hi = lo + rng.randint(0, 60)
+                tag_lo = rng.choice("abcd")
+                stats = {
+                    "time": [lo, hi] if rng.random() > 0.05 else [None, None],
+                    "region": [tag_lo, chr(ord(tag_lo) + rng.randint(0, 1))],
+                }
+            chunks.append(
+                ChunkMeta(chunk_id=i, path="x", table="t", partition_key="",
+                          row_count=1, stats=stats)
+            )
+        got = group_potential_duplicates(chunks, ["region", "time"])
+        # brute-force reference closure
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i in range(n):
+            for j in range(i + 1, n):
+                if chunks_overlap(chunks[i], chunks[j], ["region", "time"]):
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[rj] = ri
+        want = {}
+        for i in range(n):
+            want.setdefault(find(i), []).append(i)
+        want_groups = sorted(want.values(), key=lambda g: g[0])
+        assert got == want_groups, (trial, n)
+
+
+def test_overlap_grouping_fast_at_10k_disjoint_chunks():
+    """10^4 time-disjoint chunks must group in ~linear time (the sweep), not
+    the 40+ seconds of the naive all-pairs loop."""
+    import time as _t
+
+    from influxdb_iox_spark.operators.overlap import group_potential_duplicates
+    from influxdb_iox_spark.sources.store import ChunkMeta
+
+    chunks = [
+        ChunkMeta(chunk_id=i, path="x", table="t", partition_key=f"p{i % 200}",
+                  row_count=1,
+                  stats={"time": [i * 1000, i * 1000 + 999],
+                         "region": ["west", "west"]})
+        for i in range(10_000)
+    ]
+    t0 = _t.perf_counter()
+    groups = group_potential_duplicates(chunks, ["region", "time"])
+    elapsed = _t.perf_counter() - t0
+    assert len(groups) == 10_000  # all disjoint -> all clean singletons
+    assert elapsed < 5, f"overlap grouping took {elapsed:.1f}s"
