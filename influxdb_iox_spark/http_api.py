@@ -92,15 +92,22 @@ class IoxHttpServer:
         lines_df = spark.createDataFrame(lines, "value string")
         default_time = time.time_ns()
         with self._write_lock:
-            # Two-phase, all-or-nothing like the reference's write handler:
-            # parse/validate EVERY measurement first (errors -> 400, nothing
-            # persisted), only then append chunks.
+            # Three-phase, all-or-nothing like the reference's write handler:
+            # 1. parse/validate EVERY measurement (errors -> 400, nothing
+            #    persisted); 2. write every chunk's files without registering
+            #    them; 3. register all manifest entries.  A failure in 1-2
+            #    leaves at most orphaned unreferenced directories (GC-able)
+            #    and NOTHING visible to queries.
             parsed = [
                 (ing, ing.parse_lines_df(lines_df, default_time_ns=default_time))
                 for ing in self.ingests.values()
             ]
-            for ing, keyed in parsed:
-                ing.write_parsed(keyed)
+            written = [
+                (ing, ing.write_parsed(keyed, register=False))
+                for ing, keyed in parsed
+            ]
+            for ing, metas in written:
+                ing.store.register_chunks(ing.table, metas)
 
     def handle_query(self, name: str, q: str, fmt: str) -> tuple[bytes, str]:
         if name != self.db_name:
@@ -121,8 +128,16 @@ class IoxHttpServer:
                 w.writerow(list(r))
             return buf.getvalue().encode(), "text/csv"
         if fmt == "pretty":
-            # render from the already-collected rows (one execution)
-            cells = [[("" if v is None else str(v)) for v in r] for r in rows]
+            # render from the already-collected rows (one execution), with
+            # Spark SQL's NULL/true/false conventions
+            def _cell(v):
+                if v is None:
+                    return "NULL"
+                if isinstance(v, bool):
+                    return "true" if v else "false"
+                return str(v)
+
+            cells = [[_cell(v) for v in r] for r in rows]
             widths = [
                 max(len(c), *(len(row[i]) for row in cells)) if cells else len(c)
                 for i, c in enumerate(cols)

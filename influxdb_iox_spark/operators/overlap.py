@@ -98,9 +98,15 @@ def group_potential_duplicates(
                 if lo is not None:
                     # retire chunks whose time range ended before this one
                     # starts (sorted lo only grows, so they can never overlap
-                    # anything later either); unknown-hi chunks never retire
+                    # anything later either).  ANY None bound means
+                    # ranges_overlap treats the chunk as overlapping
+                    # everything, so half-bounded chunks never retire.
                     active = [
-                        j for j in active if highs[j] is None or not (highs[j] < lo)
+                        j
+                        for j in active
+                        if lows[j] is None
+                        or highs[j] is None
+                        or not (highs[j] < lo)
                     ]
                 for j in active:
                     if chunks_overlap(chunks[i], chunks[j], pk_columns):

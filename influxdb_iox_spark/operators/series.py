@@ -86,16 +86,26 @@ def _field_agg(agg: Aggregate, fld: str, time_col: str, selector: bool) -> list[
     raise ValueError(f"unsupported aggregate {agg}")
 
 
+def read_filter_projection(
+    db: Database, table: str, predicate: Predicate | None = None
+) -> DataFrame:
+    """The (tags…, fields…, time) projection shared by read_filter and the
+    distributed framing path — UNSORTED (each consumer picks its own
+    ordering strategy)."""
+    schema = db.table_schema(table)
+    fields = predicate.field_columns if predicate and predicate.field_columns else None
+    fields = fields or schema.field_columns
+    cols = [*schema.tag_columns, *fields, schema.time_column]
+    return db.table(table, predicate).select(*cols)
+
+
 def read_filter(
     db: Database, table: str, predicate: Predicate | None = None
 ) -> DataFrame:
     """All matching rows as series: (tags…, fields…, time), sorted by
     (tags…, time) so each series is contiguous (influxrpc.rs:524-552)."""
     schema = db.table_schema(table)
-    fields = predicate.field_columns if predicate and predicate.field_columns else None
-    fields = fields or schema.field_columns
-    cols = [*schema.tag_columns, *fields, schema.time_column]
-    df = db.table(table, predicate).select(*cols)
+    df = read_filter_projection(db, table, predicate)
     return df.orderBy(*schema.tag_columns, schema.time_column)
 
 

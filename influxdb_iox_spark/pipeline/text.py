@@ -107,8 +107,11 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
     tie-break order (en > de > fr > es > unknown).  Pure column expressions →
     distributes trivially; the same formula is the oracle SQL.
     """
-    with_padded = df.withColumn("__padded", _padded(F.col(text_col)))
-    p = F.col("__padded")
+    tmp = "__padded"
+    while tmp in df.columns:  # never clobber a caller's column
+        tmp += "_"
+    with_padded = df.withColumn(tmp, _padded(F.col(text_col)))
+    p = F.col(tmp)
     scores = {
         lang: _stopword_hits_padded(p, ws) for lang, ws in LANG_STOPWORDS.items()
     }

@@ -194,11 +194,7 @@ def _persist_split_inner(
             # reorganizes within one partition — reorg.rs operates on a
             # single partition's chunks); "" would make prune_chunks treat
             # the outputs as belonging to no partition.
-            partition_key = (
-                chunks[0].partition_key
-                if len({c.partition_key for c in chunks}) == 1
-                else ""
-            )
+            partition_key = _pkey
             cold_meta = hot_meta = None
             if cold.limit(1).count():
                 cold_meta = store.write_chunk(

@@ -111,11 +111,7 @@ class InfluxRpc:
         executors — no driver iterator, no global sort (see
         operators/series.frame_series_distributed)."""
         schema = self.db.table_schema(table)
-        fields = (
-            predicate.field_columns if predicate and predicate.field_columns else None
-        ) or schema.field_columns
-        cols = [*schema.tag_columns, *fields, schema.time_column]
-        df = self.db.table(table, predicate).select(*cols)
+        df = se.read_filter_projection(self.db, table, predicate)
         return se.frame_series_distributed(
             df, table, schema.tag_columns, [schema.time_column]
         )

@@ -217,6 +217,7 @@ class TableStore:
         partition_key: str = "",
         dedup_batch: bool = True,
         seq_column: str | None = None,
+        register: bool = True,
     ) -> ChunkMeta:
         """Persist one chunk: within-batch dedup → PK sort → sorted parquet.
 
@@ -224,6 +225,12 @@ class TableStore:
         sort-key-ordered chunks (internal_types/src/schema/sort.rs) — parquet
         row-group min/max stats on (tags, time) become tight, so Spark's
         row-group skipping does the fine-grained pruning the read buffer did.
+
+        ``register=False`` writes the files but defers the manifest append:
+        callers batching several chunks can register them together after ALL
+        writes succeed (``register_chunks``), making the batch's VISIBILITY
+        atomic — a failure mid-batch leaves only orphaned, unreferenced
+        directories (GC-able), never a half-registered batch.
         """
         pk = schema.primary_key
         if dedup_batch:
@@ -252,8 +259,14 @@ class TableStore:
             created_at=_time.time(),
             tag_values=tag_catalog,
         )
-        self._append_manifest(table, meta)
+        if register:
+            self._append_manifest(table, meta)
         return meta
+
+    def register_chunks(self, table: str, metas: list[ChunkMeta]) -> None:
+        """Append deferred chunk metas (see write_chunk(register=False))."""
+        for m in metas:
+            self._append_manifest(table, m)
 
     TAG_CATALOG_CAP = 1000
 

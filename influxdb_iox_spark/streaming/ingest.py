@@ -127,15 +127,22 @@ class LineProtocolIngest:
             "__part_key", self.template.key_column(self.table, self.schema.time_column)
         ).localCheckpoint(eager=True)
 
-    def write_parsed(self, keyed: DataFrame) -> list:
-        """Phase 2: append one chunk per partition key from a parsed batch."""
+    def write_parsed(self, keyed: DataFrame, register: bool = True) -> list:
+        """Phase 2: append one chunk per partition key from a parsed batch.
+
+        With ``register=False`` the chunks are written but not yet visible;
+        the caller registers them later (``TableStore.register_chunks``) —
+        used by the HTTP handler to make a multi-measurement request's
+        visibility all-or-nothing.
+        """
         keys = [r[0] for r in keyed.select("__part_key").distinct().collect()]
         metas = []
         for k in sorted(keys):
             part = keyed.filter(F.col("__part_key") == k).drop("__part_key")
             metas.append(
                 self.store.write_chunk(
-                    part, self.table, self.schema, partition_key=k, seq_column="__seq"
+                    part, self.table, self.schema, partition_key=k,
+                    seq_column="__seq", register=register,
                 )
             )
         return metas

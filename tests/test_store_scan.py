@@ -208,8 +208,20 @@ def test_overlap_sweep_equals_bruteforce_randomized():
                 lo = rng.randint(0, 200)
                 hi = lo + rng.randint(0, 60)
                 tag_lo = rng.choice("abcd")
+                # include half-bounded stats: ranges_overlap treats any None
+                # bound as overlap-everything, and the sweep must never
+                # retire those chunks
+                roll = rng.random()
+                if roll < 0.05:
+                    time_stats = [None, None]
+                elif roll < 0.12:
+                    time_stats = [None, hi]
+                elif roll < 0.19:
+                    time_stats = [lo, None]
+                else:
+                    time_stats = [lo, hi]
                 stats = {
-                    "time": [lo, hi] if rng.random() > 0.05 else [None, None],
+                    "time": time_stats,
                     "region": [tag_lo, chr(ord(tag_lo) + rng.randint(0, 1))],
                 }
             chunks.append(
