@@ -107,6 +107,8 @@ def main() -> None:
     from influxdb_iox_spark.sources.line_protocol import distributed_parse
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(events.dtypes)["ts"].startswith("timestamp"):
+        events = events.withColumn("ts", F.unix_micros("ts") * F.lit(1000))
     lines_df = events.select(
         F.concat(
             F.lit("events,event_type="), F.col("event_type"),
