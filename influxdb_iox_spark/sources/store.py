@@ -71,17 +71,19 @@ class TableStore:
 
         base_dir/
           <table>/chunk-<id>-<uuid>/part-*.parquet   (one sorted chunk)
-          _manifest/<table>/part-<key>.json          (list[ChunkMeta] of ONE
-                                                      partition key)
+          _manifest/<table>/part-<key>.json          (JSONL append-log of ONE
+                                                      partition key's chunks)
           _manifest/<table>/_next_id                 (chunk-id counter)
 
-    The manifest is PARTITIONED BY PARTITION KEY: appending a chunk rewrites
-    only its own partition's file (O(chunks-in-partition)), not the whole
-    table (O(total chunks)) — the write-side analogue of the reference
-    keeping per-partition catalogs, and what keeps continuous ingest flat as
-    a table accumulates 10^4-10^5 chunks.  Full-table reads
-    (``manifest(table)``) concatenate the per-partition files; partition-
-    scoped readers use ``manifest_partition`` and never touch the rest.
+    The manifest is PARTITIONED BY PARTITION KEY and each partition file is
+    an APPEND-LOG (Delta-log style): registering a chunk appends one JSONL
+    line — O(1), no read, no rewrite — so continuous ingest stays flat as a
+    table accumulates 10^4-10^5 chunks.  Bulk mutations (drop_chunks,
+    compaction retirement) rewrite the affected partition file as an atomic
+    snapshot (tmp + rename), which doubles as log compaction.  Full-table
+    reads (``manifest(table)``) concatenate the per-partition files;
+    partition-scoped readers use ``manifest_partition`` and never touch the
+    rest.
 
     Single-writer assumption (as documented on drop_chunks): the id counter
     and manifest swaps are atomic-rename safe against crashes, not against
@@ -90,6 +92,10 @@ class TableStore:
 
     def __init__(self, base_dir: str):
         self.base_dir = base_dir
+        # table -> [next_unused, reserved_limit) id block (see _alloc_chunk_id)
+        self._id_blocks: dict[str, list[int]] = {}
+        # partition files already verified/migrated to JSONL (append fast path)
+        self._jsonl_checked: set[str] = set()
         os.makedirs(os.path.join(base_dir, "_manifest"), exist_ok=True)
 
     # -- manifest ---------------------------------------------------------
@@ -117,13 +123,33 @@ class TableStore:
         return sorted(f for f in os.listdir(d) if f.startswith("part-"))
 
     def _load_part(self, table: str, fname: str) -> list[ChunkMeta]:
+        """Read one partition's manifest: JSONL append-log (one ChunkMeta per
+        line) or the legacy JSON-array snapshot.  A torn trailing line from a
+        crashed append parses as malformed JSON and is skipped — with a
+        single writer that can only ever be the record that was mid-write."""
         p = os.path.join(self._manifest_dir(table), fname)
         if not os.path.exists(p):
             return []
         with open(p) as f:
-            return [ChunkMeta(**e) for e in json.load(f)]
+            text = f.read()
+        if text.lstrip().startswith("["):  # legacy array snapshot
+            return [ChunkMeta(**e) for e in json.loads(text)]
+        out: list[ChunkMeta] = []
+        for ln in text.splitlines():
+            ln = ln.strip()
+            if not ln:
+                continue
+            try:
+                rec = json.loads(ln)
+            except json.JSONDecodeError:
+                continue  # torn write
+            out.append(ChunkMeta(**rec))
+        return out
 
     def _save_part(self, table: str, fname: str, entries: list[ChunkMeta]) -> None:
+        """Atomic snapshot rewrite of one partition file (tmp + rename).
+        Used by bulk paths (drop_chunks, _save_manifest) — the append path
+        never rewrites, see _append_manifest."""
         d = self._manifest_dir(table)
         os.makedirs(d, exist_ok=True)
         p = os.path.join(d, fname)
@@ -133,7 +159,10 @@ class TableStore:
             return
         tmp = p + ".tmp"
         with open(tmp, "w") as f:
-            json.dump([asdict(e) for e in entries], f, indent=1, default=str)
+            f.write(
+                "\n".join(json.dumps(asdict(e), default=str) for e in entries)
+                + "\n"
+            )
         os.replace(tmp, p)
 
     def manifest(self, table: str) -> list[ChunkMeta]:
@@ -156,11 +185,22 @@ class TableStore:
             self._save_part(table, fname, by_part.get(fname, []))
 
     def _append_manifest(self, table: str, meta: ChunkMeta) -> None:
-        """O(partition) append: rewrites only the chunk's partition file."""
+        """O(1) append: one JSONL line appended to the chunk's partition
+        file — no read, no rewrite (Delta-log style).  The leading newline
+        guarantees a record never merges with a torn trailing write from a
+        crashed predecessor; blank lines are skipped on read."""
+        d = self._manifest_dir(table)
+        os.makedirs(d, exist_ok=True)
         fname = self._part_file(meta.partition_key)
-        entries = self._load_part(table, fname)
-        entries.append(meta)
-        self._save_part(table, fname, entries)
+        p = os.path.join(d, fname)
+        if p not in self._jsonl_checked:
+            if os.path.exists(p):
+                with open(p) as f:
+                    if f.read(1) == "[":  # one-time legacy snapshot migration
+                        self._save_part(table, fname, self._load_part(table, fname))
+            self._jsonl_checked.add(p)
+        with open(p, "a") as f:
+            f.write("\n" + json.dumps(asdict(meta), default=str) + "\n")
 
     def catalog_version(self) -> int:
         """Fingerprint of the whole manifest tree.  Cheap (one directory
@@ -195,18 +235,30 @@ class TableStore:
         m = self.manifest(table)
         return (max(c.chunk_id for c in m) + 1) if m else 0
 
+    ID_BLOCK = 64
+
     def _alloc_chunk_id(self, table: str) -> int:
-        """Allocate the next chunk id via the counter file — O(1), no
-        full-manifest read."""
-        nxt = self.next_chunk_id(table)
+        """Allocate the next chunk id.  Ids are reserved in blocks of
+        ``ID_BLOCK``: one atomic counter-file write (tmp + rename) reserves
+        the whole block, subsequent allocations are handed out from memory.
+        The upper bound is persisted BEFORE any id is handed out, so a crash
+        wastes at most a block of ids (gaps are fine — ids only need to be
+        unique and monotone) and never reuses one."""
+        blk = self._id_blocks.get(table)
+        if blk is not None and blk[0] < blk[1]:
+            nxt = blk[0]
+            blk[0] += 1
+            return nxt
+        base = self.next_chunk_id(table)
         d = self._manifest_dir(table)
         os.makedirs(d, exist_ok=True)
         p = os.path.join(d, "_next_id")
         tmp = p + ".tmp"
         with open(tmp, "w") as f:
-            f.write(str(nxt + 1))
+            f.write(str(base + self.ID_BLOCK))
         os.replace(tmp, p)
-        return nxt
+        self._id_blocks[table] = [base + 1, base + self.ID_BLOCK]
+        return base
 
     # -- write ------------------------------------------------------------
     def write_chunk(
