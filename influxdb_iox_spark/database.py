@@ -19,9 +19,18 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import Row
 
+from weakref import WeakKeyDictionary
+
 from influxdb_iox_spark.plans.predicate import Predicate
 from influxdb_iox_spark.schema import IoxSchema
 from influxdb_iox_spark.sources.store import TableStore
+
+# Temp views are SESSION-global, so the "views are current" cache must be
+# keyed by session, not by Database instance: with two Databases sharing one
+# SparkSession, B's registration overwrites A's views and an instance-local
+# flag on A would never notice.  Maps session -> (store dir, version) of the
+# LAST registration in that session; any other registrant invalidates.
+_VIEW_REGISTRY: WeakKeyDictionary = WeakKeyDictionary()
 
 
 @dataclass
@@ -54,16 +63,21 @@ class Database:
         temp views.  Registration is CACHED on the store's catalog_version:
         a serving path (HTTP/Flight) issuing many queries only pays the
         O(tables × chunks) view planning again after a write/compaction
-        actually changed the manifest."""
-        version = (self.store.catalog_version(), tuple(sorted(self.schemas)))
-        if not force and getattr(self, "_registered_version", None) == version:
+        actually changed the manifest — or after ANOTHER Database registered
+        its views into the same session (see _VIEW_REGISTRY)."""
+        version = (
+            self.store.base_dir,
+            self.store.catalog_version(),
+            tuple(sorted(self.schemas)),
+        )
+        if not force and _VIEW_REGISTRY.get(self.spark) == version:
             return
         for t in self.schemas:
             self.table(t).createOrReplaceTempView(t)
         self.system_chunks().createOrReplaceTempView("system_chunks")
         self.system_columns().createOrReplaceTempView("system_columns")
         self.system_operations().createOrReplaceTempView("system_operations")
-        self._registered_version = version
+        _VIEW_REGISTRY[self.spark] = version
 
     def query(self, sql: str) -> DataFrame:
         """SQL frontend — the ``spark.sql`` twin of SqlQueryPlanner::query."""

@@ -46,15 +46,21 @@ class IoxHttpServer:
     deployment; malformed lines fail the request with 400.
     """
 
+    #: query results beyond this many rows get a 413 instead of an
+    #: unbounded driver collect (see handle_query)
+    DEFAULT_MAX_ROWS = 10_000
+
     def __init__(
         self,
         database: Database,
         ingests: dict[str, LineProtocolIngest],
         db_name: str = "org_bucket",
+        max_rows: int = DEFAULT_MAX_ROWS,
     ):
         self.database = database
         self.ingests = dict(ingests)
         self.db_name = db_name
+        self.max_rows = max_rows
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
         # The store's manifest append / chunk-id allocation are single-writer
@@ -110,10 +116,21 @@ class IoxHttpServer:
                 ing.store.register_chunks(ing.table, metas)
 
     def handle_query(self, name: str, q: str, fmt: str) -> tuple[bytes, str]:
+        """Collects on the driver by design (control-plane facade), but the
+        collect is BOUNDED: results beyond ``max_rows`` rows raise 413 so a
+        ``SELECT * FROM <big table>`` over HTTP cannot OOM the driver — the
+        client must add a LIMIT (or page).  Cluster-scale result delivery
+        belongs to the Flight path, which streams record batches."""
         if name != self.db_name:
             raise _HttpError(404, f"database {name!r} not found")
         df = self.database.query(q)
-        rows = df.collect()
+        rows = df.limit(self.max_rows + 1).collect()
+        if len(rows) > self.max_rows:
+            raise _HttpError(
+                413,
+                f"result exceeds max_rows={self.max_rows}; "
+                "add a LIMIT clause or page the query",
+            )
         cols = df.columns
         if fmt == "json":
             out = json.dumps([dict(zip(cols, [_json_val(v) for v in r])) for r in rows])
@@ -214,7 +231,17 @@ def _make_handler(api: IoxHttpServer):
                 length = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(length)
                 if self.headers.get("Content-Encoding") == "gzip":
-                    body = gzip.decompress(body)
+                    try:
+                        body = gzip.decompress(body)
+                    except (OSError, EOFError) as e:
+                        # BadGzipFile is an OSError subclass; truncated
+                        # streams raise EOFError.  Malformed request body is
+                        # the client's fault -> 400 (http.rs returns 4xx).
+                        raise _HttpError(400, f"invalid gzip body: {e}")
+                try:
+                    body.decode("utf-8")
+                except UnicodeDecodeError as e:
+                    raise _HttpError(400, f"body is not valid UTF-8: {e}")
                 api.handle_write(org, bucket, body)
                 self._reply(204)
             except _HttpError as e:

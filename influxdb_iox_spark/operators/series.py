@@ -284,9 +284,15 @@ def frame_series_distributed(
         if buf is not None and len(buf):
             yield emit([buf])
 
-    part = df.repartition(*tag_columns).sortWithinPartitions(
-        *tag_columns, *order_columns
-    )
+    if tag_columns:
+        part = df.repartition(*tag_columns).sortWithinPartitions(
+            *tag_columns, *order_columns
+        )
+    else:
+        # tag-less measurement (legal in line protocol): the whole input is
+        # ONE series — repartition() with no columns would raise, and any
+        # multi-partition layout would emit one frame per partition.
+        part = df.coalesce(1).sortWithinPartitions(*order_columns)
     return part.mapInPandas(frames, schema=out_schema)
 
 

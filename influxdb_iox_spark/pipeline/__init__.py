@@ -17,6 +17,7 @@ from influxdb_iox_spark.pipeline.dedup import (
     exact_duplicate_groups,
     near_duplicate_pairs_minhash,
     simhash,
+    simhash_hot_buckets,
     simhash_near_pairs,
 )
 from influxdb_iox_spark.pipeline.similarity import (
@@ -40,6 +41,7 @@ __all__ = [
     "exact_duplicate_groups",
     "near_duplicate_pairs_minhash",
     "simhash",
+    "simhash_hot_buckets",
     "simhash_near_pairs",
     "ann_ivf_topk",
     "ann_lsh_topk",

@@ -245,7 +245,7 @@ def _banded(
 
 
 def _drop_hot_buckets(
-    banded: DataFrame, keys: list[str], max_bucket_size: int
+    banded: DataFrame, keys: list[str], max_bucket_size: int | None
 ) -> DataFrame:
     """Exclude rows whose bucket exceeds ``max_bucket_size`` members.
 
@@ -290,19 +290,25 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact Jaccard on distinct shingle-hash sets for candidate pairs.
 
-    Candidates are a tiny fraction of the corpus, so the two joins pulling
-    shingle-hash arrays (xxhash64 longs, see ``minhash_signatures``) are
-    cheap; similarity is array_intersect/array_union — JVM-side.  Returns
-    (a, b, jaccard) with jaccard >= threshold.
+    The two joins pulling shingle-hash arrays (xxhash64 longs, see
+    ``minhash_signatures``) shuffle on the pair ids; similarity is
+    array_intersect/array_union — JVM-side.  Returns (a, b, jaccard) with
+    jaccard >= threshold.
+
+    The candidate side is deliberately NOT broadcast: candidates are usually
+    a tiny fraction of the corpus, but a boilerplate-heavy corpus that stays
+    under the banding hot-bucket cap can still mint a pair list too large
+    for the driver.  The shuffle-hash hint (same choice as the banding
+    self-join) keeps the plan size-independent; AQE may still downgrade to
+    a broadcast when the pair list really is small.
     """
     sh = sig_df.select(F.col(id_col), F.col("shingles"))
     a_sh = sh.withColumnsRenamed({id_col: "a", "shingles": "sh_a"})
     b_sh = sh.withColumnsRenamed({id_col: "b", "shingles": "sh_b"})
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
-    # candidates are tiny relative to the corpus — broadcast them
     return (
-        F.broadcast(pairs).join(a_sh, "a")
+        pairs.hint("shuffle_hash").join(a_sh, "a")
         .join(b_sh, "b")
         .select(
             "a",
@@ -454,7 +460,9 @@ def _simhash64(texts):
     """64-bit SimHash over word tokens (Arrow-batched, numpy bit-voting).
 
     Token hashes use md5 (stable across processes, unlike Python's builtin
-    hash) — first 8 bytes as uint64.
+    hash) — first 8 bytes as uint64.  Kept as the differential-test twin of
+    the codegen ``simhash``; the per-token Python loop makes it ~100× slower
+    than the expression pipeline, so it is no longer on any query path.
     """
     import numpy as np
     import pandas as pd
@@ -480,30 +488,69 @@ def _simhash64(texts):
     return pd.Series(out)
 
 
-def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
-    return df.withColumn(out_col, _simhash64(F.col(text_col)))
+# Java regex twin of the pandas UDF's Python ``[^\W_]+`` tokenizer (and of
+# the DuckDB oracle's ``[\p{L}\p{N}]+``): runs of letters/digits of
+# lower(text).
+_SIMHASH_TOKEN_RE = r"[\p{L}\p{N}]+"
 
 
-def simhash_near_pairs(
+def simhash(
     df: DataFrame,
     text_col: str = "text",
+    out_col: str = "simhash",
     id_col: str = "doc_id",
-    max_hamming: int = 3,
-    max_bucket_size: int = 20_000,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+    """64-bit SimHash fingerprints — pure codegen column expressions.
 
-    Pigeonhole banding: split 64 bits into (max_hamming+1) bands; any pair
-    within distance k agrees exactly on ≥1 band → join on (band_id, band
-    bits), verify with bit_count(xor).  Same shuffle-not-crossproduct shape
-    as MinHash-LSH, including the hot-bucket guard (a band of all-zero bits
-    over boilerplate text is the classic degenerate key).
+    Same shape as the MinHash signature pipeline: tokenize
+    (regexp_extract_all) → explode → md5 per token split into two 32-bit
+    longs → ONE hash aggregate per ``id_col`` computing all 64 ±1 bit-vote
+    sums → signature reassembled from the vote signs (bit 63's term is the
+    two's-complement negative, so the plain long sum reinterprets the u64
+    correctly).  The shuffle carries (id, two longs), never token strings.
+
+    Requires unique ``id_col`` values (signatures join back on it); rows
+    whose text has no tokens get signature 0, matching ``_simhash64``.
     """
-    nbands = max_hamming + 1
-    width = 64 // nbands
-    sig = simhash(df.select(id_col, text_col), text_col, "sig").select(id_col, "sig")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(_SIMHASH_TOKEN_RE), F.lit(0)
+            )
+        ).alias("__tk"),
+    )
+    hx = F.md5(F.col("__tk"))
+    toks = toks.select(
+        id_col,
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("long").alias("__hi"),
+        F.conv(F.substring(hx, 9, 8), 16, 10).cast("long").alias("__lo"),
+    )
+    votes = []
+    for b in range(64):
+        word = F.col("__hi") if b >= 32 else F.col("__lo")
+        bit = F.shiftrightunsigned(word, b - 32 if b >= 32 else b).bitwiseAND(
+            F.lit(1)
+        )
+        votes.append(F.sum(bit * 2 - 1).alias(f"__v{b}"))
+    agg = toks.groupBy(id_col).agg(*votes)
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        term = (1 << b) if b < 63 else -(1 << 63)
+        sig = sig + F.when(
+            F.col(f"__v{b}") > 0, F.lit(term).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    sigs = agg.select(F.col(id_col), sig.alias(out_col))
+    return df.join(sigs, on=id_col, how="left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(0).cast("long"))
+    )
 
-    bands = sig.select(
+
+def _simhash_banded(sig: DataFrame, id_col: str, nbands: int) -> DataFrame:
+    """(doc, sig, band, bits) rows — shared by the pair join and the
+    hot-bucket observability twin so the two can never disagree."""
+    width = 64 // nbands
+    return sig.select(
         F.col(id_col).alias("doc"),
         F.col("sig"),
         F.explode(
@@ -521,6 +568,35 @@ def simhash_near_pairs(
         ).alias("bb"),
     ).select("doc", "sig", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"))
 
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Pigeonhole banding: split 64 bits into (max_hamming+1) bands; any pair
+    within distance k agrees exactly on ≥1 band → join on (band_id, band
+    bits), verify with bit_count(xor).  Same shuffle-not-crossproduct shape
+    as MinHash-LSH.
+
+    Unlike probabilistic LSH, this banding is EXHAUSTIVE — the pigeonhole
+    guarantee (distance ≤ k ⟹ some band identical) is what makes the result
+    provably equal to the all-pairs computation, so the hot-bucket skew
+    guard is OFF by default here: dropping a bucket would silently lose true
+    pairs.  Opt in with ``max_bucket_size`` on corpora where a degenerate
+    band (e.g. boilerplate hashing a band to all zeros) goes quadratic —
+    the result is then only complete for pairs outside dropped buckets;
+    ``simhash_hot_buckets`` reports exactly what was dropped.
+    """
+    nbands = max_hamming + 1
+    sig = simhash(df.select(id_col, text_col), text_col, "sig", id_col).select(
+        id_col, "sig"
+    )
+    bands = _simhash_banded(sig, id_col, nbands)
     bands = _drop_hot_buckets(bands, ["band", "bits"], max_bucket_size)
 
     l, r = bands.alias("l"), bands.alias("r")
@@ -541,4 +617,27 @@ def simhash_near_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def simhash_hot_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket_size: int = 20_000,
+) -> DataFrame:
+    """Observability twin of ``simhash_near_pairs``' opt-in skew guard:
+    (band, bits, n_docs) for every bucket that threshold would drop (same
+    ``_simhash_banded`` expression, so the report can never disagree with
+    the guard)."""
+    nbands = max_hamming + 1
+    sig = simhash(df.select(id_col, text_col), text_col, "sig", id_col).select(
+        id_col, "sig"
+    )
+    return (
+        _simhash_banded(sig, id_col, nbands)
+        .groupBy("band", "bits")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket_size)
     )

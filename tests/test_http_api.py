@@ -94,6 +94,57 @@ def test_write_malformed_lines_400(server):
     assert e.value.code == 400
 
 
+def test_write_bad_gzip_400(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(
+            f"{server}/api/v2/write?org=myorg&bucket=mybucket",
+            b"this is not gzip",
+            {"Content-Encoding": "gzip"},
+        )
+    assert e.value.code == 400
+    assert b"gzip" in e.value.read()
+
+
+def test_write_non_utf8_body_400(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(
+            f"{server}/api/v2/write?org=myorg&bucket=mybucket",
+            b"cpu,region=west user=1 100\n\xff\xfe\x80",
+        )
+    assert e.value.code == 400
+    assert b"UTF-8" in e.value.read()
+
+
+def test_query_row_cap_413(spark, tmp_path):
+    """An unbounded SELECT over HTTP must not collect past max_rows."""
+    store = TableStore(str(tmp_path / "cap_store"))
+    db = Database("myorg_mybucket", store, spark)
+    db.register_table("cpu", CPU)
+    ing = LineProtocolIngest(store, "cpu", CPU)
+    api = IoxHttpServer(db, {"cpu": ing}, db_name="myorg_mybucket", max_rows=5)
+    port = api.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        lines = "\n".join(
+            f"cpu,region=r{i} user={i}.0 {i * 100}" for i in range(8)
+        ).encode()
+        with _post(f"{base}/api/v2/write?org=myorg&bucket=mybucket", lines) as r:
+            assert r.status == 204
+        q = urllib.request.quote("SELECT * FROM cpu")
+        url = f"{base}/iox/api/v1/databases/myorg_mybucket/query?q={q}&format=json"
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(url, timeout=120)
+        assert e.value.code == 413
+        assert b"max_rows" in e.value.read()
+        # under the cap still works
+        q2 = urllib.request.quote("SELECT * FROM cpu LIMIT 3")
+        url2 = f"{base}/iox/api/v1/databases/myorg_mybucket/query?q={q2}&format=json"
+        with urllib.request.urlopen(url2, timeout=120) as r:
+            assert len(json.loads(r.read())) == 3
+    finally:
+        api.stop()
+
+
 def test_query_missing_q_400(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(

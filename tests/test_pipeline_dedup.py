@@ -95,6 +95,46 @@ def test_simhash_deterministic_and_near(spark, docs):
     assert not any(5 in p for p in found)
 
 
+def test_simhash_codegen_matches_pandas_udf(spark, docs):
+    """The codegen expression pipeline must reproduce the Arrow-batched
+    reference UDF bit-for-bit, including zero-token documents -> 0."""
+    from influxdb_iox_spark.pipeline.dedup import _simhash64
+
+    edge = spark.createDataFrame(
+        [(10, "!!! ... ---"), (11, ""), (12, None), (13, "one_token")],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(edge)
+    codegen = {r.doc_id: r.simhash for r in simhash(both).collect()}
+    udf = {
+        r.doc_id: r.ref
+        for r in both.select("doc_id", _simhash64(F.col("text")).alias("ref")).collect()
+    }
+    assert codegen == udf
+    assert codegen[10] == 0 and codegen[11] == 0 and codegen[12] == 0
+
+
+def test_simhash_hot_bucket_guard_opt_in(spark, docs):
+    """Default: guard OFF (exhaustive pigeonhole guarantee intact).  With a
+    tiny opt-in cap, dropped buckets lose pairs and the observability twin
+    reports exactly those buckets."""
+    from influxdb_iox_spark.pipeline.dedup import simhash_hot_buckets
+
+    # default: the exact-dup trio (1,2,3) all pair up
+    found = {(r.a, r.b) for r in simhash_near_pairs(docs, max_hamming=8).collect()}
+    assert {(1, 2), (1, 3), (2, 3)} <= found
+
+    # cap of 2: the identical-signature docs share every band bucket (3 > 2)
+    capped = {
+        (r.a, r.b)
+        for r in simhash_near_pairs(docs, max_hamming=8, max_bucket_size=2).collect()
+    }
+    assert not ({(1, 2), (1, 3), (2, 3)} & capped)
+    hot = simhash_hot_buckets(docs, max_hamming=8, max_bucket_size=2).collect()
+    # the identical-signature trio floods every band; the near-dup may join
+    assert hot and all(r.n_docs in (3, 4) for r in hot)
+
+
 def test_duplicate_clusters_and_drop(spark):
     from influxdb_iox_spark.pipeline.dedup import (
         drop_near_duplicates,

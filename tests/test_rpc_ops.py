@@ -196,6 +196,27 @@ def test_frame_series_distributed_carries_series_across_arrow_batches(db, spark)
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
 
 
+def test_frame_series_distributed_tagless_table(spark):
+    """A measurement with zero tag columns (legal in line protocol) is one
+    series: the distributed framing must return exactly one frame instead of
+    raising on repartition()."""
+    from influxdb_iox_spark.operators.series import frame_series_distributed
+
+    df = (
+        spark.range(50)
+        .select(
+            F.col("id").cast("double").alias("value"),
+            F.col("id").alias("time"),
+        )
+        .repartition(4)
+    )
+    out = frame_series_distributed(df, "m", []).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_rows == 50
+    assert list(r.time) == sorted(r.time)
+
+
 def test_read_window_aggregate_months(db):
     """Calendar-month WindowEvery over the rpc fixture: all rows land in the
     Jan-1970 window (ns epochs 50..200), stop boundary = 1970-02-01."""

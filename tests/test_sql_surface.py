@@ -69,6 +69,8 @@ def test_system_operations_records_lifecycle_jobs(spark, tmp_path):
 def test_register_views_cached_until_catalog_changes(spark, tmp_path):
     """View registration reuses the cached catalog version between queries
     and refreshes when a write changes the manifest."""
+    from influxdb_iox_spark.database import _VIEW_REGISTRY
+
     store = TableStore(str(tmp_path / "cache"))
     df = spark.createDataFrame(
         [("west", 1.0, 100)], "region string, user double, time long"
@@ -78,13 +80,36 @@ def test_register_views_cached_until_catalog_changes(spark, tmp_path):
     db.register_table("cpu", CPU)
 
     assert db.query("SELECT COUNT(*) AS n FROM cpu").collect()[0].n == 1
-    v1 = db._registered_version
+    v1 = _VIEW_REGISTRY[spark]
     db.query("SELECT 1")
-    assert db._registered_version == v1  # no re-registration
+    assert _VIEW_REGISTRY[spark] == v1  # no re-registration
 
     df2 = spark.createDataFrame(
         [("east", 2.0, 200)], "region string, user double, time long"
     )
     store.write_chunk(df2, "cpu", CPU)
     assert db.query("SELECT COUNT(*) AS n FROM cpu").collect()[0].n == 2
-    assert db._registered_version != v1  # refreshed after the write
+    assert _VIEW_REGISTRY[spark] != v1  # refreshed after the write
+
+
+def test_two_databases_one_session_do_not_serve_stale_views(spark, tmp_path):
+    """Temp views are session-global: after database B registers its 'cpu'
+    view, database A's next query must re-register its own rather than
+    silently reading B's data (the cache is keyed by session, not
+    instance)."""
+    dbs = []
+    for name, val in (("a", 1.0), ("b", 2.0)):
+        store = TableStore(str(tmp_path / name))
+        df = spark.createDataFrame(
+            [("west", val, 100)], "region string, user double, time long"
+        )
+        store.write_chunk(df, "cpu", CPU)
+        db = Database(name, store, spark)
+        db.register_table("cpu", CPU)
+        dbs.append(db)
+    a, b = dbs
+
+    assert a.query("SELECT user FROM cpu").collect()[0].user == 1.0
+    assert b.query("SELECT user FROM cpu").collect()[0].user == 2.0
+    # the regression: A's catalog hasn't changed, but B overwrote the views
+    assert a.query("SELECT user FROM cpu").collect()[0].user == 1.0
