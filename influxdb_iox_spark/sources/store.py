@@ -320,6 +320,102 @@ class TableStore:
         for m in metas:
             self._append_manifest(table, m)
 
+    def write_chunks_partitioned(
+        self,
+        df: DataFrame,
+        table: str,
+        schema: IoxSchema,
+        key_col: str = "__part_key",
+        dedup_batch: bool = True,
+        seq_column: str | None = None,
+        register: bool = True,
+    ) -> list[ChunkMeta]:
+        """Persist a batch spanning MANY partition keys as one chunk per key
+        — in ONE Spark write job (vs. write_chunk's one job per chunk).
+
+        The backfill shape: ``partitionBy(key_col)`` fans rows out to
+        per-key files inside a staging dir; ``sortWithinPartitions(key,
+        pk…)`` keeps every written file PK-sorted WITHOUT a shuffle (each
+        task writes one sorted file per key it holds), so row-group stats
+        stay as tight as write_chunk's.  Tag catalogs for ALL keys come from
+        one grouped aggregation job.  Each staged key directory is then
+        renamed into a normal chunk dir (driver-side metadata op on a
+        filesystem; an object store deployment would register the staged
+        prefix directly instead).  Visibility is unchanged: nothing is
+        queryable until the manifest append, and a mid-write crash leaves
+        only an orphaned, unreferenced staging dir.
+        """
+        from urllib.parse import unquote
+
+        pk = schema.primary_key
+        if dedup_batch:
+            # key_col is a pure function of the primary key (partition
+            # template over time/tag/table), so grouping by it too keeps the
+            # dedup groups identical while carrying the key through.
+            df = deduplicate_within(
+                df, [*schema.tag_columns, key_col], schema.field_columns,
+                schema.time_column, seq_column=seq_column,
+            )
+        out_cols = [f.name for f in schema.struct.fields if f.name in df.columns]
+        staging = os.path.join(
+            self.base_dir, table, f"_bulk-{uuid.uuid4().hex[:8]}"
+        )
+        (
+            df.select(*out_cols, key_col)
+            .sortWithinPartitions(key_col, *pk)
+            .write.mode("errorifexists")
+            .partitionBy(key_col)
+            .parquet(staging)
+        )
+
+        # one job for every key's tag catalog (vs one per chunk)
+        tags = [t for t in schema.tag_columns if t in df.columns]
+        catalogs: dict[str, dict[str, list | None]] = {}
+        if tags:
+            rows = (
+                df.groupBy(key_col)
+                .agg(*[F.collect_set(t).alias(t) for t in tags])
+                .collect()
+            )
+            for r in rows:
+                catalogs[r[key_col]] = {
+                    t: (sorted(r[t]) if len(r[t]) <= self.TAG_CATALOG_CAP else None)
+                    for t in tags
+                }
+
+        metas: list[ChunkMeta] = []
+        for dname in sorted(os.listdir(staging)):
+            if not dname.startswith(f"{key_col}="):
+                continue
+            raw = unquote(dname.split("=", 1)[1])
+            part_key = "" if raw == "__HIVE_DEFAULT_PARTITION__" else raw
+            chunk_id = self._alloc_chunk_id(table)
+            rel = os.path.join(table, f"chunk-{chunk_id:06d}-{uuid.uuid4().hex[:8]}")
+            os.rename(os.path.join(staging, dname), os.path.join(self.base_dir, rel))
+            row_count, stats = self._stats_from_footers(
+                os.path.join(self.base_dir, rel), pk
+            )
+            metas.append(
+                ChunkMeta(
+                    chunk_id=chunk_id,
+                    path=rel,
+                    table=table,
+                    partition_key=part_key,
+                    row_count=row_count,
+                    stats=stats,
+                    sorted_by=pk,
+                    created_at=_time.time(),
+                    tag_values=catalogs.get(part_key, {}),
+                )
+            )
+        # staging now holds only the _SUCCESS marker — remove it
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        if register:
+            self.register_chunks(table, metas)
+        return metas
+
     TAG_CATALOG_CAP = 1000
 
     def _collect_tag_catalog(

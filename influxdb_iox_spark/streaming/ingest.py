@@ -91,10 +91,9 @@ class LineProtocolIngest:
         Used directly for bulk loads and from foreachBatch for streams.
 
         The parsed batch is materialized ONCE with ``localCheckpoint`` before
-        fanning out to per-key consumers (the distinct-keys scan plus one
-        filtered write per partition key, plus ``write_chunk``'s tag-catalog
-        pass) — without it, the Python parse stage re-executes for every
-        consumer, so a batch spanning N days parsed ~N+1 times.
+        fanning out to its consumers (the partitioned bulk write plus the
+        grouped tag-catalog aggregation) — without it, the Python parse
+        stage would re-execute for each consumer.
         ``localCheckpoint`` rather than ``cache()``: a cached
         InMemoryRelation freezes its pre-AQE plan and every downstream stage
         inherits the micro-task partitioning (see SCALE.md).
@@ -130,22 +129,21 @@ class LineProtocolIngest:
     def write_parsed(self, keyed: DataFrame, register: bool = True) -> list:
         """Phase 2: append one chunk per partition key from a parsed batch.
 
+        Runs as ONE Spark write job regardless of how many partition keys
+        the batch spans (``TableStore.write_chunks_partitioned``): a bulk
+        backfill covering N days no longer issues N sequential write jobs +
+        N tag-catalog jobs — it is one partitionBy write, one grouped
+        tag-catalog aggregation, and driver-side renames.
+
         With ``register=False`` the chunks are written but not yet visible;
         the caller registers them later (``TableStore.register_chunks``) —
         used by the HTTP handler to make a multi-measurement request's
         visibility all-or-nothing.
         """
-        keys = [r[0] for r in keyed.select("__part_key").distinct().collect()]
-        metas = []
-        for k in sorted(keys):
-            part = keyed.filter(F.col("__part_key") == k).drop("__part_key")
-            metas.append(
-                self.store.write_chunk(
-                    part, self.table, self.schema, partition_key=k,
-                    seq_column="__seq", register=register,
-                )
-            )
-        return metas
+        return self.store.write_chunks_partitioned(
+            keyed, self.table, self.schema, key_col="__part_key",
+            seq_column="__seq", register=register,
+        )
 
     # -- streaming ingest -------------------------------------------------
     def start_stream(

@@ -86,3 +86,40 @@ def test_batch_ingest_parses_once_regardless_of_key_count(spark, tmp_path):
     metas = ing.ingest_lines_df(lines_df, parse_counter=acc)
     assert len(metas) == 2
     assert acc.value == 1, f"parse executed {acc.value} times for 1 input partition"
+
+
+def test_backfill_many_keys_is_one_write_job(spark, tmp_path):
+    """A 30-key backfill batch must run ONE partitioned write job + one
+    tag-catalog job — not one write + one catalog job per key (the round-3
+    shape).  Asserted by counting Spark jobs in a dedicated job group."""
+    store = TableStore(str(tmp_path / "store"))
+    ing = LineProtocolIngest(store, "cpu", CPU)
+    day_ns = 86_400 * 10**9
+    lines = [
+        (f"cpu,region=r{i % 3} user={float(i)} {i * day_ns}",) for i in range(30)
+    ]
+    keyed = ing.parse_lines_df(spark.createDataFrame(lines, "value string"))
+
+    sc = spark.sparkContext
+    sc.setJobGroup("bulk-backfill", "bulk write", False)
+    try:
+        metas = ing.write_parsed(keyed)
+    finally:
+        sc.setJobGroup("", "", False)
+    jobs = sc.statusTracker().getJobIdsForGroup("bulk-backfill")
+    assert len(metas) == 30
+    assert {m.partition_key for m in metas} == {
+        m.partition_key for m in store.manifest("cpu")
+    }
+    # 2 actions (1 partitionBy write + 1 grouped tag-catalog collect); AQE
+    # materializes shuffle stages as their own jobs, so allow a small
+    # constant — the round-3 shape ran ~60 jobs (2 per key) here.
+    assert len(jobs) <= 6, f"expected O(1) jobs for 30 keys, ran {len(jobs)}"
+
+    # chunks are readable and PK-sorted rows round-trip
+    total = sum(m.row_count for m in metas)
+    assert total == 30
+    one = [m for m in metas if m.partition_key == "1970-01-05"]
+    assert len(one) == 1
+    rows = store.read_chunk(spark, one[0]).collect()
+    assert len(rows) == 1 and rows[0].user == 4.0
