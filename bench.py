@@ -86,18 +86,21 @@ def main() -> None:
 
     sentinel_before = _sentinel()
 
-    # Two timed runs per query, report the minimum: local[32] micro-task
-    # stages show multi-second scheduler/GC jitter that a single sample
-    # conflates with query cost.
+    # Two timed runs per query; report the minimum as the headline number
+    # (local[32] micro-task stages show multi-second scheduler/GC jitter)
+    # and the SECOND run separately so JIT-warm vs steady-state is visible
+    # per query (a big run1/run2 gap means the min still contains warmup).
     timings: dict[str, float] = {}
+    timings_run2: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        best = float("inf")
+        runs = []
         for _ in range(2):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
+        timings_run2[name] = round(runs[1], 3)
 
     # ingest throughput: format the events table as line protocol in-plan,
     # then distributed-parse it back (the full ingest hot path, no disk)
@@ -108,7 +111,10 @@ def main() -> None:
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(events.dtypes)["ts"].startswith("timestamp"):
-        events = events.withColumn("ts", F.unix_micros("ts") * F.lit(1000))
+        # ntz needs an ltz cast before unix_micros; session TZ is UTC
+        events = events.withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+        )
     lines_df = events.select(
         F.concat(
             F.lit("events,event_type="), F.col("event_type"),
@@ -135,6 +141,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_run2": timings_run2,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "conditions": {
                     "cpus": int(cpus),

@@ -181,3 +181,64 @@ def test_rpc_distributed_frames_match_driver_frames(spark, tmp_path):
             (r.region, r.user[i], r.time[i]) for i in range(r.n_rows)
         ]
     assert dist == driver
+
+
+def test_reorg_pool_isolates_interactive_queries_under_fair():
+    """A long compaction-style job in the 'reorg' pool must not starve an
+    interactive query in the default pool when the scheduler runs FAIR.
+
+    Runs in a subprocess: scheduler mode is fixed at SparkContext creation,
+    so the shared FIFO test session cannot host this.  In the child, a
+    64-task sleep job occupies the reorg pool (via the same _reorg_pool
+    context compact_chunks/persist_split use); a trivial default-pool query
+    issued mid-flight must complete in a small fraction of the reorg job's
+    remaining runtime.
+    """
+    import subprocess
+    import sys
+
+    child = r"""
+import threading, time
+from influxdb_iox_spark.session import get_spark
+from influxdb_iox_spark.plans.reorg import _reorg_pool
+
+spark = get_spark(
+    app_name="fair-test", master="local[4]", shuffle_partitions=4,
+    extra_conf={"spark.scheduler.mode": "FAIR"},
+)
+sc = spark.sparkContext
+assert sc.getConf().get("spark.scheduler.mode") == "FAIR"
+
+done_at = {}
+
+def reorg_job():
+    with _reorg_pool(spark):
+        assert sc.getLocalProperty("spark.scheduler.pool") == "reorg"
+        def slow(it):
+            time.sleep(0.5)
+            return it
+        spark.sparkContext.parallelize(range(64), 64).mapPartitions(slow).count()
+    done_at["reorg"] = time.perf_counter()
+
+t = threading.Thread(target=reorg_job)
+t0 = time.perf_counter()
+t.start()
+time.sleep(2.0)  # let the reorg job occupy the cluster
+q0 = time.perf_counter()
+n = spark.range(1000).count()
+q_elapsed = time.perf_counter() - q0
+t.join()
+reorg_elapsed = done_at["reorg"] - t0
+assert n == 1000
+# 64 tasks x 0.5s / 4 cores ~ 8s of reorg runtime; the interactive query
+# must not wait for it (FIFO would queue it behind ~6s of remaining tasks)
+assert q_elapsed < 0.5 * (reorg_elapsed - 2.0), (q_elapsed, reorg_elapsed)
+print(f"OK interactive={q_elapsed:.2f}s reorg={reorg_elapsed:.2f}s")
+spark.stop()
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", child],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert "OK interactive=" in proc.stdout

@@ -195,3 +195,298 @@ def test_duplicates_golden(spark, tmp_path):
         ("MA", "Boston", 50): (70.4, 82.67, None),
         ("MA", "Bedford", 150): (78.75, 78.75, 750.0),
     }
+
+
+# -- influxrpc read_group semantic cases across physical arrangements -------
+# Ports the semantics (fixtures + expected aggregates) of
+# query_tests/src/influxrpc/read_group.rs:146-545, with each case asserted
+# across three physical arrangements of the same logical rows (the
+# make_two_chunk_scenarios dual, scenarios.rs).
+
+H2O_AGGS = IoxSchema.build(
+    ["state", "city"],
+    {"humidity": InfluxColumnType.FIELD_FLOAT, "temp": InfluxColumnType.FIELD_FLOAT},
+)
+
+# AnotherMeasurementForAggs (read_group.rs:146-171)
+AGG_ROWS1 = [
+    ("MA", "Cambridge", None, 80.0, 50),
+    ("MA", "Cambridge", None, 81.0, 100),
+    ("MA", "Cambridge", None, 82.0, 200),
+    ("MA", "Boston", None, 70.0, 300),
+]
+AGG_ROWS2 = [
+    ("MA", "Boston", None, 71.0, 400),
+    ("CA", "LA", 10.0, 90.0, 500),
+    ("CA", "LA", 11.0, 91.0, 600),
+]
+
+
+def _h2o_arrangements(spark, tmp_path, schema, ddl, rows1, rows2, table="h2o"):
+    """Same logical rows as (a) one chunk, (b) two chunks, (c) compacted."""
+    def df(rows):
+        return spark.createDataFrame(rows, ddl)
+
+    dbs = {}
+    s1 = TableStore(str(tmp_path / "one"))
+    s1.write_chunk(df(rows1 + rows2), table, schema)
+    dbs["one_chunk"] = s1
+    s2 = TableStore(str(tmp_path / "two"))
+    s2.write_chunk(df(rows1), table, schema)
+    s2.write_chunk(df(rows2), table, schema)
+    dbs["two_chunks"] = s2
+    s3 = TableStore(str(tmp_path / "compacted"))
+    s3.write_chunk(df(rows1), table, schema)
+    s3.write_chunk(df(rows2), table, schema)
+    from influxdb_iox_spark.plans.reorg import compact_chunks
+
+    compact_chunks(spark, s3, table, schema)
+    dbs["compacted"] = s3
+    out = {}
+    for name, store in dbs.items():
+        db = Database(name, store, spark)
+        db.register_table(table, schema)
+        out[name] = db
+    return out
+
+
+AGGS_DDL = "state string, city string, humidity double, temp double, time long"
+
+
+def _boston_or_cambridge():
+    return (
+        Predicate()
+        .with_range(100, 1000)
+        .with_expr((F.col("city") == "Boston") | (F.col("city") == "Cambridge"))
+    )
+
+
+def _assert_dual(dbs, fn):
+    results = {name: fn(db) for name, db in dbs.items()}
+    baseline = results["one_chunk"]
+    for name, got in results.items():
+        assert got == baseline, f"arrangement {name} disagrees"
+    return baseline
+
+
+def test_read_group_sum_semantics(spark, tmp_path):
+    """read_group.rs:174-208 test_grouped_series_set_plan_sum."""
+    dbs = _h2o_arrangements(spark, tmp_path, H2O_AGGS, AGGS_DDL, AGG_ROWS1, AGG_ROWS2)
+
+    def run(db):
+        out = read_group(db, "h2o", Aggregate.SUM, ["state"], _boston_or_cambridge())
+        return {(r.state, r.city): (r.humidity, r.temp) for r in out.collect()}
+
+    got = _assert_dual(dbs, run)
+    assert got == {
+        ("MA", "Boston"): (None, 141.0),
+        ("MA", "Cambridge"): (None, 163.0),
+    }
+
+
+def test_read_group_count_semantics(spark, tmp_path):
+    """read_group.rs:211-243: COUNT of an absent field is 0, not NULL."""
+    dbs = _h2o_arrangements(spark, tmp_path, H2O_AGGS, AGGS_DDL, AGG_ROWS1, AGG_ROWS2)
+
+    def run(db):
+        out = read_group(db, "h2o", Aggregate.COUNT, ["state"], _boston_or_cambridge())
+        return {(r.state, r.city): (r.humidity, r.temp) for r in out.collect()}
+
+    got = _assert_dual(dbs, run)
+    assert got == {
+        ("MA", "Boston"): (0, 2),
+        ("MA", "Cambridge"): (0, 2),
+    }
+
+
+def test_read_group_mean_semantics(spark, tmp_path):
+    """read_group.rs:245-293 test_grouped_series_set_plan_mean."""
+    dbs = _h2o_arrangements(spark, tmp_path, H2O_AGGS, AGGS_DDL, AGG_ROWS1, AGG_ROWS2)
+
+    def run(db):
+        out = read_group(db, "h2o", Aggregate.MEAN, ["state"], _boston_or_cambridge())
+        return {(r.state, r.city): (r.humidity, r.temp) for r in out.collect()}
+
+    got = _assert_dual(dbs, run)
+    assert got == {
+        ("MA", "Boston"): (None, 70.5),
+        ("MA", "Cambridge"): (None, 81.5),
+    }
+
+
+# MeasurementForSelectors / ForMin / ForMax (read_group.rs:276-449): four
+# field TYPES (float, int, bool, string) under selector aggregates.
+SEL_SCHEMA = IoxSchema.build(
+    ["state", "city"],
+    {
+        "f": InfluxColumnType.FIELD_FLOAT,
+        "i": InfluxColumnType.FIELD_INTEGER,
+        "b": InfluxColumnType.FIELD_BOOLEAN,
+        "s": InfluxColumnType.FIELD_STRING,
+    },
+)
+SEL_DDL = "state string, city string, f double, i long, b boolean, s string, time long"
+
+
+def _sel_rows(*rows):
+    return [("MA", "Cambridge", *r) for r in rows]
+
+
+def test_read_group_selector_first_last_typed(spark, tmp_path):
+    """read_group.rs:296-348: first/last (value, time) across all four field
+    types, with the time range excluding the boundary rows."""
+    rows1 = _sel_rows((8.0, 8, True, "d", 1000))
+    rows2 = _sel_rows(
+        (7.0, 7, True, "c", 2000), (6.0, 6, False, "b", 3000), (5.0, 5, False, "a", 4000)
+    )
+    dbs = _h2o_arrangements(spark, tmp_path, SEL_SCHEMA, SEL_DDL, rows1, rows2)
+
+    def run_first(db):
+        out = read_group(
+            db, "h2o", Aggregate.FIRST, ["state"], Predicate().with_range(1001, 4001)
+        )
+        r = out.collect()[0]
+        return (r.b, r.b_time, r.f, r.f_time, r.i, r.i_time, r.s, r.s_time)
+
+    assert _assert_dual(dbs, run_first) == (
+        True, 2000, 7.0, 2000, 7, 2000, "c", 2000
+    )
+
+    def run_last(db):
+        out = read_group(
+            db, "h2o", Aggregate.LAST, ["state"], Predicate().with_range(100, 3999)
+        )
+        r = out.collect()[0]
+        return (r.b, r.b_time, r.f, r.f_time, r.i, r.i_time, r.s, r.s_time)
+
+    assert _assert_dual(dbs, run_last) == (
+        False, 3000, 6.0, 3000, 6, 3000, "b", 3000
+    )
+
+
+def test_read_group_selector_min_typed(spark, tmp_path):
+    """read_group.rs:369-410: per-type selector MIN picks each field's own
+    (value, time) — booleans order false < true, strings lexicographic."""
+    rows1 = _sel_rows((8.0, 8, False, "c", 1000), (7.0, 7, True, "a", 2000))
+    rows2 = _sel_rows((6.0, 6, True, "z", 3000), (5.0, 5, False, "c", 4000))
+    dbs = _h2o_arrangements(spark, tmp_path, SEL_SCHEMA, SEL_DDL, rows1, rows2)
+
+    def run(db):
+        out = read_group(
+            db, "h2o", Aggregate.MIN, ["state"], Predicate().with_range(100, 3999)
+        )
+        r = out.collect()[0]
+        return (r.b, r.b_time, r.f, r.f_time, r.i, r.i_time, r.s, r.s_time)
+
+    assert _assert_dual(dbs, run) == (
+        False, 1000, 6.0, 3000, 6, 3000, "a", 2000
+    )
+
+
+def test_read_group_selector_max_typed(spark, tmp_path):
+    """read_group.rs:413-449 test_grouped_series_set_plan_max."""
+    rows1 = _sel_rows(
+        (8.0, 8, True, "c", 1000), (7.0, 7, False, "d", 2000), (6.0, 6, True, "a", 3000)
+    )
+    rows2 = _sel_rows((5.0, 5, False, "z", 4000))
+    dbs = _h2o_arrangements(spark, tmp_path, SEL_SCHEMA, SEL_DDL, rows1, rows2)
+
+    def run(db):
+        out = read_group(
+            db, "h2o", Aggregate.MAX, ["state"], Predicate().with_range(1001, 4001)
+        )
+        r = out.collect()[0]
+        return (r.b, r.b_time, r.f, r.f_time, r.i, r.i_time, r.s, r.s_time)
+
+    assert _assert_dual(dbs, run) == (
+        True, 3000, 7.0, 2000, 7, 2000, "z", 4000
+    )
+
+
+def test_read_group_none_prefix_reorder(spark, tmp_path):
+    """read_group.rs:452-545: agg=NONE with group ["city","state"] returns
+    raw rows ordered city-first (group-key prefix reorder)."""
+    rows1 = [
+        ("MA", "Cambridge", None, 80.0, 50),
+        ("MA", "Cambridge", None, 81.0, 100),
+        ("MA", "Cambridge", None, 82.0, 200),
+    ]
+    rows2 = [
+        ("MA", "Boston", None, 70.0, 300),
+        ("MA", "Boston", None, 71.0, 400),
+        ("CA", "LA", 10.0, 90.0, 500),
+        ("CA", "LA", 11.0, 91.0, 600),
+    ]
+    dbs = _h2o_arrangements(spark, tmp_path, H2O_AGGS, AGGS_DDL, rows1, rows2)
+
+    def run(db):
+        out = read_group(db, "h2o", Aggregate.NONE, ["city", "state"])
+        return [(r.city, r.state, r.humidity, r.temp, r.time) for r in out.collect()]
+
+    got = _assert_dual(dbs, run)
+    assert got == [
+        ("Boston", "MA", None, 70.0, 300),
+        ("Boston", "MA", None, 71.0, 400),
+        ("Cambridge", "MA", None, 80.0, 50),
+        ("Cambridge", "MA", None, 81.0, 100),
+        ("Cambridge", "MA", None, 82.0, 200),
+        ("LA", "CA", 10.0, 90.0, 500),
+        ("LA", "CA", 11.0, 91.0, 600),
+    ]
+
+
+# -- lifecycle-shape scenarios (scenarios.rs) -------------------------------
+
+
+def test_all_chunks_dropped_keeps_table(spark, tmp_path):
+    """OneMeasurementAllChunksDropped (scenarios.rs:682-706): dropping every
+    chunk keeps the table in the catalog; scans and SQL see zero rows with
+    the full schema, and metadata ops answer empty rather than erroring."""
+    from influxdb_iox_spark.operators.metadata import table_names, tag_keys
+
+    store = TableStore(str(tmp_path / "dropped"))
+    df = spark.createDataFrame(
+        [("MA", 70.4, 50)], "state string, temp double, time long"
+    )
+    schema = IoxSchema.build(["state"], {"temp": InfluxColumnType.FIELD_FLOAT})
+    meta = store.write_chunk(df, "h2o", schema)
+    store.drop_chunks("h2o", [meta.chunk_id])
+
+    db = Database("dropped", store, spark)
+    db.register_table("h2o", schema)
+    assert "h2o" in db.table_names()
+    scan = db.table("h2o")
+    assert set(scan.columns) == {"state", "temp", "time"}
+    assert scan.count() == 0
+    assert db.query("SELECT COUNT(*) AS n FROM h2o").collect()[0].n == 0
+    assert table_names(db) == []  # no data -> no measurement rows
+    assert tag_keys(db, "h2o") == []
+
+
+def test_multi_chunk_delete_scenario(spark, tmp_path):
+    """Dropping one of three chunks must answer exactly like a store that
+    never had it (the delete-shaped scenario dual)."""
+    schema = IoxSchema.build(["state"], {"temp": InfluxColumnType.FIELD_FLOAT})
+    ddl = "state string, temp double, time long"
+    c1 = [("MA", 70.0, 100), ("MA", 71.0, 150)]
+    c2 = [("CA", 80.0, 200), ("CA", 81.0, 250)]
+    c3 = [("NY", 90.0, 300), ("NY", 91.0, 350)]
+
+    dropped = TableStore(str(tmp_path / "with_delete"))
+    metas = [
+        dropped.write_chunk(spark.createDataFrame(c, ddl), "h2o", schema)
+        for c in (c1, c2, c3)
+    ]
+    dropped.drop_chunks("h2o", [metas[1].chunk_id])
+
+    fresh = TableStore(str(tmp_path / "never_had"))
+    for c in (c1, c3):
+        fresh.write_chunk(spark.createDataFrame(c, ddl), "h2o", schema)
+
+    out = {}
+    for name, store in (("dropped", dropped), ("fresh", fresh)):
+        db = Database(name, store, spark)
+        db.register_table("h2o", schema)
+        out[name] = sorted(tuple(r) for r in db.table("h2o").collect())
+    assert out["dropped"] == out["fresh"]
+    assert len(out["dropped"]) == 4
