@@ -1243,6 +1243,224 @@ ORDER BY o_totalprice DESC, o_orderkey
 """
 
 
+def q_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: testdata has no partsupp, so profit =
+    extendedprice*(1-discount) without supply cost): profit by supplier
+    nation and order year for parts whose name matches a token.  5-way join
+    — small dims broadcast, lineitem-orders co-shuffles on orderkey."""
+    t = _load(spark, sf_dir, "part", "supplier", "lineitem", "orders", "nation")
+    amount = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", "4,2"))
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_name").contains("red"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(_money_sum(amount, "sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+SQL_PROFIT_BY_NATION_YEAR = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: stock value from lineitem volume instead of
+    partsupp): parts whose traded value exceeds a fixed fraction of the
+    total — grouped aggregate HAVING a scalar-subquery threshold.  The
+    scalar total becomes a 1-row broadcast cross join."""
+    t = _load(spark, sf_dir, "lineitem", "part")
+    val = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", "4,2"))
+    per_part = (
+        t["lineitem"]
+        .groupBy("l_partkey")
+        .agg(F.sum(val).alias("__v"))
+    )
+    total = per_part.agg(F.sum("__v").alias("__total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("__v") > F.col("__total") * 0.0008)
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            F.round(F.col("__v").cast("double"), 2).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+SQL_IMPORTANT_PARTS = """
+WITH per_part AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS v
+  FROM lineitem GROUP BY l_partkey)
+SELECT p_partkey, p_name, round(CAST(v AS DOUBLE), 2) AS part_value
+FROM per_part JOIN part ON l_partkey = p_partkey
+WHERE v > (SELECT SUM(v) FROM per_part) * 0.0008
+ORDER BY part_value DESC, p_partkey
+"""
+
+
+def q_priority_by_ship_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: no shipmode/commitdate columns — buckets by
+    ship month instead): per month, CASE-split counts of high-priority vs
+    other orders.  One join, one CASE aggregation."""
+    t = _load(spark, sf_dir, "lineitem", "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+SQL_PRIORITY_BY_SHIP_MONTH = """
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY strftime(l_shipdate, '%Y-%m')
+ORDER BY ship_month
+"""
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: supplier-part relationships from lineitem
+    instead of partsupp): distinct supplier counts per (brand, type, size),
+    excluding one brand and suppliers with negative balance (NOT-IN becomes
+    a broadcast anti-join)."""
+    t = _load(spark, sf_dir, "lineitem", "part", "supplier")
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(
+            t["part"].filter(F.col("p_brand") != "Brand#2"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(50)
+    )
+
+
+SQL_SUPPLIER_PART_COUNTS = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#2'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 50
+"""
+
+
+def q_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted): suppliers whose shipped quantity exceeds
+    half the average per-supplier quantity — semi-join against an aggregate
+    threshold from a scalar subquery."""
+    t = _load(spark, sf_dir, "lineitem", "supplier", "nation")
+    per_supp = (
+        t["lineitem"].groupBy("l_suppkey").agg(F.sum("l_quantity").alias("__q"))
+    )
+    avg_q = per_supp.agg(F.avg("__q").alias("__avg"))
+    keep = (
+        per_supp.crossJoin(F.broadcast(avg_q))
+        .filter(F.col("__q") > F.col("__avg") * 0.5)
+        .select("l_suppkey", F.round("__q", 2).alias("total_qty"))
+    )
+    return (
+        t["supplier"]
+        .join(keep, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", F.col("n_name").alias("nation"), "total_qty")
+        .orderBy("s_name")
+    )
+
+
+SQL_VOLUME_SUPPLIERS = """
+WITH per_supp AS (
+  SELECT l_suppkey, SUM(l_quantity) AS q FROM lineitem GROUP BY l_suppkey)
+SELECT s_name, n_name AS nation, round(q, 2) AS total_qty
+FROM supplier
+JOIN per_supp ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE q > (SELECT AVG(q) FROM per_supp) * 0.5
+ORDER BY s_name
+"""
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: grouped by nation instead of phone prefix):
+    customers with above-average positive balance and no URGENT orders —
+    scalar subquery + anti-join, per-nation counts (every customer in the
+    testdata has at least one order, so the anti-join keys on priority)."""
+    t = _load(spark, sf_dir, "customer", "orders", "nation")
+    pos = t["customer"].filter(F.col("c_acctbal") > 0)
+    avg_bal = pos.agg(F.avg("c_acctbal").alias("__avg"))
+    return (
+        t["customer"]
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(
+            t["orders"]
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("numcust"),
+            _money_sum(_dec("c_acctbal"), "totacctbal"),
+        )
+        .orderBy("nation")
+    )
+
+
+SQL_IDLE_RICH_CUSTOMERS = """
+SELECT n_name AS nation, COUNT(*) AS numcust,
+  round(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2) AS totacctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY n_name
+ORDER BY nation
+"""
+
+
 def q_month_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar-month windows (Duration::Variable months,
     query/src/group_by.rs:70-76) — stop boundary as time."""
@@ -1910,6 +2128,110 @@ FROM cd ORDER BY dp / (sqrt(nx) * sqrt(ny)) DESC, vec_id LIMIT 10
 # ---------------------------------------------------------------------------
 
 
+def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ~10k-char training shards in doc_id order
+    (pipeline/corpus.pack_shards).  The Spark side computes the running
+    total WITHOUT a single-task global window (per-partition sums +
+    broadcast prefix offsets); the oracle is the plain windowed cumsum the
+    distributed algorithm must equal."""
+    from influxdb_iox_spark.pipeline.corpus import pack_shards
+
+    t = _load(spark, sf_dir, "documents")
+    out = pack_shards(
+        t["documents"], token_col="n_chars", id_col="doc_id", shard_tokens=10_000
+    )
+    return out.select("doc_id", F.col("shard_id").cast("long").alias("shard_id")).orderBy(
+        "doc_id"
+    )
+
+
+SQL_SHARD_PACKING = """
+SELECT doc_id,
+  CAST(floor((SUM(n_chars) OVER (ORDER BY doc_id) - n_chars) / 10000) AS BIGINT)
+    AS shard_id
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination scan (pipeline/corpus.contamination_check):
+    every 50th document is the 'benchmark' set; training docs sharing any
+    8-gram word shingle with it are flagged with overlap counts.  Exact —
+    both engines build identical shingle sets."""
+    from influxdb_iox_spark.pipeline.corpus import contamination_check
+
+    t = _load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    out = contamination_check(tr, ev, shingle_n=8)
+    return out.select(
+        "train_id",
+        F.col("n_shared_shingles").cast("long").alias("n_shared_shingles"),
+        F.col("n_eval_docs").cast("long").alias("n_eval_docs"),
+    )
+
+
+SQL_CONTAMINATION = r"""
+WITH tok AS (
+  SELECT doc_id,
+    list_distinct(
+      CASE WHEN len(t) > 0
+        THEN list_transform(range(0, greatest(len(t)-8, 0)+1), i -> array_to_string(t[i+1:i+8], ' '))
+        ELSE CAST([] AS VARCHAR[]) END) AS sh
+  FROM (SELECT doc_id,
+          list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS t
+        FROM documents)),
+tr AS (SELECT doc_id AS train_id, unnest(sh) AS gram FROM tok WHERE doc_id % 50 <> 0),
+ev AS (SELECT doc_id AS eval_id, unnest(sh) AS gram FROM tok WHERE doc_id % 50 = 0)
+SELECT train_id, COUNT(*) AS n_shared_shingles,
+  COUNT(DISTINCT eval_id) AS n_eval_docs
+FROM tr JOIN ev USING (gram)
+GROUP BY train_id
+ORDER BY train_id
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling (pipeline/corpus.
+    deterministic_sample): md5(doc_id) leading 32 bits as a [0,1) fraction
+    against per-stratum rates — bit-identical in any engine, so the oracle
+    reproduces the exact selected set (unlike RNG-based sampleBy)."""
+    from influxdb_iox_spark.pipeline.corpus import deterministic_sample
+
+    t = _load(spark, sf_dir, "documents")
+    out = deterministic_sample(
+        t["documents"],
+        rates={"en": 0.3, "de": 1.0, "zh": 0.5, "fr": 1.0, "es": 0.5},
+        strata_col="lang",
+        id_col="doc_id",
+    )
+    return out.groupBy("lang").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum("doc_id").alias("sum_ids"),
+    ).orderBy("lang")
+
+
+def _sql_stratified_sample() -> str:
+    nib = "strpos('0123456789abcdef', substr(hx, {j}, 1)) - 1"
+    val = " + ".join(
+        f"CAST(({nib.format(j=j + 1)}) AS DOUBLE) * {float(16 ** (7 - j))}"
+        for j in range(8)
+    )
+    return f"""
+WITH frac AS (
+  SELECT *, ({val}) / 4294967296.0 AS f
+  FROM (SELECT *, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents))
+SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM frac
+WHERE f < CASE lang WHEN 'en' THEN 0.3 WHEN 'de' THEN 1.0 WHEN 'zh' THEN 0.5
+                    WHEN 'fr' THEN 1.0 WHEN 'es' THEN 0.5 ELSE 0.0 END
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: dedup-correct scan + windowed aggregate over two simulated
     overlapping chunks of the events table (the reference's core query
@@ -1951,6 +2273,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_near_dup": q_emb_near_dup,
         "emb_label_stats": q_emb_label_stats,
+        # corpus-prep ops (shard packing / contamination / deterministic
+        # sampling) — new in round 4
+        "doc_shard_packing": q_shard_packing,
+        "doc_contamination": q_contamination,
+        "doc_stratified_sample": q_stratified_sample,
         # InfluxRPC menu
         "rpc_read_filter": q_read_filter,
         "rpc_read_group": q_read_group,
@@ -1997,6 +2324,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13_customer_distribution": q_customer_distribution,
         "tpch_q15_top_supplier": q_top_supplier,
         "tpch_q18_large_volume": q_large_volume_customers,
+        # TPC-H shapes adapted to the testdata's columns (no partsupp /
+        # shipmode / commitdate) — new in round 4
+        "tpch_q9_profit_adapted": q_profit_by_nation_year,
+        "tpch_q11_important_parts_adapted": q_important_parts,
+        "tpch_q12_ship_month_adapted": q_priority_by_ship_month,
+        "tpch_q16_supplier_counts_adapted": q_supplier_part_counts,
+        "tpch_q20_volume_suppliers_adapted": q_volume_suppliers,
+        "tpch_q22_idle_rich_adapted": q_idle_rich_customers,
     }
 
 
@@ -2058,4 +2393,13 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup": _sql_simhash_near_dup(),
         "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
         "ann_ivf_topk": SQL_ANN_IVF,
+        "doc_shard_packing": SQL_SHARD_PACKING,
+        "doc_contamination": SQL_CONTAMINATION,
+        "doc_stratified_sample": _sql_stratified_sample(),
+        "tpch_q9_profit_adapted": SQL_PROFIT_BY_NATION_YEAR,
+        "tpch_q11_important_parts_adapted": SQL_IMPORTANT_PARTS,
+        "tpch_q12_ship_month_adapted": SQL_PRIORITY_BY_SHIP_MONTH,
+        "tpch_q16_supplier_counts_adapted": SQL_SUPPLIER_PART_COUNTS,
+        "tpch_q20_volume_suppliers_adapted": SQL_VOLUME_SUPPLIERS,
+        "tpch_q22_idle_rich_adapted": SQL_IDLE_RICH_CUSTOMERS,
     }

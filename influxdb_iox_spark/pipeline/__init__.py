@@ -20,6 +20,11 @@ from influxdb_iox_spark.pipeline.dedup import (
     simhash_hot_buckets,
     simhash_near_pairs,
 )
+from influxdb_iox_spark.pipeline.corpus import (
+    contamination_check,
+    deterministic_sample,
+    pack_shards,
+)
 from influxdb_iox_spark.pipeline.similarity import (
     ann_ivf_topk,
     ann_lsh_topk,
@@ -43,6 +48,9 @@ __all__ = [
     "simhash",
     "simhash_hot_buckets",
     "simhash_near_pairs",
+    "contamination_check",
+    "deterministic_sample",
+    "pack_shards",
     "ann_ivf_topk",
     "ann_lsh_topk",
     "cosine_threshold",
