@@ -490,3 +490,106 @@ def test_multi_chunk_delete_scenario(spark, tmp_path):
         out[name] = sorted(tuple(r) for r in db.table("h2o").collect())
     assert out["dropped"] == out["fresh"]
     assert len(out["dropped"]) == 4
+
+
+# -- read_window_aggregate semantic cases (read_window_aggregate.rs) --------
+
+
+def test_read_window_aggregate_nanoseconds_semantics(spark, tmp_path):
+    """read_window_aggregate.rs:121-154 test_read_window_aggregate_nanoseconds:
+    200ns tumbling MEAN with a tag disjunction + half-open time range,
+    stop-boundary reported as time — asserted across three arrangements."""
+    from influxdb_iox_spark.operators.series import read_window_aggregate
+
+    schema = IoxSchema.build(
+        ["state", "city"], {"temp": InfluxColumnType.FIELD_FLOAT}
+    )
+    ddl = "state string, city string, temp double, time long"
+    rows1 = [
+        ("MA", "Boston", 70.0, 100), ("MA", "Boston", 71.0, 200),
+        ("MA", "Boston", 72.0, 300), ("MA", "Boston", 73.0, 400),
+        ("MA", "Boston", 74.0, 500), ("MA", "Cambridge", 80.0, 100),
+        ("MA", "Cambridge", 81.0, 200),
+    ]
+    rows2 = [
+        ("MA", "Cambridge", 82.0, 300), ("MA", "Cambridge", 83.0, 400),
+        ("MA", "Cambridge", 84.0, 500), ("CA", "LA", 90.0, 100),
+        ("CA", "LA", 91.0, 200), ("CA", "LA", 92.0, 300),
+        ("CA", "LA", 93.0, 400), ("CA", "LA", 94.0, 500),
+    ]
+    dbs = _h2o_arrangements(spark, tmp_path, schema, ddl, rows1, rows2)
+    pred = (
+        Predicate()
+        .with_range(100, 450)
+        .with_expr((F.col("city") == "Boston") | (F.col("city") == "LA"))
+    )
+
+    def run(db):
+        out = read_window_aggregate(db, "h2o", Aggregate.MEAN, 200, 0, pred)
+        return [(r.city, r.state, r.time, r.temp) for r in out.collect()]
+
+    got = _assert_dual(dbs, run)
+    assert got == [
+        ("Boston", "MA", 200, 70.0),
+        ("Boston", "MA", 400, 71.5),
+        ("Boston", "MA", 600, 73.0),
+        ("LA", "CA", 200, 90.0),
+        ("LA", "CA", 400, 91.5),
+        ("LA", "CA", 600, 93.0),
+    ]
+
+
+def test_read_window_aggregate_months_2020_fixture(spark, tmp_path):
+    """read_window_aggregate.rs:156-232 test_read_window_aggregate_months:
+    data spanning March/April 2020 written across four partition keys (the
+    multi-partition ingest arrangement) must window to calendar-month means
+    with the stop boundary as time — same answer as a single chunk."""
+    from influxdb_iox_spark.operators.series import read_window_aggregate_months
+
+    schema = IoxSchema.build(
+        ["state", "city"], {"temp": InfluxColumnType.FIELD_FLOAT}
+    )
+    lines = [
+        "h2o,state=MA,city=Boston temp=70.0 1583020800000000000",
+        "h2o,state=MA,city=Boston temp=71.0 1583107920000000000",
+        "h2o,state=MA,city=Boston temp=72.0 1585699200000000000",
+        "h2o,state=MA,city=Boston temp=73.0 1585785600000000000",
+    ]
+    apr1_ns = 1585699200 * 10**9
+    may1_ns = 1588291200 * 10**9
+
+    # arrangement 1: four day-partitioned chunks via line-protocol ingest
+    s1 = TableStore(str(tmp_path / "parts"))
+    ing = LineProtocolIngest(s1, "h2o", schema)
+    ing.ingest_lines_df(spark.createDataFrame([(l,) for l in lines], "value string"))
+    assert len({m.partition_key for m in s1.manifest("h2o")}) == 4
+    # arrangement 2: one chunk
+    s2 = TableStore(str(tmp_path / "one"))
+    rows = [("MA", "Boston", 70.0, 1583020800000000000),
+            ("MA", "Boston", 71.0, 1583107920000000000),
+            ("MA", "Boston", 72.0, 1585699200000000000),
+            ("MA", "Boston", 73.0, 1585785600000000000)]
+    s2.write_chunk(
+        spark.createDataFrame(rows, "state string, city string, temp double, time long"),
+        "h2o", schema,
+    )
+
+    expected = [("Boston", "MA", apr1_ns, 70.5), ("Boston", "MA", may1_ns, 72.5)]
+    for store in (s1, s2):
+        db = Database("m", store, spark)
+        db.register_table("h2o", schema)
+        out = read_window_aggregate_months(db, "h2o", Aggregate.MEAN, 1)
+        assert [(r.city, r.state, r.time, r.temp) for r in out.collect()] == expected
+
+
+def test_read_window_aggregate_no_data(spark, tmp_path):
+    """read_window_aggregate.rs:73-88: no data + no predicate -> empty
+    result, not an error."""
+    from influxdb_iox_spark.operators.series import read_window_aggregate
+
+    schema = IoxSchema.build(["state"], {"temp": InfluxColumnType.FIELD_FLOAT})
+    store = TableStore(str(tmp_path / "empty"))
+    db = Database("empty", store, spark)
+    db.register_table("h2o", schema)
+    out = read_window_aggregate(db, "h2o", Aggregate.MEAN, 200)
+    assert out.count() == 0
