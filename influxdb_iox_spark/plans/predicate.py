@@ -83,8 +83,21 @@ class Predicate:
         return reduce(lambda a, b: a & b, parts)
 
     def apply(self, df: DataFrame, time_col: str = TIME_COLUMN_NAME) -> DataFrame:
+        """Filter ``df``; a predicate referencing a column the table does not
+        have yields an EMPTY result, not an error — the reference's
+        read_filter semantics (query_tests/src/influxrpc/read_filter.rs:222,
+        275: `tag_not_in_h20 = 'foo'` over h2o returns nothing, including
+        when AND-ed with satisfiable exprs, because the missing column is
+        NULL and the conjunction can never be true)."""
         c = self.filter_column(time_col)
-        return df if c is None else df.filter(c)
+        if c is None:
+            return df
+        try:
+            return df.filter(c)
+        except Exception as e:  # AnalysisException (classic or connect)
+            if "UNRESOLVED_COLUMN" in str(e) or "cannot be resolved" in str(e):
+                return df.limit(0)
+            raise
 
     def should_scan_table(self, table: str) -> bool:
         return self.table_names is None or table in self.table_names

@@ -111,6 +111,31 @@ def test_read_filter_field_projection(db):
     assert read_filter(db, "h2o", pred).columns == ["city", "state", "temp", "time"]
 
 
+def test_read_filter_pred_nonexistent_column_is_empty(db):
+    """read_filter.rs:222-231: a predicate on a column the table lacks
+    yields an empty result, NOT an analysis error."""
+    pred = Predicate().with_expr(F.col("tag_not_in_h2o") == "foo")
+    assert read_filter(db, "h2o", pred).count() == 0
+
+
+def test_read_filter_pred_good_and_nonexistent_columns_is_empty(db):
+    """read_filter.rs:275-286: AND of a satisfiable expr and a
+    missing-column expr can never be true -> empty."""
+    pred = (
+        Predicate()
+        .with_expr(F.col("state") == "MA")
+        .with_expr(F.col("tag_not_in_h2o") == "foo")
+    )
+    assert read_filter(db, "h2o", pred).count() == 0
+
+
+def test_read_filter_pred_no_columns(db):
+    """read_filter.rs:233-273: a column-less predicate (lit = lit) passes
+    every row."""
+    pred = Predicate().with_expr(F.lit("foo") == F.lit("foo"))
+    assert read_filter(db, "h2o", pred).count() == 4
+
+
 def test_read_group(db):
     df = read_group(db, "h2o", Aggregate.SUM, group_columns=["state"])
     rows = {(r.state, r.city): r.temp for r in df.collect()}
