@@ -76,6 +76,7 @@ class Database:
             self.table(t).createOrReplaceTempView(t)
         self.system_chunks().createOrReplaceTempView("system_chunks")
         self.system_columns().createOrReplaceTempView("system_columns")
+        self.system_chunk_columns().createOrReplaceTempView("system_chunk_columns")
         self.system_operations().createOrReplaceTempView("system_operations")
         _VIEW_REGISTRY[self.spark] = version
 
@@ -126,6 +127,63 @@ class Database:
             "id string, status string, job string, table_name string, "
             "partition_key string, chunk_ids string, wall_time_used long, "
             "description string"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def system_chunk_columns(self) -> DataFrame:
+        """system.chunk_columns (server/src/db/system_tables.rs:373-461
+        assemble_chunk_columns): one row per (chunk, column) with min/max
+        stats and estimated byte sizes.
+
+        min/max come from the manifest (recorded for primary-key columns at
+        write time); per-column compressed sizes come from parquet footers —
+        a metadata-only walk, no data pages read, mirroring the reference
+        assembling this from in-memory chunk summaries."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        rows = []
+        for t in self.store.tables():
+            for c in self.store.manifest(t):
+                sizes: dict[str, int] = {}
+                path = os.path.join(self.store.base_dir, c.path)
+                try:
+                    fnames = os.listdir(path)
+                except OSError:
+                    fnames = []
+                for fname in fnames:
+                    if not fname.endswith(".parquet"):
+                        continue
+                    md = pq.ParquetFile(os.path.join(path, fname)).metadata
+                    for rg in range(md.num_row_groups):
+                        g = md.row_group(rg)
+                        for ci in range(g.num_columns):
+                            col = g.column(ci)
+                            name = col.path_in_schema.split(".")[0]
+                            sizes[name] = (
+                                sizes.get(name, 0) + col.total_compressed_size
+                            )
+                for name in sorted(sizes):
+                    rng = c.stats.get(name)
+                    has = rng is not None and rng[0] is not None
+                    rows.append(
+                        Row(
+                            partition_key=c.partition_key,
+                            chunk_id=c.chunk_id,
+                            table_name=t,
+                            column_name=name,
+                            storage="ObjectStoreOnly",
+                            row_count=c.row_count,
+                            min_value=str(rng[0]) if has else None,
+                            max_value=str(rng[1]) if has else None,
+                            estimated_bytes=sizes[name],
+                        )
+                    )
+        schema = (
+            "partition_key string, chunk_id long, table_name string, "
+            "column_name string, storage string, row_count long, "
+            "min_value string, max_value string, estimated_bytes long"
         )
         return self.spark.createDataFrame(rows, schema)
 

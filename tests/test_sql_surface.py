@@ -21,7 +21,10 @@ def test_show_tables_and_describe(spark, tmp_path):
     db.register_views()
 
     tables = {r.tableName for r in spark.sql("SHOW TABLES").collect()}
-    assert {"cpu", "system_chunks", "system_columns", "system_operations"} <= tables
+    assert {
+        "cpu", "system_chunks", "system_columns", "system_chunk_columns",
+        "system_operations",
+    } <= tables
 
     cols = {r.col_name: r.data_type for r in spark.sql("DESCRIBE cpu").collect()}
     assert cols == {"region": "string", "time": "bigint", "user": "double"}
@@ -113,3 +116,30 @@ def test_two_databases_one_session_do_not_serve_stale_views(spark, tmp_path):
     assert b.query("SELECT user FROM cpu").collect()[0].user == 2.0
     # the regression: A's catalog hasn't changed, but B overwrote the views
     assert a.query("SELECT user FROM cpu").collect()[0].user == 1.0
+
+
+def test_system_chunk_columns(spark, tmp_path):
+    """system.chunk_columns (ref system_tables.rs:373-461): one row per
+    (chunk, column) with PK min/max stats and per-column compressed sizes
+    from parquet footers."""
+    store = TableStore(str(tmp_path / "cc"))
+    df = spark.createDataFrame(
+        [("west", 1.0, 100), ("east", 2.0, 200)],
+        "region string, user double, time long",
+    )
+    store.write_chunk(df, "cpu", CPU, partition_key="p1")
+    db = Database("db", store, spark)
+    db.register_table("cpu", CPU)
+
+    rows = db.query(
+        "SELECT column_name, partition_key, row_count, min_value, max_value, "
+        "estimated_bytes FROM system_chunk_columns ORDER BY column_name"
+    ).collect()
+    by_col = {r.column_name: r for r in rows}
+    assert set(by_col) == {"region", "user", "time"}
+    assert all(r.partition_key == "p1" and r.row_count == 2 for r in rows)
+    assert all(r.estimated_bytes > 0 for r in rows)
+    # PK columns carry manifest min/max; non-key fields don't
+    assert by_col["region"].min_value == "east" and by_col["region"].max_value == "west"
+    assert by_col["time"].min_value == "100" and by_col["time"].max_value == "200"
+    assert by_col["user"].min_value is None
