@@ -98,7 +98,13 @@ def tag_values(
     (influxrpc.rs:328-471)."""
     schema = db.table_schema(table)
     if tag not in schema.tag_columns:
-        raise ValueError(f"{tag!r} is not a tag column of {table!r}")
+        # The reference separates the two non-tag cases (tag_values.rs:47-59
+        # list_tag_values_no_tag vs :225-246 list_tag_values_field_col): a
+        # column that exists but is a FIELD is a planner error; a column not
+        # present at all yields an empty string set, not an error.
+        if tag in schema.field_columns or tag == schema.time_column:
+            raise ValueError(f"{tag!r} is not a tag column of {table!r}")
+        return []
     df = db.table(table, predicate)
     rows = (
         df.select(tag)

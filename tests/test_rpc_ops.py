@@ -76,7 +76,17 @@ def test_tag_values(db):
         "Cambridge",
     ]
     with pytest.raises(ValueError):
-        tag_values(db, "h2o", "temp")
+        tag_values(db, "h2o", "temp")  # field col -> error (tag_values.rs:225)
+    # tag_values.rs:47-59: a column not present at all -> empty, not error
+    assert tag_values(db, "h2o", "tag_not_in_chunks") == []
+    # tag_values.rs:207-223: predicate filtering out every row -> empty
+    assert (
+        tag_values(
+            db, "h2o", "state",
+            Predicate().with_range(0, 100).with_expr(F.col("state") == "CA"),
+        )
+        == []
+    )
 
 
 def test_field_columns(db):
@@ -85,6 +95,13 @@ def test_field_columns(db):
     # restrict to early window: only rows at t=50 → reading all-null there... (Boston t=50 reading null, Cambridge 2.0)
     out = field_columns(db, "h2o", Predicate().with_range(0, 60))
     assert {f["name"]: f["last_timestamp"] for f in out} == {"temp": 50, "reading": 50}
+    # field_columns.rs:100-117: a field with NO non-null row inside the
+    # predicate window is excluded from the list entirely
+    out = field_columns(
+        db, "h2o",
+        Predicate().with_range(0, 60).with_expr(F.col("city") == "Boston"),
+    )
+    assert {f["name"]: f["last_timestamp"] for f in out} == {"temp": 50}
 
 
 def test_schema_pivot(db, spark):
