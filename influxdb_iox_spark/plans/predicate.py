@@ -46,6 +46,13 @@ class Predicate:
     partition_key: str | None = None
     range: TimestampRange | None = None
     exprs: list[Column] = field(default_factory=list)
+    # structured per-column bounds: (col, lo, hi, lo_open, hi_open) with
+    # None = unbounded.  Unlike the opaque ``exprs``, these are READABLE by
+    # the chunk pruner (TableStore.scan field-stat pruning, the Spark twin
+    # of query/src/pruning.rs evaluating exprs against chunk interval
+    # stats).  Added via with_col_range, which also appends the equivalent
+    # row filter so the two can never disagree.
+    col_ranges: list[tuple] = field(default_factory=list)
 
     # -- builder API (predicate.rs:189 PredicateBuilder) ------------------
     def with_range(self, start: int, end: int) -> "Predicate":
@@ -55,6 +62,44 @@ class Predicate:
     def with_expr(self, expr: Column) -> "Predicate":
         self.exprs.append(expr)
         return self
+
+    def with_col_range(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        lo_open: bool = False,
+        hi_open: bool = False,
+    ) -> "Predicate":
+        """Add ``lo (<|<=) col (<|<=) hi`` as BOTH a structured bound (read
+        by the chunk pruner) and a row-level filter expression."""
+        self.col_ranges.append((col, lo, hi, lo_open, hi_open))
+        c = F.col(col)
+        if lo is not None:
+            self.exprs.append(c > F.lit(lo) if lo_open else c >= F.lit(lo))
+        if hi is not None:
+            self.exprs.append(c < F.lit(hi) if hi_open else c <= F.lit(hi))
+        return self
+
+    def excludes_stats(self, stats: dict) -> bool:
+        """True iff some structured bound is provably disjoint with a
+        chunk's [min, max] column stats — i.e. NO row of that chunk can
+        satisfy the predicate.  Unknown/missing stats never exclude
+        (conservative, like the reference returning 'unknown' from
+        metadata-only evaluation)."""
+        for col, lo, hi, lo_open, hi_open in self.col_ranges:
+            r = stats.get(col)
+            if r is None or r[0] is None or r[1] is None:
+                continue
+            cmin, cmax = r
+            try:
+                if lo is not None and (cmax < lo or (lo_open and cmax <= lo)):
+                    return True
+                if hi is not None and (cmin > hi or (hi_open and cmin >= hi)):
+                    return True
+            except TypeError:  # stats/bound type mismatch -> unknown
+                continue
+        return False
 
     def tables(self, *names: str) -> "Predicate":
         self.table_names = list(names)

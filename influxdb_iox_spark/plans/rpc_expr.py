@@ -140,6 +140,44 @@ def _to_column(node: dict) -> Column:
     raise RpcExprError(f"unknown node type {nt!r}")
 
 
+def _lift_col_range(pred: Predicate, node: dict) -> bool:
+    """Lift ``col OP literal`` conjuncts (OP ∈ <,<=,>,>=,=) into the
+    Predicate's STRUCTURED bounds so the chunk pruner can evaluate them
+    against manifest stats (the pruning.rs path) — with_col_range also adds
+    the row filter, so lifting replaces the plain expr append."""
+    if node.get("node_type") != "comparison":
+        return False
+    op = node.get("op")
+    if op not in ("lt", "lte", "gt", "gte", "eq"):
+        return False
+    lhs, rhs = node["children"]
+    if lhs.get("node_type") == "literal" and rhs.get("node_type") in (
+        "tag_ref", "field_ref",
+    ):  # literal OP col  ->  col flipped-OP literal
+        lhs, rhs = rhs, lhs
+        op = {"lt": "gt", "lte": "gte", "gt": "lt", "gte": "lte", "eq": "eq"}[op]
+    if rhs.get("node_type") != "literal" or lhs.get("node_type") not in (
+        "tag_ref", "field_ref",
+    ):
+        return False
+    if lhs.get("node_type") == "tag_ref" and lhs["value"] in (
+        MEASUREMENT_TAG_KEYS + FIELD_TAG_KEYS
+    ):
+        return False
+    col, v = lhs["value"], rhs["value"]
+    if op == "eq":
+        pred.with_col_range(col, lo=v, hi=v)
+    elif op == "lt":
+        pred.with_col_range(col, hi=v, hi_open=True)
+    elif op == "lte":
+        pred.with_col_range(col, hi=v)
+    elif op == "gt":
+        pred.with_col_range(col, lo=v, lo_open=True)
+    else:
+        pred.with_col_range(col, lo=v)
+    return True
+
+
 def rpc_predicate_to_predicate(
     root: dict | None, base: Predicate | None = None
 ) -> Predicate:
@@ -155,6 +193,8 @@ def rpc_predicate_to_predicate(
         fields = _in_list(conjunct, FIELD_TAG_KEYS)
         if fields is not None:
             pred.field_columns = sorted(set(pred.field_columns or []) | set(fields))
+            continue
+        if _lift_col_range(pred, conjunct):
             continue
         pred.exprs.append(_to_column(conjunct))
     return pred

@@ -298,7 +298,10 @@ class TableStore:
         path = os.path.join(self.base_dir, rel)
         df.write.mode("errorifexists").parquet(path)
 
-        row_count, stats = self._stats_from_footers(path, pk)
+        # Stats for ALL columns (not just the PK): field min/max enable the
+        # scan's field-stat chunk pruning (the pruning.rs behavior), and the
+        # footers already carry them — no extra cost.
+        row_count, stats = self._stats_from_footers(path, out_cols)
         tag_catalog = self._collect_tag_catalog(df.sparkSession, path, schema)
         meta = ChunkMeta(
             chunk_id=chunk_id,
@@ -393,7 +396,7 @@ class TableStore:
             rel = os.path.join(table, f"chunk-{chunk_id:06d}-{uuid.uuid4().hex[:8]}")
             os.rename(os.path.join(staging, dname), os.path.join(self.base_dir, rel))
             row_count, stats = self._stats_from_footers(
-                os.path.join(self.base_dir, rel), pk
+                os.path.join(self.base_dir, rel), out_cols
             )
             metas.append(
                 ChunkMeta(
@@ -561,6 +564,19 @@ class TableStore:
         for g in groups:
             members = [chunks[i] for i in g]
             if len(members) == 1:
+                # Field-stat chunk pruning (query/src/pruning.rs): drop a
+                # chunk whose column stats are provably disjoint with the
+                # predicate's structured bounds.  ONLY safe for clean
+                # (non-overlapping) chunks — a dirty chunk's fields can
+                # survive into last-non-null merged rows whose OTHER fields
+                # make the predicate true, so pruning it would corrupt the
+                # merge.  (Time/partition pruning is exempt: those columns
+                # are part of the dedup key, so a pruned row's merge twins
+                # are outside the range too.)
+                if predicate is not None and predicate.excludes_stats(
+                    members[0].stats
+                ):
+                    continue
                 clean_paths.append(os.path.join(self.base_dir, members[0].path))
             else:
                 ordered = [
@@ -584,6 +600,8 @@ class TableStore:
             # null-fills columns a pre-extension chunk lacks.
             clean = spark.read.schema(schema.struct).parquet(*clean_paths)
             parts.insert(0, clean)
+        if not parts:  # every chunk field-pruned
+            return spark.createDataFrame([], schema.struct)
 
         out = merge_chunk_frames(parts)
         if predicate is not None:

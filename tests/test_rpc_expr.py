@@ -64,7 +64,12 @@ def test_and_tree_flattens_to_conjuncts(spark):
         ),
     )
     pred = rpc_predicate_to_predicate(root)
-    assert len(pred.exprs) == 3
+    # simple col-vs-literal conjuncts lift to STRUCTURED bounds (readable by
+    # the chunk pruner); eq expands to [v, v], so 4 row exprs from 3 nodes
+    assert len(pred.exprs) == 4
+    assert ("region", "west", "west", False, False) in pred.col_ranges
+    assert ("v", 1, None, True, False) in pred.col_ranges
+    assert ("v", None, 9, False, True) in pred.col_ranges
 
 
 def test_translated_exprs_filter_correctly(spark):

@@ -271,3 +271,83 @@ def test_overlap_grouping_fast_at_10k_disjoint_chunks():
     elapsed = _t.perf_counter() - t0
     assert len(groups) == 10_000  # all disjoint -> all clean singletons
     assert elapsed < 5, f"overlap grouping took {elapsed:.1f}s"
+
+
+def test_field_stat_chunk_pruning(spark, tmp_path):
+    """query_tests/src/pruning.rs chunk_pruning_sql: a clean chunk whose
+    field stats are disjoint with the predicate (bar:[3,3] vs bar < 3) is
+    dropped before Spark lists a single file."""
+    schema = IoxSchema.build([], {"bar": InfluxColumnType.FIELD_FLOAT})
+    store = TableStore(str(tmp_path / "fp"))
+    m0 = store.write_chunk(
+        spark.createDataFrame([(1.0, 10), (2.0, 20)], "bar double, time long"),
+        "cpu", schema,
+    )
+    m1 = store.write_chunk(
+        spark.createDataFrame(
+            [(3.0, 100), (3.0, 1000)], "bar double, time long"
+        ),
+        "cpu", schema,
+    )
+    assert m1.stats["bar"] == [3.0, 3.0]  # field stats recorded
+
+    pred = Predicate().with_col_range("bar", hi=3.0, hi_open=True)  # bar < 3
+    out = store.scan(spark, "cpu", schema, pred)
+    files = out.inputFiles()
+    assert any(m0.path in f for f in files)
+    assert not any(m1.path in f for f in files), "bar:[3,3] chunk not pruned"
+    assert sorted(r.bar for r in out.collect()) == [1.0, 2.0]
+
+    # predicate excluding every chunk -> empty frame, correct schema
+    none = store.scan(
+        spark, "cpu", schema, Predicate().with_col_range("bar", lo=100.0)
+    )
+    assert none.count() == 0 and set(none.columns) == {"bar", "time"}
+
+
+def test_field_stat_pruning_never_touches_overlapping_chunks(spark, tmp_path):
+    """Field-stat pruning must NOT drop a chunk that overlaps others on the
+    PK: its fields survive into last-non-null merged rows, so dropping it
+    would corrupt the merge (b=7 passes the filter, but a=5 lives only in
+    the chunk whose own b stats fail it)."""
+    schema = IoxSchema.build(
+        ["t"],
+        {"a": InfluxColumnType.FIELD_FLOAT, "b": InfluxColumnType.FIELD_FLOAT},
+    )
+    store = TableStore(str(tmp_path / "ov"))
+    ddl = "t string, a double, b double, time long"
+    store.write_chunk(
+        spark.createDataFrame([("x", 5.0, 2.0, 100)], ddl), "m", schema
+    )
+    store.write_chunk(
+        spark.createDataFrame([("x", None, 7.0, 100)], ddl), "m", schema
+    )
+    pred = Predicate().with_col_range("b", lo=5.0)  # chunk1's b:[2,2] fails it
+    rows = store.scan(spark, "m", schema, pred).collect()
+    assert len(rows) == 1
+    assert rows[0].a == 5.0 and rows[0].b == 7.0  # merge saw BOTH chunks
+
+
+def test_rpc_expr_lifts_comparisons_to_col_ranges():
+    """Simple `col OP literal` conjuncts become structured bounds the chunk
+    pruner can read; the flipped literal-first form normalizes."""
+    from influxdb_iox_spark.plans.rpc_expr import rpc_predicate_to_predicate
+
+    tree = {
+        "node_type": "logical", "op": "and",
+        "children": [
+            {"node_type": "comparison", "op": "lt",
+             "children": [{"node_type": "field_ref", "value": "bar"},
+                          {"node_type": "literal", "value": 3.0}]},
+            {"node_type": "comparison", "op": "lte",
+             "children": [{"node_type": "literal", "value": 1.0},
+                          {"node_type": "field_ref", "value": "bar"}]},
+        ],
+    }
+    pred = rpc_predicate_to_predicate(tree)
+    assert ("bar", None, 3.0, False, True) in pred.col_ranges
+    assert ("bar", 1.0, None, False, False) in pred.col_ranges
+    assert pred.excludes_stats({"bar": [3.0, 3.0]})       # bar < 3 disjoint
+    assert pred.excludes_stats({"bar": [0.0, 0.5]})       # bar >= 1 disjoint
+    assert not pred.excludes_stats({"bar": [1.0, 2.0]})
+    assert not pred.excludes_stats({"bar": [None, None]})  # unknown keeps
