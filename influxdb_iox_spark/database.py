@@ -95,13 +95,15 @@ class Database:
                 storage="ObjectStoreOnly",
                 row_count=c.row_count,
                 sorted_by=",".join(c.sorted_by),
+                estimated_bytes=c.estimated_bytes,
             )
             for t in self.store.tables()
             for c in self.store.manifest(t)
         ]
         schema = (
             "table_name string, chunk_id long, partition_key string, "
-            "storage string, row_count long, sorted_by string"
+            "storage string, row_count long, sorted_by string, "
+            "estimated_bytes long"
         )
         return self.spark.createDataFrame(rows, schema)
 

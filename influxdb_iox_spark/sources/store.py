@@ -60,10 +60,25 @@ class ChunkMeta:
     # scan).  Backs the metadata-only fast path for tag_values/tag_keys
     # (reference: QueryChunk::column_values, query/src/lib.rs:100-115).
     tag_values: dict[str, list | None] = field(default_factory=dict)
+    # on-disk bytes of the chunk's parquet files (ChunkSummary
+    # estimated_bytes); 0 for chunks registered before this field existed
+    estimated_bytes: int = 0
 
     def column_range(self, col: str) -> tuple | None:
         r = self.stats.get(col)
         return (r[0], r[1]) if r else None
+
+
+def _dir_parquet_bytes(path: str) -> int:
+    """Total size of a chunk directory's parquet files (os.stat only)."""
+    total = 0
+    try:
+        for fname in os.listdir(path):
+            if fname.endswith(".parquet"):
+                total += os.stat(os.path.join(path, fname)).st_size
+    except OSError:
+        pass
+    return total
 
 
 class TableStore:
@@ -303,6 +318,7 @@ class TableStore:
         # footers already carry them — no extra cost.
         row_count, stats = self._stats_from_footers(path, out_cols)
         tag_catalog = self._collect_tag_catalog(df.sparkSession, path, schema)
+        est_bytes = _dir_parquet_bytes(path)
         meta = ChunkMeta(
             chunk_id=chunk_id,
             path=rel,
@@ -313,6 +329,7 @@ class TableStore:
             sorted_by=pk,
             created_at=_time.time(),
             tag_values=tag_catalog,
+            estimated_bytes=est_bytes,
         )
         if register:
             self._append_manifest(table, meta)
@@ -409,6 +426,9 @@ class TableStore:
                     sorted_by=pk,
                     created_at=_time.time(),
                     tag_values=catalogs.get(part_key, {}),
+                    estimated_bytes=_dir_parquet_bytes(
+                        os.path.join(self.base_dir, rel)
+                    ),
                 )
             )
         # staging now holds only the _SUCCESS marker — remove it

@@ -139,7 +139,24 @@ def test_system_chunk_columns(spark, tmp_path):
     assert set(by_col) == {"region", "user", "time"}
     assert all(r.partition_key == "p1" and r.row_count == 2 for r in rows)
     assert all(r.estimated_bytes > 0 for r in rows)
-    # PK columns carry manifest min/max; non-key fields don't
+    # every column carries manifest min/max (fields included, since the
+    # field-stat pruning change records all-column stats)
     assert by_col["region"].min_value == "east" and by_col["region"].max_value == "west"
     assert by_col["time"].min_value == "100" and by_col["time"].max_value == "200"
-    assert by_col["user"].min_value is None
+    assert by_col["user"].min_value == "1.0" and by_col["user"].max_value == "2.0"
+
+
+def test_system_chunks_estimated_bytes(spark, tmp_path):
+    """system.chunks carries estimated_bytes (ChunkSummary; ref sql.rs:277
+    selects it) recorded at write time from the chunk's parquet files."""
+    store = TableStore(str(tmp_path / "eb"))
+    df = spark.createDataFrame(
+        [("west", 1.0, 100)], "region string, user double, time long"
+    )
+    store.write_chunk(df, "cpu", CPU)
+    db = Database("db", store, spark)
+    db.register_table("cpu", CPU)
+    r = db.query(
+        "SELECT estimated_bytes, row_count FROM system_chunks"
+    ).collect()[0]
+    assert r.estimated_bytes > 0 and r.row_count == 1
