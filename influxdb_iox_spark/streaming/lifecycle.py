@@ -35,10 +35,18 @@ class LifecycleRules:
     compact_min_chunks: int = 2
     # or when total rows across a group exceed this (merge small chunks)
     compact_max_group_rows: int = 10_000_000
+    # never compact a group whose combined on-disk bytes exceed this —
+    # bounds a single compaction job's I/O (byte twin of the row bound,
+    # possible since the manifest records estimated_bytes per chunk)
+    compact_max_group_bytes: int = 8 << 30
     # persist-split rows older than (max_seen_time - late_arrive_window)
     late_arrive_window_seconds: int = 300
     # do not persist a chunk younger than this (let writes settle)
     min_age_seconds: float = 0.0
+    # soft total-bytes limit per table (database_rules.rs:127
+    # buffer_size_soft): when the manifest's summed estimated_bytes exceed
+    # it, persistence ignores min_age_seconds and drains eagerly
+    buffer_size_soft: int | None = None
 
 
 @dataclass
@@ -80,6 +88,11 @@ class LifecyclePolicy:
                 members = [chunks[i] for i in g]
                 if sum(c.row_count for c in members) > self.rules.compact_max_group_rows:
                     continue
+                if (
+                    sum(c.estimated_bytes for c in members)
+                    > self.rules.compact_max_group_bytes
+                ):
+                    continue
                 done.append(
                     compact_chunks(
                         self.spark, self.store, table, schema,
@@ -101,10 +114,20 @@ class LifecyclePolicy:
         if newest is None:
             return []
         split_time = newest - self.rules.late_arrive_window_seconds * NS_PER_SECOND
+        manifest = self.store.manifest(table)
+        # over the soft byte limit -> drain eagerly (buffer_size_soft
+        # semantics: age gating yields to memory pressure)
+        min_age = self.rules.min_age_seconds
+        if (
+            self.rules.buffer_size_soft is not None
+            and sum(c.estimated_bytes for c in manifest)
+            > self.rules.buffer_size_soft
+        ):
+            min_age = 0.0
         by_part: dict[str, list] = {}
-        for c in self.store.manifest(table):
+        for c in manifest:
             if (
-                _time.time() - c.created_at >= self.rules.min_age_seconds
+                _time.time() - c.created_at >= min_age
                 and c.column_range(schema.time_column)
                 and c.column_range(schema.time_column)[0] is not None
                 and int(c.column_range(schema.time_column)[0]) <= split_time

@@ -242,3 +242,49 @@ spark.stop()
     )
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
     assert "OK interactive=" in proc.stdout
+
+
+def test_byte_based_lifecycle_rules(spark, tmp_path):
+    """Byte twins of the row rules: a group over compact_max_group_bytes is
+    skipped; exceeding buffer_size_soft overrides min_age so persistence
+    drains eagerly (database_rules.rs buffer_size_soft)."""
+    from influxdb_iox_spark.streaming.lifecycle import (
+        LifecyclePolicy,
+        LifecycleRules,
+    )
+
+    store = TableStore(str(tmp_path / "bytes"))
+    for v in (1.0, 2.0):
+        df = spark.createDataFrame(
+            [("west", v, 100)], "region string, user double, time long"
+        )
+        store.write_chunk(df, "cpu", CPU, partition_key="p1")
+    assert all(c.estimated_bytes > 0 for c in store.manifest("cpu"))
+
+    # group bytes cap: 1 byte cap -> no compaction happens
+    pol = LifecyclePolicy(
+        spark, store, {"cpu": CPU},
+        LifecycleRules(compact_max_group_bytes=1),
+    )
+    assert pol.maybe_compact("cpu") == []
+    # permissive cap -> compacts the overlapping pair
+    pol2 = LifecyclePolicy(spark, store, {"cpu": CPU}, LifecycleRules())
+    assert len(pol2.maybe_compact("cpu")) == 1
+
+    # soft byte limit overrides min_age for persistence
+    store2 = TableStore(str(tmp_path / "soft"))
+    df = spark.createDataFrame(
+        [("west", 1.0, 100), ("west", 2.0, 10_000_000_000_000)],
+        "region string, user double, time long",
+    )
+    store2.write_chunk(df, "cpu", CPU, partition_key="p1")
+    age_gated = LifecyclePolicy(
+        spark, store2, {"cpu": CPU},
+        LifecycleRules(min_age_seconds=3600),
+    )
+    assert age_gated.maybe_persist("cpu") == []  # too young
+    pressured = LifecyclePolicy(
+        spark, store2, {"cpu": CPU},
+        LifecycleRules(min_age_seconds=3600, buffer_size_soft=1),
+    )
+    assert len(pressured.maybe_persist("cpu")) == 1  # pressure wins
