@@ -2232,6 +2232,84 @@ ORDER BY lang
 """
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (pipeline/text.redact_pii): the corpus has no organic PII,
+    so each doc deterministically gains an email + phone + IP derived from
+    its id before the redaction pass; output is md5 of the redacted text
+    (compact, and any missed/over-redacted byte flips the hash).  Patterns
+    run verbatim in both engines (Java regex vs RE2 — no backreferences)."""
+    from influxdb_iox_spark.pipeline.text import redact_pii
+
+    t = _load(spark, sf_dir, "documents")
+    docs = t["documents"].withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com"),
+            F.lit(" or call 555-123-"), (F.col("doc_id") % 10000),
+            F.lit(" from 10.0."), (F.col("doc_id") % 256), F.lit(".7"),
+        ),
+    )
+    out = redact_pii(docs)
+    n_redacted = (
+        F.size(F.split(F.col("text"), "<EMAIL>|<PHONE>|<IP>", -1)) - 1
+    )
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("redacted_md5"),
+        n_redacted.cast("long").alias("n_redactions"),
+    ).orderBy("doc_id")
+
+
+def _sql_pii_redact() -> str:
+    from influxdb_iox_spark.pipeline.text import PII_PATTERNS
+
+    expr = (
+        "text || ' contact user' || doc_id || '@example.com'"
+        " || ' or call 555-123-' || (doc_id % 10000)"
+        " || ' from 10.0.' || (doc_id % 256) || '.7'"
+    )
+    for pat, token in PII_PATTERNS:
+        escaped = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{escaped}', '{token}', 'g')"
+    return f"""
+SELECT doc_id, md5({expr}) AS redacted_md5,
+  CAST(len(regexp_split_to_array({expr}, '<EMAIL>|<PHONE>|<IP>')) - 1 AS BIGINT)
+    AS n_redactions
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_corpus_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram statistics (pipeline/text.ngram_counts): top-50 by
+    occurrence count with a deterministic gram tie-break — the classic
+    corpus-frequency sweep (one hash aggregate on the gram)."""
+    from influxdb_iox_spark.pipeline.text import ngram_counts
+
+    t = _load(spark, sf_dir, "documents")
+    return ngram_counts(t["documents"], n=2, top_k=50)
+
+
+SQL_CORPUS_NGRAM_TOPK = r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(t) >= 2
+      THEN list_transform(range(0, len(t)-1), i -> array_to_string(t[i+1:i+2], ' '))
+      ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM toks)
+SELECT gram, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+FROM grams
+GROUP BY gram
+ORDER BY n_occurrences DESC, gram
+LIMIT 50
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: dedup-correct scan + windowed aggregate over two simulated
     overlapping chunks of the events table (the reference's core query
@@ -2278,6 +2356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shard_packing": q_shard_packing,
         "doc_contamination": q_contamination,
         "doc_stratified_sample": q_stratified_sample,
+        "doc_pii_redact": q_pii_redact,
+        "corpus_ngram_topk": q_corpus_ngram_topk,
         # InfluxRPC menu
         "rpc_read_filter": q_read_filter,
         "rpc_read_group": q_read_group,
@@ -2396,6 +2476,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_shard_packing": SQL_SHARD_PACKING,
         "doc_contamination": SQL_CONTAMINATION,
         "doc_stratified_sample": _sql_stratified_sample(),
+        "doc_pii_redact": _sql_pii_redact(),
+        "corpus_ngram_topk": SQL_CORPUS_NGRAM_TOPK,
         "tpch_q9_profit_adapted": SQL_PROFIT_BY_NATION_YEAR,
         "tpch_q11_important_parts_adapted": SQL_IMPORTANT_PARTS,
         "tpch_q12_ship_month_adapted": SQL_PRIORITY_BY_SHIP_MONTH,

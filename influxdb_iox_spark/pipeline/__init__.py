@@ -35,7 +35,9 @@ from influxdb_iox_spark.pipeline.similarity import (
 from influxdb_iox_spark.pipeline.text import (
     fingerprint,
     lang_id,
+    ngram_counts,
     quality_features,
+    redact_pii,
     token_count,
 )
 
@@ -58,6 +60,8 @@ __all__ = [
     "embedding_near_dup_pairs",
     "fingerprint",
     "lang_id",
+    "ngram_counts",
     "quality_features",
+    "redact_pii",
     "token_count",
 ]

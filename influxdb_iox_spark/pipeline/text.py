@@ -131,3 +131,70 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerpri
     shift-robust fingerprints use pipeline.dedup.simhash / minhash_signatures.
     """
     return df.select("*", F.md5(normalize_text(F.col(text_col))).alias(out_col))
+
+
+# PII patterns chosen to parse identically under Java regex (Spark) and RE2
+# (DuckDB): no backreferences, no lookaround.
+PII_PATTERNS: list[tuple[str, str]] = [
+    # email before phone: an email's digits must not be half-eaten first
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # IP before phone: dotted quads are not phone numbers
+    (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    (r"\+?[0-9][0-9()\-\. ]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Replace emails / IPv4 addresses / phone-like digit runs with typed
+    placeholder tokens — the standard pre-training scrub pass.
+
+    Chained codegen regexp_replace (ordered so overlapping matches resolve
+    deterministically: email, then IP, then phone); linear, no shuffle, and
+    the same patterns run verbatim in the DuckDB oracle.
+    """
+    out = F.col(text_col)
+    for pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return df.withColumn(out_col or text_col, out)
+
+
+def ngram_counts(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus n-gram frequencies: (gram, n_docs, n_occurrences), most
+    frequent first with a deterministic gram tie-break.
+
+    explode word n-grams (keeping repeats, so n_occurrences counts every
+    occurrence) → one hash aggregate on the gram → optional top-k via
+    TakeOrderedAndProject.  ``id_col`` must identify documents (a
+    synthesized monotonically_increasing_id would be re-evaluated per
+    EXPLODED row by the Generate operator, silently making n_docs ==
+    n_occurrences).  The shuffle key is the gram string — the classic
+    corpus-statistics shape; at 100 TB add a salt-presplit on the handful
+    of stopword-pair grams if AQE's skew handling is not enough.
+    """
+    toks = word_tokens(F.col(text_col))
+    k = F.size(toks)
+    grams = F.when(
+        k >= n,
+        F.transform(
+            F.sequence(F.lit(0), k - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array())
+    ex = df.select(F.col(id_col).alias("__doc"), F.explode(grams).alias("gram"))
+    out = (
+        ex.groupBy("gram")
+        .agg(
+            F.count_distinct("__doc").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .orderBy(F.desc("n_occurrences"), "gram")
+    )
+    return out.limit(top_k) if top_k is not None else out

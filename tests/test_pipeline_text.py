@@ -59,3 +59,43 @@ def test_fingerprint_normalization(spark):
     )
     out = {r.doc_id: r.fingerprint for r in fingerprint(df).collect()}
     assert out[1] == out[2] != out[3]
+
+
+def test_redact_pii(spark):
+    from influxdb_iox_spark.pipeline.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at alice.smith+x@sub.example.org today"),
+            (2, "server 192.168.0.1 answered"),
+            (3, "call +1 (555) 123-4567 now"),
+            (4, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in redact_pii(df).collect()}
+    assert out[1] == "mail me at <EMAIL> today"
+    assert out[2] == "server <IP> answered"
+    assert out[3] == "call <PHONE> now"
+    assert out[4] == "no pii here at all"
+
+
+def test_ngram_counts(spark):
+    from influxdb_iox_spark.pipeline.text import ngram_counts
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the cat ran. the cat ran"),
+            (3, "dog"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.gram: (r.n_docs, r.n_occurrences) for r in ngram_counts(df, n=2).collect()}
+    assert rows["the cat"] == (2, 3)   # doc1 once, doc2 twice
+    assert rows["cat ran"] == (1, 2)
+    assert rows["cat sat"] == (1, 1)
+    assert rows["ran the"] == (1, 1)   # punctuation split still tokenizes
+    assert "dog" not in rows           # < n tokens -> no grams
+    top1 = ngram_counts(df, n=2, top_k=1).collect()
+    assert top1[0].gram == "the cat"
