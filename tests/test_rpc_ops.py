@@ -276,3 +276,45 @@ def test_read_window_aggregate_months(db):
     # t'=t+1mo=Feb; trunc2(1970*12+1 -> even) = Jan; stop = Jan+2mo-1mo = Feb
     stops = {r.time for r in df2.collect()}
     assert stops == {feb1_ns}
+
+
+def test_read_filter_series_order_with_null_tags(spark, tmp_path):
+    """read_filter.rs:418-520 test_read_filter_data_plan_order
+    (MeasurementsSortableTags): rows order by (tags..., time) with ABSENT
+    tag values (nulls) sorting before present ones — Spark's ASC
+    nulls-first default matches the reference's series-key ordering."""
+    from influxdb_iox_spark.sources.store import TableStore
+
+    schema = IoxSchema.build(
+        ["city", "state", "zz_tag"],
+        {"other": InfluxColumnType.FIELD_FLOAT, "temp": InfluxColumnType.FIELD_FLOAT},
+    )
+    store = TableStore(str(tmp_path / "order"))
+    rows = [
+        ("Kingston", "MA", "A", None, 70.1, 800),
+        ("Kingston", "MA", "B", None, 70.2, 100),
+        ("Boston", "CA", None, None, 70.3, 250),
+        ("Boston", "MA", "A", None, 70.4, 1000),
+        ("Boston", "MA", None, 5.0, 70.5, 250),
+    ]
+    store.write_chunk(
+        spark.createDataFrame(
+            rows,
+            "city string, state string, zz_tag string, other double, "
+            "temp double, time long",
+        ),
+        "h2o", schema,
+    )
+    db = Database("order", store, spark)
+    db.register_table("h2o", schema)
+    out = [
+        (r.city, r.state, r.zz_tag, r.other, r.temp, r.time)
+        for r in read_filter(db, "h2o").collect()
+    ]
+    assert out == [
+        ("Boston", "CA", None, None, 70.3, 250),
+        ("Boston", "MA", None, 5.0, 70.5, 250),
+        ("Boston", "MA", "A", None, 70.4, 1000),
+        ("Kingston", "MA", "A", None, 70.1, 800),
+        ("Kingston", "MA", "B", None, 70.2, 100),
+    ]
