@@ -137,35 +137,17 @@ class Database:
         assemble_chunk_columns): one row per (chunk, column) with min/max
         stats and estimated byte sizes.
 
-        min/max come from the manifest (recorded for primary-key columns at
-        write time); per-column compressed sizes come from parquet footers —
-        a metadata-only walk, no data pages read, mirroring the reference
-        assembling this from in-memory chunk summaries."""
-        import os
-
-        import pyarrow.parquet as pq
-
+        Built ENTIRELY from the manifest (min/max and per-column compressed
+        sizes are recorded at write time) — no parquet footers are opened,
+        so view re-registration after a write stays O(manifest) instead of
+        O(total files) driver I/O.  Chunks registered before column_bytes
+        existed show their stat columns without sizes."""
         rows = []
         for t in self.store.tables():
             for c in self.store.manifest(t):
-                sizes: dict[str, int] = {}
-                path = os.path.join(self.store.base_dir, c.path)
-                try:
-                    fnames = os.listdir(path)
-                except OSError:
-                    fnames = []
-                for fname in fnames:
-                    if not fname.endswith(".parquet"):
-                        continue
-                    md = pq.ParquetFile(os.path.join(path, fname)).metadata
-                    for rg in range(md.num_row_groups):
-                        g = md.row_group(rg)
-                        for ci in range(g.num_columns):
-                            col = g.column(ci)
-                            name = col.path_in_schema.split(".")[0]
-                            sizes[name] = (
-                                sizes.get(name, 0) + col.total_compressed_size
-                            )
+                sizes = dict(c.column_bytes) if c.column_bytes else {
+                    name: 0 for name in c.stats
+                }
                 for name in sorted(sizes):
                     rng = c.stats.get(name)
                     has = rng is not None and rng[0] is not None

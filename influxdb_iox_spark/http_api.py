@@ -123,6 +123,10 @@ class IoxHttpServer:
         belongs to the Flight path, which streams record batches."""
         if name != self.db_name:
             raise _HttpError(404, f"database {name!r} not found")
+        if fmt not in ("json", "csv", "pretty"):
+            # reject before planning/executing — an unknown format must not
+            # cost a full Spark job + driver collect
+            raise _HttpError(400, f"unknown format {fmt!r}")
         df = self.database.query(q)
         rows = df.limit(self.max_rows + 1).collect()
         if len(rows) > self.max_rows:

@@ -57,6 +57,13 @@ def pack_shards(
     local = part.withColumn(
         "__local", F.sum(F.col(token_col).cast("long")).over(w)
     )
+    # Pin ONE row-to-partition assignment before the two consumers (the
+    # totals collect below and the returned join): repartitionByRange
+    # samples its boundaries per job, so without materialization the
+    # offsets could be computed for a DIFFERENT assignment than the one in
+    # effect when the result executes — boundary rows would add the wrong
+    # prefix.  localCheckpoint, not cache() (see SCALE.md).
+    local = local.localCheckpoint(eager=True)
     # per-partition totals -> prefix offsets (tiny: one row per partition)
     totals = (
         local.groupBy("__pid").agg(F.max("__local").alias("__t")).collect()
@@ -115,7 +122,8 @@ def contamination_check(
             F.count("*").alias("n_shared_shingles"),
             F.count_distinct("eval_id").alias("n_eval_docs"),
         )
-        .orderBy("train_id")
+        # no ORDER BY here: a global sort of a corpus-sized result is the
+        # caller's choice, not the operator's
     )
 
 

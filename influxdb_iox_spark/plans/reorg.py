@@ -198,7 +198,8 @@ def _persist_split_inner(
             cold_meta = hot_meta = None
             if cold.limit(1).count():
                 cold_meta = store.write_chunk(
-                    cold, table, schema, partition_key=partition_key, dedup_batch=False
+                    cold, table, schema, partition_key=partition_key,
+                    dedup_batch=False, persisted=True,
                 )
             if hot.limit(1).count():
                 hot_meta = store.write_chunk(

@@ -63,6 +63,13 @@ class ChunkMeta:
     # on-disk bytes of the chunk's parquet files (ChunkSummary
     # estimated_bytes); 0 for chunks registered before this field existed
     estimated_bytes: int = 0
+    # True for the cold output of a persist-split: already drained past the
+    # late-arrival window, so the lifecycle policy neither re-persists it
+    # nor counts it as pending-buffer pressure
+    persisted: bool = False
+    # per-column compressed bytes from the footers (system.chunk_columns);
+    # empty for chunks registered before this field existed
+    column_bytes: dict[str, int] = field(default_factory=dict)
 
     def column_range(self, col: str) -> tuple | None:
         r = self.stats.get(col)
@@ -285,6 +292,7 @@ class TableStore:
         dedup_batch: bool = True,
         seq_column: str | None = None,
         register: bool = True,
+        persisted: bool = False,
     ) -> ChunkMeta:
         """Persist one chunk: within-batch dedup → PK sort → sorted parquet.
 
@@ -316,7 +324,7 @@ class TableStore:
         # Stats for ALL columns (not just the PK): field min/max enable the
         # scan's field-stat chunk pruning (the pruning.rs behavior), and the
         # footers already carry them — no extra cost.
-        row_count, stats = self._stats_from_footers(path, out_cols)
+        row_count, stats, col_bytes = self._stats_from_footers(path, out_cols)
         tag_catalog = self._collect_tag_catalog(df.sparkSession, path, schema)
         est_bytes = _dir_parquet_bytes(path)
         meta = ChunkMeta(
@@ -330,6 +338,8 @@ class TableStore:
             created_at=_time.time(),
             tag_values=tag_catalog,
             estimated_bytes=est_bytes,
+            persisted=persisted,
+            column_bytes=col_bytes,
         )
         if register:
             self._append_manifest(table, meta)
@@ -412,7 +422,7 @@ class TableStore:
             chunk_id = self._alloc_chunk_id(table)
             rel = os.path.join(table, f"chunk-{chunk_id:06d}-{uuid.uuid4().hex[:8]}")
             os.rename(os.path.join(staging, dname), os.path.join(self.base_dir, rel))
-            row_count, stats = self._stats_from_footers(
+            row_count, stats, col_bytes = self._stats_from_footers(
                 os.path.join(self.base_dir, rel), out_cols
             )
             metas.append(
@@ -429,6 +439,7 @@ class TableStore:
                     estimated_bytes=_dir_parquet_bytes(
                         os.path.join(self.base_dir, rel)
                     ),
+                    column_bytes=col_bytes,
                 )
             )
         # staging now holds only the _SUCCESS marker — remove it
@@ -492,12 +503,17 @@ class TableStore:
         return sorted(values)
 
     @staticmethod
-    def _stats_from_footers(path: str, columns: list[str]) -> tuple[int, dict]:
-        """Row count + per-column min/max from parquet footers (no Spark job)."""
+    def _stats_from_footers(
+        path: str, columns: list[str]
+    ) -> tuple[int, dict, dict]:
+        """Row count, per-column min/max, and per-column compressed byte
+        sizes from parquet footers (no Spark job).  Sizes are recorded in
+        the manifest so system.chunk_columns never re-opens footers."""
         import pyarrow.parquet as pq
 
         total = 0
         ranges: dict[str, list | None] = {}  # col -> [min, max] or None = unknown
+        col_bytes: dict[str, int] = {}
         for fname in os.listdir(path):
             if not fname.endswith(".parquet"):
                 continue
@@ -506,6 +522,12 @@ class TableStore:
             idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
             for rg in range(md.num_row_groups):
                 g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    cc = g.column(ci)
+                    name = cc.path_in_schema.split(".")[0]
+                    col_bytes[name] = (
+                        col_bytes.get(name, 0) + cc.total_compressed_size
+                    )
                 for col in columns:
                     ci = idx.get(col)
                     if ci is None or ranges.get(col, _SENTINEL) is None:
@@ -521,7 +543,7 @@ class TableStore:
                         cur[0] = min(cur[0], st.min)
                         cur[1] = max(cur[1], st.max)
         stats = {c: (r if r is not None else [None, None]) for c, r in ranges.items()}
-        return total, stats
+        return total, stats, col_bytes
 
     # -- read / scan ------------------------------------------------------
     def read_chunk(self, spark: SparkSession, meta: ChunkMeta) -> DataFrame:

@@ -114,24 +114,32 @@ class LifecyclePolicy:
         if newest is None:
             return []
         split_time = newest - self.rules.late_arrive_window_seconds * NS_PER_SECOND
-        manifest = self.store.manifest(table)
-        # over the soft byte limit -> drain eagerly (buffer_size_soft
-        # semantics: age gating yields to memory pressure)
+        # persistable-by-time candidates, BEFORE the age gate; chunks whose
+        # persisted flag is set (cold persist-split outputs) are excluded —
+        # they have already drained, so re-splitting them every sweep would
+        # be wasted I/O and their bytes are not buffer pressure
+        candidates = [
+            c
+            for c in self.store.manifest(table)
+            if not c.persisted
+            and c.column_range(schema.time_column)
+            and c.column_range(schema.time_column)[0] is not None
+            and int(c.column_range(schema.time_column)[0]) <= split_time
+        ]
+        # buffer_size_soft counts the PENDING (not-yet-persisted) bytes —
+        # the candidates the age gate is currently holding back — never the
+        # table's lifetime total, which grows without bound and would
+        # permanently disable the settling window once crossed.
         min_age = self.rules.min_age_seconds
         if (
             self.rules.buffer_size_soft is not None
-            and sum(c.estimated_bytes for c in manifest)
+            and sum(c.estimated_bytes for c in candidates)
             > self.rules.buffer_size_soft
         ):
             min_age = 0.0
         by_part: dict[str, list] = {}
-        for c in manifest:
-            if (
-                _time.time() - c.created_at >= min_age
-                and c.column_range(schema.time_column)
-                and c.column_range(schema.time_column)[0] is not None
-                and int(c.column_range(schema.time_column)[0]) <= split_time
-            ):
+        for c in candidates:
+            if _time.time() - c.created_at >= min_age:
                 by_part.setdefault(c.partition_key, []).append(c)
         out = []
         for chunks in by_part.values():

@@ -288,3 +288,32 @@ def test_byte_based_lifecycle_rules(spark, tmp_path):
         LifecycleRules(min_age_seconds=3600, buffer_size_soft=1),
     )
     assert len(pressured.maybe_persist("cpu")) == 1  # pressure wins
+
+
+def test_persist_split_cold_output_not_repersisted(spark, tmp_path):
+    """The cold output of a persist-split is marked persisted and must not
+    re-qualify as a candidate on the next sweep (no re-split churn, and its
+    bytes are not pending-buffer pressure for buffer_size_soft)."""
+    from influxdb_iox_spark.streaming.lifecycle import (
+        LifecyclePolicy,
+        LifecycleRules,
+    )
+
+    store = TableStore(str(tmp_path / "repersist"))
+    df = spark.createDataFrame(
+        [("west", 1.0, 100), ("west", 2.0, 10_000_000_000_000)],
+        "region string, user double, time long",
+    )
+    store.write_chunk(df, "cpu", CPU, partition_key="p1")
+    pol = LifecyclePolicy(spark, store, {"cpu": CPU}, LifecycleRules())
+    assert len(pol.maybe_persist("cpu")) == 1
+    cold = [c for c in store.manifest("cpu") if c.persisted]
+    assert len(cold) == 1
+    # second sweep: nothing to do — the cold chunk does not re-qualify
+    assert pol.maybe_persist("cpu") == []
+    # and its bytes do not trip the soft limit
+    pressured = LifecyclePolicy(
+        spark, store, {"cpu": CPU},
+        LifecycleRules(min_age_seconds=3600, buffer_size_soft=1),
+    )
+    assert pressured.maybe_persist("cpu") == []

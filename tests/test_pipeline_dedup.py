@@ -207,3 +207,21 @@ def test_minhash_empty_docs_never_pair(spark):
         assert sigs[d].shingles == [], d
     assert len(sigs[10].shingles) == 1  # single full-token shingle (k < n)
     assert near_duplicate_pairs_minhash(df, threshold=0.5).count() == 0
+
+
+def test_simhash_tokenizers_are_equivalent():
+    """The codegen tokenizer `[\\p{L}\\p{N}]+` (Java/DuckDB) and the pandas
+    UDF's Python `[^\\W_]+` must accept exactly the same characters —
+    verified by sweeping the whole BMP (CPython's str \\w is precisely the
+    L*/N* categories plus ASCII underscore, which the class excludes)."""
+    import re
+    import unicodedata
+
+    pat = re.compile(r"[^\W_]")
+    diffs = [
+        hex(cp)
+        for cp in range(0x30, 0x10000)
+        if bool(pat.fullmatch(chr(cp)))
+        != (unicodedata.category(chr(cp))[0] in ("L", "N"))
+    ]
+    assert diffs == []
