@@ -60,6 +60,29 @@ class InfluxRpc:
     def read_filter(self, table: str, predicate: Predicate | None = None) -> DataFrame:
         return se.read_filter(self.db, table, predicate)
 
+    def read_filter_all(
+        self, predicate: Predicate | None = None
+    ) -> dict[str, DataFrame]:
+        """The wire read_filter spans EVERY measurement in the bucket
+        (service.rs:218 routes one request into per-table plans;
+        read_filter.rs test_read_filter_data_no_pred expects h2o AND o2
+        series): table -> sorted series DataFrame, honoring the predicate's
+        table list and skipping tables it filters to nothing.  A predicate
+        referencing columns a table lacks yields no rows for that table
+        (read_filter.rs:222), so such tables simply drop out."""
+        out: dict[str, DataFrame] = {}
+        for t in self.db.table_names():
+            if predicate is not None and not predicate.should_scan_table(t):
+                continue
+            out[t] = se.read_filter(self.db, t, predicate)
+        return out
+
+    def read_filter_frames_all(self, predicate: Predicate | None = None):
+        """Driver-side frames across every measurement, tables in name
+        order — the full SeriesSet stream of one wire read_filter call."""
+        for t, df in self.read_filter_all(predicate).items():
+            yield from se.frame_series(df, t, self.db.table_schema(t).tag_columns)
+
     def read_group(
         self,
         table: str,

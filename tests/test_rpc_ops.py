@@ -318,3 +318,29 @@ def test_read_filter_series_order_with_null_tags(spark, tmp_path):
         ("Kingston", "MA", "A", None, 70.1, 800),
         ("Kingston", "MA", "B", None, 70.2, 100),
     ]
+
+
+def test_read_filter_all_measurements(db):
+    """read_filter.rs:76-136 test_read_filter_data_no_pred: one wire
+    read_filter call returns series from EVERY measurement (h2o and o2),
+    each sorted by its own series key; a per-table-unsatisfiable predicate
+    drops that table's series without erroring."""
+    from influxdb_iox_spark.rpc import InfluxRpc
+
+    rpc = InfluxRpc(db)
+    frames = list(rpc.read_filter_frames_all())
+    tables = [f.table for f in frames]
+    assert tables == sorted(tables)
+    assert set(tables) == {"h2o", "o2"}
+    assert sum(len(f.rows) for f in frames if f.table == "h2o") == 4
+    assert sum(len(f.rows) for f in frames if f.table == "o2") == 2
+
+    # predicate on a column only h2o has: o2 contributes nothing, no error
+    pred = Predicate().with_expr(F.col("city") == "Boston")
+    by_table = rpc.read_filter_all(pred)
+    assert by_table["h2o"].count() == 2
+    assert by_table["o2"].count() == 0
+
+    # table-scoped predicate restricts the set
+    only = rpc.read_filter_all(Predicate().tables("o2"))
+    assert list(only) == ["o2"]
