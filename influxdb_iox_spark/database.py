@@ -145,9 +145,14 @@ class Database:
         rows = []
         for t in self.store.tables():
             for c in self.store.manifest(t):
-                sizes = dict(c.column_bytes) if c.column_bytes else {
-                    name: 0 for name in c.stats
-                }
+                # legacy chunks (registered before column_bytes existed) get
+                # NULL sizes, keeping "unknown" distinct from zero — the
+                # same encoding min_value/max_value use
+                sizes = (
+                    dict(c.column_bytes)
+                    if c.column_bytes
+                    else {name: None for name in c.stats}
+                )
                 for name in sorted(sizes):
                     rng = c.stats.get(name)
                     has = rng is not None and rng[0] is not None

@@ -31,6 +31,9 @@ from influxdb_iox_spark.sources.line_protocol import LineProtocolError
 from influxdb_iox_spark.streaming.ingest import LineProtocolIngest
 
 
+QUERY_FORMATS = ("json", "csv", "pretty")
+
+
 def org_and_bucket_to_database(org: str, bucket: str) -> str:
     """http.rs write path: db name = '<org>_<bucket>'."""
     return f"{org}_{bucket}"
@@ -123,7 +126,7 @@ class IoxHttpServer:
         belongs to the Flight path, which streams record batches."""
         if name != self.db_name:
             raise _HttpError(404, f"database {name!r} not found")
-        if fmt not in ("json", "csv", "pretty"):
+        if fmt not in QUERY_FORMATS:
             # reject before planning/executing — an unknown format must not
             # cost a full Spark job + driver collect
             raise _HttpError(400, f"unknown format {fmt!r}")
@@ -168,7 +171,9 @@ class IoxHttpServer:
                 return "| " + " | ".join(v.ljust(w) for v, w in zip(vals, widths)) + " |"
             out = [sep, _line(cols), sep, *[_line(r) for r in cells], sep]
             return ("\n".join(out) + "\n").encode(), "text/plain"
-        raise _HttpError(400, f"unknown format {fmt!r}")
+        raise AssertionError(
+            f"format {fmt!r} passed validation but has no renderer"
+        )  # unreachable: QUERY_FORMATS is checked before execution
 
 
 def _json_val(v):

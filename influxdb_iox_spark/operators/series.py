@@ -91,10 +91,24 @@ def read_filter_projection(
 ) -> DataFrame:
     """The (tags…, fields…, time) projection shared by read_filter and the
     distributed framing path — UNSORTED (each consumer picks its own
-    ordering strategy)."""
+    ordering strategy).
+
+    A field projection is intersected with the table's OWN fields: the wire
+    predicate's ``_field`` list spans every measurement of the request, so
+    a table having none of the requested fields yields an empty result
+    (tags + time schema), never an unresolved-column error — the
+    multi-measurement semantics read_filter_all relies on."""
     schema = db.table_schema(table)
-    fields = predicate.field_columns if predicate and predicate.field_columns else None
-    fields = fields or schema.field_columns
+    requested = (
+        predicate.field_columns if predicate and predicate.field_columns else None
+    )
+    if requested is not None:
+        fields = [f for f in requested if f in schema.field_columns]
+        if not fields:
+            cols = [*schema.tag_columns, schema.time_column]
+            return db.table(table, predicate).select(*cols).limit(0)
+    else:
+        fields = schema.field_columns
     cols = [*schema.tag_columns, *fields, schema.time_column]
     return db.table(table, predicate).select(*cols)
 

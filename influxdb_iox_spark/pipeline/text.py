@@ -189,12 +189,12 @@ def ngram_counts(
         ),
     ).otherwise(F.array())
     ex = df.select(F.col(id_col).alias("__doc"), F.explode(grams).alias("gram"))
-    out = (
-        ex.groupBy("gram")
-        .agg(
-            F.count_distinct("__doc").alias("n_docs"),
-            F.count("*").alias("n_occurrences"),
-        )
-        .orderBy(F.desc("n_occurrences"), "gram")
+    out = ex.groupBy("gram").agg(
+        F.count_distinct("__doc").alias("n_docs"),
+        F.count("*").alias("n_occurrences"),
     )
-    return out.limit(top_k) if top_k is not None else out
+    if top_k is not None:
+        # sort only here, where TakeOrderedAndProject makes it cheap — a
+        # global sort of the full gram table is the caller's choice
+        return out.orderBy(F.desc("n_occurrences"), "gram").limit(top_k)
+    return out

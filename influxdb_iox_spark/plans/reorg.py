@@ -77,7 +77,11 @@ def compact_chunks(
                 schema.time_column,
             )
             meta = store.write_chunk(
-                df, table, schema, partition_key=partition_key, dedup_batch=False
+                df, table, schema, partition_key=partition_key, dedup_batch=False,
+                # the merge of fully-drained inputs is itself drained; losing
+                # the flag would let the policy re-persist already-persisted
+                # data every sweep
+                persisted=all(c.persisted for c in chunks),
             )
             store.drop_chunks(table, ids)
     except Exception:

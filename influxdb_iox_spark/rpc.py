@@ -66,12 +66,16 @@ class InfluxRpc:
         """The wire read_filter spans EVERY measurement in the bucket
         (service.rs:218 routes one request into per-table plans;
         read_filter.rs test_read_filter_data_no_pred expects h2o AND o2
-        series): table -> sorted series DataFrame, honoring the predicate's
-        table list and skipping tables it filters to nothing.  A predicate
-        referencing columns a table lacks yields no rows for that table
-        (read_filter.rs:222), so such tables simply drop out."""
+        series): table -> sorted series DataFrame.
+
+        Only the predicate's TABLE list removes entries from the dict; a
+        predicate referencing columns or fields a table lacks keeps the
+        entry but it holds no rows (read_filter.rs:222) — use
+        ``read_filter_frames_all`` if empty tables should disappear.
+        Iterates registered tables (those with schemas): a store table
+        never registered has no schema to plan against."""
         out: dict[str, DataFrame] = {}
-        for t in self.db.table_names():
+        for t in sorted(self.db.schemas):
             if predicate is not None and not predicate.should_scan_table(t):
                 continue
             out[t] = se.read_filter(self.db, t, predicate)

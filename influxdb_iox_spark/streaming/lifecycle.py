@@ -43,9 +43,12 @@ class LifecycleRules:
     late_arrive_window_seconds: int = 300
     # do not persist a chunk younger than this (let writes settle)
     min_age_seconds: float = 0.0
-    # soft total-bytes limit per table (database_rules.rs:127
-    # buffer_size_soft): when the manifest's summed estimated_bytes exceed
-    # it, persistence ignores min_age_seconds and drains eagerly
+    # soft byte limit on PENDING data per table (database_rules.rs:127
+    # buffer_size_soft): when the bytes of unpersisted chunks already past
+    # the late-arrival window exceed it, persistence ignores
+    # min_age_seconds and drains eagerly.  Persisted chunks and chunks
+    # still inside the window never count — the comparison is against
+    # buffer pressure, not the table's lifetime size.
     buffer_size_soft: int | None = None
 
 

@@ -317,3 +317,32 @@ def test_persist_split_cold_output_not_repersisted(spark, tmp_path):
         LifecycleRules(min_age_seconds=3600, buffer_size_soft=1),
     )
     assert pressured.maybe_persist("cpu") == []
+
+
+def test_compact_preserves_persisted_flag(spark, tmp_path):
+    """Compacting fully-drained (persisted) chunks yields a persisted chunk;
+    mixing in an unpersisted chunk clears the flag — otherwise the policy
+    would re-persist already-drained data every sweep."""
+    from influxdb_iox_spark.plans.reorg import compact_chunks
+
+    store = TableStore(str(tmp_path / "pflag"))
+    ddl = "region string, user double, time long"
+    m1 = store.write_chunk(
+        spark.createDataFrame([("west", 1.0, 100)], ddl), "cpu", CPU,
+        partition_key="p1", persisted=True,
+    )
+    m2 = store.write_chunk(
+        spark.createDataFrame([("west", 2.0, 100)], ddl), "cpu", CPU,
+        partition_key="p1", persisted=True,
+    )
+    merged = compact_chunks(spark, store, "cpu", CPU, [m1.chunk_id, m2.chunk_id])
+    assert merged.persisted is True
+
+    m3 = store.write_chunk(
+        spark.createDataFrame([("west", 3.0, 100)], ddl), "cpu", CPU,
+        partition_key="p1",
+    )
+    merged2 = compact_chunks(
+        spark, store, "cpu", CPU, [merged.chunk_id, m3.chunk_id]
+    )
+    assert merged2.persisted is False

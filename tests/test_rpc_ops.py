@@ -344,3 +344,16 @@ def test_read_filter_all_measurements(db):
     # table-scoped predicate restricts the set
     only = rpc.read_filter_all(Predicate().tables("o2"))
     assert list(only) == ["o2"]
+
+
+def test_read_filter_all_field_projection_missing_field(db):
+    """A wire field projection (_field pseudo-tag) spans every measurement;
+    a table having NONE of the requested fields yields an empty result, not
+    an unresolved-column error."""
+    from influxdb_iox_spark.rpc import InfluxRpc
+
+    rpc = InfluxRpc(db)
+    by_table = rpc.read_filter_all(Predicate().fields("temp"))
+    assert by_table["h2o"].count() == 4
+    assert "temp" in by_table["h2o"].columns
+    assert by_table["o2"].count() == 0  # o2 has no temp field
