@@ -163,3 +163,30 @@ def test_batch_parser_matches_exact_parser(lines):
                 assert g == w or abs(g - w) < 1e-12 * max(1.0, abs(w)), (i, c, g, w)
             else:
                 assert (g is None and w is None) or g == w, (i, c, g, w)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    tokens=st.lists(st.integers(min_value=1, max_value=5000), min_size=1, max_size=120),
+    shard=st.integers(min_value=100, max_value=10_000),
+    nparts=st.integers(min_value=1, max_value=7),
+)
+def test_pack_shards_equals_naive_cumsum(spark, tokens, shard, nparts):
+    """pack_shards' distributed prefix sums must equal the single-window
+    running-total formula for ANY token weights, shard budget, and input
+    partitioning (the boundary-row determinism the localCheckpoint pins)."""
+    from influxdb_iox_spark.pipeline.corpus import pack_shards
+
+    rows = [(i, t) for i, t in enumerate(tokens)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long").repartition(nparts)
+    got = {
+        r.doc_id: r.shard_id
+        for r in pack_shards(
+            df, "n_tokens", "doc_id", shard_tokens=shard, num_partitions=nparts
+        ).collect()
+    }
+    cum, want = 0, {}
+    for i, t in rows:
+        want[i] = cum // shard
+        cum += t
+    assert got == want
