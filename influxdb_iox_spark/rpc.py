@@ -36,6 +36,20 @@ class InfluxRpc:
     def tag_keys(self, table: str, predicate: Predicate | None = None) -> list[str]:
         return md.tag_keys(self.db, table, predicate)
 
+    def tag_keys_all(self, predicate: Predicate | None = None) -> list[str]:
+        """The wire tag_keys with no measurement filter unions keys across
+        EVERY measurement in the bucket (tag_keys.rs:50-54 expects h2o's
+        county plus o2's borough in one answer); the predicate's table list
+        scopes which measurements contribute, and row constraints keep only
+        keys with a matching non-null row (StringSet union semantics,
+        operators/metadata.StringSet)."""
+        keys: set[str] = set()
+        for t in sorted(self.db.schemas):
+            if predicate is not None and not predicate.should_scan_table(t):
+                continue
+            keys.update(md.tag_keys(self.db, t, predicate))
+        return sorted(keys)
+
     def tag_values(
         self, table: str, tag: str, predicate: Predicate | None = None
     ) -> list[str]:

@@ -357,3 +357,81 @@ def test_read_filter_all_field_projection_missing_field(db):
     assert by_table["h2o"].count() == 4
     assert "temp" in by_table["h2o"].columns
     assert by_table["o2"].count() == 0  # o2 has no temp field
+
+
+def test_tag_keys_many_nulls_battery(spark, tmp_path):
+    """The TwoMeasurementsManyNulls tag_keys battery (tag_keys.rs:50-121):
+    sparse tags across two measurements; each predicate combination keeps
+    only keys with >= 1 matching NON-NULL row, and the un-scoped call
+    unions keys across measurements."""
+    from influxdb_iox_spark.rpc import InfluxRpc
+    from influxdb_iox_spark.sources.store import TableStore
+
+    h2o_s = IoxSchema.build(
+        ["state", "city", "county"], {"temp": InfluxColumnType.FIELD_FLOAT}
+    )
+    o2_s = IoxSchema.build(
+        ["state", "city", "borough"], {"temp": InfluxColumnType.FIELD_FLOAT}
+    )
+    store = TableStore(str(tmp_path / "nulls"))
+    store.write_chunk(
+        spark.createDataFrame(
+            [
+                ("CA", "LA", "LA", 70.4, 100),
+                ("MA", "Boston", "Suffolk", 72.4, 250),
+            ],
+            "state string, city string, county string, temp double, time long",
+        ),
+        "h2o", h2o_s,
+    )
+    o2_ddl = "state string, city string, borough string, temp double, time long"
+    store.write_chunk(
+        spark.createDataFrame(
+            [("MA", "Boston", None, 50.4, 200), ("CA", None, None, 79.0, 300)],
+            o2_ddl,
+        ),
+        "o2", o2_s,
+    )
+    store.write_chunk(
+        spark.createDataFrame(
+            [
+                ("NY", None, None, 60.8, 400),
+                ("NY", "NYC", None, 61.0, 500),
+                ("NY", "NYC", "Brooklyn", 61.0, 600),
+            ],
+            o2_ddl,
+        ),
+        "o2", o2_s,
+    )
+    db = Database("nulls", store, spark)
+    db.register_table("h2o", h2o_s)
+    db.register_table("o2", o2_s)
+    rpc = InfluxRpc(db)
+
+    # :50 no predicate -> union across measurements
+    assert rpc.tag_keys_all() == ["borough", "city", "county", "state"]
+    # :57 timestamp range [150,201) -> only h2o@250? no: h2o@250 out; rows
+    # in range: o2@200 (state, city) -> city,state
+    assert rpc.tag_keys_all(Predicate().with_range(150, 201)) == ["city", "state"]
+    # :65 state=MA -> h2o Boston row (county) + o2@200 -> city,county,state
+    assert rpc.tag_keys_all(
+        Predicate().with_expr(F.col("state") == "MA")
+    ) == ["city", "county", "state"]
+    # :74 ts+pred -> only o2@200 -> city,state
+    assert rpc.tag_keys_all(
+        Predicate().with_range(150, 201).with_expr(F.col("state") == "MA")
+    ) == ["city", "state"]
+    # :84 table o2 -> borough,city,state
+    assert rpc.tag_keys_all(Predicate().tables("o2")) == ["borough", "city", "state"]
+    # :91 table+ts -> o2@200 only -> city,state
+    assert rpc.tag_keys_all(
+        Predicate().tables("o2").with_range(150, 201)
+    ) == ["city", "state"]
+    # :101 table+state=NY -> rows 400-600 -> borough,city,state
+    assert rpc.tag_keys_all(
+        Predicate().tables("o2").with_expr(F.col("state") == "NY")
+    ) == ["borough", "city", "state"]
+    # :111 table+ts[1,550)+state=NY -> rows 400,500 -> city,state
+    assert rpc.tag_keys_all(
+        Predicate().tables("o2").with_range(1, 550).with_expr(F.col("state") == "NY")
+    ) == ["city", "state"]
