@@ -435,3 +435,35 @@ def test_tag_keys_many_nulls_battery(spark, tmp_path):
     assert rpc.tag_keys_all(
         Predicate().tables("o2").with_range(1, 550).with_expr(F.col("state") == "NY")
     ) == ["city", "state"]
+
+
+def test_table_names_half_open_battery(spark, tmp_path):
+    """table_names.rs:47-74 over the TwoMeasurements fixture: the half-open
+    [start, end) boundary decides whether disk@200 exists."""
+    from influxdb_iox_spark.sources.store import TableStore
+
+    cpu_s = IoxSchema.build(["region"], {"user": InfluxColumnType.FIELD_FLOAT})
+    disk_s = IoxSchema.build(["region"], {"bytes": InfluxColumnType.FIELD_INTEGER})
+    store = TableStore(str(tmp_path / "two"))
+    store.write_chunk(
+        spark.createDataFrame(
+            [("west", 23.2, 100), ("west", 21.0, 150)],
+            "region string, user double, time long",
+        ),
+        "cpu", cpu_s,
+    )
+    store.write_chunk(
+        spark.createDataFrame(
+            [("east", 99, 200)], "region string, bytes long, time long"
+        ),
+        "disk", disk_s,
+    )
+    db = Database("two", store, spark)
+    db.register_table("cpu", cpu_s)
+    db.register_table("disk", disk_s)
+
+    assert table_names(db) == ["cpu", "disk"]
+    assert table_names(db, Predicate().with_range(0, 201)) == ["cpu", "disk"]
+    assert table_names(db, Predicate().with_range(0, 200)) == ["cpu"]  # 200 excluded
+    assert table_names(db, Predicate().with_range(50, 101)) == ["cpu"]
+    assert table_names(db, Predicate().with_range(250, 300)) == []
