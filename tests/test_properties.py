@@ -190,3 +190,39 @@ def test_pack_shards_equals_naive_cumsum(spark, tokens, shard, nparts):
         want[i] = cum // shard
         cum += t
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "x9"]),
+            min_size=0, max_size=12,
+        ),
+        min_size=1, max_size=20,
+    ),
+    n=st.integers(min_value=2, max_value=3),
+)
+def test_ngram_counts_matches_naive(spark, docs, n):
+    """ngram_counts must equal a naive per-document n-gram count for any
+    corpus: n_occurrences sums every occurrence, n_docs counts distinct
+    documents containing the gram."""
+    from collections import Counter
+
+    from influxdb_iox_spark.pipeline.text import ngram_counts
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.gram: (r.n_docs, r.n_occurrences)
+        for r in ngram_counts(df, n=n).collect()
+    }
+    occ: Counter = Counter()
+    in_docs: dict = {}
+    for i, toks in enumerate(docs):
+        grams = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+        occ.update(grams)
+        for g in set(grams):
+            in_docs.setdefault(g, set()).add(i)
+    want = {g: (len(in_docs[g]), occ[g]) for g in occ}
+    assert got == want
