@@ -76,17 +76,29 @@ def tag_keys(db: Database, table: str, predicate: Predicate | None = None) -> li
     schema = db.table_schema(table)
     tags = schema.tag_columns
     if predicate is None or (predicate.range is None and not predicate.exprs):
-        # metadata path: any chunk with rows implies its tag columns exist;
-        # tags are non-null by construction in the ingest path.  A
+        # metadata path: answered from the per-chunk tag catalog recorded at
+        # write time.  A tag qualifies iff some chunk saw a non-null value
+        # for it: a catalog entry of [] means the tag was null in EVERY row
+        # of that chunk (collect_set drops nulls), None means it overflowed
+        # the cap (definitely has values), and an absent entry means a
+        # legacy chunk with no catalog — conservative include.  A
         # partition_key-only predicate restricts which chunks count.
         chunks = (
             db.store.manifest(table)
             if predicate is None or predicate.partition_key is None
             else db.store.prune_chunks(table, predicate, schema.time_column)
         )
-        if any(c.row_count for c in chunks):
-            return sorted(tags)
-        return []
+        live = [c for c in chunks if c.row_count]
+        if not live:
+            return []
+        out = []
+        for tag in tags:
+            for c in live:
+                vals = c.tag_values.get(tag) if c.tag_values else None
+                if vals is None or vals:
+                    out.append(tag)
+                    break
+        return sorted(out)
     df = db.table(table, predicate)
     return sorted(schema_pivot(df, tags))
 

@@ -41,8 +41,9 @@ class InfluxRpc:
         EVERY measurement in the bucket (tag_keys.rs:50-54 expects h2o's
         county plus o2's borough in one answer); the predicate's table list
         scopes which measurements contribute, and row constraints keep only
-        keys with a matching non-null row (StringSet union semantics,
-        operators/metadata.StringSet)."""
+        keys with a matching non-null row (StringSet union semantics).
+        Like read_filter_all, iterates REGISTERED tables — a store table
+        never registered has no schema and contributes nothing."""
         keys: set[str] = set()
         for t in sorted(self.db.schemas):
             if predicate is not None and not predicate.should_scan_table(t):

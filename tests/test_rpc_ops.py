@@ -365,7 +365,6 @@ def test_tag_keys_many_nulls_battery(spark, tmp_path):
     only keys with >= 1 matching NON-NULL row, and the un-scoped call
     unions keys across measurements."""
     from influxdb_iox_spark.rpc import InfluxRpc
-    from influxdb_iox_spark.sources.store import TableStore
 
     h2o_s = IoxSchema.build(
         ["state", "city", "county"], {"temp": InfluxColumnType.FIELD_FLOAT}
@@ -410,8 +409,7 @@ def test_tag_keys_many_nulls_battery(spark, tmp_path):
 
     # :50 no predicate -> union across measurements
     assert rpc.tag_keys_all() == ["borough", "city", "county", "state"]
-    # :57 timestamp range [150,201) -> only h2o@250? no: h2o@250 out; rows
-    # in range: o2@200 (state, city) -> city,state
+    # :57 timestamp range [150,201): only o2@200 matches -> city,state
     assert rpc.tag_keys_all(Predicate().with_range(150, 201)) == ["city", "state"]
     # :65 state=MA -> h2o Boston row (county) + o2@200 -> city,county,state
     assert rpc.tag_keys_all(
@@ -440,8 +438,6 @@ def test_tag_keys_many_nulls_battery(spark, tmp_path):
 def test_table_names_half_open_battery(spark, tmp_path):
     """table_names.rs:47-74 over the TwoMeasurements fixture: the half-open
     [start, end) boundary decides whether disk@200 exists."""
-    from influxdb_iox_spark.sources.store import TableStore
-
     cpu_s = IoxSchema.build(["region"], {"user": InfluxColumnType.FIELD_FLOAT})
     disk_s = IoxSchema.build(["region"], {"bytes": InfluxColumnType.FIELD_INTEGER})
     store = TableStore(str(tmp_path / "two"))
@@ -467,3 +463,27 @@ def test_table_names_half_open_battery(spark, tmp_path):
     assert table_names(db, Predicate().with_range(0, 200)) == ["cpu"]  # 200 excluded
     assert table_names(db, Predicate().with_range(50, 101)) == ["cpu"]
     assert table_names(db, Predicate().with_range(250, 300)) == []
+
+
+def test_tag_keys_excludes_all_null_tag_without_row_constraints(spark, tmp_path):
+    """A registered tag that is NULL in every written row must NOT appear in
+    tag_keys even on the metadata fast path (no row constraints): the
+    per-chunk tag catalog records [] for it, distinguishing 'tag exists in
+    the schema' from 'tag has >= 1 non-null value' (the reference's
+    StringSet semantics)."""
+    schema = IoxSchema.build(
+        ["state", "ghost"], {"temp": InfluxColumnType.FIELD_FLOAT}
+    )
+    store = TableStore(str(tmp_path / "ghost"))
+    store.write_chunk(
+        spark.createDataFrame(
+            [("MA", None, 70.0, 100)],
+            "state string, ghost string, temp double, time long",
+        ),
+        "h2o", schema,
+    )
+    db = Database("ghost", store, spark)
+    db.register_table("h2o", schema)
+    # fast path (no predicate) and scan path (vacuous range) agree
+    assert tag_keys(db, "h2o") == ["state"]
+    assert tag_keys(db, "h2o", Predicate().with_range(0, 10**18)) == ["state"]
