@@ -66,6 +66,26 @@ class InfluxRpc:
                 return vals
         return md.tag_values(self.db, table, tag, predicate)
 
+    def tag_values_all(
+        self, tag: str, predicate: Predicate | None = None
+    ) -> list[str]:
+        """The wire tag_values with no measurement filter unions one tag's
+        values across every measurement that HAS the tag (tables lacking it
+        contribute the empty set — tag_values.rs:47-59 semantics per
+        table); the predicate's table list scopes contributors.  Tables
+        where the tag names a FIELD are skipped rather than erroring: in a
+        bucket-wide union the reference's planner error applies to a
+        single-measurement request, not to sibling measurements."""
+        values: set[str] = set()
+        for t in sorted(self.db.schemas):
+            if predicate is not None and not predicate.should_scan_table(t):
+                continue
+            schema = self.db.table_schema(t)
+            if tag in schema.field_columns or tag == schema.time_column:
+                continue
+            values.update(self.tag_values(t, tag, predicate))
+        return sorted(values)
+
     def field_columns(
         self, table: str, predicate: Predicate | None = None
     ) -> list[dict]:

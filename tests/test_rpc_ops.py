@@ -487,3 +487,23 @@ def test_tag_keys_excludes_all_null_tag_without_row_constraints(spark, tmp_path)
     # fast path (no predicate) and scan path (vacuous range) agree
     assert tag_keys(db, "h2o") == ["state"]
     assert tag_keys(db, "h2o", Predicate().with_range(0, 10**18)) == ["state"]
+
+
+def test_tag_values_all_measurements(db):
+    """Bucket-wide tag_values: union across measurements that have the tag;
+    tables lacking it (or where it names a field) contribute nothing."""
+    from influxdb_iox_spark.rpc import InfluxRpc
+
+    rpc = InfluxRpc(db)
+    # 'state' exists in both h2o and o2
+    assert rpc.tag_values_all("state") == ["CA", "MA"]
+    # 'city' exists only in h2o; o2 contributes the empty set
+    assert rpc.tag_values_all("city") == ["Boston", "Cambridge", "LA"]
+    # table list scopes contributors
+    assert rpc.tag_values_all("state", Predicate().tables("o2")) == ["CA", "MA"]
+    # row constraints apply per table
+    assert rpc.tag_values_all("city", Predicate().with_range(0, 100)) == [
+        "Boston", "Cambridge",
+    ]
+    # 'temp' is a FIELD in h2o -> h2o skipped, o2 lacks it -> empty union
+    assert rpc.tag_values_all("temp") == []
