@@ -32,6 +32,10 @@ HEADLINE = [
     "doc_lang_id",
     "minhash_near_dup",
     "emb_cosine_topk",
+    # round-5 additions (VERDICT r04 §6): track the codegen-SimHash claim
+    # and the corpus path in the driver bench, not just BENCH_NOTES.
+    "simhash_near_dup",
+    "corpus_ngram_topk",
 ]
 
 

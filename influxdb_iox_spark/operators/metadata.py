@@ -79,10 +79,15 @@ def tag_keys(db: Database, table: str, predicate: Predicate | None = None) -> li
         # metadata path: answered from the per-chunk tag catalog recorded at
         # write time.  A tag qualifies iff some chunk saw a non-null value
         # for it: a catalog entry of [] means the tag was null in EVERY row
-        # of that chunk (collect_set drops nulls), None means it overflowed
-        # the cap (definitely has values), and an absent entry means a
-        # legacy chunk with no catalog — conservative include.  A
-        # partition_key-only predicate restricts which chunks count.
+        # of that chunk (collect_set drops nulls); None means it overflowed
+        # the cap (definitely has values).  An ABSENT entry (legacy chunk
+        # written before the catalog existed) is unknown — the reference
+        # falls back to a scan when metadata-only evaluation is unknown, so
+        # tags that no chunk confirms and some chunk leaves unknown are
+        # resolved by one schema_pivot scan rather than included blindly
+        # (which would break non-null StringSet semantics for a tag that is
+        # null everywhere).  A partition_key-only predicate restricts which
+        # chunks count.
         chunks = (
             db.store.manifest(table)
             if predicate is None or predicate.partition_key is None
@@ -91,13 +96,24 @@ def tag_keys(db: Database, table: str, predicate: Predicate | None = None) -> li
         live = [c for c in chunks if c.row_count]
         if not live:
             return []
-        out = []
+        out: list[str] = []
+        scan_tags: list[str] = []
         for tag in tags:
+            confirmed = False
+            unknown = False
             for c in live:
-                vals = c.tag_values.get(tag) if c.tag_values else None
-                if vals is None or vals:
-                    out.append(tag)
+                cat = c.tag_values or {}
+                if tag not in cat:
+                    unknown = True
+                elif cat[tag] is None or cat[tag]:
+                    confirmed = True
                     break
+            if confirmed:
+                out.append(tag)
+            elif unknown:
+                scan_tags.append(tag)
+        if scan_tags:
+            out.extend(schema_pivot(db.table(table, predicate), scan_tags))
         return sorted(out)
     df = db.table(table, predicate)
     return sorted(schema_pivot(df, tags))

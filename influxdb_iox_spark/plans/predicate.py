@@ -129,20 +129,41 @@ class Predicate:
 
     def apply(self, df: DataFrame, time_col: str = TIME_COLUMN_NAME) -> DataFrame:
         """Filter ``df``; a predicate referencing a column the table does not
-        have yields an EMPTY result, not an error — the reference's
-        read_filter semantics (query_tests/src/influxrpc/read_filter.rs:222,
-        275: `tag_not_in_h20 = 'foo'` over h2o returns nothing, including
-        when AND-ed with satisfiable exprs, because the missing column is
-        NULL and the conjunction can never be true)."""
+        have treats that column as NULL — the reference's/DataFusion's
+        missing-column rewrite (query_tests/src/influxrpc/read_filter.rs:222,
+        275: `tag_not_in_h20 = 'foo'` over h2o returns nothing, because
+        `NULL = 'foo'` is NULL and the conjunction can never be true; but a
+        disjunction like `missing = 'x' OR present = 'y'` still returns the
+        rows matching the present branch).  Implemented by substituting a
+        typed NULL literal for each unresolved column and retrying — the
+        filter then evaluates with exact SQL three-valued logic, so AND
+        yields empty and OR keeps live branches, matching both reference
+        cases without special-casing the boolean structure."""
         c = self.filter_column(time_col)
         if c is None:
             return df
-        try:
-            return df.filter(c)
-        except Exception as e:  # AnalysisException (classic or connect)
-            if "UNRESOLVED_COLUMN" in str(e) or "cannot be resolved" in str(e):
-                return df.limit(0)
-            raise
+        import re
+
+        base_cols = list(df.columns)
+        added: list[str] = []
+        probe = df
+        for _ in range(32):  # bounded: one retry per distinct missing column
+            try:
+                out = probe.filter(c)
+                return out.select(*base_cols) if added else out
+            except Exception as e:  # AnalysisException (classic or connect)
+                msg = str(e)
+                if "UNRESOLVED_COLUMN" not in msg and "cannot be resolved" not in msg:
+                    raise
+                m = re.search(r"`([^`]+)`", msg)
+                if m is None or m.group(1) in probe.columns:
+                    return df.limit(0)  # unparseable error — safe fallback
+                name = m.group(1)
+                # Tags are strings; a missing field compared to a numeric
+                # literal still works because NULL casts to any type.
+                probe = probe.withColumn(name, F.lit(None).cast("string"))
+                added.append(name)
+        return df.limit(0)
 
     def should_scan_table(self, table: str) -> bool:
         return self.table_names is None or table in self.table_names

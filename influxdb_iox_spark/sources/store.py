@@ -101,15 +101,32 @@ class TableStore:
     an APPEND-LOG (Delta-log style): registering a chunk appends one JSONL
     line — O(1), no read, no rewrite — so continuous ingest stays flat as a
     table accumulates 10^4-10^5 chunks.  Bulk mutations (drop_chunks,
-    compaction retirement) rewrite the affected partition file as an atomic
-    snapshot (tmp + rename), which doubles as log compaction.  Full-table
-    reads (``manifest(table)``) concatenate the per-partition files;
-    partition-scoped readers use ``manifest_partition`` and never touch the
-    rest.
+    compaction retirement) are ALSO appends: a ``{"__drop__": [ids]}``
+    tombstone line.  Full-table reads (``manifest(table)``) concatenate the
+    per-partition files; partition-scoped readers use ``manifest_partition``
+    and never touch the rest.
 
-    Single-writer assumption (as documented on drop_chunks): the id counter
-    and manifest swaps are atomic-rename safe against crashes, not against
-    concurrent writers.
+    MULTI-WRITER SAFE (the reference runs lifecycle concurrently with
+    ingest — lifecycle/src/policy.rs:448 check_for_work against live
+    writes; server/src/db.rs:627-699 — and a 100 TB deployment has N
+    ingest writers + a compactor by construction):
+
+    - *Appends* are a single ``os.write`` to an ``O_APPEND`` fd.  On a
+      local filesystem the kernel serializes same-inode writes, so two
+      writers' records never interleave; the appender then re-stats the
+      path and RE-APPENDS if the file was concurrently renamed away by log
+      compaction (duplicates are folded at read — chunk ids are never
+      reused, so records are idempotent).
+    - *Chunk ids* are reserved in blocks claimed by ``O_CREAT|O_EXCL``
+      block-claim files (``_idblock-<base>``) — true CAS on any POSIX fs;
+      two TableStore instances can never hand out the same id.  A crash
+      wastes at most one block (gaps are fine).
+    - *Log compaction* (``compact_manifest``) runs under an ``O_EXCL``
+      lock (vs other compactors only; appenders never block): it renames
+      the live log aside (atomic), folds it with the ``.base`` snapshot,
+      and snapshot-renames the result.  Readers always read
+      ``.base`` + ``.merge`` (crash leftover) + live, in that order, so no
+      protocol step ever hides a record.
     """
 
     def __init__(self, base_dir: str):
@@ -138,40 +155,89 @@ class TableStore:
             q = q[:64] + "-" + hashlib.md5(q.encode()).hexdigest()[:16]
         return f"part-{q}.json"
 
+    _LOG_SUFFIXES = (".base", ".merge", "")  # read order: snapshot → crash-leftover → live
+
     def _part_files(self, table: str) -> list[str]:
+        """Canonical (live-file) names of partitions with ANY log file
+        present — a partition whose live log was renamed aside by a
+        mid-compaction crash is still discovered via its .base/.merge."""
         d = self._manifest_dir(table)
         if not os.path.isdir(d):
             return []
-        return sorted(f for f in os.listdir(d) if f.startswith("part-"))
+        names: set[str] = set()
+        for f in os.listdir(d):
+            if not f.startswith("part-") or f.endswith(".tmp"):
+                continue
+            for suf in (".base", ".merge"):
+                if f.endswith(suf):
+                    f = f[: -len(suf)]
+                    break
+            names.add(f)
+        return sorted(names)
 
-    def _load_part(self, table: str, fname: str) -> list[ChunkMeta]:
-        """Read one partition's manifest: JSONL append-log (one ChunkMeta per
-        line) or the legacy JSON-array snapshot.  A torn trailing line from a
-        crashed append parses as malformed JSON and is skipped — with a
-        single writer that can only ever be the record that was mid-write."""
-        p = os.path.join(self._manifest_dir(table), fname)
+    def _parse_log(self, p: str) -> tuple[list[ChunkMeta], set[int]]:
+        """Parse ONE physical log file → (adds in order, dropped ids).
+
+        JSONL append-log (one record per line: a ChunkMeta, or a
+        ``{"__drop__": [ids]}`` tombstone) or the legacy JSON-array
+        snapshot.  A torn trailing line from a crashed append parses as
+        malformed JSON and is skipped — only the FINAL non-empty line gets
+        that tolerance: mid-file corruption is not a torn append and
+        silently skipping it would shrink query results with no error, so
+        it raises."""
         if not os.path.exists(p):
-            return []
+            return [], set()
         with open(p) as f:
             text = f.read()
         if text.lstrip().startswith("["):  # legacy array snapshot
-            return [ChunkMeta(**e) for e in json.loads(text)]
-        out: list[ChunkMeta] = []
-        for ln in text.splitlines():
-            ln = ln.strip()
-            if not ln:
-                continue
+            return [ChunkMeta(**e) for e in json.loads(text)], set()
+        adds: list[ChunkMeta] = []
+        drops: set[int] = set()
+        lines = [ln.strip() for ln in text.splitlines()]
+        nonempty = [i for i, ln in enumerate(lines) if ln]
+        last = nonempty[-1] if nonempty else -1
+        for i in nonempty:
             try:
-                rec = json.loads(ln)
+                rec = json.loads(lines[i])
             except json.JSONDecodeError:
-                continue  # torn write
-            out.append(ChunkMeta(**rec))
+                if i == last:
+                    continue  # torn trailing append from a crashed writer
+                raise ValueError(
+                    f"corrupt manifest record at {p}:{i + 1} "
+                    "(interior line is not valid JSON)"
+                )
+            if "__drop__" in rec:
+                drops.update(rec["__drop__"])
+            else:
+                adds.append(ChunkMeta(**rec))
+        return adds, drops
+
+    def _load_part(self, table: str, fname: str) -> list[ChunkMeta]:
+        """Fold one partition's log chain (.base snapshot + .merge crash
+        leftover + live appends): apply tombstones, dedup re-appended
+        records by chunk_id (ids are never reused, so records are
+        idempotent and drops are order-independent)."""
+        d = self._manifest_dir(table)
+        adds: list[ChunkMeta] = []
+        drops: set[int] = set()
+        for suf in self._LOG_SUFFIXES:
+            a, dr = self._parse_log(os.path.join(d, fname + suf))
+            adds.extend(a)
+            drops |= dr
+        seen: set[int] = set()
+        out: list[ChunkMeta] = []
+        for c in adds:
+            if c.chunk_id in drops or c.chunk_id in seen:
+                continue
+            seen.add(c.chunk_id)
+            out.append(c)
         return out
 
     def _save_part(self, table: str, fname: str, entries: list[ChunkMeta]) -> None:
-        """Atomic snapshot rewrite of one partition file (tmp + rename).
-        Used by bulk paths (drop_chunks, _save_manifest) — the append path
-        never rewrites, see _append_manifest."""
+        """Atomic snapshot rewrite of one physical log file (tmp + rename).
+        Only ever targets ``.base`` snapshots (log compaction) or a legacy
+        file being migrated — the live log is append-only, see
+        _append_record."""
         d = self._manifest_dir(table)
         os.makedirs(d, exist_ok=True)
         p = os.path.join(d, fname)
@@ -179,7 +245,7 @@ class TableStore:
             if os.path.exists(p):
                 os.remove(p)
             return
-        tmp = p + ".tmp"
+        tmp = p + f".{os.getpid()}.tmp"
         with open(tmp, "w") as f:
             f.write(
                 "\n".join(json.dumps(asdict(e), default=str) for e in entries)
@@ -195,52 +261,81 @@ class TableStore:
         return out
 
     def manifest_partition(self, table: str, partition_key: str) -> list[ChunkMeta]:
-        """Chunks of ONE partition — reads exactly one manifest file."""
+        """Chunks of ONE partition — reads exactly one log chain."""
         return self._load_part(table, self._part_file(partition_key))
 
-    def _save_manifest(self, table: str, entries: list[ChunkMeta]) -> None:
-        """Full-table rewrite (used by bulk paths like drop_chunks)."""
-        by_part: dict[str, list[ChunkMeta]] = {}
-        for c in entries:
-            by_part.setdefault(self._part_file(c.partition_key), []).append(c)
-        for fname in set(self._part_files(table)) | set(by_part):
-            self._save_part(table, fname, by_part.get(fname, []))
-
     def _append_manifest(self, table: str, meta: ChunkMeta) -> None:
-        """O(1) append: one JSONL line appended to the chunk's partition
-        file — no read, no rewrite (Delta-log style).  The leading newline
+        self._append_record(
+            table, self._part_file(meta.partition_key), asdict(meta)
+        )
+
+    def _append_record(self, table: str, fname: str, rec: dict) -> None:
+        """O(1) append: ONE ``os.write`` of one JSONL line on an O_APPEND
+        fd — no read, no rewrite (Delta-log style).  The kernel serializes
+        same-inode writes on a local filesystem, so concurrent writers'
+        records never interleave; the leading newline additionally
         guarantees a record never merges with a torn trailing write from a
-        crashed predecessor; blank lines are skipped on read."""
+        CRASHED predecessor (blank lines are skipped on read).  After
+        writing, the appender re-stats the path: if log compaction renamed
+        the file away mid-append, the record may be in a file the compactor
+        already folded past, so it RE-APPENDS to the fresh live file —
+        worst case a duplicate, folded at read by chunk_id."""
         d = self._manifest_dir(table)
         os.makedirs(d, exist_ok=True)
-        fname = self._part_file(meta.partition_key)
         p = os.path.join(d, fname)
         if p not in self._jsonl_checked:
             if os.path.exists(p):
                 with open(p) as f:
                     if f.read(1) == "[":  # one-time legacy snapshot migration
-                        self._save_part(table, fname, self._load_part(table, fname))
+                        adds, _ = self._parse_log(p)
+                        self._save_part(table, fname, adds)
             self._jsonl_checked.add(p)
-        with open(p, "a") as f:
-            f.write("\n" + json.dumps(asdict(meta), default=str) + "\n")
+        data = ("\n" + json.dumps(rec, default=str) + "\n").encode()
+        for _ in range(8):
+            fd = os.open(p, os.O_CREAT | os.O_WRONLY | os.O_APPEND, 0o644)
+            try:
+                n = os.write(fd, data)
+                while n < len(data):  # regular-file writes are effectively
+                    n += os.write(fd, data[n:])  # never partial; belt+braces
+                st_fd = os.fstat(fd)
+            finally:
+                os.close(fd)
+            try:
+                st_path = os.stat(p)
+            except FileNotFoundError:
+                continue  # renamed away by compaction — re-append
+            if (st_path.st_ino, st_path.st_dev) == (st_fd.st_ino, st_fd.st_dev):
+                return
+        raise RuntimeError(f"manifest append to {p} kept racing log compaction")
 
     def catalog_version(self) -> int:
         """Fingerprint of the whole manifest tree.  Cheap (one directory
         walk, no JSON parse) — lets readers cache derived state (e.g.
         registered SQL views) and refresh only when a write actually changed
-        the catalog.  Hashes (name, size, mtime_ns) per file: mtime alone
-        has coarse-clock granularity (two writes in one tick would collide),
-        but a manifest append/drop always changes the JSON size too."""
+        the catalog.  Hashes (relpath, size, mtime_ns) per file in sorted
+        order through md5, so the value is STABLE across interpreter
+        restarts and processes (Python ``hash()`` of strings is salted per
+        process and must not be persisted or compared cross-process).
+        mtime alone has coarse-clock granularity (two writes in one tick
+        would collide), but a manifest append/drop always changes the JSON
+        size too."""
+        import hashlib
+
         root = os.path.join(self.base_dir, "_manifest")
-        h = 0
+        entries: list[tuple] = []
         for dirpath, _dirs, files in os.walk(root):
+            rel = os.path.relpath(dirpath, root)
             for f in files:
                 try:
                     st = os.stat(os.path.join(dirpath, f))
                 except OSError:
                     continue
-                h = hash((h, f, st.st_size, st.st_mtime_ns))
-        return h
+                entries.append((os.path.join(rel, f), st.st_size, st.st_mtime_ns))
+        entries.sort()
+        h = hashlib.md5()
+        for name, size, mtime in entries:
+            h.update(f"{name}\x00{size}\x00{mtime}\n".encode())
+        return int.from_bytes(h.digest()[:8], "big")
 
     def tables(self) -> list[str]:
         mdir = os.path.join(self.base_dir, "_manifest")
@@ -249,36 +344,75 @@ class TableStore:
             if os.path.isdir(os.path.join(mdir, d)) and self._part_files(d)
         )
 
+    def _claimed_blocks(self, table: str) -> list[int]:
+        d = self._manifest_dir(table)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for f in os.listdir(d):
+            if f.startswith("_idblock-"):
+                try:
+                    out.append(int(f.split("-", 1)[1]))
+                except ValueError:
+                    pass
+        return out
+
     def next_chunk_id(self, table: str) -> int:
+        """Lowest id no writer can have handed out yet: max of the hint
+        counter, the highest CLAIMED block's end, and (fallback for a
+        pre-hint manifest) the manifest scan."""
+        cand = 0
         p = os.path.join(self._manifest_dir(table), "_next_id")
         if os.path.exists(p):
             with open(p) as f:
-                return int(f.read().strip() or 0)
-        m = self.manifest(table)
-        return (max(c.chunk_id for c in m) + 1) if m else 0
+                cand = int(f.read().strip() or 0)
+        claimed = self._claimed_blocks(table)
+        if claimed:
+            cand = max(cand, max(claimed) + self.ID_BLOCK)
+        if cand == 0:
+            m = self.manifest(table)
+            cand = (max(c.chunk_id for c in m) + 1) if m else 0
+        return cand
 
     ID_BLOCK = 64
 
     def _alloc_chunk_id(self, table: str) -> int:
         """Allocate the next chunk id.  Ids are reserved in blocks of
-        ``ID_BLOCK``: one atomic counter-file write (tmp + rename) reserves
-        the whole block, subsequent allocations are handed out from memory.
-        The upper bound is persisted BEFORE any id is handed out, so a crash
-        wastes at most a block of ids (gaps are fine — ids only need to be
-        unique and monotone) and never reuses one."""
+        ``ID_BLOCK`` per WRITER: a block is claimed by atomically creating
+        an ``_idblock-<base>`` file with O_CREAT|O_EXCL — a true
+        compare-and-swap on any POSIX filesystem, so two concurrent
+        TableStore instances can never claim the same block (EEXIST sends
+        the loser to the next block).  Subsequent allocations are handed
+        out from the claimed block in memory.  The claim is durable BEFORE
+        any id is handed out, so a crash wastes at most a block of ids
+        (gaps are fine — ids only need to be unique) and never reuses one.
+        ``_next_id`` remains as a best-effort hint that lets next_chunk_id
+        skip the manifest scan; it may lag behind the claim files, never
+        ahead of handed-out ids."""
         blk = self._id_blocks.get(table)
         if blk is not None and blk[0] < blk[1]:
             nxt = blk[0]
             blk[0] += 1
             return nxt
-        base = self.next_chunk_id(table)
         d = self._manifest_dir(table)
         os.makedirs(d, exist_ok=True)
+        base = self.next_chunk_id(table)
+        base = -(-base // self.ID_BLOCK) * self.ID_BLOCK  # align up to a block
+        while True:
+            try:
+                fd = os.open(
+                    os.path.join(d, f"_idblock-{base:012d}"),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+                os.close(fd)
+                break
+            except FileExistsError:
+                base += self.ID_BLOCK
         p = os.path.join(d, "_next_id")
-        tmp = p + ".tmp"
+        tmp = p + f".{os.getpid()}.tmp"
         with open(tmp, "w") as f:
             f.write(str(base + self.ID_BLOCK))
-        os.replace(tmp, p)
+        os.replace(tmp, p)  # racing hints may regress; claim files correct it
         self._id_blocks[table] = [base + 1, base + self.ID_BLOCK]
         return base
 
@@ -408,7 +542,10 @@ class TableStore:
                 .collect()
             )
             for r in rows:
-                catalogs[r[key_col]] = {
+                # Normalize the collected key exactly like the
+                # directory-derived part_key below (null/empty Hive partition
+                # → "") so catalogs.get(part_key) matches for null keys.
+                catalogs[r[key_col] or ""] = {
                     t: (sorted(r[t]) if len(r[t]) <= self.TAG_CATALOG_CAP else None)
                     for t in tags
                 }
@@ -665,7 +802,12 @@ class TableStore:
         at missing data.  Continuous compaction would otherwise grow disk
         unboundedly — every compact rewrites its inputs.
 
-        Concurrency note: immediate deletion assumes the SINGLE-WRITER,
+        The manifest mutation is an APPENDED ``{"__drop__": [ids]}``
+        tombstone per affected partition log — O(1), safe against
+        concurrent appenders (no rewrite can lose their records); the log
+        chain is shrunk later by ``compact_manifest``.
+
+        Concurrency note on FILES: immediate deletion assumes the
         no-concurrent-reader deployment (a lazy DataFrame still referencing
         a retired chunk path fails at action time).  When queries run
         alongside compaction, pass ``defer_delete_seconds > 0``: retired
@@ -675,11 +817,14 @@ class TableStore:
         ids = set(chunk_ids)
         dropped: list[ChunkMeta] = []
         for fname in self._part_files(table):
-            entries = self._load_part(table, fname)
-            keep = [c for c in entries if c.chunk_id not in ids]
-            if len(keep) != len(entries):
-                dropped.extend(c for c in entries if c.chunk_id in ids)
-                self._save_part(table, fname, keep)  # only changed partitions
+            hit = [c for c in self._load_part(table, fname) if c.chunk_id in ids]
+            if hit:
+                dropped.extend(hit)
+                self._append_record(
+                    table,
+                    fname,
+                    {"__drop__": sorted(c.chunk_id for c in hit)},
+                )
         if not delete_files:
             return
         if defer_delete_seconds > 0:
@@ -690,6 +835,103 @@ class TableStore:
 
         for c in dropped:
             shutil.rmtree(os.path.join(self.base_dir, c.path), ignore_errors=True)
+
+    # -- manifest log compaction -------------------------------------------
+    COMPACT_LOCK_STALE_SECONDS = 60.0
+
+    def _acquire_lock(self, path: str, stale: float | None = None) -> bool:
+        """O_CREAT|O_EXCL lock file — CAS-acquire; a lock older than
+        ``stale`` seconds (crashed holder) is stolen."""
+        stale = self.COMPACT_LOCK_STALE_SECONDS if stale is None else stale
+        for _ in range(3):
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return True
+            except FileExistsError:
+                try:
+                    age = _time.time() - os.stat(path).st_mtime
+                except FileNotFoundError:
+                    continue  # holder just released — retry
+                if age > stale:
+                    try:
+                        os.unlink(path)
+                    except FileNotFoundError:
+                        pass
+                    continue
+                return False
+        return False
+
+    def _fold_into_base(self, table: str, fname: str) -> None:
+        """Fold ``.base`` + ``.merge`` into a fresh ``.base`` snapshot
+        (tombstones applied, duplicates dropped), then remove ``.merge``.
+        Idempotent: a crash between snapshot and remove re-folds the same
+        records next time (ids are never reused, so re-applying is a
+        no-op)."""
+        d = self._manifest_dir(table)
+        adds: list[ChunkMeta] = []
+        drops: set[int] = set()
+        for suf in (".base", ".merge"):
+            a, dr = self._parse_log(os.path.join(d, fname + suf))
+            adds.extend(a)
+            drops |= dr
+        seen: set[int] = set()
+        folded = []
+        for c in adds:
+            if c.chunk_id in drops or c.chunk_id in seen:
+                continue
+            seen.add(c.chunk_id)
+            folded.append(c)
+        self._save_part(table, fname + ".base", folded)
+        merge = os.path.join(d, fname + ".merge")
+        if os.path.exists(merge):
+            os.remove(merge)
+
+    def compact_manifest(self, table: str) -> int:
+        """Shrink each partition's log chain to one ``.base`` snapshot
+        (tombstones applied, duplicate re-appends dropped).  Returns the
+        number of partitions compacted; 0 if another compactor holds the
+        lock (callers just try again next cycle).
+
+        Appenders NEVER block and never lose a record: the live log is
+        renamed aside atomically (``.merge``); an appender whose write
+        landed on the renamed inode detects the inode change and re-appends
+        to the fresh live file (see _append_record), and readers always
+        read the full ``.base``/``.merge``/live chain, so every protocol
+        step — including a crash at any point — leaves all records visible.
+        """
+        d = self._manifest_dir(table)
+        if not os.path.isdir(d):
+            return 0
+        lock = os.path.join(d, "_compact.lock")
+        if not self._acquire_lock(lock):
+            return 0
+        try:
+            n = 0
+            for fname in self._part_files(table):
+                live = os.path.join(d, fname)
+                merge = live + ".merge"
+                base = live + ".base"
+                if os.path.exists(live):
+                    if os.path.exists(merge):
+                        # crash leftover — fold it away so the rename
+                        # target is free
+                        self._fold_into_base(table, fname)
+                    try:
+                        os.rename(live, merge)
+                    except FileNotFoundError:
+                        pass  # raced a reader-less cleanup; nothing to do
+                if not (os.path.exists(merge) or os.path.exists(base)):
+                    continue
+                self._fold_into_base(table, fname)
+                n += 1
+            return n
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
 
     # -- operations log (system.operations backing store) ------------------
     OPERATIONS_CAP = 1000

@@ -69,6 +69,29 @@ def test_tag_keys(db):
     assert tag_keys(db, "h2o", Predicate().with_range(0, 10)) == []
 
 
+def test_tag_keys_legacy_chunk_without_catalog_falls_back_to_scan(
+    spark, tmp_path
+):
+    """A chunk registered before the tag catalog existed has NO entry for a
+    tag.  The metadata fast path must treat that as UNKNOWN and resolve via
+    a scan (the reference falls back when metadata-only evaluation is
+    unknown) — NOT include the tag blindly: here ``city`` is null in every
+    row, so non-null StringSet semantics exclude it."""
+    import dataclasses
+
+    store = TableStore(str(tmp_path / "legacy"))
+    df = spark.createDataFrame(
+        [("MA", None, 70.4, 1.0, 50), ("CA", None, 90.0, 2.0, 200)],
+        "state string, city string, temp double, reading double, time long",
+    )
+    meta = store.write_chunk(df, "h2o", H2O, register=False)
+    # simulate a legacy manifest record: no tag catalog at all
+    store._append_manifest("h2o", dataclasses.replace(meta, tag_values={}))
+    d = Database("legacydb", store, spark)
+    d.register_table("h2o", H2O)
+    assert tag_keys(d, "h2o") == ["state"]  # city is all-null -> excluded
+
+
 def test_tag_values(db):
     assert tag_values(db, "h2o", "city") == ["Boston", "Cambridge", "LA"]
     assert tag_values(db, "h2o", "city", Predicate().with_range(0, 100)) == [
@@ -144,6 +167,34 @@ def test_read_filter_pred_good_and_nonexistent_columns_is_empty(db):
         .with_expr(F.col("tag_not_in_h2o") == "foo")
     )
     assert read_filter(db, "h2o", pred).count() == 0
+
+
+def test_read_filter_pred_missing_column_in_or_keeps_live_branch(db):
+    """DataFusion rewrites a missing column to NULL, so a DISJUNCTION over
+    a missing and a present column still returns the rows matching the
+    present branch (`missing = 'x' OR state = 'MA'` over h2o -> the MA
+    rows), unlike the pure-AND case which stays empty."""
+    pred = Predicate().with_expr(
+        (F.col("tag_not_in_h2o") == "foo") | (F.col("state") == "MA")
+    )
+    assert read_filter(db, "h2o", pred).count() == 3  # the MA rows
+
+
+def test_read_filter_pred_two_missing_columns_or_present(db):
+    pred = Predicate().with_expr(
+        (F.col("no_col_a") == "x")
+        | (F.col("no_col_b") == "y")
+        | (F.col("city") == "LA")
+    )
+    assert read_filter(db, "h2o", pred).count() == 1
+
+
+def test_read_filter_pred_missing_column_isnull_matches_all(db):
+    """`missing IS NULL` is TRUE for every row under the NULL rewrite —
+    the sharpest way to distinguish NULL substitution from empty-result
+    shortcutting."""
+    pred = Predicate().with_expr(F.col("tag_not_in_h2o").isNull())
+    assert read_filter(db, "h2o", pred).count() == 4
 
 
 def test_read_filter_pred_no_columns(db):
