@@ -153,7 +153,10 @@ def read_group(
     aggs: list[Column] = []
     for fld in fields:
         aggs.extend(_field_agg(agg, fld, schema.time_column, selector=True))
-    return df.groupBy(*ordered_tags).agg(*aggs).orderBy(*ordered_tags)
+    out = df.groupBy(*ordered_tags).agg(*aggs)
+    # a tag-less measurement aggregates to one global row — orderBy would
+    # reject an empty column list
+    return out.orderBy(*ordered_tags) if ordered_tags else out
 
 
 def read_window_aggregate(
