@@ -2165,7 +2165,10 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t["documents"]
     ev = docs.filter(F.col("doc_id") % 50 == 0)
     tr = docs.filter(F.col("doc_id") % 50 != 0)
-    out = contamination_check(tr, ev, shingle_n=8)
+    # prefilter=True: the exact hash-sketch prefilter (gram-hash set
+    # intersection before the string join) — same results by construction,
+    # and the driver's oracle row proves it every round
+    out = contamination_check(tr, ev, shingle_n=8, prefilter=True)
     return out.select(
         "train_id",
         F.col("n_shared_shingles").cast("long").alias("n_shared_shingles"),

@@ -6,23 +6,31 @@ the 100 TB corpus case alongside pipeline/dedup.py:
 - ``pack_shards``: assign documents to fixed-token-budget shards in a stable
   global order — the classic "pack the corpus into ~N-token training shards"
   step.  A naive ``SUM() OVER (ORDER BY …)`` running total collapses the
-  whole table into ONE task; this implementation computes per-partition
-  running sums and broadcasts the tiny prefix-offset table instead, so the
-  only global step is a range repartition.
+  whole table into ONE task; this implementation derives DETERMINISTIC
+  logical partition ids from a quantile pass over the id column, computes
+  per-partition running sums, and broadcasts the tiny prefix-offset table —
+  a true two-pass algorithm with no materialization (the round-4 version
+  localCheckpointed the whole corpus to pin a physical partitioning; the
+  logical ids make every recomputation agree by construction).
 - ``contamination_check``: n-gram overlap between a training corpus and an
   eval/benchmark set — exact (shingle equi-join on the n-gram string), the
-  standard train/test leakage scan.  The join shuffles on the shingle, i.e.
-  the inverted-index bound, same shape as ngram_jaccard_pairs.
+  standard train/test leakage scan.  ``prefilter=True`` adds an EXACT
+  hash-sketch prefilter: the gram-hash sets intersect first (longs, tiny),
+  and the string-carrying join runs only over grams whose hash matched —
+  orders of magnitude less shuffle when contamination is rare, identical
+  results always.
 - ``deterministic_sample``: per-stratum sampling by a cryptographic hash of
   the id — reproducible across engines and runs (unlike ``df.sampleBy``),
   so a sampled corpus can be re-derived bit-for-bit from the raw corpus.
   Keeps a row iff md5(id)'s leading 32 bits, as a fraction of 2^32, fall
-  below the stratum's rate.
+  below the stratum's rate.  Small rate maps inline as a CASE chain;
+  large ones broadcast-join a rates table (same selection either way).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import NumericType
 
 
 def pack_shards(
@@ -40,41 +48,63 @@ def pack_shards(
     budget, so every shard except possibly the last holds >= shard_tokens
     only if a single document overflows it (documents are never split).
 
-    Scale: rows are range-partitioned by id; the running sum is computed
-    per partition (window within partition, no global single-task window)
-    and per-partition totals — one tiny driver collect, O(partitions) —
-    become broadcast prefix offsets.
+    Scale (two passes, nothing materialized):
+
+    1. One ``approxQuantile`` pass over ``id_col`` (numeric ids; GK sketch,
+       distributed, deterministic for a fixed dataset) yields explicit
+       range boundaries; ``__pid`` — the count of boundaries below the id —
+       is then a PURE FUNCTION of the id, so the totals job and the
+       returned plan agree on every row's partition without pinning
+       anything (the reason the old version needed a full-corpus
+       localCheckpoint: ``spark_partition_id()`` after
+       ``repartitionByRange`` is physical and re-sampled per job).
+    2. Per-``__pid`` running sums (window within partition, no global
+       single-task window); per-partition totals — one tiny driver
+       collect, O(partitions) — become broadcast prefix offsets.
+
+    Non-numeric ids (no quantile support) fall back to the pinned-physical
+    path: ``repartitionByRange`` + ``spark_partition_id()`` held stable by
+    an eager localCheckpoint (correct, but materializes the table — prefer
+    numeric shard keys at scale).
     """
-    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    part = df.repartitionByRange(n_parts, F.col(id_col)).withColumn(
-        "__pid", F.spark_partition_id()
-    )
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+
+    if isinstance(df.schema[id_col].dataType, NumericType):
+        probs = [i / n_parts for i in range(1, n_parts)]
+        bounds = df.stat.approxQuantile(id_col, probs, 1.0 / (100 * n_parts))
+        pid = F.lit(0)
+        for b in sorted(set(bounds)):  # duplicate quantiles collapse
+            pid = pid + (F.col(id_col) > F.lit(b)).cast("int")
+        # the window's partitionBy("__pid") supplies the (single) exchange;
+        # no physical pre-partitioning needed since __pid is deterministic
+        local_src = df.withColumn("__pid", pid)
+    else:
+        part = df.repartitionByRange(n_parts, F.col(id_col)).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+        # Pin the physical row-to-partition assignment before the two
+        # consumers — see docstring.  localCheckpoint, not cache()
+        # (SCALE.md: cache freezes pre-AQE plans).
+        local_src = part.localCheckpoint(eager=True)
+
     w = (
         Window.partitionBy("__pid")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = part.withColumn(
+    local = local_src.withColumn(
         "__local", F.sum(F.col(token_col).cast("long")).over(w)
     )
-    # Pin ONE row-to-partition assignment before the two consumers (the
-    # totals collect below and the returned join): repartitionByRange
-    # samples its boundaries per job, so without materialization the
-    # offsets could be computed for a DIFFERENT assignment than the one in
-    # effect when the result executes — boundary rows would add the wrong
-    # prefix.  localCheckpoint, not cache() (see SCALE.md).
-    local = local.localCheckpoint(eager=True)
     # per-partition totals -> prefix offsets (tiny: one row per partition)
-    totals = (
-        local.groupBy("__pid").agg(F.max("__local").alias("__t")).collect()
-    )
+    totals = local.groupBy("__pid").agg(F.max("__local").alias("__t")).collect()
     sums = {r["__pid"]: r["__t"] for r in totals}
     prefix, acc = {}, 0
-    for pid in sorted(sums):
-        prefix[pid] = acc
-        acc += sums[pid]
-    offsets = df.sparkSession.createDataFrame(
-        [(pid, off) for pid, off in prefix.items()], "__pid int, __prefix long"
+    for pid_val in sorted(sums):
+        prefix[pid_val] = acc
+        acc += sums[pid_val]
+    offsets = spark.createDataFrame(
+        [(p, off) for p, off in prefix.items()], "__pid int, __prefix long"
     )
     return (
         local.join(F.broadcast(offsets), "__pid")
@@ -95,15 +125,28 @@ def contamination_check(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 8,
+    prefilter: bool = False,
 ) -> DataFrame:
     """Training documents sharing at least one ``shingle_n``-gram with any
     eval document: (train id, n_shared_shingles, n_eval_docs) per
     contaminated training doc.
 
-    Exact (no sketching): both sides explode to distinct word n-grams and
-    equi-join on the gram.  At 100 TB the join shuffles on the gram string
+    Exact (no lossy sketching): both sides explode to word n-grams and
+    equi-join on the gram string.  At 100 TB the join shuffles on the gram
     — the inverted-index bound — and the eval side is typically small
     enough that Spark broadcasts it after aggregation.
+
+    ``prefilter=True`` — the scale path — first intersects the two sides'
+    DISTINCT gram-hash sets (xxhash64 longs; the eval side's distinct hash
+    set is tiny and broadcasts), then runs the string-carrying join only
+    over train grams whose HASH matched.  Because the final join still
+    compares the gram strings, a 64-bit collision can only add a candidate
+    that the string equality then rejects — results are IDENTICAL to the
+    exact path while the wide shuffle shrinks from every train gram to the
+    (rare) matched subset.  A MinHash-band prefilter was considered and
+    rejected: banding bounds Jaccard similarity, but contamination is
+    "shares ≥ 1 shingle" — a doc leaking a single benchmark sentence has
+    near-zero Jaccard and would be silently missed.
     """
     from influxdb_iox_spark.pipeline.dedup import shingles
 
@@ -115,9 +158,20 @@ def contamination_check(
         F.col(id_col).alias("eval_id"),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("gram"),
     )
+    if prefilter:
+        tr = tr.withColumn("__gh", F.xxhash64("gram"))
+        ev = ev.withColumn("__gh", F.xxhash64("gram"))
+        matched = (
+            tr.select("__gh")
+            .distinct()
+            .join(F.broadcast(ev.select("__gh").distinct()), "__gh", "left_semi")
+        )
+        tr = tr.join(F.broadcast(matched), "__gh", "left_semi")
+        joined = tr.join(ev, (tr["__gh"] == ev["__gh"]) & (tr["gram"] == ev["gram"]))
+    else:
+        joined = tr.join(ev, "gram")
     return (
-        tr.join(ev, "gram")
-        .groupBy("train_id")
+        joined.groupBy("train_id")
         .agg(
             F.count("*").alias("n_shared_shingles"),
             F.count_distinct("eval_id").alias("n_eval_docs"),
@@ -125,6 +179,10 @@ def contamination_check(
         # no ORDER BY here: a global sort of a corpus-sized result is the
         # caller's choice, not the operator's
     )
+
+
+#: above this many strata the CASE chain becomes a broadcast-joined table
+STRATA_CASE_CHAIN_MAX = 64
 
 
 def deterministic_sample(
@@ -141,13 +199,30 @@ def deterministic_sample(
     engine; the selection is a pure column predicate (no RNG state, no
     sampleBy), so re-running over a grown corpus keeps previously-selected
     rows selected.
+
+    Up to ``STRATA_CASE_CHAIN_MAX`` strata inline as a CASE chain (zero
+    join); beyond that — thousands of language/domain strata — the rates
+    ship as a broadcast-joined table so the plan stays O(1) in strata
+    count.  Both paths select identical rows.
     """
     frac = (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
         .cast("double")
         / F.lit(float(2**32))
     )
-    rate = F.lit(float(default_rate))
-    for k, v in sorted(rates.items()):
-        rate = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(rate)
-    return df.filter(frac < rate)
+    if len(rates) <= STRATA_CASE_CHAIN_MAX:
+        rate = F.lit(float(default_rate))
+        for k, v in sorted(rates.items()):
+            rate = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(rate)
+        return df.filter(frac < rate)
+    spark = df.sparkSession
+    rates_df = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(rates.items())],
+        f"{strata_col} string, __rate double",
+    )
+    return (
+        df.join(F.broadcast(rates_df), strata_col, "left")
+        .filter(frac < F.coalesce(F.col("__rate"), F.lit(float(default_rate))))
+        .drop("__rate")
+        .select(*df.columns)
+    )

@@ -66,6 +66,104 @@ def test_contamination_check(spark):
     assert 2 not in out
 
 
+def test_pack_shards_numeric_ids_no_materialization(spark, tmp_path):
+    """Numeric ids take the two-pass quantile path: deterministic logical
+    partition ids, so the returned plan recomputes from the SOURCE (the
+    parquet scan stays visible under the window) instead of scanning a
+    localCheckpoint RDD — and there is still no single-task window."""
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, 10) for i in range(100)], "doc_id long, n_tokens long"
+    ).write.parquet(src)
+    df = spark.read.parquet(src)
+    out = pack_shards(df, "n_tokens", "doc_id", shard_tokens=100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" in plan  # corpus side recomputes from source
+    assert "SinglePartition" not in plan
+    # the only ExistingRDD allowed is the O(partitions) offsets broadcast,
+    # which sits under a BroadcastExchange — the corpus side has none
+    window_side = plan.split("BroadcastExchange")[0]
+    assert "ExistingRDD" not in window_side
+
+
+def test_pack_shards_string_ids_still_correct(spark):
+    """Non-numeric ids fall back to the pinned-physical path and must still
+    equal the naive cumsum."""
+    rows = [(f"doc-{i:05d}", (i * 53) % 400 + 50) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tokens long").repartition(7)
+    out = pack_shards(df, "n_tokens", "doc_id", shard_tokens=1500).collect()
+    got = {r.doc_id: r.shard_id for r in out}
+    cum, want = 0, {}
+    for i, tok in sorted(rows):
+        want[i] = cum // 1500
+        cum += tok
+    assert got == want
+
+
+def test_contamination_prefilter_equals_exact(spark):
+    """The hash-sketch prefilter must return IDENTICAL results to the
+    plain string join — it is an exact optimization, not a sketch bound."""
+    eval_df = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (101, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    train_df = spark.createDataFrame(
+        [
+            (1, "x alpha beta gamma delta epsilon zeta eta theta iota y"),
+            (2, "no overlap here at all with anything in the benchmark set"),
+            (3, "one two three four five six seven eight nine ten and more"),
+            (4, "one two three four five six seven eight alpha beta gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = {
+        (r.train_id, r.n_shared_shingles, r.n_eval_docs)
+        for r in contamination_check(train_df, eval_df, shingle_n=8).collect()
+    }
+    fast = {
+        (r.train_id, r.n_shared_shingles, r.n_eval_docs)
+        for r in contamination_check(
+            train_df, eval_df, shingle_n=8, prefilter=True
+        ).collect()
+    }
+    assert exact == fast and exact  # non-empty and identical
+
+
+def test_deterministic_sample_strata_table_equals_case_chain(spark):
+    """Above STRATA_CASE_CHAIN_MAX strata the rates broadcast-join; both
+    paths must select exactly the same rows."""
+    from influxdb_iox_spark.pipeline import corpus as corpus_mod
+
+    langs = [f"l{i:03d}" for i in range(10)]
+    df = spark.createDataFrame(
+        [(i, langs[i % len(langs)]) for i in range(2000)],
+        "doc_id long, lang string",
+    )
+    rates = {lang: (0.1 + 0.08 * i) % 1.0 for i, lang in enumerate(langs)}
+    small = {r.doc_id for r in deterministic_sample(df, rates).collect()}
+    old_max = corpus_mod.STRATA_CASE_CHAIN_MAX
+    corpus_mod.STRATA_CASE_CHAIN_MAX = 0  # force the broadcast-table path
+    try:
+        table = {r.doc_id for r in deterministic_sample(df, rates).collect()}
+    finally:
+        corpus_mod.STRATA_CASE_CHAIN_MAX = old_max
+    assert small == table and small
+    # rows in a stratum missing from the table fall back to default_rate
+    corpus_mod.STRATA_CASE_CHAIN_MAX = 0
+    try:
+        partial = {k: v for k, v in rates.items() if k != "l000"}
+        missing = {
+            r.doc_id
+            for r in deterministic_sample(df, partial, default_rate=0.0).collect()
+        }
+    finally:
+        corpus_mod.STRATA_CASE_CHAIN_MAX = old_max
+    assert all(i % 10 != 0 for i in missing)  # l000 rows all excluded
+
+
 def test_deterministic_sample_reproducible_and_monotone(spark):
     df = spark.createDataFrame(
         [(i, "en" if i % 2 == 0 else "de") for i in range(1000)],
