@@ -492,6 +492,116 @@ def test_multi_chunk_delete_scenario(spark, tmp_path):
     assert len(out["dropped"]) == 4
 
 
+def test_drop_tombstone_then_compact_equals_fresh(spark, tmp_path):
+    """The delete dual must hold through the NEW tombstone machinery: drop
+    (appended tombstone) → compact_manifest (fold to .base snapshot) must
+    answer exactly like a store that never had the chunk — for scans, SQL,
+    and metadata ops."""
+    from influxdb_iox_spark.operators.metadata import tag_keys, tag_values
+
+    schema = IoxSchema.build(["state"], {"temp": InfluxColumnType.FIELD_FLOAT})
+    ddl = "state string, temp double, time long"
+    c1 = [("MA", 70.0, 100)]
+    c2 = [("CA", 80.0, 200)]
+    c3 = [("NY", 90.0, 300)]
+
+    dropped = TableStore(str(tmp_path / "tombstoned"))
+    metas = [
+        dropped.write_chunk(spark.createDataFrame(c, ddl), "h2o", schema)
+        for c in (c1, c2, c3)
+    ]
+    dropped.drop_chunks("h2o", [metas[1].chunk_id])
+    assert dropped.compact_manifest("h2o") >= 1
+
+    fresh = TableStore(str(tmp_path / "fresh"))
+    for c in (c1, c3):
+        fresh.write_chunk(spark.createDataFrame(c, ddl), "h2o", schema)
+
+    answers = {}
+    for name, store in (("tombstoned", dropped), ("fresh", fresh)):
+        db = Database(name, store, spark)
+        db.register_table("h2o", schema)
+        answers[name] = (
+            sorted(tuple(r) for r in db.table("h2o").collect()),
+            db.query("SELECT state, temp FROM h2o ORDER BY state").collect(),
+            tag_keys(db, "h2o"),
+            tag_values(db, "h2o", "state"),
+        )
+    assert answers["tombstoned"] == answers["fresh"]
+    assert answers["tombstoned"][3] == ["MA", "NY"]
+
+
+def test_gc_retired_under_query(spark, tmp_path):
+    """Retirement under a live query (drop_chunks docstring contract): with
+    ``defer_delete_seconds`` the dropped chunk's FILES survive the manifest
+    removal, so a DataFrame planned BEFORE the drop still collects; only
+    ``gc_retired`` past the grace period reclaims the directory, and scans
+    planned after the drop never see the chunk either way."""
+    import os
+
+    schema = IoxSchema.build(["state"], {"temp": InfluxColumnType.FIELD_FLOAT})
+    store = TableStore(str(tmp_path / "gc"))
+    m1 = store.write_chunk(
+        spark.createDataFrame([("MA", 70.0, 100)], "state string, temp double, time long"),
+        "h2o", schema,
+    )
+    store.write_chunk(
+        spark.createDataFrame([("CA", 80.0, 200)], "state string, temp double, time long"),
+        "h2o", schema,
+    )
+    db = Database("gc", store, spark)
+    db.register_table("h2o", schema)
+
+    before_drop = db.table("h2o")  # lazy plan referencing both chunks
+    store.drop_chunks("h2o", [m1.chunk_id], defer_delete_seconds=3600)
+
+    chunk_dir = os.path.join(store.base_dir, m1.path)
+    assert os.path.isdir(chunk_dir)  # parked, not deleted
+    # the pre-drop plan still executes against the parked files
+    assert sorted(r.state for r in before_drop.collect()) == ["CA", "MA"]
+    # a post-drop plan sees only the surviving chunk
+    db2 = Database("gc2", store, spark)
+    db2.register_table("h2o", schema)
+    assert [r.state for r in db2.table("h2o").collect()] == ["CA"]
+
+    assert store.gc_retired("h2o", grace_seconds=3600) == 0  # inside grace
+    assert os.path.isdir(chunk_dir)
+    assert store.gc_retired("h2o", grace_seconds=0) == 1  # grace elapsed
+    assert not os.path.isdir(chunk_dir)
+    # post-gc: scans still answer identically to the post-drop view
+    assert [r.state for r in db2.table("h2o").collect()] == ["CA"]
+
+
+def test_partition_scoped_drop_leaves_siblings_untouched(spark, tmp_path):
+    """Dropping chunks of one partition must not touch sibling partitions'
+    manifest files, and partition-scoped reads agree with the full-table
+    view afterwards."""
+    schema = IoxSchema.build(["state"], {"temp": InfluxColumnType.FIELD_FLOAT})
+    ddl = "state string, temp double, time long"
+    store = TableStore(str(tmp_path / "parts"))
+    pa = store.write_chunk(
+        spark.createDataFrame([("MA", 70.0, 100)], ddl), "h2o", schema,
+        partition_key="2020-01-01",
+    )
+    pb = store.write_chunk(
+        spark.createDataFrame([("CA", 80.0, 200)], ddl), "h2o", schema,
+        partition_key="2020-01-02",
+    )
+    import os
+
+    sibling = os.path.join(
+        store._manifest_dir("h2o"), store._part_file("2020-01-02")
+    )
+    mtime_before = os.stat(sibling).st_mtime_ns
+    store.drop_chunks("h2o", [pa.chunk_id])
+    assert os.stat(sibling).st_mtime_ns == mtime_before  # untouched file
+    assert [c.chunk_id for c in store.manifest_partition("h2o", "2020-01-02")] == [
+        pb.chunk_id
+    ]
+    assert store.manifest_partition("h2o", "2020-01-01") == []
+    assert [c.chunk_id for c in store.manifest("h2o")] == [pb.chunk_id]
+
+
 # -- read_window_aggregate semantic cases (read_window_aggregate.rs) --------
 
 
