@@ -566,6 +566,33 @@ FROM events
 """
 
 
+def q_series_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReadSeriesCardinality — implemented where the reference punts
+    (service.rs:560-566 unimplemented!): one series per (tag set, field
+    with >=1 non-null row), i.e. exactly the SeriesFrame count a
+    read_filter would stream (operators/metadata.series_cardinality;
+    served on the wire by rpc_storage.ReadSeriesCardinality)."""
+    t = _load(spark, sf_dir, "events")
+    key = F.struct(F.col("event_type"), F.col("user_id"))
+    return t["events"].agg(
+        (
+            F.count_distinct(F.when(F.col("value").isNotNull(), key))
+            + F.count_distinct(F.when(F.col("props").isNotNull(), key))
+        )
+        .cast("long")
+        .alias("cardinality")
+    )
+
+
+SQL_SERIES_CARDINALITY = """
+SELECT
+  (COUNT(DISTINCT (event_type, user_id)) FILTER (WHERE value IS NOT NULL))
+  + (COUNT(DISTINCT (event_type, user_id)) FILTER (WHERE props IS NOT NULL))
+  AS cardinality
+FROM events
+"""
+
+
 def q_tag_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tag_values (influxrpc.rs:328-471): distinct non-null tag values."""
     t = _load(spark, sf_dir, "events")
@@ -2434,6 +2461,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13_customer_distribution": q_customer_distribution,
         "tpch_q15_top_supplier": q_top_supplier,
         "tpch_q18_large_volume": q_large_volume_customers,
+        # round 5: cardinality where the reference punts (appended to the
+        # canonical tail -> lands inside the freshly-rotated window)
+        "rpc_series_cardinality": q_series_cardinality,
     }
     return _rotate_for_round(base)
 
@@ -2480,6 +2510,7 @@ def oracle_sql() -> dict[str, str]:
         "rpc_selector_last_first": SQL_SELECTOR_LAST_FIRST,
         "rpc_field_columns": SQL_FIELD_COLUMNS,
         "rpc_tag_values": SQL_TAG_VALUES,
+        "rpc_series_cardinality": SQL_SERIES_CARDINALITY,
         "dedup_last_non_null": SQL_DEDUP,
         "json_props_extract": SQL_JSON_PROPS,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,

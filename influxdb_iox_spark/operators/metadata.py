@@ -144,6 +144,39 @@ def tag_values(
     return [r[0] for r in rows]
 
 
+def series_cardinality(
+    db: Database, table: str, predicate: Predicate | None = None
+) -> int:
+    """Number of distinct series the table contributes under the predicate.
+
+    BEYOND the reference: service.rs:560-566 leaves ReadSeriesCardinality
+    ``unimplemented!``.  Semantics chosen to be self-consistent with OUR
+    read_filter framing (and the reference's data.rs framing): one series
+    per (tag-value combination, field) pair that has at least one matching
+    row with a non-null field value — i.e. exactly the number of
+    SeriesFrames a read_filter for the same predicate would stream.
+
+    One aggregation pass: per field, ``count_distinct`` of the tag tuple
+    over rows where the field is non-null (the WHEN collapses excluded
+    rows to NULL, which count_distinct ignores).  Map-side partials make
+    this a single shuffle of pre-aggregated sketches at scale.
+    """
+    schema = db.table_schema(table)
+    fields = schema.field_columns
+    if not fields:
+        return 0
+    df = db.table(table, predicate)
+    tags = schema.tag_columns
+    key = F.struct(*[F.col(t) for t in tags]) if tags else F.lit(1)
+    row = df.agg(
+        *[
+            F.count_distinct(F.when(F.col(f).isNotNull(), key)).alias(f)
+            for f in fields
+        ]
+    ).first()
+    return sum(row[f] for f in fields)
+
+
 def field_columns(
     db: Database, table: str, predicate: Predicate | None = None
 ) -> list[dict]:

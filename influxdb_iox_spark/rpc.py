@@ -91,6 +91,18 @@ class InfluxRpc:
     ) -> list[dict]:
         return md.field_columns(self.db, table, predicate)
 
+    def series_cardinality(self, predicate: Predicate | None = None) -> int:
+        """Bucket-wide series cardinality — the sum over measurements of
+        distinct (tag set, live field) series (beyond the reference:
+        service.rs:560-566 is unimplemented!; semantics documented on
+        operators/metadata.series_cardinality)."""
+        total = 0
+        for t in sorted(self.db.schemas):
+            if predicate is not None and not predicate.should_scan_table(t):
+                continue
+            total += md.series_cardinality(self.db, t, predicate)
+        return total
+
     # -- data menu --------------------------------------------------------
     def read_filter(self, table: str, predicate: Predicate | None = None) -> DataFrame:
         return se.read_filter(self.db, table, predicate)

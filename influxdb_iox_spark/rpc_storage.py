@@ -325,7 +325,16 @@ class StorageService:
         )
 
     def ReadSeriesCardinality(self, body: bytes):
-        raise StorageRpcError("read_series_cardinality not yet implemented")
+        """BEYOND the reference (service.rs:560-566 is unimplemented!):
+        streams one Int64ValuesResponse with the bucket-wide series count
+        — the number of SeriesFrames a read_filter with the same
+        predicate would return (semantics on metadata.series_cardinality)."""
+        req = decode_message(body, sp.READ_SERIES_CARDINALITY_REQUEST)
+        rpc = self._rpc(req, "read_series_cardinality_source")
+        pred = sp.request_predicate(req)
+        yield encode_message(
+            {"values": [rpc.series_cardinality(pred)]}, sp.INT64_VALUES_RESPONSE
+        )
 
     def Capabilities(self, body: bytes):
         yield encode_message(

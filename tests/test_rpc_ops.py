@@ -10,6 +10,7 @@ from influxdb_iox_spark.database import Database
 from influxdb_iox_spark.operators.metadata import (
     field_columns,
     schema_pivot,
+    series_cardinality,
     table_names,
     tag_keys,
     tag_values,
@@ -125,6 +126,21 @@ def test_field_columns(db):
         Predicate().with_range(0, 60).with_expr(F.col("city") == "Boston"),
     )
     assert {f["name"]: f["last_timestamp"] for f in out} == {"temp": 50}
+
+
+def test_series_cardinality(db):
+    """One series per (tag combo, field with >=1 non-null row) — the
+    SeriesFrame count a read_filter would stream (beyond-ref: the
+    reference's RPC is unimplemented!, service.rs:560-566)."""
+    # h2o: temp live in all 3 tag combos; reading live in (Boston,MA),
+    # (Cambridge,MA), (LA,CA) -> 3 + 3 = 6
+    assert series_cardinality(db, "h2o") == 6
+    # o2: 2 states x 1 field
+    assert series_cardinality(db, "o2") == 2
+    # predicate restriction: t in [0, 60) -> h2o rows at t=50 only:
+    # temp in (Boston,MA)+(Cambridge,MA); reading only (Cambridge,MA)
+    assert series_cardinality(db, "h2o", Predicate().with_range(0, 60)) == 3
+    assert series_cardinality(db, "h2o", Predicate().with_range(10_000, 20_000)) == 0
 
 
 def test_schema_pivot(db, spark):

@@ -398,15 +398,28 @@ def test_read_window_aggregate_requires_one_aggregate(client):
         )
 
 
-def test_read_series_cardinality_unimplemented(client):
-    import pyarrow.flight as fl
-
-    req = {"read_series_cardinality_source": _read_source()}
-    with pytest.raises(fl.FlightServerError, match="not yet implemented"):
-        client.call(
-            "ReadSeriesCardinality", req, sp.READ_SERIES_CARDINALITY_REQUEST,
-            sp.INT64_VALUES_RESPONSE,
-        )
+def test_read_series_cardinality(client):
+    """BEYOND the reference (service.rs:560-566 punts with unimplemented!):
+    the count equals the number of SeriesFrames read_filter streams.
+    Scenario series: cpu 4 (server01+null/us-east/us-west, server02),
+    system 1, swap 2 (in+out), status 1, attributes 1 → 9."""
+    req = {
+        "read_series_cardinality_source": _read_source(),
+        "range": _range(),
+    }
+    resp = client.call(
+        "ReadSeriesCardinality", req, sp.READ_SERIES_CARDINALITY_REQUEST,
+        sp.INT64_VALUES_RESPONSE,
+    )
+    assert resp[0]["values"] == [9]
+    # under the host=server01 predicate it matches the read_filter framing
+    # battery above: 3 cpu series + 2 swap series
+    pred_req = dict(req, predicate=_tag_predicate("host", "server01"))
+    resp = client.call(
+        "ReadSeriesCardinality", pred_req, sp.READ_SERIES_CARDINALITY_REQUEST,
+        sp.INT64_VALUES_RESPONSE,
+    )
+    assert resp[0]["values"] == [5]
 
 
 def test_unknown_database_errors(client):
