@@ -72,7 +72,13 @@ def pack_shards(
 
     if isinstance(df.schema[id_col].dataType, NumericType):
         probs = [i / n_parts for i in range(1, n_parts)]
-        bounds = df.stat.approxQuantile(id_col, probs, 1.0 / (100 * n_parts))
+        # n_parts == 1 -> no interior boundaries; approxQuantile rejects an
+        # empty probability list, and a single partition needs none.
+        bounds = (
+            df.stat.approxQuantile(id_col, probs, 1.0 / (100 * n_parts))
+            if probs
+            else []
+        )
         pid = F.lit(0)
         for b in sorted(set(bounds)):  # duplicate quantiles collapse
             pid = pid + (F.col(id_col) > F.lit(b)).cast("int")
