@@ -153,6 +153,13 @@ def read_group(
     aggs: list[Column] = []
     for fld in fields:
         aggs.extend(_field_agg(agg, fld, schema.time_column, selector=True))
+    if agg in (Aggregate.SUM, Aggregate.COUNT, Aggregate.MEAN):
+        # plain aggregates carry ONE shared timestamp column: agg(time)
+        # rewritten to MAX (the group's last timestamp — AggExprs::try_new
+        # plain branch chains schema.time_iter(), influxrpc.rs:1340-1359,
+        # and make_agg_expr maps the time column to Max, :1409-1423).
+        # Selector aggregates instead carry per-field <field>_time pairs.
+        aggs.append(F.max(F.col(schema.time_column)).alias(schema.time_column))
     out = df.groupBy(*ordered_tags).agg(*aggs)
     # a tag-less measurement aggregates to one global row — orderBy would
     # reject an empty column list

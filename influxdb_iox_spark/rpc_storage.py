@@ -180,10 +180,9 @@ class StorageService:
     def _agg_series_frames(table, sf, field_dtypes, agg, time_column):
         """Aggregated (one-point-per-series) framing: selector aggregates
         carry their own timestamp (<field>_time from the selector struct,
-        selectors.rs (value,time) pairs); plain aggregates have no input
-        row identity, so their point timestamp is 0 (the reference's plans
-        surface whatever DataFusion computes for the agg's time column —
-        plain aggs likewise have no meaningful per-point time)."""
+        selectors.rs (value,time) pairs); plain aggregates carry the shared
+        agg(time)-as-MAX column the reference's plan emits
+        (influxrpc.rs:1340-1359, make_agg_expr :1409-1423)."""
         frames = []
         row = sf.rows[0] if sf.rows else None
         if row is None:
@@ -194,6 +193,8 @@ class StorageService:
                 continue
             t_name = f"{fld}_time"
             ts = row[t_name] if t_name in row.__fields__ else None
+            if ts is None and time_column in row.__fields__:
+                ts = row[time_column]  # shared max(time) of plain aggs
             fake = [{time_column: ts if ts is not None else 0, fld: v}]
             frames.extend(
                 sp.series_to_frames(

@@ -222,8 +222,32 @@ def test_read_filter_pred_no_columns(db):
 
 def test_read_group(db):
     df = read_group(db, "h2o", Aggregate.SUM, group_columns=["state"])
-    rows = {(r.state, r.city): r.temp for r in df.collect()}
-    assert rows[("MA", "Boston")] == pytest.approx(142.4)
+    rows = {(r.state, r.city): r for r in df.collect()}
+    assert rows[("MA", "Boston")].temp == pytest.approx(142.4)
+    # plain aggregates emit ONE shared time column = max(time) of the group
+    # (AggExprs::try_new plain branch influxrpc.rs:1340-1359; make_agg_expr
+    # rewrites agg(time) to MAX, :1409-1423)
+    assert rows[("MA", "Boston")].time == 150
+    assert rows[("CA", "LA")].time == 200
+
+
+def test_read_group_data_pred_reference_case(db):
+    """read_group.rs:102-125 test_read_group_data_pred: predicate
+    city=LA AND time in [190,210), SUM grouped by state -> one row with
+    temp summed and time = the matching point's timestamp."""
+    pred = Predicate().with_range(190, 210).with_expr(F.col("city") == "LA")
+    df = read_group(db, "h2o", Aggregate.SUM, group_columns=["state"], predicate=pred)
+    rows = df.collect()
+    got = [(r.state, r.city, r.temp, r.time) for r in rows]
+    assert got == [("CA", "LA", 90.0, 200)]
+
+
+def test_read_group_mean_shared_time(db):
+    """read_group.rs:245-294 shape: MEAN also carries the shared max(time)."""
+    df = read_group(db, "h2o", Aggregate.MEAN, group_columns=[])
+    row = {(r.state, r.city): r for r in df.collect()}[("MA", "Boston")]
+    assert row.temp == pytest.approx(71.2)
+    assert row.time == 150
 
 
 def test_read_group_selector_last(db):
