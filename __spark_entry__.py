@@ -2340,6 +2340,57 @@ LIMIT 50
 """
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition quality signals (beyond-ref corpus prep):
+    duplicate-word fraction + most-frequent-2gram character fraction per
+    document (pipeline/text.repetition_features; two doc-keyed hash
+    aggregates, no per-row O(len^2) loops)."""
+    from influxdb_iox_spark.pipeline.text import repetition_features
+
+    t = _load(spark, sf_dir, "documents")
+    rep = repetition_features(t["documents"], "text", "doc_id", n=2)
+    return rep.select(
+        "doc_id",
+        "n_words",
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        "top_gram",
+        "top_gram_count",
+        F.round("top_gram_char_frac", 6).alias("top_gram_char_frac"),
+    ).orderBy("doc_id")
+
+
+SQL_DOC_REPETITION = r"""
+WITH toks AS (
+  SELECT doc_id, length(text) AS n_chars,
+    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS w
+  FROM documents),
+base AS (
+  SELECT doc_id, n_chars, w, len(w) AS n_words,
+    CASE WHEN len(w) = 0 THEN 0.0
+      ELSE round(1.0 - len(list_distinct(w))::DOUBLE / len(w), 6) END AS dup_word_frac
+  FROM toks),
+grams AS (
+  SELECT doc_id, unnest(
+    CASE WHEN n_words >= 2
+      THEN list_transform(range(0, n_words-1), i -> array_to_string(w[i+1:i+2], ' '))
+      ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM base),
+gc AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM grams GROUP BY doc_id, gram),
+top AS (
+  SELECT doc_id, gram, cnt FROM (
+    SELECT doc_id, gram, cnt,
+      row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+    FROM gc) WHERE rn = 1)
+SELECT b.doc_id, b.n_words, b.dup_word_frac,
+  COALESCE(t.gram, '') AS top_gram,
+  COALESCE(t.cnt, 0) AS top_gram_count,
+  round(COALESCE(t.cnt * length(t.gram), 0)::DOUBLE / greatest(b.n_chars, 1), 6)
+    AS top_gram_char_frac
+FROM base b LEFT JOIN top t USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: dedup-correct scan + windowed aggregate over two simulated
     overlapping chunks of the events table (the reference's core query
@@ -2464,6 +2515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5: cardinality where the reference punts (appended to the
         # canonical tail -> lands inside the freshly-rotated window)
         "rpc_series_cardinality": q_series_cardinality,
+        "doc_repetition_stats": q_doc_repetition,
     }
     return _rotate_for_round(base)
 
@@ -2511,6 +2563,7 @@ def oracle_sql() -> dict[str, str]:
         "rpc_field_columns": SQL_FIELD_COLUMNS,
         "rpc_tag_values": SQL_TAG_VALUES,
         "rpc_series_cardinality": SQL_SERIES_CARDINALITY,
+        "doc_repetition_stats": SQL_DOC_REPETITION,
         "dedup_last_non_null": SQL_DEDUP,
         "json_props_extract": SQL_JSON_PROPS,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,

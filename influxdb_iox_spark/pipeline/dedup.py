@@ -68,16 +68,28 @@ def drop_exact_duplicates(
 def shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of normalized text (array<string>).
 
-    Built from word_tokens with a transform over token indexes — no UDF.
     Documents with < n tokens yield their full token array as one shingle.
+
+    Grams come from arrays_zip over n shifted slices (pipeline/text.
+    gram_structs) — the transform-over-token-indexes formulation inlines
+    the tokenizer into the lambda and re-tokenizes the document per gram
+    (quadratic; it dominated the minhash/simhash bench numbers).  The one
+    remaining lambda only joins the already-materialized structs, linear
+    interpreted work.
     """
+    from influxdb_iox_spark.pipeline.text import gram_structs
+
     toks = word_tokens(col)
     k = F.size(toks)
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(k - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        gram_structs(toks, n),
+        lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]),
     )
-    return F.array_distinct(F.when(k > 0, grams).otherwise(F.array()))
+    return F.array_distinct(
+        F.when(k >= n, grams)
+        .when(k > 0, F.array(F.array_join(toks, " ")))
+        .otherwise(F.array())
+    )
 
 
 _MERSENNE31 = 2**31 - 1

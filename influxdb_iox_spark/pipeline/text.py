@@ -35,8 +35,33 @@ def token_count(col: Column) -> Column:
 
 def word_tokens(col: Column) -> Column:
     """Array of lowercase word tokens (letters/digits runs) — the BPE-ish
-    pre-tokenization regex: splits on any non-alphanumeric run."""
-    return F.filter(F.split(F.lower(col), r"[^\p{L}\p{N}]+"), lambda x: x != "")
+    pre-tokenization regex: splits on any non-alphanumeric run.
+
+    array_remove, not a filter() lambda: lambda HOFs run interpreted (no
+    codegen) and cost real wall time in hot paths; array_remove is a plain
+    codegen'd collection expression with identical semantics here (split
+    never yields nulls, only possibly-empty strings)."""
+    return F.array_remove(F.split(F.lower(col), r"[^\p{L}\p{N}]+"), "")
+
+
+def gram_structs(toks: Column, n: int) -> Column:
+    """Array of word n-grams as structs of n shifted tokens — pure codegen.
+
+    The obvious ``transform(sequence(0, k-n), i -> array_join(slice(toks,
+    i+1, n)))`` is quadratic in document length: Catalyst inlines the token
+    expression into the lambda body, so every gram index re-tokenizes the
+    whole document, and lambdas are interpreted besides (measured 90 s vs
+    ~1 s for this formulation on the sf0.1 corpus sweep).  arrays_zip over
+    n shifted slices materializes the token array O(n) times total and
+    stays inside whole-stage codegen.  Join a gram after explode with
+    ``concat_ws(" ", z["0"], …, z["n-1"])`` (see gram_join)."""
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    return F.arrays_zip(*[F.slice(toks, F.lit(i + 1), count) for i in range(n)])
+
+
+def gram_join(struct_col: str, n: int) -> Column:
+    """Space-joined gram string from one exploded gram_structs element."""
+    return F.concat_ws(" ", *[F.col(f"{struct_col}.{i}") for i in range(n)])
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -180,15 +205,9 @@ def ngram_counts(
     of stopword-pair grams if AQE's skew handling is not enough.
     """
     toks = word_tokens(F.col(text_col))
-    k = F.size(toks)
-    grams = F.when(
-        k >= n,
-        F.transform(
-            F.sequence(F.lit(0), k - n),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        ),
-    ).otherwise(F.array())
-    ex = df.select(F.col(id_col).alias("__doc"), F.explode(grams).alias("gram"))
+    ex = df.select(
+        F.col(id_col).alias("__doc"), F.explode(gram_structs(toks, n)).alias("__g")
+    ).select("__doc", gram_join("__g", n).alias("gram"))
     out = ex.groupBy("gram").agg(
         F.count_distinct("__doc").alias("n_docs"),
         F.count("*").alias("n_occurrences"),
@@ -198,3 +217,75 @@ def ngram_counts(
         # global sort of the full gram table is the caller's choice
         return out.orderBy(F.desc("n_occurrences"), "gram").limit(top_k)
     return out
+
+
+def repetition_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Per-document repetition signals — the Gopher/C4 family of quality
+    filters (fraction of duplicated words, fraction of characters inside
+    the most frequent word n-gram).  Heavily repeated boilerplate scores
+    high on both and is filtered with a plain WHERE clause.
+
+    Shape (scale-first): word arrays stay row-local (array_distinct is
+    linear per row); only the n-gram top-1 needs cross-row state, done as
+    explode → one hash aggregate on (doc, gram) → one min_by aggregate per
+    doc — two shuffles keyed by doc id, no O(len²) per-row loops, no
+    window over the whole corpus.  Tie-break for equal counts is the
+    lexicographically smallest gram (deterministic across engines).
+
+    Output: id, n_words, dup_word_frac, top_gram, top_gram_count,
+    top_gram_char_frac.  Docs with < n words get top_gram='' / count 0.
+    """
+    toks = word_tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("__n_chars"),
+        toks.alias("__w"),
+    ).withColumn("__n_words", F.size("__w"))
+    per_doc = base.select(
+        id_col,
+        "__n_chars",
+        F.col("__n_words").alias("n_words"),
+        # empty docs have nothing duplicated (without the guard the
+        # 0-distinct/1 floor would score them 1.0)
+        F.when(F.col("__n_words") == 0, F.lit(0.0))
+        .otherwise(
+            1 - F.size(F.array_distinct("__w")) / F.col("__n_words")
+        )
+        .alias("dup_word_frac"),
+    )
+
+    gc = (
+        base.select(
+            F.col(id_col), F.explode(gram_structs(F.col("__w"), n)).alias("__g")
+        )
+        .select(id_col, gram_join("__g", n).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # max count, then smallest gram: min over the (-cnt, gram) ordering
+    top = gc.groupBy(id_col).agg(
+        F.min_by(
+            F.struct("gram", "cnt"), F.struct((-F.col("cnt")).alias("nc"), "gram")
+        ).alias("__top")
+    )
+    return (
+        per_doc.join(top, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            "dup_word_frac",
+            F.coalesce(F.col("__top.gram"), F.lit("")).alias("top_gram"),
+            F.coalesce(F.col("__top.cnt"), F.lit(0)).alias("top_gram_count"),
+            (
+                F.coalesce(
+                    F.col("__top.cnt") * F.length("__top.gram"), F.lit(0)
+                )
+                / F.greatest("__n_chars", F.lit(1))
+            ).alias("top_gram_char_frac"),
+        )
+    )

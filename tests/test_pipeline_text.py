@@ -99,3 +99,40 @@ def test_ngram_counts(spark):
     assert "dog" not in rows           # < n tokens -> no grams
     top1 = ngram_counts(df, n=2, top_k=1).collect()
     assert top1[0].gram == "the cat"
+
+
+def test_repetition_features(spark):
+    from influxdb_iox_spark.pipeline.text import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            # 6 words, 2 distinct -> dup frac 2/3; 2-grams: "the cat" x3,
+            # "cat the" x2; gram len 7, text length 23
+            (1, "the cat the cat the cat"),
+            # all distinct words, each 2-gram unique -> tie broken by
+            # lexicographically smallest gram ("a b")
+            (2, "a b c d"),
+            # one word -> no 2-grams at all
+            (3, "hello"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_features(df).collect()}
+
+    r1 = rows[1]
+    assert (r1.n_words, r1.top_gram, r1.top_gram_count) == (6, "the cat", 3)
+    assert r1.dup_word_frac == pytest.approx(1 - 2 / 6)
+    assert r1.top_gram_char_frac == pytest.approx(3 * 7 / 23)
+
+    r2 = rows[2]
+    assert (r2.n_words, r2.dup_word_frac) == (4, 0.0)
+    assert (r2.top_gram, r2.top_gram_count) == ("a b", 1)
+
+    r3 = rows[3]
+    assert (r3.n_words, r3.top_gram, r3.top_gram_count) == (1, "", 0)
+    assert r3.top_gram_char_frac == 0.0
+
+    r4 = rows[4]
+    assert (r4.n_words, r4.top_gram, r4.top_gram_count) == (0, "", 0)
+    assert (r4.dup_word_frac, r4.top_gram_char_frac) == (0.0, 0.0)
