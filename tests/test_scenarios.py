@@ -435,6 +435,57 @@ def test_read_group_none_prefix_reorder(spark, tmp_path):
     ]
 
 
+def _group_keys_rows():
+    """MeasurementForGroupKeys (read_group.rs:435-460)."""
+    rows1 = [
+        ("MA", "Cambridge", None, 80.0, 50),
+        ("MA", "Cambridge", None, 81.0, 100),
+        ("MA", "Cambridge", None, 82.0, 200),
+    ]
+    rows2 = [
+        ("MA", "Boston", None, 70.0, 300),
+        ("MA", "Boston", None, 71.0, 400),
+        ("CA", "LA", 10.0, 90.0, 500),
+        ("CA", "LA", 11.0, 91.0, 600),
+    ]
+    return rows1, rows2
+
+
+def test_read_group_sum_group_by_state_city(spark, tmp_path):
+    """read_group.rs:462-486 test_grouped_series_set_plan_group_by_state_city:
+    SUM with group ["state","city"] — summed fields (null humidity where the
+    field never appears) plus the shared max(time) per group."""
+    rows1, rows2 = _group_keys_rows()
+    dbs = _h2o_arrangements(spark, tmp_path, H2O_AGGS, AGGS_DDL, rows1, rows2)
+
+    def run(db):
+        out = read_group(db, "h2o", Aggregate.SUM, ["state", "city"])
+        return [(r.state, r.city, r.humidity, r.temp, r.time) for r in out.collect()]
+
+    assert _assert_dual(dbs, run) == [
+        ("CA", "LA", 21.0, 181.0, 600),
+        ("MA", "Boston", None, 141.0, 400),
+        ("MA", "Cambridge", None, 243.0, 200),
+    ]
+
+
+def test_read_group_sum_group_by_city_state(spark, tmp_path):
+    """read_group.rs:489-514: same data, alternate group-key order — the
+    output ordering flips to city-first."""
+    rows1, rows2 = _group_keys_rows()
+    dbs = _h2o_arrangements(spark, tmp_path, H2O_AGGS, AGGS_DDL, rows1, rows2)
+
+    def run(db):
+        out = read_group(db, "h2o", Aggregate.SUM, ["city", "state"])
+        return [(r.city, r.state, r.humidity, r.temp, r.time) for r in out.collect()]
+
+    assert _assert_dual(dbs, run) == [
+        ("Boston", "MA", None, 141.0, 400),
+        ("Cambridge", "MA", None, 243.0, 200),
+        ("LA", "CA", 21.0, 181.0, 600),
+    ]
+
+
 # -- lifecycle-shape scenarios (scenarios.rs) -------------------------------
 
 
