@@ -983,3 +983,93 @@ def import_tsm(spark, store, paths, template=None, verify_crc: bool = True) -> d
         )
         out[measurement] = (schema, metas)
     return out
+
+
+_BLOCK_BY_FIELD_TYPE = {
+    "field::float": BLOCK_FLOAT,
+    "field::integer": BLOCK_INTEGER,
+    "field::boolean": BLOCK_BOOL,
+    "field::string": BLOCK_STR,
+    "field::uinteger": BLOCK_UNSIGNED,
+}
+
+
+def export_tsm(
+    df,
+    measurement: str,
+    schema,
+    out_dir: str,
+    org_id: int = 0xA,
+    bucket_id: int = 0xB,
+    num_files: int | None = None,
+) -> None:
+    """Export one measurement DataFrame to TSM files — the reverse of
+    import_tsm (fixture generation at scale, or handing data back to legacy
+    InfluxDB tooling).
+
+    TSM is a sequential single-writer format (blocks, then index, then
+    footer), so each FILE is built by one task; distribution comes from
+    writing one file per partition, with rows repartitioned on the tag set
+    so a series never straddles files more than necessary (TSM readers
+    merge multi-file series anyway, reader.rs:470-506).  Null fields are
+    skipped — TSM blocks carry no nulls; the dedup scan's last-non-null
+    semantics reconstruct sparse rows on re-import.
+
+    ``out_dir`` must be a filesystem path reachable from the executors
+    (local mode or a shared mount; for object stores, export locally and
+    upload).
+    """
+    import uuid as _uuid
+
+    from influxdb_iox_spark.schema import column_type
+
+    tags = list(schema.tag_columns)
+    time_col = schema.time_column
+    fields = {}
+    for f in schema.struct.fields:
+        ct = column_type(f)
+        if ct is not None and ct.value in _BLOCK_BY_FIELD_TYPE:
+            fields[f.name] = _BLOCK_BY_FIELD_TYPE[ct.value]
+    os.makedirs(out_dir, exist_ok=True)
+    time_dtype = dict(df.dtypes).get(time_col)
+    if time_dtype not in ("bigint", "int", "long"):
+        raise TsmError(
+            f"time column {time_col!r} must be integral ns (got {time_dtype});"
+            " convert TimestampType with unix_micros(col)*1000 first"
+        )
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    part = df.repartition(n, *tags) if tags else df.repartition(n)
+
+    def write_part(rows):
+        # accumulate per series locally so the TSM key is built once per
+        # series, not once per point
+        series: dict[tuple, tuple[list[int], list]] = {}
+        for row in rows:
+            # TSM tag values are strings; stringify non-string tag columns
+            # (the importer reads them back as string tags, like any legacy
+            # line-protocol round trip would)
+            tagvals = tuple(
+                (t, row[t] if isinstance(row[t], str) else str(row[t]))
+                for t in tags
+                if row[t] is not None
+            )
+            ts = row[time_col]
+            for fld, btype in fields.items():
+                v = row[fld]
+                if v is None:
+                    continue
+                if btype == BLOCK_STR:
+                    v = v.encode() if isinstance(v, str) else bytes(v)
+                elif btype == BLOCK_UNSIGNED:
+                    v = int(v) & _M64
+                ts_list, v_list = series.setdefault((tagvals, fld), ([], []))
+                ts_list.append(ts)
+                v_list.append(v)
+        if not series:
+            return
+        w = TsmWriter(org_id=org_id, bucket_id=bucket_id)
+        for (tagvals, fld), (ts_list, v_list) in series.items():
+            w.add(measurement, dict(tagvals), fld, fields[fld], ts_list, v_list)
+        w.write(os.path.join(out_dir, f"{_uuid.uuid4().hex}-000001.tsm"))
+
+    part.foreachPartition(write_part)

@@ -373,3 +373,49 @@ def test_tsm_catalog_type_conflict(tmp_path, spark):
     w2.write(str(d / "b.tsm"))
     with pytest.raises(tsm.TsmError, match="type conflict"):
         tsm.tsm_catalog(tsm.tsm_long_df(spark, str(d)))
+
+
+def test_export_import_roundtrip(tmp_path, spark):
+    """export_tsm -> import_tsm reproduces the original table (sparse
+    fields reconstructed through the dedup pivot)."""
+    from influxdb_iox_spark.schema import InfluxColumnType, IoxSchema
+    from influxdb_iox_spark.sources.store import TableStore
+
+    schema = IoxSchema.build(
+        ["host", "region"],
+        {
+            "usage": InfluxColumnType.FIELD_FLOAT,
+            "cnt": InfluxColumnType.FIELD_INTEGER,
+            "ok": InfluxColumnType.FIELD_BOOLEAN,
+            "note": InfluxColumnType.FIELD_STRING,
+            "big": InfluxColumnType.FIELD_UINTEGER,
+        },
+    )
+    rows = [
+        ("a", "west", 0.5, 1, True, "x", 7, 100),
+        ("a", "west", 0.6, None, False, None, None, 200),
+        ("b", None, None, 5, None, "yy", -1, 100),  # -1 = 2^64-1 as u64 bits
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "host string, region string, usage double, cnt long, ok boolean,"
+        " note string, big long, time long",
+    )
+    out = str(tmp_path / "exported")
+    tsm.export_tsm(df, "cpu", schema, out, num_files=2)
+    files = [f for f in __import__("os").listdir(out) if f.endswith(".tsm")]
+    assert files
+
+    store = TableStore(str(tmp_path / "store"))
+    imported = tsm.import_tsm(spark, store, out)
+    got_schema, metas = imported["cpu"]
+    got = store.scan(spark, "cpu", got_schema).orderBy("host", "time").collect()
+    assert [
+        (r["host"], r["region"], r["time"], r["usage"], r["cnt"], r["ok"],
+         r["note"], r["big"])
+        for r in got
+    ] == [
+        ("a", "west", 100, 0.5, 1, True, "x", 7),
+        ("a", "west", 200, 0.6, None, False, None, None),
+        ("b", None, 100, None, 5, None, "yy", -1),
+    ]
