@@ -2391,6 +2391,62 @@ ORDER BY b.doc_id
 """
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling (pipeline/corpus.mixture_sample): rates
+    derived from a 30k-char budget split 50/25/25 across en/de/fr, applied
+    with the deterministic md5(id) predicate — the oracle recomputes the
+    SAME rates in SQL (single IEEE division each, weight*budget products
+    inlined exactly) and reproduces the identical selected set."""
+    from influxdb_iox_spark.pipeline.corpus import mixture_sample
+
+    t = _load(spark, sf_dir, "documents")
+    out, _rates = mixture_sample(
+        t["documents"],
+        weights={"en": 0.5, "de": 0.25, "fr": 0.25},
+        budget_tokens=30_000,
+        strata_col="lang",
+        token_col="n_chars",
+        id_col="doc_id",
+    )
+    return (
+        out.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _sql_mixture_sample() -> str:
+    nib = "strpos('0123456789abcdef', substr(hx, {j}, 1)) - 1"
+    val = " + ".join(
+        f"CAST(({nib.format(j=j + 1)}) AS DOUBLE) * {float(16 ** (7 - j))}"
+        for j in range(8)
+    )
+    # targets are the EXACT products budget*w/total_w (30000*0.5/1.0 etc.)
+    # so both engines perform one identical IEEE division per stratum
+    return f"""
+WITH avail AS (
+  SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS t FROM documents GROUP BY lang),
+rates AS (
+  SELECT lang, LEAST(1.0,
+    CASE lang WHEN 'en' THEN 15000.0 WHEN 'de' THEN 7500.0
+              WHEN 'fr' THEN 7500.0 END / t) AS rate
+  FROM avail WHERE lang IN ('en', 'de', 'fr')),
+frac AS (
+  SELECT *, ({val}) / 4294967296.0 AS f
+  FROM (SELECT *, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents))
+SELECT f.lang, COUNT(*) AS n_sampled, CAST(SUM(f.doc_id) AS BIGINT) AS sum_ids,
+  CAST(SUM(f.n_chars) AS BIGINT) AS sampled_chars
+FROM frac f JOIN rates r ON f.lang = r.lang
+WHERE f.f < r.rate
+GROUP BY f.lang
+ORDER BY f.lang
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: dedup-correct scan + windowed aggregate over two simulated
     overlapping chunks of the events table (the reference's core query
@@ -2516,6 +2572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # canonical tail -> lands inside the freshly-rotated window)
         "rpc_series_cardinality": q_series_cardinality,
         "doc_repetition_stats": q_doc_repetition,
+        "doc_mixture_sample": q_mixture_sample,
     }
     return _rotate_for_round(base)
 
@@ -2564,6 +2621,7 @@ def oracle_sql() -> dict[str, str]:
         "rpc_tag_values": SQL_TAG_VALUES,
         "rpc_series_cardinality": SQL_SERIES_CARDINALITY,
         "doc_repetition_stats": SQL_DOC_REPETITION,
+        "doc_mixture_sample": _sql_mixture_sample(),
         "dedup_last_non_null": SQL_DEDUP,
         "json_props_extract": SQL_JSON_PROPS,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,

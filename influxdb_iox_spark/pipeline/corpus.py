@@ -232,3 +232,47 @@ def deterministic_sample(
         .drop("__rate")
         .select(*df.columns)
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    strata_col: str = "lang",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, dict[str, float]]:
+    """Domain-mixture sampling: derive per-stratum rates so the selected
+    corpus totals ~``budget_tokens`` tokens split across strata in
+    proportion to ``weights``, then select with the same deterministic
+    md5(id) predicate as deterministic_sample (re-runnable; previously
+    selected docs stay selected when the corpus grows).
+
+    The training-data "mixing" step: given target proportions (possibly
+    temperature-flattened upstream), compute rate_s = min(1,
+    budget*w_s/sum(w)/T_s) from one per-stratum token-sum aggregate
+    (O(strata) driver rows).  A stratum with fewer tokens than its target
+    caps at rate 1 and undershoots — deliberately NOT redistributed to
+    other strata, which would change every other stratum's rate whenever
+    one stratum grows (breaking re-runnability).  Expected sampled tokens
+    per stratum ≈ rate_s * T_s (md5 is uniform and independent of token
+    counts).
+
+    Returns (sampled DataFrame, the computed rates) so callers can log or
+    re-apply them.
+    """
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    avail = {
+        r[strata_col]: r["__t"]
+        for r in df.groupBy(strata_col)
+        .agg(F.sum(F.col(token_col).cast("long")).alias("__t"))
+        .collect()
+    }
+    rates = {
+        s: min(1.0, (budget_tokens * w / total_w) / avail[s])
+        for s, w in weights.items()
+        if avail.get(s)
+    }
+    return deterministic_sample(df, rates, strata_col, id_col), rates

@@ -3,6 +3,7 @@ stratified sampling (pipeline/corpus.py)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from influxdb_iox_spark.pipeline.corpus import (
@@ -185,3 +186,32 @@ def test_deterministic_sample_reproducible_and_monotone(spark):
     )
     g = {r.doc_id for r in deterministic_sample(grown, {"en": 0.4, "de": 0.0}).collect()}
     assert a == {i for i in g if i < 1000}
+
+
+def test_mixture_sample(spark):
+    from influxdb_iox_spark.pipeline.corpus import (
+        deterministic_sample,
+        mixture_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", 100) for i in range(200)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    # en: 100 docs * 100 tokens = 10_000 avail; de same.
+    out, rates = mixture_sample(
+        df, weights={"en": 0.75, "de": 0.25}, budget_tokens=8_000
+    )
+    # targets: en 6000/10000 -> 0.6; de 2000/10000 -> 0.2
+    assert rates == {"en": pytest.approx(0.6), "de": pytest.approx(0.2)}
+    # selection must be exactly deterministic_sample at those rates
+    expected = deterministic_sample(df, rates)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in expected.collect()
+    )
+    # a stratum with no weight is not sampled at all
+    out2, rates2 = mixture_sample(df, weights={"en": 1.0}, budget_tokens=50_000)
+    assert rates2 == {"en": 1.0}  # capped: target 50k > 10k avail
+    assert all(r.lang == "en" for r in out2.collect())
+    # and the capped stratum keeps every doc
+    assert out2.count() == 100

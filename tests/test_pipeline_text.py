@@ -136,3 +136,22 @@ def test_repetition_features(spark):
     r4 = rows[4]
     assert (r4.n_words, r4.top_gram, r4.top_gram_count) == (0, "", 0)
     assert (r4.dup_word_frac, r4.top_gram_char_frac) == (0.0, 0.0)
+
+
+def test_gram_generation_stays_linear_in_plan(spark):
+    """Regression guard for the quadratic-lambda trap (BENCH_NOTES §4):
+    gram producers must build grams from arrays_zip over shifted slices,
+    never transform(sequence(...)) index lambdas (Catalyst inlines the
+    tokenizer into the lambda body -> every gram re-tokenizes the doc)."""
+    from influxdb_iox_spark.pipeline.dedup import shingles
+    from influxdb_iox_spark.pipeline.text import ngram_counts, repetition_features
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    plans = [
+        ngram_counts(df)._jdf.queryExecution().optimizedPlan().toString(),
+        repetition_features(df)._jdf.queryExecution().optimizedPlan().toString(),
+        df.select(shingles(df.text))._jdf.queryExecution().optimizedPlan().toString(),
+    ]
+    for p in plans:
+        assert "transform(sequence(" not in p.replace(" ", "")
+        assert "arrays_zip" in p
