@@ -811,10 +811,10 @@ def read_tsm(data: bytes, verify_crc: bool = True):
 # Spark import (mapper.rs re-expressed): binaryFile -> per-file decode ->
 # long format -> per-measurement pivot -> normal ingest path.
 
-TSM_LONG_SCHEMA = (
+_TSM_DECODE_SCHEMA = (
     "measurement string, tags map<string,string>, field string,"
     " block_type int, time long, value_f double, value_i long,"
-    " value_b boolean, value_s string, src_order long"
+    " value_b boolean, value_s string, path string, offset long"
 )
 
 _VALUE_COL = {
@@ -838,32 +838,34 @@ def tsm_long_df(spark, paths, verify_crc: bool = True):
     ``src_order`` encodes (file rank by sorted path, block offset): TSM
     generations sort lexicographically oldest-first, so a bigger src_order
     is a later write — the merge key for duplicate points
-    (reader.rs:470-506 keeps the highest reader index).
+    (reader.rs:470-506 keeps the highest reader index).  Ranks come from a
+    broadcast-joined (path, rank) table — one row per FILE (a window over
+    the tiny distinct-path set), never a driver-side dict captured in the
+    decode closure, so a million-file generation ships no per-path state
+    to the executors.
     """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     bf = spark.read.format("binaryFile").load(paths).select("path", "content")
-    ranks = {
-        r["path"]: i
-        for i, r in enumerate(sorted(bf.select("path").collect(), key=lambda r: r["path"]))
-    }
 
     def decode(batches):
         import pandas as pd
 
         for pdf in batches:
             for path, content in zip(pdf["path"], pdf["content"]):
-                rank = ranks[path]
                 rows: dict[str, list] = {
                     k: []
                     for k in (
                         "measurement", "tags", "field", "block_type", "time",
-                        "value_f", "value_i", "value_b", "value_s", "src_order",
+                        "value_f", "value_i", "value_b", "value_s",
+                        "path", "offset",
                     )
                 }
                 for m, tags, fld, bt, offset, ts, vals in read_tsm(
                     bytes(content), verify_crc=verify_crc
                 ):
                     vcol = _VALUE_COL[bt]
-                    order = (rank << _FILE_RANK_SHIFT) | offset
                     for t, v in zip(ts, vals):
                         rows["measurement"].append(m)
                         rows["tags"].append(tags)
@@ -874,7 +876,8 @@ def tsm_long_df(spark, paths, verify_crc: bool = True):
                         rows["value_i"].append(None)
                         rows["value_b"].append(None)
                         rows["value_s"].append(None)
-                        rows["src_order"].append(order)
+                        rows["path"].append(path)
+                        rows["offset"].append(offset)
                         if bt == BLOCK_UNSIGNED:
                             rows[vcol][-1] = _as_i64(v)
                         elif bt == BLOCK_STR:
@@ -883,7 +886,20 @@ def tsm_long_df(spark, paths, verify_crc: bool = True):
                             rows[vcol][-1] = v
                 yield pd.DataFrame(rows)
 
-    return bf.mapInPandas(decode, TSM_LONG_SCHEMA)
+    ranks = bf.select("path").distinct().select(
+        "path",
+        (F.row_number().over(Window.orderBy("path")) - 1).alias("__rank"),
+    )
+    return (
+        bf.mapInPandas(decode, _TSM_DECODE_SCHEMA)
+        .join(F.broadcast(ranks), "path")
+        .withColumn(
+            "src_order",
+            F.shiftleft(F.col("__rank").cast("long"), _FILE_RANK_SHIFT)
+            + F.col("offset"),
+        )
+        .drop("path", "offset", "__rank")
+    )
 
 
 _FIELD_TYPE_BY_BLOCK = {
@@ -1018,6 +1034,11 @@ def export_tsm(
     ``out_dir`` must be a filesystem path reachable from the executors
     (local mode or a shared mount; for object stores, export locally and
     upload).
+
+    Memory: each task accumulates its partition's series in memory before
+    the sequential file write (the index needs every block's location), so
+    size ``num_files`` such that rows/num_files fits an executor — the
+    same sizing rule as any partitioned file write.
     """
     import uuid as _uuid
 
