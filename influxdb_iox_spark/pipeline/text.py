@@ -230,12 +230,14 @@ def repetition_features(
     the most frequent word n-gram).  Heavily repeated boilerplate scores
     high on both and is filtered with a plain WHERE clause.
 
-    Shape (scale-first): word arrays stay row-local (array_distinct is
-    linear per row); only the n-gram top-1 needs cross-row state, done as
-    explode → one hash aggregate on (doc, gram) → one min_by aggregate per
-    doc — two shuffles keyed by doc id, no O(len²) per-row loops, no
-    window over the whole corpus.  Tie-break for equal counts is the
-    lexicographically smallest gram (deterministic across engines).
+    Shape (scale-first): ONE scan of the corpus.  Row-local stats
+    (n_words, dup-word fraction — array_distinct is linear per row) are
+    computed before the gram explode and carried through the two doc-keyed
+    hash aggregates as first() values, so there is no second scan and no
+    join; explode_outer keeps gram-less documents.  Two shuffles keyed by
+    doc id, no O(len²) per-row loops, no window over the whole corpus.
+    Tie-break for equal counts is the lexicographically smallest gram
+    (deterministic across engines).
 
     Output: id, n_words, dup_word_frac, top_gram, top_gram_count,
     top_gram_char_frac.  Docs with < n words get top_gram='' / count 0.
@@ -246,46 +248,61 @@ def repetition_features(
         F.length(F.col(text_col)).alias("__n_chars"),
         toks.alias("__w"),
     ).withColumn("__n_words", F.size("__w"))
-    per_doc = base.select(
+    ex = base.select(
         id_col,
         "__n_chars",
         F.col("__n_words").alias("n_words"),
         # empty docs have nothing duplicated (without the guard the
         # 0-distinct/1 floor would score them 1.0)
         F.when(F.col("__n_words") == 0, F.lit(0.0))
-        .otherwise(
-            1 - F.size(F.array_distinct("__w")) / F.col("__n_words")
-        )
+        .otherwise(1 - F.size(F.array_distinct("__w")) / F.col("__n_words"))
         .alias("dup_word_frac"),
+        # explode_outer: a doc with < n words has no grams but must survive
+        F.explode_outer(gram_structs(F.col("__w"), n)).alias("__g"),
+    ).select(
+        id_col,
+        "__n_chars",
+        "n_words",
+        "dup_word_frac",
+        F.when(F.col("__g").isNotNull(), gram_join("__g", n)).alias("gram"),
     )
-
-    gc = (
-        base.select(
-            F.col(id_col), F.explode(gram_structs(F.col("__w"), n)).alias("__g")
-        )
-        .select(id_col, gram_join("__g", n).alias("gram"))
-        .groupBy(id_col, "gram")
-        .agg(F.count("*").alias("cnt"))
+    gc = ex.groupBy(id_col, "gram").agg(
+        F.count(F.col("gram")).alias("cnt"),  # 0 for the null-gram row
+        F.first("__n_chars").alias("__n_chars"),
+        F.first("n_words").alias("n_words"),
+        F.first("dup_word_frac").alias("dup_word_frac"),
     )
-    # max count, then smallest gram: min over the (-cnt, gram) ordering
+    # max count, then smallest gram: min over the (-cnt, gram) ordering.
+    # The null-gram row exists only for docs with NO grams (explode_outer),
+    # so it never competes with a real gram; coalesce in the ordering key
+    # just keeps the struct comparison null-free.
     top = gc.groupBy(id_col).agg(
         F.min_by(
-            F.struct("gram", "cnt"), F.struct((-F.col("cnt")).alias("nc"), "gram")
-        ).alias("__top")
+            F.struct("gram", "cnt"),
+            F.struct(
+                (-F.col("cnt")).alias("nc"), F.coalesce("gram", F.lit("")).alias("g")
+            ),
+        ).alias("__top"),
+        F.first("__n_chars").alias("__n_chars"),
+        F.first("n_words").alias("n_words"),
+        F.first("dup_word_frac").alias("dup_word_frac"),
     )
-    return (
-        per_doc.join(top, id_col, "left")
-        .select(
-            id_col,
-            "n_words",
-            "dup_word_frac",
-            F.coalesce(F.col("__top.gram"), F.lit("")).alias("top_gram"),
-            F.coalesce(F.col("__top.cnt"), F.lit(0)).alias("top_gram_count"),
-            (
-                F.coalesce(
-                    F.col("__top.cnt") * F.length("__top.gram"), F.lit(0)
-                )
-                / F.greatest("__n_chars", F.lit(1))
-            ).alias("top_gram_char_frac"),
-        )
+    return top.select(
+        id_col,
+        "n_words",
+        "dup_word_frac",
+        F.coalesce(F.col("__top.gram"), F.lit("")).alias("top_gram"),
+        F.coalesce(
+            F.when(F.col("__top.gram").isNotNull(), F.col("__top.cnt")), F.lit(0)
+        ).alias("top_gram_count"),
+        (
+            F.coalesce(
+                F.when(
+                    F.col("__top.gram").isNotNull(),
+                    F.col("__top.cnt") * F.length("__top.gram"),
+                ),
+                F.lit(0),
+            )
+            / F.greatest("__n_chars", F.lit(1))
+        ).alias("top_gram_char_frac"),
     )
