@@ -82,6 +82,10 @@ def pack_shards(
         pid = F.lit(0)
         for b in sorted(set(bounds)):  # duplicate quantiles collapse
             pid = pid + (F.col(id_col) > F.lit(b)).cast("int")
+        # NULL ids: the > comparisons yield NULL -> NULL pid, which would
+        # crash the driver-side sorted(sums); pin them to partition -1
+        # (consistent with the window's nulls-first ordering within it)
+        pid = F.when(F.col(id_col).isNull(), F.lit(-1)).otherwise(pid)
         # the window's partitionBy("__pid") supplies the (single) exchange;
         # no physical pre-partitioning needed since __pid is deterministic
         local_src = df.withColumn("__pid", pid)

@@ -143,16 +143,30 @@ class StorageService:
         rpc = self._rpc(req)
         pred = sp.request_predicate(req)
         group_keys = req.get("group_keys") or []
+        # Group::None with grouping keys is a client error
+        # (expr.rs:526-537 InvalidGroupNone)
+        if req.get("group", sp.GROUP_NONE) == sp.GROUP_NONE and group_keys:
+            raise StorageRpcError(
+                f"Invalid group none with {len(group_keys)} group keys"
+            )
         agg_msg = req.get("aggregate")
         agg = Aggregate(sp.AGG_NAMES[(agg_msg or {}).get("type", 0)])
         for t in sorted(rpc.db.schemas):
             if pred is not None and not pred.should_scan_table(t):
                 continue
             schema = rpc.db.table_schema(t)
-            keys = [g for g in group_keys if g in schema.tag_columns]
             table_pred, has_fields = self._agg_predicate(rpc, t, pred, agg)
             if not has_fields:
                 continue  # no aggregate-compatible field in this table
+            # a group key that is not a tag of a planned measurement fails
+            # the whole request (influxrpc.rs:1265-1299 GroupColumnNotFound)
+            keys = list(group_keys)
+            missing = [g for g in keys if g not in schema.tag_columns]
+            if missing:
+                raise StorageRpcError(
+                    f"group column '{missing[0]}' not found in tag columns: "
+                    f"{', '.join(schema.tag_columns)} of table '{t}'"
+                )
             df = rpc.read_group(t, agg, keys, table_pred)
             ordered = [*keys, *[c for c in schema.tag_columns if c not in keys]]
             field_dtypes = self._field_dtypes(rpc, t, df)
@@ -214,28 +228,47 @@ class StorageService:
                 f"Exactly one aggregate is supported, but {len(aggs)} were supplied"
             )
         agg = Aggregate(sp.AGG_NAMES[aggs[0].get("type", 0)])
+        # Window resolution (expr.rs:546-590): the legacy nanosecond
+        # WindowEvery/Offset fields take PRECEDENCE — a window message is
+        # ignored when either is non-zero; the window message applies only
+        # when both are zero, its `every` must be non-zero (ForbidZero);
+        # and no window at all is a client error (EmptyWindow).
         window = req.get("window")
+        legacy_every = req.get("window_every", 0)
+        legacy_offset = req.get("offset", 0)
+        months = None
+        if legacy_every or legacy_offset:
+            every_ns, offset_ns = legacy_every, legacy_offset
+        elif window:
+            ev = window.get("every") or {}
+            off = window.get("offset") or {}
+            if ev.get("months"):
+                months = ev["months"] * (-1 if ev.get("negative") else 1)
+                off_months = off.get("months", 0) * (
+                    -1 if off.get("negative") else 1
+                )
+            else:
+                every_ns = ev.get("nsecs", 0)
+                offset_ns = off.get("nsecs", 0)
+                if not every_ns:
+                    raise StorageRpcError(
+                        "window every duration must be greater than zero"
+                    )
+        else:
+            raise StorageRpcError(
+                "window aggregate request with no window specified"
+            )
         for t in sorted(rpc.db.schemas):
             if pred is not None and not pred.should_scan_table(t):
                 continue
             table_pred, has_fields = self._agg_predicate(rpc, t, pred, agg)
             if not has_fields:
                 continue  # no aggregate-compatible field in this table
-            if window and (window.get("every") or {}).get("months"):
-                every = window["every"]
-                months = every["months"] * (-1 if every.get("negative") else 1)
-                off = window.get("offset") or {}
-                off_months = off.get("months", 0) * (-1 if off.get("negative") else 1)
+            if months is not None:
                 df = rpc.read_window_aggregate_months(
                     t, agg, months, off_months, table_pred
                 )
             else:
-                if window:  # Duration-form nanoseconds
-                    every_ns = (window.get("every") or {}).get("nsecs", 0)
-                    offset_ns = (window.get("offset") or {}).get("nsecs", 0)
-                else:  # legacy WindowEvery/Offset int fields
-                    every_ns = req.get("window_every", 0)
-                    offset_ns = req.get("offset", 0)
                 df = rpc.read_window_aggregate(
                     t, agg, every_ns, offset_ns, table_pred
                 )

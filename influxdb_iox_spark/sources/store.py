@@ -180,31 +180,38 @@ class TableStore:
 
         JSONL append-log (one record per line: a ChunkMeta, or a
         ``{"__drop__": [ids]}`` tombstone) or the legacy JSON-array
-        snapshot.  A torn trailing line from a crashed append parses as
-        malformed JSON and is skipped — only the FINAL non-empty line gets
-        that tolerance: mid-file corruption is not a torn append and
-        silently skipping it would shrink query results with no error, so
-        it raises."""
-        if not os.path.exists(p):
+        snapshot.  A TORN append (crashed writer) is a truncated record —
+        it never reaches its closing brace — and with concurrent appenders
+        it can sit ANYWHERE in the file (the next writer's leading-newline
+        record follows it), so truncated lines are skipped wherever they
+        occur; a malformed line that still ends with ``}`` cannot be a torn
+        append and raises (silently skipping real corruption would shrink
+        query results with no error)."""
+        try:
+            with open(p) as f:  # no exists()-then-open: the compactor may
+                text = f.read()  # remove .merge between check and open —
+        except FileNotFoundError:  # the chain-version retry handles it
             return [], set()
-        with open(p) as f:
-            text = f.read()
         if text.lstrip().startswith("["):  # legacy array snapshot
             return [ChunkMeta(**e) for e in json.loads(text)], set()
         adds: list[ChunkMeta] = []
         drops: set[int] = set()
-        lines = [ln.strip() for ln in text.splitlines()]
-        nonempty = [i for i, ln in enumerate(lines) if ln]
-        last = nonempty[-1] if nonempty else -1
-        for i in nonempty:
+        for i, ln in enumerate(text.splitlines()):
+            ln = ln.strip()
+            if not ln:
+                continue
             try:
-                rec = json.loads(lines[i])
+                rec = json.loads(ln)
             except json.JSONDecodeError:
-                if i == last:
-                    continue  # torn trailing append from a crashed writer
+                if not ln.endswith("}"):
+                    continue  # truncated record = torn append
                 raise ValueError(
                     f"corrupt manifest record at {p}:{i + 1} "
-                    "(interior line is not valid JSON)"
+                    "(complete line is not valid JSON)"
+                )
+            if not isinstance(rec, dict):
+                raise ValueError(
+                    f"corrupt manifest record at {p}:{i + 1} (not an object)"
                 )
             if "__drop__" in rec:
                 drops.update(rec["__drop__"])
@@ -212,18 +219,12 @@ class TableStore:
                 adds.append(ChunkMeta(**rec))
         return adds, drops
 
-    def _load_part(self, table: str, fname: str) -> list[ChunkMeta]:
-        """Fold one partition's log chain (.base snapshot + .merge crash
-        leftover + live appends): apply tombstones, dedup re-appended
+    @staticmethod
+    def _fold(adds: list[ChunkMeta], drops: set[int]) -> list[ChunkMeta]:
+        """Fold a log chain's records: apply tombstones, dedup re-appended
         records by chunk_id (ids are never reused, so records are
-        idempotent and drops are order-independent)."""
-        d = self._manifest_dir(table)
-        adds: list[ChunkMeta] = []
-        drops: set[int] = set()
-        for suf in self._LOG_SUFFIXES:
-            a, dr = self._parse_log(os.path.join(d, fname + suf))
-            adds.extend(a)
-            drops |= dr
+        idempotent and drops are order-independent).  The ONE place fold
+        semantics live — readers and the log compactor share it."""
         seen: set[int] = set()
         out: list[ChunkMeta] = []
         for c in adds:
@@ -233,24 +234,99 @@ class TableStore:
             out.append(c)
         return out
 
-    def _save_part(self, table: str, fname: str, entries: list[ChunkMeta]) -> None:
+    def _chain_version(self, d: str, fname: str) -> tuple:
+        """Identity of the physical files backing one partition's log chain
+        (inode per file; None when absent).  Appends keep the inode, so
+        only log compaction — which MOVES records between files — changes
+        the version."""
+        out = []
+        for suf in self._LOG_SUFFIXES:
+            try:
+                st = os.stat(os.path.join(d, fname + suf))
+                out.append((st.st_ino, st.st_dev))
+            except FileNotFoundError:
+                out.append(None)
+        return tuple(out)
+
+    def _load_part(self, table: str, fname: str) -> list[ChunkMeta]:
+        """Fold one partition's log chain (.base snapshot + .merge crash
+        leftover + live appends).
+
+        Reads are validated against a concurrent log compaction: the
+        compactor MOVES records between the chain's files (live → .merge →
+        .base), so a read that interleaves with a fold could see a file
+        both before its records arrived and after they left — silently
+        dropping them.  The chain's inode version is captured before and
+        after the read; a changed version retries (appends keep the inode,
+        so steady-state appending never forces a retry)."""
+        d = self._manifest_dir(table)
+        for attempt in range(16):
+            before = self._chain_version(d, fname)
+            adds: list[ChunkMeta] = []
+            drops: set[int] = set()
+            for suf in self._LOG_SUFFIXES:
+                a, dr = self._parse_log(os.path.join(d, fname + suf))
+                adds.extend(a)
+                drops |= dr
+            if self._chain_version(d, fname) == before:
+                return self._fold(adds, drops)
+            _time.sleep(0.001 * attempt)
+        # a compactor folding in a hot loop can starve optimistic reads;
+        # fall back to reading under the compaction lock (compaction pauses
+        # for one read, readers never return a torn view)
+        lock = os.path.join(d, "_compact.lock")
+        deadline = _time.time() + 30.0
+        while not self._acquire_lock(lock):
+            if _time.time() > deadline:
+                raise RuntimeError(
+                    f"manifest read of {fname!r} kept racing log compaction"
+                )
+            _time.sleep(0.005)
+        try:
+            adds, drops = [], set()
+            for suf in self._LOG_SUFFIXES:
+                a, dr = self._parse_log(os.path.join(d, fname + suf))
+                adds.extend(a)
+                drops |= dr
+            return self._fold(adds, drops)
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
+
+    def _save_part(
+        self,
+        table: str,
+        fname: str,
+        entries: list[ChunkMeta],
+        drops: set[int] | None = None,
+    ) -> None:
         """Atomic snapshot rewrite of one physical log file (tmp + rename).
         Only ever targets ``.base`` snapshots (log compaction) or a legacy
         file being migrated — the live log is append-only, see
-        _append_record."""
+        _append_record.
+
+        ``drops``: tombstone ids PERSISTED into the snapshot (one leading
+        ``__drop__`` record).  Folding a tombstone away would let a delayed
+        duplicate re-append (see _append_record) resurrect a chunk that was
+        dropped between two log compactions; ids are never reused, so the
+        set only grows with genuinely dropped chunks and stays a few bytes
+        each."""
         d = self._manifest_dir(table)
         os.makedirs(d, exist_ok=True)
         p = os.path.join(d, fname)
-        if not entries:
+        if not entries and not drops:
             if os.path.exists(p):
                 os.remove(p)
             return
-        tmp = p + f".{os.getpid()}.tmp"
+        lines = []
+        if drops:
+            lines.append(json.dumps({"__drop__": sorted(drops)}))
+        lines.extend(json.dumps(asdict(e), default=str) for e in entries)
+        tmp = p + f".{os.getpid()}-{uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as f:
-            f.write(
-                "\n".join(json.dumps(asdict(e), default=str) for e in entries)
-                + "\n"
-            )
+            f.write("\n".join(lines) + "\n")
         os.replace(tmp, p)
 
     def manifest(self, table: str) -> list[ChunkMeta]:
@@ -284,11 +360,39 @@ class TableStore:
         os.makedirs(d, exist_ok=True)
         p = os.path.join(d, fname)
         if p not in self._jsonl_checked:
-            if os.path.exists(p):
-                with open(p) as f:
-                    if f.read(1) == "[":  # one-time legacy snapshot migration
-                        adds, _ = self._parse_log(p)
-                        self._save_part(table, fname, adds)
+            try:
+                with open(p) as f:  # no exists()-then-open: compaction may
+                    legacy = f.read(1) == "["  # rename the live log away
+            except FileNotFoundError:  # between the check and the open
+                legacy = False
+            if legacy:
+                    # one-time legacy snapshot migration — under the
+                    # compaction lock: an unlocked check-parse-rewrite lets
+                    # two migrating writers clobber each other's first
+                    # appended record (os.replace over a file the other
+                    # just appended to)
+                    lock = os.path.join(d, "_compact.lock")
+                    deadline = _time.time() + 30.0
+                    while not self._acquire_lock(lock):
+                        if _time.time() > deadline:
+                            raise RuntimeError(
+                                f"timed out waiting to migrate legacy manifest {p}"
+                            )
+                        _time.sleep(0.02)
+                    try:
+                        try:
+                            with open(p) as f:  # re-check: loser of the race
+                                still_legacy = f.read(1) == "["
+                        except FileNotFoundError:
+                            still_legacy = False  # renamed away — migrated
+                        if still_legacy:
+                            adds, _ = self._parse_log(p)
+                            self._save_part(table, fname, adds)
+                    finally:
+                        try:
+                            os.unlink(lock)
+                        except FileNotFoundError:
+                            pass
             self._jsonl_checked.add(p)
         data = ("\n" + json.dumps(rec, default=str) + "\n").encode()
         for _ in range(8):
@@ -409,7 +513,10 @@ class TableStore:
             except FileExistsError:
                 base += self.ID_BLOCK
         p = os.path.join(d, "_next_id")
-        tmp = p + f".{os.getpid()}.tmp"
+        # pid alone is not unique across THREADS of one process — two
+        # writers sharing a pid would race the same tmp name and one
+        # os.replace would find it already consumed
+        tmp = p + f".{os.getpid()}-{uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as f:
             f.write(str(base + self.ID_BLOCK))
         os.replace(tmp, p)  # racing hints may regress; claim files correct it
@@ -841,7 +948,14 @@ class TableStore:
 
     def _acquire_lock(self, path: str, stale: float | None = None) -> bool:
         """O_CREAT|O_EXCL lock file — CAS-acquire; a lock older than
-        ``stale`` seconds (crashed holder) is stolen."""
+        ``stale`` seconds (crashed holder) is stolen.
+
+        The steal is an atomic ``rename`` to a unique name: exactly ONE of
+        N racing stealers wins the rename and the losers retry against
+        whatever lock exists next.  A plain unlink-then-create steal is a
+        TOCTOU — a second stealer whose staleness check predates the first
+        stealer's fresh lock would unlink it, and two compactors folding
+        the same partition concurrently can lose manifest records."""
         stale = self.COMPACT_LOCK_STALE_SECONDS if stale is None else stale
         for _ in range(3):
             try:
@@ -855,20 +969,26 @@ class TableStore:
                 except FileNotFoundError:
                     continue  # holder just released — retry
                 if age > stale:
+                    stolen = f"{path}.stale-{uuid.uuid4().hex[:8]}"
                     try:
-                        os.unlink(path)
+                        os.rename(path, stolen)
+                    except FileNotFoundError:
+                        continue  # another stealer won — retry
+                    try:
+                        os.unlink(stolen)
                     except FileNotFoundError:
                         pass
-                    continue
+                    continue  # we cleared it; race the O_EXCL create
                 return False
         return False
 
     def _fold_into_base(self, table: str, fname: str) -> None:
         """Fold ``.base`` + ``.merge`` into a fresh ``.base`` snapshot
-        (tombstones applied, duplicates dropped), then remove ``.merge``.
-        Idempotent: a crash between snapshot and remove re-folds the same
-        records next time (ids are never reused, so re-applying is a
-        no-op)."""
+        (tombstones applied via the shared ``_fold``, duplicates dropped),
+        then remove ``.merge``.  Tombstone ids are carried INTO the new
+        snapshot — see _save_part.  Idempotent: a crash between snapshot
+        and remove re-folds the same records next time (ids are never
+        reused, so re-applying is a no-op)."""
         d = self._manifest_dir(table)
         adds: list[ChunkMeta] = []
         drops: set[int] = set()
@@ -876,14 +996,7 @@ class TableStore:
             a, dr = self._parse_log(os.path.join(d, fname + suf))
             adds.extend(a)
             drops |= dr
-        seen: set[int] = set()
-        folded = []
-        for c in adds:
-            if c.chunk_id in drops or c.chunk_id in seen:
-                continue
-            seen.add(c.chunk_id)
-            folded.append(c)
-        self._save_part(table, fname + ".base", folded)
+        self._save_part(table, fname + ".base", self._fold(adds, drops), drops=drops)
         merge = os.path.join(d, fname + ".merge")
         if os.path.exists(merge):
             os.remove(merge)

@@ -72,7 +72,11 @@ class TsmError(Exception):
 
 
 # ---------------------------------------------------------------------------
-# varint (unsigned LEB128 — the integer_encoding crate's u64 wire format)
+# varint (unsigned LEB128 — the integer_encoding crate's u64 wire format).
+# Deliberately standalone from protowire.encode_varint/decode_varint: this
+# module is executor-shipped import tooling with its own error type and
+# 64-bit overflow bound; keep the two codecs' tests in sync if either gains
+# bounds handling.
 
 
 def _varint_encode(v: int) -> bytes:

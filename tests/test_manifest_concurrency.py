@@ -179,7 +179,13 @@ def test_compact_lock_excludes_second_compactor(tmp_path):
     assert store.compact_manifest("t") == 1  # stale lock stolen
 
 
-def test_interior_corruption_raises_trailing_tolerated(tmp_path):
+def test_torn_appends_tolerated_corruption_raises(tmp_path):
+    """Truncated records (torn appends) are tolerated ANYWHERE — with
+    concurrent appenders the next writer's record follows a torn one, so a
+    torn line is not necessarily trailing.  A malformed line that still
+    ends with '}' cannot be a torn append (torn writes never reach the
+    closing brace) and raises loudly instead of silently shrinking query
+    results."""
     base = str(tmp_path / "store")
     store = TableStore(base)
     m1, m2 = (_meta(store, "t", "p", "x") for _ in range(2))
@@ -190,9 +196,17 @@ def test_interior_corruption_raises_trailing_tolerated(tmp_path):
     with open(p, "a") as f:
         f.write('{"chunk_id": 99, "pa')
     assert [c.chunk_id for c in store.manifest("t")] == [m1.chunk_id, m2.chunk_id]
-    # INTERIOR corruption → loud failure, not silently shrunken results
+    # torn append followed by ANOTHER writer's good record (the torn line
+    # is now interior) → still tolerated, good record visible
+    m3 = _meta(store, "t", "p", "x")
+    store._append_manifest("t", m3)
+    assert [c.chunk_id for c in store.manifest("t")] == [
+        m1.chunk_id, m2.chunk_id, m3.chunk_id
+    ]
+    # mid-line corruption of a COMPLETE record → loud failure
     lines = open(p).read().splitlines()
-    lines[1] = '{"chunk_id": 98, "corrupt'  # first record line (index 0 is blank)
+    idx = next(i for i, ln in enumerate(lines) if ln.strip().endswith("}"))
+    lines[idx] = lines[idx].replace('"chunk_id"', '"chunk_id!', 1)
     with open(p, "w") as f:
         f.write("\n".join(lines))
     with pytest.raises(ValueError, match="corrupt manifest record"):
@@ -232,3 +246,98 @@ def test_tombstone_record_roundtrip(tmp_path):
     recs = [json.loads(ln) for ln in open(p).read().splitlines() if ln.strip()]
     assert recs[-1] == {"__drop__": [m.chunk_id]}
     assert store.manifest("t") == []
+
+
+def test_tombstones_survive_log_compaction(tmp_path):
+    """A delayed duplicate re-append (the _append_record inode-race path)
+    must NOT resurrect a chunk dropped between two log compactions:
+    tombstone ids are persisted into .base snapshots, not folded away."""
+    base = str(tmp_path / "store")
+    store = TableStore(base)
+    m1 = _meta(store, "t", "p", "x")
+    store._append_manifest("t", m1)
+    store.drop_chunks("t", [m1.chunk_id], delete_files=False)
+    assert store.manifest("t") == []
+    store.compact_manifest("t")  # folds add+tombstone into .base
+    # the delayed appender re-appends the original add record
+    store._append_manifest("t", m1)
+    assert store.manifest("t") == []  # tombstone still applies
+    store.compact_manifest("t")  # and survives ANOTHER fold
+    store._append_manifest("t", m1)
+    assert store.manifest("t") == []
+
+
+def test_stale_lock_steal_is_atomic(tmp_path):
+    """The stale-lock steal renames (atomic claim) rather than unlinking:
+    only one stealer can win, and a fresh lock is never stolen."""
+    import time as _t
+
+    base = str(tmp_path / "store")
+    store = TableStore(base)
+    lock = str(tmp_path / "l.lock")
+    # stale lock -> stolen and acquired
+    open(lock, "w").write("1")
+    os.utime(lock, (0, 0))
+    assert store._acquire_lock(lock)
+    # fresh lock (just created by us) -> NOT stolen by a second acquirer
+    assert not store._acquire_lock(lock)
+    os.unlink(lock)
+
+
+def test_readers_race_compaction_without_losing_records(tmp_path):
+    """The round-5 review finding: a reader interleaving with a fold could
+    see .base before the fold and .merge after its deletion — silently
+    dropping every record that was in the live log.  Reads now validate
+    the chain's inode version (with a locked-read fallback under hot
+    compaction): two readers hammering manifest() during continuous
+    compaction + appends must never see a lost or duplicated record."""
+    base = str(tmp_path / "store")
+    written: list[int] = []
+    stop = threading.Event()
+    errors: list = []
+
+    def appender():
+        try:
+            s = TableStore(base)
+            for _ in range(150):
+                m = _meta(s, "t", "p", "w")
+                s._append_manifest("t", m)
+                written.append(m.chunk_id)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(("append", e))
+
+    def compactor():
+        try:
+            s = TableStore(base)
+            while not stop.is_set():
+                s.compact_manifest("t")
+        except BaseException as e:  # noqa: BLE001
+            errors.append(("compact", e))
+
+    def reader():
+        try:
+            s = TableStore(base)
+            while not stop.is_set():
+                snapshot = list(written)
+                ids = [c.chunk_id for c in s.manifest("t")]
+                assert len(ids) == len(set(ids)), "duplicate ids"
+                missing = set(snapshot) - set(ids)
+                assert not missing, f"reader lost records: {sorted(missing)[:5]}"
+        except BaseException as e:  # noqa: BLE001
+            errors.append(("read", e))
+
+    threads = [
+        threading.Thread(target=appender),
+        threading.Thread(target=compactor),
+        threading.Thread(target=reader),
+        threading.Thread(target=reader),
+    ]
+    for t in threads:
+        t.start()
+    threads[0].join()
+    stop.set()
+    for t in threads[1:]:
+        t.join()
+    assert not errors, errors
+    final = sorted(c.chunk_id for c in TableStore(base).manifest("t"))
+    assert final == sorted(written)

@@ -215,3 +215,18 @@ def test_mixture_sample(spark):
     assert all(r.lang == "en" for r in out2.collect())
     # and the capped stratum keeps every doc
     assert out2.count() == 100
+
+
+def test_pack_shards_tolerates_null_ids(spark):
+    """NULL ids must not crash the quantile path (NULL > bound is NULL ->
+    NULL pid -> driver-side sort exploded); they pin to partition -1 and
+    pack first."""
+    df = spark.createDataFrame(
+        [(None, 10), (1, 10), (2, 10), (3, 10)], "doc_id long, n_tokens long"
+    )
+    out = pack_shards(df, shard_tokens=20, num_partitions=2).collect()
+    assert len(out) == 4
+    by_id = {r.doc_id: r.shard_id for r in out}
+    # null id packs before id 1 (partition -1), totals 40 tokens -> 2 shards
+    assert sorted(by_id.values()) == [0, 0, 1, 1]
+    assert by_id[None] == 0

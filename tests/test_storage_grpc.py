@@ -559,3 +559,75 @@ def test_read_group_no_predicate_sum(client):
     # system (integer) contributes; status/attributes (bool/string) are skipped
     assert any("_measurement=system" in ln for ln in dumped)
     assert not any("_measurement=status" in ln for ln in dumped)
+
+
+def test_read_group_none_with_keys_rejected(client):
+    """expr.rs:526-537 InvalidGroupNone: Group::None plus group keys is a
+    client error."""
+    import pyarrow.flight as fl
+
+    req = {
+        "read_source": _read_source(),
+        "range": _range(),
+        "group": sp.GROUP_NONE,
+        "group_keys": ["host"],
+    }
+    with pytest.raises(fl.FlightServerError, match="group none"):
+        client.call("ReadGroup", req, sp.READ_GROUP_REQUEST, sp.READ_RESPONSE)
+
+
+def test_read_group_unknown_key_rejected(client):
+    """influxrpc.rs:1265-1299 GroupColumnNotFound: a group key that is not
+    a tag of a planned measurement fails the request."""
+    import pyarrow.flight as fl
+
+    req = {
+        "read_source": _read_source(),
+        "range": _range(),
+        "group": sp.GROUP_BY,
+        "group_keys": ["no_such_tag"],
+        "aggregate": {"type": 1},
+    }
+    with pytest.raises(fl.FlightServerError, match="no_such_tag"):
+        client.call("ReadGroup", req, sp.READ_GROUP_REQUEST, sp.READ_RESPONSE)
+
+
+def test_window_aggregate_empty_window_rejected(client):
+    """expr.rs:546-590 EmptyWindow: no window message and zero legacy
+    fields is a client error (window_bounds with every=0 would divide the
+    timeline into nothing)."""
+    import pyarrow.flight as fl
+
+    req = {
+        "read_source": _read_source(),
+        "range": _range(),
+        "aggregate": [{"type": 1}],
+    }
+    with pytest.raises(fl.FlightServerError, match="window"):
+        client.call(
+            "ReadWindowAggregate", req, sp.READ_WINDOW_AGGREGATE_REQUEST,
+            sp.READ_RESPONSE,
+        )
+
+
+def test_window_aggregate_legacy_fields_win_over_window(client):
+    """expr.rs:546-590: non-zero legacy WindowEvery takes precedence and
+    the window message is ignored."""
+    req_legacy = {
+        "read_source": _read_source(),
+        "range": _range(),
+        "predicate": _tag_predicate("host", "server01"),
+        "window_every": 2,
+        "aggregate": [{"type": 1}],
+    }
+    req_both = dict(req_legacy)
+    req_both["window"] = {"every": {"nsecs": 7}}  # must be ignored
+    a = client.call(
+        "ReadWindowAggregate", req_legacy, sp.READ_WINDOW_AGGREGATE_REQUEST,
+        sp.READ_RESPONSE,
+    )
+    b = client.call(
+        "ReadWindowAggregate", req_both, sp.READ_WINDOW_AGGREGATE_REQUEST,
+        sp.READ_RESPONSE,
+    )
+    assert a == b
