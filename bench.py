@@ -144,6 +144,17 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
+                # the round-4 headline subset (the two round-5 additions
+                # grew the total by construction) — compare THIS number
+                # across rounds, normalized by the sentinel
+                "value_r04_comparable": round(
+                    sum(
+                        v
+                        for k, v in timings.items()
+                        if k not in ("simhash_near_dup", "corpus_ngram_topk")
+                    ),
+                    3,
+                ),
                 "queries": timings,
                 "queries_run2": timings_run2,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
