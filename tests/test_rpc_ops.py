@@ -450,11 +450,9 @@ def test_read_filter_all_field_projection_missing_field(db):
     assert by_table["o2"].count() == 0  # o2 has no temp field
 
 
-def test_tag_keys_many_nulls_battery(spark, tmp_path):
-    """The TwoMeasurementsManyNulls tag_keys battery (tag_keys.rs:50-121):
-    sparse tags across two measurements; each predicate combination keeps
-    only keys with >= 1 matching NON-NULL row, and the un-scoped call
-    unions keys across measurements."""
+def _many_nulls_rpc(spark, tmp_path):
+    """The TwoMeasurementsManyNulls fixture (scenarios.rs): two chunks,
+    sparse city/county/borough tags across h2o + o2."""
     from influxdb_iox_spark.rpc import InfluxRpc
 
     h2o_s = IoxSchema.build(
@@ -496,7 +494,15 @@ def test_tag_keys_many_nulls_battery(spark, tmp_path):
     db = Database("nulls", store, spark)
     db.register_table("h2o", h2o_s)
     db.register_table("o2", o2_s)
-    rpc = InfluxRpc(db)
+    return InfluxRpc(db)
+
+
+def test_tag_keys_many_nulls_battery(spark, tmp_path):
+    """The TwoMeasurementsManyNulls tag_keys battery (tag_keys.rs:50-121):
+    sparse tags across two measurements; each predicate combination keeps
+    only keys with >= 1 matching NON-NULL row, and the un-scoped call
+    unions keys across measurements."""
+    rpc = _many_nulls_rpc(spark, tmp_path)
 
     # :50 no predicate -> union across measurements
     assert rpc.tag_keys_all() == ["borough", "city", "county", "state"]
@@ -524,6 +530,62 @@ def test_tag_keys_many_nulls_battery(spark, tmp_path):
     assert rpc.tag_keys_all(
         Predicate().tables("o2").with_range(1, 550).with_expr(F.col("state") == "NY")
     ) == ["city", "state"]
+
+
+def test_tag_values_many_nulls_battery(spark, tmp_path):
+    """The TwoMeasurementsManyNulls tag_values battery
+    (tag_values.rs:47-244): distinct non-null values of one tag under every
+    predicate combination, unioned across measurements."""
+    rpc = _many_nulls_rpc(spark, tmp_path)
+
+    # :48 a tag in no chunk -> empty set
+    assert rpc.tag_values_all("tag_not_in_chunks") == []
+    # :62 no predicate, state -> union across h2o+o2
+    assert rpc.tag_values_all("state") == ["CA", "MA", "NY"]
+    # :75 no predicate, city
+    assert rpc.tag_values_all("city") == ["Boston", "LA", "NYC"]
+    # :88 ts [50,201): h2o@100 + o2@200 -> CA, MA
+    assert rpc.tag_values_all("state", Predicate().with_range(50, 201)) == [
+        "CA", "MA"
+    ]
+    # :101 state=MA -> city Boston only
+    assert rpc.tag_values_all(
+        "city", Predicate().with_expr(F.col("state") == "MA")
+    ) == ["Boston"]
+    # :116 ts [150,301) + state=MA -> MA
+    assert rpc.tag_values_all(
+        "state", Predicate().with_range(150, 301).with_expr(F.col("state") == "MA")
+    ) == ["MA"]
+    # :131 table h2o -> CA, MA
+    assert rpc.tag_values_all("state", Predicate().tables("h2o")) == ["CA", "MA"]
+    # :144 table o2, city -> Boston, NYC
+    assert rpc.tag_values_all("city", Predicate().tables("o2")) == [
+        "Boston", "NYC"
+    ]
+    # :157 table o2 + ts [50,201) -> MA
+    assert rpc.tag_values_all(
+        "state", Predicate().tables("o2").with_range(50, 201)
+    ) == ["MA"]
+    # :173 table o2 + state=NY -> NY
+    assert rpc.tag_values_all(
+        "state", Predicate().tables("o2").with_expr(F.col("state") == "NY")
+    ) == ["NY"]
+    # :189 table o2 + ts [1,550) + state=NY -> NY
+    assert rpc.tag_values_all(
+        "state",
+        Predicate().tables("o2").with_range(1, 550).with_expr(F.col("state") == "NY"),
+    ) == ["NY"]
+    # :205 ts [1,300) filters out every NY row -> empty
+    assert rpc.tag_values_all(
+        "state",
+        Predicate().tables("o2").with_range(1, 300).with_expr(F.col("state") == "NY"),
+    ) == []
+    # :223 a FIELD column errors on the single-measurement call (the
+    # reference's planner error); the bucket-wide union instead SKIPS
+    # field-typed siblings (documented in tag_values_all) -> empty set
+    with pytest.raises(Exception, match="not a tag"):
+        rpc.tag_values("h2o", "temp")
+    assert rpc.tag_values_all("temp") == []
 
 
 def test_table_names_half_open_battery(spark, tmp_path):
