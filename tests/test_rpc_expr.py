@@ -110,3 +110,128 @@ def test_rejects_like_and_modulo(spark):
 def test_pseudo_tag_outside_equality_rejected(spark):
     with pytest.raises(RpcExprError):
         rpc_predicate_to_predicate(cmp("gt", tag("\x00"), lit("cpu")))
+
+
+# ---------------------------------------------------------------------------
+# differential fuzz: random wire trees vs a Kleene-logic Python oracle
+
+
+def _fuzz_rows():
+    """Fixed row set with nulls in both tags and the field."""
+    vals = ["a", "b", "cc", None]
+    rows = []
+    i = 0
+    for t1 in vals:
+        for t2 in vals:
+            for f in [0, 5, 17, None]:
+                rows.append((i, t1, t2, f, i * 10))
+                i += 1
+    return rows
+
+
+def _eval_node(node, row):
+    """Reference three-valued evaluation of a wire tree over one row dict
+    (missing/null column -> unknown; Kleene and/or) — mirrors what
+    DataFusion computes for the reference."""
+    import re
+
+    nt = node["node_type"]
+    if nt == "comparison":
+        op = node["op"]
+        lhs, rhs = node["children"]
+        col = lhs["value"]
+        lv = row.get(col)
+        rv = rhs["value"]
+        if op in ("regex_match", "not_regex_match"):
+            if lv is None:
+                return None
+            hit = re.search(str(rv), lv) is not None
+            return hit if op == "regex_match" else not hit
+        if lv is None:
+            return None
+        return {
+            "eq": lv == rv, "not_eq": lv != rv, "lt": lv < rv,
+            "lte": lv <= rv, "gt": lv > rv, "gte": lv >= rv,
+        }[op]
+    if nt == "logical":
+        vals = [_eval_node(c, row) for c in node["children"]]
+        if node["op"] == "and":
+            if any(v is False for v in vals):
+                return False
+            return None if any(v is None for v in vals) else True
+        if any(v is True for v in vals):
+            return True
+        return None if any(v is None for v in vals) else False
+    raise AssertionError(nt)
+
+
+def _tree_strategy():
+    from hypothesis import strategies as st
+
+    str_lits = st.sampled_from(["a", "b", "cc", "zz"])
+    int_lits = st.sampled_from([0, 5, 17, 100])
+    ops = st.sampled_from(["eq", "not_eq", "lt", "lte", "gt", "gte"])
+    # t_missing exists in NO row: exercises the missing-column-as-NULL
+    # rewrite (ADVICE r04: OR branches over present columns must survive)
+    tag_cmp = st.builds(
+        lambda o, c, v: cmp(o, tag(c), lit(v)),
+        ops, st.sampled_from(["t1", "t2", "t_missing"]), str_lits,
+    )
+    field_cmp = st.builds(
+        lambda o, v: cmp(o, {"node_type": "field_ref", "value": "f"}, lit(v)),
+        ops, int_lits,
+    )
+    regex_cmp = st.builds(
+        lambda c, p, neg: {
+            "node_type": "comparison",
+            "op": "not_regex_match" if neg else "regex_match",
+            "children": [tag(c), {"node_type": "regex", "value": p}],
+        },
+        st.sampled_from(["t1", "t2"]),
+        st.sampled_from(["^a", "c+", "b$"]),
+        st.booleans(),
+    )
+    leaf = st.one_of(tag_cmp, field_cmp, regex_cmp)
+    return st.recursive(
+        leaf,
+        lambda sub: st.builds(
+            lambda o, cs: logical(o, *cs),
+            st.sampled_from(["and", "or"]),
+            st.lists(sub, min_size=2, max_size=3),
+        ),
+        max_leaves=6,
+    )
+
+
+def test_rpc_expr_differential_fuzz(spark):
+    """Random wire predicate trees: the translated Spark filter must select
+    exactly the rows the three-valued oracle keeps (row kept iff True)."""
+    from hypothesis import HealthCheck, given, settings
+
+    rows = _fuzz_rows()
+    df = spark.createDataFrame(
+        rows, "id long, t1 string, t2 string, f long, time long"
+    )
+    df = df.localCheckpoint(eager=True)  # one materialization for all examples
+    row_dicts = [
+        {"id": r[0], "t1": r[1], "t2": r[2], "f": r[3], "time": r[4]}
+        for r in rows
+    ]
+
+    @settings(
+        max_examples=60, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(_tree_strategy())
+    def run(tree):
+        pred = rpc_predicate_to_predicate(tree)
+        got = sorted(r.id for r in pred.apply(df).collect())
+        want = sorted(
+            r["id"]
+            for r in row_dicts
+            if _eval_node(tree, {k: v for k, v in r.items() if v is not None})
+            is True
+        )
+        assert got == want, f"tree={tree}"
+
+    run()
