@@ -1,0 +1,794 @@
+"""Management / Write / Operations gRPC services + the combined server.
+
+The reference serves four gRPC services on one tonic socket
+(src/influxdb_ioxd/rpc.rs): Storage (data plane), ManagementService,
+WriteService, and google.longrunning Operations.  This module adds the
+three control-plane services next to rpc_storage.StorageService and hosts
+all of them on ONE pyarrow Flight socket (a real gRPC server), with
+protobuf request/response bytes via the protowire codec — the same
+transport trick rpc_storage.py documents.
+
+Semantics ported from:
+
+- src/influxdb_ioxd/rpc/management.rs (validation order, NotFound /
+  AlreadyExists / FieldViolation cases, the exact "Resource <type>/<name>
+  not found" message shape its e2e tests assert on)
+- src/influxdb_ioxd/rpc/write.rs (line-protocol write → lines_written)
+- src/influxdb_ioxd/rpc/operations.rs (job records → longrunning
+  Operation with OperationMetadata Any payloads)
+- data_types/src/database_name.rs (name length 1..=64, no control chars)
+- server/src/lib.rs serving-readiness gate: data-plane RPCs return
+  UNAVAILABLE while serving readiness is off; management always answers
+
+Architecture mapping (documented divergences, not bugs):
+
+- Our chunks are born as sorted parquet ("closed" the moment a write
+  lands — streaming/ingest.py docstring), so ChunkStorage is always
+  OBJECT_STORE_ONLY, NewPartitionChunk's rollover is a validated no-op
+  (there is never an open mutable chunk to roll), and
+  UnloadPartitionChunk validates and returns (Spark has no resident
+  read-buffer to unload — executors page parquet in per query).
+- ClosePartitionChunk records a CloseChunk job that completes
+  immediately (the "move to read buffer" is a no-op for chunks already
+  in their persisted sorted form) and returns the longrunning Operation
+  tracking it, like server.close_chunk.
+- WriteEntry (flatbuffers Entry payloads) is Unimplemented: the entry
+  format is a serialization detail of the reference's write buffer; the
+  line-protocol Write RPC and the HTTP write path cover the surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time as _time
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+from influxdb_iox_spark import management_proto as mp
+from influxdb_iox_spark.database import Database
+from influxdb_iox_spark.protowire import decode_message, encode_message
+from influxdb_iox_spark.schema import InfluxColumnType, IoxSchema
+from influxdb_iox_spark.sources.line_protocol import LineProtocolError, parse_lines
+from influxdb_iox_spark.sources.store import TableStore
+from influxdb_iox_spark.streaming.ingest import LineProtocolIngest, PartitionTemplate
+
+GOOGLE_ANY_PREFIX = "type.googleapis.com/"
+OPERATION_METADATA_TYPE_URL = (
+    GOOGLE_ANY_PREFIX + "influxdata.iox.management.v1.OperationMetadata"
+)
+EMPTY_TYPE_URL = GOOGLE_ANY_PREFIX + "google.protobuf.Empty"
+
+
+class GrpcStatusError(Exception):
+    """A gRPC status the transport maps onto the wire error channel."""
+
+    def __init__(self, code: str, message: str):
+        super().__init__(f"{code}: {message}")
+        self.code = code
+        self.message = message
+
+
+def not_found(resource_type: str, resource_name: str) -> GrpcStatusError:
+    # tonic NotFound formatting the reference's e2e tests assert verbatim:
+    # "Resource database/<name> not found" (management_api.rs:623,406)
+    return GrpcStatusError(
+        "NotFound", f"Resource {resource_type}/{resource_name} not found"
+    )
+
+
+def field_violation(fld: str) -> GrpcStatusError:
+    return GrpcStatusError("InvalidArgument", f"Field violation: {fld} is required")
+
+
+def validate_db_name(name: str) -> str:
+    """database_name.rs:48-75 — length 1..=64, no control characters."""
+    if not 1 <= len(name) <= 64:
+        raise GrpcStatusError(
+            "InvalidArgument",
+            f"Database name {name!r} length must be between 1 and 64 characters",
+        )
+    import unicodedata
+
+    for i, ch in enumerate(name):
+        if unicodedata.category(ch) == "Cc":  # Rust char::is_control
+            raise GrpcStatusError(
+                "InvalidArgument",
+                f"Database name {name!r} contains invalid character. "
+                f"Character number {i} is a control which is not allowed.",
+            )
+    return name
+
+
+def _template_from_rules(rules: dict) -> PartitionTemplate:
+    """Proto PartitionTemplate.Part → streaming.ingest.PartitionTemplate
+    (database_rules.rs FromProto: table / column / strftime parts)."""
+    parts: list[tuple[str, str]] = []
+    tmpl = rules.get("partition_template") or {}
+    for part in tmpl.get("parts") or []:
+        if part.get("table") is not None:
+            parts.append(("table", ""))
+        elif part.get("column"):
+            parts.append(("column", part["column"]))
+        elif part.get("time"):
+            parts.append(("time_format", part["time"]))
+        elif part.get("strf_time"):
+            parts.append(("time_format", part["strf_time"].get("format", "")))
+        elif part.get("regex"):
+            raise GrpcStatusError(
+                "InvalidArgument", "regex partition template parts are not supported"
+            )
+    if not parts:
+        # DatabaseRules::partition_template defaults to no parts → every row
+        # lands in the "" partition (data_types database_rules.rs default)
+        return PartitionTemplate(parts=[])
+    return PartitionTemplate(parts=parts)
+
+
+_CTYPE_BY_PY = {float: InfluxColumnType.FIELD_FLOAT, bool: InfluxColumnType.FIELD_BOOLEAN,
+                int: InfluxColumnType.FIELD_INTEGER, str: InfluxColumnType.FIELD_STRING}
+
+
+def _infer_schemas(parsed) -> dict[str, tuple[set, dict]]:
+    """measurement -> (tags, {field: InfluxColumnType}) from parsed lines —
+    the write-path schema inference of the reference's mutable buffer
+    (entry.rs builds typed columns from the first value seen; later type
+    conflicts are write errors)."""
+    out: dict[str, tuple[set, dict]] = {}
+    for pl in parsed:
+        tags, fields = out.setdefault(pl.measurement, (set(), {}))
+        tags.update(pl.tags)
+        for fname, fval in pl.fields.items():
+            # bool before int: bool is a subclass of int in Python
+            ctype = (InfluxColumnType.FIELD_BOOLEAN if isinstance(fval, bool)
+                     else _CTYPE_BY_PY[type(fval)])
+            prev = fields.setdefault(fname, ctype)
+            if prev is not ctype:
+                raise GrpcStatusError(
+                    "InvalidArgument",
+                    f"column {fname!r} of measurement {pl.measurement!r} has "
+                    f"conflicting field types: {prev.value} vs {ctype.value}",
+                )
+    return out
+
+
+@dataclass
+class ManagedDatabase:
+    database: Database
+    rules: dict
+    template: PartitionTemplate
+
+
+class IoxServer:
+    """Server state: databases under one base_dir, server id, readiness,
+    remotes — the Python twin of server/src/lib.rs `Server` for the
+    control plane.  State that must survive restarts (rules + inferred
+    schemas) persists as `<base_dir>/<db>/rules.json`."""
+
+    RULES_FILE = "rules.json"
+
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.base_dir = base_dir
+        self.server_id: int | None = None
+        self.serving = True
+        self.remotes: dict[int, str] = {}
+        self.databases: dict[str, ManagedDatabase] = {}
+        self._lock = threading.RLock()
+        os.makedirs(base_dir, exist_ok=True)
+        self._restore()
+
+    # -- persistence -------------------------------------------------------
+    def _db_dir(self, name: str) -> str:
+        # percent-encode path separators so any valid DatabaseName (which
+        # may contain '/') maps to one directory entry
+        return os.path.join(self.base_dir, name.replace("%", "%25").replace("/", "%2F"))
+
+    def _restore(self) -> None:
+        for entry in sorted(os.listdir(self.base_dir)):
+            rules_path = os.path.join(self.base_dir, entry, self.RULES_FILE)
+            if not os.path.isfile(rules_path):
+                continue
+            with open(rules_path) as f:
+                state = json.load(f)
+            rules = state["rules"]
+            db = Database(rules["name"], TableStore(os.path.dirname(rules_path)), self.spark)
+            for table, sch in state.get("schemas", {}).items():
+                db.register_table(
+                    table,
+                    IoxSchema.build(
+                        sch["tags"],
+                        {n: InfluxColumnType(v) for n, v in sch["fields"].items()},
+                    ),
+                )
+            self.databases[rules["name"]] = ManagedDatabase(
+                db, rules, _template_from_rules(rules)
+            )
+
+    def _save(self, md: ManagedDatabase) -> None:
+        state = {
+            "rules": md.rules,
+            "schemas": {
+                t: {
+                    "tags": sch.tag_columns,
+                    "fields": {
+                        f.name: _col_type_value(sch, f.name)
+                        for f in sch.struct
+                        if _col_type_value(sch, f.name).startswith("field::")
+                    },
+                }
+                for t, sch in md.database.schemas.items()
+            },
+        }
+        d = md.database.store.base_dir
+        tmp = os.path.join(d, self.RULES_FILE + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(state, f, indent=1)
+        os.replace(tmp, os.path.join(d, self.RULES_FILE))
+
+    # -- database lifecycle ------------------------------------------------
+    def db(self, name: str) -> ManagedDatabase:
+        md = self.databases.get(name)
+        if md is None:
+            raise not_found("database", name)
+        return md
+
+    def create_database(self, rules: dict) -> None:
+        name = validate_db_name(rules.get("name") or "")
+        with self._lock:
+            if name in self.databases:
+                raise GrpcStatusError(
+                    "AlreadyExists", f"Resource database/{name} already exists"
+                )
+            d = self._db_dir(name)
+            os.makedirs(d, exist_ok=True)
+            md = ManagedDatabase(
+                Database(name, TableStore(d), self.spark),
+                rules,
+                _template_from_rules(rules),
+            )
+            self._save(md)
+            self.databases[name] = md
+
+    def update_database(self, rules: dict) -> dict:
+        name = validate_db_name(rules.get("name") or "")
+        with self._lock:
+            md = self.db(name)
+            md.rules = rules
+            md.template = _template_from_rules(rules)
+            self._save(md)
+            return md.rules
+
+    # -- write path --------------------------------------------------------
+    def write_lp(self, db_name: str, lp_data: str) -> int:
+        if not self.serving:
+            raise GrpcStatusError("Unavailable", "server is not serving data plane")
+        validate_db_name(db_name)
+        md = self.db(db_name)
+        if (md.rules.get("lifecycle_rules") or {}).get("immutable"):
+            raise GrpcStatusError(
+                "FailedPrecondition", f"database {db_name!r} is immutable"
+            )
+        try:
+            parsed = list(parse_lines(lp_data))
+        except LineProtocolError as e:
+            raise GrpcStatusError("InvalidArgument", f"error parsing line protocol: {e}")
+        if not parsed:
+            return 0
+        with self._lock:
+            inferred = _infer_schemas(parsed)
+            for table, (tags, fields) in inferred.items():
+                new_schema = IoxSchema.build(sorted(tags), fields)
+                prev = md.database.schemas.get(table)
+                if prev is not None:
+                    try:
+                        new_schema = prev.merge(new_schema)
+                    except ValueError as e:
+                        raise GrpcStatusError("InvalidArgument", str(e))
+                md.database.register_table(table, new_schema)
+            self._save(md)
+            default_time = _time.time_ns()
+            lines = [(ln,) for ln in lp_data.splitlines() if ln.strip()]
+            lines_df = self.spark.createDataFrame(lines, "value string")
+            # all-or-nothing across measurements, like the HTTP handler:
+            # parse + write unregistered, then register everything
+            written = []
+            for table in inferred:
+                ing = LineProtocolIngest(
+                    md.database.store, table, md.database.schemas[table], md.template
+                )
+                keyed = ing.parse_lines_df(lines_df, default_time_ns=default_time)
+                written.append((ing, ing.write_parsed(keyed, register=False)))
+            for ing, metas in written:
+                ing.store.register_chunks(ing.table, metas)
+        return len(parsed)
+
+    # -- operations --------------------------------------------------------
+    def all_operations(self) -> list[tuple[str, dict]]:
+        """(db_name, record) across every database, oldest first."""
+        out = []
+        for name, md in sorted(self.databases.items()):
+            for rec in md.database.store.operations():
+                out.append((name, rec))
+        out.sort(key=lambda p: p[1].get("recorded_at", 0.0))
+        return out
+
+    def find_operation(self, op_name: str) -> tuple[str, dict]:
+        for db_name, rec in self.all_operations():
+            if rec["id"] == op_name:
+                return db_name, rec
+        raise not_found("operation", op_name)
+
+
+def _col_type_value(schema: IoxSchema, name: str) -> str:
+    from influxdb_iox_spark.schema import column_type
+
+    for f in schema.struct:
+        if f.name == name:
+            ct = column_type(f)
+            return ct.value if ct is not None else ""
+    return ""
+
+
+def encode_operation(db_name: str, rec: dict) -> dict:
+    """store.record_operation entry → google.longrunning.Operation dict
+    (operations.rs encode_tracker).  Our background jobs are synchronous
+    Spark jobs, so every operation arrives complete."""
+    job_field = mp.JOB_FIELD_BY_NAME.get(rec["job"])
+    meta: dict = {
+        "wall_nanos": rec.get("wall_nanos", 0),
+        "task_count": 1,
+        "pending_count": 0,
+    }
+    if job_field == "dummy":
+        nanos = []
+        try:
+            nanos = json.loads(rec.get("description") or "{}").get("nanos", [])
+        except (ValueError, AttributeError):
+            pass
+        meta[job_field] = {"nanos": nanos}
+    elif job_field in ("close_chunk", "write_chunk"):
+        ids = rec.get("chunk_ids") or [0]
+        meta[job_field] = {
+            "db_name": db_name,
+            "partition_key": rec.get("partition_key", ""),
+            "table_name": rec.get("table_name", ""),
+            "chunk_id": ids[0],
+        }
+    elif job_field in ("compact_chunks", "persist_chunks"):
+        meta[job_field] = {
+            "db_name": db_name,
+            "partition_key": rec.get("partition_key", ""),
+            "table_name": rec.get("table_name", ""),
+            "chunks": rec.get("chunk_ids") or [],
+        }
+    elif job_field == "wipe_preserved_catalog":
+        meta[job_field] = {"db_name": db_name}
+    op: dict = {
+        "name": rec["id"],
+        "metadata": {
+            "type_url": OPERATION_METADATA_TYPE_URL,
+            "value": encode_message(meta, mp.OPERATION_METADATA),
+        },
+        "done": rec.get("status") in ("Complete", "Error"),
+    }
+    if rec.get("status") == "Error":
+        op["error"] = {"code": 13, "message": rec.get("description", "")}
+    elif op["done"]:
+        op["response"] = {"type_url": EMPTY_TYPE_URL, "value": b""}
+    return op
+
+
+def _ts(epoch_seconds: float) -> dict:
+    sec = int(epoch_seconds)
+    return {"seconds": sec, "nanos": int((epoch_seconds - sec) * 1e9)}
+
+
+def chunk_to_proto(c) -> dict:
+    """ChunkMeta → management Chunk message (chunk.rs From<ChunkSummary>).
+    Our chunks are always persisted sorted parquet → OBJECT_STORE_ONLY,
+    and first/last write and close coincide with the chunk's creation
+    (micro-batch chunks are born closed)."""
+    return {
+        "partition_key": c.partition_key,
+        "table_name": c.table,
+        "id": c.chunk_id,
+        "storage": mp.CHUNK_STORAGE_OBJECT_STORE_ONLY,
+        "lifecycle_action": mp.CHUNK_LIFECYCLE_ACTION_UNSPECIFIED,
+        "estimated_bytes": c.estimated_bytes,
+        "row_count": c.row_count,
+        "time_of_first_write": _ts(c.created_at),
+        "time_of_last_write": _ts(c.created_at),
+        "time_closed": _ts(c.created_at),
+    }
+
+
+class ManagementService:
+    """management.rs ManagementService — dict-in/dict-out handlers; the
+    transport codec wraps them."""
+
+    def __init__(self, server: IoxServer):
+        self.server = server
+
+    def GetServerId(self, req: dict) -> dict:
+        if self.server.server_id is None:
+            raise GrpcStatusError("NotFound", "Resource  not found")
+        return {"id": self.server.server_id}
+
+    def UpdateServerId(self, req: dict) -> dict:
+        if not req.get("id"):
+            raise field_violation("id")  # ServerId::try_from(0) fails
+        self.server.server_id = req["id"]
+        return {}
+
+    def SetServingReadiness(self, req: dict) -> dict:
+        self.server.serving = bool(req.get("ready"))
+        return {}
+
+    def ListDatabases(self, req: dict) -> dict:
+        return {"names": sorted(self.server.databases)}
+
+    def GetDatabase(self, req: dict) -> dict:
+        name = req.get("name") or ""
+        md = self.server.db(name)
+        return {"rules": md.rules}
+
+    def CreateDatabase(self, req: dict) -> dict:
+        rules = req.get("rules")
+        if rules is None:
+            raise field_violation("rules")
+        self.server.create_database(rules)
+        return {}
+
+    def UpdateDatabase(self, req: dict) -> dict:
+        rules = req.get("rules")
+        if rules is None:
+            raise field_violation("rules")
+        return {"rules": self.server.update_database(rules)}
+
+    def ListChunks(self, req: dict) -> dict:
+        md = self.server.db(req.get("db_name") or "")
+        store = md.database.store
+        chunks = [
+            chunk_to_proto(c) for t in store.tables() for c in store.manifest(t)
+        ]
+        return {"chunks": chunks}
+
+    def CreateDummyJob(self, req: dict) -> dict:
+        nanos = req.get("nanos") or []
+        # the reference's dummy job sleeps; ours records the request and
+        # completes (all our jobs are synchronous)
+        rec = None
+        for md in self.server.databases.values():
+            rec = md.database.store.record_operation(
+                "Dummy", "", "", [], "Complete", sum(nanos),
+                json.dumps({"nanos": nanos}),
+            )
+            break
+        if rec is None:
+            # no database yet: synthesize an in-memory record
+            import uuid
+
+            rec = {
+                "id": uuid.uuid4().hex[:16], "job": "Dummy", "status": "Complete",
+                "table_name": "", "partition_key": "", "chunk_ids": [],
+                "wall_nanos": sum(nanos), "description": json.dumps({"nanos": nanos}),
+            }
+        return {"operation": encode_operation("", rec)}
+
+    def ListRemotes(self, req: dict) -> dict:
+        return {
+            "remotes": [
+                {"id": i, "connection_string": cs}
+                for i, cs in sorted(self.server.remotes.items())
+            ]
+        }
+
+    def UpdateRemote(self, req: dict) -> dict:
+        remote = req.get("remote")
+        if remote is None:
+            raise field_violation("remote")
+        if not remote.get("id"):
+            raise field_violation("remote.id")
+        self.server.remotes[remote["id"]] = remote.get("connection_string", "")
+        return {}
+
+    def DeleteRemote(self, req: dict) -> dict:
+        rid = req.get("id")
+        if not rid:
+            raise field_violation("id")
+        if rid not in self.server.remotes:
+            raise GrpcStatusError("NotFound", "Resource  not found")
+        del self.server.remotes[rid]
+        return {}
+
+    def ListPartitions(self, req: dict) -> dict:
+        md = self.server.db(req.get("db_name") or "")
+        keys = sorted(
+            {
+                c.partition_key
+                for t in md.database.store.tables()
+                for c in md.database.store.manifest(t)
+            }
+        )
+        return {"partitions": [{"key": k} for k in keys]}
+
+    def GetPartition(self, req: dict) -> dict:
+        md = self.server.db(req.get("db_name") or "")
+        key = req.get("partition_key") or ""
+        keys = {
+            c.partition_key
+            for t in md.database.store.tables()
+            for c in md.database.store.manifest(t)
+        }
+        # management.rs:284-289: unknown key → empty response, NOT an error
+        return {"partition": {"key": key}} if key in keys else {}
+
+    def ListPartitionChunks(self, req: dict) -> dict:
+        md = self.server.db(req.get("db_name") or "")
+        key = req.get("partition_key") or ""
+        store = md.database.store
+        chunks = [
+            chunk_to_proto(c)
+            for t in store.tables()
+            for c in store.manifest(t)
+            if c.partition_key == key
+        ]
+        return {"chunks": chunks}
+
+    def _check_table_partition(self, md: ManagedDatabase, table: str, key: str):
+        store = md.database.store
+        if table not in store.tables():
+            raise not_found("table", table)
+        if key not in {c.partition_key for c in store.manifest(table)}:
+            raise not_found("partition", f"{table}:{key}")
+
+    def NewPartitionChunk(self, req: dict) -> dict:
+        md = self.server.db(req.get("db_name") or "")
+        self._check_table_partition(
+            md, req.get("table_name") or "", req.get("partition_key") or ""
+        )
+        # rollover_partition: our micro-batch chunks are born closed, so
+        # there is never an open mutable chunk to roll — validated no-op
+        return {}
+
+    def ClosePartitionChunk(self, req: dict) -> dict:
+        md = self.server.db(req.get("db_name") or "")
+        table = req.get("table_name") or ""
+        key = req.get("partition_key") or ""
+        chunk_id = req.get("chunk_id") or 0
+        self._check_table_partition(md, table, key)
+        store = md.database.store
+        if not any(
+            c.chunk_id == chunk_id and c.partition_key == key
+            for c in store.manifest(table)
+        ):
+            raise not_found("chunk", str(chunk_id))
+        rec = store.record_operation(
+            "CloseChunk", table, key, [chunk_id], "Complete", 0,
+            f"Closing chunk {chunk_id} of table '{table}'",
+        )
+        return {"operation": encode_operation(md.database.name, rec)}
+
+    def UnloadPartitionChunk(self, req: dict) -> dict:
+        md = self.server.db(req.get("db_name") or "")
+        table = req.get("table_name") or ""
+        key = req.get("partition_key") or ""
+        chunk_id = req.get("chunk_id") or 0
+        self._check_table_partition(md, table, key)
+        if not any(
+            c.chunk_id == chunk_id and c.partition_key == key
+            for c in md.database.store.manifest(table)
+        ):
+            raise not_found("chunk", str(chunk_id))
+        # unload_read_buffer: Spark pages parquet per query; nothing resident
+        return {}
+
+    def GetServerStatus(self, req: dict) -> dict:
+        statuses = [
+            {"db_name": name, "state": mp.DATABASE_STATE_INITIALIZED}
+            for name in sorted(self.server.databases)
+        ]
+        return {
+            "server_status": {"initialized": True, "database_statuses": statuses}
+        }
+
+    def WipePreservedCatalog(self, req: dict) -> dict:
+        md = self.server.db(req.get("db_name") or "")
+        store = md.database.store
+        t0 = _time.perf_counter()
+        for t in store.tables():
+            ids = [c.chunk_id for c in store.manifest(t)]
+            if ids:
+                store.drop_chunks(t, ids)
+        rec = store.record_operation(
+            "WipePreservedCatalog", "", "", [], "Complete",
+            int((_time.perf_counter() - t0) * 1e9),
+            f"Wiping preserved catalog of database '{md.database.name}'",
+        )
+        return {"operation": encode_operation(md.database.name, rec)}
+
+
+class WriteService:
+    """write.rs WriteService."""
+
+    def __init__(self, server: IoxServer):
+        self.server = server
+
+    def Write(self, req: dict) -> dict:
+        n = self.server.write_lp(req.get("db_name") or "", req.get("lp_data") or "")
+        return {"lines_written": n}
+
+    def WriteEntry(self, req: dict) -> dict:
+        raise GrpcStatusError(
+            "Unimplemented",
+            "WriteEntry (flatbuffers Entry payloads) is not supported; "
+            "use Write (line protocol)",
+        )
+
+
+class OperationsService:
+    """google.longrunning Operations over the per-store job records
+    (operations.rs).  All our jobs run synchronously, so Cancel is a
+    validated no-op and Wait returns immediately."""
+
+    def __init__(self, server: IoxServer):
+        self.server = server
+
+    def ListOperations(self, req: dict) -> dict:
+        ops = [
+            encode_operation(db, rec) for db, rec in self.server.all_operations()
+        ]
+        return {"operations": ops}
+
+    def GetOperation(self, req: dict) -> dict:
+        db, rec = self.server.find_operation(req.get("name") or "")
+        return encode_operation(db, rec)
+
+    def CancelOperation(self, req: dict) -> dict:
+        self.server.find_operation(req.get("name") or "")
+        return {}
+
+    def DeleteOperation(self, req: dict) -> dict:
+        raise GrpcStatusError("Unimplemented", "DeleteOperation is not supported")
+
+    def WaitOperation(self, req: dict) -> dict:
+        db, rec = self.server.find_operation(req.get("name") or "")
+        return encode_operation(db, rec)
+
+
+# -- combined transport -----------------------------------------------------
+
+SERVICE_PATHS = {
+    "influxdata.iox.management.v1.ManagementService": (
+        "management", mp.MANAGEMENT_METHODS,
+    ),
+    "influxdata.iox.write.v1.WriteService": ("write", mp.WRITE_METHODS),
+    "google.longrunning.Operations": ("operations", mp.OPERATIONS_METHODS),
+}
+_SHORT_SERVICE = {short: methods for short, methods in SERVICE_PATHS.values()}
+
+#: Write RPCs are data plane (serving-readiness gated); management and
+#: operations always answer (server/src/lib.rs serving readiness scope)
+DATA_PLANE_SERVICES = {"write"}
+
+
+def route_action(action_type: str) -> tuple[str, str]:
+    """'<pkg>.<Service>/<Method>' | '<short>.<Method>' | bare storage RPC
+    → (service_short_name, method)."""
+    if "/" in action_type:
+        path, method = action_type.rsplit("/", 1)
+        if path in SERVICE_PATHS:
+            return SERVICE_PATHS[path][0], method
+        if path.endswith(("Storage", "storage")):
+            return "storage", method
+        raise GrpcStatusError("Unimplemented", f"unknown service {path!r}")
+    head, _, tail = action_type.partition(".")
+    if head in _SHORT_SERVICE and tail:
+        return head, tail
+    return "storage", action_type
+
+
+try:
+    import pyarrow.flight as _flight
+
+    _FLIGHT_AVAILABLE = True
+except ImportError:  # pragma: no cover
+    _flight = None
+    _FLIGHT_AVAILABLE = False
+
+
+if _FLIGHT_AVAILABLE:
+    from influxdb_iox_spark.rpc import InfluxRpc
+    from influxdb_iox_spark.rpc_storage import StorageRpcError, StorageService
+    from influxdb_iox_spark import storage_proto as sp
+
+    class _LiveStorageService(StorageService):
+        """StorageService over the server's LIVE database dict — databases
+        created through the management API are queryable immediately."""
+
+        def __init__(self, server: IoxServer):
+            self.server = server
+            self.rpcs = {}
+
+        def _rpc(self, req: dict, field: str = "read_source") -> InfluxRpc:
+            name = sp.read_source_db(req, field)
+            md = self.server.databases.get(name)
+            if md is None:
+                raise StorageRpcError(f"database {name!r} not found")
+            rpc = self.rpcs.get(name)
+            if rpc is None or rpc.db is not md.database:
+                rpc = InfluxRpc(md.database)
+                self.rpcs[name] = rpc
+            return rpc
+
+    class IoxGrpcServer(_flight.FlightServerBase):
+        """All four services on one gRPC socket, like the reference's
+        tonic router (src/influxdb_ioxd/rpc.rs add_service × 4)."""
+
+        def __init__(self, server: IoxServer, location: str = "grpc://127.0.0.1:0"):
+            super().__init__(location)
+            self.server = server
+            self.services = {
+                "management": ManagementService(server),
+                "write": WriteService(server),
+                "operations": OperationsService(server),
+            }
+            self.storage = _LiveStorageService(server)
+
+        def list_actions(self, context):
+            out = [
+                (f"{path}/{m}", f"{short}.{m}")
+                for path, (short, methods) in SERVICE_PATHS.items()
+                for m in methods
+            ]
+            out += [
+                (name, f"storage.Storage/{name}") for name in StorageService.RPC_NAMES
+            ]
+            return out
+
+        def do_action(self, context, action):
+            try:
+                service, method = route_action(action.type)
+                body = action.body.to_pybytes()
+                if service == "storage":
+                    if not self.server.serving:
+                        raise GrpcStatusError(
+                            "Unavailable", "server is not serving data plane"
+                        )
+                    yield from self.storage.call(method, body)
+                    return
+                svc = self.services[service]
+                methods = _SHORT_SERVICE[service]
+                if method not in methods:
+                    raise GrpcStatusError(
+                        "Unimplemented", f"unknown method {method!r} of {service}"
+                    )
+                req_schema, resp_schema = methods[method]
+                resp = getattr(svc, method)(decode_message(body, req_schema))
+                yield _flight.Result(encode_message(resp, resp_schema))
+            except GrpcStatusError as e:
+                if e.code == "Unavailable":
+                    raise _flight.FlightUnavailableError(str(e)) from e
+                raise _flight.FlightServerError(str(e)) from e
+            except StorageRpcError as e:
+                raise _flight.FlightServerError(str(e)) from e
+
+    class ControlClient:
+        """Client for the three control-plane services (test side)."""
+
+        def __init__(self, port: int, host: str = "127.0.0.1"):
+            self._client = _flight.connect(f"grpc://{host}:{port}")
+
+        def call(self, service: str, method: str, request: dict) -> dict:
+            req_schema, resp_schema = _SHORT_SERVICE[service][method]
+            action = _flight.Action(
+                f"{service}.{method}", encode_message(request, req_schema)
+            )
+            results = list(self._client.do_action(action))
+            return decode_message(results[0].body.to_pybytes(), resp_schema) if results else {}
+
+        def close(self):
+            self._client.close()

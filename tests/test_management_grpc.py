@@ -1,0 +1,502 @@
+"""Management / Write / Operations gRPC contract tests.
+
+Port of /root/reference/tests/end_to_end_cases/{management_api,write_api,
+operations_api}.rs through OUR wire stack: protobuf request bytes
+(hand-rolled codec) → Flight DoAction on a real gRPC socket → protobuf
+response bytes decoded back.  Assertions mirror the reference's, including
+the exact "Resource <type>/<name> not found" error strings its tests
+check verbatim (management_api.rs:406,593,603,623).
+
+Architecture-mapping divergences under test are the documented ones
+(rpc_management.py module docstring): chunks report OBJECT_STORE_ONLY
+storage because micro-batch chunks are born persisted, and rollover /
+unload are validated no-ops.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+pytest.importorskip("pyarrow.flight")
+
+from influxdb_iox_spark import management_proto as mp
+from influxdb_iox_spark.protowire import decode_message
+from influxdb_iox_spark.rpc_management import (
+    ControlClient,
+    IoxGrpcServer,
+    IoxServer,
+)
+from influxdb_iox_spark.rpc_storage import StorageClient
+from influxdb_iox_spark import storage_proto as sp
+
+
+@pytest.fixture(scope="module")
+def srv(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("mgmt_grpc")
+    server = IoxServer(spark, str(base))
+    flight = IoxGrpcServer(server)
+    yield server, flight.port
+    flight.shutdown()
+
+
+@pytest.fixture(scope="module")
+def client(srv):
+    c = ControlClient(srv[1])
+    yield c
+    c.close()
+
+
+def _rules(name: str, parts=({"table": {}},)) -> dict:
+    return {
+        "name": name,
+        "partition_template": {"parts": list(parts)},
+        "lifecycle_rules": {"buffer_size_soft": 512 * 1024, "persist": True},
+    }
+
+
+def _create(client, name: str, **kw):
+    client.call("management", "CreateDatabase", {"rules": _rules(name, **kw)})
+
+
+def _write(client, db: str, lp: str) -> int:
+    out = client.call("write", "Write", {"db_name": db, "lp_data": lp})
+    return out.get("lines_written", 0)
+
+
+# -- server id / status (management_api.rs:118-131) -------------------------
+
+
+def test_set_get_server_id(client):
+    with pytest.raises(Exception, match="NotFound"):
+        client.call("management", "GetServerId", {})
+    client.call("management", "UpdateServerId", {"id": 42})
+    assert client.call("management", "GetServerId", {})["id"] == 42
+    with pytest.raises(Exception, match="id is required"):
+        client.call("management", "UpdateServerId", {"id": 0})
+
+
+def test_server_status_lists_databases(client):
+    _create(client, "statusdb")
+    status = client.call("management", "GetServerStatus", {})["server_status"]
+    assert status["initialized"] is True
+    names = [s["db_name"] for s in status["database_statuses"]]
+    assert "statusdb" in names
+    st = next(s for s in status["database_statuses"] if s["db_name"] == "statusdb")
+    assert st["state"] == mp.DATABASE_STATE_INITIALIZED
+
+
+# -- database CRUD (management_api.rs:135-265) ------------------------------
+
+
+def test_create_database_duplicate_name(client):
+    _create(client, "duplicate")
+    with pytest.raises(Exception, match="AlreadyExists"):
+        _create(client, "duplicate")
+
+
+def test_create_database_invalid_name(client):
+    with pytest.raises(Exception, match="InvalidArgument"):
+        _create(client, "my_example\ndb")
+    with pytest.raises(Exception, match="InvalidArgument"):
+        _create(client, "")
+
+
+def test_list_databases(client):
+    _create(client, "listed")
+    names = client.call("management", "ListDatabases", {})["names"]
+    assert "listed" in names
+
+
+def test_create_get_update_database(client):
+    rules = _rules("crud", parts=({"column": "region"},))
+    rules["lifecycle_rules"]["immutable"] = False
+    client.call("management", "CreateDatabase", {"rules": rules})
+    got = client.call("management", "GetDatabase", {"name": "crud"})["rules"]
+    assert got["name"] == "crud"
+    assert got["partition_template"]["parts"][0]["column"] == "region"
+    assert got["lifecycle_rules"]["persist"] is True
+
+    rules["lifecycle_rules"]["buffer_size_soft"] = 1024
+    updated = client.call("management", "UpdateDatabase", {"rules": rules})["rules"]
+    assert updated["lifecycle_rules"]["buffer_size_soft"] == 1024
+    got2 = client.call("management", "GetDatabase", {"name": "crud"})["rules"]
+    assert got2["lifecycle_rules"]["buffer_size_soft"] == 1024
+
+    with pytest.raises(Exception, match="NotFound"):
+        client.call("management", "GetDatabase", {"name": "no_such_db"})
+    with pytest.raises(Exception, match="NotFound"):
+        client.call(
+            "management", "UpdateDatabase", {"rules": _rules("no_such_db")}
+        )
+
+
+# -- write + chunk listing (management_api.rs:268-344, write_api.rs) --------
+
+
+def test_write_then_chunk_get(client):
+    _create(client, "chunkdb")
+    n = _write(
+        client,
+        "chunkdb",
+        "cpu,region=west user=23.2 100\ncpu,region=west user=21.0 150",
+    )
+    assert n == 2
+    chunks = client.call("management", "ListChunks", {"db_name": "chunkdb"})["chunks"]
+    assert len(chunks) == 1
+    c = chunks[0]
+    assert c["partition_key"] == "cpu"  # template part = table
+    assert c["table_name"] == "cpu"
+    assert c["storage"] == mp.CHUNK_STORAGE_OBJECT_STORE_ONLY
+    assert c["row_count"] == 2
+    assert c["estimated_bytes"] > 0
+    assert c["time_of_first_write"]["seconds"] > 0
+
+
+def test_chunk_get_errors(client):
+    with pytest.raises(Exception, match="Resource database/no_such_db not found"):
+        client.call("management", "ListChunks", {"db_name": "no_such_db"})
+
+
+def test_write_schema_inference_and_query(srv, client):
+    server, _port = srv
+    _create(client, "inferdb")
+    _write(
+        client,
+        "inferdb",
+        'm,t=a f=1.5,s="x",b=true,i=7i 100\nm,t=b f=2.5 200',
+    )
+    db = server.databases["inferdb"].database
+    schema = db.table_schema("m")
+    assert schema.tag_columns == ["t"]
+    assert sorted(schema.field_columns) == ["b", "f", "i", "s"]
+    rows = db.table("m").collect()
+    assert len(rows) == 2
+
+
+def test_write_type_conflict_rejected(client):
+    _create(client, "conflictdb")
+    _write(client, "conflictdb", "m f=1.5 100")
+    with pytest.raises(Exception, match="conflicting field types|merge conflict"):
+        _write(client, "conflictdb", "m f=7i 200")
+    # the conflicting write persisted NOTHING (all-or-nothing)
+    chunks = client.call("management", "ListChunks", {"db_name": "conflictdb"})[
+        "chunks"
+    ]
+    assert sum(c["row_count"] for c in chunks) == 1
+
+
+def test_write_errors(client):
+    with pytest.raises(Exception, match="Resource database/no_db not found"):
+        _write(client, "no_db", "m f=1 1")
+    _create(client, "badlp")
+    with pytest.raises(Exception, match="InvalidArgument"):
+        _write(client, "badlp", "not a valid line")
+    with pytest.raises(Exception, match="Unimplemented"):
+        client.call("write", "WriteEntry", {"db_name": "badlp", "entry": b"\x01"})
+
+
+def test_write_immutable_database_rejected(client):
+    rules = _rules("frozen")
+    rules["lifecycle_rules"]["immutable"] = True
+    client.call("management", "CreateDatabase", {"rules": rules})
+    with pytest.raises(Exception, match="immutable"):
+        _write(client, "frozen", "m f=1 1")
+
+
+# -- partitions (management_api.rs:365-527) ---------------------------------
+
+
+def test_partition_list_get_chunks(client):
+    _create(client, "partdb", parts=({"column": "region"},))
+    _write(
+        client,
+        "partdb",
+        "cpu,region=west user=23.2 100\ncpu,region=east user=21.0 150",
+    )
+    parts = client.call("management", "ListPartitions", {"db_name": "partdb"})[
+        "partitions"
+    ]
+    assert sorted(p["key"] for p in parts) == ["east", "west"]
+
+    got = client.call(
+        "management", "GetPartition", {"db_name": "partdb", "partition_key": "west"}
+    )
+    assert got["partition"]["key"] == "west"
+    # unknown key → empty response, NOT an error (management.rs:284-289)
+    missing = client.call(
+        "management", "GetPartition", {"db_name": "partdb", "partition_key": "nope"}
+    )
+    assert missing.get("partition") is None
+
+    chunks = client.call(
+        "management",
+        "ListPartitionChunks",
+        {"db_name": "partdb", "partition_key": "west"},
+    )["chunks"]
+    assert len(chunks) == 1
+    assert chunks[0]["partition_key"] == "west"
+
+
+def test_partition_list_error(client):
+    with pytest.raises(Exception, match="Resource database/no_such_db not found"):
+        client.call("management", "ListPartitions", {"db_name": "no_such_db"})
+
+
+# -- rollover / close / unload (management_api.rs:532-716) ------------------
+
+
+def test_new_partition_chunk(client):
+    _create(client, "rolldb")
+    _write(client, "rolldb", "cpu,region=west user=23.2 100")
+    client.call(
+        "management",
+        "NewPartitionChunk",
+        {"db_name": "rolldb", "partition_key": "cpu", "table_name": "cpu"},
+    )
+    _write(client, "rolldb", "cpu,region=west user=21.0 150")
+    chunks = client.call("management", "ListChunks", {"db_name": "rolldb"})["chunks"]
+    assert len(chunks) == 2
+    assert sum(1 for c in chunks if c["partition_key"] == "cpu") == 2
+
+    with pytest.raises(
+        Exception, match="Resource partition/cpu:non_existent_partition not found"
+    ):
+        client.call(
+            "management",
+            "NewPartitionChunk",
+            {
+                "db_name": "rolldb",
+                "partition_key": "non_existent_partition",
+                "table_name": "cpu",
+            },
+        )
+    with pytest.raises(
+        Exception, match="Resource table/non_existing_table not found"
+    ):
+        client.call(
+            "management",
+            "NewPartitionChunk",
+            {
+                "db_name": "rolldb",
+                "partition_key": "cpu",
+                "table_name": "non_existing_table",
+            },
+        )
+
+
+def test_new_partition_chunk_error(client):
+    with pytest.raises(
+        Exception, match="Resource database/this database does not exist not found"
+    ):
+        client.call(
+            "management",
+            "NewPartitionChunk",
+            {
+                "db_name": "this database does not exist",
+                "partition_key": "nor_does_this_partition",
+                "table_name": "nor_does_this_table",
+            },
+        )
+
+
+def test_close_partition_chunk(client):
+    _create(client, "closedb")
+    _write(client, "closedb", "cpu,region=west user=23.2 100")
+    chunks = client.call("management", "ListChunks", {"db_name": "closedb"})["chunks"]
+    chunk_id = chunks[0]["id"]
+    out = client.call(
+        "management",
+        "ClosePartitionChunk",
+        {
+            "db_name": "closedb",
+            "partition_key": "cpu",
+            "table_name": "cpu",
+            "chunk_id": chunk_id,
+        },
+    )
+    op = out["operation"]
+    assert op["done"] is True
+    assert op["metadata"]["type_url"].endswith("OperationMetadata")
+    meta = decode_message(op["metadata"]["value"], mp.OPERATION_METADATA)
+    job = meta["close_chunk"]
+    assert job["db_name"] == "closedb"
+    assert job["partition_key"] == "cpu"
+    assert job["table_name"] == "cpu"
+    assert job["chunk_id"] == chunk_id
+
+    # the operation is visible through the operations service by name
+    got = client.call("operations", "GetOperation", {"name": op["name"]})
+    assert got["name"] == op["name"]
+    assert got["done"] is True
+    waited = client.call("operations", "WaitOperation", {"name": op["name"]})
+    assert waited["name"] == op["name"]
+
+    with pytest.raises(Exception, match="Resource chunk/999 not found"):
+        client.call(
+            "management",
+            "ClosePartitionChunk",
+            {
+                "db_name": "closedb",
+                "partition_key": "cpu",
+                "table_name": "cpu",
+                "chunk_id": 999,
+            },
+        )
+
+
+def test_unload_partition_chunk(client):
+    _create(client, "unloaddb")
+    _write(client, "unloaddb", "cpu,region=west user=23.2 100")
+    chunk_id = client.call("management", "ListChunks", {"db_name": "unloaddb"})[
+        "chunks"
+    ][0]["id"]
+    client.call(
+        "management",
+        "UnloadPartitionChunk",
+        {
+            "db_name": "unloaddb",
+            "partition_key": "cpu",
+            "table_name": "cpu",
+            "chunk_id": chunk_id,
+        },
+    )
+    with pytest.raises(Exception, match="Resource chunk/42 not found"):
+        client.call(
+            "management",
+            "UnloadPartitionChunk",
+            {
+                "db_name": "unloaddb",
+                "partition_key": "cpu",
+                "table_name": "cpu",
+                "chunk_id": 42,
+            },
+        )
+
+
+# -- remotes (management_api.rs:58-114) -------------------------------------
+
+
+def test_list_update_delete_remotes(client):
+    assert client.call("management", "ListRemotes", {}).get("remotes") is None or (
+        client.call("management", "ListRemotes", {})["remotes"] == []
+    )
+    client.call(
+        "management",
+        "UpdateRemote",
+        {"remote": {"id": 1, "connection_string": "http://1"}},
+    )
+    client.call(
+        "management",
+        "UpdateRemote",
+        {"remote": {"id": 2, "connection_string": "http://2"}},
+    )
+    remotes = client.call("management", "ListRemotes", {})["remotes"]
+    assert [(r["id"], r["connection_string"]) for r in remotes] == [
+        (1, "http://1"),
+        (2, "http://2"),
+    ]
+    client.call("management", "DeleteRemote", {"id": 1})
+    remotes = client.call("management", "ListRemotes", {})["remotes"]
+    assert [r["id"] for r in remotes] == [2]
+    with pytest.raises(Exception, match="NotFound"):
+        client.call("management", "DeleteRemote", {"id": 1})
+    with pytest.raises(Exception, match="remote is required"):
+        client.call("management", "UpdateRemote", {})
+
+
+# -- operations service (operations_api.rs) ---------------------------------
+
+
+def test_dummy_job_and_list_operations(client):
+    _create(client, "opsdb")
+    out = client.call("management", "CreateDummyJob", {"nanos": [100, 200]})
+    op = out["operation"]
+    assert op["done"] is True
+    meta = decode_message(op["metadata"]["value"], mp.OPERATION_METADATA)
+    assert meta["dummy"]["nanos"] == [100, 200]
+
+    ops = client.call("operations", "ListOperations", {})["operations"]
+    assert any(o["name"] == op["name"] for o in ops)
+    got = client.call("operations", "GetOperation", {"name": op["name"]})
+    meta2 = decode_message(got["metadata"]["value"], mp.OPERATION_METADATA)
+    assert meta2["dummy"]["nanos"] == [100, 200]
+
+    with pytest.raises(Exception, match="NotFound"):
+        client.call("operations", "GetOperation", {"name": "no_such_op"})
+    client.call("operations", "CancelOperation", {"name": op["name"]})
+    with pytest.raises(Exception, match="Unimplemented"):
+        client.call("operations", "DeleteOperation", {"name": op["name"]})
+
+
+# -- wipe preserved catalog -------------------------------------------------
+
+
+def test_wipe_preserved_catalog(client):
+    _create(client, "wipedb")
+    _write(client, "wipedb", "cpu,region=west user=23.2 100")
+    assert (
+        len(client.call("management", "ListChunks", {"db_name": "wipedb"})["chunks"])
+        == 1
+    )
+    out = client.call("management", "WipePreservedCatalog", {"db_name": "wipedb"})
+    assert out["operation"]["done"] is True
+    chunks = client.call("management", "ListChunks", {"db_name": "wipedb"})["chunks"]
+    assert chunks == []
+    # writes still work afterwards (schema survives; like a wiped catalog
+    # replaying rules)
+    assert _write(client, "wipedb", "cpu,region=west user=9 500") == 1
+
+
+# -- serving readiness (management_api.rs:24-55) ----------------------------
+
+
+def test_serving_readiness_gates_data_plane(client):
+    _create(client, "readydb")
+    client.call("management", "SetServingReadiness", {"ready": False})
+    try:
+        with pytest.raises(Exception, match="[Uu]navailable"):
+            _write(client, "readydb", "bar baz=1 10")
+        # management plane still answers
+        assert "readydb" in client.call("management", "ListDatabases", {})["names"]
+    finally:
+        client.call("management", "SetServingReadiness", {"ready": True})
+    assert _write(client, "readydb", "bar baz=1 10") == 1
+
+
+# -- storage data plane over the same socket --------------------------------
+
+
+def test_storage_rpc_on_combined_server(srv, client):
+    org, bucket = 0xAAA, 0xBBB
+    db_name = f"{org:016x}_{bucket:016x}"
+    _create(client, db_name)
+    _write(client, db_name, "h2o,state=CA temp=70.4 100\nh2o,state=MA temp=72.3 150")
+
+    storage = StorageClient(srv[1])
+    req = {
+        "tags_source": sp.make_read_source(org, bucket, partition_id=0),
+        "range": {"start": 1, "end": 1000},
+    }
+    frames = storage.call(
+        "TagKeys", req, sp.TAG_KEYS_REQUEST, sp.STRING_VALUES_RESPONSE
+    )
+    keys = [v for f in frames for v in f["values"]]
+    assert b"state" in keys
+    storage.close()
+
+
+# -- restart persistence ----------------------------------------------------
+
+
+def test_server_restart_restores_state(srv, spark):
+    server, _port = srv
+    base = server.base_dir
+    reborn = IoxServer(spark, base)
+    assert "chunkdb" in reborn.databases
+    md = reborn.databases["chunkdb"]
+    assert md.rules["name"] == "chunkdb"
+    # schema AND data survive: the restored Database serves the same rows
+    db = md.database
+    assert "cpu" in db.table_names()
+    assert db.table("cpu").count() == 2
+    assert db.table_schema("cpu").tag_columns == ["region"]
