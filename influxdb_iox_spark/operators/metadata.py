@@ -182,7 +182,14 @@ def field_columns(
 ) -> list[dict]:
     """(field name, type, last timestamp at which it was non-null) per
     matching field — exec/fieldlist.rs:44-57 Field{name,data_type,
-    last_timestamp}.  One aggregate pass over the pruned scan."""
+    last_timestamp}.  One aggregate pass over the pruned scan.
+
+    An unknown table yields an empty FieldList, not an error: the
+    reference's planner iterates tables matching the request's predicate
+    and a name that matches nothing contributes nothing
+    (field_columns.rs:59-66 list_column_names over "NoSuchTable")."""
+    if table not in db.schemas:
+        return []
     schema = db.table_schema(table)
     fields = schema.field_columns
     if not fields:

@@ -754,3 +754,136 @@ def test_read_window_aggregate_no_data(spark, tmp_path):
     db.register_table("h2o", schema)
     out = read_window_aggregate(db, "h2o", Aggregate.MEAN, 200)
     assert out.count() == 0
+
+
+def test_read_group_field_restriction(spark, tmp_path):
+    """read_group.rs:127-150 test_read_group_data_field_restriction: a
+    predicate field restriction limits which field columns the grouped
+    aggregate emits.  Ported twice: the reference's exact
+    OneMeasurementForAggs rows (temp-only schema — restriction is a
+    no-op on the output set), then the humidity-bearing schema where
+    restricting to temp must DROP the humidity column."""
+    # exact reference fixture (read_group.rs:82-99)
+    one_schema = IoxSchema.build(
+        ["state", "city"], {"temp": InfluxColumnType.FIELD_FLOAT}
+    )
+    one_ddl = "state string, city string, temp double, time long"
+    rows1 = [("MA", "Boston", 70.4, 100), ("MA", "Boston", 72.4, 250)]
+    rows2 = [("CA", "LA", 90.0, 200), ("CA", "LA", 90.0, 350)]
+    dbs = _h2o_arrangements(spark, tmp_path, one_schema, one_ddl, rows1, rows2)
+
+    def run(db):
+        out = read_group(
+            db, "h2o", Aggregate.SUM, ["state"], Predicate().fields("temp")
+        )
+        return [(r.state, r.city, r.temp, r.time) for r in out.collect()]
+
+    assert _assert_dual(dbs, run) == [
+        ("CA", "LA", 180.0, 350),
+        ("MA", "Boston", 142.8, 250),
+    ]
+
+    # restriction drops unselected fields from the output schema
+    dbs2 = _h2o_arrangements(
+        spark, tmp_path / "h", H2O_AGGS, AGGS_DDL, AGG_ROWS1, AGG_ROWS2
+    )
+
+    def run2(db):
+        out = read_group(
+            db, "h2o", Aggregate.SUM, ["state"], Predicate().fields("temp")
+        )
+        assert "humidity" not in out.columns
+        return [(r.state, r.city, r.temp) for r in out.collect()]
+
+    assert _assert_dual(dbs2, run2) == [
+        ("CA", "LA", 181.0),
+        ("MA", "Boston", 141.0),
+        ("MA", "Cambridge", 243.0),
+    ]
+
+
+def test_field_columns_many_fields_battery(spark, tmp_path):
+    """field_columns.rs:52-116 over the TwoMeasurementsManyFields two-chunk
+    fixture: empty database, unknown-table predicate, table+state
+    predicate (fields across BOTH chunks with per-field last non-null
+    timestamps), and the timestamp-narrowed variant keeping only
+    other_temp@250."""
+    from influxdb_iox_spark.operators.metadata import field_columns
+
+    # :52 empty database -> no fields (and no error)
+    empty = Database("nodata", TableStore(str(tmp_path / "nodata")), spark)
+    h2o_schema = IoxSchema.build(
+        ["state", "city"],
+        {
+            "temp": InfluxColumnType.FIELD_FLOAT,
+            "other_temp": InfluxColumnType.FIELD_FLOAT,
+            "moisture": InfluxColumnType.FIELD_FLOAT,
+        },
+    )
+    empty.register_table("h2o", h2o_schema)
+    assert field_columns(empty, "h2o") == []
+
+    # TwoMeasurementsManyFields (scenarios.rs:343-360), two chunks
+    store = TableStore(str(tmp_path / "many"))
+    ddl = (
+        "state string, city string, temp double, other_temp double, "
+        "moisture double, time long"
+    )
+    store.write_chunk(
+        spark.createDataFrame(
+            [
+                ("MA", "Boston", 70.4, None, None, 50),
+                ("MA", "Boston", None, 70.4, None, 250),
+                ("CA", "Boston", None, 72.4, None, 350),
+            ],
+            ddl,
+        ),
+        "h2o", h2o_schema,
+    )
+    store.write_chunk(
+        spark.createDataFrame(
+            [("MA", "Boston", 70.4, None, 43.0, 100000)], ddl
+        ),
+        "h2o", h2o_schema,
+    )
+    o2_schema = IoxSchema.build(
+        ["state", "city"],
+        {
+            "temp": InfluxColumnType.FIELD_FLOAT,
+            "reading": InfluxColumnType.FIELD_FLOAT,
+        },
+    )
+    store.write_chunk(
+        spark.createDataFrame(
+            [("MA", "Boston", 53.4, 51.0, 50), ("CA", None, 79.0, None, 300)],
+            "state string, city string, temp double, reading double, time long",
+        ),
+        "o2", o2_schema,
+    )
+    db = Database("many", store, spark)
+    db.register_table("h2o", h2o_schema)
+    db.register_table("o2", o2_schema)
+
+    # :59 predicate names a table that doesn't exist -> empty FieldList
+    assert (
+        field_columns(
+            db, "NoSuchTable", Predicate().with_expr(F.col("state") == "MA")
+        )
+        == []
+    )
+
+    # :69 table h2o + state=MA: moisture@100000, other_temp@250, temp@100000
+    out = field_columns(db, "h2o", Predicate().with_expr(F.col("state") == "MA"))
+    assert {f["name"]: f["last_timestamp"] for f in out} == {
+        "moisture": 100000,
+        "other_temp": 250,
+        "temp": 100000,
+    }
+
+    # :100 + ts [200,300): only the other_temp@250 row survives
+    out = field_columns(
+        db,
+        "h2o",
+        Predicate().with_range(200, 300).with_expr(F.col("state") == "MA"),
+    )
+    assert {f["name"]: f["last_timestamp"] for f in out} == {"other_temp": 250}
