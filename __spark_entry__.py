@@ -818,6 +818,50 @@ FROM documents GROUP BY 1 ORDER BY 1
 """
 
 
+def q_doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a persisted fingerprint index
+    (pipeline/dedup_index.py): even-id docs are the already-accepted
+    corpus (the index), odd-id docs arrive as a new batch; result = the
+    batch documents accepted (not in the index, not an intra-batch dup of
+    an earlier id)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from influxdb_iox_spark.pipeline.dedup_index import (
+        build_exact_index,
+        dedup_against_index,
+    )
+
+    t = _load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    index_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    path = tempfile.mkdtemp(prefix="dedup_index_")
+    build_exact_index(index_docs, path, n_buckets=8)
+    return (
+        dedup_against_index(spark, path, batch)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOC_INCREMENTAL_DEDUP = r"""
+WITH idx AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+  FROM documents WHERE doc_id % 2 = 0
+), batch AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+  FROM documents WHERE doc_id % 2 = 1
+), keep AS (
+  SELECT h, MIN(doc_id) AS doc_id FROM batch GROUP BY h
+)
+SELECT k.doc_id FROM keep k
+WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.h = k.h)
+ORDER BY k.doc_id
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from influxdb_iox_spark.pipeline.text import fingerprint
 
@@ -2573,6 +2617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rpc_series_cardinality": q_series_cardinality,
         "doc_repetition_stats": q_doc_repetition,
         "doc_mixture_sample": q_mixture_sample,
+        "doc_incremental_dedup": q_doc_incremental_dedup,
     }
     return _rotate_for_round(base)
 
@@ -2622,6 +2667,7 @@ def oracle_sql() -> dict[str, str]:
         "rpc_series_cardinality": SQL_SERIES_CARDINALITY,
         "doc_repetition_stats": SQL_DOC_REPETITION,
         "doc_mixture_sample": _sql_mixture_sample(),
+        "doc_incremental_dedup": SQL_DOC_INCREMENTAL_DEDUP,
         "dedup_last_non_null": SQL_DEDUP,
         "json_props_extract": SQL_JSON_PROPS,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,

@@ -1,0 +1,315 @@
+"""Persisted fingerprint indexes for INCREMENTAL corpus dedup.
+
+A 100 TB training-data pipeline does not dedup a static corpus once — it
+continuously ingests new shards and must answer "which of these N new
+documents already exist among the T documents accepted so far?" without
+re-reading the corpus.  Both indexes here are plain bucket-partitioned
+parquet (the ann_index.py recipe), so they inherit object-store
+placement, schema evolution, and per-bucket incremental append:
+
+- **Exact index**: one row per accepted document's content digest
+  (md5 of normalized text, 16 bytes + canonical id — a ~10⁻⁴ fraction
+  of corpus bytes).  A new batch is digested, then LEFT ANTI joined
+  against the index to keep only unseen content; accepted fingerprints
+  append into their hash buckets.  The join shuffles digests, never
+  text, and both sides are pre-bucketed by the same pmod(xxhash64)
+  function so the exchange is balanced by construction.
+- **MinHash index**: per accepted document its num_perm minhash
+  signature plus its LSH band rows, partitioned by band bucket.  New
+  documents band-join against ONLY their matching band buckets
+  (partition pruning on the parquet read), then candidates are scored
+  by signature-agreement fraction (an unbiased Jaccard estimate) with
+  one zip_with — no shingle storage, no re-reading old text.
+
+Scale notes: at 10¹⁰ accepted docs the exact index is ~300 GB of
+digests — a large but ordinary parquet table; the anti-join is one
+digest-keyed shuffle, and AQE handles the (tiny batch) × (huge index)
+asymmetry by broadcasting the batch side.  Appends never rewrite
+existing files (one new file per touched bucket per batch).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from influxdb_iox_spark.pipeline.dedup import minhash_signatures
+from influxdb_iox_spark.pipeline.text import normalize_text
+
+EXACT_META = "_dedup_meta.json"
+MINHASH_META = "_minhash_meta.json"
+
+
+def _content_hash(text_col: str) -> F.Column:
+    return F.md5(normalize_text(F.col(text_col)))
+
+
+def _bucket(col: F.Column, n_buckets: int) -> F.Column:
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+
+# ---------------------------------------------------------------------------
+# Exact-content index
+# ---------------------------------------------------------------------------
+
+
+def build_exact_index(
+    df: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One fingerprint row per DISTINCT content (min id is canonical)."""
+    fp = (
+        df.select(_content_hash(text_col).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("canonical_id"))
+        .withColumn("bucket", _bucket(F.col("content_hash"), n_buckets))
+    )
+    fp.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    with open(os.path.join(path, EXACT_META), "w") as f:
+        json.dump({"kind": "exact", "n_buckets": n_buckets}, f)
+
+
+def _read_exact(spark: SparkSession, path: str) -> tuple[DataFrame, int]:
+    with open(os.path.join(path, EXACT_META)) as f:
+        meta = json.load(f)
+    return spark.read.parquet(path), meta["n_buckets"]
+
+
+def dedup_against_index(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Documents of ``new_docs`` whose content is NOT in the index AND not
+    an exact duplicate of an earlier (min-id) document within the batch —
+    the accepted set an ingest pipeline would append.
+
+    One digest-keyed aggregate (intra-batch dedup) + one LEFT ANTI join
+    (vs index).  Only digests shuffle; the index side projects two
+    columns (ReadSchema is the digest + id, never text).
+    """
+    index, _ = _read_exact(spark, path)
+    batch = new_docs.withColumn("__h", _content_hash(text_col))
+    batch_keep = (
+        batch.groupBy("__h").agg(F.min(id_col).alias(id_col))
+    )
+    fresh_keys = batch_keep.join(
+        index.select(F.col("content_hash").alias("__h")), on="__h", how="left_anti"
+    )
+    return (
+        batch.join(fresh_keys, on=["__h", id_col], how="left_semi").drop("__h")
+    )
+
+
+def duplicate_matches(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(new_id, canonical_id) for batch documents already in the index —
+    the provenance record a dedup audit keeps."""
+    index, _ = _read_exact(spark, path)
+    batch = new_docs.select(
+        _content_hash(text_col).alias("content_hash"),
+        F.col(id_col).alias("new_id"),
+    )
+    return batch.join(index.select("content_hash", "canonical_id"), on="content_hash")
+
+
+def append_to_index(
+    spark: SparkSession,
+    path: str,
+    accepted_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Append the accepted batch's fingerprints (caller guarantees the
+    batch was dedup'd against the index first; intra-batch duplicates
+    collapse to their min id here).  One new file per touched bucket."""
+    _, n_buckets = _read_exact(spark, path)
+    fp = (
+        accepted_docs.select(
+            _content_hash(text_col).alias("content_hash"), F.col(id_col)
+        )
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("canonical_id"))
+        .withColumn("bucket", _bucket(F.col("content_hash"), n_buckets))
+    )
+    fp.write.mode("append").partitionBy("bucket").parquet(path)
+
+
+def ingest_batch(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The full incremental step: accept = dedup vs index (+ intra-batch),
+    append accepted fingerprints, return the accepted documents."""
+    fresh = dedup_against_index(spark, path, new_docs, text_col, id_col)
+    # materialize before appending: the append would otherwise change the
+    # index the SAME lazy plan reads (read-your-own-write hazard)
+    fresh = fresh.localCheckpoint(eager=True)
+    append_to_index(spark, path, fresh, text_col, id_col)
+    return fresh
+
+
+# ---------------------------------------------------------------------------
+# MinHash signature index (incremental near-dup)
+# ---------------------------------------------------------------------------
+
+
+def build_minhash_index(
+    df: DataFrame,
+    path: str,
+    num_perm: int = 64,
+    nbands: int = 16,
+    shingle_n: int = 3,
+    n_buckets: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Band rows (band_id, band_hash, doc_id, signature) partitioned by
+    pmod(band_hash) bucket.  The signature array rides along so candidate
+    scoring never revisits the original text."""
+    assert num_perm % nbands == 0, "num_perm must divide into nbands"
+    sig = minhash_signatures(df, text_col, id_col, shingle_n, num_perm)
+    rows_per_band = num_perm // nbands
+    bands = sig.select(
+        F.col(id_col),
+        F.col("signature"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            F.lit(b),
+                            *[
+                                F.col("signature")[i]
+                                for i in range(
+                                    b * rows_per_band, (b + 1) * rows_per_band
+                                )
+                            ],
+                        ).alias("band_hash"),
+                    )
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("band"),
+    ).select(
+        id_col,
+        "signature",
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_hash").alias("band_hash"),
+        _bucket(F.col("band.band_hash"), n_buckets).alias("bucket"),
+    )
+    bands.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    with open(os.path.join(path, MINHASH_META), "w") as f:
+        json.dump(
+            {
+                "kind": "minhash",
+                "num_perm": num_perm,
+                "nbands": nbands,
+                "shingle_n": shingle_n,
+                "n_buckets": n_buckets,
+            },
+            f,
+        )
+
+
+def near_dups_against_index(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(new_id, index_id, est_jaccard) for batch documents whose estimated
+    Jaccard vs an indexed document is ≥ threshold.
+
+    Band-join against only the matching band buckets, then ONE zip_with
+    pass over the two signatures scores each candidate pair
+    (agreement fraction = unbiased Jaccard estimate); pairs are deduped
+    on (new, index) id before scoring so a pair colliding in several
+    bands is scored once.
+    """
+    with open(os.path.join(path, MINHASH_META)) as f:
+        meta = json.load(f)
+    sig = minhash_signatures(
+        new_docs, text_col, id_col, meta["shingle_n"], meta["num_perm"]
+    )
+    rows_per_band = meta["num_perm"] // meta["nbands"]
+    batch_bands = sig.select(
+        F.col(id_col).alias("new_id"),
+        F.col("signature").alias("new_sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            F.lit(b),
+                            *[
+                                F.col("signature")[i]
+                                for i in range(
+                                    b * rows_per_band, (b + 1) * rows_per_band
+                                )
+                            ],
+                        ).alias("band_hash"),
+                    )
+                    for b in range(meta["nbands"])
+                ]
+            )
+        ).alias("band"),
+    ).select(
+        "new_id",
+        "new_sig",
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_hash").alias("band_hash"),
+        _bucket(F.col("band.band_hash"), meta["n_buckets"]).alias("bucket"),
+    )
+    index = spark.read.parquet(path)
+    cand = (
+        batch_bands.join(
+            index.withColumnRenamed(id_col, "index_id").withColumnRenamed(
+                "signature", "index_sig"
+            ),
+            on=["bucket", "band_id", "band_hash"],
+        )
+        .groupBy("new_id", "index_id")
+        .agg(
+            F.first("new_sig").alias("new_sig"),
+            F.first("index_sig").alias("index_sig"),
+        )
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("new_sig"),
+            F.col("index_sig"),
+            lambda a, b: F.when(a == b, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    est = (agree / F.lit(float(len_signature(path)))).alias("est_jaccard")
+    return (
+        cand.select("new_id", "index_id", est)
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def len_signature(path: str) -> int:
+    with open(os.path.join(path, MINHASH_META)) as f:
+        return json.load(f)["num_perm"]
