@@ -135,7 +135,23 @@ class TableStore:
         self._id_blocks: dict[str, list[int]] = {}
         # partition files already verified/migrated to JSONL (append fast path)
         self._jsonl_checked: set[str] = set()
+        # Per-table pruning counters, the Spark twin of the reference's
+        # query_access_pruned_{chunks,rows}_total metric families
+        # (server/src/db/access.rs AccessMetrics; asserted by
+        # query_tests/src/pruning.rs) — per-process, like a per-server
+        # metric registry.  table -> {metric family -> count}.
+        self.prune_metrics: dict[str, dict[str, int]] = {}
         os.makedirs(os.path.join(base_dir, "_manifest"), exist_ok=True)
+
+    def _record_pruned(self, table: str, chunks: "list[ChunkMeta]") -> None:
+        if not chunks:
+            return
+        m = self.prune_metrics.setdefault(
+            table,
+            {"query_access_pruned_chunks_total": 0, "query_access_pruned_rows_total": 0},
+        )
+        m["query_access_pruned_chunks_total"] += len(chunks)
+        m["query_access_pruned_rows_total"] += sum(c.row_count for c in chunks)
 
     # -- manifest ---------------------------------------------------------
     def _manifest_dir(self, table: str) -> str:
@@ -807,6 +823,7 @@ class TableStore:
         if predicate is None:
             return chunks
         out = []
+        pruned = []
         for c in chunks:
             # An empty chunk partition_key means "unknown / spans partitions"
             # (e.g. a compaction that merged mixed-key inputs) — never prune
@@ -816,14 +833,17 @@ class TableStore:
                 and c.partition_key
                 and c.partition_key != predicate.partition_key
             ):
+                pruned.append(c)
                 continue
             if predicate.range is not None:
                 r = c.column_range(time_column)
                 if r is not None and r[0] is not None and r[1] is not None:
                     lo, hi = int(r[0]), int(r[1])
                     if hi < predicate.range.start or lo >= predicate.range.end:
+                        pruned.append(c)
                         continue
             out.append(c)
+        self._record_pruned(table, pruned)
         return out
 
     def scan(
@@ -862,6 +882,7 @@ class TableStore:
                 if predicate is not None and predicate.excludes_stats(
                     members[0].stats
                 ):
+                    self._record_pruned(table, [members[0]])
                     continue
                 clean_paths.append(os.path.join(self.base_dir, members[0].path))
             else:

@@ -351,3 +351,73 @@ def test_rpc_expr_lifts_comparisons_to_col_ranges():
     assert pred.excludes_stats({"bar": [0.0, 0.5]})       # bar >= 1 disjoint
     assert not pred.excludes_stats({"bar": [1.0, 2.0]})
     assert not pred.excludes_stats({"bar": [None, None]})  # unknown keeps
+
+
+def test_chunk_pruning_metrics_sql(spark, tmp_path):
+    """pruning.rs:54-106 chunk_pruning_sql, with disjoint chunks so the
+    field-stat pruner may act: bar<3 prunes the bar:[3,5] chunk, and the
+    access metrics record 1 pruned chunk / 3 pruned rows (the
+    query_access_pruned_{chunks,rows}_total counters)."""
+    schema = IoxSchema.build([], {"bar": InfluxColumnType.FIELD_FLOAT})
+    store = TableStore(str(tmp_path / "prune"))
+    ddl = "bar double, time long"
+    store.write_chunk(
+        spark.createDataFrame([(1.0, 10), (2.0, 20)], ddl), "cpu", schema
+    )
+    store.write_chunk(
+        spark.createDataFrame([(3.0, 30), (4.0, 40), (5.0, 50)], ddl),
+        "cpu", schema,
+    )
+    pred = Predicate().with_col_range("bar", hi=3.0, hi_open=True)
+    out = store.scan(spark, "cpu", schema, pred)
+    assert [(r.bar, r.time) for r in out.orderBy("time").collect()] == [
+        (1.0, 10),
+        (2.0, 20),
+    ]
+    m = store.prune_metrics["cpu"]
+    assert m["query_access_pruned_chunks_total"] == 1
+    assert m["query_access_pruned_rows_total"] == 3
+
+
+def test_chunk_pruning_metrics_time_range(spark, tmp_path):
+    """Time-range pruning counts into the same metric families (the
+    influxrpc access path of pruning.rs:109+ hits prune_chunks)."""
+    schema = IoxSchema.build([], {"bar": InfluxColumnType.FIELD_FLOAT})
+    store = TableStore(str(tmp_path / "trange"))
+    ddl = "bar double, time long"
+    store.write_chunk(
+        spark.createDataFrame([(1.0, 10), (2.0, 20)], ddl), "cpu", schema
+    )
+    store.write_chunk(
+        spark.createDataFrame([(3.0, 1000), (4.0, 2000)], ddl), "cpu", schema
+    )
+    kept = store.prune_chunks("cpu", Predicate().with_range(0, 100))
+    assert len(kept) == 1
+    m = store.prune_metrics["cpu"]
+    assert m["query_access_pruned_chunks_total"] == 1
+    assert m["query_access_pruned_rows_total"] == 2
+
+
+def test_chunk_pruning_dirty_chunks_stay_merge_correct(spark, tmp_path):
+    """The EXACT pruning.rs fixture: chunk0 bar=[1,2]@{10,20}, chunk1
+    bar=3@{10,100,1000} — the chunks OVERLAP on the primary key (no tags,
+    t=10 in both), so the reference's stats-only pruning of chunk1 changes
+    the merged answer (its expected table keeps bar=1@10 even though
+    chunk1's later bar=3@10 should win last-non-null before the filter).
+    Our pruner deliberately EXEMPTS dirty chunks (sources/store.py scan):
+    the dedup-correct answer filters the merged rows, so only bar=2@20
+    survives bar<3 — and nothing is counted as pruned."""
+    schema = IoxSchema.build([], {"bar": InfluxColumnType.FIELD_FLOAT})
+    store = TableStore(str(tmp_path / "dirty"))
+    ddl = "bar double, time long"
+    store.write_chunk(
+        spark.createDataFrame([(1.0, 10), (2.0, 20)], ddl), "cpu", schema
+    )
+    store.write_chunk(
+        spark.createDataFrame([(3.0, 10), (3.0, 100), (3.0, 1000)], ddl),
+        "cpu", schema,
+    )
+    pred = Predicate().with_col_range("bar", hi=3.0, hi_open=True)
+    out = store.scan(spark, "cpu", schema, pred)
+    assert [(r.bar, r.time) for r in out.orderBy("time").collect()] == [(2.0, 20)]
+    assert "cpu" not in store.prune_metrics
