@@ -660,3 +660,97 @@ def test_tag_values_all_measurements(db):
     ]
     # 'temp' is a FIELD in h2o -> h2o skipped, o2 lacks it -> empty union
     assert rpc.tag_values_all("temp") == []
+
+
+def _multi_series_rpc(spark, tmp_path):
+    """TwoMeasurementsMultiSeries (read_filter.rs:14-35): h2o + o2, data
+    inserted OUT of series order (the fixture swaps lines) so result
+    ordering is earned by the sort, not by insertion luck."""
+    from influxdb_iox_spark.rpc import InfluxRpc
+
+    h2o_s = IoxSchema.build(
+        ["state", "city"], {"temp": InfluxColumnType.FIELD_FLOAT}
+    )
+    o2_s = IoxSchema.build(
+        ["state", "city"],
+        {"temp": InfluxColumnType.FIELD_FLOAT, "reading": InfluxColumnType.FIELD_FLOAT},
+    )
+    store = TableStore(str(tmp_path / "multi"))
+    store.write_chunk(
+        spark.createDataFrame(
+            [
+                ("CA", "LA", 90.0, 200),       # swapped to front
+                ("MA", "Boston", 72.4, 250),
+                ("MA", "Boston", 70.4, 100),
+                ("CA", "LA", 90.0, 350),
+            ],
+            "state string, city string, temp double, time long",
+        ),
+        "h2o", h2o_s,
+    )
+    store.write_chunk(
+        spark.createDataFrame(
+            [
+                ("MA", "Boston", 53.4, 51.0, 250),  # swapped
+                ("MA", "Boston", 50.4, 50.0, 100),
+            ],
+            "state string, city string, temp double, reading double, time long",
+        ),
+        "o2", o2_s,
+    )
+    db = Database("multi", store, spark)
+    db.register_table("h2o", h2o_s)
+    db.register_table("o2", o2_s)
+    return InfluxRpc(db)
+
+
+def test_read_filter_pred_using_regex_match(spark, tmp_path):
+    """read_filter.rs test_read_filter_data_pred_using_regex_match: ts
+    [200,300) + state =~ /C.*/ keeps only the (LA, CA) series row @200,
+    arriving through the WIRE predicate tree (regex node -> rlike)."""
+    from influxdb_iox_spark.plans.rpc_expr import rpc_predicate_to_predicate
+
+    rpc = _multi_series_rpc(spark, tmp_path)
+    node = {
+        "node_type": "comparison",
+        "op": "regex_match",
+        "children": [
+            {"node_type": "tag_ref", "value": "state"},
+            {"node_type": "regex", "value": "C.*"},
+        ],
+    }
+    pred = rpc_predicate_to_predicate(node, Predicate().with_range(200, 300))
+    frames = list(rpc.read_filter_frames("h2o", pred))
+    assert len(frames) == 1
+    tags, rows = frames[0].tags, frames[0].rows
+    assert tags == {"city": "LA", "state": "CA"}
+    assert [(r["temp"], r["time"]) for r in rows] == [(90.0, 200)]
+    # o2 has no C* state rows in range -> no frames
+    assert list(rpc.read_filter_frames("o2", pred)) == []
+
+
+def test_read_filter_pred_using_regex_not_match(spark, tmp_path):
+    """read_filter.rs test_read_filter_data_pred_using_regex_not_match:
+    the negated regex keeps the MA series of BOTH measurements @250."""
+    from influxdb_iox_spark.plans.rpc_expr import rpc_predicate_to_predicate
+
+    rpc = _multi_series_rpc(spark, tmp_path)
+    node = {
+        "node_type": "comparison",
+        "op": "not_regex_match",
+        "children": [
+            {"node_type": "tag_ref", "value": "state"},
+            {"node_type": "regex", "value": "C.*"},
+        ],
+    }
+    pred = rpc_predicate_to_predicate(node, Predicate().with_range(200, 300))
+    h2o = list(rpc.read_filter_frames("h2o", pred))
+    assert len(h2o) == 1
+    assert h2o[0].tags == {"city": "Boston", "state": "MA"}
+    assert [(r["temp"], r["time"]) for r in h2o[0].rows] == [(72.4, 250)]
+    o2 = list(rpc.read_filter_frames("o2", pred))
+    assert len(o2) == 1
+    assert o2[0].tags == {"city": "Boston", "state": "MA"}
+    assert [(r["reading"], r["temp"], r["time"]) for r in o2[0].rows] == [
+        (51.0, 53.4, 250)
+    ]
