@@ -66,6 +66,17 @@ class IoxHttpServer:
         self.max_rows = max_rows
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
+        # Prometheus-style counters, the surface of the reference's
+        # GET /metrics route (src/influxdb_ioxd/http.rs:366,678 and the
+        # ingest counter family server/src/lib.rs:336-400).  ingest_*
+        # count only ACCEPTED writes (the reference increments success
+        # counters after the write lands); http_requests_total is labeled
+        # by (path, status).
+        self.metrics: dict[str, int] = {
+            "ingest_lines_total": 0,
+            "ingest_points_bytes_total": 0,
+        }
+        self.request_counts: dict[tuple[str, int], int] = {}
         # The store's manifest append / chunk-id allocation are single-writer
         # (atomic-rename safe against crashes, not concurrent writers), so
         # writes from the threaded HTTP server serialize here.
@@ -117,6 +128,26 @@ class IoxHttpServer:
             ]
             for ing, metas in written:
                 ing.store.register_chunks(ing.table, metas)
+            self.metrics["ingest_lines_total"] += len(lines)
+            self.metrics["ingest_points_bytes_total"] += len(body)
+
+    def render_metrics(self) -> bytes:
+        """Prometheus text exposition of the server counters + the store's
+        pruning access metrics (GET /metrics, http.rs:678 handle_metrics)."""
+        out = []
+        for name, v in sorted(self.metrics.items()):
+            out.append(f"# TYPE {name} counter")
+            out.append(f'{name}{{db_name="{self.db_name}"}} {v}')
+        for (path, status), v in sorted(self.request_counts.items()):
+            out.append(
+                f'http_requests_total{{path="{path}",status="{status}"}} {v}'
+            )
+        for table, fams in sorted(self.database.store.prune_metrics.items()):
+            for fam, v in sorted(fams.items()):
+                out.append(
+                    f'{fam}{{db_name="{self.db_name}",table_name="{table}"}} {v}'
+                )
+        return ("\n".join(out) + "\n").encode()
 
     def handle_query(self, name: str, q: str, fmt: str) -> tuple[bytes, str]:
         """Collects on the driver by design (control-plane facade), but the
@@ -192,6 +223,8 @@ def _make_handler(api: IoxHttpServer):
             pass
 
         def _reply(self, status: int, body: bytes = b"", ctype: str = "text/plain"):
+            key = (urlparse(self.path).path, status)
+            api.request_counts[key] = api.request_counts.get(key, 0) + 1
             self.send_response(status)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
@@ -204,6 +237,9 @@ def _make_handler(api: IoxHttpServer):
             try:
                 if u.path == "/health":
                     self._reply(200, b"OK")
+                    return
+                if u.path == "/metrics":
+                    self._reply(200, api.render_metrics(), "text/plain; version=0.0.4")
                     return
                 parts = u.path.strip("/").split("/")
                 # /iox/api/v1/databases/:name/query

@@ -186,3 +186,28 @@ def test_write_is_all_or_nothing_across_measurements(spark, tmp_path):
         assert store.manifest("cpu") == []
     finally:
         api.stop()
+
+
+def test_metrics_endpoint(server):
+    """GET /metrics (http.rs:366,678): Prometheus exposition of the ingest
+    counters (incremented only by ACCEPTED writes), http_requests_total by
+    (path, status), and the store's pruning access metrics."""
+    lines = b"cpu,region=west user=23.2 100\ncpu,region=east user=5.0 200\n"
+    with _post(f"{server}/api/v2/write?org=myorg&bucket=mybucket", lines) as r:
+        assert r.status == 204
+    # a rejected write must NOT count into ingest_*
+    try:
+        _post(f"{server}/api/v2/write?org=myorg&bucket=mybucket", b"not a line")
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+    with urllib.request.urlopen(f"{server}/metrics", timeout=30) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    assert 'ingest_lines_total{db_name="myorg_mybucket"} 2' in text
+    assert f'ingest_points_bytes_total{{db_name="myorg_mybucket"}} {len(lines)}' in text
+    assert '# TYPE ingest_lines_total counter' in text
+    assert 'http_requests_total{path="/api/v2/write",status="204"} 1' in text
+    assert 'http_requests_total{path="/api/v2/write",status="400"} 1' in text
