@@ -924,6 +924,55 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup cluster-then-prune,
+    pipeline/similarity.semantic_dedup_pairs) in its oracle-checkable
+    degenerate form: n_clusters=1 makes the intra-cluster prune an exact
+    all-pairs comparison, so the drop set and best-keeper choice are
+    independent of the (non-SQL-expressible) k-means step; the clustered
+    path's soundness + planted recall are pytest-covered."""
+    from influxdb_iox_spark.pipeline.similarity import semantic_dedup_pairs
+
+    t = _load(spark, sf_dir, "embeddings")
+    return (
+        semantic_dedup_pairs(
+            t["embeddings"], n_clusters=1, threshold=0.45, id_col="vec_id"
+        )
+        .select(
+            "drop_id",
+            "keep_id",
+            F.round(F.col("cosine_sim"), 6).alias("cosine_sim"),
+        )
+        .orderBy("drop_id")
+    )
+
+
+SQL_EMB_SEMANTIC_DEDUP = """
+WITH z AS (
+  SELECT l.vec_id AS a, r.vec_id AS b,
+         unnest(l.embedding) AS x, unnest(r.embedding) AS y
+  FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id),
+d AS (
+  SELECT a, b,
+    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dp,
+    SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
+    SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
+  FROM z GROUP BY a, b),
+p AS (
+  SELECT b AS drop_id, a AS keep_id,
+         dp / (sqrt(nx) * sqrt(ny)) AS c
+  FROM d WHERE dp / (sqrt(nx) * sqrt(ny)) >= 0.45)
+SELECT drop_id, keep_id, round(c, 6) AS cosine_sim
+FROM (
+  SELECT drop_id, keep_id, c,
+         ROW_NUMBER() OVER (
+           PARTITION BY drop_id ORDER BY c DESC, keep_id ASC) AS rn
+  FROM p)
+WHERE rn = 1
+ORDER BY drop_id
+"""
+
+
 SQL_EMB_NEAR_DUP = """
 WITH z AS (
   SELECT l.vec_id AS a, r.vec_id AS b,
@@ -2618,6 +2667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_stats": q_doc_repetition,
         "doc_mixture_sample": q_mixture_sample,
         "doc_incremental_dedup": q_doc_incremental_dedup,
+        "emb_semantic_dedup": q_emb_semantic_dedup,
     }
     return _rotate_for_round(base)
 
@@ -2668,6 +2718,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition_stats": SQL_DOC_REPETITION,
         "doc_mixture_sample": _sql_mixture_sample(),
         "doc_incremental_dedup": SQL_DOC_INCREMENTAL_DEDUP,
+        "emb_semantic_dedup": SQL_EMB_SEMANTIC_DEDUP,
         "dedup_last_non_null": SQL_DEDUP,
         "json_props_extract": SQL_JSON_PROPS,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,

@@ -278,3 +278,100 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine_sim") >= threshold)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (cluster → intra-cluster prune)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    sample_rows: int = 10_000,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(drop_id, keep_id, cosine_sim): for each document that has an
+    EARLIER (lower-id) same-cluster document with cosine ≥ threshold, the
+    single best such predecessor.
+
+    The SemDeDup recipe (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication" — public
+    arXiv:2303.09540): k-means-cluster the embeddings, then compare pairs
+    only WITHIN a cluster, turning the quadratic all-pairs problem into
+    k independent quadratic-in-cluster-size problems.  Spark shape: one
+    Arrow-batched centroid argmin per row, then a self-join keyed on the
+    cluster id — the shuffle moves each vector once, and the join blows
+    up only within a cluster (expected size n/k; at 10^10 docs pick
+    n_clusters so clusters hold ~10^5 vectors, and split any hot cluster
+    with a second-level clustering — same mitigation as LSH hot-bucket
+    capping).  Drop policy is deterministic: min-id survives; ties in
+    cosine break toward the smallest keeper id.
+
+    Cross-cluster near-duplicates are missed by design (the paper
+    accepts this recall loss for the k× compute reduction); callers
+    needing exact recall at small scale should use
+    ``embedding_near_dup_pairs`` / ``cosine_threshold`` instead.
+    """
+    cent = train_ivf_centroids(
+        df, n_clusters, sample_rows, seed=seed, vec_col=vec_col
+    )
+    assigned = ivf_assign(df, cent, vec_col).select(
+        F.col(id_col), F.col(vec_col), F.col("ivf_list")
+    )
+    a = assigned.select(
+        F.col(id_col).alias("keep_id"),
+        F.col(vec_col).alias("__va"),
+        F.col("ivf_list"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("drop_id"),
+        F.col(vec_col).alias("__vb"),
+        F.col("ivf_list"),
+    )
+    pairs = (
+        a.join(b, on="ivf_list")
+        .filter(F.col("keep_id") < F.col("drop_id"))
+        .select(
+            "drop_id",
+            "keep_id",
+            cosine(F.col("__va"), F.col("__vb")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+    # one row per dropped doc: its most-similar earlier keeper
+    return (
+        pairs.groupBy("drop_id")
+        .agg(
+            F.max_by(
+                F.struct("keep_id", "cosine_sim"),
+                F.struct(F.col("cosine_sim"), -F.col("keep_id")),
+            ).alias("best")
+        )
+        .select(
+            "drop_id",
+            F.col("best.keep_id").alias("keep_id"),
+            F.col("best.cosine_sim").alias("cosine_sim"),
+        )
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    sample_rows: int = 10_000,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Survivors of semantic dedup: documents with NO earlier same-cluster
+    document at cosine ≥ threshold keep all their columns (left anti join
+    on the dropped set — one additional id-keyed shuffle)."""
+    dropped = semantic_dedup_pairs(
+        df, n_clusters, threshold, sample_rows, seed, vec_col, id_col
+    ).select(F.col("drop_id").alias(id_col))
+    return df.join(dropped, on=id_col, how="left_anti")

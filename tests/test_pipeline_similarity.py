@@ -71,3 +71,45 @@ def test_embedding_near_dup_self(spark, emb):
     with_dup = emb.unionByName(dup)
     pairs = embedding_near_dup_pairs(with_dup, threshold=0.999, nbits=8).collect()
     assert any({r.a, r.b} == {0, 100000} for r in pairs)
+
+
+def test_semantic_dedup_soundness_and_planted_recall(spark):
+    """semantic_dedup drops a doc only when an earlier same-cluster doc
+    really is ≥ threshold (soundness, checked against numpy brute force),
+    and planted exact-duplicate vectors are always caught (identical
+    vectors share a cluster by construction)."""
+    import numpy as np
+
+    from influxdb_iox_spark.pipeline.similarity import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    # plant duplicates: 100=copy of 3, 101=copy of 7 with tiny noise
+    rows.append((100, [float(x) for x in base[3]]))
+    rows.append((101, [float(x) for x in base[7] + rng.normal(scale=1e-4, size=16)]))
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+
+    pairs = semantic_dedup_pairs(
+        df, n_clusters=4, threshold=0.99, sample_rows=100, seed=1
+    ).collect()
+    by_id = {i: np.array(v) for i, v in rows}
+    for r in pairs:
+        a, b = by_id[r.keep_id], by_id[r.drop_id]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert r.keep_id < r.drop_id
+        assert cos >= 0.99 - 1e-9
+        assert r.cosine_sim == pytest.approx(cos, abs=1e-9)
+    dropped = {r.drop_id for r in pairs}
+    assert {100, 101} <= dropped
+
+    survivors = semantic_dedup(
+        df, n_clusters=4, threshold=0.99, sample_rows=100, seed=1
+    )
+    ids = {r.doc_id for r in survivors.collect()}
+    assert ids == {i for i, _ in rows} - dropped
+    assert 3 in ids and 7 in ids  # canonical min-ids survive
+    assert set(survivors.columns) == {"doc_id", "embedding"}
