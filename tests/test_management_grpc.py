@@ -500,3 +500,35 @@ def test_server_restart_restores_state(srv, spark):
     assert "cpu" in db.table_names()
     assert db.table("cpu").count() == 2
     assert db.table_schema("cpu").tag_columns == ["region"]
+
+
+# -- unified client facade (influxdb_iox_client-style) ----------------------
+
+
+def test_iox_client_facade(srv):
+    from influxdb_iox_spark.client import IoxClient
+
+    c = IoxClient(grpc_port=srv[1])
+    try:
+        c.create_database("clientdb", partition_template_parts=[{"table": {}}])
+        assert "clientdb" in c.list_databases()
+        assert c.get_database("clientdb")["name"] == "clientdb"
+        assert c.write("clientdb", "cpu,region=west user=1.5 100\ncpu user=2 200") == 2
+        chunks = c.list_chunks("clientdb")
+        assert len(chunks) == 1 and chunks[0]["row_count"] == 2
+        assert c.list_partitions("clientdb") == ["cpu"]
+        assert c.get_partition("clientdb", "cpu") == {"key": "cpu"}
+        assert c.get_partition("clientdb", "nope") is None
+        assert len(c.list_partition_chunks("clientdb", "cpu")) == 1
+        op = c.close_partition_chunk(
+            "clientdb", "cpu", "cpu", chunks[0]["id"]
+        )
+        assert op["done"] is True
+        assert c.get_operation(op["name"])["name"] == op["name"]
+        assert any(o["name"] == op["name"] for o in c.list_operations())
+        status = c.server_status()
+        assert any(
+            s["db_name"] == "clientdb" for s in status["database_statuses"]
+        )
+    finally:
+        c.close()
