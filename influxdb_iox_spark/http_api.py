@@ -170,41 +170,48 @@ class IoxHttpServer:
                 "add a LIMIT clause or page the query",
             )
         cols = df.columns
-        if fmt == "json":
-            out = json.dumps([dict(zip(cols, [_json_val(v) for v in r])) for r in rows])
-            return out.encode(), "application/json"
-        if fmt == "csv":
-            import csv
+        return render_query_result(cols, rows, fmt)
 
-            buf = io.StringIO()
-            w = csv.writer(buf)
-            w.writerow(cols)
-            for r in rows:
-                w.writerow(list(r))
-            return buf.getvalue().encode(), "text/csv"
-        if fmt == "pretty":
-            # render from the already-collected rows (one execution), with
-            # Spark SQL's NULL/true/false conventions
-            def _cell(v):
-                if v is None:
-                    return "NULL"
-                if isinstance(v, bool):
-                    return "true" if v else "false"
-                return str(v)
 
-            cells = [[_cell(v) for v in r] for r in rows]
-            widths = [
-                max(len(c), *(len(row[i]) for row in cells)) if cells else len(c)
-                for i, c in enumerate(cols)
-            ]
-            sep = "+-" + "-+-".join("-" * w for w in widths) + "-+"
-            def _line(vals):
-                return "| " + " | ".join(v.ljust(w) for v, w in zip(vals, widths)) + " |"
-            out = [sep, _line(cols), sep, *[_line(r) for r in cells], sep]
-            return ("\n".join(out) + "\n").encode(), "text/plain"
-        raise AssertionError(
-            f"format {fmt!r} passed validation but has no renderer"
-        )  # unreachable: QUERY_FORMATS is checked before execution
+def render_query_result(cols, rows, fmt: str) -> tuple[bytes, str]:
+    """Render a collected result in one of the v2 query formats (shared by
+    the single-db facade and the multi-db server in rpc_management)."""
+    if fmt == "json":
+        out = json.dumps([dict(zip(cols, [_json_val(v) for v in r])) for r in rows])
+        return out.encode(), "application/json"
+    if fmt == "csv":
+        import csv
+
+        buf = io.StringIO()
+        w = csv.writer(buf)
+        w.writerow(cols)
+        for r in rows:
+            w.writerow(list(r))
+        return buf.getvalue().encode(), "text/csv"
+    if fmt == "pretty":
+        # render from the already-collected rows (one execution), with
+        # Spark SQL's NULL/true/false conventions
+        def _cell(v):
+            if v is None:
+                return "NULL"
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            return str(v)
+
+        cells = [[_cell(v) for v in r] for r in rows]
+        widths = [
+            max(len(c), *(len(row[i]) for row in cells)) if cells else len(c)
+            for i, c in enumerate(cols)
+        ]
+        sep = "+-" + "-+-".join("-" * w for w in widths) + "-+"
+        def _line(vals):
+            return "| " + " | ".join(v.ljust(w) for v, w in zip(vals, widths)) + " |"
+        out = [sep, _line(cols), sep, *[_line(r) for r in cells], sep]
+        return ("\n".join(out) + "\n").encode(), "text/plain"
+    raise AssertionError(
+        f"format {fmt!r} passed validation but has no renderer"
+    )  # unreachable: QUERY_FORMATS is checked before execution
+
 
 
 def _json_val(v):
@@ -221,6 +228,13 @@ def _make_handler(api: IoxHttpServer):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet test output
             pass
+
+        def _reply_error(self, status: int, message: str):
+            # v2 API error-body shape (end_to_end_cases/http.rs:15: a 400
+            # carries `{"error": ..., "error_code": 100}`); the message text
+            # rides inside so clients can match on substrings.
+            body = json.dumps({"error": message, "error_code": 100}).encode()
+            self._reply(status, body, "application/json")
 
         def _reply(self, status: int, body: bytes = b"", ctype: str = "text/plain"):
             key = (urlparse(self.path).path, status)
@@ -258,9 +272,9 @@ def _make_handler(api: IoxHttpServer):
                     return
                 self._reply(404, b"not found")
             except _HttpError as e:
-                self._reply(e.status, str(e).encode())
+                self._reply_error(e.status, str(e))
             except Exception as e:  # planner/readback errors -> 400 like ref
-                self._reply(400, str(e).encode())
+                self._reply_error(400, str(e))
 
         def do_POST(self):
             u = urlparse(self.path)
@@ -290,9 +304,9 @@ def _make_handler(api: IoxHttpServer):
                 api.handle_write(org, bucket, body)
                 self._reply(204)
             except _HttpError as e:
-                self._reply(e.status, str(e).encode())
+                self._reply_error(e.status, str(e))
             except LineProtocolError as e:
-                self._reply(400, str(e).encode())
+                self._reply_error(400, str(e))
             except Exception as e:
                 # Spark surfaces parse errors wrapped in Py4J/PythonException
                 msg = str(e)

@@ -267,10 +267,28 @@ class IoxServer:
             raise GrpcStatusError("Unavailable", "server is not serving data plane")
         validate_db_name(db_name)
         md = self.db(db_name)
-        if (md.rules.get("lifecycle_rules") or {}).get("immutable"):
+        lifecycle = md.rules.get("lifecycle_rules") or {}
+        if lifecycle.get("immutable"):
             raise GrpcStatusError(
                 "FailedPrecondition", f"database {db_name!r} is immutable"
             )
+        # buffer_size_hard: once the database exceeds the hard limit,
+        # reject writes with ResourceExhausted (write_api.rs:68-82 floods
+        # until tonic::Code::ResourceExhausted).  Our chunks persist on
+        # write, so "buffered bytes" maps to total on-disk chunk bytes —
+        # an O(chunks) manifest read, no Spark job.
+        hard = lifecycle.get("buffer_size_hard") or 0
+        if hard:
+            store = md.database.store
+            total = sum(
+                c.estimated_bytes for t in store.tables() for c in store.manifest(t)
+            )
+            if total >= hard:
+                raise GrpcStatusError(
+                    "ResourceExhausted",
+                    f"database {db_name!r} exceeds the hard buffer limit "
+                    f"({total} >= {hard} bytes)",
+                )
         try:
             parsed = list(parse_lines(lp_data))
         except LineProtocolError as e:
@@ -792,3 +810,100 @@ if _FLIGHT_AVAILABLE:
 
         def close(self):
             self._client.close()
+
+
+# -- multi-database HTTP facade ---------------------------------------------
+
+
+class IoxMultiDbHttpServer:
+    """The v2 HTTP API over an IoxServer's LIVE database set — write to any
+    '<org>_<bucket>' database (schema inferred like the gRPC write path)
+    and query any database by name, exactly how the reference's HTTP
+    router resolves databases per request (http.rs:462-660).  Reuses the
+    single-db facade's request handler; only routing differs."""
+
+    DEFAULT_MAX_ROWS = 10_000
+
+    def __init__(self, server: IoxServer, max_rows: int = DEFAULT_MAX_ROWS):
+        self.server = server
+        self.max_rows = max_rows
+        self._httpd = None
+        self._thread = None
+        self.metrics: dict[str, int] = {
+            "ingest_lines_total": 0,
+            "ingest_points_bytes_total": 0,
+        }
+        self.request_counts: dict[tuple[str, int], int] = {}
+
+    def start(self, host: str = "127.0.0.1", port: int = 0) -> int:
+        from http.server import ThreadingHTTPServer
+
+        from influxdb_iox_spark.http_api import _make_handler
+
+        self._httpd = ThreadingHTTPServer((host, port), _make_handler(self))
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self._httpd.server_address[1]
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+
+    def handle_write(self, org: str, bucket: str, body: bytes) -> None:
+        from influxdb_iox_spark.http_api import _HttpError, org_and_bucket_to_database
+
+        name = org_and_bucket_to_database(org, bucket)
+        try:
+            n = self.server.write_lp(name, body.decode("utf-8"))
+        except GrpcStatusError as e:
+            status = {
+                "NotFound": 404,
+                "Unavailable": 503,
+                "ResourceExhausted": 429,
+            }.get(e.code, 400)
+            raise _HttpError(status, e.message)
+        self.metrics["ingest_lines_total"] += n
+        self.metrics["ingest_points_bytes_total"] += len(body)
+
+    def handle_query(self, name: str, q: str, fmt: str) -> tuple[bytes, str]:
+        from influxdb_iox_spark.http_api import (
+            QUERY_FORMATS,
+            _HttpError,
+            render_query_result,
+        )
+
+        md = self.server.databases.get(name)
+        if md is None:
+            raise _HttpError(404, f"database {name!r} not found")
+        if fmt not in QUERY_FORMATS:
+            raise _HttpError(400, f"unknown format {fmt!r}")
+        df = md.database.query(q)
+        rows = df.limit(self.max_rows + 1).collect()
+        if len(rows) > self.max_rows:
+            raise _HttpError(
+                413,
+                f"result exceeds max_rows={self.max_rows}; "
+                "add a LIMIT clause or page the query",
+            )
+        return render_query_result(df.columns, rows, fmt)
+
+    def render_metrics(self) -> bytes:
+        out = []
+        for name, v in sorted(self.metrics.items()):
+            out.append(f"# TYPE {name} counter")
+            out.append(f"{name} {v}")
+        for (path, status), v in sorted(self.request_counts.items()):
+            out.append(
+                f'http_requests_total{{path="{path}",status="{status}"}} {v}'
+            )
+        for db_name, md in sorted(self.server.databases.items()):
+            for table, fams in sorted(md.database.store.prune_metrics.items()):
+                for fam, v in sorted(fams.items()):
+                    out.append(
+                        f'{fam}{{db_name="{db_name}",table_name="{table}"}} {v}'
+                    )
+        return ("\n".join(out) + "\n").encode()

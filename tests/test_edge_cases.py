@@ -60,3 +60,29 @@ def test_window_aggregate_last_selector(spark, tmp_path):
     out = read_window_aggregate(db, "cpu", Aggregate.LAST, every_ns=1000)
     row = {r.region: r for r in out.collect()}["west"]
     assert (row.user, row.user_time) == (2.0, 200)  # latest in-window value+time
+
+
+def test_correctness_window_rotation_tiles_all_queries():
+    """The driver's correctness checker caps at ~50 entries; queries() is
+    rotated per round so consecutive windows tile the whole surface.  Pin
+    the invariant: for ANY adjacent round pair >= 4, the union of the two
+    50-entry windows covers every declared query."""
+    import __spark_entry__ as E
+
+    names = list(E.queries())
+    n = len(names)
+    # recompute the canonical (unrotated) order by undoing this round's shift
+    r = E._round_number()
+    shift = (50 * (r - 4)) % n if r >= 4 else 0
+    canonical = names[n - shift:] + names[: n - shift] if shift else names
+
+    def window(round_no):
+        s = (50 * (round_no - 4)) % n if round_no >= 4 else 0
+        rotated = canonical[s:] + canonical[:s]
+        return set(rotated[:50])
+
+    for rnd in range(4, 12):
+        union = window(rnd) | window(rnd + 1)
+        assert union == set(canonical), (
+            f"rounds {rnd}+{rnd+1} miss {set(canonical) - union}"
+        )

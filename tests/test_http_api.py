@@ -211,3 +211,16 @@ def test_metrics_endpoint(server):
     assert '# TYPE ingest_lines_total counter' in text
     assert 'http_requests_total{path="/api/v2/write",status="204"} 1' in text
     assert 'http_requests_total{path="/api/v2/write",status="400"} 1' in text
+
+
+def test_error_body_shape(server):
+    """end_to_end_cases/http.rs:15 — error replies carry the v2 JSON body
+    `{"error": ..., "error_code": 100}`."""
+    try:
+        _post(f"{server}/api/v2/write?org=nope&bucket=nada", b"m f=1 1")
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+        body = json.loads(e.read())
+        assert body["error_code"] == 100
+        assert "not found" in body["error"]

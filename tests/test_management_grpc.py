@@ -532,3 +532,67 @@ def test_iox_client_facade(srv):
         )
     finally:
         c.close()
+
+
+def test_write_hard_buffer_limit(client):
+    """write_api.rs:68-85: once the database exceeds buffer_size_hard,
+    writes fail with ResourceExhausted (our buffered bytes = total
+    persisted chunk bytes, chunks being born persisted)."""
+    rules = _rules("floodme")
+    rules["lifecycle_rules"]["buffer_size_hard"] = 1  # first write trips it
+    client.call("management", "CreateDatabase", {"rules": rules})
+    assert _write(client, "floodme", "flood,tag1=a x=1 0") == 1
+    with pytest.raises(Exception, match="ResourceExhausted"):
+        _write(client, "floodme", "flood,tag1=b x=2 0")
+
+
+def test_multi_db_http_server(srv):
+    """The v2 HTTP API over the live database set: write to any
+    '<org>_<bucket>' database with schema inference, query any database
+    by name, 404 for unknown databases, metrics served."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from influxdb_iox_spark.rpc_management import IoxMultiDbHttpServer
+
+    server, _port = srv
+    http = IoxMultiDbHttpServer(server)
+    port = http.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        server.create_database(
+            {"name": "h_b", "partition_template": {"parts": [{"table": {}}]}}
+        )
+        req = urllib.request.Request(
+            f"{base}/api/v2/write?org=h&bucket=b",
+            data=b"cpu,region=west user=1.5 100\ncpu,region=east user=2.0 200",
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.status == 204
+
+        q = urllib.request.quote("SELECT region, user, time FROM cpu ORDER BY time")
+        with urllib.request.urlopen(
+            f"{base}/iox/api/v1/databases/h_b/query?q={q}&format=json", timeout=120
+        ) as r:
+            rows = _json.loads(r.read())
+        assert rows == [
+            {"region": "west", "user": 1.5, "time": 100},
+            {"region": "east", "user": 2.0, "time": 200},
+        ]
+
+        # unknown database -> 404 with the JSON error body
+        try:
+            urllib.request.urlopen(
+                f"{base}/iox/api/v1/databases/nope/query?q=SELECT%201", timeout=30
+            )
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+            assert _json.loads(e.read())["error_code"] == 100
+
+        with urllib.request.urlopen(f"{base}/metrics", timeout=30) as r:
+            text = r.read().decode()
+        assert "ingest_lines_total 2" in text
+    finally:
+        http.stop()
