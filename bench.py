@@ -36,6 +36,10 @@ HEADLINE = [
     # and the corpus path in the driver bench, not just BENCH_NOTES.
     "simhash_near_dup",
     "corpus_ngram_topk",
+    # round-5 continuation: the incremental-dedup index path (build the
+    # even-doc index + anti-join the odd-doc batch — the continuous-ingest
+    # accept step a 100 TB pipeline runs per shard)
+    "doc_incremental_dedup",
 ]
 
 
@@ -151,7 +155,12 @@ def main() -> None:
                     sum(
                         v
                         for k, v in timings.items()
-                        if k not in ("simhash_near_dup", "corpus_ngram_topk")
+                        if k
+                        not in (
+                            "simhash_near_dup",
+                            "corpus_ngram_topk",
+                            "doc_incremental_dedup",
+                        )
                     ),
                     3,
                 ),

@@ -150,3 +150,54 @@ def test_minhash_index_agrees_with_batch_path(spark, tmp_path):
         if r.a in (1, 2) and r.b in (3, 4)
     }
     assert inc == cross
+
+
+def test_streaming_ingest_batch_dedup(spark, tmp_path):
+    """Continuous-corpus dedup: a file streaming source drained with
+    foreachBatch(ingest_batch) accepts each document's content exactly
+    once across micro-batches — the index carries state BETWEEN batches,
+    which plain streaming dropDuplicates cannot (its state dies with the
+    checkpoint and never survives a re-deploy)."""
+    import json as _json
+    import os
+
+    src = tmp_path / "src"
+    out = tmp_path / "accepted"
+    os.makedirs(src)
+    os.makedirs(out)
+    index = str(tmp_path / "index")
+    build_exact_index(
+        spark.createDataFrame([(1, BASE)], "doc_id long, text string"),
+        index,
+        n_buckets=4,
+    )
+
+    # two source files -> (at least) two micro-batches with overlap
+    with open(src / "a.jsonl", "w") as f:
+        f.write(_json.dumps({"doc_id": 10, "text": OTHER}) + "\n")
+        f.write(_json.dumps({"doc_id": 11, "text": BASE}) + "\n")  # dup of 1
+
+    accepted_ids = []
+
+    def sink(batch_df, batch_id):
+        fresh = ingest_batch(spark, index, batch_df)
+        accepted_ids.extend(r.doc_id for r in fresh.collect())
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert sorted(accepted_ids) == [10]
+
+    with open(src / "b.jsonl", "w") as f:
+        f.write(_json.dumps({"doc_id": 20, "text": OTHER}) + "\n")  # dup of 10
+        f.write(_json.dumps({"doc_id": 21, "text": THIRD}) + "\n")  # fresh
+
+    q2 = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q2.awaitTermination(120)
+    # the second drain reprocesses a.jsonl (no checkpoint) — the INDEX
+    # dedups the replay: only the genuinely new doc 21 is accepted
+    assert sorted(accepted_ids) == [10, 21]
