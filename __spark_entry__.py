@@ -2052,7 +2052,9 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _load(spark, sf_dir, "documents")
     out = near_duplicate_pairs_minhash(t["documents"], threshold=0.5)
-    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    return out.select(
+        "a", "b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("a", "b")
 
 
 # Shared oracle CTE: word tokens -> distinct 3-gram shingles -> exact
@@ -2080,6 +2082,7 @@ SQL_MINHASH_NEAR_DUP = f"""
 WITH {_SQL_SHINGLE_PAIRS_CTE}
 SELECT a, b, round(shared / (na + nb - shared), 6) AS jaccard
 FROM shared WHERE shared / (na + nb - shared) >= 0.5
+ORDER BY a, b
 """
 
 

@@ -140,7 +140,7 @@ def minhash_signatures(
     to null, never hashed — hashing null would pair all empty docs at
     jaccard 1.0).
     """
-    from pyspark.sql import Window
+    from influxdb_iox_spark.pipeline.text import gram_join
 
     a, b = _affine_params(num_perm)
     toks = word_tokens(F.col(text_col))
@@ -148,19 +148,26 @@ def minhash_signatures(
     sc = df.sparkSession.sparkContext
     if base_df.rdd.getNumPartitions() < sc.defaultParallelism:
         base_df = base_df.repartition(sc.defaultParallelism, F.col(id_col))
-    ex = base_df.select(
-        F.col(id_col), F.col("__k"), F.posexplode_outer("__t").alias("__p", "__tok")
+    # Shingles via arrays_zip over shifted slices (the gram_structs shape,
+    # round-5 BENCH_NOTES §4) instead of posexplode + lead() window: no
+    # per-document sort, no token rows through an exchange — each document
+    # lives in one partition, so the groupBy's map-side partial aggregation
+    # collapses to ONE finished row per document before the shuffle.  The
+    # gram count term keeps the legacy short-document semantics: a document
+    # with 0 < k < n tokens yields its single full-token shingle
+    # (arrays_zip pads the exhausted slices with null; concat_ws skips
+    # them), and a token-less document yields the null row explode_outer
+    # emits from an empty array (-> empty shingle set, sentinel mins).
+    n_grams = F.greatest(
+        F.col("__k") - (shingle_n - 1), F.least(F.col("__k"), F.lit(1))
     )
-    w = Window.partitionBy(id_col).orderBy("__p")
-    gram = F.concat_ws(
-        " ",
-        F.col("__tok"),
-        *[F.lead("__tok", j).over(w) for j in range(1, shingle_n)],
+    zipped = F.arrays_zip(
+        *[F.slice(F.col("__t"), F.lit(i + 1), n_grams) for i in range(shingle_n)]
     )
-    keep = (F.col("__p") <= F.greatest(F.col("__k") - shingle_n, F.lit(0))) | F.col(
-        "__p"
-    ).isNull()
-    ex = ex.withColumn("s", F.when(F.col("__p").isNotNull(), gram)).filter(keep)
+    ex = base_df.select(F.col(id_col), F.explode_outer(zipped).alias("__z"))
+    ex = ex.withColumn(
+        "s", F.when(F.col("__z").isNotNull(), gram_join("__z", shingle_n))
+    )
     base = F.when(F.col("s").isNotNull(), F.hash(F.col("s")).cast("long"))
     mins = [
         F.coalesce(
