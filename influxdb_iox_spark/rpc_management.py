@@ -263,20 +263,62 @@ class IoxServer:
 
     # -- write path --------------------------------------------------------
     def write_lp(self, db_name: str, lp_data: str) -> int:
+        """Line-protocol write, routed per the store_entry decision table
+        (server/src/db.rs store_entry match over (write_buffer, immutable)):
+
+        - writing + immutable  -> produce to the buffer ONLY (pass-through)
+        - writing + mutable    -> produce first; local apply only after the
+          buffer accepted the payload
+        - immutable (no buffer)-> error
+        - reading + mutable    -> direct writes rejected; data arrives via
+          drain_write_buffer
+        - no buffer + mutable  -> local apply
+        """
         if not self.serving:
             raise GrpcStatusError("Unavailable", "server is not serving data plane")
         validate_db_name(db_name)
         md = self.db(db_name)
         lifecycle = md.rules.get("lifecycle_rules") or {}
-        if lifecycle.get("immutable"):
+        immutable = bool(lifecycle.get("immutable"))
+        writing = md.rules.get("writing") or None
+        reading = md.rules.get("reading") or None
+        try:
+            parsed = list(parse_lines(lp_data))
+        except LineProtocolError as e:
+            raise GrpcStatusError("InvalidArgument", f"error parsing line protocol: {e}")
+        if writing:
+            from influxdb_iox_spark.streaming.write_buffer import FileWriteBuffer
+
+            FileWriteBuffer(writing).produce(db_name, lp_data)
+            if immutable:
+                return len(parsed)
+            self._apply_lp(md, db_name, lp_data, parsed)
+            return len(parsed)
+        if immutable:
             raise GrpcStatusError(
                 "FailedPrecondition", f"database {db_name!r} is immutable"
             )
+        if reading:
+            # exact message shape of write_buffer.rs:244-248
+            raise GrpcStatusError(
+                "FailedPrecondition",
+                f"Cannot write to database {db_name}, it's configured to only "
+                "read from the write buffer",
+            )
+        self._apply_lp(md, db_name, lp_data, parsed)
+        return len(parsed)
+
+    def _apply_lp(self, md: ManagedDatabase, db_name: str, lp_data: str, parsed) -> None:
+        """Local apply: hard-limit gate, schema inference/merge, then the
+        all-or-nothing multi-measurement chunk write."""
+        if not parsed:
+            return
         # buffer_size_hard: once the database exceeds the hard limit,
         # reject writes with ResourceExhausted (write_api.rs:68-82 floods
         # until tonic::Code::ResourceExhausted).  Our chunks persist on
         # write, so "buffered bytes" maps to total on-disk chunk bytes —
         # an O(chunks) manifest read, no Spark job.
+        lifecycle = md.rules.get("lifecycle_rules") or {}
         hard = lifecycle.get("buffer_size_hard") or 0
         if hard:
             store = md.database.store
@@ -289,12 +331,6 @@ class IoxServer:
                     f"database {db_name!r} exceeds the hard buffer limit "
                     f"({total} >= {hard} bytes)",
                 )
-        try:
-            parsed = list(parse_lines(lp_data))
-        except LineProtocolError as e:
-            raise GrpcStatusError("InvalidArgument", f"error parsing line protocol: {e}")
-        if not parsed:
-            return 0
         with self._lock:
             inferred = _infer_schemas(parsed)
             for table, (tags, fields) in inferred.items():
@@ -321,7 +357,45 @@ class IoxServer:
                 written.append((ing, ing.write_parsed(keyed, register=False)))
             for ing, metas in written:
                 ing.store.register_chunks(ing.table, metas)
-        return len(parsed)
+
+    def drain_write_buffer(self, db_name: str) -> int:
+        """Consume new write-buffer payloads into a `reading`-configured
+        database (the background consumer of db.rs:569-575, pull-driven).
+
+        The consumer offset persists next to the database; it advances
+        AFTER each payload applies (at-least-once — replaying identical
+        line protocol is idempotent through primary-key dedup).  Returns
+        the number of lines ingested this drain."""
+        from influxdb_iox_spark.streaming.write_buffer import FileWriteBuffer
+
+        md = self.db(db_name)
+        reading = md.rules.get("reading") or None
+        if not reading:
+            raise GrpcStatusError(
+                "FailedPrecondition",
+                f"database {db_name!r} has no reading write-buffer connection",
+            )
+        offset_path = os.path.join(md.database.store.base_dir, "wb_offset.json")
+        next_seq = 0
+        if os.path.exists(offset_path):
+            with open(offset_path) as f:
+                next_seq = json.load(f)["next_seq"]
+        buf = FileWriteBuffer(reading)
+        total = 0
+        for seq, payload in buf.fetch(db_name, next_seq):
+            try:
+                parsed = list(parse_lines(payload))
+            except LineProtocolError as e:
+                raise GrpcStatusError(
+                    "InvalidArgument", f"bad write-buffer payload seq {seq}: {e}"
+                )
+            self._apply_lp(md, db_name, payload, parsed)
+            total += len(parsed)
+            tmp = offset_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"next_seq": seq + 1}, f)
+            os.replace(tmp, offset_path)
+        return total
 
     # -- operations --------------------------------------------------------
     def all_operations(self) -> list[tuple[str, dict]]:

@@ -1,0 +1,95 @@
+"""Write buffer: a durable, sequenced, per-database payload log.
+
+The reference's write buffer is Kafka — producers append Entry payloads
+to a topic named after the database; a database configured with a
+`reading` connection consumes the topic instead of accepting direct
+writes (server/src/write_buffer.rs, server/src/db.rs store_entry match).
+
+This is the same abstraction over a shared filesystem "topic": one
+sequenced line-protocol payload file per produce, in a per-database
+subdirectory.  The connection string is a directory path; at deployment
+scale the connection string becomes a kafka:/kinesis: URL and the
+consumer side becomes the corresponding Structured Streaming source —
+the pipeline after the source (parse → shard → chunk) is identical, so
+nothing but this adapter changes.
+
+Producer concurrency: the sequence number is claimed with
+O_CREAT|O_EXCL (the filesystem arbitrates racing producers, same
+pattern as the manifest's id blocks); payloads are written to a temp
+name and renamed in, so a consumer never observes a torn payload.
+Consumption is at-least-once (offset recorded AFTER apply) — safe here
+because replaying identical line-protocol is idempotent through the
+store's primary-key deduplication.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+class FileWriteBuffer:
+    def __init__(self, conn: str):
+        self.root = conn
+
+    def _topic_dir(self, db_name: str) -> str:
+        d = os.path.join(self.root, db_name)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    @staticmethod
+    def _seq_of(fname: str) -> int:
+        return int(fname.split("-", 1)[0])
+
+    def produce(self, db_name: str, lp_data: str, partition: int = 0) -> int:
+        """Append one payload; returns its sequence number."""
+        d = self._topic_dir(db_name)
+        existing = [self._seq_of(f) for f in os.listdir(d) if f.endswith(".lp")]
+        seq = (max(existing) + 1) if existing else 0
+        while True:
+            path = os.path.join(d, f"{seq:012d}-{partition}.lp")
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:  # racing producer claimed it
+                seq += 1
+        try:
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(lp_data)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, path)
+        finally:
+            os.close(fd)
+        return seq
+
+    #: a claimed-but-empty payload younger than this is an in-flight
+    #: producer (stop and retry next poll); older is a crashed claim
+    #: (skip permanently)
+    PENDING_GRACE_SECONDS = 5.0
+
+    def fetch(self, db_name: str, from_seq: int = 0) -> list[tuple[int, str]]:
+        """(sequence, payload) for every payload at or past from_seq, in
+        sequence order.  Consumption is CONTIGUOUS like a Kafka offset: a
+        claimed-but-not-yet-renamed payload (reads empty, recent mtime)
+        stops the poll so nothing behind it is skipped; an empty claim
+        older than the grace period is a crashed producer and is passed
+        over for good."""
+        import time as _time
+
+        d = self._topic_dir(db_name)
+        out = []
+        for fname in sorted(f for f in os.listdir(d) if f.endswith(".lp")):
+            seq = self._seq_of(fname)
+            if seq < from_seq:
+                continue
+            path = os.path.join(d, fname)
+            with open(path) as f:
+                payload = f.read()
+            if not payload:
+                if _time.time() - os.stat(path).st_mtime < self.PENDING_GRACE_SECONDS:
+                    break  # in-flight producer; resume here next poll
+                continue  # crashed claim — never going to fill
+            out.append((seq, payload))
+        return out

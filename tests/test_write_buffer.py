@@ -1,0 +1,156 @@
+"""Write-buffer tests — port of end_to_end_cases/write_buffer.rs over the
+file-topic adapter: writes go to the buffer, reads come from the buffer,
+a reading database rejects direct writes (exact message), and the
+two-server pairing replicates A's writes into B."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+pytest.importorskip("pyarrow.flight")
+
+from influxdb_iox_spark.rpc_management import GrpcStatusError, IoxServer
+from influxdb_iox_spark.streaming.write_buffer import FileWriteBuffer
+
+
+def _server(spark, tmp_path, name):
+    return IoxServer(spark, str(tmp_path / name))
+
+
+def _rules(name, **extra):
+    rules = {"name": name, "partition_template": {"parts": [{"table": {}}]}}
+    rules.update(extra)
+    return rules
+
+
+def test_writes_go_to_buffer(spark, tmp_path):
+    """write_buffer.rs writes_go_to_kafka: a db with a writing connection
+    produces every accepted payload to its topic AND (mutable) applies it
+    locally."""
+    buf_dir = str(tmp_path / "buf")
+    srv = _server(spark, tmp_path, "a")
+    srv.create_database(_rules("wdb", writing=buf_dir))
+    lp = (
+        "cpu,region=west user=23.2 100\n"
+        "cpu,region=west user=21.0 150\n"
+        "disk,region=east bytes=99i 200"
+    )
+    assert srv.write_lp("wdb", lp) == 3
+
+    msgs = FileWriteBuffer(buf_dir).fetch("wdb")
+    assert len(msgs) == 1
+    assert msgs[0][1] == lp
+    # locally queryable too (Writing + mutable branch)
+    db = srv.databases["wdb"].database
+    assert db.table("cpu").count() == 2
+    assert db.table("disk").count() == 1
+
+
+def test_writes_pass_through_when_immutable(spark, tmp_path):
+    """store_entry (Writing, immutable=true): pass-through to the buffer,
+    nothing applied locally, and the write still succeeds."""
+    buf_dir = str(tmp_path / "buf")
+    srv = _server(spark, tmp_path, "a")
+    srv.create_database(
+        _rules("passdb", writing=buf_dir, lifecycle_rules={"immutable": True})
+    )
+    assert srv.write_lp("passdb", "cpu user=1.0 100") == 1
+    assert len(FileWriteBuffer(buf_dir).fetch("passdb")) == 1
+    assert srv.databases["passdb"].database.store.tables() == []
+
+
+def test_reads_come_from_buffer(spark, tmp_path):
+    """write_buffer.rs reads_come_from_kafka: payloads produced directly
+    to the topic (two partitions) appear in the reading database after a
+    drain, with the reference's exact upc rows."""
+    buf_dir = str(tmp_path / "buf")
+    buf = FileWriteBuffer(buf_dir)
+    buf.produce(
+        "rdb", "upc,region=west user=23.2 100\nupc,region=west user=21.0 150", 0
+    )
+    buf.produce(
+        "rdb", "upc,region=east user=76.2 300\nupc,region=east user=88.7 350", 1
+    )
+
+    srv = _server(spark, tmp_path, "b")
+    srv.create_database(_rules("rdb", reading=buf_dir))
+    assert srv.drain_write_buffer("rdb") == 4
+    rows = sorted(
+        (r.region, r.time, r.user)
+        for r in srv.databases["rdb"].database.table("upc").collect()
+    )
+    assert rows == [
+        ("east", 300, 76.2),
+        ("east", 350, 88.7),
+        ("west", 100, 23.2),
+        ("west", 150, 21.0),
+    ]
+    # drain is offset-tracked: nothing new -> nothing re-applied
+    assert srv.drain_write_buffer("rdb") == 0
+    assert srv.databases["rdb"].database.table("upc").count() == 4
+
+    # late payload arrives -> only it is consumed
+    buf.produce("rdb", "upc,region=south user=1.0 500", 0)
+    assert srv.drain_write_buffer("rdb") == 1
+    assert srv.databases["rdb"].database.table("upc").count() == 5
+
+
+def test_cant_write_to_db_reading_from_buffer(spark, tmp_path):
+    """write_buffer.rs cant_write_to_db_reading_from_kafka — exact error
+    message shape."""
+    srv = _server(spark, tmp_path, "b")
+    srv.create_database(_rules("robot", reading=str(tmp_path / "buf")))
+    with pytest.raises(
+        GrpcStatusError,
+        match="Cannot write to database robot, it's configured to only read "
+        "from the write buffer",
+    ):
+        srv.write_lp("robot", "temp,region=south color=1")
+
+
+def test_replication_between_two_servers(spark, tmp_path):
+    """The deployment the write buffer exists for: server A (writing)
+    accepts client writes; server B (reading) follows the topic and
+    serves the same data."""
+    buf_dir = str(tmp_path / "shared_buf")
+    a = _server(spark, tmp_path, "a")
+    b = _server(spark, tmp_path, "b")
+    a.create_database(_rules("repl", writing=buf_dir))
+    b.create_database(_rules("repl", reading=buf_dir))
+
+    a.write_lp("repl", "h2o,state=MA temp=70.4 100")
+    a.write_lp("repl", "h2o,state=CA temp=90.0 200")
+    assert b.drain_write_buffer("repl") == 2
+
+    def rows(srv):
+        return sorted(
+            (r.state, r.temp, r.time)
+            for r in srv.databases["repl"].database.table("h2o").collect()
+        )
+
+    assert rows(a) == rows(b) == [("CA", 90.0, 200), ("MA", 70.4, 100)]
+
+    # offset survives a server restart (it lives next to the database)
+    b2 = IoxServer(spark, b.base_dir)
+    a.write_lp("repl", "h2o,state=NY temp=61.4 300")
+    assert b2.drain_write_buffer("repl") == 1
+    assert len(rows(b2)) == 3
+
+
+def test_crashed_producer_claim_is_skipped(spark, tmp_path):
+    """A claimed-but-never-filled sequence older than the grace period is
+    passed over instead of stalling consumption forever."""
+    buf_dir = str(tmp_path / "buf")
+    buf = FileWriteBuffer(buf_dir)
+    buf.produce("t", "m f=1 1", 0)
+    # simulate a crashed producer's empty claim at the next sequence
+    d = os.path.join(buf_dir, "t")
+    crashed = os.path.join(d, f"{1:012d}-0.lp")
+    open(crashed, "w").close()
+    old = os.stat(crashed).st_mtime - 60
+    os.utime(crashed, (old, old))
+    buf.produce("t", "m f=2 2", 0)
+    got = buf.fetch("t")
+    assert [(s, p) for s, p in got] == [(0, "m f=1 1"), (2, "m f=2 2")]
