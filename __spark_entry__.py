@@ -2251,6 +2251,42 @@ FROM cd ORDER BY dp / (sqrt(nx) * sqrt(ny)) DESC, vec_id LIMIT 10
 # ---------------------------------------------------------------------------
 
 
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing map (pipeline/corpus.pack_sequences):
+    concatenate documents in doc_id order, cut into fixed 4096-unit
+    sequences, report where each document lands (start offset, touched
+    sequence ids, boundary crossings).  Distributed running sum; the
+    oracle is the plain windowed cumsum it must equal."""
+    from influxdb_iox_spark.pipeline.corpus import pack_sequences
+
+    t = _load(spark, sf_dir, "documents")
+    out = pack_sequences(
+        t["documents"], seq_len=4096, token_col="n_chars", id_col="doc_id"
+    )
+    return out.select(
+        "doc_id", "start_offset", "first_seq", "last_seq", "n_boundary_crossings"
+    ).orderBy("doc_id")
+
+
+SQL_SEQUENCE_PACKING = """
+WITH r AS (
+  SELECT doc_id, n_chars,
+    SUM(n_chars) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS running
+  FROM documents)
+SELECT doc_id,
+  CAST(running - n_chars AS BIGINT) AS start_offset,
+  CAST(floor((running - n_chars) / 4096.0) AS BIGINT) AS first_seq,
+  CAST(floor(greatest(running - 1, running - n_chars) / 4096.0) AS BIGINT)
+    AS last_seq,
+  CAST(floor(greatest(running - 1, running - n_chars) / 4096.0)
+       - floor((running - n_chars) / 4096.0) AS BIGINT)
+    AS n_boundary_crossings
+FROM r ORDER BY doc_id
+"""
+
+
 def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack documents into ~10k-char training shards in doc_id order
     (pipeline/corpus.pack_shards).  The Spark side computes the running
@@ -2671,6 +2707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mixture_sample": q_mixture_sample,
         "doc_incremental_dedup": q_doc_incremental_dedup,
         "emb_semantic_dedup": q_emb_semantic_dedup,
+        "doc_sequence_packing": q_sequence_packing,
     }
     return _rotate_for_round(base)
 
@@ -2722,6 +2759,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_mixture_sample": _sql_mixture_sample(),
         "doc_incremental_dedup": SQL_DOC_INCREMENTAL_DEDUP,
         "emb_semantic_dedup": SQL_EMB_SEMANTIC_DEDUP,
+        "doc_sequence_packing": SQL_SEQUENCE_PACKING,
         "dedup_last_non_null": SQL_DEDUP,
         "json_props_extract": SQL_JSON_PROPS,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,

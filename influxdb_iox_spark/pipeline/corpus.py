@@ -33,40 +33,24 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import NumericType
 
 
-def pack_shards(
+def _running_token_totals(
     df: DataFrame,
-    token_col: str = "n_tokens",
-    id_col: str = "doc_id",
-    shard_tokens: int = 100_000,
-    num_partitions: int | None = None,
+    token_col: str,
+    id_col: str,
+    num_partitions: int | None,
 ) -> DataFrame:
-    """Assign each row a ``shard_id`` so that consecutive documents (in
-    ``id_col`` order) fill shards of ~``shard_tokens`` tokens.
+    """Append ``__running`` — the INCLUSIVE global running sum of
+    ``token_col`` in ``id_col`` order — without a single-task global
+    window.
 
-    shard_id = floor((running_total - row_tokens) / shard_tokens): a shard
-    boundary falls wherever the running total crosses a multiple of the
-    budget, so every shard except possibly the last holds >= shard_tokens
-    only if a single document overflows it (documents are never split).
-
-    Scale (two passes, nothing materialized):
-
-    1. One ``approxQuantile`` pass over ``id_col`` (numeric ids; GK sketch,
-       distributed, deterministic for a fixed dataset) yields explicit
-       range boundaries; ``__pid`` — the count of boundaries below the id —
-       is then a PURE FUNCTION of the id, so the totals job and the
-       returned plan agree on every row's partition without pinning
-       anything (the reason the old version needed a full-corpus
-       localCheckpoint: ``spark_partition_id()`` after
-       ``repartitionByRange`` is physical and re-sampled per job).
-    2. Per-``__pid`` running sums (window within partition, no global
-       single-task window); per-partition totals — one tiny driver
-       collect, O(partitions) — become broadcast prefix offsets.
-
-    Non-numeric ids (no quantile support) fall back to the pinned-physical
-    path: ``repartitionByRange`` + ``spark_partition_id()`` held stable by
-    an eager localCheckpoint (correct, but materializes the table — prefer
-    numeric shard keys at scale).
-    """
+    Two passes, nothing materialized (for numeric ids): one
+    ``approxQuantile`` pass yields explicit range boundaries, making the
+    partition id a PURE FUNCTION of the id (the totals job and the
+    returned plan agree on every row's partition without pinning); then
+    per-partition window sums plus one O(partitions) driver collect of
+    totals broadcast back as prefix offsets.  Non-numeric ids fall back to
+    the pinned-physical path (repartitionByRange + spark_partition_id
+    held stable by an eager localCheckpoint)."""
     spark = df.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
 
@@ -118,14 +102,75 @@ def pack_shards(
     )
     return (
         local.join(F.broadcast(offsets), "__pid")
-        .withColumn(
-            "shard_id",
-            F.floor(
-                (F.col("__local") + F.col("__prefix") - F.col(token_col))
-                / F.lit(shard_tokens)
-            ),
-        )
+        .withColumn("__running", F.col("__local") + F.col("__prefix"))
         .drop("__pid", "__local", "__prefix")
+    )
+
+
+def pack_shards(
+    df: DataFrame,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    shard_tokens: int = 100_000,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign each row a ``shard_id`` so that consecutive documents (in
+    ``id_col`` order) fill shards of ~``shard_tokens`` tokens.
+
+    shard_id = floor((running_total - row_tokens) / shard_tokens): a shard
+    boundary falls wherever the running total crosses a multiple of the
+    budget, so every shard except possibly the last holds >= shard_tokens
+    only if a single document overflows it (documents are never split).
+
+    The distributed running sum is ``_running_token_totals`` (two passes,
+    nothing materialized for numeric ids — see its docstring)."""
+    out = _running_token_totals(df, token_col, id_col, num_partitions)
+    return out.withColumn(
+        "shard_id",
+        F.floor(
+            (F.col("__running") - F.col(token_col)) / F.lit(shard_tokens)
+        ),
+    ).drop("__running")
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Training-sequence packing map: where each document lands when the
+    corpus is concatenated in ``id_col`` order and cut into fixed
+    ``seq_len``-token sequences (documents DO cross sequence boundaries —
+    the standard causal-LM packing, unlike ``pack_shards`` which never
+    splits a document).
+
+    Appends per document:
+
+    - ``start_offset`` — global token offset of the document's first token
+    - ``first_seq`` / ``last_seq`` — sequence ids the document touches
+      (a zero-token document "lands" at its offset: first == last)
+    - ``n_boundary_crossings`` — how many sequence cuts split the document
+
+    The output is the manifest a sequence-writer job consumes: every
+    (sequence id, contributing docs + token spans) is derivable from it
+    with one range join, and the assignment is a pure function of the
+    corpus order, so re-runs and backfills agree.  Cost = the same
+    distributed running sum as ``pack_shards``; everything after is
+    arithmetic on the running total.
+    """
+    out = _running_token_totals(df, token_col, id_col, num_partitions)
+    start = F.col("__running") - F.col(token_col)
+    first = F.floor(start / F.lit(seq_len))
+    last_tok = F.greatest(F.col("__running") - 1, start)  # 0-token doc -> start
+    last = F.floor(last_tok / F.lit(seq_len))
+    return (
+        out.withColumn("start_offset", start)
+        .withColumn("first_seq", first)
+        .withColumn("last_seq", last)
+        .withColumn("n_boundary_crossings", (last - first).cast("long"))
+        .drop("__running")
     )
 
 

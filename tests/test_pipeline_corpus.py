@@ -230,3 +230,35 @@ def test_pack_shards_tolerates_null_ids(spark):
     # null id packs before id 1 (partition -1), totals 40 tokens -> 2 shards
     assert sorted(by_id.values()) == [0, 0, 1, 1]
     assert by_id[None] == 0
+
+
+def test_pack_sequences_matches_naive_cumsum(spark):
+    """pack_sequences against a numpy cumsum reference: start offsets,
+    touched sequence ids, and boundary crossings — including zero-token
+    documents and a document longer than the sequence length."""
+    import numpy as np
+
+    from influxdb_iox_spark.pipeline.corpus import pack_sequences
+
+    rng = np.random.default_rng(3)
+    toks = [int(x) for x in rng.integers(0, 300, size=200)]
+    toks[7] = 0            # empty document
+    toks[11] = 5000        # longer than seq_len -> multiple crossings
+    rows = [(i, toks[i]) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+    L = 512
+    got = {
+        r.doc_id: (r.start_offset, r.first_seq, r.last_seq, r.n_boundary_crossings)
+        for r in pack_sequences(df, seq_len=L, num_partitions=4).collect()
+    }
+    running = 0
+    for i, n in enumerate(toks):
+        start = running
+        running += n
+        first = start // L
+        last = max(running - 1, start) // L
+        assert got[i] == (start, first, last, last - first), i
+    # the planted long doc crosses at least 9 boundaries
+    assert got[11][3] >= 9
+    assert got[7][1] == got[7][2]  # empty doc lands in one sequence
