@@ -887,3 +887,62 @@ def test_field_columns_many_fields_battery(spark, tmp_path):
         Predicate().with_range(200, 300).with_expr(F.col("state") == "MA"),
     )
     assert {f["name"]: f["last_timestamp"] for f in out} == {"other_temp": 250}
+
+
+def test_table_schema_battery(spark, tmp_path):
+    """query_tests/src/table_schema.rs ported to the IoxSchema twin:
+    columns come out in lexicographic name order with their Influx
+    categories (list_schema_cpu_all_mub / disk_all / location_all), a
+    selection preserves the CALLER's column order (cpu/disk_selection),
+    and chunks written or compacted carry the primary-key sort key the
+    RUB scenarios assert (sorted_by = tags + time)."""
+    from influxdb_iox_spark.plans.reorg import compact_chunks
+    from influxdb_iox_spark.schema import column_type
+
+    cpu_s = IoxSchema.build(["region"], {"user": InfluxColumnType.FIELD_FLOAT})
+    disk_s = IoxSchema.build(["region"], {"bytes": InfluxColumnType.FIELD_INTEGER})
+    # list_schema_cpu_all_mub: lexicographic order + categories
+    assert [f.name for f in cpu_s.struct.fields] == ["region", "time", "user"]
+    assert [column_type(f).value for f in cpu_s.struct.fields] == [
+        "tag", "timestamp", "field::float",
+    ]
+    assert [f.name for f in disk_s.struct.fields] == ["bytes", "region", "time"]
+
+    # list_schema_location_all: unsigned field category (u64 maps to
+    # LongType — the documented Spark divergence, schema.py _SPARK_TYPES)
+    rest_s = IoxSchema.build(["town"], {"count": InfluxColumnType.FIELD_UINTEGER})
+    assert [f.name for f in rest_s.struct.fields] == ["count", "time", "town"]
+    assert column_type(rest_s.struct.fields[0]).value == "field::uinteger"
+
+    # materialize to check selection order + sort keys
+    store = TableStore(str(tmp_path / "ts"))
+    store.write_chunk(
+        spark.createDataFrame(
+            [("west", 23.2, 100), ("east", 21.0, 150)],
+            "region string, user double, time long",
+        ),
+        "cpu", cpu_s,
+    )
+    db = Database("m", store, spark)
+    db.register_table("cpu", cpu_s)
+
+    # list_schema_cpu_selection: Selection::Some(["user","region"]) comes
+    # back in the REQUESTED (non-lexicographic) order
+    sel = db.table("cpu").select("user", "region")
+    assert sel.columns == ["user", "region"]
+    sel2 = db.table("cpu").select("time", "user")
+    assert sel2.columns == ["time", "user"]
+
+    # RUB sort-key scenarios: written chunks are PK-sorted and say so
+    [chunk] = store.manifest("cpu")
+    assert chunk.sorted_by == ["region", "time"]
+    # ... and compaction preserves the sort key
+    store.write_chunk(
+        spark.createDataFrame(
+            [("north", 5.0, 200)], "region string, user double, time long"
+        ),
+        "cpu", cpu_s,
+    )
+    compact_chunks(spark, store, "cpu", cpu_s)
+    [compacted] = store.manifest("cpu")
+    assert compacted.sorted_by == ["region", "time"]
