@@ -106,13 +106,38 @@ LIFECYCLE_RULES = {
     14: Field("persist_age_threshold_seconds", "uint32"),
 }
 
+# -- shard.proto ------------------------------------------------------------
+
+MATCHER = {1: Field("table_name_regex", "string"), 2: Field("predicate", "string")}
+MATCHER_TO_SHARD = {
+    1: Field("matcher", "message", MATCHER),
+    2: Field("shard", "uint32"),
+}
+HASH_RING = {
+    1: Field("table_name", "bool"),
+    2: Field("columns", "string", repeated=True),
+    3: Field("shards", "uint32", repeated=True),
+}
+NODE = {1: Field("id", "uint32")}
+NODE_GROUP = {1: Field("nodes", "message", NODE, repeated=True)}
+SHARD = {1: Field("iox", "message", NODE_GROUP)}  # oneof sink
+# proto map<uint32, Shard> = repeated {key=1, value=2} entries
+SHARD_MAP_ENTRY = {1: Field("key", "uint32"), 2: Field("value", "message", SHARD)}
+SHARD_CONFIG = {
+    1: Field("specific_targets", "message", MATCHER_TO_SHARD, repeated=True),
+    2: Field("hash_ring", "message", HASH_RING),
+    3: Field("ignore_errors", "bool"),
+    4: Field("shards", "message", SHARD_MAP_ENTRY, repeated=True),
+}
+ROUTING_CONFIG = {1: Field("target", "message", NODE_GROUP)}
+
 DATABASE_RULES = {
     1: Field("name", "string"),
     2: Field("partition_template", "message", PARTITION_TEMPLATE),
     3: Field("lifecycle_rules", "message", LIFECYCLE_RULES),
-    # routing_rules oneof (shard_config=8 / routing_config=9) is sharding
-    # between remote IOx servers — out of scope (single "server"); unknown
-    # fields are skipped on decode so senders including them still parse.
+    # routing_rules oneof
+    8: Field("shard_config", "message", SHARD_CONFIG),
+    9: Field("routing_config", "message", ROUTING_CONFIG),
     10: Field("worker_cleanup_avg_sleep", "message", DURATION),
     # write_buffer_connection oneof
     11: Field("writing", "string"),

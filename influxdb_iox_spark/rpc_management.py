@@ -286,6 +286,11 @@ class IoxServer:
             parsed = list(parse_lines(lp_data))
         except LineProtocolError as e:
             raise GrpcStatusError("InvalidArgument", f"error parsing line protocol: {e}")
+        if md.rules.get("shard_config") is not None:
+            # routing_rules: the router path — lines are sharded and
+            # forwarded to remote connections, never applied locally
+            # (server.write_lines routes before any local store_entry)
+            return self._route_sharded(md, db_name, lp_data, parsed)
         if writing:
             from influxdb_iox_spark.streaming.write_buffer import FileWriteBuffer
 
@@ -357,6 +362,50 @@ class IoxServer:
                 written.append((ing, ing.write_parsed(keyed, register=False)))
             for ing, metas in written:
                 ing.store.register_chunks(ing.table, metas)
+
+    def _route_sharded(
+        self, md: ManagedDatabase, db_name: str, lp_data: str, parsed
+    ) -> int:
+        """Shard every line per the database's ShardConfig and forward each
+        shard's sub-payload to its node group's remote connections
+        (write_api.rs test_write_routed topology: matchers / hash ring →
+        shard id → node group → remote).  Remote connections resolve
+        through the management remotes table; an unresolvable remote is
+        the reference's exact "Resource remote/[ServerId(N)] not found"
+        unless ignore_errors is set."""
+        from influxdb_iox_spark.streaming.shard import ShardConfig, ShardingError
+        from influxdb_iox_spark.streaming.write_buffer import FileWriteBuffer
+
+        cfg = ShardConfig.from_rules(md.rules["shard_config"])
+        lines = [
+            ln
+            for ln in lp_data.splitlines()
+            if ln.strip() and not ln.strip().startswith("#")
+        ]
+        by_shard: dict[int, list[str]] = {}
+        for ln, pl in zip(lines, parsed):
+            try:
+                sid = cfg.shard_of_line(pl)
+            except ShardingError as e:
+                raise GrpcStatusError("InvalidArgument", str(e))
+            by_shard.setdefault(sid, []).append(ln)
+        for sid in sorted(by_shard):
+            nodes = cfg.shards.get(sid)
+            if not nodes:
+                if cfg.ignore_errors:
+                    continue
+                raise not_found("shard", str(sid))
+            for node in nodes:
+                conn = self.remotes.get(node)
+                if conn is None:
+                    if cfg.ignore_errors:
+                        continue
+                    raise GrpcStatusError(
+                        "NotFound",
+                        f"Resource remote/[ServerId({node})] not found",
+                    )
+                FileWriteBuffer(conn).produce(db_name, "\n".join(by_shard[sid]))
+        return len(parsed)
 
     def drain_write_buffer(self, db_name: str) -> int:
         """Consume new write-buffer payloads into a `reading`-configured
