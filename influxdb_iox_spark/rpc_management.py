@@ -291,6 +291,24 @@ class IoxServer:
             # forwarded to remote connections, never applied locally
             # (server.write_lines routes before any local store_entry)
             return self._route_sharded(md, db_name, lp_data, parsed)
+        if md.rules.get("routing_config") is not None:
+            # RoutingConfig: the degenerate single-target route — the whole
+            # payload forwards to every node of the target group
+            from influxdb_iox_spark.streaming.write_buffer import FileWriteBuffer
+
+            nodes = (
+                (md.rules["routing_config"].get("target") or {}).get("nodes") or []
+            )
+            for node in nodes:
+                node_id = node.get("id") or 0
+                conn = self.remotes.get(node_id)
+                if conn is None:
+                    raise GrpcStatusError(
+                        "NotFound",
+                        f"Resource remote/[ServerId({node_id})] not found",
+                    )
+                FileWriteBuffer(conn).produce(db_name, lp_data)
+            return len(parsed)
         if writing:
             from influxdb_iox_spark.streaming.write_buffer import FileWriteBuffer
 

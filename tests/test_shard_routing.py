@@ -194,3 +194,66 @@ def test_ring_is_consistent_under_membership_change():
         else:
             moved += 1
     assert 0 < moved < total
+
+
+def test_routing_config_forwards_whole_payload(spark, tmp_path):
+    """RoutingConfig (the routing_rules oneof's simple arm): every write
+    forwards verbatim to the target node group."""
+    router = IoxServer(spark, str(tmp_path / "router"))
+    buf = str(tmp_path / "target")
+    router.remotes[7] = buf
+    router.create_database(
+        {
+            "name": "fwd",
+            "partition_template": {"parts": [{"table": {}}]},
+            "routing_config": {"target": {"nodes": [{"id": 7}]}},
+        }
+    )
+    lp = "cpu user=1.0 100\nmem used=2.0 150"
+    assert router.write_lp("fwd", lp) == 2
+    assert [p for _, p in FileWriteBuffer(buf).fetch("fwd")] == [lp]
+    assert router.databases["fwd"].database.store.tables() == []
+    # unresolved target node -> the reference's remote-not-found error
+    router.update_database(
+        {
+            "name": "fwd",
+            "partition_template": {"parts": [{"table": {}}]},
+            "routing_config": {"target": {"nodes": [{"id": 8}]}},
+        }
+    )
+    with pytest.raises(GrpcStatusError, match=r"remote/\[ServerId\(8\)\]"):
+        router.write_lp("fwd", lp)
+
+
+def test_shard_rules_wire_round_trip(spark, tmp_path):
+    """ShardConfig survives the protobuf codec + rules persistence: create
+    over the wire schemas, read back, and the restored server still
+    routes."""
+    from influxdb_iox_spark import management_proto as mp
+    from influxdb_iox_spark.protowire import decode_message, encode_message
+
+    cfg = {
+        "specific_targets": [{"matcher": {"table_name_regex": "^cpu$"}, "shard": 1}],
+        "hash_ring": {"table_name": True, "columns": ["host"], "shards": [1, 2]},
+        "ignore_errors": False,
+        "shards": [_map_entry(1, [2]), _map_entry(2, [3])],
+    }
+    rules = _shard_rules("wiredb", cfg)
+    raw = encode_message({"rules": rules}, mp.CREATE_DATABASE_REQUEST)
+    decoded = decode_message(raw, mp.CREATE_DATABASE_REQUEST)["rules"]
+    got = decoded["shard_config"]
+    assert got["specific_targets"][0]["matcher"]["table_name_regex"] == "^cpu$"
+    assert got["hash_ring"]["shards"] == [1, 2]
+    assert {e["key"]: e["value"]["iox"]["nodes"][0]["id"] for e in got["shards"]} == {
+        1: 2,
+        2: 3,
+    }
+
+    srv = IoxServer(spark, str(tmp_path / "srv"))
+    srv.remotes[2] = str(tmp_path / "r2")
+    srv.remotes[3] = str(tmp_path / "r3")
+    srv.create_database(decoded)
+    reborn = IoxServer(spark, srv.base_dir)
+    reborn.remotes.update(srv.remotes)
+    assert reborn.write_lp("wiredb", "cpu,host=a user=1.0 100") == 1
+    assert len(FileWriteBuffer(srv.remotes[2]).fetch("wiredb")) == 1
