@@ -464,6 +464,40 @@ class IoxServer:
             os.replace(tmp, offset_path)
         return total
 
+    def run_lifecycle(self, db_name: str) -> dict:
+        """One pull-driven background-worker sweep for a database (the
+        reference's per-db lifecycle loop, server/src/db.rs:569-620):
+        drain the write buffer if a reading connection is configured,
+        run the compaction/persist policy under the database's configured
+        lifecycle rules, and checkpoint the manifest when the
+        catalog_transactions_until_checkpoint rule asks for it.  Safe on
+        any schedule — every step is idempotent."""
+        from influxdb_iox_spark.streaming.lifecycle import (
+            LifecyclePolicy,
+            LifecycleRules,
+        )
+
+        md = self.db(db_name)
+        report: dict = {}
+        if md.rules.get("reading"):
+            report["drained_lines"] = self.drain_write_buffer(db_name)
+        proto = md.rules.get("lifecycle_rules") or {}
+        rules = LifecycleRules(
+            late_arrive_window_seconds=proto.get("late_arrive_window_seconds")
+            or 300,
+            buffer_size_soft=proto.get("buffer_size_soft") or None,
+        )
+        policy = LifecyclePolicy(
+            self.spark, md.database.store, md.database.schemas, rules
+        )
+        report["tables"] = policy.check_for_work()
+        if proto.get("catalog_transactions_until_checkpoint"):
+            report["manifest_folded"] = {
+                t: md.database.store.compact_manifest(t)
+                for t in md.database.store.tables()
+            }
+        return report
+
     # -- operations --------------------------------------------------------
     def all_operations(self) -> list[tuple[str, dict]]:
         """(db_name, record) across every database, oldest first."""

@@ -154,3 +154,43 @@ def test_crashed_producer_claim_is_skipped(spark, tmp_path):
     buf.produce("t", "m f=2 2", 0)
     got = buf.fetch("t")
     assert [(s, p) for s, p in got] == [(0, "m f=1 1"), (2, "m f=2 2")]
+
+
+def test_run_lifecycle_drains_and_compacts(spark, tmp_path):
+    """IoxServer.run_lifecycle: one background-worker sweep — a reading
+    database drains its topic, overlapping chunks compact under the
+    configured rules, and the manifest checkpoints when the
+    catalog_transactions_until_checkpoint rule is set."""
+    buf_dir = str(tmp_path / "buf")
+    buf = FileWriteBuffer(buf_dir)
+    # two overlapping payloads (same partition + overlapping times)
+    buf.produce("ldb", "cpu,region=west user=1.0 100\ncpu,region=west user=2.0 200")
+    buf.produce("ldb", "cpu,region=west user=9.0 150")
+
+    srv = _server(spark, tmp_path, "b")
+    srv.create_database(
+        _rules(
+            "ldb",
+            reading=buf_dir,
+            lifecycle_rules={
+                "late_arrive_window_seconds": 1,
+                "catalog_transactions_until_checkpoint": 1,
+            },
+        )
+    )
+    # one sweep: drain (two overlapping chunks) then compact them
+    report = srv.run_lifecycle("ldb")
+    assert report["drained_lines"] == 3
+    assert report["tables"]["cpu"]["compacted"]
+    assert "manifest_folded" in report
+    store = srv.databases["ldb"].database.store
+    assert len(store.manifest("cpu")) == 1
+
+    report2 = srv.run_lifecycle("ldb")
+    assert report2["drained_lines"] == 0
+    assert report2["tables"]["cpu"]["compacted"] == []
+    rows = sorted(
+        (r.region, r.time, r.user)
+        for r in srv.databases["ldb"].database.table("cpu").collect()
+    )
+    assert rows == [("west", 100, 1.0), ("west", 150, 9.0), ("west", 200, 2.0)]
