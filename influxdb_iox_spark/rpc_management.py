@@ -942,6 +942,32 @@ if _FLIGHT_AVAILABLE:
             ]
             return out
 
+        def do_get(self, context, ticket):
+            """Flight do_get over the LIVE database set — the query data
+            plane on the same socket as the control services, like the
+            reference's single tonic port (JSON ReadInfo ticket,
+            flight.rs:113-118; single-db twin: rpc_flight.IoxFlightServer)."""
+            import json as _json
+
+            if not self.server.serving:
+                raise _flight.FlightUnavailableError(
+                    "server is not serving data plane"
+                )
+            try:
+                info = _json.loads(ticket.ticket.decode("utf-8"))
+            except (UnicodeDecodeError, _json.JSONDecodeError) as e:
+                raise _flight.FlightServerError(f"invalid ticket: {e}") from e
+            name = info.get("database_name")
+            sql = info.get("sql_query")
+            if not name or sql is None:
+                raise _flight.FlightServerError(
+                    "ticket must carry database_name and sql_query"
+                )
+            md = self.server.databases.get(name)
+            if md is None:
+                raise _flight.FlightUnavailableError(f"database {name!r} not found")
+            return _flight.RecordBatchStream(md.database.query(sql).toArrow())
+
         def do_action(self, context, action):
             try:
                 service, method = route_action(action.type)

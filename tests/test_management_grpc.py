@@ -596,3 +596,111 @@ def test_multi_db_http_server(srv):
         assert "ingest_lines_total 2" in text
     finally:
         http.stop()
+
+
+def test_flight_do_get_on_combined_server(srv, client):
+    """SQL over Flight do_get on the SAME socket as the control services
+    (the reference's single-port deployment); readiness gates it too."""
+    import pyarrow.flight as flight
+
+    from influxdb_iox_spark.rpc_flight import flight_ticket
+
+    _create(client, "flightdb")
+    _write(client, "flightdb", "cpu,region=west user=1.5 100")
+    conn = flight.connect(f"grpc://127.0.0.1:{srv[1]}")
+    try:
+        reader = conn.do_get(
+            flight.Ticket(
+                flight_ticket("flightdb", "SELECT region, user, time FROM cpu")
+            )
+        )
+        table = reader.read_all()
+        assert table.to_pylist() == [{"region": "west", "user": 1.5, "time": 100}]
+        with pytest.raises(Exception, match="not found"):
+            conn.do_get(
+                flight.Ticket(flight_ticket("no_such_db", "SELECT 1"))
+            ).read_all()
+        client.call("management", "SetServingReadiness", {"ready": False})
+        try:
+            with pytest.raises(Exception, match="[Uu]navailable|not serving"):
+                conn.do_get(
+                    flight.Ticket(flight_ticket("flightdb", "SELECT 1"))
+                ).read_all()
+        finally:
+            client.call("management", "SetServingReadiness", {"ready": True})
+    finally:
+        conn.close()
+
+
+def test_management_proto_hypothesis_round_trip():
+    """Random DatabaseRules (incl. shard config and lifecycle rules)
+    survive encode→decode through the hand-rolled codec."""
+    from hypothesis import given, settings, strategies as st
+
+    from influxdb_iox_spark.protowire import decode_message, encode_message
+
+    names = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=12
+    )
+
+    @st.composite
+    def rules(draw):
+        r = {"name": draw(names)}
+        if draw(st.booleans()):
+            r["lifecycle_rules"] = {
+                "buffer_size_soft": draw(st.integers(0, 2**40)),
+                "buffer_size_hard": draw(st.integers(0, 2**40)),
+                "immutable": draw(st.booleans()),
+                "late_arrive_window_seconds": draw(st.integers(0, 2**32 - 1)),
+            }
+        if draw(st.booleans()):
+            r["shard_config"] = {
+                "specific_targets": draw(
+                    st.lists(
+                        st.fixed_dictionaries(
+                            {
+                                "matcher": st.fixed_dictionaries(
+                                    {"table_name_regex": names}
+                                ),
+                                "shard": st.integers(0, 2**32 - 1),
+                            }
+                        ),
+                        max_size=3,
+                    )
+                ),
+                "hash_ring": {
+                    "table_name": draw(st.booleans()),
+                    "columns": draw(st.lists(names, max_size=3)),
+                    "shards": draw(st.lists(st.integers(0, 2**32 - 1), max_size=4)),
+                },
+            }
+        if draw(st.booleans()):
+            r["writing"] = draw(names)
+        return r
+
+    @given(rules())
+    @settings(max_examples=150, deadline=None)
+    def check(r):
+        from influxdb_iox_spark import management_proto as mp
+
+        raw = encode_message({"rules": r}, mp.CREATE_DATABASE_REQUEST)
+        back = decode_message(raw, mp.CREATE_DATABASE_REQUEST)["rules"]
+        assert back["name"] == r["name"]
+        if "lifecycle_rules" in r:
+            for k, v in r["lifecycle_rules"].items():
+                assert back["lifecycle_rules"][k] == v
+        if "shard_config" in r:
+            sc, got = r["shard_config"], back["shard_config"]
+            assert len(got["specific_targets"] or []) == len(sc["specific_targets"])
+            for want, have in zip(sc["specific_targets"], got["specific_targets"] or []):
+                assert have["shard"] == want["shard"]
+                assert (
+                    have["matcher"]["table_name_regex"]
+                    == want["matcher"]["table_name_regex"]
+                )
+            assert (got["hash_ring"]["shards"] or []) == sc["hash_ring"]["shards"]
+            assert (got["hash_ring"]["columns"] or []) == sc["hash_ring"]["columns"]
+        if "writing" in r:
+            assert back["writing"] == r["writing"]
+
+    check()

@@ -194,3 +194,31 @@ def test_run_lifecycle_drains_and_compacts(spark, tmp_path):
         for r in srv.databases["ldb"].database.table("cpu").collect()
     )
     assert rows == [("west", 100, 1.0), ("west", 150, 9.0), ("west", 200, 2.0)]
+
+
+def test_concurrent_producers_lose_nothing(spark, tmp_path):
+    """Racing producers claim distinct sequences via O_CREAT|O_EXCL; every
+    payload survives and fetch returns them all in sequence order."""
+    import threading
+
+    buf = FileWriteBuffer(str(tmp_path / "race"))
+    errors = []
+
+    def produce(worker):
+        try:
+            for i in range(20):
+                buf.produce("t", f"m,w={worker} f={i} {i}")
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=produce, args=(w,)) for w in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    msgs = buf.fetch("t")
+    assert len(msgs) == 80
+    assert [s for s, _ in msgs] == sorted({s for s, _ in msgs})
+    payloads = {p for _, p in msgs}
+    assert len(payloads) == 80  # nothing lost, nothing duplicated
