@@ -183,8 +183,12 @@ class IoxServer:
     # -- persistence -------------------------------------------------------
     def _db_dir(self, name: str) -> str:
         # percent-encode path separators so any valid DatabaseName (which
-        # may contain '/') maps to one directory entry
-        return os.path.join(self.base_dir, name.replace("%", "%25").replace("/", "%2F"))
+        # may contain '/') maps to one directory entry; a bare '.'/'..'
+        # name must not resolve to the base or parent directory
+        safe = name.replace("%", "%25").replace("/", "%2F")
+        if safe in (".", ".."):
+            safe = safe.replace(".", "%2E")
+        return os.path.join(self.base_dir, safe)
 
     def _restore(self) -> None:
         for entry in sorted(os.listdir(self.base_dir)):

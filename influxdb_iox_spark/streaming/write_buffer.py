@@ -33,7 +33,14 @@ class FileWriteBuffer:
         self.root = conn
 
     def _topic_dir(self, db_name: str) -> str:
-        d = os.path.join(self.root, db_name)
+        # Percent-encode path separators: any valid DatabaseName (which may
+        # contain '/' or even '..') maps to ONE directory entry under the
+        # buffer root — a name like '../x' must not escape it (same
+        # encoding as IoxServer._db_dir).
+        safe = db_name.replace("%", "%25").replace("/", "%2F")
+        if safe in (".", ".."):  # a bare dot-name is a valid DatabaseName
+            safe = safe.replace(".", "%2E")
+        d = os.path.join(self.root, safe)
         os.makedirs(d, exist_ok=True)
         return d
 

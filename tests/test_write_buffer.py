@@ -222,3 +222,18 @@ def test_concurrent_producers_lose_nothing(spark, tmp_path):
     assert [s for s, _ in msgs] == sorted({s for s, _ in msgs})
     payloads = {p for _, p in msgs}
     assert len(payloads) == 80  # nothing lost, nothing duplicated
+
+
+def test_dot_names_cannot_escape_roots(spark, tmp_path):
+    """'..' is a legal DatabaseName; neither the server's database
+    directory nor the buffer topic may resolve it to a parent path."""
+    import os as _os
+
+    srv = _server(spark, tmp_path, "dots")
+    srv.create_database({"name": "..", "partition_template": {"parts": []}})
+    assert _os.path.isfile(_os.path.join(srv.base_dir, "%2E%2E", "rules.json"))
+
+    buf = FileWriteBuffer(str(tmp_path / "bufroot"))
+    buf.produce("..", "m f=1 1")
+    assert _os.path.isdir(_os.path.join(str(tmp_path / "bufroot"), "%2E%2E"))
+    assert [p for _, p in buf.fetch("..")] == ["m f=1 1"]
