@@ -704,3 +704,43 @@ def test_management_proto_hypothesis_round_trip():
             assert back["writing"] == r["writing"]
 
     check()
+
+
+def test_concurrent_grpc_writes_lose_nothing(srv, client):
+    """Four clients hammering the same database concurrently: every line
+    lands exactly once (the server serializes chunk registration; the
+    store's manifest is concurrent-writer safe underneath)."""
+    import threading
+
+    _create(client, "hammer")
+    errors = []
+
+    def writer(worker):
+        c = ControlClient(srv[1])
+        try:
+            for i in range(5):
+                c.call(
+                    "write",
+                    "Write",
+                    {
+                        "db_name": "hammer",
+                        "lp_data": f"cpu,w=w{worker} v={worker * 100 + i}i {worker * 1000 + i}",
+                    },
+                )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+        finally:
+            c.close()
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    db = srv[0].databases["hammer"].database
+    rows = {(r.w, r.v, r.time) for r in db.table("cpu").collect()}
+    expected = {
+        (f"w{w}", w * 100 + i, w * 1000 + i) for w in range(4) for i in range(5)
+    }
+    assert rows == expected
