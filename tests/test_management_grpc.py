@@ -744,3 +744,36 @@ def test_concurrent_grpc_writes_lose_nothing(srv, client):
         (f"w{w}", w * 100 + i, w * 1000 + i) for w in range(4) for i in range(5)
     }
     assert rows == expected
+
+
+def test_system_operations_visible_per_database(srv, client):
+    """system_tables.rs test_operations: a close-chunk operation shows in
+    the RIGHT database's system operations table (and only there), queried
+    through the SQL surface."""
+    _create(client, "sysops1")
+    _create(client, "sysops2")
+    _write(client, "sysops1", "cpu,region=west user=23.2 100")
+    chunk_id = client.call("management", "ListChunks", {"db_name": "sysops1"})[
+        "chunks"
+    ][0]["id"]
+    op = client.call(
+        "management",
+        "ClosePartitionChunk",
+        {
+            "db_name": "sysops1",
+            "partition_key": "cpu",
+            "table_name": "cpu",
+            "chunk_id": chunk_id,
+        },
+    )["operation"]
+    assert op["done"] is True
+
+    db1 = srv[0].databases["sysops1"].database
+    rows = db1.query(
+        "SELECT chunk_ids, status, job FROM system_operations"
+    ).collect()
+    assert (str(chunk_id), "Complete", "CloseChunk") in {
+        (r.chunk_ids, r.status, r.job) for r in rows
+    }
+    db2 = srv[0].databases["sysops2"].database
+    assert db2.query("SELECT * FROM system_operations").count() == 0
