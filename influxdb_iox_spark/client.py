@@ -152,6 +152,21 @@ class IoxClient:
     def get_operation(self, name: str) -> dict:
         return self._control.call("operations", "GetOperation", {"name": name})
 
+    def query_flight(self, db_name: str, sql: str):
+        """SQL over Arrow Flight do_get on the gRPC socket — the data-plane
+        result path (record batches, no JSON row cap); returns a pyarrow
+        Table."""
+        import pyarrow.flight as flight
+
+        from influxdb_iox_spark.rpc_flight import flight_ticket
+
+        if self._storage is None:
+            raise ValueError("query_flight requires grpc_port")
+        reader = self._storage._client.do_get(
+            flight.Ticket(flight_ticket(db_name, sql))
+        )
+        return reader.read_all()
+
     # -- query (HTTP SQL) --------------------------------------------------
     def query(self, db_name: str, sql: str, fmt: str = "json"):
         """SQL over the HTTP query endpoint; json format parses to rows."""

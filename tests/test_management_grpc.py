@@ -777,3 +777,16 @@ def test_system_operations_visible_per_database(srv, client):
     }
     db2 = srv[0].databases["sysops2"].database
     assert db2.query("SELECT * FROM system_operations").count() == 0
+
+
+def test_client_query_flight(srv, client):
+    from influxdb_iox_spark.client import IoxClient
+
+    c = IoxClient(grpc_port=srv[1])
+    try:
+        c.create_database("fq", partition_template_parts=[{"table": {}}])
+        c.write("fq", "cpu,region=west user=1.5 100")
+        table = c.query_flight("fq", "SELECT region, user, time FROM cpu")
+        assert table.to_pylist() == [{"region": "west", "user": 1.5, "time": 100}]
+    finally:
+        c.close()
