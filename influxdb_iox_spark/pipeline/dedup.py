@@ -239,27 +239,30 @@ def _banded(
 ) -> DataFrame:
     """(doc, band, bucket) rows: one bucket hash per signature band — shared
     by the candidate join and the hot-bucket observability twin so the two
-    can never disagree on bucketing."""
+    can never disagree on bucketing.
+
+    Band structs are built with a PYTHON-level loop (band count is a plan
+    constant), so the whole projection is codegen — the previous
+    ``transform(sequence(...))`` formulation ran the per-band lambda
+    interpreted per document (the same HOF trap BENCH_NOTES §4 records
+    for gram producers; linear here, not quadratic, but still
+    interpreter-speed).  The bucket is xxhash64 over the band id + the
+    band's signature slots — bucketing is internal (candidates are
+    Jaccard-verified), so the hash function choice never changes results.
+    """
     rows = num_perm // bands
+    structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.lit(b),
+                *[F.col("signature")[b * rows + i] for i in range(rows)],
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
     return sig_df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.hash(
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("signature"), b * rows + 1, rows),
-                                lambda x: x.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
+        F.col(id_col).alias("doc"), F.explode(F.array(*structs)).alias("bb")
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
