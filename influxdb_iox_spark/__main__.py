@@ -1,0 +1,188 @@
+"""``python -m influxdb_iox_spark`` — the CLI twin of the reference binary
+(src/main.rs + src/commands/{run,database,sql,operations}.rs).
+
+Server side:
+
+    python -m influxdb_iox_spark run --base-dir /data/iox [--http-port N]
+        [--grpc-port N] [--cpus N]
+
+Client side (talks to a running server):
+
+    ... database create <name> [--partition-by table|time:<fmt>|column:<c>]
+    ... database list
+    ... database write <name> <file.lp>
+    ... database query <name> "<sql>" [--format json|csv|pretty]
+    ... database chunks <name>
+    ... operations list
+
+Every command is a thin shell over IoxServer / IoxClient — no logic
+lives here, so the CLI can never drift from the tested API surface.
+``main(argv)`` is importable for in-process tests; the module entry
+point only parses argv and dispatches.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="influxdb_iox_spark",
+        description="IOx-on-Spark server and command line tools",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    run = sub.add_parser("run", help="run the server (gRPC + HTTP)")
+    run.add_argument("--base-dir", required=True)
+    run.add_argument("--grpc-port", type=int, default=0)
+    run.add_argument("--http-port", type=int, default=0)
+    run.add_argument("--cpus", default=None)
+    run.add_argument(
+        "--once", action="store_true",
+        help="start, print ports, and return (tests); default blocks",
+    )
+
+    db = sub.add_parser("database", help="database commands")
+    dbsub = db.add_subparsers(dest="db_command", required=True)
+    for name, extra in (
+        ("create", [("name", {}), ("--partition-by", {"default": "table"})]),
+        ("list", []),
+        ("write", [("name", {}), ("file", {})]),
+        (
+            "query",
+            [("name", {}), ("sql", {}), ("--format", {"default": "json"})],
+        ),
+        ("chunks", [("name", {})]),
+    ):
+        sp = dbsub.add_parser(name)
+        for arg, kw in extra:
+            sp.add_argument(arg, **kw)
+        sp.add_argument("--host", default="127.0.0.1")
+        sp.add_argument("--grpc-port", type=int, required=True)
+        if name == "query":
+            # default result path is Arrow Flight on the gRPC socket; pass
+            # --http-url to use the v2 HTTP endpoint (enables csv/pretty)
+            sp.add_argument("--http-url", default=None)
+
+    ops = sub.add_parser("operations", help="operations commands")
+    opssub = ops.add_subparsers(dest="ops_command", required=True)
+    lst = opssub.add_parser("list")
+    lst.add_argument("--host", default="127.0.0.1")
+    lst.add_argument("--grpc-port", type=int, required=True)
+    return p
+
+
+def _partition_parts(spec: str) -> list[dict]:
+    if spec == "table":
+        return [{"table": {}}]
+    if spec.startswith("time:"):
+        return [{"time": spec.split(":", 1)[1]}]
+    if spec.startswith("column:"):
+        return [{"column": spec.split(":", 1)[1]}]
+    raise SystemExit(f"unknown --partition-by spec {spec!r}")
+
+
+def _client(args):
+    from influxdb_iox_spark.client import IoxClient
+
+    return IoxClient(
+        grpc_port=args.grpc_port,
+        http_url=getattr(args, "http_url", None),
+        host=args.host,
+    )
+
+
+def main(argv: list[str] | None = None, out=None) -> int:
+    out = out or sys.stdout
+    args = _build_parser().parse_args(argv)
+
+    if args.command == "run":
+        from influxdb_iox_spark.rpc_management import (
+            IoxGrpcServer,
+            IoxMultiDbHttpServer,
+            IoxServer,
+        )
+        from influxdb_iox_spark.session import get_spark
+
+        spark = get_spark(
+            app_name="influxdb-iox-spark-server",
+            master=f"local[{args.cpus}]" if args.cpus else None,
+        )
+        server = IoxServer(spark, args.base_dir)
+        grpc = IoxGrpcServer(
+            server, location=f"grpc://127.0.0.1:{args.grpc_port}"
+        )
+        http = IoxMultiDbHttpServer(server)
+        http_port = http.start(port=args.http_port)
+        print(
+            json.dumps(
+                {"grpc_port": grpc.port, "http_port": http_port,
+                 "databases": sorted(server.databases)}
+            ),
+            file=out,
+            flush=True,
+        )
+        if args.once:
+            http.stop()
+            grpc.shutdown()
+            return 0
+        try:  # pragma: no cover - interactive serve loop
+            import time
+
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            return 0
+
+    if args.command == "database":
+        c = _client(args)
+        try:
+            if args.db_command == "create":
+                c.create_database(
+                    args.name,
+                    partition_template_parts=_partition_parts(args.partition_by),
+                )
+                print(f"Created database {args.name}", file=out)
+            elif args.db_command == "list":
+                for name in c.list_databases():
+                    print(name, file=out)
+            elif args.db_command == "write":
+                with open(args.file) as f:
+                    n = c.write(args.name, f.read())
+                print(f"{n} Lines OK", file=out)
+            elif args.db_command == "query":
+                if args.http_url:
+                    result = c.query(args.name, args.sql, fmt=args.format)
+                    print(
+                        json.dumps(result) if args.format == "json" else result,
+                        file=out,
+                    )
+                else:
+                    table = c.query_flight(args.name, args.sql)
+                    print(json.dumps(table.to_pylist(), default=str), file=out)
+            elif args.db_command == "chunks":
+                print(json.dumps(c.list_chunks(args.name), indent=1), file=out)
+        finally:
+            c.close()
+        return 0
+
+    if args.command == "operations":
+        c = _client(args)
+        try:
+            for op in c.list_operations():
+                print(
+                    json.dumps({"name": op["name"], "done": op.get("done", False)}),
+                    file=out,
+                )
+        finally:
+            c.close()
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())

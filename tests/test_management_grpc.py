@@ -790,3 +790,50 @@ def test_client_query_flight(srv, client):
         assert table.to_pylist() == [{"region": "west", "user": 1.5, "time": 100}]
     finally:
         c.close()
+
+
+def test_cli_commands(srv, tmp_path):
+    """The CLI twin of the reference binary's database/operations
+    commands, driven in-process against the live server."""
+    import io
+    import json as _json
+
+    from influxdb_iox_spark.__main__ import main
+
+    port = srv[1]
+
+    def run(*argv):
+        buf = io.StringIO()
+        assert main(list(argv), out=buf) == 0
+        return buf.getvalue()
+
+    assert "Created database clidb" in run(
+        "database", "create", "clidb", "--grpc-port", str(port)
+    )
+    assert "clidb" in run("database", "list", "--grpc-port", str(port)).split()
+
+    lp = tmp_path / "points.lp"
+    lp.write_text("cpu,region=west user=1.5 100\ncpu,region=east user=2.0 200\n")
+    assert "2 Lines OK" in run(
+        "database", "write", "clidb", str(lp), "--grpc-port", str(port)
+    )
+
+    rows = _json.loads(
+        run(
+            "database", "query", "clidb",
+            "SELECT region, user, time FROM cpu ORDER BY time",
+            "--grpc-port", str(port),
+        )
+    )
+    assert rows == [
+        {"region": "west", "user": 1.5, "time": 100},
+        {"region": "east", "user": 2.0, "time": 200},
+    ]
+
+    chunks = _json.loads(run("database", "chunks", "clidb", "--grpc-port", str(port)))
+    assert len(chunks) == 1 and chunks[0]["row_count"] == 2
+
+    ops_out = run("operations", "list", "--grpc-port", str(port))
+    assert ops_out == "" or all(
+        _json.loads(ln)["name"] for ln in ops_out.splitlines()
+    )
