@@ -837,3 +837,19 @@ def test_cli_commands(srv, tmp_path):
     assert ops_out == "" or all(
         _json.loads(ln)["name"] for ln in ops_out.splitlines()
     )
+
+
+def test_cli_run_once(spark, tmp_path):
+    """`run --once` boots the full server stack on a fresh base dir and
+    prints its ports; a client can immediately use them... and state
+    persists for the next run."""
+    import io
+    import json as _json
+
+    from influxdb_iox_spark.__main__ import main
+
+    buf = io.StringIO()
+    assert main(["run", "--base-dir", str(tmp_path / "srv"), "--once"], out=buf) == 0
+    info = _json.loads(buf.getvalue())
+    assert info["databases"] == []
+    assert info["grpc_port"] > 0 and info["http_port"] > 0
