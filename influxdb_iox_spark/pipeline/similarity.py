@@ -293,6 +293,7 @@ def semantic_dedup_pairs(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "doc_id",
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """(drop_id, keep_id, cosine_sim): for each document that has an
     EARLIER (lower-id) same-cluster document with cosine ≥ threshold, the
@@ -322,6 +323,20 @@ def semantic_dedup_pairs(
     assigned = ivf_assign(df, cent, vec_col).select(
         F.col(id_col), F.col(vec_col), F.col("ivf_list")
     )
+    if max_cluster_size is not None and max_cluster_size > 0:
+        # Hot-cluster guard (the LSH hot-bucket cap's twin): a degenerate
+        # cluster would make its self-join quadratic and pin one executor.
+        # Oversized clusters are excluded via a broadcast anti-join —
+        # observe what was skipped with semantic_hot_clusters, and re-run
+        # those members through a second-level clustering if their dedup
+        # matters.
+        hot = (
+            assigned.groupBy("ivf_list")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > max_cluster_size)
+            .select("ivf_list")
+        )
+        assigned = assigned.join(F.broadcast(hot), "ivf_list", "left_anti")
     a = assigned.select(
         F.col(id_col).alias("keep_id"),
         F.col(vec_col).alias("__va"),
@@ -375,3 +390,25 @@ def semantic_dedup(
         df, n_clusters, threshold, sample_rows, seed, vec_col, id_col
     ).select(F.col("drop_id").alias(id_col))
     return df.join(dropped, on=id_col, how="left_anti")
+
+
+def semantic_hot_clusters(
+    df: DataFrame,
+    n_clusters: int = 16,
+    sample_rows: int = 10_000,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    max_cluster_size: int = 100_000,
+) -> DataFrame:
+    """Observability twin of semantic_dedup's hot-cluster guard:
+    (ivf_list, n_docs) for every cluster the cap would exclude — same
+    centroid training and assignment, so the report can never disagree
+    with the guard."""
+    cent = train_ivf_centroids(df, n_clusters, sample_rows, seed=seed, vec_col=vec_col)
+    return (
+        ivf_assign(df, cent, vec_col)
+        .groupBy("ivf_list")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > max_cluster_size)
+        .orderBy(F.desc("n_docs"))
+    )

@@ -113,3 +113,39 @@ def test_semantic_dedup_soundness_and_planted_recall(spark):
     assert ids == {i for i, _ in rows} - dropped
     assert 3 in ids and 7 in ids  # canonical min-ids survive
     assert set(survivors.columns) == {"doc_id", "embedding"}
+
+
+def test_semantic_dedup_hot_cluster_guard(spark):
+    """Clusters above max_cluster_size are excluded from pairing (their
+    members all survive) and the observability twin reports exactly the
+    skipped clusters."""
+    import numpy as np
+
+    from influxdb_iox_spark.pipeline.similarity import (
+        semantic_dedup_pairs,
+        semantic_hot_clusters,
+    )
+
+    rng = np.random.default_rng(11)
+    hub = rng.normal(size=16)
+    rows = [(i, [float(x) for x in hub + rng.normal(scale=1e-3, size=16)])
+            for i in range(30)]                      # one degenerate cluster
+    rows += [(100 + i, [float(x) for x in rng.normal(size=16)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+
+    uncapped = semantic_dedup_pairs(
+        df, n_clusters=4, threshold=0.99, sample_rows=100, seed=2
+    ).count()
+    assert uncapped >= 29  # the hub cluster collapses to one keeper
+
+    capped = semantic_dedup_pairs(
+        df, n_clusters=4, threshold=0.99, sample_rows=100, seed=2,
+        max_cluster_size=10,
+    )
+    dropped = {r.drop_id for r in capped.collect()}
+    assert not ({i for i in range(30)} & dropped)  # hub members all survive
+
+    hot = semantic_hot_clusters(
+        df, n_clusters=4, sample_rows=100, seed=2, max_cluster_size=10
+    ).collect()
+    assert len(hot) == 1 and hot[0].n_docs == 30
