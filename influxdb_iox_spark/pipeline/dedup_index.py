@@ -155,7 +155,16 @@ def ingest_batch(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """The full incremental step: accept = dedup vs index (+ intra-batch),
-    append accepted fingerprints, return the accepted documents."""
+    append accepted fingerprints, return the accepted documents.
+
+    Concurrency contract: ONE ingest pipeline per index (the accept→append
+    pair is not atomic, so two concurrent ingesters could both accept the
+    same content in the race window).  Parallelism lives INSIDE the batch
+    (every step is a distributed job); scale batch size, not ingester
+    count — the same single-logical-writer shape as a Kafka-partition
+    consumer.  A crash between accept and append re-accepts the batch on
+    retry, which is harmless: the re-append collapses to the same digest
+    rows and queries over accepted docs dedup on content anyway."""
     fresh = dedup_against_index(spark, path, new_docs, text_col, id_col)
     # materialize before appending: the append would otherwise change the
     # index the SAME lazy plan reads (read-your-own-write hazard)
