@@ -800,6 +800,64 @@ FROM b GROUP BY 1 ORDER BY 1
 """
 
 
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist gate (pipeline/text.blocklist_filter): documents with zero
+    standalone occurrences of any blocked term survive — the C4
+    badwords-filter shape, pure codegen substring counters."""
+    from influxdb_iox_spark.pipeline.text import blocklist_filter
+
+    t = _load(spark, sf_dir, "documents")
+    return (
+        blocklist_filter(t["documents"], ["slow", "broken"])
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+SQL_BLOCKLIST_FILTER = r"""
+WITH n AS (
+  SELECT doc_id,
+         ' ' || trim(regexp_replace(lower(text), '\s+', ' ', 'g')) || ' ' AS p
+  FROM documents)
+SELECT doc_id FROM n
+WHERE p NOT LIKE '% slow %' AND p NOT LIKE '% broken %'
+ORDER BY doc_id
+"""
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality gate (pipeline/text.quality_filter): one
+    conjunctive WHERE over the quality feature columns; thresholds are
+    data, tuned here to discriminate on the toy corpus (minimum length +
+    minimum English-stopword presence)."""
+    from influxdb_iox_spark.pipeline.text import quality_filter
+
+    t = _load(spark, sf_dir, "documents")
+    out = quality_filter(
+        t["documents"],
+        rules=[("q_n_tokens", 25, None), ("q_stopword_ratio", 0.02, None)],
+    )
+    return out.select("doc_id").orderBy("doc_id")
+
+
+def _sql_quality_filter() -> str:
+    from influxdb_iox_spark.pipeline.text import LANG_STOPWORDS
+
+    hits = _sql_stop_hits(LANG_STOPWORDS["en"])
+    return f"""
+WITH n AS (
+  SELECT doc_id,
+    ' ' || trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) || ' ' AS p,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks
+  FROM documents)
+SELECT doc_id FROM n
+WHERE toks >= 25
+  AND {hits} / greatest(toks, 1) >= 0.02
+ORDER BY doc_id
+"""
+
+
 def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from influxdb_iox_spark.pipeline.dedup import exact_duplicate_groups
 
@@ -2708,6 +2766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_incremental_dedup": q_doc_incremental_dedup,
         "emb_semantic_dedup": q_emb_semantic_dedup,
         "doc_sequence_packing": q_sequence_packing,
+        "doc_blocklist_filter": q_blocklist_filter,
+        "doc_quality_filter": q_quality_filter,
     }
     return _rotate_for_round(base)
 
@@ -2760,6 +2820,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_incremental_dedup": SQL_DOC_INCREMENTAL_DEDUP,
         "emb_semantic_dedup": SQL_EMB_SEMANTIC_DEDUP,
         "doc_sequence_packing": SQL_SEQUENCE_PACKING,
+        "doc_blocklist_filter": SQL_BLOCKLIST_FILTER,
+        "doc_quality_filter": _sql_quality_filter(),
         "dedup_last_non_null": SQL_DEDUP,
         "json_props_extract": SQL_JSON_PROPS,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,

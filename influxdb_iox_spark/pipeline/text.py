@@ -306,3 +306,60 @@ def repetition_features(
             / F.greatest("__n_chars", F.lit(1))
         ).alias("top_gram_char_frac"),
     )
+
+
+def blocklist_hits(
+    col: Column, terms: list[str]
+) -> Column:
+    """Count of blocklist-term occurrences as STANDALONE words of the
+    normalized text (the C4 badwords-filter primitive, generalized).
+    Same padded substring-count trick as the stopword scorers — pure
+    codegen, ANSI-SQL-restatable, no regex per term."""
+    return _stopword_hits_padded(_padded(col), [t.lower() for t in terms])
+
+
+def blocklist_filter(
+    df: DataFrame, terms: list[str], text_col: str = "text"
+) -> DataFrame:
+    """Documents with ZERO standalone occurrences of any blocklist term.
+
+    One projection + filter — the whole gate is a codegen expression; at
+    100 TB this is a map-only scan with the filter pushed against the
+    text column read.  For large term lists (>~100), switch to a single
+    alternation regex compiled once (rlike) — the per-term substring
+    counters are linear in term count.
+    """
+    return df.filter(blocklist_hits(F.col(text_col), terms) == 0)
+
+
+#: Gopher/C4-flavored acceptance window over quality_features columns —
+#: each rule is (column, lo, hi); None = unbounded.  Defaults follow the
+#: published heuristics scaled to toy corpora: length window, mean token
+#: length window, punctuation/digit caps, minimum stopword presence.
+DEFAULT_QUALITY_RULES: list[tuple] = [
+    ("q_n_tokens", 5, 100_000),
+    ("q_mean_token_len", 2.0, 12.0),
+    ("q_punct_ratio", None, 0.2),
+    ("q_digit_ratio", None, 0.3),
+    ("q_stopword_ratio", 0.01, None),
+]
+
+
+def quality_filter(
+    df: DataFrame,
+    rules: list[tuple] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Documents passing every quality rule (the Gopher/C4 heuristic
+    gate): computes quality_features once, then one conjunctive WHERE.
+    Rules are data, not code — a pipeline tunes thresholds without
+    touching the operator; every predicate stays codegen and restates
+    directly in SQL for the oracle."""
+    out = quality_features(df, text_col)
+    cond = F.lit(True)
+    for col, lo, hi in rules if rules is not None else DEFAULT_QUALITY_RULES:
+        if lo is not None:
+            cond = cond & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(col) <= F.lit(hi))
+    return out.filter(cond).select(*df.columns)

@@ -155,3 +155,55 @@ def test_gram_generation_stays_linear_in_plan(spark):
     for p in plans:
         assert "transform(sequence(" not in p.replace(" ", "")
         assert "arrays_zip" in p
+
+
+def test_blocklist_filter(spark):
+    from influxdb_iox_spark.pipeline.text import blocklist_filter, blocklist_hits
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "a perfectly clean document"),
+            (2, "contains the bad word here"),
+            (3, "BadWord in mixed case"),
+            (4, "badwording is a different token and passes"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id for r in blocklist_filter(df, ["bad", "badword"]).collect()
+    )
+    # standalone-word semantics: 'badwording' is NOT a hit
+    assert kept == [1, 4, 5]
+    hits = {
+        r.doc_id: r.h
+        for r in df.select(
+            "doc_id", blocklist_hits(F.col("text"), ["bad", "badword"]).alias("h")
+        ).collect()
+    }
+    assert hits[2] == 1 and hits[3] == 1 and hits[4] == 0
+
+
+def test_quality_filter_rules_are_data(spark):
+    from influxdb_iox_spark.pipeline.text import quality_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "x"),                          # too short
+            (3, "9999 1234 5678 000 111 222 333 444 555 666 777 888"),  # digits
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in quality_filter(
+            df,
+            rules=[("q_n_tokens", 5, None), ("q_digit_ratio", None, 0.3)],
+        ).collect()
+    )
+    assert kept == [1]
+    # survivors keep ONLY the original columns (features are internal)
+    out = quality_filter(df, rules=[("q_n_tokens", 1, None)])
+    assert out.columns == ["doc_id", "text"]
