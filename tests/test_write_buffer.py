@@ -237,3 +237,32 @@ def test_dot_names_cannot_escape_roots(spark, tmp_path):
     buf.produce("..", "m f=1 1")
     assert _os.path.isdir(_os.path.join(str(tmp_path / "bufroot"), "%2E%2E"))
     assert [p for _, p in buf.fetch("..")] == ["m f=1 1"]
+
+
+def test_run_lifecycle_persist_split(spark, tmp_path):
+    """persistence.rs full-lifecycle shape on the managed server: data
+    straddling the late-arrival window persist-splits into a drained cold
+    chunk plus a hot remainder under the database's configured rules."""
+    import time as _time
+
+    srv = _server(spark, tmp_path, "p")
+    srv.create_database(
+        _rules("pdb", lifecycle_rules={"late_arrive_window_seconds": 3600})
+    )
+    now = _time.time_ns()
+    old = now - 7200 * 10**9   # well outside the window
+    srv.write_lp(
+        "pdb",
+        f"cpu,region=west user=1.0 {old}\ncpu,region=west user=2.0 {now}",
+    )
+    report = srv.run_lifecycle("pdb")
+    assert report["tables"]["cpu"]["persisted"] is True
+    store = srv.databases["pdb"].database.store
+    chunks = store.manifest("cpu")
+    # cold (persisted) + hot remainder
+    assert sorted(c.persisted for c in chunks) == [False, True]
+    # total rows preserved and queryable
+    assert srv.databases["pdb"].database.table("cpu").count() == 2
+    # a second sweep finds nothing new to persist
+    report2 = srv.run_lifecycle("pdb")
+    assert report2["tables"]["cpu"]["persisted"] is False
