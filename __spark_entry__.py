@@ -2047,6 +2047,40 @@ FROM w ORDER BY t
 """
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-cohort retention matrix (beyond-ref OLAP): users grouped by
+    first-active day, activity counted per day offset — one min-aggregate
+    for the cohort assignment, one distinct-count aggregate for the
+    matrix; the cohort table is small (one row per user) so AQE
+    broadcasts the join side at any corpus scale."""
+    t = _load(spark, sf_dir, "events")
+    ev = t["events"].select(
+        "user_id",
+        F.floor(F.col("ts") / F.lit(86400 * 10**9)).cast("long").alias("day"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+SQL_RETENTION_COHORTS = """
+WITH d AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events),
+f AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id)
+SELECT f.cohort_day, d.day - f.cohort_day AS day_offset,
+       COUNT(DISTINCT d.user_id) AS active_users
+FROM d JOIN f ON d.user_id = f.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min inactivity gap) per user — Spark's
     session_window (beyond the reference surface; its streaming twin is the
@@ -2768,6 +2802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sequence_packing": q_sequence_packing,
         "doc_blocklist_filter": q_blocklist_filter,
         "doc_quality_filter": q_quality_filter,
+        "events_retention_cohorts": q_retention_cohorts,
     }
     return _rotate_for_round(base)
 
@@ -2822,6 +2857,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_sequence_packing": SQL_SEQUENCE_PACKING,
         "doc_blocklist_filter": SQL_BLOCKLIST_FILTER,
         "doc_quality_filter": _sql_quality_filter(),
+        "events_retention_cohorts": SQL_RETENTION_COHORTS,
         "dedup_last_non_null": SQL_DEDUP,
         "json_props_extract": SQL_JSON_PROPS,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
