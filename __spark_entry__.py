@@ -2047,6 +2047,62 @@ FROM w ORDER BY t
 """
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup -> view -> click -> purchase
+    (beyond-ref OLAP): a user converts step k when their earliest
+    step-k event follows their earliest step-(k-1) event.  One pivoted
+    min-timestamp aggregate per user (conditional mins — no join chain,
+    no window), then one count aggregate; scales as a single user-keyed
+    shuffle."""
+    t = _load(spark, sf_dir, "events")
+    steps = ["signup", "view", "click", "purchase"]
+    mins = t["events"].groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t_{s}")
+            for s in steps
+        ]
+    )
+    c = [F.col(f"t_{s}") for s in steps]
+    reached = [c[0].isNotNull()]
+    for i in range(1, len(steps)):
+        reached.append(reached[i - 1] & c[i].isNotNull() & (c[i] > c[i - 1]))
+    agg = mins.agg(
+        F.count("*").alias("n_users"),
+        *[
+            F.sum(r.cast("long")).alias(f"reached_{s}")
+            for s, r in zip(steps, reached)
+        ],
+    )
+    return agg
+
+
+SQL_EVENT_FUNNEL = """
+WITH m AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id),
+r AS (
+  SELECT
+    (t_signup IS NOT NULL) AS r1,
+    (t_signup IS NOT NULL AND t_view IS NOT NULL AND t_view > t_signup) AS r2,
+    (t_signup IS NOT NULL AND t_view IS NOT NULL AND t_view > t_signup
+      AND t_click IS NOT NULL AND t_click > t_view) AS r3,
+    (t_signup IS NOT NULL AND t_view IS NOT NULL AND t_view > t_signup
+      AND t_click IS NOT NULL AND t_click > t_view
+      AND t_purchase IS NOT NULL AND t_purchase > t_click) AS r4
+  FROM m)
+SELECT COUNT(*) AS n_users,
+  CAST(SUM(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS reached_signup,
+  CAST(SUM(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) AS reached_view,
+  CAST(SUM(CASE WHEN r3 THEN 1 ELSE 0 END) AS BIGINT) AS reached_click,
+  CAST(SUM(CASE WHEN r4 THEN 1 ELSE 0 END) AS BIGINT) AS reached_purchase
+FROM r
+"""
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-cohort retention matrix (beyond-ref OLAP): users grouped by
     first-active day, activity counted per day offset — one min-aggregate
@@ -2803,6 +2859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_blocklist_filter": q_blocklist_filter,
         "doc_quality_filter": q_quality_filter,
         "events_retention_cohorts": q_retention_cohorts,
+        "events_funnel": q_event_funnel,
     }
     return _rotate_for_round(base)
 
@@ -2858,6 +2915,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_blocklist_filter": SQL_BLOCKLIST_FILTER,
         "doc_quality_filter": _sql_quality_filter(),
         "events_retention_cohorts": SQL_RETENTION_COHORTS,
+        "events_funnel": SQL_EVENT_FUNNEL,
         "dedup_last_non_null": SQL_DEDUP,
         "json_props_extract": SQL_JSON_PROPS,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
