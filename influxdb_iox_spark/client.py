@@ -128,17 +128,36 @@ class IoxClient:
         return self._mgmt("GetServerStatus", {})["server_status"]
 
     # -- write -------------------------------------------------------------
-    def write(self, db_name: str, lp_data: str) -> int:
+    def write(
+        self,
+        db_name: str,
+        lp_data: str,
+        org: str | None = None,
+        bucket: str | None = None,
+    ) -> int:
         """Line-protocol write over gRPC; falls back to the v2 HTTP write
-        when only an HTTP endpoint is configured (db_name must then be the
-        '<org>_<bucket>' form the HTTP server routes on)."""
+        when only an HTTP endpoint is configured.  The '<org>_<bucket>'
+        join (http_api.org_and_bucket_to_database, like the reference's
+        data_types org_and_bucket_to_database) is ambiguous when org
+        contains '_', so the HTTP path takes explicit org/bucket
+        parameters; the db_name split fallback is first-underscore and
+        only safe for underscore-free orgs."""
         if self._control is not None:
             out = self._control.call(
                 "write", "Write", {"db_name": db_name, "lp_data": lp_data}
             )
             return out.get("lines_written", 0)
-        org, _, bucket = db_name.partition("_")
-        url = f"{self._http_url}/api/v2/write?org={org}&bucket={bucket}"
+        if org is None or bucket is None:
+            org, sep, bucket = db_name.partition("_")
+            if not sep:
+                raise ValueError(
+                    "HTTP write needs org and bucket: pass them explicitly "
+                    f"or use an '<org>_<bucket>' db_name (got {db_name!r})"
+                )
+        url = (
+            f"{self._http_url}/api/v2/write?"
+            f"org={urllib.parse.quote(org)}&bucket={urllib.parse.quote(bucket)}"
+        )
         req = urllib.request.Request(url, data=lp_data.encode())
         with urllib.request.urlopen(req, timeout=120):
             pass
@@ -173,7 +192,8 @@ class IoxClient:
         if self._http_url is None:
             raise ValueError("query requires http_url (the SQL frontend)")
         url = (
-            f"{self._http_url}/iox/api/v1/databases/{db_name}/query"
+            f"{self._http_url}/iox/api/v1/databases/"
+            f"{urllib.parse.quote(db_name, safe='')}/query"
             f"?q={urllib.parse.quote(sql)}&format={fmt}"
         )
         with urllib.request.urlopen(url, timeout=120) as r:

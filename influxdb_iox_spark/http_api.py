@@ -24,7 +24,7 @@ import json
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from urllib.parse import parse_qs, urlparse
+from urllib.parse import parse_qs, unquote, urlparse
 
 from influxdb_iox_spark.database import Database
 from influxdb_iox_spark.sources.line_protocol import LineProtocolError
@@ -267,7 +267,10 @@ def _make_handler(api: IoxHttpServer):
                     if not q:
                         raise _HttpError(400, "missing q parameter")
                     fmt = (qs.get("format") or ["json"])[0]
-                    body, ctype = api.handle_query(parts[4], q, fmt)
+                    # db name arrives percent-encoded (the client quotes
+                    # it so names containing '/' survive path routing)
+                    db_seg = unquote(parts[4])
+                    body, ctype = api.handle_query(db_seg, q, fmt)
                     self._reply(200, body, ctype)
                     return
                 self._reply(404, b"not found")

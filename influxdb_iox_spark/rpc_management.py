@@ -435,8 +435,15 @@ class IoxServer:
 
         The consumer offset persists next to the database; it advances
         AFTER each payload applies (at-least-once — replaying identical
-        line protocol is idempotent through primary-key dedup).  Returns
-        the number of lines ingested this drain."""
+        line protocol is idempotent through primary-key dedup).  A
+        malformed payload is QUARANTINED (recorded to wb_quarantine.jsonl
+        next to the offset) and the offset advances past it, so one
+        corrupt payload can never wedge the topic — every valid payload
+        behind it still applies.  Sequences parked by the buffer (aged
+        empty claims from a slow producer) are persisted alongside the
+        offset and re-checked on every drain, so a payload renamed in
+        late is still consumed exactly as the at-least-once contract
+        promises.  Returns the number of lines ingested this drain."""
         from influxdb_iox_spark.streaming.write_buffer import FileWriteBuffer
 
         md = self.db(db_name)
@@ -447,25 +454,57 @@ class IoxServer:
                 f"database {db_name!r} has no reading write-buffer connection",
             )
         offset_path = os.path.join(md.database.store.base_dir, "wb_offset.json")
-        next_seq = 0
+        next_seq, parked = 0, []
         if os.path.exists(offset_path):
             with open(offset_path) as f:
-                next_seq = json.load(f)["next_seq"]
+                state = json.load(f)
+            next_seq = state["next_seq"]
+            parked = state.get("parked") or []
         buf = FileWriteBuffer(reading)
         total = 0
-        for seq, payload in buf.fetch(db_name, next_seq):
+
+        def _save(seq_after: int) -> None:
+            tmp = offset_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"next_seq": seq_after, "parked": parked}, f)
+            os.replace(tmp, offset_path)
+
+        def _apply_one(seq: int, payload: str) -> int:
             try:
                 parsed = list(parse_lines(payload))
             except LineProtocolError as e:
-                raise GrpcStatusError(
-                    "InvalidArgument", f"bad write-buffer payload seq {seq}: {e}"
+                qpath = os.path.join(
+                    md.database.store.base_dir, "wb_quarantine.jsonl"
                 )
+                with open(qpath, "a") as qf:
+                    qf.write(
+                        json.dumps(
+                            {"seq": seq, "error": str(e), "payload": payload}
+                        )
+                        + "\n"
+                    )
+                return 0
             self._apply_lp(md, db_name, payload, parsed)
-            total += len(parsed)
-            tmp = offset_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({"next_seq": seq + 1}, f)
-            os.replace(tmp, offset_path)
+            return len(parsed)
+
+        # re-check parked sequences first: a slow producer may have
+        # renamed its payload in after we advanced past its aged claim
+        for seq in list(parked):
+            payload = buf.read_one(db_name, seq)
+            if payload is not None:
+                total += _apply_one(seq, payload)
+                parked.remove(seq)
+                _save(next_seq)
+
+        payloads, newly_parked = buf.poll(db_name, next_seq)
+        for seq, payload in payloads:
+            total += _apply_one(seq, payload)
+            parked = sorted(set(parked) | {s for s in newly_parked if s < seq})
+            _save(seq + 1)
+        if payloads or newly_parked:
+            last = payloads[-1][0] + 1 if payloads else next_seq
+            parked = sorted(set(parked) | set(newly_parked))
+            _save(max(last, max(newly_parked, default=-1) + 1))
         return total
 
     def run_lifecycle(self, db_name: str) -> dict:
@@ -503,9 +542,50 @@ class IoxServer:
         return report
 
     # -- operations --------------------------------------------------------
+    SERVER_OPS_FILE = "_server_operations.json"
+
+    def record_server_operation(
+        self, job: str, wall_nanos: int, description: str = ""
+    ) -> dict:
+        """Append one server-scoped job record (the reference's JobRegistry
+        lives on the Server, not a database — server/src/lib.rs; jobs like
+        Dummy have no database at all).  Stored under base_dir so the
+        returned operation name is always resolvable by GetOperation /
+        ListOperations, even with zero databases."""
+        import time as _now
+        import uuid as _uuid
+
+        rec = {
+            "id": _uuid.uuid4().hex[:16],
+            "job": job,
+            "status": "Complete",
+            "table_name": "",
+            "partition_key": "",
+            "chunk_ids": [],
+            "wall_nanos": wall_nanos,
+            "description": description,
+            "recorded_at": _now.time(),
+        }
+        p = os.path.join(self.base_dir, self.SERVER_OPS_FILE)
+        entries = self.server_operations()
+        entries.append(rec)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(entries, f, indent=1)
+        os.replace(tmp, p)
+        return rec
+
+    def server_operations(self) -> list[dict]:
+        p = os.path.join(self.base_dir, self.SERVER_OPS_FILE)
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return json.load(f)
+
     def all_operations(self) -> list[tuple[str, dict]]:
-        """(db_name, record) across every database, oldest first."""
-        out = []
+        """(db_name, record) across every database plus the server-level
+        registry, oldest first."""
+        out = [("", rec) for rec in self.server_operations()]
         for name, md in sorted(self.databases.items()):
             for rec in md.database.store.operations():
                 out.append((name, rec))
@@ -617,6 +697,17 @@ class ManagementService:
     def UpdateServerId(self, req: dict) -> dict:
         if not req.get("id"):
             raise field_violation("id")  # ServerId::try_from(0) fails
+        # the reference rejects a second set (Error::SetIdError →
+        # FieldViolation, server/src/lib.rs set_id); idempotent re-set of
+        # the same id is allowed
+        if (
+            self.server.server_id is not None
+            and self.server.server_id != req["id"]
+        ):
+            raise GrpcStatusError(
+                "InvalidArgument",
+                "Violation for field \"id\": id already set",
+            )
         self.server.server_id = req["id"]
         return {}
 
@@ -656,23 +747,12 @@ class ManagementService:
     def CreateDummyJob(self, req: dict) -> dict:
         nanos = req.get("nanos") or []
         # the reference's dummy job sleeps; ours records the request and
-        # completes (all our jobs are synchronous)
-        rec = None
-        for md in self.server.databases.values():
-            rec = md.database.store.record_operation(
-                "Dummy", "", "", [], "Complete", sum(nanos),
-                json.dumps({"nanos": nanos}),
-            )
-            break
-        if rec is None:
-            # no database yet: synthesize an in-memory record
-            import uuid
-
-            rec = {
-                "id": uuid.uuid4().hex[:16], "job": "Dummy", "status": "Complete",
-                "table_name": "", "partition_key": "", "chunk_ids": [],
-                "wall_nanos": sum(nanos), "description": json.dumps({"nanos": nanos}),
-            }
+        # completes (all our jobs are synchronous).  Dummy jobs are
+        # server-scoped (no database) so they persist in the server-level
+        # registry and are always resolvable by GetOperation.
+        rec = self.server.record_server_operation(
+            "Dummy", sum(nanos), json.dumps({"nanos": nanos})
+        )
         return {"operation": encode_operation("", rec)}
 
     def ListRemotes(self, req: dict) -> dict:
@@ -784,6 +864,11 @@ class ManagementService:
         return {}
 
     def GetServerStatus(self, req: dict) -> dict:
+        # initialized tracks server-id assignment: the reference server
+        # only initializes once an id is set (server/src/init.rs); before
+        # that databases are not served and initialized=false
+        if self.server.server_id is None:
+            return {"server_status": {"initialized": False}}
         statuses = [
             {"db_name": name, "state": mp.DATABASE_STATE_INITIALIZED}
             for name in sorted(self.server.databases)

@@ -81,12 +81,27 @@ class FileWriteBuffer:
         sequence order.  Consumption is CONTIGUOUS like a Kafka offset: a
         claimed-but-not-yet-renamed payload (reads empty, recent mtime)
         stops the poll so nothing behind it is skipped; an empty claim
-        older than the grace period is a crashed producer and is passed
-        over for good."""
+        older than the grace period is passed over THIS poll (see poll()
+        for the parked-sequence recheck that keeps at-least-once if the
+        slow producer fills it in later)."""
+        return self.poll(db_name, from_seq)[0]
+
+    def poll(
+        self, db_name: str, from_seq: int = 0
+    ) -> tuple[list[tuple[int, str]], list[int]]:
+        """(payloads, parked): payloads as fetch(); parked lists the aged
+        empty claims that were passed over.  A producer paused longer than
+        the grace period can still rename its payload in AFTER the
+        consumer's offset has advanced past it, so skipping an aged claim
+        must not be final: the consumer records parked sequences and
+        re-checks them with read_one() on every later drain, preserving
+        the at-least-once contract (ordering is irrelevant downstream —
+        line-protocol apply is idempotent through primary-key dedup)."""
         import time as _time
 
         d = self._topic_dir(db_name)
-        out = []
+        out: list[tuple[int, str]] = []
+        parked: list[int] = []
         for fname in sorted(f for f in os.listdir(d) if f.endswith(".lp")):
             seq = self._seq_of(fname)
             if seq < from_seq:
@@ -97,6 +112,18 @@ class FileWriteBuffer:
             if not payload:
                 if _time.time() - os.stat(path).st_mtime < self.PENDING_GRACE_SECONDS:
                     break  # in-flight producer; resume here next poll
-                continue  # crashed claim — never going to fill
+                parked.append(seq)  # aged claim — recheck on later drains
+                continue
             out.append((seq, payload))
-        return out
+        return out, parked
+
+    def read_one(self, db_name: str, seq: int) -> str | None:
+        """The payload at one sequence, or None if still empty/absent —
+        the parked-sequence recheck path."""
+        d = self._topic_dir(db_name)
+        for fname in os.listdir(d):
+            if fname.endswith(".lp") and self._seq_of(fname) == seq:
+                with open(os.path.join(d, fname)) as f:
+                    payload = f.read()
+                return payload or None
+        return None

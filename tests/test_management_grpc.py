@@ -853,3 +853,56 @@ def test_cli_run_once(spark, tmp_path):
     info = _json.loads(buf.getvalue())
     assert info["databases"] == []
     assert info["grpc_port"] > 0 and info["http_port"] > 0
+
+
+# -- ADVICE r5 regressions ---------------------------------------------------
+
+
+def test_server_id_cannot_be_changed_once_set(spark, tmp_path_factory):
+    """The reference rejects a second UpdateServerId with a FieldViolation
+    (Error::SetIdError); re-setting the SAME id stays idempotent, and
+    GetServerStatus reports initialized=false until an id is set."""
+    base = tmp_path_factory.mktemp("srvid")
+    server = IoxServer(spark, str(base))
+    flight = IoxGrpcServer(server)
+    c = ControlClient(flight.port)
+    try:
+        status = c.call("management", "GetServerStatus", {})["server_status"]
+        assert status.get("initialized", False) is False
+        c.call("management", "UpdateServerId", {"id": 7})
+        c.call("management", "UpdateServerId", {"id": 7})  # idempotent
+        with pytest.raises(Exception, match="id already set"):
+            c.call("management", "UpdateServerId", {"id": 8})
+        assert c.call("management", "GetServerId", {})["id"] == 7
+        status = c.call("management", "GetServerStatus", {})["server_status"]
+        assert status["initialized"] is True
+    finally:
+        c.close()
+        flight.shutdown()
+
+
+def test_dummy_job_resolvable_with_zero_databases(spark, tmp_path_factory):
+    """ADVICE r5: CreateDummyJob persists in a server-level registry, so
+    the returned operation name resolves via GetOperation/ListOperations
+    even when no database exists."""
+    base = tmp_path_factory.mktemp("dummyjob")
+    server = IoxServer(spark, str(base))
+    flight = IoxGrpcServer(server)
+    c = ControlClient(flight.port)
+    try:
+        op = c.call("management", "CreateDummyJob", {"nanos": [100, 200]})[
+            "operation"
+        ]
+        assert op["done"] is True
+        got = c.call("operations", "GetOperation", {"name": op["name"]})
+        assert got["name"] == op["name"]
+        names = [
+            o["name"]
+            for o in c.call("operations", "ListOperations", {}).get(
+                "operations", []
+            )
+        ]
+        assert op["name"] in names
+    finally:
+        c.close()
+        flight.shutdown()

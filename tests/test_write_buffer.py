@@ -266,3 +266,70 @@ def test_run_lifecycle_persist_split(spark, tmp_path):
     # a second sweep finds nothing new to persist
     report2 = srv.run_lifecycle("pdb")
     assert report2["tables"]["cpu"]["persisted"] is False
+
+
+def test_poison_payload_is_quarantined_not_wedging(spark, tmp_path):
+    """ADVICE r5: a malformed payload must not wedge the topic — it is
+    quarantined, the offset advances, and every valid payload behind it
+    still applies on the SAME drain and on later ones."""
+    import json as _json
+
+    buf_dir = str(tmp_path / "buf")
+    buf = FileWriteBuffer(buf_dir)
+    buf.produce("pdb", "cpu,region=west user=1.0 100")
+    buf.produce("pdb", "this is { not line protocol !!!")
+    buf.produce("pdb", "cpu,region=east user=2.0 200")
+
+    srv = _server(spark, tmp_path, "b")
+    srv.create_database(_rules("pdb", reading=buf_dir))
+    assert srv.drain_write_buffer("pdb") == 2  # both valid payloads
+    assert srv.databases["pdb"].database.table("cpu").count() == 2
+
+    qpath = os.path.join(
+        srv.databases["pdb"].database.store.base_dir, "wb_quarantine.jsonl"
+    )
+    with open(qpath) as f:
+        quarantined = [_json.loads(ln) for ln in f]
+    assert [q["seq"] for q in quarantined] == [1]
+
+    # drain again: offset is past the poison; nothing reapplies
+    assert srv.drain_write_buffer("pdb") == 0
+    # run_lifecycle (which drains first) is not wedged either
+    report = srv.run_lifecycle("pdb")
+    assert report["drained_lines"] == 0
+
+
+def test_slow_producer_fill_in_is_not_dropped(spark, tmp_path):
+    """ADVICE r5: a producer paused past the grace period that renames its
+    payload in AFTER the consumer offset advanced must still be consumed —
+    the sequence is parked and re-checked on later drains (at-least-once)."""
+    buf_dir = str(tmp_path / "buf")
+    buf = FileWriteBuffer(buf_dir)
+    buf.produce("sdb", "cpu,region=a user=1.0 100")
+    # a claim at seq 1 whose producer has stalled past the grace period
+    d = os.path.join(buf_dir, "sdb")
+    stalled = os.path.join(d, f"{1:012d}-0.lp")
+    open(stalled, "w").close()
+    old = os.stat(stalled).st_mtime - 60
+    os.utime(stalled, (old, old))
+    buf.produce("sdb", "cpu,region=b user=2.0 200")
+
+    srv = _server(spark, tmp_path, "b")
+    srv.create_database(_rules("sdb", reading=buf_dir))
+    assert srv.drain_write_buffer("sdb") == 2  # seq 0 and 2; seq 1 parked
+    assert srv.databases["sdb"].database.table("cpu").count() == 2
+
+    # the stalled producer finally renames its payload in
+    tmp = stalled + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("cpu,region=c user=3.0 300")
+    os.replace(tmp, stalled)
+
+    assert srv.drain_write_buffer("sdb") == 1  # parked seq 1 recovered
+    rows = sorted(
+        (r.region, r.time)
+        for r in srv.databases["sdb"].database.table("cpu").collect()
+    )
+    assert rows == [("a", 100), ("b", 200), ("c", 300)]
+    # once consumed it never re-parks
+    assert srv.drain_write_buffer("sdb") == 0
