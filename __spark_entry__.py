@@ -2745,12 +2745,25 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-def _round_number() -> int:
-    """Current build round, inferred from the CORRECTNESS_r*.json files the
-    driver wrote at the end of prior rounds (round N sees files r1..r(N-1))."""
+def _count_correctness_files() -> int:
     import glob as _glob
 
-    return 1 + len(_glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json")))
+    return len(_glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json")))
+
+
+#: Pinned AT IMPORT so every invocation within one process — and any
+#: driver re-check within one round — sees the same rotation window.
+#: The driver writes round N's CORRECTNESS file mid-round; counting at
+#: call time would shift the window between a first and second checker
+#: invocation (round-5 review finding).
+_ROUND_NUMBER = 1 + _count_correctness_files()
+
+
+def _round_number() -> int:
+    """Current build round, inferred ONCE at import from the
+    CORRECTNESS_r*.json files the driver wrote at the end of prior rounds
+    (round N sees files r1..r(N-1))."""
+    return _ROUND_NUMBER
 
 
 def _rotate_for_round(base: dict) -> dict:

@@ -22,6 +22,31 @@ from pyspark.sql import Column, DataFrame, functions as F
 from influxdb_iox_spark.schema import TIME_COLUMN_NAME
 
 
+def _harvest_refs(expr: Column) -> set[str]:
+    """Column names an unresolved expression references, read from the
+    column's AST (``Column._jc.node()`` — the ColumnNode tree whose
+    case-class rendering names each ``UnresolvedAttribute``).  This is a
+    build-time, locale-independent read of the expression structure — the
+    replacement for parsing analyzer ERROR MESSAGES at filter time (the
+    round-5 review finding).  Qualified (multi-part) names are skipped:
+    engine columns are flat, and a qualified ref should resolve or fail
+    loudly.  Returns empty when the AST is unavailable (e.g. Spark
+    Connect columns) — apply() then simply raises on a genuinely missing
+    column instead of silently substituting."""
+    import re
+
+    try:
+        rendered = str(expr._jc.node())
+    except Exception:
+        return set()
+    out: set[str] = set()
+    for m in re.finditer(r"UnresolvedAttribute\(List\(([^)]*)\)", rendered):
+        parts = m.group(1)
+        if "," not in parts and parts:
+            out.add(parts.strip())
+    return out
+
+
 @dataclass(frozen=True)
 class TimestampRange:
     """Half-open ns range [start, end) — timestamp.rs:6-35."""
@@ -53,14 +78,26 @@ class Predicate:
     # stats).  Added via with_col_range, which also appends the equivalent
     # row filter so the two can never disagree.
     col_ranges: list[tuple] = field(default_factory=list)
+    # every column name the exprs reference (recorded by the builders:
+    # rpc_expr walks the wire tree, with_col_range/with_expr record
+    # theirs).  apply() uses this to NULL-substitute columns a target
+    # table lacks AT BUILD TIME — schema-aware resolution, no
+    # AnalysisException parsing (round-5 review finding).
+    referenced_columns: set[str] = field(default_factory=set)
 
     # -- builder API (predicate.rs:189 PredicateBuilder) ------------------
     def with_range(self, start: int, end: int) -> "Predicate":
         self.range = TimestampRange(start, end)
         return self
 
-    def with_expr(self, expr: Column) -> "Predicate":
+    def with_expr(self, expr: Column, columns=()) -> "Predicate":
+        """``columns``: names the expr references — lets apply() resolve
+        them against each target table's schema (missing → typed NULL).
+        When omitted (an expr built directly from ``F.col``), the names
+        are harvested from the column's OWN expression tree at build
+        time — see _harvest_refs."""
         self.exprs.append(expr)
+        self.referenced_columns.update(columns or _harvest_refs(expr))
         return self
 
     def with_col_range(
@@ -74,6 +111,7 @@ class Predicate:
         """Add ``lo (<|<=) col (<|<=) hi`` as BOTH a structured bound (read
         by the chunk pruner) and a row-level filter expression."""
         self.col_ranges.append((col, lo, hi, lo_open, hi_open))
+        self.referenced_columns.add(col)
         c = F.col(col)
         if lo is not None:
             self.exprs.append(c > F.lit(lo) if lo_open else c >= F.lit(lo))
@@ -134,36 +172,26 @@ class Predicate:
         275: `tag_not_in_h20 = 'foo'` over h2o returns nothing, because
         `NULL = 'foo'` is NULL and the conjunction can never be true; but a
         disjunction like `missing = 'x' OR present = 'y'` still returns the
-        rows matching the present branch).  Implemented by substituting a
-        typed NULL literal for each unresolved column and retrying — the
-        filter then evaluates with exact SQL three-valued logic, so AND
-        yields empty and OR keeps live branches, matching both reference
-        cases without special-casing the boolean structure."""
+        rows matching the present branch).  Resolved AT BUILD TIME against
+        the table's schema: the builders record every referenced column
+        name (``referenced_columns``), so the ones the table lacks get a
+        typed NULL literal substituted up front and the filter evaluates
+        with exact SQL three-valued logic — AND yields empty, OR keeps
+        live branches — with no exception-message parsing anywhere."""
         c = self.filter_column(time_col)
         if c is None:
             return df
-        import re
-
-        base_cols = list(df.columns)
-        added: list[str] = []
+        missing = [
+            n for n in sorted(self.referenced_columns) if n not in df.columns
+        ]
+        if not missing:
+            return df.filter(c)
         probe = df
-        for _ in range(32):  # bounded: one retry per distinct missing column
-            try:
-                out = probe.filter(c)
-                return out.select(*base_cols) if added else out
-            except Exception as e:  # AnalysisException (classic or connect)
-                msg = str(e)
-                if "UNRESOLVED_COLUMN" not in msg and "cannot be resolved" not in msg:
-                    raise
-                m = re.search(r"`([^`]+)`", msg)
-                if m is None or m.group(1) in probe.columns:
-                    return df.limit(0)  # unparseable error — safe fallback
-                name = m.group(1)
-                # Tags are strings; a missing field compared to a numeric
-                # literal still works because NULL casts to any type.
-                probe = probe.withColumn(name, F.lit(None).cast("string"))
-                added.append(name)
-        return df.limit(0)
+        for name in missing:
+            # Tags are strings; a missing field compared to a numeric
+            # literal still works because NULL casts to any type.
+            probe = probe.withColumn(name, F.lit(None).cast("string"))
+        return probe.filter(c).select(*df.columns)
 
     def should_scan_table(self, table: str) -> bool:
         return self.table_names is None or table in self.table_names

@@ -89,6 +89,19 @@ def _in_list(node: dict, keys: tuple[str, ...]) -> list[str] | None:
     return None
 
 
+def _referenced_columns(node: dict, dst: set[str]) -> set[str]:
+    """Every real column name a node tree references (pseudo-tags
+    excluded) — recorded on the Predicate so apply() can NULL-substitute
+    names a target table lacks without parsing analyzer errors."""
+    nt = node.get("node_type")
+    if nt in ("tag_ref", "field_ref"):
+        if node.get("value") not in MEASUREMENT_TAG_KEYS + FIELD_TAG_KEYS:
+            dst.add(node["value"])
+    for child in node.get("children", []) or []:
+        _referenced_columns(child, dst)
+    return dst
+
+
 def _to_column(node: dict) -> Column:
     nt = node.get("node_type")
     if nt == "tag_ref":
@@ -196,5 +209,7 @@ def rpc_predicate_to_predicate(
             continue
         if _lift_col_range(pred, conjunct):
             continue
-        pred.exprs.append(_to_column(conjunct))
+        pred.with_expr(
+            _to_column(conjunct), _referenced_columns(conjunct, set())
+        )
     return pred

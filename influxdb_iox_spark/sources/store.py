@@ -39,6 +39,7 @@ from influxdb_iox_spark.operators.dedup import (
     deduplicate_within,
 )
 from influxdb_iox_spark.operators.overlap import group_potential_duplicates
+from influxdb_iox_spark.sources.objstore import fold_records
 from influxdb_iox_spark.plans.predicate import Predicate
 from influxdb_iox_spark.schema import IoxSchema, merge_chunk_frames
 
@@ -88,23 +89,19 @@ def _dir_parquet_bytes(path: str) -> int:
     return total
 
 
-class TableStore:
-    """Directory layout::
+class PosixManifestBackend:
+    """POSIX-filesystem manifest backend — directory layout::
 
-        base_dir/
-          <table>/chunk-<id>-<uuid>/part-*.parquet   (one sorted chunk)
-          _manifest/<table>/part-<key>.json          (JSONL append-log of ONE
-                                                      partition key's chunks)
-          _manifest/<table>/_next_id                 (chunk-id counter)
+        _manifest/<table>/part-<key>.json    (JSONL append-log of ONE
+                                              partition key's chunks)
+        _manifest/<table>/_next_id           (chunk-id counter hint)
+        _manifest/<table>/_idblock-<base>    (chunk-id block claims)
 
-    The manifest is PARTITIONED BY PARTITION KEY and each partition file is
-    an APPEND-LOG (Delta-log style): registering a chunk appends one JSONL
-    line — O(1), no read, no rewrite — so continuous ingest stays flat as a
-    table accumulates 10^4-10^5 chunks.  Bulk mutations (drop_chunks,
-    compaction retirement) are ALSO appends: a ``{"__drop__": [ids]}``
-    tombstone line.  Full-table reads (``manifest(table)``) concatenate the
-    per-partition files; partition-scoped readers use ``manifest_partition``
-    and never touch the rest.
+    Each partition file is an APPEND-LOG (Delta-log style): registering a
+    chunk appends one JSONL line — O(1), no read, no rewrite — so
+    continuous ingest stays flat as a table accumulates 10^4-10^5 chunks.
+    Bulk mutations (drop_chunks, compaction retirement) are ALSO appends:
+    a ``{"__drop__": [ids]}`` tombstone line.
 
     MULTI-WRITER SAFE (the reference runs lifecycle concurrently with
     ingest — lifecycle/src/policy.rs:448 check_for_work against live
@@ -121,63 +118,36 @@ class TableStore:
       block-claim files (``_idblock-<base>``) — true CAS on any POSIX fs;
       two TableStore instances can never hand out the same id.  A crash
       wastes at most one block (gaps are fine).
-    - *Log compaction* (``compact_manifest``) runs under an ``O_EXCL``
-      lock (vs other compactors only; appenders never block): it renames
-      the live log aside (atomic), folds it with the ``.base`` snapshot,
-      and snapshot-renames the result.  Readers always read
+    - *Log compaction* (``compact``) runs under an ``O_EXCL`` lock (vs
+      other compactors only; appenders never block): it renames the live
+      log aside (atomic), folds it with the ``.base`` snapshot, and
+      snapshot-renames the result.  Readers always read
       ``.base`` + ``.merge`` (crash leftover) + live, in that order, so no
       protocol step ever hides a record.
+
+    These primitives (O_APPEND appends, O_EXCL CAS, rename) do not exist
+    on S3/GCS/Azure — ``objstore.ObjectStoreManifestBackend`` provides
+    the same contract over conditional-put object stores; ``TableStore``
+    is backend-agnostic.
     """
 
+    _LOG_SUFFIXES = (".base", ".merge", "")  # read order: snapshot → crash-leftover → live
+    COMPACT_LOCK_STALE_SECONDS = 60.0
+
     def __init__(self, base_dir: str):
-        self.base_dir = base_dir
-        # table -> [next_unused, reserved_limit) id block (see _alloc_chunk_id)
-        self._id_blocks: dict[str, list[int]] = {}
+        self.root = os.path.join(base_dir, "_manifest")
         # partition files already verified/migrated to JSONL (append fast path)
         self._jsonl_checked: set[str] = set()
-        # Per-table pruning counters, the Spark twin of the reference's
-        # query_access_pruned_{chunks,rows}_total metric families
-        # (server/src/db/access.rs AccessMetrics; asserted by
-        # query_tests/src/pruning.rs) — per-process, like a per-server
-        # metric registry.  table -> {metric family -> count}.
-        self.prune_metrics: dict[str, dict[str, int]] = {}
-        os.makedirs(os.path.join(base_dir, "_manifest"), exist_ok=True)
+        os.makedirs(self.root, exist_ok=True)
 
-    def _record_pruned(self, table: str, chunks: "list[ChunkMeta]") -> None:
-        if not chunks:
-            return
-        m = self.prune_metrics.setdefault(
-            table,
-            {"query_access_pruned_chunks_total": 0, "query_access_pruned_rows_total": 0},
-        )
-        m["query_access_pruned_chunks_total"] += len(chunks)
-        m["query_access_pruned_rows_total"] += sum(c.row_count for c in chunks)
+    def _dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
 
-    # -- manifest ---------------------------------------------------------
-    def _manifest_dir(self, table: str) -> str:
-        return os.path.join(self.base_dir, "_manifest", table)
-
-    @staticmethod
-    def _part_file(partition_key: str) -> str:
-        """Deterministic, filesystem-safe, COLLISION-FREE file name for one
-        partition key (quote is injective; the empty key maps to
-        ``part-.json``, never sharing a file with any literal key)."""
-        from urllib.parse import quote
-
-        q = quote(partition_key, safe="")
-        if len(q) > 80:  # cap pathological keys; md5 keeps it collision-free
-            import hashlib
-
-            q = q[:64] + "-" + hashlib.md5(q.encode()).hexdigest()[:16]
-        return f"part-{q}.json"
-
-    _LOG_SUFFIXES = (".base", ".merge", "")  # read order: snapshot → crash-leftover → live
-
-    def _part_files(self, table: str) -> list[str]:
+    def part_files(self, table: str) -> list[str]:
         """Canonical (live-file) names of partitions with ANY log file
         present — a partition whose live log was renamed aside by a
         mid-compaction crash is still discovered via its .base/.merge."""
-        d = self._manifest_dir(table)
+        d = self._dir(table)
         if not os.path.isdir(d):
             return []
         names: set[str] = set()
@@ -191,10 +161,17 @@ class TableStore:
             names.add(f)
         return sorted(names)
 
-    def _parse_log(self, p: str) -> tuple[list[ChunkMeta], set[int]]:
-        """Parse ONE physical log file → (adds in order, dropped ids).
+    def tables(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d)) and self.part_files(d)
+        )
 
-        JSONL append-log (one record per line: a ChunkMeta, or a
+    def _parse_log(self, p: str) -> tuple[list[dict], set[int]]:
+        """Parse ONE physical log file → (add records in order, dropped
+        ids).
+
+        JSONL append-log (one record per line: a chunk record, or a
         ``{"__drop__": [ids]}`` tombstone) or the legacy JSON-array
         snapshot.  A TORN append (crashed writer) is a truncated record —
         it never reaches its closing brace — and with concurrent appenders
@@ -209,8 +186,8 @@ class TableStore:
         except FileNotFoundError:  # the chain-version retry handles it
             return [], set()
         if text.lstrip().startswith("["):  # legacy array snapshot
-            return [ChunkMeta(**e) for e in json.loads(text)], set()
-        adds: list[ChunkMeta] = []
+            return list(json.loads(text)), set()
+        adds: list[dict] = []
         drops: set[int] = set()
         for i, ln in enumerate(text.splitlines()):
             ln = ln.strip()
@@ -232,23 +209,8 @@ class TableStore:
             if "__drop__" in rec:
                 drops.update(rec["__drop__"])
             else:
-                adds.append(ChunkMeta(**rec))
+                adds.append(rec)
         return adds, drops
-
-    @staticmethod
-    def _fold(adds: list[ChunkMeta], drops: set[int]) -> list[ChunkMeta]:
-        """Fold a log chain's records: apply tombstones, dedup re-appended
-        records by chunk_id (ids are never reused, so records are
-        idempotent and drops are order-independent).  The ONE place fold
-        semantics live — readers and the log compactor share it."""
-        seen: set[int] = set()
-        out: list[ChunkMeta] = []
-        for c in adds:
-            if c.chunk_id in drops or c.chunk_id in seen:
-                continue
-            seen.add(c.chunk_id)
-            out.append(c)
-        return out
 
     def _chain_version(self, d: str, fname: str) -> tuple:
         """Identity of the physical files backing one partition's log chain
@@ -264,9 +226,9 @@ class TableStore:
                 out.append(None)
         return tuple(out)
 
-    def _load_part(self, table: str, fname: str) -> list[ChunkMeta]:
-        """Fold one partition's log chain (.base snapshot + .merge crash
-        leftover + live appends).
+    def load_part(self, table: str, fname: str) -> tuple[list[dict], set[int]]:
+        """Consistent read of one partition's log chain (.base snapshot +
+        .merge crash leftover + live appends) → raw (adds, drops).
 
         Reads are validated against a concurrent log compaction: the
         compactor MOVES records between the chain's files (live → .merge →
@@ -275,24 +237,24 @@ class TableStore:
         dropping them.  The chain's inode version is captured before and
         after the read; a changed version retries (appends keep the inode,
         so steady-state appending never forces a retry)."""
-        d = self._manifest_dir(table)
+        d = self._dir(table)
         for attempt in range(16):
             before = self._chain_version(d, fname)
-            adds: list[ChunkMeta] = []
+            adds: list[dict] = []
             drops: set[int] = set()
             for suf in self._LOG_SUFFIXES:
                 a, dr = self._parse_log(os.path.join(d, fname + suf))
                 adds.extend(a)
                 drops |= dr
             if self._chain_version(d, fname) == before:
-                return self._fold(adds, drops)
+                return adds, drops
             _time.sleep(0.001 * attempt)
         # a compactor folding in a hot loop can starve optimistic reads;
         # fall back to reading under the compaction lock (compaction pauses
         # for one read, readers never return a torn view)
         lock = os.path.join(d, "_compact.lock")
         deadline = _time.time() + 30.0
-        while not self._acquire_lock(lock):
+        while not self.acquire_lock(lock):
             if _time.time() > deadline:
                 raise RuntimeError(
                     f"manifest read of {fname!r} kept racing log compaction"
@@ -304,7 +266,7 @@ class TableStore:
                 a, dr = self._parse_log(os.path.join(d, fname + suf))
                 adds.extend(a)
                 drops |= dr
-            return self._fold(adds, drops)
+            return adds, drops
         finally:
             try:
                 os.unlink(lock)
@@ -315,53 +277,37 @@ class TableStore:
         self,
         table: str,
         fname: str,
-        entries: list[ChunkMeta],
+        records: list[dict],
         drops: set[int] | None = None,
     ) -> None:
         """Atomic snapshot rewrite of one physical log file (tmp + rename).
         Only ever targets ``.base`` snapshots (log compaction) or a legacy
         file being migrated — the live log is append-only, see
-        _append_record.
+        append_record.
 
         ``drops``: tombstone ids PERSISTED into the snapshot (one leading
         ``__drop__`` record).  Folding a tombstone away would let a delayed
-        duplicate re-append (see _append_record) resurrect a chunk that was
+        duplicate re-append (see append_record) resurrect a chunk that was
         dropped between two log compactions; ids are never reused, so the
         set only grows with genuinely dropped chunks and stays a few bytes
         each."""
-        d = self._manifest_dir(table)
+        d = self._dir(table)
         os.makedirs(d, exist_ok=True)
         p = os.path.join(d, fname)
-        if not entries and not drops:
+        if not records and not drops:
             if os.path.exists(p):
                 os.remove(p)
             return
         lines = []
         if drops:
             lines.append(json.dumps({"__drop__": sorted(drops)}))
-        lines.extend(json.dumps(asdict(e), default=str) for e in entries)
+        lines.extend(json.dumps(e, default=str) for e in records)
         tmp = p + f".{os.getpid()}-{uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as f:
             f.write("\n".join(lines) + "\n")
         os.replace(tmp, p)
 
-    def manifest(self, table: str) -> list[ChunkMeta]:
-        out: list[ChunkMeta] = []
-        for fname in self._part_files(table):
-            out.extend(self._load_part(table, fname))
-        out.sort(key=lambda c: c.chunk_id)
-        return out
-
-    def manifest_partition(self, table: str, partition_key: str) -> list[ChunkMeta]:
-        """Chunks of ONE partition — reads exactly one log chain."""
-        return self._load_part(table, self._part_file(partition_key))
-
-    def _append_manifest(self, table: str, meta: ChunkMeta) -> None:
-        self._append_record(
-            table, self._part_file(meta.partition_key), asdict(meta)
-        )
-
-    def _append_record(self, table: str, fname: str, rec: dict) -> None:
+    def append_record(self, table: str, fname: str, rec: dict) -> None:
         """O(1) append: ONE ``os.write`` of one JSONL line on an O_APPEND
         fd — no read, no rewrite (Delta-log style).  The kernel serializes
         same-inode writes on a local filesystem, so concurrent writers'
@@ -372,7 +318,7 @@ class TableStore:
         the file away mid-append, the record may be in a file the compactor
         already folded past, so it RE-APPENDS to the fresh live file —
         worst case a duplicate, folded at read by chunk_id."""
-        d = self._manifest_dir(table)
+        d = self._dir(table)
         os.makedirs(d, exist_ok=True)
         p = os.path.join(d, fname)
         if p not in self._jsonl_checked:
@@ -389,7 +335,7 @@ class TableStore:
                     # just appended to)
                     lock = os.path.join(d, "_compact.lock")
                     deadline = _time.time() + 30.0
-                    while not self._acquire_lock(lock):
+                    while not self.acquire_lock(lock):
                         if _time.time() > deadline:
                             raise RuntimeError(
                                 f"timed out waiting to migrate legacy manifest {p}"
@@ -428,23 +374,187 @@ class TableStore:
                 return
         raise RuntimeError(f"manifest append to {p} kept racing log compaction")
 
-    def catalog_version(self) -> int:
-        """Fingerprint of the whole manifest tree.  Cheap (one directory
-        walk, no JSON parse) — lets readers cache derived state (e.g.
-        registered SQL views) and refresh only when a write actually changed
-        the catalog.  Hashes (relpath, size, mtime_ns) per file in sorted
-        order through md5, so the value is STABLE across interpreter
-        restarts and processes (Python ``hash()`` of strings is salted per
-        process and must not be persisted or compared cross-process).
-        mtime alone has coarse-clock granularity (two writes in one tick
-        would collide), but a manifest append/drop always changes the JSON
-        size too."""
+    # -- chunk-id allocation ----------------------------------------------
+    def claimed_blocks(self, table: str) -> list[int]:
+        d = self._dir(table)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for f in os.listdir(d):
+            if f.startswith("_idblock-"):
+                try:
+                    out.append(int(f.split("-", 1)[1]))
+                except ValueError:
+                    pass
+        return out
+
+    def claim_id_block(self, table: str, base: int) -> bool:
+        """O_CREAT|O_EXCL block-claim file — a true compare-and-swap on
+        any POSIX filesystem; EEXIST sends the loser to the next block."""
+        d = self._dir(table)
+        os.makedirs(d, exist_ok=True)
+        try:
+            fd = os.open(
+                os.path.join(d, f"_idblock-{base:012d}"),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+            os.close(fd)
+            return True
+        except FileExistsError:
+            return False
+
+    def id_hint(self, table: str) -> int:
+        p = os.path.join(self._dir(table), "_next_id")
+        if os.path.exists(p):
+            with open(p) as f:
+                return int(f.read().strip() or 0)
+        return 0
+
+    def set_id_hint(self, table: str, value: int) -> None:
+        d = self._dir(table)
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(d, "_next_id")
+        # pid alone is not unique across THREADS of one process — two
+        # writers sharing a pid would race the same tmp name and one
+        # os.replace would find it already consumed
+        tmp = p + f".{os.getpid()}-{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            f.write(str(value))
+        os.replace(tmp, p)  # racing hints may regress; claim files correct it
+
+    # -- log compaction ----------------------------------------------------
+    def acquire_lock(self, path: str, stale: float | None = None) -> bool:
+        """O_CREAT|O_EXCL lock file — CAS-acquire; a lock older than
+        ``stale`` seconds (crashed holder) is stolen.
+
+        The steal is an atomic ``rename`` to a unique name: exactly ONE of
+        N racing stealers wins the rename and the losers retry against
+        whatever lock exists next.  A plain unlink-then-create steal is a
+        TOCTOU — a second stealer whose staleness check predates the first
+        stealer's fresh lock would unlink it, and two compactors folding
+        the same partition concurrently can lose manifest records."""
+        stale = self.COMPACT_LOCK_STALE_SECONDS if stale is None else stale
+        for _ in range(3):
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return True
+            except FileExistsError:
+                try:
+                    age = _time.time() - os.stat(path).st_mtime
+                except FileNotFoundError:
+                    continue  # holder just released — retry
+                if age > stale:
+                    stolen = f"{path}.stale-{uuid.uuid4().hex[:8]}"
+                    try:
+                        os.rename(path, stolen)
+                    except FileNotFoundError:
+                        continue  # another stealer won — retry
+                    try:
+                        os.unlink(stolen)
+                    except FileNotFoundError:
+                        pass
+                    continue  # we cleared it; race the O_EXCL create
+                return False
+        return False
+
+    def _fold_into_base(self, table: str, fname: str) -> None:
+        """Fold ``.base`` + ``.merge`` into a fresh ``.base`` snapshot
+        (tombstones applied via the shared ``fold_records``, duplicates
+        dropped), then remove ``.merge``.  Tombstone ids are carried INTO
+        the new snapshot — see _save_part.  Idempotent: a crash between
+        snapshot and remove re-folds the same records next time (ids are
+        never reused, so re-applying is a no-op)."""
+        d = self._dir(table)
+        adds: list[dict] = []
+        drops: set[int] = set()
+        for suf in (".base", ".merge"):
+            a, dr = self._parse_log(os.path.join(d, fname + suf))
+            adds.extend(a)
+            drops |= dr
+        self._save_part(
+            table, fname + ".base", fold_records(adds, drops), drops=drops
+        )
+        merge = os.path.join(d, fname + ".merge")
+        if os.path.exists(merge):
+            os.remove(merge)
+
+    def compact(self, table: str) -> int:
+        """Shrink each partition's log chain to one ``.base`` snapshot
+        (tombstones applied, duplicate re-appends dropped).  Returns the
+        number of partitions compacted; 0 if another compactor holds the
+        lock (callers just try again next cycle).
+
+        Appenders NEVER block and never lose a record: the live log is
+        renamed aside atomically (``.merge``); an appender whose write
+        landed on the renamed inode detects the inode change and re-appends
+        to the fresh live file (see append_record), and readers always
+        read the full ``.base``/``.merge``/live chain, so every protocol
+        step — including a crash at any point — leaves all records visible.
+        """
+        d = self._dir(table)
+        if not os.path.isdir(d):
+            return 0
+        lock = os.path.join(d, "_compact.lock")
+        if not self.acquire_lock(lock):
+            return 0
+        try:
+            n = 0
+            for fname in self.part_files(table):
+                live = os.path.join(d, fname)
+                merge = live + ".merge"
+                base = live + ".base"
+                if os.path.exists(live):
+                    if os.path.exists(merge):
+                        # crash leftover — fold it away so the rename
+                        # target is free
+                        self._fold_into_base(table, fname)
+                    try:
+                        os.rename(live, merge)
+                    except FileNotFoundError:
+                        pass  # raced a reader-less cleanup; nothing to do
+                if not (os.path.exists(merge) or os.path.exists(base)):
+                    continue
+                self._fold_into_base(table, fname)
+                n += 1
+            return n
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
+
+    # -- whole-object JSON blobs (operations log, retired list) ------------
+    def get_json(self, rel_key: str):
+        p = os.path.join(self.root, rel_key)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def put_json(self, rel_key: str, obj) -> None:
+        p = os.path.join(self.root, rel_key)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(obj, f, indent=1)
+        os.replace(tmp, p)
+
+    # -- catalog fingerprint ----------------------------------------------
+    def version(self) -> int:
+        """Stable digest over (relpath, size, mtime_ns) per manifest file
+        in sorted order through md5 — STABLE across interpreter restarts
+        and processes (Python ``hash()`` of strings is salted per process
+        and must not be persisted or compared cross-process).  mtime alone
+        has coarse-clock granularity (two writes in one tick would
+        collide), but a manifest append/drop always changes the JSON size
+        too."""
         import hashlib
 
-        root = os.path.join(self.base_dir, "_manifest")
         entries: list[tuple] = []
-        for dirpath, _dirs, files in os.walk(root):
-            rel = os.path.relpath(dirpath, root)
+        for dirpath, _dirs, files in os.walk(self.root):
+            rel = os.path.relpath(dirpath, self.root)
             for f in files:
                 try:
                     st = os.stat(os.path.join(dirpath, f))
@@ -457,35 +567,121 @@ class TableStore:
             h.update(f"{name}\x00{size}\x00{mtime}\n".encode())
         return int.from_bytes(h.digest()[:8], "big")
 
-    def tables(self) -> list[str]:
-        mdir = os.path.join(self.base_dir, "_manifest")
-        return sorted(
-            d for d in os.listdir(mdir)
-            if os.path.isdir(os.path.join(mdir, d)) and self._part_files(d)
+
+class TableStore:
+    """Chunk store: data files under ``base_dir`` plus a chunk manifest
+    served by a pluggable backend.
+
+    Data layout (all backends)::
+
+        base_dir/<table>/chunk-<id>-<uuid>/part-*.parquet  (one sorted chunk)
+
+    The MANIFEST protocol — partition-keyed append-logs, tombstone drops,
+    log compaction, CAS chunk-id blocks — lives behind ``backend``:
+
+    - ``PosixManifestBackend`` (default): O_APPEND appends, O_EXCL CAS
+      files, rename-based compaction under ``base_dir/_manifest``.
+    - ``objstore.ObjectStoreManifestBackend``: one-object-per-record
+      appends + conditional-put compaction over any object store (the
+      reference's object_store/src abstraction) — no POSIX primitive
+      used anywhere.
+
+    Both backends give the same guarantees: concurrent appenders never
+    lose records, ids are never handed out twice, compaction never hides
+    a record from readers, and tombstones survive folding.
+    """
+
+    def __init__(self, base_dir: str, backend=None):
+        self.base_dir = base_dir
+        self.backend = backend if backend is not None else PosixManifestBackend(base_dir)
+        # table -> [next_unused, reserved_limit) id block (see _alloc_chunk_id)
+        self._id_blocks: dict[str, list[int]] = {}
+        # Per-table pruning counters, the Spark twin of the reference's
+        # query_access_pruned_{chunks,rows}_total metric families
+        # (server/src/db/access.rs AccessMetrics; asserted by
+        # query_tests/src/pruning.rs) — per-process, like a per-server
+        # metric registry.  table -> {metric family -> count}.
+        self.prune_metrics: dict[str, dict[str, int]] = {}
+        os.makedirs(base_dir, exist_ok=True)
+
+    def _record_pruned(self, table: str, chunks: "list[ChunkMeta]") -> None:
+        if not chunks:
+            return
+        m = self.prune_metrics.setdefault(
+            table,
+            {"query_access_pruned_chunks_total": 0, "query_access_pruned_rows_total": 0},
+        )
+        m["query_access_pruned_chunks_total"] += len(chunks)
+        m["query_access_pruned_rows_total"] += sum(c.row_count for c in chunks)
+
+    # -- manifest ---------------------------------------------------------
+    def _manifest_dir(self, table: str) -> str:
+        return os.path.join(self.base_dir, "_manifest", table)
+
+    @staticmethod
+    def _part_file(partition_key: str) -> str:
+        """Deterministic, filesystem-safe, COLLISION-FREE file name for one
+        partition key (quote is injective; the empty key maps to
+        ``part-.json``, never sharing a file with any literal key)."""
+        from urllib.parse import quote
+
+        q = quote(partition_key, safe="")
+        if len(q) > 80:  # cap pathological keys; md5 keeps it collision-free
+            import hashlib
+
+            q = q[:64] + "-" + hashlib.md5(q.encode()).hexdigest()[:16]
+        return f"part-{q}.json"
+
+    def _part_files(self, table: str) -> list[str]:
+        return self.backend.part_files(table)
+
+    def _load_part(self, table: str, fname: str) -> list[ChunkMeta]:
+        """One partition's folded chunk list: the backend performs a
+        consistent chain read (inode-validated on POSIX, retry-on-deleted-
+        record on object stores); folding — tombstones applied, duplicate
+        re-appends dropped by chunk id — is shared ``fold_records``."""
+        adds, drops = self.backend.load_part(table, fname)
+        return [ChunkMeta(**r) for r in fold_records(adds, drops)]
+
+    def manifest(self, table: str) -> list[ChunkMeta]:
+        out: list[ChunkMeta] = []
+        for fname in self._part_files(table):
+            out.extend(self._load_part(table, fname))
+        out.sort(key=lambda c: c.chunk_id)
+        return out
+
+    def manifest_partition(self, table: str, partition_key: str) -> list[ChunkMeta]:
+        """Chunks of ONE partition — reads exactly one log chain."""
+        return self._load_part(table, self._part_file(partition_key))
+
+    def _append_manifest(self, table: str, meta: ChunkMeta) -> None:
+        self._append_record(
+            table, self._part_file(meta.partition_key), asdict(meta)
         )
 
+    def _append_record(self, table: str, fname: str, rec: dict) -> None:
+        """O(1) manifest append — one O_APPEND write (POSIX) or one PUT
+        to a unique record object (object store); see the backends."""
+        self.backend.append_record(table, fname, rec)
+
+    def catalog_version(self) -> int:
+        """Fingerprint of the whole manifest.  Cheap (metadata only, no
+        JSON parse) — lets readers cache derived state (e.g. registered
+        SQL views) and refresh only when a write actually changed the
+        catalog.  Stable across interpreter restarts and processes."""
+        return self.backend.version()
+
+    def tables(self) -> list[str]:
+        return self.backend.tables()
+
     def _claimed_blocks(self, table: str) -> list[int]:
-        d = self._manifest_dir(table)
-        if not os.path.isdir(d):
-            return []
-        out = []
-        for f in os.listdir(d):
-            if f.startswith("_idblock-"):
-                try:
-                    out.append(int(f.split("-", 1)[1]))
-                except ValueError:
-                    pass
-        return out
+        return self.backend.claimed_blocks(table)
 
     def next_chunk_id(self, table: str) -> int:
         """Lowest id no writer can have handed out yet: max of the hint
         counter, the highest CLAIMED block's end, and (fallback for a
         pre-hint manifest) the manifest scan."""
-        cand = 0
-        p = os.path.join(self._manifest_dir(table), "_next_id")
-        if os.path.exists(p):
-            with open(p) as f:
-                cand = int(f.read().strip() or 0)
+        cand = self.backend.id_hint(table)
         claimed = self._claimed_blocks(table)
         if claimed:
             cand = max(cand, max(claimed) + self.ID_BLOCK)
@@ -498,44 +694,27 @@ class TableStore:
 
     def _alloc_chunk_id(self, table: str) -> int:
         """Allocate the next chunk id.  Ids are reserved in blocks of
-        ``ID_BLOCK`` per WRITER: a block is claimed by atomically creating
-        an ``_idblock-<base>`` file with O_CREAT|O_EXCL — a true
-        compare-and-swap on any POSIX filesystem, so two concurrent
-        TableStore instances can never claim the same block (EEXIST sends
-        the loser to the next block).  Subsequent allocations are handed
-        out from the claimed block in memory.  The claim is durable BEFORE
+        ``ID_BLOCK`` per WRITER: a block is claimed through the backend's
+        compare-and-swap (O_CREAT|O_EXCL claim file on POSIX,
+        put-if-absent on an object store), so two concurrent TableStore
+        instances can never claim the same block (a lost CAS sends the
+        loser to the next block).  Subsequent allocations are handed out
+        from the claimed block in memory.  The claim is durable BEFORE
         any id is handed out, so a crash wastes at most a block of ids
         (gaps are fine — ids only need to be unique) and never reuses one.
-        ``_next_id`` remains as a best-effort hint that lets next_chunk_id
-        skip the manifest scan; it may lag behind the claim files, never
-        ahead of handed-out ids."""
+        The id hint remains best-effort: it lets next_chunk_id skip the
+        manifest scan; it may lag behind the claims, never ahead of
+        handed-out ids."""
         blk = self._id_blocks.get(table)
         if blk is not None and blk[0] < blk[1]:
             nxt = blk[0]
             blk[0] += 1
             return nxt
-        d = self._manifest_dir(table)
-        os.makedirs(d, exist_ok=True)
         base = self.next_chunk_id(table)
         base = -(-base // self.ID_BLOCK) * self.ID_BLOCK  # align up to a block
-        while True:
-            try:
-                fd = os.open(
-                    os.path.join(d, f"_idblock-{base:012d}"),
-                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-                )
-                os.close(fd)
-                break
-            except FileExistsError:
-                base += self.ID_BLOCK
-        p = os.path.join(d, "_next_id")
-        # pid alone is not unique across THREADS of one process — two
-        # writers sharing a pid would race the same tmp name and one
-        # os.replace would find it already consumed
-        tmp = p + f".{os.getpid()}-{uuid.uuid4().hex[:8]}.tmp"
-        with open(tmp, "w") as f:
-            f.write(str(base + self.ID_BLOCK))
-        os.replace(tmp, p)  # racing hints may regress; claim files correct it
+        while not self.backend.claim_id_block(table, base):
+            base += self.ID_BLOCK
+        self.backend.set_id_hint(table, base + self.ID_BLOCK)
         self._id_blocks[table] = [base + 1, base + self.ID_BLOCK]
         return base
 
@@ -965,113 +1144,25 @@ class TableStore:
             shutil.rmtree(os.path.join(self.base_dir, c.path), ignore_errors=True)
 
     # -- manifest log compaction -------------------------------------------
-    COMPACT_LOCK_STALE_SECONDS = 60.0
+    COMPACT_LOCK_STALE_SECONDS = PosixManifestBackend.COMPACT_LOCK_STALE_SECONDS
 
     def _acquire_lock(self, path: str, stale: float | None = None) -> bool:
-        """O_CREAT|O_EXCL lock file — CAS-acquire; a lock older than
-        ``stale`` seconds (crashed holder) is stolen.
-
-        The steal is an atomic ``rename`` to a unique name: exactly ONE of
-        N racing stealers wins the rename and the losers retry against
-        whatever lock exists next.  A plain unlink-then-create steal is a
-        TOCTOU — a second stealer whose staleness check predates the first
-        stealer's fresh lock would unlink it, and two compactors folding
-        the same partition concurrently can lose manifest records."""
-        stale = self.COMPACT_LOCK_STALE_SECONDS if stale is None else stale
-        for _ in range(3):
-            try:
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
-                os.close(fd)
-                return True
-            except FileExistsError:
-                try:
-                    age = _time.time() - os.stat(path).st_mtime
-                except FileNotFoundError:
-                    continue  # holder just released — retry
-                if age > stale:
-                    stolen = f"{path}.stale-{uuid.uuid4().hex[:8]}"
-                    try:
-                        os.rename(path, stolen)
-                    except FileNotFoundError:
-                        continue  # another stealer won — retry
-                    try:
-                        os.unlink(stolen)
-                    except FileNotFoundError:
-                        pass
-                    continue  # we cleared it; race the O_EXCL create
-                return False
-        return False
-
-    def _fold_into_base(self, table: str, fname: str) -> None:
-        """Fold ``.base`` + ``.merge`` into a fresh ``.base`` snapshot
-        (tombstones applied via the shared ``_fold``, duplicates dropped),
-        then remove ``.merge``.  Tombstone ids are carried INTO the new
-        snapshot — see _save_part.  Idempotent: a crash between snapshot
-        and remove re-folds the same records next time (ids are never
-        reused, so re-applying is a no-op)."""
-        d = self._manifest_dir(table)
-        adds: list[ChunkMeta] = []
-        drops: set[int] = set()
-        for suf in (".base", ".merge"):
-            a, dr = self._parse_log(os.path.join(d, fname + suf))
-            adds.extend(a)
-            drops |= dr
-        self._save_part(table, fname + ".base", self._fold(adds, drops), drops=drops)
-        merge = os.path.join(d, fname + ".merge")
-        if os.path.exists(merge):
-            os.remove(merge)
+        """POSIX lock-file CAS with atomic stale-steal (delegates to the
+        POSIX backend; object-store compaction needs no lock — its
+        conditional PUT is the serialization)."""
+        return self.backend.acquire_lock(path, stale)
 
     def compact_manifest(self, table: str) -> int:
-        """Shrink each partition's log chain to one ``.base`` snapshot
+        """Shrink each partition's manifest log to one folded snapshot
         (tombstones applied, duplicate re-appends dropped).  Returns the
-        number of partitions compacted; 0 if another compactor holds the
-        lock (callers just try again next cycle).
-
-        Appenders NEVER block and never lose a record: the live log is
-        renamed aside atomically (``.merge``); an appender whose write
-        landed on the renamed inode detects the inode change and re-appends
-        to the fresh live file (see _append_record), and readers always
-        read the full ``.base``/``.merge``/live chain, so every protocol
-        step — including a crash at any point — leaves all records visible.
-        """
-        d = self._manifest_dir(table)
-        if not os.path.isdir(d):
-            return 0
-        lock = os.path.join(d, "_compact.lock")
-        if not self._acquire_lock(lock):
-            return 0
-        try:
-            n = 0
-            for fname in self._part_files(table):
-                live = os.path.join(d, fname)
-                merge = live + ".merge"
-                base = live + ".base"
-                if os.path.exists(live):
-                    if os.path.exists(merge):
-                        # crash leftover — fold it away so the rename
-                        # target is free
-                        self._fold_into_base(table, fname)
-                    try:
-                        os.rename(live, merge)
-                    except FileNotFoundError:
-                        pass  # raced a reader-less cleanup; nothing to do
-                if not (os.path.exists(merge) or os.path.exists(base)):
-                    continue
-                self._fold_into_base(table, fname)
-                n += 1
-            return n
-        finally:
-            try:
-                os.unlink(lock)
-            except FileNotFoundError:
-                pass
+        number of partitions compacted; 0 when another compactor won
+        (lock held on POSIX, conditional PUT lost on an object store) —
+        callers just try again next cycle.  Appenders never block and
+        never lose a record on either backend."""
+        return self.backend.compact(table)
 
     # -- operations log (system.operations backing store) ------------------
     OPERATIONS_CAP = 1000
-
-    def _operations_path(self) -> str:
-        return os.path.join(self.base_dir, "_manifest", "_operations.json")
 
     def record_operation(
         self,
@@ -1100,42 +1191,22 @@ class TableStore:
             "description": description,
             "recorded_at": _time.time(),
         }
-        p = self._operations_path()
-        entries = []
-        if os.path.exists(p):
-            with open(p) as f:
-                entries = json.load(f)
+        entries = self.backend.get_json("_operations.json") or []
         entries.append(entry)
-        entries = entries[-self.OPERATIONS_CAP:]
-        tmp = p + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(entries, f, indent=1)
-        os.replace(tmp, p)
+        self.backend.put_json(
+            "_operations.json", entries[-self.OPERATIONS_CAP:]
+        )
         return entry
 
     def operations(self) -> list[dict]:
-        p = self._operations_path()
-        if not os.path.exists(p):
-            return []
-        with open(p) as f:
-            return json.load(f)
-
-    def _retired_path(self, table: str) -> str:
-        return os.path.join(self._manifest_dir(table), "_retired.json")
+        return self.backend.get_json("_operations.json") or []
 
     def _park_retired(self, table: str, paths: list[str]) -> None:
-        p = self._retired_path(table)
-        entries = []
-        if os.path.exists(p):
-            with open(p) as f:
-                entries = json.load(f)
+        key = f"{table}/_retired.json"
+        entries = self.backend.get_json(key) or []
         now = _time.time()
         entries.extend({"path": rel, "retired_at": now} for rel in paths)
-        os.makedirs(self._manifest_dir(table), exist_ok=True)
-        tmp = p + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(entries, f, indent=1)
-        os.replace(tmp, p)
+        self.backend.put_json(key, entries)
 
     def gc_retired(self, table: str, grace_seconds: float) -> int:
         """Delete parked chunk directories older than ``grace_seconds``.
@@ -1143,11 +1214,10 @@ class TableStore:
         Safe to call on any schedule (idempotent); returns directories
         reclaimed this sweep.
         """
-        p = self._retired_path(table)
-        if not os.path.exists(p):
+        key = f"{table}/_retired.json"
+        entries = self.backend.get_json(key)
+        if entries is None:
             return 0
-        with open(p) as f:
-            entries = json.load(f)
         import shutil
 
         cutoff = _time.time() - grace_seconds
@@ -1160,10 +1230,7 @@ class TableStore:
                 reclaimed += 1
             else:
                 keep.append(e)
-        tmp = p + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(keep, f, indent=1)
-        os.replace(tmp, p)
+        self.backend.put_json(key, keep)
         return reclaimed
 
 
