@@ -593,6 +593,39 @@ FROM events
 """
 
 
+def q_uint64_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UInt64 exactness: the engine's u64 carrier is DECIMAL(20,0)
+    (schema.UINT64_EXACT_TYPE; reference stores true u64,
+    internal_types/src/schema.rs:582-592).  Every row's value here sits
+    ABOVE 2^63 — the default long mapping would wrap negative — and the
+    result is compared exactly via its decimal string rendering.  The
+    ingest-side u64 path (``<digits>u`` tokens → decimal, fast + exact
+    tiers) is pinned by tests/test_uint64_exact.py."""
+    t = _load(spark, sf_dir, "events")
+    u64max = F.lit("18446744073709551615").cast("decimal(20,0)")
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(F.count("*").cast("decimal(20,0)").alias("n"))
+        .select(
+            "event_type",
+            (u64max - F.col("n")).cast("decimal(20,0)").cast("string").alias("u64_val"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_UINT64_EXACT = """
+SELECT event_type,
+       CAST(CAST(CAST('18446744073709551615' AS DECIMAL(20,0))
+                 - CAST(COUNT(*) AS DECIMAL(20,0)) AS DECIMAL(20,0))
+            AS VARCHAR) AS u64_val
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def q_tag_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tag_values (influxrpc.rs:328-471): distinct non-null tag values."""
     t = _load(spark, sf_dir, "events")
@@ -2864,6 +2897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5: cardinality where the reference punts (appended to the
         # canonical tail -> lands inside the freshly-rotated window)
         "rpc_series_cardinality": q_series_cardinality,
+        "uint64_exact": q_uint64_exact,
         "doc_repetition_stats": q_doc_repetition,
         "doc_mixture_sample": q_mixture_sample,
         "doc_incremental_dedup": q_doc_incremental_dedup,
@@ -2920,6 +2954,7 @@ def oracle_sql() -> dict[str, str]:
         "rpc_field_columns": SQL_FIELD_COLUMNS,
         "rpc_tag_values": SQL_TAG_VALUES,
         "rpc_series_cardinality": SQL_SERIES_CARDINALITY,
+        "uint64_exact": SQL_UINT64_EXACT,
         "doc_repetition_stats": SQL_DOC_REPETITION,
         "doc_mixture_sample": _sql_mixture_sample(),
         "doc_incremental_dedup": SQL_DOC_INCREMENTAL_DEDUP,

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     BooleanType,
     DataType,
+    DecimalType,
     DoubleType,
     LongType,
     StringType,
@@ -35,6 +36,15 @@ from pyspark.sql.types import (
 
 TIME_COLUMN_NAME = "time"  # schema.rs:23
 COLUMN_TYPE_KEY = "iox::column_type"  # schema.rs:112-114
+
+#: Exact u64 carrier: DecimalType(20, 0) holds the full [0, 2^64) range
+#: (the reference stores true u64, schema.rs:569-592; Spark has no
+#: unsigned type).  Opt-in via ``uint64_exact`` because decimal
+#: aggregation is slower than long; the default LongType mapping wraps
+#: above 2^63 (documented).
+UINT64_EXACT_TYPE = DecimalType(20, 0)
+#: u64 domain bounds (validation at ingest)
+UINT64_MAX = 2**64 - 1
 
 
 class InfluxColumnType(str, Enum):
@@ -50,7 +60,9 @@ class InfluxColumnType(str, Enum):
     def is_field(self) -> bool:
         return self.value.startswith("field::")
 
-    def spark_type(self) -> DataType:
+    def spark_type(self, uint64_exact: bool = False) -> DataType:
+        if self is InfluxColumnType.FIELD_UINTEGER and uint64_exact:
+            return UINT64_EXACT_TYPE
         return _SPARK_TYPES[self]
 
 
@@ -59,6 +71,7 @@ _SPARK_TYPES: dict[InfluxColumnType, DataType] = {
     InfluxColumnType.FIELD_FLOAT: DoubleType(),
     InfluxColumnType.FIELD_INTEGER: LongType(),
     # No unsigned 64-bit in Spark: store as LongType; values >= 2^63 wrap.
+    # IoxSchema.build(uint64_exact=True) maps to UINT64_EXACT_TYPE instead.
     InfluxColumnType.FIELD_UINTEGER: LongType(),
     InfluxColumnType.FIELD_STRING: StringType(),
     InfluxColumnType.FIELD_BOOLEAN: BooleanType(),
@@ -66,9 +79,19 @@ _SPARK_TYPES: dict[InfluxColumnType, DataType] = {
 }
 
 
-def make_field(name: str, ctype: InfluxColumnType, nullable: bool = True) -> StructField:
+def make_field(
+    name: str,
+    ctype: InfluxColumnType,
+    nullable: bool = True,
+    uint64_exact: bool = False,
+) -> StructField:
     nullable = nullable and ctype is not InfluxColumnType.TIMESTAMP
-    return StructField(name, ctype.spark_type(), nullable, metadata={COLUMN_TYPE_KEY: ctype.value})
+    return StructField(
+        name,
+        ctype.spark_type(uint64_exact),
+        nullable,
+        metadata={COLUMN_TYPE_KEY: ctype.value},
+    )
 
 
 def column_type(f: StructField) -> InfluxColumnType | None:
@@ -87,9 +110,13 @@ class IoxSchema:
         tags: list[str],
         fields: dict[str, InfluxColumnType],
         time_col: str = TIME_COLUMN_NAME,
+        uint64_exact: bool = False,
     ) -> "IoxSchema":
+        """``uint64_exact``: map FIELD_UINTEGER to DecimalType(20,0) so
+        the full u64 domain round-trips exactly (the reference's true-u64
+        semantics, schema.rs:582-592); default LongType wraps ≥ 2^63."""
         cols = [make_field(t, InfluxColumnType.TAG) for t in tags]
-        cols += [make_field(n, t) for n, t in fields.items()]
+        cols += [make_field(n, t, uint64_exact=uint64_exact) for n, t in fields.items()]
         cols += [make_field(time_col, InfluxColumnType.TIMESTAMP, nullable=False)]
         # Canonical order: sorted by name (schema.rs:188-190).
         return IoxSchema(StructType(sorted(cols, key=lambda f: f.name)))

@@ -267,7 +267,13 @@ class _ParseSpec:
 
 
 def _build_spec(iox_schema, measurement: str, default_time: int) -> "_ParseSpec":
-    from pyspark.sql.types import BooleanType, DoubleType, LongType, StringType
+    from pyspark.sql.types import (
+        BooleanType,
+        DecimalType,
+        DoubleType,
+        LongType,
+        StringType,
+    )
 
     colnames = [f.name for f in iox_schema.struct.fields]
     _ok_types = {
@@ -275,12 +281,19 @@ def _build_spec(iox_schema, measurement: str, default_time: int) -> "_ParseSpec"
         LongType: (int,),
         StringType: (str,),
         BooleanType: (bool,),
+        DecimalType: (int,),  # u64-exact uinteger fields (schema.UINT64_EXACT_TYPE)
     }
     expected = {
         f.name: _ok_types.get(type(f.dataType), (object,))
         for f in iox_schema.struct.fields
     }
-    _kind = {DoubleType: "double", LongType: "long", BooleanType: "bool", StringType: "string"}
+    _kind = {
+        DoubleType: "double",
+        LongType: "long",
+        BooleanType: "bool",
+        StringType: "string",
+        DecimalType: "udecimal",  # exact u64 carrier
+    }
     field_kinds = {
         f.name: _kind[type(f.dataType)]
         for f in iox_schema.struct.fields
@@ -400,6 +413,26 @@ def _parse_batch_arrow(arr, spec: "_ParseSpec"):
             typed[fk] = pc.cast(
                 pc.if_else(ok, core, pa.scalar(None, pa.string())), pa.int64()
             )
+        elif kind == "udecimal":
+            # exact u64 (schema uint64_exact mode): only canonical
+            # ``<digits>u`` tokens take the fast tier; everything else —
+            # including out-of-domain values — falls to the exact parser
+            # for its precise error.  20-digit values are bound-checked
+            # against u64::MAX lexicographically (equal length).
+            ok = _b(pc.match_substring_regex(tok, r"^\d{1,20}u$"))
+            bad = pc.or_(bad, pc.and_(present, pc.invert(ok)))
+            core = pc.replace_substring_regex(tok, r"u$", "")
+            is20 = _b(pc.equal(pc.utf8_length(core), 20))
+            over = pc.and_(is20, _b(pc.greater(core, str(2**64 - 1))))
+            bad = pc.or_(bad, over)
+            typed[fk] = pc.cast(
+                pc.if_else(
+                    pc.and_(ok, pc.invert(over)),
+                    core,
+                    pa.scalar(None, pa.string()),
+                ),
+                pa.decimal128(20, 0),
+            )
         elif kind == "bool":
             is_t = pc.is_in(tok, value_set=pa.array(_TRUE_LITERALS))
             is_f = pc.is_in(tok, value_set=pa.array(_FALSE_LITERALS))
@@ -471,6 +504,12 @@ def _parse_batch_arrow(arr, spec: "_ParseSpec"):
                         f"type mismatch for column {k!r}: got "
                         f"{type(v).__name__}, expected {spec.expected[k]}: {raw!r}"
                     )
+                if spec.field_kinds.get(k) == "udecimal" and not (
+                    0 <= v < 2**64
+                ):
+                    raise LineProtocolError(
+                        f"uinteger out of u64 range for column {k!r}: {v}: {raw!r}"
+                    )
             ts_ns = pl.timestamp if pl.timestamp is not None else spec.default_time
             if not (-(2**63) <= ts_ns < 2**63):
                 raise LineProtocolError(
@@ -510,6 +549,7 @@ def _arrow_types(spec: "_ParseSpec"):
         "long": pa.int64(),
         "bool": pa.bool_(),
         "string": pa.string(),
+        "udecimal": pa.decimal128(20, 0),
     }
     out = {c: pa.string() for c in spec.tag_cols}
     out.update({fk: kinds[kind] for fk, kind in spec.field_kinds.items()})
