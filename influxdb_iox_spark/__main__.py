@@ -41,6 +41,17 @@ def _build_parser() -> argparse.ArgumentParser:
     run.add_argument("--http-port", type=int, default=0)
     run.add_argument("--cpus", default=None)
     run.add_argument(
+        "--master", default=None,
+        help="Spark master URL (e.g. spark://host:7077, yarn, k8s://…); "
+        "default local[--cpus].  Config-only — the same server code runs "
+        "on a cluster (see SCALE.md §cluster-submit)",
+    )
+    run.add_argument(
+        "--conf", action="append", default=[], metavar="KEY=VALUE",
+        help="extra Spark conf, repeatable (executor memory/instances, "
+        "shuffle partitions, cloud-store credentials, …)",
+    )
+    run.add_argument(
         "--once", action="store_true",
         help="start, print ports, and return (tests); default blocks",
     )
@@ -107,11 +118,22 @@ def main(argv: list[str] | None = None, out=None) -> int:
         )
         from influxdb_iox_spark.session import get_spark
 
+        extra_conf = {}
+        for kv in args.conf:
+            if "=" not in kv:
+                raise SystemExit(f"--conf expects KEY=VALUE, got {kv!r}")
+            k, v = kv.split("=", 1)
+            extra_conf[k] = v
         spark = get_spark(
             app_name="influxdb-iox-spark-server",
-            master=f"local[{args.cpus}]" if args.cpus else None,
+            master=args.master or (f"local[{args.cpus}]" if args.cpus else None),
+            extra_conf=extra_conf,
         )
         server = IoxServer(spark, args.base_dir)
+        # replay the write-buffer gap BEFORE serving (db.rs:518
+        # perform_replay): reading databases catch up to their topics so
+        # the first query never sees a pre-crash snapshot
+        server.perform_replay()
         grpc = IoxGrpcServer(
             server, location=f"grpc://127.0.0.1:{args.grpc_port}"
         )
@@ -120,7 +142,9 @@ def main(argv: list[str] | None = None, out=None) -> int:
         print(
             json.dumps(
                 {"grpc_port": grpc.port, "http_port": http_port,
-                 "databases": sorted(server.databases)}
+                 "databases": sorted(server.databases),
+                 "master": spark.conf.get("spark.master"),
+                 "conf": {k: spark.conf.get(k) for k in sorted(extra_conf)}}
             ),
             file=out,
             flush=True,

@@ -78,6 +78,12 @@ class Database:
         self.system_columns().createOrReplaceTempView("system_columns")
         self.system_chunk_columns().createOrReplaceTempView("system_chunk_columns")
         self.system_operations().createOrReplaceTempView("system_operations")
+        self.information_schema_tables().createOrReplaceTempView(
+            "information_schema_tables"
+        )
+        self.information_schema_columns().createOrReplaceTempView(
+            "information_schema_columns"
+        )
         _VIEW_REGISTRY[self.spark] = version
 
     def query(self, sql: str) -> DataFrame:
@@ -175,6 +181,91 @@ class Database:
             "min_value string, max_value string, estimated_bytes long"
         )
         return self.spark.createDataFrame(rows, schema)
+
+    # -- information schema ------------------------------------------------
+    #: reference type rendering (internal_types/src/schema.rs:569-592 —
+    #: tags are dictionary-encoded utf8, time is ns timestamps), so the
+    #: information_schema goldens compare value-exact against
+    #: query_tests/src/sql.rs:183-235.
+    _ARROW_TYPE_NAMES = {
+        "tag": "Dictionary(Int32, Utf8)",
+        "field::float": "Float64",
+        "field::integer": "Int64",
+        "field::uinteger": "UInt64",
+        "field::string": "Utf8",
+        "field::boolean": "Boolean",
+        "timestamp": "Timestamp(Nanosecond, None)",
+    }
+
+    def information_schema_tables(self) -> DataFrame:
+        """information_schema.tables (sql.rs:183-207 golden; the
+        all_chunks_dropped case keys on a fully-dropped table STILL being
+        listed).  Spark temp views have no schema namespace, so the view
+        registers flat as ``information_schema_tables`` — the same
+        flattening system tables use (``system_chunks``)."""
+        rows = [
+            Row(
+                table_catalog="public",
+                table_schema="iox",
+                table_name=t,
+                table_type="BASE TABLE",
+            )
+            for t in self.table_names()
+        ]
+        rows += [
+            Row(
+                table_catalog="public",
+                table_schema="system",
+                table_name=n,
+                table_type="BASE TABLE",
+            )
+            for n in ("chunk_columns", "chunks", "columns", "operations")
+        ]
+        rows += [
+            Row(
+                table_catalog="public",
+                table_schema="information_schema",
+                table_name=n,
+                table_type="VIEW",
+            )
+            for n in ("columns", "tables")
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "table_catalog string, table_schema string, table_name string, "
+            "table_type string",
+        )
+
+    def information_schema_columns(self) -> DataFrame:
+        """information_schema.columns (sql.rs:209-235 golden): one row per
+        user-table column in canonical (sorted) order with the
+        reference's Arrow type renderings; time is the one non-nullable
+        column."""
+        from influxdb_iox_spark.schema import column_type
+
+        rows = []
+        for t, s in sorted(self.schemas.items()):
+            for i, f in enumerate(s.struct.fields):
+                ct = column_type(f)
+                rows.append(
+                    Row(
+                        table_catalog="public",
+                        table_schema="iox",
+                        table_name=t,
+                        column_name=f.name,
+                        ordinal_position=i,
+                        is_nullable="YES" if f.nullable else "NO",
+                        data_type=self._ARROW_TYPE_NAMES.get(
+                            ct.value if ct else "", str(f.dataType)
+                        ),
+                    )
+                )
+        return self.spark.createDataFrame(
+            rows,
+            "table_catalog string, table_schema string, table_name string, "
+            "column_name string, ordinal_position long, is_nullable string, "
+            "data_type string",
+        )
 
     def system_columns(self) -> DataFrame:
         from influxdb_iox_spark.schema import column_type

@@ -56,6 +56,40 @@ class RpcExprError(ValueError):
     pass
 
 
+def check_regex_envelope(pattern: str) -> None:
+    """Reject regex syntax where the engine dialect (Java ``rlike``) and
+    the reference dialect (Rust ``regex``, query/src/func/regex.rs:38)
+    DIVERGE — the guarded envelope is the intersection both interpret
+    identically (literals, classes, alternation, anchors, quantifiers,
+    plain + ``(?<name>…)`` groups, Unicode classes; both are unanchored
+    substring matchers via is_match/rlike):
+
+    - ``(?P<name>…)`` / ``(?P=name)``: Rust/PCRE named-group spelling —
+      Java rejects the ``P`` syntax, so a pattern that worked against the
+      reference would ERROR here; rejected with a clear message instead.
+    - lookarounds ``(?=`` ``(?!`` ``(?<=`` ``(?<!``: Java-only — Rust
+      regex cannot compile them, so no reference client ever sent one;
+      accepting them would silently widen the dialect.
+    - backreferences ``\\1``-``\\9`` / ``\\k<name>``: Java-only, same
+      reasoning.
+
+    Tested against the reference's own match battery plus these
+    rejections in tests/test_regex_envelope.py."""
+    import re as _re
+
+    checks = [
+        (r"\(\?P[<=]", "named-group syntax '(?P<…>' (Rust spelling)"),
+        (r"\(\?=|\(\?!|\(\?<=|\(\?<!", "lookaround (unsupported by the reference's regex dialect)"),
+        (r"\\[1-9]|\\k<", "backreference (unsupported by the reference's regex dialect)"),
+    ]
+    for pat, what in checks:
+        if _re.search(pat, pattern):
+            raise RpcExprError(
+                f"regex {pattern!r} uses {what}, outside the supported "
+                "rlike/Rust-regex common envelope"
+            )
+
+
 def _is_tag_ref(node: dict, keys: tuple[str, ...]) -> bool:
     return node.get("node_type") == "tag_ref" and node.get("value") in keys
 
@@ -120,6 +154,7 @@ def _to_column(node: dict) -> Column:
         if op in ("regex_match", "not_regex_match"):
             if rhs.get("node_type") not in ("regex", "literal"):
                 raise RpcExprError("regex comparison needs a regex rhs")
+            check_regex_envelope(str(rhs["value"]))
             matched = _to_column(lhs).rlike(str(rhs["value"]))
             return matched if op == "regex_match" else ~matched
         if op in ("like", "modulo", "%"):

@@ -507,6 +507,26 @@ class IoxServer:
             _save(max(last, max(newly_parked, default=-1) + 1))
         return total
 
+    def perform_replay(self) -> dict[str, int]:
+        """Startup replay reconciliation (server/src/db.rs:518
+        perform_replay): before serving, every database with a reading
+        write-buffer connection drains exactly the gap between its
+        persisted consumer offset and the topic's head.
+
+        The offset advances only AFTER a payload applies, so a server
+        killed mid-apply restarts with the gap still open and replay
+        re-applies from the first possibly-unapplied sequence — a payload
+        that DID apply before the crash is re-applied harmlessly because
+        line-protocol ingest is idempotent through primary-key dedup.
+        Results after crash+replay are therefore identical to an
+        uninterrupted run (asserted by test_write_buffer's crash test).
+        Returns lines replayed per database."""
+        out: dict[str, int] = {}
+        for name, md in sorted(self.databases.items()):
+            if md.rules.get("reading"):
+                out[name] = self.drain_write_buffer(name)
+        return out
+
     def run_lifecycle(self, db_name: str) -> dict:
         """One pull-driven background-worker sweep for a database (the
         reference's per-db lifecycle loop, server/src/db.rs:569-620):

@@ -906,3 +906,39 @@ def test_dummy_job_resolvable_with_zero_databases(spark, tmp_path_factory):
     finally:
         c.close()
         flight.shutdown()
+
+
+def test_cli_run_honors_master_and_conf(tmp_path):
+    """Cluster-submit smoke (SCALE.md §cluster-submit): the run command
+    passes --master / --conf through to the session builder config-only —
+    no code fork between local and cluster.  Run in a subprocess so the
+    fresh session actually applies the overrides (getOrCreate would reuse
+    the suite's session in-process)."""
+    import json as _json
+    import os as _os
+    import subprocess
+    import sys as _sys
+
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "from influxdb_iox_spark.__main__ import main; "
+        "raise SystemExit(main(["
+        "'run', '--base-dir', %r, '--once', "
+        "'--master', 'local[3]', "
+        "'--conf', 'spark.sql.shuffle.partitions=7', "
+        "'--conf', 'spark.app.testMarker=cluster-smoke']))"
+        % (
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            str(tmp_path / "srv"),
+        )
+    )
+    out = subprocess.run(
+        [_sys.executable, "-c", code], capture_output=True, text=True, timeout=300
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    info = _json.loads(out.stdout.strip().splitlines()[-1])
+    assert info["master"] == "local[3]"
+    assert info["conf"] == {
+        "spark.sql.shuffle.partitions": "7",
+        "spark.app.testMarker": "cluster-smoke",
+    }

@@ -160,3 +160,126 @@ def test_system_chunks_estimated_bytes(spark, tmp_path):
         "SELECT estimated_bytes, row_count FROM system_chunks"
     ).collect()[0]
     assert r.estimated_bytes > 0 and r.row_count == 1
+
+
+# -- information_schema goldens (sql.rs:183-235 + all_chunks_dropped) --------
+
+
+def _two_measurements_many_fields(spark, tmp_path):
+    """TwoMeasurementsManyFields (scenarios.rs:345-358): h2o + o2 with the
+    reference's exact line protocol across two chunks."""
+    from influxdb_iox_spark.streaming.ingest import LineProtocolIngest
+
+    store = TableStore(str(tmp_path / "tmmf"))
+    db = Database("db", store, spark)
+    h2o = IoxSchema.build(
+        ["state", "city"],
+        {
+            "temp": InfluxColumnType.FIELD_FLOAT,
+            "other_temp": InfluxColumnType.FIELD_FLOAT,
+            "moisture": InfluxColumnType.FIELD_FLOAT,
+        },
+    )
+    o2 = IoxSchema.build(
+        ["state", "city"],
+        {
+            "temp": InfluxColumnType.FIELD_FLOAT,
+            "reading": InfluxColumnType.FIELD_FLOAT,
+        },
+    )
+    db.register_table("h2o", h2o)
+    db.register_table("o2", o2)
+    lines1 = [
+        "h2o,state=MA,city=Boston temp=70.4 50",
+        "h2o,state=MA,city=Boston other_temp=70.4 250",
+        "h2o,state=CA,city=Boston other_temp=72.4 350",
+    ]
+    lines2 = [
+        "o2,state=MA,city=Boston temp=53.4,reading=51 50",
+        "o2,state=CA temp=79.0 300",
+    ]
+    lines3 = ["h2o,state=MA,city=Boston temp=70.4,moisture=43.0 100000"]
+    ih, io = LineProtocolIngest(store, "h2o", h2o), LineProtocolIngest(store, "o2", o2)
+    for ing, lines in ((ih, lines1), (io, lines2), (ih, lines3)):
+        ing.ingest_lines_df(spark.createDataFrame([(ln,) for ln in lines], ["value"]))
+    return db
+
+
+def test_information_schema_tables_golden(spark, tmp_path):
+    """sql_select_from_information_schema_tables (sql.rs:183-207): the
+    catalog lists user tables (iox), system tables, and the
+    information_schema views — value-exact rows."""
+    db = _two_measurements_many_fields(spark, tmp_path)
+    rows = {
+        tuple(r)
+        for r in db.query(
+            "SELECT * FROM information_schema_tables ORDER BY table_schema, table_name"
+        ).collect()
+    }
+    assert rows == {
+        ("public", "information_schema", "columns", "VIEW"),
+        ("public", "information_schema", "tables", "VIEW"),
+        ("public", "iox", "h2o", "BASE TABLE"),
+        ("public", "iox", "o2", "BASE TABLE"),
+        ("public", "system", "chunk_columns", "BASE TABLE"),
+        ("public", "system", "chunks", "BASE TABLE"),
+        ("public", "system", "columns", "BASE TABLE"),
+        ("public", "system", "operations", "BASE TABLE"),
+    }
+
+
+def test_information_schema_columns_golden(spark, tmp_path):
+    """sql_select_from_information_schema_columns (sql.rs:209-235):
+    columns in canonical order with the reference's Arrow type renderings
+    — tags as Dictionary(Int32, Utf8), floats as Float64, time as
+    non-nullable Timestamp(Nanosecond, None)."""
+    db = _two_measurements_many_fields(spark, tmp_path)
+    got = [
+        tuple(r)
+        for r in db.query(
+            "SELECT table_name, column_name, ordinal_position, is_nullable, data_type "
+            "FROM information_schema_columns "
+            "WHERE table_name = 'h2o' OR table_name = 'o2' "
+            "ORDER BY table_name, ordinal_position"
+        ).collect()
+    ]
+    assert got == [
+        ("h2o", "city", 0, "YES", "Dictionary(Int32, Utf8)"),
+        ("h2o", "moisture", 1, "YES", "Float64"),
+        ("h2o", "other_temp", 2, "YES", "Float64"),
+        ("h2o", "state", 3, "YES", "Dictionary(Int32, Utf8)"),
+        ("h2o", "temp", 4, "YES", "Float64"),
+        ("h2o", "time", 5, "NO", "Timestamp(Nanosecond, None)"),
+        ("o2", "city", 0, "YES", "Dictionary(Int32, Utf8)"),
+        ("o2", "reading", 1, "YES", "Float64"),
+        ("o2", "state", 2, "YES", "Dictionary(Int32, Utf8)"),
+        ("o2", "temp", 3, "YES", "Float64"),
+        ("o2", "time", 4, "NO", "Timestamp(Nanosecond, None)"),
+    ]
+
+
+def test_all_chunks_dropped_keeps_table(spark, tmp_path):
+    """all_chunks_dropped.sql golden (OneMeasurementAllChunksDropped,
+    scenarios.rs:680-701): dropping EVERY chunk keeps the table — it
+    still lists in information_schema.tables and queries as an empty
+    relation with its full schema."""
+    from influxdb_iox_spark.streaming.ingest import LineProtocolIngest
+
+    store = TableStore(str(tmp_path / "acd"))
+    db = Database("db", store, spark)
+    h2o = IoxSchema.build(["state"], {"temp": InfluxColumnType.FIELD_FLOAT})
+    db.register_table("h2o", h2o)
+    ing = LineProtocolIngest(store, "h2o", h2o)
+    ing.ingest_lines_df(
+        spark.createDataFrame([("h2o,state=MA temp=70.4 50",)], ["value"])
+    )
+    store.drop_chunks("h2o", [c.chunk_id for c in store.manifest("h2o")])
+
+    names = {
+        (r.table_schema, r.table_name)
+        for r in db.query("SELECT * FROM information_schema_tables").collect()
+    }
+    assert ("iox", "h2o") in names
+    empty = db.query("SELECT * FROM h2o")
+    assert empty.count() == 0
+    assert sorted(empty.columns) == ["state", "temp", "time"]

@@ -333,3 +333,57 @@ def test_slow_producer_fill_in_is_not_dropped(spark, tmp_path):
     assert rows == [("a", 100), ("b", 200), ("c", 300)]
     # once consumed it never re-parks
     assert srv.drain_write_buffer("sdb") == 0
+
+
+def test_crash_mid_apply_replay_matches_uninterrupted_twin(spark, tmp_path):
+    """perform_replay (db.rs:518): a server killed between applying a
+    payload and persisting its offset restarts, replays exactly the gap,
+    and serves results IDENTICAL to a twin that never crashed — the
+    replayed duplicate is absorbed by primary-key dedup."""
+    import json as _json
+
+    buf_dir = str(tmp_path / "buf")
+    buf = FileWriteBuffer(buf_dir)
+    payloads = [
+        "h2o,state=MA temp=70.4 100",
+        "h2o,state=CA temp=90.0 200\nh2o,state=CA temp=91.0 300",
+        "h2o,state=NY temp=61.4 400",
+    ]
+    for p in payloads:
+        buf.produce("rdb", p)
+
+    # uninterrupted twin
+    twin = _server(spark, tmp_path, "twin")
+    twin.create_database(_rules("rdb", reading=buf_dir))
+    assert twin.perform_replay() == {"rdb": 4}
+
+    # crashing server: applies everything, but the LAST offset write is
+    # lost (killed between apply and offset persist)
+    crash = _server(spark, tmp_path, "crash")
+    crash.create_database(_rules("rdb", reading=buf_dir))
+    crash.drain_write_buffer("rdb")
+    offset_path = os.path.join(
+        crash.databases["rdb"].database.store.base_dir, "wb_offset.json"
+    )
+    with open(offset_path) as f:
+        state = _json.load(f)
+    state["next_seq"] -= 1  # the crash: final offset persist never landed
+    with open(offset_path, "w") as f:
+        _json.dump(state, f)
+    del crash
+
+    # restart: replay drains exactly the gap (the one replayed payload)
+    reborn = IoxServer(spark, str(tmp_path / "crash"))
+    replayed = reborn.perform_replay()
+    assert replayed == {"rdb": 1}
+
+    def rows(srv):
+        return sorted(
+            (r.state, r.temp, r.time)
+            for r in srv.databases["rdb"].database.table("h2o").collect()
+        )
+
+    assert rows(reborn) == rows(twin)
+    assert len(rows(reborn)) == 4  # no duplicates from the replay
+    # a second replay finds nothing left
+    assert reborn.perform_replay() == {"rdb": 0}
