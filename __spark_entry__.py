@@ -2232,7 +2232,14 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from influxdb_iox_spark.pipeline.dedup import near_duplicate_pairs_minhash
 
     t = _load(spark, sf_dir, "documents")
-    out = near_duplicate_pairs_minhash(t["documents"], threshold=0.5)
+    # parquet materialization of the signatures: identical results, and
+    # measured under the sentinel protocol (BENCH_NOTES r6) it removes
+    # the localCheckpoint block-manager jitter that made this the
+    # noisiest bench row for two rounds.  Local-mode temp dir here; a
+    # cluster passes materialize_dir on shared storage.
+    out = near_duplicate_pairs_minhash(
+        t["documents"], threshold=0.5, materialize="parquet"
+    )
     return out.select(
         "a", "b", F.round("jaccard", 6).alias("jaccard")
     ).orderBy("a", "b")

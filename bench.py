@@ -66,10 +66,14 @@ def main() -> None:
     from influxdb_iox_spark.schema import InfluxColumnType as _ICT, IoxSchema as _IS
     from influxdb_iox_spark.sources.line_protocol import distributed_parse as _dp
 
-    warm_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
-    near_duplicate_pairs_minhash(warm_docs, threshold=0.5).write.mode(
-        "overwrite"
-    ).format("noop").save()
+    # 2000 docs, not 50: the minhash pipeline's generated classes only
+    # fully JIT under real batch sizes — with a tiny warm, a fresh JVM's
+    # timed runs swing ±45% run-to-run; with this warm the 3-consecutive-
+    # run spread is <10% (BENCH_NOTES r6 conditions)
+    warm_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(2000)
+    near_duplicate_pairs_minhash(
+        warm_docs, threshold=0.5, materialize="parquet"
+    ).write.mode("overwrite").format("noop").save()
     _warm_lines = spark.createDataFrame(
         [("events,event_type=a,user_id=u1 value=1.0 100",)], "value string"
     )

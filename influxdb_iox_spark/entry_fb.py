@@ -1,0 +1,344 @@
+"""FlatBuffers ``Entry`` codec — the reference's replicated-write payload.
+
+Schema: /root/reference/entry/src/entry.fbs (namespace
+influxdata.iox.write.v1); semantics from entry/src/entry.rs:
+
+- an Entry is one Operation: WriteOperations (partition writes) or
+  DeleteOperations
+- a PartitionWrite holds per-table column-oriented batches
+- a Column is (name, logical type Tag/Field/Time, values union,
+  null_mask); the values array holds ONLY non-null values in row order,
+  and the null mask is MSB-first per byte (entry.rs NullMaskBuilder:
+  row r is bit ``128 >> (r % 8)`` of byte ``r // 8``).  A column may be
+  SHORTER than the batch (rows written before the column existed):
+  missing trailing rows are null (entry.rs:441-471 missing_values).
+
+Decode returns plain Python rows; encode builds byte-level
+interoperable buffers (see fbwire).  ``entry_to_parsed_lines`` bridges
+into the engine's ingest path: each decoded row becomes a ParsedLine,
+so WriteEntry payloads flow through the same schema-inference +
+chunk-write apply as line protocol.
+"""
+
+from __future__ import annotations
+
+from influxdb_iox_spark.fbwire import FBBuilder, FBTable, root_table
+
+# Operation union (declaration order; 0 = NONE)
+OP_WRITE = 1
+OP_DELETE = 2
+
+# ColumnValues union
+VAL_I64 = 1
+VAL_F64 = 2
+VAL_U64 = 3
+VAL_STRING = 4
+VAL_BOOL = 5
+VAL_BYTES = 6
+
+# LogicalColumnType enum
+LOGICAL_IOX = 0
+LOGICAL_TAG = 1
+LOGICAL_FIELD = 2
+LOGICAL_TIME = 3
+
+_VALUE_FMT = {VAL_I64: "q", VAL_F64: "d", VAL_U64: "Q", VAL_BOOL: "?"}
+
+
+class EntryError(ValueError):
+    pass
+
+
+# -- decode ------------------------------------------------------------------
+
+
+def _null_flags(mask: bytes, n_rows: int) -> list[bool]:
+    """Row-is-null flags for n_rows, MSB-first per byte; rows beyond the
+    mask are non-null (entry.rs is_null_value returns True only past the
+    mask when the VALUES are also exhausted — handled by the caller's
+    missing-trailing-rows rule)."""
+    out = []
+    for r in range(n_rows):
+        byte = r // 8
+        out.append(bool(mask[byte] & (128 >> (r % 8))) if byte < len(mask) else False)
+    return out
+
+
+def _decode_column(col: FBTable) -> dict:
+    name = col.string(0)
+    logical = col.scalar(1, "<b", 0)
+    vtype = col.scalar(2, "<B", 0)
+    if vtype == VAL_STRING:
+        vals = col.table(3)
+        values = vals.vector_strings(0) if vals else []
+    elif vtype == VAL_BYTES:
+        vals = col.table(3)
+        values = [t.vector_bytes(0) for t in vals.vector_tables(0)] if vals else []
+    elif vtype in _VALUE_FMT:
+        vals = col.table(3)
+        values = vals.vector_scalars(0, _VALUE_FMT[vtype]) if vals else []
+    else:
+        raise EntryError(f"unknown ColumnValues union type {vtype}")
+    return {
+        "name": name,
+        "logical": logical,
+        "values_type": vtype,
+        "values": values,
+        "null_mask": col.vector_bytes(4),
+    }
+
+
+def _column_rows(col: dict, n_rows: int) -> list:
+    """Expand (values, null_mask) to one entry per row (None = null);
+    rows past mask+values are null (missing trailing rows)."""
+    flags = _null_flags(col["null_mask"], n_rows)
+    out, it = [], iter(col["values"])
+    for r in range(n_rows):
+        if flags[r]:
+            out.append(None)
+        else:
+            try:
+                out.append(next(it))
+            except StopIteration:
+                out.append(None)  # column shorter than the batch
+    return out
+
+
+def decode_entry(buf: bytes) -> dict:
+    """Entry bytes → {"writes": [partition_write]} or
+    {"deletes": [{"table_name", "predicate"}]}.
+
+    partition_write = {"key": str|None, "batches": [{"name": str,
+    "rows": [ {column: value|None} ], "logical": {column: int}}]}.
+    Row count per batch = max over columns of mask-bits + values
+    (entry.rs: every column's mask has the same bit count)."""
+    entry = root_table(buf)
+    op_type = entry.scalar(0, "<B", 0)
+    op = entry.table(1)
+    if op_type == OP_DELETE:
+        return {
+            "deletes": [
+                {"table_name": d.string(0), "predicate": d.string(1)}
+                for d in (op.vector_tables(0) if op else [])
+            ]
+        }
+    if op_type != OP_WRITE:
+        raise EntryError(f"unknown Operation union type {op_type}")
+    writes = []
+    for pw in op.vector_tables(0) if op else []:
+        batches = []
+        for tb in pw.vector_tables(1):
+            cols = [_decode_column(c) for c in tb.vector_tables(1)]
+            n_rows = 0
+            for c in cols:
+                nulls = sum(bin(b).count("1") for b in c["null_mask"])
+                n_rows = max(n_rows, nulls + len(c["values"]))
+            rows = []
+            per_col = {c["name"]: _column_rows(c, n_rows) for c in cols}
+            for r in range(n_rows):
+                rows.append({name: vals[r] for name, vals in per_col.items()})
+            batches.append(
+                {
+                    "name": tb.string(0),
+                    "rows": rows,
+                    "logical": {c["name"]: c["logical"] for c in cols},
+                    "values_types": {c["name"]: c["values_type"] for c in cols},
+                }
+            )
+        writes.append({"key": pw.string(0), "batches": batches})
+    return {"writes": writes}
+
+
+# -- encode ------------------------------------------------------------------
+
+
+def _build_null_mask(flags: list[bool]) -> bytes:
+    """entry.rs NullMaskBuilder: MSB-first bits, one byte per 8 rows."""
+    if not any(flags):
+        return b""
+    mask = bytearray((len(flags) + 7) // 8)
+    for r, is_null in enumerate(flags):
+        if is_null:
+            mask[r // 8] |= 128 >> (r % 8)
+    return bytes(mask)
+
+
+def _encode_column(
+    b: FBBuilder, name: str, logical: int, vtype: int, rows: list
+) -> int:
+    """rows: one entry per batch row, None = null."""
+    flags = [v is None for v in rows]
+    values = [v for v in rows if v is not None]
+    if vtype == VAL_STRING:
+        offs = [b.create_string(v) for v in values]
+        vec = b.create_offset_vector(offs)
+    elif vtype == VAL_BYTES:
+        inner = []
+        for v in values:
+            data = b.create_byte_vector(v)
+            b.start_table()
+            b.add_offset(0, data)
+            inner.append(b.end_table())
+        vec = b.create_offset_vector(inner)
+    elif vtype in _VALUE_FMT:
+        fmt = _VALUE_FMT[vtype]
+        size = 1 if vtype == VAL_BOOL else 8
+        vec = b.create_scalar_vector(fmt, size, values)
+    else:
+        raise EntryError(f"unknown ColumnValues union type {vtype}")
+    b.start_table()
+    b.add_offset(0, vec)
+    values_tbl = b.end_table()
+
+    mask = _build_null_mask(flags)
+    name_off = b.create_string(name)
+    mask_off = b.create_byte_vector(mask) if mask else None
+    b.start_table()
+    b.add_offset(0, name_off)
+    b.add_scalar(1, "<b", 1, logical, default=0)
+    b.add_scalar(2, "<B", 1, vtype, default=0)
+    b.add_offset(3, values_tbl)
+    b.add_offset(4, mask_off)
+    return b.end_table()
+
+
+def encode_write_entry(partition_writes: list[dict]) -> bytes:
+    """[{"key": str|None, "batches": [{"name", "columns": [(name,
+    logical, vtype, rows)]}]}] → Entry bytes."""
+    b = FBBuilder()
+    pw_offs = []
+    for pw in partition_writes:
+        tb_offs = []
+        for batch in pw["batches"]:
+            col_offs = [
+                _encode_column(b, name, logical, vtype, rows)
+                for name, logical, vtype, rows in batch["columns"]
+            ]
+            cols_vec = b.create_offset_vector(col_offs)
+            name_off = b.create_string(batch["name"])
+            b.start_table()
+            b.add_offset(0, name_off)
+            b.add_offset(1, cols_vec)
+            tb_offs.append(b.end_table())
+        tbs_vec = b.create_offset_vector(tb_offs)
+        key_off = b.create_string(pw["key"]) if pw.get("key") is not None else None
+        b.start_table()
+        b.add_offset(0, key_off)
+        b.add_offset(1, tbs_vec)
+        pw_offs.append(b.end_table())
+    pws_vec = b.create_offset_vector(pw_offs)
+    b.start_table()
+    b.add_offset(0, pws_vec)
+    write_ops = b.end_table()
+    b.start_table()
+    b.add_scalar(0, "<B", 1, OP_WRITE, default=0)
+    b.add_offset(1, write_ops)
+    return b.finish(b.end_table())
+
+
+def encode_delete_entry(deletes: list[dict]) -> bytes:
+    """[{"table_name", "predicate"}] → Entry bytes."""
+    b = FBBuilder()
+    d_offs = []
+    for d in deletes:
+        t = b.create_string(d["table_name"])
+        p = b.create_string(d["predicate"])
+        b.start_table()
+        b.add_offset(0, t)
+        b.add_offset(1, p)
+        d_offs.append(b.end_table())
+    vec = b.create_offset_vector(d_offs)
+    b.start_table()
+    b.add_offset(0, vec)
+    del_ops = b.end_table()
+    b.start_table()
+    b.add_scalar(0, "<B", 1, OP_DELETE, default=0)
+    b.add_offset(1, del_ops)
+    return b.finish(b.end_table())
+
+
+# -- bridge into the engine's ingest path ------------------------------------
+
+
+def entry_to_parsed_lines(buf: bytes):
+    """Decode an Entry and yield ParsedLine rows, ready for the same
+    schema-inference + chunk-write apply as line protocol.  Tag columns
+    become tags (string), Field columns become typed fields, the Time
+    column supplies the ns timestamp.  Delete entries are rejected —
+    the engine's delete path is chunk tombstones, not predicates."""
+    from influxdb_iox_spark.sources.line_protocol import ParsedLine
+
+    decoded = decode_entry(buf)
+    if "deletes" in decoded:
+        raise EntryError("delete entries are not writable payloads")
+    for pw in decoded["writes"]:
+        for batch in pw["batches"]:
+            logical = batch["logical"]
+            for row in batch["rows"]:
+                tags = {
+                    k: v
+                    for k, v in row.items()
+                    if logical.get(k) == LOGICAL_TAG and v is not None
+                }
+                fields = {
+                    k: v
+                    for k, v in row.items()
+                    if logical.get(k) == LOGICAL_FIELD and v is not None
+                }
+                ts = None
+                for k, v in row.items():
+                    if logical.get(k) == LOGICAL_TIME and v is not None:
+                        ts = int(v)
+                yield ParsedLine(
+                    measurement=batch["name"], tags=tags, fields=fields, timestamp=ts
+                )
+
+
+def lines_to_entry(parsed, partition_key: str = "") -> bytes:
+    """ParsedLine rows → a single-partition write Entry (the inverse
+    bridge, used to produce reference-compatible write-buffer payloads).
+    Field value types map per entry.rs: bool→BoolValues, int→I64Values,
+    float→F64Values, str→StringValues."""
+    parsed = list(parsed)
+    by_table: dict[str, list] = {}
+    for pl in parsed:
+        by_table.setdefault(pl.measurement, []).append(pl)
+    batches = []
+    for table, rows in sorted(by_table.items()):
+        col_rows: dict[str, list] = {}
+        col_kind: dict[str, tuple[int, int]] = {}  # name -> (logical, vtype)
+
+        def _claim(name: str, kind: tuple[int, int], table=table) -> None:
+            # one column, one type: a name used as both tag and field, or
+            # a field with mixed value types, is a type conflict — the
+            # reference's entry builder rejects it (entry.rs
+            # ColumnTypeMismatch), and so do we
+            prev = col_kind.setdefault(name, kind)
+            if prev != kind:
+                raise EntryError(
+                    f"column type conflict for {table}.{name}: {prev} vs {kind}"
+                )
+
+        for i, pl in enumerate(rows):
+            for k, v in pl.tags.items():
+                _claim(k, (LOGICAL_TAG, VAL_STRING))
+                col_rows.setdefault(k, [None] * len(rows))[i] = v
+            for k, v in pl.fields.items():
+                if isinstance(v, bool):
+                    vt = VAL_BOOL
+                elif isinstance(v, int):
+                    vt = VAL_I64
+                elif isinstance(v, float):
+                    vt = VAL_F64
+                else:
+                    vt = VAL_STRING
+                _claim(k, (LOGICAL_FIELD, vt))
+                col_rows.setdefault(k, [None] * len(rows))[i] = v
+            _claim("time", (LOGICAL_TIME, VAL_I64))
+            col_rows.setdefault("time", [None] * len(rows))[i] = pl.timestamp
+        columns = [
+            (name, col_kind[name][0], col_kind[name][1], col_rows[name])
+            for name in sorted(col_rows)
+        ]
+        batches.append({"name": table, "columns": columns})
+    return encode_write_entry([{"key": partition_key, "batches": batches}])

@@ -341,6 +341,25 @@ def jaccard_verify(
     )
 
 
+def materialize_parquet(df: DataFrame, directory: str | None = None) -> DataFrame:
+    """Write-and-reread materialization: the reread plan gets exact file
+    statistics and a clean columnar layout.  ``directory`` must be
+    storage every executor can reach (shared FS / object store on a
+    cluster; any tmp dir on local mode) — when None, a process-local
+    temp dir is created and reclaimed at exit (LOCAL MODE ONLY)."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    if directory is None:
+        directory = tempfile.mkdtemp(prefix="iox-materialize-")
+        atexit.register(shutil.rmtree, directory, ignore_errors=True)
+    path = f"{directory.rstrip('/')}/m-{_uuid.uuid4().hex[:8]}"
+    df.write.mode("errorifexists").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
 def near_duplicate_pairs_minhash(
     df: DataFrame,
     text_col: str = "text",
@@ -350,15 +369,31 @@ def near_duplicate_pairs_minhash(
     bands: int = 16,
     threshold: float = 0.7,
     max_bucket_size: int = 20_000,
+    materialize: str = "local_checkpoint",
+    materialize_dir: str | None = None,
 ) -> DataFrame:
-    """End-to-end MinHash near-dup: shingle → sign → band → verify."""
+    """End-to-end MinHash near-dup: shingle → sign → band → verify.
+
+    Signatures are materialized ONCE before branching (three consumers:
+    banding + both sides of the verify join); without it the Python-free
+    but expensive shingle/sign stage re-executes per consumer.  Two
+    strategies (``materialize``):
+
+    - ``"local_checkpoint"`` (default): executor-local blocks; works on
+      any cluster with no storage config.  Not cache(): a cached
+      InMemoryRelation freezes its 32-partition pre-AQE plan, so every
+      downstream stage inherits overhead-bound micro-tasks.
+    - ``"parquet"``: write-and-reread via ``materialize_parquet`` —
+      exact file stats for AQE and, measured under the sentinel protocol
+      (BENCH_NOTES r6), materially lower run-to-run variance than the
+      checkpoint's block-manager writes.  Pass ``materialize_dir`` on a
+      real cluster (shared FS / object store).
+    """
     sigs = minhash_signatures(df, text_col, id_col, shingle_n, num_perm)
-    # Materialize ONCE before branching (three consumers: banding + both
-    # sides of the verify join).  localCheckpoint instead of cache(): a
-    # cached InMemoryRelation freezes its 32-partition pre-AQE plan, so every
-    # downstream stage inherits overhead-bound micro-tasks; the checkpoint
-    # gives exact size stats and lets AQE coalesce.
-    sigs = sigs.localCheckpoint(eager=True)
+    if materialize == "parquet":
+        sigs = materialize_parquet(sigs, materialize_dir)
+    else:
+        sigs = sigs.localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(sigs, id_col, num_perm, bands, max_bucket_size)
     return jaccard_verify(cands, sigs, id_col, threshold)
 

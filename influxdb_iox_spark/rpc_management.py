@@ -32,15 +32,16 @@ Architecture mapping (documented divergences, not bugs):
   immediately (the "move to read buffer" is a no-op for chunks already
   in their persisted sorted form) and returns the longrunning Operation
   tracking it, like server.close_chunk.
-- WriteEntry (flatbuffers Entry payloads) is Unimplemented: the entry
-  format is a serialization detail of the reference's write buffer; the
-  line-protocol Write RPC and the HTTP write path cover the surface.
+- WriteEntry accepts flatbuffers Entry payloads (entry/src/entry.fbs)
+  via the hand-rolled codec in entry_fb/fbwire; decoded rows route
+  through the same store_entry decision table as line protocol.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import struct
 import threading
 import time as _time
 from dataclasses import dataclass
@@ -924,11 +925,24 @@ class WriteService:
         return {"lines_written": n}
 
     def WriteEntry(self, req: dict) -> dict:
-        raise GrpcStatusError(
-            "Unimplemented",
-            "WriteEntry (flatbuffers Entry payloads) is not supported; "
-            "use Write (line protocol)",
-        )
+        """Flatbuffers Entry write (write_api.rs WriteEntry): decode the
+        Entry payload (hand-rolled codec, entry_fb/fbwire) into rows and
+        route them through the same write path as line protocol — the
+        full store_entry decision table (buffers, immutability, sharding)
+        applies identically."""
+        from influxdb_iox_spark.entry_fb import EntryError, entry_to_parsed_lines
+        from influxdb_iox_spark.sources.line_protocol import render_line
+
+        entry = req.get("entry") or b""
+        if not entry:
+            raise field_violation("entry")
+        try:
+            parsed = list(entry_to_parsed_lines(bytes(entry)))
+            lp = "\n".join(render_line(pl) for pl in parsed)
+        except (EntryError, LineProtocolError, ValueError, struct.error) as e:
+            raise GrpcStatusError("InvalidArgument", f"invalid entry payload: {e}")
+        self.server.write_lp(req.get("db_name") or "", lp)
+        return {}
 
 
 class OperationsService:

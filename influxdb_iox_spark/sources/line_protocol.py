@@ -44,6 +44,51 @@ _ESCAPABLE_MEASUREMENT = {",": ",", " ": " ", "\\": "\\"}
 _ESCAPABLE_KEY = {",": ",", "=": "=", " ": " ", "\\": "\\"}
 
 
+def render_line(pl: "ParsedLine") -> str:
+    """ParsedLine → canonical line-protocol text (the parser's exact
+    inverse — parse(render(x)) == x).  Used to route decoded flatbuffers
+    Entry payloads (entry_fb) through the same write path as client line
+    protocol.  Floats render via repr (round-trips every finite double);
+    non-finite floats have no LP spelling and raise."""
+
+    def esc_meas(s: str) -> str:
+        return s.replace("\\", "\\\\").replace(",", "\\,").replace(" ", "\\ ")
+
+    def esc_key(s: str) -> str:
+        return (
+            s.replace("\\", "\\\\")
+            .replace(",", "\\,")
+            .replace("=", "\\=")
+            .replace(" ", "\\ ")
+        )
+
+    if not pl.fields:
+        raise LineProtocolError(
+            f"line for measurement {pl.measurement!r} has no field values"
+        )
+    out = [esc_meas(pl.measurement)]
+    for k, v in pl.tags.items():
+        out.append(f",{esc_key(k)}={esc_key(v)}")
+    sep = " "
+    for k, v in pl.fields.items():
+        if isinstance(v, bool):
+            tok = "true" if v else "false"
+        elif isinstance(v, int):
+            tok = f"{v}i"
+        elif isinstance(v, float):
+            if v != v or v in (float("inf"), float("-inf")):
+                raise LineProtocolError(f"non-finite float field {k}={v}")
+            tok = repr(v)
+        else:
+            sv = str(v).replace("\\", "\\\\").replace('"', '\\"')
+            tok = f'"{sv}"'
+        out.append(f"{sep}{esc_key(k)}={tok}")
+        sep = ","
+    if pl.timestamp is not None:
+        out.append(f" {pl.timestamp}")
+    return "".join(out)
+
+
 def _scan_escaped(s: str, i: int, terminators: str, escapable: dict[str, str]) -> tuple[str, int]:
     """Scan until an unescaped terminator; return (token, index-of-terminator)."""
     out: list[str] = []
