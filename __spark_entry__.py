@@ -349,6 +349,76 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def q_tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    the available columns: the testdata lineitem has no receipt/commit
+    dates, so "late" = shipped more than 60 days after the order date,
+    and the nation filter is dropped (synthetic nations).  The
+    EXISTS/NOT-EXISTS pair becomes two distinct-count aggregates over
+    (order, supplier): keep late suppliers on multi-supplier finished
+    orders where they were the ONLY late one."""
+    t = _load(spark, sf_dir, "supplier", "lineitem", "orders")
+    s, l, o = t["supplier"], t["lineitem"], t["orders"]
+    finished = o.filter(o.o_orderstatus == "F").select("o_orderkey", "o_orderdate")
+    li = l.join(finished, l.l_orderkey == finished.o_orderkey).select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate"
+    )
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    late = (
+        li.filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("nsupp")
+    )
+    late_per_order = late.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("nlate")
+    )
+    waiting = (
+        late.join(per_order, "l_orderkey")
+        .join(late_per_order, "l_orderkey")
+        .filter((F.col("nsupp") > 1) & (F.col("nlate") == 1))
+    )
+    return (
+        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q21 = """
+WITH finished AS (
+  SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'
+), li AS (
+  SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, f.o_orderdate
+  FROM lineitem l JOIN finished f ON l.l_orderkey = f.o_orderkey
+), pairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM li
+), late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM li WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+), per_order AS (
+  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS nsupp FROM pairs GROUP BY 1
+), late_per AS (
+  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS nlate FROM late GROUP BY 1
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM late
+JOIN per_order USING (l_orderkey)
+JOIN late_per USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE nsupp > 1 AND nlate = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _load(spark, sf_dir, "orders")
     return (
@@ -590,6 +660,58 @@ SELECT
   + (COUNT(DISTINCT (event_type, user_id)) FILTER (WHERE props IS NOT NULL))
   AS cardinality
 FROM events
+"""
+
+
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase event enriched with
+    the user's latest at-or-before view event — the canonical
+    time-series enrichment.  Union-and-window plan: ONE shuffle on
+    user_id, no range-join row explosion (the naive l.ts >= r.ts
+    theta-join is quadratic per key).  Right side pre-deduped per
+    (user, ts) so the match is deterministic; oracle is DuckDB's native
+    ASOF LEFT JOIN."""
+    from influxdb_iox_spark.operators.asof import asof_join
+
+    t = _load(spark, sf_dir, "events")
+    ev = t["events"]
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases, views, on=["user_id"], left_time="ts",
+        value_columns=["view_value"],
+    )
+    from influxdb_iox_spark.schema import ns_to_us_floor
+
+    return joined.select(
+        "user_id",
+        ns_to_us_floor("ts").alias("t_us"),
+        F.round("value", 4).alias("purchase_value"),
+        F.round("view_value_right", 4).alias("view_value"),
+        ns_to_us_floor("ts_right").alias("view_t_us"),
+    ).orderBy("user_id", "t_us", "purchase_value")
+
+
+SQL_EVENTS_ASOF = """
+WITH views AS (
+  SELECT user_id, ts, MAX(value) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+), p AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id,
+       epoch_us(p.ts) AS t_us,
+       ROUND(p.value, 4) AS purchase_value,
+       ROUND(v.view_value, 4) AS view_value,
+       epoch_us(v.ts) AS view_t_us
+FROM p ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY 1, 2, 3
 """
 
 
@@ -2905,6 +3027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # canonical tail -> lands inside the freshly-rotated window)
         "rpc_series_cardinality": q_series_cardinality,
         "uint64_exact": q_uint64_exact,
+        "events_asof_join": q_events_asof_join,
+        "tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,
         "doc_repetition_stats": q_doc_repetition,
         "doc_mixture_sample": q_mixture_sample,
         "doc_incremental_dedup": q_doc_incremental_dedup,
@@ -2962,6 +3086,8 @@ def oracle_sql() -> dict[str, str]:
         "rpc_tag_values": SQL_TAG_VALUES,
         "rpc_series_cardinality": SQL_SERIES_CARDINALITY,
         "uint64_exact": SQL_UINT64_EXACT,
+        "events_asof_join": SQL_EVENTS_ASOF,
+        "tpch_q21_waiting_supplier": SQL_TPCH_Q21,
         "doc_repetition_stats": SQL_DOC_REPETITION,
         "doc_mixture_sample": _sql_mixture_sample(),
         "doc_incremental_dedup": SQL_DOC_INCREMENTAL_DEDUP,

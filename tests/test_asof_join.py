@@ -1,0 +1,94 @@
+"""As-of join operator (operators/asof.py): semantics + plan shape.
+
+Semantics cross-checked against DuckDB's native ASOF JOIN in the
+oracle-paired query `events_asof_join`; these tests pin the fine grain —
+tie inclusivity, tolerance nulling, forward direction, unmatched rows —
+and that the plan is the single-shuffle union-window shape, not a
+range join.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from influxdb_iox_spark.operators.asof import asof_join
+
+
+@pytest.fixture()
+def quotes_trades(spark):
+    trades = spark.createDataFrame(
+        [("a", 100, 1.0), ("a", 200, 2.0), ("a", 205, 3.0), ("b", 150, 4.0), ("c", 50, 5.0)],
+        "sym string, ts long, price double",
+    )
+    quotes = spark.createDataFrame(
+        [("a", 90, 10.0), ("a", 200, 20.0), ("a", 210, 30.0), ("b", 160, 40.0)],
+        "sym string, ts long, bid double",
+    )
+    return trades, quotes
+
+
+def _rows(df):
+    return sorted(
+        (r.sym, r.ts, r.price, r.bid_right, r.ts_right) for r in df.collect()
+    )
+
+
+def test_backward_matches_latest_at_or_before(spark, quotes_trades):
+    trades, quotes = quotes_trades
+    out = asof_join(trades, quotes, on=["sym"], left_time="ts")
+    assert _rows(out) == [
+        ("a", 100, 1.0, 10.0, 90),
+        ("a", 200, 2.0, 20.0, 200),  # tie at 200 matches (inclusive)
+        ("a", 205, 3.0, 20.0, 200),
+        ("b", 150, 4.0, None, None),  # quote at 160 is after -> no match
+        ("c", 50, 5.0, None, None),  # key with no right rows
+    ]
+
+
+def test_forward_matches_earliest_at_or_after(spark, quotes_trades):
+    trades, quotes = quotes_trades
+    out = asof_join(trades, quotes, on=["sym"], left_time="ts", direction="forward")
+    assert _rows(out) == [
+        ("a", 100, 1.0, 20.0, 200),
+        ("a", 200, 2.0, 20.0, 200),  # tie inclusive forward too
+        ("a", 205, 3.0, 30.0, 210),
+        ("b", 150, 4.0, 40.0, 160),
+        ("c", 50, 5.0, None, None),
+    ]
+
+
+def test_tolerance_nulls_stale_matches(spark, quotes_trades):
+    trades, quotes = quotes_trades
+    out = asof_join(trades, quotes, on=["sym"], left_time="ts", tolerance=5)
+    got = _rows(out)
+    # trade a@100 matched quote@90 (staleness 10 > 5) -> nulled, row kept
+    assert ("a", 100, 1.0, None, None) in got
+    assert ("a", 200, 2.0, 20.0, 200) in got  # staleness 0 kept
+    assert len(got) == 5  # left join: every left row survives
+
+
+def test_distinct_time_columns_and_value_selection(spark):
+    left = spark.createDataFrame([("a", 100)], "k string, t_l long")
+    right = spark.createDataFrame(
+        [("a", 90, 7.0, "x")], "k string, t_r long, v double, junk string"
+    )
+    out = asof_join(
+        left, right, on=["k"], left_time="t_l", right_time="t_r",
+        value_columns=["v"],
+    )
+    [r] = out.collect()
+    assert (r.k, r.t_l, r.v_right, r.t_l_right) == ("a", 100, 7.0, 90)
+    assert "junk_right" not in out.columns
+
+
+def test_plan_is_single_shuffle_no_join(spark, quotes_trades):
+    """The scale property: ONE exchange on the key and a window — no
+    join node at all, so there is no range-condition row explosion and
+    neither side needs to be broadcastable."""
+    trades, quotes = quotes_trades
+    plan = asof_join(trades, quotes, on=["sym"], left_time="ts")._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan

@@ -191,7 +191,9 @@ def test_write_errors(client):
     _create(client, "badlp")
     with pytest.raises(Exception, match="InvalidArgument"):
         _write(client, "badlp", "not a valid line")
-    with pytest.raises(Exception, match="Unimplemented"):
+    # WriteEntry is implemented (r6, entry_fb codec); a garbage payload is
+    # InvalidArgument, never a crash
+    with pytest.raises(Exception, match="InvalidArgument"):
         client.call("write", "WriteEntry", {"db_name": "badlp", "entry": b"\x01"})
 
 
