@@ -66,11 +66,23 @@ def deduplicate(
     replays, and an arbitrary-but-deterministic order (monotonic id) is used.
     Output columns: tags…, fields…, time (canonical sorted-by-name projection
     is left to the caller).
+
+    PRECONDITION on the no-order fallback: ``monotonically_increasing_id``
+    is a function of partition LAYOUT, so it only yields a stable winner
+    when duplicate rows are exact replays (identical field values — any
+    winner is the same row) or when the caller replays the identical
+    plan.  Store scan paths always pass chunk-id order and never hit
+    this branch; it exists for ad-hoc inputs, asserted below rather than
+    assumed.
     """
     if field_columns is None:
         pk = set(tag_columns) | {time_column, order_column}
         field_columns = [c for c in df.columns if c not in pk]
     if order_column not in df.columns:
+        assert DEDUP_ORDER_COLUMN not in df.columns, (
+            "caller built a dedup-order column but passed a different "
+            "order_column name — ambiguous ordering"
+        )
         df = df.withColumn(order_column, F.monotonically_increasing_id())
 
     ord_col = F.col(order_column)

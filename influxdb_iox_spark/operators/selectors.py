@@ -20,6 +20,15 @@ Each helper returns a struct column — unpack with ``.getField("value")`` /
 ``.getField("time")`` or use the ``*_value`` / ``*_time`` convenience pair.
 Null handling matches the reference: rows with NULL value are ignored (the
 selector is over a field column; aggregates skip nulls via masking).
+
+DOCUMENTED DIVERGENCE (first/last at exactly-equal timestamps): when two
+rows share the extreme timestamp, the reference keeps whichever it
+encountered first — SCAN-ORDER nondeterministic (selectors.rs keeps the
+incumbent accumulator on ties).  The struct ordering here breaks the
+same tie by VALUE (lexicographic on (time, value)), which is strictly
+deterministic across partitionings and replays.  Any value the
+reference could return is one of the tied rows; this implementation
+always returns the same one.
 """
 
 from __future__ import annotations

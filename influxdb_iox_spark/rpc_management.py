@@ -470,22 +470,38 @@ class IoxServer:
                 json.dump({"next_seq": seq_after, "parked": parked}, f)
             os.replace(tmp, offset_path)
 
-        def _apply_one(seq: int, payload: str) -> int:
+        def _apply_one(seq: int, payload) -> int:
+            """Apply one payload: ``str`` = line protocol, ``bytes`` = a
+            flatbuffers Entry (the reference topic's native format) —
+            both land through the same schema-inference chunk write."""
             try:
-                parsed = list(parse_lines(payload))
-            except LineProtocolError as e:
+                if isinstance(payload, bytes):
+                    from influxdb_iox_spark.entry_fb import entry_to_parsed_lines
+                    from influxdb_iox_spark.sources.line_protocol import (
+                        render_line,
+                    )
+
+                    parsed = list(entry_to_parsed_lines(payload))
+                    lp = "\n".join(render_line(pl) for pl in parsed)
+                else:
+                    lp = payload
+                    parsed = list(parse_lines(payload))
+            except (LineProtocolError, ValueError, struct.error) as e:
                 qpath = os.path.join(
                     md.database.store.base_dir, "wb_quarantine.jsonl"
+                )
+                rendered = (
+                    payload.hex() if isinstance(payload, bytes) else payload
                 )
                 with open(qpath, "a") as qf:
                     qf.write(
                         json.dumps(
-                            {"seq": seq, "error": str(e), "payload": payload}
+                            {"seq": seq, "error": str(e), "payload": rendered}
                         )
                         + "\n"
                     )
                 return 0
-            self._apply_lp(md, db_name, payload, parsed)
+            self._apply_lp(md, db_name, lp, parsed)
             return len(parsed)
 
         # re-check parked sequences first: a slow producer may have

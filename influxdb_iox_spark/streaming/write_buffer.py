@@ -48,25 +48,53 @@ class FileWriteBuffer:
     def _seq_of(fname: str) -> int:
         return int(fname.split("-", 1)[0])
 
+    #: payload suffixes: text line protocol, binary flatbuffers Entry
+    #: (the reference topic's native payload — entry_fb decodes it)
+    _SUFFIXES = (".lp", ".entry")
+
+    def _is_payload(self, fname: str) -> bool:
+        return fname.endswith(self._SUFFIXES)
+
     def produce(self, db_name: str, lp_data: str, partition: int = 0) -> int:
-        """Append one payload; returns its sequence number."""
+        """Append one line-protocol payload; returns its sequence number."""
+        return self._produce(db_name, lp_data.encode(), ".lp", partition)
+
+    def produce_entry(self, db_name: str, entry: bytes, partition: int = 0) -> int:
+        """Append one flatbuffers Entry payload (the reference write
+        buffer's native format, entry/src/entry.fbs) — consumed
+        byte-for-byte by drain via the entry_fb codec."""
+        return self._produce(db_name, bytes(entry), ".entry", partition)
+
+    def _produce(self, db_name: str, data: bytes, suffix: str, partition: int) -> int:
+        """Claim a sequence, then fill it.  The CLAIM is always the
+        ``.lp`` name (one O_CREAT|O_EXCL path per sequence = a true CAS;
+        claiming per-suffix would let an .lp and an .entry producer both
+        win the same sequence).  A line-protocol payload renames onto the
+        claim; an Entry payload renames in as ``.entry`` — atomically,
+        with full content — and then drops the claim, so a ``.entry``
+        file is never observed torn or empty."""
         d = self._topic_dir(db_name)
-        existing = [self._seq_of(f) for f in os.listdir(d) if f.endswith(".lp")]
+        existing = [
+            self._seq_of(f) for f in os.listdir(d) if self._is_payload(f)
+        ]
         seq = (max(existing) + 1) if existing else 0
         while True:
-            path = os.path.join(d, f"{seq:012d}-{partition}.lp")
+            claim = os.path.join(d, f"{seq:012d}-{partition}.lp")
             try:
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 break
             except FileExistsError:  # racing producer claimed it
                 seq += 1
         try:
-            tmp = path + ".tmp"
-            with open(tmp, "w") as f:
-                f.write(lp_data)
+            final = os.path.join(d, f"{seq:012d}-{partition}{suffix}")
+            tmp = final + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(data)
                 f.flush()
                 os.fsync(f.fileno())
-            os.replace(tmp, path)
+            os.replace(tmp, final)
+            if final != claim:
+                os.unlink(claim)
         finally:
             os.close(fd)
         return seq
@@ -88,42 +116,74 @@ class FileWriteBuffer:
 
     def poll(
         self, db_name: str, from_seq: int = 0
-    ) -> tuple[list[tuple[int, str]], list[int]]:
-        """(payloads, parked): payloads as fetch(); parked lists the aged
-        empty claims that were passed over.  A producer paused longer than
-        the grace period can still rename its payload in AFTER the
-        consumer's offset has advanced past it, so skipping an aged claim
-        must not be final: the consumer records parked sequences and
-        re-checks them with read_one() on every later drain, preserving
-        the at-least-once contract (ordering is irrelevant downstream —
-        line-protocol apply is idempotent through primary-key dedup)."""
+    ) -> tuple[list[tuple[int, "str | bytes"]], list[int]]:
+        """(payloads, parked): payloads as fetch() — ``str`` for line
+        protocol, ``bytes`` for flatbuffers Entry payloads; parked lists
+        the aged empty claims that were passed over.  A producer paused
+        longer than the grace period can still rename its payload in
+        AFTER the consumer's offset has advanced past it, so skipping an
+        aged claim must not be final: the consumer records parked
+        sequences and re-checks them with read_one() on every later
+        drain, preserving the at-least-once contract (ordering is
+        irrelevant downstream — applying writes is idempotent through
+        primary-key dedup).
+
+        Per sequence, a content-bearing file wins over an empty ``.lp``
+        claim (an Entry producer drops its claim AFTER renaming the
+        ``.entry`` in, so both may coexist briefly)."""
         import time as _time
 
         d = self._topic_dir(db_name)
-        out: list[tuple[int, str]] = []
+        by_seq: dict[int, list[str]] = {}
+        for fname in os.listdir(d):
+            if self._is_payload(fname):
+                by_seq.setdefault(self._seq_of(fname), []).append(fname)
+        out: list[tuple[int, str | bytes]] = []
         parked: list[int] = []
-        for fname in sorted(f for f in os.listdir(d) if f.endswith(".lp")):
-            seq = self._seq_of(fname)
+        for seq in sorted(by_seq):
             if seq < from_seq:
                 continue
-            path = os.path.join(d, fname)
-            with open(path) as f:
-                payload = f.read()
-            if not payload:
-                if _time.time() - os.stat(path).st_mtime < self.PENDING_GRACE_SECONDS:
+            payload = self._read_seq(d, by_seq[seq])
+            if payload is None:
+                path = os.path.join(d, sorted(by_seq[seq])[0])
+                try:
+                    age = _time.time() - os.stat(path).st_mtime
+                except FileNotFoundError:
+                    continue  # claim dropped mid-poll: payload next poll
+                if age < self.PENDING_GRACE_SECONDS:
                     break  # in-flight producer; resume here next poll
                 parked.append(seq)  # aged claim — recheck on later drains
                 continue
             out.append((seq, payload))
         return out, parked
 
-    def read_one(self, db_name: str, seq: int) -> str | None:
+    @staticmethod
+    def _read_seq(d: str, fnames: list[str]) -> "str | bytes | None":
+        """One sequence's payload, or None when only an empty claim
+        exists.  ``.entry`` files are always complete (atomic rename);
+        an ``.lp`` may be the empty claim."""
+        for fname in fnames:
+            if fname.endswith(".entry"):
+                with open(os.path.join(d, fname), "rb") as f:
+                    return f.read()
+        for fname in fnames:
+            if fname.endswith(".lp"):
+                try:
+                    with open(os.path.join(d, fname)) as f:
+                        data = f.read()
+                except FileNotFoundError:
+                    continue  # entry producer dropped its claim mid-read
+                if data:
+                    return data
+        return None
+
+    def read_one(self, db_name: str, seq: int) -> "str | bytes | None":
         """The payload at one sequence, or None if still empty/absent —
         the parked-sequence recheck path."""
         d = self._topic_dir(db_name)
-        for fname in os.listdir(d):
-            if fname.endswith(".lp") and self._seq_of(fname) == seq:
-                with open(os.path.join(d, fname)) as f:
-                    payload = f.read()
-                return payload or None
-        return None
+        fnames = [
+            f
+            for f in os.listdir(d)
+            if self._is_payload(f) and self._seq_of(f) == seq
+        ]
+        return self._read_seq(d, fnames) if fnames else None

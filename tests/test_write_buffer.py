@@ -387,3 +387,70 @@ def test_crash_mid_apply_replay_matches_uninterrupted_twin(spark, tmp_path):
     assert len(rows(reborn)) == 4  # no duplicates from the replay
     # a second replay finds nothing left
     assert reborn.perform_replay() == {"rdb": 0}
+
+
+def test_entry_payloads_drain_like_line_protocol(spark, tmp_path):
+    """The reference topic's native payload is a flatbuffers Entry;
+    produce_entry + drain consumes it byte-for-byte through the entry_fb
+    codec, interleaved with line-protocol payloads in sequence order."""
+    from influxdb_iox_spark.entry_fb import lines_to_entry
+    from influxdb_iox_spark.sources.line_protocol import ParsedLine
+
+    buf_dir = str(tmp_path / "buf")
+    buf = FileWriteBuffer(buf_dir)
+    buf.produce("edb", "cpu,region=west user=1.0 100")
+    entry = lines_to_entry(
+        [
+            ParsedLine("cpu", {"region": "east"}, {"user": 2.0}, 200),
+            ParsedLine("mem", {}, {"free": 3}, 300),
+        ],
+        "pk",
+    )
+    assert buf.produce_entry("edb", entry) == 1
+    buf.produce("edb", "cpu,region=south user=4.0 400")
+
+    # the consumer surface returns str for lp, bytes for entries
+    payloads = buf.fetch("edb")
+    assert [s for s, _ in payloads] == [0, 1, 2]
+    assert isinstance(payloads[1][1], bytes)
+
+    srv = _server(spark, tmp_path, "b")
+    srv.create_database(_rules("edb", reading=buf_dir))
+    assert srv.drain_write_buffer("edb") == 4
+    db = srv.databases["edb"].database
+    cpu = sorted((r.region, r.user, r.time) for r in db.table("cpu").collect())
+    assert cpu == [("east", 2.0, 200), ("south", 4.0, 400), ("west", 1.0, 100)]
+    assert [(r.free, r.time) for r in db.table("mem").collect()] == [(3, 300)]
+    assert srv.drain_write_buffer("edb") == 0  # offset advanced past all
+
+
+def test_corrupt_entry_payload_is_quarantined(spark, tmp_path):
+    import json as _json
+
+    buf_dir = str(tmp_path / "buf")
+    buf = FileWriteBuffer(buf_dir)
+    buf.produce_entry("qdb", b"\x99\x88\x77")  # not a flatbuffer
+    buf.produce("qdb", "cpu user=1.0 100")
+
+    srv = _server(spark, tmp_path, "b")
+    srv.create_database(_rules("qdb", reading=buf_dir))
+    assert srv.drain_write_buffer("qdb") == 1  # the valid lp payload
+    qpath = os.path.join(
+        srv.databases["qdb"].database.store.base_dir, "wb_quarantine.jsonl"
+    )
+    with open(qpath) as f:
+        [q] = [_json.loads(ln) for ln in f]
+    assert q["seq"] == 0 and q["payload"] == "998877"
+
+
+def test_entry_claim_preference(tmp_path):
+    """An Entry producer drops its .lp claim AFTER renaming the .entry
+    in; a consumer seeing both must take the entry, and an entry file is
+    never treated as a pending claim."""
+    buf = FileWriteBuffer(str(tmp_path / "buf"))
+    seq = buf.produce_entry("t", b"ENTRYBYTES")
+    d = os.path.join(str(tmp_path / "buf"), "t")
+    # simulate the claim-not-yet-unlinked window
+    open(os.path.join(d, f"{seq:012d}-0.lp"), "w").close()
+    [(got_seq, payload)] = buf.fetch("t")
+    assert (got_seq, payload) == (seq, b"ENTRYBYTES")
