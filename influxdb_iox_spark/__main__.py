@@ -52,6 +52,11 @@ def _build_parser() -> argparse.ArgumentParser:
         "shuffle partitions, cloud-store credentials, …)",
     )
     run.add_argument(
+        "--grpc-h2-port", type=int, default=0,
+        help="port for the h2c gRPC endpoint (true tonic method paths, "
+        "no grpcio; 0 = ephemeral)",
+    )
+    run.add_argument(
         "--once", action="store_true",
         help="start, print ports, and return (tests); default blocks",
     )
@@ -137,11 +142,15 @@ def main(argv: list[str] | None = None, out=None) -> int:
         grpc = IoxGrpcServer(
             server, location=f"grpc://127.0.0.1:{args.grpc_port}"
         )
+        from influxdb_iox_spark.rpc_h2 import GrpcH2Server
+
+        grpc_h2 = GrpcH2Server(server, port=args.grpc_h2_port)
         http = IoxMultiDbHttpServer(server)
         http_port = http.start(port=args.http_port)
         print(
             json.dumps(
-                {"grpc_port": grpc.port, "http_port": http_port,
+                {"grpc_port": grpc.port, "grpc_h2_port": grpc_h2.port,
+                 "http_port": http_port,
                  "databases": sorted(server.databases),
                  "master": spark.conf.get("spark.master"),
                  "conf": {k: spark.conf.get(k) for k in sorted(extra_conf)}}
@@ -151,6 +160,7 @@ def main(argv: list[str] | None = None, out=None) -> int:
         )
         if args.once:
             http.stop()
+            grpc_h2.shutdown()
             grpc.shutdown()
             return 0
         try:  # pragma: no cover - interactive serve loop

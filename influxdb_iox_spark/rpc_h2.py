@@ -1,0 +1,367 @@
+"""gRPC endpoint on a plain HTTP/2 (h2c) socket — true service paths.
+
+The reference's tonic router serves
+``/influxdata.iox.management.v1.ManagementService/CreateDatabase`` et
+al. on one gRPC port (src/influxdb_ioxd/rpc.rs add_service × 4).  The
+Flight-DoAction transport (rpc_management.IoxGrpcServer) carries
+byte-compatible protobuf payloads but NOT the real method paths — a
+stock gRPC client cannot dial it.  This module closes that gap without
+grpcio: h2wire's RFC 7540/7541 implementation underneath, the gRPC
+HTTP/2 protocol mapping on top (grpc.io PROTOCOL-HTTP2):
+
+- request: POST ``/<package>.<Service>/<Method>``,
+  ``content-type: application/grpc``, body = length-prefixed messages
+  (1-byte compressed flag + u32 big-endian length per message)
+- response: HEADERS (:status 200) → DATA message frames → trailers
+  HEADERS carrying ``grpc-status`` / ``grpc-message`` (server-streaming
+  RPCs emit several DATA messages — the storage Read* RPCs)
+- errors: trailers with the canonical numeric status codes
+
+Dispatch reuses the exact handler tables the Flight transport uses
+(rpc_management.route_action → ManagementService / WriteService /
+OperationsService / StorageService), so the two transports can never
+diverge in behavior — only in framing.
+
+The in-module GrpcH2Client exists for tests and tooling; it
+Huffman-encodes its header literals specifically so the server's HPACK
+Huffman decode path is exercised by every call.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+from urllib.parse import unquote
+
+from influxdb_iox_spark import h2wire as h2
+from influxdb_iox_spark.protowire import decode_message, encode_message
+
+#: gRPC numeric status codes (grpc.io statuscodes.md)
+GRPC_STATUS = {
+    "OK": 0,
+    "InvalidArgument": 3,
+    "DeadlineExceeded": 4,
+    "NotFound": 5,
+    "AlreadyExists": 6,
+    "PermissionDenied": 7,
+    "ResourceExhausted": 8,
+    "FailedPrecondition": 9,
+    "Aborted": 10,
+    "Unimplemented": 12,
+    "Internal": 13,
+    "Unavailable": 14,
+}
+
+
+def frame_grpc_messages(messages) -> bytes:
+    return b"".join(
+        b"\x00" + struct.pack(">I", len(m)) + m for m in messages
+    )
+
+
+def parse_grpc_messages(body: bytes) -> list[bytes]:
+    out = []
+    pos = 0
+    while pos < len(body):
+        if body[pos] != 0:
+            raise ValueError("compressed gRPC messages are not supported")
+        (n,) = struct.unpack_from(">I", body, pos + 1)
+        out.append(body[pos + 5 : pos + 5 + n])
+        pos += 5 + n
+    return out
+
+
+class GrpcH2Server:
+    """Threaded h2c gRPC server over an IoxServer's live services."""
+
+    def __init__(self, iox_server, host: str = "127.0.0.1", port: int = 0):
+        from influxdb_iox_spark.rpc_management import (
+            ManagementService,
+            OperationsService,
+            WriteService,
+            _LiveStorageService,
+        )
+
+        self.iox = iox_server
+        self.services = {
+            "management": ManagementService(iox_server),
+            "write": WriteService(iox_server),
+            "operations": OperationsService(iox_server),
+        }
+        self.storage = _LiveStorageService(iox_server)
+        self._sock = socket.create_server((host, port))
+        self.port = self._sock.getsockname()[1]
+        self._closing = False
+        self._thread = threading.Thread(target=self._accept_loop, daemon=True)
+        self._thread.start()
+
+    def shutdown(self) -> None:
+        self._closing = True
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+    # -- connection handling ------------------------------------------------
+    def _accept_loop(self) -> None:
+        while not self._closing:
+            try:
+                conn, _ = self._sock.accept()
+            except OSError:
+                return
+            threading.Thread(
+                target=self._serve_connection, args=(conn,), daemon=True
+            ).start()
+
+    def _serve_connection(self, conn: socket.socket) -> None:
+        try:
+            preface = h2.read_exact(conn, len(h2.CONNECTION_PREFACE))
+            if preface != h2.CONNECTION_PREFACE:
+                conn.close()
+                return
+            lock = threading.Lock()  # serialize frame writes per connection
+
+            def send(ftype, flags, sid, payload=b""):
+                with lock:
+                    conn.sendall(h2.encode_frame(ftype, flags, sid, payload))
+
+            send(h2.SETTINGS, 0, 0)
+            # a generous connection window so we never have to wait for
+            # client WINDOW_UPDATEs on uploads
+            send(h2.WINDOW_UPDATE, 0, 0, struct.pack(">I", 1 << 24))
+            decoder = h2.HpackDecoder()
+            encoder = h2.HpackEncoder()
+            streams: dict[int, dict] = {}
+            while True:
+                ftype, flags, sid, payload = h2.read_frame(conn)
+                if ftype == h2.SETTINGS:
+                    if not flags & h2.FLAG_ACK:
+                        send(h2.SETTINGS, h2.FLAG_ACK, 0)
+                elif ftype == h2.PING:
+                    if not flags & h2.FLAG_ACK:
+                        send(h2.PING, h2.FLAG_ACK, 0, payload)
+                elif ftype == h2.GOAWAY:
+                    return
+                elif ftype in (h2.WINDOW_UPDATE, h2.PRIORITY, h2.RST_STREAM):
+                    if ftype == h2.RST_STREAM:
+                        streams.pop(sid, None)
+                elif ftype in (h2.HEADERS, h2.CONTINUATION):
+                    st = streams.setdefault(
+                        sid, {"hblock": b"", "data": b"", "hdone": False}
+                    )
+                    block = (
+                        h2.strip_padding_priority(flags, payload, h2.HEADERS)
+                        if ftype == h2.HEADERS
+                        else payload
+                    )
+                    st["hblock"] += block
+                    if flags & h2.FLAG_END_HEADERS:
+                        # HPACK state is CONNECTION-wide: decode in order
+                        st["headers"] = decoder.decode(st["hblock"])
+                        st["hdone"] = True
+                    if flags & h2.FLAG_END_STREAM:
+                        st["closed"] = True
+                    if st.get("closed") and st["hdone"]:
+                        self._dispatch(send, encoder, sid, st)
+                        streams.pop(sid, None)
+                elif ftype == h2.DATA:
+                    st = streams.get(sid)
+                    if st is None:
+                        continue
+                    st["data"] += h2.strip_padding_priority(
+                        flags, payload, h2.DATA
+                    )
+                    # replenish flow-control windows
+                    if payload:
+                        send(
+                            h2.WINDOW_UPDATE, 0, 0, struct.pack(">I", len(payload))
+                        )
+                        send(
+                            h2.WINDOW_UPDATE, 0, sid, struct.pack(">I", len(payload))
+                        )
+                    if flags & h2.FLAG_END_STREAM:
+                        st["closed"] = True
+                        if st["hdone"]:
+                            self._dispatch(send, encoder, sid, st)
+                            streams.pop(sid, None)
+        except (ConnectionError, OSError, ValueError):
+            pass
+        finally:
+            try:
+                conn.close()
+            except OSError:
+                pass
+
+    # -- gRPC dispatch ------------------------------------------------------
+    def _dispatch(self, send, encoder, sid: int, st: dict) -> None:
+        from influxdb_iox_spark.rpc_management import (
+            _SHORT_SERVICE,
+            DATA_PLANE_SERVICES,
+            GrpcStatusError,
+            route_action,
+        )
+        from influxdb_iox_spark.rpc_storage import StorageRpcError
+
+        def trailers_only(code: int, message: str) -> None:
+            block = encoder.encode(
+                [
+                    (":status", "200"),
+                    ("content-type", "application/grpc"),
+                    ("grpc-status", str(code)),
+                    ("grpc-message", message.replace("\n", " ")),
+                ]
+            )
+            send(
+                h2.HEADERS, h2.FLAG_END_HEADERS | h2.FLAG_END_STREAM, sid, block
+            )
+
+        headers = dict(st.get("headers") or [])
+        path = unquote(headers.get(":path", ""))
+        try:
+            service, method = route_action(path.lstrip("/"))
+            messages = parse_grpc_messages(st["data"])
+            request = messages[0] if messages else b""
+            if service == "storage":
+                if not self.iox.serving:
+                    raise GrpcStatusError(
+                        "Unavailable", "server is not serving data plane"
+                    )
+                responses = list(self.storage.call(method, request))
+            else:
+                if service in DATA_PLANE_SERVICES and not self.iox.serving:
+                    raise GrpcStatusError(
+                        "Unavailable", "server is not serving data plane"
+                    )
+                methods = _SHORT_SERVICE[service]
+                if method not in methods:
+                    raise GrpcStatusError(
+                        "Unimplemented",
+                        f"unknown method {method!r} of {service}",
+                    )
+                req_schema, resp_schema = methods[method]
+                resp = getattr(self.services[service], method)(
+                    decode_message(request, req_schema)
+                )
+                responses = [encode_message(resp, resp_schema)]
+        except GrpcStatusError as e:
+            trailers_only(GRPC_STATUS.get(e.code, 2), str(e))
+            return
+        except StorageRpcError as e:
+            trailers_only(GRPC_STATUS["InvalidArgument"], str(e))
+            return
+        except ValueError as e:
+            trailers_only(GRPC_STATUS["Internal"], str(e))
+            return
+
+        head = encoder.encode(
+            [(":status", "200"), ("content-type", "application/grpc")]
+        )
+        send(h2.HEADERS, h2.FLAG_END_HEADERS, sid, head)
+        body = frame_grpc_messages(responses)
+        # respect the peer's default 16k max frame size
+        for off in range(0, len(body), 16384):
+            send(h2.DATA, 0, sid, body[off : off + 16384])
+        trailers = encoder.encode([("grpc-status", "0")])
+        send(h2.HEADERS, h2.FLAG_END_HEADERS | h2.FLAG_END_STREAM, sid, trailers)
+
+
+class GrpcH2Client:
+    """Minimal gRPC h2c client (tests/tooling).  One connection, calls
+    serialized; header literals are HUFFMAN-coded so every call
+    exercises the server's HPACK Huffman decoder."""
+
+    def __init__(self, port: int, host: str = "127.0.0.1"):
+        self._sock = socket.create_connection((host, port))
+        self._sock.sendall(h2.CONNECTION_PREFACE)
+        self._sock.sendall(h2.encode_frame(h2.SETTINGS, 0, 0, b""))
+        self._decoder = h2.HpackDecoder()
+        self._encoder = h2.HpackEncoder(huffman=True)
+        self._next_stream = 1
+        self._authority = f"{host}:{port}"
+        self._lock = threading.Lock()
+
+    def close(self) -> None:
+        try:
+            self._sock.sendall(
+                h2.encode_frame(h2.GOAWAY, 0, 0, struct.pack(">II", 0, 0))
+            )
+            self._sock.close()
+        except OSError:
+            pass
+
+    def call_raw(self, path: str, request: bytes) -> tuple[list[bytes], dict]:
+        """(response messages, trailers incl. grpc-status)."""
+        with self._lock:
+            sid = self._next_stream
+            self._next_stream += 2
+            block = self._encoder.encode(
+                [
+                    (":method", "POST"),
+                    (":scheme", "http"),
+                    (":path", path),
+                    (":authority", self._authority),
+                    ("content-type", "application/grpc"),
+                    ("te", "trailers"),
+                ]
+            )
+            self._sock.sendall(
+                h2.encode_frame(h2.HEADERS, h2.FLAG_END_HEADERS, sid, block)
+            )
+            self._sock.sendall(
+                h2.encode_frame(
+                    h2.DATA,
+                    h2.FLAG_END_STREAM,
+                    sid,
+                    frame_grpc_messages([request]),
+                )
+            )
+            body = b""
+            trailers: dict = {}
+            saw_headers = False
+            while True:
+                ftype, flags, fsid, payload = h2.read_frame(self._sock)
+                if ftype == h2.SETTINGS:
+                    if not flags & h2.FLAG_ACK:
+                        self._sock.sendall(
+                            h2.encode_frame(h2.SETTINGS, h2.FLAG_ACK, 0, b"")
+                        )
+                    continue
+                if ftype == h2.PING and not flags & h2.FLAG_ACK:
+                    self._sock.sendall(
+                        h2.encode_frame(h2.PING, h2.FLAG_ACK, 0, payload)
+                    )
+                    continue
+                if fsid != sid:
+                    continue
+                if ftype == h2.HEADERS:
+                    hdrs = dict(
+                        self._decoder.decode(
+                            h2.strip_padding_priority(flags, payload, h2.HEADERS)
+                        )
+                    )
+                    if saw_headers or flags & h2.FLAG_END_STREAM:
+                        trailers.update(hdrs)
+                    else:
+                        trailers.update(
+                            {k: v for k, v in hdrs.items() if k.startswith("grpc-")}
+                        )
+                    saw_headers = True
+                    if flags & h2.FLAG_END_STREAM:
+                        break
+                elif ftype == h2.DATA:
+                    body += h2.strip_padding_priority(flags, payload, h2.DATA)
+                    if flags & h2.FLAG_END_STREAM:
+                        break
+            return parse_grpc_messages(body), trailers
+
+    def call(self, path: str, request: dict, req_schema, resp_schema) -> dict:
+        """Unary convenience: encode/decode via protowire schemas; raises
+        on non-zero grpc-status with the server's message."""
+        msgs, trailers = self.call_raw(path, encode_message(request, req_schema))
+        status = int(trailers.get("grpc-status", "2"))
+        if status != 0:
+            raise RuntimeError(
+                f"grpc-status {status}: {trailers.get('grpc-message', '')}"
+            )
+        return decode_message(msgs[0], resp_schema) if msgs else {}

@@ -10,6 +10,12 @@ body is the protobuf-encoded request (byte-compatible with the reference's
 protos via the protowire codec); each streamed response message comes back
 as one Flight Result payload, mirroring tonic's `stream ReadResponse`.
 
+The TRUE tonic method paths
+(``/influxdata.platform.storage.Storage/ReadFilter`` …) are also served,
+by ``rpc_h2.GrpcH2Server`` — a hand-rolled h2c gRPC endpoint (RFC
+7540/7541 in ``h2wire.py``) dispatching to this same StorageService, so
+the wire surface a stock storage client dials exists without grpcio.
+
 Semantics ported from service.rs:
 
 - db routing: Any-wrapped ReadSource → org/bucket ids →
