@@ -40,6 +40,10 @@ HEADLINE = [
     # even-doc index + anti-join the odd-doc batch — the continuous-ingest
     # accept step a 100 TB pipeline runs per shard)
     "doc_incremental_dedup",
+    # round-6 additions: the union-and-window as-of join and the
+    # distinct-count Q21 shape
+    "events_asof_join",
+    "tpch_q21_waiting_supplier",
 ]
 
 
@@ -164,6 +168,8 @@ def main() -> None:
                             "simhash_near_dup",
                             "corpus_ngram_topk",
                             "doc_incremental_dedup",
+                            "events_asof_join",
+                            "tpch_q21_waiting_supplier",
                         )
                     ),
                     3,
