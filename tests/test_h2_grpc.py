@@ -232,3 +232,36 @@ def test_storage_streaming_over_true_path(h2_server):
 
     caps, t2 = c.call_raw(f"/{STORAGE}/Capabilities", b"")
     assert int(t2["grpc-status"]) == 0 and caps
+
+
+# -- property-based robustness ----------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_bytes_strat = st.binary(min_size=0, max_size=200)
+_header_name = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Nd"), whitelist_characters="-"),
+    min_size=1,
+    max_size=20,
+)
+_header_value = st.text(min_size=0, max_size=50)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_bytes_strat)
+def test_huffman_roundtrip_any_bytes(data):
+    assert huffman_decode(huffman_encode(data)) == data
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(_header_name, _header_value), min_size=0, max_size=12))
+def test_hpack_roundtrip_any_headers(headers):
+    for huff in (False, True):
+        assert HpackDecoder().decode(HpackEncoder(huff).encode(headers)) == headers
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=0, max_value=2**40), st.integers(min_value=1, max_value=8))
+def test_prefix_int_roundtrip(value, prefix):
+    data = _encode_int(value, prefix)
+    assert _decode_int(data, 0, prefix) == (value, len(data))
