@@ -120,71 +120,7 @@ class GrpcH2Server:
             if preface != h2.CONNECTION_PREFACE:
                 conn.close()
                 return
-            lock = threading.Lock()  # serialize frame writes per connection
-
-            def send(ftype, flags, sid, payload=b""):
-                with lock:
-                    conn.sendall(h2.encode_frame(ftype, flags, sid, payload))
-
-            send(h2.SETTINGS, 0, 0)
-            # a generous connection window so we never have to wait for
-            # client WINDOW_UPDATEs on uploads
-            send(h2.WINDOW_UPDATE, 0, 0, struct.pack(">I", 1 << 24))
-            decoder = h2.HpackDecoder()
-            encoder = h2.HpackEncoder()
-            streams: dict[int, dict] = {}
-            while True:
-                ftype, flags, sid, payload = h2.read_frame(conn)
-                if ftype == h2.SETTINGS:
-                    if not flags & h2.FLAG_ACK:
-                        send(h2.SETTINGS, h2.FLAG_ACK, 0)
-                elif ftype == h2.PING:
-                    if not flags & h2.FLAG_ACK:
-                        send(h2.PING, h2.FLAG_ACK, 0, payload)
-                elif ftype == h2.GOAWAY:
-                    return
-                elif ftype in (h2.WINDOW_UPDATE, h2.PRIORITY, h2.RST_STREAM):
-                    if ftype == h2.RST_STREAM:
-                        streams.pop(sid, None)
-                elif ftype in (h2.HEADERS, h2.CONTINUATION):
-                    st = streams.setdefault(
-                        sid, {"hblock": b"", "data": b"", "hdone": False}
-                    )
-                    block = (
-                        h2.strip_padding_priority(flags, payload, h2.HEADERS)
-                        if ftype == h2.HEADERS
-                        else payload
-                    )
-                    st["hblock"] += block
-                    if flags & h2.FLAG_END_HEADERS:
-                        # HPACK state is CONNECTION-wide: decode in order
-                        st["headers"] = decoder.decode(st["hblock"])
-                        st["hdone"] = True
-                    if flags & h2.FLAG_END_STREAM:
-                        st["closed"] = True
-                    if st.get("closed") and st["hdone"]:
-                        self._dispatch(send, encoder, sid, st)
-                        streams.pop(sid, None)
-                elif ftype == h2.DATA:
-                    st = streams.get(sid)
-                    if st is None:
-                        continue
-                    st["data"] += h2.strip_padding_priority(
-                        flags, payload, h2.DATA
-                    )
-                    # replenish flow-control windows
-                    if payload:
-                        send(
-                            h2.WINDOW_UPDATE, 0, 0, struct.pack(">I", len(payload))
-                        )
-                        send(
-                            h2.WINDOW_UPDATE, 0, sid, struct.pack(">I", len(payload))
-                        )
-                    if flags & h2.FLAG_END_STREAM:
-                        st["closed"] = True
-                        if st["hdone"]:
-                            self._dispatch(send, encoder, sid, st)
-                            streams.pop(sid, None)
+            _H2Connection(self, conn).run()
         except (ConnectionError, OSError, ValueError):
             pass
         finally:
@@ -194,7 +130,7 @@ class GrpcH2Server:
                 pass
 
     # -- gRPC dispatch ------------------------------------------------------
-    def _dispatch(self, send, encoder, sid: int, st: dict) -> None:
+    def _dispatch(self, cx: "_H2Connection", sid: int, st: dict) -> None:
         from influxdb_iox_spark.rpc_management import (
             _SHORT_SERVICE,
             DATA_PLANE_SERVICES,
@@ -204,7 +140,7 @@ class GrpcH2Server:
         from influxdb_iox_spark.rpc_storage import StorageRpcError
 
         def trailers_only(code: int, message: str) -> None:
-            block = encoder.encode(
+            block = cx.encoder.encode(
                 [
                     (":status", "200"),
                     ("content-type", "application/grpc"),
@@ -212,7 +148,7 @@ class GrpcH2Server:
                     ("grpc-message", message.replace("\n", " ")),
                 ]
             )
-            send(
+            cx.send(
                 h2.HEADERS, h2.FLAG_END_HEADERS | h2.FLAG_END_STREAM, sid, block
             )
 
@@ -254,16 +190,139 @@ class GrpcH2Server:
             trailers_only(GRPC_STATUS["Internal"], str(e))
             return
 
-        head = encoder.encode(
+        head = cx.encoder.encode(
             [(":status", "200"), ("content-type", "application/grpc")]
         )
-        send(h2.HEADERS, h2.FLAG_END_HEADERS, sid, head)
-        body = frame_grpc_messages(responses)
-        # respect the peer's default 16k max frame size
-        for off in range(0, len(body), 16384):
-            send(h2.DATA, 0, sid, body[off : off + 16384])
-        trailers = encoder.encode([("grpc-status", "0")])
-        send(h2.HEADERS, h2.FLAG_END_HEADERS | h2.FLAG_END_STREAM, sid, trailers)
+        cx.send(h2.HEADERS, h2.FLAG_END_HEADERS, sid, head)
+        cx.send_data(sid, frame_grpc_messages(responses))
+        trailers = cx.encoder.encode([("grpc-status", "0")])
+        cx.send(h2.HEADERS, h2.FLAG_END_HEADERS | h2.FLAG_END_STREAM, sid, trailers)
+
+
+#: SETTINGS identifiers (RFC 7540 §6.5.2)
+_SETTINGS_INITIAL_WINDOW_SIZE = 0x4
+_SETTINGS_MAX_FRAME_SIZE = 0x5
+
+
+class _H2Connection:
+    """One accepted connection: frame loop, HPACK state, and SEND-side
+    flow control — DATA honors the client's connection/stream windows
+    and SETTINGS_MAX_FRAME_SIZE, blocking (by pumping frames, so
+    WINDOW_UPDATE / PING keep flowing) when a window is exhausted."""
+
+    def __init__(self, server: GrpcH2Server, sock: socket.socket):
+        self.server = server
+        self.sock = sock
+        self.lock = threading.Lock()
+        self.decoder = h2.HpackDecoder()
+        self.encoder = h2.HpackEncoder()
+        self.streams: dict[int, dict] = {}
+        self.max_frame = 16384
+        self.init_window = h2.DEFAULT_WINDOW
+        self.send_windows: dict[int, int] = {0: h2.DEFAULT_WINDOW}
+        self.closed = False
+
+    def send(self, ftype: int, flags: int, sid: int, payload: bytes = b"") -> None:
+        with self.lock:
+            self.sock.sendall(h2.encode_frame(ftype, flags, sid, payload))
+
+    def send_data(self, sid: int, body: bytes) -> None:
+        pos = 0
+        while pos < len(body):
+            avail = min(
+                self.send_windows.get(0, 0),
+                self.send_windows.get(sid, self.init_window),
+                self.max_frame,
+            )
+            if avail <= 0:
+                # exhausted a window: pump frames until the client grants
+                # more (its WINDOW_UPDATEs arrive on this same loop)
+                self._handle_frame(*h2.read_frame(self.sock))
+                if self.closed:
+                    raise ConnectionError("peer went away mid-response")
+                continue
+            chunk = body[pos : pos + avail]
+            self.send(h2.DATA, 0, sid, chunk)
+            self.send_windows[0] = self.send_windows.get(0, 0) - len(chunk)
+            self.send_windows[sid] = (
+                self.send_windows.get(sid, self.init_window) - len(chunk)
+            )
+            pos += len(chunk)
+
+    def run(self) -> None:
+        self.send(h2.SETTINGS, 0, 0)
+        # a generous connection window so client uploads never stall
+        self.send(h2.WINDOW_UPDATE, 0, 0, struct.pack(">I", 1 << 24))
+        while not self.closed:
+            self._handle_frame(*h2.read_frame(self.sock))
+
+    def _apply_settings(self, payload: bytes) -> None:
+        for off in range(0, len(payload) - 5, 6):
+            ident, value = struct.unpack_from(">HI", payload, off)
+            if ident == _SETTINGS_MAX_FRAME_SIZE:
+                self.max_frame = max(16384, min(value, 1 << 24))
+            elif ident == _SETTINGS_INITIAL_WINDOW_SIZE:
+                # RFC 7540 §6.9.2: adjust every open stream's window by
+                # the delta; the connection window is NOT affected
+                delta = value - self.init_window
+                self.init_window = value
+                for sid in list(self.send_windows):
+                    if sid != 0:
+                        self.send_windows[sid] += delta
+
+    def _handle_frame(self, ftype: int, flags: int, sid: int, payload: bytes) -> None:
+        if ftype == h2.SETTINGS:
+            if not flags & h2.FLAG_ACK:
+                self._apply_settings(payload)
+                self.send(h2.SETTINGS, h2.FLAG_ACK, 0)
+        elif ftype == h2.PING:
+            if not flags & h2.FLAG_ACK:
+                self.send(h2.PING, h2.FLAG_ACK, 0, payload)
+        elif ftype == h2.GOAWAY:
+            self.closed = True
+        elif ftype == h2.WINDOW_UPDATE:
+            (increment,) = struct.unpack_from(">I", payload, 0)
+            self.send_windows[sid] = (
+                self.send_windows.get(sid, self.init_window if sid else 0)
+                + (increment & 0x7FFFFFFF)
+            )
+        elif ftype == h2.RST_STREAM:
+            self.streams.pop(sid, None)
+        elif ftype == h2.PRIORITY:
+            pass
+        elif ftype in (h2.HEADERS, h2.CONTINUATION):
+            st = self.streams.setdefault(
+                sid, {"hblock": b"", "data": b"", "hdone": False}
+            )
+            self.send_windows.setdefault(sid, self.init_window)
+            block = (
+                h2.strip_padding_priority(flags, payload, h2.HEADERS)
+                if ftype == h2.HEADERS
+                else payload
+            )
+            st["hblock"] += block
+            if flags & h2.FLAG_END_HEADERS:
+                # HPACK state is CONNECTION-wide: decode blocks in order
+                st["headers"] = self.decoder.decode(st["hblock"])
+                st["hdone"] = True
+            if flags & h2.FLAG_END_STREAM:
+                st["closed"] = True
+            if st.get("closed") and st["hdone"]:
+                self.server._dispatch(self, sid, st)
+                self.streams.pop(sid, None)
+        elif ftype == h2.DATA:
+            st = self.streams.get(sid)
+            if st is None:
+                return
+            st["data"] += h2.strip_padding_priority(flags, payload, h2.DATA)
+            if payload:  # replenish the client's upload windows
+                self.send(h2.WINDOW_UPDATE, 0, 0, struct.pack(">I", len(payload)))
+                self.send(h2.WINDOW_UPDATE, 0, sid, struct.pack(">I", len(payload)))
+            if flags & h2.FLAG_END_STREAM:
+                st["closed"] = True
+                if st["hdone"]:
+                    self.server._dispatch(self, sid, st)
+                    self.streams.pop(sid, None)
 
 
 class GrpcH2Client:
@@ -351,6 +410,16 @@ class GrpcH2Client:
                         break
                 elif ftype == h2.DATA:
                     body += h2.strip_padding_priority(flags, payload, h2.DATA)
+                    if payload:  # grant the server more send window
+                        for wsid in (0, sid):
+                            self._sock.sendall(
+                                h2.encode_frame(
+                                    h2.WINDOW_UPDATE,
+                                    0,
+                                    wsid,
+                                    struct.pack(">I", len(payload)),
+                                )
+                            )
                     if flags & h2.FLAG_END_STREAM:
                         break
             return parse_grpc_messages(body), trailers

@@ -265,3 +265,41 @@ def test_hpack_roundtrip_any_headers(headers):
 def test_prefix_int_roundtrip(value, prefix):
     data = _encode_int(value, prefix)
     assert _decode_int(data, 0, prefix) == (value, len(data))
+
+
+def test_large_streaming_response_respects_flow_control(h2_server):
+    """A response far beyond the client's default 65535-byte window:
+    the server must chunk DATA to the granted windows and progress only
+    as the client's WINDOW_UPDATEs arrive — proven by simply receiving
+    a >64 KB ReadFilter stream intact."""
+    from influxdb_iox_spark import management_proto as mp
+    from influxdb_iox_spark import storage_proto as sp
+    from influxdb_iox_spark.protowire import encode_message
+
+    iox, _, c = h2_server
+    org, bucket = 0x3333, 0x4444
+    db = f"{org:016x}_{bucket:016x}"
+    c.call(
+        f"/{MGMT}/CreateDatabase",
+        {"rules": {"name": db, "partition_template": {"parts": [{"table": {}}]}}},
+        mp.CREATE_DATABASE_REQUEST,
+        mp.CREATE_DATABASE_RESPONSE,
+    )
+    lines = "\n".join(
+        f"m,tag=t{i % 50} value={i}.5 {1000 + i}" for i in range(8000)
+    )
+    c.call(
+        f"/{WRITE}/Write",
+        {"db_name": db, "lp_data": lines},
+        mp.WRITE_REQUEST,
+        mp.WRITE_RESPONSE,
+    )
+    src = sp.make_read_source(org, bucket, partition_id=0xFFFFFFFF)
+    req = encode_message(
+        {"read_source": src, "range": {"start": 0, "end": 10**15}},
+        sp.READ_FILTER_REQUEST,
+    )
+    msgs, trailers = c.call_raw(f"/{STORAGE}/ReadFilter", req)
+    assert int(trailers["grpc-status"]) == 0
+    total = sum(len(m) for m in msgs)
+    assert total > 65535, f"response only {total} bytes — not a window test"
