@@ -754,3 +754,120 @@ def test_read_filter_pred_using_regex_not_match(spark, tmp_path):
     assert [(r["reading"], r["temp"], r["time"]) for r in o2[0].rows] == [
         (51.0, 53.4, 250)
     ]
+
+
+# -- TwoMeasurementsMultiSeries goldens (read_filter.rs:14-35 fixture) -------
+
+
+H2O_MS = IoxSchema.build(
+    ["state", "city"], {"temp": InfluxColumnType.FIELD_FLOAT}
+)
+O2_MS = IoxSchema.build(
+    ["state", "city"],
+    {"temp": InfluxColumnType.FIELD_FLOAT, "reading": InfluxColumnType.FIELD_FLOAT},
+)
+
+
+@pytest.fixture(scope="module")
+def multi_series_db(spark, tmp_path_factory):
+    """The reference's exact TwoMeasurementsMultiSeries line protocol
+    (read_filter.rs:14-35), including its deliberate out-of-series-order
+    insertion."""
+    from influxdb_iox_spark.streaming.ingest import LineProtocolIngest
+
+    store = TableStore(str(tmp_path_factory.mktemp("msdb")))
+    lines = [
+        "h2o,state=CA,city=LA temp=90.0 200",      # swapped rows, as in
+        "h2o,state=MA,city=Boston temp=72.4 250",  # scenarios lp_lines.swap
+        "h2o,state=MA,city=Boston temp=70.4 100",
+        "h2o,state=CA,city=LA temp=90.0 350",
+        "o2,state=MA,city=Boston temp=53.4,reading=51 250",
+        "o2,state=MA,city=Boston temp=50.4,reading=50 100",
+    ]
+    d = Database("msdb", store, spark)
+    for table, schema in (("h2o", H2O_MS), ("o2", O2_MS)):
+        d.register_table(table, schema)
+        own = [ln for ln in lines if ln.startswith(table + ",")]
+        LineProtocolIngest(store, table, schema).ingest_lines_df(
+            spark.createDataFrame([(ln,) for ln in own], ["value"])
+        )
+    return d
+
+
+def test_read_filter_data_filter_eq_and_noteq(multi_series_db):
+    """read_filter.rs:138-176: a time range + state=CA keeps exactly the
+    LA@200 row; state!=MA yields the SAME result (golden twins)."""
+    for expr in (F.col("state") == "CA", F.col("state") != "MA"):
+        pred = Predicate().with_range(200, 300).with_expr(expr)
+        rows = [
+            (r.city, r.state, r.temp, r.time)
+            for r in read_filter(multi_series_db, "h2o", pred).collect()
+        ]
+        assert rows == [("LA", "CA", 90.0, 200)]
+
+
+def test_read_filter_data_filter_fields(multi_series_db):
+    """read_filter.rs:179-219: a `_field` restriction to other_temp keeps
+    only tables/rows carrying that field; here NO table has other_temp, so
+    both come back empty with tag+time schema (the multi-measurement
+    projection rule)."""
+    pred = Predicate().fields("other_temp")
+    pred.with_expr(F.col("state") == "MA")
+    for table in ("h2o", "o2"):
+        out = read_filter(multi_series_db, table, pred)
+        assert out.count() == 0
+        assert "temp" not in out.columns  # field projection applied
+
+
+def test_read_filter_regex_match_golden(multi_series_db):
+    """read_filter.rs:288-314: regex match 'C.*' on state within
+    [200,300) keeps exactly the CA row."""
+    pred = Predicate().with_range(200, 300).with_expr(F.col("state").rlike("C.*"))
+    rows = [
+        (r.city, r.state, r.temp, r.time)
+        for r in read_filter(multi_series_db, "h2o", pred).collect()
+    ]
+    assert rows == [("LA", "CA", 90.0, 200)]
+
+
+def test_read_filter_regex_not_match_golden(multi_series_db):
+    """read_filter.rs:317-359: not-match 'C.*' keeps the MA rows in both
+    measurements."""
+    pred = Predicate().with_range(200, 300).with_expr(~F.col("state").rlike("C.*"))
+    h2o = [
+        (r.city, r.state, r.temp, r.time)
+        for r in read_filter(multi_series_db, "h2o", pred).collect()
+    ]
+    assert h2o == [("Boston", "MA", 72.4, 250)]
+    o2 = [
+        (r.city, r.state, r.reading, r.temp, r.time)
+        for r in read_filter(multi_series_db, "o2", pred).collect()
+    ]
+    assert o2 == [("Boston", "MA", 51.0, 53.4, 250)]
+
+
+def test_read_filter_or_over_missing_column_returns_correct_rows(multi_series_db):
+    """read_filter.rs:362-415 test_read_filter_data_pred_unsupported_in_scan
+    — with a twist the reference itself documents: its expected output is
+    KNOWN INCORRECT (influxdb_iox issue #883 — `(state='CA') OR
+    (reading>0)` drops the h2o CA rows because the pushdown can't handle
+    the cross-column OR).  Our schema-aware NULL substitution evaluates
+    the OR with real three-valued logic, so the h2o CA rows ARE returned —
+    asserting the CORRECT semantics, divergence documented here."""
+    pred = Predicate().with_expr(
+        (F.col("state") == "CA") | (F.col("reading") > 0)
+    )
+    h2o = [
+        (r.city, r.state, r.temp, r.time)
+        for r in read_filter(multi_series_db, "h2o", pred).collect()
+    ]
+    # reading is missing in h2o -> NULL > 0 is NULL; state='CA' keeps CA rows
+    assert h2o == [("LA", "CA", 90.0, 200), ("LA", "CA", 90.0, 350)]
+    o2 = [
+        (r.city, r.state, r.reading, r.temp, r.time)
+        for r in read_filter(multi_series_db, "o2", pred).collect()
+    ]
+    assert o2 == [
+        ("Boston", "MA", 50.0, 50.4, 100),
+        ("Boston", "MA", 51.0, 53.4, 250),
+    ]
