@@ -64,6 +64,18 @@ def asof_join(
             raise ValueError(f"reserved column name {c!r} present in input")
 
     carried = [f"{c}{suffix}" for c in value_columns]
+    matched_time_out = f"{left_time}{suffix}"
+    clashes = (set(carried) | {matched_time_out}) & set(left.columns)
+    if clashes:
+        raise ValueError(
+            f"output columns {sorted(clashes)} collide with left columns — "
+            "pass a different suffix"
+        )
+    if matched_time_out in carried:
+        raise ValueError(
+            f"right value column {left_time!r} collides with the matched-"
+            "timestamp output column — exclude it via value_columns"
+        )
     r = right.select(
         *[F.col(k) for k in on],
         F.col(right_time).alias(left_time),

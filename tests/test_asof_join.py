@@ -92,3 +92,18 @@ def test_plan_is_single_shuffle_no_join(spark, quotes_trades):
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" in plan
+
+
+def test_output_name_collisions_rejected(spark):
+    left = spark.createDataFrame([("a", 100, 1.0)], "k string, ts long, v_right double")
+    right = spark.createDataFrame([("a", 90, 2.0)], "k string, ts long, v double")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on=["k"], left_time="ts")
+    # a right column named like the left time would shadow the matched-
+    # timestamp output
+    left2 = spark.createDataFrame([("a", 100)], "k string, t_l long")
+    right2 = spark.createDataFrame(
+        [("a", 90, 5.0)], "k string, t_r long, t_l double"
+    )
+    with pytest.raises(ValueError, match="matched-"):
+        asof_join(left2, right2, on=["k"], left_time="t_l", right_time="t_r")
