@@ -2101,6 +2101,262 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_series_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series transformation suite (the InfluxQL function family —
+    difference / cumulative_sum / moving_average / elapsed — beyond the
+    reference, whose influxrpc surface stops at windowed aggregates).
+
+    Values are canonicalized to exact integer micro-units
+    (round(value·10⁶) → long) so every running sum is exact int64
+    arithmetic — identical on any engine, no FP accumulation-order
+    hazard.  The windows partition by the series key, so at 100 TB each
+    series' transform runs inside its own partition with no global sort.
+    """
+    from pyspark.sql import Window
+
+    t = _load(spark, sf_dir, "events")
+    ev = t["events"].select(
+        "event_type",
+        "event_id",
+        F.expr("ts div 1000").alias("time_us"),
+        F.round(F.col("value") * 1e6).cast("long").alias("v_micro"),
+    )
+    w = Window.partitionBy("event_type").orderBy("time_us", "event_id")
+    w3 = w.rowsBetween(-2, 0)
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "event_type",
+        "time_us",
+        (F.col("v_micro") - F.lag("v_micro").over(w)).alias("diff_micro"),
+        F.sum("v_micro").over(wc).alias("cumsum_micro"),
+        F.sum("v_micro").over(w3).alias("mavg3_sum_micro"),
+        F.count("*").over(w3).alias("mavg3_n"),
+        (F.col("time_us") - F.lag("time_us").over(w)).alias("elapsed_us"),
+    ).orderBy("event_type", "time_us")
+
+
+SQL_SERIES_TRANSFORMS = """
+WITH e AS (
+  SELECT event_type, event_id, epoch_us(ts) AS time_us,
+         CAST(round(value * 1000000) AS BIGINT) AS v_micro
+  FROM events
+)
+SELECT event_type, time_us,
+  v_micro - lag(v_micro) OVER (PARTITION BY event_type ORDER BY time_us, event_id) AS diff_micro,
+  CAST(SUM(v_micro) OVER (PARTITION BY event_type ORDER BY time_us, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumsum_micro,
+  CAST(SUM(v_micro) OVER (PARTITION BY event_type ORDER BY time_us, event_id
+       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mavg3_sum_micro,
+  COUNT(*) OVER (PARTITION BY event_type ORDER BY time_us, event_id
+       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mavg3_n,
+  time_us - lag(time_us) OVER (PARTITION BY event_type ORDER BY time_us, event_id) AS elapsed_us
+FROM e
+ORDER BY event_type, time_us
+"""
+
+
+def q_series_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series trapezoidal integral (InfluxQL ``integral(value, 1s)``):
+    ∑ (vᵢ+vᵢ₋₁)/2 · Δt over each series, plus interval count and span.
+
+    Each trapezoid term is computed in exact integer arithmetic
+    ((v_micro sums) × Δt_us as DECIMAL(38,0) — a per-term product can
+    exceed int64) and only the final, fully-reduced sum is converted to
+    value·seconds.  One partitioned window pass + one hash aggregate.
+    """
+    from pyspark.sql import Window
+
+    t = _load(spark, sf_dir, "events")
+    ev = t["events"].select(
+        "event_type",
+        "event_id",
+        F.expr("ts div 1000").alias("time_us"),
+        F.round(F.col("value") * 1e6).cast("long").alias("v_micro"),
+    )
+    w = Window.partitionBy("event_type").orderBy("time_us", "event_id")
+    term = (F.col("v_micro") + F.lag("v_micro").over(w)).cast(
+        "decimal(20,0)"
+    ) * (F.col("time_us") - F.lag("time_us").over(w)).cast("decimal(20,0)")
+    terms = ev.select("event_type", "time_us", term.alias("term"))
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.count("term").alias("n_intervals"),
+            (F.max("time_us") - F.min("time_us")).alias("span_us"),
+            # exact integer sum; /2 for the trapezoid, /1e6 micro-units,
+            # /1e6 us -> s.  One double division at the very end.
+            F.round(F.sum("term").cast("double") / F.lit(2e12), 4).alias(
+                "integral_value_seconds"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_SERIES_INTEGRAL = """
+WITH e AS (
+  SELECT event_type, event_id, epoch_us(ts) AS time_us,
+         CAST(round(value * 1000000) AS BIGINT) AS v_micro
+  FROM events
+), d AS (
+  SELECT event_type, time_us,
+    CAST(v_micro + lag(v_micro) OVER w AS HUGEINT)
+      * CAST(time_us - lag(time_us) OVER w AS HUGEINT) AS term
+  FROM e
+  WINDOW w AS (PARTITION BY event_type ORDER BY time_us, event_id)
+)
+SELECT event_type,
+  COUNT(term) AS n_intervals,
+  MAX(time_us) - MIN(time_us) AS span_us,
+  round(CAST(SUM(term) AS DOUBLE) / 2e12, 4) AS integral_value_seconds
+FROM d
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q_tpch_q2_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier, the correlated-subquery query)
+    adapted to the testdata: no partsupp table, so supply cost is derived
+    as min(l_extendedprice) per (part, supplier) from lineitem.
+
+    Spark-first decorrelation: the scalar subquery becomes one aggregate
+    per part joined back on equality — ties (all suppliers at the min, Q2
+    semantics) survive.  Dimensions broadcast; the only shuffles are the
+    two part-keyed aggregates.
+    """
+    t = _load(
+        spark, sf_dir, "part", "supplier", "nation", "region", "lineitem"
+    )
+    eu_nations = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = t["supplier"].join(
+        F.broadcast(eu_nations), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    parts = t["part"].filter(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 15)
+    )
+    cost = (
+        t["lineitem"]
+        .join(
+            F.broadcast(parts.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(supp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(_dec("l_extendedprice")).alias("cost_dec"))
+    )
+    min_cost = (
+        cost.groupBy("l_partkey")
+        .agg(F.min("cost_dec").alias("min_cost"))
+        .withColumnRenamed("l_partkey", "mc_partkey")
+    )
+    winners = cost.join(
+        min_cost,
+        (F.col("l_partkey") == F.col("mc_partkey"))
+        & (F.col("cost_dec") == F.col("min_cost")),
+    ).select("l_partkey", "l_suppkey", "cost_dec")
+    return (
+        winners.join(
+            F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(
+            F.broadcast(parts.select("p_partkey", "p_name")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round(F.col("cost_dec").cast("double"), 2).alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "s_name", "n_name", "p_partkey")
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q2_ADAPTED = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost_dec
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY' AND p_size <= 15
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+  GROUP BY 1, 2
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       round(CAST(cost_dec AS DOUBLE), 2) AS supply_cost
+FROM cost
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE cost_dec = (SELECT MIN(c2.cost_dec) FROM cost c2
+                  WHERE c2.l_partkey = cost.l_partkey)
+ORDER BY s_acctbal DESC, s_name, n_name, p_partkey
+LIMIT 100
+"""
+
+
+def q_doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated-span removal (CCNet paragraph hashing /
+    RefinedWeb repeated-span removal): fixed 10-word segments, exact
+    first-occurrence-wins dedup, documents reassembled from surviving
+    segments.  Whole plan is codegen column work + two digest-keyed
+    shuffles (pipeline/paragraph.py)."""
+    from influxdb_iox_spark.pipeline.paragraph import dedup_segments
+
+    t = _load(spark, sf_dir, "documents")
+    out = dedup_segments(t["documents"], words_per_segment=10)
+    return out.select(
+        "doc_id",
+        "n_segments",
+        "segments_kept",
+        F.md5(F.col("text")).alias("text_md5"),
+    ).orderBy("doc_id")
+
+
+SQL_DOC_PARAGRAPH_DEDUP = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM documents
+), segs AS (
+  SELECT doc_id, CAST((ord - 1) // 10 AS INT) AS seg_idx,
+         string_agg(word, ' ' ORDER BY ord) AS segment
+  FROM toks
+  GROUP BY doc_id, CAST((ord - 1) // 10 AS INT)
+  HAVING trim(string_agg(word, ' ' ORDER BY ord)) <> ''
+), firsts AS (
+  SELECT doc_id, seg_idx, segment FROM (
+    SELECT doc_id, seg_idx, segment,
+           row_number() OVER (PARTITION BY segment
+                              ORDER BY doc_id, seg_idx) AS rn
+    FROM segs) WHERE rn = 1
+), totals AS (
+  SELECT doc_id, COUNT(*) AS n_segments FROM segs GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_segments, COUNT(*) AS segments_kept,
+       md5(string_agg(f.segment, ' ' ORDER BY f.seg_idx)) AS text_md5
+FROM firsts f JOIN totals t USING (doc_id)
+GROUP BY t.doc_id, t.n_segments
+ORDER BY t.doc_id
+"""
+
+
 def q_window_gapfill_previous(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed mean with gap filling: missing 5-min buckets inside each
     series' range materialize carrying the previous value forward
@@ -3038,6 +3294,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_filter": q_quality_filter,
         "events_retention_cohorts": q_retention_cohorts,
         "events_funnel": q_event_funnel,
+        # round 6: series transforms (InfluxQL function family), adapted
+        # Q2, segment-level dedup — appended to the canonical tail
+        "series_transforms": q_series_transforms,
+        "series_integral": q_series_integral,
+        "tpch_q2_min_cost_supplier_adapted": q_tpch_q2_adapted,
+        "doc_paragraph_dedup": q_doc_paragraph_dedup,
     }
     return _rotate_for_round(base)
 
@@ -3124,4 +3386,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q16_supplier_counts_adapted": SQL_SUPPLIER_PART_COUNTS,
         "tpch_q20_volume_suppliers_adapted": SQL_VOLUME_SUPPLIERS,
         "tpch_q22_idle_rich_adapted": SQL_IDLE_RICH_CUSTOMERS,
+        "series_transforms": SQL_SERIES_TRANSFORMS,
+        "series_integral": SQL_SERIES_INTEGRAL,
+        "tpch_q2_min_cost_supplier_adapted": SQL_TPCH_Q2_ADAPTED,
+        "doc_paragraph_dedup": SQL_DOC_PARAGRAPH_DEDUP,
     }
