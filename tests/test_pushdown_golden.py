@@ -87,3 +87,37 @@ def test_metadata_media_scan_prunes_blob(spark):
         plan = formatted(filter_by_metadata(df, min_width=100))
         scan = scan_sections(plan)[0]
         assert "blob" not in scan.split("ReadSchema:")[-1]
+
+def test_series_transforms_partitioned_window_single_exchange(spark):
+    """The transform suite must shuffle ONCE on the series key: every
+    window (lag / running sum / sliding frame) shares the same
+    partitioning, so Catalyst reuses a single hashpartitioning exchange
+    (plus the final presentation sort)."""
+    plan = plan_of(spark, "series_transforms")
+    exchanges = re.findall(r"\(\d+\) Exchange.*?(?=\n\(\d+\)|\Z)", plan, re.S)
+    hash_ex = [e for e in exchanges if "hashpartitioning" in e]
+    assert len(hash_ex) == 1, plan
+    assert "event_type" in hash_ex[0]
+    # exactly one Window operator evaluates all five frames
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+
+
+def test_paragraph_dedup_stays_jvm_side(spark):
+    """Segment dedup is codegen column work + digest-keyed shuffles —
+    no Python eval nodes, no cross join, no broadcast of the corpus."""
+    plan = plan_of(spark, "doc_paragraph_dedup")
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "CartesianProduct" not in plan
+    # first-occurrence-wins is the min-struct aggregate + semi join
+    assert "LeftSemi" in plan and "min(" in plan
+
+
+def test_tpch_q2_broadcasts_dims_only(spark):
+    """Q2's dimensions (part/supplier/nation/region) broadcast; lineitem
+    must never be the build side of a broadcast."""
+    plan = plan_of(spark, "tpch_q2_min_cost_supplier_adapted")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert any("lineitem" in s for s in scan_sections(plan)), "lineitem scan missing"
+    # part-filter predicates must reach the part scan
+    assert any("EqualTo(p_type,ECONOMY)" in s for s in scan_sections(plan))
