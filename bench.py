@@ -44,6 +44,10 @@ HEADLINE = [
     # distinct-count Q21 shape
     "events_asof_join",
     "tpch_q21_waiting_supplier",
+    # round-6 continuation: segment-level (word-window) dedup and the
+    # single-exchange series transform suite
+    "doc_paragraph_dedup",
+    "series_transforms",
 ]
 
 
@@ -170,6 +174,8 @@ def main() -> None:
                             "doc_incremental_dedup",
                             "events_asof_join",
                             "tpch_q21_waiting_supplier",
+                            "doc_paragraph_dedup",
+                            "series_transforms",
                         )
                     ),
                     3,
