@@ -2112,26 +2112,25 @@ def q_series_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
     hazard.  The windows partition by the series key, so at 100 TB each
     series' transform runs inside its own partition with no global sort.
     """
-    from pyspark.sql import Window
+    from influxdb_iox_spark.operators import transforms as T
 
     t = _load(spark, sf_dir, "events")
     ev = t["events"].select(
         "event_type",
         "event_id",
         F.expr("ts div 1000").alias("time_us"),
-        F.round(F.col("value") * 1e6).cast("long").alias("v_micro"),
+        T.to_micro_units(F.col("value")).alias("v_micro"),
     )
-    w = Window.partitionBy("event_type").orderBy("time_us", "event_id")
-    w3 = w.rowsBetween(-2, 0)
-    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    w = T.series_window(["event_type"], ["time_us", "event_id"])
+    v = F.col("v_micro")
     return ev.select(
         "event_type",
         "time_us",
-        (F.col("v_micro") - F.lag("v_micro").over(w)).alias("diff_micro"),
-        F.sum("v_micro").over(wc).alias("cumsum_micro"),
-        F.sum("v_micro").over(w3).alias("mavg3_sum_micro"),
-        F.count("*").over(w3).alias("mavg3_n"),
-        (F.col("time_us") - F.lag("time_us").over(w)).alias("elapsed_us"),
+        T.difference(v, w).alias("diff_micro"),
+        T.cumulative_sum(v, w).alias("cumsum_micro"),
+        T.moving_average_sum(v, w, 3).alias("mavg3_sum_micro"),
+        T.moving_average_count(w, 3).alias("mavg3_n"),
+        T.elapsed(F.col("time_us"), w).alias("elapsed_us"),
     ).orderBy("event_type", "time_us")
 
 
@@ -2212,6 +2211,58 @@ SELECT event_type,
 FROM d
 GROUP BY event_type
 ORDER BY event_type
+"""
+
+
+def q_series_weighted_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated EXPONENTIAL_MOVING_AVERAGE (operators/transforms.
+    weighted_ema_sums): last-5-point weighted average, integer weights
+    16/8/4/2/1, emitted as exact (numerator, weight-total) pairs so the
+    whole column stays int64 — the division is the consumer's."""
+    from influxdb_iox_spark.operators import transforms as T
+
+    t = _load(spark, sf_dir, "events")
+    ev = t["events"].select(
+        "event_type",
+        "event_id",
+        F.expr("ts div 1000").alias("time_us"),
+        T.to_micro_units(F.col("value")).alias("v_micro"),
+    )
+    w = T.series_window(["event_type"], ["time_us", "event_id"])
+    num, den = T.weighted_ema_sums(F.col("v_micro"), w, 5)
+    return ev.select(
+        "event_type",
+        "time_us",
+        num.alias("ewma_num_micro"),
+        den.alias("ewma_weight"),
+    ).orderBy("event_type", "time_us")
+
+
+SQL_SERIES_WEIGHTED_EMA = """
+WITH e AS (
+  SELECT event_type, event_id, epoch_us(ts) AS time_us,
+         CAST(round(value * 1000000) AS BIGINT) AS v_micro
+  FROM events
+), l AS (
+  SELECT event_type, time_us,
+    v_micro AS l0,
+    lag(v_micro, 1) OVER w AS l1,
+    lag(v_micro, 2) OVER w AS l2,
+    lag(v_micro, 3) OVER w AS l3,
+    lag(v_micro, 4) OVER w AS l4
+  FROM e
+  WINDOW w AS (PARTITION BY event_type ORDER BY time_us, event_id)
+)
+SELECT event_type, time_us,
+  COALESCE(16 * l0, 0) + COALESCE(8 * l1, 0) + COALESCE(4 * l2, 0)
+    + COALESCE(2 * l3, 0) + COALESCE(1 * l4, 0) AS ewma_num_micro,
+  (CASE WHEN l0 IS NOT NULL THEN 16 ELSE 0 END)
+    + (CASE WHEN l1 IS NOT NULL THEN 8 ELSE 0 END)
+    + (CASE WHEN l2 IS NOT NULL THEN 4 ELSE 0 END)
+    + (CASE WHEN l3 IS NOT NULL THEN 2 ELSE 0 END)
+    + (CASE WHEN l4 IS NOT NULL THEN 1 ELSE 0 END) AS ewma_weight
+FROM l
+ORDER BY event_type, time_us
 """
 
 
@@ -3298,6 +3349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Q2, segment-level dedup — appended to the canonical tail
         "series_transforms": q_series_transforms,
         "series_integral": q_series_integral,
+        "series_weighted_ema": q_series_weighted_ema,
         "tpch_q2_min_cost_supplier_adapted": q_tpch_q2_adapted,
         "doc_paragraph_dedup": q_doc_paragraph_dedup,
     }
@@ -3388,6 +3440,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q22_idle_rich_adapted": SQL_IDLE_RICH_CUSTOMERS,
         "series_transforms": SQL_SERIES_TRANSFORMS,
         "series_integral": SQL_SERIES_INTEGRAL,
+        "series_weighted_ema": SQL_SERIES_WEIGHTED_EMA,
         "tpch_q2_min_cost_supplier_adapted": SQL_TPCH_Q2_ADAPTED,
         "doc_paragraph_dedup": SQL_DOC_PARAGRAPH_DEDUP,
     }

@@ -1,0 +1,149 @@
+"""Per-series transformation functions — the InfluxQL function family
+(DIFFERENCE / DERIVATIVE / CUMULATIVE_SUM / MOVING_AVERAGE / ELAPSED /
+INTEGRAL / EXPONENTIAL_MOVING_AVERAGE) as declarative window expressions.
+
+The reference engine's influxrpc surface stops at windowed aggregates
+(/root/reference/query/src/group_by.rs:32-66 lists its Aggregate enum);
+these are the point-to-point transforms an InfluxDB-classic user reaches
+for next, built Spark-first:
+
+- Every transform is a window expression over ``PARTITION BY series-key
+  ORDER BY (time, tiebreak)`` — at 100 TB each series transforms inside
+  its own hash partition; there is never a global sort and the single
+  hashpartitioning exchange is shared by all frames over the same key
+  (plan-asserted in tests/test_pushdown_golden.py).
+- Numeric policy: callers canonicalize values to exact integer units
+  (``to_micro_units``) so running sums / weighted sums are exact int64 or
+  decimal arithmetic — engine-independent, no FP accumulation-order
+  hazard.  Only a final presentation division ever touches doubles.
+- The EWMA here is the *truncated* form: an integer-weighted moving
+  average over the last N points with weights 2^(N-1) … 2^0 (ratio 1/2),
+  which is EXPONENTIAL_MOVING_AVERAGE with the infinite tail cut off.
+  The recursive untruncated form is order-dependent per row and cannot
+  be a window expression; the truncated form is, and its weighted sum
+  stays exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec, functions as F
+
+
+def series_window(keys: list[str], order: list[str]) -> WindowSpec:
+    """The shared per-series ordered window every transform rides."""
+    return Window.partitionBy(*keys).orderBy(*order)
+
+
+def to_micro_units(col: Column) -> Column:
+    """Canonicalize a double value column to exact integer micro-units."""
+    return F.round(col * 1e6).cast("long")
+
+
+def difference(col: Column, w: WindowSpec) -> Column:
+    """InfluxQL DIFFERENCE: value minus the previous value (null first)."""
+    return col - F.lag(col).over(w)
+
+
+def non_negative_difference(col: Column, w: WindowSpec) -> Column:
+    """DIFFERENCE with negative results suppressed (null, per InfluxQL
+    NON_NEGATIVE_DIFFERENCE)."""
+    d = difference(col, w)
+    return F.when(d >= 0, d)
+
+
+def cumulative_sum(col: Column, w: WindowSpec) -> Column:
+    """InfluxQL CUMULATIVE_SUM: running sum from the series start."""
+    return F.sum(col).over(w.rowsBetween(Window.unboundedPreceding, 0))
+
+
+def moving_average_sum(col: Column, w: WindowSpec, n: int) -> Column:
+    """Numerator of InfluxQL MOVING_AVERAGE(n): sum over the trailing
+    n-row frame.  Pair with :func:`moving_average_count` and divide at
+    presentation time to keep the running arithmetic exact."""
+    return F.sum(col).over(w.rowsBetween(-(n - 1), 0))
+
+
+def moving_average_count(w: WindowSpec, n: int) -> Column:
+    return F.count(F.lit(1)).over(w.rowsBetween(-(n - 1), 0))
+
+
+def elapsed(time_col: Column, w: WindowSpec) -> Column:
+    """InfluxQL ELAPSED: time delta to the previous point (same unit as
+    the time column; null first)."""
+    return time_col - F.lag(time_col).over(w)
+
+
+def derivative(
+    col: Column, time_col: Column, w: WindowSpec, per_units: int
+) -> Column:
+    """InfluxQL DERIVATIVE: (Δvalue / Δtime) · per_units, where
+    ``per_units`` is the reporting interval in the time column's unit
+    (e.g. 1_000_000 for per-second over µs time).  Null on the first
+    point; the one double division happens per emitted point."""
+    dt = time_col - F.lag(time_col).over(w)
+    return (col - F.lag(col).over(w)) * per_units / dt
+
+
+def weighted_ema_sums(
+    col: Column, w: WindowSpec, n: int
+) -> tuple[Column, Column]:
+    """Truncated EXPONENTIAL_MOVING_AVERAGE over the last ``n`` points
+    with integer weights 2^(n-1) … 1 (decay ratio 1/2).
+
+    Returns ``(weighted_sum, weight_total)`` as exact integer columns —
+    the weighted sum is a fixed linear combination of lag terms, so it
+    stays inside whole-stage codegen and needs no per-row state.  Fewer
+    than ``n`` preceding points → nulls drop out of the combination and
+    ``weight_total`` shrinks to match (InfluxQL's warm-up behavior).
+    """
+    if n < 1 or n > 62:
+        raise ValueError("n must be in [1, 62] for exact int64 weights")
+    terms = []
+    weights = []
+    for k in range(n):
+        weight = 1 << (n - 1 - k)
+        lagged = F.lag(col, k).over(w) if k else col
+        terms.append(F.coalesce(lagged * F.lit(weight), F.lit(0)))
+        weights.append(
+            F.when(lagged.isNotNull(), F.lit(weight)).otherwise(F.lit(0))
+        )
+    wsum = terms[0]
+    wtot = weights[0]
+    for t, g in zip(terms[1:], weights[1:]):
+        wsum = wsum + t
+        wtot = wtot + g
+    return wsum, wtot
+
+
+def trapezoidal_integral(
+    df: DataFrame,
+    keys: list[str],
+    time_col: str,
+    value_col: str,
+    order_tiebreak: list[str] | None = None,
+    *,
+    time_units_per_second: int = 1_000_000,
+) -> DataFrame:
+    """InfluxQL INTEGRAL(value, 1s): per-series trapezoid area
+    ∑ (vᵢ+vᵢ₋₁)/2 · Δt, with per-term products in DECIMAL(20,0)×
+    DECIMAL(20,0) (a term can exceed int64) and one exact decimal sum;
+    the /2 and unit conversion are a single final double division.
+
+    ``value_col`` must already be exact integer units (``to_micro_units``).
+    Returns one row per series: keys…, n_intervals, integral_num (exact
+    decimal ∑(vᵢ+vᵢ₋₁)·Δt), integral (double, value·seconds ÷ 10⁶ units).
+    """
+    order = [time_col] + list(order_tiebreak or [])
+    w = series_window(keys, order)
+    v = F.col(value_col)
+    t = F.col(time_col)
+    term = (v + F.lag(v).over(w)).cast("decimal(20,0)") * (
+        t - F.lag(t).over(w)
+    ).cast("decimal(20,0)")
+    terms = df.select(*keys, term.alias("__term"))
+    denom = float(2 * time_units_per_second * 1_000_000)
+    return terms.groupBy(*keys).agg(
+        F.count("__term").alias("n_intervals"),
+        F.sum("__term").alias("integral_num"),
+        (F.sum("__term").cast("double") / F.lit(denom)).alias("integral"),
+    )

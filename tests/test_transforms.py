@@ -1,0 +1,136 @@
+"""operators/transforms.py — InfluxQL-family per-series transforms.
+
+Hand-computed expected values on a tiny two-series frame; exactness
+properties for the integer-unit policy."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from influxdb_iox_spark.operators import transforms as T
+
+
+@pytest.fixture(scope="module")
+def series_df(spark):
+    rows = [
+        # (series, t_us, value)
+        ("a", 1_000_000, 1.0),
+        ("a", 2_000_000, 3.0),
+        ("a", 4_000_000, 2.0),
+        ("a", 7_000_000, 6.0),
+        ("b", 1_000_000, 10.0),
+        ("b", 3_000_000, 10.5),
+    ]
+    return spark.createDataFrame(rows, ["s", "t", "v"])
+
+
+def _w():
+    return T.series_window(["s"], ["t"])
+
+
+def _collect(series_df, *cols):
+    return {
+        (r.s, r.t): tuple(r[c] for c in [c.split(" AS ")[-1] for c in cols])
+        for r in series_df.collect()
+    }
+
+
+def test_difference_and_elapsed(series_df):
+    w = _w()
+    out = series_df.select(
+        "s",
+        "t",
+        T.difference(F.col("v"), w).alias("d"),
+        T.non_negative_difference(F.col("v"), w).alias("nnd"),
+        T.elapsed(F.col("t"), w).alias("e"),
+    ).collect()
+    got = {(r.s, r.t): (r.d, r.nnd, r.e) for r in out}
+    assert got[("a", 1_000_000)] == (None, None, None)
+    assert got[("a", 2_000_000)] == (2.0, 2.0, 1_000_000)
+    assert got[("a", 4_000_000)] == (-1.0, None, 2_000_000)  # negative dropped
+    assert got[("a", 7_000_000)] == (4.0, 4.0, 3_000_000)
+    assert got[("b", 3_000_000)] == (0.5, 0.5, 2_000_000)
+
+
+def test_cumulative_sum_and_moving_average(series_df):
+    w = _w()
+    micro = T.to_micro_units(F.col("v"))
+    out = series_df.select(
+        "s",
+        "t",
+        T.cumulative_sum(micro, w).alias("cs"),
+        T.moving_average_sum(micro, w, 2).alias("ms"),
+        T.moving_average_count(w, 2).alias("mc"),
+    ).collect()
+    got = {(r.s, r.t): (r.cs, r.ms, r.mc) for r in out}
+    assert got[("a", 4_000_000)] == (6_000_000, 5_000_000, 2)
+    assert got[("a", 7_000_000)] == (12_000_000, 8_000_000, 2)
+    assert got[("b", 1_000_000)] == (10_000_000, 10_000_000, 1)  # warm-up
+
+
+def test_derivative_per_second(series_df):
+    w = _w()
+    out = series_df.select(
+        "s", "t", T.derivative(F.col("v"), F.col("t"), w, 1_000_000).alias("r")
+    ).collect()
+    got = {(r.s, r.t): r.r for r in out}
+    assert got[("a", 2_000_000)] == pytest.approx(2.0)  # +2 over 1s
+    assert got[("a", 4_000_000)] == pytest.approx(-0.5)  # -1 over 2s
+    assert got[("b", 3_000_000)] == pytest.approx(0.25)
+
+
+def test_weighted_ema_exact_and_warmup(series_df):
+    w = _w()
+    micro = T.to_micro_units(F.col("v"))
+    num, den = T.weighted_ema_sums(micro, w, 3)  # weights 4,2,1
+    out = series_df.select("s", "t", num.alias("n"), den.alias("d")).collect()
+    got = {(r.s, r.t): (r.n, r.d) for r in out}
+    # a@4s: 4*2.0 + 2*3.0 + 1*1.0 = 15.0 (micro), full weight 7
+    assert got[("a", 4_000_000)] == (15_000_000, 7)
+    # a@7s: 4*6.0 + 2*2.0 + 1*3.0 = 31.0
+    assert got[("a", 7_000_000)] == (31_000_000, 7)
+    # warm-up: first point has only its own weight
+    assert got[("a", 1_000_000)] == (4_000_000, 4)
+    assert got[("b", 3_000_000)] == (4 * 10_500_000 + 2 * 10_000_000, 6)
+
+
+def test_weighted_ema_validates_n(series_df):
+    w = _w()
+    with pytest.raises(ValueError):
+        T.weighted_ema_sums(F.col("v"), w, 0)
+    with pytest.raises(ValueError):
+        T.weighted_ema_sums(F.col("v"), w, 63)
+
+
+def test_trapezoidal_integral(spark, series_df):
+    micro = series_df.withColumn("vm", T.to_micro_units(F.col("v")))
+    out = T.trapezoidal_integral(micro, ["s"], "t", "vm")
+    got = {r.s: (r.n_intervals, float(r.integral_num), r.integral) for r in out.collect()}
+    # a: (1+3)/2*1 + (3+2)/2*2 + (2+6)/2*3 = 2 + 5 + 12 = 19 value*seconds
+    assert got["a"][0] == 3
+    assert got["a"][2] == pytest.approx(19.0)
+    # b: (10+10.5)/2*2 = 20.5
+    assert got["b"][2] == pytest.approx(20.5)
+    # exact numerator: sum (v_i+v_{i-1})*dt in micro*us units
+    assert got["a"][1] == pytest.approx(19.0 * 2e12)
+
+
+def test_single_exchange_shared_by_all_frames(spark, series_df):
+    """All transforms over one series window must share ONE
+    hashpartitioning exchange."""
+    import re
+
+    w = _w()
+    micro = T.to_micro_units(F.col("v"))
+    df = series_df.select(
+        "s",
+        "t",
+        T.difference(micro, w).alias("d"),
+        T.cumulative_sum(micro, w).alias("cs"),
+        T.moving_average_sum(micro, w, 3).alias("ms"),
+        T.elapsed(F.col("t"), w).alias("e"),
+        T.weighted_ema_sums(micro, w, 4)[0].alias("ewma"),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"hashpartitioning", plan)) == 1, plan
