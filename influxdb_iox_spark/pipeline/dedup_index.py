@@ -322,3 +322,167 @@ def near_dups_against_index(
 def len_signature(path: str) -> int:
     with open(os.path.join(path, MINHASH_META)) as f:
         return json.load(f)["num_perm"]
+
+
+# ---------------------------------------------------------------------------
+# Segment (repeated-span) index — incremental paragraph/word-window dedup
+# ---------------------------------------------------------------------------
+
+SEGMENT_META = "_segment_meta.json"
+
+
+def build_segment_index(
+    df: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    delimiter: str | None = None,
+    words_per_segment: int | None = None,
+) -> None:
+    """One row per DISTINCT segment across the corpus so far: the
+    incremental counterpart of pipeline/paragraph.dedup_segments.
+
+    The index stores (segment_hash, canonical_id, canonical_seg_idx) —
+    16-byte digests, never segment text — bucket-partitioned by
+    pmod(xxhash64(digest)) like the exact index.  Segmentation params
+    persist in the meta file so every future batch segments identically.
+    """
+    from influxdb_iox_spark.pipeline.paragraph import segment_documents
+
+    segs = segment_documents(
+        df, text_col, id_col,
+        delimiter=delimiter, words_per_segment=words_per_segment,
+    )
+    fp = (
+        segs.select(
+            F.md5(F.col("segment")).alias("segment_hash"),
+            F.col(id_col), F.col("seg_idx"),
+        )
+        .groupBy("segment_hash")
+        .agg(F.min(F.struct(F.col(id_col), F.col("seg_idx"))).alias("__w"))
+        .select(
+            "segment_hash",
+            F.col(f"__w.{id_col}").alias("canonical_id"),
+            F.col("__w.seg_idx").alias("canonical_seg_idx"),
+        )
+        .withColumn("bucket", _bucket(F.col("segment_hash"), n_buckets))
+    )
+    fp.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    with open(os.path.join(path, SEGMENT_META), "w") as f:
+        json.dump(
+            {
+                "kind": "segment",
+                "n_buckets": n_buckets,
+                "delimiter": delimiter,
+                "words_per_segment": words_per_segment,
+            },
+            f,
+        )
+
+
+def _read_segment(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
+    with open(os.path.join(path, SEGMENT_META)) as f:
+        meta = json.load(f)
+    return spark.read.parquet(path), meta
+
+
+def scrub_against_segment_index(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rewrite each new document keeping only segments that are (a) not in
+    the index and (b) the first occurrence within the batch; returns
+    ``(id_col, n_segments, segments_kept, text_col)`` rebuilt rows.
+    Documents whose every segment is boilerplate vanish.
+
+    Plan: codegen segmentation -> intra-batch min-struct aggregate ->
+    LEFT ANTI join on the digest (only digests shuffle; the index scan
+    reads segment_hash alone) -> in-group reassembly.
+    """
+    from influxdb_iox_spark.pipeline.paragraph import (
+        first_occurrences,
+        reassemble_segments,
+        segment_documents,
+    )
+
+    index, meta = _read_segment(spark, path)
+    segs = segment_documents(
+        new_docs, text_col, id_col,
+        delimiter=meta["delimiter"],
+        words_per_segment=meta["words_per_segment"],
+    )
+    totals = segs.groupBy(id_col).agg(F.count("*").alias("n_segments"))
+    batch_first = first_occurrences(segs, id_col)
+    fresh = batch_first.withColumn(
+        "__h", F.md5(F.col("segment"))
+    ).join(
+        index.select(F.col("segment_hash").alias("__h")),
+        on="__h", how="left_anti",
+    ).drop("__h")
+    sep = meta["delimiter"] if meta["delimiter"] is not None else " "
+    rebuilt = reassemble_segments(fresh, id_col, sep).withColumnRenamed(
+        "text", text_col
+    )
+    return rebuilt.join(totals, on=id_col).select(
+        id_col, "n_segments", "segments_kept", text_col
+    )
+
+
+def append_segments_to_index(
+    spark: SparkSession,
+    path: str,
+    accepted_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Append the accepted batch's segment digests (caller scrubbed the
+    batch first; intra-batch repeats collapse to their min position).
+    One new file per touched bucket, no rewrite of existing files."""
+    from influxdb_iox_spark.pipeline.paragraph import segment_documents
+
+    _, meta = _read_segment(spark, path)
+    segs = segment_documents(
+        accepted_docs, text_col, id_col,
+        delimiter=meta["delimiter"],
+        words_per_segment=meta["words_per_segment"],
+    )
+    fp = (
+        segs.select(
+            F.md5(F.col("segment")).alias("segment_hash"),
+            F.col(id_col), F.col("seg_idx"),
+        )
+        .groupBy("segment_hash")
+        .agg(F.min(F.struct(F.col(id_col), F.col("seg_idx"))).alias("__w"))
+        .select(
+            "segment_hash",
+            F.col(f"__w.{id_col}").alias("canonical_id"),
+            F.col("__w.seg_idx").alias("canonical_seg_idx"),
+        )
+        .withColumn("bucket", _bucket(F.col("segment_hash"), meta["n_buckets"]))
+    )
+    fp.write.mode("append").partitionBy("bucket").parquet(path)
+
+
+def ingest_segments_batch(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full incremental repeated-span step: scrub vs index (+ intra-batch
+    first-occurrence), append the surviving segments' digests, return the
+    rebuilt documents.  Same single-logical-writer contract and
+    crash-retry semantics as ``ingest_batch`` (a re-run re-appends the
+    same digest rows, which fold in the min-struct aggregate)."""
+    scrubbed = scrub_against_segment_index(
+        spark, path, new_docs, text_col, id_col
+    )
+    scrubbed = scrubbed.localCheckpoint(eager=True)
+    append_segments_to_index(spark, path, scrubbed, text_col, id_col)
+    return scrubbed

@@ -99,6 +99,27 @@ def first_occurrences(
     )
 
 
+def reassemble_segments(
+    kept: DataFrame, id_col: str = "doc_id", sep: str = " "
+) -> DataFrame:
+    """Rebuild one row per document from surviving ``(id, seg_idx,
+    segment)`` rows: ``(id_col, segments_kept, text)`` with segments in
+    original relative order.  One groupBy on the document id with an
+    in-group array_sort — no global sort."""
+    return kept.groupBy(id_col).agg(
+        F.count("*").alias("segments_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("seg_idx", "segment"))
+                ),
+                lambda s: s["segment"],
+            ),
+            sep,
+        ).alias("text"),
+    )
+
+
 def dedup_segments(
     df: DataFrame,
     text_col: str = "text",
@@ -126,17 +147,8 @@ def dedup_segments(
     )
     totals = segs.groupBy(id_col).agg(F.count("*").alias("n_segments"))
     kept = first_occurrences(segs, id_col)
-    rebuilt = kept.groupBy(id_col).agg(
-        F.count("*").alias("segments_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("seg_idx", "segment"))
-                ),
-                lambda s: s["segment"],
-            ),
-            sep,
-        ).alias(text_col),
+    rebuilt = reassemble_segments(kept, id_col, sep).withColumnRenamed(
+        "text", text_col
     )
     return rebuilt.join(totals, on=id_col).select(
         id_col, "n_segments", "segments_kept", text_col
