@@ -3275,6 +3275,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": q_stratified_sample,
         "doc_pii_redact": q_pii_redact,
         "corpus_ngram_topk": q_corpus_ngram_topk,
+        # round-6 additions sit HERE — inside this round's rotation window
+        # (canonical positions 15..64 for round 6) so each gets a driver
+        # row the round it ships; the queries they displace into the tail
+        # all have r4/r5 driver rows (asserted by test_entry_rotation's
+        # coverage check)
+        "uint64_exact": q_uint64_exact,
+        "events_asof_join": q_events_asof_join,
+        "tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,
+        "series_transforms": q_series_transforms,
+        "series_integral": q_series_integral,
+        "series_weighted_ema": q_series_weighted_ema,
+        "tpch_q2_min_cost_supplier_adapted": q_tpch_q2_adapted,
+        "doc_paragraph_dedup": q_doc_paragraph_dedup,
         # InfluxRPC menu
         "rpc_read_filter": q_read_filter,
         "rpc_read_group": q_read_group,
@@ -3333,9 +3346,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5: cardinality where the reference punts (appended to the
         # canonical tail -> lands inside the freshly-rotated window)
         "rpc_series_cardinality": q_series_cardinality,
-        "uint64_exact": q_uint64_exact,
-        "events_asof_join": q_events_asof_join,
-        "tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,
         "doc_repetition_stats": q_doc_repetition,
         "doc_mixture_sample": q_mixture_sample,
         "doc_incremental_dedup": q_doc_incremental_dedup,
@@ -3345,13 +3355,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_filter": q_quality_filter,
         "events_retention_cohorts": q_retention_cohorts,
         "events_funnel": q_event_funnel,
-        # round 6: series transforms (InfluxQL function family), adapted
-        # Q2, segment-level dedup — appended to the canonical tail
-        "series_transforms": q_series_transforms,
-        "series_integral": q_series_integral,
-        "series_weighted_ema": q_series_weighted_ema,
-        "tpch_q2_min_cost_supplier_adapted": q_tpch_q2_adapted,
-        "doc_paragraph_dedup": q_doc_paragraph_dedup,
     }
     return _rotate_for_round(base)
 

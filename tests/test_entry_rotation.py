@@ -53,6 +53,29 @@ def test_consecutive_windows_tile_all_queries():
         assert wa | wb == set(names), f"rounds {r},{r + 1} miss queries"
 
 
+def test_current_round_window_covers_undriven_queries():
+    """Every query new this round (no CORRECTNESS_r* row yet) must sit
+    inside the CURRENT round's 50-entry window — a freshly-shipped query
+    that waits a full round for its first driver row is a registry
+    ordering bug (place new queries inside the window, displacing
+    long-green ones)."""
+    import glob
+    import json
+
+    driven: set[str] = set()
+    for p in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        data = json.load(open(p))
+        if isinstance(data, dict):
+            driven |= set(data)
+    names = list(entry_mod.queries())
+    undriven = set(names) - driven
+    window = set(names[:WINDOW])
+    assert undriven <= window, (
+        f"queries with no driver row outside this round's window: "
+        f"{sorted(undriven - window)}"
+    )
+
+
 def test_rotation_is_permutation_and_oracle_paired():
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
