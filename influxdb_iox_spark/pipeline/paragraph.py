@@ -22,8 +22,8 @@ Scale design:
   slice / array_join) — zero Python per row.
 - First-occurrence-wins is ONE hash aggregate on md5(segment), a 128-bit
   near-unique shuffle key that distributes evenly at any corpus size
-  (min-struct aggregate, no window/sort), followed by a semi-join back on
-  the same key.
+  (min-struct aggregate carrying the text via any_value — no window, no
+  sort, no join-back).
 - Reassembly is one groupBy on the document id with an in-group
   array_sort — no global sort.
 
@@ -77,25 +77,24 @@ def first_occurrences(
     segments: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
     """Keep, for each distinct segment text, its first occurrence —
-    ordered by ``(id_col, seg_idx)``.
+    ordered by ``(id_col, seg_idx)`` — as ``(id_col, seg_idx, segment)``.
 
-    One hash aggregate on the segment digest (min-struct, no window), then
-    a left-semi join back on ``(digest, id, seg_idx)``.  Both shuffles key
-    on the digest, so hot segments (a boilerplate paragraph repeated a
-    billion times) cost one combiner-reduced group, not a skewed sort.
+    ONE hash aggregate on the segment digest: the min-struct carries the
+    winning position and ``any_value(segment)`` carries the text (every
+    row in a digest group shares it), so no join-back is needed.  Hot
+    segments (a boilerplate paragraph repeated a billion times) cost one
+    map-side-combined group, not a skewed sort; the digest keeps the
+    shuffle key 16 bytes regardless of paragraph length.
     """
     with_h = segments.withColumn("__h", F.md5(F.col("segment")))
     winners = with_h.groupBy("__h").agg(
-        F.min(F.struct(F.col(id_col), F.col("seg_idx"))).alias("__w")
+        F.min(F.struct(F.col(id_col), F.col("seg_idx"))).alias("__w"),
+        F.any_value(F.col("segment")).alias("segment"),
     )
-    keep = winners.select(
-        F.col("__h"),
+    return winners.select(
         F.col(f"__w.{id_col}").alias(id_col),
         F.col("__w.seg_idx").alias("seg_idx"),
-    )
-    return (
-        with_h.join(keep, on=["__h", id_col, "seg_idx"], how="left_semi")
-        .drop("__h")
+        F.col("segment"),
     )
 
 

@@ -108,8 +108,11 @@ def test_paragraph_dedup_stays_jvm_side(spark):
     plan = plan_of(spark, "doc_paragraph_dedup")
     assert "EvalPython" not in plan and "InPandas" not in plan
     assert "CartesianProduct" not in plan
-    # first-occurrence-wins is the min-struct aggregate + semi join
-    assert "LeftSemi" in plan and "min(" in plan
+    # first-occurrence-wins is ONE min-struct aggregate — no join-back,
+    # so the whole dedup is digest-agg + per-doc reassembly
+    assert "min(" in plan
+    # the only join left is totals-vs-rebuilt on the doc id
+    assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan)) == 1
 
 
 def test_tpch_q2_broadcasts_dims_only(spark):
