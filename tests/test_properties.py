@@ -226,3 +226,79 @@ def test_ngram_counts_matches_naive(spark, docs, n):
             in_docs.setdefault(g, set()).add(i)
     want = {g: (len(in_docs[g]), occ[g]) for g in occ}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Segment dedup properties (pipeline/paragraph.py)
+# ---------------------------------------------------------------------------
+
+word_st = st.text(alphabet="abcdefg", min_size=1, max_size=4)
+doc_st = st.lists(word_st, min_size=1, max_size=30).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=st.lists(doc_st, min_size=1, max_size=8), w=st.integers(1, 5))
+def test_segment_dedup_idempotent_and_conserving(spark, texts, w):
+    """(1) Re-deduping the deduped corpus changes nothing — which also
+    proves reassembled text re-segments to exactly its surviving
+    segments; (2) total kept segments == distinct segments corpus-wide."""
+    from influxdb_iox_spark.pipeline.paragraph import (
+        dedup_segments,
+        segment_documents,
+    )
+
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    once = dedup_segments(docs, words_per_segment=w)
+    rows1 = {r.doc_id: r for r in once.collect()}
+
+    distinct_segments = (
+        segment_documents(docs, words_per_segment=w)
+        .select("segment").distinct().count()
+    )
+    assert sum(r.segments_kept for r in rows1.values()) == distinct_segments
+
+    again = dedup_segments(
+        once.select("doc_id", "text"), words_per_segment=w
+    )
+    rows2 = {r.doc_id: r for r in again.collect()}
+    assert set(rows2) == set(rows1)
+    for i, r2 in rows2.items():
+        assert r2.text == rows1[i].text
+        assert r2.segments_kept == r2.n_segments  # nothing left to drop
+        assert r2.n_segments == rows1[i].segments_kept
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(min_value=0, max_value=100).map(lambda x: round(x, 2)),
+        min_size=2,
+        max_size=20,
+    )
+)
+def test_series_transform_telescoping(spark, vals):
+    """Exact-integer window math: the cumulative sum ends at the series
+    total, differences telescope to last-first, elapsed sums to the
+    span."""
+    from pyspark.sql import functions as F
+
+    from influxdb_iox_spark.operators import transforms as T
+
+    rows = [("s", (i + 1) * 1_000_000, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["s", "t", "v"])
+    w = T.series_window(["s"], ["t"])
+    micro = T.to_micro_units(F.col("v"))
+    out = df.select(
+        "t",
+        T.difference(micro, w).alias("d"),
+        T.cumulative_sum(micro, w).alias("cs"),
+        T.elapsed(F.col("t"), w).alias("e"),
+    ).collect()
+    by_t = {r.t: r for r in out}
+    last = by_t[len(vals) * 1_000_000]
+    total = sum(round(v * 1e6) for v in vals)
+    assert last.cs == total
+    assert sum(r.d for r in out if r.d is not None) == round(
+        vals[-1] * 1e6
+    ) - round(vals[0] * 1e6)
+    assert sum(r.e for r in out if r.e is not None) == (len(vals) - 1) * 1_000_000
