@@ -115,6 +115,45 @@ def weighted_ema_sums(
     return wsum, wtot
 
 
+def exponential_moving_average(
+    df: DataFrame,
+    keys: list[str],
+    order: list[str],
+    value_col: str,
+    alpha: float,
+    out_col: str = "ema",
+) -> DataFrame:
+    """Untruncated recursive EWMA (InfluxQL EXPONENTIAL_MOVING_AVERAGE):
+    yᵢ = α·xᵢ + (1-α)·yᵢ₋₁, seeded y₀ = x₀.
+
+    The recursion makes every output depend on ALL previous inputs, so —
+    unlike everything else in this module — it cannot be a window
+    expression; this is the sanctioned Arrow-batched slow path: one
+    ``applyInPandas`` per series (vectorized ``Series.ewm`` inside, no
+    per-row Python).  Each series is one group, so the cost model is the
+    same as the window transforms: a single hash shuffle on the series
+    key, series-sized memory per task.  Prefer :func:`weighted_ema_sums`
+    (exact, pure codegen) unless the untruncated tail matters.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, DoubleType(), True)]
+    )
+    sort_cols = list(order)
+
+    def ewm(pdf):
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        pdf[out_col] = (
+            pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        )
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(ewm, out_schema)
+
+
 def trapezoidal_integral(
     df: DataFrame,
     keys: list[str],

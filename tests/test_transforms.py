@@ -134,3 +134,24 @@ def test_single_exchange_shared_by_all_frames(spark, series_df):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"hashpartitioning", plan)) == 1, plan
+
+
+def test_exponential_moving_average_recursive(spark, series_df):
+    out = T.exponential_moving_average(
+        series_df, ["s"], ["t"], "v", alpha=0.5
+    )
+    got = {(r.s, r.t): r.ema for r in out.collect()}
+    # hand recursion, series a: 1, .5*3+.5*1=2, .5*2+.5*2=2, .5*6+.5*2=4
+    assert got[("a", 1_000_000)] == pytest.approx(1.0)
+    assert got[("a", 2_000_000)] == pytest.approx(2.0)
+    assert got[("a", 4_000_000)] == pytest.approx(2.0)
+    assert got[("a", 7_000_000)] == pytest.approx(4.0)
+    # series b independent: 10, .5*10.5+.5*10
+    assert got[("b", 3_000_000)] == pytest.approx(10.25)
+
+
+def test_exponential_moving_average_validates_alpha(series_df):
+    with pytest.raises(ValueError):
+        T.exponential_moving_average(series_df, ["s"], ["t"], "v", alpha=0.0)
+    with pytest.raises(ValueError):
+        T.exponential_moving_average(series_df, ["s"], ["t"], "v", alpha=1.5)
