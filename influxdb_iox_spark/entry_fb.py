@@ -342,3 +342,161 @@ def lines_to_entry(parsed, partition_key: str = "") -> bytes:
         ]
         batches.append({"name": table, "columns": columns})
     return encode_write_entry([{"key": partition_key, "batches": batches}])
+
+
+# -- PB columnar write bridge (write_pb.rs / transfer/column/v1) -------------
+#
+# The reference's third write path: protobuf column batches
+# (generated_types/protos/influxdata/transfer/column/v1/write.proto) are
+# converted to Entry flatbuffers by entry/src/entry.rs pb_to_entry:306 and
+# stored like any other write.  Here the same batches convert straight to
+# ParsedLine rows for the shared line-protocol apply path; the validation
+# table and null-mask/value mapping port pb_check_table_batch_column_types
+# (entry.rs:347) and pb_column_to_fb (entry.rs:436 — values hold only
+# non-null entries, MSB-first mask, missing trailing values repeat the
+# last value).
+
+PB_SEM_IOX, PB_SEM_TAG, PB_SEM_FIELD, PB_SEM_TIME = 1, 2, 3, 4
+
+#: value-list name -> semantic types entry.rs accepts for that value type
+_PB_VALUE_SEMANTICS = {
+    "i64_values": {PB_SEM_IOX, PB_SEM_FIELD, PB_SEM_TIME},
+    "f64_values": {PB_SEM_IOX, PB_SEM_FIELD},
+    "u64_values": {PB_SEM_IOX, PB_SEM_FIELD},
+    "string_values": {PB_SEM_IOX, PB_SEM_FIELD, PB_SEM_TAG},
+    "bool_values": {PB_SEM_IOX, PB_SEM_FIELD},
+    "bytes_values": {PB_SEM_IOX, PB_SEM_FIELD},
+}
+_PB_VALUE_ORDER = list(_PB_VALUE_SEMANTICS)  # entry.rs if-chain order
+
+
+def _pb_check_table_batch(batch: dict) -> None:
+    """Port of pb_check_table_batch_column_types (entry.rs:347-409),
+    error messages byte-for-byte."""
+    iox = tag = field = time_nontime = time_time = False
+    for col in batch.get("columns") or []:
+        sem = col.get("semantic_type") or 0
+        if sem == PB_SEM_IOX:
+            iox = True
+        elif sem == PB_SEM_FIELD:
+            field = True
+        elif sem == PB_SEM_TAG:
+            tag = True
+        elif sem == PB_SEM_TIME:
+            if (col.get("column_name") or "") == "time":
+                time_time = True
+            else:
+                time_nontime = True
+        else:
+            raise EntryError(
+                f"column {col.get('column_name')!r} has invalid semantic "
+                f"type {sem}"
+            )
+    key = (iox, tag, field, time_nontime, time_time)
+    if key[0] and not key[1] and not key[2]:
+        return  # expected IOx column set
+    if not key[0] and key[2] and not key[3] and key[4]:
+        return  # expected line protocol column set
+    if iox and tag:
+        msg = "IOx column incompatible with line protocol tag column"
+    elif iox and field:
+        msg = "IOx column incompatible with line protocol field column"
+    elif field and time_nontime:
+        msg = (
+            "line protocol field column incompatible with time column "
+            "not named 'time'"
+        )
+    elif field and not time_time:
+        msg = "line protocol field column requires time column named 'time'"
+    elif tag and not field:
+        msg = (
+            "line protocol tag column requires at least one line protocol "
+            "field column"
+        )
+    else:  # no columns at all / only time columns
+        msg = "table batch has no usable column set"
+    raise EntryError(msg)
+
+
+def _pb_column_rows(col: dict, n_rows: int) -> tuple[list, int]:
+    """(one value per row with None = null, semantic_type).  Values list
+    is whichever pb Values field is non-empty (entry.rs if-chain); rows
+    not covered by mask+values repeat the LAST value (entry.rs
+    missing_values padding), unlike the flatbuffers decode where they are
+    null."""
+    name = col.get("column_name") or ""
+    sem = col.get("semantic_type") or 0
+    values_msg = col.get("values") or {}
+    chosen = None
+    for vfield in _PB_VALUE_ORDER:
+        vals = values_msg.get(vfield) or []
+        if vals:
+            chosen = (vfield, vals)
+            break
+    if chosen is None:
+        raise EntryError(f"column {name!r} contains only null values")
+    vfield, vals = chosen
+    if sem not in _PB_VALUE_SEMANTICS[vfield]:
+        raise EntryError(
+            f"column {name!r} has invalid semantic type {sem} for "
+            f"{vfield}"
+        )
+    if vfield == "bytes_values":
+        raise EntryError(
+            f"column {name!r}: bytes columns are not supported by this "
+            "engine (no line-protocol / schema carrier for binary fields)"
+        )
+    if vfield == "u64_values" and any(v > 2**63 - 1 for v in vals):
+        raise EntryError(
+            f"column {name!r}: u64 values above int64 range need the "
+            "uinteger line-protocol path (uint64-exact mode)"
+        )
+    flags = _null_flags(bytes(col.get("null_mask") or b""), n_rows)
+    out, i = [], 0
+    for r in range(n_rows):
+        if flags[r]:
+            out.append(None)
+        else:
+            out.append(vals[i] if i < len(vals) else vals[-1])
+            i = min(i + 1, len(vals))
+    return out, sem
+
+
+def pb_batch_to_parsed_lines(db_batch: dict):
+    """Decoded transfer/column/v1 DatabaseBatch dict → ParsedLine rows
+    for the shared write path.  Tag columns become tags, Field/IOx
+    columns become fields, the TIME column named 'time' supplies the ns
+    timestamp (an IOx-set TIME column under another name lands as an i64
+    field — documented divergence: this engine's row model has a single
+    time column).  Rows whose every field is null are rejected (the
+    columnar reference can store them; the row bridge cannot)."""
+    from influxdb_iox_spark.sources.line_protocol import ParsedLine
+
+    for batch in db_batch.get("table_batches") or []:
+        _pb_check_table_batch(batch)
+        n_rows = int(batch.get("row_count") or 0)
+        table = batch.get("table_name") or ""
+        cols = []
+        for col in batch.get("columns") or []:
+            rows, sem = _pb_column_rows(col, n_rows)
+            cols.append((col.get("column_name") or "", sem, rows))
+        for r in range(n_rows):
+            tags, fields, ts = {}, {}, None
+            for name, sem, rows in cols:
+                v = rows[r]
+                if v is None:
+                    continue
+                if sem == PB_SEM_TAG:
+                    tags[name] = str(v)
+                elif sem == PB_SEM_TIME and name == "time":
+                    ts = int(v)
+                else:
+                    fields[name] = v
+            if not fields:
+                raise EntryError(
+                    f"row {r} of table {table!r} has no non-null field "
+                    "values (not representable as a row write)"
+                )
+            yield ParsedLine(
+                measurement=table, tags=tags, fields=fields, timestamp=ts
+            )

@@ -362,3 +362,41 @@ OPERATIONS_METHODS = {
     "DeleteOperation": (DELETE_OPERATION_REQUEST, EMPTY),
     "WaitOperation": (WAIT_OPERATION_REQUEST, OPERATION),
 }
+
+
+# -- influxdata/transfer/column/v1/write.proto (PB columnar write) ----------
+# Reference: generated_types/protos/influxdata/transfer/column/v1/write.proto
+# served by src/influxdb_ioxd/rpc/write_pb.rs (PBWriteService).
+
+PB_VALUES = {
+    1: Field("i64_values", "int64", repeated=True),
+    2: Field("f64_values", "double", repeated=True),
+    3: Field("u64_values", "uint64", repeated=True),
+    4: Field("string_values", "string", repeated=True),
+    5: Field("bool_values", "bool", repeated=True),
+    6: Field("bytes_values", "bytes", repeated=True),
+}
+PB_COLUMN = {
+    1: Field("column_name", "string"),
+    2: Field("semantic_type", "enum"),
+    3: Field("values", "message", PB_VALUES),
+    4: Field("null_mask", "bytes"),
+}
+PB_TABLE_BATCH = {
+    1: Field("table_name", "string"),
+    2: Field("columns", "message", PB_COLUMN, repeated=True),
+    3: Field("row_count", "uint32"),
+}
+PB_DATABASE_BATCH = {
+    1: Field("database_name", "string"),
+    2: Field("table_batches", "message", PB_TABLE_BATCH, repeated=True),
+}
+PB_WRITE_REQUEST = {1: Field("database_batch", "message", PB_DATABASE_BATCH)}
+PB_WRITE_RESPONSE: dict[int, Field] = {}
+
+PB_WRITE_METHODS = {"Write": (PB_WRITE_REQUEST, PB_WRITE_RESPONSE)}
+
+# -- iox_testing (test/v1 TestErrorRequest/Response) ------------------------
+TEST_ERROR_REQUEST: dict[int, Field] = {}
+TEST_ERROR_RESPONSE: dict[int, Field] = {}
+TESTING_METHODS = {"TestError": (TEST_ERROR_REQUEST, TEST_ERROR_RESPONSE)}

@@ -79,6 +79,8 @@ class GrpcH2Server:
         from influxdb_iox_spark.rpc_management import (
             ManagementService,
             OperationsService,
+            PBWriteService,
+            TestingService,
             WriteService,
             _LiveStorageService,
         )
@@ -87,6 +89,8 @@ class GrpcH2Server:
         self.services = {
             "management": ManagementService(iox_server),
             "write": WriteService(iox_server),
+            "pb_write": PBWriteService(iox_server),
+            "testing": TestingService(),
             "operations": OperationsService(iox_server),
         }
         self.storage = _LiveStorageService(iox_server)

@@ -961,6 +961,44 @@ class WriteService:
         return {}
 
 
+class PBWriteService:
+    """write_pb.rs PBWriteService — the reference's third write path:
+    protobuf column batches (influxdata.transfer.column.v1.WriteService).
+    Batches convert to rows via entry_fb.pb_batch_to_parsed_lines (the
+    pb_to_entry port) and ride the same store_entry decision table as
+    line protocol and WriteEntry."""
+
+    def __init__(self, server: IoxServer):
+        self.server = server
+
+    def Write(self, req: dict) -> dict:
+        from influxdb_iox_spark.entry_fb import EntryError, pb_batch_to_parsed_lines
+        from influxdb_iox_spark.sources.line_protocol import render_line
+
+        batch = req.get("database_batch")
+        if not batch:
+            raise field_violation("database_batch")
+        db_name = batch.get("database_name") or ""
+        try:
+            parsed = list(pb_batch_to_parsed_lines(batch))
+            lp = "\n".join(render_line(pl) for pl in parsed)
+        except (EntryError, LineProtocolError, ValueError) as e:
+            raise GrpcStatusError("InvalidArgument", f"invalid database batch: {e}")
+        self.server.write_lp(db_name, lp)
+        return {}
+
+
+class TestingService:
+    """testing.rs IOxTesting — TestError.  The reference literally
+    panics the process (rpc/testing.rs:15 'This is a test panic'); an
+    engine-embedded server answers INTERNAL with the same message and
+    keeps serving, which is the deliberate divergence (aborting the
+    whole Spark driver to mimic a crash test helps nobody)."""
+
+    def TestError(self, req: dict) -> dict:
+        raise GrpcStatusError("Internal", "This is a test panic")
+
+
 class OperationsService:
     """google.longrunning Operations over the per-store job records
     (operations.rs).  All our jobs run synchronously, so Cancel is a
@@ -998,13 +1036,15 @@ SERVICE_PATHS = {
         "management", mp.MANAGEMENT_METHODS,
     ),
     "influxdata.iox.write.v1.WriteService": ("write", mp.WRITE_METHODS),
+    "influxdata.transfer.column.v1.WriteService": ("pb_write", mp.PB_WRITE_METHODS),
+    "influxdata.platform.storage.IOxTesting": ("testing", mp.TESTING_METHODS),
     "google.longrunning.Operations": ("operations", mp.OPERATIONS_METHODS),
 }
 _SHORT_SERVICE = {short: methods for short, methods in SERVICE_PATHS.values()}
 
 #: Write RPCs are data plane (serving-readiness gated); management and
 #: operations always answer (server/src/lib.rs serving readiness scope)
-DATA_PLANE_SERVICES = {"write"}
+DATA_PLANE_SERVICES = {"write", "pb_write"}
 
 
 def route_action(action_type: str) -> tuple[str, str]:
@@ -1066,6 +1106,8 @@ if _FLIGHT_AVAILABLE:
             self.services = {
                 "management": ManagementService(server),
                 "write": WriteService(server),
+                "pb_write": PBWriteService(server),
+                "testing": TestingService(),
                 "operations": OperationsService(server),
             }
             self.storage = _LiveStorageService(server)
