@@ -9,10 +9,12 @@ Server side:
 Client side (talks to a running server):
 
     ... database create <name> [--partition-by table|time:<fmt>|column:<c>]
-    ... database list
+    ... database list / get <name>
     ... database write <name> <file.lp>
     ... database query <name> "<sql>" [--format json|csv|pretty]
     ... database chunks <name>
+    ... database partitions <name> [<key>]     (key -> partition + chunks)
+    ... server get-id / set-id <id> / status
     ... operations list
 
 Every command is a thin shell over IoxServer / IoxClient — no logic
@@ -66,12 +68,14 @@ def _build_parser() -> argparse.ArgumentParser:
     for name, extra in (
         ("create", [("name", {}), ("--partition-by", {"default": "table"})]),
         ("list", []),
+        ("get", [("name", {})]),
         ("write", [("name", {}), ("file", {})]),
         (
             "query",
             [("name", {}), ("sql", {}), ("--format", {"default": "json"})],
         ),
         ("chunks", [("name", {})]),
+        ("partitions", [("name", {}), ("key", {"nargs": "?", "default": None})]),
     ):
         sp = dbsub.add_parser(name)
         for arg, kw in extra:
@@ -88,6 +92,19 @@ def _build_parser() -> argparse.ArgumentParser:
     lst = opssub.add_parser("list")
     lst.add_argument("--host", default="127.0.0.1")
     lst.add_argument("--grpc-port", type=int, required=True)
+
+    srv = sub.add_parser("server", help="server commands (id, status)")
+    srvsub = srv.add_subparsers(dest="server_command", required=True)
+    for name, extra in (
+        ("get-id", []),
+        ("set-id", [("id", {"type": int})]),
+        ("status", []),
+    ):
+        ssp = srvsub.add_parser(name)
+        for arg, kw in extra:
+            ssp.add_argument(arg, **kw)
+        ssp.add_argument("--host", default="127.0.0.1")
+        ssp.add_argument("--grpc-port", type=int, required=True)
     return p
 
 
@@ -197,8 +214,41 @@ def main(argv: list[str] | None = None, out=None) -> int:
                 else:
                     table = c.query_flight(args.name, args.sql)
                     print(json.dumps(table.to_pylist(), default=str), file=out)
+            elif args.db_command == "get":
+                print(json.dumps(c.get_database(args.name), indent=1), file=out)
             elif args.db_command == "chunks":
                 print(json.dumps(c.list_chunks(args.name), indent=1), file=out)
+            elif args.db_command == "partitions":
+                if args.key is None:
+                    for key in c.list_partitions(args.name):
+                        print(key, file=out)
+                else:
+                    print(
+                        json.dumps(
+                            {
+                                "partition": c.get_partition(args.name, args.key),
+                                "chunks": c.list_partition_chunks(
+                                    args.name, args.key
+                                ),
+                            },
+                            indent=1,
+                        ),
+                        file=out,
+                    )
+        finally:
+            c.close()
+        return 0
+
+    if args.command == "server":
+        c = _client(args)
+        try:
+            if args.server_command == "get-id":
+                print(c.get_server_id(), file=out)
+            elif args.server_command == "set-id":
+                c.update_server_id(args.id)
+                print("Ok", file=out)
+            elif args.server_command == "status":
+                print(json.dumps(c.server_status(), indent=1), file=out)
         finally:
             c.close()
         return 0

@@ -840,6 +840,27 @@ def test_cli_commands(srv, tmp_path):
         _json.loads(ln)["name"] for ln in ops_out.splitlines()
     )
 
+    got = _json.loads(run("database", "get", "clidb", "--grpc-port", str(port)))
+    assert got["name"] == "clidb"
+
+    keys = run(
+        "database", "partitions", "clidb", "--grpc-port", str(port)
+    ).split()
+    assert keys  # at least one partition after the write
+    detail = _json.loads(
+        run(
+            "database", "partitions", "clidb", keys[0],
+            "--grpc-port", str(port),
+        )
+    )
+    assert detail["partition"]["key"] == keys[0]
+    assert detail["chunks"]
+
+    assert "Ok" in run("server", "set-id", "42", "--grpc-port", str(port))
+    assert run("server", "get-id", "--grpc-port", str(port)).strip() == "42"
+    status = _json.loads(run("server", "status", "--grpc-port", str(port)))
+    assert status["initialized"] is True
+
 
 def test_cli_run_once(spark, tmp_path):
     """`run --once` boots the full server stack on a fresh base dir and
