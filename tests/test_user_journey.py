@@ -172,6 +172,45 @@ def test_full_user_journey(spark, tmp_path):
             ),
         )
         assert [r.doc_id for r in fresh.collect()] == [901]
+
+        # 9. the third write path: PB column batches over the h2c gRPC
+        # endpoint (true tonic method path), then the series-transform
+        # library over the served table
+        from influxdb_iox_spark import management_proto as mp
+        from influxdb_iox_spark.operators import transforms as T
+        from influxdb_iox_spark.rpc_h2 import GrpcH2Client, GrpcH2Server
+
+        h2 = GrpcH2Server(primary)
+        h2c = GrpcH2Client(h2.port)
+        try:
+            req = {"database_batch": {"database_name": db, "table_batches": [{
+                "table_name": "mem", "row_count": 3, "columns": [
+                    {"column_name": "host", "semantic_type": 2,
+                     "values": {"string_values": ["a", "a", "a"]},
+                     "null_mask": b""},
+                    {"column_name": "used", "semantic_type": 3,
+                     "values": {"f64_values": [1.0, 3.0, 6.0]},
+                     "null_mask": b""},
+                    {"column_name": "time", "semantic_type": 4,
+                     "values": {"i64_values": [10**9, 2 * 10**9, 3 * 10**9]},
+                     "null_mask": b""},
+                ]}]}}
+            h2c.call(
+                "/influxdata.transfer.column.v1.WriteService/Write",
+                req, mp.PB_WRITE_REQUEST, mp.PB_WRITE_RESPONSE,
+            )
+        finally:
+            h2c.close()
+            h2.shutdown()
+        mem = primary.databases[db].database.table("mem")
+        w = T.series_window(["host"], ["time"])
+        diffs = {
+            r.time: r.d
+            for r in mem.select(
+                "time", T.difference(F.col("used"), w).alias("d")
+            ).collect()
+        }
+        assert diffs == {10**9: None, 2 * 10**9: 2.0, 3 * 10**9: 3.0}
     finally:
         client.close()
         http.stop()
