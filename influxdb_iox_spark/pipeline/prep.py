@@ -1,9 +1,10 @@
 """corpus_prep: the standard training-data preparation chain, one call.
 
 The canonical pipeline every corpus paper describes (C4, Gopher,
-RefinedWeb): quality gate → blocklist gate → exact dedup → near-dup
-drop → deterministic sample — composed from the tested operators with a
-per-stage survivor ledger so a run is auditable.
+RefinedWeb): quality gate → blocklist gate → exact dedup → repeated-span
+(segment) removal → near-dup drop → deterministic sample — composed from
+the tested operators with a per-stage survivor ledger so a run is
+auditable.
 
 Each stage is the existing operator (pipeline/text.py, pipeline/dedup.py,
 pipeline/corpus.py); this module only sequences them and records counts.
@@ -53,6 +54,8 @@ def corpus_prep(
     quality_rules: list[tuple] | None = DEFAULT_QUALITY_RULES,
     blocklist: list[str] | None = None,
     exact_dedup: bool = True,
+    segment_words: int | None = None,
+    segment_delimiter: str | None = None,
     near_dup_threshold: float | None = None,
     sample_rate: float | None = None,
     sample_seed: str = "prep",
@@ -79,6 +82,23 @@ def corpus_prep(
         out = record("blocklist", blocklist_filter(out, blocklist, text_col))
     if exact_dedup:
         out = record("exact_dedup", drop_exact_duplicates(out, text_col, id_col))
+    if segment_words is not None or segment_delimiter is not None:
+        # repeated-span removal (CCNet/RefinedWeb) BETWEEN exact and
+        # near-dup: rewrites surviving docs without their boilerplate
+        # spans, so the near-dup stage judges real content only
+        from influxdb_iox_spark.pipeline.paragraph import dedup_segments
+
+        scrubbed = dedup_segments(
+            out,
+            text_col,
+            id_col,
+            delimiter=segment_delimiter,
+            words_per_segment=segment_words,
+        ).select(id_col, text_col)
+        out = record(
+            "segment_dedup",
+            out.drop(text_col).join(scrubbed, on=id_col),
+        )
     if near_dup_threshold is not None:
         pairs = near_duplicate_pairs_minhash(
             out, text_col=text_col, id_col=id_col, threshold=near_dup_threshold

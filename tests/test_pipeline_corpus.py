@@ -324,3 +324,30 @@ def test_corpus_prep_chain(spark):
         sample_rate=0.5,
     )
     assert ids3 == sorted(r.doc_id for r in out4.collect())
+
+
+def test_corpus_prep_segment_stage(spark):
+    """The optional repeated-span stage rewrites docs between exact and
+    near-dup: boilerplate spans vanish from later docs, fully-boilerplate
+    docs vanish entirely, and non-text columns survive the rewrite."""
+    from influxdb_iox_spark.pipeline.prep import corpus_prep
+
+    rows = [
+        (1, "one two three four\n\nreal content here", "s1"),
+        (2, "one two three four\n\nother real words", "s2"),
+        (3, "one two three four", "s3"),  # all boilerplate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    out, report = corpus_prep(
+        df,
+        quality_rules=None,
+        blocklist=None,
+        exact_dedup=False,
+        segment_delimiter="\n\n",
+    )
+    got = {r.doc_id: r for r in out.collect()}
+    assert report.as_dict()["segment_dedup"] == 2
+    assert got[1].text == "one two three four\n\nreal content here"
+    assert got[2].text == "other real words"
+    assert got[2].src == "s2"  # non-text columns preserved
+    assert 3 not in got
