@@ -221,3 +221,79 @@ def test_testing_service_test_error(h2_server):
     assert msgs == []
     assert int(trailers["grpc-status"]) == GRPC_STATUS["Internal"]
     assert "This is a test panic" in trailers["grpc-message"]
+
+
+def test_pb_wire_round_trip_property():
+    """Hypothesis: encode/decode are inverses over arbitrary well-formed
+    DatabaseBatch messages (all six value kinds, masks, multiple tables)."""
+    from hypothesis import given, settings, strategies as st
+
+    from influxdb_iox_spark import management_proto as mp
+    from influxdb_iox_spark.protowire import decode_message, encode_message
+
+    name = st.text(
+        alphabet=st.characters(exclude_categories=("Cs",)), max_size=12
+    )
+    values = st.fixed_dictionaries(
+        {},
+        optional={
+            "i64_values": st.lists(st.integers(-(2**63), 2**63 - 1), max_size=4),
+            "f64_values": st.lists(
+                st.floats(allow_nan=False, width=64), max_size=4
+            ),
+            "u64_values": st.lists(st.integers(0, 2**64 - 1), max_size=4),
+            "string_values": st.lists(name, max_size=4),
+            "bool_values": st.lists(st.booleans(), max_size=4),
+            "bytes_values": st.lists(st.binary(max_size=6), max_size=3),
+        },
+    )
+    column = st.fixed_dictionaries(
+        {
+            "column_name": name,
+            "semantic_type": st.integers(0, 4),
+            "values": values,
+            "null_mask": st.binary(max_size=4),
+        }
+    )
+    batch = st.fixed_dictionaries(
+        {
+            "database_name": name,
+            "table_batches": st.lists(
+                st.fixed_dictionaries(
+                    {
+                        "table_name": name,
+                        "columns": st.lists(column, max_size=3),
+                        "row_count": st.integers(0, 2**32 - 1),
+                    }
+                ),
+                max_size=2,
+            ),
+        }
+    )
+
+    def norm(v):
+        # decode fills proto3 defaults; compare only fields the input set
+        # to non-default values
+        if isinstance(v, dict):
+            out = {}
+            for k, x in v.items():
+                nx = norm(x)
+                if nx in ([], "", b"", 0, {}, None, False):
+                    continue
+                out[k] = nx
+            return out
+        if isinstance(v, list):
+            return [norm(x) for x in v]
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v)
+        return v
+
+    @settings(max_examples=200, deadline=None)
+    @given(req=st.fixed_dictionaries({"database_batch": batch}))
+    def check(req):
+        back = decode_message(
+            encode_message(req, mp.PB_WRITE_REQUEST), mp.PB_WRITE_REQUEST
+        )
+        assert norm(back) == norm(req)
+
+    check()
