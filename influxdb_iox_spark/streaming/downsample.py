@@ -1,0 +1,109 @@
+"""Continuous downsampling — InfluxDB continuous queries / tasks,
+re-expressed on the engine's own upsert semantics.
+
+The reference engine has no continuous-query runner (classic InfluxDB
+CQs/tasks live outside iox v0); this is the beyond-reference composition
+a dashboard deployment needs: periodically roll a raw measurement up
+into a coarser one (``cpu`` → ``cpu_1h``).
+
+The design leans on the engine's primary-key dedup instead of
+read-modify-write state:
+
+- Each sweep aggregates only the TAIL of the source (rows at or after
+  the destination's high-water mark minus the late-arrival window) —
+  cost proportional to recent writes, not source size, exactly like the
+  lifecycle compactor.
+- Refreshed buckets are simply re-emitted: the destination's primary
+  key is (tags…, bucket-stop time), so dedup-on-read upserts the new
+  value over the old chunk's (last-non-null, chunk order) and the
+  normal compaction sweep collapses the physical duplicates later.
+  No transactional update path is needed — idempotent re-runs are free.
+- The bucket boundary is the window STOP (functions/time.window_bounds,
+  the reference's GetEarliestBounds convention), so downsampled tables
+  read exactly like read_window_aggregate output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from influxdb_iox_spark.functions.time import window_bounds
+from influxdb_iox_spark.schema import InfluxColumnType, IoxSchema
+
+NS_PER_SECOND = 1_000_000_000
+
+_AGGS = {
+    "mean": F.avg,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+}
+
+
+def downsample_table(
+    database,
+    src_table: str,
+    dst_table: str,
+    every_seconds: int,
+    agg: str = "mean",
+    late_arrive_window_seconds: int = 300,
+):
+    """One downsample sweep; returns the written ChunkMeta (or None when
+    the tail holds no complete rows).
+
+    Numeric fields of ``src_table`` aggregate under ``agg`` (same field
+    names, like an InfluxQL ``mean(value) AS value`` CQ); tags group.
+    Incremental: only source rows with ``time >= hwm - every - late``
+    are touched, where hwm is the destination's max bucket — late
+    arrivals inside the window refresh their bucket via re-emit + PK
+    dedup.
+    """
+    if agg not in _AGGS:
+        raise ValueError(f"unknown agg {agg!r}: pick one of {sorted(_AGGS)}")
+    src_schema = database.table_schema(src_table)
+    tags = src_schema.tag_columns
+    numeric = [
+        f.name
+        for f in src_schema.struct
+        if f.name in src_schema.field_columns
+        and f.dataType.typeName() in ("double", "long", "integer", "float")
+    ]
+    if not numeric:
+        raise ValueError(f"{src_table!r} has no numeric fields to downsample")
+
+    field_types = {
+        f: (
+            InfluxColumnType.FIELD_INTEGER
+            if agg == "count"
+            else InfluxColumnType.FIELD_FLOAT
+        )
+        for f in numeric
+    }
+    dst_schema = IoxSchema.build(tags, field_types)
+
+    every_ns = every_seconds * NS_PER_SECOND
+    src = database.table(src_table)
+
+    hwm = None
+    if dst_table in database.schemas:
+        hwm = database.table(dst_table).agg(F.max("time")).collect()[0][0]
+    if hwm is not None:
+        lo = hwm - every_ns - late_arrive_window_seconds * NS_PER_SECOND
+        src = src.filter(F.col("time") >= F.lit(lo))
+
+    out = (
+        src.withColumn("__bucket", window_bounds("time", every_ns))
+        .groupBy(*tags, "__bucket")
+        .agg(*[_AGGS[agg](f).alias(f) for f in numeric])
+        .withColumnRenamed("__bucket", "time")
+    )
+    if agg != "count":
+        out = out.select(
+            *tags, "time", *[F.col(f).cast("double").alias(f) for f in numeric]
+        )
+    if not out.take(1):
+        return None
+    meta = database.store.write_chunk(out, dst_table, dst_schema)
+    database.register_table(dst_table, dst_schema)
+    return meta

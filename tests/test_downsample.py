@@ -1,0 +1,76 @@
+"""Continuous downsampling (streaming/downsample.py): rollup correctness,
+incremental tail processing, and late-arrival refresh via PK upsert."""
+
+from __future__ import annotations
+
+import pytest
+
+from influxdb_iox_spark.database import Database
+from influxdb_iox_spark.schema import InfluxColumnType, IoxSchema
+from influxdb_iox_spark.sources.store import TableStore
+from influxdb_iox_spark.streaming.downsample import downsample_table
+
+CPU = IoxSchema.build(["region"], {"user": InfluxColumnType.FIELD_FLOAT})
+S = 1_000_000_000  # ns
+
+
+def _db(spark, tmp_path):
+    store = TableStore(str(tmp_path / "ds"))
+    db = Database("db", store, spark)
+    db.register_table("cpu", CPU)
+    return db
+
+
+def _write(db, rows):
+    df = db.spark.createDataFrame(rows, "region string, user double, time long")
+    db.store.write_chunk(df, "cpu", CPU)
+
+
+def test_downsample_rollup_and_stop_boundary(spark, tmp_path):
+    db = _db(spark, tmp_path)
+    _write(db, [("west", 1.0, 10 * S), ("west", 3.0, 50 * S),
+                ("east", 8.0, 70 * S)])
+    meta = downsample_table(db, "cpu", "cpu_1m", every_seconds=60)
+    assert meta is not None and meta.table == "cpu_1m"
+    got = {(r.region, r.time): r.user for r in db.table("cpu_1m").collect()}
+    # bucket STOP boundary (GetEarliestBounds convention)
+    assert got == {("west", 60 * S): 2.0, ("east", 120 * S): 8.0}
+
+
+def test_downsample_incremental_tail_only(spark, tmp_path):
+    db = _db(spark, tmp_path)
+    _write(db, [("west", 1.0, 10 * S), ("west", 5.0, 70 * S)])
+    downsample_table(db, "cpu", "cpu_1m", every_seconds=60,
+                     late_arrive_window_seconds=0)
+    # new data lands two buckets later; the sweep must not re-emit the
+    # untouched first bucket
+    _write(db, [("west", 9.0, 200 * S)])
+    meta2 = downsample_table(db, "cpu", "cpu_1m", every_seconds=60,
+                             late_arrive_window_seconds=0)
+    assert meta2.row_count == 2  # hwm bucket (120s) + new bucket (240s)
+    got = {r.time: r.user for r in db.table("cpu_1m").filter("region='west'").collect()}
+    assert got == {60 * S: 1.0, 120 * S: 5.0, 240 * S: 9.0}
+
+
+def test_downsample_late_arrival_refreshes_bucket(spark, tmp_path):
+    db = _db(spark, tmp_path)
+    _write(db, [("west", 1.0, 10 * S)])
+    downsample_table(db, "cpu", "cpu_1m", every_seconds=60)
+    # a late point lands in the ALREADY-downsampled bucket
+    _write(db, [("west", 3.0, 20 * S)])
+    downsample_table(db, "cpu", "cpu_1m", every_seconds=60)
+    rows = db.table("cpu_1m").collect()
+    # PK dedup upserts the refreshed mean — one logical row, new value
+    assert [(r.region, r.time, r.user) for r in rows] == [("west", 60 * S, 2.0)]
+    # physically two chunks until compaction collapses them
+    assert len(db.store.manifest("cpu_1m")) == 2
+
+
+def test_downsample_count_and_empty_tail(spark, tmp_path):
+    db = _db(spark, tmp_path)
+    _write(db, [("west", 1.0, 10 * S), ("west", 3.0, 20 * S)])
+    downsample_table(db, "cpu", "cpu_counts", every_seconds=60, agg="count")
+    (row,) = db.table("cpu_counts").collect()
+    assert (row.region, row.time, row.user) == ("west", 60 * S, 2)
+    with pytest.raises(ValueError, match="unknown agg"):
+        downsample_table(db, "cpu", "x", 60, agg="median")
