@@ -576,6 +576,31 @@ class IoxServer:
                 t: md.database.store.compact_manifest(t)
                 for t in md.database.store.tables()
             }
+        # continuous downsampling: rules-as-data, swept like compaction
+        # (beyond the reference — classic-InfluxDB continuous queries).
+        # rules["downsample"] = [{"src": t, "dst": t2, "every_seconds": N,
+        #   "agg": "mean"}, ...]; each sweep is tail-incremental and
+        # idempotent (streaming/downsample.py).
+        if md.rules.get("downsample"):
+            from influxdb_iox_spark.streaming.downsample import downsample_table
+
+            ds_report = {}
+            for cq in md.rules["downsample"]:
+                meta = downsample_table(
+                    md.database,
+                    cq["src"],
+                    cq["dst"],
+                    int(cq["every_seconds"]),
+                    agg=cq.get("agg", "mean"),
+                    late_arrive_window_seconds=int(
+                        cq.get(
+                            "late_arrive_window_seconds",
+                            rules.late_arrive_window_seconds,
+                        )
+                    ),
+                )
+                ds_report[cq["dst"]] = meta.row_count if meta else 0
+            report["downsampled"] = ds_report
         return report
 
     # -- operations --------------------------------------------------------

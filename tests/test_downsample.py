@@ -74,3 +74,26 @@ def test_downsample_count_and_empty_tail(spark, tmp_path):
     assert (row.region, row.time, row.user) == ("west", 60 * S, 2)
     with pytest.raises(ValueError, match="unknown agg"):
         downsample_table(db, "cpu", "x", 60, agg="median")
+
+
+def test_lifecycle_sweep_runs_downsample_rules(spark, tmp_path):
+    """Server-level continuous queries: rules['downsample'] entries run on
+    every lifecycle sweep, tail-incrementally."""
+    from influxdb_iox_spark.rpc_management import IoxServer
+
+    iox = IoxServer(spark, str(tmp_path / "dsrv"))
+    iox.create_database(
+        {"name": "m", "partition_template": {"parts": [{"table": {}}]}}
+    )
+    iox.databases["m"].rules["downsample"] = [
+        {"src": "cpu", "dst": "cpu_1m", "every_seconds": 60, "agg": "mean"}
+    ]
+    iox.write_lp("m", f"cpu,region=west user=1.0 {10 * S}\n"
+                      f"cpu,region=west user=3.0 {50 * S}")
+    report = iox.run_lifecycle("m")
+    assert report["downsampled"] == {"cpu_1m": 1}
+    (row,) = iox.databases["m"].database.table("cpu_1m").collect()
+    assert (row.region, row.time, row.user) == ("west", 60 * S, 2.0)
+    # second sweep with no new data re-emits at most the hwm bucket
+    report2 = iox.run_lifecycle("m")
+    assert report2["downsampled"]["cpu_1m"] <= 1
