@@ -147,7 +147,14 @@ class IoxClient:
                 "write", "Write", {"db_name": db_name, "lp_data": lp_data}
             )
             return out.get("lines_written", 0)
-        if org is None or bucket is None:
+        if (org is None) != (bucket is None):
+            # honoring half the pair would silently re-derive the other
+            # half from the ambiguous db_name split — reject instead
+            raise ValueError(
+                "HTTP write needs BOTH org and bucket when either is given "
+                f"explicitly (got org={org!r}, bucket={bucket!r})"
+            )
+        if org is None:
             org, sep, bucket = db_name.partition("_")
             if not sep:
                 raise ValueError(

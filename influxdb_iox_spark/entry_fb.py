@@ -274,6 +274,21 @@ def entry_to_parsed_lines(buf: bytes):
     for pw in decoded["writes"]:
         for batch in pw["batches"]:
             logical = batch["logical"]
+            for name, vt in (batch.get("values_types") or {}).items():
+                if vt != VAL_U64:
+                    continue
+                for row in batch["rows"]:
+                    v = row.get(name)
+                    if v is not None and v > 2**63 - 1:
+                        # same guard as the PB path: unguarded, the
+                        # overflow surfaces deep in the Arrow write as an
+                        # uncatchable class (Internal instead of
+                        # InvalidArgument; bypasses the drain quarantine)
+                        raise EntryError(
+                            f"column {name!r}: u64 values above int64 "
+                            "range need the uinteger line-protocol path "
+                            "(uint64-exact mode)"
+                        )
             for row in batch["rows"]:
                 tags = {
                     k: v

@@ -331,6 +331,28 @@ def len_signature(path: str) -> int:
 SEGMENT_META = "_segment_meta.json"
 
 
+def _segment_fingerprints(
+    segs: DataFrame, id_col: str, n_buckets: int
+) -> DataFrame:
+    """(segment_hash, canonical_id, canonical_seg_idx, bucket) rows —
+    the ONE digest-keyed aggregate both index build and append share, so
+    the winner ordering and bucketing can never desynchronize."""
+    return (
+        segs.select(
+            F.md5(F.col("segment")).alias("segment_hash"),
+            F.col(id_col), F.col("seg_idx"),
+        )
+        .groupBy("segment_hash")
+        .agg(F.min(F.struct(F.col(id_col), F.col("seg_idx"))).alias("__w"))
+        .select(
+            "segment_hash",
+            F.col(f"__w.{id_col}").alias("canonical_id"),
+            F.col("__w.seg_idx").alias("canonical_seg_idx"),
+        )
+        .withColumn("bucket", _bucket(F.col("segment_hash"), n_buckets))
+    )
+
+
 def build_segment_index(
     df: DataFrame,
     path: str,
@@ -355,20 +377,7 @@ def build_segment_index(
         df, text_col, id_col,
         delimiter=delimiter, words_per_segment=words_per_segment,
     )
-    fp = (
-        segs.select(
-            F.md5(F.col("segment")).alias("segment_hash"),
-            F.col(id_col), F.col("seg_idx"),
-        )
-        .groupBy("segment_hash")
-        .agg(F.min(F.struct(F.col(id_col), F.col("seg_idx"))).alias("__w"))
-        .select(
-            "segment_hash",
-            F.col(f"__w.{id_col}").alias("canonical_id"),
-            F.col("__w.seg_idx").alias("canonical_seg_idx"),
-        )
-        .withColumn("bucket", _bucket(F.col("segment_hash"), n_buckets))
-    )
+    fp = _segment_fingerprints(segs, id_col, n_buckets)
     fp.write.mode("overwrite").partitionBy("bucket").parquet(path)
     with open(os.path.join(path, SEGMENT_META), "w") as f:
         json.dump(
@@ -451,20 +460,7 @@ def append_segments_to_index(
         delimiter=meta["delimiter"],
         words_per_segment=meta["words_per_segment"],
     )
-    fp = (
-        segs.select(
-            F.md5(F.col("segment")).alias("segment_hash"),
-            F.col(id_col), F.col("seg_idx"),
-        )
-        .groupBy("segment_hash")
-        .agg(F.min(F.struct(F.col(id_col), F.col("seg_idx"))).alias("__w"))
-        .select(
-            "segment_hash",
-            F.col(f"__w.{id_col}").alias("canonical_id"),
-            F.col("__w.seg_idx").alias("canonical_seg_idx"),
-        )
-        .withColumn("bucket", _bucket(F.col("segment_hash"), meta["n_buckets"]))
-    )
+    fp = _segment_fingerprints(segs, id_col, meta["n_buckets"])
     fp.write.mode("append").partitionBy("bucket").parquet(path)
 
 

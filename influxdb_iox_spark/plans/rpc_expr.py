@@ -80,7 +80,10 @@ def check_regex_envelope(pattern: str) -> None:
     checks = [
         (r"\(\?P[<=]", "named-group syntax '(?P<…>' (Rust spelling)"),
         (r"\(\?=|\(\?!|\(\?<=|\(\?<!", "lookaround (unsupported by the reference's regex dialect)"),
-        (r"\\[1-9]|\\k<", "backreference (unsupported by the reference's regex dialect)"),
+        # a backreference is an ODD run of backslashes before the digit —
+        # an even run is escaped literal backslashes (both dialects agree
+        # on those, e.g. 'dir\\\\1' = backslash + '1')
+        (r"(?<!\\)(?:\\\\)*\\(?:[1-9]|k<)", "backreference (unsupported by the reference's regex dialect)"),
     ]
     for pat, what in checks:
         if _re.search(pat, pattern):

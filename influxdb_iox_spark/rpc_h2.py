@@ -190,6 +190,14 @@ class GrpcH2Server:
         except StorageRpcError as e:
             trailers_only(GRPC_STATUS["InvalidArgument"], str(e))
             return
+        except struct.error as e:
+            # truncated/short gRPC message body (length prefix or payload
+            # cut off): answer on the error channel instead of letting
+            # the serve thread die with an unhandled traceback
+            trailers_only(
+                GRPC_STATUS["InvalidArgument"], f"malformed gRPC message: {e}"
+            )
+            return
         except ValueError as e:
             trailers_only(GRPC_STATUS["Internal"], str(e))
             return

@@ -470,10 +470,34 @@ class IoxServer:
                 json.dump({"next_seq": seq_after, "parked": parked}, f)
             os.replace(tmp, offset_path)
 
+        def _quarantine(seq: int, payload, e: Exception) -> int:
+            qpath = os.path.join(
+                md.database.store.base_dir, "wb_quarantine.jsonl"
+            )
+            rendered = (
+                payload.hex() if isinstance(payload, bytes) else payload
+            )
+            with open(qpath, "a") as qf:
+                qf.write(
+                    json.dumps(
+                        {"seq": seq, "error": str(e), "payload": rendered}
+                    )
+                    + "\n"
+                )
+            return 0
+
         def _apply_one(seq: int, payload) -> int:
             """Apply one payload: ``str`` = line protocol, ``bytes`` = a
             flatbuffers Entry (the reference topic's native format) —
-            both land through the same schema-inference chunk write."""
+            both land through the same schema-inference chunk write.
+
+            Quarantine covers BOTH stages: decode/parse failures AND
+            payload-permanent apply failures (InvalidArgument — e.g. a
+            schema-merge type conflict, which would fail identically on
+            every retry).  Other apply errors (resource limits, Spark
+            infrastructure) propagate WITHOUT advancing the offset so a
+            later drain retries — quarantining those would drop valid
+            data on a transient fault."""
             try:
                 if isinstance(payload, bytes):
                     from influxdb_iox_spark.entry_fb import entry_to_parsed_lines
@@ -487,21 +511,13 @@ class IoxServer:
                     lp = payload
                     parsed = list(parse_lines(payload))
             except (LineProtocolError, ValueError, struct.error) as e:
-                qpath = os.path.join(
-                    md.database.store.base_dir, "wb_quarantine.jsonl"
-                )
-                rendered = (
-                    payload.hex() if isinstance(payload, bytes) else payload
-                )
-                with open(qpath, "a") as qf:
-                    qf.write(
-                        json.dumps(
-                            {"seq": seq, "error": str(e), "payload": rendered}
-                        )
-                        + "\n"
-                    )
-                return 0
-            self._apply_lp(md, db_name, lp, parsed)
+                return _quarantine(seq, payload, e)
+            try:
+                self._apply_lp(md, db_name, lp, parsed)
+            except GrpcStatusError as e:
+                if e.code == "InvalidArgument":
+                    return _quarantine(seq, payload, e)
+                raise
             return len(parsed)
 
         # re-check parked sequences first: a slow producer may have

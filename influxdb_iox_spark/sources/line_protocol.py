@@ -47,46 +47,11 @@ _ESCAPABLE_KEY = {",": ",", "=": "=", " ": " ", "\\": "\\"}
 def render_line(pl: "ParsedLine") -> str:
     """ParsedLine → canonical line-protocol text (the parser's exact
     inverse — parse(render(x)) == x).  Used to route decoded flatbuffers
-    Entry payloads (entry_fb) through the same write path as client line
-    protocol.  Floats render via repr (round-trips every finite double);
-    non-finite floats have no LP spelling and raise."""
-
-    def esc_meas(s: str) -> str:
-        return s.replace("\\", "\\\\").replace(",", "\\,").replace(" ", "\\ ")
-
-    def esc_key(s: str) -> str:
-        return (
-            s.replace("\\", "\\\\")
-            .replace(",", "\\,")
-            .replace("=", "\\=")
-            .replace(" ", "\\ ")
-        )
-
-    if not pl.fields:
-        raise LineProtocolError(
-            f"line for measurement {pl.measurement!r} has no field values"
-        )
-    out = [esc_meas(pl.measurement)]
-    for k, v in pl.tags.items():
-        out.append(f",{esc_key(k)}={esc_key(v)}")
-    sep = " "
-    for k, v in pl.fields.items():
-        if isinstance(v, bool):
-            tok = "true" if v else "false"
-        elif isinstance(v, int):
-            tok = f"{v}i"
-        elif isinstance(v, float):
-            if v != v or v in (float("inf"), float("-inf")):
-                raise LineProtocolError(f"non-finite float field {k}={v}")
-            tok = repr(v)
-        else:
-            sv = str(v).replace("\\", "\\\\").replace('"', '\\"')
-            tok = f'"{sv}"'
-        out.append(f"{sep}{esc_key(k)}={tok}")
-        sep = ","
-    if pl.timestamp is not None:
-        out.append(f" {pl.timestamp}")
-    return "".join(out)
+    Entry / PB column-batch payloads (entry_fb) through the same write
+    path as client line protocol.  Alias of :func:`format_line` — one
+    serializer, so escaping or numeric-rendering fixes can never
+    diverge between the two entry points."""
+    return format_line(pl)
 
 
 def _scan_escaped(s: str, i: int, terminators: str, escapable: dict[str, str]) -> tuple[str, int]:
@@ -217,7 +182,13 @@ def _escape(s: str, escapable: dict[str, str]) -> str:
 
 
 def format_line(pl: ParsedLine) -> str:
-    """Inverse of ``parse_line`` — serialize back to line protocol."""
+    """Inverse of ``parse_line`` — serialize back to line protocol.
+    Floats render via repr (round-trips every finite double); a line
+    with no fields or a non-finite float has no LP spelling and raises."""
+    if not pl.fields:
+        raise LineProtocolError(
+            f"line for measurement {pl.measurement!r} has no field values"
+        )
     parts = [_escape(pl.measurement, _ESCAPABLE_MEASUREMENT)]
     for k, v in pl.tags.items():
         parts.append(f",{_escape(k, _ESCAPABLE_KEY)}={_escape(v, _ESCAPABLE_KEY)}")
@@ -229,6 +200,8 @@ def format_line(pl: ParsedLine) -> str:
         elif isinstance(v, int):
             fields.append(f"{key}={v}i")
         elif isinstance(v, float):
+            if v != v or v in (float("inf"), float("-inf")):
+                raise LineProtocolError(f"non-finite float field {k}={v}")
             fields.append(f"{key}={v!r}")
         else:
             esc = v.replace("\\", "\\\\").replace('"', '\\"')

@@ -80,6 +80,19 @@ class ObjectStore:
         """All keys with the given prefix, sorted."""
         raise NotImplementedError
 
+    def list_with_etags(self, prefix: str) -> list[tuple[str, str]]:
+        """(key, etag) pairs with the given prefix, sorted by key.
+
+        Real object stores return etags in LIST responses, making
+        freshness probes one round trip; the default falls back to one
+        GET per key for backends that cannot."""
+        out = []
+        for k in self.list(prefix):
+            got = self.get(k)
+            if got is not None:
+                out.append((k, got[1]))
+        return out
+
     def delete(self, key: str) -> None:
         """Idempotent delete."""
         raise NotImplementedError
@@ -119,6 +132,14 @@ class InMemoryObjectStore(ObjectStore):
         with self._lock:
             return sorted(k for k in self._objects if k.startswith(prefix))
 
+    def list_with_etags(self, prefix):
+        with self._lock:
+            return sorted(
+                (k, v[1])
+                for k, v in self._objects.items()
+                if k.startswith(prefix)
+            )
+
     def delete(self, key):
         with self._lock:
             self._objects.pop(key, None)
@@ -150,6 +171,10 @@ class ThrottledObjectStore(ObjectStore):
     def list(self, prefix):
         self._wait()
         return self.inner.list(prefix)
+
+    def list_with_etags(self, prefix):
+        self._wait()
+        return self.inner.list_with_etags(prefix)
 
     def delete(self, key):
         self._wait()
@@ -367,13 +392,12 @@ class ObjectStoreManifestBackend:
     # -- catalog fingerprint ----------------------------------------------
     def version(self) -> int:
         """Stable digest over (key, etag) of every manifest object — any
-        append, drop, or fold changes some etag or key set."""
+        append, drop, or fold changes some etag or key set.  ONE LIST
+        round trip (etags ride the LIST response); never a GET, so the
+        probe stays metadata-priced however many record objects exist."""
         import hashlib
 
         h = hashlib.md5()
-        for k in self.store.list(self.prefix):
-            got = self.store.get(k)
-            if got is None:
-                continue
-            h.update(f"{k}\x00{got[1]}\n".encode())
+        for k, etag in self.store.list_with_etags(self.prefix):
+            h.update(f"{k}\x00{etag}\n".encode())
         return int.from_bytes(h.digest()[:8], "big")

@@ -90,6 +90,12 @@ def downsample_table(
         hwm = database.table(dst_table).agg(F.max("time")).collect()[0][0]
     if hwm is not None:
         lo = hwm - every_ns - late_arrive_window_seconds * NS_PER_SECOND
+        # floor to a bucket boundary: a cut INSIDE a bucket would
+        # re-aggregate that bucket from a subset of its rows and the
+        # partial mean would permanently overwrite the correct value via
+        # the PK upsert.  Aligned, every bucket is either fully in the
+        # tail or fully excluded.
+        lo = (lo // every_ns) * every_ns
         src = src.filter(F.col("time") >= F.lit(lo))
 
     out = (
@@ -102,6 +108,9 @@ def downsample_table(
         out = out.select(
             *tags, "time", *[F.col(f).cast("double").alias(f) for f in numeric]
         )
+    # materialize the (small) rollup ONCE: the emptiness probe and the
+    # chunk write must not each re-run the tail aggregation
+    out = out.localCheckpoint(eager=True)
     if not out.take(1):
         return None
     meta = database.store.write_chunk(out, dst_table, dst_schema)

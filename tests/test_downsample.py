@@ -97,3 +97,24 @@ def test_lifecycle_sweep_runs_downsample_rules(spark, tmp_path):
     # second sweep with no new data re-emits at most the hwm bucket
     report2 = iox.run_lifecycle("m")
     assert report2["downsampled"]["cpu_1m"] <= 1
+
+
+def test_incremental_cut_never_splits_a_bucket(spark, tmp_path):
+    """Regression (review finding): a tail cut INSIDE a bucket would
+    re-aggregate it from a subset of rows and the partial mean would
+    permanently overwrite the correct value via PK upsert.  With a late
+    window that is NOT a multiple of `every`, the refreshed bucket must
+    still aggregate ALL of its rows."""
+    db = _db(spark, tmp_path)
+    # bucket (120s,180s]: rows at 130s and 155s -> mean 6.0
+    _write(db, [("west", 2.0, 130 * S), ("west", 10.0, 155 * S)])
+    downsample_table(db, "cpu", "cpu_1m", every_seconds=60,
+                     late_arrive_window_seconds=30)
+    # advance the hwm two buckets, then sweep with late=30s (mid-bucket
+    # cut at 240-60-30=150s if unaligned)
+    _write(db, [("west", 7.0, 200 * S)])
+    downsample_table(db, "cpu", "cpu_1m", every_seconds=60,
+                     late_arrive_window_seconds=30)
+    got = {r.time: r.user for r in db.table("cpu_1m").collect()}
+    assert got[180 * S] == 6.0  # NOT 10.0 (the partial re-aggregate)
+    assert got[240 * S] == 7.0

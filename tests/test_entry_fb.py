@@ -284,3 +284,36 @@ def test_write_entry_rpc_end_to_end(spark, tmp_path):
     finally:
         c.close()
         flight.shutdown()
+
+
+def test_u64_above_int64_rejected_at_row_bridge():
+    """Review r6: a U64 column with values past int64 range must fail
+    cleanly at the bridge (EntryError -> InvalidArgument + quarantine),
+    not deep in the Arrow write; decode itself still accepts full u64."""
+    import pytest
+
+    from influxdb_iox_spark.entry_fb import (
+        EntryError,
+        decode_entry,
+        entry_to_parsed_lines,
+    )
+
+    buf = encode_write_entry(
+        [
+            {
+                "key": "p",
+                "batches": [
+                    {
+                        "name": "cpu",
+                        "columns": [
+                            ("count", LOGICAL_FIELD, VAL_U64, [2**63]),
+                            ("time", LOGICAL_TIME, VAL_I64, [100]),
+                        ],
+                    }
+                ],
+            }
+        ]
+    )
+    decode_entry(buf)  # raw decode keeps full u64 fidelity
+    with pytest.raises(EntryError, match="u64 values above int64 range"):
+        list(entry_to_parsed_lines(buf))

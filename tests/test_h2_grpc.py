@@ -303,3 +303,52 @@ def test_large_streaming_response_respects_flow_control(h2_server):
     assert int(trailers["grpc-status"]) == 0
     total = sum(len(m) for m in msgs)
     assert total > 65535, f"response only {total} bytes — not a window test"
+
+
+def test_truncated_grpc_body_answers_on_error_channel(h2_server):
+    """Review r6: a DATA body shorter than the 5-byte gRPC length prefix
+    must produce InvalidArgument trailers, not an unhandled serve-thread
+    traceback and a dead connection."""
+    from influxdb_iox_spark import h2wire as h2
+    from influxdb_iox_spark.rpc_h2 import GRPC_STATUS
+
+    _, _, c = h2_server
+    with c._lock:
+        sid = c._next_stream
+        c._next_stream += 2
+        block = c._encoder.encode(
+            [
+                (":method", "POST"),
+                (":scheme", "http"),
+                (":path", f"/{MGMT}/ListDatabases"),
+                (":authority", c._authority),
+                ("content-type", "application/grpc"),
+                ("te", "trailers"),
+            ]
+        )
+        c._sock.sendall(h2.encode_frame(h2.HEADERS, h2.FLAG_END_HEADERS, sid, block))
+        c._sock.sendall(
+            h2.encode_frame(h2.DATA, h2.FLAG_END_STREAM, sid, b"\x00\x00\x00")
+        )
+        trailers = {}
+        while True:
+            ftype, flags, fsid, payload = h2.read_frame(c._sock)
+            if ftype == h2.SETTINGS:
+                if not flags & h2.FLAG_ACK:
+                    c._sock.sendall(h2.encode_frame(h2.SETTINGS, h2.FLAG_ACK, 0, b""))
+                continue
+            if ftype == h2.HEADERS and fsid == sid:
+                for k, v in c._decoder.decode(payload):
+                    trailers[k] = v
+                if flags & h2.FLAG_END_STREAM:
+                    break
+    assert int(trailers["grpc-status"]) == GRPC_STATUS["InvalidArgument"]
+    assert "malformed gRPC message" in trailers["grpc-message"]
+    # the connection is still usable afterwards
+    from influxdb_iox_spark import management_proto as mp
+
+    out = c.call(
+        f"/{MGMT}/ListDatabases", {},
+        mp.LIST_DATABASES_REQUEST, mp.LIST_DATABASES_RESPONSE,
+    )
+    assert isinstance(out, dict)

@@ -106,3 +106,19 @@ def test_divergent_syntax_rejected(pattern):
 )
 def test_common_envelope_accepted(pattern):
     check_regex_envelope(pattern)  # no raise
+
+
+def test_escaped_backslash_before_digit_is_not_a_backreference():
+    """Review r6: '\\\\1' (escaped backslash + literal digit) is valid and
+    identical in both dialects; only an ODD backslash run is a
+    backreference."""
+    from influxdb_iox_spark.plans.rpc_expr import RpcExprError, check_regex_envelope
+
+    check_regex_envelope(r"dir\\1")      # \\ + 1 : literal, allowed
+    check_regex_envelope(r"a\\\\2b")     # two escaped backslashes
+    with pytest.raises(RpcExprError, match="backreference"):
+        check_regex_envelope(r"(a)\1")   # plain backref
+    with pytest.raises(RpcExprError, match="backreference"):
+        check_regex_envelope(r"(a)\\\1")  # escaped backslash THEN backref
+    with pytest.raises(RpcExprError, match="backreference"):
+        check_regex_envelope(r"\k<name>")

@@ -454,3 +454,32 @@ def test_entry_claim_preference(tmp_path):
     open(os.path.join(d, f"{seq:012d}-0.lp"), "w").close()
     [(got_seq, payload)] = buf.fetch("t")
     assert (got_seq, payload) == (seq, b"ENTRYBYTES")
+
+
+def test_apply_stage_poison_is_quarantined_not_wedging(spark, tmp_path):
+    """Review r6: a payload that PARSES but fails at apply with a
+    payload-permanent error (schema type conflict) must quarantine like a
+    parse failure — previously it wedged the topic forever and crashed
+    startup replay."""
+    import json as _json
+
+    buf_dir = str(tmp_path / "buf")
+    buf = FileWriteBuffer(buf_dir)
+    buf.produce("adb", "cpu,region=west user=1.0 100")
+    # parses fine; apply fails: user was inferred float, now a string
+    buf.produce("adb", 'cpu,region=west user="oops" 150')
+    buf.produce("adb", "cpu,region=east user=2.0 200")
+
+    srv = _server(spark, tmp_path, "a2")
+    srv.create_database(_rules("adb", reading=buf_dir))
+    assert srv.drain_write_buffer("adb") == 2
+    assert srv.databases["adb"].database.table("cpu").count() == 2
+
+    qpath = os.path.join(
+        srv.databases["adb"].database.store.base_dir, "wb_quarantine.jsonl"
+    )
+    with open(qpath) as f:
+        quarantined = [_json.loads(ln) for ln in f]
+    assert [q["seq"] for q in quarantined] == [1]
+    # startup replay over the same topic does not crash
+    assert srv.perform_replay() == {"adb": 0}
