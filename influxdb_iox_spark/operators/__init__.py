@@ -1,4 +1,6 @@
+from influxdb_iox_spark.operators.asof import asof_join
 from influxdb_iox_spark.operators.dedup import deduplicate
+from influxdb_iox_spark.operators import transforms
 from influxdb_iox_spark.operators.selectors import (
     selector_first,
     selector_last,
@@ -6,4 +8,4 @@ from influxdb_iox_spark.operators.selectors import (
     selector_min,
 )
 
-__all__ = ["deduplicate", "selector_first", "selector_last", "selector_min", "selector_max"]
+__all__ = ["asof_join", "deduplicate", "transforms", "selector_first", "selector_last", "selector_min", "selector_max"]

@@ -32,6 +32,11 @@ from influxdb_iox_spark.pipeline.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
 )
+from influxdb_iox_spark.pipeline.paragraph import (
+    dedup_segments,
+    first_occurrences,
+    segment_documents,
+)
 from influxdb_iox_spark.pipeline.text import (
     fingerprint,
     lang_id,
@@ -58,6 +63,9 @@ __all__ = [
     "cosine_threshold",
     "cosine_topk",
     "embedding_near_dup_pairs",
+    "dedup_segments",
+    "first_occurrences",
+    "segment_documents",
     "fingerprint",
     "lang_id",
     "ngram_counts",
