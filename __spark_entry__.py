@@ -2453,6 +2453,48 @@ ORDER BY grid.time_us
 """
 
 
+def q_window_gapfill_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed mean with constant gap fill (InfluxQL fill(0)): missing
+    5-min buckets materialize with the constant."""
+    from influxdb_iox_spark.functions.time import window_bounds
+    from influxdb_iox_spark.operators.gapfill import fill_window_gaps
+
+    step_us = 300 * US
+    t = _load(spark, sf_dir, "events")
+    ev = t["events"].filter(F.col("event_type") == "signup").withColumn(
+        "__bucket_ns", window_bounds("ts", 300 * NS)
+    )
+    agg = ev.groupBy(F.expr("__bucket_ns div 1000").alias("time_us")).agg(
+        F.round(F.avg("value"), 4).alias("mean_value")
+    )
+    filled = fill_window_gaps(
+        agg.withColumn("series", F.lit("signup")),
+        tag_columns=["series"],
+        time_column="time_us",
+        step=step_us,
+        value_columns=["mean_value"],
+        strategy="value",
+        fill_value=0.0,
+    )
+    return filled.select("series", "time_us", "mean_value").orderBy("time_us")
+
+
+SQL_WINDOW_GAPFILL_VALUE = f"""
+WITH agg AS (
+  SELECT epoch_us(ts) - ((epoch_us(ts) % {300 * US}) + {300 * US}) % {300 * US} + {300 * US} AS time_us,
+         round(AVG(value), 4) AS mean_value
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+), bounds AS (SELECT MIN(time_us) AS lo, MAX(time_us) AS hi FROM agg),
+grid AS (
+  SELECT unnest(range(lo, hi + {300 * US}, {300 * US}::BIGINT)) AS time_us FROM bounds
+)
+SELECT 'signup' AS series, grid.time_us,
+  COALESCE(agg.mean_value, 0.0) AS mean_value
+FROM grid LEFT JOIN agg ON grid.time_us = agg.time_us
+ORDER BY grid.time_us
+"""
+
+
 def q_window_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed mean with LINEAR gap interpolation (InfluxQL fill(linear)):
     interior missing 5-min buckets take the straight line between their
@@ -3288,6 +3330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_weighted_ema": q_series_weighted_ema,
         "tpch_q2_min_cost_supplier_adapted": q_tpch_q2_adapted,
         "doc_paragraph_dedup": q_doc_paragraph_dedup,
+        "rpc_window_gapfill_value": q_window_gapfill_value,
         # InfluxRPC menu
         "rpc_read_filter": q_read_filter,
         "rpc_read_group": q_read_group,
@@ -3446,4 +3489,5 @@ def oracle_sql() -> dict[str, str]:
         "series_weighted_ema": SQL_SERIES_WEIGHTED_EMA,
         "tpch_q2_min_cost_supplier_adapted": SQL_TPCH_Q2_ADAPTED,
         "doc_paragraph_dedup": SQL_DOC_PARAGRAPH_DEDUP,
+        "rpc_window_gapfill_value": SQL_WINDOW_GAPFILL_VALUE,
     }
