@@ -83,7 +83,6 @@ def downsample_table(
     dst_schema = IoxSchema.build(tags, field_types)
 
     every_ns = every_seconds * NS_PER_SECOND
-    src = database.table(src_table)
 
     hwm = None
     if dst_table in database.schemas:
@@ -96,7 +95,18 @@ def downsample_table(
         # the PK upsert.  Aligned, every bucket is either fully in the
         # tail or fully excluded.
         lo = (lo // every_ns) * every_ns
-        src = src.filter(F.col("time") >= F.lit(lo))
+        # a half-open Predicate range (not a post-scan filter): the
+        # manifest prunes whole pre-hwm chunks on the driver and the
+        # range pushes into each chunk's parquet scan BELOW the dedup
+        # aggregate — a plain .filter() on the scan result would sit
+        # above the aggregate and never reach the files
+        from influxdb_iox_spark.plans.predicate import Predicate
+
+        src = database.table(
+            src_table, Predicate().with_range(lo, 2**63 - 1)
+        )
+    else:
+        src = database.table(src_table)
 
     out = (
         src.withColumn("__bucket", window_bounds("time", every_ns))
