@@ -2408,6 +2408,19 @@ ORDER BY t.doc_id
 """
 
 
+#: Shared agg/bounds/grid CTE prefix of the three gapfill oracles —
+#: ONE copy of the 5-min bucket math, so the oracles cannot drift.
+_SQL_GAPFILL_PREAMBLE = f"""
+WITH agg AS (
+  SELECT epoch_us(ts) - ((epoch_us(ts) % {300 * US}) + {300 * US}) % {300 * US} + {300 * US} AS time_us,
+         round(AVG(value), 4) AS mean_value
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+), bounds AS (SELECT MIN(time_us) AS lo, MAX(time_us) AS hi FROM agg),
+grid AS (
+  SELECT unnest(range(lo, hi + {300 * US}, {300 * US}::BIGINT)) AS time_us FROM bounds
+)"""
+
+
 def q_window_gapfill_previous(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed mean with gap filling: missing 5-min buckets inside each
     series' range materialize carrying the previous value forward
@@ -2435,15 +2448,7 @@ def q_window_gapfill_previous(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filled.select("series", "time_us", "mean_value").orderBy("time_us")
 
 
-SQL_WINDOW_GAPFILL = f"""
-WITH agg AS (
-  SELECT epoch_us(ts) - ((epoch_us(ts) % {300 * US}) + {300 * US}) % {300 * US} + {300 * US} AS time_us,
-         round(AVG(value), 4) AS mean_value
-  FROM events WHERE event_type = 'signup' GROUP BY 1
-), bounds AS (SELECT MIN(time_us) AS lo, MAX(time_us) AS hi FROM agg),
-grid AS (
-  SELECT unnest(range(lo, hi + {300 * US}, {300 * US}::BIGINT)) AS time_us FROM bounds
-)
+SQL_WINDOW_GAPFILL = _SQL_GAPFILL_PREAMBLE + f"""
 SELECT 'signup' AS series, grid.time_us,
   last_value(agg.mean_value IGNORE NULLS) OVER (
     ORDER BY grid.time_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
@@ -2479,15 +2484,7 @@ def q_window_gapfill_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filled.select("series", "time_us", "mean_value").orderBy("time_us")
 
 
-SQL_WINDOW_GAPFILL_VALUE = f"""
-WITH agg AS (
-  SELECT epoch_us(ts) - ((epoch_us(ts) % {300 * US}) + {300 * US}) % {300 * US} + {300 * US} AS time_us,
-         round(AVG(value), 4) AS mean_value
-  FROM events WHERE event_type = 'signup' GROUP BY 1
-), bounds AS (SELECT MIN(time_us) AS lo, MAX(time_us) AS hi FROM agg),
-grid AS (
-  SELECT unnest(range(lo, hi + {300 * US}, {300 * US}::BIGINT)) AS time_us FROM bounds
-)
+SQL_WINDOW_GAPFILL_VALUE = _SQL_GAPFILL_PREAMBLE + f"""
 SELECT 'signup' AS series, grid.time_us,
   COALESCE(agg.mean_value, 0.0) AS mean_value
 FROM grid LEFT JOIN agg ON grid.time_us = agg.time_us
@@ -2523,15 +2520,7 @@ def q_window_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("time_us")
 
 
-SQL_WINDOW_GAPFILL_LINEAR = f"""
-WITH agg AS (
-  SELECT epoch_us(ts) - ((epoch_us(ts) % {300 * US}) + {300 * US}) % {300 * US} + {300 * US} AS time_us,
-         round(AVG(value), 4) AS mean_value
-  FROM events WHERE event_type = 'signup' GROUP BY 1
-), bounds AS (SELECT MIN(time_us) AS lo, MAX(time_us) AS hi FROM agg),
-grid AS (
-  SELECT unnest(range(lo, hi + {300 * US}, {300 * US}::BIGINT)) AS time_us FROM bounds
-), j AS (
+SQL_WINDOW_GAPFILL_LINEAR = _SQL_GAPFILL_PREAMBLE + f""", j AS (
   SELECT grid.time_us AS t, agg.mean_value AS v
   FROM grid LEFT JOIN agg ON grid.time_us = agg.time_us
 ), w AS (
@@ -3317,11 +3306,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": q_stratified_sample,
         "doc_pii_redact": q_pii_redact,
         "corpus_ngram_topk": q_corpus_ngram_topk,
-        # round-6 additions sit HERE — inside this round's rotation window
-        # (canonical positions 15..64 for round 6) so each gets a driver
-        # row the round it ships; the queries they displace into the tail
-        # all have r4/r5 driver rows (asserted by test_entry_rotation's
-        # coverage check)
+        # round-6 additions sit HERE — inside this round's rotation
+        # window so each gets a driver row the round it ships; the
+        # queries they displace into the tail all have r4/r5 driver rows
+        # (asserted by test_entry_rotation's coverage check).  NOTE: the
+        # window START depends on the total query count (shift = 50*(r-4)
+        # mod n), so ADDING a query moves every boundary — always re-run
+        # test_entry_rotation after touching this dict; the coverage
+        # check fails if any not-yet-driven query lands outside.
         "uint64_exact": q_uint64_exact,
         "events_asof_join": q_events_asof_join,
         "tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,

@@ -95,15 +95,17 @@ def downsample_table(
         # the PK upsert.  Aligned, every bucket is either fully in the
         # tail or fully excluded.
         lo = (lo // every_ns) * every_ns
-        # a half-open Predicate range (not a post-scan filter): the
-        # manifest prunes whole pre-hwm chunks on the driver and the
-        # range pushes into each chunk's parquet scan BELOW the dedup
-        # aggregate — a plain .filter() on the scan result would sit
-        # above the aggregate and never reach the files
+        # the tail bound rides a Predicate because of the MANIFEST: whole
+        # pre-hwm chunks prune on the driver before Spark sees a file (a
+        # plain .filter() on time would also push through the dedup
+        # aggregate into the scans — time is a grouping key — but could
+        # not prune chunks).  Lower bound only: an upper bound of
+        # int64::MAX-as-half-open would silently drop a row AT the max
+        # timestamp, which ingest accepts.
         from influxdb_iox_spark.plans.predicate import Predicate
 
         src = database.table(
-            src_table, Predicate().with_range(lo, 2**63 - 1)
+            src_table, Predicate().with_col_range("time", lo=lo)
         )
     else:
         src = database.table(src_table)
