@@ -61,6 +61,11 @@ def downsample_table(
     """
     if agg not in _AGGS:
         raise ValueError(f"unknown agg {agg!r}: pick one of {sorted(_AGGS)}")
+    # Domain bound: a row within `every` of int64::MAX ns cannot be
+    # bucketed — its stop boundary (window_bounds' `+ every`) exceeds
+    # i64 and ANSI arithmetic raises, identically in full and
+    # incremental sweeps (no silent divergence).  Practical timestamps
+    # (year < 2262) are nowhere near it.
     src_schema = database.table_schema(src_table)
     tags = src_schema.tag_columns
     numeric = [
