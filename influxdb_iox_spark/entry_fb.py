@@ -53,14 +53,20 @@ class EntryError(ValueError):
 
 
 def _null_flags(mask: bytes, n_rows: int) -> list[bool]:
-    """Row-is-null flags for n_rows, MSB-first per byte; rows beyond the
-    mask are non-null (entry.rs is_null_value returns True only past the
-    mask when the VALUES are also exhausted — handled by the caller's
-    missing-trailing-rows rule)."""
+    """Row-is-null flags for n_rows, MSB-first per byte.
+
+    Matches entry.rs is_null_value (entry.rs:1299-1317): with NO mask
+    every row is non-null; with a non-empty mask, any row PAST the mask's
+    coverage is null (``byte >= mask.len() -> true``).  Reference-built
+    masks (NullMaskBuilder) always cover the whole batch, so the
+    past-the-mask rule only fires for client-supplied short masks — but
+    it must fire the same way here for wire parity."""
+    if not mask:
+        return [False] * n_rows
     out = []
     for r in range(n_rows):
         byte = r // 8
-        out.append(bool(mask[byte] & (128 >> (r % 8))) if byte < len(mask) else False)
+        out.append(True if byte >= len(mask) else bool(mask[byte] & (128 >> (r % 8))))
     return out
 
 
@@ -435,10 +441,12 @@ def _pb_check_table_batch(batch: dict) -> None:
 
 def _pb_column_rows(col: dict, n_rows: int) -> tuple[list, int]:
     """(one value per row with None = null, semantic_type).  Values list
-    is whichever pb Values field is non-empty (entry.rs if-chain); rows
-    not covered by mask+values repeat the LAST value (entry.rs
-    missing_values padding), unlike the flatbuffers decode where they are
-    null."""
+    is whichever pb Values field is non-empty (entry.rs if-chain).  Rows
+    past a NON-EMPTY mask are null (entry.rs is_null_value:1299-1317 —
+    the reference's repeat-last ``missing_values`` padding is written at
+    encode but never decoded for those rows, so null is what the engine
+    stores).  With no mask, rows past the values repeat the LAST value
+    (the padding IS consumed, entry.rs:441-471)."""
     name = col.get("column_name") or ""
     sem = col.get("semantic_type") or 0
     values_msg = col.get("values") or {}

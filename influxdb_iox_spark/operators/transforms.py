@@ -95,15 +95,33 @@ def weighted_ema_sums(
     stays inside whole-stage codegen and needs no per-row state.  Fewer
     than ``n`` preceding points → nulls drop out of the combination and
     ``weight_total`` shrinks to match (InfluxQL's warm-up behavior).
+
+    Overflow contract: for ``n <= 32`` the sums are int64 and exactness
+    requires ``(2^n - 1) * max|value| < 2^63`` — i.e. ``|value| <
+    2^(63-n)`` (n=32 → |value| < 2^31; comfortably true for micro-unit
+    encodings of small physical quantities, and an int64 overflow under
+    ANSI mode raises rather than wrapping).  For ``n in [33, 62]`` the
+    sum is computed in ``decimal(38,0)`` instead, which is exact for ALL
+    int64 inputs (worst case (2^62-1)·2^63 ≈ 4.3e37 < 10^38) — callers
+    get a decimal numerator at those widths.
     """
     if n < 1 or n > 62:
-        raise ValueError("n must be in [1, 62] for exact int64 weights")
+        raise ValueError("n must be in [1, 62]")
+    use_decimal = n > 32
     terms = []
     weights = []
     for k in range(n):
         weight = 1 << (n - 1 - k)
         lagged = F.lag(col, k).over(w) if k else col
-        terms.append(F.coalesce(lagged * F.lit(weight), F.lit(0)))
+        if use_decimal:
+            term_val = lagged.cast("decimal(38,0)") * F.lit(weight).cast(
+                "decimal(38,0)"
+            )
+            zero = F.lit(0).cast("decimal(38,0)")
+        else:
+            term_val = lagged * F.lit(weight)
+            zero = F.lit(0)
+        terms.append(F.coalesce(term_val, zero))
         weights.append(
             F.when(lagged.isNotNull(), F.lit(weight)).otherwise(F.lit(0))
         )

@@ -84,14 +84,24 @@ class ObjectStore:
         """(key, etag) pairs with the given prefix, sorted by key.
 
         Real object stores return etags in LIST responses, making
-        freshness probes one round trip; the default falls back to one
-        GET per key for backends that cannot."""
+        freshness probes one round trip — backends SHOULD override this
+        (or :meth:`head`) to keep ``version()`` metadata-priced.  The
+        base fallback is one :meth:`head` per key; the base ``head``
+        itself falls back to a full GET, so a backend overriding NEITHER
+        pays O(total stored bytes) for a freshness probe."""
         out = []
         for k in self.list(prefix):
-            got = self.get(k)
-            if got is not None:
-                out.append((k, got[1]))
+            etag = self.head(k)
+            if etag is not None:
+                out.append((k, etag))
         return out
+
+    def head(self, key: str) -> str | None:
+        """Etag only (HTTP HEAD), or None if absent.  Base fallback
+        downloads the body via :meth:`get`; backends with a metadata
+        call should override."""
+        got = self.get(key)
+        return None if got is None else got[1]
 
     def delete(self, key: str) -> None:
         """Idempotent delete."""
@@ -173,8 +183,16 @@ class ThrottledObjectStore(ObjectStore):
         return self.inner.list(prefix)
 
     def list_with_etags(self, prefix):
+        # One delay per LIST call.  Real stores page large listings
+        # (e.g. 1000 keys per response), so a huge prefix costs
+        # ceil(n/page) round trips, not one — don't read the manifest
+        # version() probe's "one round trip" as independent of n.
         self._wait()
         return self.inner.list_with_etags(prefix)
+
+    def head(self, key):
+        self._wait()
+        return self.inner.head(key)
 
     def delete(self, key):
         self._wait()

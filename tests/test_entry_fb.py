@@ -108,6 +108,21 @@ def test_null_mask_matches_reference_unit_vectors():
     assert _build_null_mask([True, False, True]) == bytes([0b10100000])
 
 
+def test_null_flags_past_mask_matches_is_null_value():
+    """entry.rs is_null_value (entry.rs:1299-1317): with NO mask every
+    row is non-null; with a NON-EMPTY mask any row past the mask's byte
+    coverage is NULL (``byte >= mask.len() -> true``).  Pins the
+    short-mask behavior for client-built buffers whose row_count exceeds
+    8 * len(mask)."""
+    # no mask: all non-null, regardless of row count
+    assert _null_flags(b"", 12) == [False] * 12
+    # one-byte mask (row 0 null), 12 rows: rows 8..11 are PAST the mask -> null
+    flags = _null_flags(bytes([0b10000000]), 12)
+    assert flags[0] is True
+    assert flags[1:8] == [False] * 7
+    assert flags[8:] == [True] * 4
+
+
 # -- round-trips -------------------------------------------------------------
 
 

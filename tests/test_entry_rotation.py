@@ -61,9 +61,11 @@ def test_current_round_window_covers_undriven_queries():
     long-green ones)."""
     import glob
     import json
+    import pathlib
 
+    repo_root = pathlib.Path(__file__).resolve().parents[1]
     driven: set[str] = set()
-    for p in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+    for p in glob.glob(str(repo_root / "CORRECTNESS_r*.json")):
         data = json.load(open(p))
         if isinstance(data, dict):
             driven |= set(data)

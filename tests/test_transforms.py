@@ -103,6 +103,26 @@ def test_weighted_ema_validates_n(series_df):
         T.weighted_ema_sums(F.col("v"), w, 63)
 
 
+def test_weighted_ema_wide_n_uses_decimal(spark):
+    """n > 32 would overflow int64 for micro-unit magnitudes
+    ((2^n-1)·|v| ≥ 2^63); the operator switches the numerator to
+    decimal(38,0), exact for all int64 inputs."""
+    from decimal import Decimal
+
+    n = 40
+    rows = [("s", i, 1_000_000_000) for i in range(1, n + 1)]  # |v|=1e9
+    df = spark.createDataFrame(rows, "s string, t long, v long")
+    w = _w()
+    num, den = T.weighted_ema_sums(F.col("v"), w, n)
+    out = df.select("t", num.alias("n"), den.alias("d")).orderBy("t").collect()
+    assert "decimal(38,0)" in df.select(num.alias("n")).schema["n"].simpleString()
+    # at the last row all n weights are live: sum = (2^n - 1) * 1e9 > 2^63
+    expect = Decimal((2**n - 1) * 1_000_000_000)
+    assert out[-1].n == expect
+    assert out[-1].d == 2**n - 1
+    assert int(expect) > 2**63  # the int64 path genuinely could not hold it
+
+
 def test_trapezoidal_integral(spark, series_df):
     micro = series_df.withColumn("vm", T.to_micro_units(F.col("v")))
     out = T.trapezoidal_integral(micro, ["s"], "t", "vm")
