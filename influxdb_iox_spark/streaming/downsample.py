@@ -41,6 +41,29 @@ _AGGS = {
 }
 
 
+def _manifest_time_hwm(store, table: str) -> tuple[int | None, bool]:
+    """Destination high-water mark (max time) answered METADATA-ONLY
+    from the manifest's per-chunk column stats — O(chunk count), zero
+    data reads, where a ``max("time")`` scan would be O(dst size) and
+    grow every sweep.  PK upserts never remove the max-time row, so the
+    max over chunk stats equals the max over folded data.
+
+    Returns ``(hwm, needs_scan)``: ``(None, False)`` for an empty
+    manifest (no rows — nothing to scan either); ``(None, True)`` when
+    any chunk lacks time stats, in which case only a data scan can
+    answer."""
+    metas = store.manifest(table)
+    if not metas:
+        return None, False
+    maxes = []
+    for m in metas:
+        r = m.column_range("time")
+        if r is None or r[1] is None:
+            return None, True
+        maxes.append(r[1])
+    return max(maxes), False
+
+
 def downsample_table(
     database,
     src_table: str,
@@ -91,7 +114,11 @@ def downsample_table(
 
     hwm = None
     if dst_table in database.schemas:
-        hwm = database.table(dst_table).agg(F.max("time")).collect()[0][0]
+        hwm, needs_scan = _manifest_time_hwm(database.store, dst_table)
+        if needs_scan:
+            # some chunk lacks time stats (foreign/imported parquet) —
+            # only then pay a dst data read
+            hwm = database.table(dst_table).agg(F.max("time")).collect()[0][0]
     if hwm is not None:
         lo = hwm - every_ns - late_arrive_window_seconds * NS_PER_SECOND
         # floor to a bucket boundary: a cut INSIDE a bucket would

@@ -94,6 +94,46 @@ def test_plan_is_single_shuffle_no_join(spark, quotes_trades):
     assert "Window" in plan
 
 
+def test_right_order_pins_equal_timestamp_winner(spark):
+    """Two right rows share (key, timestamp); ``right_order`` breaks the
+    tie deterministically — LARGEST order value wins, both directions
+    (last-writer-wins, mirroring deduplicate()'s chunk-order rule)."""
+    left = spark.createDataFrame(
+        [("a", 100), ("a", 300)], "sym string, ts long"
+    )
+    # duplicate right timestamps at ts=100 and ts=300 with seq tiebreak
+    right = spark.createDataFrame(
+        [("a", 100, 1.0, 7), ("a", 100, 2.0, 9), ("a", 100, 3.0, 8),
+         ("a", 300, 4.0, 2), ("a", 300, 5.0, 1)],
+        "sym string, ts long, bid double, seq long",
+    )
+    back = asof_join(
+        left, right, on=["sym"], left_time="ts",
+        value_columns=["bid"], right_order="seq",
+    )
+    got = {r.ts: r.bid_right for r in back.collect()}
+    assert got == {100: 2.0, 300: 4.0}  # seq 9 wins at 100, seq 2 at 300
+    fwd = asof_join(
+        left, right, on=["sym"], left_time="ts",
+        value_columns=["bid"], direction="forward", right_order="seq",
+    )
+    got_f = {r.ts: r.bid_right for r in fwd.collect()}
+    assert got_f == {100: 2.0, 300: 4.0}
+    assert "__asof_order" not in back.columns
+    # plan shape unchanged: still single shuffle, no join (fresh plan —
+    # a collected one prints Final+Initial sections and double-counts)
+    fresh = asof_join(
+        left, right, on=["sym"], left_time="ts",
+        value_columns=["bid"], right_order="seq",
+    )
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    with pytest.raises(ValueError, match="right_order"):
+        asof_join(left, right, on=["sym"], left_time="ts",
+                  value_columns=["bid"], right_order="nope")
+
+
 def test_output_name_collisions_rejected(spark):
     left = spark.createDataFrame([("a", 100, 1.0)], "k string, ts long, v_right double")
     right = spark.createDataFrame([("a", 90, 2.0)], "k string, ts long, v double")

@@ -66,6 +66,62 @@ def test_downsample_late_arrival_refreshes_bucket(spark, tmp_path):
     assert len(db.store.manifest("cpu_1m")) == 2
 
 
+def test_hwm_is_metadata_only_no_dst_reads(spark, tmp_path):
+    """The sweep's high-water-mark probe answers from the manifest's
+    per-chunk time stats — an N-chunk destination must trigger ZERO
+    destination data reads (the former ``max("time")`` scan was O(dst
+    size) and grew every sweep)."""
+    db = _db(spark, tmp_path)
+    _write(db, [("west", 1.0, 10 * S), ("west", 5.0, 70 * S)])
+    downsample_table(db, "cpu", "cpu_1m", every_seconds=60)
+    _write(db, [("west", 9.0, 200 * S)])
+    downsample_table(db, "cpu", "cpu_1m", every_seconds=60)
+    assert len(db.store.manifest("cpu_1m")) >= 2  # N-chunk destination
+
+    dst_scans = []
+    orig_table = db.table
+
+    def spy_table(name, predicate=None):
+        if name == "cpu_1m":
+            dst_scans.append(name)
+        return orig_table(name, predicate)
+
+    db.table = spy_table
+    _write(db, [("west", 2.0, 400 * S)])
+    meta = downsample_table(db, "cpu", "cpu_1m", every_seconds=60,
+                            late_arrive_window_seconds=0)
+    assert meta is not None
+    assert dst_scans == [], "hwm probe read destination data"
+    db.table = orig_table
+    got = {r.time: r.user for r in db.table("cpu_1m").filter("region='west'").collect()}
+    assert got[420 * S] == 2.0  # sweep still lands the new bucket
+
+
+def test_hwm_scan_fallback_when_stats_missing(spark, tmp_path):
+    """A destination chunk with no time stats (e.g. imported foreign
+    parquet) forces the one legitimate scan fallback; an empty manifest
+    means no rows AND no scan."""
+    db = _db(spark, tmp_path)
+    _write(db, [("west", 1.0, 10 * S)])
+    downsample_table(db, "cpu", "cpu_1m", every_seconds=60)
+    from influxdb_iox_spark.streaming.downsample import _manifest_time_hwm
+
+    hwm, needs_scan = _manifest_time_hwm(db.store, "cpu_1m")
+    assert hwm == 60 * S and needs_scan is False  # bucket stop time
+
+    class StatlessStore:
+        def manifest(self, table):
+            metas = db.store.manifest(table)
+            for m in metas:
+                m.stats.pop("time", None)
+            return metas
+
+    hwm, needs_scan = _manifest_time_hwm(StatlessStore(), "cpu_1m")
+    assert hwm is None and needs_scan is True
+    # empty manifest: no rows, no scan either
+    assert _manifest_time_hwm(db.store, "nonexistent") == (None, False)
+
+
 def test_downsample_count_and_empty_tail(spark, tmp_path):
     db = _db(spark, tmp_path)
     _write(db, [("west", 1.0, 10 * S), ("west", 3.0, 20 * S)])
