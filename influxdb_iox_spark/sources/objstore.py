@@ -398,6 +398,13 @@ class ObjectStoreManifestBackend:
         # objects correct it (same contract as the POSIX _next_id file)
         self.store.put(f"{self.prefix}{table}/_next_id", str(value).encode())
 
+    def wipe_manifest(self, table: str) -> None:
+        """Delete every object under the table's manifest prefix — part
+        records, base snapshots, id-block claims, hint (rebuild
+        precondition; deletes are idempotent so a re-run is safe)."""
+        for k in self.store.list(f"{self.prefix}{table}/"):
+            self.store.delete(k)
+
     # -- whole-object JSON blobs (operations log, retired list) ------------
     def get_json(self, rel_key: str):
         got = self.store.get(self.prefix + rel_key)

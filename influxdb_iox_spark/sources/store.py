@@ -422,6 +422,17 @@ class PosixManifestBackend:
             f.write(str(value))
         os.replace(tmp, p)  # racing hints may regress; claim files correct it
 
+    def wipe_manifest(self, table: str) -> None:
+        """Delete the table's whole manifest directory — part logs, base
+        snapshots, id-block claims, hint (rebuild precondition)."""
+        import shutil
+
+        d = self._dir(table)
+        shutil.rmtree(d, ignore_errors=True)
+        self._jsonl_checked = {
+            p for p in self._jsonl_checked if not p.startswith(d + os.sep)
+        }
+
     # -- log compaction ----------------------------------------------------
     def acquire_lock(self, path: str, stale: float | None = None) -> bool:
         """O_CREAT|O_EXCL lock file — CAS-acquire; a lock older than
@@ -777,6 +788,7 @@ class TableStore:
             persisted=persisted,
             column_bytes=col_bytes,
         )
+        self._write_chunk_sidecar(meta)
         if register:
             self._append_manifest(table, meta)
         return meta
@@ -885,9 +897,39 @@ class TableStore:
         import shutil
 
         shutil.rmtree(staging, ignore_errors=True)
+        for m in metas:
+            self._write_chunk_sidecar(m)
         if register:
             self.register_chunks(table, metas)
         return metas
+
+    #: chunk-dir sidecar file name; the leading underscore makes Spark's
+    #: parquet reader skip it (like _SUCCESS)
+    IOX_META_FILE = "_iox_metadata.json"
+
+    def _write_chunk_sidecar(self, meta: ChunkMeta) -> None:
+        """Self-describing chunk metadata, written INTO the chunk
+        directory — the Spark twin of the reference embedding
+        IoxParquetMetaData in the parquet footer
+        (parquet_file/src/metadata.rs:1-60): Spark's distributed writer
+        owns the footers, so the engine-level metadata (partition key,
+        sort key, tag catalog…) rides a sidecar object on the DATA plane
+        instead.  Consumed only by ``rebuild_manifest`` (disaster
+        recovery, parquet_file/src/rebuild.rs); the manifest stays the
+        sole authority while it exists."""
+        p = os.path.join(self.base_dir, meta.path, self.IOX_META_FILE)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(asdict(meta), f)
+        os.replace(tmp, p)
+
+    def wipe_manifest(self, table: str) -> None:
+        """Remove EVERY manifest artifact for a table — records, base
+        snapshots, id-block claims, id hint.  The rebuild precondition:
+        like the reference's PreservedCatalog::wipe (catalog.rs), rebuild
+        refuses to run over a non-empty manifest."""
+        self.backend.wipe_manifest(table)
+        self._id_blocks.pop(table, None)
 
     TAG_CATALOG_CAP = 1000
 
