@@ -807,6 +807,95 @@ FROM u GROUP BY user_id, event_type, time_us
 """
 
 
+#: delete window for q_events_delete_predicate, µs (covers roughly the
+#: first third of the testdata's Jan-2024 event span)
+_DEL_LO_US = 1_704_067_200_000_000
+_DEL_HI_US = 1_705_000_000_000_000
+
+
+def q_events_delete_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-delete tombstones END-TO-END through a real store
+    (store.delete_predicate → scan anti-filter → dedup), the wire shape
+    of entry/src/entry.fbs:37-44 Delete{table_name, predicate}:
+
+    chunk c0 lands; a delete (etype='click' in [LO, HI) µs) registers a
+    tombstone snapshotting c0; chunk c1 arrives with tripled values for
+    every 5th event.  The tombstone binds ONLY to c0 (snapshot scoping —
+    rows written after the delete are visible), and surviving c0/c1 rows
+    still merge under last-writer-wins dedup."""
+    import tempfile
+
+    from influxdb_iox_spark.plans.predicate import DeleteExpr, DeletePredicate
+    from influxdb_iox_spark.schema import InfluxColumnType, IoxSchema
+    from influxdb_iox_spark.sources.store import TableStore
+
+    t = _load(spark, sf_dir, "events")
+    ev = t["events"].select(
+        F.col("event_type").alias("etype"),
+        F.col("user_id").cast("string").alias("user"),
+        F.expr("ts div 1000").alias("time"),
+        F.expr("CAST(round(value * 1000000) AS BIGINT)").alias("vmicro"),
+        "event_id",
+    )
+    c0 = ev.drop("event_id")
+    c1 = (
+        ev.filter(F.col("event_id") % 5 == 0)
+        .withColumn("vmicro", F.col("vmicro") * 3)
+        .drop("event_id")
+    )
+    schema = IoxSchema.build(
+        ["etype", "user"], {"vmicro": InfluxColumnType.FIELD_INTEGER}
+    )
+    store = TableStore(tempfile.mkdtemp(prefix="iox-delete-q-"))
+    store.write_chunk(c0, "events", schema)
+    store.delete_predicate(
+        "events",
+        DeletePredicate(
+            start=_DEL_LO_US,
+            stop=_DEL_HI_US,
+            exprs=[DeleteExpr("etype", "=", "click")],
+        ),
+    )
+    store.write_chunk(c1, "events", schema)
+    out = store.scan(spark, "events", schema)
+    return (
+        out.groupBy("etype")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("vmicro").alias("sum_vmicro"),
+        )
+        .orderBy("etype")
+    )
+
+
+SQL_EVENTS_DELETE_PREDICATE = f"""
+WITH c0 AS (
+  SELECT event_type AS etype, CAST(user_id AS VARCHAR) AS u,
+         epoch_us(ts) AS time_us,
+         CAST(round(value * 1000000) AS BIGINT) AS vmicro, 0 AS chunk
+  FROM events
+), c1 AS (
+  SELECT event_type AS etype, CAST(user_id AS VARCHAR) AS u,
+         epoch_us(ts) AS time_us,
+         CAST(round(value * 1000000) AS BIGINT) * 3 AS vmicro, 1 AS chunk
+  FROM events WHERE event_id % 5 = 0
+), c0_kept AS (
+  -- the tombstone's anti-filter, applied ONLY to chunk 0 (its snapshot)
+  SELECT * FROM c0
+  WHERE NOT (etype = 'click'
+             AND time_us >= {_DEL_LO_US} AND time_us < {_DEL_HI_US})
+), u AS (
+  SELECT * FROM c0_kept UNION ALL SELECT * FROM c1
+), d AS (
+  SELECT etype, u, time_us,
+    arg_max(vmicro, chunk) FILTER (WHERE vmicro IS NOT NULL) AS vmicro
+  FROM u GROUP BY etype, u, time_us
+)
+SELECT etype, COUNT(*) AS n_rows, SUM(vmicro) AS sum_vmicro
+FROM d GROUP BY etype ORDER BY etype
+"""
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _load(spark, sf_dir, "events")
     k = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("long")
@@ -3390,6 +3479,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_filter": q_quality_filter,
         "events_retention_cohorts": q_retention_cohorts,
         "events_funnel": q_event_funnel,
+        # round 7: appended to the canonical tail -> lands inside the
+        # freshly-rotated window (test_entry_rotation verifies)
+        "events_delete_predicate": q_events_delete_predicate,
     }
     return _rotate_for_round(base)
 
@@ -3449,6 +3541,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_filter": _sql_quality_filter(),
         "events_retention_cohorts": SQL_RETENTION_COHORTS,
         "events_funnel": SQL_EVENT_FUNNEL,
+        "events_delete_predicate": SQL_EVENTS_DELETE_PREDICATE,
         "dedup_last_non_null": SQL_DEDUP,
         "json_props_extract": SQL_JSON_PROPS,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,

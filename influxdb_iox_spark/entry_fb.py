@@ -270,8 +270,10 @@ def entry_to_parsed_lines(buf: bytes):
     """Decode an Entry and yield ParsedLine rows, ready for the same
     schema-inference + chunk-write apply as line protocol.  Tag columns
     become tags (string), Field columns become typed fields, the Time
-    column supplies the ns timestamp.  Delete entries are rejected —
-    the engine's delete path is chunk tombstones, not predicates."""
+    column supplies the ns timestamp.  Delete entries are rejected HERE
+    (this is the row bridge) — the WriteEntry service routes them to the
+    store's predicate-tombstone path instead (rpc_management.WriteEntry,
+    store.delete_predicate)."""
     from influxdb_iox_spark.sources.line_protocol import ParsedLine
 
     decoded = decode_entry(buf)

@@ -131,6 +131,47 @@ class IoxHttpServer:
             self.metrics["ingest_lines_total"] += len(lines)
             self.metrics["ingest_points_bytes_total"] += len(body)
 
+    def handle_delete(self, org: str, bucket: str, body: bytes) -> None:
+        """POST /api/v2/delete — the public InfluxDB 2 delete API: JSON
+        body ``{"start": RFC3339, "stop": RFC3339, "predicate":
+        'tag="v" AND ...'}``.  ``_measurement`` conjuncts select target
+        tables (``=`` picks, ``!=`` excludes); without one, the delete
+        applies to every registered table, exactly like the platform
+        API.  Start/stop are REQUIRED (the API's contract — an unbounded
+        delete must be spelled out as a full-range one)."""
+        from influxdb_iox_spark.plans.predicate import DeletePredicate
+
+        name = org_and_bucket_to_database(org, bucket)
+        if name != self.db_name:
+            raise _HttpError(404, f"database {name!r} not found")
+        try:
+            doc = json.loads(body.decode("utf-8"))
+        except (UnicodeDecodeError, json.JSONDecodeError) as e:
+            raise _HttpError(400, f"invalid JSON body: {e}")
+        start = _rfc3339_ns(doc.get("start"), "start")
+        stop = _rfc3339_ns(doc.get("stop"), "stop")
+        try:
+            dp = DeletePredicate.parse(doc.get("predicate") or "", start=start, stop=stop)
+        except ValueError as e:
+            raise _HttpError(400, f"invalid predicate: {e}")
+        picked = [
+            e.value for e in dp.exprs if e.column == "_measurement" and e.op == "="
+        ]
+        excluded = {
+            e.value for e in dp.exprs if e.column == "_measurement" and e.op == "!="
+        }
+        rest = [e for e in dp.exprs if e.column != "_measurement"]
+        dp = DeletePredicate(start=start, stop=stop, exprs=rest)
+        tables = picked or [
+            t for t in sorted(self.database.schemas) if t not in excluded
+        ]
+        unknown = [t for t in picked if t not in self.database.schemas]
+        if unknown:
+            raise _HttpError(404, f"measurement(s) not found: {unknown}")
+        with self._write_lock:
+            for t in tables:
+                self.database.store.delete_predicate(t, dp)
+
     def render_metrics(self) -> bytes:
         """Prometheus text exposition of the server counters + the store's
         pruning access metrics (GET /metrics, http.rs:678 handle_metrics)."""
@@ -171,6 +212,24 @@ class IoxHttpServer:
             )
         cols = df.columns
         return render_query_result(cols, rows, fmt)
+
+
+def _rfc3339_ns(value, param: str) -> int:
+    """RFC3339 timestamp → ns since epoch; required (400 when absent or
+    unparseable), like the platform delete API."""
+    from datetime import datetime, timezone
+
+    if not value:
+        raise _HttpError(400, f"{param} is required (RFC3339 timestamp)")
+    try:
+        dt = datetime.fromisoformat(str(value).replace("Z", "+00:00"))
+    except ValueError as e:
+        raise _HttpError(400, f"invalid {param}: {e}")
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    delta = dt - datetime(1970, 1, 1, tzinfo=timezone.utc)
+    # integer arithmetic — float .timestamp() would round µs at ~2e15
+    return (delta.days * 86400 + delta.seconds) * 10**9 + delta.microseconds * 1000
 
 
 def render_query_result(cols, rows, fmt: str) -> tuple[bytes, str]:
@@ -282,7 +341,7 @@ def _make_handler(api: IoxHttpServer):
         def do_POST(self):
             u = urlparse(self.path)
             try:
-                if u.path != "/api/v2/write":
+                if u.path not in ("/api/v2/write", "/api/v2/delete"):
                     self._reply(404, b"not found")
                     return
                 qs = parse_qs(u.query)
@@ -304,7 +363,10 @@ def _make_handler(api: IoxHttpServer):
                     body.decode("utf-8")
                 except UnicodeDecodeError as e:
                     raise _HttpError(400, f"body is not valid UTF-8: {e}")
-                api.handle_write(org, bucket, body)
+                if u.path == "/api/v2/delete":
+                    api.handle_delete(org, bucket, body)
+                else:
+                    api.handle_write(org, bucket, body)
                 self._reply(204)
             except _HttpError as e:
                 self._reply_error(e.status, str(e))

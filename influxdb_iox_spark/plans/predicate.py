@@ -195,3 +195,145 @@ class Predicate:
 
     def should_scan_table(self, table: str) -> bool:
         return self.table_names is None or table in self.table_names
+
+
+# -- delete predicates (tombstones) ------------------------------------------
+
+_DELETE_OPS = ("=", "!=")
+
+
+@dataclass(frozen=True)
+class DeleteExpr:
+    """One conjunct of a delete predicate: ``column (=|!=) literal``.
+
+    The restricted-by-design shape of the reference's delete predicate
+    (entry/src/entry.fbs ``Delete.predicate`` carries it as a string;
+    the engine grammar is equality/inequality conjuncts + a time range —
+    deliberately NOT the full query Predicate, so a tombstone is always
+    serializable, cheap to re-evaluate at scan time, and foldable at
+    compaction)."""
+
+    column: str
+    op: str
+    value: str | int | float | bool
+
+    def __post_init__(self):
+        if self.op not in _DELETE_OPS:
+            raise ValueError(f"delete expr op must be = or !=, got {self.op!r}")
+
+    def to_column(self) -> Column:
+        c = F.col(self.column)
+        # SQL three-valued logic would keep NULL rows out of BOTH a
+        # delete and its complement; deletes must partition rows exactly,
+        # so NULL never matches (= nor !=) — a row with a NULL tag is
+        # only deletable via a time-range-only predicate.
+        if self.op == "=":
+            return c.isNotNull() & (c == F.lit(self.value))
+        return c.isNotNull() & (c != F.lit(self.value))
+
+
+@dataclass
+class DeletePredicate:
+    """Rows to DELETE: (half-open [start, stop) ns time range) AND every
+    expr.  An empty predicate (no range, no exprs) is rejected — it
+    would silently delete the whole table; use drop_chunks for that."""
+
+    start: int | None = None
+    stop: int | None = None
+    exprs: list[DeleteExpr] = field(default_factory=list)
+
+    def __post_init__(self):
+        if self.start is None and self.stop is None and not self.exprs:
+            raise ValueError(
+                "empty delete predicate would delete every row — "
+                "use drop_chunks to drop whole chunks/tables"
+            )
+
+    def to_column(self, time_col: str = TIME_COLUMN_NAME) -> Column:
+        """Boolean column: True for rows the tombstone deletes."""
+        parts: list[Column] = []
+        if self.start is not None:
+            parts.append(F.col(time_col) >= F.lit(self.start))
+        if self.stop is not None:
+            parts.append(F.col(time_col) < F.lit(self.stop))
+        parts.extend(e.to_column() for e in self.exprs)
+        return reduce(lambda a, b: a & b, parts)
+
+    def keep_column(self, time_col: str = TIME_COLUMN_NAME) -> Column:
+        """Boolean column: True for rows that SURVIVE (the anti-filter
+        applied at scan/compaction).  A bare ``~expr`` would also drop
+        rows where the delete condition evaluates NULL (three-valued
+        logic); DeleteExpr.to_column forces NULL→False first, so delete
+        and keep partition the rows exactly."""
+        return ~self.to_column(time_col)
+
+    # -- wire formats ------------------------------------------------------
+    def to_dict(self) -> dict:
+        return {
+            "start": self.start,
+            "stop": self.stop,
+            "exprs": [
+                {"column": e.column, "op": e.op, "value": e.value}
+                for e in self.exprs
+            ],
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "DeletePredicate":
+        return cls(
+            start=d.get("start"),
+            stop=d.get("stop"),
+            exprs=[
+                DeleteExpr(e["column"], e["op"], e["value"])
+                for e in (d.get("exprs") or [])
+            ],
+        )
+
+    @classmethod
+    def parse(cls, text: str, start: int | None = None, stop: int | None = None) -> "DeletePredicate":
+        """Parse the reference's predicate STRING (entry.fbs Delete.
+        predicate).  Two accepted forms:
+
+        - a JSON object: ``{"start":…, "stop":…, "exprs":[…]}`` (this
+          engine's canonical serialization);
+        - the InfluxDB 2 delete-predicate grammar: conjunctions of
+          ``col = literal`` / ``col != literal`` joined by AND, with
+          string literals in single or double quotes — the public
+          /api/v2/delete syntax.
+
+        ``start``/``stop`` override/augment the parsed range (the HTTP
+        API carries them as separate parameters)."""
+        import json as _json
+        import re as _re
+
+        text = (text or "").strip()
+        if text.startswith("{"):
+            d = _json.loads(text)
+            if start is not None:
+                d["start"] = start
+            if stop is not None:
+                d["stop"] = stop
+            return cls.from_dict(d)
+        exprs: list[DeleteExpr] = []
+        if text:
+            for part in _re.split(r"(?i)\s+and\s+", text):
+                m = _re.match(
+                    r"""^\s*"?([\w.]+)"?\s*(!?=)\s*(?:'([^']*)'|"([^"]*)"|(\S+))\s*$""",
+                    part,
+                )
+                if not m:
+                    raise ValueError(f"cannot parse delete conjunct {part!r}")
+                col, op, sq, dq, bare = m.groups()
+                if sq is not None or dq is not None:
+                    val: str | int | float | bool = sq if sq is not None else dq
+                else:
+                    low = bare.lower()
+                    if low in ("true", "false"):
+                        val = low == "true"
+                    else:
+                        try:
+                            val = int(bare)
+                        except ValueError:
+                            val = float(bare)
+                exprs.append(DeleteExpr(col, op, val))
+        return cls(start=start, stop=stop, exprs=exprs)

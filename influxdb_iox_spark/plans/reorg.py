@@ -66,8 +66,22 @@ def compact_chunks(
     t0 = _time.perf_counter()
     try:
         with _reorg_pool(spark):
+            # delete tombstones fold PHYSICALLY here: each input chunk is
+            # filtered by its applicable tombstones (before dedup, same
+            # order as the scan path), so the compacted output no longer
+            # contains the deleted rows — and once no tombstone's target
+            # chunks remain live, gc_tombstones retires the tombstone
+            tomb = store._tombstones_for_chunks(table, chunks)
+
+            def _keep(df, chunk_id):
+                for _, dp in tomb.get(chunk_id, []):
+                    df = df.filter(dp.keep_column(schema.time_column))
+                return df
+
             ordered = [
-                store.read_chunk(spark, m).withColumn(DEDUP_ORDER_COLUMN, F.lit(m.chunk_id))
+                _keep(store.read_chunk(spark, m), m.chunk_id).withColumn(
+                    DEDUP_ORDER_COLUMN, F.lit(m.chunk_id)
+                )
                 for m in sorted(chunks, key=lambda m: m.chunk_id)
             ]
             df = deduplicate(
@@ -84,6 +98,7 @@ def compact_chunks(
                 persisted=all(c.persisted for c in chunks),
             )
             store.drop_chunks(table, ids)
+            store.gc_tombstones(table)
     except Exception:
         store.record_operation(
             "CompactChunks", table, partition_key, ids, "Error",
@@ -180,8 +195,19 @@ def _persist_split_inner(
     import time as _time
 
     with _reorg_pool(spark):
+        # persist rewrites its inputs too — fold tombstones exactly like
+        # compact_chunks so deleted rows never reach the persisted chunk
+        tomb = store._tombstones_for_chunks(table, chunks)
+
+        def _keep(d, chunk_id):
+            for _, dp in tomb.get(chunk_id, []):
+                d = d.filter(dp.keep_column(schema.time_column))
+            return d
+
         ordered = [
-            store.read_chunk(spark, m).withColumn(DEDUP_ORDER_COLUMN, F.lit(m.chunk_id))
+            _keep(store.read_chunk(spark, m), m.chunk_id).withColumn(
+                DEDUP_ORDER_COLUMN, F.lit(m.chunk_id)
+            )
             for m in sorted(chunks, key=lambda m: m.chunk_id)
         ]
         df = deduplicate(
@@ -210,6 +236,7 @@ def _persist_split_inner(
                     hot, table, schema, partition_key=partition_key, dedup_batch=False
                 )
             store.drop_chunks(table, [c.chunk_id for c in chunks])
+            store.gc_tombstones(table)
             store.record_operation(
                 "PersistChunks", table, _pkey, _ids, "Complete",
                 int((_time.perf_counter() - _t0) * 1e9),

@@ -386,6 +386,24 @@ class IoxServer:
             for ing, metas in written:
                 ing.store.register_chunks(ing.table, metas)
 
+    def delete_rows(
+        self, db_name: str, table: str, dpred, sequence: int | None = None
+    ) -> dict:
+        """Predicate delete: register a tombstone over ``table`` — rows
+        matching ``dpred`` (plans.predicate.DeletePredicate) vanish from
+        subsequent scans and are physically folded away at compaction.
+        The wire shape is the reference's per-table Delete{table_name,
+        predicate} entry (entry/src/entry.fbs:37-44)."""
+        if not self.serving:
+            raise GrpcStatusError("Unavailable", "server is not serving data plane")
+        validate_db_name(db_name)
+        md = self.db(db_name)
+        if table not in md.database.schemas:
+            raise GrpcStatusError(
+                "NotFound", f"table {table!r} not found in database {db_name!r}"
+            )
+        return md.database.store.delete_predicate(table, dpred, sequence=sequence)
+
     def _route_sharded(
         self, md: ManagedDatabase, db_name: str, lp_data: str, parsed
     ) -> int:
@@ -987,12 +1005,47 @@ class WriteService:
         route them through the same write path as line protocol — the
         full store_entry decision table (buffers, immutability, sharding)
         applies identically."""
-        from influxdb_iox_spark.entry_fb import EntryError, entry_to_parsed_lines
+        from influxdb_iox_spark.entry_fb import (
+            EntryError,
+            decode_entry,
+            entry_to_parsed_lines,
+        )
+        from influxdb_iox_spark.plans.predicate import DeletePredicate
         from influxdb_iox_spark.sources.line_protocol import render_line
 
         entry = req.get("entry") or b""
         if not entry:
             raise field_violation("entry")
+        try:
+            decoded = decode_entry(bytes(entry))
+        except (EntryError, ValueError, struct.error) as e:
+            raise GrpcStatusError("InvalidArgument", f"invalid entry payload: {e}")
+        if "deletes" in decoded:
+            # DeleteOperations (entry.fbs:18-23): each Delete targets one
+            # table with a predicate string → a store tombstone
+            db_name = req.get("db_name") or ""
+            parsed_deletes = []
+            for d in decoded["deletes"]:
+                try:
+                    dp = DeletePredicate.parse(d.get("predicate") or "")
+                except ValueError as e:
+                    raise GrpcStatusError(
+                        "InvalidArgument", f"invalid delete predicate: {e}"
+                    )
+                parsed_deletes.append((d.get("table_name") or "", dp))
+            # validate ALL tables before applying ANY tombstone, so a bad
+            # second delete cannot leave the first half-applied
+            validate_db_name(db_name)
+            md = self.server.db(db_name)
+            for table, _ in parsed_deletes:
+                if table not in md.database.schemas:
+                    raise GrpcStatusError(
+                        "NotFound",
+                        f"table {table!r} not found in database {db_name!r}",
+                    )
+            for table, dp in parsed_deletes:
+                self.server.delete_rows(db_name, table, dp)
+            return {}
         try:
             parsed = list(entry_to_parsed_lines(bytes(entry)))
             lp = "\n".join(render_line(pl) for pl in parsed)

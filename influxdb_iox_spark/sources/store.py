@@ -931,6 +931,91 @@ class TableStore:
         self.backend.wipe_manifest(table)
         self._id_blocks.pop(table, None)
 
+    # -- predicate deletes (tombstones) ------------------------------------
+    #: per-table tombstone append-log.  The name does NOT start with
+    #: "part-", so manifest()/compaction never mistake it for a chunk
+    #: partition log; it still gets the backends' full chain-read /
+    #: record-object machinery for free.
+    TOMBSTONE_LOG = "deletes.json"
+
+    def delete_predicate(self, table, dpred, sequence: int | None = None) -> dict:
+        """Register a delete: rows of ``table`` matching ``dpred``
+        (plans.predicate.DeletePredicate) disappear from every
+        subsequent scan — applied as an anti-filter at read time
+        (tombstone), folded away physically by compaction.
+
+        The reference declares exactly this wire shape — per-table
+        ``Delete{table_name, predicate}`` entries
+        (entry/src/entry.fbs:37-44) — without executing it in v0; the
+        execution here follows the tombstone design its successor
+        adopted: deletes are metadata, data files are immutable.
+
+        Scope: the tombstone snapshots the CURRENTLY REGISTERED chunk
+        ids and applies only to them — rows written (or chunks
+        registered) after the delete are untouched, so a re-insert of a
+        deleted row is visible.  That is the sequence semantics at chunk
+        granularity, recorded explicitly instead of per-row sequence
+        numbers.  ``sequence`` (the write-buffer position, when the
+        delete arrived through a sequenced topic) is recorded for
+        replay/audit."""
+        ids = [c.chunk_id for c in self.manifest(table)]
+        rec = {
+            # the fold key — shared with chunk records' fold machinery;
+            # uuid cannot collide with integer chunk ids
+            "chunk_id": f"ts-{uuid.uuid4().hex}",
+            "table": table,
+            "predicate": dpred.to_dict(),
+            "sequence": sequence,
+            "created_at": _time.time(),
+            "chunk_ids": ids,
+        }
+        self.backend.append_record(table, self.TOMBSTONE_LOG, rec)
+        return rec
+
+    def tombstones(self, table: str) -> list[dict]:
+        """Live tombstones (applied drops folded out), oldest first."""
+        adds, drops = self.backend.load_part(table, self.TOMBSTONE_LOG)
+        return fold_records(adds, drops)
+
+    def drop_tombstones(self, table: str, tombstone_ids: list[str]) -> None:
+        self.backend.append_record(
+            table, self.TOMBSTONE_LOG, {"__drop__": list(tombstone_ids)}
+        )
+
+    def gc_tombstones(self, table: str) -> int:
+        """Retire tombstones none of whose snapshot chunks are still
+        live — every row they deleted is physically gone (compacted away
+        or dropped), so the scan-time anti-filter is pure overhead.
+        Idempotent; returns tombstones retired."""
+        live = {c.chunk_id for c in self.manifest(table)}
+        dead = [
+            t["chunk_id"]
+            for t in self.tombstones(table)
+            if not (set(t["chunk_ids"]) & live)
+        ]
+        if dead:
+            self.drop_tombstones(table, dead)
+        return len(dead)
+
+    def _tombstones_for_chunks(
+        self, table: str, chunks: "list[ChunkMeta]"
+    ) -> dict[int, list]:
+        """chunk_id -> [(tombstone_id, DeletePredicate)] applicable at
+        scan time, in tombstone order."""
+        from influxdb_iox_spark.plans.predicate import DeletePredicate
+
+        stones = self.tombstones(table)
+        if not stones:
+            return {}
+        out: dict[int, list] = {}
+        for t in stones:
+            pred = DeletePredicate.from_dict(t["predicate"])
+            targets = set(t["chunk_ids"])
+            for c in chunks:
+                if c.chunk_id in targets:
+                    out.setdefault(c.chunk_id, []).append((t["chunk_id"], pred))
+        return out
+
     TAG_CATALOG_CAP = 1000
 
     def _collect_tag_catalog(
@@ -1078,15 +1163,26 @@ class TableStore:
         chunks = self.prune_chunks(table, predicate, schema.time_column)
         if not chunks:
             return spark.createDataFrame([], schema.struct)
+        # chunk_id -> [(tombstone_id, DeletePredicate)]: delete anti-
+        # filters are applied PER CHUNK (a tombstone binds to the chunks
+        # registered when the delete arrived) and BEFORE dedup — a
+        # deleted row must not contribute fields to a last-non-null merge
+        tomb = self._tombstones_for_chunks(table, chunks)
+
+        def _keep(df: DataFrame, chunk_id: int) -> DataFrame:
+            for _, dp in tomb.get(chunk_id, []):
+                df = df.filter(dp.keep_column(schema.time_column))
+            return df
 
         groups = group_potential_duplicates(chunks, schema.primary_key)
         # Batch every clean (non-overlapping) chunk into ONE multi-path
-        # parquet relation: driver planning cost and the plan's relation count
-        # stay O(1) in the number of clean chunks instead of O(n) unions —
-        # at 10^4-10^5 chunks the per-chunk DataFrame+union approach spends
-        # minutes in the driver before a single task runs.  mergeSchema
-        # handles chunks written before a schema extension.
-        clean_paths: list[str] = []
+        # parquet relation PER TOMBSTONE SET: driver planning cost and the
+        # plan's relation count stay O(#distinct tombstone sets) — O(1)
+        # without deletes, one extra relation per delete generation after —
+        # instead of O(n) per-chunk unions; at 10^4-10^5 chunks the
+        # per-chunk DataFrame+union approach spends minutes in the driver
+        # before a single task runs.
+        clean_paths: dict[tuple, list[str]] = {}
         parts: list[DataFrame] = []
         for g in groups:
             members = [chunks[i] for i in g]
@@ -1105,12 +1201,15 @@ class TableStore:
                 ):
                     self._record_pruned(table, [members[0]])
                     continue
-                clean_paths.append(os.path.join(self.base_dir, members[0].path))
+                key = tuple(tid for tid, _ in tomb.get(members[0].chunk_id, []))
+                clean_paths.setdefault(key, []).append(
+                    os.path.join(self.base_dir, members[0].path)
+                )
             else:
                 ordered = [
-                    self.read_chunk(spark, m).withColumn(
-                        DEDUP_ORDER_COLUMN, F.lit(m.chunk_id)
-                    )
+                    _keep(
+                        self.read_chunk(spark, m), m.chunk_id
+                    ).withColumn(DEDUP_ORDER_COLUMN, F.lit(m.chunk_id))
                     for m in sorted(members, key=lambda m: m.chunk_id)
                 ]
                 df = deduplicate(
@@ -1121,12 +1220,19 @@ class TableStore:
                 )
                 parts.append(df)
 
-        if clean_paths:
+        stone_by_id = {
+            tid: dp for lst in tomb.values() for tid, dp in lst
+        }
+        for key, paths in sorted(clean_paths.items()):
             # Explicit schema, NOT mergeSchema: mergeSchema reads every
             # file's footer on the driver (measured ~13 s at 10^4 chunks);
             # the registered table schema is authoritative and the reader
             # null-fills columns a pre-extension chunk lacks.
-            clean = spark.read.schema(schema.struct).parquet(*clean_paths)
+            clean = spark.read.schema(schema.struct).parquet(*paths)
+            for tid in key:
+                clean = clean.filter(
+                    stone_by_id[tid].keep_column(schema.time_column)
+                )
             parts.insert(0, clean)
         if not parts:  # every chunk field-pruned
             return spark.createDataFrame([], schema.struct)

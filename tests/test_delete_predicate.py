@@ -1,0 +1,244 @@
+"""Predicate deletes (tombstones): parse → register → scan anti-filter →
+compaction fold → GC, plus the WriteEntry and HTTP wire paths.
+
+Reference: entry/src/entry.fbs:18-44 declares per-table
+Delete{table_name, predicate} operations (v0 never executes them); the
+execution here follows the tombstone design — deletes are metadata,
+data files stay immutable, compaction folds them physically.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from influxdb_iox_spark.database import Database
+from influxdb_iox_spark.plans.predicate import DeleteExpr, DeletePredicate
+from influxdb_iox_spark.schema import InfluxColumnType, IoxSchema
+from influxdb_iox_spark.sources.store import TableStore
+
+CPU = IoxSchema.build(["host"], {"usage": InfluxColumnType.FIELD_FLOAT})
+S = 1_000_000_000
+
+
+# -- parsing -----------------------------------------------------------------
+
+
+def test_parse_influx2_grammar():
+    dp = DeletePredicate.parse(
+        """host = 'h1' AND "region" != "west" AND n = 3 AND f = 1.5 AND b = true""",
+        start=10,
+        stop=20,
+    )
+    assert (dp.start, dp.stop) == (10, 20)
+    assert dp.exprs == [
+        DeleteExpr("host", "=", "h1"),
+        DeleteExpr("region", "!=", "west"),
+        DeleteExpr("n", "=", 3),
+        DeleteExpr("f", "=", 1.5),
+        DeleteExpr("b", "=", True),
+    ]
+
+
+def test_parse_json_and_roundtrip():
+    dp = DeletePredicate(start=5, stop=50, exprs=[DeleteExpr("host", "=", "h1")])
+    assert DeletePredicate.parse(json.dumps(dp.to_dict())) == dp
+    assert DeletePredicate.from_dict(dp.to_dict()) == dp
+
+
+def test_parse_rejects_garbage_and_empty():
+    with pytest.raises(ValueError, match="cannot parse"):
+        DeletePredicate.parse("host > 'h1'", start=0, stop=1)
+    with pytest.raises(ValueError, match="empty delete predicate"):
+        DeletePredicate.parse("")
+    with pytest.raises(ValueError, match="op must be"):
+        DeleteExpr("c", ">", 1)
+
+
+# -- store semantics ---------------------------------------------------------
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "host string, usage double, time long")
+
+
+def _scan(spark, store):
+    return sorted(
+        (r.host, r.usage, r.time) for r in store.scan(spark, "cpu", CPU).collect()
+    )
+
+
+def test_scan_applies_tombstone_anti_filter(spark, tmp_path):
+    store = TableStore(str(tmp_path / "d"))
+    store.write_chunk(
+        _df(spark, [("h1", 1.0, 10), ("h1", 2.0, 20), ("h2", 3.0, 20)]), "cpu", CPU
+    )
+    store.delete_predicate(
+        "cpu", DeletePredicate(start=15, stop=25, exprs=[DeleteExpr("host", "=", "h1")])
+    )
+    # only (h1, t=20) matches BOTH the range and the tag conjunct
+    assert _scan(spark, store) == [("h1", 1.0, 10), ("h2", 3.0, 20)]
+
+
+def test_tombstone_scopes_to_snapshot_chunks(spark, tmp_path):
+    """A row re-inserted AFTER the delete is visible: the tombstone
+    binds to the chunks registered when it was created (sequence
+    semantics at chunk granularity)."""
+    store = TableStore(str(tmp_path / "d"))
+    store.write_chunk(_df(spark, [("h1", 1.0, 10)]), "cpu", CPU)
+    store.delete_predicate("cpu", DeletePredicate(exprs=[DeleteExpr("host", "=", "h1")]))
+    assert _scan(spark, store) == []
+    store.write_chunk(_df(spark, [("h1", 9.0, 10)]), "cpu", CPU)
+    assert _scan(spark, store) == [("h1", 9.0, 10)]
+
+
+def test_delete_applies_before_dedup_not_after(spark, tmp_path):
+    """The anti-filter runs PER CHUNK before the last-non-null merge.
+    Chunk A holds (h1, usage=1.0, t=10); the tombstone (created before B
+    existed) targets only A; chunk B overlays (h1, usage=NULL, t=10).
+
+    - pre-dedup (correct): A's row is gone, so the merge sees only B's
+      null-usage row → the output row EXISTS with usage NULL.
+    - post-dedup (wrong): the merged row (usage=1.0, host=h1) would
+      match host='h1' and vanish entirely.
+    """
+    store = TableStore(str(tmp_path / "d"))
+    store.write_chunk(_df(spark, [("h1", 1.0, 10)]), "cpu", CPU)
+    store.delete_predicate(
+        "cpu", DeletePredicate(exprs=[DeleteExpr("host", "=", "h1")])
+    )
+    store.write_chunk(_df(spark, [("h1", None, 10)]), "cpu", CPU)
+    assert _scan(spark, store) == [("h1", None, 10)]
+
+
+def test_null_tag_never_matches_delete(spark, tmp_path):
+    """NULL tags match neither = nor != (the delete/keep partition must
+    be exact); a NULL-host row survives any host-conjunct delete."""
+    store = TableStore(str(tmp_path / "d"))
+    store.write_chunk(
+        _df(spark, [(None, 1.0, 10), ("h1", 2.0, 10)]), "cpu", CPU
+    )
+    store.delete_predicate("cpu", DeletePredicate(exprs=[DeleteExpr("host", "!=", "zzz")]))
+    assert _scan(spark, store) == [(None, 1.0, 10)]
+
+
+def test_compaction_folds_tombstones_physically(spark, tmp_path):
+    from influxdb_iox_spark.plans.reorg import compact_chunks
+
+    store = TableStore(str(tmp_path / "d"))
+    store.write_chunk(_df(spark, [("h1", 1.0, 10), ("h2", 2.0, 10)]), "cpu", CPU)
+    store.write_chunk(_df(spark, [("h1", 5.0, 10), ("h3", 3.0, 30)]), "cpu", CPU)
+    store.delete_predicate("cpu", DeletePredicate(exprs=[DeleteExpr("host", "=", "h1")]))
+    assert _scan(spark, store) == [("h2", 2.0, 10), ("h3", 3.0, 30)]
+    meta = compact_chunks(spark, store, "cpu", CPU)
+    # the compacted chunk physically lacks h1's rows
+    raw = spark.read.parquet(f"{store.base_dir}/{meta.path}")
+    assert sorted((r.host, r.time) for r in raw.collect()) == [("h2", 10), ("h3", 30)]
+    # every snapshot chunk is gone -> the tombstone was GC'd
+    assert store.tombstones("cpu") == []
+    assert _scan(spark, store) == [("h2", 2.0, 10), ("h3", 3.0, 30)]
+
+
+def test_persist_split_folds_tombstones(spark, tmp_path):
+    from influxdb_iox_spark.plans.reorg import persist_split
+
+    store = TableStore(str(tmp_path / "d"))
+    store.write_chunk(
+        _df(spark, [("h1", 1.0, 10), ("h2", 2.0, 90)]), "cpu", CPU
+    )
+    store.delete_predicate("cpu", DeletePredicate(exprs=[DeleteExpr("host", "=", "h1")]))
+    cold, hot = persist_split(spark, store, "cpu", CPU, split_time_ns=50)
+    assert cold is None  # the only cold row (h1@10) was tombstoned
+    raw = spark.read.parquet(f"{store.base_dir}/{hot.path}")
+    assert [(r.host, r.time) for r in raw.collect()] == [("h2", 90)]
+    assert store.tombstones("cpu") == []
+
+
+def test_multiple_tombstones_and_gc_partial(spark, tmp_path):
+    store = TableStore(str(tmp_path / "d"))
+    a = store.write_chunk(_df(spark, [("h1", 1.0, 10)]), "cpu", CPU)
+    store.delete_predicate("cpu", DeletePredicate(exprs=[DeleteExpr("host", "=", "h1")]))
+    b = store.write_chunk(_df(spark, [("h2", 2.0, 20)]), "cpu", CPU)
+    store.delete_predicate("cpu", DeletePredicate(exprs=[DeleteExpr("host", "=", "h2")]))
+    assert len(store.tombstones("cpu")) == 2
+    assert _scan(spark, store) == []
+    # drop only chunk a: tombstone 1's snapshot is dead, tombstone 2's
+    # (which includes a AND b) still has b live
+    store.drop_chunks("cpu", [a.chunk_id])
+    assert store.gc_tombstones("cpu") == 1
+    assert len(store.tombstones("cpu")) == 1
+
+
+# -- wire paths --------------------------------------------------------------
+
+
+def test_write_entry_delete_operations(spark, tmp_path, management_server=None):
+    """A flatbuffers DeleteOperations entry lands as store tombstones via
+    the WriteEntry RPC service object."""
+    from influxdb_iox_spark.entry_fb import encode_delete_entry
+    from influxdb_iox_spark.rpc_management import IoxServer, WriteService
+
+    server = IoxServer(spark, str(tmp_path / "srv"))
+    server.create_database({"name": "db"})
+    server.write_lp("db", "cpu,host=h1 usage=1 10\ncpu,host=h2 usage=2 20")
+    svc = WriteService(server)
+    buf = encode_delete_entry(
+        [{"table_name": "cpu", "predicate": "host = 'h1'"}]
+    )
+    svc.WriteEntry({"db_name": "db", "entry": buf})
+    md = server.databases["db"]
+    rows = md.database.table("cpu").collect()
+    assert [(r.host,) for r in rows] == [("h2",)]
+    # unknown table: NotFound, nothing applied
+    from influxdb_iox_spark.rpc_management import GrpcStatusError
+
+    buf2 = encode_delete_entry([{"table_name": "nope", "predicate": "host = 'x'"}])
+    with pytest.raises(GrpcStatusError, match="NotFound|not found"):
+        svc.WriteEntry({"db_name": "db", "entry": buf2})
+
+
+def test_http_delete_endpoint(spark, tmp_path):
+    from influxdb_iox_spark.http_api import IoxHttpServer
+    from influxdb_iox_spark.streaming.ingest import LineProtocolIngest
+
+    store = TableStore(str(tmp_path / "d"))
+    db = Database("org_bucket", store, spark)
+    db.register_table("cpu", CPU)
+    store.write_chunk(
+        _df(spark, [("h1", 1.0, 10 * S), ("h2", 2.0, 3_000_000_000 * S)]),
+        "cpu", CPU,
+    )
+    ing = LineProtocolIngest(store, "cpu", CPU)
+    api = IoxHttpServer(db, {"cpu": ing})
+    port = api.start()
+    try:
+        body = json.dumps(
+            {
+                "start": "1970-01-01T00:00:00Z",
+                "stop": "1970-02-01T00:00:00Z",
+                "predicate": '_measurement="cpu" AND host="h1"',
+            }
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/v2/delete?org=org&bucket=bucket",
+            data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 204
+        left = sorted(r.host for r in db.table("cpu").collect())
+        assert left == ["h2"]  # h1@10s deleted; h2 outside the range anyway
+        # missing start -> 400
+        bad = json.dumps({"stop": "1970-02-01T00:00:00Z"}).encode()
+        req2 = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/v2/delete?org=org&bucket=bucket",
+            data=bad,
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req2)
+        assert ei.value.code == 400
+    finally:
+        api.stop()
