@@ -93,16 +93,16 @@ def main() -> None:
     # Sentinel: a fixed query whose code never changes round to round — its
     # time is pure machine/JVM conditions, so round-over-round deltas in the
     # headline numbers can be attributed (code vs environment).
+    def _sentinel_once() -> float:
+        t0 = time.perf_counter()
+        spark.range(5_000_000).select(
+            F.sum(F.col("id").cast("decimal(18,2)")).alias("s"),
+            F.min(F.hash("id")).alias("h"),
+        ).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
     def _sentinel() -> float:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            spark.range(5_000_000).select(
-                F.sum(F.col("id").cast("decimal(18,2)")).alias("s"),
-                F.min(F.hash("id")).alias("h"),
-            ).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        return round(best, 3)
+        return round(min(_sentinel_once() for _ in range(2)), 3)
 
     sentinel_before = _sentinel()
 
@@ -110,10 +110,18 @@ def main() -> None:
     # (local[32] micro-task stages show multi-second scheduler/GC jitter)
     # and the SECOND run separately so JIT-warm vs steady-state is visible
     # per query (a big run1/run2 gap means the min still contains warmup).
+    # A single-shot sentinel runs IMMEDIATELY BEFORE each query: bracket
+    # sentinels cannot attribute a MID-RUN co-tenant spike (r6: loadavg
+    # 2.4→9.5 with clean bookends while minhash regressed 44%); a per-row
+    # sentinel_sec makes the machine's state at that moment part of the
+    # record, so a slow row with a slow sentinel is environmental and a
+    # slow row with a clean sentinel is the code's.
     timings: dict[str, float] = {}
     timings_run2: dict[str, float] = {}
+    sentinels: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
+        sentinels[name] = round(_sentinel_once(), 3)
         runs = []
         for _ in range(2):
             t0 = time.perf_counter()
@@ -146,6 +154,7 @@ def main() -> None:
     schema = IoxSchema.build(
         ["event_type", "user_id"], {"value": InfluxColumnType.FIELD_FLOAT}
     )
+    sentinels["ingest_line_protocol"] = round(_sentinel_once(), 3)
     t0 = time.perf_counter()
     n = distributed_parse(lines_df, schema, "events", 0).count()
     timings["ingest_line_protocol"] = round(time.perf_counter() - t0, 3)
@@ -182,6 +191,10 @@ def main() -> None:
                 ),
                 "queries": timings,
                 "queries_run2": timings_run2,
+                # machine-state sentinel timed immediately before each
+                # query's runs (steady-state ~sentinel_before/2 per shot;
+                # a row whose sentinel is 2x+ that is co-tenant noise)
+                "sentinels": sentinels,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "conditions": {
                     "cpus": int(cpus),
