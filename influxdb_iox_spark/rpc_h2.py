@@ -35,7 +35,76 @@ import threading
 from urllib.parse import unquote
 
 from influxdb_iox_spark import h2wire as h2
-from influxdb_iox_spark.protowire import decode_message, encode_message
+from influxdb_iox_spark.protowire import Field, decode_message, encode_message
+
+# -- Arrow Flight on the same port -------------------------------------------
+# The reference's tonic router serves Arrow Flight alongside management /
+# storage / operations on ONE gRPC socket (src/influxdb_ioxd/rpc.rs
+# add_service(FlightServer …)).  Flight is itself plain gRPC, so the h2
+# endpoint hosts /arrow.flight.protocol.FlightService/{Handshake,DoGet}
+# with the same JSON ReadInfo ticket contract as rpc_flight.py — one
+# endpoint serves queries AND management, like the reference.
+# Message schemas from the public arrow/flight/Flight.proto.
+
+FLIGHT_SERVICE = "arrow.flight.protocol.FlightService"
+FLIGHT_TICKET = {1: Field("ticket", "bytes")}
+FLIGHT_DATA = {
+    2: Field("data_header", "bytes"),
+    3: Field("app_metadata", "bytes"),
+    1000: Field("data_body", "bytes"),
+}
+FLIGHT_HANDSHAKE = {
+    1: Field("protocol_version", "uint64"),
+    2: Field("payload", "bytes"),
+}
+
+
+def flight_data_messages(table) -> list[bytes]:
+    """Arrow table → encoded FlightData protobufs: the IPC stream's
+    messages (schema, then record batches), each split into its
+    flatbuffer header (``data_header``) and body (``data_body``) exactly
+    as Flight.proto frames them."""
+    import pyarrow as pa
+
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, table.schema) as w:
+        for batch in table.to_batches():
+            w.write_batch(batch)
+    reader = pa.ipc.MessageReader.open_stream(pa.BufferReader(sink.getvalue()))
+    out = []
+    while True:
+        try:
+            m = reader.read_next_message()
+        except StopIteration:
+            break
+        body = m.body.to_pybytes() if m.body is not None else b""
+        out.append(
+            encode_message(
+                {"data_header": m.metadata.to_pybytes(), "data_body": body},
+                FLIGHT_DATA,
+            )
+        )
+    return out
+
+
+def flight_data_to_table(fd_payloads: list[bytes]):
+    """Decoded DoGet response stream → Arrow table (client side): rebuild
+    the encapsulated IPC stream (continuation marker + metadata length +
+    padded metadata + body per message, RFC'd in the Arrow IPC format
+    docs) and hand it to the stock reader."""
+    import pyarrow as pa
+
+    buf = bytearray()
+    for payload in fd_payloads:
+        d = decode_message(payload, FLIGHT_DATA)
+        header = bytes(d.get("data_header") or b"")
+        body = bytes(d.get("data_body") or b"")
+        pad = (-len(header)) % 8
+        buf += struct.pack("<I", 0xFFFFFFFF)
+        buf += struct.pack("<I", len(header) + pad)
+        buf += header + b"\x00" * pad + body
+    buf += struct.pack("<I", 0xFFFFFFFF) + struct.pack("<I", 0)  # EOS
+    return pa.ipc.open_stream(pa.BufferReader(bytes(buf))).read_all()
 
 #: gRPC numeric status codes (grpc.io statuscodes.md)
 GRPC_STATUS = {
@@ -159,16 +228,22 @@ class GrpcH2Server:
         headers = dict(st.get("headers") or [])
         path = unquote(headers.get(":path", ""))
         try:
-            service, method = route_action(path.lstrip("/"))
+            stripped = path.lstrip("/")
             messages = parse_grpc_messages(st["data"])
             request = messages[0] if messages else b""
-            if service == "storage":
+            if stripped.startswith(FLIGHT_SERVICE + "/"):
+                responses = self._flight_call(
+                    stripped.rsplit("/", 1)[1], request
+                )
+            elif (sm := route_action(stripped))[0] == "storage":
+                method = sm[1]
                 if not self.iox.serving:
                     raise GrpcStatusError(
                         "Unavailable", "server is not serving data plane"
                     )
                 responses = list(self.storage.call(method, request))
             else:
+                service, method = sm
                 if service in DATA_PLANE_SERVICES and not self.iox.serving:
                     raise GrpcStatusError(
                         "Unavailable", "server is not serving data plane"
@@ -209,6 +284,51 @@ class GrpcH2Server:
         cx.send_data(sid, frame_grpc_messages(responses))
         trailers = cx.encoder.encode([("grpc-status", "0")])
         cx.send(h2.HEADERS, h2.FLAG_END_HEADERS | h2.FLAG_END_STREAM, sid, trailers)
+
+    def _flight_call(self, method: str, request: bytes) -> list[bytes]:
+        """FlightService over this port: the DoGet ticket contract is
+        rpc_flight.py's (JSON ReadInfo — flight.rs:113-118), served from
+        the server's LIVE database dict; Handshake echoes (no auth, like
+        the reference's default).  The response stream is one FlightData
+        per IPC message (schema, then batches)."""
+        import json as _json
+
+        from influxdb_iox_spark.rpc_management import GrpcStatusError
+
+        if method == "Handshake":
+            req = decode_message(request, FLIGHT_HANDSHAKE)
+            return [
+                encode_message(
+                    {
+                        "protocol_version": req.get("protocol_version") or 0,
+                        "payload": req.get("payload") or b"",
+                    },
+                    FLIGHT_HANDSHAKE,
+                )
+            ]
+        if method != "DoGet":
+            raise GrpcStatusError(
+                "Unimplemented",
+                f"FlightService method {method!r} is not implemented here",
+            )
+        if not self.iox.serving:
+            raise GrpcStatusError("Unavailable", "server is not serving data plane")
+        ticket = bytes(decode_message(request, FLIGHT_TICKET).get("ticket") or b"")
+        try:
+            info = _json.loads(ticket.decode("utf-8"))
+        except (UnicodeDecodeError, _json.JSONDecodeError) as e:
+            raise GrpcStatusError("InvalidArgument", f"invalid ticket: {e}")
+        name = info.get("database_name")
+        sql = info.get("sql_query")
+        if not name or sql is None:
+            raise GrpcStatusError(
+                "InvalidArgument", "ticket must carry database_name and sql_query"
+            )
+        md = self.iox.databases.get(name)
+        if md is None:
+            raise GrpcStatusError("NotFound", f"database {name!r} not found")
+        table = md.database.query(sql).toArrow()
+        return flight_data_messages(table)
 
 
 #: SETTINGS identifiers (RFC 7540 §6.5.2)

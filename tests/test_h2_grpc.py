@@ -352,3 +352,105 @@ def test_truncated_grpc_body_answers_on_error_channel(h2_server):
         mp.LIST_DATABASES_REQUEST, mp.LIST_DATABASES_RESPONSE,
     )
     assert isinstance(out, dict)
+
+
+def test_flight_do_get_on_the_same_port(h2_server):
+    """One socket serves management AND Arrow Flight, like the
+    reference's tonic router (src/influxdb_ioxd/rpc.rs): DoGet with the
+    JSON ReadInfo ticket streams the query result as FlightData
+    messages, decodable back into an Arrow table."""
+    from influxdb_iox_spark import management_proto as mp
+    from influxdb_iox_spark.protowire import encode_message
+    from influxdb_iox_spark.rpc_flight import flight_ticket
+    from influxdb_iox_spark.rpc_h2 import (
+        FLIGHT_SERVICE,
+        FLIGHT_TICKET,
+        GRPC_STATUS,
+        flight_data_to_table,
+    )
+
+    iox, srv, c = h2_server
+    c.call(
+        f"/{MGMT}/CreateDatabase", {"rules": {"name": "fldb"}},
+        mp.CREATE_DATABASE_REQUEST, mp.CREATE_DATABASE_RESPONSE,
+    )
+    c.call(
+        f"/{WRITE}/Write",
+        {"db_name": "fldb", "lp_data": "cpu,region=west user=1.5 100\n"
+                                       "cpu,region=east user=2.5 200"},
+        mp.WRITE_REQUEST, mp.WRITE_RESPONSE,
+    )
+    ticket = encode_message(
+        {"ticket": flight_ticket("fldb", "SELECT region, `user`, time FROM cpu ORDER BY time")},
+        FLIGHT_TICKET,
+    )
+    msgs, trailers = c.call_raw(f"/{FLIGHT_SERVICE}/DoGet", ticket)
+    assert int(trailers["grpc-status"]) == 0
+    table = flight_data_to_table(msgs)
+    assert table.column("region").to_pylist() == ["west", "east"]
+    assert table.column("user").to_pylist() == [1.5, 2.5]
+    assert table.column("time").to_pylist() == [100, 200]
+
+    # error surface: bad ticket / unknown db / unimplemented method
+    _, t = c.call_raw(f"/{FLIGHT_SERVICE}/DoGet",
+                      encode_message({"ticket": b"not json"}, FLIGHT_TICKET))
+    assert int(t["grpc-status"]) == GRPC_STATUS["InvalidArgument"]
+    _, t = c.call_raw(
+        f"/{FLIGHT_SERVICE}/DoGet",
+        encode_message({"ticket": flight_ticket("ghost", "SELECT 1")}, FLIGHT_TICKET),
+    )
+    assert int(t["grpc-status"]) == GRPC_STATUS["NotFound"]
+    _, t = c.call_raw(f"/{FLIGHT_SERVICE}/DoPut", b"")
+    assert int(t["grpc-status"]) == GRPC_STATUS["Unimplemented"]
+
+
+def test_flight_handshake_echoes(h2_server):
+    from influxdb_iox_spark.protowire import decode_message, encode_message
+    from influxdb_iox_spark.rpc_h2 import FLIGHT_HANDSHAKE, FLIGHT_SERVICE
+
+    _, _, c = h2_server
+    msgs, trailers = c.call_raw(
+        f"/{FLIGHT_SERVICE}/Handshake",
+        encode_message({"protocol_version": 1, "payload": b"hi"}, FLIGHT_HANDSHAKE),
+    )
+    assert int(trailers["grpc-status"]) == 0
+    resp = decode_message(msgs[0], FLIGHT_HANDSHAKE)
+    assert resp.get("payload") == b"hi"
+
+
+def test_flight_do_get_with_stock_pyarrow_client(h2_server):
+    """The REAL wire-compat gate: a stock pyarrow FlightClient (the
+    grpc-c++ HTTP/2 stack, not our test client) dials the hand-rolled h2
+    endpoint and decodes the DoGet stream — one port, stock clients,
+    like the reference's tonic router."""
+    import pyarrow.flight as fl
+
+    from influxdb_iox_spark import management_proto as mp
+    from influxdb_iox_spark.rpc_flight import flight_ticket
+
+    iox, srv, c = h2_server
+    c.call(
+        f"/{MGMT}/CreateDatabase", {"rules": {"name": "stockdb"}},
+        mp.CREATE_DATABASE_REQUEST, mp.CREATE_DATABASE_RESPONSE,
+    )
+    c.call(
+        f"/{WRITE}/Write",
+        {"db_name": "stockdb", "lp_data": "m,t=a f=1.0 100\nm,t=b f=2.0 200"},
+        mp.WRITE_REQUEST, mp.WRITE_RESPONSE,
+    )
+    client = fl.FlightClient(f"grpc://127.0.0.1:{srv.port}")
+    try:
+        reader = client.do_get(
+            fl.Ticket(flight_ticket("stockdb", "SELECT t, f FROM m ORDER BY time"))
+        )
+        table = reader.read_all()
+        assert table.column("t").to_pylist() == ["a", "b"]
+        assert table.column("f").to_pylist() == [1.0, 2.0]
+        # error propagation through the stock client
+        # grpc-status 5 (NotFound) maps to ArrowKeyError in pyarrow
+        import pyarrow as pa
+
+        with pytest.raises(pa.lib.ArrowKeyError, match="ghost.* not found"):
+            client.do_get(fl.Ticket(flight_ticket("ghost", "SELECT 1"))).read_all()
+    finally:
+        client.close()
