@@ -9,13 +9,18 @@ no renames.  A guard fixture makes any POSIX manifest I/O under the
 store's base_dir fail the test, so the object-store backend cannot
 quietly lean on the filesystem.
 
-Pure in-memory tests — no SparkSession needed.
+THE WHOLE BATTERY IS PARAMETRIZED over two ObjectStore implementations
+(the ``backend`` autouse fixture): the in-memory double (memory.rs
+shape) AND the real S3 REST client (sources/s3rest.py) pointed at an
+in-process S3 stub — every contract test, including the multi-writer
+races, also runs over genuine HTTP conditional-PUT/LIST-v2 round trips.
 """
 
 from __future__ import annotations
 
 import os
 import threading
+import uuid
 
 import pytest
 
@@ -26,9 +31,42 @@ from influxdb_iox_spark.sources.objstore import (
 )
 from influxdb_iox_spark.sources.store import ChunkMeta, TableStore
 
+_MODE = "memory"
+_STUB = None
+
+
+@pytest.fixture(scope="module")
+def _s3_stub():
+    from tests.s3_stub import S3Stub
+
+    stub = S3Stub()
+    yield stub
+    stub.stop()
+
+
+@pytest.fixture(autouse=True, params=["memory", "s3rest"])
+def backend(request):
+    """Every test in this module runs once per ObjectStore impl."""
+    global _MODE, _STUB
+    _MODE = request.param
+    _STUB = request.getfixturevalue("_s3_stub") if _MODE == "s3rest" else None
+    yield
+    _MODE, _STUB = "memory", None
+
+
+def _new_obj():
+    if _MODE == "s3rest":
+        from influxdb_iox_spark.sources.s3rest import S3RestObjectStore
+
+        # fresh prefix per store-universe: test isolation on a shared stub
+        return S3RestObjectStore(
+            _STUB.endpoint, _STUB.bucket, prefix=f"t-{uuid.uuid4().hex[:12]}/"
+        )
+    return InMemoryObjectStore()
+
 
 def _make_store(tmp_path, obj=None, throttle=0.0):
-    obj = obj if obj is not None else InMemoryObjectStore()
+    obj = obj if obj is not None else _new_obj()
     inner = ThrottledObjectStore(obj, throttle) if throttle else obj
     return (
         TableStore(str(tmp_path / "data"), backend=ObjectStoreManifestBackend(inner)),
@@ -84,7 +122,7 @@ def test_two_writers_one_compactor_no_lost_chunks(tmp_path, no_posix_manifest):
     """Two appender instances + one compactor instance over ONE shared
     object store, all concurrent: every appended chunk id is present
     exactly once afterwards."""
-    obj = InMemoryObjectStore()
+    obj = _new_obj()
     n_per_writer = 120
     written: dict[str, list[int]] = {"w1": [], "w2": []}
     errors: list[BaseException] = []
@@ -131,7 +169,7 @@ def test_two_writers_one_compactor_no_lost_chunks(tmp_path, no_posix_manifest):
 
 
 def test_id_blocks_disjoint_across_instances(tmp_path, no_posix_manifest):
-    obj = InMemoryObjectStore()
+    obj = _new_obj()
     stores = [_make_store(tmp_path, obj)[0] for _ in range(4)]
     seen: set[int] = set()
     for i in range(4 * TableStore.ID_BLOCK + 8):
@@ -141,7 +179,7 @@ def test_id_blocks_disjoint_across_instances(tmp_path, no_posix_manifest):
 
 
 def test_drops_concurrent_with_appends(tmp_path, no_posix_manifest):
-    obj = InMemoryObjectStore()
+    obj = _new_obj()
     store_a, _ = _make_store(tmp_path, obj)
     first = [_meta(store_a, "t", "p", "a") for _ in range(40)]
     for m in first:
@@ -224,7 +262,7 @@ def test_readers_race_compaction_without_losing_records(tmp_path, no_posix_manif
     must never see a lost or duplicated record — the retry-on-deleted-
     record path (the object-store twin of the POSIX inode check), under
     throttled ops so interleavings actually happen."""
-    obj = InMemoryObjectStore()
+    obj = _new_obj()
     written: list[int] = []
     stop = threading.Event()
     errors: list = []
@@ -280,7 +318,7 @@ def test_racing_compactors_exactly_one_wins_per_round(tmp_path, no_posix_manifes
     """The conditional PUT is the serialization: N compactors folding the
     same partition concurrently never lose a record — a loser's CAS fails
     and it deletes nothing."""
-    obj = InMemoryObjectStore()
+    obj = _new_obj()
     seed, _ = _make_store(tmp_path, obj)
     metas = [_meta(seed, "t", "p", "s") for _ in range(50)]
     for m in metas:
@@ -311,7 +349,7 @@ def test_racing_compactors_exactly_one_wins_per_round(tmp_path, no_posix_manifes
 
 
 def test_conditional_put_semantics():
-    s = InMemoryObjectStore()
+    s = _new_obj()
     e1 = s.put("k", b"a", if_not_exists=True)
     assert e1 is not None
     assert s.put("k", b"b", if_not_exists=True) is None  # CAS: already exists
@@ -329,7 +367,7 @@ def test_conditional_put_semantics():
 
 
 def test_list_by_prefix():
-    s = InMemoryObjectStore()
+    s = _new_obj()
     for k in ("a/1", "a/2", "b/1"):
         s.put(k, b"x")
     assert s.list("a/") == ["a/1", "a/2"]
