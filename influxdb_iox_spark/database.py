@@ -39,10 +39,45 @@ class Database:
     store: TableStore
     spark: SparkSession
     schemas: dict[str, IoxSchema] = field(default_factory=dict)
+    #: table -> PersistenceWindows (sequence-exact persist bookkeeping,
+    #: fed by the write-buffer consumer; rebuilt on replay like the
+    #: reference's in-memory tracker)
+    persistence_windows: dict = field(default_factory=dict)
 
     # -- catalog ----------------------------------------------------------
     def register_table(self, table: str, schema: IoxSchema) -> None:
         self.schemas[table] = schema
+
+    # -- ingest bookkeeping ------------------------------------------------
+    def record_ingest(
+        self,
+        table: str,
+        sequencer_id: int | None,
+        sequence_number: int | None,
+        row_count: int,
+        min_time: int,
+        max_time: int,
+        late_arrival_seconds: float = 300.0,
+        received_at: float | None = None,
+    ) -> None:
+        """Feed one applied batch into the table's PersistenceWindows
+        (persistence_windows.rs add_range) — the write-buffer consumer
+        calls this per payload so persist decisions can be
+        sequence-exact.  ``late_arrival_seconds`` configures the window
+        on first touch only."""
+        from influxdb_iox_spark.streaming.persistence_windows import (
+            PersistenceWindows,
+        )
+
+        w = self.persistence_windows.get(table)
+        if w is None:
+            w = self.persistence_windows[table] = PersistenceWindows(
+                late_arrival_seconds
+            )
+        w.add_range(
+            sequencer_id, sequence_number, row_count, min_time, max_time,
+            received_at=received_at,
+        )
 
     def table_names(self) -> list[str]:
         return sorted(set(self.schemas) | set(self.store.tables()))
@@ -78,6 +113,9 @@ class Database:
         self.system_columns().createOrReplaceTempView("system_columns")
         self.system_chunk_columns().createOrReplaceTempView("system_chunk_columns")
         self.system_operations().createOrReplaceTempView("system_operations")
+        self.system_persistence_windows().createOrReplaceTempView(
+            "system_persistence_windows"
+        )
         self.information_schema_tables().createOrReplaceTempView(
             "information_schema_tables"
         )
@@ -110,6 +148,24 @@ class Database:
             "table_name string, chunk_id long, partition_key string, "
             "storage string, row_count long, sorted_by string, "
             "estimated_bytes long"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def system_persistence_windows(self) -> DataFrame:
+        """system.persistence_windows — the live per-window sequence
+        bookkeeping (persistence_windows.rs:24-74): one row per
+        (table, window, sequencer) with its min/max sequence, data-time
+        range, and age.  Operators read it to see exactly which sequence
+        ranges are still unpersistable and which shard is lagging."""
+        rows = []
+        for table, w in sorted(self.persistence_windows.items()):
+            w.rotate()
+            for r in w.summary_rows():
+                rows.append({"table_name": table, **r})  # dict = match-by-name
+        schema = (
+            "table_name string, state string, sequencer_id int, "
+            "min_sequence long, max_sequence long, row_count long, "
+            "min_time long, max_time long, age_seconds double"
         )
         return self.spark.createDataFrame(rows, schema)
 

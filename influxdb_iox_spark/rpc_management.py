@@ -536,6 +536,7 @@ class IoxServer:
                 if e.code == "InvalidArgument":
                     return _quarantine(seq, payload, e)
                 raise
+            self._record_windows(md, parsed, seq)
             return len(parsed)
 
         # re-check parked sequences first: a slow producer may have
@@ -557,6 +558,40 @@ class IoxServer:
             parked = sorted(set(parked) | set(newly_parked))
             _save(max(last, max(newly_parked, default=-1) + 1))
         return total
+
+    @staticmethod
+    def _record_windows(md: ManagedDatabase, parsed, seq: int) -> None:
+        """Feed an applied write-buffer payload into the database's
+        PersistenceWindows (per table): min/max data time + the payload's
+        sequence number, so the lifecycle's persist decision is
+        sequence-exact (persistence_windows.rs add_range — the reference
+        updates its windows on every consumed entry).  Lines without a
+        timestamp were assigned apply-instant wall clock by _apply_lp;
+        the same instant is used here (bookkeeping, not data)."""
+        import time as _t
+
+        now_ns = _t.time_ns()
+        late = float(
+            (md.rules.get("lifecycle_rules") or {}).get(
+                "late_arrive_window_seconds", 300
+            )
+            or 300
+        )
+        per_table: dict[str, list] = {}
+        for pl in parsed:
+            ts = pl.timestamp if pl.timestamp is not None else now_ns
+            cur = per_table.get(pl.measurement)
+            if cur is None:
+                per_table[pl.measurement] = [1, ts, ts]
+            else:
+                cur[0] += 1
+                cur[1] = min(cur[1], ts)
+                cur[2] = max(cur[2], ts)
+        for table, (n, lo, hi) in per_table.items():
+            md.database.record_ingest(
+                table, sequencer_id=0, sequence_number=seq, row_count=n,
+                min_time=lo, max_time=hi, late_arrival_seconds=late,
+            )
 
     def perform_replay(self) -> dict[str, int]:
         """Startup replay reconciliation (server/src/db.rs:518
@@ -602,7 +637,8 @@ class IoxServer:
             buffer_size_soft=proto.get("buffer_size_soft") or None,
         )
         policy = LifecyclePolicy(
-            self.spark, md.database.store, md.database.schemas, rules
+            self.spark, md.database.store, md.database.schemas, rules,
+            windows=md.database.persistence_windows,
         )
         report["tables"] = policy.check_for_work()
         if proto.get("catalog_transactions_until_checkpoint"):

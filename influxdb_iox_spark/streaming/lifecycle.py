@@ -58,6 +58,14 @@ class LifecyclePolicy:
     store: TableStore
     schemas: dict[str, IoxSchema]
     rules: LifecycleRules = field(default_factory=LifecycleRules)
+    #: table -> PersistenceWindows (streaming.persistence_windows).  When a
+    #: table has an entry, the persist decision becomes SEQUENCE-EXACT:
+    #: the split time is capped at the windows' max persistable timestamp,
+    #: so data whose sequences are still inside the late-arrival window —
+    #: e.g. from a lagging shard — defers, even if its data timestamps are
+    #: old.  Tables without an entry keep the time-based decision
+    #: (direct-write deployments have no sequences to track).
+    windows: dict | None = None
 
     def max_seen_time_ns(self, table: str) -> int | None:
         """PersistenceWindows equivalent: newest timestamp in the manifest."""
@@ -117,6 +125,26 @@ class LifecyclePolicy:
         if newest is None:
             return []
         split_time = newest - self.rules.late_arrive_window_seconds * NS_PER_SECOND
+        w = (self.windows or {}).get(table)
+        window_gate = 0.0
+        if w is not None:
+            # sequence-exact gates (persistence_windows.rs):
+            # 1. DATA-time: cap the split at the persistable window's max
+            #    data time (max_persistable_timestamp) — rows above it may
+            #    still gain late twins from unflushed sequences.
+            # 2. ARRIVAL-time: only chunks whose ingest window has aged
+            #    into persistable (created >= late_arrival ago) qualify —
+            #    a lagging shard's JUST-ARRIVED chunk defers even when
+            #    its data timestamps are ancient (a time-based split
+            #    would wrongly persist it; the reference never persists
+            #    the open/closed windows' rows).  This gate models window
+            #    containment and is NOT overridable by buffer pressure.
+            w.rotate()
+            mp = w.max_persistable_timestamp()
+            if mp is None:
+                return []  # nothing has aged out of the windows yet
+            split_time = min(split_time, mp)
+            window_gate = w.late_arrival
         # persistable-by-time candidates, BEFORE the age gate; chunks whose
         # persisted flag is set (cold persist-split outputs) are excluded —
         # they have already drained, so re-splitting them every sweep would
@@ -142,7 +170,7 @@ class LifecyclePolicy:
             min_age = 0.0
         by_part: dict[str, list] = {}
         for c in candidates:
-            if _time.time() - c.created_at >= min_age:
+            if _time.time() - c.created_at >= max(min_age, window_gate):
                 by_part.setdefault(c.partition_key, []).append(c)
         out = []
         for chunks in by_part.values():
@@ -152,6 +180,11 @@ class LifecyclePolicy:
                     [c.chunk_id for c in chunks],
                 )
             )
+        if w is not None and out:
+            # everything at or below the persistable max time is now on
+            # disk: clear the persistable window and truncate the closed
+            # windows' overlap (persistence_windows.rs flush)
+            w.flush()
         return out
 
     def check_for_work(self) -> dict[str, dict]:
