@@ -96,6 +96,15 @@ def tag_keys(db: Database, table: str, predicate: Predicate | None = None) -> li
         live = [c for c in chunks if c.row_count]
         if not live:
             return []
+        # delete tombstones may have removed every row carrying a tag —
+        # write-time catalogs of targeted chunks can no longer confirm a
+        # key; fall through to the scan path (tombstone-filtered)
+        live_ids = {c.chunk_id for c in live}
+        tombstoned = any(
+            live_ids & set(t["chunk_ids"]) for t in db.store.tombstones(table)
+        )
+        if tombstoned:
+            return sorted(schema_pivot(db.table(table, predicate), tags))
         out: list[str] = []
         scan_tags: list[str] = []
         for tag in tags:

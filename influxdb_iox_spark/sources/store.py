@@ -1061,6 +1061,13 @@ class TableStore:
             chunks = [c for c in chunks if c.partition_key == partition_key]
         if not chunks:
             return []
+        # a delete tombstone targeting any contributing chunk may have
+        # removed the rows carrying some catalog value — write-time
+        # catalogs cannot answer; only a (tombstone-filtered) scan can
+        live_ids = {c.chunk_id for c in chunks}
+        for t in self.tombstones(table):
+            if live_ids & set(t["chunk_ids"]):
+                return None
         for c in chunks:
             v = c.tag_values.get(tag)
             if v is None:

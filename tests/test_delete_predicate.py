@@ -172,6 +172,48 @@ def test_multiple_tombstones_and_gc_partial(spark, tmp_path):
     assert len(store.tombstones("cpu")) == 1
 
 
+def test_metadata_fast_paths_respect_tombstones(spark, tmp_path):
+    """Deletes must be visible through the METADATA ops, not just scans:
+    the write-time tag catalogs of tombstone-targeted chunks cannot
+    answer (the deleted rows' values would leak), so both fast paths
+    fall back to the tombstone-filtered scan."""
+    from influxdb_iox_spark.database import Database
+    from influxdb_iox_spark.operators import metadata as md
+
+    store = TableStore(str(tmp_path / "d"))
+    db = Database("db", store, spark)
+    db.register_table("cpu", CPU)
+    store.write_chunk(
+        _df(spark, [("h1", 1.0, 10), ("h2", 2.0, 20)]), "cpu", CPU
+    )
+    assert store.catalog_tag_values("cpu", "host") == ["h1", "h2"]
+    store.delete_predicate(
+        "cpu", DeletePredicate(exprs=[DeleteExpr("host", "=", "h1")])
+    )
+    # catalog fast path declines (None -> caller scans); the scan answers
+    assert store.catalog_tag_values("cpu", "host") is None
+    assert md.tag_values(db, "cpu", "host") == ["h2"]
+    # tag_keys: every row of a one-tag table could be deleted
+    store.delete_predicate(
+        "cpu", DeletePredicate(exprs=[DeleteExpr("host", "=", "h2")])
+    )
+    assert md.tag_keys(db, "cpu") == []  # no surviving non-null rows
+    # after compaction folds the tombstones, the fast path answers again
+    from influxdb_iox_spark.plans.reorg import compact_chunks
+
+    store2 = TableStore(str(tmp_path / "d2"))
+    db2 = Database("db2", store2, spark)
+    db2.register_table("cpu", CPU)
+    store2.write_chunk(_df(spark, [("h1", 1.0, 10), ("h2", 2.0, 20)]), "cpu", CPU)
+    store2.write_chunk(_df(spark, [("h3", 3.0, 30)]), "cpu", CPU)
+    store2.delete_predicate(
+        "cpu", DeletePredicate(exprs=[DeleteExpr("host", "=", "h1")])
+    )
+    compact_chunks(spark, store2, "cpu", CPU)
+    assert store2.tombstones("cpu") == []
+    assert store2.catalog_tag_values("cpu", "host") == ["h2", "h3"]
+
+
 # -- wire paths --------------------------------------------------------------
 
 
