@@ -124,3 +124,47 @@ def test_tpch_q2_broadcasts_dims_only(spark):
     assert any("lineitem" in s for s in scan_sections(plan)), "lineitem scan missing"
     # part-filter predicates must reach the part scan
     assert any("EqualTo(p_type,ECONOMY)" in s for s in scan_sections(plan))
+
+
+def test_tombstone_scan_plan_shape(spark, tmp_path):
+    """Delete tombstones must not degrade the scan plan: without
+    deletes the plan is byte-identical to before (zero tombstone reads
+    in the plan); with one delete over N clean chunks the chunks still
+    batch into ONE multi-path parquet relation, and the anti-filter is
+    PUSHED to the scan (PushedFilters), not evaluated post-hoc."""
+    from influxdb_iox_spark.database import Database
+    from influxdb_iox_spark.plans.predicate import DeleteExpr, DeletePredicate
+    from influxdb_iox_spark.schema import InfluxColumnType, IoxSchema
+    from influxdb_iox_spark.sources.store import TableStore
+
+    schema = IoxSchema.build(["host"], {"v": InfluxColumnType.FIELD_FLOAT})
+    store = TableStore(str(tmp_path / "d"))
+    db = Database("db", store, spark)
+    db.register_table("cpu", schema)
+    for i in range(3):  # three non-overlapping clean chunks
+        store.write_chunk(
+            spark.createDataFrame(
+                [("h1", 1.0, 100 * i + 1), ("h2", 2.0, 100 * i + 2)],
+                "host string, v double, time long",
+            ),
+            "cpu", schema,
+        )
+    clean_plan = db.table("cpu")._jdf.queryExecution().executedPlan().toString()
+    assert clean_plan.count("FileScan parquet") == 1  # one batched relation
+
+    store.delete_predicate(
+        "cpu",
+        DeletePredicate(start=0, stop=150, exprs=[DeleteExpr("host", "=", "h1")]),
+    )
+    plan = db.table("cpu")._jdf.queryExecution().executedPlan().toString()
+    # all three chunks share the one tombstone -> still ONE relation
+    assert plan.count("FileScan parquet") == 1
+    # the anti-filter reaches the parquet scan as pushed predicates
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), f"tombstone filter not pushed: {plan}"
+    # and the results are right
+    got = sorted((r.host, r.time) for r in db.table("cpu").collect())
+    assert got == [
+        ("h1", 201), ("h2", 2), ("h2", 102), ("h2", 202),
+    ]
