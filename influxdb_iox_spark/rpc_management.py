@@ -504,7 +504,7 @@ class IoxServer:
                 )
             return 0
 
-        def _apply_one(seq: int, payload) -> int:
+        def _apply_one(seq: int, payload, partition: int = 0) -> int:
             """Apply one payload: ``str`` = line protocol, ``bytes`` = a
             flatbuffers Entry (the reference topic's native format) —
             both land through the same schema-inference chunk write.
@@ -536,7 +536,7 @@ class IoxServer:
                 if e.code == "InvalidArgument":
                     return _quarantine(seq, payload, e)
                 raise
-            self._record_windows(md, parsed, seq)
+            self._record_windows(md, parsed, seq, partition)
             return len(parsed)
 
         # re-check parked sequences first: a slow producer may have
@@ -544,13 +544,13 @@ class IoxServer:
         for seq in list(parked):
             payload = buf.read_one(db_name, seq)
             if payload is not None:
-                total += _apply_one(seq, payload)
+                total += _apply_one(seq, payload, buf.partition_of(db_name, seq))
                 parked.remove(seq)
                 _save(next_seq)
 
-        payloads, newly_parked = buf.poll(db_name, next_seq)
-        for seq, payload in payloads:
-            total += _apply_one(seq, payload)
+        payloads, newly_parked = buf.poll(db_name, next_seq, with_partitions=True)
+        for seq, partition, payload in payloads:
+            total += _apply_one(seq, payload, partition)
             parked = sorted(set(parked) | {s for s in newly_parked if s < seq})
             _save(seq + 1)
         if payloads or newly_parked:
@@ -560,7 +560,9 @@ class IoxServer:
         return total
 
     @staticmethod
-    def _record_windows(md: ManagedDatabase, parsed, seq: int) -> None:
+    def _record_windows(
+        md: ManagedDatabase, parsed, seq: int, partition: int = 0
+    ) -> None:
         """Feed an applied write-buffer payload into the database's
         PersistenceWindows (per table): min/max data time + the payload's
         sequence number, so the lifecycle's persist decision is
@@ -589,8 +591,9 @@ class IoxServer:
                 cur[2] = max(cur[2], ts)
         for table, (n, lo, hi) in per_table.items():
             md.database.record_ingest(
-                table, sequencer_id=0, sequence_number=seq, row_count=n,
-                min_time=lo, max_time=hi, late_arrival_seconds=late,
+                table, sequencer_id=partition, sequence_number=seq,
+                row_count=n, min_time=lo, max_time=hi,
+                late_arrival_seconds=late,
             )
 
     def perform_replay(self) -> dict[str, int]:

@@ -48,6 +48,16 @@ class FileWriteBuffer:
     def _seq_of(fname: str) -> int:
         return int(fname.split("-", 1)[0])
 
+    @staticmethod
+    def _partition_of(fname: str) -> int:
+        """Producer's partition (shard/sequencer id), encoded in the
+        payload name ``<seq>-<partition><suffix>`` — the Kafka-partition
+        analogue the windows bookkeeping keys sequences by."""
+        try:
+            return int(fname.split("-", 1)[1].split(".", 1)[0])
+        except (IndexError, ValueError):
+            return 0
+
     #: payload suffixes: text line protocol, binary flatbuffers Entry
     #: (the reference topic's native payload — entry_fb decodes it)
     _SUFFIXES = (".lp", ".entry")
@@ -115,11 +125,13 @@ class FileWriteBuffer:
         return self.poll(db_name, from_seq)[0]
 
     def poll(
-        self, db_name: str, from_seq: int = 0
-    ) -> tuple[list[tuple[int, "str | bytes"]], list[int]]:
+        self, db_name: str, from_seq: int = 0, with_partitions: bool = False
+    ) -> tuple[list[tuple], list[int]]:
         """(payloads, parked): payloads as fetch() — ``str`` for line
-        protocol, ``bytes`` for flatbuffers Entry payloads; parked lists
-        the aged empty claims that were passed over.  A producer paused
+        protocol, ``bytes`` for flatbuffers Entry payloads (triples
+        ``(seq, partition, payload)`` when ``with_partitions`` — the
+        consumer feeds the partition to the per-sequencer windows);
+        parked lists the aged empty claims that were passed over.  A producer paused
         longer than the grace period can still rename its payload in
         AFTER the consumer's offset has advanced past it, so skipping an
         aged claim must not be final: the consumer records parked
@@ -154,8 +166,22 @@ class FileWriteBuffer:
                     break  # in-flight producer; resume here next poll
                 parked.append(seq)  # aged claim — recheck on later drains
                 continue
-            out.append((seq, payload))
+            if with_partitions:
+                out.append(
+                    (seq, self._partition_of(sorted(by_seq[seq])[0]), payload)
+                )
+            else:
+                out.append((seq, payload))
         return out, parked
+
+    def partition_of(self, db_name: str, seq: int) -> int:
+        """Partition label of one sequence's payload (parked-recheck
+        path); 0 when absent."""
+        d = self._topic_dir(db_name)
+        for f in os.listdir(d):
+            if self._is_payload(f) and self._seq_of(f) == seq:
+                return self._partition_of(f)
+        return 0
 
     @staticmethod
     def _read_seq(d: str, fnames: list[str]) -> "str | bytes | None":

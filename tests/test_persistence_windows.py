@@ -208,3 +208,13 @@ def test_drain_feeds_windows(spark, tmp_path):
     assert (cpu.min_time, cpu.max_time) == (100, 300)
     assert cpu.sequencer_numbers == {0: MinMaxSequence(0, 1)}
     assert pw["mem"].open.sequencer_numbers == {0: MinMaxSequence(1, 1)}
+    # a second producer on ANOTHER partition (shard): its sequences key
+    # under its own sequencer id in the same window
+    buf.produce("db", "cpu,host=d v=4 400", partition=7)
+    srv.drain_write_buffer("db")
+    cpu = pw["cpu"].open
+    assert cpu.sequencer_numbers == {
+        0: MinMaxSequence(0, 1),
+        7: MinMaxSequence(2, 2),
+    }
+    assert cpu.max_time == 400
