@@ -518,11 +518,33 @@ class IoxServer:
             data on a transient fault."""
             try:
                 if isinstance(payload, bytes):
-                    from influxdb_iox_spark.entry_fb import entry_to_parsed_lines
+                    from influxdb_iox_spark.entry_fb import (
+                        decode_entry,
+                        entry_to_parsed_lines,
+                    )
                     from influxdb_iox_spark.sources.line_protocol import (
                         render_line,
                     )
 
+                    decoded = decode_entry(payload)
+                    if "deletes" in decoded:
+                        # replicated DeleteOperations entry: apply as
+                        # tombstones (unknown tables skip — nothing to
+                        # delete yet on this side); a malformed predicate
+                        # is payload-permanent -> quarantine below
+                        from influxdb_iox_spark.plans.predicate import (
+                            DeletePredicate,
+                        )
+
+                        deletes = [
+                            (
+                                d.get("table_name") or "",
+                                DeletePredicate.parse(d.get("predicate") or ""),
+                            )
+                            for d in decoded["deletes"]
+                        ]
+                        self.apply_deletes(db_name, deletes)
+                        return 0
                     parsed = list(entry_to_parsed_lines(payload))
                     lp = "\n".join(render_line(pl) for pl in parsed)
                 else:
@@ -558,6 +580,62 @@ class IoxServer:
             parked = sorted(set(parked) | set(newly_parked))
             _save(max(last, max(newly_parked, default=-1) + 1))
         return total
+
+    def apply_deletes(self, db_name: str, deletes: list[tuple]) -> int:
+        """Apply parsed ``(table, DeletePredicate)`` pairs as tombstones.
+        Tables this database has never seen are skipped (a replicated
+        delete can precede the first write for its table on the reading
+        side — there are no rows to delete, and quarantining a valid
+        delete would be wrong).  Returns tombstones applied."""
+        md = self.db(db_name)
+        n = 0
+        for table, dp in deletes:
+            if table in md.database.schemas:
+                md.database.store.delete_predicate(table, dp)
+                n += 1
+        return n
+
+    def store_delete_entry(
+        self, db_name: str, entry: bytes, deletes: list[tuple]
+    ) -> None:
+        """Route a DeleteOperations entry per the same store_entry
+        decision table as writes (server/src/db.rs store_entry — deletes
+        are entries and replicate through the write buffer exactly like
+        writes):
+
+        - writing + immutable  -> produce the ENTRY BYTES to the buffer only
+        - writing + mutable    -> produce, then apply locally
+        - immutable (no buffer)-> error
+        - reading              -> rejected (deletes arrive via drain)
+        - no buffer + mutable  -> apply locally
+        """
+        if not self.serving:
+            raise GrpcStatusError("Unavailable", "server is not serving data plane")
+        validate_db_name(db_name)
+        md = self.db(db_name)
+        lifecycle = md.rules.get("lifecycle_rules") or {}
+        immutable = bool(lifecycle.get("immutable"))
+        writing = md.rules.get("writing") or None
+        reading = md.rules.get("reading") or None
+        if writing:
+            from influxdb_iox_spark.streaming.write_buffer import FileWriteBuffer
+
+            FileWriteBuffer(writing).produce_entry(db_name, entry)
+            if immutable:
+                return
+            self.apply_deletes(db_name, deletes)
+            return
+        if immutable:
+            raise GrpcStatusError(
+                "FailedPrecondition", f"database {db_name!r} is immutable"
+            )
+        if reading:
+            raise GrpcStatusError(
+                "FailedPrecondition",
+                f"Cannot write to database {db_name}, it's configured to only "
+                "read from the write buffer",
+            )
+        self.apply_deletes(db_name, deletes)
 
     @staticmethod
     def _record_windows(
@@ -1072,7 +1150,7 @@ class WriteService:
                         "InvalidArgument", f"invalid delete predicate: {e}"
                     )
                 parsed_deletes.append((d.get("table_name") or "", dp))
-            # validate ALL tables before applying ANY tombstone, so a bad
+            # validate ALL tables before routing ANY tombstone, so a bad
             # second delete cannot leave the first half-applied
             validate_db_name(db_name)
             md = self.server.db(db_name)
@@ -1082,8 +1160,9 @@ class WriteService:
                         "NotFound",
                         f"table {table!r} not found in database {db_name!r}",
                     )
-            for table, dp in parsed_deletes:
-                self.server.delete_rows(db_name, table, dp)
+            # deletes ride the same store_entry routing as writes — a
+            # writing buffer replicates the ENTRY BYTES downstream
+            self.server.store_delete_entry(db_name, bytes(entry), parsed_deletes)
             return {}
         try:
             parsed = list(entry_to_parsed_lines(bytes(entry)))

@@ -242,6 +242,36 @@ def test_write_entry_delete_operations(spark, tmp_path, management_server=None):
         svc.WriteEntry({"db_name": "db", "entry": buf2})
 
 
+def test_delete_replicates_through_write_buffer(spark, tmp_path):
+    """Deletes are entries: a writing-configured database produces the
+    DeleteOperations ENTRY BYTES to the topic (store_entry routing), and
+    the reading side's drain applies them as tombstones — the replicated
+    topology deletes on both ends."""
+    from influxdb_iox_spark.entry_fb import encode_delete_entry
+    from influxdb_iox_spark.rpc_management import GrpcStatusError, IoxServer, WriteService
+
+    topic = str(tmp_path / "topic")
+    writer = IoxServer(spark, str(tmp_path / "w"))
+    writer.create_database({"name": "db", "writing": topic})
+    reader = IoxServer(spark, str(tmp_path / "r"))
+    reader.create_database({"name": "db", "reading": topic})
+
+    lp = "cpu,host=h1 v=1 10\ncpu,host=h2 v=2 20"
+    writer.write_lp("db", lp)
+    reader.drain_write_buffer("db")
+    buf = encode_delete_entry([{"table_name": "cpu", "predicate": "host = 'h1'"}])
+    WriteService(writer).WriteEntry({"db_name": "db", "entry": buf})
+    # writer applied locally...
+    assert [r.host for r in writer.databases["db"].database.table("cpu").collect()] == ["h2"]
+    # ...and the reading side gets it from the topic
+    reader.drain_write_buffer("db")
+    assert [r.host for r in reader.databases["db"].database.table("cpu").collect()] == ["h2"]
+    assert len(reader.databases["db"].database.store.tombstones("cpu")) == 1
+    # direct deletes to a reading-configured database are rejected like writes
+    with pytest.raises(GrpcStatusError, match="configured to only read"):
+        WriteService(reader).WriteEntry({"db_name": "db", "entry": buf})
+
+
 def test_http_delete_endpoint(spark, tmp_path):
     from influxdb_iox_spark.http_api import IoxHttpServer
     from influxdb_iox_spark.streaming.ingest import LineProtocolIngest
