@@ -69,21 +69,30 @@ def downsample_table(
     src_table: str,
     dst_table: str,
     every_seconds: int,
-    agg: str = "mean",
+    agg: "str | list[str]" = "mean",
     late_arrive_window_seconds: int = 300,
 ):
     """One downsample sweep; returns the written ChunkMeta (or None when
     the tail holds no complete rows).
 
-    Numeric fields of ``src_table`` aggregate under ``agg`` (same field
-    names, like an InfluxQL ``mean(value) AS value`` CQ); tags group.
+    Numeric fields of ``src_table`` aggregate under ``agg``; tags group.
+    A single agg keeps the source field names (like an InfluxQL
+    ``mean(value) AS value`` CQ); a LIST of aggs produces one
+    ``<field>_<agg>`` column per pair (``SELECT mean(v), max(v), count(v)
+    INTO cpu_1h`` — the common dashboard-rollup CQ shape) in ONE
+    aggregation pass, still a single shuffle on (tags, bucket).
     Incremental: only source rows with ``time >= hwm - every - late``
     are touched, where hwm is the destination's max bucket — late
     arrivals inside the window refresh their bucket via re-emit + PK
     dedup.
     """
-    if agg not in _AGGS:
-        raise ValueError(f"unknown agg {agg!r}: pick one of {sorted(_AGGS)}")
+    aggs = [agg] if isinstance(agg, str) else list(agg)
+    if not aggs:
+        raise ValueError("agg list must not be empty")
+    for a in aggs:
+        if a not in _AGGS:
+            raise ValueError(f"unknown agg {a!r}: pick one of {sorted(_AGGS)}")
+    multi = not isinstance(agg, str)
     # Domain bound: a row within `every` of int64::MAX ns cannot be
     # bucketed — its stop boundary (window_bounds' `+ every`) exceeds
     # i64 and ANSI arithmetic raises, identically in full and
@@ -100,13 +109,17 @@ def downsample_table(
     if not numeric:
         raise ValueError(f"{src_table!r} has no numeric fields to downsample")
 
+    # (output column, agg, source field); single-agg mode keeps names
+    out_fields = [
+        (f"{f}_{a}" if multi else f, a, f) for f in numeric for a in aggs
+    ]
     field_types = {
-        f: (
+        name: (
             InfluxColumnType.FIELD_INTEGER
-            if agg == "count"
+            if a == "count"
             else InfluxColumnType.FIELD_FLOAT
         )
-        for f in numeric
+        for name, a, _ in out_fields
     }
     dst_schema = IoxSchema.build(tags, field_types)
 
@@ -145,13 +158,17 @@ def downsample_table(
     out = (
         src.withColumn("__bucket", window_bounds("time", every_ns))
         .groupBy(*tags, "__bucket")
-        .agg(*[_AGGS[agg](f).alias(f) for f in numeric])
+        .agg(*[_AGGS[a](f).alias(name) for name, a, f in out_fields])
         .withColumnRenamed("__bucket", "time")
     )
-    if agg != "count":
-        out = out.select(
-            *tags, "time", *[F.col(f).cast("double").alias(f) for f in numeric]
-        )
+    out = out.select(
+        *tags,
+        "time",
+        *[
+            F.col(name) if a == "count" else F.col(name).cast("double").alias(name)
+            for name, a, _ in out_fields
+        ],
+    )
     # materialize the (small) rollup ONCE: the emptiness probe and the
     # chunk write must not each re-run the tail aggregation
     out = out.localCheckpoint(eager=True)

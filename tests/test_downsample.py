@@ -174,3 +174,32 @@ def test_incremental_cut_never_splits_a_bucket(spark, tmp_path):
     got = {r.time: r.user for r in db.table("cpu_1m").collect()}
     assert got[180 * S] == 6.0  # NOT 10.0 (the partial re-aggregate)
     assert got[240 * S] == 7.0
+
+
+def test_multi_agg_rollup_one_pass(spark, tmp_path):
+    """agg=[...] produces one <field>_<agg> column per pair in a single
+    aggregation (the `SELECT mean(v), max(v), count(v) INTO ...` CQ
+    shape), with count staying integer."""
+    db = _db(spark, tmp_path)
+    _write(db, [("west", 1.0, 10 * S), ("west", 3.0, 50 * S),
+                ("east", 8.0, 70 * S)])
+    meta = downsample_table(db, "cpu", "cpu_1m", every_seconds=60,
+                            agg=["mean", "max", "count"])
+    assert meta is not None
+    rows = {(r.region, r.time): r for r in db.table("cpu_1m").collect()}
+    w = rows[("west", 60 * S)]
+    assert (w.user_mean, w.user_max, w.user_count) == (2.0, 3.0, 2)
+    assert isinstance(w.user_count, int)
+    e = rows[("east", 120 * S)]
+    assert (e.user_mean, e.user_max, e.user_count) == (8.0, 8.0, 1)
+    # incremental sweep with the same agg list keeps working (PK upsert)
+    _write(db, [("west", 9.0, 200 * S)])
+    downsample_table(db, "cpu", "cpu_1m", every_seconds=60,
+                     agg=["mean", "max", "count"],
+                     late_arrive_window_seconds=0)
+    rows = {(r.region, r.time): r for r in db.table("cpu_1m").collect()}
+    assert rows[("west", 240 * S)].user_max == 9.0
+    with pytest.raises(ValueError, match="unknown agg"):
+        downsample_table(db, "cpu", "cpu_x", every_seconds=60, agg=["median"])
+    with pytest.raises(ValueError, match="must not be empty"):
+        downsample_table(db, "cpu", "cpu_x", every_seconds=60, agg=[])
