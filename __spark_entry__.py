@@ -891,7 +891,7 @@ WITH c0 AS (
     arg_max(vmicro, chunk) FILTER (WHERE vmicro IS NOT NULL) AS vmicro
   FROM u GROUP BY etype, u, time_us
 )
-SELECT etype, COUNT(*) AS n_rows, SUM(vmicro) AS sum_vmicro
+SELECT etype, COUNT(*) AS n_rows, CAST(SUM(vmicro) AS BIGINT) AS sum_vmicro
 FROM d GROUP BY etype ORDER BY etype
 """
 

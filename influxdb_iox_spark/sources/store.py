@@ -920,7 +920,10 @@ class TableStore:
         p = os.path.join(self.base_dir, meta.path, self.IOX_META_FILE)
         tmp = p + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(asdict(meta), f)
+            # default=str matches the manifest's own record serialization
+            # (Decimal stats from uint64-exact chunks land as strings in
+            # BOTH places, so a rebuilt ChunkMeta equals a folded one)
+            json.dump(asdict(meta), f, default=str)
         os.replace(tmp, p)
 
     def wipe_manifest(self, table: str) -> None:
