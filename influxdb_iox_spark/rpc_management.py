@@ -404,6 +404,40 @@ class IoxServer:
             )
         return md.database.store.delete_predicate(table, dpred, sequence=sequence)
 
+    def _route_delete_entry(
+        self, md: ManagedDatabase, db_name: str, entry: bytes
+    ) -> None:
+        """Forward a DeleteOperations entry to every node the database
+        routes to (all shards' node groups, or the routing target) —
+        deduplicated per connection so a node backing several shards
+        receives the delete once."""
+        from influxdb_iox_spark.streaming.shard import ShardConfig
+        from influxdb_iox_spark.streaming.write_buffer import FileWriteBuffer
+
+        node_ids: list[int] = []
+        ignore_errors = False
+        if md.rules.get("shard_config") is not None:
+            cfg = ShardConfig.from_rules(md.rules["shard_config"])
+            ignore_errors = cfg.ignore_errors
+            for nodes in cfg.shards.values():
+                node_ids.extend(nodes)
+        if md.rules.get("routing_config") is not None:
+            target = md.rules["routing_config"].get("target") or {}
+            node_ids.extend(n.get("id") or 0 for n in target.get("nodes") or [])
+        conns: list[str] = []
+        for node in dict.fromkeys(node_ids):  # order-preserving dedup
+            conn = self.remotes.get(node)
+            if conn is None:
+                if ignore_errors:
+                    continue
+                raise GrpcStatusError(
+                    "NotFound", f"Resource remote/[ServerId({node})] not found"
+                )
+            if conn not in conns:
+                conns.append(conn)
+        for conn in conns:
+            FileWriteBuffer(conn).produce_entry(db_name, entry)
+
     def _route_sharded(
         self, md: ManagedDatabase, db_name: str, lp_data: str, parsed
     ) -> int:
@@ -613,6 +647,17 @@ class IoxServer:
             raise GrpcStatusError("Unavailable", "server is not serving data plane")
         validate_db_name(db_name)
         md = self.db(db_name)
+        if (
+            md.rules.get("shard_config") is not None
+            or md.rules.get("routing_config") is not None
+        ):
+            # deletes span partitions/shards by design (entry.fbs:20-21
+            # "Deletes can span partitions because they only have a
+            # predicate"): a routed database forwards the DELETE ENTRY to
+            # EVERY downstream node — each shard applies it to whatever
+            # rows it holds (line-sharding is meaningless for a predicate)
+            self._route_delete_entry(md, db_name, entry)
+            return
         lifecycle = md.rules.get("lifecycle_rules") or {}
         immutable = bool(lifecycle.get("immutable"))
         writing = md.rules.get("writing") or None
@@ -1151,15 +1196,22 @@ class WriteService:
                     )
                 parsed_deletes.append((d.get("table_name") or "", dp))
             # validate ALL tables before routing ANY tombstone, so a bad
-            # second delete cannot leave the first half-applied
+            # second delete cannot leave the first half-applied.  A
+            # ROUTED database holds no local tables (writes forward too)
+            # — the downstream nodes validate/skip instead.
             validate_db_name(db_name)
             md = self.server.db(db_name)
-            for table, _ in parsed_deletes:
-                if table not in md.database.schemas:
-                    raise GrpcStatusError(
-                        "NotFound",
-                        f"table {table!r} not found in database {db_name!r}",
-                    )
+            routed = (
+                md.rules.get("shard_config") is not None
+                or md.rules.get("routing_config") is not None
+            )
+            if not routed:
+                for table, _ in parsed_deletes:
+                    if table not in md.database.schemas:
+                        raise GrpcStatusError(
+                            "NotFound",
+                            f"table {table!r} not found in database {db_name!r}",
+                        )
             # deletes ride the same store_entry routing as writes — a
             # writing buffer replicates the ENTRY BYTES downstream
             self.server.store_delete_entry(db_name, bytes(entry), parsed_deletes)

@@ -314,3 +314,52 @@ def test_http_delete_endpoint(spark, tmp_path):
         assert ei.value.code == 400
     finally:
         api.stop()
+
+
+def test_delete_fans_out_to_all_shards(spark, tmp_path):
+    """A predicate delete spans shards by design (entry.fbs:20-21) —
+    the router forwards the DELETE ENTRY to EVERY shard's node group,
+    deduped per connection, and each downstream node applies it to its
+    own rows via the normal drain."""
+    from influxdb_iox_spark.entry_fb import encode_delete_entry
+    from influxdb_iox_spark.rpc_management import IoxServer, WriteService
+
+    router = IoxServer(spark, str(tmp_path / "router"))
+    bufs = {2: str(tmp_path / "r2"), 3: str(tmp_path / "r3")}
+    router.remotes.update(bufs)
+    cfg = {
+        "specific_targets": [
+            {"matcher": {"table_name_regex": "^cpu$"}, "shard": 1},
+            {"matcher": {"table_name_regex": "^mem$"}, "shard": 2},
+        ],
+        "shards": [
+            {"key": 1, "value": {"iox": {"nodes": [{"id": 2}]}}},
+            {"key": 2, "value": {"iox": {"nodes": [{"id": 3}]}}},
+        ],
+    }
+    router.create_database({
+        "name": "routed",
+        "partition_template": {"parts": [{"table": {}}]},
+        "shard_config": cfg,
+    })
+    router.write_lp("routed", "cpu,host=h1 v=1 10\nmem,host=h1 u=1 10")
+    buf = encode_delete_entry([{"table_name": "cpu", "predicate": "host = 'h1'"}])
+    WriteService(router).WriteEntry({"db_name": "routed", "entry": buf})
+
+    # both shards' topics received the delete entry
+    from influxdb_iox_spark.streaming.write_buffer import FileWriteBuffer
+
+    for conn in bufs.values():
+        payloads = FileWriteBuffer(conn).fetch("routed")
+        assert any(isinstance(p, bytes) for _, p in payloads), conn
+
+    # a downstream node holding cpu rows applies it; one holding only mem
+    # rows skips it harmlessly (unknown table on that shard)
+    node2 = IoxServer(spark, str(tmp_path / "n2"))
+    node2.create_database({"name": "routed", "reading": bufs[2]})
+    node2.drain_write_buffer("routed")
+    assert node2.databases["routed"].database.table("cpu").count() == 0
+    node3 = IoxServer(spark, str(tmp_path / "n3"))
+    node3.create_database({"name": "routed", "reading": bufs[3]})
+    node3.drain_write_buffer("routed")
+    assert node3.databases["routed"].database.table("mem").count() == 1
