@@ -896,6 +896,78 @@ FROM d GROUP BY etype ORDER BY etype
 """
 
 
+def q_events_downsample_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous downsampling end-to-end (streaming/downsample.py):
+    events land as a chunked store table, TWO sweeps (an initial one,
+    then a second after a "late" chunk arrives) roll it into a 1-hour
+    multi-agg table via the engine's PK-upsert semantics, and the result
+    is read back through the dedup-correct scan.  The oracle is a plain
+    windowed GROUP BY over ALL the data — equality proves the
+    incremental upsert path converges to the one-shot answer.  Values
+    ride as exact integer micro-units (sum/max/count), so the compare is
+    bit-exact in both engines (no double-mean round-half boundary)."""
+    import tempfile
+
+    from influxdb_iox_spark.schema import InfluxColumnType, IoxSchema
+    from influxdb_iox_spark.sources.store import TableStore
+    from influxdb_iox_spark.database import Database
+    from influxdb_iox_spark.streaming.downsample import downsample_table
+
+    t = _load(spark, sf_dir, "events")
+    ev = t["events"].select(
+        F.col("event_type").alias("etype"),
+        F.col("ts").alias("time"),  # canonical ns (downsample buckets in ns)
+        F.expr("CAST(round(value * 1000000) AS BIGINT)").alias("vmicro"),
+        "event_id",
+    )
+    schema = IoxSchema.build(["etype"], {"vmicro": InfluxColumnType.FIELD_INTEGER})
+    store = TableStore(tempfile.mkdtemp(prefix="iox-ds-q-"))
+    db = Database("db", store, spark)
+    db.register_table("events_src", schema)
+    # chunk 1: the bulk; chunk 2: a "late" tail (every 10th event) that
+    # arrives between sweeps and must refresh its buckets via upsert
+    bulk = ev.filter(F.col("event_id") % 10 != 0).drop("event_id")
+    late = ev.filter(F.col("event_id") % 10 == 0).drop("event_id")
+    store.write_chunk(bulk, "events_src", schema)
+    downsample_table(db, "events_src", "events_1h", every_seconds=3600,
+                     agg=["sum", "max", "count"],
+                     late_arrive_window_seconds=10**9)
+    store.write_chunk(late, "events_src", schema)
+    downsample_table(db, "events_src", "events_1h", every_seconds=3600,
+                     agg=["sum", "max", "count"],
+                     late_arrive_window_seconds=10**9)
+    out = db.table("events_1h")
+    return out.select(
+        "etype",
+        F.expr("time div 1000").alias("bucket_us"),  # ns bucket -> us
+        # sums of micro-units stay < 2^53, so the double round-trip
+        # through the FIELD_FLOAT rollup column is exact
+        F.col("vmicro_sum").cast("long").alias("sum_micro"),
+        F.col("vmicro_max").cast("long").alias("max_micro"),
+        F.col("vmicro_count").alias("n"),
+    ).orderBy("etype", "bucket_us")
+
+
+SQL_EVENTS_DOWNSAMPLE = """
+WITH e AS (
+  SELECT event_type AS etype, epoch_us(ts) * 1000 AS time_ns,
+         CAST(round(value * 1000000) AS BIGINT) AS vmicro
+  FROM events
+), b AS (
+  -- window STOP boundary over ns time, 1h buckets (GetEarliestBounds)
+  SELECT etype,
+         time_ns - (time_ns % 3600000000000) + 3600000000000 AS bucket_ns,
+         vmicro
+  FROM e
+)
+SELECT etype, bucket_ns // 1000 AS bucket_us,
+  CAST(SUM(vmicro) AS BIGINT) AS sum_micro,
+  CAST(MAX(vmicro) AS BIGINT) AS max_micro,
+  COUNT(*) AS n
+FROM b GROUP BY etype, bucket_ns ORDER BY etype, bucket_us
+"""
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _load(spark, sf_dir, "events")
     k = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("long")
@@ -3482,6 +3554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 7: appended to the canonical tail -> lands inside the
         # freshly-rotated window (test_entry_rotation verifies)
         "events_delete_predicate": q_events_delete_predicate,
+        "events_downsample_rollup": q_events_downsample_rollup,
     }
     return _rotate_for_round(base)
 
@@ -3542,6 +3615,7 @@ def oracle_sql() -> dict[str, str]:
         "events_retention_cohorts": SQL_RETENTION_COHORTS,
         "events_funnel": SQL_EVENT_FUNNEL,
         "events_delete_predicate": SQL_EVENTS_DELETE_PREDICATE,
+        "events_downsample_rollup": SQL_EVENTS_DOWNSAMPLE,
         "dedup_last_non_null": SQL_DEDUP,
         "json_props_extract": SQL_JSON_PROPS,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
