@@ -154,18 +154,25 @@ class IoxHttpServer:
             dp = DeletePredicate.parse(doc.get("predicate") or "", start=start, stop=stop)
         except ValueError as e:
             raise _HttpError(400, f"invalid predicate: {e}")
-        picked = [
+        picked = {
             e.value for e in dp.exprs if e.column == "_measurement" and e.op == "="
-        ]
+        }
         excluded = {
             e.value for e in dp.exprs if e.column == "_measurement" and e.op == "!="
         }
         rest = [e for e in dp.exprs if e.column != "_measurement"]
         dp = DeletePredicate(start=start, stop=stop, exprs=rest)
-        tables = picked or [
-            t for t in sorted(self.database.schemas) if t not in excluded
-        ]
-        unknown = [t for t in picked if t not in self.database.schemas]
+        # CONJUNCTION semantics (a row has ONE measurement): two distinct
+        # `_measurement =` conjuncts match no row at all, and a picked
+        # measurement that is also excluded cancels — deleting from the
+        # union instead would destroy rows the predicate never matched
+        if len(picked) > 1:
+            tables: list[str] = []
+        elif picked:
+            tables = sorted(picked - excluded)
+        else:
+            tables = [t for t in sorted(self.database.schemas) if t not in excluded]
+        unknown = [t for t in tables if t not in self.database.schemas]
         if unknown:
             raise _HttpError(404, f"measurement(s) not found: {unknown}")
         with self._write_lock:
@@ -216,20 +223,31 @@ class IoxHttpServer:
 
 def _rfc3339_ns(value, param: str) -> int:
     """RFC3339 timestamp → ns since epoch; required (400 when absent or
-    unparseable), like the platform delete API."""
+    unparseable), like the platform delete API.  FULL ns precision: the
+    fractional seconds are parsed separately because fromisoformat
+    truncates past µs — a delete boundary off by up to 999 ns would
+    destroy (or spare) rows the user did not ask about."""
+    import re
     from datetime import datetime, timezone
 
     if not value:
         raise _HttpError(400, f"{param} is required (RFC3339 timestamp)")
+    text = str(value).replace("Z", "+00:00")
+    frac_ns = 0
+    m = re.search(r"\.(\d+)", text)
+    if m:
+        digits = m.group(1)[:9]
+        frac_ns = int(digits.ljust(9, "0"))
+        text = text[: m.start()] + text[m.end():]  # strip the fraction
     try:
-        dt = datetime.fromisoformat(str(value).replace("Z", "+00:00"))
+        dt = datetime.fromisoformat(text)
     except ValueError as e:
         raise _HttpError(400, f"invalid {param}: {e}")
     if dt.tzinfo is None:
         dt = dt.replace(tzinfo=timezone.utc)
     delta = dt - datetime(1970, 1, 1, tzinfo=timezone.utc)
     # integer arithmetic — float .timestamp() would round µs at ~2e15
-    return (delta.days * 86400 + delta.seconds) * 10**9 + delta.microseconds * 1000
+    return (delta.days * 86400 + delta.seconds) * 10**9 + frac_ns
 
 
 def render_query_result(cols, rows, fmt: str) -> tuple[bytes, str]:

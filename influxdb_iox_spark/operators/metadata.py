@@ -48,17 +48,33 @@ def table_names(db: Database, predicate: Predicate | None = None) -> list[str]:
         for t in db.table_names()
         if predicate is None or predicate.should_scan_table(t)
     ]
+
+    def _has_rows_meta(t: str, chunks) -> bool:
+        """Metadata-only ≥1-row check; a table whose chunks are targeted
+        by delete tombstones may have had EVERY row deleted (manifest
+        row counts don't see tombstones), so only a scan can answer —
+        same guard as tag_keys/catalog_tag_values (review finding)."""
+        live = [c for c in chunks if c.row_count]
+        if not live:
+            return False
+        live_ids = {c.chunk_id for c in live}
+        if any(
+            live_ids & set(ts["chunk_ids"]) for ts in db.store.tombstones(t)
+        ):
+            return db.table(t, predicate).limit(1).count() > 0
+        return True
+
     if predicate is None or predicate.is_row_unconstrained():
-        return [t for t in names if any(c.row_count for c in db.store.manifest(t))]
+        return [t for t in names if _has_rows_meta(t, db.store.manifest(t))]
     if predicate.range is None and not predicate.exprs:
         # partition_key-only predicate: still metadata-answerable — a table
         # matches iff it has ≥1 row in a chunk of that partition.
         return [
             t
             for t in names
-            if any(
-                c.row_count
-                for c in db.store.prune_chunks(t, predicate, db.table_schema(t).time_column)
+            if _has_rows_meta(
+                t,
+                db.store.prune_chunks(t, predicate, db.table_schema(t).time_column),
             )
         ]
     out = []

@@ -69,19 +69,19 @@ def compact_chunks(
             # delete tombstones fold PHYSICALLY here: each input chunk is
             # filtered by its applicable tombstones (before dedup, same
             # order as the scan path), so the compacted output no longer
-            # contains the deleted rows — and once no tombstone's target
-            # chunks remain live, gc_tombstones retires the tombstone
+            # contains the deleted rows.  GC is restricted to the
+            # tombstones THIS job applied, and any tombstone registered
+            # mid-job (snapshotting our inputs but unapplied) is
+            # re-pointed at the output so the delete stays effective —
+            # unrestricted GC would silently lose it (review finding).
             tomb = store._tombstones_for_chunks(table, chunks)
-
-            def _keep(df, chunk_id):
-                for _, dp in tomb.get(chunk_id, []):
-                    df = df.filter(dp.keep_column(schema.time_column))
-                return df
+            applied = {tid for lst in tomb.values() for tid, _ in lst}
 
             ordered = [
-                _keep(store.read_chunk(spark, m), m.chunk_id).withColumn(
-                    DEDUP_ORDER_COLUMN, F.lit(m.chunk_id)
-                )
+                store.apply_tombstones(
+                    store.read_chunk(spark, m), m.chunk_id, tomb,
+                    schema.time_column,
+                ).withColumn(DEDUP_ORDER_COLUMN, F.lit(m.chunk_id))
                 for m in sorted(chunks, key=lambda m: m.chunk_id)
             ]
             df = deduplicate(
@@ -98,7 +98,8 @@ def compact_chunks(
                 persisted=all(c.persisted for c in chunks),
             )
             store.drop_chunks(table, ids)
-            store.gc_tombstones(table)
+            store.retarget_tombstones(table, ids, [meta.chunk_id], applied)
+            store.gc_tombstones(table, only_ids=applied)
     except Exception:
         store.record_operation(
             "CompactChunks", table, partition_key, ids, "Error",
@@ -196,18 +197,15 @@ def _persist_split_inner(
 
     with _reorg_pool(spark):
         # persist rewrites its inputs too — fold tombstones exactly like
-        # compact_chunks so deleted rows never reach the persisted chunk
+        # compact_chunks (shared helper, same mid-job retarget + scoped GC)
         tomb = store._tombstones_for_chunks(table, chunks)
-
-        def _keep(d, chunk_id):
-            for _, dp in tomb.get(chunk_id, []):
-                d = d.filter(dp.keep_column(schema.time_column))
-            return d
+        applied = {tid for lst in tomb.values() for tid, _ in lst}
 
         ordered = [
-            _keep(store.read_chunk(spark, m), m.chunk_id).withColumn(
-                DEDUP_ORDER_COLUMN, F.lit(m.chunk_id)
-            )
+            store.apply_tombstones(
+                store.read_chunk(spark, m), m.chunk_id, tomb,
+                schema.time_column,
+            ).withColumn(DEDUP_ORDER_COLUMN, F.lit(m.chunk_id))
             for m in sorted(chunks, key=lambda m: m.chunk_id)
         ]
         df = deduplicate(
@@ -236,7 +234,13 @@ def _persist_split_inner(
                     hot, table, schema, partition_key=partition_key, dedup_batch=False
                 )
             store.drop_chunks(table, [c.chunk_id for c in chunks])
-            store.gc_tombstones(table)
+            successors = [
+                m.chunk_id for m in (cold_meta, hot_meta) if m is not None
+            ]
+            store.retarget_tombstones(
+                table, [c.chunk_id for c in chunks], successors, applied
+            )
+            store.gc_tombstones(table, only_ids=applied)
             store.record_operation(
                 "PersistChunks", table, _pkey, _ids, "Complete",
                 int((_time.perf_counter() - _t0) * 1e9),

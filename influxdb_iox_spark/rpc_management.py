@@ -435,6 +435,15 @@ class IoxServer:
                 )
             if conn not in conns:
                 conns.append(conn)
+        if not conns and not ignore_errors:
+            # a ShardConfig that resolves shards via hash_ring/matchers
+            # but has no shard→node-group entries (or none resolvable)
+            # must not return success having forwarded the delete NOWHERE
+            raise GrpcStatusError(
+                "FailedPrecondition",
+                f"database {db_name!r} routes writes but no delete target "
+                "resolves (empty/unresolvable shard node groups)",
+            )
         for conn in conns:
             FileWriteBuffer(conn).produce_entry(db_name, entry)
 

@@ -154,14 +154,41 @@ def rebuild_manifest(
                 continue  # _bulk-* staging and foreign files are not chunks
             rel = os.path.join(table, fname)
             chunk_id = int(m.group(1))
+            # rebuild.rs's ignore_metadata_read_failure must cover ANY
+            # unreadable metadata: truncated sidecar JSON (JSONDecodeError
+            # ⊂ ValueError), a sidecar with foreign keys (TypeError from
+            # ChunkMeta(**data)), a corrupt parquet footer (pyarrow
+            # ArrowInvalid ⊂ ValueError), unreadable files (OSError) —
+            # not just the identity/no-parquet cases.  An unreadable
+            # SIDECAR with intact parquet degrades to footer-only
+            # reconstruction under the flag (strictly better than
+            # dropping the chunk); identity mismatches never fall back
+            # (guessing from footers would register under a wrong story).
+            meta = None
             try:
                 meta = _meta_from_sidecar(store, table, rel, chunk_id)
-                if meta is None:
-                    meta = _meta_from_footers(store, table, rel, chunk_id)
             except RebuildError:
                 if ignore_metadata_read_failure:
                     continue
                 raise
+            except (ValueError, TypeError, KeyError, OSError) as e:
+                if not ignore_metadata_read_failure:
+                    raise RebuildError(
+                        f"cannot read metadata sidecar of {rel!r}: {e}"
+                    ) from e
+            if meta is None:
+                try:
+                    meta = _meta_from_footers(store, table, rel, chunk_id)
+                except RebuildError:
+                    if ignore_metadata_read_failure:
+                        continue
+                    raise
+                except (ValueError, TypeError, KeyError, OSError) as e:
+                    if ignore_metadata_read_failure:
+                        continue
+                    raise RebuildError(
+                        f"cannot read metadata of chunk dir {rel!r}: {e}"
+                    ) from e
             metas.append(meta)
         # ascending chunk-id order = original registration order: the scan's
         # dedup tiebreak (chunk order) survives the rebuild

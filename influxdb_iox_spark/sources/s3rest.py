@@ -82,7 +82,11 @@ class SigV4Signer:
         canonical_request = "\n".join(
             [
                 method,
-                urllib.parse.quote(u.path or "/", safe="/-_.~"),
+                # the URL path arrives ALREADY percent-encoded (_url
+                # quotes the key); S3-style SigV4 signs the once-encoded
+                # path AS-IS — re-quoting would turn %20 into %2520 and
+                # 403 every key containing a space/%/+ (review finding)
+                u.path or "/",
                 canonical_query,
                 canonical_headers,
                 signed_headers,

@@ -976,7 +976,15 @@ class TableStore:
         return rec
 
     def tombstones(self, table: str) -> list[dict]:
-        """Live tombstones (applied drops folded out), oldest first."""
+        """Live tombstones (applied drops folded out), oldest first.
+
+        Cost note: every scan (and the metadata guards) reads this log —
+        on POSIX that is a couple of stat() calls for the common
+        no-deletes case; on an object store it is one LIST round trip
+        per call.  Deliberately NOT cached: a cache would trade the
+        strong read-your-deletes consistency every other manifest read
+        has for one LIST, and deletes are rare enough that compaction's
+        gc_tombstones keeps the log at/near empty."""
         adds, drops = self.backend.load_part(table, self.TOMBSTONE_LOG)
         return fold_records(adds, drops)
 
@@ -985,20 +993,75 @@ class TableStore:
             table, self.TOMBSTONE_LOG, {"__drop__": list(tombstone_ids)}
         )
 
-    def gc_tombstones(self, table: str) -> int:
+    def gc_tombstones(self, table: str, only_ids=None) -> int:
         """Retire tombstones none of whose snapshot chunks are still
         live — every row they deleted is physically gone (compacted away
         or dropped), so the scan-time anti-filter is pure overhead.
-        Idempotent; returns tombstones retired."""
+        Idempotent; returns tombstones retired.
+
+        ``only_ids`` restricts retirement to tombstones a caller KNOWS
+        it applied (a reorg job passes the ids it loaded at start): a
+        tombstone registered MID-JOB snapshots the job's inputs, and
+        unrestricted GC would retire it after the drop even though its
+        rows survive unfiltered in the job's output — a silently lost
+        delete (see retarget_tombstones for the companion fix)."""
         live = {c.chunk_id for c in self.manifest(table)}
         dead = [
             t["chunk_id"]
             for t in self.tombstones(table)
             if not (set(t["chunk_ids"]) & live)
+            and (only_ids is None or t["chunk_id"] in only_ids)
         ]
         if dead:
             self.drop_tombstones(table, dead)
         return len(dead)
+
+    def retarget_tombstones(
+        self,
+        table: str,
+        dropped_ids: list[int],
+        successor_ids: list[int],
+        exclude_ids,
+    ) -> int:
+        """Re-point tombstones whose snapshot lost chunks to a rewrite.
+
+        A reorg (compact/persist) rewrites input chunks into successors;
+        a tombstone registered WHILE the job ran snapshots those inputs
+        but was not applied during the rewrite, so its rows survive in
+        the successors.  For every live tombstone outside ``exclude_ids``
+        (the ones the job DID apply) intersecting ``dropped_ids``, append
+        a replacement whose snapshot swaps the dropped inputs for the
+        successors — the delete stays effective against the rewritten
+        data.  Correct because successors' rows derive only from inputs
+        that were live (and thus in the tombstone's snapshot) when the
+        delete arrived.  Returns tombstones retargeted."""
+        dropped = set(dropped_ids)
+        n = 0
+        for t in self.tombstones(table):
+            if t["chunk_id"] in exclude_ids or not (set(t["chunk_ids"]) & dropped):
+                continue
+            new_ids = sorted(
+                (set(t["chunk_ids"]) - dropped) | set(successor_ids)
+            )
+            # fold keeps the FIRST record per id, so replacement = drop
+            # the old id + append under a fresh one
+            replacement = dict(t)
+            replacement["chunk_id"] = f"ts-{uuid.uuid4().hex}"
+            replacement["chunk_ids"] = new_ids
+            self.backend.append_record(table, self.TOMBSTONE_LOG, replacement)
+            self.drop_tombstones(table, [t["chunk_id"]])
+            n += 1
+        return n
+
+    def apply_tombstones(
+        self, df: DataFrame, chunk_id: int, tomb: dict, time_col: str
+    ) -> DataFrame:
+        """Apply one chunk's delete anti-filters (``tomb`` from
+        _tombstones_for_chunks) — the single definition shared by the
+        scan path and both reorg rewrites."""
+        for _, dp in tomb.get(chunk_id, []):
+            df = df.filter(dp.keep_column(time_col))
+        return df
 
     def _tombstones_for_chunks(
         self, table: str, chunks: "list[ChunkMeta]"
@@ -1179,11 +1242,6 @@ class TableStore:
         # deleted row must not contribute fields to a last-non-null merge
         tomb = self._tombstones_for_chunks(table, chunks)
 
-        def _keep(df: DataFrame, chunk_id: int) -> DataFrame:
-            for _, dp in tomb.get(chunk_id, []):
-                df = df.filter(dp.keep_column(schema.time_column))
-            return df
-
         groups = group_potential_duplicates(chunks, schema.primary_key)
         # Batch every clean (non-overlapping) chunk into ONE multi-path
         # parquet relation PER TOMBSTONE SET: driver planning cost and the
@@ -1217,8 +1275,9 @@ class TableStore:
                 )
             else:
                 ordered = [
-                    _keep(
-                        self.read_chunk(spark, m), m.chunk_id
+                    self.apply_tombstones(
+                        self.read_chunk(spark, m), m.chunk_id, tomb,
+                        schema.time_column,
                     ).withColumn(DEDUP_ORDER_COLUMN, F.lit(m.chunk_id))
                     for m in sorted(members, key=lambda m: m.chunk_id)
                 ]

@@ -129,9 +129,15 @@ class LifecyclePolicy:
         window_gate = 0.0
         if w is not None:
             # sequence-exact gates (persistence_windows.rs):
-            # 1. DATA-time: cap the split at the persistable window's max
-            #    data time (max_persistable_timestamp) — rows above it may
-            #    still gain late twins from unflushed sequences.
+            # 1. DATA-time: the split IS the persistable window's max
+            #    data time (max_persistable_timestamp) — the reference's
+            #    flush boundary: everything at or below it has sat in
+            #    the windows for >= late_arrival of ARRIVAL time, so its
+            #    late twins have arrived; rows above it stay hot.  Using
+            #    the windows' boundary (not the data-time heuristic
+            #    newest - late_window) is what lets flush() be EXACT:
+            #    every sequence in the persistable window really is on
+            #    disk after the persist.
             # 2. ARRIVAL-time: only chunks whose ingest window has aged
             #    into persistable (created >= late_arrival ago) qualify —
             #    a lagging shard's JUST-ARRIVED chunk defers even when
@@ -143,7 +149,7 @@ class LifecyclePolicy:
             mp = w.max_persistable_timestamp()
             if mp is None:
                 return []  # nothing has aged out of the windows yet
-            split_time = min(split_time, mp)
+            split_time = mp
             window_gate = w.late_arrival
         # persistable-by-time candidates, BEFORE the age gate; chunks whose
         # persisted flag is set (cold persist-split outputs) are excluded —
@@ -181,9 +187,16 @@ class LifecyclePolicy:
                 )
             )
         if w is not None and out:
-            # everything at or below the persistable max time is now on
-            # disk: clear the persistable window and truncate the closed
-            # windows' overlap (persistence_windows.rs flush)
+            # everything at or below the persistable max time (== the
+            # split) is now on disk: clear the persistable window and
+            # truncate the closed windows' overlap (persistence_windows.rs
+            # flush).  Exact because split_time == mp — were the split
+            # ever below mp, flushing would erase sequence ranges whose
+            # rows stayed hot and a replay would skip them (review
+            # finding; the candidate filter above can only SHRINK what
+            # persists via the arrival gate, and arrival-gated chunks'
+            # sequences live in open/closed windows, not the flushed
+            # persistable one).
             w.flush()
         return out
 

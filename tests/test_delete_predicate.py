@@ -363,3 +363,115 @@ def test_delete_fans_out_to_all_shards(spark, tmp_path):
     node3.create_database({"name": "routed", "reading": bufs[3]})
     node3.drain_write_buffer("routed")
     assert node3.databases["routed"].database.table("mem").count() == 1
+
+
+def test_mid_compaction_delete_survives_via_retarget(spark, tmp_path):
+    """Review finding: a delete registered WHILE a compaction runs
+    snapshots the compaction's inputs; after the inputs drop, the
+    tombstone must be re-pointed at the compacted output (not GC'd) so
+    the delete still takes effect."""
+    from influxdb_iox_spark.plans import reorg
+
+    store = TableStore(str(tmp_path / "d"))
+    store.write_chunk(_df(spark, [("h1", 1.0, 10), ("h2", 2.0, 10)]), "cpu", CPU)
+    store.write_chunk(_df(spark, [("h1", 5.0, 10), ("h3", 3.0, 30)]), "cpu", CPU)
+
+    # simulate "delete arrives mid-job": the compaction loads tombstones
+    # first; the delete registers between that load and the drop
+    orig = store._tombstones_for_chunks
+    fired = []
+
+    def racing(table, chunks):
+        tomb = orig(table, chunks)
+        if not fired:
+            fired.append(1)
+            store.delete_predicate(
+                "cpu", DeletePredicate(exprs=[DeleteExpr("host", "=", "h1")])
+            )
+        return tomb  # the job itself never sees the new tombstone
+
+    store._tombstones_for_chunks = racing
+    try:
+        reorg.compact_chunks(spark, store, "cpu", CPU)
+    finally:
+        store._tombstones_for_chunks = orig
+
+    # the tombstone survived (retargeted at the compacted chunk), the
+    # delete is effective, and a follow-up compaction folds+retires it
+    assert len(store.tombstones("cpu")) == 1
+    [t] = store.tombstones("cpu")
+    live = {c.chunk_id for c in store.manifest("cpu")}
+    assert set(t["chunk_ids"]) & live, "retargeted snapshot must be live"
+    assert _scan(spark, store) == [("h2", 2.0, 10), ("h3", 3.0, 30)]
+    reorg.compact_chunks(spark, store, "cpu", CPU)
+    assert store.tombstones("cpu") == []
+    assert _scan(spark, store) == [("h2", 2.0, 10), ("h3", 3.0, 30)]
+
+
+def test_table_names_respects_tombstones(spark, tmp_path):
+    """Review finding: a table whose every row was deleted must drop out
+    of the metadata-only table_names answer."""
+    from influxdb_iox_spark.database import Database
+    from influxdb_iox_spark.operators.metadata import table_names
+
+    store = TableStore(str(tmp_path / "d"))
+    db = Database("db", store, spark)
+    db.register_table("cpu", CPU)
+    store.write_chunk(_df(spark, [("h1", 1.0, 10)]), "cpu", CPU)
+    assert table_names(db) == ["cpu"]
+    store.delete_predicate(
+        "cpu", DeletePredicate(exprs=[DeleteExpr("host", "=", "h1")])
+    )
+    assert table_names(db) == []
+    # a partial delete keeps the table listed
+    store.write_chunk(_df(spark, [("h2", 2.0, 20)]), "cpu", CPU)
+    assert table_names(db) == ["cpu"]
+
+
+def test_http_measurement_conjunction_semantics(spark, tmp_path):
+    """Review finding: `_measurement="a" AND _measurement="b"` matches
+    no row (a row has ONE measurement) — it must delete NOTHING, not the
+    union; pick+exclude of the same measurement cancels too."""
+    from influxdb_iox_spark.http_api import IoxHttpServer
+    from influxdb_iox_spark.streaming.ingest import LineProtocolIngest
+
+    store = TableStore(str(tmp_path / "d"))
+    db = Database("org_bucket", store, spark)
+    db.register_table("cpu", CPU)
+    store.write_chunk(_df(spark, [("h1", 1.0, 10 * S)]), "cpu", CPU)
+    api = IoxHttpServer(db, {"cpu": LineProtocolIngest(store, "cpu", CPU)})
+    port = api.start()
+    try:
+        def post(predicate):
+            body = json.dumps({
+                "start": "1970-01-01T00:00:00Z",
+                "stop": "1970-02-01T00:00:00Z",
+                "predicate": predicate,
+            }).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/api/v2/delete?org=org&bucket=bucket",
+                data=body,
+            )
+            with urllib.request.urlopen(req) as resp:
+                return resp.status
+
+        assert post('_measurement="cpu" AND _measurement="mem"') == 204
+        assert db.table("cpu").count() == 1  # contradiction deleted nothing
+        assert post('_measurement="cpu" AND _measurement!="cpu"') == 204
+        assert db.table("cpu").count() == 1  # cancel deleted nothing
+        assert post('_measurement="cpu"') == 204
+        assert db.table("cpu").count() == 0  # a plain pick still works
+    finally:
+        api.stop()
+
+
+def test_rfc3339_ns_full_precision():
+    """Review finding: sub-µs fractions must not truncate — a delete
+    boundary off by 999 ns deletes rows the user excluded."""
+    from influxdb_iox_spark.http_api import _rfc3339_ns
+
+    assert _rfc3339_ns("1970-01-01T00:00:01.123456789Z", "start") == (
+        1_123_456_789
+    )
+    assert _rfc3339_ns("1970-01-01T00:00:01Z", "start") == 1_000_000_000
+    assert _rfc3339_ns("1970-01-01T00:00:01.5Z", "start") == 1_500_000_000

@@ -158,33 +158,79 @@ def test_lagging_shard_defers_exactly_the_unflushed_window(spark, tmp_path):
     assert out, "aged shard-0 data must persist"
     persisted = [c for c in store.manifest("cpu") if c.persisted]
     hot = [c for c in store.manifest("cpu") if not c.persisted]
-    # shard 0's old row persists; its in-window row AND the laggard's
-    # chunk (fresh ARRIVAL, ancient data) stay hot
-    assert sum(c.row_count for c in persisted) == 1
-    assert sum(c.row_count for c in hot) == 2
-    hot_hosts = sorted(
-        r.host
+    # the split is the windows' persistable boundary (mp = t0_new), so
+    # BOTH shard-0 rows persist; exactly the laggard's chunk (fresh
+    # ARRIVAL, ancient data) stays hot
+    assert sum(c.row_count for c in persisted) == 2
+    assert sum(c.row_count for c in hot) == 1
+    hot_rows = [
+        (r.host, r.time)
         for c in hot
         for r in spark.read.parquet(os.path.join(store.base_dir, c.path)).collect()
-    )
-    assert hot_hosts == ["h0", "h1"]  # h1 = the laggard, untouched
-    cold_rows = [
-        (r.host, r.time)
-        for c in persisted
-        for r in spark.read.parquet(os.path.join(store.base_dir, c.path)).collect()
     ]
-    assert cold_rows == [("h0", t0_old)]
-    # flush happened: the persistable window cleared, the laggard's
-    # sequence is now the minimum unpersisted
+    assert hot_rows == [("h1", t1)]  # the laggard, untouched
+    # flush fired EXACTLY: every sequence in the flushed window is on
+    # disk (split == mp), and the laggard's sequence — living in its
+    # open window, not the flushed one — is now the minimum unpersisted
     w = db.persistence_windows["cpu"]
     assert w.persistable is None
     assert w.minimum_unpersisted_sequence() == {1: MinMaxSequence(5, 5)}
-    # system table surfaces the state
+    # system table surfaces the laggard's open window
     rows = db.system_persistence_windows().collect()
     assert any(
         r.sequencer_id == 1 and r.min_sequence == 5 and r.state == "open"
         for r in rows
     )
+
+
+def test_flush_exact_split_is_persistable_max(spark, tmp_path):
+    """The windows-driven persist splits AT the persistable window's max
+    data time (the reference's flush boundary) — so flush() is exact:
+    every flushed sequence's rows are on disk, and the bookkeeping
+    clears completely when nothing else is in flight."""
+    from influxdb_iox_spark.database import Database
+    from influxdb_iox_spark.schema import InfluxColumnType, IoxSchema
+    from influxdb_iox_spark.sources.store import TableStore
+    from influxdb_iox_spark.streaming.lifecycle import (
+        LifecyclePolicy,
+        LifecycleRules,
+    )
+    import time as _t
+
+    schema = IoxSchema.build(["host"], {"v": InfluxColumnType.FIELD_FLOAT})
+    store = TableStore(str(tmp_path / "d"))
+    db = Database("db", store, spark)
+    db.register_table("cpu", schema)
+    now = _t.time()
+    now_ns = _t.time_ns()
+    # one aged window whose max data time is WELL below newest-300s, and
+    # newer aged data raising the table's newest time
+    t_lo, t_hi = now_ns - 9000 * S, now_ns - 8000 * S
+
+    m = store.write_chunk(
+        spark.createDataFrame(
+            [("h0", 1.0, t_lo), ("h0", 2.0, t_hi)],
+            "host string, v double, time long",
+        ),
+        "cpu", schema, register=False,
+    )
+    m.created_at = now - 400
+    store.register_chunks("cpu", [m])
+    db.record_ingest("cpu", 0, 11, 2, t_lo, t_hi,
+                     late_arrival_seconds=300, received_at=now - 400)
+    policy = LifecyclePolicy(
+        spark, store, {"cpu": schema},
+        LifecycleRules(late_arrive_window_seconds=300),
+        windows=db.persistence_windows,
+    )
+    out = policy.maybe_persist("cpu")
+    assert out
+    w = db.persistence_windows["cpu"]
+    # split = min(newest-300, mp) = mp (t_hi) -> everything persisted,
+    # flush fired, sequence bookkeeping cleared
+    assert w.persistable is None
+    assert w.minimum_unpersisted_sequence() is None
+    assert all(c.persisted for c in store.manifest("cpu"))
 
 
 def test_drain_feeds_windows(spark, tmp_path):

@@ -175,3 +175,32 @@ def test_sidecar_identity_mismatch_is_corruption(spark, tmp_path):
     with pytest.raises(RebuildError, match="identity mismatch"):
         rebuild_manifest(store)
     assert rebuild_manifest(store, ignore_metadata_read_failure=True) == {"cpu": 3}
+
+
+def test_ignore_flag_covers_unreadable_metadata(spark, tmp_path):
+    """Review finding: rebuild.rs's ignore_metadata_read_failure skips
+    ANY unreadable metadata — truncated sidecar JSON and corrupt parquet
+    footers must be skippable, not just identity/no-parquet cases."""
+    store = _store(tmp_path, "posix")
+    a, b, c = _populate(spark, store)
+    # truncate b's sidecar mid-JSON
+    p = os.path.join(store.base_dir, b.path, store.IOX_META_FILE)
+    with open(p, "w") as f:
+        f.write('{"chunk_id": 1, "tab')
+    # corrupt c's parquet footer AND remove its sidecar
+    os.remove(os.path.join(store.base_dir, c.path, store.IOX_META_FILE))
+    for fname in os.listdir(os.path.join(store.base_dir, c.path)):
+        if fname.endswith(".parquet"):
+            fp = os.path.join(store.base_dir, c.path, fname)
+            with open(fp, "r+b") as f:
+                f.seek(-8, os.SEEK_END)
+                f.write(b"XXXXXXXX")
+    store.wipe_manifest("cpu")
+    with pytest.raises(RebuildError, match="cannot read metadata"):
+        rebuild_manifest(store)
+    # with the flag: the two damaged chunks skip, the good one recovers
+    # (b's PARQUET is fine — only its sidecar died — so it rebuilds from
+    # footers; c is fully unreadable and drops)
+    assert rebuild_manifest(store, ignore_metadata_read_failure=True) == {"cpu": 2}
+    got = {m.chunk_id for m in store.manifest("cpu")}
+    assert got == {a.chunk_id, b.chunk_id}
