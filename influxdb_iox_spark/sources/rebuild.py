@@ -24,7 +24,11 @@ plus one of our own:
   directory still exists (``drop_chunks(delete_files=False)``, or a
   parked retired dir whose ``_retired.json`` died with the manifest)
   comes BACK.  Dedup-on-read masks duplicate rows, but logically
-  deleted data reappears — exactly the reference's caveat.
+  deleted data reappears — exactly the reference's caveat.  PREDICATE
+  deletes are the exception: live tombstones ride data-plane sidecars
+  (``<table>/_deletes/*.json``) and are re-registered here, so rows an
+  acknowledged ``delete_predicate`` removed stay removed through a
+  total manifest loss — strictly better than the reference's rebuild.
 - **Single transaction**: all chunks re-register in one pass; manifest
   history is not reconstructed.
 - **No fork detection**: files written by two store instances against
@@ -195,6 +199,17 @@ def rebuild_manifest(
         metas.sort(key=lambda c: c.chunk_id)
         for meta in metas:
             store._append_manifest(table, meta)
+        # Predicate deletes survive the disaster: every live tombstone
+        # left a data-plane sidecar (TableStore._write_tombstone_sidecar,
+        # removed again when the tombstone is retired), so re-appending
+        # them here closes the resurrection window the reference accepts
+        # under rebuild.rs's "No Removals" caveat.  Snapshot chunk ids
+        # stay valid because chunk ids are parsed back out of directory
+        # names above; a sidecar pointing only at chunks that no longer
+        # exist applies to nothing and the next gc_tombstones folds it.
+        stones = store.tombstone_sidecars(table)
+        for rec in stones:
+            store.backend.append_record(table, store.TOMBSTONE_LOG, rec)
         if metas:
             max_id = metas[-1].chunk_id
             base = (max_id // store.ID_BLOCK) * store.ID_BLOCK
@@ -211,7 +226,10 @@ def rebuild_manifest(
             chunk_ids=[c.chunk_id for c in metas],
             status="Success",
             wall_nanos=_time.time_ns() - t0,
-            description=f"re-registered {len(metas)} chunks from data files",
+            description=(
+                f"re-registered {len(metas)} chunks and {len(stones)} "
+                "delete tombstones from data files"
+            ),
         )
         out[table] = len(metas)
     return out

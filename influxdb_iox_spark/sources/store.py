@@ -972,8 +972,55 @@ class TableStore:
             "created_at": _time.time(),
             "chunk_ids": ids,
         }
+        # Data-plane sidecar FIRST, manifest record second: an
+        # acknowledged delete can then never resurrect rows through a
+        # manifest loss + rebuild (the reference accepts resurrection —
+        # rebuild.rs "No Removals" — because its catalog is the only
+        # holder of delete facts; a torn write here leaves at worst an
+        # unacknowledged-but-recoverable tombstone, and deletes are
+        # idempotent metadata).
+        self._write_tombstone_sidecar(table, rec)
         self.backend.append_record(table, self.TOMBSTONE_LOG, rec)
         return rec
+
+    #: data-plane directory (per table) holding one JSON object per live
+    #: tombstone — the delete twin of the chunk-dir ``_iox_metadata.json``
+    #: sidecar, consumed only by ``rebuild_manifest``.  The leading
+    #: underscore keeps Spark's parquet reader away; the name doesn't
+    #: match ``chunk-*`` so the rebuild chunk scan skips it.
+    DELETES_DIR = "_deletes"
+
+    def _write_tombstone_sidecar(self, table: str, rec: dict) -> None:
+        d = os.path.join(self.base_dir, table, self.DELETES_DIR)
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(d, f"{rec['chunk_id']}.json")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(rec, f, default=str)
+        os.replace(tmp, p)
+
+    def _drop_tombstone_sidecars(self, table: str, tombstone_ids) -> None:
+        d = os.path.join(self.base_dir, table, self.DELETES_DIR)
+        for tid in tombstone_ids:
+            try:
+                os.remove(os.path.join(d, f"{tid}.json"))
+            except OSError:
+                pass  # already gone / never written — drop is best-effort
+
+    def tombstone_sidecars(self, table: str) -> list[dict]:
+        """Tombstone records recovered from the data plane, oldest first
+        (created_at then id — the order ``tombstones()`` reports)."""
+        d = os.path.join(self.base_dir, table, self.DELETES_DIR)
+        if not os.path.isdir(d):
+            return []
+        recs = []
+        for fname in os.listdir(d):
+            if not fname.endswith(".json"):
+                continue  # .tmp of a torn write
+            with open(os.path.join(d, fname)) as f:
+                recs.append(json.load(f))
+        recs.sort(key=lambda r: (r.get("created_at", 0), r["chunk_id"]))
+        return recs
 
     def tombstones(self, table: str) -> list[dict]:
         """Live tombstones (applied drops folded out), oldest first.
@@ -992,6 +1039,9 @@ class TableStore:
         self.backend.append_record(
             table, self.TOMBSTONE_LOG, {"__drop__": list(tombstone_ids)}
         )
+        # retire the data-plane twins too, so a later rebuild does not
+        # re-register tombstones the manifest already folded away
+        self._drop_tombstone_sidecars(table, tombstone_ids)
 
     def gc_tombstones(self, table: str, only_ids=None) -> int:
         """Retire tombstones none of whose snapshot chunks are still
@@ -1048,6 +1098,7 @@ class TableStore:
             replacement = dict(t)
             replacement["chunk_id"] = f"ts-{uuid.uuid4().hex}"
             replacement["chunk_ids"] = new_ids
+            self._write_tombstone_sidecar(table, replacement)
             self.backend.append_record(table, self.TOMBSTONE_LOG, replacement)
             self.drop_tombstones(table, [t["chunk_id"]])
             n += 1

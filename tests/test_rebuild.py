@@ -204,3 +204,74 @@ def test_ignore_flag_covers_unreadable_metadata(spark, tmp_path):
     assert rebuild_manifest(store, ignore_metadata_read_failure=True) == {"cpu": 2}
     got = {m.chunk_id for m in store.manifest("cpu")}
     assert got == {a.chunk_id, b.chunk_id}
+
+
+# -- predicate deletes survive the disaster ------------------------------
+# The reference's rebuild documents "No Removals" (rebuild.rs:53-55):
+# logically deleted data reappears.  Tombstone sidecars on the data
+# plane close exactly that window for predicate deletes.
+
+from influxdb_iox_spark.plans.predicate import DeleteExpr, DeletePredicate
+
+
+@pytest.mark.parametrize("backend_kind", ["posix", "objstore"])
+def test_rebuild_preserves_predicate_deletes(spark, tmp_path, backend_kind):
+    store = _store(tmp_path, backend_kind)
+    _populate(spark, store)
+    store.delete_predicate(
+        "cpu", DeletePredicate(exprs=[DeleteExpr("host", "=", "h1")])
+    )
+    before = _scan_rows(spark, store)
+    assert all(h != "h1" for h, *_ in before)  # delete really bit
+
+    store.wipe_manifest("cpu")
+    rebuild_manifest(store)
+
+    # the delete survives total manifest loss — no resurrection
+    assert _scan_rows(spark, store) == before
+    stones = store.tombstones("cpu")
+    assert len(stones) == 1
+    assert stones[0]["predicate"]["exprs"][0]["column"] == "host"
+
+
+def test_rebuild_does_not_resurrect_retired_tombstones(spark, tmp_path):
+    """A tombstone retired by gc (all snapshot chunks gone) loses its
+    sidecar too; a later rebuild must not bring it back as scan-time
+    overhead."""
+    store = _store(tmp_path, "posix")
+    _populate(spark, store)
+    rec = store.delete_predicate(
+        "cpu", DeletePredicate(exprs=[DeleteExpr("host", "=", "h1")])
+    )
+    # compaction folds the delete into rewritten chunks, then gc retires
+    # the tombstone (its whole snapshot was dropped by the rewrite)
+    from influxdb_iox_spark.plans.reorg import compact_chunks
+
+    compact_chunks(spark, store, "cpu", CPU)
+    assert store.tombstones("cpu") == []
+    sidecar_dir = os.path.join(store.base_dir, "cpu", store.DELETES_DIR)
+    assert not os.path.exists(os.path.join(sidecar_dir, f"{rec['chunk_id']}.json"))
+
+    before = _scan_rows(spark, store)
+    store.wipe_manifest("cpu")
+    rebuild_manifest(store)
+    assert _scan_rows(spark, store) == before
+    assert store.tombstones("cpu") == []
+
+
+def test_retargeted_tombstone_sidecar_follows_replacement(spark, tmp_path):
+    """retarget_tombstones swaps a tombstone's snapshot to rewrite
+    successors; the data-plane sidecar must follow (old removed, new
+    written) so a rebuild recovers the RETARGETED delete."""
+    store = _store(tmp_path, "posix")
+    _populate(spark, store)
+    old = store.delete_predicate(
+        "cpu", DeletePredicate(exprs=[DeleteExpr("host", "=", "h1")])
+    )
+    dropped = old["chunk_ids"][:1]
+    store.retarget_tombstones("cpu", dropped, [999], exclude_ids=set())
+    live = store.tombstones("cpu")
+    assert len(live) == 1 and live[0]["chunk_id"] != old["chunk_id"]
+    side = {r["chunk_id"] for r in store.tombstone_sidecars("cpu")}
+    assert side == {live[0]["chunk_id"]}
+    assert 999 in live[0]["chunk_ids"]
