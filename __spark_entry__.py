@@ -968,6 +968,89 @@ FROM b GROUP BY etype, bucket_ns ORDER BY etype, bucket_us
 """
 
 
+# -- winnowing fingerprints (pipeline/text.py) ---------------------------
+
+_WINNOW_K, _WINNOW_W = 5, 4
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing local fingerprints (SIGMOD'03 rolling-hash k-gram
+    scheme, pipeline/text.winnow_fingerprints) summarized per document —
+    count + min + sum of the selected 32-bit fingerprints, bit-exact
+    against the DuckDB window-min twin."""
+    from influxdb_iox_spark.pipeline.text import winnow_fingerprints
+
+    t = _load(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(t["documents"], k=_WINNOW_K, w=_WINNOW_W)
+    return fps.groupBy("doc_id").agg(
+        F.count("*").alias("n_fp"),
+        F.min("fingerprint").alias("min_fp"),
+        F.sum("fingerprint").alias("sum_fp"),
+    )
+
+
+def q_winnow_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style local-overlap pairs: documents sharing >= 2 winnowing
+    fingerprints after the df<=50 boilerplate cut (both thresholds part
+    of the operator semantics, reproduced verbatim in the oracle)."""
+    from influxdb_iox_spark.pipeline.text import winnow_similar_pairs
+
+    t = _load(spark, sf_dir, "documents")
+    return winnow_similar_pairs(
+        t["documents"], k=_WINNOW_K, w=_WINNOW_W, min_shared=2, max_df=50
+    )
+
+
+def _sql_winnow_fps_cte() -> str:
+    """DuckDB twin of winnow_fingerprints as a CTE chain ending in
+    ``fps(doc_id, fingerprint)``: same tokens ([\\p{L}\\p{N}]+ runs of
+    lower(text)), same hash (leading 8 md5 nibbles as a 32-bit int),
+    same sliding minimum (window frames clip at the partition edge in
+    both engines, giving short docs the min of all their hashes)."""
+    k, w = _WINNOW_K, _WINNOW_W
+    nib = " + ".join(
+        f"CAST((strpos('0123456789abcdef', substr(hx, {j + 1}, 1)) - 1) "
+        f"AS BIGINT) * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    return rf"""tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[\p{{L}}\p{{N}}]+') AS tk
+  FROM documents),
+wpos AS (
+  SELECT doc_id, unnest(generate_series(1, greatest(len(tk) - {k} + 1, 0))) AS i, tk
+  FROM tok),
+whv AS (
+  SELECT doc_id, i - 1 AS pos, {nib} AS h
+  FROM (SELECT doc_id, i,
+          substr(md5(array_to_string(tk[i:i+{k - 1}], ' ')), 1, 8) AS hx
+        FROM wpos)),
+wsel AS (
+  SELECT doc_id, pos,
+    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fingerprint,
+    count(*) OVER (PARTITION BY doc_id) AS n
+  FROM whv),
+fps AS (
+  SELECT DISTINCT doc_id, fingerprint FROM wsel
+  WHERE pos <= greatest(n - {w}, 0))"""
+
+
+SQL_WINNOW_FINGERPRINTS = f"""WITH {_sql_winnow_fps_cte()}
+SELECT doc_id, count(*) AS n_fp, min(fingerprint) AS min_fp,
+       CAST(sum(fingerprint) AS BIGINT) AS sum_fp
+FROM fps GROUP BY doc_id
+"""
+
+SQL_WINNOW_SIMILAR_PAIRS = f"""WITH {_sql_winnow_fps_cte()},
+keep AS (SELECT fingerprint FROM fps GROUP BY fingerprint
+         HAVING count(*) <= 50),
+kf AS (SELECT f.doc_id, f.fingerprint FROM fps f JOIN keep USING (fingerprint))
+SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS shared
+FROM kf l JOIN kf r USING (fingerprint) WHERE l.doc_id < r.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _load(spark, sf_dir, "events")
     k = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("long")
@@ -3555,6 +3638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # freshly-rotated window (test_entry_rotation verifies)
         "events_delete_predicate": q_events_delete_predicate,
         "events_downsample_rollup": q_events_downsample_rollup,
+        "doc_winnow_fingerprints": q_winnow_fingerprints,
+        "doc_winnow_similar_pairs": q_winnow_similar_pairs,
     }
     return _rotate_for_round(base)
 
@@ -3616,6 +3701,8 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": SQL_EVENT_FUNNEL,
         "events_delete_predicate": SQL_EVENTS_DELETE_PREDICATE,
         "events_downsample_rollup": SQL_EVENTS_DOWNSAMPLE,
+        "doc_winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
+        "doc_winnow_similar_pairs": SQL_WINNOW_SIMILAR_PAIRS,
         "dedup_last_non_null": SQL_DEDUP,
         "json_props_extract": SQL_JSON_PROPS,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,

@@ -363,3 +363,101 @@ def quality_filter(
         if hi is not None:
             cond = cond & (F.col(col) <= F.lit(hi))
     return out.filter(cond).select(*df.columns)
+
+
+# -- winnowing fingerprints (rolling-hash local fingerprinting) -----------
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every word k-gram, slide a window of ``w``
+    consecutive hashes, keep each window's minimum.  Any shared run of
+    >= w+k-1 tokens between two documents is guaranteed to share a
+    fingerprint, while only ~2/(w+1) of all gram hashes are kept — the
+    classic local (shift-robust) fingerprinting scheme, vs the global
+    md5 of ``fingerprint()`` above.  Returns distinct (id, fingerprint).
+
+    The paper's rolling (Rabin-Karp) hash is an O(1)-update trick for
+    sequential scanners; vectorized over a column, hashing each gram
+    directly is the same function of the same k-grams.  The hash is the
+    leading 32 bits of md5 — engine-portable (conv/nibble-parse), so the
+    DuckDB oracle reproduces fingerprints bit-exactly.
+
+    Plan: gram_structs shifted-slice zip (codegen, no lambda
+    re-evaluation) -> posexplode -> md5 prefix -> ONE window exchange on
+    the document id for the sliding minimum (per-doc data is one
+    partition's worth — document length, not corpus size) -> distinct.
+    Short documents (fewer than w gram hashes) contribute the minimum of
+    all their hashes: the window frame clips at the partition edge in
+    Spark and DuckDB alike, so the one surviving window (pos 0) is
+    already that minimum.
+    """
+    from pyspark.sql import Window
+
+    toks = word_tokens(F.col(text_col))
+    grams = df.select(
+        F.col(id_col), F.posexplode(gram_structs(toks, k)).alias("pos", "__g")
+    ).select(
+        id_col,
+        "pos",
+        F.conv(F.substring(F.md5(gram_join("__g", k)), 1, 8), 16, 10)
+        .cast("long")
+        .alias("__h"),
+    )
+    sliding = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    whole = Window.partitionBy(id_col)
+    sel = grams.select(
+        id_col,
+        "pos",
+        F.min("__h").over(sliding).alias("fingerprint"),
+        F.count("*").over(whole).alias("__n"),
+    ).filter(F.col("pos") <= F.greatest(F.col("__n") - w, F.lit(0)))
+    return sel.select(id_col, "fingerprint").distinct()
+
+
+def winnow_similar_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 50,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints —
+    the MOSS-style local-overlap detector (catches plagiarised/quoted
+    SPANS that whole-document hashing and even shingle-set Jaccard
+    dilute away).  Returns (a, b, shared) with a < b.
+
+    Inverted-index shape: group by fingerprint, emit intra-group pairs,
+    count per pair.  ``max_df`` drops fingerprints present in more than
+    that many documents BEFORE pairing (boilerplate/stopword grams —
+    the df-cut every inverted index applies); it bounds per-fingerprint
+    group size B, so pair fan-out is O(B^2) per fingerprint with B
+    capped — the same discipline as the LSH banding's hot-bucket cap.
+    The cut is part of the operator's semantics (deterministic, and
+    reproduced verbatim by the oracle SQL), not a sampling shortcut.
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+    if max_df is not None:
+        keep = (
+            fps.groupBy("fingerprint")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("fingerprint")
+        )
+        fps = fps.join(keep, "fingerprint")
+    left = fps.select(F.col("fingerprint"), F.col(id_col).alias("a"))
+    right = fps.select(F.col("fingerprint"), F.col(id_col).alias("b"))
+    pairs = left.join(right, "fingerprint").filter(F.col("a") < F.col("b"))
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
