@@ -266,17 +266,21 @@ def encode_delete_entry(deletes: list[dict]) -> bytes:
 # -- bridge into the engine's ingest path ------------------------------------
 
 
-def entry_to_parsed_lines(buf: bytes):
+def entry_to_parsed_lines(buf):
     """Decode an Entry and yield ParsedLine rows, ready for the same
     schema-inference + chunk-write apply as line protocol.  Tag columns
     become tags (string), Field columns become typed fields, the Time
     column supplies the ns timestamp.  Delete entries are rejected HERE
     (this is the row bridge) — the WriteEntry service routes them to the
     store's predicate-tombstone path instead (rpc_management.WriteEntry,
-    store.delete_predicate)."""
+    store.delete_predicate).
+
+    ``buf`` is Entry bytes, or the dict ``decode_entry`` already
+    produced — callers that decoded once to check for deletes pass the
+    dict and skip a second full pure-Python flatbuffer walk."""
     from influxdb_iox_spark.sources.line_protocol import ParsedLine
 
-    decoded = decode_entry(buf)
+    decoded = buf if isinstance(buf, dict) else decode_entry(buf)
     if "deletes" in decoded:
         raise EntryError("delete entries are not writable payloads")
     for pw in decoded["writes"]:

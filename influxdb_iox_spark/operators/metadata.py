@@ -57,10 +57,7 @@ def table_names(db: Database, predicate: Predicate | None = None) -> list[str]:
         live = [c for c in chunks if c.row_count]
         if not live:
             return False
-        live_ids = {c.chunk_id for c in live}
-        if any(
-            live_ids & set(ts["chunk_ids"]) for ts in db.store.tombstones(t)
-        ):
+        if db.store.has_tombstoned_chunks(t, (c.chunk_id for c in live)):
             return db.table(t, predicate).limit(1).count() > 0
         return True
 
@@ -115,11 +112,7 @@ def tag_keys(db: Database, table: str, predicate: Predicate | None = None) -> li
         # delete tombstones may have removed every row carrying a tag —
         # write-time catalogs of targeted chunks can no longer confirm a
         # key; fall through to the scan path (tombstone-filtered)
-        live_ids = {c.chunk_id for c in live}
-        tombstoned = any(
-            live_ids & set(t["chunk_ids"]) for t in db.store.tombstones(table)
-        )
-        if tombstoned:
+        if db.store.has_tombstoned_chunks(table, (c.chunk_id for c in live)):
             return sorted(schema_pivot(db.table(table, predicate), tags))
         out: list[str] = []
         scan_tags: list[str] = []

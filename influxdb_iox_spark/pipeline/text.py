@@ -429,6 +429,7 @@ def winnow_similar_pairs(
     w: int = 4,
     min_shared: int = 2,
     max_df: int | None = 50,
+    materialize: str | None = None,
 ) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` winnowing fingerprints —
     the MOSS-style local-overlap detector (catches plagiarised/quoted
@@ -443,8 +444,21 @@ def winnow_similar_pairs(
     capped — the same discipline as the LSH banding's hot-bucket cap.
     The cut is part of the operator's semantics (deterministic, and
     reproduced verbatim by the oracle SQL), not a sampling shortcut.
+
+    The fingerprint set feeds THREE plan branches (df-count, left and
+    right sides of the pair join); pass ``materialize`` (a shared-
+    storage dir on a cluster, any string e.g. "tmp" on local mode —
+    forwarded to dedup.materialize_parquet) to compute the
+    tokenize+hash+window pass once instead of three times — the same
+    lever the MinHash pipeline exposes for its signatures.
     """
     fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+    if materialize is not None:
+        from influxdb_iox_spark.pipeline.dedup import materialize_parquet
+
+        fps = materialize_parquet(
+            fps, None if materialize == "tmp" else materialize
+        )
     if max_df is not None:
         keep = (
             fps.groupBy("fingerprint")

@@ -267,6 +267,18 @@ class DeletePredicate:
         and keep partition the rows exactly."""
         return ~self.to_column(time_col)
 
+    def deletes_nothing_on(self, columns) -> bool:
+        """True when this predicate cannot match any row of a table
+        with ``columns``: an expr over an ABSENT column reads all-NULL,
+        and NULL never matches (= nor !=, see DeleteExpr.to_column), so
+        one absent-column conjunct makes the whole AND False.  Every
+        tombstone-application site must check this BEFORE building the
+        filter — an unresolvable F.col() would otherwise poison scans
+        and compaction of a table an HTTP multi-table delete merely
+        fanned out to (review finding)."""
+        cols = set(columns)
+        return any(e.column not in cols for e in self.exprs)
+
     # -- wire formats ------------------------------------------------------
     def to_dict(self) -> dict:
         return {
@@ -314,9 +326,38 @@ class DeletePredicate:
             if stop is not None:
                 d["stop"] = stop
             return cls.from_dict(d)
+        def _split_and(s: str) -> list[str]:
+            # conjunct split on AND *outside* quoted literals — a plain
+            # re.split would cut inside host = 'foo and bar', rejecting
+            # a predicate the /api/v2/delete grammar allows
+            out, cur, i, n, quote = [], [], 0, len(s), None
+            while i < n:
+                c = s[i]
+                if quote is not None:
+                    cur.append(c)
+                    if c == quote:
+                        quote = None
+                    i += 1
+                    continue
+                if c in "'\"":
+                    quote = c
+                    cur.append(c)
+                    i += 1
+                    continue
+                m = _re.match(r"(?i)\s+and\s+", s[i:])
+                if m:
+                    out.append("".join(cur))
+                    cur = []
+                    i += m.end()
+                    continue
+                cur.append(c)
+                i += 1
+            out.append("".join(cur))
+            return out
+
         exprs: list[DeleteExpr] = []
         if text:
-            for part in _re.split(r"(?i)\s+and\s+", text):
+            for part in _split_and(text):
                 m = _re.match(
                     r"""^\s*"?([\w.]+)"?\s*(!?=)\s*(?:'([^']*)'|"([^"]*)"|(\S+))\s*$""",
                     part,

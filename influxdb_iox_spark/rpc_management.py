@@ -386,14 +386,18 @@ class IoxServer:
             for ing, metas in written:
                 ing.store.register_chunks(ing.table, metas)
 
-    def delete_rows(
-        self, db_name: str, table: str, dpred, sequence: int | None = None
-    ) -> dict:
-        """Predicate delete: register a tombstone over ``table`` — rows
-        matching ``dpred`` (plans.predicate.DeletePredicate) vanish from
-        subsequent scans and are physically folded away at compaction.
-        The wire shape is the reference's per-table Delete{table_name,
-        predicate} entry (entry/src/entry.fbs:37-44)."""
+    def delete_rows(self, db_name: str, table: str, dpred) -> None:
+        """Predicate delete: rows of ``table`` matching ``dpred``
+        (plans.predicate.DeletePredicate) vanish from subsequent scans
+        and are physically folded away at compaction.  The wire shape is
+        the reference's per-table Delete{table_name, predicate} entry
+        (entry/src/entry.fbs:37-44).
+
+        Convenience wrapper: encodes the entry and hands it to
+        ``store_delete_entry`` so the SAME decision table as every other
+        delete applies (write-buffer replication, shard/routing fan-out,
+        immutable rejection) — applying only to the local store here
+        would silently diverge replicas."""
         if not self.serving:
             raise GrpcStatusError("Unavailable", "server is not serving data plane")
         validate_db_name(db_name)
@@ -402,7 +406,14 @@ class IoxServer:
             raise GrpcStatusError(
                 "NotFound", f"table {table!r} not found in database {db_name!r}"
             )
-        return md.database.store.delete_predicate(table, dpred, sequence=sequence)
+        from influxdb_iox_spark.entry_fb import encode_delete_entry
+
+        entry = encode_delete_entry(
+            # the canonical JSON serialization — DeletePredicate.parse's
+            # first accepted form, so drain/replay round-trips exactly
+            [{"table_name": table, "predicate": json.dumps(dpred.to_dict())}]
+        )
+        self.store_delete_entry(db_name, entry, [(table, dpred)])
 
     def _route_delete_entry(
         self, md: ManagedDatabase, db_name: str, entry: bytes
@@ -505,7 +516,16 @@ class IoxServer:
         empty claims from a slow producer) are persisted alongside the
         offset and re-checked on every drain, so a payload renamed in
         late is still consumed exactly as the at-least-once contract
-        promises.  Returns the number of lines ingested this drain."""
+        promises.  Parking is sound because WRITES commute (PK dedup);
+        DELETE entries do not, so a delete behind an unresolved parked
+        sequence is a barrier — the drain stops at it (see the loop)
+        rather than letting a late write dodge the tombstone.  The one
+        residual: a parked claim that itself turns out to be a DELETE
+        applies late, tombstoning rows written between its claim and its
+        arrival — a superset of the strict-order replay (rows matching
+        the user's predicate, exactly what re-issuing the delete would
+        do), never a resurrection.  Returns the number of lines ingested
+        this drain."""
         from influxdb_iox_spark.streaming.write_buffer import FileWriteBuffer
 
         md = self.db(db_name)
@@ -588,7 +608,7 @@ class IoxServer:
                         ]
                         self.apply_deletes(db_name, deletes)
                         return 0
-                    parsed = list(entry_to_parsed_lines(payload))
+                    parsed = list(entry_to_parsed_lines(decoded))
                     lp = "\n".join(render_line(pl) for pl in parsed)
                 else:
                     lp = payload
@@ -613,11 +633,48 @@ class IoxServer:
                 parked.remove(seq)
                 _save(next_seq)
 
+        def _is_delete_entry(payload) -> bool:
+            # cheap pre-check; undecodable bytes are NOT a delete here —
+            # _apply_one will quarantine them on its own decode
+            if not isinstance(payload, bytes):
+                return False
+            try:
+                from influxdb_iox_spark.entry_fb import decode_entry
+
+                return "deletes" in decode_entry(payload)
+            except Exception:
+                return False
+
         payloads, newly_parked = buf.poll(db_name, next_seq, with_partitions=True)
+        barrier = None
         for seq, partition, payload in payloads:
+            blocked_by = sorted(
+                s for s in set(parked) | set(newly_parked) if s < seq
+            )
+            if blocked_by and _is_delete_entry(payload):
+                # A delete is a sequence BARRIER.  Parking (apply later,
+                # out of order) is only sound for WRITES, which commute
+                # through PK dedup; a delete does not commute — applied
+                # before a parked earlier write, that write's rows dodge
+                # the tombstone forever, and applied after later writes
+                # it would swallow rows a from-scratch replay keeps.  So
+                # the drain stops HERE (offset pinned at the delete, like
+                # poll()'s young-claim stop) until the parked sequences
+                # below resolve.  Liveness: a crashed producer's claim
+                # blocks deletes (not prior writes) until the claim file
+                # is cleared — the same operator remediation a stuck
+                # consumer group needs on any sequenced topic.
+                barrier = seq
+                break
             total += _apply_one(seq, payload, partition)
             parked = sorted(set(parked) | {s for s in newly_parked if s < seq})
             _save(seq + 1)
+        if barrier is not None:
+            parked = sorted(
+                set(parked) | {s for s in newly_parked if s < barrier}
+            )
+            _save(barrier)
+            return total
         if payloads or newly_parked:
             last = payloads[-1][0] + 1 if payloads else next_seq
             parked = sorted(set(parked) | set(newly_parked))
@@ -1226,7 +1283,8 @@ class WriteService:
             self.server.store_delete_entry(db_name, bytes(entry), parsed_deletes)
             return {}
         try:
-            parsed = list(entry_to_parsed_lines(bytes(entry)))
+            # `decoded` from the deletes check above — no second decode
+            parsed = list(entry_to_parsed_lines(decoded))
             lp = "\n".join(render_line(pl) for pl in parsed)
         except (EntryError, LineProtocolError, ValueError, struct.error) as e:
             raise GrpcStatusError("InvalidArgument", f"invalid entry payload: {e}")

@@ -1043,6 +1043,15 @@ class TableStore:
         # re-register tombstones the manifest already folded away
         self._drop_tombstone_sidecars(table, tombstone_ids)
 
+    def has_tombstoned_chunks(self, table: str, chunk_ids) -> bool:
+        """True if any live tombstone's snapshot intersects ``chunk_ids``
+        — the single guard the metadata fast paths (table_names /
+        tag_keys / catalog_tag_values) use to decide whether write-time
+        catalogs and row counts can still be trusted, or whether only a
+        tombstone-filtered scan can answer."""
+        ids = set(chunk_ids)
+        return any(ids & set(t["chunk_ids"]) for t in self.tombstones(table))
+
     def gc_tombstones(self, table: str, only_ids=None) -> int:
         """Retire tombstones none of whose snapshot chunks are still
         live — every row they deleted is physically gone (compacted away
@@ -1109,8 +1118,17 @@ class TableStore:
     ) -> DataFrame:
         """Apply one chunk's delete anti-filters (``tomb`` from
         _tombstones_for_chunks) — the single definition shared by the
-        scan path and both reorg rewrites."""
+        scan path and both reorg rewrites.
+
+        A predicate referencing a column this table does not have (a
+        multi-table HTTP delete fans out to every table; gRPC entries
+        validate table names but not columns) deletes NOTHING here
+        rather than poisoning the scan — see
+        DeletePredicate.deletes_nothing_on (the clean-path grouping in
+        ``table()`` applies the same rule)."""
         for _, dp in tomb.get(chunk_id, []):
+            if dp.deletes_nothing_on(df.columns):
+                continue
             df = df.filter(dp.keep_column(time_col))
         return df
 
@@ -1181,10 +1199,8 @@ class TableStore:
         # a delete tombstone targeting any contributing chunk may have
         # removed the rows carrying some catalog value — write-time
         # catalogs cannot answer; only a (tombstone-filtered) scan can
-        live_ids = {c.chunk_id for c in chunks}
-        for t in self.tombstones(table):
-            if live_ids & set(t["chunk_ids"]):
-                return None
+        if self.has_tombstoned_chunks(table, (c.chunk_id for c in chunks)):
+            return None
         for c in chunks:
             v = c.tag_values.get(tag)
             if v is None:
@@ -1350,9 +1366,10 @@ class TableStore:
             # null-fills columns a pre-extension chunk lacks.
             clean = spark.read.schema(schema.struct).parquet(*paths)
             for tid in key:
-                clean = clean.filter(
-                    stone_by_id[tid].keep_column(schema.time_column)
-                )
+                dp = stone_by_id[tid]
+                if dp.deletes_nothing_on(schema.struct.fieldNames()):
+                    continue  # unknown-column predicate matches no row
+                clean = clean.filter(dp.keep_column(schema.time_column))
             parts.insert(0, clean)
         if not parts:  # every chunk field-pruned
             return spark.createDataFrame([], schema.struct)

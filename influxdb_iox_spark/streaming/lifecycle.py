@@ -175,9 +175,24 @@ class LifecyclePolicy:
         ):
             min_age = 0.0
         by_part: dict[str, list] = {}
+        held_back = []
+        now = _time.time()
+        # The skew zone: window age runs on the WINDOW's created_at,
+        # which can lead a batch's chunk arrival by up to closed_window
+        # seconds — so a chunk older than (late_arrival - closed_window)
+        # may have its sequence ranges already folded into the
+        # persistable window even though the arrival gate still holds
+        # the chunk back.  Chunks younger than that are provably still
+        # in open/closed windows (a batch always lands in a window at
+        # most closed_window old) and cannot block the flush.
+        skew_floor = (
+            w.late_arrival - w.closed_window if w is not None else float("inf")
+        )
         for c in candidates:
-            if _time.time() - c.created_at >= max(min_age, window_gate):
+            if now - c.created_at >= max(min_age, window_gate):
                 by_part.setdefault(c.partition_key, []).append(c)
+            elif now - c.created_at >= skew_floor:
+                held_back.append(c)
         out = []
         for chunks in by_part.values():
             out.append(
@@ -186,17 +201,23 @@ class LifecyclePolicy:
                     [c.chunk_id for c in chunks],
                 )
             )
-        if w is not None and out:
+        if w is not None and out and not held_back:
             # everything at or below the persistable max time (== the
             # split) is now on disk: clear the persistable window and
             # truncate the closed windows' overlap (persistence_windows.rs
-            # flush).  Exact because split_time == mp — were the split
-            # ever below mp, flushing would erase sequence ranges whose
-            # rows stayed hot and a replay would skip them (review
-            # finding; the candidate filter above can only SHRINK what
-            # persists via the arrival gate, and arrival-gated chunks'
-            # sequences live in open/closed windows, not the flushed
-            # persistable one).
+            # flush).  Exact because split_time == mp AND nothing below
+            # the boundary was held back: window age runs on the WINDOW's
+            # created_at, which can lead a late batch's chunk arrival by
+            # up to closed_window seconds — in that skew the batch's
+            # sequence ranges sit in the persistable window while its
+            # chunk is still arrival-gated above, and flushing would
+            # erase exactly the ranges a crash replay needs (review
+            # finding).  ``held_back`` non-empty → defer the flush; the
+            # next sweep persists the aged straggler and flushes then.
+            # Conservative in between: minimum_unpersisted_sequence keeps
+            # reporting the straggler's range, so replay can only start
+            # earlier than strictly needed (idempotent through PK dedup),
+            # never later.
             w.flush()
         return out
 

@@ -475,3 +475,100 @@ def test_rfc3339_ns_full_precision():
     )
     assert _rfc3339_ns("1970-01-01T00:00:01Z", "start") == 1_000_000_000
     assert _rfc3339_ns("1970-01-01T00:00:01.5Z", "start") == 1_500_000_000
+
+
+def test_parse_and_inside_quoted_literal():
+    """AND inside a quoted string value must not split the conjunct —
+    the /api/v2/delete grammar allows any characters in a quoted
+    literal (review finding)."""
+    dp = DeletePredicate.parse("host = 'foo and bar' AND region = \"up AND down\"")
+    assert dp.exprs == [
+        DeleteExpr("host", "=", "foo and bar"),
+        DeleteExpr("region", "=", "up AND down"),
+    ]
+
+
+def test_unknown_column_tombstone_is_noop_not_poison(spark, tmp_path):
+    """A delete predicate referencing a column this table lacks (HTTP
+    deletes fan out to every table) deletes NOTHING — the absent column
+    reads as all-NULL and NULL never matches — and must not break scans
+    or the compaction that could fold it away (review finding)."""
+    from influxdb_iox_spark.plans.reorg import compact_chunks
+
+    store = TableStore(str(tmp_path / "d"))
+    store.write_chunk(_df(spark, [("h1", 1.0, 10), ("h2", 2.0, 20)]), "cpu", CPU)
+    store.delete_predicate(
+        "cpu", DeletePredicate(exprs=[DeleteExpr("no_such_col", "=", "x")])
+    )
+    # scan unaffected, no AnalysisException
+    assert _scan(spark, store) == [("h1", 1.0, 10), ("h2", 2.0, 20)]
+    # compaction also survives and can then GC the no-op tombstone
+    compact_chunks(spark, store, "cpu", CPU)
+    assert _scan(spark, store) == [("h1", 1.0, 10), ("h2", 2.0, 20)]
+    assert store.tombstones("cpu") == []
+    # a MIXED predicate (known column + unknown column) is one AND
+    # conjunction -> still matches nothing
+    store.delete_predicate(
+        "cpu",
+        DeletePredicate(
+            exprs=[DeleteExpr("host", "=", "h1"), DeleteExpr("ghost", "=", "y")]
+        ),
+    )
+    assert _scan(spark, store) == [("h1", 1.0, 10), ("h2", 2.0, 20)]
+
+
+def test_delete_is_barrier_behind_parked_sequence(spark, tmp_path):
+    """Parking (apply-late) is sound only for commuting WRITES; a delete
+    behind an unresolved parked sequence must stop the drain, or the
+    late write's rows dodge the tombstone and the topic diverges from a
+    from-scratch replay (review finding)."""
+    import os
+    import time as _t
+
+    from influxdb_iox_spark.entry_fb import encode_delete_entry
+    from influxdb_iox_spark.rpc_management import IoxServer
+    from influxdb_iox_spark.streaming.write_buffer import FileWriteBuffer
+
+    topic = str(tmp_path / "topic")
+    buf = FileWriteBuffer(topic)
+    reader = IoxServer(spark, str(tmp_path / "r"))
+    reader.create_database({"name": "db", "reading": topic})
+
+    assert buf.produce("db", "cpu,host=h1 v=1 10") == 0
+    reader.drain_write_buffer("db")
+
+    # seq 1: a producer claims and stalls (aged empty claim -> parked)
+    d = buf._topic_dir("db")
+    claim = os.path.join(d, f"{1:012d}-0.lp")
+    open(claim, "w").close()
+    old = _t.time() - 60
+    os.utime(claim, (old, old))
+
+    # seq 2: a delete lands behind the stalled claim
+    entry = encode_delete_entry(
+        [{"table_name": "cpu", "predicate": "host = 'h1'"}]
+    )
+    assert buf.produce_entry("db", entry) == 2
+    reader.drain_write_buffer("db")
+    db = reader.databases["db"].database
+    # barrier: the delete did NOT apply (h1 still visible, no tombstone)
+    assert [r.host for r in db.table("cpu").collect()] == ["h1"]
+    assert db.store.tombstones("cpu") == []
+
+    # the slow producer completes seq 1 with rows MATCHING the predicate
+    final = os.path.join(d, f"{1:012d}-0.lp")
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("cpu,host=h1 v=9 30")
+    os.replace(tmp, final)
+
+    reader.drain_write_buffer("db")
+    # order restored: write 1 applied first, THEN the delete — h1 gone,
+    # exactly what a from-scratch replay of seqs 0,1,2 produces
+    assert db.table("cpu").collect() == []
+    assert len(db.store.tombstones("cpu")) == 1
+
+    replay = IoxServer(spark, str(tmp_path / "r2"))
+    replay.create_database({"name": "db", "reading": topic})
+    replay.drain_write_buffer("db")
+    assert replay.databases["db"].database.table("cpu").collect() == []

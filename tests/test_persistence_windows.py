@@ -264,3 +264,70 @@ def test_drain_feeds_windows(spark, tmp_path):
         7: MinMaxSequence(2, 2),
     }
     assert cpu.max_time == 400
+
+
+def test_flush_deferred_while_skew_zone_chunk_unpersisted(spark, tmp_path):
+    """Window age runs on the WINDOW's created_at, up to closed_window
+    ahead of a late batch's chunk arrival.  A chunk inside that skew
+    zone (arrival-gated but with its sequences already folded into the
+    persistable window) must DEFER the flush — flushing would erase
+    exactly the sequence ranges a crash replay needs (review finding)."""
+    import os
+    import time as _t
+
+    from influxdb_iox_spark.database import Database
+    from influxdb_iox_spark.schema import InfluxColumnType, IoxSchema
+    from influxdb_iox_spark.sources.store import TableStore
+    from influxdb_iox_spark.streaming.lifecycle import (
+        LifecyclePolicy,
+        LifecycleRules,
+    )
+
+    schema = IoxSchema.build(["host"], {"v": InfluxColumnType.FIELD_FLOAT})
+    store = TableStore(str(tmp_path / "d"))
+    db = Database("db", store, spark)
+    db.register_table("cpu", schema)
+    now = _t.time()
+    now_ns = _t.time_ns()
+    t0 = now_ns - 1000 * S
+    t1 = now_ns - 900 * S
+
+    def _write_at(rows, created_ago):
+        m = store.write_chunk(
+            spark.createDataFrame(rows, "host string, v double, time long"),
+            "cpu", schema, register=False,
+        )
+        m.created_at = now - created_ago
+        store.register_chunks("cpu", [m])
+        return m
+
+    # shard 0: aged normally (arrival 400s ago, window 400s ago)
+    _write_at([("h0", 1.0, t0)], created_ago=400)
+    db.record_ingest("cpu", 0, 100, 1, t0, t0,
+                     late_arrival_seconds=300, received_at=now - 400)
+    # shard 1: the SKEW case — its window was created 300s ago (aged
+    # into persistable: late_arrival=300) but the batch itself arrived
+    # 280s ago (window was 20s old then, < closed_window=30), so the
+    # chunk is still arrival-gated for another 20s
+    _write_at([("h1", 2.0, t1)], created_ago=280)
+    db.record_ingest("cpu", 1, 7, 1, t1, t1,
+                     late_arrival_seconds=300, received_at=now - 300)
+    w = db.persistence_windows["cpu"]
+    # make the batch itself ride the 300s-old window: re-create the
+    # bookkeeping with explicit received_at inside that window's life
+    policy = LifecyclePolicy(
+        spark, store, {"cpu": schema},
+        LifecycleRules(late_arrive_window_seconds=300),
+        windows=db.persistence_windows,
+    )
+    out = policy.maybe_persist("cpu")
+    assert out, "aged shard-0 chunk must still persist"
+    persisted = [c for c in store.manifest("cpu") if c.persisted]
+    hot = [c for c in store.manifest("cpu") if not c.persisted]
+    assert sum(c.row_count for c in persisted) == 1
+    assert sum(c.row_count for c in hot) == 1  # skew-zone chunk held
+    # the flush was DEFERRED: the persistable window (holding shard 1's
+    # sequence range) survives, and replay still covers sequence 7
+    assert w.persistable is not None
+    mus = w.minimum_unpersisted_sequence()
+    assert mus is not None and mus.get(1) == MinMaxSequence(7, 7)
