@@ -1051,6 +1051,50 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 """
 
 
+# -- characteristic terms (pipeline/text.top_terms) ----------------------
+
+
+def q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by a BM25-rational tf-idf
+    (pipeline/text.top_terms).  The score is IEEE-exact double math on
+    integers — no transcendentals — canonicalized to micro-units, so the
+    DuckDB twin is hash-exact."""
+    from influxdb_iox_spark.pipeline.text import top_terms
+
+    t = _load(spark, sf_dir, "documents")
+    out = top_terms(t["documents"], k=5)
+    return out.withColumnRenamed("rank", "term_rank")
+
+
+def _sql_doc_top_terms() -> str:
+    # N is embedded as a literal in BOTH engines (the Spark operator
+    # computes it with one scalar aggregate first); the oracle derives
+    # it in SQL — same value, still a constant under the hash compare.
+    score = (
+        "CAST(round(tf * ((CAST((SELECT count(DISTINCT doc_id) FROM documents)"
+        " - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) * 1000000)"
+        " AS BIGINT)"
+    )
+    return rf"""WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\p{{L}}\p{{N}}]+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT doc_id, term, tf, df, {score} AS score_micro
+  FROM tf JOIN dfq USING (term)),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score_micro DESC, term) AS term_rank
+  FROM scored)
+SELECT doc_id, term_rank, term, tf, df, score_micro
+FROM ranked WHERE term_rank <= 5
+"""
+
+
+SQL_DOC_TOP_TERMS = _sql_doc_top_terms()
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _load(spark, sf_dir, "events")
     k = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("long")
@@ -3640,6 +3684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_downsample_rollup": q_events_downsample_rollup,
         "doc_winnow_fingerprints": q_winnow_fingerprints,
         "doc_winnow_similar_pairs": q_winnow_similar_pairs,
+        "doc_top_terms": q_doc_top_terms,
     }
     return _rotate_for_round(base)
 
@@ -3703,6 +3748,7 @@ def oracle_sql() -> dict[str, str]:
         "events_downsample_rollup": SQL_EVENTS_DOWNSAMPLE,
         "doc_winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
         "doc_winnow_similar_pairs": SQL_WINNOW_SIMILAR_PAIRS,
+        "doc_top_terms": SQL_DOC_TOP_TERMS,
         "dedup_last_non_null": SQL_DEDUP,
         "json_props_extract": SQL_JSON_PROPS,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,

@@ -475,3 +475,68 @@ def winnow_similar_pairs(
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+# -- characteristic terms (tf-idf family) ---------------------------------
+
+
+def top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_tf: int = 1,
+) -> DataFrame:
+    """Top-k characteristic terms per document, ranked by a tf-idf
+    score — the classic corpus-statistics op (keyword extraction,
+    nearest-duplicate explanation, topic drift monitoring).
+
+    The idf factor is the BM25 rational form ``(N - df + 0.5) /
+    (df + 0.5)`` rather than a logarithm: same monotonicity (rare term
+    -> big weight), but composed of IEEE-exact double ops on integers,
+    so Spark and DuckDB produce BIT-IDENTICAL scores and the oracle
+    compare can be hash-exact (a transcendental ln may differ in the
+    last ulp between libm builds).  Scores are emitted as integer
+    micro-units (the cross-engine canonicalization SCALE.md documents).
+
+    Plan: tokenize+explode -> ONE hash aggregate on (doc, term) for tf
+    (map-side combine collapses repeats) -> term df by a count over the
+    already-distinct (doc, term) pairs (second aggregate, vocabulary-
+    sized output) -> join tf*idf (shuffle keyed on the term; AQE
+    broadcasts the vocabulary side when it fits) -> per-doc top-k via
+    row_number with a deterministic (score desc, term asc) order.  At
+    100 TB the term-keyed exchanges carry (doc, term) pairs, not text;
+    stopword-grade hot terms are exactly the low-idf ones, so skew salt
+    is rarely needed — AQE's skew split covers the rest.
+    """
+    from pyspark.sql import Window
+
+    toks = word_tokens(F.col(text_col))
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .filter(F.col("tf") >= min_tf)
+    )
+    n_docs = df.select(id_col).distinct().count()
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        id_col,
+        "term",
+        "tf",
+        "df",
+        # keep the expression shape IDENTICAL to the oracle SQL: the
+        # double ops are IEEE-exact only under the same evaluation order
+        F.expr(
+            f"CAST(round(tf * (({n_docs} - df + 0.5) / (df + 0.5)) * 1000000)"
+            " AS BIGINT)"
+        ).alias("score_micro"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_micro"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "df", "score_micro")
+    )

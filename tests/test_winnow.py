@@ -104,3 +104,46 @@ def test_plan_is_jvm_side(spark):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+# -- top_terms (tf-idf family, same module) -------------------------------
+
+
+def test_top_terms_rare_term_outranks_common(spark):
+    from influxdb_iox_spark.pipeline.text import top_terms
+
+    docs = _docs(
+        spark,
+        [
+            (1, "common common common rare"),
+            (2, "common filler words here"),
+            (3, "common other text lines"),
+        ],
+    )
+    out = top_terms(docs, k=2).collect()
+    d1 = sorted(
+        (r.rank, r.term) for r in out if r.doc_id == 1
+    )
+    # 'rare' (df=1) outranks 'common' (df=3) despite tf 1 vs 3:
+    # idf (3-1+0.5)/(1+0.5) = 1.67 vs (3-3+0.5)/(3+0.5) = 0.143*3
+    assert d1[0] == (1, "rare")
+    assert d1[1] == (2, "common")
+
+
+def test_top_terms_deterministic_tiebreak_and_k(spark):
+    from influxdb_iox_spark.pipeline.text import top_terms
+
+    docs = _docs(spark, [(1, "b a c"), (2, "z y x w v u t")])
+    out = top_terms(docs, k=3)
+    rows = sorted((r.doc_id, r.rank, r.term) for r in out.collect())
+    # equal tf/df everywhere in doc 1 -> alphabetical rank order
+    assert [t for d, _, t in rows if d == 1] == ["a", "b", "c"]
+    assert len([1 for d, *_ in rows if d == 2]) == 3  # k caps the fan-out
+
+
+def test_top_terms_plan_is_jvm_side(spark):
+    from influxdb_iox_spark.pipeline.text import top_terms
+
+    docs = _docs(spark, [(1, "a b c")])
+    plan = top_terms(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "InPandas" not in plan
