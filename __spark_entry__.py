@@ -1095,6 +1095,92 @@ FROM ranked WHERE term_rank <= 5
 SQL_DOC_TOP_TERMS = _sql_doc_top_terms()
 
 
+# -- TOP/BOTTOM n-point selectors (operators/selectors.py) ----------------
+
+
+def q_rpc_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``TOP/BOTTOM(value, 3)`` per event_type — the reference's
+    single-row selector family (query/src/func/selectors.rs:56-160)
+    generalized to n rows per group, each carrying its row's timestamp
+    (influxql top()/bottom() surface).  Ties on value break by EARLIER
+    timestamp (InfluxQL rule); event_id pins (value, time) ties.
+
+    Scale shape: row_number + rank<=n compiles to WindowGroupLimit — a
+    bounded per-group top-k heap run map-side AND reduce-side, so each
+    partition ships at most n rows per group (plan-asserted in
+    tests/test_selectors_topn.py).  One exchange per branch, no global
+    sort."""
+    from influxdb_iox_spark.operators.selectors import selector_bottom, selector_top
+
+    t = _load(spark, sf_dir, "events")
+    ev = t["events"]
+
+    def shape(df: DataFrame, which: str) -> DataFrame:
+        return df.select(
+            F.col("event_type"),
+            F.lit(which).alias("which"),
+            F.col("rank"),
+            F.col("value"),
+            F.expr("ts div 1000").alias("time_us"),
+            F.col("event_id"),
+        )
+
+    top = selector_top(ev, 3, "value", by=["event_type"], time="ts", tiebreak=("event_id",))
+    bot = selector_bottom(ev, 3, "value", by=["event_type"], time="ts", tiebreak=("event_id",))
+    return shape(top, "top").unionAll(shape(bot, "bottom"))
+
+
+SQL_RPC_TOP_VALUES = """
+WITH nn AS (SELECT event_type, value, epoch_us(ts) AS time_us, event_id
+            FROM events WHERE value IS NOT NULL),
+t AS (SELECT event_type, 'top' AS which,
+        CAST(row_number() OVER (PARTITION BY event_type
+             ORDER BY value DESC, time_us ASC, event_id ASC) AS INTEGER) AS rank,
+        value, time_us, event_id FROM nn),
+b AS (SELECT event_type, 'bottom' AS which,
+        CAST(row_number() OVER (PARTITION BY event_type
+             ORDER BY value ASC, time_us ASC, event_id ASC) AS INTEGER) AS rank,
+        value, time_us, event_id FROM nn)
+SELECT * FROM t WHERE rank <= 3 UNION ALL SELECT * FROM b WHERE rank <= 3
+"""
+
+
+# -- int8 embedding quantization audit (pipeline/similarity.py) -----------
+
+
+def q_emb_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization with an exact reconstruction
+    -error audit (pipeline/similarity.quantize_embeddings) — the
+    storage-side half of a 100 TB embedding store.  All outputs are
+    integer micro-units so the sum is order-free and the DuckDB twin is
+    hash-exact; the plan is one projection, zero shuffles, zero Python
+    (plan-asserted in tests/test_selectors_topn.py)."""
+    from influxdb_iox_spark.pipeline.similarity import quantize_embeddings
+
+    t = _load(spark, sf_dir, "embeddings")
+    return quantize_embeddings(t["embeddings"], bits=8)
+
+
+SQL_EMB_QUANTIZE_AUDIT = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc
+  FROM embeddings)
+SELECT vec_id,
+  CAST(len(embedding) AS INTEGER) AS dim,
+  CAST(round(sc * 1e6) AS BIGINT) AS scale_micro,
+  CAST(list_sum(list_transform(embedding, x ->
+    CAST(round(abs(CAST(x AS DOUBLE) -
+      (CASE WHEN sc = 0.0 THEN 0.0 ELSE round(CAST(x AS DOUBLE) / sc) END) * sc) * 1e6) AS BIGINT)
+  )) AS BIGINT) AS sum_abs_err_micro,
+  CAST(list_max(list_transform(embedding, x ->
+    CASE WHEN sc = 0.0 THEN 0.0 ELSE round(CAST(x AS DOUBLE) / sc) END)) AS BIGINT) AS max_q,
+  CAST(list_min(list_transform(embedding, x ->
+    CASE WHEN sc = 0.0 THEN 0.0 ELSE round(CAST(x AS DOUBLE) / sc) END)) AS BIGINT) AS min_q
+FROM s
+"""
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _load(spark, sf_dir, "events")
     k = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("long")
@@ -3685,6 +3771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow_fingerprints": q_winnow_fingerprints,
         "doc_winnow_similar_pairs": q_winnow_similar_pairs,
         "doc_top_terms": q_doc_top_terms,
+        "rpc_top_values": q_rpc_top_values,
+        "emb_quantize_audit": q_emb_quantize_audit,
     }
     return _rotate_for_round(base)
 
@@ -3749,6 +3837,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
         "doc_winnow_similar_pairs": SQL_WINNOW_SIMILAR_PAIRS,
         "doc_top_terms": SQL_DOC_TOP_TERMS,
+        "rpc_top_values": SQL_RPC_TOP_VALUES,
+        "emb_quantize_audit": SQL_EMB_QUANTIZE_AUDIT,
         "dedup_last_non_null": SQL_DEDUP,
         "json_props_extract": SQL_JSON_PROPS,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,

@@ -70,3 +70,49 @@ def selector_max(value: Column | str, time: Column | str = TIME_COLUMN_NAME) -> 
     # Negate time so the max struct picks the EARLIEST timestamp among ties.
     s = F.max(_nn(v, F.struct(v.alias("value"), (-t).alias("neg_time"))))
     return F.struct(s.getField("value").alias("value"), (-s.getField("neg_time")).alias("time"))
+
+
+def _top_bottom(df, n, value, by, time, tiebreak, descending):
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    v, t = _col(value), _col(time)
+    first = F.desc(v) if descending else F.asc(v)
+    order = [first, F.asc(t)] + [F.asc(_col(c)) for c in tiebreak]
+    w = Window.partitionBy(*[_col(c) for c in by]).orderBy(*order)
+    return (
+        df.filter(v.isNotNull())
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+    )
+
+
+def selector_top(df, n, value, by, time=TIME_COLUMN_NAME, tiebreak=()):
+    """InfluxQL ``TOP(field, N)`` per series group: the N greatest field
+    values in each group, each with its row (so the timestamp rides along,
+    unlike plain max), plus a 1-based ``rank``.
+
+    Ties follow InfluxQL: equal values rank by EARLIER timestamp first;
+    rows tied on (value, time) need ``tiebreak`` columns for a
+    deterministic result (same contract as ``deduplicate()`` — the
+    precondition is the caller's, loudly).
+
+    Scale shape: row_number + rank<=n compiles to WindowGroupLimit in
+    Spark 3.5+ — a per-group bounded top-k heap run BOTH map-side (before
+    the exchange) and reduce-side, so each partition ships at most n rows
+    per group instead of whole series.  One key-hash exchange, no global
+    sort.  Plan-asserted in test_selectors_topn.py.
+
+    The reference's selector UDAFs return a single (value, time) pair
+    (query/src/func/selectors.rs:56-160); TOP/BOTTOM generalize them to
+    n rows — the InfluxQL surface family (influxql: top(), bottom()).
+    """
+    return _top_bottom(df, n, value, by, time, tiebreak, descending=True)
+
+
+def selector_bottom(df, n, value, by, time=TIME_COLUMN_NAME, tiebreak=()):
+    """InfluxQL ``BOTTOM(field, N)``: the N smallest values per group —
+    see :func:`selector_top` for semantics, tie rules, and the
+    WindowGroupLimit scale shape."""
+    return _top_bottom(df, n, value, by, time, tiebreak, descending=False)

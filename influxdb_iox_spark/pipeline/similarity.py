@@ -412,3 +412,63 @@ def semantic_hot_clusters(
         .filter(F.col("n_docs") > max_cluster_size)
         .orderBy(F.desc("n_docs"))
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector symmetric scalar quantization — the storage-side half of
+    a 100 TB embedding store (int8 vectors are 4x smaller than float32 and
+    SIMD-friendly for re-ranking; this op reports the codes AND the exact
+    reconstruction-error audit a pipeline gates promotion on).
+
+    Scheme: per-vector scale = max|x| / qmax with qmax = 2^(bits-1) - 1;
+    code q_i = round(x_i / scale) in [-qmax, qmax]; reconstruction error
+    e_i = |x_i - q_i * scale|.  An all-zero vector has scale 0 and codes 0
+    (no division).  Errors and the scale are canonicalized to integer
+    micro-units BEFORE summing so the per-vector totals are order-free and
+    hash-exact cross-engine (double accumulation order is not).
+
+    Plan shape: one projection, zero shuffles, zero Python — array HOFs
+    (transform/aggregate) are interpreted expressions but JVM-side, and
+    `max_abs`/`scale` are materialized as real columns in a PRIOR select
+    so the lambdas reference plain attributes (Catalyst inlines referenced
+    EXPRESSIONS into lambda bodies, which would re-derive max|x| per
+    element — the O(dim^2) trap SCALE.md documents for gram_structs).
+
+    Output: (id, dim, scale_micro, sum_abs_err_micro, max_q, min_q) —
+    all integer columns.
+    """
+    qmax = float(2 ** (bits - 1) - 1)
+    v = F.col(vec_col)
+    with_scale = df.select(
+        F.col(id_col),
+        v.alias("_v"),
+        (
+            F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))) / qmax
+        ).alias("_scale"),
+    )
+    sc = F.col("_scale")
+
+    def code(x: Column) -> Column:
+        # round() is HALF_UP (away from zero) in both Spark and DuckDB
+        return F.when(sc == 0.0, F.lit(0.0)).otherwise(
+            F.round(x.cast("double") / sc, 0)
+        )
+
+    def err_micro(x: Column) -> Column:
+        return F.round(F.abs(x.cast("double") - code(x) * sc) * 1e6, 0).cast("long")
+
+    return with_scale.select(
+        F.col(id_col),
+        F.size("_v").alias("dim"),
+        F.round(sc * 1e6, 0).cast("long").alias("scale_micro"),
+        F.aggregate(
+            "_v", F.lit(0).cast("long"), lambda acc, x: acc + err_micro(x)
+        ).alias("sum_abs_err_micro"),
+        F.array_max(F.transform("_v", code)).cast("long").alias("max_q"),
+        F.array_min(F.transform("_v", code)).cast("long").alias("min_q"),
+    )

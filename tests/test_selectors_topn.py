@@ -1,0 +1,99 @@
+"""TOP/BOTTOM n-point selectors (operators/selectors.py) and int8
+embedding quantization (pipeline/similarity.py).
+
+The oracle-paired queries (rpc_top_values / emb_quantize_audit in
+__spark_entry__.py, checked by test_oracle_parity) pin cross-engine
+values; these tests pin semantics (InfluxQL tie rules, exact
+reconstruction arithmetic) and the plan shape (WindowGroupLimit top-k
+pushdown, zero Python).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from influxdb_iox_spark.operators.selectors import selector_bottom, selector_top
+from influxdb_iox_spark.pipeline.similarity import quantize_embeddings
+
+
+def _series(spark):
+    rows = [
+        # (host, time, value)
+        ("a", 1, 10.0),
+        ("a", 2, 30.0),
+        ("a", 3, 20.0),
+        ("a", 4, 30.0),  # value tie with t=2 -> earlier time ranks first
+        ("a", 5, None),  # ignored
+        ("b", 1, 5.0),
+    ]
+    return spark.createDataFrame(rows, "host string, time long, value double")
+
+
+def test_top_values_and_influxql_tie_rule(spark):
+    out = selector_top(_series(spark), 2, "value", by=["host"], time="time")
+    got = {(r.host, r.rank): (r.value, r.time) for r in out.collect()}
+    # ties on value=30.0 break by EARLIER timestamp (InfluxQL rule)
+    assert got[("a", 1)] == (30.0, 2)
+    assert got[("a", 2)] == (30.0, 4)
+    assert got[("b", 1)] == (5.0, 1)
+    assert len(got) == 3
+
+
+def test_bottom_skips_nulls_and_orders_ascending(spark):
+    out = selector_bottom(_series(spark), 2, "value", by=["host"], time="time")
+    a = sorted((r.rank, r.value) for r in out.collect() if r.host == "a")
+    assert a == [(1, 10.0), (2, 20.0)]  # the NULL row never ranks
+
+
+def test_topn_plan_uses_window_group_limit(spark):
+    # rank<=n over row_number must compile to WindowGroupLimit (bounded
+    # per-group heap, map-side AND reduce-side) — the reason this is a
+    # top-k and not a full per-series sort at 100 TB.
+    df = selector_top(_series(spark), 2, "value", by=["host"], time="time")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_quantize_matches_numpy_reference(spark):
+    vecs = [
+        (1, [1.0, -2.0, 0.5, 127.0]),
+        (2, [0.25, 0.25, -0.25, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r.asDict() for r in quantize_embeddings(df).collect()}
+    for vid, emb in vecs:
+        xs = [float(x) for x in emb]
+        scale = max(abs(x) for x in xs) / 127.0
+        codes = [_half_up(x / scale) for x in xs]
+        errs = [_half_up(abs(x - q * scale) * 1e6) for x, q in zip(xs, codes)]
+        r = got[vid]
+        assert r["dim"] == len(xs)
+        assert r["scale_micro"] == _half_up(scale * 1e6)
+        assert r["sum_abs_err_micro"] == sum(errs)
+        assert r["max_q"] == max(codes) and r["min_q"] == min(codes)
+        assert -127 <= r["min_q"] and r["max_q"] <= 127
+
+
+def _half_up(x: float) -> int:
+    # Spark/DuckDB round(): half away from zero (not banker's)
+    return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+
+def test_quantize_zero_vector_has_zero_codes_no_division(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    r = quantize_embeddings(df).collect()[0]
+    assert (r.scale_micro, r.sum_abs_err_micro, r.max_q, r.min_q) == (0, 0, 0, 0)
+
+
+def test_quantize_plan_is_jvm_side_no_shuffle(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    plan = quantize_embeddings(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "Exchange" not in plan  # pure projection, zero shuffles
