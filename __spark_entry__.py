@@ -1145,6 +1145,49 @@ SELECT * FROM t WHERE rank <= 3 UNION ALL SELECT * FROM b WHERE rank <= 3
 """
 
 
+def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 by int8-quantized cosine vs vec_id=0
+    (pipeline/similarity.quantized_cosine_topk) — the compute half of the
+    quantized store: scales cancel in cosine, so ranking runs on exact
+    int64 dot products over int8 codes and never touches the float
+    vectors.  qcos_micro is IEEE-deterministic → hash-exact oracle."""
+    from influxdb_iox_spark.pipeline.similarity import quantized_cosine_topk
+
+    t = _load(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in t["embeddings"].filter(F.col("vec_id") == 0).first().embedding
+    ]
+    return quantized_cosine_topk(t["embeddings"], qv, k=20)
+
+
+SQL_ANN_INT8_TOPK = """
+WITH qv AS (
+  SELECT list_transform(embedding, x -> CAST((CASE WHEN qsc = 0 THEN 0.0
+           ELSE round(CAST(x AS DOUBLE) / qsc) END) AS BIGINT)) AS qcodes
+  FROM (SELECT embedding,
+          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS qsc
+        FROM embeddings WHERE vec_id = 0)),
+qqv AS (SELECT CAST(list_sum(list_transform(qcodes, c -> c * c)) AS BIGINT) AS qq FROM qv),
+codes AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST((CASE WHEN sc = 0 THEN 0.0
+        ELSE round(CAST(x AS DOUBLE) / sc) END) AS BIGINT)) AS c
+  FROM (SELECT vec_id, embedding,
+          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc
+        FROM embeddings)),
+d AS (
+  SELECT vec_id, CAST(SUM(cx * cy) AS BIGINT) AS dot_q, CAST(SUM(cx * cx) AS BIGINT) AS vv
+  FROM (SELECT vec_id, unnest(c) AS cx, unnest((SELECT qcodes FROM qv)) AS cy FROM codes)
+  GROUP BY vec_id)
+SELECT vec_id, dot_q,
+  CAST(round((CASE WHEN vv = 0 THEN 0.0
+    ELSE CAST(dot_q AS DOUBLE) / sqrt(CAST(vv * (SELECT qq FROM qqv) AS DOUBLE)) END) * 1e6)
+    AS BIGINT) AS qcos_micro
+FROM d ORDER BY qcos_micro DESC, vec_id LIMIT 20
+"""
+
+
 # -- int8 embedding quantization audit (pipeline/similarity.py) -----------
 
 
@@ -3773,6 +3816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_top_terms": q_doc_top_terms,
         "rpc_top_values": q_rpc_top_values,
         "emb_quantize_audit": q_emb_quantize_audit,
+        "ann_int8_topk": q_ann_int8_topk,
     }
     return _rotate_for_round(base)
 
@@ -3839,6 +3883,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_top_terms": SQL_DOC_TOP_TERMS,
         "rpc_top_values": SQL_RPC_TOP_VALUES,
         "emb_quantize_audit": SQL_EMB_QUANTIZE_AUDIT,
+        "ann_int8_topk": SQL_ANN_INT8_TOPK,
         "dedup_last_non_null": SQL_DEDUP,
         "json_props_extract": SQL_JSON_PROPS,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,

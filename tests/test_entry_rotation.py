@@ -18,9 +18,10 @@ No SparkSession needed — these only inspect the query registry.
 from __future__ import annotations
 
 import importlib
+import pathlib
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 entry_mod = importlib.import_module("__spark_entry__")
 
 WINDOW = 50  # the driver's per-round correctness window size

@@ -90,6 +90,70 @@ def test_quantize_zero_vector_has_zero_codes_no_division(spark):
     assert (r.scale_micro, r.sum_abs_err_micro, r.max_q, r.min_q) == (0, 0, 0, 0)
 
 
+def test_quantized_topk_matches_python_reference(spark):
+    from influxdb_iox_spark.pipeline.similarity import (
+        _round_half_up,
+        quantized_cosine_topk,
+    )
+
+    vecs = [
+        (0, [1.0, 2.0, -3.0, 0.5]),
+        (1, [1.1, 2.1, -2.9, 0.4]),   # near the query
+        (2, [-1.0, -2.0, 3.0, -0.5]), # anti-parallel
+        (3, [0.0, 0.0, 0.0, 0.0]),    # zero norm -> score 0
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    qv = vecs[0][1]
+    got = [(r.vec_id, r.dot_q, r.qcos_micro) for r in
+           quantized_cosine_topk(df, qv, k=4).collect()]
+
+    qsc = max(abs(x) for x in qv) / 127.0
+    qc = [_round_half_up(x / qsc) for x in qv]
+    qq = sum(c * c for c in qc)
+    exp = []
+    for vid, emb in vecs:
+        xs = [float(x) for x in emb]
+        sc = max(abs(x) for x in xs) / 127.0
+        c = [0 if sc == 0 else _round_half_up(x / sc) for x in xs]
+        dot = sum(a * b for a, b in zip(c, qc))
+        vv = sum(a * a for a in c)
+        score = 0.0 if vv == 0 else dot / math.sqrt(float(vv * qq))
+        exp.append((vid, dot, _round_half_up(score * 1e6)))
+    exp.sort(key=lambda t: (-t[2], t[0]))
+    assert got == exp
+    assert got[0][0] in (0, 1) and got[-1][0] == 2  # anti-parallel ranks last
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    # int8 quantization of 64-dim float32 should barely perturb ranking:
+    # demand >= 18/20 overlap with the exact cosine top-20 on real data.
+    from influxdb_iox_spark.pipeline.similarity import (
+        cosine_topk,
+        quantized_cosine_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    exact = {r.vec_id for r in cosine_topk(emb, qv, k=20).collect()}
+    quant = {r.vec_id for r in quantized_cosine_topk(emb, qv, k=20).collect()}
+    assert len(exact & quant) >= 18
+
+
+def test_quantized_topk_plan_takeordered_no_python(spark):
+    from influxdb_iox_spark.pipeline.similarity import quantized_cosine_topk
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    plan = (
+        quantized_cosine_topk(df, [1.0, 2.0], k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "Exchange" not in plan  # per-partition heaps + driver merge
+
+
 def test_quantize_plan_is_jvm_side_no_shuffle(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 2.0])], "vec_id long, embedding array<float>"
