@@ -1188,6 +1188,51 @@ FROM d ORDER BY qcos_micro DESC, vec_id LIMIT 20
 """
 
 
+def q_rpc_stats_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL statistical aggregates per series (operators/stats.py):
+    SPREAD (max−min, one IEEE op), sample STDDEV in exact-integer-sums
+    form (n/Σv/Σv² in decimal(38,0) micro-units — order-free, identical
+    under any partitioning, one final double sqrt), and MODE over the
+    integer-rounded value with ties pinned to the SMALLEST value
+    (ordered-struct max_by, never hash-agg visit order)."""
+    from influxdb_iox_spark.operators.stats import (
+        mode_smallest,
+        sample_stddev_micro,
+        spread,
+    )
+
+    t = _load(spark, sf_dir, "events")
+    ev = t["events"]
+    stats = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        spread("value").alias("spread"),
+        sample_stddev_micro("value").alias("stddev_micro"),
+    )
+    buckets = ev.select(
+        "event_type", F.round("value", 0).cast("long").alias("vb")
+    )
+    mode = mode_smallest(buckets, "vb", ["event_type"])
+    return stats.join(mode, "event_type").orderBy("event_type")
+
+
+SQL_RPC_STATS_FAMILY = """
+WITH vm AS (SELECT event_type, value, CAST(round(value * 1e6) AS BIGINT) AS m
+            FROM events WHERE value IS NOT NULL),
+s AS (SELECT event_type, COUNT(*) AS n, MAX(value) - MIN(value) AS spread,
+        CASE WHEN COUNT(*) < 2 THEN 0
+        ELSE CAST(round(sqrt(CAST(COUNT(*) * SUM(m * m) - SUM(m) * SUM(m) AS DOUBLE)
+             / CAST(COUNT(*) * (COUNT(*) - 1) AS DOUBLE))) AS BIGINT) END AS stddev_micro
+      FROM vm GROUP BY event_type),
+b AS (SELECT event_type, CAST(round(value, 0) AS BIGINT) AS vb, COUNT(*) AS cnt
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+md AS (SELECT event_type, vb AS mode_value FROM (
+        SELECT event_type, vb, row_number() OVER (PARTITION BY event_type
+               ORDER BY cnt DESC, vb ASC) AS rn FROM b) WHERE rn = 1)
+SELECT s.event_type, n, spread, stddev_micro, mode_value
+FROM s JOIN md USING (event_type) ORDER BY s.event_type
+"""
+
+
 # -- int8 embedding quantization audit (pipeline/similarity.py) -----------
 
 
@@ -3817,6 +3862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rpc_top_values": q_rpc_top_values,
         "emb_quantize_audit": q_emb_quantize_audit,
         "ann_int8_topk": q_ann_int8_topk,
+        "rpc_stats_family": q_rpc_stats_family,
     }
     return _rotate_for_round(base)
 
@@ -3884,6 +3930,7 @@ def oracle_sql() -> dict[str, str]:
         "rpc_top_values": SQL_RPC_TOP_VALUES,
         "emb_quantize_audit": SQL_EMB_QUANTIZE_AUDIT,
         "ann_int8_topk": SQL_ANN_INT8_TOPK,
+        "rpc_stats_family": SQL_RPC_STATS_FAMILY,
         "dedup_last_non_null": SQL_DEDUP,
         "json_props_extract": SQL_JSON_PROPS,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
