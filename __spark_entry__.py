@@ -1233,6 +1233,32 @@ FROM s JOIN md USING (event_type) ORDER BY s.event_type
 """
 
 
+def q_rpc_percentile_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL PERCENTILE(value, 50/95) per event_type — nearest-rank
+    order statistic returning an ACTUAL field value (rank ⌈p·n⌉), vs the
+    interpolated surface covered by percentiles_by_type
+    (operators/stats.percentile_nearest_rank; one shared key exchange)."""
+    from influxdb_iox_spark.operators.stats import percentile_nearest_rank
+
+    t = _load(spark, sf_dir, "events")
+    return percentile_nearest_rank(
+        t["events"], "value", ["event_type"], [50.0, 95.0]
+    ).orderBy("event_type")
+
+
+SQL_RPC_PERCENTILE_SELECTOR = """
+WITH nn AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+r AS (SELECT event_type, value,
+        row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        count(*) OVER (PARTITION BY event_type) AS cnt
+      FROM nn)
+SELECT event_type,
+  MAX(CASE WHEN rn = CAST(ceil(cnt * 0.5) AS BIGINT) THEN value END) AS p50,
+  MAX(CASE WHEN rn = CAST(ceil(cnt * 0.95) AS BIGINT) THEN value END) AS p95
+FROM r GROUP BY event_type ORDER BY event_type
+"""
+
+
 # -- int8 embedding quantization audit (pipeline/similarity.py) -----------
 
 
@@ -3863,6 +3889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize_audit": q_emb_quantize_audit,
         "ann_int8_topk": q_ann_int8_topk,
         "rpc_stats_family": q_rpc_stats_family,
+        "rpc_percentile_selector": q_rpc_percentile_selector,
     }
     return _rotate_for_round(base)
 
@@ -3931,6 +3958,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_quantize_audit": SQL_EMB_QUANTIZE_AUDIT,
         "ann_int8_topk": SQL_ANN_INT8_TOPK,
         "rpc_stats_family": SQL_RPC_STATS_FAMILY,
+        "rpc_percentile_selector": SQL_RPC_PERCENTILE_SELECTOR,
         "dedup_last_non_null": SQL_DEDUP,
         "json_props_extract": SQL_JSON_PROPS,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,

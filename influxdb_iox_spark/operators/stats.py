@@ -27,7 +27,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["spread", "sample_stddev_micro", "mode_smallest"]
+__all__ = [
+    "spread",
+    "sample_stddev_micro",
+    "mode_smallest",
+    "percentile_nearest_rank",
+]
 
 
 def spread(value: Column | str) -> Column:
@@ -62,6 +67,55 @@ def sample_stddev_micro(value: Column | str) -> Column:
     return F.when(F.count(vm) < 2, F.lit(0).cast("long")).otherwise(
         F.round(F.sqrt(num / den), 0).cast("long")
     )
+
+
+def percentile_nearest_rank(
+    df: DataFrame,
+    value: Column | str,
+    by: list[str],
+    percentiles: list[float],
+) -> DataFrame:
+    """InfluxQL PERCENTILE(field, N): the Nth-percentile FIELD VALUE by
+    the nearest-rank method — an actual input value (rank ⌈p·n⌉ in value
+    order), never an interpolation (that's the separate exact-interpolated
+    surface, `percentiles_by_type`).  NULLs never rank.
+
+    Output: the ``by`` columns plus one ``p<N>`` column per requested
+    percentile (N rendered with ``_`` for the decimal point, e.g. 99.9 →
+    ``p99_9``).
+
+    Plan shape: ONE key-hash exchange shared by the row_number and the
+    per-group count (same window partitioning), then one hash aggregate.
+    The per-series sort is the semantics' own requirement (an order
+    statistic), same as the reference's sorted-series pipeline; there is
+    no global sort and no driver collect.  Rank ties (duplicate values)
+    cannot change the answer — equal rank candidates carry equal values.
+    """
+    from pyspark.sql import Window
+
+    for p in percentiles:
+        if not 0 < p <= 100:
+            raise ValueError(f"percentile must be in (0, 100], got {p}")
+    v = F.col(value) if isinstance(value, str) else value
+    keys = [F.col(c) for c in by]
+    # windows reference the post-projection name: the input column may be
+    # renamed away by the select below
+    w_order = Window.partitionBy(*keys).orderBy(F.col("__pv").asc())
+    w_all = Window.partitionBy(*keys)
+    ranked = (
+        df.filter(v.isNotNull())
+        .select(*keys, v.alias("__pv"))
+        .withColumn("__rn", F.row_number().over(w_order))
+        .withColumn("__cnt", F.count("*").over(w_all))
+    )
+    aggs = []
+    for p in percentiles:
+        k = F.ceil(F.col("__cnt") * F.lit(p / 100.0))
+        name = ("p%g" % p).replace(".", "_")
+        aggs.append(
+            F.max(F.when(F.col("__rn") == k, F.col("__pv"))).alias(name)
+        )
+    return ranked.groupBy(*keys).agg(*aggs)
 
 
 def mode_smallest(

@@ -60,6 +60,43 @@ def test_stddev_partition_invariant_and_n1_is_zero(spark):
     assert agg(one) == 0
 
 
+def test_percentile_nearest_rank_returns_actual_values(spark):
+    from influxdb_iox_spark.operators.stats import percentile_nearest_rank
+
+    # 10 values 1..10: p50 -> rank ceil(0.5*10)=5 -> value 5 (NOT the
+    # interpolated 5.5); p90 -> rank 9; p100 -> rank 10 (the max).
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 11)] + [("a", None)],
+        "g string, v double",
+    )
+    r = percentile_nearest_rank(df, "v", ["g"], [50.0, 90.0, 100.0]).collect()[0]
+    assert (r.p50, r.p90, r.p100) == (5.0, 9.0, 10.0)
+
+    # single-element group: every percentile is that element
+    one = spark.createDataFrame([("b", 7.5)], "g string, v double")
+    r1 = percentile_nearest_rank(one, "v", ["g"], [1.0, 99.9]).collect()[0]
+    assert (r1.p1, r1.p99_9) == (7.5, 7.5)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        percentile_nearest_rank(df, "v", ["g"], [0.0])
+
+
+def test_percentile_plan_shares_one_exchange(spark):
+    from influxdb_iox_spark.operators.stats import percentile_nearest_rank
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    plan = (
+        percentile_nearest_rank(df, "v", ["g"], [50.0, 95.0])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # row_number and the per-group count share the key partitioning; the
+    # final aggregate reuses it -> exactly one hash exchange, no Python
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
 def test_spread_and_plan_single_aggregate(spark):
     df = spark.createDataFrame(
         [("a", 1.5), ("a", -2.5), ("a", 4.0)], "g string, v double"
