@@ -3222,6 +3222,32 @@ ORDER BY a, b
 """
 
 
+def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard at threshold 0.3
+    (pipeline/dedup.ngram_jaccard_pairs) — the inverted-index exact dedup
+    method as its OWN first-class operator row, distinct from
+    minhash_near_dup (which runs the banded LSH pipeline against this
+    same oracle at 0.5, where band-miss probability is negligible).  At
+    0.3 LSH recall is NOT guaranteed — this is precisely the regime where
+    a pipeline reaches for the exact method, and the inverted-index bound
+    (quadratic only within identical shingles) is what keeps it feasible."""
+    from influxdb_iox_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    t = _load(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(t["documents"], threshold=0.3)
+    return out.select(
+        "a", "b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("a", "b")
+
+
+SQL_DOC_NGRAM_JACCARD = f"""
+WITH {_SQL_SHINGLE_PAIRS_CTE}
+SELECT a, b, round(shared / (na + nb - shared), 6) AS jaccard
+FROM shared WHERE shared / (na + nb - shared) >= 0.3
+ORDER BY a, b
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints (md5 bit-voting) — deterministic bit math,
     reproduced exactly by the DuckDB oracle (md5 nibble-parse + per-bit
@@ -3890,6 +3916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_int8_topk": q_ann_int8_topk,
         "rpc_stats_family": q_rpc_stats_family,
         "rpc_percentile_selector": q_rpc_percentile_selector,
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
     }
     return _rotate_for_round(base)
 
@@ -3959,6 +3986,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_int8_topk": SQL_ANN_INT8_TOPK,
         "rpc_stats_family": SQL_RPC_STATS_FAMILY,
         "rpc_percentile_selector": SQL_RPC_PERCENTILE_SELECTOR,
+        "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "dedup_last_non_null": SQL_DEDUP,
         "json_props_extract": SQL_JSON_PROPS,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
