@@ -131,13 +131,24 @@ def mode_smallest(
     max per group — both with map-side partial aggregation, so the wide
     first exchange carries at most one row per distinct (group, value).
     NULL values never count (like every InfluxQL aggregate).
+
+    Precondition: ``value`` must be NUMERIC — the smallest-wins tie-break
+    rides the negated value inside the max_by struct, which has no
+    meaning for strings.  Checked loudly rather than silently mis-ranking.
     """
+    from pyspark.sql.types import NumericType
+
     v = F.col(value) if isinstance(value, str) else value
     counts = (
         df.filter(v.isNotNull())
         .groupBy(*[F.col(c) for c in by], v.alias("__mode_v"))
         .agg(F.count("*").alias("__mode_n"))
     )
+    if not isinstance(counts.schema["__mode_v"].dataType, NumericType):
+        raise TypeError(
+            "mode_smallest requires a numeric value column; got "
+            f"{counts.schema['__mode_v'].dataType.simpleString()}"
+        )
     pick = F.max_by(
         F.col("__mode_v"),
         F.struct(F.col("__mode_n"), (-F.col("__mode_v")).alias("__neg")),

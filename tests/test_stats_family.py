@@ -30,6 +30,14 @@ def test_mode_tie_breaks_to_smallest_value(spark):
     assert got == {"a": 3, "b": 5}
 
 
+def test_mode_rejects_non_numeric_values(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", "x")], "g string, v string")
+    with pytest.raises(TypeError, match="numeric"):
+        mode_smallest(df, "v", ["g"])
+
+
 def test_mode_ignores_nulls(spark):
     rows = [("a", None), ("a", None), ("a", 1)]
     df = spark.createDataFrame(rows, "g string, v long")
