@@ -1233,6 +1233,34 @@ FROM s JOIN md USING (event_type) ORDER BY s.event_type
 """
 
 
+def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per series (Flux histogram() /
+    InfluxQL-UI shape): bin = floor(value/25) — ONE hash aggregate with
+    map-side combine; bin ids and counts are exact integers, bin_lo is
+    one exact double multiply, so the oracle is hash-exact.  At 100 TB
+    this is the canonical distribution sketch: output cardinality is
+    series × occupied-bins, independent of row count."""
+    t = _load(spark, sf_dir, "events")
+    ev = t["events"].filter(F.col("value").isNotNull())
+    return (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("value") / F.lit(25.0)).cast("long").alias("bin"),
+        )
+        .agg(F.count("*").alias("n"))
+        .withColumn("bin_lo", F.col("bin") * 25.0)
+        .orderBy("event_type", "bin")
+    )
+
+
+SQL_EVENTS_HISTOGRAM = """
+SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bin, COUNT(*) AS n,
+       CAST(floor(value / 25.0) AS BIGINT) * 25.0 AS bin_lo
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2 ORDER BY event_type, bin
+"""
+
+
 def q_rpc_percentile_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """InfluxQL PERCENTILE(value, 50/95) per event_type — nearest-rank
     order statistic returning an ACTUAL field value (rank ⌈p·n⌉), vs the
@@ -3917,6 +3945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rpc_stats_family": q_rpc_stats_family,
         "rpc_percentile_selector": q_rpc_percentile_selector,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "events_histogram": q_events_histogram,
     }
     return _rotate_for_round(base)
 
@@ -3987,6 +4016,7 @@ def oracle_sql() -> dict[str, str]:
         "rpc_stats_family": SQL_RPC_STATS_FAMILY,
         "rpc_percentile_selector": SQL_RPC_PERCENTILE_SELECTOR,
         "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
+        "events_histogram": SQL_EVENTS_HISTOGRAM,
         "dedup_last_non_null": SQL_DEDUP,
         "json_props_extract": SQL_JSON_PROPS,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
