@@ -1154,11 +1154,7 @@ def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from influxdb_iox_spark.pipeline.similarity import quantized_cosine_topk
 
     t = _load(spark, sf_dir, "embeddings")
-    qv = [
-        float(x)
-        for x in t["embeddings"].filter(F.col("vec_id") == 0).first().embedding
-    ]
-    return quantized_cosine_topk(t["embeddings"], qv, k=20)
+    return quantized_cosine_topk(t["embeddings"], _query_vec0(t["embeddings"]), k=20)
 
 
 SQL_ANN_INT8_TOPK = """
@@ -1220,7 +1216,7 @@ WITH vm AS (SELECT event_type, value, CAST(round(value * 1e6) AS BIGINT) AS m
             FROM events WHERE value IS NOT NULL),
 s AS (SELECT event_type, COUNT(*) AS n, MAX(value) - MIN(value) AS spread,
         CASE WHEN COUNT(*) < 2 THEN 0
-        ELSE CAST(round(sqrt(CAST(COUNT(*) * SUM(m * m) - SUM(m) * SUM(m) AS DOUBLE)
+        ELSE CAST(round(sqrt(CAST(COUNT(*) * SUM(CAST(m AS HUGEINT) * m) - SUM(m) * SUM(m) AS DOUBLE)
              / CAST(COUNT(*) * (COUNT(*) - 1) AS DOUBLE))) AS BIGINT) END AS stddev_micro
       FROM vm GROUP BY event_type),
 b AS (SELECT event_type, CAST(round(value, 0) AS BIGINT) AS vb, COUNT(*) AS cnt
@@ -1606,12 +1602,18 @@ FROM documents
 """
 
 
+def _query_vec0(emb: DataFrame) -> list[float]:
+    """The shared anchor query vector (vec_id=0) for the similarity
+    queries — one place to change the convention, one eager fetch shape."""
+    return [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+
+
 def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-20 vs vec_id=0 (similarity baseline)."""
     from influxdb_iox_spark.pipeline.similarity import cosine_topk
 
     t = _load(spark, sf_dir, "embeddings")
-    qv = [float(x) for x in t["embeddings"].filter(F.col("vec_id") == 0).first().embedding]
+    qv = _query_vec0(t["embeddings"])
     out = cosine_topk(t["embeddings"], qv, k=20)
     return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
 

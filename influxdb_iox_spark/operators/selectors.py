@@ -77,6 +77,11 @@ def _top_bottom(df, n, value, by, time, tiebreak, descending):
 
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    if "rank" in df.columns:
+        raise ValueError(
+            "input already has a 'rank' column — TOP/BOTTOM emit their "
+            "1-based rank under that name; rename the input column first"
+        )
     v, t = _col(value), _col(time)
     first = F.desc(v) if descending else F.asc(v)
     order = [first, F.asc(t)] + [F.asc(_col(c)) for c in tiebreak]

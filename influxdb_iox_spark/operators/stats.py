@@ -45,23 +45,27 @@ def spread(value: Column | str) -> Column:
 def sample_stddev_micro(value: Column | str) -> Column:
     """Sample standard deviation in integer micro-units, exact-sums form.
 
-    The value is canonicalized to micro-units (``round(v*1e6)`` as long;
-    exact for \\|v\\| < ~9.2e12) and n, Σv, Σv² accumulate in decimal(38,0):
-    integer addition commutes, so the result is independent of partition
-    count, task order, and engine.  Variance = (n·Σv² − (Σv)²)/(n(n−1))
-    — the numerator and denominator are EXACT integers; the final
-    division and correctly-rounded sqrt are the only float ops, so the
-    rounded micro-unit result is hash-exact cross-engine.
+    The value is canonicalized to micro-units (``round(v*1e6)`` as long —
+    exact while the micro value fits a double's 2^53 integer range, i.e.
+    \\|v\\| ≤ ~9.0e9) and n, Σv, Σv² accumulate in decimal(38,0): integer
+    addition commutes, so the result is independent of partition count,
+    task order, and engine.  Variance = (n·Σv² − (Σv)²)/(n(n−1)) — the
+    numerator and denominator are EXACT integers; the final division and
+    correctly-rounded sqrt are the only float ops, so the rounded
+    micro-unit result is hash-exact cross-engine.
 
     Domain: with \\|v\\| ≤ ~1e6 (micro ≤ 1e12) the decimal(38,0) terms stay
-    under 1e38 up to ~1e13 rows per group.  Groups with n < 2 return 0.
+    under 1e38 up to ~1e13 rows per group.  The square is taken AFTER the
+    decimal cast — vm² in int64 would wrap silently past \\|v\\| ≈ 3037.
+    Groups with n < 2 return 0.
     """
     v = F.col(value) if isinstance(value, str) else value
     vm = F.round(v.cast("double") * 1e6, 0).cast("long")
     dec = "decimal(38,0)"
+    vmd = vm.cast(dec)
     n = F.count(vm).cast(dec)
-    s1 = F.sum(vm.cast(dec))
-    s2 = F.sum((vm * vm).cast(dec))
+    s1 = F.sum(vmd)
+    s2 = F.sum(vmd * vmd)
     num = (n * s2 - s1 * s1).cast("double")
     den = (n * (n - F.lit(1).cast(dec))).cast("double")
     return F.when(F.count(vm) < 2, F.lit(0).cast("long")).otherwise(
@@ -149,8 +153,18 @@ def mode_smallest(
             "mode_smallest requires a numeric value column; got "
             f"{counts.schema['__mode_v'].dataType.simpleString()}"
         )
+    # integral negation wraps at Long.MIN_VALUE (ANSI off) and would
+    # mis-rank that one tie; negate in decimal, which is exact for every
+    # int64.  Fractional types negate symmetrically — keep them native.
+    from pyspark.sql.types import FractionalType
+
+    neg_v = (
+        -F.col("__mode_v")
+        if isinstance(counts.schema["__mode_v"].dataType, FractionalType)
+        else -F.col("__mode_v").cast("decimal(20,0)")
+    )
     pick = F.max_by(
         F.col("__mode_v"),
-        F.struct(F.col("__mode_n"), (-F.col("__mode_v")).alias("__neg")),
+        F.struct(F.col("__mode_n"), neg_v.alias("__neg")),
     )
     return counts.groupBy(*[F.col(c) for c in by]).agg(pick.alias(out_col))

@@ -426,6 +426,34 @@ def _round_half_up(x: float) -> int:
     )
 
 
+def _with_scale(df: DataFrame, bits: int, vec_col: str, id_col: str) -> DataFrame:
+    """Materialize the per-vector quantization scale (max|x| / qmax) as a
+    REAL column next to the vector.  Shared by :func:`quantize_embeddings`
+    (storage half) and :func:`quantized_cosine_topk` (compute half) so the
+    two can never disagree on codes.  The scale lives in a PRIOR select so
+    downstream lambdas reference a plain attribute — Catalyst inlines
+    referenced EXPRESSIONS into lambda bodies, which would re-derive
+    max|x| per element (the O(dim²) trap SCALE.md documents)."""
+    qmax = float(2 ** (bits - 1) - 1)
+    v = F.col(vec_col)
+    return df.select(
+        F.col(id_col),
+        v.alias("_v"),
+        (
+            F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))) / qmax
+        ).alias("_scale"),
+    )
+
+
+def _code(x: Column, sc: Column) -> Column:
+    """Quantization code for one element given the per-vector scale:
+    round(x/scale) HALF_UP (identical in Spark and DuckDB); an all-zero
+    vector has scale 0 and codes 0 — no division."""
+    return F.when(sc == 0.0, F.lit(0.0)).otherwise(
+        F.round(x.cast("double") / sc, 0)
+    )
+
+
 def quantized_cosine_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -463,23 +491,10 @@ def quantized_cosine_topk(
     ]
     qq = sum(c * c for c in qcodes)
 
-    v = F.col(vec_col)
-    with_scale = df.select(
-        F.col(id_col),
-        v.alias("_v"),
-        (F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))) / float(qmax)).alias(
-            "_scale"
-        ),
-    )
     sc = F.col("_scale")
-    with_codes = with_scale.select(
+    with_codes = _with_scale(df, bits, vec_col, id_col).select(
         F.col(id_col),
-        F.transform(
-            "_v",
-            lambda x: F.when(sc == 0.0, F.lit(0.0))
-            .otherwise(F.round(x.cast("double") / sc, 0))
-            .cast("long"),
-        ).alias("_codes"),
+        F.transform("_v", lambda x: _code(x, sc).cast("long")).alias("_codes"),
     )
 
     qlit = F.array(*[F.lit(int(c)).cast("long") for c in qcodes])
@@ -492,10 +507,16 @@ def quantized_cosine_topk(
         F.col("_codes"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
     )
     scored = with_codes.select(F.col(id_col), dot_q.alias("dot_q"), vv.alias("_vv"))
-    score = F.when(F.col("_vv") == 0, F.lit(0.0)).otherwise(
-        F.col("dot_q").cast("double")
-        / F.sqrt((F.col("_vv") * F.lit(int(qq))).cast("double"))
-    )
+    if qq == 0:
+        # zero-norm QUERY: every score is 0 by definition — without this
+        # the division yields 0/0 = NaN, which round+cast would silently
+        # turn into 0 while the SQL oracle raises on CAST(NaN)
+        score = F.lit(0.0)
+    else:
+        score = F.when(F.col("_vv") == 0, F.lit(0.0)).otherwise(
+            F.col("dot_q").cast("double")
+            / F.sqrt((F.col("_vv") * F.lit(int(qq))).cast("double"))
+        )
     return (
         scored.select(
             F.col(id_col),
@@ -526,31 +547,19 @@ def quantize_embeddings(
     hash-exact cross-engine (double accumulation order is not).
 
     Plan shape: one projection, zero shuffles, zero Python — array HOFs
-    (transform/aggregate) are interpreted expressions but JVM-side, and
-    `max_abs`/`scale` are materialized as real columns in a PRIOR select
-    so the lambdas reference plain attributes (Catalyst inlines referenced
-    EXPRESSIONS into lambda bodies, which would re-derive max|x| per
-    element — the O(dim^2) trap SCALE.md documents for gram_structs).
+    (transform/aggregate) are interpreted expressions but JVM-side; the
+    scale column and the code lambda are the SHARED ``_with_scale`` /
+    ``_code`` helpers (also used by quantized_cosine_topk), so the
+    storage and compute halves can never disagree on codes.
 
     Output: (id, dim, scale_micro, sum_abs_err_micro, max_q, min_q) —
     all integer columns.
     """
-    qmax = float(2 ** (bits - 1) - 1)
-    v = F.col(vec_col)
-    with_scale = df.select(
-        F.col(id_col),
-        v.alias("_v"),
-        (
-            F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))) / qmax
-        ).alias("_scale"),
-    )
+    with_scale = _with_scale(df, bits, vec_col, id_col)
     sc = F.col("_scale")
 
     def code(x: Column) -> Column:
-        # round() is HALF_UP (away from zero) in both Spark and DuckDB
-        return F.when(sc == 0.0, F.lit(0.0)).otherwise(
-            F.round(x.cast("double") / sc, 0)
-        )
+        return _code(x, sc)
 
     def err_micro(x: Column) -> Column:
         return F.round(F.abs(x.cast("double") - code(x) * sc) * 1e6, 0).cast("long")

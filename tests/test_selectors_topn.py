@@ -58,6 +58,11 @@ def test_topn_plan_uses_window_group_limit(spark):
 
 
 def test_quantize_matches_numpy_reference(spark):
+    # the reference rounding is the library's own _round_half_up (exact
+    # BigDecimal HALF_UP semantics) — a local floor(x+0.5) twin diverges
+    # where x+0.5 itself rounds
+    from influxdb_iox_spark.pipeline.similarity import _round_half_up as _half_up
+
     vecs = [
         (1, [1.0, -2.0, 0.5, 127.0]),
         (2, [0.25, 0.25, -0.25, 0.0]),
@@ -75,11 +80,6 @@ def test_quantize_matches_numpy_reference(spark):
         assert r["sum_abs_err_micro"] == sum(errs)
         assert r["max_q"] == max(codes) and r["min_q"] == min(codes)
         assert -127 <= r["min_q"] and r["max_q"] <= 127
-
-
-def _half_up(x: float) -> int:
-    # Spark/DuckDB round(): half away from zero (not banker's)
-    return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
 
 
 def test_quantize_zero_vector_has_zero_codes_no_division(spark):
@@ -122,6 +122,26 @@ def test_quantized_topk_matches_python_reference(spark):
     exp.sort(key=lambda t: (-t[2], t[0]))
     assert got == exp
     assert got[0][0] in (0, 1) and got[-1][0] == 2  # anti-parallel ranks last
+
+
+def test_quantized_topk_zero_query_vector_scores_zero(spark):
+    # qq == 0 must short-circuit to score 0 — without the guard the
+    # division yields 0/0 = NaN, silently cast to 0 only on the Spark side
+    from influxdb_iox_spark.pipeline.similarity import quantized_cosine_topk
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0])], "vec_id long, embedding array<float>"
+    )
+    rows = quantized_cosine_topk(df, [0.0, 0.0], k=2).collect()
+    assert [(r.vec_id, r.qcos_micro) for r in rows] == [(1, 0), (2, 0)]
+
+
+def test_top_rejects_preexisting_rank_column(spark):
+    import pytest
+
+    df = _series(spark).withColumn("rank", F.lit(1))
+    with pytest.raises(ValueError, match="rank"):
+        selector_top(df, 2, "value", by=["host"], time="time")
 
 
 def test_quantized_topk_recall_vs_exact(spark):
