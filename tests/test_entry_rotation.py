@@ -37,21 +37,43 @@ def test_round_number_pinned_at_import(monkeypatch):
 
 
 def test_consecutive_windows_tile_all_queries():
+    """Union of k = ceil(n/WINDOW) consecutive rounds' windows must cover
+    every declared query.  The rotation advances the window start by
+    exactly WINDOW per round, so k consecutive windows form one
+    contiguous span of length WINDOW*k >= n on the cycle — i.e. the
+    invariant holds for ANY n >= WINDOW, with a freshness guarantee of
+    "every query gets a driver row at least every k rounds" (k=2 while
+    n <= 100, k=3 up to 150, ...).  This test verifies it concretely for
+    the current registry rather than trusting the argument."""
+    import math
+
     names = list(entry_mod.queries())
     n = len(names)
-    # tiling precondition: one window reaches at least half the surface
-    assert WINDOW <= n <= 2 * WINDOW, (
-        f"{n} queries breaks the two-round tiling invariant — widen the "
-        "rotation step or the window"
-    )
-    # simulate every pair of consecutive rounds' windows on the canonical
+    assert n >= WINDOW, f"{n} queries: one window must reach the whole surface"
+    k = math.ceil(n / WINDOW)
+    # simulate every run of k consecutive rounds' windows on the canonical
     # cycle: round r starts at (WINDOW * (r - 4)) % n
     for r in range(4, 4 + n):
-        a = (WINDOW * (r - 4)) % n
-        b = (WINDOW * (r - 3)) % n
-        wa = {names[(a + i) % n] for i in range(WINDOW)}
-        wb = {names[(b + i) % n] for i in range(WINDOW)}
-        assert wa | wb == set(names), f"rounds {r},{r + 1} miss queries"
+        union: set[str] = set()
+        for j in range(k):
+            s = (WINDOW * (r - 4 + j)) % n
+            union |= {names[(s + i) % n] for i in range(WINDOW)}
+        assert union == set(names), f"rounds {r}..{r + k - 1} miss queries"
+
+
+def test_freshness_horizon_documented():
+    """k = ceil(n/WINDOW) is the max rounds a long-green query can go
+    without a fresh driver row; keep it at 2 (n <= 100) unless a round
+    DELIBERATELY accepts a longer horizon — crossing 100 should be a
+    decision, not drift.  (The local DuckDB parity suite re-checks all
+    queries every run regardless, so driver-row staleness never means
+    unchecked correctness.)"""
+    n = len(entry_mod.queries())
+    assert n <= 2 * WINDOW, (
+        f"{n} queries -> freshness horizon {-(-n // WINDOW)} rounds; if "
+        "this growth is deliberate, raise this bound in the same commit "
+        "and say so"
+    )
 
 
 def test_current_round_window_covers_undriven_queries():
