@@ -1229,6 +1229,40 @@ FROM s JOIN md USING (event_type) ORDER BY s.event_type
 """
 
 
+def q_rpc_series_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL SLIMIT/SOFFSET (operators/series.series_limit): the 4
+    series starting at offset 3 in lexicographic (event_type, user_id)
+    order, then per-series count + exact micro-unit sum.  The rank runs
+    over the DISTINCT series-key set only (series-count-sized, never
+    row-count-sized) and survivors broadcast back as a semi-join."""
+    from influxdb_iox_spark.operators.series import series_limit
+
+    t = _load(spark, sf_dir, "events")
+    lim = series_limit(t["events"], ["event_type", "user_id"], n=4, offset=3)
+    return (
+        lim.groupBy("event_type", "user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 1e6, 0).cast("long")).alias(
+                "sum_value_micro"
+            ),
+        )
+        .orderBy("event_type", "user_id")
+    )
+
+
+SQL_RPC_SERIES_LIMIT = """
+WITH k AS (SELECT DISTINCT event_type, user_id FROM events),
+p AS (SELECT event_type, user_id,
+        row_number() OVER (ORDER BY event_type, user_id) AS sr FROM k)
+SELECT e.event_type, e.user_id, COUNT(*) AS n,
+  CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_value_micro
+FROM events e JOIN p ON e.event_type = p.event_type AND e.user_id = p.user_id
+WHERE p.sr > 3 AND p.sr <= 7
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width value histogram per series (Flux histogram() /
     InfluxQL-UI shape): bin = floor(value/25) — ONE hash aggregate with
@@ -3948,6 +3982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rpc_percentile_selector": q_rpc_percentile_selector,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "events_histogram": q_events_histogram,
+        "rpc_series_limit": q_rpc_series_limit,
     }
     return _rotate_for_round(base)
 
@@ -4019,6 +4054,7 @@ def oracle_sql() -> dict[str, str]:
         "rpc_percentile_selector": SQL_RPC_PERCENTILE_SELECTOR,
         "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "events_histogram": SQL_EVENTS_HISTOGRAM,
+        "rpc_series_limit": SQL_RPC_SERIES_LIMIT,
         "dedup_last_non_null": SQL_DEDUP,
         "json_props_extract": SQL_JSON_PROPS,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,

@@ -320,6 +320,39 @@ def frame_series_distributed(
     return part.mapInPandas(frames, schema=out_schema)
 
 
+def series_limit(
+    df: DataFrame,
+    tag_columns: list[str],
+    n: int,
+    offset: int = 0,
+) -> DataFrame:
+    """InfluxQL ``SLIMIT n SOFFSET offset``: keep rows belonging to the
+    n series starting at ``offset`` in lexicographic tag order (series
+    are ordered by their tag VALUES, the order InfluxQL enumerates them).
+
+    Scale shape: the rank is computed over the DISTINCT series-key set —
+    a partial-aggregated distinct whose cardinality is the series count,
+    never the row count — so the single-task global window (unavoidable
+    for a total order) sees only series keys.  The surviving keys then
+    broadcast back as a LEFT SEMI join: rows never pass through a global
+    window or sort.  The reference streams frames in this same series
+    order (read_filter's group-key sort); SLIMIT is the InfluxQL surface
+    over it.
+    """
+    from pyspark.sql import Window
+
+    if n < 1 or offset < 0:
+        raise ValueError(f"need n >= 1, offset >= 0; got n={n} offset={offset}")
+    keys = df.select(*tag_columns).distinct()
+    w = Window.orderBy(*[F.col(c).asc() for c in tag_columns])
+    picked = (
+        keys.withColumn("__sr", F.row_number().over(w))
+        .filter((F.col("__sr") > offset) & (F.col("__sr") <= offset + n))
+        .drop("__sr")
+    )
+    return df.join(F.broadcast(picked), on=tag_columns, how="left_semi")
+
+
 def frame_series(
     df_sorted: DataFrame, table: str, tag_columns: list[str]
 ) -> Iterator[SeriesFrame]:
