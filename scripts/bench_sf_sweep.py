@@ -100,9 +100,12 @@ def main() -> None:
             con.execute(
                 f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
             )
+        skip_duck = set(
+            filter(None, os.environ.get("SPARK_GRAFT_DUCK_SKIP", "").split(","))
+        )
         for name in QUERIES:
             sql = oracles.get(name)
-            if sql is None:
+            if sql is None or name in skip_duck:
                 continue
             runs = []
             for _ in range(2):
@@ -120,6 +123,7 @@ def main() -> None:
                     "spark_total": round(sum(spark_t.values()), 3),
                     "duckdb": duck_t,
                     "duckdb_total": round(sum(duck_t.values()), 3),
+                    "duckdb_skipped": sorted(skip_duck),
                 }
             ),
             flush=True,

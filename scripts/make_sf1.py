@@ -21,8 +21,16 @@ Per-copy perturbations keep derived workloads honest:
   degenerate sim≈1.0 ties between copies), vec_id offset.
 
 Output: $SPARK_GRAFT_SF1_DIR (default /tmp/spark_graft_sf1).  DuckDB
-does the generation (one CROSS JOIN range(10) per table) — Spark is the
+does the generation (one CROSS JOIN range(N) per table) — Spark is the
 system under test, not the generator.
+
+Further decades: $SPARK_GRAFT_COPIES replicas from $SPARK_GRAFT_SRC
+(defaults 10 / sf0.1).  E.g. sf10 = 100 copies of sf0.1:
+  SPARK_GRAFT_COPIES=100 SPARK_GRAFT_SF1_DIR=/tmp/spark_graft_sf10 \
+      python scripts/make_sf1.py
+The fixed per-copy key offsets stay collision-free up to ~900 copies
+(orders: 10M x 900 < 2^63); always generate from sf0.1, never chain
+from a generated dir (the offsets assume sf0.1-sized max keys).
 """
 
 from __future__ import annotations
@@ -32,9 +40,9 @@ import sys
 
 import duckdb
 
-SRC = "/root/testdata/sf0.1"
+SRC = os.environ.get("SPARK_GRAFT_SRC", "/root/testdata/sf0.1")
 DST = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
-COPIES = 10
+COPIES = int(os.environ.get("SPARK_GRAFT_COPIES", "10"))
 
 # key offsets, comfortably above each table's max key
 OFF = {
