@@ -344,13 +344,25 @@ def series_limit(
     if n < 1 or offset < 0:
         raise ValueError(f"need n >= 1, offset >= 0; got n={n} offset={offset}")
     keys = df.select(*tag_columns).distinct()
-    w = Window.orderBy(*[F.col(c).asc() for c in tag_columns])
+    # nulls LAST, pinned: Spark's asc() is nulls-first but SQL engines
+    # (and the reference, where a missing tag sorts after present values
+    # in its dictionary order) default nulls-last — an unpinned null
+    # series would silently reorder the whole SLIMIT window cross-engine
+    w = Window.orderBy(*[F.col(c).asc_nulls_last() for c in tag_columns])
     picked = (
         keys.withColumn("__sr", F.row_number().over(w))
         .filter((F.col("__sr") > offset) & (F.col("__sr") <= offset + n))
         .drop("__sr")
     )
-    return df.join(F.broadcast(picked), on=tag_columns, how="left_semi")
+    # null-SAFE key equality: a plain equi-join can never match a NULL
+    # tag value against itself, silently dropping null-tag series from
+    # every window; <=> keeps the broadcast hash semi-join plan
+    left, right = df.alias("__sl_l"), picked.alias("__sl_r")
+    cond = None
+    for c in tag_columns:
+        e = F.col(f"__sl_l.{c}").eqNullSafe(F.col(f"__sl_r.{c}"))
+        cond = e if cond is None else cond & e
+    return left.join(F.broadcast(right), on=cond, how="left_semi")
 
 
 def frame_series(

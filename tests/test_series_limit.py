@@ -42,6 +42,18 @@ def test_soffset_shifts_the_series_window(spark):
         series_limit(_df(spark), ["region", "host"], n=0)
 
 
+def test_slimit_null_tag_series_sorts_last(spark):
+    # SQL engines order nulls LAST by default; Spark's asc() is
+    # nulls-first — the operator pins nulls-last so a null-tag series
+    # cannot reorder the window cross-engine
+    rows = [("eu", None, 9.0), ("eu", "a", 1.0), ("eu", "b", 2.0)]
+    df = spark.createDataFrame(rows, "region string, host string, value double")
+    first_two = series_limit(df, ["region", "host"], n=2)
+    assert sorted({r.host for r in first_two.collect() if r.host}) == ["a", "b"]
+    last = series_limit(df, ["region", "host"], n=1, offset=2)
+    assert [r.host for r in last.collect()] == [None]
+
+
 def test_slimit_plan_ranks_keys_not_rows(spark):
     # the global (partition-less) window must sit above the DISTINCT
     # key aggregate, and the join back must be a broadcast semi join —
