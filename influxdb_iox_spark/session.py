@@ -48,6 +48,15 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Hash joins over sort-merge when no broadcast applies: the
+        # reference stack (DataFusion/read_buffer) is a hash-join engine,
+        # and the two per-side sorts SMJ inserts buy nothing here — fact
+        # joins shuffle either way, AQE skew-split covers the skew case
+        # (works for SHJ since Spark 3.2), and the build side is the
+        # smaller relation per partition.  Measured on the 60M-row sf10
+        # star joins: q5 ~17.0 -> ~15.0 s (BENCH_NOTES §13); sf0.1 rows
+        # unaffected (dims broadcast there).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.files.maxPartitionBytes", "256m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         # Whole-stage codegen emits one class per stage; wide plans (multi-agg
