@@ -55,7 +55,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     load_start = os.getloadavg()
-    spark = get_spark(app_name="iox-spark-bench", master=f"local[{cpus}]")
+    spark = get_spark(
+        app_name="iox-spark-bench",
+        master=f"local[{cpus}]",
+        # keep stdout clean: the driver records only the LAST 2000 chars of
+        # stdout and JSON-parses the final line — progress bars waste window
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
 
@@ -163,51 +169,85 @@ def main() -> None:
     sentinel_after = _sentinel()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                # the round-4 headline subset (the two round-5 additions
-                # grew the total by construction) — compare THIS number
-                # across rounds, normalized by the sentinel
-                "value_r04_comparable": round(
-                    sum(
-                        v
-                        for k, v in timings.items()
-                        if k
-                        not in (
-                            "simhash_near_dup",
-                            "corpus_ngram_topk",
-                            "doc_incremental_dedup",
-                            "events_asof_join",
-                            "tpch_q21_waiting_supplier",
-                            "doc_paragraph_dedup",
-                            "series_transforms",
-                        )
-                    ),
-                    3,
-                ),
-                "queries": timings,
-                "queries_run2": timings_run2,
-                # machine-state sentinel timed immediately before each
-                # query's runs (steady-state ~sentinel_before/2 per shot;
-                # a row whose sentinel is 2x+ that is co-tenant noise)
-                "sentinels": sentinels,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "conditions": {
-                    "cpus": int(cpus),
-                    "fresh_jvm": True,
-                    "loadavg_start": round(load_start[0], 2),
-                    "loadavg_end": round(os.getloadavg()[0], 2),
-                    "sentinel_before_sec": sentinel_before,
-                    "sentinel_after_sec": sentinel_after,
-                },
-            }
-        )
-    )
+    conditions = {
+        "cpus": int(cpus),
+        "fresh_jvm": True,
+        "loadavg_start": round(load_start[0], 2),
+        "loadavg_end": round(os.getloadavg()[0], 2),
+        "sentinel_before_sec": sentinel_before,
+        "sentinel_after_sec": sentinel_after,
+    }
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full per-query detail (run2 timings + every per-row sentinel) goes to a
+    # sidecar file: the driver captures only the LAST 2000 chars of stdout and
+    # JSON-parses the final line, so the printed line must stay well under
+    # that (round 7's 3.5k-char line was cut mid-dict and recorded as
+    # parsed:null). The sidecar is committed per-round via BENCH_NOTES.
+    detail = {
+        "queries": timings,
+        "queries_run2": timings_run2,
+        "sentinels": sentinels,
+        "conditions": conditions,
+        "sf": sf_val,
+    }
+    with open(os.path.join(os.path.dirname(__file__), "bench_detail.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+
+    print(build_output_line(timings, sentinels, conditions, sf_val))
     spark.stop()
+
+
+# queries that postdate the round-4 headline set; excluded from the
+# cross-round comparable subtotal because they grew the total by construction
+_POST_R04 = (
+    "simhash_near_dup",
+    "corpus_ngram_topk",
+    "doc_incremental_dedup",
+    "events_asof_join",
+    "tpch_q21_waiting_supplier",
+    "doc_paragraph_dedup",
+    "series_transforms",
+)
+
+
+def build_output_line(
+    timings: dict[str, float],
+    sentinels: dict[str, float],
+    conditions: dict,
+    sf: float | str,
+) -> str:
+    """The ONE JSON line the driver parses. Its tail window is 2000 chars,
+    so this line must stay under that; the guard below degrades gracefully
+    rather than overflowing (round 7's 3.5k-char line was cut mid-dict).
+
+    Per-row co-tenancy attribution stays on the driver record compactly:
+    `sent_hi` lists only rows whose immediately-preceding sentinel ran
+    >=1.5x the median sentinel (normally empty — a slow row with a clean
+    sentinel is the code's fault, a listed row is environmental)."""
+    med = sorted(sentinels.values())[len(sentinels) // 2] if sentinels else 0.0
+    sent_hi = {
+        k: v for k, v in sentinels.items() if med > 0 and v >= 1.5 * med
+    }
+    payload = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        # compare THIS number across rounds, normalized by the sentinel
+        "value_r04_comparable": round(
+            sum(v for k, v in timings.items() if k not in _POST_R04), 3
+        ),
+        "queries": timings,
+        "sent_med": med,
+        "sent_hi": sent_hi,
+        "sf": sf,
+        "conditions": conditions,
+    }
+    line = json.dumps(payload)
+    if len(line) > 1900:
+        payload.pop("sent_hi", None)
+        payload.pop("conditions", None)
+        line = json.dumps(payload)
+    return line
 
 
 if __name__ == "__main__":
