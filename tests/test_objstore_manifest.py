@@ -443,6 +443,13 @@ def test_full_lifecycle_on_object_store_backend(spark, tmp_path, no_posix_manife
 
     now = _time.time_ns()
     old = now - 7200 * 10**9
+    # the default partition template is %Y-%m-%d of the data time: when the
+    # suite runs within 2h of UTC midnight, now-2h lands on YESTERDAY and the
+    # "one partition" premise (compact_manifest in (0,1)) breaks — clamp the
+    # older point into now's UTC day (broke at 00:33 UTC, round 8)
+    day_ns = 86400 * 10**9
+    if old // day_ns != now // day_ns:
+        old = (now // day_ns) * day_ns + 10**9
     # two overlapping chunks (same key, same times -> dedup on read)
     for lines in (
         [f"cpu,region=west user=1.0 {old}", f"cpu,region=west user=2.0 {now}"],
