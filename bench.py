@@ -197,16 +197,26 @@ def main() -> None:
     spark.stop()
 
 
-# queries that postdate the round-4 headline set; excluded from the
-# cross-round comparable subtotal because they grew the total by construction
-_POST_R04 = (
-    "simhash_near_dup",
-    "corpus_ngram_topk",
-    "doc_incremental_dedup",
-    "events_asof_join",
-    "tpch_q21_waiting_supplier",
-    "doc_paragraph_dedup",
-    "series_transforms",
+# the round-4 headline set, pinned as an ALLOWLIST so later additions to
+# HEADLINE can never silently inflate the cross-round comparable subtotal
+_R04_COMPARABLE = frozenset(
+    {
+        "tpch_q1_pricing_summary",
+        "tpch_q3_shipping_priority",
+        "tpch_q5_local_supplier",
+        "tpch_q10_returned_revenue",
+        "rpc_read_filter",
+        "rpc_read_group_two_tags",
+        "rpc_window_agg_1h",
+        "rpc_selector_last_first",
+        "dedup_last_non_null",
+        "doc_token_stats",
+        "doc_exact_dedup",
+        "doc_lang_id",
+        "minhash_near_dup",
+        "emb_cosine_topk",
+        "ingest_line_protocol",
+    }
 )
 
 
@@ -234,7 +244,7 @@ def build_output_line(
         "unit": "sec",
         # compare THIS number across rounds, normalized by the sentinel
         "value_r04_comparable": round(
-            sum(v for k, v in timings.items() if k not in _POST_R04), 3
+            sum(v for k, v in timings.items() if k in _R04_COMPARABLE), 3
         ),
         "queries": timings,
         "sent_med": med,
