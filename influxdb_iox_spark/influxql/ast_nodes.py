@@ -1,0 +1,105 @@
+"""InfluxQL AST node types (public spec:
+https://docs.influxdata.com/influxdb/v1/query_language/spec/).
+
+Only plain-data dataclasses — parsing lives in parser.py, lowering in
+planner.py."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+
+
+# -- expressions -------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class VarRef:
+    """A column reference (tag or field; bare or double-quoted)."""
+
+    name: str
+
+
+@dataclass(frozen=True)
+class Literal:
+    """Number / string / duration / regex literal.
+
+    kind: 'int' | 'float' | 'string' | 'duration' (value in ns) |
+    'regex'."""
+
+    kind: str
+    value: object
+
+
+@dataclass(frozen=True)
+class Call:
+    """Function call: aggregate, selector, or transform."""
+
+    func: str  # lower-cased
+    args: tuple  # VarRef | Literal | Call
+
+
+@dataclass(frozen=True)
+class BinaryExpr:
+    """Condition-tree node for WHERE."""
+
+    op: str  # '=' '!=' '>' '>=' '<' '<=' '=~' '!~' 'AND' 'OR'
+    left: object
+    right: object
+
+
+# -- statements --------------------------------------------------------------
+
+
+class FillOption(str, Enum):
+    """GROUP BY fill() menu (spec: data exploration, GROUP BY time)."""
+
+    NONE = "none"  # omit empty buckets (our default)
+    NULL = "null"
+    PREVIOUS = "previous"
+    LINEAR = "linear"
+    VALUE = "value"
+
+
+@dataclass(frozen=True)
+class Projection:
+    expr: object  # VarRef | Call
+    alias: str | None = None
+
+
+@dataclass
+class SelectStatement:
+    projections: list[Projection]
+    measurement: str
+    where: object | None = None  # BinaryExpr tree
+    group_by_tags: list[str] = field(default_factory=list)
+    group_by_time_ns: int | None = None
+    group_by_offset_ns: int = 0
+    fill: FillOption = FillOption.NONE
+    fill_value: float | None = None
+    order_desc: bool = False  # ORDER BY time DESC
+    limit: int | None = None  # points per series
+    offset: int = 0
+    slimit: int | None = None  # series
+    soffset: int = 0
+
+
+@dataclass
+class ShowStatement:
+    """SHOW MEASUREMENTS | TAG KEYS | TAG VALUES | FIELD KEYS."""
+
+    what: str  # 'measurements' | 'tag keys' | 'tag values' | 'field keys'
+    measurement: str | None = None
+    with_key: str | None = None  # SHOW TAG VALUES ... WITH KEY = <k>
+
+
+@dataclass(frozen=True)
+class Measurement:
+    """Planner-side binding of a measurement name to a DataFrame and its
+    iox-style column roles (the catalog entry the FROM clause resolves
+    against)."""
+
+    df: object  # pyspark DataFrame
+    tags: tuple
+    fields: tuple
+    time_col: str = "time"

@@ -1,0 +1,461 @@
+"""Hand-rolled InfluxQL lexer + recursive-descent parser for the SELECT /
+SHOW subset this engine lowers (public spec:
+https://docs.influxdata.com/influxdb/v1/query_language/spec/).
+
+Supported grammar (case-insensitive keywords):
+
+    select_stmt := SELECT projection (',' projection)* FROM measurement
+                   [WHERE cond]
+                   [GROUP BY group_item (',' group_item)* [FILL '(' fill ')']]
+                   [ORDER BY time [ASC|DESC]]
+                   [LIMIT n] [OFFSET n] [SLIMIT n] [SOFFSET n]
+    projection  := expr [AS ident]
+    expr        := ident '(' expr_args ')' | ident | number
+    cond        := disjunction of conjunctions of comparisons, parenthesized
+    comparison  := operand ('='|'!='|'<>'|'>'|'>='|'<'|'<='|'=~'|'!~') operand
+    operand     := ident | literal | time_expr
+    time_expr   := NOW() [('+'|'-') duration] | duration | int | rfc3339 string
+    group_item  := TIME '(' duration [',' duration] ')' | ident | '*'
+    show_stmt   := SHOW MEASUREMENTS
+                 | SHOW TAG KEYS [FROM measurement]
+                 | SHOW TAG VALUES [FROM measurement] WITH KEY '=' ident
+                 | SHOW FIELD KEYS [FROM measurement]
+
+Durations: concatenated <int><unit> parts (e.g. ``1h30m``); units
+ns, u, µ, ms, s, m, h, d, w (spec "durations").  Regexes are lexed only
+where the grammar allows them (after =~ / !~ and as a FROM target is NOT
+supported — measurement regexes are out of scope).
+"""
+
+from __future__ import annotations
+
+import re
+
+from influxdb_iox_spark.influxql.ast_nodes import (
+    BinaryExpr,
+    Call,
+    FillOption,
+    Literal,
+    Projection,
+    SelectStatement,
+    ShowStatement,
+    VarRef,
+)
+
+
+class InfluxQLParseError(ValueError):
+    pass
+
+
+_DURATION_NS = {
+    "ns": 1,
+    "u": 1_000,
+    "µ": 1_000,
+    "ms": 1_000_000,
+    "s": 1_000_000_000,
+    "m": 60 * 1_000_000_000,
+    "h": 3_600 * 1_000_000_000,
+    "d": 86_400 * 1_000_000_000,
+    "w": 7 * 86_400 * 1_000_000_000,
+}
+
+_DUR_PART = re.compile(r"(\d+)(ns|us|u|µ|ms|s|m|h|d|w)")
+
+_TOKEN = re.compile(
+    r"""\s*(?:
+        (?P<dur>\d+(?:ns|us|u|µ|ms|h|d|w)(?:\d+(?:ns|us|u|µ|ms|s|m|h|d|w))*
+              |\d+(?:s|m)(?:\d+(?:ns|us|u|µ|ms|s|m|h|d|w))+
+              |\d+(?:s|m)(?![\d.eE]))   # lone Ns/Nm only when not a number
+      | (?P<num>\d+\.\d+(?:[eE][+-]?\d+)?|\.\d+|\d+(?:[eE][+-]?\d+)?)
+      | (?P<qident>"(?:[^"\\]|\\.)*")
+      | (?P<str>'(?:[^'\\]|\\.)*')
+      | (?P<ident>[A-Za-z_][A-Za-z0-9_.]*)
+      | (?P<op><>|!=|>=|<=|=~|!~|::|[=<>(),*+\-/])
+    )""",
+    re.VERBOSE,
+)
+
+
+def duration_to_ns(text: str) -> int:
+    """``1h30m`` → ns.  Raises on trailing garbage."""
+    total, pos = 0, 0
+    for m in _DUR_PART.finditer(text):
+        if m.start() != pos:
+            raise InfluxQLParseError(f"bad duration {text!r}")
+        unit = m.group(2)
+        unit = {"us": "u"}.get(unit, unit)
+        total += int(m.group(1)) * _DURATION_NS[unit]
+        pos = m.end()
+    if pos != len(text) or total == 0 and text not in ("0ns",):
+        if pos != len(text):
+            raise InfluxQLParseError(f"bad duration {text!r}")
+    return total
+
+
+def _extract_regexes(text: str) -> tuple[str, list[str]]:
+    """Replace each ``=~ /re/`` / ``!~ /re/`` regex with a quoted marker
+    string BEFORE lexing ('/' is ambiguous between regex delimiter and
+    division, but the grammar only allows a regex right after =~ / !~).
+    Quote-aware, so an =~ inside a string literal is left alone.  ``\\/``
+    inside the regex unescapes to '/'; every other backslash passes
+    through untouched (Rust-regex escapes, not string escapes)."""
+    out: list[str] = []
+    regs: list[str] = []
+    i, n = 0, len(text)
+    quote: str | None = None
+    while i < n:
+        c = text[i]
+        if quote:
+            out.append(c)
+            if c == "\\" and i + 1 < n:
+                out.append(text[i + 1])
+                i += 2
+                continue
+            if c == quote:
+                quote = None
+            i += 1
+            continue
+        if c in ("'", '"'):
+            quote = c
+            out.append(c)
+            i += 1
+            continue
+        if text.startswith(("=~", "!~"), i):
+            out.append(text[i : i + 2])
+            i += 2
+            while i < n and text[i].isspace():
+                i += 1
+            if i < n and text[i] == "/":
+                i += 1
+                pat: list[str] = []
+                closed = False
+                while i < n:
+                    if text[i] == "\\" and i + 1 < n:
+                        if text[i + 1] == "/":
+                            pat.append("/")
+                        else:
+                            pat.append(text[i])
+                            pat.append(text[i + 1])
+                        i += 2
+                        continue
+                    if text[i] == "/":
+                        i += 1
+                        closed = True
+                        break
+                    pat.append(text[i])
+                    i += 1
+                if not closed:
+                    raise InfluxQLParseError("unterminated regex")
+                out.append(f" '\x00{len(regs)}\x00' ")
+                regs.append("".join(pat))
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out), regs
+
+
+class _Lexer:
+    def __init__(self, text: str):
+        self.text = text
+        self.pos = 0
+        self.toks: list[tuple[str, str]] = []
+        self._lex()
+
+    def _lex(self) -> None:
+        pos = 0
+        while pos < len(self.text):
+            m = _TOKEN.match(self.text, pos)
+            if not m or m.end() == m.start():
+                rest = self.text[pos:].lstrip()
+                if not rest:
+                    break
+                raise InfluxQLParseError(
+                    f"unexpected input at {pos}: {rest[:20]!r}"
+                )
+            pos = m.end()
+            for kind in ("dur", "num", "qident", "str", "ident", "op"):
+                v = m.group(kind)
+                if v is not None:
+                    self.toks.append((kind, v))
+                    break
+
+
+class _Parser:
+    def __init__(self, text: str):
+        clean, self.regexes = _extract_regexes(text)
+        self.text = clean
+        self.toks = _Lexer(clean).toks
+        self.i = 0
+
+    # -- token helpers ------------------------------------------------------
+
+    def _peek(self) -> tuple[str, str] | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def _next(self) -> tuple[str, str]:
+        t = self._peek()
+        if t is None:
+            raise InfluxQLParseError("unexpected end of query")
+        self.i += 1
+        return t
+
+    def _kw(self, *words: str) -> bool:
+        """Consume the keyword sequence if present (case-insensitive)."""
+        save = self.i
+        for w in words:
+            t = self._peek()
+            if t is None or t[0] != "ident" or t[1].upper() != w:
+                self.i = save
+                return False
+            self.i += 1
+        return True
+
+    def _expect_kw(self, *words: str) -> None:
+        if not self._kw(*words):
+            raise InfluxQLParseError(
+                f"expected {' '.join(words)} near token {self.i}"
+            )
+
+    def _expect_op(self, op: str) -> None:
+        t = self._next()
+        if t != ("op", op):
+            raise InfluxQLParseError(f"expected {op!r}, got {t[1]!r}")
+
+    def _ident(self) -> str:
+        kind, v = self._next()
+        if kind == "ident":
+            return v
+        if kind == "qident":
+            return re.sub(r"\\(.)", r"\1", v[1:-1])
+        raise InfluxQLParseError(f"expected identifier, got {v!r}")
+
+    def _int(self) -> int:
+        kind, v = self._next()
+        if kind != "num" or not re.fullmatch(r"\d+", v):
+            raise InfluxQLParseError(f"expected integer, got {v!r}")
+        return int(v)
+
+    # -- statements ---------------------------------------------------------
+
+    def parse_statement(self):
+        if self._kw("SELECT"):
+            return self._select()
+        if self._kw("SHOW"):
+            return self._show()
+        raise InfluxQLParseError("expected SELECT or SHOW")
+
+    def _show(self) -> ShowStatement:
+        if self._kw("MEASUREMENTS"):
+            return ShowStatement("measurements")
+        for words, what in (
+            (("TAG", "KEYS"), "tag keys"),
+            (("TAG", "VALUES"), "tag values"),
+            (("FIELD", "KEYS"), "field keys"),
+        ):
+            if self._kw(*words):
+                meas = self._ident() if self._kw("FROM") else None
+                with_key = None
+                if what == "tag values":
+                    self._expect_kw("WITH", "KEY")
+                    self._expect_op("=")
+                    with_key = self._ident()
+                elif self._peek() is not None:
+                    raise InfluxQLParseError("trailing input after SHOW")
+                if what == "tag values" and self._peek() is not None:
+                    raise InfluxQLParseError("trailing input after SHOW")
+                return ShowStatement(what, measurement=meas, with_key=with_key)
+        raise InfluxQLParseError(
+            "expected MEASUREMENTS, TAG KEYS, TAG VALUES or FIELD KEYS"
+        )
+
+    def _select(self) -> SelectStatement:
+        projections = [self._projection()]
+        while self._peek() == ("op", ","):
+            self.i += 1
+            projections.append(self._projection())
+        self._expect_kw("FROM")
+        measurement = self._ident()
+
+        where = self._cond() if self._kw("WHERE") else None
+
+        stmt = SelectStatement(projections, measurement, where=where)
+        if self._kw("GROUP", "BY"):
+            self._group_by(stmt)
+        if self._kw("FILL"):
+            self._fill(stmt)
+        if self._kw("ORDER", "BY"):
+            if self._ident().lower() != "time":
+                raise InfluxQLParseError("ORDER BY supports only time")
+            if self._kw("DESC"):
+                stmt.order_desc = True
+            else:
+                self._kw("ASC")
+        if self._kw("LIMIT"):
+            stmt.limit = self._int()
+        if self._kw("OFFSET"):
+            stmt.offset = self._int()
+        if self._kw("SLIMIT"):
+            stmt.slimit = self._int()
+        if self._kw("SOFFSET"):
+            stmt.soffset = self._int()
+        if self._peek() is not None:
+            raise InfluxQLParseError(
+                f"trailing input: {self.toks[self.i:][:3]}"
+            )
+        return stmt
+
+    def _projection(self) -> Projection:
+        expr = self._expr()
+        alias = self._ident() if self._kw("AS") else None
+        return Projection(expr, alias)
+
+    def _expr(self):
+        kind, v = self._next()
+        if kind in ("ident", "qident"):
+            name = re.sub(r"\\(.)", r"\1", v[1:-1]) if kind == "qident" else v
+            if self._peek() == ("op", "("):
+                self.i += 1
+                args: list = []
+                if self._peek() != ("op", ")"):
+                    args.append(self._expr())
+                    while self._peek() == ("op", ","):
+                        self.i += 1
+                        args.append(self._expr())
+                self._expect_op(")")
+                return Call(name.lower(), tuple(args))
+            if self._peek() == ("op", "::"):  # type cast suffix — ignored
+                self.i += 1
+                self._ident()
+            return VarRef(name)
+        if kind == "num":
+            if re.fullmatch(r"\d+", v):
+                return Literal("int", int(v))
+            return Literal("float", float(v))
+        if kind == "dur":
+            return Literal("duration", duration_to_ns(v))
+        if kind == "str":
+            return Literal("string", re.sub(r"\\(.)", r"\1", v[1:-1]))
+        if kind == "op" and v == "*":
+            return VarRef("*")
+        raise InfluxQLParseError(f"unexpected token {v!r} in expression")
+
+    # -- WHERE condition tree ----------------------------------------------
+
+    def _cond(self):
+        left = self._cond_and()
+        while self._kw("OR"):
+            left = BinaryExpr("OR", left, self._cond_and())
+        return left
+
+    def _cond_and(self):
+        left = self._cond_atom()
+        while self._kw("AND"):
+            left = BinaryExpr("AND", left, self._cond_atom())
+        return left
+
+    def _cond_atom(self):
+        if self._peek() == ("op", "("):
+            self.i += 1
+            inner = self._cond()
+            self._expect_op(")")
+            return inner
+        left = self._operand()
+        kind, op = self._next()
+        if kind != "op" or op not in ("=", "!=", "<>", ">", ">=", "<", "<=", "=~", "!~"):
+            raise InfluxQLParseError(f"expected comparison operator, got {op!r}")
+        if op == "<>":
+            op = "!="
+        if op in ("=~", "!~"):
+            right = self._regex()
+        else:
+            right = self._operand()
+        return BinaryExpr(op, left, right)
+
+    def _operand(self):
+        t = self._peek()
+        if t is None:
+            raise InfluxQLParseError("unexpected end in condition")
+        kind, v = t
+        if kind == "ident" and v.upper() == "NOW":
+            self.i += 1
+            self._expect_op("(")
+            self._expect_op(")")
+            base = Call("now", ())
+            nxt = self._peek()
+            if nxt is not None and nxt[0] == "op" and nxt[1] in ("+", "-"):
+                self.i += 1
+                dur = self._next()
+                if dur[0] != "dur":
+                    raise InfluxQLParseError("now() offset must be a duration")
+                ns = duration_to_ns(dur[1])
+                return Call("now_offset", (Literal("int", ns if nxt[1] == "+" else -ns),))
+            return base
+        return self._expr()
+
+    def _regex(self):
+        """A regex was pre-extracted into a '\\x00N\\x00' marker string by
+        _extract_regexes; resolve the marker back to its pattern."""
+        kind, v = self._next()
+        if kind == "str":
+            body = v[1:-1]
+            m = re.fullmatch(r"\x00(\d+)\x00", body)
+            if m:
+                return Literal("regex", self.regexes[int(m.group(1))])
+        raise InfluxQLParseError("expected /regex/ after =~ or !~")
+
+    # -- GROUP BY / FILL ----------------------------------------------------
+
+    def _group_by(self, stmt: SelectStatement) -> None:
+        while True:
+            t = self._peek()
+            if t is not None and t[0] == "ident" and t[1].upper() == "TIME":
+                save = self.i
+                self.i += 1
+                if self._peek() == ("op", "("):
+                    self.i += 1
+                    d = self._next()
+                    if d[0] != "dur":
+                        raise InfluxQLParseError("time() needs a duration")
+                    stmt.group_by_time_ns = duration_to_ns(d[1])
+                    if self._peek() == ("op", ","):
+                        self.i += 1
+                        sign = 1
+                        nxt = self._peek()
+                        if nxt is not None and nxt == ("op", "-"):
+                            self.i += 1
+                            sign = -1
+                        d2 = self._next()
+                        if d2[0] != "dur":
+                            raise InfluxQLParseError("time() offset needs a duration")
+                        stmt.group_by_offset_ns = sign * duration_to_ns(d2[1])
+                    self._expect_op(")")
+                else:
+                    self.i = save
+                    stmt.group_by_tags.append(self._ident())
+            elif t == ("op", "*"):
+                self.i += 1
+                stmt.group_by_tags.append("*")
+            else:
+                stmt.group_by_tags.append(self._ident())
+            if self._peek() == ("op", ","):
+                self.i += 1
+                continue
+            return
+
+    def _fill(self, stmt: SelectStatement) -> None:
+        self._expect_op("(")
+        t = self._next()
+        kind, v = t
+        if kind == "ident" and v.lower() in ("none", "null", "previous", "linear"):
+            stmt.fill = FillOption(v.lower())
+        elif kind == "num":
+            stmt.fill = FillOption.VALUE
+            stmt.fill_value = float(v)
+        else:
+            raise InfluxQLParseError(f"bad fill argument {v!r}")
+        self._expect_op(")")
+
+
+def parse(text: str):
+    """Parse one InfluxQL statement → SelectStatement | ShowStatement."""
+    return _Parser(text.strip().rstrip(";")).parse_statement()

@@ -1,0 +1,380 @@
+"""InfluxQL front-end: parser unit tests (pure Python, no Spark) and
+planner tests lowering onto small in-memory measurements.
+
+Grammar reference: the public InfluxQL spec
+(https://docs.influxdata.com/influxdb/v1/query_language/spec/); the
+planner lowers onto the operators the reference's storage RPC menu
+already exercises (see influxql/planner.py docstring for the documented
+output-framing divergences)."""
+
+from __future__ import annotations
+
+import pytest
+
+from influxdb_iox_spark.influxql import (
+    FillOption,
+    InfluxQLParseError,
+    Measurement,
+    execute,
+    parse,
+)
+from influxdb_iox_spark.influxql.ast_nodes import (
+    BinaryExpr,
+    Call,
+    Literal,
+    SelectStatement,
+    ShowStatement,
+    VarRef,
+)
+from influxdb_iox_spark.influxql.parser import duration_to_ns
+from influxdb_iox_spark.influxql.planner import InfluxQLPlanError
+
+S = 10**9
+H = 3600 * S
+
+
+# -- parser ------------------------------------------------------------------
+
+
+def test_duration_parsing():
+    assert duration_to_ns("1h") == H
+    assert duration_to_ns("1h30m") == H + 1800 * S
+    assert duration_to_ns("90s") == 90 * S
+    assert duration_to_ns("100ms") == 100 * 10**6
+    assert duration_to_ns("5u") == 5000
+    assert duration_to_ns("5us") == 5000
+    assert duration_to_ns("7ns") == 7
+    assert duration_to_ns("2w") == 14 * 86400 * S
+    with pytest.raises(InfluxQLParseError):
+        duration_to_ns("1x")
+
+
+def test_parse_basic_select():
+    s = parse("SELECT mean(value) FROM events")
+    assert isinstance(s, SelectStatement)
+    assert s.measurement == "events"
+    assert s.projections[0].expr == Call("mean", (VarRef("value"),))
+
+
+def test_parse_full_select():
+    s = parse(
+        "SELECT MEAN(value) AS avg_v, COUNT(value) FROM events "
+        "WHERE time >= 1000 AND time < 2000 AND event_type = 'click' "
+        "GROUP BY time(1h, 30m), event_type FILL(previous) "
+        "ORDER BY time DESC LIMIT 10 OFFSET 2 SLIMIT 3 SOFFSET 1"
+    )
+    assert s.projections[0].alias == "avg_v"
+    assert s.projections[1].expr.func == "count"
+    assert s.group_by_time_ns == H
+    assert s.group_by_offset_ns == 1800 * S
+    assert s.group_by_tags == ["event_type"]
+    assert s.fill is FillOption.PREVIOUS
+    assert s.order_desc and s.limit == 10 and s.offset == 2
+    assert s.slimit == 3 and s.soffset == 1
+    # where tree: ((time>=1000 AND time<2000) AND event_type='click')
+    w = s.where
+    assert isinstance(w, BinaryExpr) and w.op == "AND"
+    assert w.right == BinaryExpr("=", VarRef("event_type"), Literal("string", "click"))
+
+
+def test_parse_quoted_identifiers_and_strings():
+    s = parse('SELECT "value" FROM "my measurement" WHERE "tag k" = \'a\\\'b\'')
+    assert s.measurement == "my measurement"
+    assert s.where == BinaryExpr("=", VarRef("tag k"), Literal("string", "a'b"))
+
+
+def test_parse_regex_conditions():
+    s = parse(r"SELECT value FROM m WHERE host =~ /^web-\d+/ AND dc !~ /eu\/west/")
+    w = s.where
+    assert w.op == "AND"
+    assert w.left == BinaryExpr("=~", VarRef("host"), Literal("regex", r"^web-\d+"))
+    # \/ unescapes to /
+    assert w.right == BinaryExpr("!~", VarRef("dc"), Literal("regex", "eu/west"))
+
+
+def test_parse_now_arithmetic():
+    s = parse("SELECT value FROM m WHERE time > now() - 1h")
+    w = s.where
+    assert w.op == ">"
+    assert w.right == Call("now_offset", (Literal("int", -H),))
+
+
+def test_parse_negative_window_offset():
+    s = parse("SELECT sum(v) FROM m GROUP BY time(1h, -30m)")
+    assert s.group_by_offset_ns == -1800 * S
+
+
+def test_parse_fill_value():
+    s = parse("SELECT sum(v) FROM m GROUP BY time(1m) FILL(3.5)")
+    assert s.fill is FillOption.VALUE and s.fill_value == 3.5
+
+
+def test_parse_show_statements():
+    assert parse("SHOW MEASUREMENTS") == ShowStatement("measurements")
+    assert parse("SHOW TAG KEYS FROM events") == ShowStatement(
+        "tag keys", measurement="events"
+    )
+    assert parse('SHOW TAG VALUES FROM events WITH KEY = "event_type"') == (
+        ShowStatement("tag values", measurement="events", with_key="event_type")
+    )
+    assert parse("SHOW FIELD KEYS") == ShowStatement("field keys")
+
+
+def test_parse_errors():
+    for bad in (
+        "SELECT",
+        "SELECT value",
+        "SELECT value FROM",
+        "DELETE FROM m",
+        "SELECT value FROM m WHERE host =~ 'notregex'",
+        "SELECT value FROM m trailing garbage",
+        "SELECT value FROM m WHERE host =~ /unterminated",
+    ):
+        with pytest.raises(InfluxQLParseError):
+            parse(bad)
+
+
+def test_parse_rfc3339_time_strings():
+    s = parse("SELECT value FROM m WHERE time >= '2026-01-01T00:00:00Z'")
+    assert s.where.right == Literal("string", "2026-01-01T00:00:00Z")
+
+
+# -- planner -----------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def catalog(spark):
+    rows = [
+        # tag host, fields v (float) + n (int), time ns
+        ("a", 1.0, 1, 0 * H + 10 * S),
+        ("a", 2.0, 2, 0 * H + 20 * S),
+        ("a", 4.0, 4, 1 * H + 10 * S),
+        ("a", 8.0, 8, 3 * H + 10 * S),
+        ("b", 10.0, 10, 0 * H + 10 * S),
+        ("b", 30.0, 30, 2 * H + 10 * S),
+        (None, 5.0, 5, 0 * H + 10 * S),
+    ]
+    df = spark.createDataFrame(
+        rows, "host string, v double, n long, time long"
+    )
+    return {"cpu": Measurement(df=df, tags=("host",), fields=("v", "n"))}
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_plan_raw_select(catalog):
+    out = execute(
+        "SELECT v FROM cpu WHERE host = 'a' AND time < 2h ORDER BY time DESC",
+        catalog,
+    )
+    # un-grouped raw select: time + projected columns only (tags appear
+    # when grouped — InfluxQL's series framing, relationally)
+    assert _rows(out) == [
+        (H + 10 * S, 4.0),
+        (20 * S, 2.0),
+        (10 * S, 1.0),
+    ]
+
+
+def test_plan_raw_wildcard_and_columns(catalog):
+    out = execute("SELECT * FROM cpu WHERE host = 'b'", catalog)
+    assert out.columns == ["time", "v", "n"]
+    assert _rows(out) == [(10 * S, 10.0, 10), (2 * H + 10 * S, 30.0, 30)]
+
+
+def test_plan_mean_group_by_tag(catalog):
+    out = execute("SELECT MEAN(v) FROM cpu GROUP BY host", catalog)
+    assert out.columns == ["host", "mean"]
+    got = dict((r[0], r[1]) for r in _rows(out))
+    assert got["a"] == pytest.approx(3.75)
+    assert got["b"] == pytest.approx(20.0)
+    assert got[None] == pytest.approx(5.0)
+
+
+def test_plan_count_sum_multiple(catalog):
+    out = execute(
+        "SELECT COUNT(v), SUM(n) AS total FROM cpu WHERE host = 'a'", catalog
+    )
+    assert out.columns == ["count", "total"]
+    assert _rows(out) == [(4, 15)]
+
+
+def test_plan_group_by_time_reports_bucket_start(catalog):
+    out = execute(
+        "SELECT SUM(v) FROM cpu WHERE host = 'a' GROUP BY time(1h)", catalog
+    )
+    assert out.columns == ["time", "sum"]
+    assert _rows(out) == [(0, 3.0), (H, 4.0), (3 * H, 8.0)]
+
+
+def test_plan_fill_null_and_previous(catalog):
+    base = "SELECT SUM(v) FROM cpu WHERE host = 'a' GROUP BY time(1h)"
+    nulled = execute(base + " FILL(null)", catalog)
+    assert _rows(nulled) == [(0, 3.0), (H, 4.0), (2 * H, None), (3 * H, 8.0)]
+    prev = execute(base + " FILL(previous)", catalog)
+    assert _rows(prev) == [(0, 3.0), (H, 4.0), (2 * H, 4.0), (3 * H, 8.0)]
+    valued = execute(base + " FILL(0)", catalog)
+    assert _rows(valued) == [(0, 3.0), (H, 4.0), (2 * H, 0.0), (3 * H, 8.0)]
+
+
+def test_plan_selector_last_carries_time(catalog):
+    out = execute("SELECT LAST(v) FROM cpu GROUP BY host", catalog)
+    assert out.columns == ["host", "time", "last"]
+    got = {r[0]: (r[1], r[2]) for r in _rows(out)}
+    assert got["a"] == (3 * H + 10 * S, 8.0)
+    assert got["b"] == (2 * H + 10 * S, 30.0)
+
+
+def test_plan_selector_in_buckets(catalog):
+    out = execute(
+        "SELECT FIRST(v) FROM cpu WHERE host = 'a' GROUP BY time(1h)", catalog
+    )
+    assert _rows(out) == [(0, 1.0), (H, 4.0), (3 * H, 8.0)]
+
+
+def test_plan_spread_median_stddev(catalog):
+    out = execute(
+        "SELECT SPREAD(v), MEDIAN(v) FROM cpu WHERE host = 'a'", catalog
+    )
+    assert out.columns == ["spread", "median"]
+    assert _rows(out) == [(7.0, 3.0)]
+
+
+def test_plan_percentile_nearest_rank(catalog):
+    out = execute(
+        "SELECT PERCENTILE(v, 50) FROM cpu GROUP BY host", catalog
+    )
+    got = {r[0]: r[1] for r in _rows(out)}
+    # nearest-rank: ceil(0.5*4)=2nd of [1,2,4,8] -> 2
+    assert got["a"] == 2.0
+    assert got["b"] == 10.0
+
+
+def test_plan_distinct(catalog):
+    out = execute("SELECT DISTINCT(n) FROM cpu WHERE host = 'a'", catalog)
+    assert out.columns == ["distinct"]
+    assert [r[0] for r in _rows(out)] == [1, 2, 4, 8]
+
+
+def test_plan_top_with_rank(catalog):
+    out = execute("SELECT TOP(v, 2) FROM cpu GROUP BY host", catalog)
+    assert out.columns == ["host", "time", "top", "rank"]
+    got = [(r[0], r[2], r[3]) for r in _rows(out)]
+    assert ("a", 8.0, 1) in got and ("a", 4.0, 2) in got
+    assert ("b", 30.0, 1) in got
+
+
+def test_plan_difference_and_derivative(catalog):
+    out = execute(
+        "SELECT DIFFERENCE(v) FROM cpu WHERE host = 'a'", catalog
+    )
+    assert out.columns == ["time", "difference"]
+    assert [r[1] for r in _rows(out)] == [1.0, 2.0, 4.0]
+    # derivative per hour: dv/dt * 1h
+    out2 = execute(
+        "SELECT DERIVATIVE(v, 1h) FROM cpu WHERE host = 'a'", catalog
+    )
+    vals = [r[1] for r in _rows(out2)]
+    assert vals[0] == pytest.approx(1.0 * 360)  # 1.0 over 10s, per hour
+    assert vals[1] == pytest.approx(2.0 / 3590 * 3600)
+
+
+def test_plan_moving_average_warmup(catalog):
+    out = execute(
+        "SELECT MOVING_AVERAGE(v, 2) FROM cpu WHERE host = 'a'", catalog
+    )
+    # first point suppressed (needs 2), then pairwise means
+    assert [r[1] for r in _rows(out)] == [1.5, 3.0, 6.0]
+
+
+def test_plan_cumulative_sum(catalog):
+    out = execute("SELECT CUMULATIVE_SUM(v) FROM cpu WHERE host = 'a'", catalog)
+    assert [r[1] for r in _rows(out)] == [1.0, 3.0, 7.0, 15.0]
+
+
+def test_plan_elapsed_unit(catalog):
+    out = execute("SELECT ELAPSED(v, 1s) FROM cpu WHERE host = 'a'", catalog)
+    assert [r[1] for r in _rows(out)] == [10, 3590, 7200]
+
+
+def test_plan_limit_per_series_and_global(catalog):
+    per = execute("SELECT v FROM cpu GROUP BY host LIMIT 1", catalog)
+    assert set(_rows(per)) == {
+        ("a", 10 * S, 1.0), ("b", 10 * S, 10.0), (None, 10 * S, 5.0)
+    }
+    glob = execute("SELECT v FROM cpu LIMIT 2 OFFSET 1", catalog)
+    assert len(_rows(glob)) == 2
+
+
+def test_plan_slimit(catalog):
+    out = execute("SELECT v FROM cpu GROUP BY host SLIMIT 1", catalog)
+    # first series in tag order is host='a' (nulls last)
+    assert {r[0] for r in _rows(out)} == {"a"}
+    out2 = execute("SELECT v FROM cpu GROUP BY host SLIMIT 1 SOFFSET 2", catalog)
+    assert {r[0] for r in _rows(out2)} == {None}
+
+
+def test_plan_regex_tag_filter(catalog):
+    out = execute("SELECT COUNT(v) FROM cpu WHERE host =~ /^[ab]$/", catalog)
+    assert _rows(out) == [(6,)]
+
+
+def test_plan_now_window(catalog, spark):
+    out = execute(
+        "SELECT COUNT(v) FROM cpu WHERE time > now() - 1h AND time < now() + 1h",
+        catalog,
+        now_ns=2 * H,
+    )
+    # points in (1h, 3h): the 1h+10s and 2h+10s ones (now() caps nothing
+    # by itself — stock InfluxQL only implies an upper bound for GROUP BY
+    # time, which we do not fabricate)
+    assert _rows(out) == [(2,)]
+
+
+def test_plan_rfc3339_bound(catalog):
+    # epoch 0 == 1970-01-01; everything is >= it
+    out = execute(
+        "SELECT COUNT(v) FROM cpu WHERE time >= '1970-01-01T00:00:00Z'",
+        catalog,
+    )
+    assert _rows(out) == [(7,)]
+
+
+def test_plan_show_statements(catalog):
+    assert _rows(execute("SHOW MEASUREMENTS", catalog)) == [("cpu",)]
+    assert _rows(execute("SHOW TAG KEYS", catalog)) == [("cpu", "host")]
+    fk = _rows(execute("SHOW FIELD KEYS FROM cpu", catalog))
+    assert ("cpu", "v", "float") in fk and ("cpu", "n", "integer") in fk
+    tv = _rows(
+        execute('SHOW TAG VALUES FROM cpu WITH KEY = "host"', catalog)
+    )
+    assert tv == [("host", "a"), ("host", "b")]
+
+
+def test_plan_errors(catalog):
+    for bad, exc in (
+        ("SELECT v, MEAN(v) FROM cpu", InfluxQLPlanError),  # mixed raw+agg
+        ("SELECT HOLT_WINTERS(v, 1, 1) FROM cpu", InfluxQLPlanError),
+        ("SELECT MEAN(v) FROM nosuch", InfluxQLPlanError),
+        ("SELECT MEAN(nosuch) FROM cpu", InfluxQLPlanError),
+        ("SELECT v FROM cpu GROUP BY nosuchtag", InfluxQLPlanError),
+        ("SELECT v FROM cpu GROUP BY time(1h)", InfluxQLPlanError),  # raw+time
+        ("SELECT v FROM cpu SLIMIT 2", InfluxQLPlanError),  # slimit w/o tags
+        ("SELECT DERIVATIVE(MEAN(v)) FROM cpu GROUP BY time(1h)", InfluxQLPlanError),
+    ):
+        with pytest.raises(exc):
+            execute(bad, catalog)
+
+
+def test_plan_stays_jvm_side(catalog):
+    """No Python row paths: the lowered plans must be pure Catalyst
+    (no EvalPython / InPandas nodes)."""
+    for q in (
+        "SELECT MEAN(v) FROM cpu GROUP BY time(1h), host FILL(previous)",
+        "SELECT DIFFERENCE(v) FROM cpu GROUP BY host",
+        "SELECT TOP(v, 2) FROM cpu GROUP BY host",
+    ):
+        plan = execute(q, catalog)._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan and "InPandas" not in plan
