@@ -3805,6 +3805,135 @@ ORDER BY f.lang
 """
 
 
+# ---------------------------------------------------------------------------
+# InfluxQL front-end (influxdb_iox_spark/influxql/): these queries go through
+# the PARSER — text in, DataFrame out — so a green row checks the lexer,
+# grammar, and lowering, not just the operators underneath (which have their
+# own rpc_* rows).  Bucket starts are µs-exact at 1h granularity.
+# ---------------------------------------------------------------------------
+
+
+def _influxql_events_catalog(spark: SparkSession, sf_dir: str):
+    from influxdb_iox_spark.influxql import Measurement
+
+    t = _load(spark, sf_dir, "events")
+    return {
+        "events": Measurement(
+            df=t["events"], tags=("event_type",), fields=("value",),
+            time_col="ts",
+        )
+    }
+
+
+def q_influxql_mean_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL text -> plan: windowed MEAN/COUNT with a time-range WHERE
+    and GROUP BY time(1h), tag (bucket START per InfluxQL, vs the RPC
+    stop-boundary — planner docstring)."""
+    from influxdb_iox_spark.influxql import execute
+
+    out = execute(
+        f"SELECT MEAN(value) AS mean_value, COUNT(value) AS n FROM events"
+        f" WHERE time >= {T0 * NS} AND time < {T1 * NS}"
+        f" GROUP BY time(1h), event_type",
+        _influxql_events_catalog(spark, sf_dir),
+    )
+    return out.select(
+        "event_type",
+        F.expr("time div 1000").alias("time_us"),
+        F.round("mean_value", 4).alias("mean_value"),
+        "n",
+    ).orderBy("event_type", "time_us")
+
+
+SQL_INFLUXQL_MEAN_1H = f"""
+SELECT event_type,
+  epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS time_us,
+  round(AVG(value), 4) AS mean_value,
+  COUNT(value) AS n
+FROM events
+WHERE epoch_us(ts) >= {T0 * 1000000} AND epoch_us(ts) < {T1 * 1000000}
+GROUP BY 1, 2 ORDER BY event_type, time_us
+"""
+
+
+def q_influxql_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL text -> plan: the LAST() selector per series carries the
+    matching point's timestamp (selectors.rs contract through the
+    parser); ns timestamps are unique per group so max_by/arg_max agree
+    across engines."""
+    from influxdb_iox_spark.influxql import execute
+
+    out = execute(
+        "SELECT LAST(value) AS last_value FROM events GROUP BY event_type",
+        _influxql_events_catalog(spark, sf_dir),
+    )
+    return out.select(
+        "event_type",
+        F.expr("time div 1000").alias("last_time_us"),
+        "last_value",
+    ).orderBy("event_type")
+
+
+SQL_INFLUXQL_LAST = """
+SELECT event_type,
+  epoch_us(MAX(ts)) AS last_time_us,
+  arg_max(value, ts) AS last_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_influxql_fill_previous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL text -> plan: FILL(previous) gap-carry over 1h COUNT
+    buckets thinned by a field predicate (value > 4 empties ~8% of the
+    sf0.01 grid, so the carry path actually fires); counts are integers,
+    so the carried values are hash-exact."""
+    from influxdb_iox_spark.influxql import execute
+
+    out = execute(
+        "SELECT COUNT(value) AS n FROM events WHERE value > 4"
+        " GROUP BY time(1h), event_type FILL(previous)",
+        _influxql_events_catalog(spark, sf_dir),
+    )
+    return out.select(
+        "event_type", F.expr("time div 1000").alias("time_us"), "n"
+    ).orderBy("event_type", "time_us")
+
+
+SQL_INFLUXQL_FILL_PREVIOUS = f"""
+WITH b AS (
+  SELECT event_type, epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS t_us,
+         COUNT(value) AS n
+  FROM events WHERE value > 4 GROUP BY 1, 2
+), g AS (
+  SELECT event_type,
+         UNNEST(generate_series(MIN(t_us), MAX(t_us), {HOUR_US})) AS t_us
+  FROM b GROUP BY event_type
+)
+SELECT g.event_type, g.t_us AS time_us,
+  last_value(b.n IGNORE NULLS)
+    OVER (PARTITION BY g.event_type ORDER BY g.t_us) AS n
+FROM g LEFT JOIN b ON b.event_type = g.event_type AND b.t_us = g.t_us
+ORDER BY g.event_type, time_us
+"""
+
+
+def q_influxql_show_tag_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL metadata surface through the parser: SHOW TAG VALUES is
+    the tag_values RPC (operators/metadata.py) as a statement."""
+    from influxdb_iox_spark.influxql import execute
+
+    return execute(
+        'SHOW TAG VALUES FROM events WITH KEY = "event_type"',
+        _influxql_events_catalog(spark, sf_dir),
+    )
+
+
+SQL_INFLUXQL_SHOW_TAG_VALUES = """
+SELECT DISTINCT 'event_type' AS key, event_type AS value
+FROM events WHERE event_type IS NOT NULL ORDER BY value
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: dedup-correct scan + windowed aggregate over two simulated
     overlapping chunks of the events table (the reference's core query
@@ -3983,6 +4112,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "events_histogram": q_events_histogram,
         "rpc_series_limit": q_rpc_series_limit,
+        # round 8: the InfluxQL front-end (parser -> planner -> operators);
+        # appended to the canonical tail -> lands inside round 8's window
+        # (shift = 200 mod n wraps the window over the tail;
+        # test_entry_rotation verifies)
+        "influxql_mean_1h": q_influxql_mean_1h,
+        "influxql_last": q_influxql_last,
+        "influxql_fill_previous": q_influxql_fill_previous,
+        "influxql_show_tag_values": q_influxql_show_tag_values,
     }
     return _rotate_for_round(base)
 
@@ -4055,6 +4192,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "events_histogram": SQL_EVENTS_HISTOGRAM,
         "rpc_series_limit": SQL_RPC_SERIES_LIMIT,
+        "influxql_mean_1h": SQL_INFLUXQL_MEAN_1H,
+        "influxql_last": SQL_INFLUXQL_LAST,
+        "influxql_fill_previous": SQL_INFLUXQL_FILL_PREVIOUS,
+        "influxql_show_tag_values": SQL_INFLUXQL_SHOW_TAG_VALUES,
         "dedup_last_non_null": SQL_DEDUP,
         "json_props_extract": SQL_JSON_PROPS,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,

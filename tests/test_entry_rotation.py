@@ -69,7 +69,11 @@ def test_freshness_horizon_documented():
     queries every run regardless, so driver-row staleness never means
     unchecked correctness.)"""
     n = len(entry_mod.queries())
-    assert n <= 2 * WINDOW, (
+    # Round 8 DELIBERATELY crossed 100 (the InfluxQL front-end added four
+    # queries -> n=103, freshness horizon 3 rounds): every query still gets
+    # a driver row at least every ceil(n/50) rounds, and the local parity
+    # suite checks ALL of them on every run.  Next deliberate stop: 150.
+    assert n <= 3 * WINDOW, (
         f"{n} queries -> freshness horizon {-(-n // WINDOW)} rounds; if "
         "this growth is deliberate, raise this bound in the same commit "
         "and say so"
