@@ -211,27 +211,41 @@ def lsh_candidate_pairs(
     dropped.
     """
     banded = _banded(sig_df, id_col, num_perm, bands)
-    banded = _drop_hot_buckets(banded, ["band", "bucket"], max_bucket_size)
 
-    # Pin the physical strategy: shuffle-hash on (band, bucket).  The planner
-    # occasionally mis-estimates this self-join (tiny inputs, exploded rows)
-    # and picks a plan that degrades badly; SHJ is optimal here at any scale
-    # and keeps each bucket's pairs on one executor.
-    left = banded.alias("l").hint("shuffle_hash")
-    right = banded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.bucket") == F.col("r.bucket"),
-                F.col("l.doc") < F.col("r.doc"),
-            ],
-        )
-        .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
-        .distinct()
+    # ONE aggregate instead of a self-join: collect each bucket's member
+    # list (bounded by the hot-bucket cap below), then generate ordered
+    # combinations in-plan with two Generates over the sorted array.  The
+    # former shuffle-hash self-join traversed `banded` twice (one exchange
+    # per side) and needed a separate hot-bucket groupBy + broadcast
+    # anti-join for the skew guard; here the guard is a plain size filter
+    # on the same aggregate — one scan, one exchange, then pair explosion
+    # colocated per bucket (identical placement to the SHJ's buckets).
+    #
+    # Skew guard unchanged in semantics: a degenerate bucket (boilerplate
+    # band value shared by huge doc counts) would explode quadratically and
+    # pin one task; buckets larger than ``max_bucket_size`` are dropped
+    # (their members pair via their OTHER bands or exact dedup upstream).
+    # Memory: the collected list is <= max_bucket_size longs (8B each —
+    # 160 KB at the 20k default), far under executor task memory.
+    grouped = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("doc")).alias("docs"))
+        .filter(F.size("docs") >= 2)
     )
-    return pairs
+    if max_bucket_size is not None and max_bucket_size > 0:
+        grouped = grouped.filter(F.size("docs") <= max_bucket_size)
+    ex = grouped.select(
+        F.col("docs"), F.posexplode(F.col("docs")).alias("i", "a")
+    )
+    # the tail slice after position i gives every b > a exactly once per
+    # bucket; slice length clamps at 0 for the last element (empty array
+    # -> explode emits nothing)
+    tail = F.slice(
+        F.col("docs"),
+        F.col("i") + 2,
+        F.greatest(F.size("docs") - F.col("i") - 1, F.lit(0)),
+    )
+    return ex.select(F.col("a"), F.explode(tail).alias("b")).distinct()
 
 
 def _banded(
