@@ -10,7 +10,10 @@ Supported grammar (case-insensitive keywords):
                    [ORDER BY time [ASC|DESC]]
                    [LIMIT n] [OFFSET n] [SLIMIT n] [SOFFSET n]
     projection  := expr [AS ident]
-    expr        := ident '(' expr_args ')' | ident | number
+    expr        := mul_expr (('+'|'-') mul_expr)*          # arithmetic
+    mul_expr    := unary (('*'|'/'|'%') unary)*
+    unary       := '-' unary | '(' expr ')' | primary
+    primary     := ident '(' expr_args ')' | ident | number
     cond        := disjunction of conjunctions of comparisons, parenthesized
     comparison  := operand ('='|'!='|'<>'|'>'|'>='|'<'|'<='|'=~'|'!~') operand
     operand     := ident | literal | time_expr
@@ -70,7 +73,7 @@ _TOKEN = re.compile(
       | (?P<qident>"(?:[^"\\]|\\.)*")
       | (?P<str>'(?:[^'\\]|\\.)*')
       | (?P<ident>[A-Za-z_][A-Za-z0-9_.]*)
-      | (?P<op><>|!=|>=|<=|=~|!~|::|[=<>(),*+\-/])
+      | (?P<op><>|!=|>=|<=|=~|!~|::|[=<>(),*+\-/%])
     )""",
     re.VERBOSE,
 )
@@ -309,7 +312,50 @@ class _Parser:
         alias = self._ident() if self._kw("AS") else None
         return Projection(expr, alias)
 
+    # Value-expression grammar (spec "expressions"): binary arithmetic
+    # with the usual precedence — multiplicative (* / %) binds tighter
+    # than additive (+ -); unary minus; parenthesized sub-expressions.
+    # Comparisons stay in the WHERE condition grammar (_cond_atom).
+
     def _expr(self):
+        left = self._mul_expr()
+        while True:
+            t = self._peek()
+            if t is not None and t[0] == "op" and t[1] in ("+", "-"):
+                self.i += 1
+                left = BinaryExpr(t[1], left, self._mul_expr())
+            else:
+                return left
+
+    def _mul_expr(self):
+        left = self._unary_expr()
+        while True:
+            t = self._peek()
+            if t is not None and t[0] == "op" and t[1] in ("*", "/", "%"):
+                # '*' here is multiplication only when something follows
+                # that can start an operand; a bare trailing '*' is the
+                # wildcard (handled by _primary via SELECT *)
+                self.i += 1
+                left = BinaryExpr(t[1], left, self._unary_expr())
+            else:
+                return left
+
+    def _unary_expr(self):
+        t = self._peek()
+        if t == ("op", "-"):
+            self.i += 1
+            inner = self._unary_expr()
+            if isinstance(inner, Literal) and inner.kind in ("int", "float"):
+                return Literal(inner.kind, -inner.value)
+            return BinaryExpr("*", Literal("int", -1), inner)
+        if t == ("op", "("):
+            self.i += 1
+            inner = self._expr()
+            self._expect_op(")")
+            return inner
+        return self._primary()
+
+    def _primary(self):
         kind, v = self._next()
         if kind in ("ident", "qident"):
             name = re.sub(r"\\(.)", r"\1", v[1:-1]) if kind == "qident" else v
@@ -444,13 +490,19 @@ class _Parser:
 
     def _fill(self, stmt: SelectStatement) -> None:
         self._expect_op("(")
+        sign = 1
+        if self._peek() == ("op", "-"):
+            self.i += 1
+            sign = -1
         t = self._next()
         kind, v = t
-        if kind == "ident" and v.lower() in ("none", "null", "previous", "linear"):
+        if sign == 1 and kind == "ident" and v.lower() in (
+            "none", "null", "previous", "linear"
+        ):
             stmt.fill = FillOption(v.lower())
         elif kind == "num":
             stmt.fill = FillOption.VALUE
-            stmt.fill_value = float(v)
+            stmt.fill_value = sign * float(v)
         else:
             raise InfluxQLParseError(f"bad fill argument {v!r}")
         self._expect_op(")")

@@ -37,6 +37,7 @@ from influxdb_iox_spark.influxql.ast_nodes import (
     FillOption,
     Literal,
     Measurement,
+    Projection,
     SelectStatement,
     ShowStatement,
     VarRef,
@@ -104,30 +105,28 @@ def _lower_comparison(node: BinaryExpr, m: Measurement, now_ns: int) -> Column:
     if isinstance(left, (Literal, Call)) and isinstance(right, VarRef):
         left, right = right, left
         op = {">": "<", "<": ">", ">=": "<=", "<=": ">="}.get(op, op)
-    if not isinstance(left, VarRef):
-        raise InfluxQLPlanError("comparison must reference a column")
-    name = left.name
-    if name == "time":
+    if isinstance(left, VarRef) and left.name == "time":
         col = F.col(m.time_col)
         ns = _time_operand_ns(right, now_ns)
         return {
             "=": col == ns, "!=": col != ns, ">": col > ns,
             ">=": col >= ns, "<": col < ns, "<=": col <= ns,
         }[op]
-    if name not in (*m.tags, *m.fields):
-        raise InfluxQLPlanError(f"unknown column {name!r} in WHERE")
-    col = F.col(name)
+    if isinstance(left, VarRef) and left.name not in (*m.tags, *m.fields):
+        raise InfluxQLPlanError(f"unknown column {left.name!r} in WHERE")
     if op in ("=~", "!~"):
+        if not isinstance(left, VarRef):
+            raise InfluxQLPlanError("=~ / !~ apply to a column")
         if not isinstance(right, Literal) or right.kind != "regex":
             raise InfluxQLPlanError("=~ / !~ need a /regex/")
-        matched = col.rlike(str(right.value))
+        matched = F.col(left.name).rlike(str(right.value))
         return matched if op == "=~" else ~matched
-    if not isinstance(right, Literal):
-        raise InfluxQLPlanError("comparison literal expected")
-    val = right.value
+    # value expressions on either side (field arithmetic in WHERE)
+    col = _lower_value(left, m)
+    rhs = _lower_value(right, m)
     return {
-        "=": col == val, "!=": col != val, ">": col > val,
-        ">=": col >= val, "<": col < val, "<=": col <= val,
+        "=": col == rhs, "!=": col != rhs, ">": col > rhs,
+        ">=": col >= rhs, "<": col < rhs, "<=": col <= rhs,
     }[op]
 
 
@@ -151,15 +150,163 @@ _TRANSFORMS = (
     "non_negative_difference",
     "cumulative_sum",
     "derivative",
+    "non_negative_derivative",
     "moving_average",
     "elapsed",
 )
+# Scalar math (spec "mathematical operators/functions"): pure codegen
+# column functions, composable with fields, aggregates, and transforms.
+_MATH_1 = {
+    "abs": F.abs,
+    "ceil": F.ceil,
+    "floor": F.floor,
+    "round": lambda c: F.round(c, 0),  # spec ROUND(): nearest integer
+    "sqrt": F.sqrt,
+    "exp": F.exp,
+    "ln": F.log,
+    "log2": F.log2,
+    "log10": F.log10,
+    "sin": F.sin,
+    "cos": F.cos,
+    "tan": F.tan,
+    "asin": F.asin,
+    "acos": F.acos,
+    "atan": F.atan,
+}
+_MATH_2 = {
+    "pow": F.pow,
+    "atan2": F.atan2,
+    # spec LOG(x, b): log base b
+    "log": lambda x, b: F.log(x) / F.log(b),
+}
+_AGG_FAMILY = frozenset(_PLAIN_AGGS) | {
+    *_SELECTORS,
+    "spread",
+    "count_distinct",  # normalized COUNT(DISTINCT(x))
+}
+_SPECIAL = frozenset(("top", "bottom", "distinct", "percentile"))
+_ARITH = {"+", "-", "*", "/", "%"}
 _SUPPORTED = (
     tuple(_PLAIN_AGGS)
     + _SELECTORS
     + _TRANSFORMS
+    + tuple(_MATH_1)
+    + tuple(_MATH_2)
     + ("spread", "percentile", "top", "bottom", "distinct")
 )
+
+
+def _normalize(node):
+    """Tree rewrites done before classification: COUNT(DISTINCT(x)) →
+    count_distinct(x)."""
+    if isinstance(node, Call):
+        args = tuple(_normalize(a) for a in node.args)
+        if (
+            node.func == "count"
+            and len(args) == 1
+            and isinstance(args[0], Call)
+            and args[0].func == "distinct"
+        ):
+            return Call("count_distinct", args[0].args)
+        return Call(node.func, args)
+    if isinstance(node, BinaryExpr):
+        return BinaryExpr(node.op, _normalize(node.left), _normalize(node.right))
+    return node
+
+
+def _walk_calls(node):
+    """Yield every Call in an expression tree (pre-order)."""
+    if isinstance(node, Call):
+        yield node
+        for a in node.args:
+            yield from _walk_calls(a)
+    elif isinstance(node, BinaryExpr):
+        yield from _walk_calls(node.left)
+        yield from _walk_calls(node.right)
+
+
+def _walk_varrefs(node):
+    if isinstance(node, VarRef):
+        yield node
+    elif isinstance(node, Call):
+        for a in node.args:
+            yield from _walk_varrefs(a)
+    elif isinstance(node, BinaryExpr):
+        yield from _walk_varrefs(node.left)
+        yield from _walk_varrefs(node.right)
+
+
+def _arith(op: str, left: Column, right: Column) -> Column:
+    if op == "+":
+        return left + right
+    if op == "-":
+        return left - right
+    if op == "*":
+        return left * right
+    if op == "/":
+        return left / right
+    if op == "%":
+        return left % right
+    raise InfluxQLPlanError(f"unsupported operator {op!r} in expression")
+
+
+def _lower_value(node, m: Measurement) -> Column:
+    """Lower a pure value expression (fields/tags, literals, scalar math,
+    arithmetic) — no aggregates or transforms inside."""
+    if isinstance(node, VarRef):
+        if node.name == "time":
+            return F.col(m.time_col)
+        if node.name not in (*m.fields, *m.tags):
+            raise InfluxQLPlanError(f"unknown column {node.name!r}")
+        return F.col(node.name)
+    if isinstance(node, Literal):
+        if node.kind in ("int", "float", "string"):
+            return F.lit(node.value)
+        if node.kind == "duration":
+            return F.lit(int(node.value))
+        raise InfluxQLPlanError(f"cannot use {node.kind} literal here")
+    if isinstance(node, Call):
+        if node.func in _MATH_1 and len(node.args) == 1:
+            return _MATH_1[node.func](_lower_value(node.args[0], m))
+        if node.func in _MATH_2 and len(node.args) == 2:
+            return _MATH_2[node.func](
+                _lower_value(node.args[0], m), _lower_value(node.args[1], m)
+            )
+        raise InfluxQLPlanError(
+            f"function {node.func}() is not valid in a value expression"
+        )
+    if isinstance(node, BinaryExpr) and node.op in _ARITH:
+        return _arith(
+            node.op, _lower_value(node.left, m), _lower_value(node.right, m)
+        )
+    raise InfluxQLPlanError(f"unsupported expression node {node!r}")
+
+
+def _lower_over(node, m: Measurement, resolve) -> Column:
+    """Lower an expression tree where ``resolve(call)`` produces the
+    Column for aggregate/transform leaf calls; scalar math and arithmetic
+    compose around them."""
+    got = resolve(node) if isinstance(node, Call) else None
+    if got is not None:
+        return got
+    if isinstance(node, (VarRef, Literal)):
+        return _lower_value(node, m)
+    if isinstance(node, Call):
+        if node.func in _MATH_1 and len(node.args) == 1:
+            return _MATH_1[node.func](_lower_over(node.args[0], m, resolve))
+        if node.func in _MATH_2 and len(node.args) == 2:
+            return _MATH_2[node.func](
+                _lower_over(node.args[0], m, resolve),
+                _lower_over(node.args[1], m, resolve),
+            )
+        raise InfluxQLPlanError(f"unsupported function {node.func}() here")
+    if isinstance(node, BinaryExpr) and node.op in _ARITH:
+        return _arith(
+            node.op,
+            _lower_over(node.left, m, resolve),
+            _lower_over(node.right, m, resolve),
+        )
+    raise InfluxQLPlanError(f"unsupported expression node {node!r}")
 
 
 def _field_arg(call: Call, m: Measurement) -> str:
@@ -187,8 +334,21 @@ def _alias_for(proj, used: set[str]) -> str:
         base = proj.alias
     elif isinstance(proj.expr, Call):
         base = proj.expr.func
-    else:
+    elif isinstance(proj.expr, VarRef):
         base = proj.expr.name
+    else:
+        # arithmetic tree: name after the first call or column inside
+        inner = next(_walk_calls(proj.expr), None)
+        if inner is not None:
+            base = inner.func
+        else:
+            base = next(
+                (
+                    n.name
+                    for n in _walk_varrefs(proj.expr)
+                ),
+                "expr",
+            )
     name, k = base, 1
     while name in used:
         name = f"{base}_{k}"
@@ -212,40 +372,76 @@ def plan_select(
 
     tags = _resolve_group_tags(stmt, m)
 
+    stmt = _with_normalized_projections(stmt)
     exprs = [p.expr for p in stmt.projections]
-    calls = [e for e in exprs if isinstance(e, Call)]
-    raws = [e for e in exprs if isinstance(e, VarRef)]
-    if calls and raws:
-        raise InfluxQLPlanError(
-            "mixing aggregate calls and raw fields is not supported "
-            "(stock InfluxQL rejects this too)"
-        )
-    for c in calls:
-        if c.func not in _SUPPORTED:
+    all_calls = [c for e in exprs for c in _walk_calls(e)]
+    for c in all_calls:
+        if c.func not in (*_SUPPORTED, "count_distinct"):
             raise InfluxQLPlanError(
                 f"unsupported function {c.func}(); supported: "
                 + ", ".join(sorted(_SUPPORTED))
             )
-        if any(isinstance(a, Call) for a in c.args):
-            raise InfluxQLPlanError(
-                "nested calls (transform-of-aggregate) are not supported"
-            )
 
-    if not calls:
-        out = _plan_raw(stmt, m, df, tags)
-    elif any(c.func in _TRANSFORMS for c in calls):
+    def has(family) -> bool:
+        return any(c.func in family for c in all_calls)
+
+    has_agg = has(_AGG_FAMILY)
+    has_transform = has(_TRANSFORMS)
+    has_special = has(_SPECIAL)
+    # raw = a projection mentioning a bare column outside any call
+    has_raw = any(_mentions_raw_column(e, m) for e in exprs)
+
+    if has_special:
+        if has_agg or has_transform:
+            raise InfluxQLPlanError(
+                "top()/bottom()/distinct()/percentile() cannot mix with "
+                "other aggregates or transforms"
+            )
+        if any(c.func in ("top", "bottom") for c in all_calls):
+            out = _plan_top_bottom(stmt, m, df, tags)
+        elif any(c.func == "distinct" for c in all_calls):
+            out = _plan_distinct(stmt, m, df, tags)
+        else:
+            out = _plan_percentile(stmt, m, df, tags)
+    elif has_transform and has_agg:
+        out = _plan_transform_of_agg(stmt, m, df, tags)
+    elif has_transform:
         out = _plan_transforms(stmt, m, df, tags)
-    elif any(c.func in ("top", "bottom") for c in calls):
-        out = _plan_top_bottom(stmt, m, df, tags)
-    elif any(c.func == "distinct" for c in calls):
-        out = _plan_distinct(stmt, m, df, tags)
-    elif any(c.func == "percentile" for c in calls):
-        out = _plan_percentile(stmt, m, df, tags)
-    else:
+    elif has_agg:
+        if has_raw:
+            raise InfluxQLPlanError(
+                "mixing aggregate calls and raw fields is not supported "
+                "(stock InfluxQL rejects this too)"
+            )
         out = _plan_aggregates(stmt, m, df, tags)
+    else:
+        out = _plan_raw(stmt, m, df, tags)
 
     out = _apply_series_limits(stmt, out, tags)
     return out
+
+
+def _with_normalized_projections(stmt: SelectStatement) -> SelectStatement:
+    stmt.projections = [
+        Projection(_normalize(p.expr), p.alias) for p in stmt.projections
+    ]
+    return stmt
+
+
+def _mentions_raw_column(node, m: Measurement) -> bool:
+    """True when the tree references a bare column OUTSIDE any
+    aggregate/transform call (scalar math does not encapsulate)."""
+    if isinstance(node, VarRef):
+        return True
+    if isinstance(node, BinaryExpr):
+        return _mentions_raw_column(node.left, m) or _mentions_raw_column(
+            node.right, m
+        )
+    if isinstance(node, Call):
+        if node.func in _MATH_1 or node.func in _MATH_2:
+            return any(_mentions_raw_column(a, m) for a in node.args)
+        return False
+    return False
 
 
 def _resolve_group_tags(stmt: SelectStatement, m: Measurement) -> list[str]:
@@ -273,17 +469,14 @@ def _plan_raw(
     used: set[str] = {"time", *tags}
     cols = [*tags, _time_out(m)]
     for p in stmt.projections:
-        name = p.expr.name
-        if name == "*":
+        if isinstance(p.expr, VarRef) and p.expr.name == "*":
             for f_ in m.fields:
                 if f_ not in used:
                     used.add(f_)
                     cols.append(F.col(f_))
             continue
-        if name not in (*m.fields, *m.tags):
-            raise InfluxQLPlanError(f"unknown column {name!r}")
         alias = _alias_for(p, used)
-        cols.append(F.col(name).alias(alias))
+        cols.append(_lower_value(p.expr, m).alias(alias))
     out = df.select(*cols)
     out = _apply_point_limit(stmt, m, out, tags)
     order = [F.col("time").desc() if stmt.order_desc else F.col("time").asc()]
@@ -326,46 +519,97 @@ def _bucket_col(stmt: SelectStatement, m: Measurement) -> Column:
     ).alias("time")
 
 
-def _plan_aggregates(
-    stmt: SelectStatement, m: Measurement, df: DataFrame, tags: list[str]
-) -> DataFrame:
+def _collect_agg_calls(
+    projections, m: Measurement
+) -> tuple[list[Column], dict]:
+    """Pre-pass: every unique aggregate-family Call across the projection
+    trees becomes ONE internal agg column ``__aN`` (selector calls keep
+    their (value, time) struct so the lone-selector path can surface the
+    matching timestamp).  Shared sub-aggregates dedupe: ``mean(v) +
+    mean(v)`` computes one mean."""
     from influxdb_iox_spark.operators.selectors import (
         selector_first,
         selector_last,
     )
     from influxdb_iox_spark.operators.stats import spread
 
+    agg_cols: list[Column] = []
+    agg_alias: dict = {}
+    for p in projections:
+        for call in _walk_calls(p.expr):
+            if call.func not in _AGG_FAMILY or call in agg_alias:
+                continue
+            name = f"__a{len(agg_alias)}"
+            agg_alias[call] = name
+            if call.func in _SELECTORS:
+                fld = _field_arg(call, m)
+                sel = (
+                    selector_first if call.func == "first" else selector_last
+                )(fld, m.time_col)
+                agg_cols.append(sel.alias(name))
+            elif call.func == "spread":
+                agg_cols.append(spread(_field_arg(call, m)).alias(name))
+            elif call.func == "count_distinct":
+                if not call.args:
+                    raise InfluxQLPlanError("count(distinct()) needs a field")
+                agg_cols.append(
+                    F.count_distinct(_lower_value(call.args[0], m)).alias(name)
+                )
+            else:
+                if not call.args:
+                    raise InfluxQLPlanError(f"{call.func}() needs an argument")
+                agg_cols.append(
+                    _PLAIN_AGGS[call.func](
+                        _lower_value(call.args[0], m)
+                    ).alias(name)
+                )
+    if not agg_alias:
+        raise InfluxQLPlanError("no aggregate call in projection")
+    return agg_cols, agg_alias
+
+
+def _plan_aggregates(
+    stmt: SelectStatement, m: Measurement, df: DataFrame, tags: list[str]
+) -> DataFrame:
     used: set[str] = {"time", *tags}
-    aggs: list[Column] = []
     lone_selector = (
         len(stmt.projections) == 1
         and isinstance(stmt.projections[0].expr, Call)
         and stmt.projections[0].expr.func in _SELECTORS
         and stmt.group_by_time_ns is None
     )
-    for p in stmt.projections:
-        call = p.expr
-        fld = _field_arg(call, m)
-        alias = _alias_for(p, used)
-        if call.func in _SELECTORS:
-            sel = (selector_first if call.func == "first" else selector_last)(
-                fld, m.time_col
-            )
-            if lone_selector:
-                aggs.append(sel.getField("time").alias("time"))
-            aggs.append(sel.getField("value").alias(alias))
-        elif call.func == "spread":
-            aggs.append(spread(fld).alias(alias))
-        else:
-            aggs.append(_PLAIN_AGGS[call.func](F.col(fld)).alias(alias))
+
+    agg_cols, agg_alias = _collect_agg_calls(stmt.projections, m)
+
+    def resolve(node):
+        if isinstance(node, Call) and node.func in _AGG_FAMILY:
+            name = agg_alias[node]
+            if node.func in _SELECTORS:
+                return F.col(name).getField("value")
+            return F.col(name)
+        return None
 
     group_cols: list[Column] = [F.col(t) for t in tags]
     if stmt.group_by_time_ns is not None:
         group_cols.append(_bucket_col(stmt, m))
     if group_cols:
-        out = df.groupBy(*group_cols).agg(*aggs)
+        grouped = df.groupBy(*group_cols).agg(*agg_cols)
     else:
-        out = df.agg(*aggs)
+        grouped = df.agg(*agg_cols)
+
+    sel: list[Column] = [F.col(t) for t in tags]
+    if stmt.group_by_time_ns is not None:
+        sel.append(F.col("time"))
+    if lone_selector:
+        sel.append(
+            F.col(agg_alias[stmt.projections[0].expr])
+            .getField("time")
+            .alias("time")
+        )
+    for p in stmt.projections:
+        alias = _alias_for(p, used)
+        sel.append(_lower_over(p.expr, m, resolve).alias(alias))
+    out = grouped.select(*sel)
 
     if stmt.group_by_time_ns is not None and stmt.fill is not FillOption.NONE:
         from influxdb_iox_spark.operators.gapfill import fill_window_gaps
@@ -400,6 +644,68 @@ def _apply_bucket_limit(
     return _apply_point_limit(stmt, None, out, tags)
 
 
+def _transform_expr(
+    call: Call,
+    value: Column,
+    time_col: Column,
+    w,
+    default_per_unit: int = 1_000_000_000,
+) -> tuple[Column, bool]:
+    """One transform call → (window Column over ``value``, drops-first?).
+    ``default_per_unit``: derivative's reporting interval when the call
+    omits it (1s for raw points; the GROUP BY time() interval for
+    aggregated derivatives, per spec)."""
+    from influxdb_iox_spark.operators import transforms as T
+
+    f = call.func
+    if f == "difference":
+        return T.difference(value, w), True
+    if f == "non_negative_difference":
+        return T.non_negative_difference(value, w), False
+    if f == "cumulative_sum":
+        return T.cumulative_sum(value, w), False
+    if f == "elapsed":
+        unit = (
+            int(call.args[1].value)
+            if len(call.args) > 1
+            and isinstance(call.args[1], Literal)
+            and call.args[1].kind == "duration"
+            else 1
+        )
+        return ((T.elapsed(time_col, w)) / unit).cast("long"), True
+    if f in ("derivative", "non_negative_derivative"):
+        unit = (
+            int(call.args[1].value)
+            if len(call.args) > 1
+            and isinstance(call.args[1], Literal)
+            and call.args[1].kind == "duration"
+            else default_per_unit
+        )
+        fn = (
+            T.derivative
+            if f == "derivative"
+            else T.non_negative_derivative
+        )
+        return fn(value, time_col, w, unit), True
+    if f == "moving_average":
+        n = int(_int_arg(call, 1, "a window size"))
+        ma = T.moving_average_sum(value, w, n) / T.moving_average_count(w, n)
+        # spec: emitted only once n points accumulated
+        full = T.moving_average_count(w, n) == n
+        return F.when(full, ma), True
+    raise InfluxQLPlanError(f"unsupported transform {f}()")
+
+
+def _drop_leading_nulls(out: DataFrame, aliases: list[str]) -> DataFrame:
+    if not aliases:
+        return out
+    keep = None
+    for c in aliases:
+        k = F.col(c).isNotNull()
+        keep = k if keep is None else (keep | k)
+    return out.filter(keep)
+
+
 def _plan_transforms(
     stmt: SelectStatement, m: Measurement, df: DataFrame, tags: list[str]
 ) -> DataFrame:
@@ -407,65 +713,117 @@ def _plan_transforms(
 
     if stmt.group_by_time_ns is not None:
         raise InfluxQLPlanError(
-            "transform-over-GROUP-BY-time (transform of an aggregate) "
-            "is not supported; apply the transform to raw points"
+            "GROUP BY time() with a raw-point transform is not valid; "
+            "wrap an aggregate (e.g. derivative(mean(v))) to bucket first"
         )
     w = T.series_window(tags, [m.time_col])
     used: set[str] = {"time", *tags}
     cols: list[Column] = [*[F.col(t) for t in tags], _time_out(m)]
     drop_first_null_of: list[str] = []
     for p in stmt.projections:
-        call = p.expr
-        if call.func not in _TRANSFORMS:
-            raise InfluxQLPlanError(
-                "transforms cannot mix with aggregates in one statement"
-            )
-        fld = _field_arg(call, m)
         alias = _alias_for(p, used)
-        v = F.col(fld)
-        if call.func == "difference":
-            cols.append(T.difference(v, w).alias(alias))
-            drop_first_null_of.append(alias)
-        elif call.func == "non_negative_difference":
-            cols.append(T.non_negative_difference(v, w).alias(alias))
-        elif call.func == "cumulative_sum":
-            cols.append(T.cumulative_sum(v, w).alias(alias))
-        elif call.func == "elapsed":
-            unit = (
-                int(call.args[1].value)
-                if len(call.args) > 1 and isinstance(call.args[1], Literal)
-                and call.args[1].kind == "duration"
-                else 1
-            )
-            e = T.elapsed(F.col(m.time_col), w)
-            cols.append((e / unit).cast("long").alias(alias))
-            drop_first_null_of.append(alias)
-        elif call.func == "derivative":
-            unit = (
-                int(call.args[1].value)
-                if len(call.args) > 1 and isinstance(call.args[1], Literal)
-                and call.args[1].kind == "duration"
-                else 1_000_000_000  # spec default: per second
-            )
-            cols.append(
-                T.derivative(v, F.col(m.time_col), w, unit).alias(alias)
-            )
-            drop_first_null_of.append(alias)
-        elif call.func == "moving_average":
-            n = int(_int_arg(call, 1, "a window size"))
-            ma = T.moving_average_sum(v, w, n) / T.moving_average_count(w, n)
-            # spec: emitted only once n points accumulated
-            full = T.moving_average_count(w, n) == n
-            cols.append(F.when(full, ma).alias(alias))
+        drops: list[bool] = []
+
+        def resolve(node, _drops=drops):
+            if isinstance(node, Call) and node.func in _TRANSFORMS:
+                arg = (
+                    _lower_value(node.args[0], m)
+                    if node.args
+                    else F.lit(None)
+                )
+                c, d = _transform_expr(node, arg, F.col(m.time_col), w)
+                if d:
+                    _drops.append(True)
+                return c
+            return None
+
+        cols.append(_lower_over(p.expr, m, resolve).alias(alias))
+        if drops:
             drop_first_null_of.append(alias)
     out = df.select(*cols)
-    if drop_first_null_of:
-        keep = None
-        for c in drop_first_null_of:
-            k = F.col(c).isNotNull()
-            keep = k if keep is None else (keep | k)
-        out = out.filter(keep)
+    out = _drop_leading_nulls(out, drop_first_null_of)
     out = _apply_point_limit(stmt, m, out, tags)
+    tcol = F.col("time").desc() if stmt.order_desc else F.col("time").asc()
+    return out.orderBy(*[F.col(t) for t in tags], tcol)
+
+
+def _plan_transform_of_agg(
+    stmt: SelectStatement, m: Measurement, df: DataFrame, tags: list[str]
+) -> DataFrame:
+    """The Grafana staple: ``SELECT derivative(mean(v), 1h) FROM m GROUP
+    BY time(1h), tag`` — bucketed aggregate first, then the per-series
+    transform over the bucket sequence.  One hash aggregate on
+    (tags, bucket) + window expressions sharing one (tags) exchange.
+
+    Fill interplay: fill(none) transforms over observed buckets only;
+    fill(null) materializes missing buckets as null rows AFTER the
+    transform (stock InfluxQL semantics for transformed aggregates);
+    carry/value/linear fills of a *transformed* series are rejected —
+    their stock behavior (fill the aggregate, then transform the filled
+    series) silently manufactures zero rates, which we refuse to do
+    implicitly."""
+    from influxdb_iox_spark.operators import transforms as T
+
+    if stmt.group_by_time_ns is None:
+        raise InfluxQLPlanError(
+            "a transform of an aggregate requires GROUP BY time()"
+        )
+    if stmt.fill not in (FillOption.NONE, FillOption.NULL):
+        raise InfluxQLPlanError(
+            "transform-of-aggregate supports fill(none) / fill(null) only"
+        )
+
+    agg_cols, agg_alias = _collect_agg_calls(stmt.projections, m)
+    group_cols = [*[F.col(t) for t in tags], _bucket_col(stmt, m)]
+    inner = df.groupBy(*group_cols).agg(*agg_cols)
+
+    def resolve_agg(node):
+        if isinstance(node, Call) and node.func in _AGG_FAMILY:
+            name = agg_alias[node]
+            if node.func in _SELECTORS:
+                return F.col(name).getField("value")
+            return F.col(name)
+        return None
+
+    w = T.series_window(tags, ["time"])
+    used: set[str] = {"time", *tags}
+    sel: list[Column] = [*[F.col(t) for t in tags], F.col("time")]
+    drop_first_null_of: list[str] = []
+    for p in stmt.projections:
+        alias = _alias_for(p, used)
+        drops: list[bool] = []
+
+        def resolve(node, _drops=drops):
+            if isinstance(node, Call) and node.func in _TRANSFORMS:
+                if not node.args:
+                    raise InfluxQLPlanError(
+                        f"{node.func}() needs an aggregate argument"
+                    )
+                arg = _lower_over(node.args[0], m, resolve_agg)
+                c, d = _transform_expr(
+                    node,
+                    arg,
+                    F.col("time"),
+                    w,
+                    default_per_unit=stmt.group_by_time_ns,
+                )
+                if d:
+                    _drops.append(True)
+                return c
+            return resolve_agg(node)
+
+        sel.append(_lower_over(p.expr, m, resolve).alias(alias))
+        if drops:
+            drop_first_null_of.append(alias)
+    out = inner.select(*sel)
+    out = _drop_leading_nulls(out, drop_first_null_of)
+    if stmt.fill is FillOption.NULL:
+        from influxdb_iox_spark.operators.gapfill import fill_window_gaps
+
+        out = fill_window_gaps(
+            out, tags, "time", stmt.group_by_time_ns, strategy="null"
+        )
+    out = _apply_bucket_limit(stmt, out, tags)
     tcol = F.col("time").desc() if stmt.order_desc else F.col("time").asc()
     return out.orderBy(*[F.col(t) for t in tags], tcol)
 

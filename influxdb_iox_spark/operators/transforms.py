@@ -84,6 +84,15 @@ def derivative(
     return (col - F.lag(col).over(w)) * per_units / dt
 
 
+def non_negative_derivative(
+    col: Column, time_col: Column, w: WindowSpec, per_units: int
+) -> Column:
+    """DERIVATIVE with negative results suppressed (null), per InfluxQL
+    NON_NEGATIVE_DERIVATIVE — the monotone-counter rate form."""
+    d = derivative(col, time_col, w, per_units)
+    return F.when(d >= 0, d)
+
+
 def weighted_ema_sums(
     col: Column, w: WindowSpec, n: int
 ) -> tuple[Column, Column]:

@@ -362,10 +362,158 @@ def test_plan_errors(catalog):
         ("SELECT v FROM cpu GROUP BY nosuchtag", InfluxQLPlanError),
         ("SELECT v FROM cpu GROUP BY time(1h)", InfluxQLPlanError),  # raw+time
         ("SELECT v FROM cpu SLIMIT 2", InfluxQLPlanError),  # slimit w/o tags
-        ("SELECT DERIVATIVE(MEAN(v)) FROM cpu GROUP BY time(1h)", InfluxQLPlanError),
+        # transform-of-aggregate needs GROUP BY time()
+        ("SELECT DERIVATIVE(MEAN(v)) FROM cpu", InfluxQLPlanError),
+        # carry-fill of a transformed series manufactures rates — rejected
+        (
+            "SELECT DERIVATIVE(MEAN(v)) FROM cpu GROUP BY time(1h) FILL(previous)",
+            InfluxQLPlanError,
+        ),
+        ("SELECT MEAN(v) + v FROM cpu", InfluxQLPlanError),  # agg + raw mix
     ):
         with pytest.raises(exc):
             execute(bad, catalog)
+
+
+def test_plan_projection_arithmetic_raw(catalog):
+    out = execute(
+        "SELECT v * 2 + 1 AS scaled, abs(v - 3) FROM cpu WHERE host = 'a'",
+        catalog,
+    )
+    assert out.columns == ["time", "scaled", "abs"]
+    assert [(r[1], r[2]) for r in _rows(out)] == [
+        (3.0, 2.0),
+        (5.0, 1.0),
+        (9.0, 1.0),
+        (17.0, 5.0),
+    ]
+
+
+def test_plan_math_functions(catalog):
+    out = execute(
+        "SELECT sqrt(v), round(v / 3), pow(v, 2) FROM cpu WHERE host = 'b'",
+        catalog,
+    )
+    rows = _rows(out)
+    assert rows[0][1] == pytest.approx(10.0**0.5)
+    assert rows[0][2] == pytest.approx(3.0)  # round(10/3)
+    assert rows[1][3] == pytest.approx(900.0)
+
+
+def test_plan_unary_minus_and_modulo(catalog):
+    out = execute("SELECT -v, n % 3 FROM cpu WHERE host = 'a'", catalog)
+    assert [(r[1], r[2]) for r in _rows(out)] == [
+        (-1.0, 1),
+        (-2.0, 2),
+        (-4.0, 1),
+        (-8.0, 2),
+    ]
+
+
+def test_plan_arithmetic_over_aggregates(catalog):
+    out = execute(
+        "SELECT MEAN(v) * 100 AS pct, SUM(v) / COUNT(v) AS check "
+        "FROM cpu GROUP BY host",
+        catalog,
+    )
+    got = {r[0]: (r[1], r[2]) for r in _rows(out)}
+    assert got["a"] == (pytest.approx(375.0), pytest.approx(3.75))
+    assert got["b"] == (pytest.approx(2000.0), pytest.approx(20.0))
+
+
+def test_plan_shared_subaggregate_dedupes(catalog):
+    # mean(v) appears twice; the plan computes ONE mean
+    out = execute(
+        "SELECT MEAN(v) + MEAN(v) AS double_mean FROM cpu WHERE host = 'b'",
+        catalog,
+    )
+    assert _rows(out) == [(40.0,)]
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("avg(") <= 2  # partial+final of one agg
+
+
+def test_plan_count_distinct(catalog):
+    out = execute(
+        "SELECT COUNT(DISTINCT(n)) AS u FROM cpu", catalog
+    )
+    assert _rows(out) == [(7,)]
+
+
+def test_plan_derivative_of_mean(catalog):
+    # Grafana staple: bucketed mean, then per-bucket-step derivative.
+    # host a hourly means: 0h->1.5, 1h->4, 3h->8.  derivative default
+    # unit = the group interval (1h): (4-1.5)/1 = 2.5, (8-4)/2h = 2.0
+    out = execute(
+        "SELECT DERIVATIVE(MEAN(v)) FROM cpu WHERE host = 'a' "
+        "GROUP BY time(1h)",
+        catalog,
+    )
+    assert out.columns == ["time", "derivative"]
+    assert [(r[0], r[1]) for r in _rows(out)] == [
+        (H, pytest.approx(2.5)),
+        (3 * H, pytest.approx(2.0)),
+    ]
+
+
+def test_plan_difference_of_count_with_tags(catalog):
+    out = execute(
+        "SELECT DIFFERENCE(COUNT(v)) AS dc FROM cpu "
+        "GROUP BY time(1h), host",
+        catalog,
+    )
+    got = [(r[0], r[1], r[2]) for r in _rows(out)]
+    # host a counts: 0h->2, 1h->1, 3h->1 -> diffs -1, 0
+    assert ("a", H, -1) in got and ("a", 3 * H, 0) in got
+    # host b counts: 0h->1, 2h->1 -> diff 0
+    assert ("b", 2 * H, 0) in got
+
+
+def test_plan_moving_average_of_mean(catalog):
+    out = execute(
+        "SELECT MOVING_AVERAGE(MEAN(v), 2) FROM cpu WHERE host = 'a' "
+        "GROUP BY time(1h)",
+        catalog,
+    )
+    # means 1.5, 4, 8 -> pairwise 2.75, 6.0
+    assert [r[1] for r in _rows(out)] == [
+        pytest.approx(2.75),
+        pytest.approx(6.0),
+    ]
+
+
+def test_plan_transform_of_agg_fill_null_grid(catalog):
+    out = execute(
+        "SELECT DIFFERENCE(SUM(v)) AS d FROM cpu WHERE host = 'a' "
+        "GROUP BY time(1h) FILL(null)",
+        catalog,
+    )
+    # sums 0h->3, 1h->4, 3h->8: diffs at 1h (1.0) and 3h (4.0); the
+    # fill(null) grid re-materializes the empty 2h bucket as a null row
+    assert _rows(out) == [(H, 1.0), (2 * H, None), (3 * H, 4.0)]
+
+
+def test_plan_arithmetic_around_transform(catalog):
+    out = execute(
+        "SELECT CUMULATIVE_SUM(v) * 10 FROM cpu WHERE host = 'a'",
+        catalog,
+    )
+    assert [r[1] for r in _rows(out)] == [10.0, 30.0, 70.0, 150.0]
+
+
+def test_plan_non_negative_derivative(catalog):
+    # host a values rise monotonically -> all emitted; add a fall via
+    # host-b union is overkill: check count matches derivative's
+    out = execute(
+        "SELECT NON_NEGATIVE_DERIVATIVE(v, 1s) FROM cpu WHERE host = 'a'",
+        catalog,
+    )
+    vals = [r[1] for r in _rows(out)]
+    assert len(vals) == 3 and all(v >= 0 for v in vals)
+
+
+def test_plan_where_field_arithmetic(catalog):
+    out = execute("SELECT v FROM cpu WHERE v * 2 > 8 AND host = 'a'", catalog)
+    assert [r[1] for r in _rows(out)] == [8.0]
 
 
 def test_plan_stays_jvm_side(catalog):
