@@ -70,8 +70,11 @@ class Projection:
 @dataclass
 class SelectStatement:
     projections: list[Projection]
-    measurement: str
+    measurement: str | None  # single FROM name (None for sub/regex/multi)
     where: object | None = None  # BinaryExpr tree
+    from_sub: object | None = None  # SelectStatement subquery FROM
+    from_regex: str | None = None  # FROM /regex/ over measurement names
+    from_names: list[str] | None = None  # FROM m1, m2, ... (multi)
     group_by_tags: list[str] = field(default_factory=list)
     group_by_time_ns: int | None = None
     group_by_offset_ns: int = 0

@@ -96,16 +96,49 @@ def duration_to_ns(text: str) -> int:
 
 
 def _extract_regexes(text: str) -> tuple[str, list[str]]:
-    """Replace each ``=~ /re/`` / ``!~ /re/`` regex with a quoted marker
-    string BEFORE lexing ('/' is ambiguous between regex delimiter and
-    division, but the grammar only allows a regex right after =~ / !~).
-    Quote-aware, so an =~ inside a string literal is left alone.  ``\\/``
-    inside the regex unescapes to '/'; every other backslash passes
-    through untouched (Rust-regex escapes, not string escapes)."""
+    """Replace each regex literal with a quoted marker string BEFORE
+    lexing ('/' is ambiguous between regex delimiter and division, but
+    the grammar only allows a regex right after ``=~`` / ``!~`` or as a
+    ``FROM`` target).  Quote-aware, so an =~ inside a string literal is
+    left alone.  ``\\/`` inside the regex unescapes to '/'; every other
+    backslash passes through untouched (Rust-regex escapes, not string
+    escapes)."""
     out: list[str] = []
     regs: list[str] = []
     i, n = 0, len(text)
     quote: str | None = None
+
+    def take_regex(j: int) -> int:
+        """Starting at whitespace-or-'/' position j, consume an optional
+        /regex/ and append its marker; return the new position."""
+        while j < n and text[j].isspace():
+            j += 1
+        if j >= n or text[j] != "/":
+            return -1  # no regex: caller keeps scanning from i
+        k = j + 1
+        pat: list[str] = []
+        closed = False
+        while k < n:
+            if text[k] == "\\" and k + 1 < n:
+                if text[k + 1] == "/":
+                    pat.append("/")
+                else:
+                    pat.append(text[k])
+                    pat.append(text[k + 1])
+                k += 2
+                continue
+            if text[k] == "/":
+                k += 1
+                closed = True
+                break
+            pat.append(text[k])
+            k += 1
+        if not closed:
+            raise InfluxQLParseError("unterminated regex")
+        out.append(f" '\x00{len(regs)}\x00' ")
+        regs.append("".join(pat))
+        return k
+
     while i < n:
         c = text[i]
         if quote:
@@ -126,31 +159,24 @@ def _extract_regexes(text: str) -> tuple[str, list[str]]:
         if text.startswith(("=~", "!~"), i):
             out.append(text[i : i + 2])
             i += 2
-            while i < n and text[i].isspace():
-                i += 1
-            if i < n and text[i] == "/":
-                i += 1
-                pat: list[str] = []
-                closed = False
-                while i < n:
-                    if text[i] == "\\" and i + 1 < n:
-                        if text[i + 1] == "/":
-                            pat.append("/")
-                        else:
-                            pat.append(text[i])
-                            pat.append(text[i + 1])
-                        i += 2
-                        continue
-                    if text[i] == "/":
-                        i += 1
-                        closed = True
-                        break
-                    pat.append(text[i])
-                    i += 1
-                if not closed:
-                    raise InfluxQLParseError("unterminated regex")
-                out.append(f" '\x00{len(regs)}\x00' ")
-                regs.append("".join(pat))
+            j = take_regex(i)
+            if j >= 0:
+                i = j
+            continue
+        if (
+            c in "Ff"
+            and text[i : i + 4].upper() == "FROM"
+            and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_"))
+            and (
+                i + 4 >= n
+                or not (text[i + 4].isalnum() or text[i + 4] == "_")
+            )
+        ):
+            out.append(text[i : i + 4])
+            i += 4
+            j = take_regex(i)
+            if j >= 0:
+                i = j
             continue
         out.append(c)
         i += 1
@@ -272,16 +298,59 @@ class _Parser:
         )
 
     def _select(self) -> SelectStatement:
+        stmt = self._select_core()
+        if self._peek() is not None:
+            raise InfluxQLParseError(
+                f"trailing input: {self.toks[self.i:][:3]}"
+            )
+        return stmt
+
+    def _from_target(self):
+        """One FROM target → ('name', str) | ('regex', str) | ('sub', stmt)."""
+        t = self._peek()
+        if t == ("op", "("):
+            self.i += 1
+            self._expect_kw("SELECT")
+            inner = self._select_core()
+            self._expect_op(")")
+            return ("sub", inner)
+        if t is not None and t[0] == "str":
+            body = t[1][1:-1]
+            m = re.fullmatch(r"\x00(\d+)\x00", body)
+            if m:
+                self.i += 1
+                return ("regex", self.regexes[int(m.group(1))])
+        return ("name", self._ident())
+
+    def _select_core(self) -> SelectStatement:
         projections = [self._projection()]
         while self._peek() == ("op", ","):
             self.i += 1
             projections.append(self._projection())
         self._expect_kw("FROM")
-        measurement = self._ident()
+        targets = [self._from_target()]
+        while self._peek() == ("op", ","):
+            self.i += 1
+            targets.append(self._from_target())
 
         where = self._cond() if self._kw("WHERE") else None
 
-        stmt = SelectStatement(projections, measurement, where=where)
+        kinds = {k for k, _ in targets}
+        if len(targets) > 1 and kinds != {"name"}:
+            raise InfluxQLParseError(
+                "multi-target FROM supports plain measurement names only"
+            )
+        kind, val = targets[0]
+        stmt = SelectStatement(
+            projections,
+            val if kind == "name" else None,
+            where=where,
+            from_sub=val if kind == "sub" else None,
+            from_regex=val if kind == "regex" else None,
+            from_names=(
+                [v for _, v in targets] if len(targets) > 1 else None
+            ),
+        )
         if self._kw("GROUP", "BY"):
             self._group_by(stmt)
         if self._kw("FILL"):
@@ -301,10 +370,6 @@ class _Parser:
             stmt.slimit = self._int()
         if self._kw("SOFFSET"):
             stmt.soffset = self._int()
-        if self._peek() is not None:
-            raise InfluxQLParseError(
-                f"trailing input: {self.toks[self.i:][:3]}"
-            )
         return stmt
 
     def _projection(self) -> Projection:

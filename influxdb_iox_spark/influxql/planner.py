@@ -362,10 +362,94 @@ def plan_select(
     catalog: dict[str, Measurement],
     now_ns: int | None = None,
 ) -> DataFrame:
-    if stmt.measurement not in catalog:
-        raise InfluxQLPlanError(f"unknown measurement {stmt.measurement!r}")
-    m = catalog[stmt.measurement]
     now_ns = now_ns if now_ns is not None else _time.time_ns()
+    out, _tags = _plan_select_impl(stmt, catalog, now_ns)
+    return out
+
+
+def _plan_select_impl(
+    stmt: SelectStatement,
+    catalog: dict[str, Measurement],
+    now_ns: int,
+) -> tuple[DataFrame, list[str]]:
+    if stmt.from_names or stmt.from_regex is not None:
+        return _plan_multi_from(stmt, catalog, now_ns), []
+    if stmt.from_sub is not None:
+        m = _subquery_measurement(stmt.from_sub, catalog, now_ns)
+    else:
+        if stmt.measurement not in catalog:
+            raise InfluxQLPlanError(
+                f"unknown measurement {stmt.measurement!r}"
+            )
+        m = catalog[stmt.measurement]
+    return _plan_single(stmt, m, now_ns)
+
+
+def _subquery_measurement(
+    inner: SelectStatement, catalog: dict[str, Measurement], now_ns: int
+) -> Measurement:
+    """FROM (SELECT ...): the inner result becomes an anonymous
+    measurement — its surviving GROUP BY tags stay tags, every other
+    non-time output column is a field.  Lazy end to end: the outer plan
+    composes onto the inner DataFrame, Catalyst optimizes the whole
+    tree (inner projections/filters fuse with outer ones)."""
+    inner_df, inner_tags = _plan_select_impl(inner, catalog, now_ns)
+    cols = inner_df.columns
+    tags = tuple(t for t in inner_tags if t in cols)
+    fields = tuple(c for c in cols if c not in tags and c != "time")
+    return Measurement(df=inner_df, tags=tags, fields=fields, time_col="time")
+
+
+def _plan_multi_from(
+    stmt: SelectStatement, catalog: dict[str, Measurement], now_ns: int
+) -> DataFrame:
+    """FROM m1, m2 / FROM /regex/: plan per measurement, union by name
+    (missing columns null), leading ``measurement`` column — stock
+    InfluxQL's one-series-per-measurement framing, relationally."""
+    import copy
+    import re as _re
+
+    if stmt.from_regex is not None:
+        try:
+            names = [
+                n for n in sorted(catalog) if _re.search(stmt.from_regex, n)
+            ]
+        except _re.error as e:
+            raise InfluxQLPlanError(f"bad FROM regex: {e}") from None
+        if not names:
+            raise InfluxQLPlanError(
+                f"no measurement matches /{stmt.from_regex}/"
+            )
+    else:
+        names = list(stmt.from_names or ())
+        for nme in names:
+            if nme not in catalog:
+                raise InfluxQLPlanError(f"unknown measurement {nme!r}")
+
+    frames = []
+    for nme in names:
+        s2 = copy.copy(stmt)
+        s2.measurement = nme
+        s2.from_regex = None
+        s2.from_names = None
+        df_n, _ = _plan_single(s2, catalog[nme], now_ns)
+        frames.append(df_n.select(F.lit(nme).alias("measurement"), "*"))
+    out = frames[0]
+    for f2 in frames[1:]:
+        out = out.unionByName(f2, allowMissingColumns=True)
+    known_tags = {t for nme in names for t in catalog[nme].tags}
+    order = [F.col("measurement")]
+    order += [F.col(c) for c in out.columns if c in known_tags]
+    if "time" in out.columns:
+        order.append(
+            F.col("time").desc() if stmt.order_desc else F.col("time").asc()
+        )
+    return out.orderBy(*order)
+
+
+def _plan_single(
+    stmt: SelectStatement, m: Measurement, now_ns: int
+) -> tuple[DataFrame, list[str]]:
     df = m.df
     if stmt.where is not None:
         df = df.filter(_lower_where(stmt.where, m, now_ns))
@@ -418,7 +502,7 @@ def plan_select(
         out = _plan_raw(stmt, m, df, tags)
 
     out = _apply_series_limits(stmt, out, tags)
-    return out
+    return out, tags
 
 
 def _with_normalized_projections(stmt: SelectStatement) -> SelectStatement:

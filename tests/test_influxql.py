@@ -516,6 +516,70 @@ def test_plan_where_field_arithmetic(catalog):
     assert [r[1] for r in _rows(out)] == [8.0]
 
 
+def test_parse_from_targets():
+    s = parse("SELECT max(hm) FROM (SELECT mean(v) AS hm FROM cpu GROUP BY time(1h), host) GROUP BY host")
+    assert s.measurement is None and s.from_sub.measurement == "cpu"
+    assert s.from_sub.group_by_time_ns == H
+    s2 = parse("SELECT count(v) FROM /^c/")
+    assert s2.from_regex == "^c"
+    s3 = parse("SELECT v FROM cpu, mem")
+    assert s3.from_names == ["cpu", "mem"]
+    with pytest.raises(InfluxQLParseError):
+        parse("SELECT v FROM cpu, /re/")  # mixed multi-target
+
+
+def test_plan_subquery_max_of_hourly_mean(catalog):
+    out = execute(
+        "SELECT MAX(hm) FROM (SELECT MEAN(v) AS hm FROM cpu "
+        "GROUP BY time(1h), host) GROUP BY host",
+        catalog,
+    )
+    got = {r[0]: r[1] for r in _rows(out)}
+    # host a hourly means: 1.5, 4, 8 -> max 8; host b: 10, 30 -> 30
+    assert got["a"] == pytest.approx(8.0)
+    assert got["b"] == pytest.approx(30.0)
+
+
+def test_plan_subquery_transform_outer(catalog):
+    # difference over the inner bucketed sums, computed by the OUTER query
+    out = execute(
+        "SELECT DIFFERENCE(s) FROM (SELECT SUM(v) AS s FROM cpu "
+        "WHERE host = 'a' GROUP BY time(1h))",
+        catalog,
+    )
+    assert [r[1] for r in _rows(out)] == [1.0, 4.0]
+
+
+def test_plan_subquery_where_on_inner_alias(catalog):
+    out = execute(
+        "SELECT COUNT(s) FROM (SELECT SUM(v) AS s FROM cpu "
+        "GROUP BY time(1h), host) WHERE s > 5",
+        catalog,
+    )
+    # sums: a->(3,4,8), b->(10,30), null->(5): >5 leaves 8,10,30
+    assert _rows(out) == [(3,)]
+
+
+def test_plan_regex_from_unions_measurements(catalog, spark):
+    rows = [("x", 100.0, 7 * S)]
+    mem = spark.createDataFrame(rows, "host string, v double, time long")
+    cat2 = dict(catalog)
+    cat2["mem"] = Measurement(df=mem, tags=("host",), fields=("v",))
+    out = execute("SELECT COUNT(v) AS n FROM /^(cpu|mem)$/", cat2)
+    assert out.columns == ["measurement", "n"]
+    assert set(_rows(out)) == {("cpu", 7), ("mem", 1)}
+
+
+def test_plan_multi_from_names(catalog, spark):
+    mem = spark.createDataFrame(
+        [("x", 100.0, 7 * S)], "host string, v double, time long"
+    )
+    cat2 = dict(catalog)
+    cat2["mem"] = Measurement(df=mem, tags=("host",), fields=("v",))
+    out = execute("SELECT v FROM cpu, mem WHERE v >= 30", cat2)
+    assert set(_rows(out)) == {("cpu", 2 * H + 10 * S, 30.0), ("mem", 7 * S, 100.0)}
+
+
 def test_plan_stays_jvm_side(catalog):
     """No Python row paths: the lowered plans must be pure Catalyst
     (no EvalPython / InPandas nodes)."""
