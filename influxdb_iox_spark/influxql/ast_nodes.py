@@ -89,11 +89,18 @@ class SelectStatement:
 
 @dataclass
 class ShowStatement:
-    """SHOW MEASUREMENTS | TAG KEYS | TAG VALUES | FIELD KEYS."""
+    """SHOW MEASUREMENTS | TAG KEYS | TAG VALUES | FIELD KEYS | SERIES |
+    DATABASES | RETENTION POLICIES."""
 
     what: str  # 'measurements' | 'tag keys' | 'tag values' | 'field keys'
+    #            | 'series' | 'databases' | 'retention policies'
     measurement: str | None = None
     with_key: str | None = None  # SHOW TAG VALUES ... WITH KEY = <k>
+    with_keys: list[str] | None = None  # ... WITH KEY IN (k1, k2)
+    with_key_regex: str | None = None  # ... WITH KEY =~ /re/
+    on_db: str | None = None  # SHOW RETENTION POLICIES ON <db>
+    limit: int | None = None
+    offset: int = 0
 
 
 @dataclass(frozen=True)

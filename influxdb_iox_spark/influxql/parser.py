@@ -274,8 +274,26 @@ class _Parser:
         raise InfluxQLParseError("expected SELECT or SHOW")
 
     def _show(self) -> ShowStatement:
+        stmt = self._show_core()
+        if self._kw("LIMIT"):
+            stmt.limit = self._int()
+        if self._kw("OFFSET"):
+            stmt.offset = self._int()
+        if self._peek() is not None:
+            raise InfluxQLParseError("trailing input after SHOW")
+        return stmt
+
+    def _show_core(self) -> ShowStatement:
         if self._kw("MEASUREMENTS"):
             return ShowStatement("measurements")
+        if self._kw("DATABASES"):
+            return ShowStatement("databases")
+        if self._kw("RETENTION", "POLICIES"):
+            on_db = self._ident() if self._kw("ON") else None
+            return ShowStatement("retention policies", on_db=on_db)
+        if self._kw("SERIES"):
+            meas = self._ident() if self._kw("FROM") else None
+            return ShowStatement("series", measurement=meas)
         for words, what in (
             (("TAG", "KEYS"), "tag keys"),
             (("TAG", "VALUES"), "tag values"),
@@ -283,18 +301,30 @@ class _Parser:
         ):
             if self._kw(*words):
                 meas = self._ident() if self._kw("FROM") else None
-                with_key = None
+                stmt = ShowStatement(what, measurement=meas)
                 if what == "tag values":
                     self._expect_kw("WITH", "KEY")
-                    self._expect_op("=")
-                    with_key = self._ident()
-                elif self._peek() is not None:
-                    raise InfluxQLParseError("trailing input after SHOW")
-                if what == "tag values" and self._peek() is not None:
-                    raise InfluxQLParseError("trailing input after SHOW")
-                return ShowStatement(what, measurement=meas, with_key=with_key)
+                    if self._kw("IN"):
+                        self._expect_op("(")
+                        keys = [self._ident()]
+                        while self._peek() == ("op", ","):
+                            self.i += 1
+                            keys.append(self._ident())
+                        self._expect_op(")")
+                        stmt.with_keys = keys
+                    else:
+                        t = self._peek()
+                        if t == ("op", "=~"):
+                            self.i += 1
+                            reg = self._regex()
+                            stmt.with_key_regex = str(reg.value)
+                        else:
+                            self._expect_op("=")
+                            stmt.with_key = self._ident()
+                return stmt
         raise InfluxQLParseError(
-            "expected MEASUREMENTS, TAG KEYS, TAG VALUES or FIELD KEYS"
+            "expected MEASUREMENTS, SERIES, DATABASES, RETENTION POLICIES, "
+            "TAG KEYS, TAG VALUES or FIELD KEYS"
         )
 
     def _select(self) -> SelectStatement:

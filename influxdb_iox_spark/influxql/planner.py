@@ -1002,8 +1002,20 @@ _INFLUX_TYPES = {
 }
 
 
+def _apply_show_limit(stmt: ShowStatement, out: DataFrame) -> DataFrame:
+    """LIMIT/OFFSET on SHOW output (applied after the sort; SHOW results
+    are metadata-sized)."""
+    if stmt.offset:
+        out = out.offset(stmt.offset)
+    if stmt.limit is not None:
+        out = out.limit(stmt.limit)
+    return out
+
+
 def plan_show(
-    stmt: ShowStatement, catalog: dict[str, Measurement]
+    stmt: ShowStatement,
+    catalog: dict[str, Measurement],
+    databases: list[str] | None = None,
 ) -> DataFrame:
     some_df = next(iter(catalog.values())).df
     spark = some_df.sparkSession
@@ -1011,9 +1023,53 @@ def plan_show(
     if stmt.measurement is not None and stmt.measurement not in catalog:
         raise InfluxQLPlanError(f"unknown measurement {stmt.measurement!r}")
     scope = [stmt.measurement] if stmt.measurement else names
+    out = _plan_show_core(stmt, catalog, spark, names, scope, databases)
+    return _apply_show_limit(stmt, out)
 
+
+def _plan_show_core(
+    stmt: ShowStatement,
+    catalog: dict[str, Measurement],
+    spark,
+    names: list[str],
+    scope: list[str],
+    databases: list[str] | None,
+) -> DataFrame:
     if stmt.what == "measurements":
         return spark.createDataFrame([(n,) for n in names], "name string")
+    if stmt.what == "databases":
+        return spark.createDataFrame(
+            [(d,) for d in (databases or [])], "name string"
+        )
+    if stmt.what == "retention policies":
+        # single default policy per database (this engine's retention is
+        # lifecycle-rule driven; the stock autogen row keeps v1 clients
+        # like Grafana's datasource probe happy)
+        return spark.createDataFrame(
+            [("autogen", "0s", "168h0m0s", 1, True)],
+            "name string, duration string, shardGroupDuration string, "
+            "replicaN int, `default` boolean",
+        )
+    if stmt.what == "series":
+        frames = []
+        for n in scope:
+            mm = catalog[n]
+            key = F.lit(n)
+            for t in sorted(mm.tags):
+                key = F.concat(
+                    key,
+                    F.when(
+                        F.col(t).isNotNull(),
+                        F.concat(F.lit(f",{t}="), F.col(t)),
+                    ).otherwise(F.lit("")),
+                )
+            frames.append(
+                mm.df.select(key.alias("key")).distinct()
+            )
+        out = frames[0]
+        for f_ in frames[1:]:
+            out = out.unionByName(f_)
+        return out.distinct().orderBy("key")
     if stmt.what == "tag keys":
         rows = [
             (n, t) for n in scope for t in sorted(catalog[n].tags)
@@ -1034,25 +1090,38 @@ def plan_show(
             rows, "measurement string, field_key string, field_type string"
         )
     if stmt.what == "tag values":
-        key = stmt.with_key
+        import re as _re
+
+        def keys_for(mm: Measurement) -> list[str]:
+            if stmt.with_key is not None:
+                return [stmt.with_key] if stmt.with_key in mm.tags else []
+            if stmt.with_keys is not None:
+                return [k for k in stmt.with_keys if k in mm.tags]
+            if stmt.with_key_regex is not None:
+                try:
+                    pat = _re.compile(stmt.with_key_regex)
+                except _re.error as e:
+                    raise InfluxQLPlanError(f"bad WITH KEY regex: {e}") from None
+                return [k for k in mm.tags if pat.search(k)]
+            raise InfluxQLPlanError("SHOW TAG VALUES needs WITH KEY")
+
         frames = []
         for n in scope:
             mm = catalog[n]
-            if key not in mm.tags:
-                continue
-            frames.append(
-                mm.df.select(
-                    F.lit(key).alias("key"), F.col(key).alias("value")
+            for key in keys_for(mm):
+                frames.append(
+                    mm.df.select(
+                        F.lit(key).alias("key"), F.col(key).alias("value")
+                    )
+                    .filter(F.col(key).isNotNull())
+                    .distinct()
                 )
-                .filter(F.col(key).isNotNull())
-                .distinct()
-            )
         if not frames:
             return spark.createDataFrame([], "key string, value string")
         out = frames[0]
         for f_ in frames[1:]:
             out = out.unionByName(f_)
-        return out.distinct().orderBy("value")
+        return out.distinct().orderBy("key", "value")
     raise InfluxQLPlanError(f"unsupported SHOW {stmt.what!r}")
 
 
@@ -1060,9 +1129,12 @@ def execute(
     text: str,
     catalog: dict[str, Measurement],
     now_ns: int | None = None,
+    databases: list[str] | None = None,
 ) -> DataFrame:
-    """Parse + plan one InfluxQL statement against ``catalog``."""
+    """Parse + plan one InfluxQL statement against ``catalog``.
+    ``databases``: names surfaced by SHOW DATABASES (the catalog itself
+    is one database's measurements)."""
     stmt = parse(text)
     if isinstance(stmt, SelectStatement):
         return plan_select(stmt, catalog, now_ns=now_ns)
-    return plan_show(stmt, catalog)
+    return plan_show(stmt, catalog, databases=databases)

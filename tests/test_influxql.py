@@ -353,6 +353,29 @@ def test_plan_show_statements(catalog):
     assert tv == [("host", "a"), ("host", "b")]
 
 
+def test_plan_show_series_and_databases(catalog):
+    got = [r[0] for r in _rows(execute("SHOW SERIES FROM cpu", catalog))]
+    assert got == ["cpu", "cpu,host=a", "cpu,host=b"]
+    dbs = _rows(execute("SHOW DATABASES", catalog, databases=["db0", "db1"]))
+    assert dbs == [("db0",), ("db1",)]
+    rp = _rows(execute("SHOW RETENTION POLICIES ON db0", catalog))
+    assert rp == [("autogen", "0s", "168h0m0s", 1, True)]
+
+
+def test_plan_show_tag_values_in_and_regex(catalog):
+    tv = _rows(
+        execute('SHOW TAG VALUES FROM cpu WITH KEY IN ("host")', catalog)
+    )
+    assert tv == [("host", "a"), ("host", "b")]
+    tv2 = _rows(execute("SHOW TAG VALUES WITH KEY =~ /^ho/", catalog))
+    assert tv2 == [("host", "a"), ("host", "b")]
+
+
+def test_plan_show_limit_offset(catalog):
+    got = _rows(execute("SHOW SERIES FROM cpu LIMIT 1 OFFSET 1", catalog))
+    assert got == [("cpu,host=a",)]
+
+
 def test_plan_errors(catalog):
     for bad, exc in (
         ("SELECT v, MEAN(v) FROM cpu", InfluxQLPlanError),  # mixed raw+agg
