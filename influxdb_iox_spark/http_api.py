@@ -220,6 +220,32 @@ class IoxHttpServer:
         cols = df.columns
         return render_query_result(cols, rows, fmt)
 
+    def handle_v1_query(
+        self, db: str | None, q: str, epoch: str | None
+    ) -> bytes:
+        """GET/POST /query — the InfluxDB 1.x API (InfluxQL in, the
+        results/series JSON envelope out).  Statement errors land inside
+        the envelope (stock behavior); only transport-level problems
+        (unknown db, bad epoch) are HTTP errors."""
+        from influxdb_iox_spark.influxql.v1_api import (
+            catalog_from_database,
+            run_statements,
+        )
+
+        if db is not None and db != self.db_name:
+            raise _HttpError(404, f"database not found: {db}")
+        try:
+            envelope = run_statements(
+                q,
+                catalog_from_database(self.database),
+                databases=[self.db_name],
+                epoch=epoch,
+                max_rows=self.max_rows,
+            )
+        except ValueError as e:  # bad epoch
+            raise _HttpError(400, str(e))
+        return json.dumps(envelope).encode()
+
 
 def _rfc3339_ns(value, param: str) -> int:
     """RFC3339 timestamp → ns since epoch; required (400 when absent or
@@ -332,6 +358,16 @@ def _make_handler(api: IoxHttpServer):
                 if u.path == "/metrics":
                     self._reply(200, api.render_metrics(), "text/plain; version=0.0.4")
                     return
+                if u.path == "/query":
+                    qs = parse_qs(u.query)
+                    q = (qs.get("q") or [None])[0]
+                    if not q:
+                        raise _HttpError(400, "missing q parameter")
+                    db = (qs.get("db") or [None])[0]
+                    epoch = (qs.get("epoch") or [None])[0]
+                    body = api.handle_v1_query(db, q, epoch)
+                    self._reply(200, body, "application/json")
+                    return
                 parts = u.path.strip("/").split("/")
                 # /iox/api/v1/databases/:name/query
                 if (
@@ -359,6 +395,19 @@ def _make_handler(api: IoxHttpServer):
         def do_POST(self):
             u = urlparse(self.path)
             try:
+                if u.path == "/query":
+                    # v1 clients POST form-encoded q (Grafana does)
+                    length = int(self.headers.get("Content-Length", 0))
+                    form = parse_qs(self.rfile.read(length).decode("utf-8"))
+                    qs = parse_qs(u.query)
+                    def param(k):
+                        return (form.get(k) or qs.get(k) or [None])[0]
+                    q = param("q")
+                    if not q:
+                        raise _HttpError(400, "missing q parameter")
+                    body = api.handle_v1_query(param("db"), q, param("epoch"))
+                    self._reply(200, body, "application/json")
+                    return
                 if u.path not in ("/api/v2/write", "/api/v2/delete"):
                     self._reply(404, b"not found")
                     return

@@ -1,0 +1,265 @@
+"""InfluxDB 1.x ``/query`` JSON envelope over the InfluxQL front-end.
+
+The classic v1 HTTP API (public reference: the InfluxDB 1.x API docs;
+the reference repo serves only the v2/iox surfaces — this module is the
+compatibility layer a 1.x client such as Grafana's InfluxQL datasource
+expects) returns::
+
+    {"results": [{"statement_id": 0,
+                  "series": [{"name": "cpu", "tags": {"host": "a"},
+                              "columns": ["time", "mean"],
+                              "values": [[...], ...]}]},
+                 {"statement_id": 1, "error": "..."}]}
+
+Framing rules implemented here (values come from the relational planner;
+this layer only splits rows into series and formats time):
+
+- SELECT with GROUP BY tags: one series per distinct tag set, the tag
+  columns become the ``tags`` map and leave ``columns``.
+- multi-measurement FROM: the leading ``measurement`` column becomes the
+  per-series ``name``.
+- SHOW variants use the stock v1 column spellings (``tagKey``,
+  ``fieldKey``/``fieldType``, ``key``/``value``, ``name``) and split
+  per-measurement where stock does.
+- ``epoch`` ∈ {ns, u, µ, ms, s, m, h} renders time as an integer in that
+  unit; default is RFC3339 with trailing-zero-trimmed ns fraction
+  (RFC3339Nano), exactly like stock.
+"""
+
+from __future__ import annotations
+
+import time as _time
+
+from influxdb_iox_spark.influxql.ast_nodes import (
+    Measurement,
+    SelectStatement,
+    ShowStatement,
+)
+from influxdb_iox_spark.influxql.parser import parse
+from influxdb_iox_spark.influxql.planner import (
+    InfluxQLPlanError,
+    plan_select,
+    plan_show,
+)
+
+_EPOCH_DIV = {
+    "ns": 1,
+    "u": 1_000,
+    "µ": 1_000,
+    "ms": 1_000_000,
+    "s": 1_000_000_000,
+    "m": 60 * 1_000_000_000,
+    "h": 3_600 * 1_000_000_000,
+}
+
+
+def catalog_from_database(database) -> dict[str, Measurement]:
+    """Bind every registered table of a Database to a Measurement —
+    each ``df`` is the dedup-correct ``TableStore.scan`` DataFrame, so
+    InfluxQL over HTTP sees exactly what SQL/Flight queries see."""
+    cat: dict[str, Measurement] = {}
+    for t in database.table_names():
+        sch = database.table_schema(t)
+        cat[t] = Measurement(
+            df=database.table(t),
+            tags=tuple(sch.tag_columns),
+            fields=tuple(sch.field_columns),
+            time_col=sch.time_column,
+        )
+    return cat
+
+
+def split_statements(text: str) -> list[str]:
+    """Split on ';' outside quoted strings/identifiers; drop empties."""
+    out: list[str] = []
+    cur: list[str] = []
+    quote: str | None = None
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if quote:
+            cur.append(c)
+            if c == "\\" and i + 1 < n:
+                cur.append(text[i + 1])
+                i += 2
+                continue
+            if c == quote:
+                quote = None
+        elif c in ("'", '"'):
+            quote = c
+            cur.append(c)
+        elif c == ";":
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    out.append("".join(cur))
+    return [s.strip() for s in out if s.strip()]
+
+
+def _rfc3339nano(ns: int) -> str:
+    """ns since epoch → RFC3339 with trailing-zero-trimmed fraction
+    (Go's RFC3339Nano, the stock v1 time rendering)."""
+    from datetime import datetime, timezone
+
+    secs, frac = divmod(int(ns), 1_000_000_000)
+    base = datetime.fromtimestamp(secs, tz=timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%S"
+    )
+    if frac == 0:
+        return base + "Z"
+    f = f"{frac:09d}".rstrip("0")
+    return f"{base}.{f}Z"
+
+
+def _time_value(ns, epoch: str | None):
+    if ns is None:
+        return None
+    if epoch is None:
+        return _rfc3339nano(ns)
+    return int(ns) // _EPOCH_DIV[epoch]
+
+
+def _json_cell(v):
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    return str(v)
+
+
+_SHOW_RENAMES = {
+    "tag keys": {"tag_key": "tagKey"},
+    "field keys": {"field_key": "fieldKey", "field_type": "fieldType"},
+}
+
+
+def _series_name_for_select(stmt: SelectStatement) -> str | None:
+    s = stmt
+    while s.measurement is None and s.from_sub is not None:
+        s = s.from_sub
+    return s.measurement
+
+
+def _frame_select(stmt, cols, rows, epoch, catalog) -> list[dict]:
+    """Split collected SELECT rows into v1 series: group on the leading
+    ``measurement`` column (multi-FROM) and any GROUP BY tag columns
+    present in the output.  Rows arrive sorted by (measurement, tags,
+    time), so a linear boundary scan frames them.  A column frames as a
+    tag iff it is a known tag of some catalog measurement — the planner
+    only emits tag columns when the statement grouped by them."""
+    known_tags = {t for mm in catalog.values() for t in mm.tags}
+    tag_cols = [c for c in cols if c in known_tags and c != "time"]
+    has_meas_col = bool(cols) and cols[0] == "measurement" and (
+        stmt.from_names or stmt.from_regex is not None
+    )
+    value_cols = [
+        c for c in cols if c not in tag_cols and c != "measurement"
+    ]
+    default_name = _series_name_for_select(stmt)
+
+    series: list[dict] = []
+    current_key = object()
+    for row in rows:
+        d = dict(zip(cols, row))
+        key = (
+            d.get("measurement") if has_meas_col else None,
+            tuple(d.get(t) for t in tag_cols),
+        )
+        if key != current_key:
+            current_key = key
+            entry: dict = {}
+            name = d.get("measurement") if has_meas_col else default_name
+            if name is not None:
+                entry["name"] = name
+            if tag_cols:
+                entry["tags"] = {
+                    t: d.get(t) for t in tag_cols
+                }
+            entry["columns"] = value_cols
+            entry["values"] = []
+            series.append(entry)
+        vals = []
+        for c in value_cols:
+            v = d[c]
+            vals.append(
+                _time_value(v, epoch) if c == "time" else _json_cell(v)
+            )
+        series[-1]["values"].append(vals)
+    return series
+
+
+def _frame_show(stmt: ShowStatement, cols, rows) -> list[dict]:
+    renames = _SHOW_RENAMES.get(stmt.what, {})
+    cols = [renames.get(c, c) for c in cols]
+    if "measurement" in cols:
+        # one series per measurement, named by it (stock SHOW TAG KEYS /
+        # FIELD KEYS framing)
+        mi = cols.index("measurement")
+        value_cols = [c for c in cols if c != "measurement"]
+        series: list[dict] = []
+        cur = object()
+        for row in rows:
+            name = row[mi]
+            vals = [
+                _json_cell(v) for i, v in enumerate(row) if i != mi
+            ]
+            if name != cur:
+                cur = name
+                series.append(
+                    {"name": name, "columns": value_cols, "values": []}
+                )
+            series[-1]["values"].append(vals)
+        return series
+    name = {
+        "measurements": "measurements",
+        "databases": "databases",
+    }.get(stmt.what)
+    entry = {
+        "columns": cols,
+        "values": [[_json_cell(v) for v in r] for r in rows],
+    }
+    if name:
+        entry = {"name": name, **entry}
+    return [entry] if rows else []
+
+
+def run_statements(
+    text: str,
+    catalog: dict[str, Measurement],
+    databases: list[str] | None = None,
+    epoch: str | None = None,
+    max_rows: int = 10_000,
+    now_ns: int | None = None,
+) -> dict:
+    """Execute a (possibly multi-statement) InfluxQL request and build
+    the v1 response envelope.  Statement errors are reported per
+    statement, never as transport errors (stock behavior)."""
+    if epoch is not None and epoch not in _EPOCH_DIV:
+        raise ValueError(f"invalid epoch {epoch!r}")
+    now_ns = now_ns if now_ns is not None else _time.time_ns()
+    results: list[dict] = []
+    for i, stext in enumerate(split_statements(text)):
+        entry: dict = {"statement_id": i}
+        try:
+            stmt = parse(stext)
+            if isinstance(stmt, SelectStatement):
+                df = plan_select(stmt, catalog, now_ns=now_ns)
+            else:
+                df = plan_show(stmt, catalog, databases=databases)
+            rows = df.limit(max_rows + 1).collect()
+            if len(rows) > max_rows:
+                raise InfluxQLPlanError(
+                    f"result exceeds max_rows={max_rows}; add a LIMIT "
+                    "clause or page the query"
+                )
+            cols = df.columns
+            if isinstance(stmt, SelectStatement):
+                series = _frame_select(stmt, cols, rows, epoch, catalog)
+            else:
+                series = _frame_show(stmt, cols, rows)
+            if series:
+                entry["series"] = series
+        except Exception as e:  # per-statement error, stock envelope
+            entry["error"] = str(e)
+        results.append(entry)
+    return {"results": results}

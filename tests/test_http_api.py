@@ -224,3 +224,96 @@ def test_error_body_shape(server):
         body = json.loads(e.read())
         assert body["error_code"] == 100
         assert "not found" in body["error"]
+
+
+# -- v1 /query (InfluxQL) ----------------------------------------------------
+
+
+def _write_v1_fixture(server):
+    lines = (
+        b"cpu,region=west user=1.0 1000000000\n"
+        b"cpu,region=west user=3.0 2000000000\n"
+        b"cpu,region=east user=10.0 1500000000\n"
+    )
+    with _post(f"{server}/api/v2/write?org=myorg&bucket=mybucket", lines) as r:
+        assert r.status == 204
+
+
+def test_v1_query_envelope_grouped(server):
+    _write_v1_fixture(server)
+    q = "SELECT MEAN(user) FROM cpu GROUP BY region"
+    url = f"{server}/query?db=myorg_mybucket&q={urllib.request.quote(q)}"
+    with urllib.request.urlopen(url, timeout=120) as r:
+        assert r.status == 200
+        env = json.loads(r.read())
+    series = env["results"][0]["series"]
+    by_tag = {s["tags"]["region"]: s for s in series}
+    assert by_tag["west"]["name"] == "cpu"
+    assert by_tag["west"]["columns"] == ["mean"]
+    assert by_tag["west"]["values"] == [[2.0]]
+    assert by_tag["east"]["values"] == [[10.0]]
+
+
+def test_v1_query_epoch_and_rfc3339(server):
+    _write_v1_fixture(server)
+    q = "SELECT user FROM cpu WHERE region = 'west'"
+    base = f"{server}/query?db=myorg_mybucket&q={urllib.request.quote(q)}"
+    with urllib.request.urlopen(base + "&epoch=ms", timeout=120) as r:
+        env = json.loads(r.read())
+    vals = env["results"][0]["series"][0]["values"]
+    assert vals == [[1000, 1.0], [2000, 3.0]]
+    with urllib.request.urlopen(base, timeout=120) as r:
+        env2 = json.loads(r.read())
+    assert env2["results"][0]["series"][0]["values"][0][0] == (
+        "1970-01-01T00:00:01Z"
+    )
+
+
+def test_v1_query_multi_statement_and_error(server):
+    _write_v1_fixture(server)
+    q = "SELECT COUNT(user) FROM cpu; SELECT nope(user) FROM cpu"
+    url = f"{server}/query?db=myorg_mybucket&q={urllib.request.quote(q)}"
+    with urllib.request.urlopen(url, timeout=120) as r:
+        env = json.loads(r.read())
+    assert env["results"][0]["statement_id"] == 0
+    assert env["results"][0]["series"][0]["values"] == [[3]]
+    assert env["results"][1]["statement_id"] == 1
+    assert "unsupported function" in env["results"][1]["error"]
+
+
+def test_v1_query_show_statements(server):
+    _write_v1_fixture(server)
+    for q, expect in (
+        ("SHOW MEASUREMENTS", ("measurements", ["name"], [["cpu"]])),
+        ("SHOW DATABASES", ("databases", ["name"], [["myorg_mybucket"]])),
+    ):
+        url = f"{server}/query?q={urllib.request.quote(q)}"
+        with urllib.request.urlopen(url, timeout=120) as r:
+            env = json.loads(r.read())
+        s = env["results"][0]["series"][0]
+        assert (s["name"], s["columns"], s["values"]) == expect
+    url = f"{server}/query?q={urllib.request.quote('SHOW TAG KEYS FROM cpu')}"
+    with urllib.request.urlopen(url, timeout=120) as r:
+        env = json.loads(r.read())
+    s = env["results"][0]["series"][0]
+    assert s["name"] == "cpu" and s["columns"] == ["tagKey"]
+    assert s["values"] == [["region"]]
+
+
+def test_v1_query_post_form(server):
+    _write_v1_fixture(server)
+    from urllib.parse import urlencode
+
+    data = urlencode(
+        {"db": "myorg_mybucket", "q": "SELECT COUNT(user) FROM cpu"}
+    ).encode()
+    with _post(f"{server}/query", data) as r:
+        env = json.loads(r.read())
+    assert env["results"][0]["series"][0]["values"] == [[3]]
+
+
+def test_v1_query_unknown_db_404(server):
+    url = f"{server}/query?db=nope&q={urllib.request.quote('SELECT 1 FROM cpu')}"
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(url, timeout=30)
+    assert e.value.code == 404
