@@ -241,6 +241,7 @@ class IoxHttpServer:
                 databases=[self.db_name],
                 epoch=epoch,
                 max_rows=self.max_rows,
+                database=self.database,
             )
         except ValueError as e:  # bad epoch
             raise _HttpError(400, str(e))

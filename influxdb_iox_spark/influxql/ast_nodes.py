@@ -75,6 +75,7 @@ class SelectStatement:
     from_sub: object | None = None  # SelectStatement subquery FROM
     from_regex: str | None = None  # FROM /regex/ over measurement names
     from_names: list[str] | None = None  # FROM m1, m2, ... (multi)
+    into: str | None = None  # SELECT ... INTO <measurement> writeback
     group_by_tags: list[str] = field(default_factory=list)
     group_by_time_ns: int | None = None
     group_by_offset_ns: int = 0

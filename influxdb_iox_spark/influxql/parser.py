@@ -357,6 +357,7 @@ class _Parser:
         while self._peek() == ("op", ","):
             self.i += 1
             projections.append(self._projection())
+        into = self._ident() if self._kw("INTO") else None
         self._expect_kw("FROM")
         targets = [self._from_target()]
         while self._peek() == ("op", ","):
@@ -380,6 +381,7 @@ class _Parser:
             from_names=(
                 [v for _, v in targets] if len(targets) > 1 else None
             ),
+            into=into,
         )
         if self._kw("GROUP", "BY"):
             self._group_by(stmt)

@@ -987,6 +987,80 @@ def _apply_series_limits(
     return series_limit(out, tags, n, stmt.soffset)
 
 
+# -- INTO writeback ----------------------------------------------------------
+
+_INTO_FIELD_TYPES = {
+    "double": "field::float",
+    "float": "field::float",
+    "bigint": "field::integer",
+    "int": "field::integer",
+    "smallint": "field::integer",
+    "tinyint": "field::integer",
+    "string": "field::string",
+    "boolean": "field::boolean",
+}
+
+
+def run_into(
+    stmt: SelectStatement,
+    catalog: dict[str, Measurement],
+    database,
+    now_ns: int | None = None,
+) -> int:
+    """``SELECT ... INTO dst FROM ...`` — the continuous-query
+    writeback: run the select, persist the result as a chunk of ``dst``
+    through the engine's normal write path (PK-sorted parquet +
+    manifest), register the destination schema.  Re-running the same
+    INTO upserts refreshed buckets via PK dedup-on-read, exactly like
+    ``streaming/downsample.py`` (same idempotence argument).  Returns
+    rows written."""
+    import copy
+
+    from influxdb_iox_spark.schema import InfluxColumnType, IoxSchema
+
+    dst = stmt.into
+    if not dst:
+        raise InfluxQLPlanError("run_into needs an INTO clause")
+    inner = copy.copy(stmt)
+    inner.into = None
+    now_ns = now_ns if now_ns is not None else _time.time_ns()
+    out, _tags = _plan_select_impl(inner, catalog, now_ns)
+    cols = out.columns
+    if "time" not in cols:
+        raise InfluxQLPlanError(
+            "INTO requires a time column in the result — bucketed "
+            "aggregates (GROUP BY time()) or raw selects"
+        )
+    known_tags = {t for mm in catalog.values() for t in mm.tags}
+    # multi-FROM results carry the source name; it becomes a tag so
+    # per-source series stay distinct in the destination PK
+    tag_cols = [c for c in cols if c in known_tags or c == "measurement"]
+    dtypes = dict(out.dtypes)
+    field_types: dict[str, InfluxColumnType] = {}
+    for c in cols:
+        if c in tag_cols or c == "time":
+            continue
+        t = _INTO_FIELD_TYPES.get(dtypes.get(c, ""))
+        if t is None:
+            raise InfluxQLPlanError(
+                f"column {c!r} of type {dtypes.get(c)} cannot be an "
+                "Influx field"
+            )
+        field_types[c] = InfluxColumnType(t)
+    if not field_types:
+        raise InfluxQLPlanError("INTO result has no field columns")
+    schema = IoxSchema.build(tag_cols, field_types)
+    # materialize ONCE: the emptiness probe and the chunk write must not
+    # each re-run the query (same pattern as downsample's writeback)
+    out = out.localCheckpoint(eager=True)
+    n = out.count()
+    if n == 0:
+        return 0
+    database.store.write_chunk(out, dst, schema)
+    database.register_table(dst, schema)
+    return n
+
+
 # -- SHOW lowering -----------------------------------------------------------
 
 _INFLUX_TYPES = {
@@ -1136,5 +1210,11 @@ def execute(
     is one database's measurements)."""
     stmt = parse(text)
     if isinstance(stmt, SelectStatement):
+        if stmt.into is not None:
+            raise InfluxQLPlanError(
+                "SELECT ... INTO needs a Database to write to — use "
+                "run_into() (or the /query HTTP endpoint, which routes "
+                "it automatically)"
+            )
         return plan_select(stmt, catalog, now_ns=now_ns)
     return plan_show(stmt, catalog, databases=databases)

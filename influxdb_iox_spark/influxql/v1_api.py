@@ -230,10 +230,13 @@ def run_statements(
     epoch: str | None = None,
     max_rows: int = 10_000,
     now_ns: int | None = None,
+    database=None,
 ) -> dict:
     """Execute a (possibly multi-statement) InfluxQL request and build
     the v1 response envelope.  Statement errors are reported per
-    statement, never as transport errors (stock behavior)."""
+    statement, never as transport errors (stock behavior).
+    ``database``: the engine Database, required only for SELECT ... INTO
+    writebacks (the stock continuous-query form)."""
     if epoch is not None and epoch not in _EPOCH_DIV:
         raise ValueError(f"invalid epoch {epoch!r}")
     now_ns = now_ns if now_ns is not None else _time.time_ns()
@@ -242,6 +245,23 @@ def run_statements(
         entry: dict = {"statement_id": i}
         try:
             stmt = parse(stext)
+            if isinstance(stmt, SelectStatement) and stmt.into is not None:
+                from influxdb_iox_spark.influxql.planner import run_into
+
+                if database is None:
+                    raise InfluxQLPlanError(
+                        "INTO is not available on this endpoint"
+                    )
+                n = run_into(stmt, catalog, database, now_ns=now_ns)
+                entry["series"] = [
+                    {
+                        "name": "result",
+                        "columns": ["time", "written"],
+                        "values": [[_time_value(0, epoch), n]],
+                    }
+                ]
+                results.append(entry)
+                continue
             if isinstance(stmt, SelectStatement):
                 df = plan_select(stmt, catalog, now_ns=now_ns)
             else:

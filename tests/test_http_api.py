@@ -317,3 +317,28 @@ def test_v1_query_unknown_db_404(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(url, timeout=30)
     assert e.value.code == 404
+
+
+def test_v1_query_into_writeback(server):
+    _write_v1_fixture(server)
+    q = (
+        "SELECT MEAN(user) AS m INTO cpu_hourly FROM cpu "
+        "GROUP BY time(1h), region"
+    )
+    url = f"{server}/query?db=myorg_mybucket&q={urllib.request.quote(q)}"
+    with urllib.request.urlopen(url, timeout=120) as r:
+        env = json.loads(r.read())
+    s = env["results"][0]["series"][0]
+    assert s["name"] == "result" and s["columns"] == ["time", "written"]
+    assert s["values"][0][1] == 2  # west 0h bucket, east 0h bucket
+    # destination readable through the same endpoint
+    q2 = "SELECT m FROM cpu_hourly GROUP BY region"
+    with urllib.request.urlopen(
+        f"{server}/query?db=myorg_mybucket&q={urllib.request.quote(q2)}&epoch=s",
+        timeout=120,
+    ) as r:
+        env2 = json.loads(r.read())
+    by_tag = {
+        s["tags"]["region"]: s["values"] for s in env2["results"][0]["series"]
+    }
+    assert by_tag["west"] == [[0, 2.0]] and by_tag["east"] == [[0, 10.0]]

@@ -613,3 +613,41 @@ def test_plan_stays_jvm_side(catalog):
     ):
         plan = execute(q, catalog)._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+# -- INTO writeback ----------------------------------------------------------
+
+
+def test_parse_into():
+    s = parse("SELECT mean(v) INTO cpu_1h FROM cpu GROUP BY time(1h), host")
+    assert s.into == "cpu_1h" and s.measurement == "cpu"
+
+
+def test_run_into_writes_chunk_and_upserts(spark, tmp_path, catalog):
+    from influxdb_iox_spark.database import Database
+    from influxdb_iox_spark.influxql.ast_nodes import SelectStatement
+    from influxdb_iox_spark.influxql.planner import run_into
+    from influxdb_iox_spark.sources.store import TableStore
+
+    store = TableStore(str(tmp_path / "into_store"))
+    db = Database("db", store, spark)
+    stmt = parse(
+        "SELECT SUM(v) AS s INTO cpu_hourly FROM cpu GROUP BY time(1h), host"
+    )
+    n = run_into(stmt, catalog, db)
+    assert n == 6  # buckets: a->(0h,1h,3h), b->(0h,2h), null host->0h
+    # destination registered and queryable through the dedup scan
+    got = {
+        (r["host"], r["time"]): r["s"]
+        for r in db.table("cpu_hourly").collect()
+    }
+    assert got[("a", 0)] == 3.0 and got[("a", 3 * H)] == 8.0
+    # re-run: identical buckets re-emit; PK dedup keeps one copy
+    n2 = run_into(stmt, catalog, db)
+    assert n2 == n
+    assert db.table("cpu_hourly").count() == n
+
+
+def test_execute_rejects_into_without_database(catalog):
+    with pytest.raises(InfluxQLPlanError):
+        execute("SELECT mean(v) INTO d FROM cpu GROUP BY time(1h)", catalog)
