@@ -123,6 +123,7 @@ def main() -> None:
     # record, so a slow row with a slow sentinel is environmental and a
     # slow row with a clean sentinel is the code's.
     timings: dict[str, float] = {}
+    timings_run1: dict[str, float] = {}
     timings_run2: dict[str, float] = {}
     sentinels: dict[str, float] = {}
     for name in HEADLINE:
@@ -134,6 +135,7 @@ def main() -> None:
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 3)
+        timings_run1[name] = round(runs[0], 3)
         timings_run2[name] = round(runs[1], 3)
 
     # ingest throughput: format the events table as line protocol in-plan,
@@ -177,15 +179,36 @@ def main() -> None:
         "sentinel_before_sec": sentinel_before,
         "sentinel_after_sec": sentinel_after,
     }
+    if timings_run2:
+        worst = max(
+            (k for k in timings_run1 if timings_run2.get(k, 0) > 0),
+            key=lambda k: timings_run1[k] / timings_run2[k],
+            default=None,
+        )
+        if worst is not None:
+            conditions["first_warm_worst"] = [
+                worst, round(timings_run1[worst] / timings_run2[worst], 2)
+            ]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Full per-query detail (run2 timings + every per-row sentinel) goes to a
     # sidecar file: the driver captures only the LAST 2000 chars of stdout and
     # JSON-parses the final line, so the printed line must stay well under
     # that (round 7's 3.5k-char line was cut mid-dict and recorded as
     # parsed:null). The sidecar is committed per-round via BENCH_NOTES.
+    # first/warm per query: run1 is the fresh-JVM FIRST execution (plan
+    # compile + codegen + JIT), run2 the warm steady state. A big ratio
+    # means the headline min still contains warmup cost a long-lived
+    # server would amortize away.
+    first_warm = {
+        k: round(timings_run1[k] / timings_run2[k], 2)
+        for k in timings_run1
+        if timings_run2.get(k, 0) > 0
+    }
     detail = {
         "queries": timings,
+        "queries_run1": timings_run1,
         "queries_run2": timings_run2,
+        "first_warm_ratio": first_warm,
         "sentinels": sentinels,
         "conditions": conditions,
         "sf": sf_val,

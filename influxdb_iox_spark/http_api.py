@@ -221,12 +221,16 @@ class IoxHttpServer:
         return render_query_result(cols, rows, fmt)
 
     def handle_v1_query(
-        self, db: str | None, q: str, epoch: str | None
+        self, db: str | None, q: str, epoch: str | None,
+        read_only: bool = False,
     ) -> bytes:
         """GET/POST /query — the InfluxDB 1.x API (InfluxQL in, the
         results/series JSON envelope out).  Statement errors land inside
         the envelope (stock behavior); only transport-level problems
-        (unknown db, bad epoch) are HTTP errors."""
+        (unknown db, bad epoch) are HTTP errors.  ``read_only`` is set by
+        the GET route: stock 1.x requires POST for SELECT ... INTO (a
+        side-effecting GET is unsafe behind caches/proxies/prefetchers),
+        so INTO on GET is rejected with the stock-style message."""
         from influxdb_iox_spark.influxql.v1_api import (
             catalog_from_database,
             run_statements,
@@ -241,7 +245,8 @@ class IoxHttpServer:
                 databases=[self.db_name],
                 epoch=epoch,
                 max_rows=self.max_rows,
-                database=self.database,
+                database=None if read_only else self.database,
+                read_only=read_only,
             )
         except ValueError as e:  # bad epoch
             raise _HttpError(400, str(e))
@@ -366,7 +371,7 @@ def _make_handler(api: IoxHttpServer):
                         raise _HttpError(400, "missing q parameter")
                     db = (qs.get("db") or [None])[0]
                     epoch = (qs.get("epoch") or [None])[0]
-                    body = api.handle_v1_query(db, q, epoch)
+                    body = api.handle_v1_query(db, q, epoch, read_only=True)
                     self._reply(200, body, "application/json")
                     return
                 parts = u.path.strip("/").split("/")

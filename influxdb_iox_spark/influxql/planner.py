@@ -367,13 +367,27 @@ def plan_select(
     return out
 
 
+def plan_select_with_tags(
+    stmt: SelectStatement,
+    catalog: dict[str, Measurement],
+    now_ns: int | None = None,
+) -> tuple[DataFrame, list[str]]:
+    """plan_select, also returning the statement's RESOLVED group tags —
+    the only columns a v1 envelope may frame as series tags.  (Framing by
+    name-match against the whole catalog mis-frames raw selects that
+    project a tag-named field: stock v1 returns one series with the
+    column inline unless the statement actually grouped by it.)"""
+    now_ns = now_ns if now_ns is not None else _time.time_ns()
+    return _plan_select_impl(stmt, catalog, now_ns)
+
+
 def _plan_select_impl(
     stmt: SelectStatement,
     catalog: dict[str, Measurement],
     now_ns: int,
 ) -> tuple[DataFrame, list[str]]:
     if stmt.from_names or stmt.from_regex is not None:
-        return _plan_multi_from(stmt, catalog, now_ns), []
+        return _plan_multi_from(stmt, catalog, now_ns)
     if stmt.from_sub is not None:
         m = _subquery_measurement(stmt.from_sub, catalog, now_ns)
     else:
@@ -402,10 +416,14 @@ def _subquery_measurement(
 
 def _plan_multi_from(
     stmt: SelectStatement, catalog: dict[str, Measurement], now_ns: int
-) -> DataFrame:
+) -> tuple[DataFrame, list[str]]:
     """FROM m1, m2 / FROM /regex/: plan per measurement, union by name
     (missing columns null), leading ``measurement`` column — stock
-    InfluxQL's one-series-per-measurement framing, relationally."""
+    InfluxQL's one-series-per-measurement framing, relationally.
+    Returns (frame, resolved group tags): ordering and downstream v1
+    series framing use ONLY the per-statement resolved tags — a field
+    that happens to share a name with another measurement's tag must not
+    change row order or get hoisted into the series tag set."""
     import copy
     import re as _re
 
@@ -427,24 +445,27 @@ def _plan_multi_from(
                 raise InfluxQLPlanError(f"unknown measurement {nme!r}")
 
     frames = []
+    resolved: list[str] = []
     for nme in names:
         s2 = copy.copy(stmt)
         s2.measurement = nme
         s2.from_regex = None
         s2.from_names = None
-        df_n, _ = _plan_single(s2, catalog[nme], now_ns)
+        df_n, tags_n = _plan_single(s2, catalog[nme], now_ns)
+        for t in tags_n:
+            if t not in resolved:
+                resolved.append(t)
         frames.append(df_n.select(F.lit(nme).alias("measurement"), "*"))
     out = frames[0]
     for f2 in frames[1:]:
         out = out.unionByName(f2, allowMissingColumns=True)
-    known_tags = {t for nme in names for t in catalog[nme].tags}
     order = [F.col("measurement")]
-    order += [F.col(c) for c in out.columns if c in known_tags]
+    order += [F.col(c) for c in out.columns if c in resolved]
     if "time" in out.columns:
         order.append(
             F.col("time").desc() if stmt.order_desc else F.col("time").asc()
         )
-    return out.orderBy(*order)
+    return out.orderBy(*order), [c for c in out.columns if c in resolved]
 
 
 def _plan_single(
@@ -1024,18 +1045,26 @@ def run_into(
     inner = copy.copy(stmt)
     inner.into = None
     now_ns = now_ns if now_ns is not None else _time.time_ns()
-    out, _tags = _plan_select_impl(inner, catalog, now_ns)
+    out, stmt_tags = _plan_select_impl(inner, catalog, now_ns)
     cols = out.columns
     if "time" not in cols:
         raise InfluxQLPlanError(
             "INTO requires a time column in the result — bucketed "
             "aggregates (GROUP BY time()) or raw selects"
         )
-    known_tags = {t for mm in catalog.values() for t in mm.tags}
-    # multi-FROM results carry the source name; it becomes a tag so
-    # per-source series stay distinct in the destination PK
-    tag_cols = [c for c in cols if c in known_tags or c == "measurement"]
+    # destination tags = the STATEMENT's resolved group tags (plus the
+    # synthetic measurement column for multi-FROM, which keeps per-source
+    # series distinct in the destination PK).  Classifying by name match
+    # against the whole catalog would silently turn an aliased field
+    # (SELECT mean(v) AS host INTO ...) into a tag.
+    tag_cols = [c for c in cols if c in stmt_tags or c == "measurement"]
     dtypes = dict(out.dtypes)
+    for c in tag_cols:
+        if dtypes.get(c) != "string":
+            raise InfluxQLPlanError(
+                f"INTO tag column {c!r} has non-string type "
+                f"{dtypes.get(c)}; tags must be strings"
+            )
     field_types: dict[str, InfluxColumnType] = {}
     for c in cols:
         if c in tag_cols or c == "time":
@@ -1091,8 +1120,22 @@ def plan_show(
     catalog: dict[str, Measurement],
     databases: list[str] | None = None,
 ) -> DataFrame:
-    some_df = next(iter(catalog.values())).df
-    spark = some_df.sparkSession
+    # metadata-only SHOWs (DATABASES / RETENTION POLICIES / MEASUREMENTS)
+    # must work against an EMPTY database — a fresh server gets probed by
+    # clients (Grafana datasource check) before any write lands — so the
+    # session cannot be derived from the catalog.
+    if catalog:
+        spark = next(iter(catalog.values())).df.sparkSession
+    else:
+        from pyspark.sql import SparkSession
+
+        # getActiveSession is thread-local (None on an HTTP server
+        # thread); fall back to the process-wide default session, which
+        # getOrCreate returns without creating anything new.
+        spark = (
+            SparkSession.getActiveSession()
+            or SparkSession.builder.getOrCreate()
+        )
     names = sorted(catalog)
     if stmt.measurement is not None and stmt.measurement not in catalog:
         raise InfluxQLPlanError(f"unknown measurement {stmt.measurement!r}")
@@ -1126,6 +1169,8 @@ def _plan_show_core(
         )
     if stmt.what == "series":
         frames = []
+        if not scope:
+            return spark.createDataFrame([], "key string")
         for n in scope:
             mm = catalog[n]
             key = F.lit(n)

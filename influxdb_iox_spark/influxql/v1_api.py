@@ -38,7 +38,7 @@ from influxdb_iox_spark.influxql.ast_nodes import (
 from influxdb_iox_spark.influxql.parser import parse
 from influxdb_iox_spark.influxql.planner import (
     InfluxQLPlanError,
-    plan_select,
+    plan_select_with_tags,
     plan_show,
 )
 
@@ -140,15 +140,16 @@ def _series_name_for_select(stmt: SelectStatement) -> str | None:
     return s.measurement
 
 
-def _frame_select(stmt, cols, rows, epoch, catalog) -> list[dict]:
+def _frame_select(stmt, cols, rows, epoch, group_tags) -> list[dict]:
     """Split collected SELECT rows into v1 series: group on the leading
-    ``measurement`` column (multi-FROM) and any GROUP BY tag columns
-    present in the output.  Rows arrive sorted by (measurement, tags,
-    time), so a linear boundary scan frames them.  A column frames as a
-    tag iff it is a known tag of some catalog measurement — the planner
-    only emits tag columns when the statement grouped by them."""
-    known_tags = {t for mm in catalog.values() for t in mm.tags}
-    tag_cols = [c for c in cols if c in known_tags and c != "time"]
+    ``measurement`` column (multi-FROM) and the statement's RESOLVED
+    group-by tag columns.  Rows arrive sorted by (measurement, tags,
+    time), so a linear boundary scan frames them.  Only columns the
+    statement actually grouped by frame as series tags — a raw select
+    projecting a tag-named column returns ONE series with the column
+    inline, matching stock v1 (name-matching against the whole catalog
+    would split it into per-value one-row series)."""
+    tag_cols = [c for c in cols if c in set(group_tags) and c != "time"]
     has_meas_col = bool(cols) and cols[0] == "measurement" and (
         stmt.from_names or stmt.from_regex is not None
     )
@@ -231,12 +232,14 @@ def run_statements(
     max_rows: int = 10_000,
     now_ns: int | None = None,
     database=None,
+    read_only: bool = False,
 ) -> dict:
     """Execute a (possibly multi-statement) InfluxQL request and build
     the v1 response envelope.  Statement errors are reported per
     statement, never as transport errors (stock behavior).
     ``database``: the engine Database, required only for SELECT ... INTO
-    writebacks (the stock continuous-query form)."""
+    writebacks (the stock continuous-query form).  ``read_only``: reject
+    INTO with the stock POST-required message (set on the GET route)."""
     if epoch is not None and epoch not in _EPOCH_DIV:
         raise ValueError(f"invalid epoch {epoch!r}")
     now_ns = now_ns if now_ns is not None else _time.time_ns()
@@ -248,6 +251,10 @@ def run_statements(
             if isinstance(stmt, SelectStatement) and stmt.into is not None:
                 from influxdb_iox_spark.influxql.planner import run_into
 
+                if read_only:
+                    raise InfluxQLPlanError(
+                        "SELECT ... INTO requires a POST request"
+                    )
                 if database is None:
                     raise InfluxQLPlanError(
                         "INTO is not available on this endpoint"
@@ -262,8 +269,11 @@ def run_statements(
                 ]
                 results.append(entry)
                 continue
+            group_tags: list[str] = []
             if isinstance(stmt, SelectStatement):
-                df = plan_select(stmt, catalog, now_ns=now_ns)
+                df, group_tags = plan_select_with_tags(
+                    stmt, catalog, now_ns=now_ns
+                )
             else:
                 df = plan_show(stmt, catalog, databases=databases)
             rows = df.limit(max_rows + 1).collect()
@@ -274,12 +284,12 @@ def run_statements(
                 )
             cols = df.columns
             if isinstance(stmt, SelectStatement):
-                series = _frame_select(stmt, cols, rows, epoch, catalog)
+                series = _frame_select(stmt, cols, rows, epoch, group_tags)
             else:
                 series = _frame_show(stmt, cols, rows)
             if series:
                 entry["series"] = series
         except Exception as e:  # per-statement error, stock envelope
-            entry["error"] = str(e)
+            entry["error"] = str(e) or repr(e)
         results.append(entry)
     return {"results": results}

@@ -321,12 +321,20 @@ def test_v1_query_unknown_db_404(server):
 
 def test_v1_query_into_writeback(server):
     _write_v1_fixture(server)
+    from urllib.parse import urlencode
+
     q = (
         "SELECT MEAN(user) AS m INTO cpu_hourly FROM cpu "
         "GROUP BY time(1h), region"
     )
+    # stock 1.x requires POST for INTO: the GET route must refuse the
+    # write (side-effecting GETs are unsafe behind caches/prefetchers)
     url = f"{server}/query?db=myorg_mybucket&q={urllib.request.quote(q)}"
     with urllib.request.urlopen(url, timeout=120) as r:
+        env_get = json.loads(r.read())
+    assert "POST" in env_get["results"][0]["error"]
+    data = urlencode({"db": "myorg_mybucket", "q": q}).encode()
+    with _post(f"{server}/query", data) as r:
         env = json.loads(r.read())
     s = env["results"][0]["series"][0]
     assert s["name"] == "result" and s["columns"] == ["time", "written"]

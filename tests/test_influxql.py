@@ -651,3 +651,90 @@ def test_run_into_writes_chunk_and_upserts(spark, tmp_path, catalog):
 def test_execute_rejects_into_without_database(catalog):
     with pytest.raises(InfluxQLPlanError):
         execute("SELECT mean(v) INTO d FROM cpu GROUP BY time(1h)", catalog)
+
+
+# -- ADVICE r8 regressions: resolved-tag framing, empty-catalog SHOW ---------
+
+
+def test_v1_raw_select_projecting_tag_is_one_series(catalog):
+    """SELECT value, host FROM cpu (no GROUP BY) must frame as ONE
+    series with host as a plain column — stock v1 only hoists columns
+    into the series tag set when the statement grouped by them."""
+    from influxdb_iox_spark.influxql.v1_api import run_statements
+
+    env = run_statements("SELECT v, host FROM cpu WHERE host = 'a'", catalog)
+    series = env["results"][0]["series"]
+    assert len(series) == 1
+    s = series[0]
+    assert s["name"] == "cpu"
+    assert "tags" not in s
+    assert s["columns"] == ["time", "v", "host"]
+    assert len(s["values"]) == 4
+
+
+def test_v1_grouped_select_still_frames_tags(catalog):
+    from influxdb_iox_spark.influxql.v1_api import run_statements
+
+    env = run_statements("SELECT MEAN(v) FROM cpu GROUP BY host", catalog)
+    series = env["results"][0]["series"]
+    tags = {s["tags"]["host"] for s in series}
+    assert tags == {"a", "b", None}
+    for s in series:
+        assert s["columns"] == ["mean"]
+
+
+def test_show_statements_on_empty_database():
+    """Fresh-server probes (Grafana datasource check) issue SHOW
+    DATABASES / RETENTION POLICIES / MEASUREMENTS before any write
+    lands — they must succeed with an empty catalog."""
+    from influxdb_iox_spark.influxql.v1_api import run_statements
+
+    env = run_statements(
+        "SHOW DATABASES; SHOW RETENTION POLICIES; SHOW MEASUREMENTS; "
+        "SHOW SERIES; SHOW TAG KEYS",
+        {},
+        databases=["mydb"],
+    )
+    for r in env["results"]:
+        assert "error" not in r, r
+    assert env["results"][0]["series"][0]["values"] == [["mydb"]]
+    assert env["results"][1]["series"][0]["columns"][0] == "name"
+    assert "series" not in env["results"][2]  # zero measurements
+
+
+def test_run_into_aliased_field_named_like_tag_stays_field(
+    spark, tmp_path, catalog
+):
+    """SELECT mean(v) AS host INTO dst: the alias collides with cpu's
+    tag name, but the statement grouped by nothing — the column must be
+    written as a FIELD (double), not silently become a destination tag."""
+    from influxdb_iox_spark.database import Database
+    from influxdb_iox_spark.influxql.planner import run_into
+    from influxdb_iox_spark.sources.store import TableStore
+
+    store = TableStore(str(tmp_path / "into_alias_store"))
+    db = Database("db", store, spark)
+    stmt = parse(
+        "SELECT MEAN(v) AS host INTO dst FROM cpu GROUP BY time(1h)"
+    )
+    n = run_into(stmt, catalog, db)
+    assert n > 0
+    sch = db.table_schema("dst")
+    assert "host" not in sch.tag_columns
+    assert dict(db.table("dst").dtypes)["host"] == "double"
+
+
+def test_multi_from_orders_by_resolved_tags_only(catalog, spark):
+    """mem carries a FIELD named host (colliding with cpu's TAG): the
+    union must order by (measurement, time) for this ungrouped select,
+    not by the field's values."""
+    mem = spark.createDataFrame(
+        [("z9", 1.0, 10 * S), ("a1", 2.0, 20 * S)],
+        "host string, v double, time long",
+    )
+    cat2 = dict(catalog)
+    cat2["mem"] = Measurement(df=mem, tags=(), fields=("host", "v"))
+    out = execute("SELECT host, v FROM cpu, mem WHERE v <= 2", cat2)
+    mem_rows = [t for t in _rows(out) if t[0] == "mem"]
+    # time order (z9 first), NOT host-value order (a1 first)
+    assert [r[out.columns.index("host")] for r in mem_rows] == ["z9", "a1"]
