@@ -3917,6 +3917,56 @@ ORDER BY g.event_type, time_us
 """
 
 
+def q_influxql_fill_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL FILL across the WHERE-clause time range (stock v1
+    semantics, round 9 — planner._fill_grid_bounds): the grid is pinned
+    to [T0-2h, T1+3h), so every series materializes 2 leading and 3
+    trailing empty buckets beyond its observed data; FILL(previous)
+    leaves the leading ones null (nothing to carry) and carries each
+    series' last in-range count across the trailing ones.  Counts are
+    integers, so carried values are hash-exact cross-engine."""
+    from influxdb_iox_spark.influxql import execute
+
+    lo = (T0 - 7200) * NS
+    hi = (T1 + 10800) * NS
+    out = execute(
+        f"SELECT COUNT(value) AS n FROM events WHERE value > 4"
+        f" AND time >= {lo} AND time < {hi}"
+        f" GROUP BY time(1h), event_type FILL(previous)",
+        _influxql_events_catalog(spark, sf_dir),
+    )
+    return out.select(
+        "event_type", F.expr("time div 1000").alias("time_us"), "n"
+    ).orderBy("event_type", "time_us")
+
+
+SQL_INFLUXQL_FILL_RANGE = f"""
+WITH b AS (
+  SELECT event_type, epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS t_us,
+         COUNT(value) AS n
+  FROM events
+  WHERE value > 4
+    AND epoch_us(ts) >= {(T0 - 7200) * 1000000}
+    AND epoch_us(ts) < {(T1 + 10800) * 1000000}
+  GROUP BY 1, 2
+), g AS (
+  SELECT DISTINCT event_type FROM b
+), grid AS (
+  SELECT g.event_type,
+         UNNEST(generate_series({(T0 - 7200) * 1000000},
+                                {(T1 + 10800 - 3600) * 1000000},
+                                {HOUR_US})) AS t_us
+  FROM g
+)
+SELECT grid.event_type, grid.t_us AS time_us,
+  last_value(b.n IGNORE NULLS)
+    OVER (PARTITION BY grid.event_type ORDER BY grid.t_us) AS n
+FROM grid LEFT JOIN b
+  ON b.event_type = grid.event_type AND b.t_us = grid.t_us
+ORDER BY grid.event_type, time_us
+"""
+
+
 def q_influxql_show_tag_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """InfluxQL metadata surface through the parser: SHOW TAG VALUES is
     the tag_values RPC (operators/metadata.py) as a statement."""
@@ -4049,6 +4099,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rpc_window_selector_last": q_window_selector_last,
         "rpc_window_gapfill_previous": q_window_gapfill_previous,
         "rpc_window_gapfill_linear": q_window_gapfill_linear,
+        # round 9: inserted HERE (canonical idx ~46) — the round-9 window
+        # starts at shift 250 mod n, idx ~42, so tail appends would land
+        # OUTSIDE it; test_entry_rotation verifies placement.
+        "influxql_fill_range": q_influxql_fill_range,
         "series_derivative": q_series_derivative,
         # TPC-H shapes adapted to the testdata's columns (no partsupp /
         # shipmode / commitdate) — new in round 4, so they sit INSIDE the
@@ -4196,6 +4250,7 @@ def oracle_sql() -> dict[str, str]:
         "influxql_last": SQL_INFLUXQL_LAST,
         "influxql_fill_previous": SQL_INFLUXQL_FILL_PREVIOUS,
         "influxql_show_tag_values": SQL_INFLUXQL_SHOW_TAG_VALUES,
+        "influxql_fill_range": SQL_INFLUXQL_FILL_RANGE,
         "dedup_last_non_null": SQL_DEDUP,
         "json_props_extract": SQL_JSON_PROPS,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,

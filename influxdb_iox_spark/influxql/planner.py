@@ -19,8 +19,12 @@ are identical; framing is relational):
 - GROUP BY time() reports the bucket START (stock InfluxQL behavior;
   note the storage-RPC layer reports the STOP boundary — window.rs:44-47
   — which is why read_window_aggregate and this front-end differ);
-- fill() spans each series' own observed bucket extent (first..last),
-  not the WHERE-clause time range, matching operators/gapfill.py.
+- fill() with an explicit WHERE time bound materializes buckets across
+  the bounded range for every series (stock behavior; lower-bound-only
+  ranges fill up to now()); with NO explicit time bound it spans each
+  series' own observed bucket extent (first..last) — stock requires a
+  time range for GROUP BY time(), so the un-ranged case has no stock
+  twin (see _fill_grid_bounds).
 """
 
 from __future__ import annotations
@@ -87,6 +91,69 @@ def _time_operand_ns(node, now_ns: int) -> int:
         if node.func == "now_offset":
             return now_ns + int(node.args[0].value)
     raise InfluxQLPlanError(f"cannot interpret {node!r} as a time literal")
+
+
+def _where_time_range(node, now_ns: int) -> tuple[int | None, int | None]:
+    """The contiguous time range pinned by AND-combined WHERE comparisons
+    on ``time``: (inclusive lo ns, exclusive hi ns), either side None when
+    unbounded.  Bounds under OR don't guarantee a contiguous range, so OR
+    subtrees contribute nothing (stock InfluxQL rejects OR on time
+    outright; we just fall back to observed-extent fill)."""
+    if not isinstance(node, BinaryExpr):
+        return (None, None)
+    if node.op == "AND":
+        l1, h1 = _where_time_range(node.left, now_ns)
+        l2, h2 = _where_time_range(node.right, now_ns)
+        lo = l1 if l2 is None else (l2 if l1 is None else max(l1, l2))
+        hi = h1 if h2 is None else (h2 if h1 is None else min(h1, h2))
+        return (lo, hi)
+    if node.op == "OR":
+        return (None, None)
+    left, right, op = node.left, node.right, node.op
+    if isinstance(left, (Literal, Call)) and isinstance(right, VarRef):
+        left, right = right, left
+        op = {">": "<", "<": ">", ">=": "<=", "<=": ">="}.get(op, op)
+    if not (isinstance(left, VarRef) and left.name == "time"):
+        return (None, None)
+    try:
+        ns = _time_operand_ns(right, now_ns)
+    except InfluxQLPlanError:
+        return (None, None)
+    return {
+        ">": (ns + 1, None),
+        ">=": (ns, None),
+        "<": (None, ns),
+        "<=": (None, ns + 1),
+        "=": (ns, ns + 1),
+    }.get(op, (None, None))
+
+
+def _fill_grid_bounds(
+    stmt: SelectStatement, now_ns: int
+) -> tuple[int | None, int | None]:
+    """First/last fill bucket starts for GROUP BY time() + fill(): stock
+    InfluxDB materializes buckets across the WHERE-clause time range, so
+    an explicit bound pins that side of the grid for EVERY series (leading
+    /trailing empty buckets included).  With a lower bound only, the upper
+    defaults to now() (stock's implicit ``time < now()``).  No explicit
+    bounds -> (None, None): each series' observed extent (the documented
+    pre-range behavior, kept for un-ranged queries)."""
+    if stmt.where is None or stmt.group_by_time_ns is None:
+        return (None, None)
+    lo, hi = _where_time_range(stmt.where, now_ns)
+    if lo is None and hi is None:
+        return (None, None)
+    if lo is not None and hi is None:
+        hi = now_ns
+    every = stmt.group_by_time_ns
+    off = stmt.group_by_offset_ns or 0
+
+    def _floor(t: int) -> int:
+        return t - ((t - off) % every)
+
+    start = _floor(lo) if lo is not None else None
+    stop = _floor(hi - 1) if hi is not None else None
+    return (start, stop)
 
 
 def _lower_where(node, m: Measurement, now_ns: int) -> Column:
@@ -509,7 +576,7 @@ def _plan_single(
         else:
             out = _plan_percentile(stmt, m, df, tags)
     elif has_transform and has_agg:
-        out = _plan_transform_of_agg(stmt, m, df, tags)
+        out = _plan_transform_of_agg(stmt, m, df, tags, now_ns)
     elif has_transform:
         out = _plan_transforms(stmt, m, df, tags)
     elif has_agg:
@@ -518,7 +585,7 @@ def _plan_single(
                 "mixing aggregate calls and raw fields is not supported "
                 "(stock InfluxQL rejects this too)"
             )
-        out = _plan_aggregates(stmt, m, df, tags)
+        out = _plan_aggregates(stmt, m, df, tags, now_ns)
     else:
         out = _plan_raw(stmt, m, df, tags)
 
@@ -674,7 +741,11 @@ def _collect_agg_calls(
 
 
 def _plan_aggregates(
-    stmt: SelectStatement, m: Measurement, df: DataFrame, tags: list[str]
+    stmt: SelectStatement,
+    m: Measurement,
+    df: DataFrame,
+    tags: list[str],
+    now_ns: int,
 ) -> DataFrame:
     used: set[str] = {"time", *tags}
     lone_selector = (
@@ -722,6 +793,7 @@ def _plan_aggregates(
         strategy = (
             "value" if stmt.fill is FillOption.VALUE else stmt.fill.value
         )
+        gstart, gstop = _fill_grid_bounds(stmt, now_ns)
         out = fill_window_gaps(
             out,
             tags,
@@ -729,6 +801,8 @@ def _plan_aggregates(
             stmt.group_by_time_ns,
             strategy=strategy,
             fill_value=stmt.fill_value,
+            grid_start=gstart,
+            grid_stop=gstop,
         )
 
     order: list[Column] = [F.col(t) for t in tags]
@@ -853,7 +927,11 @@ def _plan_transforms(
 
 
 def _plan_transform_of_agg(
-    stmt: SelectStatement, m: Measurement, df: DataFrame, tags: list[str]
+    stmt: SelectStatement,
+    m: Measurement,
+    df: DataFrame,
+    tags: list[str],
+    now_ns: int,
 ) -> DataFrame:
     """The Grafana staple: ``SELECT derivative(mean(v), 1h) FROM m GROUP
     BY time(1h), tag`` — bucketed aggregate first, then the per-series
@@ -925,8 +1003,15 @@ def _plan_transform_of_agg(
     if stmt.fill is FillOption.NULL:
         from influxdb_iox_spark.operators.gapfill import fill_window_gaps
 
+        gstart, gstop = _fill_grid_bounds(stmt, now_ns)
         out = fill_window_gaps(
-            out, tags, "time", stmt.group_by_time_ns, strategy="null"
+            out,
+            tags,
+            "time",
+            stmt.group_by_time_ns,
+            strategy="null",
+            grid_start=gstart,
+            grid_stop=gstop,
         )
     out = _apply_bucket_limit(stmt, out, tags)
     tcol = F.col("time").desc() if stmt.order_desc else F.col("time").asc()

@@ -30,17 +30,26 @@ def fill_window_gaps(
     value_columns: list[str] | None = None,
     strategy: str = "null",
     fill_value: float | None = None,
+    grid_start: int | None = None,
+    grid_stop: int | None = None,
 ) -> DataFrame:
     """Materialize missing buckets per series between its first and last
-    observed bucket.
+    observed bucket — or across a pinned grid.
 
     ``windowed`` is a window-aggregate result: (tags…, time bucket, values…),
     bucket spacing ``step`` (same unit as ``time_column``).  Strategies:
     ``null`` (emit row, values null), ``previous`` (carry forward last
     non-null), ``value`` (constant ``fill_value``), ``linear``
     (interpolate interior gaps between the neighboring observed buckets —
-    InfluxQL ``fill(linear)``; grid edges are observed by construction, so
-    every gap has both neighbors).
+    InfluxQL ``fill(linear)``; leading/trailing buckets of a pinned grid
+    have only one neighbor and stay null, stock behavior).
+
+    ``grid_start`` / ``grid_stop``: inclusive first/last bucket values
+    (already floored to the grid) pinning that side of every series' grid
+    regardless of its observed extent — InfluxQL's fill-across-the-
+    WHERE-range semantics.  A side left None uses the series' observed
+    bound.  Series with zero rows in ``windowed`` never appear (stock
+    only fills series that have at least one point in range).
     """
     if strategy not in ("null", "previous", "value", "linear"):
         raise ValueError(f"unknown fill strategy {strategy!r}")
@@ -51,11 +60,19 @@ def fill_window_gaps(
     bounds = windowed.groupBy(*tag_columns).agg(
         F.min(time_column).alias("__lo"), F.max(time_column).alias("__hi")
     )
+    lo = (
+        F.lit(grid_start).cast("long")
+        if grid_start is not None
+        else F.col("__lo")
+    )
+    hi = (
+        F.lit(grid_stop).cast("long")
+        if grid_stop is not None
+        else F.col("__hi")
+    )
     grid = bounds.select(
         *tag_columns,
-        F.explode(
-            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))
-        ).alias(time_column),
+        F.explode(F.sequence(lo, hi, F.lit(step))).alias(time_column),
     )
     joined = grid.join(windowed, on=[*tag_columns, time_column], how="left")
 

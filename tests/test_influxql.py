@@ -738,3 +738,101 @@ def test_multi_from_orders_by_resolved_tags_only(catalog, spark):
     mem_rows = [t for t in _rows(out) if t[0] == "mem"]
     # time order (z9 first), NOT host-value order (a1 first)
     assert [r[out.columns.index("host")] for r in mem_rows] == ["z9", "a1"]
+
+
+# -- fill across the WHERE-clause time range (round 9) ------------------------
+
+
+def test_where_time_range_extraction():
+    from influxdb_iox_spark.influxql.planner import _where_time_range
+
+    now = 100 * H
+
+    def rng(q):
+        return _where_time_range(parse(q).where, now)
+
+    assert rng("SELECT v FROM m WHERE time >= 1h AND time < 3h") == (H, 3 * H)
+    assert rng("SELECT v FROM m WHERE time > 1h AND time <= 3h") == (
+        H + 1,
+        3 * H + 1,
+    )
+    assert rng("SELECT v FROM m WHERE time = 2h") == (2 * H, 2 * H + 1)
+    assert rng("SELECT v FROM m WHERE time > now() - 1h") == (99 * H + 1, None)
+    # tightest bound wins under AND; non-time terms contribute nothing
+    assert rng(
+        "SELECT v FROM m WHERE time >= 1h AND time >= 2h AND host = 'a'"
+    ) == (2 * H, None)
+    # OR cannot pin a contiguous range
+    assert rng("SELECT v FROM m WHERE time >= 1h OR time < 3h") == (None, None)
+
+
+def test_plan_fill_range_leading_and_trailing_buckets(catalog):
+    """Stock v1: fill buckets span the WHERE time range, so sparse series
+    get leading AND trailing empty buckets (host b observed only at 2h
+    inside [1h, 4h))."""
+    base = (
+        "SELECT SUM(v) FROM cpu WHERE host = 'b' AND time >= 1h "
+        "AND time < 4h GROUP BY time(1h)"
+    )
+    nulled = execute(base + " FILL(null)", catalog)
+    assert _rows(nulled) == [(H, None), (2 * H, 30.0), (3 * H, None)]
+    prev = execute(base + " FILL(previous)", catalog)
+    # leading bucket has no previous value -> stays null (stock)
+    assert _rows(prev) == [(H, None), (2 * H, 30.0), (3 * H, 30.0)]
+
+
+def test_plan_fill_range_linear_edges_stay_null(catalog):
+    out = execute(
+        "SELECT SUM(v) FROM cpu WHERE host = 'a' AND time >= 0 "
+        "AND time < 5h GROUP BY time(1h) FILL(linear)",
+        catalog,
+    )
+    # sums 0h->3, 1h->4, 3h->8; 2h interpolates to 6; the trailing 4h
+    # bucket has no following neighbor -> null, never extrapolated
+    assert _rows(out) == [
+        (0, 3.0),
+        (H, 4.0),
+        (2 * H, 6.0),
+        (3 * H, 8.0),
+        (4 * H, None),
+    ]
+
+
+def test_plan_fill_range_lower_bound_defaults_to_now(catalog):
+    out = execute(
+        "SELECT SUM(v) FROM cpu WHERE host = 'a' AND time >= 0 "
+        "GROUP BY time(1h) FILL(null)",
+        catalog,
+        now_ns=5 * H,
+    )
+    # implicit upper bound now()=5h -> grid 0h..4h
+    assert _rows(out) == [
+        (0, 3.0),
+        (H, 4.0),
+        (2 * H, None),
+        (3 * H, 8.0),
+        (4 * H, None),
+    ]
+
+
+def test_plan_fill_range_respects_group_offset(catalog):
+    out = execute(
+        "SELECT SUM(v) FROM cpu WHERE host = 'a' AND time >= 30m "
+        "AND time < 3h GROUP BY time(1h, 30m) FILL(null)",
+        catalog,
+    )
+    # offset grid: floor(30m)=30m .. floor(3h-1ns)=2h30m
+    assert _rows(out) == [
+        (1800 * S, 4.0),
+        (5400 * S, None),
+        (9000 * S, None),
+    ]
+
+
+def test_plan_fill_without_time_bound_keeps_observed_extent(catalog):
+    out = execute(
+        "SELECT SUM(v) FROM cpu WHERE host = 'a' GROUP BY time(1h) "
+        "FILL(null)",
+        catalog,
+    )
+    assert _rows(out) == [(0, 3.0), (H, 4.0), (2 * H, None), (3 * H, 8.0)]
