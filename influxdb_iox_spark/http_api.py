@@ -245,7 +245,7 @@ class IoxHttpServer:
                 databases=[self.db_name],
                 epoch=epoch,
                 max_rows=self.max_rows,
-                database=None if read_only else self.database,
+                database=self.database,
                 read_only=read_only,
             )
         except ValueError as e:  # bad epoch

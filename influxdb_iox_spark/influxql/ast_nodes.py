@@ -88,13 +88,34 @@ class SelectStatement:
     soffset: int = 0
 
 
+@dataclass(frozen=True)
+class CreateContinuousQuery:
+    """CREATE CONTINUOUS QUERY <name> ON <db> [RESAMPLE [EVERY d] [FOR d]]
+    BEGIN <select-into> END (stock 1.x continuous-query DDL)."""
+
+    name: str
+    db: str
+    select: "SelectStatement"
+    resample_every_ns: int | None = None
+    resample_for_ns: int | None = None
+
+
+@dataclass(frozen=True)
+class DropContinuousQuery:
+    """DROP CONTINUOUS QUERY <name> ON <db>."""
+
+    name: str
+    db: str
+
+
 @dataclass
 class ShowStatement:
     """SHOW MEASUREMENTS | TAG KEYS | TAG VALUES | FIELD KEYS | SERIES |
-    DATABASES | RETENTION POLICIES."""
+    DATABASES | RETENTION POLICIES | CONTINUOUS QUERIES."""
 
     what: str  # 'measurements' | 'tag keys' | 'tag values' | 'field keys'
     #            | 'series' | 'databases' | 'retention policies'
+    #            | 'continuous queries'
     measurement: str | None = None
     with_key: str | None = None  # SHOW TAG VALUES ... WITH KEY = <k>
     with_keys: list[str] | None = None  # ... WITH KEY IN (k1, k2)

@@ -37,6 +37,8 @@ import re
 from influxdb_iox_spark.influxql.ast_nodes import (
     BinaryExpr,
     Call,
+    CreateContinuousQuery,
+    DropContinuousQuery,
     FillOption,
     Literal,
     Projection,
@@ -271,7 +273,56 @@ class _Parser:
             return self._select()
         if self._kw("SHOW"):
             return self._show()
-        raise InfluxQLParseError("expected SELECT or SHOW")
+        if self._kw("CREATE", "CONTINUOUS", "QUERY"):
+            return self._create_cq()
+        if self._kw("DROP", "CONTINUOUS", "QUERY"):
+            name = self._ident()
+            self._expect_kw("ON")
+            db = self._ident()
+            if self._peek() is not None:
+                raise InfluxQLParseError("trailing input after DROP")
+            return DropContinuousQuery(name, db)
+        raise InfluxQLParseError(
+            "expected SELECT, SHOW, CREATE CONTINUOUS QUERY or "
+            "DROP CONTINUOUS QUERY"
+        )
+
+    def _create_cq(self) -> CreateContinuousQuery:
+        name = self._ident()
+        self._expect_kw("ON")
+        db = self._ident()
+        every_ns = for_ns = None
+        if self._kw("RESAMPLE"):
+            if self._kw("EVERY"):
+                d = self._next()
+                if d[0] != "dur":
+                    raise InfluxQLParseError("RESAMPLE EVERY needs a duration")
+                every_ns = duration_to_ns(d[1])
+            if self._kw("FOR"):
+                d = self._next()
+                if d[0] != "dur":
+                    raise InfluxQLParseError("RESAMPLE FOR needs a duration")
+                for_ns = duration_to_ns(d[1])
+            if every_ns is None and for_ns is None:
+                raise InfluxQLParseError("RESAMPLE needs EVERY and/or FOR")
+        self._expect_kw("BEGIN")
+        self._expect_kw("SELECT")
+        select = self._select_core()
+        self._expect_kw("END")
+        if self._peek() is not None:
+            raise InfluxQLParseError("trailing input after END")
+        if select.into is None:
+            raise InfluxQLParseError(
+                "a continuous query's SELECT needs an INTO clause"
+            )
+        if select.group_by_time_ns is None:
+            raise InfluxQLParseError(
+                "a continuous query needs GROUP BY time(...)"
+            )
+        return CreateContinuousQuery(
+            name, db, select,
+            resample_every_ns=every_ns, resample_for_ns=for_ns,
+        )
 
     def _show(self) -> ShowStatement:
         stmt = self._show_core()
@@ -291,6 +342,8 @@ class _Parser:
         if self._kw("RETENTION", "POLICIES"):
             on_db = self._ident() if self._kw("ON") else None
             return ShowStatement("retention policies", on_db=on_db)
+        if self._kw("CONTINUOUS", "QUERIES"):
+            return ShowStatement("continuous queries")
         if self._kw("SERIES"):
             meas = self._ident() if self._kw("FROM") else None
             return ShowStatement("series", measurement=meas)

@@ -31,6 +31,8 @@ from __future__ import annotations
 import time as _time
 
 from influxdb_iox_spark.influxql.ast_nodes import (
+    CreateContinuousQuery,
+    DropContinuousQuery,
     Measurement,
     SelectStatement,
     ShowStatement,
@@ -248,6 +250,56 @@ def run_statements(
         entry: dict = {"statement_id": i}
         try:
             stmt = parse(stext)
+            if isinstance(stmt, (CreateContinuousQuery, DropContinuousQuery)):
+                from influxdb_iox_spark.influxql.cq import (
+                    ContinuousQueryRegistry,
+                )
+
+                if read_only:
+                    raise InfluxQLPlanError(
+                        "continuous-query DDL requires a POST request"
+                    )
+                if database is None:
+                    raise InfluxQLPlanError(
+                        "continuous queries are not available on this "
+                        "endpoint"
+                    )
+                reg = ContinuousQueryRegistry(database)
+                if isinstance(stmt, CreateContinuousQuery):
+                    reg.create(stext)
+                else:
+                    reg.drop(stmt.name)
+                results.append(entry)
+                continue
+            if (
+                isinstance(stmt, ShowStatement)
+                and stmt.what == "continuous queries"
+            ):
+                # stock framing: one series per database, columns
+                # (name, query)
+                from influxdb_iox_spark.influxql.cq import (
+                    ContinuousQueryRegistry,
+                )
+
+                cqs = (
+                    ContinuousQueryRegistry(database).list()
+                    if database is not None
+                    else []
+                )
+                entry["series"] = [
+                    {
+                        "name": db_name,
+                        "columns": ["name", "query"],
+                        "values": [
+                            [c["name"], c["text"]]
+                            for c in cqs
+                            if c["db"] == db_name
+                        ],
+                    }
+                    for db_name in (databases or [])
+                ]
+                results.append(entry)
+                continue
             if isinstance(stmt, SelectStatement) and stmt.into is not None:
                 from influxdb_iox_spark.influxql.planner import run_into
 

@@ -66,6 +66,10 @@ class LifecyclePolicy:
     #: old.  Tables without an entry keep the time-based decision
     #: (direct-write deployments have no sequences to track).
     windows: dict | None = None
+    #: optional ContinuousQueryRegistry (influxql/cq.py): when set, the
+    #: sweep also executes due continuous queries — the stock CQ loop
+    #: rides the same background cadence as compaction/persistence.
+    cqs: object | None = None
 
     def max_seen_time_ns(self, table: str) -> int | None:
         """PersistenceWindows equivalent: newest timestamp in the manifest."""
@@ -221,8 +225,9 @@ class LifecyclePolicy:
             w.flush()
         return out
 
-    def check_for_work(self) -> dict[str, dict]:
-        """One policy sweep over every table (policy.rs:448)."""
+    def check_for_work(self, now_ns: int | None = None) -> dict[str, dict]:
+        """One policy sweep over every table (policy.rs:448), plus due
+        continuous queries when a registry is attached."""
         report: dict[str, dict] = {}
         for table in list(self.schemas):
             compacted = self.maybe_compact(table)
@@ -230,5 +235,9 @@ class LifecyclePolicy:
             report[table] = {
                 "compacted": [c.chunk_id for c in compacted],
                 "persisted": bool(persisted),
+            }
+        if self.cqs is not None:
+            report["__continuous_queries__"] = {
+                "ran": [r.name for r in self.cqs.run_due(now_ns=now_ns)]
             }
         return report
