@@ -3967,6 +3967,40 @@ ORDER BY grid.event_type, time_us
 """
 
 
+def q_influxql_tz_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL tz() clause (round 9): daily buckets on Pacific/Auckland
+    wall clock (UTC+13 across the whole data window — tzdata has no zone
+    transitioning inside 2024-01-05..20, so the DST-crossing behavior is
+    pinned by tests/test_influxql.py's March/November America/Chicago
+    cases instead).  The DuckDB twin derives the same buckets from the
+    hand-computed +13h offset in plain epoch arithmetic — an independent
+    check on the zone machinery, not a reimplementation of it."""
+    from influxdb_iox_spark.influxql import execute
+
+    out = execute(
+        f"SELECT COUNT(value) AS n FROM events"
+        f" WHERE time >= {T0 * NS} AND time < {T1 * NS}"
+        f" GROUP BY time(1d), event_type TZ('Pacific/Auckland')",
+        _influxql_events_catalog(spark, sf_dir),
+    )
+    return out.select(
+        "event_type", F.expr("time div 1000").alias("time_us"), "n"
+    ).orderBy("event_type", "time_us")
+
+
+_NZDT_US = 13 * HOUR_US
+SQL_INFLUXQL_TZ_DAILY = f"""
+SELECT event_type,
+  (epoch_us(ts) + {_NZDT_US})
+    - (epoch_us(ts) + {_NZDT_US}) % {24 * HOUR_US}
+    - {_NZDT_US} AS time_us,
+  COUNT(value) AS n
+FROM events
+WHERE epoch_us(ts) >= {T0 * 1000000} AND epoch_us(ts) < {T1 * 1000000}
+GROUP BY 1, 2 ORDER BY event_type, time_us
+"""
+
+
 def q_influxql_show_tag_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """InfluxQL metadata surface through the parser: SHOW TAG VALUES is
     the tag_values RPC (operators/metadata.py) as a statement."""
@@ -4103,6 +4137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # starts at shift 250 mod n, idx ~42, so tail appends would land
         # OUTSIDE it; test_entry_rotation verifies placement.
         "influxql_fill_range": q_influxql_fill_range,
+        "influxql_tz_daily": q_influxql_tz_daily,
         "series_derivative": q_series_derivative,
         # TPC-H shapes adapted to the testdata's columns (no partsupp /
         # shipmode / commitdate) — new in round 4, so they sit INSIDE the
@@ -4251,6 +4286,7 @@ def oracle_sql() -> dict[str, str]:
         "influxql_fill_previous": SQL_INFLUXQL_FILL_PREVIOUS,
         "influxql_show_tag_values": SQL_INFLUXQL_SHOW_TAG_VALUES,
         "influxql_fill_range": SQL_INFLUXQL_FILL_RANGE,
+        "influxql_tz_daily": SQL_INFLUXQL_TZ_DAILY,
         "dedup_last_non_null": SQL_DEDUP,
         "json_props_extract": SQL_JSON_PROPS,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,

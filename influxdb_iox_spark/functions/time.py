@@ -41,6 +41,49 @@ def window_start(
     return t - F.pmod(t - F.lit(offset_ns), F.lit(every_ns))
 
 
+def utc_ns_to_local_ns(time: Column | str, tz: str) -> Column:
+    """Shift epoch-ns instants into a named zone's wall-clock frame
+    (local ns) — JVM-side via from_utc_timestamp, so DST transitions use
+    the executor's tzdata, not a fixed offset.  Zone offsets are whole
+    minutes, so the sub-second ns remainder passes through untouched."""
+    t = _col(time)
+    t_us = ((t - F.pmod(t, F.lit(1000))) / 1000).cast("long")
+    off_us = (
+        F.unix_micros(F.from_utc_timestamp(F.timestamp_micros(t_us), tz))
+        - t_us
+    )
+    return t + off_us * 1000
+
+
+def local_ns_to_utc_ns(local: Column | str, tz: str) -> Column:
+    """Inverse of utc_ns_to_local_ns: interpret wall-clock ns in ``tz``
+    and return the epoch instant (to_utc_timestamp's resolution for
+    DST-ambiguous wall times — the standard-library choice stock engines
+    share)."""
+    l = _col(local)
+    l_us = ((l - F.pmod(l, F.lit(1000))) / 1000).cast("long")
+    utc_us = F.unix_micros(
+        F.to_utc_timestamp(F.timestamp_micros(l_us), tz)
+    )
+    return utc_us * 1000 + F.pmod(l, F.lit(1000))
+
+
+def local_window_start(
+    time: Column | str,
+    every_ns: int,
+    offset_ns: int = 0,
+    tz: str = "UTC",
+) -> Column:
+    """Start boundary of the window containing ``time``, computed on the
+    zone's WALL CLOCK (InfluxQL ``tz()``): daily buckets align to local
+    midnight, and a bucket spanning a DST transition covers 23/25 wall
+    hours of UTC.  Returns the bucket start in LOCAL ns — keep grids and
+    gap-fills in this uniform frame, convert once at the end with
+    local_ns_to_utc_ns."""
+    local = utc_ns_to_local_ns(time, tz)
+    return local - F.pmod(local - F.lit(offset_ns), F.lit(every_ns))
+
+
 def window_bounds(
     time: Column | str = TIME_COLUMN_NAME, every_ns: int = NS_PER_SECOND, offset_ns: int = 0
 ) -> Column:

@@ -86,6 +86,7 @@ class SelectStatement:
     offset: int = 0
     slimit: int | None = None  # series
     soffset: int = 0
+    tz: str | None = None  # tz('Zone/Name'): zone-local buckets + output
 
 
 @dataclass(frozen=True)

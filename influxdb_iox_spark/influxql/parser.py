@@ -455,6 +455,13 @@ class _Parser:
             stmt.slimit = self._int()
         if self._kw("SOFFSET"):
             stmt.soffset = self._int()
+        if self._kw("TZ"):
+            self._expect_op("(")
+            t = self._next()
+            if t[0] != "str":
+                raise InfluxQLParseError("tz() needs a quoted zone name")
+            stmt.tz = t[1][1:-1].replace("\\'", "'")
+            self._expect_op(")")
         return stmt
 
     def _projection(self) -> Projection:

@@ -147,6 +147,14 @@ def _fill_grid_bounds(
         hi = now_ns
     every = stmt.group_by_time_ns
     off = stmt.group_by_offset_ns or 0
+    if stmt.tz is not None:
+        # with tz() the grid lives in the zone's wall-clock frame
+        # (_bucket_col), so the literal bounds shift there first — plain
+        # modular arithmetic stays exact in that frame even across DST
+        if lo is not None:
+            lo += _zone_offset_ns(lo, stmt.tz)
+        if hi is not None:
+            hi += _zone_offset_ns(hi - 1, stmt.tz)
 
     def _floor(t: int) -> int:
         return t - ((t - off) % every)
@@ -539,6 +547,7 @@ def _plan_single(
     stmt: SelectStatement, m: Measurement, now_ns: int
 ) -> tuple[DataFrame, list[str]]:
     df = m.df
+    _validate_tz(stmt)
     if stmt.where is not None:
         df = df.filter(_lower_where(stmt.where, m, now_ns))
 
@@ -683,12 +692,62 @@ def _apply_point_limit(
     )
 
 
-def _bucket_col(stmt: SelectStatement, m: Measurement) -> Column:
-    from influxdb_iox_spark.functions.time import window_start
+def _zone_offset_ns(t_ns: int, tz: str) -> int:
+    """UTC offset of ``tz`` at the instant ``t_ns`` (driver-side zoneinfo;
+    used only for literal WHERE bounds, never per row)."""
+    import zoneinfo as _zi
 
+    dt = _dt.datetime.fromtimestamp(
+        t_ns // 10**9, tz=_zi.ZoneInfo(tz)
+    )
+    return int(dt.utcoffset().total_seconds()) * 10**9
+
+
+def _validate_tz(stmt: SelectStatement) -> None:
+    if stmt.tz is None:
+        return
+    import zoneinfo as _zi
+
+    try:
+        _zi.ZoneInfo(stmt.tz)
+    except Exception:
+        raise InfluxQLPlanError(f"unknown time zone {stmt.tz!r}") from None
+
+
+def _bucket_col(stmt: SelectStatement, m: Measurement) -> Column:
+    """GROUP BY time() bucket start.  With tz(), the bucket is computed
+    on the zone's WALL CLOCK and kept in the LOCAL-ns frame through
+    aggregation/fill (uniform grid even across DST); _finish_tz_time
+    converts to epoch ns at the end."""
+    from influxdb_iox_spark.functions.time import (
+        local_window_start,
+        window_start,
+    )
+
+    if stmt.tz is not None:
+        return local_window_start(
+            m.time_col,
+            stmt.group_by_time_ns,
+            stmt.group_by_offset_ns,
+            stmt.tz,
+        ).alias("time")
     return window_start(
         m.time_col, stmt.group_by_time_ns, stmt.group_by_offset_ns
     ).alias("time")
+
+
+def _finish_tz_time(stmt: SelectStatement, out: DataFrame) -> DataFrame:
+    """Map the local-frame bucket column back to epoch ns (monotone, so
+    ordering done in the local frame survives)."""
+    if stmt.tz is None or stmt.group_by_time_ns is None:
+        return out
+    from influxdb_iox_spark.functions.time import local_ns_to_utc_ns
+
+    if "time" not in out.columns:
+        return out
+    return out.withColumn(
+        "time", local_ns_to_utc_ns(F.col("time"), stmt.tz)
+    )
 
 
 def _collect_agg_calls(
@@ -811,6 +870,7 @@ def _plan_aggregates(
             F.col("time").desc() if stmt.order_desc else F.col("time").asc()
         )
     out = _apply_bucket_limit(stmt, out, tags)
+    out = _finish_tz_time(stmt, out)
     return out.orderBy(*order) if order else out
 
 
@@ -1014,6 +1074,7 @@ def _plan_transform_of_agg(
             grid_stop=gstop,
         )
     out = _apply_bucket_limit(stmt, out, tags)
+    out = _finish_tz_time(stmt, out)
     tcol = F.col("time").desc() if stmt.order_desc else F.col("time").asc()
     return out.orderBy(*[F.col(t) for t in tags], tcol)
 

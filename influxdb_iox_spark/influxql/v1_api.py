@@ -100,26 +100,43 @@ def split_statements(text: str) -> list[str]:
     return [s.strip() for s in out if s.strip()]
 
 
-def _rfc3339nano(ns: int) -> str:
+def _rfc3339nano(ns: int, tz: str | None = None) -> str:
     """ns since epoch → RFC3339 with trailing-zero-trimmed fraction
-    (Go's RFC3339Nano, the stock v1 time rendering)."""
+    (Go's RFC3339Nano, the stock v1 time rendering).  With ``tz``
+    (the statement's tz() clause), wall time and offset render in that
+    zone, as stock does."""
     from datetime import datetime, timezone
 
     secs, frac = divmod(int(ns), 1_000_000_000)
-    base = datetime.fromtimestamp(secs, tz=timezone.utc).strftime(
-        "%Y-%m-%dT%H:%M:%S"
-    )
+    if tz is None:
+        base = datetime.fromtimestamp(secs, tz=timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%S"
+        )
+        suffix = "Z"
+    else:
+        import zoneinfo
+
+        dt = datetime.fromtimestamp(secs, tz=zoneinfo.ZoneInfo(tz))
+        base = dt.strftime("%Y-%m-%dT%H:%M:%S")
+        off = dt.utcoffset()
+        total = int(off.total_seconds())
+        if total == 0:
+            suffix = "Z"
+        else:
+            sign = "+" if total >= 0 else "-"
+            total = abs(total)
+            suffix = f"{sign}{total // 3600:02d}:{(total % 3600) // 60:02d}"
     if frac == 0:
-        return base + "Z"
+        return base + suffix
     f = f"{frac:09d}".rstrip("0")
-    return f"{base}.{f}Z"
+    return f"{base}.{f}{suffix}"
 
 
-def _time_value(ns, epoch: str | None):
+def _time_value(ns, epoch: str | None, tz: str | None = None):
     if ns is None:
         return None
     if epoch is None:
-        return _rfc3339nano(ns)
+        return _rfc3339nano(ns, tz)
     return int(ns) // _EPOCH_DIV[epoch]
 
 
@@ -185,7 +202,9 @@ def _frame_select(stmt, cols, rows, epoch, group_tags) -> list[dict]:
         for c in value_cols:
             v = d[c]
             vals.append(
-                _time_value(v, epoch) if c == "time" else _json_cell(v)
+                _time_value(v, epoch, getattr(stmt, "tz", None))
+                if c == "time"
+                else _json_cell(v)
             )
         series[-1]["values"].append(vals)
     return series

@@ -836,3 +836,104 @@ def test_plan_fill_without_time_bound_keeps_observed_extent(catalog):
         catalog,
     )
     assert _rows(out) == [(0, 3.0), (H, 4.0), (2 * H, None), (3 * H, 8.0)]
+
+
+# -- tz() clause (round 9) -----------------------------------------------------
+
+
+def _utc_ns(iso: str) -> int:
+    import datetime as dt
+
+    return int(
+        dt.datetime.fromisoformat(iso.replace("Z", "+00:00")).timestamp()
+    ) * S
+
+
+def test_parse_tz_clause():
+    s = parse("SELECT mean(v) FROM m GROUP BY time(1d) tz('America/Chicago')")
+    assert s.tz == "America/Chicago"
+    assert s.group_by_time_ns == 24 * H
+    with pytest.raises(InfluxQLParseError):
+        parse("SELECT v FROM m tz(America/Chicago)")  # unquoted zone
+
+
+def test_plan_tz_unknown_zone_rejected(catalog):
+    with pytest.raises(InfluxQLPlanError):
+        execute(
+            "SELECT SUM(v) FROM cpu GROUP BY time(1h) tz('Not/AZone')",
+            catalog,
+        )
+
+
+@pytest.fixture(scope="module")
+def dst_catalog(spark):
+    """Points straddling America/Chicago's 2024 spring-forward
+    (2024-03-10T08:00Z) and fall-back (2024-11-03T07:00Z)."""
+    rows = [
+        ("a", 1.0, _utc_ns("2024-03-10T07:00:00Z")),  # 01:00 CST, Mar 10
+        ("a", 2.0, _utc_ns("2024-03-10T09:00:00Z")),  # 04:00 CDT, Mar 10
+        ("a", 4.0, _utc_ns("2024-03-11T06:00:00Z")),  # 01:00 CDT, Mar 11
+        ("a", 8.0, _utc_ns("2024-11-03T05:30:00Z")),  # 00:30 CDT, Nov 3
+        ("a", 16.0, _utc_ns("2024-11-04T05:30:00Z")),  # 23:30 CST, Nov 3!
+        ("a", 32.0, _utc_ns("2024-11-04T06:30:00Z")),  # 00:30 CST, Nov 4
+    ]
+    df = spark.createDataFrame(rows, "host string, v double, time long")
+    return {"cpu": Measurement(df=df, tags=("host",), fields=("v",))}
+
+
+def test_plan_tz_daily_buckets_spring_forward(dst_catalog):
+    """The local Mar 10 bucket is 23 UTC hours (spring forward): both
+    Mar 10 points land in it; bucket starts are local midnights, i.e.
+    06:00Z before the change and 05:00Z after."""
+    out = execute(
+        "SELECT SUM(v) AS s FROM cpu WHERE time < '2024-06-01' "
+        "GROUP BY time(1d) tz('America/Chicago')",
+        dst_catalog,
+    )
+    assert _rows(out) == [
+        (_utc_ns("2024-03-10T06:00:00Z"), 3.0),
+        (_utc_ns("2024-03-11T05:00:00Z"), 4.0),
+    ]
+
+
+def test_plan_tz_daily_buckets_fall_back(dst_catalog):
+    """The local Nov 3 bucket is 25 UTC hours (fall back): the point at
+    2024-11-04T05:30Z is local Nov 3 23:30 CST and belongs to Nov 3."""
+    out = execute(
+        "SELECT SUM(v) AS s FROM cpu WHERE time >= '2024-10-01' "
+        "AND time < '2024-12-01' GROUP BY time(1d) tz('America/Chicago')",
+        dst_catalog,
+    )
+    assert _rows(out) == [
+        (_utc_ns("2024-11-03T05:00:00Z"), 24.0),  # 8 + 16, 25h bucket
+        (_utc_ns("2024-11-04T06:00:00Z"), 32.0),
+    ]
+
+
+def test_plan_tz_fill_grid_local_midnights(dst_catalog):
+    """fill() with tz(): the grid is uniform in the LOCAL frame, so the
+    materialized empty buckets sit at local midnights even across the
+    spring-forward (Mar 9 at 06:00Z, Mar 11 at 05:00Z)."""
+    out = execute(
+        "SELECT SUM(v) AS s FROM cpu WHERE time >= '2024-03-09T06:00:00Z'"
+        " AND time < '2024-03-11T05:00:00Z'"
+        " GROUP BY time(1d) FILL(null) tz('America/Chicago')",
+        dst_catalog,
+    )
+    assert _rows(out) == [
+        (_utc_ns("2024-03-09T06:00:00Z"), None),
+        (_utc_ns("2024-03-10T06:00:00Z"), 3.0),
+    ]
+
+
+def test_v1_tz_renders_zone_offset(dst_catalog):
+    from influxdb_iox_spark.influxql.v1_api import run_statements
+
+    env = run_statements(
+        "SELECT SUM(v) AS s FROM cpu WHERE time < '2024-06-01' "
+        "GROUP BY time(1d) tz('America/Chicago')",
+        dst_catalog,
+    )
+    vals = env["results"][0]["series"][0]["values"]
+    assert vals[0][0] == "2024-03-10T00:00:00-06:00"
+    assert vals[1][0] == "2024-03-11T00:00:00-05:00"
