@@ -9,11 +9,14 @@ no renames.  A guard fixture makes any POSIX manifest I/O under the
 store's base_dir fail the test, so the object-store backend cannot
 quietly lean on the filesystem.
 
-THE WHOLE BATTERY IS PARAMETRIZED over two ObjectStore implementations
+THE WHOLE BATTERY IS PARAMETRIZED over four ObjectStore implementations
 (the ``backend`` autouse fixture): the in-memory double (memory.rs
-shape) AND the real S3 REST client (sources/s3rest.py) pointed at an
-in-process S3 stub — every contract test, including the multi-writer
-races, also runs over genuine HTTP conditional-PUT/LIST-v2 round trips.
+shape) AND the real S3 / GCS / Azure REST clients (sources/{s3rest,
+gcsrest,azurerest}.py) each pointed at an in-process protocol stub —
+every contract test, including the multi-writer races, also runs over
+genuine HTTP conditional-PUT/LIST round trips in all three cloud
+dialects (If-None-Match/If-Match etags, ifGenerationMatch generations,
+blob 409/412 preconditions).
 """
 
 from __future__ import annotations
@@ -44,23 +47,58 @@ def _s3_stub():
     stub.stop()
 
 
-@pytest.fixture(autouse=True, params=["memory", "s3rest"])
+@pytest.fixture(scope="module")
+def _gcs_stub():
+    from tests.gcs_stub import GcsStub
+
+    stub = GcsStub()
+    yield stub
+    stub.stop()
+
+
+@pytest.fixture(scope="module")
+def _azure_stub():
+    from tests.azure_stub import AzureStub
+
+    stub = AzureStub()
+    yield stub
+    stub.stop()
+
+
+@pytest.fixture(
+    autouse=True, params=["memory", "s3rest", "gcsrest", "azurerest"]
+)
 def backend(request):
     """Every test in this module runs once per ObjectStore impl."""
     global _MODE, _STUB
     _MODE = request.param
-    _STUB = request.getfixturevalue("_s3_stub") if _MODE == "s3rest" else None
+    _STUB = {
+        "s3rest": lambda: request.getfixturevalue("_s3_stub"),
+        "gcsrest": lambda: request.getfixturevalue("_gcs_stub"),
+        "azurerest": lambda: request.getfixturevalue("_azure_stub"),
+    }.get(_MODE, lambda: None)()
     yield
     _MODE, _STUB = "memory", None
 
 
 def _new_obj():
+    # fresh prefix per store-universe: test isolation on a shared stub
+    pfx = f"t-{uuid.uuid4().hex[:12]}/"
     if _MODE == "s3rest":
         from influxdb_iox_spark.sources.s3rest import S3RestObjectStore
 
-        # fresh prefix per store-universe: test isolation on a shared stub
-        return S3RestObjectStore(
-            _STUB.endpoint, _STUB.bucket, prefix=f"t-{uuid.uuid4().hex[:12]}/"
+        return S3RestObjectStore(_STUB.endpoint, _STUB.bucket, prefix=pfx)
+    if _MODE == "gcsrest":
+        from influxdb_iox_spark.sources.gcsrest import GcsRestObjectStore
+
+        return GcsRestObjectStore(
+            _STUB.bucket, prefix=pfx, endpoint=_STUB.endpoint
+        )
+    if _MODE == "azurerest":
+        from influxdb_iox_spark.sources.azurerest import AzureRestObjectStore
+
+        return AzureRestObjectStore(
+            _STUB.endpoint, _STUB.container, prefix=pfx
         )
     return InMemoryObjectStore()
 
