@@ -89,6 +89,17 @@ class SelectStatement:
     tz: str | None = None  # tz('Zone/Name'): zone-local buckets + output
 
 
+@dataclass
+class DeleteStatement:
+    """DELETE [FROM m [, m2] | /re/] [WHERE conds] — stock 1.x delete.
+    WHERE is restricted (tags + time only) and validated at lowering;
+    no FROM means every measurement."""
+
+    from_names: list[str] | None = None
+    from_regex: str | None = None
+    where: object | None = None  # BinaryExpr tree
+
+
 @dataclass(frozen=True)
 class CreateContinuousQuery:
     """CREATE CONTINUOUS QUERY <name> ON <db> [RESAMPLE [EVERY d] [FOR d]]

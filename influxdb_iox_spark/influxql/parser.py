@@ -38,6 +38,7 @@ from influxdb_iox_spark.influxql.ast_nodes import (
     BinaryExpr,
     Call,
     CreateContinuousQuery,
+    DeleteStatement,
     DropContinuousQuery,
     FillOption,
     Literal,
@@ -273,6 +274,8 @@ class _Parser:
             return self._select()
         if self._kw("SHOW"):
             return self._show()
+        if self._kw("DELETE"):
+            return self._delete()
         if self._kw("CREATE", "CONTINUOUS", "QUERY"):
             return self._create_cq()
         if self._kw("DROP", "CONTINUOUS", "QUERY"):
@@ -286,6 +289,33 @@ class _Parser:
             "expected SELECT, SHOW, CREATE CONTINUOUS QUERY or "
             "DROP CONTINUOUS QUERY"
         )
+
+    def _delete(self) -> DeleteStatement:
+        """DELETE [FROM m[, m2] | /re/] [WHERE conds] (stock 1.x).  The
+        WHERE restrictions (tags + time only, AND-combined, = / != ops)
+        are enforced at lowering, where the catalog is known."""
+        stmt = DeleteStatement()
+        if self._kw("FROM"):
+            targets = [self._from_target()]
+            while self._peek() == ("op", ","):
+                self.i += 1
+                targets.append(self._from_target())
+            kinds = {k for k, _ in targets}
+            if "sub" in kinds:
+                raise InfluxQLParseError("DELETE FROM takes measurements")
+            if kinds == {"regex"} and len(targets) == 1:
+                stmt.from_regex = targets[0][1]
+            elif kinds == {"name"}:
+                stmt.from_names = [v for _, v in targets]
+            else:
+                raise InfluxQLParseError(
+                    "DELETE FROM takes measurement names or one /regex/"
+                )
+        if self._kw("WHERE"):
+            stmt.where = self._cond()
+        if self._peek() is not None:
+            raise InfluxQLParseError("trailing input after DELETE")
+        return stmt
 
     def _create_cq(self) -> CreateContinuousQuery:
         name = self._ident()

@@ -1236,6 +1236,102 @@ def run_into(
     return n
 
 
+def run_delete(
+    stmt,
+    catalog: dict[str, Measurement],
+    database,
+    now_ns: int | None = None,
+) -> list[str]:
+    """``DELETE [FROM m] [WHERE ...]`` — lower onto the engine's delete
+    tombstones (plans/predicate.py DeletePredicate, the entry.fbs
+    Delete{table_name, predicate} wire shape): rows vanish from every
+    subsequent scan, physically folded at compaction.  Stock 1.x
+    restrictions enforced: conditions are AND-combined tag = / !=
+    comparisons plus a time range — fields and OR are rejected.
+    Returns the measurements tombstoned."""
+    import re as _re
+
+    from influxdb_iox_spark.plans.predicate import DeleteExpr, DeletePredicate
+
+    now_ns = now_ns if now_ns is not None else _time.time_ns()
+    if stmt.from_regex is not None:
+        try:
+            names = [
+                n for n in sorted(catalog) if _re.search(stmt.from_regex, n)
+            ]
+        except _re.error as e:
+            raise InfluxQLPlanError(f"bad FROM regex: {e}") from None
+    elif stmt.from_names is not None:
+        names = list(stmt.from_names)
+        for n in names:
+            if n not in catalog:
+                raise InfluxQLPlanError(f"unknown measurement {n!r}")
+    else:
+        names = sorted(catalog)
+
+    lo, hi = (None, None)
+    exprs: list[DeleteExpr] = []
+    if stmt.where is not None:
+        lo, hi = _where_time_range(stmt.where, now_ns)
+        exprs = _delete_conjuncts(stmt.where)
+    if lo is None and hi is None and not exprs:
+        # bare DELETE FROM m: stock deletes every point — an explicit
+        # all-time tombstone, never an empty predicate (the store
+        # rejects those as too dangerous to be implicit)
+        hi = (1 << 63) - 1
+
+    deleted: list[str] = []
+    for n in names:
+        m = catalog[n]
+        bad = [e.column for e in exprs if e.column not in m.tags]
+        fieldish = [c for c in bad if c in m.fields]
+        if fieldish:
+            raise InfluxQLPlanError(
+                f"DELETE conditions may reference tags and time only; "
+                f"{fieldish[0]!r} is a field of {n!r} (stock restriction)"
+            )
+        dpred = DeletePredicate(start=lo, stop=hi, exprs=exprs)
+        database.store.delete_predicate(n, dpred)
+        deleted.append(n)
+    return deleted
+
+
+def _delete_conjuncts(node) -> list:
+    """AND-combined tag comparisons of a DELETE WHERE -> DeleteExpr list
+    (time comparisons are consumed separately by _where_time_range)."""
+    from influxdb_iox_spark.plans.predicate import DeleteExpr
+
+    if isinstance(node, BinaryExpr) and node.op == "AND":
+        return _delete_conjuncts(node.left) + _delete_conjuncts(node.right)
+    if isinstance(node, BinaryExpr) and node.op == "OR":
+        raise InfluxQLPlanError(
+            "DELETE WHERE supports AND-combined conditions only"
+        )
+    if not isinstance(node, BinaryExpr):
+        raise InfluxQLPlanError(f"unsupported DELETE condition {node!r}")
+    left, right, op = node.left, node.right, node.op
+    if isinstance(left, (Literal, Call)) and isinstance(right, VarRef):
+        left, right = right, left
+        op = {">": "<", "<": ">", ">=": "<=", "<=": ">="}.get(op, op)
+    if isinstance(left, VarRef) and left.name == "time":
+        if op not in (">", ">=", "<", "<=", "="):
+            raise InfluxQLPlanError(
+                f"DELETE time conditions support range operators, got {op!r}"
+            )
+        return []  # folded into the predicate's time range
+    if not isinstance(left, VarRef) or not isinstance(right, Literal):
+        raise InfluxQLPlanError(
+            "DELETE conditions must compare a tag to a literal"
+        )
+    if op not in ("=", "!="):
+        raise InfluxQLPlanError(
+            f"DELETE tag conditions support = and != only, got {op!r}"
+        )
+    if right.kind == "regex":
+        raise InfluxQLPlanError("DELETE does not support regex conditions")
+    return [DeleteExpr(left.name, op, right.value)]
+
+
 # -- SHOW lowering -----------------------------------------------------------
 
 _INFLUX_TYPES = {

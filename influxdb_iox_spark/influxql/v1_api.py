@@ -32,6 +32,7 @@ import time as _time
 
 from influxdb_iox_spark.influxql.ast_nodes import (
     CreateContinuousQuery,
+    DeleteStatement,
     DropContinuousQuery,
     Measurement,
     SelectStatement,
@@ -269,6 +270,20 @@ def run_statements(
         entry: dict = {"statement_id": i}
         try:
             stmt = parse(stext)
+            if isinstance(stmt, DeleteStatement):
+                from influxdb_iox_spark.influxql.planner import run_delete
+
+                if read_only:
+                    raise InfluxQLPlanError(
+                        "DELETE requires a POST request"
+                    )
+                if database is None:
+                    raise InfluxQLPlanError(
+                        "DELETE is not available on this endpoint"
+                    )
+                run_delete(stmt, catalog, database, now_ns=now_ns)
+                results.append(entry)  # stock: empty result on success
+                continue
             if isinstance(stmt, (CreateContinuousQuery, DropContinuousQuery)):
                 from influxdb_iox_spark.influxql.cq import (
                     ContinuousQueryRegistry,

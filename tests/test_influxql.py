@@ -125,7 +125,6 @@ def test_parse_errors():
         "SELECT",
         "SELECT value",
         "SELECT value FROM",
-        "DELETE FROM m",
         "SELECT value FROM m WHERE host =~ 'notregex'",
         "SELECT value FROM m trailing garbage",
         "SELECT value FROM m WHERE host =~ /unterminated",
@@ -937,3 +936,96 @@ def test_v1_tz_renders_zone_offset(dst_catalog):
     vals = env["results"][0]["series"][0]["values"]
     assert vals[0][0] == "2024-03-10T00:00:00-06:00"
     assert vals[1][0] == "2024-03-11T00:00:00-05:00"
+
+
+# -- DELETE statement (round 9: lowered onto the r7 tombstones) ---------------
+
+
+def test_parse_delete():
+    from influxdb_iox_spark.influxql.ast_nodes import DeleteStatement
+
+    s = parse("DELETE FROM cpu WHERE host = 'a' AND time < 2h")
+    assert isinstance(s, DeleteStatement)
+    assert s.from_names == ["cpu"] and s.where is not None
+    assert parse("DELETE WHERE time < 5").from_names is None
+    assert parse("DELETE FROM /^c/").from_regex == "^c"
+    for bad in (
+        "DELETE FROM (SELECT v FROM m)",
+        "DELETE FROM cpu trailing",
+    ):
+        with pytest.raises(InfluxQLParseError):
+            parse(bad)
+
+
+def test_run_delete_tombstones_rows(spark, tmp_path):
+    from influxdb_iox_spark.database import Database
+    from influxdb_iox_spark.influxql.planner import run_delete
+    from influxdb_iox_spark.influxql.v1_api import catalog_from_database
+    from influxdb_iox_spark.schema import InfluxColumnType, IoxSchema
+    from influxdb_iox_spark.sources.store import TableStore
+
+    store = TableStore(str(tmp_path / "del_store"))
+    db = Database("db", store, spark)
+    sch = IoxSchema.build(["host"], {"v": InfluxColumnType.FIELD_FLOAT})
+    rows = [
+        ("a", 1.0, 10 * S), ("a", 2.0, 2 * H), ("b", 3.0, 10 * S),
+    ]
+    store.write_chunk(
+        spark.createDataFrame(rows, "host string, v double, time long"),
+        "cpu", sch,
+    )
+    db.register_table("cpu", sch)
+
+    stmt = parse("DELETE FROM cpu WHERE host = 'a' AND time < 1h")
+    assert run_delete(stmt, catalog_from_database(db), db) == ["cpu"]
+    left = {(r["host"], r["time"]) for r in db.table("cpu").collect()}
+    assert left == {("a", 2 * H), ("b", 10 * S)}
+
+    # restrictions: fields and OR rejected, regex conditions rejected
+    for bad in (
+        "DELETE FROM cpu WHERE v = 1",
+        "DELETE FROM cpu WHERE host = 'a' OR host = 'b'",
+        "DELETE FROM cpu WHERE host =~ /a/",
+    ):
+        with pytest.raises(InfluxQLPlanError):
+            run_delete(parse(bad), catalog_from_database(db), db)
+
+    # bare DELETE FROM m = everything (explicit all-time tombstone)
+    run_delete(parse("DELETE FROM cpu"), catalog_from_database(db), db)
+    assert db.table("cpu").count() == 0
+
+
+def test_v1_delete_post_only(spark, tmp_path):
+    from influxdb_iox_spark.database import Database
+    from influxdb_iox_spark.influxql.v1_api import (
+        catalog_from_database,
+        run_statements,
+    )
+    from influxdb_iox_spark.schema import InfluxColumnType, IoxSchema
+    from influxdb_iox_spark.sources.store import TableStore
+
+    store = TableStore(str(tmp_path / "del_http_store"))
+    db = Database("db", store, spark)
+    sch = IoxSchema.build(["host"], {"v": InfluxColumnType.FIELD_FLOAT})
+    store.write_chunk(
+        spark.createDataFrame(
+            [("a", 1.0, 10 * S)], "host string, v double, time long"
+        ),
+        "cpu", sch,
+    )
+    db.register_table("cpu", sch)
+    env = run_statements(
+        "DELETE FROM cpu WHERE host = 'a'",
+        catalog_from_database(db),
+        database=db,
+        read_only=True,
+    )
+    assert "POST" in env["results"][0]["error"]
+    assert db.table("cpu").count() == 1  # GET did not delete
+    env2 = run_statements(
+        "DELETE FROM cpu WHERE host = 'a'",
+        catalog_from_database(db),
+        database=db,
+    )
+    assert env2["results"][0] == {"statement_id": 0}
+    assert db.table("cpu").count() == 0

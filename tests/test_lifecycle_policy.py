@@ -346,3 +346,30 @@ def test_compact_preserves_persisted_flag(spark, tmp_path):
         spark, store, "cpu", CPU, [merged.chunk_id, m3.chunk_id]
     )
     assert merged2.persisted is False
+
+
+def test_scan_pins_no_spark_storage_memory(spark, tmp_path):
+    """Pins SCALE.md round-9's claim that the reference's
+    maybe_free_memory (lifecycle/src/policy.rs:55-130) has nothing to
+    evict here: the scan path holds chunk data in NO Spark storage
+    blocks (no cache/persist anywhere), so the only in-memory copy is
+    the OS page cache, whose kernel LRU IS the unload-persisted-chunks
+    arm of the reference sweep.  If a future change caches chunk frames,
+    this fails and the eviction design must be revisited."""
+    store = TableStore(str(tmp_path / "nopin"))
+    db = Database("db", store, spark)
+    ddl = "region string, user double, time long"
+    for i in range(3):
+        store.write_chunk(
+            spark.createDataFrame([("west", float(i), 100 + i)], ddl),
+            "cpu",
+            CPU,
+        )
+    db.register_table("cpu", CPU)
+    # scan + collect twice (a long-lived server's steady state)
+    assert db.table("cpu").count() == 3
+    assert db.table("cpu").count() == 3
+    jsc = spark.sparkContext._jsc.sc()
+    assert len(jsc.getRDDStorageInfo()) == 0
+    # and nothing registered in the SQL cache manager either
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
