@@ -48,6 +48,20 @@ class Database:
     def register_table(self, table: str, schema: IoxSchema) -> None:
         self.schemas[table] = schema
 
+    def drop_table(self, table: str) -> int:
+        """DROP MEASUREMENT: drop every chunk (manifest tombstones +
+        file deletion via the store's normal crash-safe path) and
+        deregister the schema.  Returns the number of chunks dropped."""
+        ids = [c.chunk_id for c in self.store.manifest(table)]
+        if ids:
+            self.store.drop_chunks(table, ids)
+        # drop_chunks leaves an (all-tombstoned) manifest log, which
+        # would keep the table listed; wiping removes every manifest
+        # artifact so the name disappears (PreservedCatalog::wipe twin)
+        self.store.wipe_manifest(table)
+        self.schemas.pop(table, None)
+        return len(ids)
+
     # -- ingest bookkeeping ------------------------------------------------
     def record_ingest(
         self,

@@ -89,6 +89,13 @@ class SelectStatement:
     tz: str | None = None  # tz('Zone/Name'): zone-local buckets + output
 
 
+@dataclass(frozen=True)
+class DropMeasurement:
+    """DROP MEASUREMENT <name> — drop every chunk and the schema."""
+
+    name: str
+
+
 @dataclass
 class DeleteStatement:
     """DELETE [FROM m [, m2] | /re/] [WHERE conds] — stock 1.x delete.
@@ -133,6 +140,8 @@ class ShowStatement:
     with_keys: list[str] | None = None  # ... WITH KEY IN (k1, k2)
     with_key_regex: str | None = None  # ... WITH KEY =~ /re/
     on_db: str | None = None  # SHOW RETENTION POLICIES ON <db>
+    with_measurement: str | None = None  # SHOW MEASUREMENTS WITH MEASUREMENT =
+    with_measurement_regex: str | None = None  # ... =~ /re/
     limit: int | None = None
     offset: int = 0
 

@@ -40,6 +40,7 @@ from influxdb_iox_spark.influxql.ast_nodes import (
     CreateContinuousQuery,
     DeleteStatement,
     DropContinuousQuery,
+    DropMeasurement,
     FillOption,
     Literal,
     Projection,
@@ -278,6 +279,11 @@ class _Parser:
             return self._delete()
         if self._kw("CREATE", "CONTINUOUS", "QUERY"):
             return self._create_cq()
+        if self._kw("DROP", "MEASUREMENT"):
+            name = self._ident()
+            if self._peek() is not None:
+                raise InfluxQLParseError("trailing input after DROP")
+            return DropMeasurement(name)
         if self._kw("DROP", "CONTINUOUS", "QUERY"):
             name = self._ident()
             self._expect_kw("ON")
@@ -366,7 +372,16 @@ class _Parser:
 
     def _show_core(self) -> ShowStatement:
         if self._kw("MEASUREMENTS"):
-            return ShowStatement("measurements")
+            stmt = ShowStatement("measurements")
+            if self._kw("WITH", "MEASUREMENT"):
+                t = self._peek()
+                if t == ("op", "=~"):
+                    self.i += 1
+                    stmt.with_measurement_regex = str(self._regex().value)
+                else:
+                    self._expect_op("=")
+                    stmt.with_measurement = self._ident()
+            return stmt
         if self._kw("DATABASES"):
             return ShowStatement("databases")
         if self._kw("RETENTION", "POLICIES"):

@@ -1395,6 +1395,18 @@ def _plan_show_core(
     databases: list[str] | None,
 ) -> DataFrame:
     if stmt.what == "measurements":
+        if stmt.with_measurement is not None:
+            names = [n for n in names if n == stmt.with_measurement]
+        if stmt.with_measurement_regex is not None:
+            import re as _re
+
+            try:
+                pat = _re.compile(stmt.with_measurement_regex)
+            except _re.error as e:
+                raise InfluxQLPlanError(
+                    f"bad WITH MEASUREMENT regex: {e}"
+                ) from None
+            names = [n for n in names if pat.search(n)]
         return spark.createDataFrame([(n,) for n in names], "name string")
     if stmt.what == "databases":
         return spark.createDataFrame(
@@ -1504,4 +1516,10 @@ def execute(
                 "it automatically)"
             )
         return plan_select(stmt, catalog, now_ns=now_ns)
+    if not isinstance(stmt, ShowStatement):
+        raise InfluxQLPlanError(
+            f"{type(stmt).__name__} needs a Database — use the /query "
+            "HTTP endpoint (or run_delete/ContinuousQueryRegistry/"
+            "Database.drop_table directly)"
+        )
     return plan_show(stmt, catalog, databases=databases)

@@ -34,6 +34,7 @@ from influxdb_iox_spark.influxql.ast_nodes import (
     CreateContinuousQuery,
     DeleteStatement,
     DropContinuousQuery,
+    DropMeasurement,
     Measurement,
     SelectStatement,
     ShowStatement,
@@ -270,6 +271,22 @@ def run_statements(
         entry: dict = {"statement_id": i}
         try:
             stmt = parse(stext)
+            if isinstance(stmt, DropMeasurement):
+                if read_only:
+                    raise InfluxQLPlanError(
+                        "DROP MEASUREMENT requires a POST request"
+                    )
+                if database is None:
+                    raise InfluxQLPlanError(
+                        "DROP MEASUREMENT is not available on this endpoint"
+                    )
+                if stmt.name not in catalog:
+                    raise InfluxQLPlanError(
+                        f"unknown measurement {stmt.name!r}"
+                    )
+                database.drop_table(stmt.name)
+                results.append(entry)  # stock: empty result on success
+                continue
             if isinstance(stmt, DeleteStatement):
                 from influxdb_iox_spark.influxql.planner import run_delete
 

@@ -609,6 +609,9 @@ def test_plan_stays_jvm_side(catalog):
         "SELECT MEAN(v) FROM cpu GROUP BY time(1h), host FILL(previous)",
         "SELECT DIFFERENCE(v) FROM cpu GROUP BY host",
         "SELECT TOP(v, 2) FROM cpu GROUP BY host",
+        # tz(): from/to_utc_timestamp are JVM intrinsics, zero Python
+        "SELECT MEAN(v) FROM cpu WHERE time >= 0 AND time < 1d "
+        "GROUP BY time(1h) FILL(null) tz('America/Chicago')",
     ):
         plan = execute(q, catalog)._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan and "InPandas" not in plan
@@ -1029,3 +1032,57 @@ def test_v1_delete_post_only(spark, tmp_path):
     )
     assert env2["results"][0] == {"statement_id": 0}
     assert db.table("cpu").count() == 0
+
+
+def test_parse_drop_measurement_and_show_with():
+    from influxdb_iox_spark.influxql.ast_nodes import DropMeasurement
+
+    assert parse("DROP MEASUREMENT cpu") == DropMeasurement("cpu")
+    s = parse("SHOW MEASUREMENTS WITH MEASUREMENT =~ /^c/")
+    assert s.what == "measurements" and s.with_measurement_regex == "^c"
+    s2 = parse("SHOW MEASUREMENTS WITH MEASUREMENT = cpu")
+    assert s2.with_measurement == "cpu"
+
+
+def test_show_measurements_with_filter(catalog, spark):
+    mem = spark.createDataFrame(
+        [("x", 1.0, 7 * S)], "host string, v double, time long"
+    )
+    cat2 = dict(catalog)
+    cat2["mem"] = Measurement(df=mem, tags=("host",), fields=("v",))
+    out = execute("SHOW MEASUREMENTS WITH MEASUREMENT =~ /^c/", cat2)
+    assert _rows(out) == [("cpu",)]
+    out2 = execute("SHOW MEASUREMENTS WITH MEASUREMENT = mem", cat2)
+    assert _rows(out2) == [("mem",)]
+
+
+def test_v1_drop_measurement(spark, tmp_path):
+    from influxdb_iox_spark.database import Database
+    from influxdb_iox_spark.influxql.v1_api import (
+        catalog_from_database,
+        run_statements,
+    )
+    from influxdb_iox_spark.schema import InfluxColumnType, IoxSchema
+    from influxdb_iox_spark.sources.store import TableStore
+
+    store = TableStore(str(tmp_path / "dropm_store"))
+    db = Database("db", store, spark)
+    sch = IoxSchema.build(["host"], {"v": InfluxColumnType.FIELD_FLOAT})
+    store.write_chunk(
+        spark.createDataFrame(
+            [("a", 1.0, 10 * S)], "host string, v double, time long"
+        ),
+        "cpu", sch,
+    )
+    db.register_table("cpu", sch)
+    env = run_statements(
+        "DROP MEASUREMENT cpu", catalog_from_database(db),
+        database=db, read_only=True,
+    )
+    assert "POST" in env["results"][0]["error"]
+    env2 = run_statements(
+        "DROP MEASUREMENT cpu", catalog_from_database(db), database=db
+    )
+    assert env2["results"][0] == {"statement_id": 0}
+    assert "cpu" not in db.table_names()
+    assert store.manifest("cpu") == []

@@ -366,10 +366,18 @@ def test_scan_pins_no_spark_storage_memory(spark, tmp_path):
             CPU,
         )
     db.register_table("cpu", CPU)
+    jsc = spark.sparkContext._jsc.sc()
+    # other tests' localCheckpoints may still be pinned in this shared
+    # session; the claim is about the SCAN path, so compare before/after
+    before = {info.id() for info in jsc.getRDDStorageInfo()}
+    cache_empty_before = (
+        spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    )
     # scan + collect twice (a long-lived server's steady state)
     assert db.table("cpu").count() == 3
     assert db.table("cpu").count() == 3
-    jsc = spark.sparkContext._jsc.sc()
-    assert len(jsc.getRDDStorageInfo()) == 0
-    # and nothing registered in the SQL cache manager either
-    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    after = {info.id() for info in jsc.getRDDStorageInfo()}
+    assert after - before == set()
+    if cache_empty_before:
+        # scans must not register anything in the SQL cache manager
+        assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
