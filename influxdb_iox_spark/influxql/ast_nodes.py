@@ -142,6 +142,7 @@ class ShowStatement:
     on_db: str | None = None  # SHOW RETENTION POLICIES ON <db>
     with_measurement: str | None = None  # SHOW MEASUREMENTS WITH MEASUREMENT =
     with_measurement_regex: str | None = None  # ... =~ /re/
+    where: object | None = None  # SHOW ... WHERE (tag keys/values, series)
     limit: int | None = None
     offset: int = 0
 

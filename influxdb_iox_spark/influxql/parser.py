@@ -362,6 +362,12 @@ class _Parser:
 
     def _show(self) -> ShowStatement:
         stmt = self._show_core()
+        if self._kw("WHERE"):
+            if stmt.what not in ("tag keys", "tag values", "series"):
+                raise InfluxQLParseError(
+                    f"SHOW {stmt.what.upper()} does not take WHERE"
+                )
+            stmt.where = self._cond()
         if self._kw("LIMIT"):
             stmt.limit = self._int()
         if self._kw("OFFSET"):

@@ -1361,7 +1361,9 @@ def plan_show(
     stmt: ShowStatement,
     catalog: dict[str, Measurement],
     databases: list[str] | None = None,
+    now_ns: int | None = None,
 ) -> DataFrame:
+    now_ns = now_ns if now_ns is not None else _time.time_ns()
     # metadata-only SHOWs (DATABASES / RETENTION POLICIES / MEASUREMENTS)
     # must work against an EMPTY database — a fresh server gets probed by
     # clients (Grafana datasource check) before any write lands — so the
@@ -1382,7 +1384,9 @@ def plan_show(
     if stmt.measurement is not None and stmt.measurement not in catalog:
         raise InfluxQLPlanError(f"unknown measurement {stmt.measurement!r}")
     scope = [stmt.measurement] if stmt.measurement else names
-    out = _plan_show_core(stmt, catalog, spark, names, scope, databases)
+    out = _plan_show_core(
+        stmt, catalog, spark, names, scope, databases, now_ns
+    )
     return _apply_show_limit(stmt, out)
 
 
@@ -1393,7 +1397,16 @@ def _plan_show_core(
     names: list[str],
     scope: list[str],
     databases: list[str] | None,
+    now_ns: int,
 ) -> DataFrame:
+    def scoped_df(mm: Measurement) -> DataFrame:
+        """The measurement's frame under the statement's WHERE (stock
+        SHOW ... WHERE: Grafana's dashboard-variable queries scope tag
+        listings by time range and tag conditions)."""
+        if stmt.where is None:
+            return mm.df
+        return mm.df.filter(_lower_where(stmt.where, mm, now_ns))
+
     if stmt.what == "measurements":
         if stmt.with_measurement is not None:
             names = [n for n in names if n == stmt.with_measurement]
@@ -1437,19 +1450,52 @@ def _plan_show_core(
                     ).otherwise(F.lit("")),
                 )
             frames.append(
-                mm.df.select(key.alias("key")).distinct()
+                scoped_df(mm).select(key.alias("key")).distinct()
             )
         out = frames[0]
         for f_ in frames[1:]:
             out = out.unionByName(f_)
         return out.distinct().orderBy("key")
     if stmt.what == "tag keys":
-        rows = [
-            (n, t) for n in scope for t in sorted(catalog[n].tags)
-        ]
-        return spark.createDataFrame(
-            rows, "measurement string, tag_key string"
-        )
+        if stmt.where is None:
+            # metadata fast path: the catalog knows the keys
+            rows = [
+                (n, t) for n in scope for t in sorted(catalog[n].tags)
+            ]
+            return spark.createDataFrame(
+                rows, "measurement string, tag_key string"
+            )
+        # WHERE: a key is listed iff some in-scope row has it non-null —
+        # ONE one-row aggregate per measurement (the SchemaPivot shape,
+        # operators/metadata.py), unpivoted with stack; no collect
+        frames = []
+        for n in scope:
+            mm = catalog[n]
+            tags = sorted(mm.tags)
+            if not tags:
+                continue
+            agg = scoped_df(mm).agg(
+                *[F.max(F.col(t).isNotNull()).alias(t) for t in tags]
+            )
+            pairs = ", ".join(f"'{t}', `{t}`" for t in tags)
+            un = agg.select(
+                F.expr(
+                    f"stack({len(tags)}, {pairs}) as (tag_key, present)"
+                )
+            )
+            frames.append(
+                un.filter("present").select(
+                    F.lit(n).alias("measurement"), "tag_key"
+                )
+            )
+        if not frames:
+            return spark.createDataFrame(
+                [], "measurement string, tag_key string"
+            )
+        out = frames[0]
+        for f_ in frames[1:]:
+            out = out.unionByName(f_)
+        return out.orderBy("measurement", "tag_key")
     if stmt.what == "field keys":
         rows = []
         for n in scope:
@@ -1483,7 +1529,8 @@ def _plan_show_core(
             mm = catalog[n]
             for key in keys_for(mm):
                 frames.append(
-                    mm.df.select(
+                    scoped_df(mm)
+                    .select(
                         F.lit(key).alias("key"), F.col(key).alias("value")
                     )
                     .filter(F.col(key).isNotNull())
@@ -1522,4 +1569,4 @@ def execute(
             "HTTP endpoint (or run_delete/ContinuousQueryRegistry/"
             "Database.drop_table directly)"
         )
-    return plan_show(stmt, catalog, databases=databases)
+    return plan_show(stmt, catalog, databases=databases, now_ns=now_ns)

@@ -378,7 +378,9 @@ def run_statements(
                     stmt, catalog, now_ns=now_ns
                 )
             else:
-                df = plan_show(stmt, catalog, databases=databases)
+                df = plan_show(
+                    stmt, catalog, databases=databases, now_ns=now_ns
+                )
             rows = df.limit(max_rows + 1).collect()
             if len(rows) > max_rows:
                 raise InfluxQLPlanError(

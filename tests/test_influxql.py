@@ -1086,3 +1086,45 @@ def test_v1_drop_measurement(spark, tmp_path):
     assert env2["results"][0] == {"statement_id": 0}
     assert "cpu" not in db.table_names()
     assert store.manifest("cpu") == []
+
+
+# -- WHERE on SHOW statements (round 9: Grafana variable queries) --------------
+
+
+def test_show_tag_values_where(catalog):
+    out = execute(
+        "SHOW TAG VALUES FROM cpu WITH KEY = host "
+        "WHERE time >= 1h AND time < 3h",
+        catalog,
+    )
+    # only hosts with points in [1h, 3h): a (1h10s) and b (2h10s)
+    assert _rows(out) == [("host", "a"), ("host", "b")]
+    out2 = execute(
+        "SHOW TAG VALUES FROM cpu WITH KEY = host WHERE v > 9",
+        catalog,
+    )
+    assert _rows(out2) == [("host", "b")]
+
+
+def test_show_series_where(catalog):
+    out = execute("SHOW SERIES WHERE time >= 3h", catalog)
+    assert _rows(out) == [("cpu,host=a",)]
+
+
+def test_show_tag_keys_where(catalog, spark):
+    # mem has tag zone but NO rows in range -> key absent under WHERE
+    mem = spark.createDataFrame(
+        [("z1", 1.0, 10 * S)], "zone string, v double, time long"
+    )
+    cat2 = dict(catalog)
+    cat2["mem"] = Measurement(df=mem, tags=("zone",), fields=("v",))
+    out = execute("SHOW TAG KEYS WHERE time >= 1h", cat2)
+    assert _rows(out) == [("cpu", "host")]
+    # without WHERE, the metadata fast path lists both
+    out2 = execute("SHOW TAG KEYS", cat2)
+    assert set(_rows(out2)) == {("cpu", "host"), ("mem", "zone")}
+
+
+def test_show_where_rejected_on_metadata_only():
+    with pytest.raises(InfluxQLParseError):
+        parse("SHOW DATABASES WHERE time > 0")
