@@ -3967,6 +3967,32 @@ ORDER BY grid.event_type, time_us
 """
 
 
+def q_influxql_show_tag_values_where(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SHOW TAG VALUES ... WHERE (round 9): the Grafana dashboard-variable
+    shape — tag listing scoped by a time range AND a field condition, so
+    the lowering must filter the measurement frame before the distinct
+    (planner _plan_show_core scoped_df), not serve the metadata fast
+    path."""
+    from influxdb_iox_spark.influxql import execute
+
+    return execute(
+        f"SHOW TAG VALUES FROM events WITH KEY = \"event_type\""
+        f" WHERE value > 9 AND time >= {T0 * NS} AND time < {T1 * NS}",
+        _influxql_events_catalog(spark, sf_dir),
+    )
+
+
+SQL_INFLUXQL_SHOW_TAG_VALUES_WHERE = f"""
+SELECT DISTINCT 'event_type' AS key, event_type AS value
+FROM events
+WHERE value > 9 AND event_type IS NOT NULL
+  AND epoch_us(ts) >= {T0 * 1000000} AND epoch_us(ts) < {T1 * 1000000}
+ORDER BY value
+"""
+
+
 def q_influxql_tz_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """InfluxQL tz() clause (round 9): daily buckets on Pacific/Auckland
     wall clock (UTC+13 across the whole data window — tzdata has no zone
@@ -4138,6 +4164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # OUTSIDE it; test_entry_rotation verifies placement.
         "influxql_fill_range": q_influxql_fill_range,
         "influxql_tz_daily": q_influxql_tz_daily,
+        "influxql_show_tag_values_where": q_influxql_show_tag_values_where,
         "series_derivative": q_series_derivative,
         # TPC-H shapes adapted to the testdata's columns (no partsupp /
         # shipmode / commitdate) — new in round 4, so they sit INSIDE the
@@ -4287,6 +4314,7 @@ def oracle_sql() -> dict[str, str]:
         "influxql_show_tag_values": SQL_INFLUXQL_SHOW_TAG_VALUES,
         "influxql_fill_range": SQL_INFLUXQL_FILL_RANGE,
         "influxql_tz_daily": SQL_INFLUXQL_TZ_DAILY,
+        "influxql_show_tag_values_where": SQL_INFLUXQL_SHOW_TAG_VALUES_WHERE,
         "dedup_last_non_null": SQL_DEDUP,
         "json_props_extract": SQL_JSON_PROPS,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,

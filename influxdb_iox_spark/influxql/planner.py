@@ -543,11 +543,47 @@ def _plan_multi_from(
     return out.orderBy(*order), [c for c in out.columns if c in resolved]
 
 
+def _expand_wildcard_calls(
+    stmt: SelectStatement, m: Measurement
+) -> SelectStatement:
+    """``mean(*)`` / ``count(*)`` / ``percentile(*, N)``: stock InfluxQL
+    expands a wildcard first argument to one call per FIELD, named
+    ``<func>_<field>`` (tags are never aggregated).  Fields expand in
+    sorted order, matching stock's column ordering."""
+    import copy
+
+    out: list[Projection] = []
+    changed = False
+    for p in stmt.projections:
+        e = p.expr
+        if isinstance(e, Call) and e.args and e.args[0] == VarRef("*"):
+            if p.alias:
+                raise InfluxQLPlanError(
+                    "a wildcard call cannot take an alias"
+                )
+            for f in sorted(m.fields):
+                out.append(
+                    Projection(
+                        Call(e.func, (VarRef(f), *e.args[1:])),
+                        f"{e.func}_{f}",
+                    )
+                )
+            changed = True
+        else:
+            out.append(p)
+    if not changed:
+        return stmt
+    stmt = copy.copy(stmt)
+    stmt.projections = out
+    return stmt
+
+
 def _plan_single(
     stmt: SelectStatement, m: Measurement, now_ns: int
 ) -> tuple[DataFrame, list[str]]:
     df = m.df
     _validate_tz(stmt)
+    stmt = _expand_wildcard_calls(stmt, m)
     if stmt.where is not None:
         df = df.filter(_lower_where(stmt.where, m, now_ns))
 

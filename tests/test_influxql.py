@@ -1128,3 +1128,19 @@ def test_show_tag_keys_where(catalog, spark):
 def test_show_where_rejected_on_metadata_only():
     with pytest.raises(InfluxQLParseError):
         parse("SHOW DATABASES WHERE time > 0")
+
+
+def test_plan_wildcard_aggregates(catalog):
+    """mean(*) / count(*) expand to one call per FIELD, named
+    <func>_<field> in sorted field order (stock behavior)."""
+    out = execute("SELECT MEAN(*) FROM cpu WHERE host = 'a'", catalog)
+    assert out.columns == ["mean_n", "mean_v"]
+    assert _rows(out) == [(3.75, 3.75)]
+    out2 = execute(
+        "SELECT COUNT(*) FROM cpu GROUP BY time(1h), host", catalog
+    )
+    assert out2.columns == ["host", "time", "count_n", "count_v"]
+    got = {(r[0], r[1]): (r[2], r[3]) for r in _rows(out2)}
+    assert got[("a", 0)] == (2, 2) and got[("b", 2 * H)] == (1, 1)
+    with pytest.raises(InfluxQLPlanError):
+        execute("SELECT MEAN(*) AS x FROM cpu", catalog)
