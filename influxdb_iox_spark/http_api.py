@@ -223,7 +223,8 @@ class IoxHttpServer:
     def handle_v1_query(
         self, db: str | None, q: str, epoch: str | None,
         read_only: bool = False,
-    ) -> bytes:
+        accept: str | None = None,
+    ) -> tuple[bytes, str]:
         """GET/POST /query — the InfluxDB 1.x API (InfluxQL in, the
         results/series JSON envelope out).  Statement errors land inside
         the envelope (stock behavior); only transport-level problems
@@ -233,11 +234,15 @@ class IoxHttpServer:
         so INTO on GET is rejected with the stock-style message."""
         from influxdb_iox_spark.influxql.v1_api import (
             catalog_from_database,
+            render_csv,
             run_statements,
         )
 
         if db is not None and db != self.db_name:
             raise _HttpError(404, f"database not found: {db}")
+        want_csv = accept is not None and "application/csv" in accept
+        if want_csv and epoch is None:
+            epoch = "ns"  # stock CSV renders time as epoch ns by default
         try:
             envelope = run_statements(
                 q,
@@ -250,7 +255,9 @@ class IoxHttpServer:
             )
         except ValueError as e:  # bad epoch
             raise _HttpError(400, str(e))
-        return json.dumps(envelope).encode()
+        if want_csv:
+            return render_csv(envelope), "application/csv"
+        return json.dumps(envelope).encode(), "application/json"
 
 
 def _rfc3339_ns(value, param: str) -> int:
@@ -371,8 +378,11 @@ def _make_handler(api: IoxHttpServer):
                         raise _HttpError(400, "missing q parameter")
                     db = (qs.get("db") or [None])[0]
                     epoch = (qs.get("epoch") or [None])[0]
-                    body = api.handle_v1_query(db, q, epoch, read_only=True)
-                    self._reply(200, body, "application/json")
+                    body, ctype = api.handle_v1_query(
+                        db, q, epoch, read_only=True,
+                        accept=self.headers.get("Accept"),
+                    )
+                    self._reply(200, body, ctype)
                     return
                 parts = u.path.strip("/").split("/")
                 # /iox/api/v1/databases/:name/query
@@ -411,8 +421,11 @@ def _make_handler(api: IoxHttpServer):
                     q = param("q")
                     if not q:
                         raise _HttpError(400, "missing q parameter")
-                    body = api.handle_v1_query(param("db"), q, param("epoch"))
-                    self._reply(200, body, "application/json")
+                    body, ctype = api.handle_v1_query(
+                        param("db"), q, param("epoch"),
+                        accept=self.headers.get("Accept"),
+                    )
+                    self._reply(200, body, ctype)
                     return
                 if u.path not in ("/api/v2/write", "/api/v2/delete"):
                     self._reply(404, b"not found")

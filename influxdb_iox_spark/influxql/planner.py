@@ -128,6 +128,15 @@ def _where_time_range(node, now_ns: int) -> tuple[int | None, int | None]:
     }.get(op, (None, None))
 
 
+#: Cap on fill-grid buckets PER SERIES (stock influxdb.conf
+#: ``max-select-buckets``; stock defaults to unlimited, we default to a
+#: generous million): a dashboard typo like ``WHERE time > now() - 5y
+#: GROUP BY time(1s) FILL(previous)`` would otherwise materialize 1.6e8
+#: rows per series before LIMIT applies.  The aggregate itself (no fill)
+#: is never capped — it only produces observed buckets.
+MAX_SELECT_BUCKETS = 1_000_000
+
+
 def _fill_grid_bounds(
     stmt: SelectStatement, now_ns: int
 ) -> tuple[int | None, int | None]:
@@ -161,6 +170,15 @@ def _fill_grid_bounds(
 
     start = _floor(lo) if lo is not None else None
     stop = _floor(hi - 1) if hi is not None else None
+    if start is not None and stop is not None:
+        n_buckets = (stop - start) // every + 1
+        if n_buckets > MAX_SELECT_BUCKETS:
+            raise InfluxQLPlanError(
+                f"GROUP BY time({every}ns) over this WHERE range would "
+                f"materialize {n_buckets} fill buckets per series "
+                f"(max-select-buckets {MAX_SELECT_BUCKETS}); narrow the "
+                "range or widen the interval"
+            )
     return (start, stop)
 
 

@@ -398,3 +398,30 @@ def run_statements(
             entry["error"] = str(e) or repr(e)
         results.append(entry)
     return {"results": results}
+
+
+def render_csv(envelope: dict) -> bytes:
+    """The stock ``Accept: application/csv`` rendering of a v1 envelope:
+    ``name,tags,<columns...>`` with the series tag set flattened to
+    comma-joined ``k=v`` pairs in the ``tags`` cell (csv-quoted), one
+    header per column-set change.  Statements that errored contribute no
+    rows (their error stays JSON-only, as stock does)."""
+    import csv
+    import io
+
+    buf = io.StringIO()
+    w = csv.writer(buf, lineterminator="\n")
+    last_header: tuple | None = None
+    for result in envelope.get("results", []):
+        for s in result.get("series", []):
+            header = ("name", "tags", *s.get("columns", []))
+            if header != last_header:
+                w.writerow(header)
+                last_header = header
+            tags = ",".join(
+                f"{k}={v}" for k, v in sorted((s.get("tags") or {}).items())
+            )
+            name = s.get("name", "")
+            for row in s.get("values", []):
+                w.writerow([name, tags, *["" if v is None else v for v in row]])
+    return buf.getvalue().encode()

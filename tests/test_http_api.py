@@ -350,3 +350,18 @@ def test_v1_query_into_writeback(server):
         s["tags"]["region"]: s["values"] for s in env2["results"][0]["series"]
     }
     assert by_tag["west"] == [[0, 2.0]] and by_tag["east"] == [[0, 10.0]]
+
+
+def test_v1_query_csv_accept(server):
+    _write_v1_fixture(server)
+    q = "SELECT COUNT(user) AS n FROM cpu GROUP BY region"
+    req = urllib.request.Request(
+        f"{server}/query?db=myorg_mybucket&q={urllib.request.quote(q)}",
+        headers={"Accept": "application/csv"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.headers["Content-Type"] == "application/csv"
+        body = r.read().decode()
+    lines = body.strip().splitlines()
+    assert lines[0] == "name,tags,n"
+    assert sorted(lines[1:]) == ["cpu,region=east,1", "cpu,region=west,2"]

@@ -1144,3 +1144,24 @@ def test_plan_wildcard_aggregates(catalog):
     assert got[("a", 0)] == (2, 2) and got[("b", 2 * H)] == (1, 1)
     with pytest.raises(InfluxQLPlanError):
         execute("SELECT MEAN(*) AS x FROM cpu", catalog)
+
+
+def test_fill_grid_bucket_cap(catalog, monkeypatch):
+    """max-select-buckets: a huge WHERE range at a tiny interval must be
+    rejected at PLAN time, before the grid materializes."""
+    from influxdb_iox_spark.influxql import planner
+
+    monkeypatch.setattr(planner, "MAX_SELECT_BUCKETS", 100)
+    with pytest.raises(InfluxQLPlanError, match="max-select-buckets"):
+        execute(
+            "SELECT SUM(v) FROM cpu WHERE time >= 0 AND time < 200h "
+            "GROUP BY time(1h) FILL(null)",
+            catalog,
+        )
+    # inside the cap still plans
+    out = execute(
+        "SELECT SUM(v) FROM cpu WHERE time >= 0 AND time < 90h "
+        "GROUP BY time(1h) FILL(null)",
+        catalog,
+    )
+    assert len(_rows(out)) == 90
