@@ -713,6 +713,16 @@ def _plan_raw(
         alias = _alias_for(p, used)
         cols.append(_lower_value(p.expr, m).alias(alias))
     out = df.select(*cols)
+    # stock: a SELECT that references no FIELD returns no data (tags
+    # alone don't identify points) — same schema, zero rows
+    fields = set(m.fields)
+    mentions_field = any(
+        (isinstance(p.expr, VarRef) and p.expr.name in ("*", *fields))
+        or any(v.name in fields for v in _walk_varrefs(p.expr))
+        for p in stmt.projections
+    )
+    if not mentions_field:
+        out = out.filter(F.lit(False))
     out = _apply_point_limit(stmt, m, out, tags)
     order = [F.col("time").desc() if stmt.order_desc else F.col("time").asc()]
     return out.orderBy(*[F.col(t) for t in tags], *order)

@@ -1165,3 +1165,38 @@ def test_fill_grid_bucket_cap(catalog, monkeypatch):
         catalog,
     )
     assert len(_rows(out)) == 90
+
+
+def test_plan_tag_only_select_returns_no_rows(catalog):
+    """Stock: a SELECT referencing no FIELD returns no data (tags alone
+    do not identify points); schema is preserved."""
+    out = execute("SELECT host FROM cpu", catalog)
+    assert out.columns == ["time", "host"]
+    assert _rows(out) == []
+    # a field anywhere in the projection restores rows
+    assert len(_rows(execute("SELECT host, v FROM cpu", catalog))) == 7
+
+
+def test_parser_never_crashes_on_garbage():
+    """Robustness: arbitrary token soup must raise InfluxQLParseError
+    (or parse), never IndexError/AttributeError/RecursionError."""
+    import itertools
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    vocab = [
+        "SELECT", "FROM", "WHERE", "GROUP", "BY", "time", "(", ")", ",",
+        "'a'", '"q id"', "1h", "*", "=~", "/re/", "AND", "OR", "=", "<",
+        "now()", "-", "fill", "previous", "LIMIT", "5", "tz", "DELETE",
+        "SHOW", "TAG", "KEYS", "VALUES", "MEASUREMENTS", "INTO", ";", ".",
+        "mean", "v", "cpu", "::", "!~", "%", "+", "DROP", "CONTINUOUS",
+        "QUERY", "BEGIN", "END", "RESAMPLE", "EVERY", "FOR", "ON",
+    ]
+    for _ in range(400):
+        text = " ".join(
+            rng.choice(vocab) for _ in range(rng.randint(1, 12))
+        )
+        try:
+            parse(text)
+        except InfluxQLParseError:
+            pass  # the only acceptable failure mode
