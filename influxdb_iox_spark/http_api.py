@@ -259,6 +259,38 @@ class IoxHttpServer:
             return render_csv(envelope), "application/csv"
         return json.dumps(envelope).encode(), "application/json"
 
+    def iter_v1_query_chunks(
+        self, db: str | None, q: str, epoch: str | None,
+        chunk_size: int, read_only: bool = False,
+    ):
+        """chunked=true: an iterator of envelope documents (one per
+        chunk), streamed by the handler over HTTP chunked transfer.
+        SELECTs ride DataFrame.toLocalIterator, so the driver never
+        holds more than chunk_size rows + one partition — which is why
+        chunked responses are exempt from the max_rows cap."""
+        from influxdb_iox_spark.influxql.v1_api import (
+            catalog_from_database,
+            run_statements_chunked,
+        )
+
+        if db is not None and db != self.db_name:
+            raise _HttpError(404, f"database not found: {db}")
+        if chunk_size <= 0:
+            raise _HttpError(400, "chunk_size must be positive")
+        from influxdb_iox_spark.influxql.v1_api import _EPOCH_DIV
+
+        if epoch is not None and epoch not in _EPOCH_DIV:
+            raise _HttpError(400, f"invalid epoch {epoch!r}")
+        return run_statements_chunked(
+            q,
+            catalog_from_database(self.database),
+            databases=[self.db_name],
+            epoch=epoch,
+            chunk_size=chunk_size,
+            database=self.database,
+            read_only=read_only,
+        )
+
 
 def _rfc3339_ns(value, param: str) -> int:
     """RFC3339 timestamp → ns since epoch; required (400 when absent or
@@ -362,6 +394,21 @@ def _make_handler(api: IoxHttpServer):
             if body:
                 self.wfile.write(body)
 
+        def _reply_chunked(self, docs):
+            """Stream newline-separated JSON documents with HTTP/1.1
+            chunked transfer encoding (stock's chunked=true framing)."""
+            key = (urlparse(self.path).path, 200)
+            api.request_counts[key] = api.request_counts.get(key, 0) + 1
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            for doc in docs:
+                payload = (json.dumps(doc) + "\n").encode()
+                self.wfile.write(f"{len(payload):x}\r\n".encode())
+                self.wfile.write(payload + b"\r\n")
+            self.wfile.write(b"0\r\n\r\n")
+
         def do_GET(self):
             u = urlparse(self.path)
             try:
@@ -378,6 +425,14 @@ def _make_handler(api: IoxHttpServer):
                         raise _HttpError(400, "missing q parameter")
                     db = (qs.get("db") or [None])[0]
                     epoch = (qs.get("epoch") or [None])[0]
+                    if (qs.get("chunked") or [""])[0].lower() in ("true", "1"):
+                        size = int((qs.get("chunk_size") or ["10000"])[0])
+                        self._reply_chunked(
+                            api.iter_v1_query_chunks(
+                                db, q, epoch, size, read_only=True
+                            )
+                        )
+                        return
                     body, ctype = api.handle_v1_query(
                         db, q, epoch, read_only=True,
                         accept=self.headers.get("Accept"),
@@ -421,6 +476,14 @@ def _make_handler(api: IoxHttpServer):
                     q = param("q")
                     if not q:
                         raise _HttpError(400, "missing q parameter")
+                    if (param("chunked") or "").lower() in ("true", "1"):
+                        size = int(param("chunk_size") or "10000")
+                        self._reply_chunked(
+                            api.iter_v1_query_chunks(
+                                param("db"), q, param("epoch"), size
+                            )
+                        )
+                        return
                     body, ctype = api.handle_v1_query(
                         param("db"), q, param("epoch"),
                         accept=self.headers.get("Accept"),

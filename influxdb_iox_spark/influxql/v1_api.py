@@ -425,3 +425,80 @@ def render_csv(envelope: dict) -> bytes:
             for row in s.get("values", []):
                 w.writerow([name, tags, *["" if v is None else v for v in row]])
     return buf.getvalue().encode()
+
+
+def _batches(rows_iter, n: int):
+    """(batch, has_more) pairs of ≤n rows with one-row lookahead, so the
+    final batch is KNOWN final (stock's partial flag is exact, never a
+    trailing empty continuation)."""
+    buf: list = []
+    for row in rows_iter:
+        buf.append(row)
+        if len(buf) == n + 1:
+            yield buf[:n], True
+            buf = buf[n:]
+    yield buf, False
+
+
+def run_statements_chunked(
+    text: str,
+    catalog: dict[str, Measurement],
+    databases: list[str] | None = None,
+    epoch: str | None = None,
+    chunk_size: int = 10_000,
+    now_ns: int | None = None,
+    database=None,
+    read_only: bool = False,
+):
+    """The ``chunked=true`` form of run_statements: yields one envelope
+    document per chunk (stock streams these newline-separated over HTTP
+    chunked transfer).  SELECT results stream through
+    ``DataFrame.toLocalIterator`` in ``chunk_size``-row batches — driver
+    memory stays O(chunk_size + one partition) however large the result,
+    which is WHY stock exempts chunked responses from the row cap.  A
+    chunk whose statement continues carries ``"partial": true`` on the
+    entry and its last series (stock's continuation contract).
+    Non-SELECT statements (SHOW/DELETE/DDL/INTO) execute through the
+    normal path and arrive as single chunks."""
+    if epoch is not None and epoch not in _EPOCH_DIV:
+        raise ValueError(f"invalid epoch {epoch!r}")
+    if chunk_size <= 0:
+        raise ValueError("chunk_size must be positive")
+    now_ns = now_ns if now_ns is not None else _time.time_ns()
+    for i, stext in enumerate(split_statements(text)):
+        try:
+            stmt = parse(stext)
+        except Exception as e:
+            yield {"results": [{"statement_id": i, "error": str(e) or repr(e)}]}
+            continue
+        if not isinstance(stmt, SelectStatement) or stmt.into is not None:
+            env = run_statements(
+                stext,
+                catalog,
+                databases=databases,
+                epoch=epoch,
+                now_ns=now_ns,
+                database=database,
+                read_only=read_only,
+            )
+            entry = env["results"][0]
+            entry["statement_id"] = i
+            yield {"results": [entry]}
+            continue
+        try:
+            df, group_tags = plan_select_with_tags(stmt, catalog, now_ns=now_ns)
+            cols = df.columns
+            for batch, has_more in _batches(
+                df.toLocalIterator(), chunk_size
+            ):
+                entry = {"statement_id": i}
+                series = _frame_select(stmt, cols, batch, epoch, group_tags)
+                if series:
+                    entry["series"] = series
+                if has_more:
+                    entry["partial"] = True
+                    if series:
+                        series[-1]["partial"] = True
+                yield {"results": [entry]}
+        except Exception as e:  # per-statement error, stock envelope
+            yield {"results": [{"statement_id": i, "error": str(e) or repr(e)}]}

@@ -365,3 +365,47 @@ def test_v1_query_csv_accept(server):
     lines = body.strip().splitlines()
     assert lines[0] == "name,tags,n"
     assert sorted(lines[1:]) == ["cpu,region=east,1", "cpu,region=west,2"]
+
+
+def test_v1_query_chunked_streams_past_max_rows(spark, tmp_path):
+    """chunked=true streams the whole result in chunk_size batches with
+    stock partial flags — exempt from the max_rows cap because driver
+    memory is bounded by toLocalIterator, not a full collect."""
+    store = TableStore(str(tmp_path / "chunk_store"))
+    db = Database("myorg_mybucket", store, spark)
+    db.register_table("cpu", CPU)
+    ing = LineProtocolIngest(store, "cpu", CPU)
+    api = IoxHttpServer(db, {"cpu": ing}, db_name="myorg_mybucket", max_rows=5)
+    port = api.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        lines = "\n".join(
+            f"cpu,region=west user={i}.0 {i * 100}" for i in range(12)
+        ).encode()
+        with _post(f"{base}/api/v2/write?org=myorg&bucket=mybucket", lines) as r:
+            assert r.status == 204
+        q = urllib.request.quote("SELECT user FROM cpu ORDER BY time")
+        url = (
+            f"{base}/query?db=myorg_mybucket&q={q}&epoch=ns"
+            "&chunked=true&chunk_size=5"
+        )
+        with urllib.request.urlopen(url, timeout=120) as r:
+            docs = [
+                json.loads(ln) for ln in r.read().decode().splitlines() if ln
+            ]
+        # 12 rows in chunks of 5 -> 3 chunks; first two partial
+        assert len(docs) == 3
+        assert docs[0]["results"][0]["partial"] is True
+        assert docs[0]["results"][0]["series"][0]["partial"] is True
+        assert "partial" not in docs[2]["results"][0]
+        values = [
+            v
+            for d in docs
+            for s in d["results"][0]["series"]
+            for v in s["values"]
+        ]
+        assert [v[1] for v in values] == [float(i) for i in range(12)]
+        # series name repeats per continuation chunk
+        assert {s["name"] for d in docs for s in d["results"][0]["series"]} == {"cpu"}
+    finally:
+        api.stop()
