@@ -90,6 +90,30 @@ class SelectStatement:
 
 
 @dataclass(frozen=True)
+class CreateDatabase:
+    """CREATE DATABASE <name> [WITH ...] — client-library onboarding."""
+
+    name: str
+
+
+@dataclass(frozen=True)
+class DropDatabase:
+    """DROP DATABASE <name>."""
+
+    name: str
+
+
+@dataclass(frozen=True)
+class CreateRetentionPolicy:
+    """CREATE RETENTION POLICY <name> ON <db> DURATION d REPLICATION n
+    [SHARD DURATION d] [DEFAULT] — accepted for client compatibility;
+    retention here is lifecycle-rule driven (SURVEY 2.10)."""
+
+    name: str
+    db: str
+
+
+@dataclass(frozen=True)
 class DropMeasurement:
     """DROP MEASUREMENT <name> — drop every chunk and the schema."""
 

@@ -38,7 +38,10 @@ from influxdb_iox_spark.influxql.ast_nodes import (
     BinaryExpr,
     Call,
     CreateContinuousQuery,
+    CreateDatabase,
+    CreateRetentionPolicy,
     DeleteStatement,
+    DropDatabase,
     DropContinuousQuery,
     DropMeasurement,
     FillOption,
@@ -279,6 +282,26 @@ class _Parser:
             return self._delete()
         if self._kw("CREATE", "CONTINUOUS", "QUERY"):
             return self._create_cq()
+        if self._kw("CREATE", "DATABASE"):
+            name = self._ident()
+            # WITH DURATION/REPLICATION/NAME ... : accepted and ignored
+            # (retention is lifecycle-rule driven here); consume the rest
+            if self._kw("WITH"):
+                self.i = len(self.toks)
+            if self._peek() is not None:
+                raise InfluxQLParseError("trailing input after CREATE DATABASE")
+            return CreateDatabase(name)
+        if self._kw("DROP", "DATABASE"):
+            name = self._ident()
+            if self._peek() is not None:
+                raise InfluxQLParseError("trailing input after DROP DATABASE")
+            return DropDatabase(name)
+        if self._kw("CREATE", "RETENTION", "POLICY"):
+            name = self._ident()
+            self._expect_kw("ON")
+            db = self._ident()
+            self.i = len(self.toks)  # DURATION/REPLICATION/...: ignored
+            return CreateRetentionPolicy(name, db)
         if self._kw("DROP", "MEASUREMENT"):
             name = self._ident()
             if self._peek() is not None:

@@ -32,8 +32,11 @@ import time as _time
 
 from influxdb_iox_spark.influxql.ast_nodes import (
     CreateContinuousQuery,
+    CreateDatabase,
+    CreateRetentionPolicy,
     DeleteStatement,
     DropContinuousQuery,
+    DropDatabase,
     DropMeasurement,
     Measurement,
     SelectStatement,
@@ -271,6 +274,31 @@ def run_statements(
         entry: dict = {"statement_id": i}
         try:
             stmt = parse(stext)
+            if isinstance(stmt, (CreateDatabase, DropDatabase, CreateRetentionPolicy)):
+                # client-library onboarding DDL (influxdb-python's
+                # create_database/create_retention_policy, Telegraf
+                # setup).  Single-tenant server: creating the database
+                # that already exists (or any RP on it) is an idempotent
+                # success; anything else is a per-statement error.
+                if read_only:
+                    raise InfluxQLPlanError(
+                        f"{type(stmt).__name__} requires a POST request"
+                    )
+                target = getattr(stmt, "db", None) or stmt.name
+                if databases and target not in databases:
+                    raise InfluxQLPlanError(
+                        f"this server hosts {databases[0]!r}; cannot "
+                        f"manage database {target!r}"
+                    )
+                if isinstance(stmt, DropDatabase):
+                    if database is None:
+                        raise InfluxQLPlanError(
+                            "DROP DATABASE is not available on this endpoint"
+                        )
+                    for t in list(database.table_names()):
+                        database.drop_table(t)
+                results.append(entry)
+                continue
             if isinstance(stmt, DropMeasurement):
                 if read_only:
                     raise InfluxQLPlanError(

@@ -1200,3 +1200,55 @@ def test_parser_never_crashes_on_garbage():
             parse(text)
         except InfluxQLParseError:
             pass  # the only acceptable failure mode
+
+
+def test_v1_database_ddl_onboarding(spark, tmp_path):
+    """Client-library onboarding: CREATE DATABASE <our db> and CREATE
+    RETENTION POLICY succeed idempotently over POST; other names error
+    per-statement; DROP DATABASE empties every measurement."""
+    from influxdb_iox_spark.database import Database
+    from influxdb_iox_spark.influxql.v1_api import (
+        catalog_from_database,
+        run_statements,
+    )
+    from influxdb_iox_spark.schema import InfluxColumnType, IoxSchema
+    from influxdb_iox_spark.sources.store import TableStore
+
+    store = TableStore(str(tmp_path / "ddl_store"))
+    db = Database("mydb", store, spark)
+    sch = IoxSchema.build(["host"], {"v": InfluxColumnType.FIELD_FLOAT})
+    store.write_chunk(
+        spark.createDataFrame(
+            [("a", 1.0, 10 * S)], "host string, v double, time long"
+        ),
+        "cpu", sch,
+    )
+    db.register_table("cpu", sch)
+    env = run_statements(
+        "CREATE DATABASE mydb; "
+        "CREATE RETENTION POLICY rp ON mydb DURATION 30d REPLICATION 1; "
+        "CREATE DATABASE otherdb",
+        catalog_from_database(db),
+        databases=["mydb"],
+        database=db,
+    )
+    assert env["results"][0] == {"statement_id": 0}
+    assert env["results"][1] == {"statement_id": 1}
+    assert "otherdb" in env["results"][2]["error"]
+    # GET refuses the DDL
+    env_get = run_statements(
+        "CREATE DATABASE mydb",
+        catalog_from_database(db),
+        databases=["mydb"],
+        database=db,
+        read_only=True,
+    )
+    assert "POST" in env_get["results"][0]["error"]
+    env2 = run_statements(
+        "DROP DATABASE mydb",
+        catalog_from_database(db),
+        databases=["mydb"],
+        database=db,
+    )
+    assert env2["results"][0] == {"statement_id": 0}
+    assert db.table_names() == []
