@@ -100,17 +100,48 @@ class IoxHttpServer:
             self._httpd = None
 
     # -- handlers ----------------------------------------------------------
-    def handle_write(self, org: str, bucket: str, body: bytes) -> None:
+    #: write-API precision units -> ns multiplier (v1 /write precision
+    #: and v2 /api/v2/write precision share the same menu)
+    PRECISION_NS = {
+        "ns": 1, "n": 1, "u": 1_000, "us": 1_000, "µ": 1_000,
+        "ms": 1_000_000, "s": 1_000_000_000,
+        "m": 60 * 1_000_000_000, "h": 3_600 * 1_000_000_000,
+    }
+
+    def handle_write(
+        self, org: str, bucket: str, body: bytes,
+        precision: str | None = None,
+    ) -> None:
         name = org_and_bucket_to_database(org, bucket)
+        self._do_write(name, body, precision)
+
+    def handle_write_v1(
+        self, db: str | None, body: bytes, precision: str | None = None
+    ) -> None:
+        """POST /write?db=...&precision=... — the InfluxDB 1.x write API
+        every 1.x client library targets; same all-or-nothing ingest as
+        the v2 route, timestamps scaled from the requested precision."""
+        if not db:
+            raise _HttpError(400, "db parameter is required")
+        self._do_write(db, body, precision)
+
+    def _do_write(
+        self, name: str, body: bytes, precision: str | None = None
+    ) -> None:
         if name != self.db_name:
             raise _HttpError(404, f"database {name!r} not found")
+        if precision is not None and precision not in self.PRECISION_NS:
+            raise _HttpError(400, f"invalid precision {precision!r}")
+        factor = self.PRECISION_NS.get(precision or "ns", 1)
         text = body.decode("utf-8")
         lines = [(ln,) for ln in text.splitlines() if ln.strip()]
         if not lines:
             return
         spark = self.database.spark
         lines_df = spark.createDataFrame(lines, "value string")
-        default_time = time.time_ns()
+        # server-assigned timestamps truncate to the request's precision
+        # (stock behavior), then scale back to ns with everything else
+        default_time = time.time_ns() // factor
         with self._write_lock:
             # Three-phase, all-or-nothing like the reference's write handler:
             # 1. parse/validate EVERY measurement (errors -> 400, nothing
@@ -119,7 +150,14 @@ class IoxHttpServer:
             #    leaves at most orphaned unreferenced directories (GC-able)
             #    and NOTHING visible to queries.
             parsed = [
-                (ing, ing.parse_lines_df(lines_df, default_time_ns=default_time))
+                (
+                    ing,
+                    ing.parse_lines_df(
+                        lines_df,
+                        default_time_ns=default_time,
+                        precision_factor=factor,
+                    ),
+                )
                 for ing in self.ingests.values()
             ]
             written = [
@@ -490,14 +528,10 @@ def _make_handler(api: IoxHttpServer):
                     )
                     self._reply(200, body, ctype)
                     return
-                if u.path not in ("/api/v2/write", "/api/v2/delete"):
+                if u.path not in ("/api/v2/write", "/api/v2/delete", "/write"):
                     self._reply(404, b"not found")
                     return
                 qs = parse_qs(u.query)
-                org = (qs.get("org") or [None])[0]
-                bucket = (qs.get("bucket") or [None])[0]
-                if not org or not bucket:
-                    raise _HttpError(400, "org and bucket are required")
                 length = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(length)
                 if self.headers.get("Content-Encoding") == "gzip":
@@ -512,10 +546,28 @@ def _make_handler(api: IoxHttpServer):
                     body.decode("utf-8")
                 except UnicodeDecodeError as e:
                     raise _HttpError(400, f"body is not valid UTF-8: {e}")
+                if u.path == "/write":
+                    # the InfluxDB 1.x write API (db + precision params;
+                    # rp accepted and ignored — retention is
+                    # lifecycle-rule driven)
+                    api.handle_write_v1(
+                        (qs.get("db") or [None])[0],
+                        body,
+                        (qs.get("precision") or [None])[0],
+                    )
+                    self._reply(204)
+                    return
+                org = (qs.get("org") or [None])[0]
+                bucket = (qs.get("bucket") or [None])[0]
+                if not org or not bucket:
+                    raise _HttpError(400, "org and bucket are required")
                 if u.path == "/api/v2/delete":
                     api.handle_delete(org, bucket, body)
                 else:
-                    api.handle_write(org, bucket, body)
+                    api.handle_write(
+                        org, bucket, body,
+                        (qs.get("precision") or [None])[0],
+                    )
                 self._reply(204)
             except _HttpError as e:
                 self._reply_error(e.status, str(e))

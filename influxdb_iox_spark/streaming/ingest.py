@@ -109,6 +109,7 @@ class LineProtocolIngest:
         lines_df: DataFrame,
         parse_counter=None,
         default_time_ns: int | None = None,
+        precision_factor: int = 1,
     ) -> DataFrame:
         """Phase 1: parse + materialize (localCheckpoint) WITHOUT writing.
 
@@ -116,12 +117,23 @@ class LineProtocolIngest:
         multi-measurement caller (e.g. the HTTP write handler) can parse
         every measurement first and only then commit, so a rejected request
         persists nothing.
+
+        ``precision_factor``: line timestamps arrive in a coarser unit
+        (the write API's ``precision`` param) and scale to ns BEFORE the
+        partition key derives from them; server-assigned defaults must be
+        passed already-truncated to the precision (``now_ns // factor``),
+        so they scale back to stock's truncated-to-precision wall clock.
         """
         parsed = distributed_parse(
             lines_df, self.schema, self.table,
             self.default_time_ns if default_time_ns is None else default_time_ns,
             batch_counter=parse_counter,
         )
+        if precision_factor != 1:
+            tc = self.schema.time_column
+            parsed = parsed.withColumn(
+                tc, (F.col(tc) * F.lit(precision_factor)).cast("long")
+            )
         return parsed.withColumn(
             "__part_key", self.template.key_column(self.table, self.schema.time_column)
         ).localCheckpoint(eager=True)

@@ -409,3 +409,34 @@ def test_v1_query_chunked_streams_past_max_rows(spark, tmp_path):
         assert {s["name"] for d in docs for s in d["results"][0]["series"]} == {"cpu"}
     finally:
         api.stop()
+
+
+def test_v1_write_endpoint_with_precision(server):
+    """POST /write?db=...&precision=s — the 1.x client-library write
+    path: timestamps scale to ns before the partition key derives, and
+    the full 1.x loop (create db, write, query) round-trips."""
+    from urllib.parse import urlencode
+
+    # the classic onboarding sequence a 1.x client performs
+    data = urlencode({"q": "CREATE DATABASE myorg_mybucket"}).encode()
+    with _post(f"{server}/query", data) as r:
+        assert r.status == 200
+    lines = b"cpu,region=west user=1.5 100\ncpu,region=west user=2.5 200\n"
+    with _post(f"{server}/write?db=myorg_mybucket&precision=s", lines) as r:
+        assert r.status == 204
+    q = "SELECT user FROM cpu ORDER BY time"
+    with urllib.request.urlopen(
+        f"{server}/query?db=myorg_mybucket&q={urllib.request.quote(q)}&epoch=s",
+        timeout=120,
+    ) as r:
+        env = json.loads(r.read())
+    vals = env["results"][0]["series"][0]["values"]
+    assert vals == [[100, 1.5], [200, 2.5]]  # seconds preserved end-to-end
+
+    # bad precision -> 400; unknown db -> 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{server}/write?db=myorg_mybucket&precision=xx", lines)
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{server}/write?db=nope", lines)
+    assert e.value.code == 404
