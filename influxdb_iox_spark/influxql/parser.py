@@ -400,6 +400,29 @@ class _Parser:
         return stmt
 
     def _show_core(self) -> ShowStatement:
+        # cardinality family: SHOW <kind> [EXACT] CARDINALITY (the EXACT
+        # keyword is accepted and identical — counts here are always
+        # exact distinct counts, there is no sketch estimate tier)
+        for words, what in (
+            (("SERIES",), "series cardinality"),
+            (("MEASUREMENT",), "measurement cardinality"),
+            (("TAG", "KEY"), "tag key cardinality"),
+            (("FIELD", "KEY"), "field key cardinality"),
+            (("TAG", "VALUES"), "tag values cardinality"),
+        ):
+            save = self.i
+            if self._kw(*words) and (
+                self._kw("EXACT", "CARDINALITY") or self._kw("CARDINALITY")
+            ):
+                stmt = ShowStatement(what)
+                if self._kw("FROM"):
+                    stmt.measurement = self._ident()
+                if what == "tag values cardinality":
+                    self._expect_kw("WITH", "KEY")
+                    self._expect_op("=")
+                    stmt.with_key = self._ident()
+                return stmt
+            self.i = save
         if self._kw("MEASUREMENTS"):
             stmt = ShowStatement("measurements")
             if self._kw("WITH", "MEASUREMENT"):

@@ -1471,6 +1471,31 @@ def _plan_show_core(
             return mm.df
         return mm.df.filter(_lower_where(stmt.where, mm, now_ns))
 
+    if stmt.what.endswith("cardinality"):
+        # SHOW <kind> [EXACT] CARDINALITY: exact distinct counts over the
+        # corresponding listing plan — one extra aggregate, reusing the
+        # listing lowering verbatim so the two can never disagree
+        import copy
+
+        if stmt.what == "measurement cardinality":
+            return spark.createDataFrame([(len(names),)], "count long")
+        inner = copy.copy(stmt)
+        inner.what = {
+            "series cardinality": "series",
+            "tag key cardinality": "tag keys",
+            "field key cardinality": "field keys",
+            "tag values cardinality": "tag values",
+        }[stmt.what]
+        df = _plan_show_core(
+            inner, catalog, spark, names, scope, databases, now_ns
+        )
+        if "measurement" in df.columns:
+            return (
+                df.groupBy("measurement")
+                .agg(F.count("*").alias("count"))
+                .orderBy("measurement")
+            )
+        return df.agg(F.count("*").alias("count"))
     if stmt.what == "measurements":
         if stmt.with_measurement is not None:
             names = [n for n in names if n == stmt.with_measurement]

@@ -1252,3 +1252,25 @@ def test_v1_database_ddl_onboarding(spark, tmp_path):
     )
     assert env2["results"][0] == {"statement_id": 0}
     assert db.table_names() == []
+
+
+def test_show_cardinality_family(catalog, spark):
+    mem = spark.createDataFrame(
+        [("z1", 1.0, 10 * S), ("z2", 2.0, 20 * S)],
+        "zone string, v double, time long",
+    )
+    cat2 = dict(catalog)
+    cat2["mem"] = Measurement(df=mem, tags=("zone",), fields=("v",))
+    assert _rows(execute("SHOW MEASUREMENT CARDINALITY", cat2)) == [(2,)]
+    # series: cpu hosts a, b, null-host -> 3 keys; mem zones z1, z2 -> 2
+    assert _rows(execute("SHOW SERIES CARDINALITY", cat2)) == [(5,)]
+    assert _rows(execute("SHOW SERIES EXACT CARDINALITY FROM cpu", cat2)) == [(3,)]
+    assert _rows(execute("SHOW TAG KEY CARDINALITY", cat2)) == [
+        ("cpu", 1), ("mem", 1)
+    ]
+    assert _rows(execute("SHOW FIELD KEY CARDINALITY FROM cpu", cat2)) == [
+        ("cpu", 2)
+    ]
+    assert _rows(
+        execute("SHOW TAG VALUES CARDINALITY WITH KEY = host", cat2)
+    ) == [(2,)]
