@@ -1528,6 +1528,25 @@ if _FLIGHT_AVAILABLE:
 # -- multi-database HTTP facade ---------------------------------------------
 
 
+_LP_TS = __import__("re").compile(rb"^(.*) (-?\d+)[ \t]*$")
+
+
+def _scale_lp_timestamps(body: bytes, factor: int) -> bytes:
+    """Scale each line's trailing timestamp token by ``factor`` (the
+    write API's precision param).  The timestamp, when present, is always
+    the final whitespace-separated integer token of a line — quoted field
+    strings cannot end a line unescaped, so the anchored regex cannot
+    misfire inside one; lines without timestamps pass through (the server
+    assigns ns wall clock downstream)."""
+    out = []
+    for line in body.split(b"\n"):
+        m = _LP_TS.match(line)
+        if m:
+            line = m.group(1) + b" " + str(int(m.group(2)) * factor).encode()
+        out.append(line)
+    return b"\n".join(out)
+
+
 class IoxMultiDbHttpServer:
     """The v2 HTTP API over an IoxServer's LIVE database set — write to any
     '<org>_<bucket>' database (schema inferred like the gRPC write path)
@@ -1566,10 +1585,22 @@ class IoxMultiDbHttpServer:
             self._httpd.server_close()
             self._httpd = None
 
-    def handle_write(self, org: str, bucket: str, body: bytes) -> None:
-        from influxdb_iox_spark.http_api import _HttpError, org_and_bucket_to_database
+    def handle_write(
+        self, org: str, bucket: str, body: bytes,
+        precision: str | None = None,
+    ) -> None:
+        from influxdb_iox_spark.http_api import (
+            IoxHttpServer,
+            _HttpError,
+            org_and_bucket_to_database,
+        )
 
         name = org_and_bucket_to_database(org, bucket)
+        if precision is not None and precision not in IoxHttpServer.PRECISION_NS:
+            raise _HttpError(400, f"invalid precision {precision!r}")
+        factor = IoxHttpServer.PRECISION_NS.get(precision or "ns", 1)
+        if factor != 1:
+            body = _scale_lp_timestamps(body, factor)
         try:
             n = self.server.write_lp(name, body.decode("utf-8"))
         except GrpcStatusError as e:

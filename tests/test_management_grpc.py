@@ -965,3 +965,36 @@ def test_cli_run_honors_master_and_conf(tmp_path):
         "spark.sql.shuffle.partitions": "7",
         "spark.app.testMarker": "cluster-smoke",
     }
+
+
+def test_multi_db_write_precision(srv):
+    """precision scaling on the multi-db v2 write route: timestamps in
+    the request's unit arrive as ns (text-level scaling, exact)."""
+    import json as _json
+    import urllib.request
+
+    from influxdb_iox_spark.rpc_management import IoxMultiDbHttpServer
+
+    server, _port = srv
+    http = IoxMultiDbHttpServer(server)
+    port = http.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        server.create_database(
+            {"name": "p_b", "partition_template": {"parts": [{"table": {}}]}}
+        )
+        req = urllib.request.Request(
+            f"{base}/api/v2/write?org=p&bucket=b&precision=s",
+            data=b"cpu,region=west user=1.5 100",
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.status == 204
+        q = urllib.request.quote("SELECT time FROM cpu")
+        with urllib.request.urlopen(
+            f"{base}/iox/api/v1/databases/p_b/query?q={q}&format=json",
+            timeout=120,
+        ) as r:
+            rows = _json.loads(r.read())
+        assert rows == [{"time": 100 * 10**9}]
+    finally:
+        http.stop()
