@@ -1613,6 +1613,106 @@ class IoxMultiDbHttpServer:
         self.metrics["ingest_lines_total"] += n
         self.metrics["ingest_points_bytes_total"] += len(body)
 
+    # -- InfluxDB 1.x API over the live database set -------------------------
+    def _v1_database(self, db: str | None):
+        from influxdb_iox_spark.http_api import _HttpError
+
+        if not db:
+            return None  # db-less SHOW DATABASES etc. still answer
+        md = self.server.databases.get(db)
+        if md is None:
+            raise _HttpError(404, f"database not found: {db}")
+        return md.database
+
+    def handle_v1_query(
+        self, db: str | None, q: str, epoch: str | None,
+        read_only: bool = False,
+        accept: str | None = None,
+    ) -> tuple[bytes, str]:
+        """GET/POST /query against ANY hosted database (the 1.x API's
+        ``db`` param picks it); same envelope/CSV semantics as the
+        single-db server."""
+        from influxdb_iox_spark.http_api import _HttpError
+        from influxdb_iox_spark.influxql.v1_api import (
+            catalog_from_database,
+            render_csv,
+            run_statements,
+        )
+
+        database = self._v1_database(db)
+        want_csv = accept is not None and "application/csv" in accept
+        if want_csv and epoch is None:
+            epoch = "ns"
+        try:
+            envelope = run_statements(
+                q,
+                catalog_from_database(database) if database else {},
+                databases=sorted(self.server.databases),
+                epoch=epoch,
+                max_rows=self.max_rows,
+                database=database,
+                read_only=read_only,
+            )
+        except ValueError as e:  # bad epoch
+            raise _HttpError(400, str(e))
+        if want_csv:
+            return render_csv(envelope), "application/csv"
+        return json.dumps(envelope).encode(), "application/json"
+
+    def iter_v1_query_chunks(
+        self, db: str | None, q: str, epoch: str | None,
+        chunk_size: int, read_only: bool = False,
+    ):
+        from influxdb_iox_spark.http_api import _HttpError
+        from influxdb_iox_spark.influxql.v1_api import (
+            _EPOCH_DIV,
+            catalog_from_database,
+            run_statements_chunked,
+        )
+
+        database = self._v1_database(db)
+        if chunk_size <= 0:
+            raise _HttpError(400, "chunk_size must be positive")
+        if epoch is not None and epoch not in _EPOCH_DIV:
+            raise _HttpError(400, f"invalid epoch {epoch!r}")
+        return run_statements_chunked(
+            q,
+            catalog_from_database(database) if database else {},
+            databases=sorted(self.server.databases),
+            epoch=epoch,
+            chunk_size=chunk_size,
+            database=database,
+            read_only=read_only,
+        )
+
+    def handle_write_v1(
+        self, db: str | None, body: bytes, precision: str | None = None
+    ) -> None:
+        """POST /write?db=...&precision=... routed to the named hosted
+        database (the 1.x client-library write path)."""
+        from influxdb_iox_spark.http_api import IoxHttpServer, _HttpError
+
+        if not db:
+            raise _HttpError(400, "db parameter is required")
+        if db not in self.server.databases:
+            raise _HttpError(404, f"database not found: {db}")
+        if precision is not None and precision not in IoxHttpServer.PRECISION_NS:
+            raise _HttpError(400, f"invalid precision {precision!r}")
+        factor = IoxHttpServer.PRECISION_NS.get(precision or "ns", 1)
+        if factor != 1:
+            body = _scale_lp_timestamps(body, factor)
+        try:
+            n = self.server.write_lp(db, body.decode("utf-8"))
+        except GrpcStatusError as e:
+            status = {
+                "NotFound": 404,
+                "Unavailable": 503,
+                "ResourceExhausted": 429,
+            }.get(e.code, 400)
+            raise _HttpError(status, e.message)
+        self.metrics["ingest_lines_total"] += n
+        self.metrics["ingest_points_bytes_total"] += len(body)
+
     def handle_query(self, name: str, q: str, fmt: str) -> tuple[bytes, str]:
         from influxdb_iox_spark.http_api import (
             QUERY_FORMATS,

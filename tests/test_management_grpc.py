@@ -998,3 +998,61 @@ def test_multi_db_write_precision(srv):
         assert rows == [{"time": 100 * 10**9}]
     finally:
         http.stop()
+
+
+def test_multi_db_v1_influxql_loop(srv):
+    """The 1.x loop against the multi-db server: /write?db= with
+    precision, InfluxQL /query with the series envelope, SHOW DATABASES
+    listing the hosted set, chunked streaming."""
+    import json as _json
+    import urllib.request
+    from urllib.parse import quote
+
+    from influxdb_iox_spark.rpc_management import IoxMultiDbHttpServer
+
+    server, _port = srv
+    http = IoxMultiDbHttpServer(server)
+    port = http.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        server.create_database(
+            {"name": "v1_b", "partition_template": {"parts": [{"table": {}}]}}
+        )
+        req = urllib.request.Request(
+            f"{base}/write?db=v1_b&precision=s",
+            data=b"cpu,host=a v=1.0 100\ncpu,host=a v=2.0 200\ncpu,host=b v=3.0 100",
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.status == 204
+
+        q = quote("SELECT MEAN(v) FROM cpu GROUP BY host")
+        with urllib.request.urlopen(
+            f"{base}/query?db=v1_b&q={q}", timeout=120
+        ) as r:
+            env = _json.loads(r.read())
+        by_tag = {
+            s["tags"]["host"]: s["values"][0][-1]
+            for s in env["results"][0]["series"]
+        }
+        assert by_tag == {"a": 1.5, "b": 3.0}
+
+        # db-less SHOW DATABASES lists every hosted database
+        with urllib.request.urlopen(
+            f"{base}/query?q={quote('SHOW DATABASES')}", timeout=120
+        ) as r:
+            env = _json.loads(r.read())
+        names = [v[0] for v in env["results"][0]["series"][0]["values"]]
+        assert "v1_b" in names
+
+        # chunked streaming
+        with urllib.request.urlopen(
+            f"{base}/query?db=v1_b&q={quote('SELECT v FROM cpu')}"
+            "&epoch=s&chunked=true&chunk_size=2",
+            timeout=120,
+        ) as r:
+            docs = [
+                _json.loads(ln) for ln in r.read().decode().splitlines() if ln
+            ]
+        assert len(docs) == 2 and docs[0]["results"][0]["partial"] is True
+    finally:
+        http.stop()
