@@ -90,6 +90,15 @@ class SelectStatement:
 
 
 @dataclass(frozen=True)
+class ExplainStatement:
+    """EXPLAIN [ANALYZE] <select> — the plan as rows (here: Catalyst's
+    formatted physical plan, the engine-appropriate answer)."""
+
+    select: "SelectStatement"
+    analyze: bool = False
+
+
+@dataclass(frozen=True)
 class CreateDatabase:
     """CREATE DATABASE <name> [WITH ...] — client-library onboarding."""
 

@@ -44,6 +44,7 @@ from influxdb_iox_spark.influxql.ast_nodes import (
     DropDatabase,
     DropContinuousQuery,
     DropMeasurement,
+    ExplainStatement,
     FillOption,
     Literal,
     Projection,
@@ -274,6 +275,13 @@ class _Parser:
     # -- statements ---------------------------------------------------------
 
     def parse_statement(self):
+        if self._kw("EXPLAIN"):
+            analyze = self._kw("ANALYZE")
+            self._expect_kw("SELECT")
+            inner = self._select_core()
+            if self._peek() is not None:
+                raise InfluxQLParseError("trailing input after EXPLAIN")
+            return ExplainStatement(inner, analyze=analyze)
         if self._kw("SELECT"):
             return self._select()
         if self._kw("SHOW"):

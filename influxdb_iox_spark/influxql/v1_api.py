@@ -38,6 +38,7 @@ from influxdb_iox_spark.influxql.ast_nodes import (
     DropContinuousQuery,
     DropDatabase,
     DropMeasurement,
+    ExplainStatement,
     Measurement,
     SelectStatement,
     ShowStatement,
@@ -314,6 +315,30 @@ def run_statements(
                     )
                 database.drop_table(stmt.name)
                 results.append(entry)  # stock: empty result on success
+                continue
+            if isinstance(stmt, ExplainStatement):
+                df, _tags = plan_select_with_tags(
+                    stmt.select, catalog, now_ns=now_ns
+                )
+                qe = df._jdf.queryExecution()
+                if stmt.analyze:
+                    # EXPLAIN ANALYZE executes first, so AQE finalizes
+                    # the plan and the text reflects what actually ran
+                    df.write.format("noop").mode("overwrite").save()
+                    text = qe.executedPlan().toString()
+                else:
+                    jvm = df.sparkSession._jvm
+                    text = (
+                        jvm.org.apache.spark.sql.api.python.PythonSQLUtils
+                        .explainString(qe, "formatted")
+                    )
+                entry["series"] = [
+                    {
+                        "columns": ["QUERY PLAN"],
+                        "values": [[ln] for ln in text.splitlines() if ln],
+                    }
+                ]
+                results.append(entry)
                 continue
             if isinstance(stmt, DeleteStatement):
                 from influxdb_iox_spark.influxql.planner import run_delete

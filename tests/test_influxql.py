@@ -1274,3 +1274,34 @@ def test_show_cardinality_family(catalog, spark):
     assert _rows(
         execute("SHOW TAG VALUES CARDINALITY WITH KEY = host", cat2)
     ) == [(2,)]
+
+
+def test_explain_statement(catalog):
+    from influxdb_iox_spark.influxql.v1_api import run_statements
+
+    env = run_statements(
+        "EXPLAIN SELECT MEAN(v) FROM cpu GROUP BY time(1h), host",
+        catalog,
+    )
+    s = env["results"][0]["series"][0]
+    assert s["columns"] == ["QUERY PLAN"]
+    text = "\n".join(v[0] for v in s["values"])
+    assert "HashAggregate" in text and "EvalPython" not in text
+
+    env2 = run_statements(
+        "EXPLAIN ANALYZE SELECT COUNT(v) FROM cpu", catalog
+    )
+    text2 = "\n".join(
+        v[0] for v in env2["results"][0]["series"][0]["values"]
+    )
+    assert "HashAggregate" in text2
+
+
+def test_parse_explain():
+    from influxdb_iox_spark.influxql.ast_nodes import ExplainStatement
+
+    s = parse("EXPLAIN ANALYZE SELECT v FROM m")
+    assert isinstance(s, ExplainStatement) and s.analyze
+    assert parse("EXPLAIN SELECT v FROM m").analyze is False
+    with pytest.raises(InfluxQLParseError):
+        parse("EXPLAIN SHOW MEASUREMENTS")
