@@ -3993,6 +3993,38 @@ ORDER BY value
 """
 
 
+def q_influxql_wildcard_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard aggregate expansion (round 9): ``COUNT(*)``/``MEAN(*)``
+    expand to one call per FIELD named <func>_<field> in sorted order
+    (stock InfluxQL) — events has one field (value), so the twin is the
+    plain per-field aggregate under the same names."""
+    from influxdb_iox_spark.influxql import execute
+
+    out = execute(
+        f"SELECT COUNT(*), MEAN(*) FROM events"
+        f" WHERE time >= {T0 * NS} AND time < {T1 * NS}"
+        f" GROUP BY time(6h), event_type",
+        _influxql_events_catalog(spark, sf_dir),
+    )
+    return out.select(
+        "event_type",
+        F.expr("time div 1000").alias("time_us"),
+        F.col("count_value"),
+        F.round("mean_value", 4).alias("mean_value"),
+    ).orderBy("event_type", "time_us")
+
+
+SQL_INFLUXQL_WILDCARD_AGG = f"""
+SELECT event_type,
+  epoch_us(ts) - epoch_us(ts) % {6 * HOUR_US} AS time_us,
+  COUNT(value) AS count_value,
+  round(AVG(value), 4) AS mean_value
+FROM events
+WHERE epoch_us(ts) >= {T0 * 1000000} AND epoch_us(ts) < {T1 * 1000000}
+GROUP BY 1, 2 ORDER BY event_type, time_us
+"""
+
+
 def q_influxql_tz_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """InfluxQL tz() clause (round 9): daily buckets on Pacific/Auckland
     wall clock (UTC+13 across the whole data window — tzdata has no zone
@@ -4165,6 +4197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influxql_fill_range": q_influxql_fill_range,
         "influxql_tz_daily": q_influxql_tz_daily,
         "influxql_show_tag_values_where": q_influxql_show_tag_values_where,
+        "influxql_wildcard_agg": q_influxql_wildcard_agg,
         "series_derivative": q_series_derivative,
         # TPC-H shapes adapted to the testdata's columns (no partsupp /
         # shipmode / commitdate) — new in round 4, so they sit INSIDE the
@@ -4315,6 +4348,7 @@ def oracle_sql() -> dict[str, str]:
         "influxql_fill_range": SQL_INFLUXQL_FILL_RANGE,
         "influxql_tz_daily": SQL_INFLUXQL_TZ_DAILY,
         "influxql_show_tag_values_where": SQL_INFLUXQL_SHOW_TAG_VALUES_WHERE,
+        "influxql_wildcard_agg": SQL_INFLUXQL_WILDCARD_AGG,
         "dedup_last_non_null": SQL_DEDUP,
         "json_props_extract": SQL_JSON_PROPS,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
