@@ -3813,10 +3813,19 @@ ORDER BY f.lang
 # ---------------------------------------------------------------------------
 
 
-def _influxql_events_catalog(spark: SparkSession, sf_dir: str):
+def _influxql_events_catalog(
+    spark: SparkSession, sf_dir: str,
+    ts_range: tuple[int, int] | None = None,
+):
+    """``ts_range`` (epoch-seconds [lo, hi)): when the statement carries
+    a WHERE time range, pass the same bounds here so they hit the RAW
+    parquet column BEFORE the ns conversion — the InfluxQL planner's own
+    filter lands on the DERIVED long column, which cannot push down (see
+    _load's docstring).  The statement's filter still applies (exactly
+    redundant), so semantics are unchanged; only the scan shrinks."""
     from influxdb_iox_spark.influxql import Measurement
 
-    t = _load(spark, sf_dir, "events")
+    t = _load(spark, sf_dir, "events", events_ts_range=ts_range)
     return {
         "events": Measurement(
             df=t["events"], tags=("event_type",), fields=("value",),
@@ -3835,7 +3844,7 @@ def q_influxql_mean_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT MEAN(value) AS mean_value, COUNT(value) AS n FROM events"
         f" WHERE time >= {T0 * NS} AND time < {T1 * NS}"
         f" GROUP BY time(1h), event_type",
-        _influxql_events_catalog(spark, sf_dir),
+        _influxql_events_catalog(spark, sf_dir, ts_range=(T0, T1)),
     )
     return out.select(
         "event_type",
@@ -3933,7 +3942,9 @@ def q_influxql_fill_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT COUNT(value) AS n FROM events WHERE value > 4"
         f" AND time >= {lo} AND time < {hi}"
         f" GROUP BY time(1h), event_type FILL(previous)",
-        _influxql_events_catalog(spark, sf_dir),
+        _influxql_events_catalog(
+            spark, sf_dir, ts_range=(T0 - 7200, T1 + 10800)
+        ),
     )
     return out.select(
         "event_type", F.expr("time div 1000").alias("time_us"), "n"
@@ -3980,7 +3991,7 @@ def q_influxql_show_tag_values_where(
     return execute(
         f"SHOW TAG VALUES FROM events WITH KEY = \"event_type\""
         f" WHERE value > 9 AND time >= {T0 * NS} AND time < {T1 * NS}",
-        _influxql_events_catalog(spark, sf_dir),
+        _influxql_events_catalog(spark, sf_dir, ts_range=(T0, T1)),
     )
 
 
@@ -4004,7 +4015,7 @@ def q_influxql_wildcard_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT COUNT(*), MEAN(*) FROM events"
         f" WHERE time >= {T0 * NS} AND time < {T1 * NS}"
         f" GROUP BY time(6h), event_type",
-        _influxql_events_catalog(spark, sf_dir),
+        _influxql_events_catalog(spark, sf_dir, ts_range=(T0, T1)),
     )
     return out.select(
         "event_type",
@@ -4039,7 +4050,7 @@ def q_influxql_tz_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT COUNT(value) AS n FROM events"
         f" WHERE time >= {T0 * NS} AND time < {T1 * NS}"
         f" GROUP BY time(1d), event_type TZ('Pacific/Auckland')",
-        _influxql_events_catalog(spark, sf_dir),
+        _influxql_events_catalog(spark, sf_dir, ts_range=(T0, T1)),
     )
     return out.select(
         "event_type", F.expr("time div 1000").alias("time_us"), "n"
