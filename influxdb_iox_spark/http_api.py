@@ -422,12 +422,17 @@ def _make_handler(api: IoxHttpServer):
             body = json.dumps({"error": message, "error_code": 100}).encode()
             self._reply(status, body, "application/json")
 
-        def _reply(self, status: int, body: bytes = b"", ctype: str = "text/plain"):
+        def _reply(
+            self, status: int, body: bytes = b"", ctype: str = "text/plain",
+            headers_extra=(),
+        ):
             key = (urlparse(self.path).path, status)
             api.request_counts[key] = api.request_counts.get(key, 0) + 1
             self.send_response(status)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
+            for k, v in headers_extra:
+                self.send_header(k, v)
             self.end_headers()
             if body:
                 self.wfile.write(body)
@@ -452,6 +457,14 @@ def _make_handler(api: IoxHttpServer):
             try:
                 if u.path == "/health":
                     self._reply(200, b"OK")
+                    return
+                if u.path == "/ping":
+                    # stock 1.x liveness probe: 204 + version header
+                    # (clients check it before anything else)
+                    self._reply(
+                        204, b"",
+                        headers_extra=[("X-Influxdb-Version", "1.8-iox-spark")],
+                    )
                     return
                 if u.path == "/metrics":
                     self._reply(200, api.render_metrics(), "text/plain; version=0.0.4")

@@ -81,7 +81,7 @@ _TOKEN = re.compile(
       | (?P<qident>"(?:[^"\\]|\\.)*")
       | (?P<str>'(?:[^'\\]|\\.)*')
       | (?P<ident>[A-Za-z_][A-Za-z0-9_.]*)
-      | (?P<op><>|!=|>=|<=|=~|!~|::|[=<>(),*+\-/%])
+      | (?P<op><>|!=|>=|<=|=~|!~|::|[=<>(),*+\-/%.])
     )""",
     re.VERBOSE,
 )
@@ -515,7 +515,7 @@ class _Parser:
         while self._peek() == ("op", ","):
             self.i += 1
             projections.append(self._projection())
-        into = self._ident() if self._kw("INTO") else None
+        into = self._into_target() if self._kw("INTO") else None
         self._expect_kw("FROM")
         targets = [self._from_target()]
         while self._peek() == ("op", ","):
@@ -568,6 +568,26 @@ class _Parser:
             stmt.tz = t[1][1:-1].replace("\\'", "'")
             self._expect_op(")")
         return stmt
+
+    def _into_target(self) -> str:
+        """INTO [db.][rp.]measurement — stock spells CQ destinations
+        fully qualified ('"db"."rp"."m"' or db.rp.m); this engine is
+        single-database with lifecycle-driven retention, so the
+        measurement segment is the destination and the qualifiers are
+        accepted and ignored."""
+        parts = [self._ident()]
+        while self._peek() == ("op", "."):
+            self.i += 1
+            parts.append(self._ident())
+        # an unquoted dotted token lexes as ONE ident; split it the way
+        # stock's parser does (dots separate qualifiers)
+        if len(parts) == 1 and "." in parts[0]:
+            parts = parts[0].split(".")
+        if len(parts) > 3:
+            raise InfluxQLParseError(
+                "INTO target has too many qualifiers (db.rp.measurement)"
+            )
+        return parts[-1]
 
     def _projection(self) -> Projection:
         expr = self._expr()

@@ -440,3 +440,9 @@ def test_v1_write_endpoint_with_precision(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(f"{server}/write?db=nope", lines)
     assert e.value.code == 404
+
+
+def test_ping_endpoint(server):
+    with urllib.request.urlopen(f"{server}/ping", timeout=30) as r:
+        assert r.status == 204
+        assert "iox-spark" in r.headers["X-Influxdb-Version"]

@@ -1305,3 +1305,17 @@ def test_parse_explain():
     assert parse("EXPLAIN SELECT v FROM m").analyze is False
     with pytest.raises(InfluxQLParseError):
         parse("EXPLAIN SHOW MEASUREMENTS")
+
+
+def test_parse_into_qualified_targets():
+    """Stock CQ destinations are fully qualified (db.rp.measurement);
+    single-database + lifecycle retention here, so the measurement
+    segment is the target and qualifiers are accepted and ignored."""
+    assert parse(
+        'SELECT mean(v) INTO "db"."autogen"."m1" FROM m GROUP BY time(1h)'
+    ).into == "m1"
+    assert parse(
+        "SELECT mean(v) INTO db.autogen.m1 FROM m GROUP BY time(1h)"
+    ).into == "m1"
+    with pytest.raises(InfluxQLParseError):
+        parse("SELECT mean(v) INTO a.b.c.d FROM m GROUP BY time(1h)")
