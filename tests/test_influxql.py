@@ -1319,3 +1319,47 @@ def test_parse_into_qualified_targets():
     ).into == "m1"
     with pytest.raises(InfluxQLParseError):
         parse("SELECT mean(v) INTO a.b.c.d FROM m GROUP BY time(1h)")
+
+
+# -- parser conformance edges (round 9, pure Python) ---------------------------
+
+
+def test_parse_number_literal_forms():
+    s = parse("SELECT v FROM m WHERE x = 1.5e3 AND y = .5 AND z = 2E-2")
+    vals = []
+
+    def walk(n):
+        if isinstance(n, BinaryExpr):
+            walk(n.left)
+            walk(n.right)
+        elif isinstance(n, Literal):
+            vals.append(n.value)
+
+    walk(s.where)
+    assert vals == [1500.0, 0.5, 0.02]
+
+
+def test_parse_string_escapes_in_where():
+    s = parse(r"SELECT v FROM m WHERE t = 'a\'b' AND u = 'c\\d'")
+    assert s.where.left.right.value == "a'b"
+    assert s.where.right.right.value == "c\\d"  # \\ unescapes to one backslash
+
+
+def test_parse_keyword_case_insensitivity():
+    s = parse(
+        "select Mean(v) from m where time >= 1h group by time(1h), host "
+        "fill(Previous) order by time desc slimit 2"
+    )
+    assert s.group_by_time_ns == H and s.fill is FillOption.PREVIOUS
+    assert s.order_desc and s.slimit == 2
+
+
+def test_parse_semicolon_tolerance():
+    assert parse("SELECT v FROM m;").measurement == "m"
+
+
+def test_parse_dotted_measurement_stays_single_token():
+    # unquoted dotted names lex as one identifier; FROM keeps them whole
+    # (only INTO splits qualifiers, per stock CQ destinations)
+    s = parse("SELECT v FROM system.cpu")
+    assert s.measurement == "system.cpu"
