@@ -1363,3 +1363,41 @@ def test_parse_dotted_measurement_stays_single_token():
     # (only INTO splits qualifiers, per stock CQ destinations)
     s = parse("SELECT v FROM system.cpu")
     assert s.measurement == "system.cpu"
+
+
+def test_render_csv_pure():
+    from influxdb_iox_spark.influxql.v1_api import render_csv
+
+    env = {
+        "results": [
+            {
+                "statement_id": 0,
+                "series": [
+                    {
+                        "name": "cpu",
+                        "tags": {"host": "a,b", "dc": "x"},
+                        "columns": ["time", "n"],
+                        "values": [[1, 2], [3, None]],
+                    }
+                ],
+            },
+            {"statement_id": 1, "error": "nope"},  # contributes no rows
+        ]
+    }
+    text = render_csv(env).decode()
+    lines = text.strip().splitlines()
+    assert lines[0] == "name,tags,time,n"
+    # tag set flattened sorted, csv-quoted because it contains a comma
+    assert lines[1] == 'cpu,"dc=x,host=a,b",1,2'
+    assert lines[2] == 'cpu,"dc=x,host=a,b",3,'
+
+
+def test_chunk_batches_lookahead():
+    from influxdb_iox_spark.influxql.v1_api import _batches
+
+    out = list(_batches(iter(range(5)), 2))
+    assert out == [([0, 1], True), ([2, 3], True), ([4], False)]
+    # exact multiple: the final batch is KNOWN final, no empty trailer
+    out2 = list(_batches(iter(range(4)), 2))
+    assert out2 == [([0, 1], True), ([2, 3], False)]
+    assert list(_batches(iter([]), 3)) == [([], False)]
