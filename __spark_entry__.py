@@ -104,40 +104,110 @@ def _money_sum(expr: F.Column, alias: str) -> F.Column:
 
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 on exact scaled-long arithmetic.
+
+    All four money/quantity inputs carry <=2 decimal digits, so the whole
+    aggregate runs as int64 sums inside whole-stage codegen instead of
+    Spark's slow BigDecimal path (round-9 bench: the decimal chain was 35x
+    DuckDB at sf10).  Products stay exact: cents * (100-disc) * (100+tax)
+    <= ~1.2e11 per row.  The two wide sums (disc_price in 1e-4 units,
+    charge in 1e-6 units) are split into hi/lo limbs around their scale
+    divisor so each per-group int64 sum has ~1e5 headroom beyond sf1000;
+    the limbs recombine in double at the group level (few rows).  Every
+    double op is spelled identically in the DuckDB twin, so results are
+    bit-identical by construction — no round() ties possible (final
+    rounding happens only at integer boundaries, where Spark HALF_UP and
+    DuckDB's half-away-from-zero agree on the same input double).
+    """
     t = _load(spark, sf_dir, "lineitem")
-    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", "4,2"))
-    charge = disc_price * (F.lit(1) + _dec("l_tax", "4,2"))
-    return (
+    li = (
         t["lineitem"]
         .filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            _money_sum(_dec("l_quantity"), "sum_qty"),
-            _money_sum(_dec("l_extendedprice"), "sum_base_price"),
-            _money_sum(disc_price, "sum_disc_price"),
-            _money_sum(charge, "sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.expr("CAST(round(l_quantity * 100) AS BIGINT)").alias("qty_c"),
+            F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("ep_c"),
+            F.expr("CAST(round(l_discount * 100) AS BIGINT)").alias("disc_c"),
+            F.expr("CAST(round(l_tax * 100) AS BIGINT)").alias("tax_c"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .withColumn("dp_c", F.expr("ep_c * (100 - disc_c)"))
+        .withColumn("ch_c", F.expr("ep_c * (100 - disc_c) * (100 + tax_c)"))
     )
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty_c").alias("s_qty"),
+        F.sum("ep_c").alias("s_ep"),
+        F.sum(F.expr("dp_c div 10000")).alias("s_dp_hi"),
+        F.sum(F.expr("dp_c % 10000")).alias("s_dp_lo"),
+        F.sum(F.expr("ch_c div 1000000")).alias("s_ch_hi"),
+        F.sum(F.expr("ch_c % 1000000")).alias("s_ch_lo"),
+        F.sum("disc_c").alias("s_disc"),
+        F.count("*").alias("count_order"),
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("s_qty").cast("double") / 100).alias("sum_qty"),
+        (F.col("s_ep").cast("double") / 100).alias("sum_base_price"),
+        (
+            F.col("s_dp_hi").cast("double")
+            + F.col("s_dp_lo").cast("double") / 10000
+        ).alias("sum_disc_price"),
+        (
+            F.col("s_ch_hi").cast("double")
+            + F.col("s_ch_lo").cast("double") / 1000000
+        ).alias("sum_charge"),
+        (
+            F.round(F.col("s_qty").cast("double") / F.col("count_order") * 100)
+            / 10000
+        ).alias("avg_qty"),
+        (
+            F.round(F.col("s_ep").cast("double") / F.col("count_order") * 100)
+            / 10000
+        ).alias("avg_price"),
+        (
+            F.round(F.col("s_disc").cast("double") / F.col("count_order") * 100)
+            / 10000
+        ).alias("avg_disc"),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
 
 
 SQL_TPCH_Q1 = """
+WITH c AS (
+  SELECT l_returnflag, l_linestatus,
+    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+    CAST(round(l_extendedprice * 100) AS BIGINT) AS ep_c,
+    CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+    CAST(round(l_tax * 100) AS BIGINT) AS tax_c
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+), e AS (
+  SELECT *, ep_c * (100 - disc_c) AS dp_c,
+         ep_c * (100 - disc_c) * (100 + tax_c) AS ch_c
+  FROM c
+), g AS (
+  SELECT l_returnflag, l_linestatus,
+    CAST(SUM(qty_c) AS BIGINT) AS s_qty,
+    CAST(SUM(ep_c) AS BIGINT) AS s_ep,
+    CAST(SUM(dp_c // 10000) AS BIGINT) AS s_dp_hi,
+    CAST(SUM(dp_c % 10000) AS BIGINT) AS s_dp_lo,
+    CAST(SUM(ch_c // 1000000) AS BIGINT) AS s_ch_hi,
+    CAST(SUM(ch_c % 1000000) AS BIGINT) AS s_ch_lo,
+    CAST(SUM(disc_c) AS BIGINT) AS s_disc,
+    COUNT(*) AS count_order
+  FROM e GROUP BY l_returnflag, l_linestatus
+)
 SELECT l_returnflag, l_linestatus,
-  round(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty,
-  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_base_price,
-  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS sum_disc_price,
-  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE), 2) AS sum_charge,
-  round(AVG(l_quantity), 4) AS avg_qty,
-  round(AVG(l_extendedprice), 4) AS avg_price,
-  round(AVG(l_discount), 4) AS avg_disc,
-  COUNT(*) AS count_order
-FROM lineitem
-WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
-GROUP BY l_returnflag, l_linestatus
+  CAST(s_qty AS DOUBLE) / 100 AS sum_qty,
+  CAST(s_ep AS DOUBLE) / 100 AS sum_base_price,
+  CAST(s_dp_hi AS DOUBLE) + CAST(s_dp_lo AS DOUBLE) / 10000 AS sum_disc_price,
+  CAST(s_ch_hi AS DOUBLE) + CAST(s_ch_lo AS DOUBLE) / 1000000 AS sum_charge,
+  round(CAST(s_qty AS DOUBLE) / count_order * 100) / 10000 AS avg_qty,
+  round(CAST(s_ep AS DOUBLE) / count_order * 100) / 10000 AS avg_price,
+  round(CAST(s_disc AS DOUBLE) / count_order * 100) / 10000 AS avg_disc,
+  count_order
+FROM g
 ORDER BY l_returnflag, l_linestatus
 """
 
@@ -150,7 +220,7 @@ def q_orders_by_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             _money_sum(_dec("o_totalprice"), "total_price"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            (F.round(F.avg("o_totalprice") * 10000) / 10000).alias("avg_price"),
         )
         .orderBy("o_orderstatus", "o_orderpriority")
     )
@@ -159,7 +229,7 @@ def q_orders_by_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ORDERS_BY_STATUS = """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
   round(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_price,
-  round(AVG(o_totalprice), 4) AS avg_price
+  round(AVG(o_totalprice) * 10000) / 10000 AS avg_price
 FROM orders GROUP BY o_orderstatus, o_orderpriority
 ORDER BY o_orderstatus, o_orderpriority
 """
@@ -496,7 +566,7 @@ def q_read_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             _money_sum(_dec("value"), "sum_value"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
-            F.round(F.avg("value"), 4).alias("mean_value"),
+            (F.round(F.avg("value") * 10000) / 10000).alias("mean_value"),
         )
         .orderBy("event_type")
     )
@@ -506,7 +576,7 @@ SQL_READ_GROUP = """
 SELECT event_type, COUNT(value) AS count_value,
   round(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_value,
   MIN(value) AS min_value, MAX(value) AS max_value,
-  round(AVG(value), 4) AS mean_value
+  round(AVG(value) * 10000) / 10000 AS mean_value
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -544,7 +614,7 @@ def q_window_agg_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             _money_sum(_dec("value"), "sum_value"),
-            F.round(F.avg("value"), 4).alias("mean_value"),
+            (F.round(F.avg("value") * 10000) / 10000).alias("mean_value"),
         )
         .orderBy("event_type", "time_us")
     )
@@ -555,7 +625,7 @@ SELECT event_type,
   epoch_us(ts) - ((epoch_us(ts) % {HOUR_US}) + {HOUR_US}) % {HOUR_US} + {HOUR_US} AS time_us,
   COUNT(*) AS n,
   round(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_value,
-  round(AVG(value), 4) AS mean_value
+  round(AVG(value) * 10000) / 10000 AS mean_value
 FROM events GROUP BY 1, 2 ORDER BY event_type, time_us
 """
 
@@ -570,7 +640,7 @@ def q_window_agg_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t["events"].withColumn("__bucket_ns", window_bounds("ts", every, offset))
     return (
         ev.groupBy("event_type", F.expr("__bucket_ns div 1000").alias("time_us"))
-        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("mean_value"))
+        .agg(F.count("*").alias("n"), (F.round(F.avg("value") * 10000) / 10000).alias("mean_value"))
         .orderBy("event_type", "time_us")
     )
 
@@ -578,7 +648,7 @@ def q_window_agg_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_WINDOW_AGG_OFFSET = f"""
 SELECT event_type,
   epoch_us(ts) - (((epoch_us(ts) - {300 * US}) % {900 * US}) + {900 * US}) % {900 * US} + {900 * US} AS time_us,
-  COUNT(*) AS n, round(AVG(value), 4) AS mean_value
+  COUNT(*) AS n, round(AVG(value) * 10000) / 10000 AS mean_value
 FROM events GROUP BY 1, 2 ORDER BY event_type, time_us
 """
 
@@ -1391,8 +1461,8 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg("toks"), 4).alias("avg_tokens"),
-            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            (F.round(F.avg("toks") * 10000) / 10000).alias("avg_tokens"),
+            (F.round(F.avg("n_chars") * 10000) / 10000).alias("avg_chars"),
             F.sum("n_chars").alias("total_chars"),
         )
         .orderBy("lang")
@@ -1402,8 +1472,8 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DOC_TOKEN_STATS = r"""
 SELECT lang, COUNT(*) AS n_docs,
   round(AVG(CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\s+')) END), 4) AS avg_tokens,
-  round(AVG(n_chars), 4) AS avg_chars,
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END) * 10000) / 10000 AS avg_tokens,
+  round(AVG(n_chars) * 10000) / 10000 AS avg_chars,
   CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang ORDER BY lang
 """
@@ -1430,9 +1500,9 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg("pr"), 6).alias("avg_punct_ratio"),
-            F.round(F.avg("dr"), 6).alias("avg_digit_ratio"),
-            F.round(F.avg("sr"), 6).alias("avg_space_ratio"),
+            (F.round(F.avg("pr") * 1000000) / 1000000).alias("avg_punct_ratio"),
+            (F.round(F.avg("dr") * 1000000) / 1000000).alias("avg_digit_ratio"),
+            (F.round(F.avg("sr") * 1000000) / 1000000).alias("avg_space_ratio"),
         )
         .orderBy("source")
     )
@@ -1449,9 +1519,9 @@ WITH f AS (
       / greatest(length(text), 1) AS sr
   FROM documents)
 SELECT source, COUNT(*) AS n_docs,
-  round(AVG(pr), 6) AS avg_punct_ratio,
-  round(AVG(dr), 6) AS avg_digit_ratio,
-  round(AVG(sr), 6) AS avg_space_ratio
+  round(AVG(pr) * 1000000) / 1000000 AS avg_punct_ratio,
+  round(AVG(dr) * 1000000) / 1000000 AS avg_digit_ratio,
+  round(AVG(sr) * 1000000) / 1000000 AS avg_space_ratio
 FROM f GROUP BY source ORDER BY source
 """
 
@@ -1768,8 +1838,8 @@ def q_emb_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("s"), 6).alias("avg_sum"),
-            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            (F.round(F.avg("s") * 1000000) / 1000000).alias("avg_sum"),
+            (F.round(F.avg("nrm") * 1000000) / 1000000).alias("avg_norm"),
         )
         .orderBy("label")
     )
@@ -1782,7 +1852,7 @@ WITH per AS (
   FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
   GROUP BY vec_id)
 SELECT e.label, COUNT(*) AS n,
-  round(AVG(per.s), 6) AS avg_sum, round(AVG(per.nrm), 6) AS avg_norm
+  round(AVG(per.s) * 1000000) / 1000000 AS avg_sum, round(AVG(per.nrm) * 1000000) / 1000000 AS avg_norm
 FROM embeddings e JOIN per USING (vec_id)
 GROUP BY e.label ORDER BY e.label
 """
@@ -2424,8 +2494,8 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["events"]
         .groupBy("event_type")
         .agg(
-            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
-            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+            (F.round(F.expr("percentile(value, 0.5)") * 10000) / 10000).alias("p50"),
+            (F.round(F.expr("percentile(value, 0.95)") * 10000) / 10000).alias("p95"),
             F.count("*").alias("n"),
         )
         .orderBy("event_type")
@@ -2434,8 +2504,8 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PERCENTILES = """
 SELECT event_type,
-  round(quantile_cont(value, 0.5), 4) AS p50,
-  round(quantile_cont(value, 0.95), 4) AS p95,
+  round(quantile_cont(value, 0.5) * 10000) / 10000 AS p50,
+  round(quantile_cont(value, 0.95) * 10000) / 10000 AS p95,
   COUNT(*) AS n
 FROM events GROUP BY event_type ORDER BY event_type
 """
@@ -2624,14 +2694,14 @@ def q_series_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_type").orderBy("time_us")
     dv = F.col("value") - F.lag("value").over(w)
     dt_sec = (F.col("time_us") - F.lag("time_us").over(w)) / F.lit(US)
-    deriv = ev.withColumn("rate", F.round(dv / dt_sec, 6)).filter(
+    deriv = ev.withColumn("rate", (F.round((dv / dt_sec) * 1000000) / 1000000)).filter(
         F.col("rate").isNotNull()
     )
     return (
         deriv.groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("rate"), 6).alias("avg_rate"),
+            (F.round(F.avg("rate") * 1000000) / 1000000).alias("avg_rate"),
             F.max("rate").alias("max_rate"),
         )
         .orderBy("event_type")
@@ -2641,13 +2711,13 @@ def q_series_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SERIES_DERIVATIVE = f"""
 WITH d AS (
   SELECT event_type,
-    round((value - lag(value) OVER w)
-      / ((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / {US}.0), 6) AS rate
+    round(((value - lag(value) OVER w)
+      / ((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / {US}.0)) * 1000000) / 1000000 AS rate
   FROM events
   WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts))
 )
 SELECT event_type, COUNT(*) AS n,
-  round(AVG(rate), 6) AS avg_rate, MAX(rate) AS max_rate
+  round(AVG(rate) * 1000000) / 1000000 AS avg_rate, MAX(rate) AS max_rate
 FROM d WHERE rate IS NOT NULL
 GROUP BY event_type ORDER BY event_type
 """
@@ -2965,7 +3035,7 @@ ORDER BY t.doc_id
 _SQL_GAPFILL_PREAMBLE = f"""
 WITH agg AS (
   SELECT epoch_us(ts) - ((epoch_us(ts) % {300 * US}) + {300 * US}) % {300 * US} + {300 * US} AS time_us,
-         round(AVG(value), 4) AS mean_value
+         round(AVG(value) * 10000) / 10000 AS mean_value
   FROM events WHERE event_type = 'signup' GROUP BY 1
 ), bounds AS (SELECT MIN(time_us) AS lo, MAX(time_us) AS hi FROM agg),
 grid AS (
@@ -2986,7 +3056,7 @@ def q_window_gapfill_previous(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__bucket_ns", window_bounds("ts", 300 * NS)
     )
     agg = ev.groupBy(F.expr("__bucket_ns div 1000").alias("time_us")).agg(
-        F.round(F.avg("value"), 4).alias("mean_value"),
+        (F.round(F.avg("value") * 10000) / 10000).alias("mean_value"),
         F.count("*").alias("n"),
     )
     filled = fill_window_gaps(
@@ -3022,7 +3092,7 @@ def q_window_gapfill_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__bucket_ns", window_bounds("ts", 300 * NS)
     )
     agg = ev.groupBy(F.expr("__bucket_ns div 1000").alias("time_us")).agg(
-        F.round(F.avg("value"), 4).alias("mean_value")
+        (F.round(F.avg("value") * 10000) / 10000).alias("mean_value")
     )
     filled = fill_window_gaps(
         agg.withColumn("series", F.lit("signup")),
@@ -3057,7 +3127,7 @@ def q_window_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__bucket_ns", window_bounds("ts", 300 * NS)
     )
     agg = ev.groupBy(F.expr("__bucket_ns div 1000").alias("time_us")).agg(
-        F.round(F.avg("value"), 4).alias("mean_value")
+        (F.round(F.avg("value") * 10000) / 10000).alias("mean_value")
     )
     filled = fill_window_gaps(
         agg.withColumn("series", F.lit("signup")),
@@ -3068,7 +3138,7 @@ def q_window_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         strategy="linear",
     )
     return filled.select(
-        "series", "time_us", F.round("mean_value", 6).alias("mean_value")
+        "series", "time_us", (F.round(F.col("mean_value") * 1000000) / 1000000).alias("mean_value")
     ).orderBy("time_us")
 
 
@@ -3085,9 +3155,9 @@ SQL_WINDOW_GAPFILL_LINEAR = _SQL_GAPFILL_PREAMBLE + f""", j AS (
       OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
   FROM j)
 SELECT 'signup' AS series, t AS time_us,
-  round(CASE WHEN v IS NOT NULL THEN v
+  round((CASE WHEN v IS NOT NULL THEN v
         WHEN pv IS NOT NULL AND nv IS NOT NULL
-        THEN pv + (nv - pv) * (t - pt) / (nt - pt) END, 6) AS mean_value
+        THEN pv + (nv - pv) * (t - pt) / (nt - pt) END) * 1000000) / 1000000 AS mean_value
 FROM w ORDER BY t
 """
 
@@ -3849,7 +3919,7 @@ def q_influxql_mean_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type",
         F.expr("time div 1000").alias("time_us"),
-        F.round("mean_value", 4).alias("mean_value"),
+        (F.round(F.col("mean_value") * 10000) / 10000).alias("mean_value"),
         "n",
     ).orderBy("event_type", "time_us")
 
@@ -3857,7 +3927,7 @@ def q_influxql_mean_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_INFLUXQL_MEAN_1H = f"""
 SELECT event_type,
   epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS time_us,
-  round(AVG(value), 4) AS mean_value,
+  round(AVG(value) * 10000) / 10000 AS mean_value,
   COUNT(value) AS n
 FROM events
 WHERE epoch_us(ts) >= {T0 * 1000000} AND epoch_us(ts) < {T1 * 1000000}
@@ -4021,7 +4091,7 @@ def q_influxql_wildcard_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.expr("time div 1000").alias("time_us"),
         F.col("count_value"),
-        F.round("mean_value", 4).alias("mean_value"),
+        (F.round(F.col("mean_value") * 10000) / 10000).alias("mean_value"),
     ).orderBy("event_type", "time_us")
 
 
@@ -4029,7 +4099,7 @@ SQL_INFLUXQL_WILDCARD_AGG = f"""
 SELECT event_type,
   epoch_us(ts) - epoch_us(ts) % {6 * HOUR_US} AS time_us,
   COUNT(value) AS count_value,
-  round(AVG(value), 4) AS mean_value
+  round(AVG(value) * 10000) / 10000 AS mean_value
 FROM events
 WHERE epoch_us(ts) >= {T0 * 1000000} AND epoch_us(ts) < {T1 * 1000000}
 GROUP BY 1, 2 ORDER BY event_type, time_us
@@ -4098,7 +4168,7 @@ def entry(spark: SparkSession) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             _money_sum(_dec("value"), "sum_value"),
-            F.round(F.avg("value"), 4).alias("mean_value"),
+            (F.round(F.avg("value") * 10000) / 10000).alias("mean_value"),
         )
         .withColumn("time_us", F.lit(None).cast("long"))
         .select("event_type", "time_us", "n", "sum_value", "mean_value"),
