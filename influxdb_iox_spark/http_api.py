@@ -327,6 +327,7 @@ class IoxHttpServer:
             chunk_size=chunk_size,
             database=self.database,
             read_only=read_only,
+            max_rows=self.max_rows,
         )
 
 

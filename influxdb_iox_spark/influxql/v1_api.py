@@ -260,13 +260,18 @@ def run_statements(
     now_ns: int | None = None,
     database=None,
     read_only: bool = False,
+    resolve_database=None,
 ) -> dict:
     """Execute a (possibly multi-statement) InfluxQL request and build
     the v1 response envelope.  Statement errors are reported per
     statement, never as transport errors (stock behavior).
     ``database``: the engine Database, required only for SELECT ... INTO
     writebacks (the stock continuous-query form).  ``read_only``: reject
-    INTO with the stock POST-required message (set on the GET route)."""
+    INTO with the stock POST-required message (set on the GET route).
+    ``resolve_database``: name -> engine Database (or None) for servers
+    hosting several; DDL targets are resolved by STATEMENT name through
+    it, never by the connection's ``db=`` param — ``DROP DATABASE b``
+    sent with ``db=a`` must drop b, not a."""
     if epoch is not None and epoch not in _EPOCH_DIV:
         raise ValueError(f"invalid epoch {epoch!r}")
     now_ns = now_ns if now_ns is not None else _time.time_ns()
@@ -292,12 +297,22 @@ def run_statements(
                         f"manage database {target!r}"
                     )
                 if isinstance(stmt, DropDatabase):
-                    if database is None:
+                    # resolve the VICTIM from the statement's own name:
+                    # the connection's database (db= param) may be a
+                    # different hosted db, and dropping it instead would
+                    # be wrong-target data loss.
+                    if resolve_database is not None:
+                        victim = resolve_database(stmt.name)
+                    elif databases == [stmt.name]:
+                        victim = database  # single-db server: names agree
+                    else:
+                        victim = None
+                    if victim is None:
                         raise InfluxQLPlanError(
                             "DROP DATABASE is not available on this endpoint"
                         )
-                    for t in list(database.table_names()):
-                        database.drop_table(t)
+                    for t in list(victim.table_names()):
+                        victim.drop_table(t)
                 results.append(entry)
                 continue
             if isinstance(stmt, DropMeasurement):
@@ -502,6 +517,8 @@ def run_statements_chunked(
     now_ns: int | None = None,
     database=None,
     read_only: bool = False,
+    max_rows: int = 10_000,
+    resolve_database=None,
 ):
     """The ``chunked=true`` form of run_statements: yields one envelope
     document per chunk (stock streams these newline-separated over HTTP
@@ -530,9 +547,11 @@ def run_statements_chunked(
                 catalog,
                 databases=databases,
                 epoch=epoch,
+                max_rows=max_rows,
                 now_ns=now_ns,
                 database=database,
                 read_only=read_only,
+                resolve_database=resolve_database,
             )
             entry = env["results"][0]
             entry["statement_id"] = i

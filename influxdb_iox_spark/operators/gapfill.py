@@ -74,7 +74,13 @@ def fill_window_gaps(
         *tag_columns,
         F.explode(F.sequence(lo, hi, F.lit(step))).alias(time_column),
     )
-    joined = grid.join(windowed, on=[*tag_columns, time_column], how="left")
+    # FULL outer, not left: with a pinned grid under tz(), a fall-back DST
+    # transition can floor an observed row to a local bucket outside (or off
+    # the stride of) [grid_start, grid_stop] — a left join would silently
+    # drop that observed bucket.  Full outer keeps every grid bucket (values
+    # null, to be filled) AND every observed bucket unconditionally; in the
+    # aligned common case the two joins produce identical rows.
+    joined = grid.join(windowed, on=[*tag_columns, time_column], how="full")
 
     if strategy == "null":
         return joined

@@ -1528,7 +1528,7 @@ if _FLIGHT_AVAILABLE:
 # -- multi-database HTTP facade ---------------------------------------------
 
 
-_LP_TS = __import__("re").compile(rb"^(.*) (-?\d+)[ \t]*$")
+_LP_TS = __import__("re").compile(rb"^(.*) (-?\d+)[ \t]*(\r?)$")
 
 
 def _scale_lp_timestamps(body: bytes, factor: int) -> bytes:
@@ -1537,12 +1537,17 @@ def _scale_lp_timestamps(body: bytes, factor: int) -> bytes:
     the final whitespace-separated integer token of a line — quoted field
     strings cannot end a line unescaped, so the anchored regex cannot
     misfire inside one; lines without timestamps pass through (the server
-    assigns ns wall clock downstream)."""
+    assigns ns wall clock downstream).  CRLF-terminated lines (Windows
+    clients, HTTP tooling) scale too — the split is on \\n, so the \\r
+    rides as line tail and is preserved after the scaled timestamp."""
     out = []
     for line in body.split(b"\n"):
         m = _LP_TS.match(line)
         if m:
-            line = m.group(1) + b" " + str(int(m.group(2)) * factor).encode()
+            line = (
+                m.group(1) + b" "
+                + str(int(m.group(2)) * factor).encode() + m.group(3)
+            )
         out.append(line)
     return b"\n".join(out)
 
@@ -1614,6 +1619,13 @@ class IoxMultiDbHttpServer:
         self.metrics["ingest_points_bytes_total"] += len(body)
 
     # -- InfluxDB 1.x API over the live database set -------------------------
+    def _resolve_database(self, name: str):
+        """DDL target lookup by STATEMENT name (not the db= param):
+        ``DROP DATABASE b`` must resolve b even when the connection
+        selected database a."""
+        md = self.server.databases.get(name)
+        return md.database if md is not None else None
+
     def _v1_database(self, db: str | None):
         from influxdb_iox_spark.http_api import _HttpError
 
@@ -1652,6 +1664,7 @@ class IoxMultiDbHttpServer:
                 max_rows=self.max_rows,
                 database=database,
                 read_only=read_only,
+                resolve_database=self._resolve_database,
             )
         except ValueError as e:  # bad epoch
             raise _HttpError(400, str(e))
@@ -1683,6 +1696,8 @@ class IoxMultiDbHttpServer:
             chunk_size=chunk_size,
             database=database,
             read_only=read_only,
+            max_rows=self.max_rows,
+            resolve_database=self._resolve_database,
         )
 
     def handle_write_v1(

@@ -56,3 +56,31 @@ def test_fill_linear_interpolates_interior_gaps(spark):
     assert rows[("a", 50)] == 9.0
     assert rows[("b", 10)] == 5.0
     assert len(rows) == 6
+
+
+def test_observed_bucket_off_pinned_grid_survives(spark):
+    """A tz() fall-back DST transition can floor an observed row to a local
+    bucket below grid_start (or off the grid stride).  The grid join must
+    keep such observed buckets, not silently drop them (full outer, not
+    left)."""
+    from influxdb_iox_spark.operators.gapfill import fill_window_gaps
+
+    df = spark.createDataFrame(
+        [("a", 95, 2.0), ("a", 110, 6.0)], "k string, t long, v double"
+    )
+    out = fill_window_gaps(
+        df,
+        tag_columns=["k"],
+        time_column="t",
+        step=10,
+        strategy="previous",
+        grid_start=100,
+        grid_stop=120,
+    )
+    rows = {(r.k, r.t): r.v for r in out.collect()}
+    # observed off-grid bucket 95 survives; grid buckets 100..120 all appear
+    assert rows[("a", 95)] == 2.0
+    assert rows[("a", 100)] == 2.0  # carried forward from 95
+    assert rows[("a", 110)] == 6.0
+    assert rows[("a", 120)] == 6.0
+    assert len(rows) == 4

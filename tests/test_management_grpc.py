@@ -1056,3 +1056,85 @@ def test_multi_db_v1_influxql_loop(srv):
         assert len(docs) == 2 and docs[0]["results"][0]["partial"] is True
     finally:
         http.stop()
+
+
+def test_scale_lp_timestamps_crlf():
+    """CRLF-terminated line protocol (Windows clients, curl -d with \r\n)
+    must scale precision timestamps too — the \r rides as preserved line
+    tail, not as a scaling-defeating mismatch."""
+    from influxdb_iox_spark.rpc_management import _scale_lp_timestamps
+
+    body = b"cpu,host=a v=1.0 100\r\ncpu,host=b v=2.0 200\r\n"
+    out = _scale_lp_timestamps(body, 10**9)
+    assert out == (
+        b"cpu,host=a v=1.0 100000000000\r\n"
+        b"cpu,host=b v=2.0 200000000000\r\n"
+    )
+    # LF-only and no-timestamp lines unchanged in behavior
+    assert _scale_lp_timestamps(b"cpu v=1 5\ncpu v=2", 1000) == (
+        b"cpu v=1 5000\ncpu v=2"
+    )
+
+
+def test_multi_db_drop_database_targets_statement_name(srv):
+    """DROP DATABASE b sent with db=a must drop b, NOT the connection's
+    database a (wrong-target data loss)."""
+    import json as _json
+    import urllib.parse
+    import urllib.request
+
+    from influxdb_iox_spark.rpc_management import IoxMultiDbHttpServer
+
+    server, _port = srv
+    http = IoxMultiDbHttpServer(server)
+    port = http.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        for name in ("drop_a", "drop_b"):
+            server.create_database(
+                {"name": name, "partition_template": {"parts": [{"table": {}}]}}
+            )
+            server.write_lp(name, "cpu,host=x v=1.0 100")
+
+        def post_query(db, q):
+            data = urllib.parse.urlencode({"db": db, "q": q}).encode()
+            req = urllib.request.Request(f"{base}/query", data=data)
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return _json.loads(r.read())
+
+        env = post_query("drop_a", "DROP DATABASE drop_b")
+        assert env["results"][0] == {"statement_id": 0}
+        assert server.databases["drop_b"].database.table_names() == []
+        # the connection's database is untouched
+        assert server.databases["drop_a"].database.table_names() == ["cpu"]
+        # unhosted target is a per-statement error, nothing is dropped
+        env = post_query("drop_a", "DROP DATABASE nosuch")
+        assert "nosuch" in env["results"][0]["error"]
+        assert server.databases["drop_a"].database.table_names() == ["cpu"]
+    finally:
+        http.stop()
+
+
+def test_chunked_nonselect_honors_configured_max_rows(spark):
+    """run_statements_chunked forwards the server's configured max_rows to
+    the non-SELECT sub-call instead of silently using the default."""
+    from influxdb_iox_spark.influxql.v1_api import run_statements_chunked
+    from influxdb_iox_spark.influxql.planner import Measurement
+
+    cpu = spark.createDataFrame(
+        [("a", 1.0, 10**9)], "host string, v double, time long"
+    )
+    mem = spark.createDataFrame(
+        [("b", 2.0, 10**9)], "host string, v double, time long"
+    )
+    catalog = {
+        "cpu": Measurement(df=cpu, tags=("host",), fields=("v",)),
+        "mem": Measurement(df=mem, tags=("host",), fields=("v",)),
+    }
+    docs = list(
+        run_statements_chunked(
+            "SHOW MEASUREMENTS", catalog, chunk_size=10, max_rows=1
+        )
+    )
+    assert len(docs) == 1
+    assert "max_rows=1" in docs[0]["results"][0]["error"]
