@@ -235,6 +235,11 @@ _PLAIN_AGGS = {
     # the two middle values for even counts" — Spark's exact percentile)
     "median": lambda c: F.percentile(c, F.lit(0.5)),
     "stddev": F.stddev_samp,
+    # MODE(): most frequent value; ties pinned to the SMALLEST value
+    # (Spark's deterministic mode — same contract as
+    # operators.stats.mode_smallest, but a single composable hash
+    # aggregate).  NULLs never count, like every InfluxQL aggregate.
+    "mode": lambda c: F.mode(c, True),
 }
 
 _SELECTORS = ("first", "last")
@@ -277,7 +282,9 @@ _AGG_FAMILY = frozenset(_PLAIN_AGGS) | {
     "spread",
     "count_distinct",  # normalized COUNT(DISTINCT(x))
 }
-_SPECIAL = frozenset(("top", "bottom", "distinct", "percentile"))
+_SPECIAL = frozenset(
+    ("top", "bottom", "distinct", "percentile", "integral", "sample")
+)
 _ARITH = {"+", "-", "*", "/", "%"}
 _SUPPORTED = (
     tuple(_PLAIN_AGGS)
@@ -285,7 +292,8 @@ _SUPPORTED = (
     + _TRANSFORMS
     + tuple(_MATH_1)
     + tuple(_MATH_2)
-    + ("spread", "percentile", "top", "bottom", "distinct")
+    + ("spread", "percentile", "top", "bottom", "distinct", "integral",
+       "sample")
 )
 
 
@@ -629,13 +637,17 @@ def _plan_single(
     if has_special:
         if has_agg or has_transform:
             raise InfluxQLPlanError(
-                "top()/bottom()/distinct()/percentile() cannot mix with "
-                "other aggregates or transforms"
+                "top()/bottom()/distinct()/percentile()/integral()/sample() "
+                "cannot mix with other aggregates or transforms"
             )
         if any(c.func in ("top", "bottom") for c in all_calls):
             out = _plan_top_bottom(stmt, m, df, tags)
         elif any(c.func == "distinct" for c in all_calls):
             out = _plan_distinct(stmt, m, df, tags)
+        elif any(c.func == "integral" for c in all_calls):
+            out = _plan_integral(stmt, m, df, tags)
+        elif any(c.func == "sample" for c in all_calls):
+            out = _plan_sample(stmt, m, df, tags)
         else:
             out = _plan_percentile(stmt, m, df, tags)
     elif has_transform and has_agg:
@@ -1203,6 +1215,104 @@ def _plan_percentile(
             F.col("time").desc() if stmt.order_desc else F.col("time").asc()
         )
     return out.orderBy(*order) if order else out
+
+
+def _plan_integral(
+    stmt: SelectStatement, m: Measurement, df: DataFrame, tags: list[str]
+) -> DataFrame:
+    """INTEGRAL(field[, unit]): per-series trapezoid area under the field
+    curve, reported in value·unit (unit defaults to 1s).  Exact
+    arithmetic end to end: values in micro-units int64, per-term products
+    and the sum in decimal, ONE final double division — so the result is
+    bit-identical regardless of partitioning/summation order (and
+    oracle-pairable).  With GROUP BY time() the trapezoids are computed
+    WITHIN each bucket (terms crossing a bucket boundary are excluded —
+    documented divergence from stock, which interpolates the boundary
+    crossing)."""
+    from influxdb_iox_spark.operators.transforms import trapezoidal_integral
+
+    if len(stmt.projections) != 1:
+        raise InfluxQLPlanError("integral() must be the only projection")
+    call = stmt.projections[0].expr
+    fld = _field_arg(call, m)
+    unit_ns = 1_000_000_000
+    if len(call.args) > 1:
+        a = call.args[1]
+        if not (isinstance(a, Literal) and a.kind == "duration"):
+            raise InfluxQLPlanError("integral() unit must be a duration")
+        unit_ns = int(a.value)
+        if unit_ns <= 0:
+            raise InfluxQLPlanError("integral() unit must be positive")
+    by: list[str] = list(tags)
+    pre = df.filter(F.col(fld).isNotNull())
+    if stmt.group_by_time_ns is not None:
+        # keep the raw timestamp for in-bucket ordering; the bucket rides
+        # as a separate grouping key
+        pre = pre.withColumn("__bucket", _bucket_col(stmt, m))
+        by = [*tags, "__bucket"]
+    pre = pre.withColumn(
+        "__iv", F.round(F.col(fld) * 1_000_000).cast("long")
+    )
+    out = trapezoidal_integral(
+        pre, by, m.time_col, "__iv", time_units_per_second=unit_ns
+    )
+    alias = stmt.projections[0].alias or "integral"
+    sel = [F.col(t) for t in tags]
+    if stmt.group_by_time_ns is not None:
+        sel.append(F.col("__bucket").alias("time"))
+    # a single-point series has no interval: area 0, not null
+    sel.append(F.coalesce(F.col("integral"), F.lit(0.0)).alias(alias))
+    out = out.select(*sel)
+    if stmt.group_by_time_ns is not None:
+        out = _finish_tz_time(stmt, out)
+    order = [F.col(t) for t in tags]
+    if stmt.group_by_time_ns is not None:
+        order.append(
+            F.col("time").desc() if stmt.order_desc else F.col("time").asc()
+        )
+    return out.orderBy(*order) if order else out
+
+
+def _plan_sample(
+    stmt: SelectStatement, m: Measurement, df: DataFrame, tags: list[str]
+) -> DataFrame:
+    """SAMPLE(field, N): N points per series.  Stock picks via reservoir
+    sampling; here the pick is a DETERMINISTIC pseudo-random order — md5
+    of the (timestamp, micro-units value) rendering, which every engine
+    computes identically, so results are stable run-to-run and
+    oracle-pairable.  No GROUP BY tags → one global sample via
+    sort-limit (TakeOrderedAndProject, distributed top-k); with tags →
+    one row_number window per series (state bounded per series)."""
+    if len(stmt.projections) != 1:
+        raise InfluxQLPlanError("sample() must be the only projection")
+    call = stmt.projections[0].expr
+    fld = _field_arg(call, m)
+    n = int(_int_arg(call, 1, "a sample size N"))
+    if n <= 0:
+        raise InfluxQLPlanError("sample(): N must be positive")
+    alias = stmt.projections[0].alias or "sample"
+    pre = df.filter(F.col(fld).isNotNull())
+    key = F.md5(
+        F.concat_ws(
+            ":",
+            F.col(m.time_col).cast("string"),
+            F.round(F.col(fld) * 1_000_000).cast("long").cast("string"),
+        )
+    )
+    if tags:
+        w = Window.partitionBy(*[F.col(t) for t in tags]).orderBy(
+            key, F.col(m.time_col)
+        )
+        picked = (
+            pre.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n)
+            .drop("__rn")
+        )
+    else:
+        picked = pre.orderBy(key, F.col(m.time_col)).limit(n)
+    out = picked.select(*tags, _time_out(m), F.col(fld).alias(alias))
+    tcol = F.col("time").desc() if stmt.order_desc else F.col("time").asc()
+    return out.orderBy(*[F.col(t) for t in tags], tcol)
 
 
 def _apply_series_limits(

@@ -1401,3 +1401,85 @@ def test_chunk_batches_lookahead():
     out2 = list(_batches(iter(range(4)), 2))
     assert out2 == [([0, 1], True), ([2, 3], False)]
     assert list(_batches(iter([]), 3)) == [([], False)]
+
+
+# -- MODE / INTEGRAL / SAMPLE (round 10) --------------------------------------
+
+
+def test_mode_smallest_tie(catalog):
+    # host a: 1,2,4,8 each once -> tie -> smallest (1.0); b: 10,30 -> 10.0
+    out = execute("SELECT MODE(v) FROM cpu GROUP BY host", catalog)
+    assert _rows(out) == [(None, 5.0), ("a", 1.0), ("b", 10.0)]
+    # composes with other plain aggregates in ONE hash aggregate
+    out = execute("SELECT MODE(v), COUNT(v) FROM cpu GROUP BY host", catalog)
+    assert _rows(out) == [(None, 5.0, 1), ("a", 1.0, 4), ("b", 10.0, 2)]
+
+
+def test_mode_repeated_value(spark):
+    df = spark.createDataFrame(
+        [("a", 2.0, 10 * S), ("a", 2.0, 20 * S), ("a", 9.0, 30 * S)],
+        "host string, v double, time long",
+    )
+    cat = {"cpu": Measurement(df=df, tags=("host",), fields=("v",))}
+    out = execute("SELECT MODE(v) FROM cpu GROUP BY host", cat)
+    assert _rows(out) == [("a", 2.0)]
+
+
+def test_integral_per_series(catalog):
+    # a: (1+2)/2*10 + (2+4)/2*3590 + (4+8)/2*7200 = 15+10770+43200 = 53985
+    # b: (10+30)/2*7200 = 144000;  null host: single point -> 0
+    out = execute("SELECT INTEGRAL(v) FROM cpu GROUP BY host", catalog)
+    assert _rows(out) == [(None, 0.0), ("a", 53985.0), ("b", 144000.0)]
+    # explicit unit: value*minutes
+    out = execute("SELECT INTEGRAL(v, 1m) FROM cpu GROUP BY host", catalog)
+    assert _rows(out) == [
+        (None, 0.0), ("a", 53985.0 / 60), ("b", 144000.0 / 60)
+    ]
+
+
+def test_integral_group_by_time(catalog):
+    # within-bucket trapezoids only (terms crossing a boundary excluded):
+    # host a, 1h buckets: bucket 0 has (10s,1),(20s,2) -> 15; buckets with
+    # a single point -> 0
+    out = execute(
+        "SELECT INTEGRAL(v) FROM cpu WHERE host = 'a' "
+        "GROUP BY time(1h), host FILL(none)",
+        catalog,
+    )
+    rows = _rows(out)
+    assert ("a", 0, 15.0) in rows
+    assert all(r[2] == 0.0 for r in rows if r[1] != 0)
+
+
+def test_sample_deterministic(catalog):
+    out1 = _rows(execute("SELECT SAMPLE(v, 2) FROM cpu GROUP BY host", catalog))
+    out2 = _rows(execute("SELECT SAMPLE(v, 2) FROM cpu GROUP BY host", catalog))
+    assert out1 == out2  # deterministic pick
+    by_host: dict = {}
+    for host, t, v in out1:
+        by_host.setdefault(host, []).append((t, v))
+    assert len(by_host["a"]) == 2 and len(by_host["b"]) == 2
+    assert len(by_host[None]) == 1
+    # sampled points are real points (original time+value pairs)
+    orig = {
+        ("a", 10 * S, 1.0), ("a", 20 * S, 2.0), ("a", H + 10 * S, 4.0),
+        ("a", 3 * H + 10 * S, 8.0), ("b", 10 * S, 10.0),
+        ("b", 2 * H + 10 * S, 30.0), (None, 10 * S, 5.0),
+    }
+    assert {(h, t, v) for h, t, v in out1} <= orig
+
+
+def test_sample_global_no_tags(catalog):
+    out = _rows(execute("SELECT SAMPLE(v, 3) FROM cpu", catalog))
+    assert len(out) == 3
+    # ordered by time in the output
+    assert [r[0] for r in out] == sorted(r[0] for r in out)
+
+
+def test_integral_sample_errors(catalog):
+    with pytest.raises(InfluxQLPlanError):
+        execute("SELECT SAMPLE(v, 0) FROM cpu", catalog)
+    with pytest.raises(InfluxQLPlanError):
+        execute("SELECT INTEGRAL(v, 5) FROM cpu", catalog)  # unit not duration
+    with pytest.raises(InfluxQLPlanError):
+        execute("SELECT INTEGRAL(v), MEAN(v) FROM cpu", catalog)
