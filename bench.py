@@ -122,18 +122,44 @@ def main() -> None:
     # sentinel_sec makes the machine's state at that moment part of the
     # record, so a slow row with a slow sentinel is environmental and a
     # slow row with a clean sentinel is the code's.
+    # Dirty-run policy (VERDICT r9 §5): a row measured under co-tenant load
+    # (its sentinel >=3x the running median) or with runs disagreeing >3x
+    # (a mid-run spike the sentinel bracketed past — r9's q1 run2 hit 27s
+    # under loadavg 6.3 on identical code) is re-measured ONCE, and the
+    # retried names are recorded on the driver line so a reader can tell a
+    # re-measured row from a first-try-clean one.
     timings: dict[str, float] = {}
     timings_run1: dict[str, float] = {}
     timings_run2: dict[str, float] = {}
     sentinels: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        sentinels[name] = round(_sentinel_once(), 3)
+    retried: list[str] = []
+
+    def _sentinel_median() -> float:
+        vals = sorted([sentinel_before, *sentinels.values()])
+        return vals[len(vals) // 2]
+
+    def _run_pair(fn) -> list[float]:
         runs = []
         for _ in range(2):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             runs.append(time.perf_counter() - t0)
+        return runs
+
+    def _dirty(sent: float, runs: list[float]) -> bool:
+        return (
+            sent >= 3 * _sentinel_median()
+            or max(runs) > 3 * max(min(runs), 1e-9)
+        )
+
+    for name in HEADLINE:
+        fn = queries[name]
+        sentinels[name] = round(_sentinel_once(), 3)
+        runs = _run_pair(fn)
+        if _dirty(sentinels[name], runs):
+            retried.append(name)
+            sentinels[name] = round(_sentinel_once(), 3)
+            runs = _run_pair(fn)
         timings[name] = round(min(runs), 3)
         timings_run1[name] = round(runs[0], 3)
         timings_run2[name] = round(runs[1], 3)
@@ -167,6 +193,14 @@ def main() -> None:
     n = distributed_parse(lines_df, schema, "events", 0).count()
     timings["ingest_line_protocol"] = round(time.perf_counter() - t0, 3)
     assert n == events.count()
+    if sentinels["ingest_line_protocol"] >= 3 * _sentinel_median():
+        retried.append("ingest_line_protocol")
+        sentinels["ingest_line_protocol"] = round(_sentinel_once(), 3)
+        t0 = time.perf_counter()
+        distributed_parse(lines_df, schema, "events", 0).count()
+        timings["ingest_line_protocol"] = round(
+            min(timings["ingest_line_protocol"], time.perf_counter() - t0), 3
+        )
 
     sentinel_after = _sentinel()
 
@@ -210,13 +244,14 @@ def main() -> None:
         "queries_run2": timings_run2,
         "first_warm_ratio": first_warm,
         "sentinels": sentinels,
+        "retried": retried,
         "conditions": conditions,
         "sf": sf_val,
     }
     with open(os.path.join(os.path.dirname(__file__), "bench_detail.json"), "w") as f:
         json.dump(detail, f, indent=1)
 
-    print(build_output_line(timings, sentinels, conditions, sf_val))
+    print(build_output_line(timings, sentinels, conditions, sf_val, retried))
     spark.stop()
 
 
@@ -248,6 +283,7 @@ def build_output_line(
     sentinels: dict[str, float],
     conditions: dict,
     sf: float | str,
+    retried: list[str] | None = None,
 ) -> str:
     """The ONE JSON line the driver parses. Its tail window is 2000 chars,
     so this line must stay under that; the guard below degrades gracefully
@@ -272,6 +308,9 @@ def build_output_line(
         "queries": timings,
         "sent_med": med,
         "sent_hi": sent_hi,
+        # rows re-measured under the dirty-run policy (co-tenant sentinel
+        # or >3x run disagreement) — normally empty
+        "retried": retried or [],
         "sf": sf,
         "conditions": conditions,
     }
