@@ -59,11 +59,17 @@ class IoxHttpServer:
         ingests: dict[str, LineProtocolIngest],
         db_name: str = "org_bucket",
         max_rows: int = DEFAULT_MAX_ROWS,
+        users: dict[str, str] | None = None,
     ):
         self.database = database
         self.ingests = dict(ingests)
         self.db_name = db_name
         self.max_rows = max_rows
+        #: user -> password; None = anonymous access (reference default).
+        #: When set, /query /write and the v2 data routes require matching
+        #: u/p params, HTTP Basic, or 1.8 Token credentials (401 otherwise);
+        #: /health /ping /metrics stay open like stock.
+        self.users = users
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
         # Prometheus-style counters, the surface of the reference's
@@ -411,10 +417,60 @@ class _HttpError(Exception):
         self.status = status
 
 
+def check_http_auth(
+    users: dict[str, str] | None,
+    auth_header: str | None,
+    u: str | None = None,
+    p: str | None = None,
+) -> bool:
+    """Stock 1.x credential check.  ``users`` None/empty → anonymous OK
+    (the v0 reference ships unauthenticated); configured → the request
+    must carry matching credentials via ``u``/``p`` query params, HTTP
+    Basic, or the 1.8 ``Authorization: Token user:pass`` form.  Explicit
+    u/p params take precedence over the header (stock order)."""
+    if not users:
+        return True
+    if u is not None or p is not None:
+        return u is not None and users.get(u) == (p or "")
+    if auth_header:
+        scheme, _, rest = auth_header.partition(" ")
+        if scheme.lower() == "basic":
+            import base64
+
+            try:
+                decoded = base64.b64decode(rest.strip()).decode("utf-8")
+            except Exception:
+                return False
+            user, _, pw = decoded.partition(":")
+            return users.get(user) == pw
+        if scheme.lower() == "token":
+            user, _, pw = rest.strip().partition(":")
+            return users.get(user) == pw
+    return False
+
+
 def _make_handler(api: IoxHttpServer):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet test output
             pass
+
+        def _authorize(self, *param_sources):
+            """401 unless the request carries valid credentials (no-op
+            when no users are configured).  ``param_sources``: parse_qs
+            dicts searched in order for u/p (form first on POST)."""
+
+            def pick(k):
+                for src in param_sources:
+                    v = (src.get(k) or [None])[0]
+                    if v is not None:
+                        return v
+                return None
+
+            if not check_http_auth(
+                api.users, self.headers.get("Authorization"),
+                pick("u"), pick("p"),
+            ):
+                raise _HttpError(401, "authorization failed")
 
         def _reply_error(self, status: int, message: str):
             # v2 API error-body shape (end_to_end_cases/http.rs:15: a 400
@@ -472,6 +528,7 @@ def _make_handler(api: IoxHttpServer):
                     return
                 if u.path == "/query":
                     qs = parse_qs(u.query)
+                    self._authorize(qs)
                     q = (qs.get("q") or [None])[0]
                     if not q:
                         raise _HttpError(400, "missing q parameter")
@@ -499,6 +556,7 @@ def _make_handler(api: IoxHttpServer):
                     and parts[5] == "query"
                 ):
                     qs = parse_qs(u.query)
+                    self._authorize(qs)
                     q = (qs.get("q") or [None])[0]
                     if not q:
                         raise _HttpError(400, "missing q parameter")
@@ -523,6 +581,7 @@ def _make_handler(api: IoxHttpServer):
                     length = int(self.headers.get("Content-Length", 0))
                     form = parse_qs(self.rfile.read(length).decode("utf-8"))
                     qs = parse_qs(u.query)
+                    self._authorize(form, qs)
                     def param(k):
                         return (form.get(k) or qs.get(k) or [None])[0]
                     q = param("q")
@@ -546,6 +605,7 @@ def _make_handler(api: IoxHttpServer):
                     self._reply(404, b"not found")
                     return
                 qs = parse_qs(u.query)
+                self._authorize(qs)
                 length = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(length)
                 if self.headers.get("Content-Encoding") == "gzip":

@@ -1561,9 +1561,16 @@ class IoxMultiDbHttpServer:
 
     DEFAULT_MAX_ROWS = 10_000
 
-    def __init__(self, server: IoxServer, max_rows: int = DEFAULT_MAX_ROWS):
+    def __init__(
+        self,
+        server: IoxServer,
+        max_rows: int = DEFAULT_MAX_ROWS,
+        users: dict[str, str] | None = None,
+    ):
         self.server = server
         self.max_rows = max_rows
+        #: user -> password; None = anonymous (see IoxHttpServer.users)
+        self.users = users
         self._httpd = None
         self._thread = None
         self.metrics: dict[str, int] = {

@@ -446,3 +446,101 @@ def test_ping_endpoint(server):
     with urllib.request.urlopen(f"{server}/ping", timeout=30) as r:
         assert r.status == 204
         assert "iox-spark" in r.headers["X-Influxdb-Version"]
+
+
+# -- v1 auth (round 10) -------------------------------------------------------
+
+
+def test_check_http_auth_unit():
+    from influxdb_iox_spark.http_api import check_http_auth
+    import base64
+
+    users = {"alice": "s3cret"}
+    # anonymous server: everything passes
+    assert check_http_auth(None, None)
+    assert check_http_auth({}, "Basic garbage")
+    # u/p params
+    assert check_http_auth(users, None, "alice", "s3cret")
+    assert not check_http_auth(users, None, "alice", "wrong")
+    assert not check_http_auth(users, None, "bob", "s3cret")
+    assert not check_http_auth(users, None, None, "s3cret")
+    # explicit params take precedence over a (valid) header
+    good = "Basic " + base64.b64encode(b"alice:s3cret").decode()
+    assert not check_http_auth(users, good, "alice", "wrong")
+    # Basic auth
+    assert check_http_auth(users, good)
+    assert not check_http_auth(
+        users, "Basic " + base64.b64encode(b"alice:wrong").decode()
+    )
+    assert not check_http_auth(users, "Basic not-base64!!")
+    # 1.8 Token form
+    assert check_http_auth(users, "Token alice:s3cret")
+    assert not check_http_auth(users, "Token alice:nope")
+    # missing credentials entirely
+    assert not check_http_auth(users, None)
+
+
+@pytest.fixture()
+def auth_server(spark, tmp_path):
+    store = TableStore(str(tmp_path / "auth_store"))
+    db = Database("myorg_mybucket", store, spark)
+    db.register_table("cpu", CPU)
+    ing = LineProtocolIngest(store, "cpu", CPU)
+    api = IoxHttpServer(
+        db, {"cpu": ing}, db_name="myorg_mybucket",
+        users={"alice": "s3cret"},
+    )
+    port = api.start()
+    yield f"http://127.0.0.1:{port}"
+    api.stop()
+
+
+def _status_of(url, body=None, headers=None):
+    try:
+        req = urllib.request.Request(url, data=body, headers=headers or {})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status
+    except urllib.error.HTTPError as e:
+        return e.code
+
+
+def test_auth_configured_routes(auth_server):
+    import base64
+
+    lines = b"cpu,region=west user=1.0 100"
+    wr = "/api/v2/write?org=myorg&bucket=mybucket"
+    # no credentials -> 401 with the stock envelope
+    try:
+        _post(f"{auth_server}{wr}", lines)
+        assert False, "expected 401"
+    except urllib.error.HTTPError as e:
+        assert e.code == 401
+        assert "authorization failed" in json.loads(e.read())["error"]
+    # u/p params ok
+    assert _status_of(
+        f"{auth_server}{wr}&u=alice&p=s3cret", body=lines
+    ) == 204
+    # Basic header ok
+    basic = "Basic " + base64.b64encode(b"alice:s3cret").decode()
+    assert _status_of(
+        f"{auth_server}{wr}", body=lines, headers={"Authorization": basic}
+    ) == 204
+    # wrong password -> 401 on query too
+    q = urllib.request.quote("SELECT user FROM cpu")
+    assert _status_of(f"{auth_server}/query?q={q}&u=alice&p=bad") == 401
+    assert _status_of(f"{auth_server}/query?q={q}&u=alice&p=s3cret") == 200
+    # iox query route guarded as well
+    iox = f"/iox/api/v1/databases/myorg_mybucket/query?q={q}&format=json"
+    assert _status_of(f"{auth_server}{iox}") == 401
+    assert _status_of(f"{auth_server}{iox}&u=alice&p=s3cret") == 200
+    # health/ping stay open, stock behavior
+    assert _status_of(f"{auth_server}/health") == 200
+    assert _status_of(f"{auth_server}/ping") == 204
+
+
+def test_anonymous_server_unaffected(server):
+    # default servers stay unauthenticated (reference parity)
+    lines = b"cpu,region=west user=1.0 100"
+    assert _status_of(
+        f"{server}/api/v2/write?org=myorg&bucket=mybucket", body=lines
+    ) == 204
