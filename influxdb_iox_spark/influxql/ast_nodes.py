@@ -178,6 +178,7 @@ class ShowStatement:
     where: object | None = None  # SHOW ... WHERE (tag keys/values, series)
     limit: int | None = None
     offset: int = 0
+    for_component: str | None = None  # SHOW STATS FOR '<component>'
 
 
 @dataclass(frozen=True)

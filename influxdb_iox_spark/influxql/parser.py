@@ -449,6 +449,34 @@ class _Parser:
             return ShowStatement("retention policies", on_db=on_db)
         if self._kw("CONTINUOUS", "QUERIES"):
             return ShowStatement("continuous queries")
+        if self._kw("STATS"):
+            stmt = ShowStatement("stats")
+            if self._kw("FOR"):
+                kind, v = self._next()
+                if kind == "str":
+                    stmt.for_component = re.sub(r"\\(.)", r"\1", v[1:-1])
+                elif kind in ("ident", "qident"):
+                    self.i -= 1
+                    stmt.for_component = self._ident()
+                else:
+                    raise InfluxQLParseError(
+                        "SHOW STATS FOR expects a component name"
+                    )
+            return stmt
+        if self._kw("DIAGNOSTICS"):
+            stmt = ShowStatement("diagnostics")
+            if self._kw("FOR"):
+                kind, v = self._next()
+                if kind == "str":
+                    stmt.for_component = re.sub(r"\\(.)", r"\1", v[1:-1])
+                elif kind in ("ident", "qident"):
+                    self.i -= 1
+                    stmt.for_component = self._ident()
+                else:
+                    raise InfluxQLParseError(
+                        "SHOW DIAGNOSTICS FOR expects a component name"
+                    )
+            return stmt
         if self._kw("SERIES"):
             meas = self._ident() if self._kw("FROM") else None
             return ShowStatement("series", measurement=meas)

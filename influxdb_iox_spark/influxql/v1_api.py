@@ -28,6 +28,7 @@ this layer only splits rows into series and formats time):
 
 from __future__ import annotations
 
+import datetime as _dt
 import time as _time
 
 from influxdb_iox_spark.influxql.ast_nodes import (
@@ -251,6 +252,73 @@ def _frame_show(stmt: ShowStatement, cols, rows) -> list[dict]:
     return [entry] if rows else []
 
 
+def _show_stats_series(stmt: ShowStatement, database, now_ns: int) -> list[dict]:
+    """SHOW STATS / SHOW DIAGNOSTICS — the stock 1.x ops statements,
+    answered from the engine's own metadata (manifest chunk stats; no
+    scans).  Series named after stock's modules where an honest analogue
+    exists; ``FOR '<component>'`` filters by series name."""
+    if database is None:
+        raise InfluxQLPlanError(
+            f"SHOW {stmt.what.upper()} is not available on this endpoint"
+        )
+    series: list[dict]
+    if stmt.what == "stats":
+        tables = sorted(database.table_names())
+        series = [
+            {
+                "name": "database",
+                "tags": {"database": database.name},
+                "columns": ["numMeasurements"],
+                "values": [[len(tables)]],
+            }
+        ]
+        for t in tables:
+            chunks = list(database.store.manifest(t))
+            series.append(
+                {
+                    "name": "shard",
+                    "tags": {"database": database.name, "measurement": t},
+                    "columns": ["numChunks", "numRows", "diskBytes"],
+                    "values": [[
+                        len(chunks),
+                        sum(c.row_count or 0 for c in chunks),
+                        sum(c.estimated_bytes or 0 for c in chunks),
+                    ]],
+                }
+            )
+    else:  # diagnostics
+        import sys as _sys
+
+        import pyspark as _pyspark
+
+        started = _dt.datetime.fromtimestamp(
+            now_ns / 1e9, tz=_dt.timezone.utc
+        ).strftime("%Y-%m-%dT%H:%M:%SZ")
+        series = [
+            {
+                "name": "build",
+                "columns": ["Version"],
+                "values": [["1.8-iox-spark"]],
+            },
+            {
+                "name": "runtime",
+                "columns": ["python", "pyspark"],
+                "values": [[
+                    ".".join(map(str, _sys.version_info[:3])),
+                    _pyspark.__version__,
+                ]],
+            },
+            {
+                "name": "system",
+                "columns": ["currentTime"],
+                "values": [[started]],
+            },
+        ]
+    if stmt.for_component is not None:
+        series = [s for s in series if s["name"] == stmt.for_component]
+    return series
+
+
 def run_statements(
     text: str,
     catalog: dict[str, Measurement],
@@ -330,6 +398,14 @@ def run_statements(
                     )
                 database.drop_table(stmt.name)
                 results.append(entry)  # stock: empty result on success
+                continue
+            if isinstance(stmt, ShowStatement) and stmt.what in (
+                "stats", "diagnostics"
+            ):
+                series = _show_stats_series(stmt, database, now_ns)
+                if series:
+                    entry["series"] = series
+                results.append(entry)
                 continue
             if isinstance(stmt, ExplainStatement):
                 df, _tags = plan_select_with_tags(

@@ -1483,3 +1483,60 @@ def test_integral_sample_errors(catalog):
         execute("SELECT INTEGRAL(v, 5) FROM cpu", catalog)  # unit not duration
     with pytest.raises(InfluxQLPlanError):
         execute("SELECT INTEGRAL(v), MEAN(v) FROM cpu", catalog)
+
+
+def test_show_stats_and_diagnostics(spark, tmp_path):
+    """Stock 1.x ops statements over the engine's own metadata: SHOW STATS
+    (manifest chunk counters, no scans) and SHOW DIAGNOSTICS (build/
+    runtime/system series); FOR '<component>' filters by series name."""
+    from influxdb_iox_spark.database import Database
+    from influxdb_iox_spark.influxql.v1_api import (
+        catalog_from_database,
+        run_statements,
+    )
+    from influxdb_iox_spark.schema import InfluxColumnType, IoxSchema
+    from influxdb_iox_spark.sources.store import TableStore
+
+    store = TableStore(str(tmp_path / "stats_store"))
+    db = Database("statsdb", store, spark)
+    sch = IoxSchema.build(["host"], {"v": InfluxColumnType.FIELD_FLOAT})
+    store.write_chunk(
+        spark.createDataFrame(
+            [("a", 1.0, 10 * S), ("b", 2.0, 20 * S)],
+            "host string, v double, time long",
+        ),
+        "cpu", sch,
+    )
+    db.register_table("cpu", sch)
+    env = run_statements(
+        "SHOW STATS", catalog_from_database(db), database=db
+    )
+    series = env["results"][0]["series"]
+    by_name = {}
+    for s in series:
+        by_name.setdefault(s["name"], []).append(s)
+    assert by_name["database"][0]["values"] == [[1]]
+    shard = by_name["shard"][0]
+    assert shard["tags"]["measurement"] == "cpu"
+    ncols = dict(zip(shard["columns"], shard["values"][0]))
+    assert ncols["numChunks"] == 1 and ncols["numRows"] == 2
+    # FOR filter
+    env = run_statements(
+        "SHOW STATS FOR 'database'", catalog_from_database(db), database=db
+    )
+    assert [s["name"] for s in env["results"][0]["series"]] == ["database"]
+
+    env = run_statements(
+        "SHOW DIAGNOSTICS", catalog_from_database(db), database=db,
+        now_ns=1_700_000_000 * S,
+    )
+    names = [s["name"] for s in env["results"][0]["series"]]
+    assert names == ["build", "runtime", "system"]
+    env = run_statements(
+        "SHOW DIAGNOSTICS FOR 'build'", catalog_from_database(db),
+        database=db,
+    )
+    assert env["results"][0]["series"][0]["values"] == [["1.8-iox-spark"]]
+    # database-less endpoint -> per-statement error, not a crash
+    env = run_statements("SHOW STATS", catalog_from_database(db))
+    assert "not available" in env["results"][0]["error"]
