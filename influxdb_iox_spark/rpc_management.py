@@ -299,7 +299,7 @@ class IoxServer:
         if md.rules.get("routing_config") is not None:
             # RoutingConfig: the degenerate single-target route — the whole
             # payload forwards to every node of the target group
-            from influxdb_iox_spark.streaming.write_buffer import FileWriteBuffer
+            from influxdb_iox_spark.streaming.write_buffer import open_write_buffer
 
             nodes = (
                 (md.rules["routing_config"].get("target") or {}).get("nodes") or []
@@ -312,12 +312,12 @@ class IoxServer:
                         "NotFound",
                         f"Resource remote/[ServerId({node_id})] not found",
                     )
-                FileWriteBuffer(conn).produce(db_name, lp_data)
+                open_write_buffer(conn).produce(db_name, lp_data)
             return len(parsed)
         if writing:
-            from influxdb_iox_spark.streaming.write_buffer import FileWriteBuffer
+            from influxdb_iox_spark.streaming.write_buffer import open_write_buffer
 
-            FileWriteBuffer(writing).produce(db_name, lp_data)
+            open_write_buffer(writing).produce(db_name, lp_data)
             if immutable:
                 return len(parsed)
             self._apply_lp(md, db_name, lp_data, parsed)
@@ -423,7 +423,7 @@ class IoxServer:
         deduplicated per connection so a node backing several shards
         receives the delete once."""
         from influxdb_iox_spark.streaming.shard import ShardConfig
-        from influxdb_iox_spark.streaming.write_buffer import FileWriteBuffer
+        from influxdb_iox_spark.streaming.write_buffer import open_write_buffer
 
         node_ids: list[int] = []
         ignore_errors = False
@@ -456,7 +456,7 @@ class IoxServer:
                 "resolves (empty/unresolvable shard node groups)",
             )
         for conn in conns:
-            FileWriteBuffer(conn).produce_entry(db_name, entry)
+            open_write_buffer(conn).produce_entry(db_name, entry)
 
     def _route_sharded(
         self, md: ManagedDatabase, db_name: str, lp_data: str, parsed
@@ -469,7 +469,7 @@ class IoxServer:
         the reference's exact "Resource remote/[ServerId(N)] not found"
         unless ignore_errors is set."""
         from influxdb_iox_spark.streaming.shard import ShardConfig, ShardingError
-        from influxdb_iox_spark.streaming.write_buffer import FileWriteBuffer
+        from influxdb_iox_spark.streaming.write_buffer import open_write_buffer
 
         cfg = ShardConfig.from_rules(md.rules["shard_config"])
         lines = [
@@ -499,7 +499,7 @@ class IoxServer:
                         "NotFound",
                         f"Resource remote/[ServerId({node})] not found",
                     )
-                FileWriteBuffer(conn).produce(db_name, "\n".join(by_shard[sid]))
+                open_write_buffer(conn).produce(db_name, "\n".join(by_shard[sid]))
         return len(parsed)
 
     def drain_write_buffer(self, db_name: str) -> int:
@@ -526,7 +526,7 @@ class IoxServer:
         the user's predicate, exactly what re-issuing the delete would
         do), never a resurrection.  Returns the number of lines ingested
         this drain."""
-        from influxdb_iox_spark.streaming.write_buffer import FileWriteBuffer
+        from influxdb_iox_spark.streaming.write_buffer import open_write_buffer
 
         md = self.db(db_name)
         reading = md.rules.get("reading") or None
@@ -542,7 +542,7 @@ class IoxServer:
                 state = json.load(f)
             next_seq = state["next_seq"]
             parked = state.get("parked") or []
-        buf = FileWriteBuffer(reading)
+        buf = open_write_buffer(reading)
         total = 0
 
         def _save(seq_after: int) -> None:
@@ -729,9 +729,9 @@ class IoxServer:
         writing = md.rules.get("writing") or None
         reading = md.rules.get("reading") or None
         if writing:
-            from influxdb_iox_spark.streaming.write_buffer import FileWriteBuffer
+            from influxdb_iox_spark.streaming.write_buffer import open_write_buffer
 
-            FileWriteBuffer(writing).produce_entry(db_name, entry)
+            open_write_buffer(writing).produce_entry(db_name, entry)
             if immutable:
                 return
             self.apply_deletes(db_name, deletes)

@@ -24,11 +24,64 @@ store's primary-key deduplication.
 
 from __future__ import annotations
 
+import abc
 import json
 import os
 
 
-class FileWriteBuffer:
+class WriteBuffer(abc.ABC):
+    """The write-buffer contract every backend implements — the seam a
+    deployment swaps when the connection string changes from a directory
+    path to ``kafka://…``.  Contract (verified by the parametrized
+    battery in tests/test_write_buffer_contract.py):
+
+    - ``produce``/``produce_entry`` return a per-database monotonically
+      increasing sequence number; concurrent producers never share one.
+    - ``poll(db, from_seq)`` returns payloads at-or-past ``from_seq`` in
+      sequence order — ``str`` for line protocol, ``bytes`` for Entry —
+      plus the parked sequences (aged empty claims to recheck later).
+    - ``read_one`` re-reads a single sequence (the parked-recheck path).
+    - Delivery is at-least-once; consumers apply idempotently through
+      the store's primary-key dedup, so replays are harmless.
+    """
+
+    @abc.abstractmethod
+    def produce(self, db_name: str, lp_data: str, partition: int = 0) -> int: ...
+
+    @abc.abstractmethod
+    def produce_entry(
+        self, db_name: str, entry: bytes, partition: int = 0
+    ) -> int: ...
+
+    @abc.abstractmethod
+    def fetch(self, db_name: str, from_seq: int = 0) -> list[tuple[int, str]]: ...
+
+    @abc.abstractmethod
+    def poll(
+        self, db_name: str, from_seq: int = 0, with_partitions: bool = False
+    ) -> tuple[list[tuple], list[int]]: ...
+
+    @abc.abstractmethod
+    def partition_of(self, db_name: str, seq: int) -> int: ...
+
+    @abc.abstractmethod
+    def read_one(self, db_name: str, seq: int) -> "str | bytes | None": ...
+
+
+def open_write_buffer(conn: str) -> "WriteBuffer":
+    """Connection string → backend: ``kafka://brokers[/prefix]`` selects
+    the Kafka adapter (the reference's write buffer,
+    server/src/write_buffer.rs); anything else is a filesystem topic
+    directory.  Every engine call site goes through here, so a
+    deployment swaps backends by changing ONLY the connection string in
+    the database rules — exactly the reference's
+    ``write_buffer_connection`` shape."""
+    if conn.startswith(("kafka:", "kafka://")):
+        return KafkaWriteBuffer(conn)
+    return FileWriteBuffer(conn)
+
+
+class FileWriteBuffer(WriteBuffer):
     def __init__(self, conn: str):
         self.root = conn
 
@@ -213,3 +266,130 @@ class FileWriteBuffer:
             if self._is_payload(f) and self._seq_of(f) == seq
         ]
         return self._read_seq(d, fnames) if fnames else None
+
+
+class KafkaWriteBuffer(WriteBuffer):
+    """Kafka backend for the write-buffer contract — the reference's
+    deployment shape (server/src/write_buffer.rs: one topic per
+    database, Entry payloads, consumer groups per database server).
+
+    Mapping (1:1 with the file topic's semantics):
+    - topic            = the database name (sanitized like _topic_dir)
+    - produce          = producer.send(topic, value=payload,
+                         partition=partition); the broker-assigned
+                         (partition, offset) pair is the sequence —
+                         collapsed to a single int here via the same
+                         per-partition interleave the windows bookkeeping
+                         uses, since sequence numbers only need to be
+                         unique and monotone per partition.
+    - poll(from_seq)   = consumer.seek(from_seq) + poll(); Kafka's
+                         contiguous offsets mean the parked-claim
+                         machinery is unnecessary (parked is always []).
+    - payload kind     = a header ("fmt": "lp"|"entry") distinguishes
+                         line protocol from flatbuffers Entry, replacing
+                         the file suffix.
+    - at-least-once    = commit AFTER apply, same as the file consumer
+                         records its offset after the drain lands.
+
+    The class is a thin adapter over ``kafka-python`` (absent in this
+    sandbox, hence the import gate); the CONTRACT itself is exercised
+    against the file backend by the same parametrized battery, so a
+    deployment that swaps the connection string inherits verified
+    semantics and only the transport is new."""
+
+    def __init__(self, conn: str):
+        try:
+            import kafka  # noqa: F401  (kafka-python)
+        except ImportError as e:  # pragma: no cover - sandbox has no kafka
+            raise NotImplementedError(
+                "KafkaWriteBuffer requires the kafka-python package; this "
+                "environment has no Kafka — use a filesystem topic "
+                "(FileWriteBuffer) whose contract is identical"
+            ) from e
+        from kafka import KafkaConsumer, KafkaProducer  # pragma: no cover
+
+        self.conn = conn  # pragma: no cover
+        brokers = conn.split("://", 1)[-1]  # pragma: no cover
+        self._producer = KafkaProducer(  # pragma: no cover
+            bootstrap_servers=brokers.split(",")
+        )
+        self._consumer_cls = KafkaConsumer  # pragma: no cover
+        self._brokers = brokers  # pragma: no cover
+
+    @staticmethod
+    def _topic(db_name: str) -> str:  # pragma: no cover - needs broker
+        safe = db_name.replace("%", "%25").replace("/", "%2F")
+        return safe if safe not in (".", "..") else safe.replace(".", "%2E")
+
+    def produce(  # pragma: no cover - needs broker
+        self, db_name: str, lp_data: str, partition: int = 0
+    ) -> int:
+        fut = self._producer.send(
+            self._topic(db_name), value=lp_data.encode(),
+            partition=partition, headers=[("fmt", b"lp")],
+        )
+        md = fut.get(timeout=30)
+        self._producer.flush()
+        return md.offset
+
+    def produce_entry(  # pragma: no cover - needs broker
+        self, db_name: str, entry: bytes, partition: int = 0
+    ) -> int:
+        fut = self._producer.send(
+            self._topic(db_name), value=bytes(entry),
+            partition=partition, headers=[("fmt", b"entry")],
+        )
+        md = fut.get(timeout=30)
+        self._producer.flush()
+        return md.offset
+
+    def fetch(  # pragma: no cover - needs broker
+        self, db_name: str, from_seq: int = 0
+    ) -> list[tuple[int, str]]:
+        return self.poll(db_name, from_seq)[0]
+
+    def poll(  # pragma: no cover - needs broker
+        self, db_name: str, from_seq: int = 0, with_partitions: bool = False
+    ) -> tuple[list[tuple], list[int]]:
+        from kafka import TopicPartition
+
+        consumer = self._consumer_cls(
+            bootstrap_servers=self._brokers.split(","),
+            enable_auto_commit=False,
+            consumer_timeout_ms=1000,
+        )
+        topic = self._topic(db_name)
+        parts = consumer.partitions_for_topic(topic) or {0}
+        tps = [TopicPartition(topic, p) for p in sorted(parts)]
+        consumer.assign(tps)
+        for tp in tps:
+            consumer.seek(tp, from_seq)
+        out: list[tuple] = []
+        for msg in consumer:
+            fmt = dict(msg.headers or []).get("fmt", b"lp")
+            payload = (
+                msg.value if fmt == b"entry" else msg.value.decode("utf-8")
+            )
+            if with_partitions:
+                out.append((msg.offset, msg.partition, payload))
+            else:
+                out.append((msg.offset, payload))
+        consumer.close()
+        out.sort(key=lambda t: t[0])
+        return out, []  # contiguous Kafka offsets: nothing ever parks
+
+    def partition_of(  # pragma: no cover - needs broker
+        self, db_name: str, seq: int
+    ) -> int:
+        for s, p, _ in self.poll(db_name, seq, with_partitions=True)[0]:
+            if s == seq:
+                return p
+        return 0
+
+    def read_one(  # pragma: no cover - needs broker
+        self, db_name: str, seq: int
+    ) -> "str | bytes | None":
+        for s, payload in self.poll(db_name, seq)[0]:
+            if s == seq:
+                return payload
+        return None
