@@ -97,6 +97,34 @@ def _money_sum(expr: F.Column, alias: str) -> F.Column:
     return F.round(F.sum(expr).cast("double"), 2).alias(alias)
 
 
+#: revenue = extendedprice*(1-discount) in exact 1e-4-dollar int64 units —
+#: the q1 scaled-long pattern (cents x (100-disc)); avoids Spark's slow
+#: BigDecimal aggregation on the three join-heavy TPC-H rows (35x DuckDB
+#: constant at sf10, VERDICT r9).
+_REV_C_SQL = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+)
+
+
+def _rev_sum(alias: str) -> F.Column:
+    """Exact limb-split sum of a ``__rev_c`` column: the two int64 sums
+    keep ~1e5 headroom per group beyond sf1000, recombined in double at
+    the group level; spelled identically in the DuckDB twins so the
+    doubles agree bit-for-bit."""
+    return (
+        F.sum(F.expr("__rev_c div 10000")).cast("double")
+        + F.sum(F.expr("__rev_c % 10000")).cast("double") / 10000
+    ).alias(alias)
+
+
+#: the same two-limb sum for SQL twins (DuckDB spelling)
+_REV_SUM_SQL = (
+    "CAST(SUM(({rc}) // 10000) AS DOUBLE)"
+    " + CAST(SUM(({rc}) % 10000) AS DOUBLE) / 10000"
+).format(rc=_REV_C_SQL)
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-style SQL surface (reference: SQL frontend inherited from DataFusion,
 # /root/reference/query/src/frontend/sql.rs:83-93; joins/aggs free in Spark)
@@ -239,10 +267,10 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: broadcast the small dimension, top-10 by revenue."""
     t = _load(spark, sf_dir, "customer", "orders", "lineitem")
     cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
-    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", "4,2"))
     return (
         t["lineitem"]
         .filter(F.col("l_shipdate").cast("date") > F.lit("1997-06-01").cast("date"))
+        .withColumn("__rev_c", F.expr(_REV_C_SQL))
         .join(
             t["orders"].filter(
                 F.col("o_orderdate").cast("date") < F.lit("1997-06-01").cast("date")
@@ -251,15 +279,15 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"))
-        .agg(_money_sum(revenue, "revenue"))
+        .agg(_rev_sum("revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
 
 
-SQL_SHIPPING_PRIORITY = """
+SQL_SHIPPING_PRIORITY = f"""
 SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
-  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS revenue
+  {_REV_SUM_SQL} AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -277,7 +305,6 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _load(
         spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
     )
-    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", "4,2"))
     nr = (
         t["nation"]
         .join(
@@ -288,6 +315,7 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t["lineitem"]
+        .withColumn("__rev_c", F.expr(_REV_C_SQL))
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(
@@ -297,14 +325,14 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(_money_sum(revenue, "revenue"))
+        .agg(_rev_sum("revenue"))
         .orderBy("n_name")
     )
 
 
-SQL_LOCAL_SUPPLIER = """
+SQL_LOCAL_SUPPLIER = f"""
 SELECT n_name,
-  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS revenue
+  {_REV_SUM_SQL} AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -320,22 +348,22 @@ ORDER BY n_name
 def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: top-20 customers by returned-item revenue."""
     t = _load(spark, sf_dir, "customer", "orders", "lineitem")
-    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", "4,2"))
     return (
         t["lineitem"]
         .filter(F.col("l_returnflag") == "R")
+        .withColumn("__rev_c", F.expr(_REV_C_SQL))
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name")
-        .agg(_money_sum(revenue, "revenue"))
+        .agg(_rev_sum("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
 
 
-SQL_RETURNED_REVENUE = """
+SQL_RETURNED_REVENUE = f"""
 SELECT c_custkey, c_name,
-  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS revenue
+  {_REV_SUM_SQL} AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
