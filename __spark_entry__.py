@@ -3932,6 +3932,26 @@ def _influxql_events_catalog(
     }
 
 
+def _influxql_events_catalog_vm(spark: SparkSession, sf_dir: str):
+    """Events catalog with an extra micro-unit field ``vm`` =
+    round(value·10⁶) as int64: the technical-analysis driver queries run
+    over exact integers so window sums / recurrence inputs are
+    bit-identical across engines (the round-6 canonicalization rule) and
+    the oracle match needs no rounding at all."""
+    from influxdb_iox_spark.influxql import Measurement
+
+    t = _load(spark, sf_dir, "events")
+    df = t["events"].withColumn(
+        "vm", F.round(F.col("value") * 1_000_000).cast("long")
+    )
+    return {
+        "events": Measurement(
+            df=df, tags=("event_type",), fields=("value", "vm"),
+            time_col="ts",
+        )
+    }
+
+
 def q_influxql_mean_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """InfluxQL text -> plan: windowed MEAN/COUNT with a time-range WHERE
     and GROUP BY time(1h), tag (bucket START per InfluxQL, vs the RPC
@@ -4231,6 +4251,145 @@ FROM r WHERE rn <= 5 ORDER BY event_type, time_us
 """
 
 
+def q_influxql_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL EXPONENTIAL_MOVING_AVERAGE (round 10, technical-analysis
+    family): the untruncated recursive EWMA per series, one applyInPandas
+    pass (operators/technical.py).  Exact cross-engine parity: the input
+    is the micro-unit integer field, both engines spell the recurrence as
+    ``acc·(1−2.0/11.0) + (2.0/11.0)·x`` (identical IEEE op order — the
+    DuckDB twin is a recursive CTE over the per-series row index), so the
+    doubles agree bit-for-bit with no rounding."""
+    from influxdb_iox_spark.influxql import execute
+
+    out = execute(
+        "SELECT exponential_moving_average(vm, 10) AS ema FROM events"
+        " GROUP BY event_type",
+        _influxql_events_catalog_vm(spark, sf_dir),
+    )
+    return out.select(
+        "event_type", F.expr("time div 1000").alias("time_us"), "ema"
+    ).orderBy("event_type", "time_us")
+
+
+SQL_INFLUXQL_EMA = """
+WITH RECURSIVE p AS (
+  SELECT event_type, epoch_ns(ts) AS t,
+    CAST(round(value * 1000000) AS BIGINT) AS vm,
+    row_number() OVER (PARTITION BY event_type ORDER BY epoch_ns(ts)) AS rn
+  FROM events
+), e AS (
+  SELECT event_type, t, rn, CAST(vm AS DOUBLE) AS ema FROM p WHERE rn = 1
+  UNION ALL
+  SELECT p.event_type, p.t, p.rn,
+    e.ema * (1 - 2.0/11.0) + (2.0/11.0) * CAST(p.vm AS DOUBLE)
+  FROM e JOIN p ON p.event_type = e.event_type AND p.rn = e.rn + 1
+)
+SELECT event_type, t // 1000 AS time_us, ema
+FROM e ORDER BY event_type, time_us
+"""
+
+
+def q_influxql_cmo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL CHANDE_MOMENTUM_OSCILLATOR (round 10): N-truncated — a
+    pure window expression sharing the transforms' single per-series
+    exchange (operators/transforms.py).  Micro-unit integer input keeps
+    the window sums exact, so the one final division is bit-identical in
+    both engines."""
+    from influxdb_iox_spark.influxql import execute
+
+    out = execute(
+        "SELECT chande_momentum_oscillator(vm, 10) AS cmo FROM events"
+        " GROUP BY event_type",
+        _influxql_events_catalog_vm(spark, sf_dir),
+    )
+    return out.select(
+        "event_type", F.expr("time div 1000").alias("time_us"), "cmo"
+    ).orderBy("event_type", "time_us")
+
+
+SQL_INFLUXQL_CMO = """
+WITH p AS (
+  SELECT event_type, epoch_ns(ts) AS t,
+    CAST(round(value * 1000000) AS BIGINT) AS vm
+  FROM events
+), d AS (
+  SELECT event_type, t, vm - lag(vm) OVER w AS dv,
+    row_number() OVER w AS rn
+  FROM p WINDOW w AS (PARTITION BY event_type ORDER BY t)
+), s AS (
+  SELECT event_type, t, rn,
+    SUM(CASE WHEN dv > 0 THEN CAST(dv AS DOUBLE) ELSE 0.0 END) OVER w10 AS su,
+    SUM(CASE WHEN dv < 0 THEN -CAST(dv AS DOUBLE) ELSE 0.0 END) OVER w10 AS sd
+  FROM d WINDOW w10 AS (
+    PARTITION BY event_type ORDER BY t
+    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, t // 1000 AS time_us,
+  CASE WHEN su + sd = 0 THEN 0.0
+       ELSE 100.0 * (su - sd) / (su + sd) END AS cmo
+FROM s WHERE rn >= 11 ORDER BY event_type, time_us
+"""
+
+
+def q_influxql_kaufmans_er(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL KAUFMANS_EFFICIENCY_RATIO (round 10): net move over total
+    absolute move across the trailing N intervals — window expression,
+    micro-unit exact (one integer/integer division per emitted point)."""
+    from influxdb_iox_spark.influxql import execute
+
+    out = execute(
+        "SELECT kaufmans_efficiency_ratio(vm, 10) AS ker FROM events"
+        " GROUP BY event_type",
+        _influxql_events_catalog_vm(spark, sf_dir),
+    )
+    return out.select(
+        "event_type", F.expr("time div 1000").alias("time_us"), "ker"
+    ).orderBy("event_type", "time_us")
+
+
+SQL_INFLUXQL_KER = """
+WITH p AS (
+  SELECT event_type, epoch_ns(ts) AS t,
+    CAST(round(value * 1000000) AS BIGINT) AS vm
+  FROM events
+), d AS (
+  SELECT event_type, t, vm,
+    vm - lag(vm) OVER w AS dv,
+    lag(vm, 10) OVER w AS vprev,
+    row_number() OVER w AS rn
+  FROM p WINDOW w AS (PARTITION BY event_type ORDER BY t)
+), s AS (
+  SELECT event_type, t, rn, vm, vprev,
+    SUM(ABS(dv)) OVER w10 AS vol
+  FROM d WINDOW w10 AS (
+    PARTITION BY event_type ORDER BY t
+    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, t // 1000 AS time_us,
+  CASE WHEN vol = 0 THEN 0.0 ELSE ABS(vm - vprev) / vol END AS ker
+FROM s WHERE rn >= 11 ORDER BY event_type, time_us
+"""
+
+
+def q_influxql_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL HOLT_WINTERS (round 10): additive Holt-Winters fitted per
+    series on hourly MEAN buckets, 12 forecast buckets continuing the
+    grid.  The Nelder-Mead fit is deterministic (fixed start + iteration
+    budget, operators/technical.py) but genuinely non-SQL-expressible, so
+    this entry is a rows-only driver check; the numeric contract is
+    pinned by tests/test_technical.py instead."""
+    from influxdb_iox_spark.influxql import execute
+
+    out = execute(
+        "SELECT holt_winters(mean(value), 12, 0) AS hw FROM events"
+        " GROUP BY time(1h), event_type",
+        _influxql_events_catalog(spark, sf_dir),
+    )
+    return out.select(
+        "event_type", F.expr("time div 1000").alias("time_us"), "hw"
+    ).orderBy("event_type", "time_us")
+
+
 def q_influxql_tz_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """InfluxQL tz() clause (round 9): daily buckets on Pacific/Auckland
     wall clock (UTC+13 across the whole data window — tzdata has no zone
@@ -4483,6 +4642,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influxql_mode": q_influxql_mode,
         "influxql_integral": q_influxql_integral,
         "influxql_sample": q_influxql_sample,
+        # round 10 (later session): the technical-analysis family —
+        # recursive EMA via applyInPandas, CMO/KER as window transforms,
+        # HOLT_WINTERS (rows-only: Nelder-Mead fit is non-SQL-expressible)
+        "influxql_ema": q_influxql_ema,
+        "influxql_cmo": q_influxql_cmo,
+        "influxql_kaufmans_er": q_influxql_kaufmans_er,
+        "influxql_holt_winters": q_influxql_holt_winters,
     }
     return _rotate_for_round(base)
 
@@ -4566,6 +4732,10 @@ def oracle_sql() -> dict[str, str]:
         "influxql_mode": SQL_INFLUXQL_MODE,
         "influxql_integral": SQL_INFLUXQL_INTEGRAL,
         "influxql_sample": SQL_INFLUXQL_SAMPLE,
+        "influxql_ema": SQL_INFLUXQL_EMA,
+        "influxql_cmo": SQL_INFLUXQL_CMO,
+        "influxql_kaufmans_er": SQL_INFLUXQL_KER,
+        # influxql_holt_winters: rows-only by design (Nelder-Mead fit)
         "dedup_last_non_null": SQL_DEDUP,
         "json_props_extract": SQL_JSON_PROPS,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,

@@ -251,7 +251,23 @@ _TRANSFORMS = (
     "non_negative_derivative",
     "moving_average",
     "elapsed",
+    # N-truncated technical indicators: pure window expressions, so they
+    # ride the whole transform machinery (raw + of-aggregate) for free
+    "chande_momentum_oscillator",
+    "kaufmans_efficiency_ratio",
 )
+# Recursive technical indicators (stock 1.x technical-analysis family):
+# order-dependent per-series recurrences — one applyInPandas pass via
+# operators/technical.py, dispatched by _plan_technical[_of_agg].
+_TECH_RECURSIVE = (
+    "exponential_moving_average",
+    "double_exponential_moving_average",
+    "triple_exponential_moving_average",
+    "triple_exponential_derivative",
+    "relative_strength_index",
+    "kaufmans_adaptive_moving_average",
+)
+_HW = ("holt_winters", "holt_winters_with_fit")
 # Scalar math (spec "mathematical operators/functions"): pure codegen
 # column functions, composable with fields, aggregates, and transforms.
 _MATH_1 = {
@@ -290,6 +306,8 @@ _SUPPORTED = (
     tuple(_PLAIN_AGGS)
     + _SELECTORS
     + _TRANSFORMS
+    + _TECH_RECURSIVE
+    + _HW
     + tuple(_MATH_1)
     + tuple(_MATH_2)
     + ("spread", "percentile", "top", "bottom", "distinct", "integral",
@@ -631,10 +649,28 @@ def _plan_single(
     has_agg = has(_AGG_FAMILY)
     has_transform = has(_TRANSFORMS)
     has_special = has(_SPECIAL)
+    has_tech = has(_TECH_RECURSIVE)
+    has_hw = has(_HW)
     # raw = a projection mentioning a bare column outside any call
     has_raw = any(_mentions_raw_column(e, m) for e in exprs)
 
-    if has_special:
+    if has_hw:
+        if has_tech or has_transform or has_special:
+            raise InfluxQLPlanError(
+                "holt_winters() cannot mix with other function families"
+            )
+        out = _plan_holt_winters(stmt, m, df, tags)
+    elif has_tech:
+        if has_transform or has_special:
+            raise InfluxQLPlanError(
+                "technical-analysis functions cannot mix with transforms "
+                "or top/bottom/distinct/percentile/integral/sample"
+            )
+        if has_agg:
+            out = _plan_technical_of_agg(stmt, m, df, tags, now_ns)
+        else:
+            out = _plan_technical(stmt, m, df, tags)
+    elif has_special:
         if has_agg or has_transform:
             raise InfluxQLPlanError(
                 "top()/bottom()/distinct()/percentile()/integral()/sample() "
@@ -1008,6 +1044,16 @@ def _transform_expr(
         # spec: emitted only once n points accumulated
         full = T.moving_average_count(w, n) == n
         return F.when(full, ma), True
+    if f in ("chande_momentum_oscillator", "kaufmans_efficiency_ratio"):
+        n = int(_int_arg(call, 1, "a period N"))
+        if n < 1:
+            raise InfluxQLPlanError(f"{f}(): N must be positive")
+        fn = (
+            T.chande_momentum_oscillator
+            if f == "chande_momentum_oscillator"
+            else T.kaufmans_efficiency_ratio
+        )
+        return fn(value, w, n), True
     raise InfluxQLPlanError(f"unsupported transform {f}()")
 
 
@@ -1311,6 +1357,238 @@ def _plan_sample(
     else:
         picked = pre.orderBy(key, F.col(m.time_col)).limit(n)
     out = picked.select(*tags, _time_out(m), F.col(fld).alias(alias))
+    tcol = F.col("time").desc() if stmt.order_desc else F.col("time").asc()
+    return out.orderBy(*[F.col(t) for t in tags], tcol)
+
+
+def _tech_args(call: Call) -> tuple[int, str, int]:
+    """Parse ``(field, N[, HOLD_PERIOD[, WARMUP_TYPE]])`` per the stock
+    technical-analysis argument order → (n, warmup, hold).  HOLD_PERIOD
+    suppresses that many additional leading emitted values; the stock
+    sentinel -1 ("use the warmup type's default") maps to 0.  WARMUP_TYPE
+    is ``'exponential'`` (default; recurrence from the first point) or
+    ``'simple'`` (simple-mean seed over the first N points) — accepted
+    for every family member, ignored by RSI/KAMA whose seeding is pinned
+    by their own contract (operators/technical.py docstrings)."""
+    n = int(_int_arg(call, 1, "a period N"))
+    if n < 1:
+        raise InfluxQLPlanError(f"{call.func}(): N must be positive")
+    hold = 0
+    warmup = "exponential"
+    if len(call.args) > 2:
+        a = call.args[2]
+        if not (isinstance(a, Literal) and a.kind == "int"):
+            raise InfluxQLPlanError(
+                f"{call.func}(): HOLD_PERIOD must be an integer"
+            )
+        hold = max(0, int(a.value))
+    if len(call.args) > 3:
+        a = call.args[3]
+        if not (
+            isinstance(a, Literal)
+            and a.kind == "string"
+            and a.value in ("exponential", "simple")
+        ):
+            raise InfluxQLPlanError(
+                f"{call.func}(): WARMUP_TYPE must be 'exponential' or "
+                "'simple'"
+            )
+        warmup = a.value
+    if len(call.args) > 4:
+        raise InfluxQLPlanError(f"{call.func}(): too many arguments")
+    return n, warmup, hold
+
+
+def _plan_technical(
+    stmt: SelectStatement, m: Measurement, df: DataFrame, tags: list[str]
+) -> DataFrame:
+    """Recursive technical indicators over raw points: one applyInPandas
+    pass per statement computing every projected indicator (single hash
+    exchange on the series key — same cost model as the window
+    transforms, see operators/technical.py)."""
+    from influxdb_iox_spark.operators.technical import apply_technical
+
+    if stmt.group_by_time_ns is not None:
+        raise InfluxQLPlanError(
+            "GROUP BY time() with a raw-point technical function is not "
+            "valid; wrap an aggregate (e.g. exponential_moving_average("
+            "mean(v), 10)) to bucket first"
+        )
+    used: set[str] = {"time", *tags}
+    specs: list[tuple[str, str, str, int, str, int]] = []
+    base_cols: dict[str, Column] = {}
+    for p in stmt.projections:
+        c = p.expr
+        if not (isinstance(c, Call) and c.func in _TECH_RECURSIVE):
+            raise InfluxQLPlanError(
+                "technical-analysis calls cannot mix with other projections"
+            )
+        alias = _alias_for(p, used)
+        fld = _field_arg(c, m)
+        n, warmup, hold = _tech_args(c)
+        in_col = f"__in_{fld}"
+        base_cols[in_col] = F.col(fld).cast("double")
+        specs.append((alias, c.func, in_col, n, warmup, hold))
+    base = df.select(
+        *[F.col(t) for t in tags],
+        F.col(m.time_col),
+        *[v.alias(k) for k, v in base_cols.items()],
+    )
+    out = apply_technical(base, tags, m.time_col, specs)
+    aliases = [s[0] for s in specs]
+    out = _drop_leading_nulls(out, aliases)
+    out = _apply_point_limit(stmt, m, out, tags)
+    tcol = F.col("time").desc() if stmt.order_desc else F.col("time").asc()
+    return out.orderBy(*[F.col(t) for t in tags], tcol)
+
+
+def _plan_technical_of_agg(
+    stmt: SelectStatement,
+    m: Measurement,
+    df: DataFrame,
+    tags: list[str],
+    now_ns: int,
+) -> DataFrame:
+    """``SELECT exponential_moving_average(mean(v), 10) FROM m GROUP BY
+    time(1m)[, tag]``: bucketed aggregate first (one hash aggregate), then
+    the recursive indicator over the bucket sequence (one applyInPandas).
+    Fill interplay mirrors _plan_transform_of_agg: fill(none) over observed
+    buckets; fill(null) materializes missing buckets AFTER the indicator;
+    carry/value/linear fills are rejected (implicitly manufacturing
+    smoothed values over filled data is never what the user wants)."""
+    from influxdb_iox_spark.operators.technical import apply_technical
+
+    if stmt.group_by_time_ns is None:
+        raise InfluxQLPlanError(
+            "a technical function of an aggregate requires GROUP BY time()"
+        )
+    if stmt.fill not in (FillOption.NONE, FillOption.NULL):
+        raise InfluxQLPlanError(
+            "technical-of-aggregate supports fill(none) / fill(null) only"
+        )
+    agg_cols, agg_alias = _collect_agg_calls(stmt.projections, m)
+    group_cols = [*[F.col(t) for t in tags], _bucket_col(stmt, m)]
+    inner = df.groupBy(*group_cols).agg(*agg_cols)
+
+    used: set[str] = {"time", *tags}
+    specs: list[tuple[str, str, str, int, str, int]] = []
+    sel: list[Column] = [*[F.col(t) for t in tags], F.col("time")]
+    for p in stmt.projections:
+        c = p.expr
+        if not (isinstance(c, Call) and c.func in _TECH_RECURSIVE):
+            raise InfluxQLPlanError(
+                "technical-analysis calls cannot mix with other projections"
+            )
+        if not (
+            c.args
+            and isinstance(c.args[0], Call)
+            and c.args[0].func in _AGG_FAMILY
+        ):
+            raise InfluxQLPlanError(
+                f"{c.func}() under GROUP BY time() needs an aggregate "
+                "argument (e.g. mean(v))"
+            )
+        alias = _alias_for(p, used)
+        n, warmup, hold = _tech_args(c)
+        name = agg_alias[c.args[0]]
+        val = (
+            F.col(name).getField("value")
+            if c.args[0].func in _SELECTORS
+            else F.col(name)
+        )
+        in_col = f"__in_{name}"
+        sel.append(val.cast("double").alias(in_col))
+        specs.append((alias, c.func, in_col, n, warmup, hold))
+    base = inner.select(*sel)
+    out = apply_technical(base, tags, "time", specs)
+    aliases = [s[0] for s in specs]
+    out = _drop_leading_nulls(out, aliases)
+    if stmt.fill is FillOption.NULL:
+        from influxdb_iox_spark.operators.gapfill import fill_window_gaps
+
+        gstart, gstop = _fill_grid_bounds(stmt, now_ns)
+        out = fill_window_gaps(
+            out,
+            tags,
+            "time",
+            stmt.group_by_time_ns,
+            strategy="null",
+            grid_start=gstart,
+            grid_stop=gstop,
+        )
+    out = _apply_bucket_limit(stmt, out, tags)
+    out = _finish_tz_time(stmt, out)
+    tcol = F.col("time").desc() if stmt.order_desc else F.col("time").asc()
+    return out.orderBy(*[F.col(t) for t in tags], tcol)
+
+
+def _plan_holt_winters(
+    stmt: SelectStatement, m: Measurement, df: DataFrame, tags: list[str]
+) -> DataFrame:
+    """``SELECT holt_winters[_with_fit](agg(v), N, S) FROM m WHERE time …
+    GROUP BY time(interval)[, tag]``: fit an additive Holt-Winters model
+    per series on the bucketed aggregate and emit N forecast buckets
+    continuing the grid (the _WITH_FIT form also emits the fitted values
+    over the observed range).  Semantics contract pinned in
+    operators/technical.py (the stock docs leave fit details open).  One
+    hash aggregate + one applyInPandas per statement."""
+    from influxdb_iox_spark.operators.technical import apply_holt_winters
+
+    if len(stmt.projections) != 1:
+        raise InfluxQLPlanError(
+            "holt_winters() must be the only projection"
+        )
+    call = stmt.projections[0].expr
+    if not (isinstance(call, Call) and call.func in _HW):
+        raise InfluxQLPlanError(
+            "holt_winters() cannot appear inside another expression"
+        )
+    if stmt.group_by_time_ns is None:
+        raise InfluxQLPlanError("holt_winters() requires GROUP BY time()")
+    if stmt.tz is not None:
+        raise InfluxQLPlanError("holt_winters() does not support tz() yet")
+    if not (
+        call.args
+        and isinstance(call.args[0], Call)
+        and call.args[0].func in _AGG_FAMILY
+    ):
+        raise InfluxQLPlanError(
+            "holt_winters() needs an aggregate argument (e.g. mean(v))"
+        )
+    n_pred = int(_int_arg(call, 1, "a forecast length N"))
+    if n_pred < 1:
+        raise InfluxQLPlanError("holt_winters(): N must be positive")
+    season = int(_int_arg(call, 2, "a seasonal pattern length"))
+    if season < 0:
+        raise InfluxQLPlanError(
+            "holt_winters(): seasonal pattern length must be >= 0"
+        )
+    agg_cols, agg_alias = _collect_agg_calls(stmt.projections, m)
+    group_cols = [*[F.col(t) for t in tags], _bucket_col(stmt, m)]
+    inner = df.groupBy(*group_cols).agg(*agg_cols)
+    name = agg_alias[call.args[0]]
+    val = (
+        F.col(name).getField("value")
+        if call.args[0].func in _SELECTORS
+        else F.col(name)
+    )
+    base = inner.select(
+        *[F.col(t) for t in tags],
+        F.col("time"),
+        val.cast("double").alias("__y"),
+    )
+    alias = stmt.projections[0].alias or call.func
+    out = apply_holt_winters(
+        base,
+        tags,
+        "time",
+        "__y",
+        n_pred,
+        season,
+        stmt.group_by_time_ns,
+        with_fit=call.func.endswith("_with_fit"),
+        out_col=alias,
+    )
     tcol = F.col("time").desc() if stmt.order_desc else F.col("time").asc()
     return out.orderBy(*[F.col(t) for t in tags], tcol)
 

@@ -93,6 +93,43 @@ def non_negative_derivative(
     return F.when(d >= 0, d)
 
 
+def chande_momentum_oscillator(col: Column, w: WindowSpec, n: int) -> Column:
+    """InfluxQL CHANDE_MOMENTUM_OSCILLATOR(field, n): over the trailing
+    ``n`` consecutive differences, ``100·(Σup − Σdown)/(Σup + Σdown)``
+    where up/down are the positive/|negative| diffs.  N-truncated — a pure
+    window expression (codegen), unlike the recursive indicators in
+    ``operators/technical.py``.  Emitted once ``n`` diffs exist; a
+    flat window (Σup+Σdown = 0) yields 0.0 per the conventional CMO
+    definition."""
+    d = difference(col, w)
+    frame = w.rowsBetween(-(n - 1), 0)
+    su = F.sum(F.when(d > 0, d).otherwise(F.lit(0.0))).over(frame)
+    sd = F.sum(F.when(d < 0, -d).otherwise(F.lit(0.0))).over(frame)
+    have_n = F.count(d).over(frame) == n
+    return F.when(
+        have_n,
+        F.when(su + sd == 0, F.lit(0.0)).otherwise(
+            100.0 * (su - sd) / (su + sd)
+        ),
+    )
+
+
+def kaufmans_efficiency_ratio(col: Column, w: WindowSpec, n: int) -> Column:
+    """InfluxQL KAUFMANS_EFFICIENCY_RATIO(field, n): net move over the
+    last ``n`` intervals divided by the total absolute move,
+    ``|xᵢ − xᵢ₋ₙ| / Σ|Δx|``.  N-truncated window expression; emitted once
+    ``n`` diffs exist; a flat window yields 0.0."""
+    d = difference(col, w)
+    frame = w.rowsBetween(-(n - 1), 0)
+    vol = F.sum(F.abs(d)).over(frame)
+    net = F.abs(col - F.lag(col, n).over(w))
+    have_n = F.count(d).over(frame) == n
+    return F.when(
+        have_n,
+        F.when(vol == 0, F.lit(0.0)).otherwise(net / vol),
+    )
+
+
 def weighted_ema_sums(
     col: Column, w: WindowSpec, n: int
 ) -> tuple[Column, Column]:
