@@ -68,8 +68,13 @@ class IoxHttpServer:
         #: user -> password; None = anonymous access (reference default).
         #: When set, /query /write and the v2 data routes require matching
         #: u/p params, HTTP Basic, or 1.8 Token credentials (401 otherwise);
-        #: /health /ping /metrics stay open like stock.
+        #: /health /ping /metrics stay open like stock.  Pass an
+        #: auth.UserRegistry instead of a plain dict to additionally get
+        #: stock per-statement privileges + the user-management statements
+        #: (CREATE USER / GRANT / …); a plain dict keeps the pre-registry
+        #: behavior (any authenticated user can do everything).
         self.users = users
+        self.registry = users if hasattr(users, "create_user") else None
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
         # Prometheus-style counters, the surface of the reference's
@@ -268,6 +273,7 @@ class IoxHttpServer:
         self, db: str | None, q: str, epoch: str | None,
         read_only: bool = False,
         accept: str | None = None,
+        identity: str | None = None,
     ) -> tuple[bytes, str]:
         """GET/POST /query — the InfluxDB 1.x API (InfluxQL in, the
         results/series JSON envelope out).  Statement errors land inside
@@ -275,7 +281,9 @@ class IoxHttpServer:
         (unknown db, bad epoch) are HTTP errors.  ``read_only`` is set by
         the GET route: stock 1.x requires POST for SELECT ... INTO (a
         side-effecting GET is unsafe behind caches/proxies/prefetchers),
-        so INTO on GET is rejected with the stock-style message."""
+        so INTO on GET is rejected with the stock-style message.
+        ``identity``: the authenticated username (per-statement privilege
+        checks when a UserRegistry is configured)."""
         from influxdb_iox_spark.influxql.v1_api import (
             catalog_from_database,
             render_csv,
@@ -296,6 +304,9 @@ class IoxHttpServer:
                 max_rows=self.max_rows,
                 database=self.database,
                 read_only=read_only,
+                registry=self.registry,
+                identity=identity,
+                selected_db=db or self.db_name,
             )
         except ValueError as e:  # bad epoch
             raise _HttpError(400, str(e))
@@ -306,6 +317,7 @@ class IoxHttpServer:
     def iter_v1_query_chunks(
         self, db: str | None, q: str, epoch: str | None,
         chunk_size: int, read_only: bool = False,
+        identity: str | None = None,
     ):
         """chunked=true: an iterator of envelope documents (one per
         chunk), streamed by the handler over HTTP chunked transfer.
@@ -334,6 +346,9 @@ class IoxHttpServer:
             database=self.database,
             read_only=read_only,
             max_rows=self.max_rows,
+            registry=self.registry,
+            identity=identity,
+            selected_db=db or self.db_name,
         )
 
 
@@ -454,10 +469,12 @@ def _make_handler(api: IoxHttpServer):
         def log_message(self, *a):  # quiet test output
             pass
 
-        def _authorize(self, *param_sources):
+        def _authorize(self, *param_sources) -> str | None:
             """401 unless the request carries valid credentials (no-op
             when no users are configured).  ``param_sources``: parse_qs
-            dicts searched in order for u/p (form first on POST)."""
+            dicts searched in order for u/p (form first on POST).
+            Returns the authenticated username (None = anonymous mode)."""
+            from influxdb_iox_spark.auth import http_identity
 
             def pick(k):
                 for src in param_sources:
@@ -466,11 +483,25 @@ def _make_handler(api: IoxHttpServer):
                         return v
                 return None
 
-            if not check_http_auth(
+            ok, ident = http_identity(
                 api.users, self.headers.get("Authorization"),
                 pick("u"), pick("p"),
-            ):
+            )
+            if not ok:
                 raise _HttpError(401, "authorization failed")
+            return ident
+
+        def _require_write(self, ident: str | None, db: str | None):
+            """403 unless ``ident`` may write ``db`` (no-op without a
+            configured UserRegistry — dict-auth servers keep the
+            any-authenticated-user behavior)."""
+            reg = getattr(api, "registry", None)
+            if reg and not reg.can(ident, db, "write"):
+                raise _HttpError(
+                    403,
+                    f"user {ident or '<anonymous>'} is not authorized to "
+                    f"write to database {db!r}",
+                )
 
         def _reply_error(self, status: int, message: str):
             # v2 API error-body shape (end_to_end_cases/http.rs:15: a 400
@@ -528,7 +559,7 @@ def _make_handler(api: IoxHttpServer):
                     return
                 if u.path == "/query":
                     qs = parse_qs(u.query)
-                    self._authorize(qs)
+                    ident = self._authorize(qs)
                     q = (qs.get("q") or [None])[0]
                     if not q:
                         raise _HttpError(400, "missing q parameter")
@@ -538,13 +569,15 @@ def _make_handler(api: IoxHttpServer):
                         size = int((qs.get("chunk_size") or ["10000"])[0])
                         self._reply_chunked(
                             api.iter_v1_query_chunks(
-                                db, q, epoch, size, read_only=True
+                                db, q, epoch, size, read_only=True,
+                                identity=ident,
                             )
                         )
                         return
                     body, ctype = api.handle_v1_query(
                         db, q, epoch, read_only=True,
                         accept=self.headers.get("Accept"),
+                        identity=ident,
                     )
                     self._reply(200, body, ctype)
                     return
@@ -581,7 +614,7 @@ def _make_handler(api: IoxHttpServer):
                     length = int(self.headers.get("Content-Length", 0))
                     form = parse_qs(self.rfile.read(length).decode("utf-8"))
                     qs = parse_qs(u.query)
-                    self._authorize(form, qs)
+                    ident = self._authorize(form, qs)
                     def param(k):
                         return (form.get(k) or qs.get(k) or [None])[0]
                     q = param("q")
@@ -591,13 +624,15 @@ def _make_handler(api: IoxHttpServer):
                         size = int(param("chunk_size") or "10000")
                         self._reply_chunked(
                             api.iter_v1_query_chunks(
-                                param("db"), q, param("epoch"), size
+                                param("db"), q, param("epoch"), size,
+                                identity=ident,
                             )
                         )
                         return
                     body, ctype = api.handle_v1_query(
                         param("db"), q, param("epoch"),
                         accept=self.headers.get("Accept"),
+                        identity=ident,
                     )
                     self._reply(200, body, ctype)
                     return
@@ -605,7 +640,19 @@ def _make_handler(api: IoxHttpServer):
                     self._reply(404, b"not found")
                     return
                 qs = parse_qs(u.query)
-                self._authorize(qs)
+                ident = self._authorize(qs)
+                if u.path == "/write":
+                    self._require_write(
+                        ident, (qs.get("db") or [api.db_name
+                                if hasattr(api, "db_name") else None])[0],
+                    )
+                else:
+                    org = (qs.get("org") or [None])[0]
+                    bucket = (qs.get("bucket") or [None])[0]
+                    if org and bucket:
+                        self._require_write(
+                            ident, org_and_bucket_to_database(org, bucket)
+                        )
                 length = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(length)
                 if self.headers.get("Content-Encoding") == "gzip":

@@ -160,6 +160,49 @@ class DropContinuousQuery:
     db: str
 
 
+@dataclass(frozen=True)
+class CreateUser:
+    """CREATE USER <name> WITH PASSWORD '<pw>' [WITH ALL PRIVILEGES]."""
+
+    name: str
+    password: str
+    admin: bool = False
+
+
+@dataclass(frozen=True)
+class DropUser:
+    """DROP USER <name>."""
+
+    name: str
+
+
+@dataclass(frozen=True)
+class SetPassword:
+    """SET PASSWORD FOR <name> = '<pw>'."""
+
+    name: str
+    password: str
+
+
+@dataclass(frozen=True)
+class GrantStatement:
+    """GRANT READ|WRITE|ALL [PRIVILEGES] ON <db> TO <user>, or the
+    cluster-admin form GRANT ALL [PRIVILEGES] TO <user> (db None)."""
+
+    privilege: str  # 'read' | 'write' | 'all'
+    db: str | None
+    user: str
+
+
+@dataclass(frozen=True)
+class RevokeStatement:
+    """REVOKE … ON <db> FROM <user> / REVOKE ALL [PRIVILEGES] FROM <user>."""
+
+    privilege: str
+    db: str | None
+    user: str
+
+
 @dataclass
 class ShowStatement:
     """SHOW MEASUREMENTS | TAG KEYS | TAG VALUES | FIELD KEYS | SERIES |
@@ -179,6 +222,7 @@ class ShowStatement:
     limit: int | None = None
     offset: int = 0
     for_component: str | None = None  # SHOW STATS FOR '<component>'
+    for_user: str | None = None  # SHOW GRANTS FOR <user>
 
 
 @dataclass(frozen=True)

@@ -40,15 +40,20 @@ from influxdb_iox_spark.influxql.ast_nodes import (
     CreateContinuousQuery,
     CreateDatabase,
     CreateRetentionPolicy,
+    CreateUser,
     DeleteStatement,
     DropDatabase,
     DropContinuousQuery,
     DropMeasurement,
+    DropUser,
     ExplainStatement,
     FillOption,
+    GrantStatement,
     Literal,
     Projection,
+    RevokeStatement,
     SelectStatement,
+    SetPassword,
     ShowStatement,
     VarRef,
 )
@@ -272,6 +277,12 @@ class _Parser:
             raise InfluxQLParseError(f"expected integer, got {v!r}")
         return int(v)
 
+    def _string(self) -> str:
+        kind, v = self._next()
+        if kind != "str":
+            raise InfluxQLParseError(f"expected a string literal, got {v!r}")
+        return re.sub(r"\\(.)", r"\1", v[1:-1])
+
     # -- statements ---------------------------------------------------------
 
     def parse_statement(self):
@@ -322,10 +333,58 @@ class _Parser:
             if self._peek() is not None:
                 raise InfluxQLParseError("trailing input after DROP")
             return DropContinuousQuery(name, db)
+        if self._kw("CREATE", "USER"):
+            name = self._ident()
+            self._expect_kw("WITH", "PASSWORD")
+            pw = self._string()
+            admin = bool(self._kw("WITH", "ALL", "PRIVILEGES"))
+            if self._peek() is not None:
+                raise InfluxQLParseError("trailing input after CREATE USER")
+            return CreateUser(name, pw, admin)
+        if self._kw("DROP", "USER"):
+            name = self._ident()
+            if self._peek() is not None:
+                raise InfluxQLParseError("trailing input after DROP USER")
+            return DropUser(name)
+        if self._kw("SET", "PASSWORD"):
+            self._expect_kw("FOR")
+            name = self._ident()
+            self._expect_op("=")
+            pw = self._string()
+            if self._peek() is not None:
+                raise InfluxQLParseError("trailing input after SET PASSWORD")
+            return SetPassword(name, pw)
+        if self._kw("GRANT"):
+            return self._grant_revoke(grant=True)
+        if self._kw("REVOKE"):
+            return self._grant_revoke(grant=False)
         raise InfluxQLParseError(
-            "expected SELECT, SHOW, CREATE CONTINUOUS QUERY or "
-            "DROP CONTINUOUS QUERY"
+            "expected SELECT, SHOW, DELETE, CREATE/DROP DDL, GRANT/REVOKE "
+            "or SET PASSWORD"
         )
+
+    def _grant_revoke(self, grant: bool):
+        """GRANT|REVOKE READ|WRITE|ALL [PRIVILEGES] [ON db] TO|FROM user.
+        The db-less form is only valid with ALL (cluster-admin toggle,
+        enforced by the registry)."""
+        if self._kw("ALL"):
+            priv = "all"
+            self._kw("PRIVILEGES")  # optional noise word
+        elif self._kw("READ"):
+            priv = "read"
+        elif self._kw("WRITE"):
+            priv = "write"
+        else:
+            raise InfluxQLParseError("expected READ, WRITE or ALL")
+        db = self._ident() if self._kw("ON") else None
+        self._expect_kw("TO" if grant else "FROM")
+        user = self._ident()
+        if self._peek() is not None:
+            raise InfluxQLParseError(
+                f"trailing input after {'GRANT' if grant else 'REVOKE'}"
+            )
+        cls = GrantStatement if grant else RevokeStatement
+        return cls(priv, db, user)
 
     def _delete(self) -> DeleteStatement:
         """DELETE [FROM m[, m2] | /re/] [WHERE conds] (stock 1.x).  The
@@ -477,6 +536,11 @@ class _Parser:
                         "SHOW DIAGNOSTICS FOR expects a component name"
                     )
             return stmt
+        if self._kw("USERS"):
+            return ShowStatement("users")
+        if self._kw("GRANTS"):
+            self._expect_kw("FOR")
+            return ShowStatement("grants", for_user=self._ident())
         if self._kw("SERIES"):
             meas = self._ident() if self._kw("FROM") else None
             return ShowStatement("series", measurement=meas)

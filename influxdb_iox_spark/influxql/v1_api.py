@@ -35,13 +35,18 @@ from influxdb_iox_spark.influxql.ast_nodes import (
     CreateContinuousQuery,
     CreateDatabase,
     CreateRetentionPolicy,
+    CreateUser,
     DeleteStatement,
     DropContinuousQuery,
     DropDatabase,
     DropMeasurement,
+    DropUser,
     ExplainStatement,
+    GrantStatement,
     Measurement,
+    RevokeStatement,
     SelectStatement,
+    SetPassword,
     ShowStatement,
 )
 from influxdb_iox_spark.influxql.parser import parse
@@ -319,6 +324,109 @@ def _show_stats_series(stmt: ShowStatement, database, now_ns: int) -> list[dict]
     return series
 
 
+_USER_STATEMENTS = (
+    CreateUser, DropUser, SetPassword, GrantStatement, RevokeStatement,
+)
+
+
+def _check_privilege(stmt, registry, identity, selected_db) -> None:
+    """Stock per-statement authorization.  No-op unless a NON-EMPTY
+    registry is configured (anonymous mode, and the CREATE USER
+    bootstrap).  Admin: user management, SHOW USERS/GRANTS, database /
+    retention-policy / measurement / continuous-query DDL.  WRITE on the
+    selected database: DELETE and SELECT…INTO.  READ: everything else.
+    Exception: SET PASSWORD FOR <self> is allowed (stock lets users
+    rotate their own credential)."""
+    if not registry:
+        return
+    from influxdb_iox_spark.auth import AuthError
+
+    def deny():
+        raise AuthError(
+            f"user {identity or '<anonymous>'} is not authorized to "
+            "execute this statement"
+        )
+
+    admin_shows = ("users", "grants")
+    needs_admin = isinstance(
+        stmt,
+        (
+            CreateUser, DropUser, GrantStatement, RevokeStatement,
+            CreateDatabase, DropDatabase, CreateRetentionPolicy,
+            DropMeasurement, CreateContinuousQuery, DropContinuousQuery,
+        ),
+    ) or (isinstance(stmt, ShowStatement) and stmt.what in admin_shows)
+    if isinstance(stmt, SetPassword):
+        if not (registry.is_admin(identity) or stmt.name == identity):
+            deny()
+        return
+    if needs_admin:
+        if not registry.is_admin(identity):
+            deny()
+        return
+    if isinstance(stmt, DeleteStatement) or (
+        isinstance(stmt, SelectStatement) and stmt.into is not None
+    ):
+        if not registry.can(identity, selected_db, "write"):
+            deny()
+        return
+    if not registry.can(identity, selected_db, "read"):
+        deny()
+
+
+def _run_user_statement(stmt, registry, read_only: bool, entry: dict) -> bool:
+    """Execute a user-management statement against the registry; returns
+    False when ``stmt`` isn't one.  Available only when the server was
+    constructed with a UserRegistry (plain password-dict servers keep the
+    pre-registry all-authenticated-users-equal behavior and reject
+    management statements)."""
+    is_user_show = isinstance(stmt, ShowStatement) and stmt.what in (
+        "users", "grants",
+    )
+    if not (isinstance(stmt, _USER_STATEMENTS) or is_user_show):
+        return False
+    if registry is None or not hasattr(registry, "create_user"):
+        raise InfluxQLPlanError(
+            "user management requires this server to be configured with "
+            "a user registry"
+        )
+    if read_only and not is_user_show:
+        raise InfluxQLPlanError(
+            f"{type(stmt).__name__} requires a POST request"
+        )
+    if isinstance(stmt, CreateUser):
+        registry.create_user(stmt.name, stmt.password, stmt.admin)
+    elif isinstance(stmt, DropUser):
+        registry.drop_user(stmt.name)
+    elif isinstance(stmt, SetPassword):
+        registry.set_password(stmt.name, stmt.password)
+    elif isinstance(stmt, GrantStatement):
+        registry.grant(stmt.privilege, stmt.db, stmt.user)
+    elif isinstance(stmt, RevokeStatement):
+        registry.revoke(stmt.privilege, stmt.db, stmt.user)
+    elif stmt.what == "users":
+        entry["series"] = [
+            {
+                "columns": ["user", "admin"],
+                "values": [[n, a] for n, a in registry.list_users()],
+            }
+        ]
+    else:  # grants
+        priv_names = {
+            "read": "READ", "write": "WRITE", "all": "ALL PRIVILEGES",
+        }
+        entry["series"] = [
+            {
+                "columns": ["database", "privilege"],
+                "values": [
+                    [db, priv_names[p]]
+                    for db, p in registry.grants_for(stmt.for_user)
+                ],
+            }
+        ]
+    return True
+
+
 def run_statements(
     text: str,
     catalog: dict[str, Measurement],
@@ -329,6 +437,9 @@ def run_statements(
     database=None,
     read_only: bool = False,
     resolve_database=None,
+    registry=None,
+    identity: str | None = None,
+    selected_db: str | None = None,
 ) -> dict:
     """Execute a (possibly multi-statement) InfluxQL request and build
     the v1 response envelope.  Statement errors are reported per
@@ -339,7 +450,15 @@ def run_statements(
     ``resolve_database``: name -> engine Database (or None) for servers
     hosting several; DDL targets are resolved by STATEMENT name through
     it, never by the connection's ``db=`` param — ``DROP DATABASE b``
-    sent with ``db=a`` must drop b, not a."""
+    sent with ``db=a`` must drop b, not a.
+
+    ``registry``/``identity``/``selected_db``: the auth.UserRegistry,
+    the authenticated username, and the request's db= name.  A NON-EMPTY
+    registry turns on stock per-statement privilege checks (admin for
+    user management and DDL, WRITE on the selected db for DELETE / INTO,
+    READ otherwise); empty/None = anonymous mode, no checks — which is
+    also what lets CREATE USER … WITH ALL PRIVILEGES bootstrap the first
+    admin."""
     if epoch is not None and epoch not in _EPOCH_DIV:
         raise ValueError(f"invalid epoch {epoch!r}")
     now_ns = now_ns if now_ns is not None else _time.time_ns()
@@ -348,6 +467,11 @@ def run_statements(
         entry: dict = {"statement_id": i}
         try:
             stmt = parse(stext)
+            _check_privilege(stmt, registry, identity, selected_db)
+            handled = _run_user_statement(stmt, registry, read_only, entry)
+            if handled:
+                results.append(entry)
+                continue
             if isinstance(stmt, (CreateDatabase, DropDatabase, CreateRetentionPolicy)):
                 # client-library onboarding DDL (influxdb-python's
                 # create_database/create_retention_policy, Telegraf
@@ -595,6 +719,9 @@ def run_statements_chunked(
     read_only: bool = False,
     max_rows: int = 10_000,
     resolve_database=None,
+    registry=None,
+    identity: str | None = None,
+    selected_db: str | None = None,
 ):
     """The ``chunked=true`` form of run_statements: yields one envelope
     document per chunk (stock streams these newline-separated over HTTP
@@ -628,12 +755,16 @@ def run_statements_chunked(
                 database=database,
                 read_only=read_only,
                 resolve_database=resolve_database,
+                registry=registry,
+                identity=identity,
+                selected_db=selected_db,
             )
             entry = env["results"][0]
             entry["statement_id"] = i
             yield {"results": [entry]}
             continue
         try:
+            _check_privilege(stmt, registry, identity, selected_db)
             df, group_tags = plan_select_with_tags(stmt, catalog, now_ns=now_ns)
             cols = df.columns
             for batch, has_more in _batches(

@@ -1569,8 +1569,11 @@ class IoxMultiDbHttpServer:
     ):
         self.server = server
         self.max_rows = max_rows
-        #: user -> password; None = anonymous (see IoxHttpServer.users)
+        #: user -> password; None = anonymous (see IoxHttpServer.users).
+        #: An auth.UserRegistry here adds per-statement privileges and the
+        #: user-management statements, like the single-db facade.
         self.users = users
+        self.registry = users if hasattr(users, "create_user") else None
         self._httpd = None
         self._thread = None
         self.metrics: dict[str, int] = {
@@ -1647,6 +1650,7 @@ class IoxMultiDbHttpServer:
         self, db: str | None, q: str, epoch: str | None,
         read_only: bool = False,
         accept: str | None = None,
+        identity: str | None = None,
     ) -> tuple[bytes, str]:
         """GET/POST /query against ANY hosted database (the 1.x API's
         ``db`` param picks it); same envelope/CSV semantics as the
@@ -1672,6 +1676,9 @@ class IoxMultiDbHttpServer:
                 database=database,
                 read_only=read_only,
                 resolve_database=self._resolve_database,
+                registry=self.registry,
+                identity=identity,
+                selected_db=db,
             )
         except ValueError as e:  # bad epoch
             raise _HttpError(400, str(e))
@@ -1682,6 +1689,7 @@ class IoxMultiDbHttpServer:
     def iter_v1_query_chunks(
         self, db: str | None, q: str, epoch: str | None,
         chunk_size: int, read_only: bool = False,
+        identity: str | None = None,
     ):
         from influxdb_iox_spark.http_api import _HttpError
         from influxdb_iox_spark.influxql.v1_api import (
@@ -1705,6 +1713,9 @@ class IoxMultiDbHttpServer:
             read_only=read_only,
             max_rows=self.max_rows,
             resolve_database=self._resolve_database,
+            registry=self.registry,
+            identity=identity,
+            selected_db=db,
         )
 
     def handle_write_v1(
