@@ -48,6 +48,10 @@ HEADLINE = [
     # single-exchange series transform suite
     "doc_paragraph_dedup",
     "series_transforms",
+    # round-10 addition: the recursive technical-analysis path (one
+    # applyInPandas per statement) — tracks the Arrow-batch + per-series
+    # Python-recurrence cost in the driver bench
+    "influxql_ema",
 ]
 
 

@@ -123,6 +123,35 @@ class CreateRetentionPolicy:
 
 
 @dataclass(frozen=True)
+class AlterRetentionPolicy:
+    """ALTER RETENTION POLICY <name> ON <db> [DURATION…] — accepted for
+    client compatibility; retention is lifecycle-rule driven here."""
+
+    name: str
+    db: str
+
+
+@dataclass(frozen=True)
+class DropRetentionPolicy:
+    """DROP RETENTION POLICY <name> ON <db> — accepted for client
+    compatibility (same reason as ALTER)."""
+
+    name: str
+    db: str
+
+
+@dataclass
+class DropSeries:
+    """DROP SERIES [FROM m [, m2] | /re/] [WHERE tag-conds] — stock 1.x:
+    deletes whole series (all time).  WHERE is tag-only; time conditions
+    are rejected at lowering (stock restriction)."""
+
+    from_names: list[str] | None = None
+    from_regex: str | None = None
+    where: object | None = None
+
+
+@dataclass(frozen=True)
 class DropMeasurement:
     """DROP MEASUREMENT <name> — drop every chunk and the schema."""
 

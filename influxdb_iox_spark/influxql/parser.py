@@ -37,6 +37,7 @@ import re
 from influxdb_iox_spark.influxql.ast_nodes import (
     BinaryExpr,
     Call,
+    AlterRetentionPolicy,
     CreateContinuousQuery,
     CreateDatabase,
     CreateRetentionPolicy,
@@ -45,6 +46,8 @@ from influxdb_iox_spark.influxql.ast_nodes import (
     DropDatabase,
     DropContinuousQuery,
     DropMeasurement,
+    DropRetentionPolicy,
+    DropSeries,
     DropUser,
     ExplainStatement,
     FillOption,
@@ -321,6 +324,24 @@ class _Parser:
             db = self._ident()
             self.i = len(self.toks)  # DURATION/REPLICATION/...: ignored
             return CreateRetentionPolicy(name, db)
+        if self._kw("ALTER", "RETENTION", "POLICY"):
+            name = self._ident()
+            self._expect_kw("ON")
+            db = self._ident()
+            self.i = len(self.toks)  # DURATION/.../DEFAULT: ignored
+            return AlterRetentionPolicy(name, db)
+        if self._kw("DROP", "RETENTION", "POLICY"):
+            name = self._ident()
+            self._expect_kw("ON")
+            db = self._ident()
+            if self._peek() is not None:
+                raise InfluxQLParseError(
+                    "trailing input after DROP RETENTION POLICY"
+                )
+            return DropRetentionPolicy(name, db)
+        if self._kw("DROP", "SERIES"):
+            d = self._delete()  # same FROM/WHERE grammar as DELETE
+            return DropSeries(d.from_names, d.from_regex, d.where)
         if self._kw("DROP", "MEASUREMENT"):
             name = self._ident()
             if self._peek() is not None:

@@ -1748,6 +1748,33 @@ def run_delete(
     return deleted
 
 
+def run_drop_series(
+    stmt,
+    catalog: dict[str, Measurement],
+    database,
+) -> list[str]:
+    """``DROP SERIES [FROM m | /re/] [WHERE tag-conds]`` — stock 1.x:
+    deletes whole series across ALL time.  Lowered onto the same delete
+    tombstones as DELETE (an explicit all-time predicate), with the stock
+    restriction that WHERE may not mention time — DROP SERIES is a series
+    operation, not a range delete."""
+    from influxdb_iox_spark.influxql.ast_nodes import DeleteStatement
+
+    if stmt.where is not None:
+        lo, hi = _where_time_range(stmt.where, _time.time_ns())
+        if lo is not None or hi is not None:
+            raise InfluxQLPlanError(
+                "DROP SERIES does not accept time conditions "
+                "(use DELETE for range deletes)"
+            )
+    twin = DeleteStatement(
+        from_names=stmt.from_names,
+        from_regex=stmt.from_regex,
+        where=stmt.where,
+    )
+    return run_delete(twin, catalog, database)
+
+
 def _delete_conjuncts(node) -> list:
     """AND-combined tag comparisons of a DELETE WHERE -> DeleteExpr list
     (time comparisons are consumed separately by _where_time_range)."""

@@ -32,6 +32,7 @@ import datetime as _dt
 import time as _time
 
 from influxdb_iox_spark.influxql.ast_nodes import (
+    AlterRetentionPolicy,
     CreateContinuousQuery,
     CreateDatabase,
     CreateRetentionPolicy,
@@ -40,6 +41,8 @@ from influxdb_iox_spark.influxql.ast_nodes import (
     DropContinuousQuery,
     DropDatabase,
     DropMeasurement,
+    DropRetentionPolicy,
+    DropSeries,
     DropUser,
     ExplainStatement,
     GrantStatement,
@@ -353,6 +356,7 @@ def _check_privilege(stmt, registry, identity, selected_db) -> None:
         (
             CreateUser, DropUser, GrantStatement, RevokeStatement,
             CreateDatabase, DropDatabase, CreateRetentionPolicy,
+            AlterRetentionPolicy, DropRetentionPolicy,
             DropMeasurement, CreateContinuousQuery, DropContinuousQuery,
         ),
     ) or (isinstance(stmt, ShowStatement) and stmt.what in admin_shows)
@@ -364,7 +368,7 @@ def _check_privilege(stmt, registry, identity, selected_db) -> None:
         if not registry.is_admin(identity):
             deny()
         return
-    if isinstance(stmt, DeleteStatement) or (
+    if isinstance(stmt, (DeleteStatement, DropSeries)) or (
         isinstance(stmt, SelectStatement) and stmt.into is not None
     ):
         if not registry.can(identity, selected_db, "write"):
@@ -472,7 +476,13 @@ def run_statements(
             if handled:
                 results.append(entry)
                 continue
-            if isinstance(stmt, (CreateDatabase, DropDatabase, CreateRetentionPolicy)):
+            if isinstance(
+                stmt,
+                (
+                    CreateDatabase, DropDatabase, CreateRetentionPolicy,
+                    AlterRetentionPolicy, DropRetentionPolicy,
+                ),
+            ):
                 # client-library onboarding DDL (influxdb-python's
                 # create_database/create_retention_policy, Telegraf
                 # setup).  Single-tenant server: creating the database
@@ -555,18 +565,28 @@ def run_statements(
                 ]
                 results.append(entry)
                 continue
-            if isinstance(stmt, DeleteStatement):
-                from influxdb_iox_spark.influxql.planner import run_delete
+            if isinstance(stmt, (DeleteStatement, DropSeries)):
+                from influxdb_iox_spark.influxql.planner import (
+                    run_delete,
+                    run_drop_series,
+                )
 
+                kind = (
+                    "DELETE" if isinstance(stmt, DeleteStatement)
+                    else "DROP SERIES"
+                )
                 if read_only:
                     raise InfluxQLPlanError(
-                        "DELETE requires a POST request"
+                        f"{kind} requires a POST request"
                     )
                 if database is None:
                     raise InfluxQLPlanError(
-                        "DELETE is not available on this endpoint"
+                        f"{kind} is not available on this endpoint"
                     )
-                run_delete(stmt, catalog, database, now_ns=now_ns)
+                if isinstance(stmt, DeleteStatement):
+                    run_delete(stmt, catalog, database, now_ns=now_ns)
+                else:
+                    run_drop_series(stmt, catalog, database)
                 results.append(entry)  # stock: empty result on success
                 continue
             if isinstance(stmt, (CreateContinuousQuery, DropContinuousQuery)):

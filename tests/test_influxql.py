@@ -1540,3 +1540,54 @@ def test_show_stats_and_diagnostics(spark, tmp_path):
     # database-less endpoint -> per-statement error, not a crash
     env = run_statements("SHOW STATS", catalog_from_database(db))
     assert "not available" in env["results"][0]["error"]
+
+
+def test_parse_drop_series_and_retention_ddl():
+    from influxdb_iox_spark.influxql.ast_nodes import (
+        AlterRetentionPolicy,
+        DropRetentionPolicy,
+        DropSeries,
+    )
+
+    s = parse("DROP SERIES FROM cpu WHERE host = 'a'")
+    assert isinstance(s, DropSeries) and s.from_names == ["cpu"]
+    assert parse("DROP SERIES FROM /^c/").from_regex == "^c"
+    assert parse("ALTER RETENTION POLICY rp ON db DURATION 1d DEFAULT") == (
+        AlterRetentionPolicy("rp", "db")
+    )
+    assert parse("DROP RETENTION POLICY rp ON db") == DropRetentionPolicy(
+        "rp", "db"
+    )
+
+
+def test_run_drop_series(spark, tmp_path):
+    from influxdb_iox_spark.database import Database
+    from influxdb_iox_spark.influxql.planner import run_drop_series
+    from influxdb_iox_spark.influxql.v1_api import catalog_from_database
+    from influxdb_iox_spark.schema import InfluxColumnType, IoxSchema
+    from influxdb_iox_spark.sources.store import TableStore
+
+    store = TableStore(str(tmp_path / "ds_store"))
+    db = Database("db", store, spark)
+    sch = IoxSchema.build(["host"], {"v": InfluxColumnType.FIELD_FLOAT})
+    rows = [
+        ("a", 1.0, 10 * S), ("a", 2.0, 2 * H), ("b", 3.0, 10 * S),
+    ]
+    store.write_chunk(
+        spark.createDataFrame(rows, "host string, v double, time long"),
+        "cpu", sch,
+    )
+    db.register_table("cpu", sch)
+
+    # whole series vanishes across ALL time (unlike a range DELETE)
+    stmt = parse("DROP SERIES FROM cpu WHERE host = 'a'")
+    assert run_drop_series(stmt, catalog_from_database(db), db) == ["cpu"]
+    left = {(r["host"], r["time"]) for r in db.table("cpu").collect()}
+    assert left == {("b", 10 * S)}
+
+    # stock restriction: DROP SERIES takes no time conditions
+    with pytest.raises(InfluxQLPlanError):
+        run_drop_series(
+            parse("DROP SERIES FROM cpu WHERE time < 1h"),
+            catalog_from_database(db), db,
+        )
