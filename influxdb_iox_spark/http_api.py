@@ -75,6 +75,10 @@ class IoxHttpServer:
         #: behavior (any authenticated user can do everything).
         self.users = users
         self.registry = users if hasattr(users, "create_user") else None
+        # SHOW QUERIES / KILL QUERY: job-group-backed live-query registry
+        from influxdb_iox_spark.query_tracker import QueryTracker
+
+        self.tracker = QueryTracker(database.spark)
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
         # Prometheus-style counters, the surface of the reference's
@@ -295,6 +299,7 @@ class IoxHttpServer:
         want_csv = accept is not None and "application/csv" in accept
         if want_csv and epoch is None:
             epoch = "ns"  # stock CSV renders time as epoch ns by default
+        qid = self.tracker.begin(q, db or self.db_name)
         try:
             envelope = run_statements(
                 q,
@@ -307,9 +312,12 @@ class IoxHttpServer:
                 registry=self.registry,
                 identity=identity,
                 selected_db=db or self.db_name,
+                tracker=self.tracker,
             )
         except ValueError as e:  # bad epoch
             raise _HttpError(400, str(e))
+        finally:
+            self.tracker.end(qid)
         if want_csv:
             return render_csv(envelope), "application/csv"
         return json.dumps(envelope).encode(), "application/json"
@@ -337,19 +345,30 @@ class IoxHttpServer:
 
         if epoch is not None and epoch not in _EPOCH_DIV:
             raise _HttpError(400, f"invalid epoch {epoch!r}")
-        return run_statements_chunked(
-            q,
-            catalog_from_database(self.database),
-            databases=[self.db_name],
-            epoch=epoch,
-            chunk_size=chunk_size,
-            database=self.database,
-            read_only=read_only,
-            max_rows=self.max_rows,
-            registry=self.registry,
-            identity=identity,
-            selected_db=db or self.db_name,
-        )
+        def _tracked():
+            # begin() inside the generator: the job-group tag must land on
+            # the CONSUMING thread (the handler streams the chunks), and
+            # end() must run however iteration stops
+            qid = self.tracker.begin(q, db or self.db_name)
+            try:
+                yield from run_statements_chunked(
+                    q,
+                    catalog_from_database(self.database),
+                    databases=[self.db_name],
+                    epoch=epoch,
+                    chunk_size=chunk_size,
+                    database=self.database,
+                    read_only=read_only,
+                    max_rows=self.max_rows,
+                    registry=self.registry,
+                    identity=identity,
+                    selected_db=db or self.db_name,
+                    tracker=self.tracker,
+                )
+            finally:
+                self.tracker.end(qid)
+
+        return _tracked()
 
 
 def _rfc3339_ns(value, param: str) -> int:

@@ -190,6 +190,13 @@ class DropContinuousQuery:
 
 
 @dataclass(frozen=True)
+class KillQuery:
+    """KILL QUERY <qid> — cancel a tracked statement's Spark job group."""
+
+    qid: int
+
+
+@dataclass(frozen=True)
 class CreateUser:
     """CREATE USER <name> WITH PASSWORD '<pw>' [WITH ALL PRIVILEGES]."""
 

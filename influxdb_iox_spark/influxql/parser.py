@@ -52,6 +52,7 @@ from influxdb_iox_spark.influxql.ast_nodes import (
     ExplainStatement,
     FillOption,
     GrantStatement,
+    KillQuery,
     Literal,
     Projection,
     RevokeStatement,
@@ -379,6 +380,11 @@ class _Parser:
             return self._grant_revoke(grant=True)
         if self._kw("REVOKE"):
             return self._grant_revoke(grant=False)
+        if self._kw("KILL", "QUERY"):
+            qid = self._int()
+            if self._peek() is not None:
+                raise InfluxQLParseError("trailing input after KILL QUERY")
+            return KillQuery(qid)
         raise InfluxQLParseError(
             "expected SELECT, SHOW, DELETE, CREATE/DROP DDL, GRANT/REVOKE "
             "or SET PASSWORD"
@@ -559,6 +565,8 @@ class _Parser:
             return stmt
         if self._kw("USERS"):
             return ShowStatement("users")
+        if self._kw("QUERIES"):
+            return ShowStatement("queries")
         if self._kw("GRANTS"):
             self._expect_kw("FOR")
             return ShowStatement("grants", for_user=self._ident())

@@ -46,6 +46,7 @@ from influxdb_iox_spark.influxql.ast_nodes import (
     DropUser,
     ExplainStatement,
     GrantStatement,
+    KillQuery,
     Measurement,
     RevokeStatement,
     SelectStatement,
@@ -350,7 +351,7 @@ def _check_privilege(stmt, registry, identity, selected_db) -> None:
             "execute this statement"
         )
 
-    admin_shows = ("users", "grants")
+    admin_shows = ("users", "grants", "queries")
     needs_admin = isinstance(
         stmt,
         (
@@ -358,6 +359,7 @@ def _check_privilege(stmt, registry, identity, selected_db) -> None:
             CreateDatabase, DropDatabase, CreateRetentionPolicy,
             AlterRetentionPolicy, DropRetentionPolicy,
             DropMeasurement, CreateContinuousQuery, DropContinuousQuery,
+            KillQuery,
         ),
     ) or (isinstance(stmt, ShowStatement) and stmt.what in admin_shows)
     if isinstance(stmt, SetPassword):
@@ -444,6 +446,7 @@ def run_statements(
     registry=None,
     identity: str | None = None,
     selected_db: str | None = None,
+    tracker=None,
 ) -> dict:
     """Execute a (possibly multi-statement) InfluxQL request and build
     the v1 response envelope.  Statement errors are reported per
@@ -474,6 +477,36 @@ def run_statements(
             _check_privilege(stmt, registry, identity, selected_db)
             handled = _run_user_statement(stmt, registry, read_only, entry)
             if handled:
+                results.append(entry)
+                continue
+            if isinstance(stmt, KillQuery) or (
+                isinstance(stmt, ShowStatement) and stmt.what == "queries"
+            ):
+                if tracker is None:
+                    raise InfluxQLPlanError(
+                        "query tracking is not available on this endpoint"
+                    )
+                if isinstance(stmt, KillQuery):
+                    if read_only:
+                        raise InfluxQLPlanError(
+                            "KILL QUERY requires a POST request"
+                        )
+                    if not tracker.kill(stmt.qid):
+                        raise InfluxQLPlanError(
+                            f"no such query id: {stmt.qid}"
+                        )
+                else:
+                    rows = tracker.list()
+                    if rows:
+                        entry["series"] = [
+                            {
+                                "columns": [
+                                    "qid", "query", "database",
+                                    "duration", "status",
+                                ],
+                                "values": rows,
+                            }
+                        ]
                 results.append(entry)
                 continue
             if isinstance(
@@ -742,6 +775,7 @@ def run_statements_chunked(
     registry=None,
     identity: str | None = None,
     selected_db: str | None = None,
+    tracker=None,
 ):
     """The ``chunked=true`` form of run_statements: yields one envelope
     document per chunk (stock streams these newline-separated over HTTP
@@ -778,6 +812,7 @@ def run_statements_chunked(
                 registry=registry,
                 identity=identity,
                 selected_db=selected_db,
+                tracker=tracker,
             )
             entry = env["results"][0]
             entry["statement_id"] = i

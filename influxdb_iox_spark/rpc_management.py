@@ -1574,6 +1574,9 @@ class IoxMultiDbHttpServer:
         #: user-management statements, like the single-db facade.
         self.users = users
         self.registry = users if hasattr(users, "create_user") else None
+        from influxdb_iox_spark.query_tracker import QueryTracker
+
+        self.tracker = QueryTracker(server.spark)
         self._httpd = None
         self._thread = None
         self.metrics: dict[str, int] = {
@@ -1666,6 +1669,7 @@ class IoxMultiDbHttpServer:
         want_csv = accept is not None and "application/csv" in accept
         if want_csv and epoch is None:
             epoch = "ns"
+        qid = self.tracker.begin(q, db)
         try:
             envelope = run_statements(
                 q,
@@ -1679,9 +1683,12 @@ class IoxMultiDbHttpServer:
                 registry=self.registry,
                 identity=identity,
                 selected_db=db,
+                tracker=self.tracker,
             )
         except ValueError as e:  # bad epoch
             raise _HttpError(400, str(e))
+        finally:
+            self.tracker.end(qid)
         if want_csv:
             return render_csv(envelope), "application/csv"
         return json.dumps(envelope).encode(), "application/json"
@@ -1703,20 +1710,28 @@ class IoxMultiDbHttpServer:
             raise _HttpError(400, "chunk_size must be positive")
         if epoch is not None and epoch not in _EPOCH_DIV:
             raise _HttpError(400, f"invalid epoch {epoch!r}")
-        return run_statements_chunked(
-            q,
-            catalog_from_database(database) if database else {},
-            databases=sorted(self.server.databases),
-            epoch=epoch,
-            chunk_size=chunk_size,
-            database=database,
-            read_only=read_only,
-            max_rows=self.max_rows,
-            resolve_database=self._resolve_database,
-            registry=self.registry,
-            identity=identity,
-            selected_db=db,
-        )
+        def _tracked():
+            qid = self.tracker.begin(q, db)
+            try:
+                yield from run_statements_chunked(
+                    q,
+                    catalog_from_database(database) if database else {},
+                    databases=sorted(self.server.databases),
+                    epoch=epoch,
+                    chunk_size=chunk_size,
+                    database=database,
+                    read_only=read_only,
+                    max_rows=self.max_rows,
+                    resolve_database=self._resolve_database,
+                    registry=self.registry,
+                    identity=identity,
+                    selected_db=db,
+                    tracker=self.tracker,
+                )
+            finally:
+                self.tracker.end(qid)
+
+        return _tracked()
 
     def handle_write_v1(
         self, db: str | None, body: bytes, precision: str | None = None
