@@ -77,8 +77,12 @@ class IoxHttpServer:
         self.registry = users if hasattr(users, "create_user") else None
         # SHOW QUERIES / KILL QUERY: job-group-backed live-query registry
         from influxdb_iox_spark.query_tracker import QueryTracker
+        from influxdb_iox_spark.subscriptions import SubscriptionRegistry
 
         self.tracker = QueryTracker(database.spark)
+        # CREATE/DROP/SHOW SUBSCRIPTION + async best-effort forwarding of
+        # accepted writes (subscriptions.py)
+        self.subscriptions = SubscriptionRegistry()
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
         # Prometheus-style counters, the surface of the reference's
@@ -113,6 +117,7 @@ class IoxHttpServer:
             self._httpd.shutdown()
             self._httpd.server_close()
             self._httpd = None
+        self.subscriptions.stop()
 
     # -- handlers ----------------------------------------------------------
     #: write-API precision units -> ns multiplier (v1 /write precision
@@ -141,6 +146,13 @@ class IoxHttpServer:
         self._do_write(db, body, precision)
 
     def _do_write(
+        self, name: str, body: bytes, precision: str | None = None
+    ) -> None:
+        self._do_write_inner(name, body, precision)
+        # accepted (no exception) -> mirror to subscribers, O(1) enqueue
+        self.subscriptions.notify_write(name, body, precision)
+
+    def _do_write_inner(
         self, name: str, body: bytes, precision: str | None = None
     ) -> None:
         if name != self.db_name:
@@ -313,6 +325,7 @@ class IoxHttpServer:
                 identity=identity,
                 selected_db=db or self.db_name,
                 tracker=self.tracker,
+                subscriptions=self.subscriptions,
             )
         except ValueError as e:  # bad epoch
             raise _HttpError(400, str(e))
@@ -364,6 +377,7 @@ class IoxHttpServer:
                     identity=identity,
                     selected_db=db or self.db_name,
                     tracker=self.tracker,
+                    subscriptions=self.subscriptions,
                 )
             finally:
                 self.tracker.end(qid)

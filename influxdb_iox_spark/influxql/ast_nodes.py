@@ -190,6 +190,25 @@ class DropContinuousQuery:
 
 
 @dataclass(frozen=True)
+class CreateSubscription:
+    """CREATE SUBSCRIPTION "name" ON db.rp DESTINATIONS ALL|ANY 'url',…"""
+
+    name: str
+    db: str
+    rp: str
+    mode: str  # 'ALL' | 'ANY'
+    destinations: tuple
+
+@dataclass(frozen=True)
+class DropSubscription:
+    """DROP SUBSCRIPTION "name" ON db.rp."""
+
+    name: str
+    db: str
+    rp: str
+
+
+@dataclass(frozen=True)
 class KillQuery:
     """KILL QUERY <qid> — cancel a tracked statement's Spark job group."""
 

@@ -41,6 +41,7 @@ from influxdb_iox_spark.influxql.ast_nodes import (
     CreateContinuousQuery,
     CreateDatabase,
     CreateRetentionPolicy,
+    CreateSubscription,
     CreateUser,
     DeleteStatement,
     DropDatabase,
@@ -48,6 +49,7 @@ from influxdb_iox_spark.influxql.ast_nodes import (
     DropMeasurement,
     DropRetentionPolicy,
     DropSeries,
+    DropSubscription,
     DropUser,
     ExplainStatement,
     FillOption,
@@ -380,6 +382,35 @@ class _Parser:
             return self._grant_revoke(grant=True)
         if self._kw("REVOKE"):
             return self._grant_revoke(grant=False)
+        if self._kw("CREATE", "SUBSCRIPTION"):
+            name = self._ident()
+            self._expect_kw("ON")
+            db, rp = self._db_dot_rp()
+            self._expect_kw("DESTINATIONS")
+            if self._kw("ALL"):
+                mode = "ALL"
+            elif self._kw("ANY"):
+                mode = "ANY"
+            else:
+                raise InfluxQLParseError("expected DESTINATIONS ALL or ANY")
+            dests = [self._string()]
+            while self._peek() == ("op", ","):
+                self.i += 1
+                dests.append(self._string())
+            if self._peek() is not None:
+                raise InfluxQLParseError(
+                    "trailing input after CREATE SUBSCRIPTION"
+                )
+            return CreateSubscription(name, db, rp, mode, tuple(dests))
+        if self._kw("DROP", "SUBSCRIPTION"):
+            name = self._ident()
+            self._expect_kw("ON")
+            db, rp = self._db_dot_rp()
+            if self._peek() is not None:
+                raise InfluxQLParseError(
+                    "trailing input after DROP SUBSCRIPTION"
+                )
+            return DropSubscription(name, db, rp)
         if self._kw("KILL", "QUERY"):
             qid = self._int()
             if self._peek() is not None:
@@ -389,6 +420,19 @@ class _Parser:
             "expected SELECT, SHOW, DELETE, CREATE/DROP DDL, GRANT/REVOKE "
             "or SET PASSWORD"
         )
+
+    def _db_dot_rp(self) -> tuple[str, str]:
+        """``db.rp`` — either two (possibly quoted) identifiers joined by
+        '.', or one bare ident token that lexed WITH the dot (the lexer
+        admits dots inside bare identifiers)."""
+        first = self._ident()
+        if self._peek() == ("op", "."):
+            self.i += 1
+            return first, self._ident()
+        if "." in first:
+            db, _, rp = first.partition(".")
+            return db, rp
+        raise InfluxQLParseError("expected db.retention_policy")
 
     def _grant_revoke(self, grant: bool):
         """GRANT|REVOKE READ|WRITE|ALL [PRIVILEGES] [ON db] TO|FROM user.
@@ -567,6 +611,8 @@ class _Parser:
             return ShowStatement("users")
         if self._kw("QUERIES"):
             return ShowStatement("queries")
+        if self._kw("SUBSCRIPTIONS"):
+            return ShowStatement("subscriptions")
         if self._kw("GRANTS"):
             self._expect_kw("FOR")
             return ShowStatement("grants", for_user=self._ident())

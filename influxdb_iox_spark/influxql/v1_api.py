@@ -36,6 +36,7 @@ from influxdb_iox_spark.influxql.ast_nodes import (
     CreateContinuousQuery,
     CreateDatabase,
     CreateRetentionPolicy,
+    CreateSubscription,
     CreateUser,
     DeleteStatement,
     DropContinuousQuery,
@@ -43,6 +44,7 @@ from influxdb_iox_spark.influxql.ast_nodes import (
     DropMeasurement,
     DropRetentionPolicy,
     DropSeries,
+    DropSubscription,
     DropUser,
     ExplainStatement,
     GrantStatement,
@@ -351,7 +353,7 @@ def _check_privilege(stmt, registry, identity, selected_db) -> None:
             "execute this statement"
         )
 
-    admin_shows = ("users", "grants", "queries")
+    admin_shows = ("users", "grants", "queries", "subscriptions")
     needs_admin = isinstance(
         stmt,
         (
@@ -359,7 +361,7 @@ def _check_privilege(stmt, registry, identity, selected_db) -> None:
             CreateDatabase, DropDatabase, CreateRetentionPolicy,
             AlterRetentionPolicy, DropRetentionPolicy,
             DropMeasurement, CreateContinuousQuery, DropContinuousQuery,
-            KillQuery,
+            KillQuery, CreateSubscription, DropSubscription,
         ),
     ) or (isinstance(stmt, ShowStatement) and stmt.what in admin_shows)
     if isinstance(stmt, SetPassword):
@@ -447,6 +449,7 @@ def run_statements(
     identity: str | None = None,
     selected_db: str | None = None,
     tracker=None,
+    subscriptions=None,
 ) -> dict:
     """Execute a (possibly multi-statement) InfluxQL request and build
     the v1 response envelope.  Statement errors are reported per
@@ -477,6 +480,53 @@ def run_statements(
             _check_privilege(stmt, registry, identity, selected_db)
             handled = _run_user_statement(stmt, registry, read_only, entry)
             if handled:
+                results.append(entry)
+                continue
+            if isinstance(
+                stmt, (CreateSubscription, DropSubscription)
+            ) or (
+                isinstance(stmt, ShowStatement)
+                and stmt.what == "subscriptions"
+            ):
+                if subscriptions is None:
+                    raise InfluxQLPlanError(
+                        "subscriptions are not available on this endpoint"
+                    )
+                if isinstance(stmt, CreateSubscription):
+                    if read_only:
+                        raise InfluxQLPlanError(
+                            "CREATE SUBSCRIPTION requires a POST request"
+                        )
+                    try:
+                        subscriptions.create(
+                            stmt.name, stmt.db, stmt.rp, stmt.mode,
+                            list(stmt.destinations),
+                        )
+                    except ValueError as e:
+                        raise InfluxQLPlanError(str(e)) from None
+                elif isinstance(stmt, DropSubscription):
+                    if read_only:
+                        raise InfluxQLPlanError(
+                            "DROP SUBSCRIPTION requires a POST request"
+                        )
+                    try:
+                        subscriptions.drop(stmt.name, stmt.db, stmt.rp)
+                    except ValueError as e:
+                        raise InfluxQLPlanError(str(e)) from None
+                else:
+                    series = [
+                        {
+                            "name": db_name,
+                            "columns": [
+                                "retention_policy", "name", "mode",
+                                "destinations",
+                            ],
+                            "values": rows,
+                        }
+                        for db_name, rows in subscriptions.list_rows().items()
+                    ]
+                    if series:
+                        entry["series"] = series
                 results.append(entry)
                 continue
             if isinstance(stmt, KillQuery) or (
@@ -776,6 +826,7 @@ def run_statements_chunked(
     identity: str | None = None,
     selected_db: str | None = None,
     tracker=None,
+    subscriptions=None,
 ):
     """The ``chunked=true`` form of run_statements: yields one envelope
     document per chunk (stock streams these newline-separated over HTTP
@@ -813,6 +864,7 @@ def run_statements_chunked(
                 identity=identity,
                 selected_db=selected_db,
                 tracker=tracker,
+                subscriptions=subscriptions,
             )
             entry = env["results"][0]
             entry["statement_id"] = i

@@ -1575,8 +1575,10 @@ class IoxMultiDbHttpServer:
         self.users = users
         self.registry = users if hasattr(users, "create_user") else None
         from influxdb_iox_spark.query_tracker import QueryTracker
+        from influxdb_iox_spark.subscriptions import SubscriptionRegistry
 
         self.tracker = QueryTracker(server.spark)
+        self.subscriptions = SubscriptionRegistry()
         self._httpd = None
         self._thread = None
         self.metrics: dict[str, int] = {
@@ -1630,6 +1632,8 @@ class IoxMultiDbHttpServer:
             raise _HttpError(status, e.message)
         self.metrics["ingest_lines_total"] += n
         self.metrics["ingest_points_bytes_total"] += len(body)
+        # body is already ns-scaled here; forward without precision
+        self.subscriptions.notify_write(name, body, None)
 
     # -- InfluxDB 1.x API over the live database set -------------------------
     def _resolve_database(self, name: str):
@@ -1684,6 +1688,7 @@ class IoxMultiDbHttpServer:
                 identity=identity,
                 selected_db=db,
                 tracker=self.tracker,
+                subscriptions=self.subscriptions,
             )
         except ValueError as e:  # bad epoch
             raise _HttpError(400, str(e))
@@ -1727,6 +1732,7 @@ class IoxMultiDbHttpServer:
                     identity=identity,
                     selected_db=db,
                     tracker=self.tracker,
+                    subscriptions=self.subscriptions,
                 )
             finally:
                 self.tracker.end(qid)
@@ -1760,6 +1766,8 @@ class IoxMultiDbHttpServer:
             raise _HttpError(status, e.message)
         self.metrics["ingest_lines_total"] += n
         self.metrics["ingest_points_bytes_total"] += len(body)
+        # body is already ns-scaled here; forward without precision
+        self.subscriptions.notify_write(db, body, None)
 
     def handle_query(self, name: str, q: str, fmt: str) -> tuple[bytes, str]:
         from influxdb_iox_spark.http_api import (
