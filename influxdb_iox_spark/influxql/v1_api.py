@@ -263,7 +263,10 @@ def _frame_show(stmt: ShowStatement, cols, rows) -> list[dict]:
     return [entry] if rows else []
 
 
-def _show_stats_series(stmt: ShowStatement, database, now_ns: int) -> list[dict]:
+def _show_stats_series(
+    stmt: ShowStatement, database, now_ns: int,
+    tracker=None, subscriptions=None,
+) -> list[dict]:
     """SHOW STATS / SHOW DIAGNOSTICS — the stock 1.x ops statements,
     answered from the engine's own metadata (manifest chunk stats; no
     scans).  Series named after stock's modules where an honest analogue
@@ -295,6 +298,31 @@ def _show_stats_series(stmt: ShowStatement, database, now_ns: int) -> list[dict]
                         sum(c.row_count or 0 for c in chunks),
                         sum(c.estimated_bytes or 0 for c in chunks),
                     ]],
+                }
+            )
+        # stock's subscriber / queryExecutor stats modules, answered from
+        # the live registries when the endpoint carries them
+        if subscriptions is not None:
+            m = subscriptions.metrics
+            series.append(
+                {
+                    "name": "subscriber",
+                    "columns": [
+                        "pointsForwarded", "writeFailures", "pointsDropped",
+                    ],
+                    "values": [[
+                        m["subscriptions_forwarded_total"],
+                        m["subscriptions_errors_total"],
+                        m["subscriptions_dropped_total"],
+                    ]],
+                }
+            )
+        if tracker is not None:
+            series.append(
+                {
+                    "name": "queryExecutor",
+                    "columns": ["queriesActive"],
+                    "values": [[len(tracker.list())]],
                 }
             )
     else:  # diagnostics
@@ -619,7 +647,10 @@ def run_statements(
             if isinstance(stmt, ShowStatement) and stmt.what in (
                 "stats", "diagnostics"
             ):
-                series = _show_stats_series(stmt, database, now_ns)
+                series = _show_stats_series(
+                    stmt, database, now_ns,
+                    tracker=tracker, subscriptions=subscriptions,
+                )
                 if series:
                     entry["series"] = series
                 results.append(entry)

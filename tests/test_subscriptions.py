@@ -151,3 +151,22 @@ def test_unreachable_destination_never_fails_the_write(spark, tmp_path):
         assert pub_api.subscriptions.metrics["subscriptions_errors_total"] >= 1
     finally:
         pub_api.stop()
+
+
+def test_show_stats_includes_subscriber_and_query_executor(spark, tmp_path):
+    pub_api, _, pub = _mk_server(spark, tmp_path / "pub3", "db0")
+    try:
+        env = _post_query(pub, "SHOW STATS")
+        names = {s["name"] for s in env["results"][0]["series"]}
+        assert {"subscriber", "queryExecutor"} <= names
+        env = _post_query(pub, "SHOW STATS FOR 'subscriber'")
+        (s,) = env["results"][0]["series"]
+        assert s["columns"] == [
+            "pointsForwarded", "writeFailures", "pointsDropped",
+        ]
+        # the queryExecutor row counts THIS request as active
+        env = _post_query(pub, "SHOW STATS FOR 'queryExecutor'")
+        (s,) = env["results"][0]["series"]
+        assert s["values"][0][0] >= 1
+    finally:
+        pub_api.stop()
