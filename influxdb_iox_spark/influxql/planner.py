@@ -1414,28 +1414,49 @@ def _plan_technical(
             "valid; wrap an aggregate (e.g. exponential_moving_average("
             "mean(v), 10)) to bucket first"
         )
-    used: set[str] = {"time", *tags}
+    if any(_mentions_raw_column(p.expr, m) for p in stmt.projections):
+        raise InfluxQLPlanError(
+            "technical-analysis calls cannot mix with raw fields"
+        )
+    # Pre-pass (the _collect_agg_calls pattern): every unique TA call in
+    # the projection trees computes ONE kernel column __tN; scalar math /
+    # arithmetic then composes around them in the final select.
     specs: list[tuple[str, str, str, int, str, int]] = []
+    tech_alias: dict = {}
     base_cols: dict[str, Column] = {}
     for p in stmt.projections:
-        c = p.expr
-        if not (isinstance(c, Call) and c.func in _TECH_RECURSIVE):
-            raise InfluxQLPlanError(
-                "technical-analysis calls cannot mix with other projections"
-            )
-        alias = _alias_for(p, used)
-        fld = _field_arg(c, m)
-        n, warmup, hold = _tech_args(c)
-        in_col = f"__in_{fld}"
-        base_cols[in_col] = F.col(fld).cast("double")
-        specs.append((alias, c.func, in_col, n, warmup, hold))
+        for c in _walk_calls(p.expr):
+            if c.func not in _TECH_RECURSIVE or c in tech_alias:
+                continue
+            name = f"__t{len(tech_alias)}"
+            tech_alias[c] = name
+            fld = _field_arg(c, m)
+            n, warmup, hold = _tech_args(c)
+            in_col = f"__in_{fld}"
+            base_cols[in_col] = F.col(fld).cast("double")
+            specs.append((name, c.func, in_col, n, warmup, hold))
+    if not specs:
+        raise InfluxQLPlanError("no technical-analysis call in projection")
     base = df.select(
         *[F.col(t) for t in tags],
         F.col(m.time_col),
         *[v.alias(k) for k, v in base_cols.items()],
     )
     out = apply_technical(base, tags, m.time_col, specs)
-    aliases = [s[0] for s in specs]
+
+    def resolve(node):
+        if isinstance(node, Call) and node.func in _TECH_RECURSIVE:
+            return F.col(tech_alias[node])
+        return None
+
+    used: set[str] = {"time", *tags}
+    sel: list[Column] = [*[F.col(t) for t in tags], F.col("time")]
+    aliases: list[str] = []
+    for p in stmt.projections:
+        alias = _alias_for(p, used)
+        aliases.append(alias)
+        sel.append(_lower_over(p.expr, m, resolve).alias(alias))
+    out = out.select(*sel)
     out = _drop_leading_nulls(out, aliases)
     out = _apply_point_limit(stmt, m, out, tags)
     tcol = F.col("time").desc() if stmt.order_desc else F.col("time").asc()
@@ -1470,38 +1491,83 @@ def _plan_technical_of_agg(
     group_cols = [*[F.col(t) for t in tags], _bucket_col(stmt, m)]
     inner = df.groupBy(*group_cols).agg(*agg_cols)
 
-    used: set[str] = {"time", *tags}
+    # Pre-pass like the raw path: every unique TA call computes one
+    # kernel column __tN over its aggregate's bucket series; scalar math
+    # composes around them afterwards.  An aggregate OUTSIDE a TA call
+    # (``mean(v), ema(mean(v), 3)``) is rejected — the kernel output
+    # frames only TA columns (stock mixes them; documented divergence).
     specs: list[tuple[str, str, str, int, str, int]] = []
-    sel: list[Column] = [*[F.col(t) for t in tags], F.col("time")]
+    tech_alias: dict = {}
+    pre_cols: dict[str, Column] = {}
     for p in stmt.projections:
-        c = p.expr
-        if not (isinstance(c, Call) and c.func in _TECH_RECURSIVE):
-            raise InfluxQLPlanError(
-                "technical-analysis calls cannot mix with other projections"
+        for c in _walk_calls(p.expr):
+            if c.func not in _TECH_RECURSIVE or c in tech_alias:
+                continue
+            if not (
+                c.args
+                and isinstance(c.args[0], Call)
+                and c.args[0].func in _AGG_FAMILY
+            ):
+                raise InfluxQLPlanError(
+                    f"{c.func}() under GROUP BY time() needs an aggregate "
+                    "argument (e.g. mean(v))"
+                )
+            name = f"__t{len(tech_alias)}"
+            tech_alias[c] = name
+            n, warmup, hold = _tech_args(c)
+            agg_name = agg_alias[c.args[0]]
+            val = (
+                F.col(agg_name).getField("value")
+                if c.args[0].func in _SELECTORS
+                else F.col(agg_name)
             )
-        if not (
-            c.args
-            and isinstance(c.args[0], Call)
-            and c.args[0].func in _AGG_FAMILY
-        ):
-            raise InfluxQLPlanError(
-                f"{c.func}() under GROUP BY time() needs an aggregate "
-                "argument (e.g. mean(v))"
+            in_col = f"__in_{agg_name}"
+            pre_cols[in_col] = val.cast("double")
+            specs.append((name, c.func, in_col, n, warmup, hold))
+    pre: list[Column] = [
+        *[F.col(t) for t in tags],
+        F.col("time"),
+        *[v.alias(k) for k, v in pre_cols.items()],
+    ]
+    if not specs:
+        raise InfluxQLPlanError("no technical-analysis call in projection")
+
+    def _tech_depth(node, inside=False):
+        """True when an agg-family call appears OUTSIDE every TA call."""
+        if isinstance(node, Call):
+            if node.func in _TECH_RECURSIVE:
+                return False
+            if node.func in _AGG_FAMILY and not inside:
+                return True
+            return any(_tech_depth(a, inside) for a in node.args)
+        if isinstance(node, BinaryExpr):
+            return _tech_depth(node.left, inside) or _tech_depth(
+                node.right, inside
             )
-        alias = _alias_for(p, used)
-        n, warmup, hold = _tech_args(c)
-        name = agg_alias[c.args[0]]
-        val = (
-            F.col(name).getField("value")
-            if c.args[0].func in _SELECTORS
-            else F.col(name)
-        )
-        in_col = f"__in_{name}"
-        sel.append(val.cast("double").alias(in_col))
-        specs.append((alias, c.func, in_col, n, warmup, hold))
-    base = inner.select(*sel)
+        return False
+
+    for p in stmt.projections:
+        if _tech_depth(p.expr):
+            raise InfluxQLPlanError(
+                "mixing bare aggregates with technical-analysis calls in "
+                "one statement is not supported; split the statements"
+            )
+    base = inner.select(*pre)
     out = apply_technical(base, tags, "time", specs)
-    aliases = [s[0] for s in specs]
+
+    def resolve(node):
+        if isinstance(node, Call) and node.func in _TECH_RECURSIVE:
+            return F.col(tech_alias[node])
+        return None
+
+    used: set[str] = {"time", *tags}
+    sel: list[Column] = [*[F.col(t) for t in tags], F.col("time")]
+    aliases: list[str] = []
+    for p in stmt.projections:
+        alias = _alias_for(p, used)
+        aliases.append(alias)
+        sel.append(_lower_over(p.expr, m, resolve).alias(alias))
+    out = out.select(*sel)
     out = _drop_leading_nulls(out, aliases)
     if stmt.fill is FillOption.NULL:
         from influxdb_iox_spark.operators.gapfill import fill_window_gaps

@@ -328,3 +328,44 @@ def test_apply_technical_null_inputs_skip(spark):
     assert got[S] is None
     ref = _ema_ref([1.0, 2.0, 3.0], 2)
     assert got[0] == ref[0] and got[2 * S] == ref[1] and got[3 * S] == ref[2]
+
+
+def test_planner_scalar_math_around_technical(catalog):
+    out = execute(
+        "SELECT abs(exponential_moving_average(v, 4)) * 2 AS e2 "
+        "FROM cpu WHERE host = 'a' GROUP BY host",
+        catalog,
+    )
+    rows = sorted(out.collect(), key=lambda r: r["time"])
+    src = [
+        r.v
+        for r in sorted(
+            catalog["cpu"].df.filter("host = 'a'").collect(),
+            key=lambda r: r.time,
+        )
+    ]
+    ref = [abs(x) * 2 for x in _ema_ref(src, 4)]
+    assert [r["e2"] for r in rows] == pytest.approx(ref, abs=0)
+
+
+def test_planner_two_technicals_share_one_pass(catalog):
+    out = execute(
+        "SELECT exponential_moving_average(mean(v), 3) AS e, "
+        "relative_strength_index(mean(v), 2) AS r FROM cpu "
+        "WHERE time >= 0 AND time < 12h GROUP BY time(2h), host",
+        catalog,
+    )
+    rows = out.collect()
+    assert {c for c in out.columns} == {"host", "time", "e", "r"}
+    assert len(rows) == 12  # e emits from bucket 0; null r rows survive
+    # raw-field mixing is rejected with a clean planner error
+    with pytest.raises(InfluxQLPlanError):
+        execute(
+            "SELECT v + exponential_moving_average(v, 4) FROM cpu", catalog
+        )
+    with pytest.raises(InfluxQLPlanError):
+        execute(
+            "SELECT mean(v), exponential_moving_average(mean(v), 3) "
+            "FROM cpu GROUP BY time(2h)",
+            catalog,
+        )
