@@ -75,3 +75,80 @@ def streaming_last_value(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def streaming_ema(
+    df: DataFrame,
+    tag_columns: list[str],
+    n: int,
+    value_column: str = "value",
+    time_column: str = "time",
+) -> DataFrame:
+    """Continuous EXPONENTIAL_MOVING_AVERAGE per series — the streaming
+    twin of ``operators/technical.ema_scan`` with the SAME pinned
+    recurrence (``ema = ema·(1−α) + α·x``, α = 2/(n+1), seeded by the
+    first point), folded incrementally across micro-batches.
+
+    State per key = (last_time ns, ema, points seen): O(1) per series
+    regardless of stream volume, checkpointed by Spark across restarts.
+    Rows within a batch fold in time order; a row at-or-before the
+    register's time is DROPPED (a recurrence cannot rewind — the batch
+    twin recomputes from scratch instead; this is the documented
+    streaming trade-off, same class as stock's CQ resample windows).
+    Output per batch: tags…, ema double, last_time long, n_points long.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    alpha = 2.0 / (n + 1)
+    out_schema = StructType(
+        [StructField(t, StringType()) for t in tag_columns]
+        + [
+            StructField("ema", DoubleType()),
+            StructField("last_time", LongType()),
+            StructField("n_points", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_time", LongType()),
+            StructField("ema", DoubleType()),
+            StructField("n_points", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            last_time, ema, seen = state.get
+        else:
+            last_time, ema, seen = None, None, 0
+        for pdf in pdfs:
+            sub = pdf[[time_column, value_column]].dropna()
+            if len(sub) == 0:
+                continue
+            sub = sub.sort_values(time_column, kind="mergesort")
+            for t, v in zip(
+                sub[time_column].astype("int64"), sub[value_column]
+            ):
+                t = int(t)
+                if last_time is not None and t <= last_time:
+                    continue  # recurrences cannot rewind (docstring)
+                v = float(v)
+                ema = v if ema is None else ema * (1.0 - alpha) + alpha * v
+                last_time = t
+                seen += 1
+        if last_time is not None:
+            state.update((last_time, ema, seen))
+            yield pd.DataFrame(
+                [list(key) + [ema, last_time, seen]],
+                columns=[*tag_columns, "ema", "last_time", "n_points"],
+            )
+
+    return df.groupBy(*tag_columns).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
