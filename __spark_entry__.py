@@ -4371,6 +4371,56 @@ FROM s WHERE rn >= 11 ORDER BY event_type, time_us
 """
 
 
+def q_influxql_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL RELATIVE_STRENGTH_INDEX (round 10): Wilder smoothing —
+    TWO coupled recursions (average gain / average loss).  Bit-exact
+    oracle: micro-unit integer gains/losses, the seed is the same exact
+    integer sum ÷ n in both engines, and the DuckDB twin's recursive CTE
+    carries (ag, al) with the identical IEEE spelling
+    ``(ag·13 + gain)/14`` — so even the coupled fold hash-matches with
+    no rounding."""
+    from influxdb_iox_spark.influxql import execute
+
+    out = execute(
+        "SELECT relative_strength_index(vm, 14) AS rsi FROM events"
+        " GROUP BY event_type",
+        _influxql_events_catalog_vm(spark, sf_dir),
+    )
+    return out.select(
+        "event_type", F.expr("time div 1000").alias("time_us"), "rsi"
+    ).orderBy("event_type", "time_us")
+
+
+SQL_INFLUXQL_RSI = """
+WITH RECURSIVE p AS (
+  SELECT event_type, epoch_ns(ts) AS t,
+    CAST(round(value * 1000000) AS BIGINT) AS vm,
+    row_number() OVER (PARTITION BY event_type ORDER BY epoch_ns(ts)) AS rn
+  FROM events
+), d AS (
+  SELECT event_type, t, rn,
+    CAST(GREATEST(vm - lag(vm) OVER w, 0) AS DOUBLE) AS gain,
+    CAST(GREATEST(lag(vm) OVER w - vm, 0) AS DOUBLE) AS loss
+  FROM p WINDOW w AS (PARTITION BY event_type ORDER BY t)
+), seed AS (
+  SELECT event_type, MAX(CASE WHEN rn = 15 THEN t END) AS t, 15 AS rn,
+    SUM(gain) / 14 AS ag, SUM(loss) / 14 AS al
+  FROM d WHERE rn BETWEEN 2 AND 15
+  GROUP BY event_type HAVING COUNT(*) = 14
+), e AS (
+  SELECT event_type, t, rn, ag, al FROM seed
+  UNION ALL
+  SELECT d.event_type, d.t, d.rn,
+    (e.ag * 13 + d.gain) / 14, (e.al * 13 + d.loss) / 14
+  FROM e JOIN d ON d.event_type = e.event_type AND d.rn = e.rn + 1
+)
+SELECT event_type, t // 1000 AS time_us,
+  CASE WHEN al = 0 THEN 100.0
+       ELSE 100.0 - 100.0 / (1.0 + ag / al) END AS rsi
+FROM e ORDER BY event_type, time_us
+"""
+
+
 def q_influxql_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """InfluxQL HOLT_WINTERS (round 10): additive Holt-Winters fitted per
     series on hourly MEAN buckets, 12 forecast buckets continuing the
@@ -4648,6 +4698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influxql_ema": q_influxql_ema,
         "influxql_cmo": q_influxql_cmo,
         "influxql_kaufmans_er": q_influxql_kaufmans_er,
+        "influxql_rsi": q_influxql_rsi,
         "influxql_holt_winters": q_influxql_holt_winters,
     }
     return _rotate_for_round(base)
@@ -4735,6 +4786,7 @@ def oracle_sql() -> dict[str, str]:
         "influxql_ema": SQL_INFLUXQL_EMA,
         "influxql_cmo": SQL_INFLUXQL_CMO,
         "influxql_kaufmans_er": SQL_INFLUXQL_KER,
+        "influxql_rsi": SQL_INFLUXQL_RSI,
         # influxql_holt_winters: rows-only by design (Nelder-Mead fit)
         "dedup_last_non_null": SQL_DEDUP,
         "json_props_extract": SQL_JSON_PROPS,
