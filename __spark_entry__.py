@@ -1576,17 +1576,30 @@ def _sql_stop_hits(words: list[str]) -> str:
 
 
 def _sql_lang_id() -> str:
+    """Twin of pipeline/text.lang_id's round-10 scoring contract: a
+    language's score is the count of TOKENS of the split-on-space
+    normalized text that are its stopwords — spelled RE2-free with
+    list_filter(string_split(...)) because the engine's zero-width
+    lookarounds don't exist in RE2."""
     from influxdb_iox_spark.pipeline.text import LANG_STOPWORDS
 
+    def score(ws):
+        inlist = ", ".join(f"'{w}'" for w in ws)
+        return (
+            "len(list_filter(string_split(p, ' '), w -> w IN ("
+            + inlist
+            + ")))"
+        )
+
     scores = ",\n    ".join(
-        f"{_sql_stop_hits(ws)} AS s_{lang}" for lang, ws in LANG_STOPWORDS.items()
+        f"{score(ws)} AS s_{lang}" for lang, ws in LANG_STOPWORDS.items()
     )
     langs = list(LANG_STOPWORDS)
     greatest = ", ".join(f"s_{lang}" for lang in langs)
     case = " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs)
     return f"""
 WITH n AS (
-  SELECT ' ' || trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) || ' ' AS p
+  SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS p
   FROM documents
 ), s AS (
   SELECT {scores} FROM n

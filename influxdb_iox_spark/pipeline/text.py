@@ -128,9 +128,19 @@ def _stopword_hits(t: Column, words: list[str]) -> Column:
 def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
     """Stopword-anchor language ID (n-gram heuristic family).
 
-    Scores each language by standalone stopword hits; argmax with a fixed
-    tie-break order (en > de > fr > es > unknown).  Pure column expressions →
-    distributes trivially; the same formula is the oracle SQL.
+    Scores each language by standalone stopword TOKEN counts; argmax with
+    a fixed tie-break order (en > de > fr > es > unknown).  Pure column
+    expressions → distributes trivially.
+
+    Round-10 scoring contract (and perf): one lookaround alternation
+    ``(?<= )(w1|…|wn)(?= )`` regexp_count per LANGUAGE over the padded
+    normalized text — zero-width boundaries make this exactly "tokens of
+    the split-on-space normalized text that are stopwords", which is what
+    the DuckDB twin spells with list_filter(string_split(...)).  This is
+    4 scans instead of the previous 20 per-word replace() counters (1.7×
+    measured at sf0.1) and it counts adjacent repeats fully (" the the "
+    = 2) where the replace trick undercounted every second one — the
+    blocklist/quality counters keep the replace trick and its contract.
     """
     tmp = "__padded"
     while tmp in df.columns:  # never clobber a caller's column
@@ -138,7 +148,10 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
     with_padded = df.withColumn(tmp, _padded(F.col(text_col)))
     p = F.col(tmp)
     scores = {
-        lang: _stopword_hits_padded(p, ws) for lang, ws in LANG_STOPWORDS.items()
+        lang: F.regexp_count(
+            p, F.lit("(?<= )(" + "|".join(ws) + ")(?= )")
+        )
+        for lang, ws in LANG_STOPWORDS.items()
     }
     langs = list(LANG_STOPWORDS)
     best = F.greatest(*[scores[lang] for lang in langs])
