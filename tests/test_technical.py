@@ -287,6 +287,69 @@ def test_planner_holt_winters_with_fit(catalog):
     assert sum(1 for r in rows if r["time"] >= 12 * H) == 2
 
 
+def test_holt_winters_pinned_params_skips_fit():
+    # pinned (α, β): the recursion is the closed Holt's-linear fold —
+    # replay it by hand and require bit-exact agreement (this is the
+    # contract the recursive-CTE driver oracle relies on)
+    y = np.array([4.0, 7.0, 5.0, 9.0, 11.0, 8.0])
+    a, b = 0.5, 0.25
+    level, trend = y[0], y[1] - y[0]
+    for obs in y[1:]:
+        nl = a * (obs - 0.0) + (1 - a) * (level + trend)
+        trend = b * (nl - level) + (1 - b) * trend
+        level = nl
+    expect = np.array([level + h * trend for h in range(1, 4)])
+    _, preds = holt_winters_fit_predict(y, 3, 0, params=(a, b, 0.0))
+    assert np.array_equal(preds, expect)
+
+
+def test_planner_holt_winters_pinned(catalog):
+    out = execute(
+        "SELECT holt_winters(mean(v), 3, 0, 0.5, 0.25) FROM cpu "
+        "WHERE time >= 0 AND time < 12h GROUP BY time(2h), host",
+        catalog,
+    )
+    rows = out.collect()
+    assert len(rows) == 6  # 3 forecasts × 2 hosts
+    # pinned run is reproducible and differs from the fitted run in general
+    again = execute(
+        "SELECT holt_winters(mean(v), 3, 0, 0.5, 0.25) FROM cpu "
+        "WHERE time >= 0 AND time < 12h GROUP BY time(2h), host",
+        catalog,
+    ).collect()
+    key = lambda r: (r["host"], r["time"])
+    assert sorted(map(key, rows)) == sorted(map(key, again))
+    assert {r["holt_winters"] for r in rows} == {
+        r["holt_winters"] for r in again
+    }
+
+
+def test_planner_holt_winters_pinned_seasonal(catalog):
+    # seasonal pinned form (γ supplied) plans and emits forecasts
+    out = execute(
+        "SELECT holt_winters(mean(v), 2, 3, 0.5, 0.25, 0.5) FROM cpu "
+        "WHERE time >= 0 AND time < 12h GROUP BY time(2h), host",
+        catalog,
+    )
+    assert len(out.collect()) == 4
+
+
+def test_planner_holt_winters_pinned_errors(catalog):
+    base = (
+        "FROM cpu WHERE time >= 0 AND time < 12h GROUP BY time(2h), host"
+    )
+    with pytest.raises(InfluxQLPlanError):  # alpha without beta
+        execute(f"SELECT holt_winters(mean(v), 3, 0, 0.5) {base}", catalog)
+    with pytest.raises(InfluxQLPlanError):  # out of [0, 1]
+        execute(
+            f"SELECT holt_winters(mean(v), 3, 0, 1.5, 0.2) {base}", catalog
+        )
+    with pytest.raises(InfluxQLPlanError):  # non-literal factor
+        execute(
+            f"SELECT holt_winters(mean(v), 3, 0, v, 0.2) {base}", catalog
+        )
+
+
 def test_planner_technical_errors(catalog):
     with pytest.raises(InfluxQLPlanError):
         execute("SELECT holt_winters(mean(v), 4, 0) FROM cpu", catalog)
