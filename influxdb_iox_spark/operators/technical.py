@@ -43,7 +43,23 @@ __all__ = [
     "apply_technical",
     "holt_winters_fit_predict",
     "apply_holt_winters",
+    "use_fast_kernels",
 ]
+
+#: Process-wide opt-in for the vectorized kernels (pandas-C ``ewm`` folds
+#: and precomputed coefficients) instead of the pinned per-point Python
+#: recurrences.  The fast path computes the SAME recurrences but through a
+#: different sequence of IEEE operations, so results can drift in the last
+#: ulp vs the pinned contract — fine for production analytics, wrong for
+#: the bit-exact oracle gate (which never flips this).  Flip with
+#: ``use_fast_kernels()`` or per-call via ``apply_technical(..., exact=)``.
+_FAST_KERNELS = False
+
+
+def use_fast_kernels(on: bool = True) -> None:
+    """Opt in/out of the vectorized technical kernels process-wide."""
+    global _FAST_KERNELS
+    _FAST_KERNELS = bool(on)
 
 
 # ---------------------------------------------------------------------------
@@ -51,7 +67,23 @@ __all__ = [
 # ---------------------------------------------------------------------------
 
 
-def ema_scan(x: np.ndarray, n: int, warmup: str = "exponential") -> np.ndarray:
+def _ewm_fold(x: np.ndarray, alpha: float, seed: float) -> np.ndarray:
+    """Vectorized ``y[0]=seed; y[i]=(1-α)·y[i-1]+α·x[i]`` via pandas-C
+    ``ewm(adjust=False)`` — the fast-path building block.  Same recurrence
+    as the scalar fold, different IEEE operation grouping (pandas computes
+    ``y + α·(x−y)``), hence last-ulp drift vs the pinned contract."""
+    arr = np.asarray(x, dtype=np.float64).copy()
+    if len(arr) == 0:
+        return arr
+    arr[0] = seed
+    return (
+        pd.Series(arr).ewm(alpha=alpha, adjust=False).mean().to_numpy()
+    )
+
+
+def ema_scan(
+    x: np.ndarray, n: int, warmup: str = "exponential", exact: bool = True
+) -> np.ndarray:
     """EXPONENTIAL_MOVING_AVERAGE(x, n): α = 2/(n+1).
 
     Contract (pinned): the recurrence is exactly
@@ -75,9 +107,14 @@ def ema_scan(x: np.ndarray, n: int, warmup: str = "exponential") -> np.ndarray:
         if len(x) < n:
             return out
         acc = float(np.mean(x[:n]))
+        if not exact:
+            out[n - 1 :] = _ewm_fold(x[n - 1 :], alpha, acc)
+            return out
         out[n - 1] = acc
         start = n
     elif warmup == "exponential":
+        if not exact:
+            return _ewm_fold(x, alpha, float(x[0]))
         acc = float(x[0])
         out[0] = acc
         start = 1
@@ -89,39 +126,58 @@ def ema_scan(x: np.ndarray, n: int, warmup: str = "exponential") -> np.ndarray:
     return out
 
 
-def _ema_chain(x: np.ndarray, n: int, depth: int, warmup: str) -> np.ndarray:
+def _ema_chain(
+    x: np.ndarray, n: int, depth: int, warmup: str, exact: bool = True
+) -> np.ndarray:
     """depth-fold EMA-of-EMA; NaN prefixes propagate (each stage only sees
     the points its input actually emitted)."""
     y = x
     for _ in range(depth):
         mask = ~np.isnan(y)
         stage = np.full(len(y), np.nan)
-        stage[mask] = ema_scan(y[mask], n, warmup)
+        stage[mask] = ema_scan(y[mask], n, warmup, exact)
         y = stage
     return y
 
 
-def dema_scan(x: np.ndarray, n: int, warmup: str = "exponential") -> np.ndarray:
+def dema_scan(
+    x: np.ndarray, n: int, warmup: str = "exponential", exact: bool = True
+) -> np.ndarray:
     """DOUBLE_EXPONENTIAL_MOVING_AVERAGE: 2·EMA − EMA(EMA)."""
-    e1 = _ema_chain(x, n, 1, warmup)
-    e2 = _ema_chain(x, n, 2, warmup)
+    e1 = _ema_chain(x, n, 1, warmup, exact)
+    e2 = _ema_chain(x, n, 2, warmup, exact)
     return 2.0 * e1 - e2
 
 
-def tema_scan(x: np.ndarray, n: int, warmup: str = "exponential") -> np.ndarray:
+def tema_scan(
+    x: np.ndarray, n: int, warmup: str = "exponential", exact: bool = True
+) -> np.ndarray:
     """TRIPLE_EXPONENTIAL_MOVING_AVERAGE: 3·EMA − 3·EMA² + EMA³."""
-    e1 = _ema_chain(x, n, 1, warmup)
-    e2 = _ema_chain(x, n, 2, warmup)
-    e3 = _ema_chain(x, n, 3, warmup)
+    e1 = _ema_chain(x, n, 1, warmup, exact)
+    e2 = _ema_chain(x, n, 2, warmup, exact)
+    e3 = _ema_chain(x, n, 3, warmup, exact)
     return 3.0 * e1 - 3.0 * e2 + e3
 
 
-def trix_scan(x: np.ndarray, n: int, warmup: str = "exponential") -> np.ndarray:
+def trix_scan(
+    x: np.ndarray, n: int, warmup: str = "exponential", exact: bool = True
+) -> np.ndarray:
     """TRIPLE_EXPONENTIAL_DERIVATIVE: percentage rate of change of the
     triple-smoothed EMA — ``100·(t[i] − t[i-1]) / t[i-1]`` over consecutive
     EMITTED values of EMA³ (NaN warm-up gaps are skipped, first emitted
     value has no predecessor → NaN)."""
-    t = _ema_chain(x, n, 3, warmup)
+    t = _ema_chain(x, n, 3, warmup, exact)
+    if not exact:
+        out = np.full(len(x), np.nan)
+        idx = np.flatnonzero(~np.isnan(t))
+        if len(idx) >= 2:
+            cur, prev = t[idx[1:]], t[idx[:-1]]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                vals = np.where(
+                    prev != 0.0, 100.0 * (cur - prev) / prev, np.nan
+                )
+            out[idx[1:]] = vals
+        return out
     out = np.full(len(x), np.nan)
     prev = np.nan
     for i in range(len(t)):
@@ -134,7 +190,7 @@ def trix_scan(x: np.ndarray, n: int, warmup: str = "exponential") -> np.ndarray:
     return out
 
 
-def rsi_scan(x: np.ndarray, n: int) -> np.ndarray:
+def rsi_scan(x: np.ndarray, n: int, exact: bool = True) -> np.ndarray:
     """RELATIVE_STRENGTH_INDEX(x, n), Wilder smoothing.
 
     Contract (pinned): gains/losses from consecutive diffs; the first
@@ -152,6 +208,16 @@ def rsi_scan(x: np.ndarray, n: int) -> np.ndarray:
     losses = np.where(d < 0, -d, 0.0)
     ag = float(np.mean(gains[:n]))
     al = float(np.mean(losses[:n]))
+    if not exact:
+        # Wilder smoothing IS an EMA with α = 1/n seeded by the simple
+        # mean — two pandas-C folds, then a vectorized RSI formula
+        ags = _ewm_fold(np.concatenate(([ag], gains[n:])), 1.0 / n, ag)
+        als = _ewm_fold(np.concatenate(([al], losses[n:])), 1.0 / n, al)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out[n:] = np.where(
+                als == 0.0, 100.0, 100.0 - 100.0 / (1.0 + ags / als)
+            )
+        return out
     out[n] = 100.0 if al == 0.0 else 100.0 - 100.0 / (1.0 + ag / al)
     for i in range(n + 1, len(x)):
         ag = (ag * (n - 1) + gains[i - 1]) / n
@@ -160,7 +226,7 @@ def rsi_scan(x: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
-def kama_scan(x: np.ndarray, n: int) -> np.ndarray:
+def kama_scan(x: np.ndarray, n: int, exact: bool = True) -> np.ndarray:
     """KAUFMANS_ADAPTIVE_MOVING_AVERAGE(x, n).
 
     Contract (pinned): emitted from index ``n`` seeded ``prev = x[n-1]``;
@@ -176,6 +242,20 @@ def kama_scan(x: np.ndarray, n: int) -> np.ndarray:
         return out
     fast, slow = 2.0 / 3.0, 2.0 / 31.0
     absd = np.abs(np.diff(x))
+    if not exact:
+        # data-dependent coefficient: precompute sc[i] vectorized (rolling
+        # |Δ| sums via cumsum), leaving only the irreducible prev-fold loop
+        c = np.concatenate(([0.0], np.cumsum(absd)))
+        i = np.arange(n, len(x))
+        vol = c[i] - c[i - n]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            er = np.where(vol > 0, np.abs(x[i] - x[i - n]) / vol, 0.0)
+        sc = (er * (fast - slow) + slow) ** 2
+        prev = float(x[n - 1])
+        for j in range(len(i)):
+            prev = prev + sc[j] * (float(x[n + j]) - prev)
+            out[n + j] = prev
+        return out
     prev = float(x[n - 1])
     for i in range(n, len(x)):
         vol = float(np.sum(absd[i - n : i]))
@@ -187,18 +267,24 @@ def kama_scan(x: np.ndarray, n: int) -> np.ndarray:
 
 
 _KERNELS = {
-    "exponential_moving_average": lambda x, n, warmup: ema_scan(x, n, warmup),
-    "double_exponential_moving_average": lambda x, n, warmup: dema_scan(
-        x, n, warmup
+    "exponential_moving_average": lambda x, n, warmup, exact: ema_scan(
+        x, n, warmup, exact
     ),
-    "triple_exponential_moving_average": lambda x, n, warmup: tema_scan(
-        x, n, warmup
+    "double_exponential_moving_average": lambda x, n, warmup, exact: dema_scan(
+        x, n, warmup, exact
     ),
-    "triple_exponential_derivative": lambda x, n, warmup: trix_scan(
-        x, n, warmup
+    "triple_exponential_moving_average": lambda x, n, warmup, exact: tema_scan(
+        x, n, warmup, exact
     ),
-    "relative_strength_index": lambda x, n, warmup: rsi_scan(x, n),
-    "kaufmans_adaptive_moving_average": lambda x, n, warmup: kama_scan(x, n),
+    "triple_exponential_derivative": lambda x, n, warmup, exact: trix_scan(
+        x, n, warmup, exact
+    ),
+    "relative_strength_index": lambda x, n, warmup, exact: rsi_scan(
+        x, n, exact
+    ),
+    "kaufmans_adaptive_moving_average": lambda x, n, warmup, exact: kama_scan(
+        x, n, exact
+    ),
 }
 
 
@@ -212,6 +298,7 @@ def apply_technical(
     keys: list[str],
     time_col: str,
     specs: list[tuple[str, str, str, int, str, int]],
+    exact: bool | None = None,
 ) -> DataFrame:
     """Compute recursive technical indicators per series in ONE
     ``applyInPandas`` pass (single hash exchange on the series key).
@@ -225,7 +312,14 @@ def apply_technical(
     null = warm-up, which the planner filters per stock emit rules).
     Rows are sorted by time inside each series; the caller owns overall
     result ordering.
+
+    ``exact``: True = the pinned per-point folds (bit-stable contract the
+    oracles rely on); False = vectorized pandas-C/cumsum kernels (same
+    recurrences, different IEEE grouping — last-ulp drift possible);
+    None (default) = the process-wide ``use_fast_kernels`` setting.
     """
+    if exact is None:
+        exact = not _FAST_KERNELS
     for _, func, _, _, _, _ in specs:
         if func not in _KERNELS:
             raise ValueError(f"unknown technical function {func!r}")
@@ -233,7 +327,7 @@ def apply_technical(
         # single global series: a constant grouping key keeps the same code
         # path (one group, one task — the sequential recurrence's floor)
         out = apply_technical(
-            df.withColumn("__g", F.lit(0)), ["__g"], time_col, specs
+            df.withColumn("__g", F.lit(0)), ["__g"], time_col, specs, exact
         )
         return out.drop("__g")
     key_fields = [df.schema[k] for k in keys]
@@ -255,7 +349,7 @@ def apply_technical(
             x = arrays[in_col]
             mask = ~np.isnan(x)
             col = np.full(len(x), np.nan)
-            col[mask] = _KERNELS[func](x[mask], n, warmup)
+            col[mask] = _KERNELS[func](x[mask], n, warmup, exact)
             if hold > 0:
                 emitted = np.flatnonzero(~np.isnan(col))
                 col[emitted[:hold]] = np.nan

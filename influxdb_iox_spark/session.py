@@ -57,6 +57,14 @@ def get_spark(
         # star joins: q5 ~17.0 -> ~15.0 s (BENCH_NOTES §13); sf0.1 rows
         # unaffected (dims broadcast there).
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Bucketed scans report their per-bucket sort order again
+        # (SPARK-28595 turned this off by default because the one-file-
+        # per-bucket check costs a file listing): the store's bucketed
+        # projections ENFORCE one file per bucket at write time
+        # (sources/bucketed.py), so a sort-merge join over them skips
+        # both the Exchange and the Sort.  No effect on non-bucketed
+        # reads; multi-file buckets still (correctly) re-sort.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.sql.files.maxPartitionBytes", "256m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         # Whole-stage codegen emits one class per stage; wide plans (multi-agg

@@ -1,19 +1,49 @@
-"""Bucketed table layout for shuffle-free co-located joins.
+"""Bucketed table layout for shuffle-free AND sort-free co-located joins.
 
 At 100 TB, repeated joins on the same high-cardinality key (tag hash, doc
 id, user id) should not re-shuffle either side every query.  Spark's
 bucketing persists the hash-partitioning INTO the table layout: both sides
 bucketed by the join key into the same bucket count join with zero
-exchanges (the physical plan shows SortMergeJoin directly over the scans).
+exchanges.  The round-10 sf10 experiment (scripts/bench_bucketed_sf10.py,
+BENCH_NOTES §17b) established the load-bearing refinement promoted here:
+
+    **one file per bucket** — the reader only trusts bucket SORTEDNESS
+    when each bucket is a single file (multiple files per bucket would
+    need a merge, so Spark re-sorts); aligning the write with
+    ``repartition(n_buckets, *bucket_cols)`` (repartition's murmur3-pmod
+    is the same function bucketing uses) makes every bucket land in
+    exactly one file, and the join drops the Sort as well as the
+    Exchange.  Measured locally at sf10: q5 −18% — the floor of the win;
+    on a real cluster the removed Exchange is a network shuffle of the
+    fact side per query vs a write-once layout cost.
+
+Bucket metadata only survives via the session catalog, so a bare parquet
+path read would silently lose co-location.  ``write_bucketed`` therefore
+persists a ``_bucket_spec.json`` sidecar (schema DDL + bucket spec) next
+to the data, and ``register_bucketed`` re-creates the catalog entry from
+it in ANY later session — the layout is durable, not a session artifact.
 
 This is the columnar analogue of the reference keeping chunks organized by
-series key — the organization is paid once at write time and every
-subsequent join/aggregation on that key rides it for free.
+series key (read_buffer row groups are sorted by the series-key prefix so
+per-series operators never re-sort; read_buffer/src/row_group.rs): the
+organization is paid once at write time and every subsequent
+join/aggregation on that key rides it for free.
 """
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+import re
+
 from pyspark.sql import DataFrame, SparkSession
+
+SPEC_FILE = "_bucket_spec.json"
+
+#: bucketed data files look like part-00000-<uuid>_00003.c000.snappy.parquet
+#: where _00003 is the BUCKET id (not the task id)
+_BUCKET_ID_RE = re.compile(r"_(\d{5})(?:\.c\d+)?\.[^/]*parquet$")
 
 
 def write_bucketed(
@@ -23,19 +53,121 @@ def write_bucketed(
     bucket_columns: list[str],
     n_buckets: int = 16,
     sort_columns: list[str] | None = None,
+    one_file_per_bucket: bool = True,
 ) -> None:
-    """Persist ``df`` as an external bucketed (and bucket-sorted) table."""
-    writer = (
+    """Persist ``df`` as an external bucketed (and bucket-sorted) table,
+    plus a ``_bucket_spec.json`` sidecar so later sessions can re-register
+    it (see ``register_bucketed``).
+
+    ``one_file_per_bucket`` pre-aligns the write with
+    ``repartition(n_buckets, *bucket_columns)`` — repartition's
+    murmur3-pmod hash is the same function the bucket id uses, so each
+    task holds exactly one bucket's rows and writes exactly one file.
+    The resulting layout is verified after the write (a violated
+    invariant would silently re-introduce the per-query Sort)."""
+    sort_columns = list(sort_columns or bucket_columns)
+    if one_file_per_bucket:
+        from pyspark.sql import functions as F
+
+        df = df.repartition(n_buckets, *[F.col(c) for c in bucket_columns])
+    (
         df.write.mode("overwrite")
         .bucketBy(n_buckets, *bucket_columns)
-        .sortBy(*(sort_columns or bucket_columns))
+        .sortBy(*sort_columns)
         .option("path", path)
         .format("parquet")
+        .saveAsTable(name)
     )
-    writer.saveAsTable(name)
+    if one_file_per_bucket:
+        counts = bucket_file_counts(path)
+        multi = {b: c for b, c in counts.items() if c > 1}
+        if multi:
+            raise RuntimeError(
+                f"bucketed write to {path!r} produced multiple files for "
+                f"buckets {sorted(multi)} — the repartition/bucket hash "
+                "alignment broke; the reader would re-Sort every join"
+            )
+    spec = {
+        "name": name,
+        "schema_ddl": df._jdf.schema().toDDL(),
+        "bucket_columns": list(bucket_columns),
+        "n_buckets": n_buckets,
+        "sort_columns": sort_columns,
+        "one_file_per_bucket": one_file_per_bucket,
+    }
+    with open(os.path.join(path, SPEC_FILE), "w") as f:
+        json.dump(spec, f)
+
+
+def bucket_file_counts(path: str) -> dict[int, int]:
+    """bucket id -> number of data files (layout invariant check)."""
+    counts: dict[int, int] = {}
+    for p in glob.glob(os.path.join(path, "part-*")):
+        m = _BUCKET_ID_RE.search(os.path.basename(p))
+        if m:
+            b = int(m.group(1))
+            counts[b] = counts.get(b, 0) + 1
+    return counts
+
+
+def read_spec(path: str) -> dict:
+    with open(os.path.join(path, SPEC_FILE)) as f:
+        return json.load(f)
+
+
+def register_bucketed(
+    spark: SparkSession, path: str, name: str | None = None
+) -> DataFrame:
+    """(Re-)register a bucketed table from its on-disk spec and return it.
+
+    Safe in a fresh session: the catalog entry is re-created from the
+    sidecar (``CREATE TABLE … CLUSTERED BY … INTO n BUCKETS LOCATION``),
+    which is what preserves the bucket metadata a bare
+    ``spark.read.parquet(path)`` would lose."""
+    spec = read_spec(path)
+    name = name or spec["name"]
+    if not spark.catalog.tableExists(name):
+        cluster = ", ".join(f"`{c}`" for c in spec["bucket_columns"])
+        sort = ", ".join(f"`{c}`" for c in spec["sort_columns"])
+        spark.sql(
+            f"CREATE TABLE `{name}` ({spec['schema_ddl']}) USING PARQUET "
+            f"CLUSTERED BY ({cluster}) SORTED BY ({sort}) "
+            f"INTO {spec['n_buckets']} BUCKETS "
+            f"LOCATION '{os.path.abspath(path)}'"
+        )
+    return spark.table(name)
 
 
 def read_bucketed(spark: SparkSession, name: str) -> DataFrame:
-    """Read a bucketed table (bucket metadata only survives via the catalog
-    table, not a bare parquet path read)."""
+    """Read a bucketed table already registered in this session's catalog
+    (bucket metadata only survives via the catalog table, not a bare
+    parquet path read)."""
     return spark.table(name)
+
+
+def plan_of(df: DataFrame) -> str:
+    """Formatted physical plan of a FRESH (uncollected) DataFrame — a
+    collected one prints both Final and Initial AQE plans and operator
+    counts double (round-7 gotcha)."""
+    jmode = df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def assert_colocated_join(df: DataFrame) -> None:
+    """Raise unless ``df``'s WHOLE plan is Exchange-free AND Sort-free —
+    the invariant the one-file-per-bucket layout buys.  Pass the BARE
+    join (plus narrow projections/filters), not a downstream aggregate or
+    orderBy: those legitimately shuffle on their own keys, and a text
+    split can't reliably carve them out of a formatted AQE plan (the tree
+    section leads with the aggregate, so "everything before HashAggregate"
+    is vacuously empty — the round-11 lesson).  Use in tests and as a
+    deploy-time guard after layout migrations."""
+    plan = plan_of(df)
+    if "Exchange" in plan:
+        raise AssertionError(f"co-located join still shuffles:\n{plan}")
+    if re.search(r"\bSort\b", plan):
+        raise AssertionError(
+            f"co-located join still sorts (multi-file buckets?):\n{plan}"
+        )

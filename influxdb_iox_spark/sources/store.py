@@ -1518,5 +1518,89 @@ class TableStore:
         self.backend.put_json(key, keep)
         return reclaimed
 
+    # -- bucketed projections ----------------------------------------------
+    # A bucketed projection is a MATERIALIZED, co-location-preserving copy
+    # of one table's dedup-correct scan: written once (hash-bucketed by the
+    # join key, one file per bucket, bucket-sorted), joined/aggregated on
+    # that key forever after with zero Exchange and zero Sort (the sf10
+    # finding promoted from scripts/bench_bucketed_sf10.py, BENCH_NOTES
+    # §17b).  The Spark twin of the reference loading chunks into the
+    # sorted read_buffer as an explicit lifecycle action
+    # (read_buffer/src/row_group.rs — data reorganized once at load so
+    # per-key operators never re-sort): a snapshot as of write time; new
+    # chunks do not appear until the projection is rewritten, which is the
+    # lifecycle's job, not the query path's.
+
+    def _bucketed_dir(self, table: str, name: str) -> str:
+        # leading underscore keeps it invisible to chunk-dir sweeps
+        return os.path.join(self.base_dir, table, "_bucketed", name)
+
+    def write_bucketed_projection(
+        self,
+        spark: SparkSession,
+        table: str,
+        schema: IoxSchema,
+        bucket_columns: list[str],
+        n_buckets: int = 32,
+        sort_columns: list[str] | None = None,
+        name: str = "default",
+        predicate: Predicate | None = None,
+    ) -> dict:
+        """Materialize the table's dedup-correct scan as a bucketed layout
+        (one file per bucket — enforced) and record the operation.  Returns
+        the on-disk spec.  Size buckets so one bucket of the LARGEST table
+        fits an executor's scan partition (~n_rows/n_buckets · row width ≤
+        maxPartitionBytes); co-joining tables must use the SAME count."""
+        from influxdb_iox_spark.sources.bucketed import read_spec, write_bucketed
+
+        df = self.scan(spark, table, schema, predicate)
+        path = self._bucketed_dir(table, name)
+        t0 = _time.perf_counter()
+        write_bucketed(
+            df,
+            f"{table}__bk_{name}",
+            path,
+            bucket_columns,
+            n_buckets,
+            sort_columns,
+        )
+        self.record_operation(
+            job="bucketed_projection",
+            table=table,
+            partition_key=name,
+            chunk_ids=[c.chunk_id for c in self.manifest(table)],
+            status="Success",
+            wall_nanos=int((_time.perf_counter() - t0) * 1e9),
+            description=(
+                f"bucketBy({n_buckets}, {','.join(bucket_columns)}) "
+                "one-file-per-bucket"
+            ),
+        )
+        return read_spec(path)
+
+    def bucketed_projection(
+        self, spark: SparkSession, table: str, name: str = "default"
+    ) -> DataFrame:
+        """Open a previously written bucketed projection, re-registering
+        its catalog entry from the on-disk spec when this session has none
+        (bucket metadata lives in the catalog; a bare parquet read would
+        silently lose co-location)."""
+        from influxdb_iox_spark.sources.bucketed import register_bucketed
+
+        return register_bucketed(spark, self._bucketed_dir(table, name))
+
+    def bucketed_projections(self, table: str) -> list[dict]:
+        """Specs of every bucketed projection recorded for ``table``."""
+        from influxdb_iox_spark.sources.bucketed import SPEC_FILE, read_spec
+
+        root = os.path.join(self.base_dir, table, "_bucketed")
+        if not os.path.isdir(root):
+            return []
+        return [
+            read_spec(os.path.join(root, d))
+            for d in sorted(os.listdir(root))
+            if os.path.exists(os.path.join(root, d, SPEC_FILE))
+        ]
+
 
 _SENTINEL = object()

@@ -159,16 +159,20 @@ def main() -> None:
     lineitem_b = read_bucketed(spark, "bk_lineitem")
     orders_b = read_bucketed(spark, "bk_orders")
 
-    # plan assertion: neither Exchange NOR Sort between the bucketed scans
-    # and their join
+    # plan assertion: neither Exchange NOR Sort anywhere in the BARE join
+    # plan (no downstream aggregate — it would shuffle on its own key, and
+    # a pre-HashAggregate text split is vacuous in formatted AQE output:
+    # the tree section leads with the aggregate.  Round-11 fix; the r10
+    # run's sort_free=true was from the vacuous split).
+    import re as _re
+
     plan = _plan_of(
         lineitem_b.join(
             orders_b, F.col("l_orderkey") == F.col("o_orderkey")
-        ).groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+        )
     )
-    join_section = plan.split("HashAggregate")[0]
-    exchange_free = "Exchange" not in join_section
-    sort_free = "Sort " not in join_section and "\n   Sort" not in join_section
+    exchange_free = "Exchange" not in plan
+    sort_free = not _re.search(r"\bSort\b", plan)
 
     bucketed = {
         "tpch_q5": _time_min2(lambda: q5_shape(spark, lineitem_b, orders_b)),

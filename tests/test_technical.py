@@ -287,6 +287,70 @@ def test_planner_holt_winters_with_fit(catalog):
     assert sum(1 for r in rows if r["time"] >= 12 * H) == 2
 
 
+def test_fast_kernels_match_exact():
+    """The opt-in vectorized kernels compute the same recurrences as the
+    pinned folds — equal to ~1e-12 relative (different IEEE grouping, so
+    not required bit-exact; the oracle gate keeps exact=True)."""
+    from influxdb_iox_spark.operators.technical import (
+        dema_scan,
+        tema_scan,
+    )
+
+    rng = np.random.RandomState(7)
+    x = np.cumsum(rng.randn(500)) + 50.0
+    cases = [
+        (ema_scan, (x, 9, "exponential")),
+        (ema_scan, (x, 9, "simple")),
+        (dema_scan, (x, 7, "exponential")),
+        (tema_scan, (x, 7, "simple")),
+        (trix_scan, (x, 5, "exponential")),
+        (rsi_scan, (x, 14)),
+        (kama_scan, (x, 10)),
+    ]
+    for fn, args in cases:
+        slow = fn(*args, exact=True)
+        fast = fn(*args, exact=False)
+        assert np.array_equal(np.isnan(slow), np.isnan(fast)), fn.__name__
+        m = ~np.isnan(slow)
+        np.testing.assert_allclose(
+            fast[m], slow[m], rtol=1e-9, atol=1e-9, err_msg=fn.__name__
+        )
+
+
+def test_fast_kernels_rsi_zero_loss_branch():
+    # monotone increasing series: al == 0 everywhere -> RSI pinned at 100
+    x = np.arange(30, dtype=float)
+    fast = rsi_scan(x, 5, exact=False)
+    assert np.all(fast[5:] == 100.0) and np.all(np.isnan(fast[:5]))
+
+
+def test_apply_technical_fast_opt_in(catalog, spark):
+    """use_fast_kernels flips the default path; results stay within float
+    tolerance of the exact plan output."""
+    from influxdb_iox_spark.operators.technical import use_fast_kernels
+
+    df = catalog["cpu"].df
+    specs = [("ema", "exponential_moving_average", "v", 4, "exponential", 0)]
+    exact_rows = {
+        (r["host"], r["time"]): r["ema"]
+        for r in apply_technical(df, ["host"], "time", specs).collect()
+    }
+    use_fast_kernels(True)
+    try:
+        fast_rows = {
+            (r["host"], r["time"]): r["ema"]
+            for r in apply_technical(df, ["host"], "time", specs).collect()
+        }
+    finally:
+        use_fast_kernels(False)
+    assert exact_rows.keys() == fast_rows.keys()
+    for k, v in exact_rows.items():
+        f = fast_rows[k]
+        assert (v is None) == (f is None)
+        if v is not None:
+            assert f == pytest.approx(v, rel=1e-9)
+
+
 def test_holt_winters_pinned_params_skips_fit():
     # pinned (α, β): the recursion is the closed Holt's-linear fold —
     # replay it by hand and require bit-exact agreement (this is the
