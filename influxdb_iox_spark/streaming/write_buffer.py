@@ -278,10 +278,15 @@ class KafkaWriteBuffer(WriteBuffer):
     - produce          = producer.send(topic, value=payload,
                          partition=partition); the broker-assigned
                          (partition, offset) pair is the sequence —
-                         collapsed to a single int here via the same
-                         per-partition interleave the windows bookkeeping
-                         uses, since sequence numbers only need to be
-                         unique and monotone per partition.
+                         collapsed to ONE int by ``_collapse_seq``
+                         (``offset·STRIDE + partition``), because the
+                         contract hands out GLOBALLY unique sequences per
+                         topic while Kafka offsets are only unique per
+                         partition (two partitions both have offset 0).
+                         The collapse is monotone within each partition
+                         and injective across them; ``_split_seq``
+                         inverts it, ``_seek_offset`` maps a from_seq
+                         back to each partition's seek position.
     - poll(from_seq)   = consumer.seek(from_seq) + poll(); Kafka's
                          contiguous offsets mean the parked-claim
                          machinery is unnecessary (parked is always []).
@@ -316,10 +321,48 @@ class KafkaWriteBuffer(WriteBuffer):
         self._consumer_cls = KafkaConsumer  # pragma: no cover
         self._brokers = brokers  # pragma: no cover
 
+    #: max partitions per topic the sequence collapse supports; Kafka
+    #: deployments with more need a wider stride (documented, not silent:
+    #: produce() rejects partition >= STRIDE)
+    STRIDE = 1024
+
+    # -- pure parts (no broker; unit-tested in test_kafka_adapter.py) ------
+
     @staticmethod
-    def _topic(db_name: str) -> str:  # pragma: no cover - needs broker
+    def _topic(db_name: str) -> str:
         safe = db_name.replace("%", "%25").replace("/", "%2F")
         return safe if safe not in (".", "..") else safe.replace(".", "%2E")
+
+    @classmethod
+    def _collapse_seq(cls, offset: int, partition: int) -> int:
+        """(partition, offset) -> one globally-unique, per-partition-
+        monotone sequence int."""
+        if not 0 <= partition < cls.STRIDE:
+            raise ValueError(
+                f"partition {partition} outside [0, {cls.STRIDE})"
+            )
+        return offset * cls.STRIDE + partition
+
+    @classmethod
+    def _split_seq(cls, seq: int) -> tuple[int, int]:
+        """sequence -> (partition, offset); inverse of _collapse_seq."""
+        return seq % cls.STRIDE, seq // cls.STRIDE
+
+    @classmethod
+    def _seek_offset(cls, from_seq: int, partition: int) -> int:
+        """Smallest offset in ``partition`` whose collapsed sequence is
+        >= ``from_seq`` (the per-partition consumer seek position)."""
+        return max(0, -(-(from_seq - partition) // cls.STRIDE))
+
+    @staticmethod
+    def _decode_payload(headers, value: bytes) -> "str | bytes":
+        """Header fmt mapping: ``fmt=entry`` rides as raw flatbuffers
+        bytes, anything else (``lp`` or absent) is utf-8 line protocol —
+        the Kafka spelling of the file topic's suffix rule."""
+        fmt = dict(headers or []).get("fmt", b"lp")
+        return value if fmt == b"entry" else value.decode("utf-8")
+
+    # -- broker-facing parts ------------------------------------------------
 
     def produce(  # pragma: no cover - needs broker
         self, db_name: str, lp_data: str, partition: int = 0
@@ -330,7 +373,7 @@ class KafkaWriteBuffer(WriteBuffer):
         )
         md = fut.get(timeout=30)
         self._producer.flush()
-        return md.offset
+        return self._collapse_seq(md.offset, md.partition)
 
     def produce_entry(  # pragma: no cover - needs broker
         self, db_name: str, entry: bytes, partition: int = 0
@@ -341,7 +384,7 @@ class KafkaWriteBuffer(WriteBuffer):
         )
         md = fut.get(timeout=30)
         self._producer.flush()
-        return md.offset
+        return self._collapse_seq(md.offset, md.partition)
 
     def fetch(  # pragma: no cover - needs broker
         self, db_name: str, from_seq: int = 0
@@ -363,28 +406,24 @@ class KafkaWriteBuffer(WriteBuffer):
         tps = [TopicPartition(topic, p) for p in sorted(parts)]
         consumer.assign(tps)
         for tp in tps:
-            consumer.seek(tp, from_seq)
+            consumer.seek(tp, self._seek_offset(from_seq, tp.partition))
         out: list[tuple] = []
         for msg in consumer:
-            fmt = dict(msg.headers or []).get("fmt", b"lp")
-            payload = (
-                msg.value if fmt == b"entry" else msg.value.decode("utf-8")
-            )
+            seq = self._collapse_seq(msg.offset, msg.partition)
+            if seq < from_seq:
+                continue  # seek was per-partition exact, but be safe
+            payload = self._decode_payload(msg.headers, msg.value)
             if with_partitions:
-                out.append((msg.offset, msg.partition, payload))
+                out.append((seq, msg.partition, payload))
             else:
-                out.append((msg.offset, payload))
+                out.append((seq, payload))
         consumer.close()
         out.sort(key=lambda t: t[0])
         return out, []  # contiguous Kafka offsets: nothing ever parks
 
-    def partition_of(  # pragma: no cover - needs broker
-        self, db_name: str, seq: int
-    ) -> int:
-        for s, p, _ in self.poll(db_name, seq, with_partitions=True)[0]:
-            if s == seq:
-                return p
-        return 0
+    def partition_of(self, db_name: str, seq: int) -> int:
+        # the collapse encodes the partition — no broker round-trip
+        return self._split_seq(seq)[0]
 
     def read_one(  # pragma: no cover - needs broker
         self, db_name: str, seq: int
