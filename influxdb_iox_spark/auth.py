@@ -24,6 +24,8 @@ startup; ``snapshot()``/``restore()`` give a JSON-able round-trip.
 
 from __future__ import annotations
 
+import hashlib
+import secrets as _secrets
 import threading
 from dataclasses import dataclass
 
@@ -32,8 +34,63 @@ class AuthError(Exception):
     """Privilege failure → HTTP 403 (stock 'user is not authorized')."""
 
 
+# -- password hashing (at-rest secrets are salted scrypt, like stock 1.8's
+#    bcrypt hashes; stdlib-only) ------------------------------------------
+
+_SCRYPT_N, _SCRYPT_R, _SCRYPT_P = 16384, 8, 1
+
+
+def hash_password(password: str) -> str:
+    """Salted scrypt digest in a self-describing record:
+    ``scrypt$N$r$p$salt_hex$hash_hex`` (parameters ride along so they can
+    be raised later without invalidating stored credentials)."""
+    salt = _secrets.token_bytes(16)
+    h = hashlib.scrypt(
+        password.encode("utf-8"),
+        salt=salt,
+        n=_SCRYPT_N,
+        r=_SCRYPT_R,
+        p=_SCRYPT_P,
+    )
+    return (
+        f"scrypt${_SCRYPT_N}${_SCRYPT_R}${_SCRYPT_P}"
+        f"${salt.hex()}${h.hex()}"
+    )
+
+
+def verify_secret(stored: str | None, given: str) -> bool:
+    """Constant-time check of ``given`` against a stored secret — a
+    ``scrypt$…`` record (registry users) or a plaintext value (the
+    plain config-dict auth surface, which never persists)."""
+    if stored is None:
+        return False
+    if stored.startswith("scrypt$"):
+        try:
+            _, n, r, p, salt_hex, hash_hex = stored.split("$")
+            h = hashlib.scrypt(
+                given.encode("utf-8"),
+                salt=bytes.fromhex(salt_hex),
+                n=int(n),
+                r=int(r),
+                p=int(p),
+            )
+        except (ValueError, TypeError):
+            return False
+        return _secrets.compare_digest(h.hex(), hash_hex)
+    return _secrets.compare_digest(stored, given)
+
+
+def verify_credentials(users, name: str | None, password: str) -> bool:
+    """The one comparison the HTTP layer uses: works on a UserRegistry
+    (hashed at rest) and on a plain ``{user: password}`` dict alike."""
+    if name is None:
+        return False
+    return verify_secret(users.get(name), password)
+
+
 @dataclass
 class _User:
+    #: scrypt record (never plaintext) — see hash_password
     password: str
     admin: bool
 
@@ -44,9 +101,12 @@ _PRIV_ORDER = {"read": {"read"}, "write": {"write"}, "all": {"read", "write"}}
 class UserRegistry:
     """Thread-safe user/privilege store.
 
-    Duck-types the password-dict surface the HTTP auth check consumes
-    (``get(name) -> password | None``, truthiness = "auth enabled"), so
-    ``check_http_auth`` works on either a plain dict or a registry.
+    Duck-types the secret-dict surface the HTTP auth check consumes
+    (``get(name) -> stored secret | None``, truthiness = "auth enabled"),
+    so ``check_http_auth`` works on either a plain dict or a registry.
+    Registry secrets are salted scrypt records (hashed at rest, like
+    stock 1.8's bcrypt) — comparison goes through ``verify_secret``,
+    never ``==``, and ``get`` never returns plaintext.
     """
 
     def __init__(self) -> None:
@@ -76,7 +136,7 @@ class UserRegistry:
         could do everything)."""
         reg = cls()
         for name, pw in (users or {}).items():
-            reg._users[name] = _User(pw, admin)
+            reg._users[name] = _User(hash_password(pw), admin)
         return reg
 
     # -- management (the InfluxQL statements) --------------------------------
@@ -90,7 +150,7 @@ class UserRegistry:
                 raise AuthError(
                     "the first user must be created WITH ALL PRIVILEGES"
                 )
-            self._users[name] = _User(password, admin)
+            self._users[name] = _User(hash_password(password), admin)
 
     def drop_user(self, name: str) -> None:
         with self._lock:
@@ -105,7 +165,7 @@ class UserRegistry:
         with self._lock:
             if name not in self._users:
                 raise AuthError(f"user not found: {name}")
-            self._users[name].password = password
+            self._users[name].password = hash_password(password)
 
     def grant(self, privilege: str, db: str | None, user: str) -> None:
         """GRANT READ|WRITE|ALL ON db TO user; GRANT ALL (no ON) makes the
@@ -208,7 +268,12 @@ class UserRegistry:
     def restore(cls, doc: dict) -> "UserRegistry":
         reg = cls()
         for n, rec in doc.get("users", {}).items():
-            reg._users[n] = _User(rec["password"], bool(rec["admin"]))
+            pw = rec["password"]
+            if not pw.startswith("scrypt$"):
+                # legacy plaintext snapshot (pre-round-11): upgrade at
+                # restore so plaintext never persists again
+                pw = hash_password(pw)
+            reg._users[n] = _User(pw, bool(rec["admin"]))
         for u, db, p in doc.get("grants", []):
             reg._grants[(u, db)] = p
         return reg
@@ -228,7 +293,7 @@ def http_identity(
     if not users:
         return True, None
     if u is not None or p is not None:
-        ok = u is not None and users.get(u) == (p or "")
+        ok = verify_credentials(users, u, p or "")
         return ok, (u if ok else None)
     if auth_header:
         scheme, _, rest = auth_header.partition(" ")
@@ -240,10 +305,10 @@ def http_identity(
             except Exception:
                 return False, None
             user, _, pw = decoded.partition(":")
-            ok = users.get(user) == pw
+            ok = verify_credentials(users, user, pw)
             return ok, (user if ok else None)
         if scheme.lower() == "token":
             user, _, pw = rest.strip().partition(":")
-            ok = users.get(user) == pw
+            ok = verify_credentials(users, user, pw)
             return ok, (user if ok else None)
     return False, None

@@ -328,9 +328,13 @@ class IoxHttpServer:
                 subscriptions=self.subscriptions,
             )
         except ValueError as e:  # bad epoch
+            self.tracker.end(qid, status="error")
             raise _HttpError(400, str(e))
-        finally:
-            self.tracker.end(qid)
+        except BaseException:
+            self.tracker.end(qid, status="error")
+            raise
+        else:
+            self.tracker.end(qid, rows=_envelope_rows(envelope))
         if want_csv:
             return render_csv(envelope), "application/csv"
         return json.dumps(envelope).encode(), "application/json"
@@ -363,8 +367,9 @@ class IoxHttpServer:
             # the CONSUMING thread (the handler streams the chunks), and
             # end() must run however iteration stops
             qid = self.tracker.begin(q, db or self.db_name)
+            rows = 0
             try:
-                yield from run_statements_chunked(
+                for env in run_statements_chunked(
                     q,
                     catalog_from_database(self.database),
                     databases=[self.db_name],
@@ -378,9 +383,14 @@ class IoxHttpServer:
                     selected_db=db or self.db_name,
                     tracker=self.tracker,
                     subscriptions=self.subscriptions,
-                )
-            finally:
-                self.tracker.end(qid)
+                ):
+                    rows += _envelope_rows(env)
+                    yield env
+            except BaseException:
+                self.tracker.end(qid, rows=rows, status="error")
+                raise
+            else:
+                self.tracker.end(qid, rows=rows)
 
         return _tracked()
 
@@ -465,6 +475,16 @@ class _HttpError(Exception):
         self.status = status
 
 
+def _envelope_rows(envelope: dict) -> int:
+    """Total value rows across a v1 JSON envelope (the query_end log
+    line's rows field)."""
+    return sum(
+        len(s.get("values", []))
+        for r in envelope.get("results", [])
+        for s in r.get("series", []) or []
+    )
+
+
 def check_http_auth(
     users: dict[str, str] | None,
     auth_header: str | None,
@@ -476,10 +496,12 @@ def check_http_auth(
     must carry matching credentials via ``u``/``p`` query params, HTTP
     Basic, or the 1.8 ``Authorization: Token user:pass`` form.  Explicit
     u/p params take precedence over the header (stock order)."""
+    from influxdb_iox_spark.auth import verify_credentials
+
     if not users:
         return True
     if u is not None or p is not None:
-        return u is not None and users.get(u) == (p or "")
+        return verify_credentials(users, u, p or "")
     if auth_header:
         scheme, _, rest = auth_header.partition(" ")
         if scheme.lower() == "basic":
@@ -490,10 +512,10 @@ def check_http_auth(
             except Exception:
                 return False
             user, _, pw = decoded.partition(":")
-            return users.get(user) == pw
+            return verify_credentials(users, user, pw)
         if scheme.lower() == "token":
             user, _, pw = rest.strip().partition(":")
-            return users.get(user) == pw
+            return verify_credentials(users, user, pw)
     return False
 
 

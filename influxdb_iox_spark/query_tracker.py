@@ -19,8 +19,26 @@ interruption points.
 
 from __future__ import annotations
 
+import logging
 import threading
 import time
+
+
+def logfmt(fields: dict) -> str:
+    """Render one logfmt line (the reference emits its structured logs in
+    this format — logfmt/src/lib.rs; this is the repo's lightweight twin
+    of that + the trogging wiring).  None values are dropped; values
+    containing spaces/quotes/equals are double-quoted with backslash
+    escapes, exactly the form logfmt parsers expect."""
+    parts = []
+    for k, v in fields.items():
+        if v is None:
+            continue
+        s = str(v)
+        if s == "" or any(c in s for c in ' "='):
+            s = '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+        parts.append(f"{k}={s}")
+    return " ".join(parts)
 
 
 def format_duration_ns(ns: int) -> str:
@@ -45,13 +63,25 @@ def format_duration_ns(ns: int) -> str:
 
 
 class QueryTracker:
-    """Thread-safe registry of executing InfluxQL requests."""
+    """Thread-safe registry of executing InfluxQL requests.
 
-    def __init__(self, spark) -> None:
+    Every tracked statement also emits ONE structured logfmt line when it
+    finishes (``event=query_end`` with id, db, job group, duration, row
+    count, status) and one on kill (``event=query_kill``) — the per-query
+    observability surface the reference wires through trogging/logfmt.
+    ``log``: a callable taking the rendered line; defaults to the
+    ``influxdb_iox_spark.query`` stdlib logger at INFO."""
+
+    def __init__(self, spark, log=None) -> None:
         self.spark = spark
         self._lock = threading.Lock()
         self._next = 1
         self._running: dict[int, dict] = {}
+        self._log = (
+            log
+            if log is not None
+            else logging.getLogger("influxdb_iox_spark.query").info
+        )
 
     def begin(self, query: str, database: str | None) -> int:
         """Register the request and tag the CALLING thread's Spark jobs
@@ -73,12 +103,34 @@ class QueryTracker:
         )
         return qid
 
-    def end(self, qid: int) -> None:
+    def end(
+        self, qid: int, rows: int | None = None, status: str | None = None
+    ) -> None:
+        """Deregister + emit the statement's query_end logfmt line.
+        ``status`` None → 'killed' if a kill landed, else 'ok'."""
         with self._lock:
-            self._running.pop(qid, None)
+            info = self._running.pop(qid, None)
         # drop the thread's group tag so later requests on a reused
         # thread never inherit it
         self.spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
+        if info is not None:
+            dur = time.time_ns() - info["started_ns"]
+            self._log(
+                logfmt(
+                    {
+                        "event": "query_end",
+                        "qid": qid,
+                        "db": info["database"] or "",
+                        "group": info["group"],
+                        "duration": format_duration_ns(dur),
+                        "duration_ns": dur,
+                        "rows": rows,
+                        "status": status
+                        or ("killed" if info["killed"] else "ok"),
+                        "query": info["query"][:200],
+                    }
+                )
+            )
 
     def kill(self, qid: int) -> bool:
         """Cancel every Spark job of the statement; False if unknown."""
@@ -89,6 +141,17 @@ class QueryTracker:
             info["killed"] = True
             group = info["group"]
         self.spark.sparkContext.cancelJobGroup(group)
+        self._log(
+            logfmt(
+                {
+                    "event": "query_kill",
+                    "qid": qid,
+                    "db": info["database"] or "",
+                    "group": group,
+                    "query": info["query"][:200],
+                }
+            )
+        )
         return True
 
     def list(self) -> list[list]:

@@ -16,7 +16,7 @@ import urllib.request
 
 import pytest
 
-from influxdb_iox_spark.auth import AuthError, UserRegistry, http_identity
+from influxdb_iox_spark.auth import verify_secret, AuthError, UserRegistry, http_identity
 from influxdb_iox_spark.influxql.ast_nodes import (
     CreateUser,
     DropUser,
@@ -36,11 +36,14 @@ def test_registry_lifecycle():
     reg = UserRegistry()
     assert not reg  # anonymous mode
     reg.create_user("root", "pw", admin=True)
-    assert reg and reg.get("root") == "pw" and reg.is_admin("root")
+    assert reg and verify_secret(reg.get("root"), "pw") and reg.is_admin("root")
+    assert reg.get("root").startswith("scrypt$")  # hashed at rest, never plaintext
     reg.create_user("bob", "b", admin=False)
     assert not reg.is_admin("bob")
     reg.set_password("bob", "b2")
-    assert reg.get("bob") == "b2"
+    assert verify_secret(reg.get("bob"), "b2") and not verify_secret(
+        reg.get("bob"), "b"
+    )
     reg.drop_user("bob")
     assert reg.get("bob") is None
     with pytest.raises(AuthError):
@@ -95,7 +98,18 @@ def test_registry_snapshot_roundtrip():
     twin = UserRegistry.restore(reg.snapshot())
     assert twin.list_users() == reg.list_users()
     assert twin.grants_for("bob") == [("db1", "write")]
-    assert twin.get("bob") == "b"
+    assert verify_secret(twin.get("bob"), "b")
+    # the snapshot itself carries no plaintext — every stored secret is a
+    # scrypt record, and restoring a LEGACY plaintext snapshot upgrades it
+    assert all(
+        rec["password"].startswith("scrypt$")
+        for rec in reg.snapshot()["users"].values()
+    )
+    legacy = UserRegistry.restore(
+        {"users": {"old": {"password": "plain", "admin": True}}, "grants": []}
+    )
+    assert legacy.get("old").startswith("scrypt$")
+    assert verify_secret(legacy.get("old"), "plain")
 
 
 def test_http_identity():
@@ -182,7 +196,9 @@ def test_envelope_privilege_enforcement():
     # ...but may rotate their own password (stock behavior)
     env = _run("SET PASSWORD FOR bob = 'b2'", reg, identity="bob")
     assert "error" not in env["results"][0]
-    assert reg.get("bob") == "b2"
+    assert verify_secret(reg.get("bob"), "b2") and not verify_secret(
+        reg.get("bob"), "b"
+    )
     env = _run("SET PASSWORD FOR root = 'hax'", reg, identity="bob")
     assert "not authorized" in env["results"][0]["error"]
     # SELECT gated on READ of the selected db — the auth error fires

@@ -40,6 +40,101 @@ def test_tracker_bookkeeping(spark):
     assert spark.sparkContext.getLocalProperty("spark.jobGroup.id") is None
 
 
+def test_logfmt_rendering():
+    from influxdb_iox_spark.query_tracker import logfmt
+
+    line = logfmt(
+        {
+            "event": "query_end",
+            "qid": 3,
+            "db": "my db",
+            "rows": None,  # dropped
+            "query": 'SELECT "v" FROM m',
+        }
+    )
+    assert line == (
+        'event=query_end qid=3 db="my db" query="SELECT \\"v\\" FROM m"'
+    )
+    assert logfmt({"empty": ""}) == 'empty=""'
+
+
+def test_tracker_emits_structured_log_lines(spark):
+    """One query_end logfmt line per statement with the fields an ops
+    pipeline needs (id, db, group, duration, rows, status); kills emit
+    query_kill + a killed status on end (the reference's logfmt/trogging
+    surface, per-query)."""
+    lines: list[str] = []
+    t = QueryTracker(spark, log=lines.append)
+    qid = t.begin("SELECT 1", "db0")
+    t.end(qid, rows=42)
+    assert len(lines) == 1
+    fields = dict(
+        kv.split("=", 1) for kv in lines[0].split(" ") if '"' not in kv
+    )
+    assert fields["event"] == "query_end"
+    assert fields["qid"] == str(qid)
+    assert fields["db"] == "db0"
+    assert fields["group"] == f"influxql-q{qid}"
+    assert fields["rows"] == "42"
+    assert fields["status"] == "ok"
+    assert "duration_ns=" in lines[0] and 'query="SELECT 1"' in lines[0]
+    # kill path: a query_kill line, then killed status at end
+    qid2 = t.begin("SELECT 2", "db0")
+    assert t.kill(qid2)
+    t.end(qid2)
+    assert sum("event=query_kill" in ln for ln in lines) == 1
+    assert "status=killed" in lines[-1]
+    # error status overrides
+    qid3 = t.begin("SELECT 3", None)
+    t.end(qid3, status="error")
+    assert "status=error" in lines[-1] and "db=" not in lines[-1].split(
+        "duration"
+    )[0].replace('db=""', "")
+
+
+def test_http_query_logs_row_count(spark, tmp_path):
+    """The v1 endpoint wires envelope row counts into the query_end line
+    (captured via the default stdlib logger, the production sink)."""
+    import logging
+
+    from influxdb_iox_spark.database import Database
+    from influxdb_iox_spark.http_api import IoxHttpServer
+    from influxdb_iox_spark.schema import InfluxColumnType, IoxSchema
+    from influxdb_iox_spark.sources.store import TableStore
+
+    records: list[str] = []
+
+    class _Cap(logging.Handler):
+        def emit(self, rec):
+            records.append(rec.getMessage())
+
+    logger = logging.getLogger("influxdb_iox_spark.query")
+    h = _Cap()
+    logger.addHandler(h)
+    logger.setLevel(logging.INFO)
+    try:
+        cpu = IoxSchema.build(
+            ["region"], {"user": InfluxColumnType.FIELD_FLOAT}
+        )
+        store = TableStore(str(tmp_path / "log_store"))
+        db = Database("db0", store, spark)
+        db.register_table("cpu", cpu)
+        store.write_chunk(
+            spark.createDataFrame(
+                [("west", 1.0, 100), ("east", 2.0, 200)],
+                "region string, user double, time long",
+            ),
+            "cpu", cpu, partition_key="p",
+        )
+        api = IoxHttpServer(db, {}, db_name="db0")
+        api.handle_v1_query(None, "SELECT user FROM cpu", None)
+        end_lines = [r for r in records if "event=query_end" in r]
+        assert end_lines and "rows=2" in end_lines[-1]
+        assert "status=ok" in end_lines[-1] and "db=db0" in end_lines[-1]
+    finally:
+        logger.removeHandler(h)
+
+
 def test_kill_cancels_running_spark_job(spark):
     """A long aggregate started under begin() dies promptly on kill() —
     the cancelled job group raises into the executing thread."""
