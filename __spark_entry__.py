@@ -790,8 +790,8 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "user_id",
         ns_to_us_floor("ts").alias("t_us"),
-        F.round("value", 4).alias("purchase_value"),
-        F.round("view_value_right", 4).alias("view_value"),
+        (F.round(F.col("value") * 10000) / 10000).alias("purchase_value"),
+        (F.round(F.col("view_value_right") * 10000) / 10000).alias("view_value"),
         ns_to_us_floor("ts_right").alias("view_t_us"),
     ).orderBy("user_id", "t_us", "purchase_value")
 
@@ -805,8 +805,8 @@ WITH views AS (
 )
 SELECT p.user_id,
        epoch_us(p.ts) AS t_us,
-       ROUND(p.value, 4) AS purchase_value,
-       ROUND(v.view_value, 4) AS view_value,
+       ROUND(p.value * 10000) / 10000 AS purchase_value,
+       ROUND(v.view_value * 10000) / 10000 AS view_value,
        epoch_us(v.ts) AS view_t_us
 FROM p ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
 ORDER BY 1, 2, 3
@@ -1760,7 +1760,10 @@ def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _load(spark, sf_dir, "embeddings")
     qv = _query_vec0(t["embeddings"])
     out = cosine_topk(t["embeddings"], qv, k=20)
-    return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
+    return out.select(
+        "vec_id",
+        (F.round(F.col("cosine_sim") * 1000000) / 1000000).alias("cosine_sim"),
+    )
 
 
 SQL_EMB_COSINE_TOPK = """
@@ -1773,7 +1776,7 @@ d AS (
   FROM (SELECT vec_id, unnest(embedding) AS x, unnest((SELECT e FROM q)) AS y
         FROM embeddings)
   GROUP BY vec_id)
-SELECT vec_id, round(dp / (sqrt(nx) * sqrt(ny)), 6) AS cosine_sim
+SELECT vec_id, round(dp / (sqrt(nx) * sqrt(ny)) * 1000000) / 1000000 AS cosine_sim
 FROM d ORDER BY dp / (sqrt(nx) * sqrt(ny)) DESC, vec_id LIMIT 20
 """
 
@@ -1796,7 +1799,11 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", sim.alias("__c"))
         .filter(F.col("__c") >= 0.45)
-        .select("a", "b", F.round("__c", 6).alias("cosine_sim"))
+        .select(
+            "a",
+            "b",
+            (F.round(F.col("__c") * 1000000) / 1000000).alias("cosine_sim"),
+        )
     )
 
 
@@ -1817,7 +1824,9 @@ def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "drop_id",
             "keep_id",
-            F.round(F.col("cosine_sim"), 6).alias("cosine_sim"),
+            (F.round(F.col("cosine_sim") * 1000000) / 1000000).alias(
+                "cosine_sim"
+            ),
         )
         .orderBy("drop_id")
     )
@@ -1838,7 +1847,7 @@ p AS (
   SELECT b AS drop_id, a AS keep_id,
          dp / (sqrt(nx) * sqrt(ny)) AS c
   FROM d WHERE dp / (sqrt(nx) * sqrt(ny)) >= 0.45)
-SELECT drop_id, keep_id, round(c, 6) AS cosine_sim
+SELECT drop_id, keep_id, round(c * 1000000) / 1000000 AS cosine_sim
 FROM (
   SELECT drop_id, keep_id, c,
          ROW_NUMBER() OVER (
@@ -1860,7 +1869,7 @@ d AS (
     SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
     SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
   FROM z GROUP BY a, b)
-SELECT a, b, round(dp / (sqrt(nx) * sqrt(ny)), 6) AS cosine_sim
+SELECT a, b, round(dp / (sqrt(nx) * sqrt(ny)) * 1000000) / 1000000 AS cosine_sim
 FROM d WHERE dp / (sqrt(nx) * sqrt(ny)) >= 0.45
 """
 
@@ -1929,10 +1938,11 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(
-                F.lit(100.0) * F.sum(promo).cast("double")
-                / F.sum(disc_price).cast("double"),
-                6,
+            (
+                F.round(
+                    F.lit(100.0) * F.sum(promo).cast("double")
+                    / F.sum(disc_price).cast("double") * 1000000
+                ) / 1000000
             ).alias("promo_pct"),
             F.count("*").alias("n"),
         )
@@ -1944,7 +1954,8 @@ SELECT
   round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
       THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
       ELSE 0 END) AS DOUBLE)
-    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6) AS promo_pct,
+    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+    * 1000000) / 1000000 AS promo_pct,
   COUNT(*) AS n
 FROM lineitem JOIN part ON l_partkey = p_partkey
 """
@@ -2104,7 +2115,12 @@ def q_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .otherwise(F.lit(0).cast("decimal(12,2)")))
     return (
         joined.groupBy("o_year")
-        .agg(F.round((num / F.sum("volume")).cast("double"), 6).alias("mkt_share"))
+        .agg(
+            (
+                F.round((num / F.sum("volume")).cast("double") * 1000000)
+                / 1000000
+            ).alias("mkt_share")
+        )
         .orderBy("o_year")
     )
 
@@ -2116,7 +2132,7 @@ SELECT year(o_orderdate) AS o_year,
              THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
              ELSE CAST(0 AS DECIMAL(12,2)) END)
     / SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))))
-    AS DOUBLE), 6) AS mkt_share
+    AS DOUBLE) * 1000000) / 1000000 AS mkt_share
 FROM lineitem
 JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
 JOIN orders ON l_orderkey = o_orderkey
@@ -3364,7 +3380,9 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["documents"], threshold=0.5, materialize="parquet"
     )
     return out.select(
-        "a", "b", F.round("jaccard", 6).alias("jaccard")
+        "a",
+        "b",
+        (F.round(F.col("jaccard") * 1000000) / 1000000).alias("jaccard"),
     ).orderBy("a", "b")
 
 
@@ -3391,7 +3409,8 @@ shared AS (
 
 SQL_MINHASH_NEAR_DUP = f"""
 WITH {_SQL_SHINGLE_PAIRS_CTE}
-SELECT a, b, round(shared / (na + nb - shared), 6) AS jaccard
+SELECT a, b,
+  round(shared / (na + nb - shared) * 1000000) / 1000000 AS jaccard
 FROM shared WHERE shared / (na + nb - shared) >= 0.5
 ORDER BY a, b
 """
@@ -3411,13 +3430,16 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _load(spark, sf_dir, "documents")
     out = ngram_jaccard_pairs(t["documents"], threshold=0.3)
     return out.select(
-        "a", "b", F.round("jaccard", 6).alias("jaccard")
+        "a",
+        "b",
+        (F.round(F.col("jaccard") * 1000000) / 1000000).alias("jaccard"),
     ).orderBy("a", "b")
 
 
 SQL_DOC_NGRAM_JACCARD = f"""
 WITH {_SQL_SHINGLE_PAIRS_CTE}
-SELECT a, b, round(shared / (na + nb - shared), 6) AS jaccard
+SELECT a, b,
+  round(shared / (na + nb - shared) * 1000000) / 1000000 AS jaccard
 FROM shared WHERE shared / (na + nb - shared) >= 0.3
 ORDER BY a, b
 """
@@ -3551,7 +3573,10 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cent = [[float(x) for x in r.embedding] for r in cent_rows]
     out = ann_ivf_topk(emb, qv, cent, k=10, nprobe=4)
-    return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
+    return out.select(
+        "vec_id",
+        (F.round(F.col("cosine_sim") * 1000000) / 1000000).alias("cosine_sim"),
+    )
 
 
 SQL_ANN_IVF = """
@@ -3578,7 +3603,7 @@ cd AS (
   FROM (SELECT vec_id, unnest(embedding) AS x, unnest((SELECT e FROM q)) AS y
         FROM embeddings WHERE vec_id IN (SELECT vec_id FROM cand))
   GROUP BY vec_id)
-SELECT vec_id, round(dp / (sqrt(nx) * sqrt(ny)), 6) AS cosine_sim
+SELECT vec_id, round(dp / (sqrt(nx) * sqrt(ny)) * 1000000) / 1000000 AS cosine_sim
 FROM cd ORDER BY dp / (sqrt(nx) * sqrt(ny)) DESC, vec_id LIMIT 10
 """
 
@@ -3821,10 +3846,14 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep.select(
         "doc_id",
         "n_words",
-        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        (F.round(F.col("dup_word_frac") * 1000000) / 1000000).alias(
+            "dup_word_frac"
+        ),
         "top_gram",
         "top_gram_count",
-        F.round("top_gram_char_frac", 6).alias("top_gram_char_frac"),
+        (F.round(F.col("top_gram_char_frac") * 1000000) / 1000000).alias(
+            "top_gram_char_frac"
+        ),
     ).orderBy("doc_id")
 
 
@@ -3836,7 +3865,8 @@ WITH toks AS (
 base AS (
   SELECT doc_id, n_chars, w, len(w) AS n_words,
     CASE WHEN len(w) = 0 THEN 0.0
-      ELSE round(1.0 - len(list_distinct(w))::DOUBLE / len(w), 6) END AS dup_word_frac
+      ELSE round((1.0 - len(list_distinct(w))::DOUBLE / len(w)) * 1000000)
+           / 1000000 END AS dup_word_frac
   FROM toks),
 grams AS (
   SELECT doc_id, unnest(
@@ -3853,8 +3883,8 @@ top AS (
 SELECT b.doc_id, b.n_words, b.dup_word_frac,
   COALESCE(t.gram, '') AS top_gram,
   COALESCE(t.cnt, 0) AS top_gram_count,
-  round(COALESCE(t.cnt * length(t.gram), 0)::DOUBLE / greatest(b.n_chars, 1), 6)
-    AS top_gram_char_frac
+  round(COALESCE(t.cnt * length(t.gram), 0)::DOUBLE / greatest(b.n_chars, 1)
+        * 1000000) / 1000000 AS top_gram_char_frac
 FROM base b LEFT JOIN top t USING (doc_id)
 ORDER BY b.doc_id
 """
