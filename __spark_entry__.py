@@ -1282,6 +1282,76 @@ FROM d ORDER BY qcos_micro DESC, vec_id LIMIT 20
 """
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (round 11): vectors stored as m=8
+    4-bit-codebook codes (k=16 codewords per subspace — 32× smaller than
+    float32), searched by asymmetric distance (one m×k integer lookup
+    table from the query, m table-lookup adds per stored vector,
+    JVM-side fold over the codes column, then TakeOrderedAndProject).
+
+    Deterministic-codebook convention (the ann_ivf_topk pattern):
+    subspace codewords are the vec_id<16 vectors' subvectors.  EVERYTHING
+    is integer-exact by construction — embeddings and codewords
+    canonicalize to int64 milli-units, encode argmin and ADC sums are
+    integer ops, ties break to the smallest code id — so the DuckDB twin
+    is bit-exact with no float argmin straddle anywhere (stronger than
+    the IVF oracle's float-distance tie luck).  The production path
+    trains real per-subspace k-means (train_pq_codebooks; recall pinned
+    by tests/test_similarity.py)."""
+    import numpy as np
+
+    from influxdb_iox_spark.pipeline.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        quantize_codebooks_milli,
+    )
+
+    t = _load(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    rows = (
+        emb.filter(F.col("vec_id") < 16)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    base = np.array([[float(x) for x in r.embedding] for r in rows])
+    m = 8
+    dsub = base.shape[1] // m
+    cb = np.stack([base[:, j * dsub : (j + 1) * dsub] for j in range(m)])
+    cb_int = quantize_codebooks_milli(cb)
+    codes = pq_encode(emb, cb_int)
+    return pq_adc_topk(codes, _query_vec0(emb), cb_int, k_out=20)
+
+
+SQL_ANN_PQ_TOPK = """
+WITH e AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS ei
+  FROM embeddings
+), idx AS (
+  SELECT j.j, t.t
+  FROM (SELECT unnest(range(8)) AS j) j, (SELECT unnest(range(8)) AS t) t
+), dist AS (
+  SELECT v.vec_id, i.j, cb.vec_id AS c,
+    SUM((v.ei[i.j*8 + i.t + 1] - cb.ei[i.j*8 + i.t + 1])
+      * (v.ei[i.j*8 + i.t + 1] - cb.ei[i.j*8 + i.t + 1])) AS d
+  FROM e v
+  CROSS JOIN (SELECT * FROM e WHERE vec_id < 16) cb
+  CROSS JOIN idx i
+  GROUP BY 1, 2, 3
+), enc AS (
+  SELECT vec_id, j, c FROM (
+    SELECT vec_id, j, c,
+      row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+    FROM dist) WHERE rn = 1
+), lut AS (SELECT j, c, d FROM dist WHERE vec_id = 0)
+SELECT enc.vec_id, CAST(SUM(lut.d) AS BIGINT) AS adist
+FROM enc JOIN lut USING (j, c)
+GROUP BY 1 ORDER BY adist, vec_id LIMIT 20
+"""
+
+
 def q_rpc_stats_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """InfluxQL statistical aggregates per series (operators/stats.py):
     SPREAD (max−min, one IEEE op), sample STDDEV in exact-integer-sums
@@ -4645,9 +4715,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": q_doc_lang_id,
         "doc_exact_dedup": q_doc_exact_dedup,
         # round 11: inserted HERE — the round-11 window is canonical
-        # [5, 55) (shift = 350 mod 115); the influxql block it logically
-        # belongs to sits in the tail, outside the window.
+        # [5, 55) (shift = 350 mod 115 at n=115; re-check test_entry_rotation
+        # after ANY insertion, each one moves every boundary); the blocks
+        # these logically belong to sit in the tail, outside the window.
         "influxql_holt_winters_fixed": q_influxql_holt_winters_fixed,
+        "ann_pq_topk": q_ann_pq_topk,
         "doc_fingerprint": q_doc_fingerprint,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_near_dup": q_emb_near_dup,
@@ -4897,6 +4969,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup": _sql_simhash_near_dup(),
         "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
         "ann_ivf_topk": SQL_ANN_IVF,
+        "ann_pq_topk": SQL_ANN_PQ_TOPK,
         "doc_shard_packing": SQL_SHARD_PACKING,
         "doc_contamination": SQL_CONTAMINATION,
         "doc_stratified_sample": _sql_stratified_sample(),

@@ -574,3 +574,171 @@ def quantize_embeddings(
         F.array_max(F.transform("_v", code)).cast("long").alias("max_q"),
         F.array_min(F.transform("_v", code)).cast("long").alias("min_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed codes + asymmetric-distance search
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    sample_rows: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+):
+    """Per-subspace Lloyd's k-means on a driver-side sample: split each
+    d-dim vector into ``m`` contiguous subvectors of d/m dims and train an
+    independent ``k``-codeword codebook per subspace.  Returns a float64
+    numpy array of shape (m, k, d/m).
+
+    PQ is the standard billion-scale compression (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): a 64-dim
+    float32 vector (256 B) stores as m=8 uint8 codes (8 B, 32×), and a
+    query scans codes with m table lookups per vector instead of d
+    multiply-adds.  Same sampling posture as train_ivf_centroids (seeded
+    df.sample across all partitions, driver memory O(sample·d))."""
+    import numpy as np
+
+    n = df.count()
+    fraction = min(1.0, (sample_rows * 1.2) / max(n, 1))
+    sample = (
+        df.select(vec_col)
+        .sample(withReplacement=False, fraction=fraction, seed=seed)
+        .limit(sample_rows)
+        .collect()
+    )
+    x = np.stack([r[0] for r in sample]).astype("float64")
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, dsub))
+    for j in range(m):
+        xj = x[:, j * dsub : (j + 1) * dsub]
+        cent = xj[rng.choice(len(xj), size=min(k, len(xj)), replace=False)]
+        for _ in range(iters):
+            dist = ((xj[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = dist.argmin(axis=1)
+            for c in range(len(cent)):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = xj[mask].mean(axis=0)
+        books[j, : len(cent)] = cent
+        if len(cent) < k:  # degenerate tiny sample: repeat the last
+            books[j, len(cent):] = cent[-1]
+    return books
+
+
+def _milli(col: Column) -> Column:
+    """Embedding float -> exact int64 milli-units (the canonicalization
+    that makes encode/ADC integer-exact and hence order-independent and
+    bit-identical cross-engine — the int8/vm pattern)."""
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * 1000).cast("long")
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks_int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Append ``pq_codes`` (array<int>, length m): per subspace the
+    nearest codeword by exact INTEGER squared L2 over milli-unit values
+    (ties -> smallest code id; np.argmin takes the first minimum, the
+    same rule the SQL oracle's ORDER BY dist, c pins).
+
+    This is the WRITE path — codes are computed once per vector (one
+    Arrow-batched pandas UDF; int64 matmul, no float compares anywhere)
+    and persisted; queries never touch the float vectors.
+    """
+    import numpy as np
+    from pyspark.sql.types import ArrayType
+
+    cb = np.asarray(codebooks_int, dtype="int64")  # (m, k, dsub)
+    m, k, dsub = cb.shape
+    cb_sq = (cb * cb).sum(axis=2)  # (m, k)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode(vecs):
+        import pandas as pd
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.rint(
+            np.stack(vecs.to_numpy()).astype("float64") * 1000
+        ).astype("int64")
+        n = x.shape[0]
+        codes = np.empty((n, m), dtype="int32")
+        for j in range(m):
+            xj = x[:, j * dsub : (j + 1) * dsub]
+            # exact integer expanded L2: ||x||^2 - 2 x.c + ||c||^2
+            dist = (
+                (xj * xj).sum(axis=1)[:, None]
+                - 2 * (xj @ cb[j].T)
+                + cb_sq[j][None, :]
+            )
+            codes[:, j] = dist.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return df.withColumn("pq_codes", encode(F.col(vec_col)))
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    query_vec: list[float],
+    codebooks_int,
+    k_out: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """Asymmetric-distance top-k over stored PQ codes: the query builds an
+    (m × k) integer lookup table (squared L2 from each query subvector to
+    each codeword, in milli-units) and every stored vector's approximate
+    distance is m table lookups summed — a JVM-side array fold over the
+    codes column, no Python, no float drift (integer adds commute).
+
+    Plan: one projection + TakeOrderedAndProject; at 100 TB the codes
+    table is 32× smaller than the vectors and the scan is
+    memory-bandwidth-bound; compose with IVF lists for sub-linear probes.
+    Output: (id, adist) ascending (smaller = closer), ties by id.
+    """
+    import numpy as np
+
+    cb = np.asarray(codebooks_int, dtype="int64")
+    m, k, dsub = cb.shape
+    q = np.rint(np.asarray(query_vec, dtype="float64") * 1000).astype("int64")
+    if q.shape[0] != m * dsub:
+        raise ValueError(f"query dim {q.shape[0]} != m*dsub {m * dsub}")
+    lut = np.empty((m, k), dtype="int64")
+    for j in range(m):
+        diff = q[j * dsub : (j + 1) * dsub][None, :] - cb[j]
+        lut[j] = (diff * diff).sum(axis=1)
+    flat = ", ".join(f"{int(v)}L" for v in lut.reshape(-1))
+    adist = F.expr(
+        f"aggregate(transform(sequence(0, {m - 1}), "
+        f"j -> element_at(array({flat}), j * {k} + element_at({codes_col}, j + 1) + 1)), "
+        f"0L, (acc, x) -> acc + x)"
+    )
+    return (
+        codes_df.select(F.col(id_col), adist.alias("adist"))
+        .orderBy(F.col("adist").asc(), F.col(id_col).asc())
+        .limit(k_out)
+    )
+
+
+def quantize_codebooks_milli(codebooks) -> "list":
+    """Float codebooks -> int64 milli-units (the stored form encode/ADC
+    consume; freezing the quantization at train time keeps every later
+    comparison integer-exact)."""
+    import numpy as np
+
+    return np.rint(np.asarray(codebooks, dtype="float64") * 1000).astype(
+        "int64"
+    )

@@ -149,3 +149,103 @@ def test_semantic_dedup_hot_cluster_guard(spark):
         df, n_clusters=4, sample_rows=100, seed=2, max_cluster_size=10
     ).collect()
     assert len(hot) == 1 and hot[0].n_docs == 30
+
+
+# -- product quantization ------------------------------------------------------
+
+
+def test_pq_train_shapes_and_determinism(emb):
+    from influxdb_iox_spark.pipeline.similarity import train_pq_codebooks
+
+    b1 = train_pq_codebooks(emb, m=8, k=16, sample_rows=200, seed=7)
+    b2 = train_pq_codebooks(emb, m=8, k=16, sample_rows=200, seed=7)
+    assert b1.shape == (8, 16, 8)
+    assert np.array_equal(b1, b2)  # seeded sample + fixed iters
+    with pytest.raises(ValueError):
+        train_pq_codebooks(emb, m=7)  # 64 % 7 != 0
+
+
+def test_pq_codewords_encode_to_themselves(emb):
+    """With the deterministic codebook (vec_id<16 subvectors), each
+    codeword vector's code in every subspace is its own id — distance 0
+    beats everything, and ties break to the smallest code id."""
+    from influxdb_iox_spark.pipeline.similarity import (
+        pq_encode,
+        quantize_codebooks_milli,
+    )
+
+    rows = emb.filter("vec_id < 16").orderBy("vec_id").collect()
+    base = np.array([r.embedding for r in rows], dtype="float64")
+    cb = np.stack([base[:, j * 8 : (j + 1) * 8] for j in range(8)])
+    cb_int = quantize_codebooks_milli(cb)
+    got = {
+        r.vec_id: list(r.pq_codes)
+        for r in pq_encode(emb.filter("vec_id < 16"), cb_int).collect()
+    }
+    for vid, codes in got.items():
+        assert codes == [vid] * 8, (vid, codes)
+
+
+def test_pq_adc_recall_with_trained_codebooks(emb, query_and_exact):
+    """Trained PQ (m=8, k=16 -> 32x compression) keeps useful recall vs
+    the exact MILLI-L2 ranking it approximates (ADC approximates L2, not
+    cosine — compare against the right baseline)."""
+    from influxdb_iox_spark.pipeline.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        quantize_codebooks_milli,
+        train_pq_codebooks,
+    )
+
+    qv, _, _ = query_and_exact
+    rows = emb.collect()
+    ints = {
+        r.vec_id: np.rint(np.array(r.embedding, dtype="float64") * 1000)
+        for r in rows
+    }
+    qi = np.rint(np.array(qv, dtype="float64") * 1000)
+    l2 = {i: float(((v - qi) ** 2).sum()) for i, v in ints.items()}
+    exact10 = set(sorted(l2, key=lambda i: (l2[i], i))[:10])
+    cb_int = quantize_codebooks_milli(
+        train_pq_codebooks(emb, m=8, k=16, sample_rows=500, seed=3)
+    )
+    got = {
+        r.vec_id
+        for r in pq_adc_topk(pq_encode(emb, cb_int), qv, cb_int, 10).collect()
+    }
+    assert len(got & exact10) / 10 >= 0.3  # k=16/subspace is coarse
+
+
+def test_pq_adc_is_exact_table_lookup(emb):
+    """adist from the JVM fold equals the numpy LUT sum for every vector
+    (integer-exact path, no approximation beyond quantization itself)."""
+    from influxdb_iox_spark.pipeline.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        quantize_codebooks_milli,
+    )
+
+    rows = emb.filter("vec_id < 16").orderBy("vec_id").collect()
+    base = np.array([r.embedding for r in rows], dtype="float64")
+    cb = np.stack([base[:, j * 8 : (j + 1) * 8] for j in range(8)])
+    cb_int = quantize_codebooks_milli(cb)
+    qv = list(base[0])
+    codes_df = pq_encode(emb, cb_int)
+    codes = {r.vec_id: list(r.pq_codes) for r in codes_df.collect()}
+    qi = np.rint(np.array(qv, dtype="float64") * 1000).astype("int64")
+    lut = np.stack(
+        [
+            ((qi[j * 8 : (j + 1) * 8][None, :] - cb_int[j]) ** 2).sum(axis=1)
+            for j in range(8)
+        ]
+    )
+    expect = {
+        vid: int(sum(lut[j][c] for j, c in enumerate(cs)))
+        for vid, cs in codes.items()
+    }
+    got = {
+        r.vec_id: r.adist
+        for r in pq_adc_topk(codes_df, qv, cb_int, k_out=500).collect()
+    }
+    assert got == {v: expect[v] for v in got}
+    assert len(got) == len(expect)
