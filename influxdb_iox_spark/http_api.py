@@ -546,6 +546,25 @@ def _make_handler(api: IoxHttpServer):
                 raise _HttpError(401, "authorization failed")
             return ident
 
+        def _request_span(self, name: str, db: str | None):
+            """Per-request tracing span, continuing an external trace
+            when the request carries W3C traceparent / Jaeger
+            uber-trace-id headers (the reference extracts the same
+            headers into its tracing stack via trogging; spans and the
+            tracker's query_end lines share the trace id)."""
+            from influxdb_iox_spark.tracing import (
+                Span,
+                extract_trace_context,
+            )
+
+            ctx = extract_trace_context(self.headers)
+            return Span(
+                name,
+                trace_id=ctx[0] if ctx else None,
+                parent_id=ctx[1] if ctx else None,
+                db=db or api.db_name,
+            )
+
         def _require_write(self, ident: str | None, db: str | None):
             """403 unless ``ident`` may write ``db`` (no-op without a
             configured UserRegistry — dict-auth servers keep the
@@ -620,20 +639,25 @@ def _make_handler(api: IoxHttpServer):
                         raise _HttpError(400, "missing q parameter")
                     db = (qs.get("db") or [None])[0]
                     epoch = (qs.get("epoch") or [None])[0]
-                    if (qs.get("chunked") or [""])[0].lower() in ("true", "1"):
-                        size = int((qs.get("chunk_size") or ["10000"])[0])
-                        self._reply_chunked(
-                            api.iter_v1_query_chunks(
-                                db, q, epoch, size, read_only=True,
-                                identity=ident,
+                    with self._request_span("http_query_get", db):
+                        if (qs.get("chunked") or [""])[0].lower() in (
+                            "true", "1",
+                        ):
+                            size = int(
+                                (qs.get("chunk_size") or ["10000"])[0]
                             )
+                            self._reply_chunked(
+                                api.iter_v1_query_chunks(
+                                    db, q, epoch, size, read_only=True,
+                                    identity=ident,
+                                )
+                            )
+                            return
+                        body, ctype = api.handle_v1_query(
+                            db, q, epoch, read_only=True,
+                            accept=self.headers.get("Accept"),
+                            identity=ident,
                         )
-                        return
-                    body, ctype = api.handle_v1_query(
-                        db, q, epoch, read_only=True,
-                        accept=self.headers.get("Accept"),
-                        identity=ident,
-                    )
                     self._reply(200, body, ctype)
                     return
                 parts = u.path.strip("/").split("/")
@@ -675,20 +699,21 @@ def _make_handler(api: IoxHttpServer):
                     q = param("q")
                     if not q:
                         raise _HttpError(400, "missing q parameter")
-                    if (param("chunked") or "").lower() in ("true", "1"):
-                        size = int(param("chunk_size") or "10000")
-                        self._reply_chunked(
-                            api.iter_v1_query_chunks(
-                                param("db"), q, param("epoch"), size,
-                                identity=ident,
+                    with self._request_span("http_query_post", param("db")):
+                        if (param("chunked") or "").lower() in ("true", "1"):
+                            size = int(param("chunk_size") or "10000")
+                            self._reply_chunked(
+                                api.iter_v1_query_chunks(
+                                    param("db"), q, param("epoch"), size,
+                                    identity=ident,
+                                )
                             )
+                            return
+                        body, ctype = api.handle_v1_query(
+                            param("db"), q, param("epoch"),
+                            accept=self.headers.get("Accept"),
+                            identity=ident,
                         )
-                        return
-                    body, ctype = api.handle_v1_query(
-                        param("db"), q, param("epoch"),
-                        accept=self.headers.get("Accept"),
-                        identity=ident,
-                    )
                     self._reply(200, body, ctype)
                     return
                 if u.path not in ("/api/v2/write", "/api/v2/delete", "/write"):

@@ -87,6 +87,8 @@ class QueryTracker:
         """Register the request and tag the CALLING thread's Spark jobs
         with its group (interruptOnCancel=True so running tasks get
         thread interrupts, not just scheduler removal)."""
+        from influxdb_iox_spark.tracing import current_trace_id
+
         with self._lock:
             qid = self._next
             self._next += 1
@@ -97,6 +99,9 @@ class QueryTracker:
                 "group": group,
                 "started_ns": time.time_ns(),
                 "killed": False,
+                # inherited from the enclosing request span (None when
+                # untraced) so log lines correlate with span lines
+                "trace_id": current_trace_id(),
             }
         self.spark.sparkContext.setJobGroup(
             group, query[:200], interruptOnCancel=True
@@ -127,6 +132,7 @@ class QueryTracker:
                         "rows": rows,
                         "status": status
                         or ("killed" if info["killed"] else "ok"),
+                        "trace_id": info.get("trace_id"),
                         "query": info["query"][:200],
                     }
                 )
