@@ -742,3 +742,58 @@ def quantize_codebooks_milli(codebooks) -> "list":
     return np.rint(np.asarray(codebooks, dtype="float64") * 1000).astype(
         "int64"
     )
+
+
+def train_ivf_centroids_distributed(
+    df: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+):
+    """Distributed Lloyd's k-means: every iteration assigns the FULL
+    corpus (Arrow-batched argmin, the ivf_assign kernel) and reduces the
+    per-cluster mean with one shuffle — ``posexplode → groupBy(cluster,
+    dim).avg`` — so only k·d aggregated rows ever reach the driver.
+
+    This is the 100 TB trainer: ``train_ivf_centroids`` caps quality at
+    its driver-side sample (fine for coarse IVF lists), while this one
+    sees every vector at the cost of ``iters`` Spark jobs.  Empty
+    clusters keep their previous centroid.  Initialisation is the same
+    seeded distributed sample, so small inputs start identically; the
+    ITERATION means are float aggregations over an unordered shuffle —
+    deterministic in assignment (integer-free argmin ties broken by
+    index) but not bit-reproducible across cluster layouts, which is why
+    the oracle-paired driver queries pin codebooks instead of training.
+    Returns (n_centroids, dim) float64 numpy centroids."""
+    import numpy as np
+
+    n = df.count()
+    fraction = min(1.0, (n_centroids * 20) / max(n, 1))
+    init = (
+        df.select(vec_col)
+        .sample(withReplacement=False, fraction=fraction, seed=seed)
+        .limit(n_centroids)
+        .collect()
+    )
+    cent = np.stack([r[0] for r in init]).astype("float64")
+    vecs = df.select(vec_col).localCheckpoint(eager=False)
+    for _ in range(iters):
+        assigned = ivf_assign(vecs, cent, vec_col)
+        rows = (
+            assigned.select(
+                "ivf_list", F.posexplode(F.col(vec_col)).alias("dim", "x")
+            )
+            .groupBy("ivf_list", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("mean"))
+            .collect()
+        )
+        new = cent.copy()
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cluster.setdefault(r.ivf_list, {})[r.dim] = r.mean
+        for c, dims in by_cluster.items():
+            for d_i, v in dims.items():
+                new[c, d_i] = v
+        cent = new
+    return cent

@@ -249,3 +249,19 @@ def test_pq_adc_is_exact_table_lookup(emb):
     }
     assert got == {v: expect[v] for v in got}
     assert len(got) == len(expect)
+
+
+def test_distributed_kmeans_trains_usable_centroids(emb, query_and_exact):
+    """The full-corpus trainer (one shuffle per Lloyd iteration, k*d rows
+    to the driver) produces centroids at least as good for IVF recall as
+    the driver-sample trainer's bar."""
+    from influxdb_iox_spark.pipeline.similarity import (
+        train_ivf_centroids_distributed,
+    )
+
+    cent = train_ivf_centroids_distributed(emb, n_centroids=8, iters=5)
+    assert cent.shape == (8, 64)
+    qv, exact, _ = query_and_exact
+    got = {r.vec_id for r in ann_ivf_topk(emb, qv, cent, k=10, nprobe=3).collect()}
+    recall = len(got & set(exact[:10])) / 10
+    assert recall >= 0.5
