@@ -77,7 +77,17 @@ def build_exact_index(
 def _read_exact(spark: SparkSession, path: str) -> tuple[DataFrame, int]:
     with open(os.path.join(path, EXACT_META)) as f:
         meta = json.load(f)
-    return spark.read.parquet(path), meta["n_buckets"]
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        # a VALID index with zero fingerprints has a meta file but no
+        # parquet files (partitionBy writes nothing for an empty frame) —
+        # e.g. freshly seeded by a streaming ingest before its first
+        # batch; schema inference has nothing to read, so supply it
+        df = spark.createDataFrame(
+            [], "content_hash string, canonical_id long, bucket int"
+        )
+    return df, meta["n_buckets"]
 
 
 def dedup_against_index(
