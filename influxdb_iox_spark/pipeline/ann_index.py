@@ -106,3 +106,112 @@ def query_ivf_index(
     df = spark.read.parquet(path)
     cand = df.filter(F.col("ivf_list").isin([int(i) for i in order]))
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the standard billion-scale composite (FAISS IndexIVFPQ shape)
+# ---------------------------------------------------------------------------
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    k_codes: int = 16,
+    sample_rows: int = 10_000,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep_vectors: bool = True,
+) -> None:
+    """One build pass: IVF-assign every vector to its coarse list AND
+    PQ-encode it, then write parquet partitioned by list.  At 100 TB the
+    codes column is 32× smaller than float32 vectors; with
+    ``keep_vectors=False`` only (id, codes) persist — the pure
+    memory-bandwidth ADC layout — at the cost of approximate (ADC-ranked)
+    results; True keeps the floats for exact in-bucket re-rank."""
+    from influxdb_iox_spark.pipeline.similarity import (
+        pq_encode,
+        quantize_codebooks_milli,
+        train_pq_codebooks,
+    )
+
+    cent = train_ivf_centroids(
+        df, n_centroids, sample_rows, seed=seed, vec_col=vec_col
+    )
+    books_int = quantize_codebooks_milli(
+        train_pq_codebooks(
+            df, m=m, k=k_codes, sample_rows=sample_rows,
+            seed=seed, vec_col=vec_col,
+        )
+    )
+    indexed = pq_encode(
+        ivf_assign(df, cent, vec_col), books_int, vec_col, id_col
+    )
+    cols = [id_col, "ivf_list", "pq_codes"] + (
+        [vec_col] if keep_vectors else []
+    )
+    indexed.select(*cols).write.mode("overwrite").partitionBy(
+        "ivf_list"
+    ).parquet(path)
+    with open(os.path.join(path, "_ann_meta.json"), "w") as f:
+        json.dump(
+            {
+                "kind": "ivfpq",
+                "centroids": [list(map(float, c)) for c in cent],
+                "codebooks_int": [
+                    [list(map(int, cw)) for cw in book] for book in books_int
+                ],
+                "m": m,
+                "k_codes": k_codes,
+                "keep_vectors": keep_vectors,
+            },
+            f,
+        )
+
+
+def query_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the ``nprobe`` nearest lists (partition-pruned read), rank
+    candidates by PQ asymmetric distance (m integer lookup-adds per code,
+    JVM-side), and — when the index kept its vectors and ``rerank`` is
+    set — exact-cosine re-rank the best ``rerank`` ADC candidates down to
+    ``k``.  The three-stage funnel is the standard recall/cost dial:
+    probes bound I/O, ADC bounds compute, re-rank restores exact scores.
+    Without re-rank, returns (id, adist) ascending."""
+    import numpy as np
+
+    from influxdb_iox_spark.pipeline.similarity import pq_adc_topk
+
+    with open(os.path.join(path, "_ann_meta.json")) as f:
+        meta = json.load(f)
+    cent = np.asarray(meta["centroids"], dtype="float64")
+    books_int = np.asarray(meta["codebooks_int"], dtype="int64")
+    q = np.asarray(query_vec, dtype="float64")
+    order = np.argsort(((cent - q) ** 2).sum(axis=1))[:nprobe]
+    cand = spark.read.parquet(path).filter(
+        F.col("ivf_list").isin([int(i) for i in order])
+    )
+    if rerank is None:
+        return pq_adc_topk(cand, query_vec, books_int, k, id_col)
+    if not meta["keep_vectors"]:
+        raise ValueError(
+            "rerank needs stored vectors; index was built keep_vectors=False"
+        )
+    short = pq_adc_topk(cand, query_vec, books_int, rerank, id_col)
+    return cosine_topk(
+        cand.join(F.broadcast(short.select(id_col)), id_col, "left_semi"),
+        query_vec,
+        k,
+        vec_col,
+        id_col,
+    )

@@ -71,3 +71,54 @@ def test_ivf_index_incremental_append(spark, emb, tmp_path):
     ).parquet(path)
     total = spark.read.parquet(path).count()
     assert total == emb.count() + 5
+
+
+def test_ivfpq_index_funnel(spark, emb, exact, tmp_path):
+    """probe -> ADC -> exact re-rank: partition-pruned read, recall holds,
+    re-ranked scores are EXACT cosine."""
+    from influxdb_iox_spark.pipeline.ann_index import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    qv, order = exact
+    path = str(tmp_path / "ivfpq_idx")
+    build_ivfpq_index(emb, path, n_centroids=8, m=8, k_codes=16,
+                      sample_rows=500)
+    # ADC-only ranking (no vectors touched)
+    adc = query_ivfpq_index(spark, path, qv, k=10, nprobe=4)
+    rows = adc.collect()
+    assert [r.adist for r in rows] == sorted(r.adist for r in rows)
+    # funnel with exact re-rank of the top-50 ADC candidates
+    got = {
+        r.vec_id
+        for r in query_ivfpq_index(
+            spark, path, qv, k=10, nprobe=4, rerank=50
+        ).collect()
+    }
+    assert len(got & set(order[:10])) / 10 >= 0.6
+    # partition pruning: probed read touches <= nprobe of 8 lists
+    probed = query_ivfpq_index(spark, path, qv, k=10, nprobe=2, rerank=20)
+    plan = probed._jdf.queryExecution().toString()
+    assert "ivf_list" in plan
+
+
+def test_ivfpq_codes_only_layout(spark, emb, exact, tmp_path):
+    """keep_vectors=False stores only (id, codes): 32x smaller; ADC works,
+    re-rank refuses loudly."""
+    import pytest
+
+    from influxdb_iox_spark.pipeline.ann_index import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    qv, _ = exact
+    path = str(tmp_path / "ivfpq_codes")
+    build_ivfpq_index(emb, path, n_centroids=8, sample_rows=500,
+                      keep_vectors=False)
+    cols = set(spark.read.parquet(path).columns)
+    assert cols == {"vec_id", "pq_codes", "ivf_list"}
+    assert query_ivfpq_index(spark, path, qv, k=5, nprobe=8).count() == 5
+    with pytest.raises(ValueError, match="keep_vectors"):
+        query_ivfpq_index(spark, path, qv, k=5, nprobe=2, rerank=20)
