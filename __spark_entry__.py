@@ -1282,6 +1282,62 @@ FROM d ORDER BY qcos_micro DESC, vec_id LIMIT 20
 """
 
 
+def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join (round 11): lineitem and orders written
+    once as one-file-per-bucket bucketBy(8, orderkey) layouts
+    (sources/bucketed.py — the promoted §17b recipe), then joined with
+    ZERO Exchange and ZERO Sort (assert_colocated_join raises inside
+    this query if the layout invariant ever breaks, turning a silent
+    plan regression into a red driver row).  Revenue in the exact
+    scaled-long spelling so the aggregate hash-matches DuckDB.  The
+    write-once cost is inside the query on purpose — same posture as
+    doc_incremental_dedup's index build (the row measures the full
+    layout-then-query step; the layout amortizes over every later join
+    in production)."""
+    import tempfile
+    import uuid
+
+    from influxdb_iox_spark.sources.bucketed import (
+        assert_colocated_join,
+        write_bucketed,
+    )
+
+    t = _load(spark, sf_dir, "lineitem", "orders")
+    run = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix="bk_join_")
+    write_bucketed(
+        t["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount"),
+        f"bk_li_{run}", f"{root}/li", ["l_orderkey"], 8,
+    )
+    write_bucketed(
+        t["orders"].select("o_orderkey", "o_orderstatus"),
+        f"bk_or_{run}", f"{root}/or", ["o_orderkey"], 8,
+    )
+    li = spark.table(f"bk_li_{run}")
+    orders = spark.table(f"bk_or_{run}")
+    # the MERGE hint rides inside the plan (a session-conf broadcast
+    # override would not survive lazy re-planning at materialization
+    # time): sort-merge strategy + one-file buckets + the SPARK-28595
+    # ordering flag = no Exchange AND no Sort on either side
+    bare = li.join(
+        orders.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    assert_colocated_join(bare)
+    return (
+        bare.withColumn("__rev_c", F.expr(_REV_C_SQL))
+        .groupBy("o_orderstatus")
+        .agg(_rev_sum("revenue"), F.count("*").alias("n"))
+        .orderBy("o_orderstatus")
+    )
+
+
+SQL_BUCKETED_JOIN_REVENUE = f"""
+SELECT o_orderstatus, {_REV_SUM_SQL} AS revenue, COUNT(*) AS n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (round 11): vectors stored as m=8
     4-bit-codebook codes (k=16 codewords per subspace — 32× smaller than
@@ -4720,6 +4776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # these logically belong to sit in the tail, outside the window.
         "influxql_holt_winters_fixed": q_influxql_holt_winters_fixed,
         "ann_pq_topk": q_ann_pq_topk,
+        "bucketed_join_revenue": q_bucketed_join_revenue,
         "doc_fingerprint": q_doc_fingerprint,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_near_dup": q_emb_near_dup,
@@ -4970,6 +5027,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
         "ann_ivf_topk": SQL_ANN_IVF,
         "ann_pq_topk": SQL_ANN_PQ_TOPK,
+        "bucketed_join_revenue": SQL_BUCKETED_JOIN_REVENUE,
         "doc_shard_packing": SQL_SHARD_PACKING,
         "doc_contamination": SQL_CONTAMINATION,
         "doc_stratified_sample": _sql_stratified_sample(),
