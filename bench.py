@@ -52,6 +52,9 @@ HEADLINE = [
     # applyInPandas per statement) — tracks the Arrow-batch + per-series
     # Python-recurrence cost in the driver bench
     "influxql_ema",
+    # round-11 addition: the PQ embedding path (write-path integer encode
+    # + JVM-side asymmetric-distance top-k over 32x-compressed codes)
+    "ann_pq_topk",
 ]
 
 
