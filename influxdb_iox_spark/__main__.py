@@ -87,6 +87,18 @@ def _build_parser() -> argparse.ArgumentParser:
             # --http-url to use the v2 HTTP endpoint (enables csv/pretty)
             sp.add_argument("--http-url", default=None)
 
+    sql = sub.add_parser(
+        "sql",
+        help="interactive SQL REPL (src/commands/sql: HELP, SHOW "
+        "DATABASES, USE [DATABASE] <name>, SET FORMAT, OBSERVER, SQL)",
+    )
+    sql.add_argument("--host", default="127.0.0.1")
+    sql.add_argument("--grpc-port", type=int, required=True)
+    sql.add_argument(
+        "--http-url", default=None,
+        help="HTTP endpoint for query results (pretty/csv/json)",
+    )
+
     ops = sub.add_parser("operations", help="operations commands")
     opssub = ops.add_subparsers(dest="ops_command", required=True)
     lst = opssub.add_parser("list")
@@ -187,6 +199,20 @@ def main(argv: list[str] | None = None, out=None) -> int:
                 time.sleep(3600)
         except KeyboardInterrupt:
             return 0
+
+    if args.command == "sql":
+        import sys
+
+        from influxdb_iox_spark.repl import Repl
+
+        c = _client(args)
+        try:
+            repl = Repl(c, out=out if out is not None else sys.stdout)
+            repl._print("Connected; HELP for commands, EXIT to leave.")
+            repl.run(sys.stdin)
+            return 0
+        finally:
+            c.close()
 
     if args.command == "database":
         c = _client(args)
