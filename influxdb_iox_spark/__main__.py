@@ -201,8 +201,6 @@ def main(argv: list[str] | None = None, out=None) -> int:
             return 0
 
     if args.command == "sql":
-        import sys
-
         from influxdb_iox_spark.repl import Repl
 
         c = _client(args)

@@ -562,7 +562,9 @@ def _make_handler(api: IoxHttpServer):
                 name,
                 trace_id=ctx[0] if ctx else None,
                 parent_id=ctx[1] if ctx else None,
-                db=db or api.db_name,
+                # the multi-db server has no single db_name; span db is
+                # the request's selection there
+                db=db or getattr(api, "db_name", None),
             )
 
         def _require_write(self, ident: str | None, db: str | None):
