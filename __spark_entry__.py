@@ -1294,8 +1294,9 @@ def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_incremental_dedup's index build (the row measures the full
     layout-then-query step; the layout amortizes over every later join
     in production)."""
+    import hashlib
+    import os
     import tempfile
-    import uuid
 
     from influxdb_iox_spark.sources.bucketed import (
         assert_colocated_join,
@@ -1303,18 +1304,21 @@ def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = _load(spark, sf_dir, "lineitem", "orders")
-    run = uuid.uuid4().hex[:8]
-    root = tempfile.mkdtemp(prefix="bk_join_")
+    # FIXED location + catalog names per sf_dir (mode=overwrite), so
+    # repeated driver/bench invocations rewrite in place instead of
+    # leaking a fresh multi-MB layout + two uuid catalog tables per run
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"bk_gate_{tag}")
     write_bucketed(
         t["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount"),
-        f"bk_li_{run}", f"{root}/li", ["l_orderkey"], 8,
+        f"bk_li_{tag}", f"{root}/li", ["l_orderkey"], 8,
     )
     write_bucketed(
         t["orders"].select("o_orderkey", "o_orderstatus"),
-        f"bk_or_{run}", f"{root}/or", ["o_orderkey"], 8,
+        f"bk_or_{tag}", f"{root}/or", ["o_orderkey"], 8,
     )
-    li = spark.table(f"bk_li_{run}")
-    orders = spark.table(f"bk_or_{run}")
+    li = spark.table(f"bk_li_{tag}")
+    orders = spark.table(f"bk_or_{tag}")
     # the MERGE hint rides inside the plan (a session-conf broadcast
     # override would not survive lazy re-planning at materialization
     # time): sort-merge strategy + one-file buckets + the SPARK-28595

@@ -77,7 +77,11 @@ def verify_secret(stored: str | None, given: str) -> bool:
         except (ValueError, TypeError):
             return False
         return _secrets.compare_digest(h.hex(), hash_hex)
-    return _secrets.compare_digest(stored, given)
+    # bytes, not str: compare_digest(str, str) raises on non-ASCII, and
+    # passwords are arbitrary text
+    return _secrets.compare_digest(
+        stored.encode("utf-8"), given.encode("utf-8")
+    )
 
 
 def verify_credentials(users, name: str | None, password: str) -> bool:

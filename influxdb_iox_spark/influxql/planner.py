@@ -1635,6 +1635,11 @@ def _plan_holt_winters(
     # level/trend[/seasonal] fold — SQL-expressible, hence oracle-
     # checkable (the fitted form's Nelder-Mead search is not).
     params: tuple[float, float, float] | None = None
+    if len(call.args) > 6:
+        raise InfluxQLPlanError(
+            "holt_winters() takes at most 6 arguments"
+            " (agg, N, S[, alpha, beta[, gamma]])"
+        )
     if len(call.args) > 3:
         if len(call.args) < 5:
             raise InfluxQLPlanError(

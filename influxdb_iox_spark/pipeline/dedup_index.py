@@ -77,17 +77,24 @@ def build_exact_index(
 def _read_exact(spark: SparkSession, path: str) -> tuple[DataFrame, int]:
     with open(os.path.join(path, EXACT_META)) as f:
         meta = json.load(f)
-    try:
-        df = spark.read.parquet(path)
-    except Exception:
-        # a VALID index with zero fingerprints has a meta file but no
-        # parquet files (partitionBy writes nothing for an empty frame) —
-        # e.g. freshly seeded by a streaming ingest before its first
-        # batch; schema inference has nothing to read, so supply it
-        df = spark.createDataFrame(
-            [], "content_hash string, canonical_id long, bucket int"
+    # a VALID index with zero fingerprints has a meta file but no parquet
+    # files (partitionBy writes nothing for an empty frame) — e.g. freshly
+    # seeded by a streaming ingest before its first batch; detect THAT
+    # case by listing, never by swallowing read errors (a corrupt or
+    # unreadable index must fail loudly, not dedup against nothing)
+    has_data = any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(path)
+        for f in files
+    )
+    if not has_data:
+        return (
+            spark.createDataFrame(
+                [], "content_hash string, canonical_id long, bucket int"
+            ),
+            meta["n_buckets"],
         )
-    return df, meta["n_buckets"]
+    return spark.read.parquet(path), meta["n_buckets"]
 
 
 def dedup_against_index(

@@ -634,13 +634,19 @@ def train_pq_codebooks(
     return books
 
 
-def _milli(col: Column) -> Column:
-    """Embedding float -> exact int64 milli-units (the canonicalization
-    that makes encode/ADC integer-exact and hence order-independent and
-    bit-identical cross-engine — the int8/vm pattern)."""
-    return F.transform(
-        col, lambda x: F.round(x.cast("double") * 1000).cast("long")
-    )
+def _milli_np(a):
+    """Float -> int64 milli-units with ROUND-HALF-AWAY-FROM-ZERO — the
+    same rule as Spark's F.round and DuckDB's round(), which the PQ
+    oracle relies on.  (np.rint would be half-to-even: an embedding
+    component at exactly k+0.5 milli would encode differently here than
+    in the SQL twin — the float straddle the integer canonicalization
+    exists to eliminate.)"""
+    import numpy as np
+
+    a = np.asarray(a, dtype="float64") * 1000.0
+    return np.where(
+        a >= 0, np.floor(a + 0.5), np.ceil(a - 0.5)
+    ).astype("int64")
 
 
 def pq_encode(
@@ -671,9 +677,7 @@ def pq_encode(
 
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
-        x = np.rint(
-            np.stack(vecs.to_numpy()).astype("float64") * 1000
-        ).astype("int64")
+        x = _milli_np(np.stack(vecs.to_numpy()))
         n = x.shape[0]
         codes = np.empty((n, m), dtype="int32")
         for j in range(m):
@@ -713,7 +717,7 @@ def pq_adc_topk(
 
     cb = np.asarray(codebooks_int, dtype="int64")
     m, k, dsub = cb.shape
-    q = np.rint(np.asarray(query_vec, dtype="float64") * 1000).astype("int64")
+    q = _milli_np(query_vec)
     if q.shape[0] != m * dsub:
         raise ValueError(f"query dim {q.shape[0]} != m*dsub {m * dsub}")
     lut = np.empty((m, k), dtype="int64")
@@ -739,9 +743,7 @@ def quantize_codebooks_milli(codebooks) -> "list":
     comparison integer-exact)."""
     import numpy as np
 
-    return np.rint(np.asarray(codebooks, dtype="float64") * 1000).astype(
-        "int64"
-    )
+    return _milli_np(codebooks)
 
 
 def train_ivf_centroids_distributed(

@@ -35,8 +35,20 @@ def logfmt(fields: dict) -> str:
         if v is None:
             continue
         s = str(v)
-        if s == "" or any(c in s for c in ' "='):
-            s = '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+        if s == "" or any(c in s for c in ' "=\n\r\t'):
+            # newlines MUST be escaped, not just quoted: a raw \n would
+            # split the record and let a crafted query forge log events
+            # on the next line (one-event-per-line is the format's
+            # contract)
+            s = (
+                '"'
+                + s.replace("\\", "\\\\")
+                .replace('"', '\\"')
+                .replace("\n", "\\n")
+                .replace("\r", "\\r")
+                .replace("\t", "\\t")
+                + '"'
+            )
         parts.append(f"{k}={s}")
     return " ".join(parts)
 

@@ -270,25 +270,25 @@ class Repl:
                 json.dumps([dict(zip(cols, r)) for r in rows])
             )
         elif self.format == "csv":
-            self._print(",".join(cols))
+            self._print(",".join(_csv_cell(c) for c in cols))
             for r in rows:
-                self._print(",".join("" if v is None else str(v) for v in r))
+                self._print(",".join(_csv_cell(v) for v in r))
         else:  # pretty
+            rendered = [
+                ["" if v is None else str(v) for v in r] for r in rows
+            ]
             widths = [
-                max(len(str(c)), *(len(str(r[i])) for r in rows))
-                if rows
+                max(len(str(c)), *(len(r[i]) for r in rendered))
+                if rendered
                 else len(str(c))
                 for i, c in enumerate(cols)
             ]
             self._print(
                 " | ".join(str(c).ljust(w) for c, w in zip(cols, widths))
             )
-            for r in rows:
+            for r in rendered:
                 self._print(
-                    " | ".join(
-                        str("" if v is None else v).ljust(w)
-                        for v, w in zip(r, widths)
-                    )
+                    " | ".join(v.ljust(w) for v, w in zip(r, widths))
                 )
 
 
@@ -296,3 +296,13 @@ def _sqlite_value(v):
     if isinstance(v, (dict, list)):
         return json.dumps(v)
     return v
+
+
+def _csv_cell(v) -> str:
+    """Minimal RFC-4180 quoting: a value containing a comma, quote, or
+    newline is wrapped (inner quotes doubled), so downstream CSV parsers
+    see the right column count."""
+    s = "" if v is None else str(v)
+    if any(c in s for c in ',"\n\r'):
+        return '"' + s.replace('"', '""') + '"'
+    return s

@@ -28,8 +28,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from influxdb_iox_spark.pipeline.dedup_index import (
+    append_to_index,
     build_exact_index,
-    ingest_batch,
+    dedup_against_index,
 )
 
 
@@ -68,17 +69,27 @@ class CorpusDedupIngest:
 
     def accept_batch(self, batch_df: DataFrame, batch_id: int) -> int:
         """One micro-batch: returns the number of accepted documents.
-        Delegates to ``ingest_batch`` (accept = dedup vs index + intra-
-        batch, append fingerprints; already localCheckpoint-materialized
-        against the read-your-own-write hazard), then appends the
-        accepted DOCUMENTS to the corpus sink."""
-        accepted = ingest_batch(
+
+        ORDER MATTERS for crash-replay idempotence: the corpus append
+        runs BEFORE the fingerprint append.  A crash between the two
+        replays the batch with the docs already in the corpus but not in
+        the index — the replay re-accepts and re-appends them (duplicate
+        corpus rows keyed by the same digest, deduped by any downstream
+        digest read, and a duplicate fingerprint row is collapsed by the
+        index's min-id fold).  The reverse order would let a replayed
+        batch find its own digests in the index and silently DROP the
+        documents that never reached the corpus."""
+        accepted = dedup_against_index(
             self.spark, self.index_dir, batch_df,
             text_col=self.text_col, id_col=self.id_col,
-        )
+        ).localCheckpoint(eager=True)  # one compute, two sinks below
         n = accepted.count()
         if n:
             accepted.write.mode("append").parquet(self.corpus_dir)
+            append_to_index(
+                self.spark, self.index_dir, accepted,
+                text_col=self.text_col, id_col=self.id_col,
+            )
         self.batches_seen += 1
         self.accepted_total += n
         return n

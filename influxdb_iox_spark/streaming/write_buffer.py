@@ -367,6 +367,9 @@ class KafkaWriteBuffer(WriteBuffer):
     def produce(  # pragma: no cover - needs broker
         self, db_name: str, lp_data: str, partition: int = 0
     ) -> int:
+        # validate BEFORE the send: rejecting after the broker accepted
+        # the message would leave a record every later poll() chokes on
+        self._collapse_seq(0, partition)
         fut = self._producer.send(
             self._topic(db_name), value=lp_data.encode(),
             partition=partition, headers=[("fmt", b"lp")],
@@ -378,6 +381,7 @@ class KafkaWriteBuffer(WriteBuffer):
     def produce_entry(  # pragma: no cover - needs broker
         self, db_name: str, entry: bytes, partition: int = 0
     ) -> int:
+        self._collapse_seq(0, partition)  # pre-send range check
         fut = self._producer.send(
             self._topic(db_name), value=bytes(entry),
             partition=partition, headers=[("fmt", b"entry")],

@@ -198,12 +198,14 @@ def test_pq_adc_recall_with_trained_codebooks(emb, query_and_exact):
     )
 
     qv, _, _ = query_and_exact
+    from influxdb_iox_spark.pipeline.similarity import _milli_np
+
     rows = emb.collect()
     ints = {
-        r.vec_id: np.rint(np.array(r.embedding, dtype="float64") * 1000)
+        r.vec_id: _milli_np(np.array(r.embedding)).astype("float64")
         for r in rows
     }
-    qi = np.rint(np.array(qv, dtype="float64") * 1000)
+    qi = _milli_np(np.array(qv)).astype("float64")
     l2 = {i: float(((v - qi) ** 2).sum()) for i, v in ints.items()}
     exact10 = set(sorted(l2, key=lambda i: (l2[i], i))[:10])
     cb_int = quantize_codebooks_milli(
@@ -232,7 +234,9 @@ def test_pq_adc_is_exact_table_lookup(emb):
     qv = list(base[0])
     codes_df = pq_encode(emb, cb_int)
     codes = {r.vec_id: list(r.pq_codes) for r in codes_df.collect()}
-    qi = np.rint(np.array(qv, dtype="float64") * 1000).astype("int64")
+    from influxdb_iox_spark.pipeline.similarity import _milli_np
+
+    qi = _milli_np(qv)
     lut = np.stack(
         [
             ((qi[j * 8 : (j + 1) * 8][None, :] - cb_int[j]) ** 2).sum(axis=1)
@@ -265,3 +269,14 @@ def test_distributed_kmeans_trains_usable_centroids(emb, query_and_exact):
     got = {r.vec_id for r in ann_ivf_topk(emb, qv, cent, k=10, nprobe=3).collect()}
     recall = len(got & set(exact[:10])) / 10
     assert recall >= 0.5
+
+
+def test_milli_canonicalization_is_half_away_from_zero():
+    """The PQ integer canonicalization must round .5 ties AWAY from zero
+    — the rule Spark's F.round and DuckDB's round() share; np.rint
+    (half-to-even) would diverge from the SQL oracle exactly on the tie
+    values the integer path exists to make safe."""
+    from influxdb_iox_spark.pipeline.similarity import _milli_np
+
+    got = _milli_np([0.0625, -0.0625, 0.0635, 0.0615, 0.0])
+    assert list(got) == [63, -63, 64, 62, 0]
