@@ -1282,6 +1282,67 @@ FROM d ORDER BY qcos_micro DESC, vec_id LIMIT 20
 """
 
 
+def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram stupid-backoff LM quality scoring (round 11; pipeline/lm.py
+    — the CCNet-style filter): train on the even-id documents, score the
+    odd-id ones by mean ln-probability (α=0.4 backoff, pinned contract in
+    the module docstring).  Probabilities are integer-count ratios so the
+    engines agree bit-for-bit up to the final ln/avg, whose ≤1-ulp libm
+    and sum-order drift the 1e-6 rounding absorbs."""
+    from influxdb_iox_spark.pipeline.lm import score_documents, train_bigram_lm
+
+    t = _load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    bi, uni, total = train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    return (
+        score_documents(docs.filter(F.col("doc_id") % 2 == 1), bi, uni, total)
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOC_LM_SCORE = r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+                x -> x <> '') AS t
+  FROM documents
+), reft AS (SELECT t FROM toks WHERE doc_id % 2 = 0 AND len(t) > 0),
+refu AS (SELECT unnest(t) AS w FROM reft),
+uni AS (SELECT w, COUNT(*) AS c1 FROM refu GROUP BY w),
+tot AS (SELECT COUNT(*) AS n FROM refu),
+refb AS (
+  SELECT unnest(list_transform(range(0, len(t) - 1),
+                i -> t[i + 1] || ' ' || t[i + 2])) AS g
+  FROM reft WHERE len(t) >= 2
+), bi AS (SELECT g, COUNT(*) AS c2 FROM refb GROUP BY g),
+st AS (
+  SELECT toks.doc_id, i.i AS pos, t[i.i + 1] AS w,
+         CASE WHEN i.i > 0 THEN t[i.i] END AS prev
+  FROM toks, LATERAL (SELECT unnest(range(len(t))) AS i) i
+  WHERE doc_id % 2 = 1
+), sc AS (
+  SELECT s.doc_id,
+    CASE
+      WHEN s.prev IS NULL THEN
+        CASE WHEN uw.c1 IS NOT NULL
+             THEN CAST(uw.c1 AS DOUBLE) / (SELECT n FROM tot)
+             ELSE 0.4 / (SELECT n FROM tot) END
+      WHEN b.c2 IS NOT NULL THEN CAST(b.c2 AS DOUBLE) / CAST(up.c1 AS DOUBLE)
+      ELSE 0.4 * (CASE WHEN uw.c1 IS NOT NULL
+                       THEN CAST(uw.c1 AS DOUBLE) / (SELECT n FROM tot)
+                       ELSE 0.4 / (SELECT n FROM tot) END)
+    END AS p
+  FROM st s
+  LEFT JOIN uni uw ON uw.w = s.w
+  LEFT JOIN uni up ON up.w = s.prev
+  LEFT JOIN bi b ON b.g = s.prev || ' ' || s.w
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+  round(SUM(ln(p)) / COUNT(*) * 1000000) / 1000000 AS lm_score
+FROM sc GROUP BY 1 ORDER BY doc_id
+"""
+
+
 def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed co-located join (round 11): lineitem and orders written
     once as one-file-per-bucket bucketBy(8, orderkey) layouts
@@ -4781,6 +4842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influxql_holt_winters_fixed": q_influxql_holt_winters_fixed,
         "ann_pq_topk": q_ann_pq_topk,
         "bucketed_join_revenue": q_bucketed_join_revenue,
+        "doc_lm_score": q_doc_lm_score,
         "doc_fingerprint": q_doc_fingerprint,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_near_dup": q_emb_near_dup,
@@ -5032,6 +5094,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": SQL_ANN_IVF,
         "ann_pq_topk": SQL_ANN_PQ_TOPK,
         "bucketed_join_revenue": SQL_BUCKETED_JOIN_REVENUE,
+        "doc_lm_score": SQL_DOC_LM_SCORE,
         "doc_shard_packing": SQL_SHARD_PACKING,
         "doc_contamination": SQL_CONTAMINATION,
         "doc_stratified_sample": _sql_stratified_sample(),
