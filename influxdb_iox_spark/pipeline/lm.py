@@ -152,3 +152,32 @@ def score_documents(
             ).alias("lm_score"),
         )
     )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    n_buckets: int = 3,
+    score_col: str = "lm_score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet's head/middle/tail split: cut the score distribution into
+    ``n_buckets`` quantile bands (bucket 1 = most reference-like; CCNet
+    keeps 'head' for training, the rest for curriculum/ablation).
+
+    Scale shape: EXACT percentile cutoffs via one distributed aggregate,
+    then a comparison projection — never a global ``ntile`` window (a
+    total order is one partition: the classic 100 TB bottleneck).
+    Thresholds are inclusive upward (score ≥ cutoff → the better
+    bucket), so ties land deterministically; bucket populations are
+    equal up to ties, which is CCNet's own threshold semantics."""
+    fracs = [1 - i / n_buckets for i in range(1, n_buckets)]
+    arr = ", ".join(repr(f) for f in fracs)
+    cuts = scored.agg(
+        F.expr(f"percentile({score_col}, array({arr}))")
+    ).first()[0]
+    bucket = F.lit(1)
+    for c in cuts:
+        bucket = bucket + F.when(
+            F.col(score_col) < F.lit(float(c)), 1
+        ).otherwise(0)
+    return scored.withColumn("bucket", bucket)

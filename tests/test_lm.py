@@ -87,3 +87,28 @@ def test_lm_persistence_roundtrip(spark, model, tmp_path):
     a = score_documents(docs, bi, uni, total).collect()[0]
     b = score_documents(docs, bi2, uni2, total2).collect()[0]
     assert a.lm_score == b.lm_score
+
+
+def test_perplexity_buckets(spark, model):
+    bi, uni, total = model
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (3, "the cat ran"), (5, "dog the cat"),
+         (7, "zxq wvu ponm"), (9, "the cat sat ran"), (11, "cat sat")],
+        SCHEMA,
+    )
+    from influxdb_iox_spark.pipeline.lm import perplexity_buckets
+
+    scored = score_documents(docs, bi, uni, total)
+    out = {r.doc_id: r.bucket for r in perplexity_buckets(scored, 3).collect()}
+    assert set(out.values()) <= {1, 2, 3}
+    # garbage lands in the worst band, the reference-like docs in the best
+    assert out[7] == 3
+    assert out[1] == 1
+    # monotone: better score never gets a worse bucket
+    by_score = {
+        r.doc_id: r.lm_score for r in scored.collect()
+    }
+    for a in out:
+        for b in out:
+            if by_score[a] > by_score[b]:
+                assert out[a] <= out[b]
