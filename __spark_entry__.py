@@ -1282,6 +1282,87 @@ FROM d ORDER BY qcos_micro DESC, vec_id LIMIT 20
 """
 
 
+def q_series_pattern_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series pattern similarity search (round 11;
+    operators/pattern.py): the 8 earliest points of the
+    lexicographically-smallest event_type form the query pattern; every
+    length-8 window of every series is ranked by Pearson correlation
+    computed from exact integer-micro sufficient statistics (bit-exact
+    across engines — integer sums are order-free and the double tail is
+    sub/mul/div/sqrt, all correctly rounded).  Top-20, one window pass,
+    no self-join."""
+    from influxdb_iox_spark.operators.pattern import pattern_topk
+
+    t = _load(spark, sf_dir, "events")
+    ev = t["events"].select(
+        "event_type",
+        F.col("ts").alias("time"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("vm"),
+    )
+    et = ev.agg(F.min("event_type")).first()[0]
+    pat = [
+        r.vm
+        for r in ev.filter(F.col("event_type") == et)
+        .orderBy("time")
+        .limit(8)
+        .collect()
+    ]
+    out = pattern_topk(ev, ["event_type"], "time", "vm", pat, k=20)
+    return out.select(
+        "event_type", F.expr("time div 1000").alias("time_us"), "corr_micro"
+    )
+
+
+def _sql_pattern_topk(w: int = 8, k: int = 20) -> str:
+    """DuckDB twin of q_series_pattern_topk: the pattern is derived IN
+    SQL by the same rule (8 earliest vm of the min event_type), windows
+    ride w-1 lead columns, all Σ are integer-exact, and the correlation
+    double tail is spelled identically."""
+    leads = ", ".join(
+        f"lead(vm, {i}) OVER win" for i in range(1, w)
+    )
+    return f"""
+WITH p AS (
+  SELECT event_type, epoch_ns(ts) AS t,
+    CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS vm
+  FROM events
+), pat AS (
+  SELECT list(vm ORDER BY t) AS q FROM (
+    SELECT vm, t FROM p
+    WHERE event_type = (SELECT min(event_type) FROM p)
+    ORDER BY t LIMIT {w})
+), qs AS (
+  SELECT q,
+    CAST(list_sum(q) AS BIGINT) AS sq,
+    CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS sqq
+  FROM pat
+), win AS (
+  SELECT event_type, t, [vm, {leads}] AS x
+  FROM p WINDOW win AS (PARTITION BY event_type ORDER BY t)
+), f AS (
+  -- qs is one row; riding it as plain columns keeps q out of the lambda
+  -- (DuckDB forbids subqueries inside lambda bodies)
+  SELECT event_type, t, x, sq, sqq,
+    CAST(list_sum(x) AS BIGINT) AS sx,
+    CAST(list_sum(list_transform(x, v -> v * v)) AS BIGINT) AS sxx,
+    CAST(list_sum(list_transform(range({w}),
+        i -> x[i + 1] * q[i + 1])) AS BIGINT) AS sxq
+  FROM win, qs
+  WHERE len(list_filter(x, v -> v IS NULL)) = 0
+), c AS (
+  SELECT event_type, t,
+    CAST({w} * sxq - sx * sq AS DOUBLE)
+      / (sqrt(CAST({w} * sxx - sx * sx AS DOUBLE))
+         * sqrt(CAST({w} * sqq - sq * sq AS DOUBLE)))
+      AS corr
+  FROM f WHERE {w} * sxx - sx * sx > 0
+)
+SELECT event_type, t // 1000 AS time_us,
+  CAST(round(corr * 1000000) AS BIGINT) AS corr_micro
+FROM c ORDER BY corr_micro DESC, event_type, time_us LIMIT {k}
+"""
+
+
 def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram stupid-backoff LM quality scoring (round 11; pipeline/lm.py
     — the CCNet-style filter): train on the even-id documents, score the
@@ -4843,6 +4924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "bucketed_join_revenue": q_bucketed_join_revenue,
         "doc_lm_score": q_doc_lm_score,
+        "series_pattern_topk": q_series_pattern_topk,
         "doc_fingerprint": q_doc_fingerprint,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_near_dup": q_emb_near_dup,
@@ -5095,6 +5177,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_topk": SQL_ANN_PQ_TOPK,
         "bucketed_join_revenue": SQL_BUCKETED_JOIN_REVENUE,
         "doc_lm_score": SQL_DOC_LM_SCORE,
+        "series_pattern_topk": _sql_pattern_topk(),
         "doc_shard_packing": SQL_SHARD_PACKING,
         "doc_contamination": SQL_CONTAMINATION,
         "doc_stratified_sample": _sql_stratified_sample(),

@@ -1,0 +1,91 @@
+"""Time-series pattern similarity search: find the top-k windows, across
+all series, most similar to a query pattern — the streaming-systems
+similarity-search shape (cf. "Time Series Similarity Search for Streaming
+Data in Distributed Systems", EDBT 2019; also the building block of
+MASS/Matrix-Profile scans).  The v0 reference has no similarity operator
+(its query menu is scan/aggregate — SURVEY §2), so this is a
+beyond-reference operator in the engine's own domain.
+
+Similarity = Pearson correlation between the query pattern and each
+length-w window, computed from the five sufficient statistics
+
+    w·Σxq − Σx·Σq
+    ─────────────────────────────────────────────
+    sqrt(w·Σx² − (Σx)²) · sqrt(w·Σq² − (Σq)²)
+
+over INTEGER micro-unit values — every Σ is an exact int64/decimal sum
+(order-free), and the handful of double ops after them (sub, mul, div,
+sqrt — all IEEE correctly-rounded) run in one fixed spelling, so the
+result is bit-identical across engines with no rounding tricks.  This is
+the same exactness recipe as the int8 ANN scoring (z-normalized
+Euclidean distance is a monotone transform of this correlation, so the
+RANKING equals the znorm-distance ranking).
+
+Plan shape: w−1 ``lead`` columns build each window in ONE pass over one
+series-keyed window spec (single exchange, codegen), the dot products
+are array folds over exact ints, and top-k is TakeOrderedAndProject —
+bounded heaps, no global sort.  Cost is O(points · w) compute with NO
+self-join; at 100 TB the scan parallelizes over series × time like every
+other window operator in the engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def pattern_topk(
+    df: DataFrame,
+    keys: list[str],
+    time_col: str,
+    value_micro_col: str,
+    pattern_micro: list[int],
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` windows by correlation with ``pattern_micro`` (exact
+    integer micro-units, length w ≥ 2).  Output: ``keys…, time`` (window
+    start), ``corr_micro`` (round(corr·1e6), BIGINT) ordered by
+    (corr_micro DESC, keys, time); zero-variance windows are skipped
+    (correlation undefined)."""
+    w = len(pattern_micro)
+    if w < 2:
+        raise ValueError("pattern needs at least 2 points")
+    q = [int(v) for v in pattern_micro]
+    sq = sum(q)
+    sqq = sum(v * v for v in q)
+    win = Window.partitionBy(*keys).orderBy(time_col)
+    vals = F.array(
+        F.col(value_micro_col).cast("long"),
+        *[
+            F.lead(F.col(value_micro_col), i).over(win).cast("long")
+            for i in range(1, w)
+        ],
+    )
+    qarr = F.array(*[F.lit(v).cast("long") for v in q])
+    stats = df.select(
+        *[F.col(c) for c in keys],
+        F.col(time_col).alias("time"),
+        vals.alias("__x"),
+    ).filter(~F.array_contains(F.transform("__x", F.isnull), True))
+    zero = F.lit(0).cast("long")
+    sx = F.aggregate("__x", zero, lambda a, x: a + x)
+    sxx = F.aggregate("__x", zero, lambda a, x: a + x * x)
+    sxq = F.aggregate(
+        F.zip_with("__x", qarr, lambda x, v: x * v), zero, lambda a, x: a + x
+    )
+    num = (F.lit(w) * sxq - sx * F.lit(sq)).cast("double")
+    varx = (F.lit(w) * sxx - sx * sx).cast("double")
+    varq = float(w * sqq - sq * sq)
+    corr = num / (F.sqrt(varx) * F.sqrt(F.lit(varq)))
+    out = (
+        stats.withColumn("__vx", varx)
+        .filter(F.col("__vx") > 0)
+        .select(
+            *[F.col(c) for c in keys],
+            "time",
+            F.round(corr * 1_000_000).cast("long").alias("corr_micro"),
+        )
+    )
+    order = [F.col("corr_micro").desc(), *[F.col(c) for c in keys], F.col("time")]
+    return out.orderBy(*order).limit(k)
