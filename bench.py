@@ -55,6 +55,9 @@ HEADLINE = [
     # round-11 addition: the PQ embedding path (write-path integer encode
     # + JVM-side asymmetric-distance top-k over 32x-compressed codes)
     "ann_pq_topk",
+    # round-11 addition: series pattern similarity search (one window
+    # pass over every series, exact-integer correlation, TakeOrdered)
+    "series_pattern_topk",
 ]
 
 
