@@ -99,18 +99,14 @@ def parse_repl_command(text: str):
 
 
 HELP_TEXT = """
-Available commands (not case sensitive):
-HELP (this one)
-
-SHOW DATABASES: List databases available on the server
-
-USE [DATABASE] <name>: Set the current remote database to name
-
-SET FORMAT <format>: Set the output format to Pretty, csv or json
-
-OBSERVER: Locally query unified queryable views of remote system tables
-
-[EXIT | QUIT]: Quit this session and exit the program
+Commands (case-insensitive; everything else runs as SQL):
+  HELP                    -- this text
+  SHOW DATABASES          -- databases hosted by the server
+  USE [DATABASE] <name>   -- pick the database later SQL runs against
+  SET FORMAT <f>          -- result rendering: pretty, csv, or json
+  OBSERVER                -- pull every database's system tables into a
+                             local engine and query them as one view
+  EXIT / QUIT             -- leave the session
 """
 
 _FORMATS = ("pretty", "csv", "json")
