@@ -1282,6 +1282,37 @@ FROM d ORDER BY qcos_micro DESC, vec_id LIMIT 20
 """
 
 
+def q_part_name_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity self-join (round 11; pipeline/strings.py
+    — q-gram count filter + length filter + levenshtein verify, never
+    all-pairs): distinct part names within edit distance 2.  Both
+    engines' levenshtein is the unit-cost textbook distance, so the
+    oracle (an honest brute-force cross join, tractable over the 64
+    distinct names) is integer-exact."""
+    from influxdb_iox_spark.pipeline.strings import edit_distance_join
+
+    t = _load(spark, sf_dir, "part")
+    names = t["part"].select(F.col("p_name").alias("name")).distinct()
+    out = edit_distance_join(names, "name", "name", max_dist=2)
+    return out.select(
+        F.col("id_a").alias("name_a"),
+        F.col("id_b").alias("name_b"),
+        "dist",
+    ).orderBy("name_a", "name_b")
+
+
+SQL_PART_NAME_EDIT_JOIN = """
+WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+SELECT a.name AS name_a, b.name AS name_b,
+  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+FROM n a, n b
+WHERE a.name < b.name
+  AND abs(length(a.name) - length(b.name)) <= 2
+  AND levenshtein(a.name, b.name) <= 2
+ORDER BY name_a, name_b
+"""
+
+
 def q_series_pattern_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series pattern similarity search (round 11;
     operators/pattern.py): the 8 earliest points of the
@@ -4925,6 +4956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join_revenue": q_bucketed_join_revenue,
         "doc_lm_score": q_doc_lm_score,
         "series_pattern_topk": q_series_pattern_topk,
+        "part_name_edit_join": q_part_name_edit_join,
         "doc_fingerprint": q_doc_fingerprint,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_near_dup": q_emb_near_dup,
@@ -5178,6 +5210,7 @@ def oracle_sql() -> dict[str, str]:
         "bucketed_join_revenue": SQL_BUCKETED_JOIN_REVENUE,
         "doc_lm_score": SQL_DOC_LM_SCORE,
         "series_pattern_topk": _sql_pattern_topk(),
+        "part_name_edit_join": SQL_PART_NAME_EDIT_JOIN,
         "doc_shard_packing": SQL_SHARD_PACKING,
         "doc_contamination": SQL_CONTAMINATION,
         "doc_stratified_sample": _sql_stratified_sample(),
