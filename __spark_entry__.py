@@ -1331,13 +1331,20 @@ def q_series_pattern_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 1_000_000).cast("long").alias("vm"),
     )
     et = ev.agg(F.min("event_type")).first()[0]
+    # pattern = the 8 smallest DISTINCT values of the smallest series: a
+    # rising ramp, totally ordered (no timestamp-tie ambiguity) and
+    # never constant — the earliest-8-points rule broke at sf1 where
+    # perturbed copies duplicate the first timestamps (zero variance)
     pat = [
         r.vm
         for r in ev.filter(F.col("event_type") == et)
-        .orderBy("time")
+        .select("vm")
+        .distinct()
+        .orderBy("vm")
         .limit(8)
         .collect()
     ]
+    assert len(pat) == 8, f"series too degenerate for the pattern: {pat}"
     out = pattern_topk(ev, ["event_type"], "time", "vm", pat, k=20)
     return out.select(
         "event_type", F.expr("time div 1000").alias("time_us"), "corr_micro"
@@ -1358,14 +1365,13 @@ WITH p AS (
     CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS vm
   FROM events
 ), pat AS (
-  SELECT list(vm ORDER BY t) AS q FROM (
-    SELECT vm, t FROM p
+  SELECT list(vm ORDER BY vm) AS q FROM (
+    SELECT DISTINCT vm FROM p
     WHERE event_type = (SELECT min(event_type) FROM p)
-    ORDER BY t LIMIT {w})
+    ORDER BY vm LIMIT {w})
 ), qs AS (
-  SELECT q,
-    CAST(list_sum(q) AS BIGINT) AS sq,
-    CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS sqq
+  SELECT q, list_sum(q) AS sq,
+    list_sum(list_transform(q, v -> v * v)) AS sqq
   FROM pat
 ), win AS (
   SELECT event_type, t, [vm, {leads}] AS x
@@ -1373,11 +1379,12 @@ WITH p AS (
 ), f AS (
   -- qs is one row; riding it as plain columns keeps q out of the lambda
   -- (DuckDB forbids subqueries inside lambda bodies)
+  -- sums stay HUGEINT: the combinations below reach ~2e19 > int64
   SELECT event_type, t, x, sq, sqq,
-    CAST(list_sum(x) AS BIGINT) AS sx,
-    CAST(list_sum(list_transform(x, v -> v * v)) AS BIGINT) AS sxx,
-    CAST(list_sum(list_transform(range({w}),
-        i -> x[i + 1] * q[i + 1])) AS BIGINT) AS sxq
+    list_sum(x) AS sx,
+    list_sum(list_transform(x, v -> v * v)) AS sxx,
+    list_sum(list_transform(range({w}),
+        i -> x[i + 1] * q[i + 1])) AS sxq
   FROM win, qs
   WHERE len(list_filter(x, v -> v IS NULL)) = 0
 ), c AS (

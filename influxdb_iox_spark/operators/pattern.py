@@ -74,18 +74,36 @@ def pattern_topk(
     sxq = F.aggregate(
         F.zip_with("__x", qarr, lambda x, v: x * v), zero, lambda a, x: a + x
     )
-    num = (F.lit(w) * sxq - sx * F.lit(sq)).cast("double")
-    varx = (F.lit(w) * sxx - sx * sx).cast("double")
+    # the COMBINATION of the stats overflows int64 for realistic
+    # micro-unit magnitudes (vm ≤ 5.6e8 on the testdata → w·Σx² up to
+    # ~2e19 > 2^63; found by the sf1 probe under ANSI overflow checks):
+    # the folds stay long (per-element products and Σ over w fit), the
+    # combination runs in decimal(38,0) — exact, the stats-family
+    # recipe — and only the final value casts to double (both engines
+    # round the same exact integer to the same double)
+    dec = "decimal(38,0)"
+    sx_d, sxx_d, sxq_d = sx.cast(dec), sxx.cast(dec), sxq.cast(dec)
+    w_d = F.lit(w).cast(dec)
+    num = (w_d * sxq_d - sx_d * F.lit(sq).cast(dec)).cast("double")
+    varx = (w_d * sxx_d - sx_d * sx_d).cast("double")
     varq = float(w * sqq - sq * sq)
-    corr = num / (F.sqrt(varx) * F.sqrt(F.lit(varq)))
+    if varq <= 0:
+        raise ValueError("pattern has zero variance (constant values)")
+    # try_divide, not when(cond, a/b): ANSI mode errors on double
+    # division by zero, and subexpression elimination can hoist the
+    # division OUT of a when() branch so the guard doesn't guard
+    # (found by the sf1 probe — a constant window threw under ANSI
+    # even inside when).  try_divide yields NULL for zero-variance
+    # windows, which the isNotNull filter below drops; the value is
+    # bit-identical to plain division everywhere else.
+    corr = F.try_divide(num, F.sqrt(varx) * F.sqrt(F.lit(varq)))
     out = (
-        stats.withColumn("__vx", varx)
-        .filter(F.col("__vx") > 0)
-        .select(
+        stats.select(
             *[F.col(c) for c in keys],
             "time",
             F.round(corr * 1_000_000).cast("long").alias("corr_micro"),
         )
+        .filter(F.col("corr_micro").isNotNull())
     )
     order = [F.col("corr_micro").desc(), *[F.col(c) for c in keys], F.col("time")]
     return out.orderBy(*order).limit(k)
