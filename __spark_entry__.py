@@ -1344,7 +1344,8 @@ def q_series_pattern_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(8)
         .collect()
     ]
-    assert len(pat) == 8, f"series too degenerate for the pattern: {pat}"
+    if len(pat) != 8:  # a raise, not assert: -O must not silence this
+        raise ValueError(f"series too degenerate for the pattern: {pat}")
     out = pattern_topk(ev, ["event_type"], "time", "vm", pat, k=20)
     return out.select(
         "event_type", F.expr("time div 1000").alias("time_us"), "corr_micro"
