@@ -1337,7 +1337,9 @@ def q_series_pattern_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # perturbed copies duplicate the first timestamps (zero variance)
     pat = [
         r.vm
-        for r in ev.filter(F.col("event_type") == et)
+        for r in ev.filter(
+            (F.col("event_type") == et) & F.col("vm").isNotNull()
+        )
         .select("vm")
         .distinct()
         .orderBy("vm")
@@ -1369,6 +1371,7 @@ WITH p AS (
   SELECT list(vm ORDER BY vm) AS q FROM (
     SELECT DISTINCT vm FROM p
     WHERE event_type = (SELECT min(event_type) FROM p)
+      AND vm IS NOT NULL
     ORDER BY vm LIMIT {w})
 ), qs AS (
   SELECT q, list_sum(q) AS sq,
@@ -1376,7 +1379,7 @@ WITH p AS (
   FROM pat
 ), win AS (
   SELECT event_type, t, [vm, {leads}] AS x
-  FROM p WINDOW win AS (PARTITION BY event_type ORDER BY t)
+  FROM p WINDOW win AS (PARTITION BY event_type ORDER BY t, vm)
 ), f AS (
   -- qs is one row; riding it as plain columns keeps q out of the lambda
   -- (DuckDB forbids subqueries inside lambda bodies)

@@ -54,7 +54,10 @@ def pattern_topk(
     q = [int(v) for v in pattern_micro]
     sq = sum(q)
     sqq = sum(v * v for v in q)
-    win = Window.partitionBy(*keys).orderBy(time_col)
+    # order by (time, value): duplicate timestamps within a series would
+    # otherwise make the window contents tie-order-nondeterministic —
+    # divergent from the oracle AND run-to-run within Spark
+    win = Window.partitionBy(*keys).orderBy(time_col, value_micro_col)
     vals = F.array(
         F.col(value_micro_col).cast("long"),
         *[

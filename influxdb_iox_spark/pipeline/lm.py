@@ -107,7 +107,10 @@ def score_documents(
     """(id, n_tokens, lm_score) per non-empty document; lm_score = mean
     ln-probability under the pinned stupid-backoff contract, rounded to
     1e-6 (see module docstring for why the rounding is part of the
-    contract).  Higher = more reference-like."""
+    contract).  Higher = more reference-like.  An empty reference model
+    (zero tokens) is an error — every probability would be ∞/NaN."""
+    if total_tokens <= 0:
+        raise ValueError("reference corpus has no tokens")
     n = float(total_tokens)
     st = (
         docs.select(F.col(id_col), word_tokens(F.col(text_col)).alias("t"))
@@ -158,7 +161,6 @@ def perplexity_buckets(
     scored: DataFrame,
     n_buckets: int = 3,
     score_col: str = "lm_score",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """CCNet's head/middle/tail split: cut the score distribution into
     ``n_buckets`` quantile bands (bucket 1 = most reference-like; CCNet
@@ -175,6 +177,8 @@ def perplexity_buckets(
     cuts = scored.agg(
         F.expr(f"percentile({score_col}, array({arr}))")
     ).first()[0]
+    if cuts is None:  # empty input: no cutoffs, everything is bucket 1
+        return scored.withColumn("bucket", F.lit(1))
     bucket = F.lit(1)
     for c in cuts:
         bucket = bucket + F.when(
