@@ -1466,6 +1466,52 @@ FROM sc GROUP BY 1 ORDER BY doc_id
 """
 
 
+def q_doc_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full CCNet filter pipeline under the gate (round 11): LM-score
+    the odd documents (same model as doc_lm_score), then head/middle/tail
+    split via exact percentile cutoffs (pipeline/lm.perplexity_buckets —
+    never a global ntile window).  Cutoff determinism: Spark percentile
+    and DuckDB quantile_cont share the interpolated-order-statistic
+    definition over the ALREADY-1e-6-ROUNDED scores; when the rank lands
+    exactly on a data point both engines return that exact double, and
+    when it interpolates the cutoff sits off the 1e-6 grid, so the
+    strict-< bucket comparisons cannot straddle an ulp."""
+    from influxdb_iox_spark.pipeline.lm import (
+        perplexity_buckets,
+        score_documents,
+        train_bigram_lm,
+    )
+
+    t = _load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    bi, uni, total = train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    scored = score_documents(
+        docs.filter(F.col("doc_id") % 2 == 1), bi, uni, total
+    )
+    return perplexity_buckets(scored, 3).select(
+        "doc_id", "lm_score", F.col("bucket").cast("long").alias("bucket")
+    ).orderBy("doc_id")
+
+
+def _sql_lm_buckets() -> str:
+    """DuckDB twin: the doc_lm_score body + quantile_cont cutoffs with
+    the SAME float literals Spark's percentile receives (repr-exact)."""
+    fracs = [1 - i / 3 for i in range(1, 3)]
+    arr = ", ".join(repr(f) for f in fracs)
+    body = SQL_DOC_LM_SCORE.strip().rstrip()
+    assert body.endswith("ORDER BY doc_id")
+    body = body[: -len("ORDER BY doc_id")]
+    return f"""
+WITH scored AS ({body}),
+cuts AS (SELECT quantile_cont(lm_score, [{arr}]) AS c FROM scored)
+SELECT doc_id, lm_score,
+  CAST(1 + (CASE WHEN lm_score < c[1] THEN 1 ELSE 0 END)
+         + (CASE WHEN lm_score < c[2] THEN 1 ELSE 0 END) AS BIGINT)
+    AS bucket
+FROM scored, cuts ORDER BY doc_id
+"""
+
+
 def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed co-located join (round 11): lineitem and orders written
     once as one-file-per-bucket bucketBy(8, orderkey) layouts
@@ -4966,6 +5012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "bucketed_join_revenue": q_bucketed_join_revenue,
         "doc_lm_score": q_doc_lm_score,
+        "doc_lm_buckets": q_doc_lm_buckets,
         "series_pattern_topk": q_series_pattern_topk,
         "part_name_edit_join": q_part_name_edit_join,
         "doc_fingerprint": q_doc_fingerprint,
@@ -5220,6 +5267,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_topk": SQL_ANN_PQ_TOPK,
         "bucketed_join_revenue": SQL_BUCKETED_JOIN_REVENUE,
         "doc_lm_score": SQL_DOC_LM_SCORE,
+        "doc_lm_buckets": _sql_lm_buckets(),
         "series_pattern_topk": _sql_pattern_topk(),
         "part_name_edit_join": SQL_PART_NAME_EDIT_JOIN,
         "doc_shard_packing": SQL_SHARD_PACKING,
