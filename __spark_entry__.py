@@ -1466,6 +1466,36 @@ FROM sc GROUP BY 1 ORDER BY doc_id
 """
 
 
+def q_doc_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle (round 11;
+    pipeline/corpus.shuffle_into_shards): every document's (shard, pos)
+    is a pure function of (seed, doc_id) via an md5 key — identical
+    across runs, layouts, and engines, so the gate can check the FULL
+    permutation value-for-value (not just counts)."""
+    from influxdb_iox_spark.pipeline.corpus import shuffle_into_shards
+
+    t = _load(spark, sf_dir, "documents")
+    return shuffle_into_shards(
+        t["documents"], "doc_id", n_shards=8, seed=42
+    ).orderBy("shard", "pos")
+
+
+SQL_DOC_SHUFFLE_ORDER = """
+WITH k AS (
+  SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS key
+  FROM documents
+), s AS (
+  SELECT doc_id, key,
+    CAST(('0x' || substr(key, 1, 8))::BIGINT % 8 AS INT) AS shard
+  FROM k
+)
+SELECT doc_id, shard,
+  CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
+       AS BIGINT) AS pos
+FROM s ORDER BY shard, pos
+"""
+
+
 def q_doc_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full CCNet filter pipeline under the gate (round 11): LM-score
     the odd documents (same model as doc_lm_score), then head/middle/tail
@@ -5013,6 +5043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join_revenue": q_bucketed_join_revenue,
         "doc_lm_score": q_doc_lm_score,
         "doc_lm_buckets": q_doc_lm_buckets,
+        "doc_shuffle_order": q_doc_shuffle_order,
         "series_pattern_topk": q_series_pattern_topk,
         "part_name_edit_join": q_part_name_edit_join,
         "doc_fingerprint": q_doc_fingerprint,
@@ -5268,6 +5299,7 @@ def oracle_sql() -> dict[str, str]:
         "bucketed_join_revenue": SQL_BUCKETED_JOIN_REVENUE,
         "doc_lm_score": SQL_DOC_LM_SCORE,
         "doc_lm_buckets": _sql_lm_buckets(),
+        "doc_shuffle_order": SQL_DOC_SHUFFLE_ORDER,
         "series_pattern_topk": _sql_pattern_topk(),
         "part_name_edit_join": SQL_PART_NAME_EDIT_JOIN,
         "doc_shard_packing": SQL_SHARD_PACKING,

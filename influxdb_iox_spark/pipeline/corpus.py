@@ -325,3 +325,44 @@ def mixture_sample(
         if avail.get(s)
     }
     return deterministic_sample(df, rates, strata_col, id_col), rates
+
+
+def shuffle_into_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic global shuffle for training order: every document
+    gets a (shard, pos) address that is a pure function of (seed, id) —
+    the same permutation on every run, every cluster layout, every
+    engine.  Reading shards 0..n−1 in pos order replays the shuffled
+    corpus; a training job resumes from a (shard, pos) cursor with no
+    driver state (the data-order reproducibility requirement of any
+    training pipeline: re-runs and elastic restarts must see the same
+    sample order).
+
+    Mechanics: key = md5(seed ‖ ':' ‖ id) — a seeded, uniform,
+    engine-portable hash; shard = int(first 8 hex chars) mod n_shards;
+    pos = row_number within the shard ordered by (key, id).  The window
+    partitions BY SHARD, so position assignment parallelizes across
+    shards (never a global single-partition window); ties are impossible
+    (the id is in the key and the tiebreak).  Output: id, shard, pos.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    key = F.md5(
+        F.concat(F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    h32 = F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+    base = df.select(
+        F.col(id_col),
+        key.alias("__key"),
+        F.pmod(h32, F.lit(n_shards)).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("__key", id_col)
+    return base.select(
+        F.col(id_col),
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )

@@ -351,3 +351,39 @@ def test_corpus_prep_segment_stage(spark):
     assert got[2].text == "other real words"
     assert got[2].src == "s2"  # non-text columns preserved
     assert 3 not in got
+
+
+def test_shuffle_into_shards_is_deterministic_permutation(spark):
+    from influxdb_iox_spark.pipeline.corpus import shuffle_into_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(400)], "doc_id long, text string"
+    )
+    a = shuffle_into_shards(docs, "doc_id", n_shards=8, seed=1).collect()
+    b = shuffle_into_shards(docs, "doc_id", n_shards=8, seed=1).collect()
+    # pure function of (seed, id): identical across runs
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # a PERMUTATION: every id exactly once, positions contiguous 1..n
+    assert sorted(r.doc_id for r in a) == list(range(400))
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(8))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # roughly balanced shards (md5 uniformity; 400/8 = 50 expected)
+    sizes = [len(v) for v in by_shard.values()]
+    assert min(sizes) > 20 and max(sizes) < 90
+    # a different seed is a different permutation
+    c = shuffle_into_shards(docs, "doc_id", n_shards=8, seed=2).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_shuffle_into_shards_validation(spark):
+    import pytest
+
+    from influxdb_iox_spark.pipeline.corpus import shuffle_into_shards
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        shuffle_into_shards(docs, "doc_id", n_shards=0)
