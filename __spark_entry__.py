@@ -1560,14 +1560,21 @@ def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from influxdb_iox_spark.sources.bucketed import (
         assert_colocated_join,
+        ensure_bucket_ordering_conf,
         write_bucketed,
     )
 
+    # SPARK-28595 is a runtime SQL conf; set it HERE so the query is
+    # green in any session, not only ones built by session.get_spark
+    # (the round-11 gate red row: the driver's own session lacked it
+    # and assert_colocated_join saw the re-introduced Sorts)
+    ensure_bucket_ordering_conf(spark)
     t = _load(spark, sf_dir, "lineitem", "orders")
-    # FIXED location + catalog names per sf_dir (mode=overwrite), so
-    # repeated driver/bench invocations rewrite in place instead of
-    # leaking a fresh multi-MB layout + two uuid catalog tables per run
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # FIXED location + catalog names per (sf_dir, pid): repeated
+    # invocations within one process rewrite in place (mode=overwrite,
+    # no per-run layout leak), while concurrent driver/bench PROCESSES
+    # on the same sf_dir never clobber each other's layout mid-read
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8] + f"_{os.getpid()}"
     root = os.path.join(tempfile.gettempdir(), f"bk_gate_{tag}")
     write_bucketed(
         t["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount"),

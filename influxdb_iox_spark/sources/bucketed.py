@@ -46,6 +46,25 @@ SPEC_FILE = "_bucket_spec.json"
 _BUCKET_ID_RE = re.compile(r"_(\d{5})(?:\.c\d+)?\.[^/]*parquet$")
 
 
+def ensure_bucket_ordering_conf(spark: SparkSession) -> None:
+    """Make the one-file-per-bucket Sort-elision contract hold in THIS
+    session.  Single-file buckets only report their sort order under
+    SPARK-28595's ``spark.sql.legacy.bucketedTableScan.outputOrdering``
+    — a RUNTIME SQL conf, so setting it here (rather than only in
+    session.get_spark's builder) makes the layout self-contained in any
+    session: driver harness, bare spark-submit, a fresh notebook.
+    Without it the reader re-Sorts both sides of every co-located join
+    (the round-11 gate red row)."""
+    spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+    )
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
 def write_bucketed(
     df: DataFrame,
     name: str,
@@ -65,6 +84,8 @@ def write_bucketed(
     task holds exactly one bucket's rows and writes exactly one file.
     The resulting layout is verified after the write (a violated
     invariant would silently re-introduce the per-query Sort)."""
+    spark = df.sparkSession
+    ensure_bucket_ordering_conf(spark)
     sort_columns = list(sort_columns or bucket_columns)
     if one_file_per_bucket:
         from pyspark.sql import functions as F
@@ -79,7 +100,12 @@ def write_bucketed(
         .saveAsTable(name)
     )
     if one_file_per_bucket:
-        counts = bucket_file_counts(path)
+        counts = bucket_file_counts(path, spark)
+        if not counts:
+            raise RuntimeError(
+                f"bucketed write to {path!r} left no listable data files "
+                "— cannot verify the one-file-per-bucket invariant"
+            )
         multi = {b: c for b, c in counts.items() if c > 1}
         if multi:
             raise RuntimeError(
@@ -95,24 +121,76 @@ def write_bucketed(
         "sort_columns": sort_columns,
         "one_file_per_bucket": one_file_per_bucket,
     }
-    with open(os.path.join(path, SPEC_FILE), "w") as f:
-        json.dump(spec, f)
+    _write_text(os.path.join(path, SPEC_FILE), json.dumps(spec), spark)
 
 
-def bucket_file_counts(path: str) -> dict[int, int]:
-    """bucket id -> number of data files (layout invariant check)."""
+def bucket_file_counts(
+    path: str, spark: SparkSession | None = None
+) -> dict[int, int]:
+    """bucket id -> number of data files (layout invariant check).
+
+    Local directories list via glob; any other scheme (s3a://, hdfs://)
+    lists via the Hadoop FS API — quietly returning {} for a path we
+    cannot glob would let the one-file-per-bucket check pass vacuously
+    and silently reintroduce the per-query Sort on every join."""
+    if os.path.isdir(path):
+        names = [
+            os.path.basename(p)
+            for p in glob.glob(os.path.join(path, "part-*"))
+        ]
+    else:
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                f"cannot verify bucket layout of non-local path {path!r}: "
+                "no active SparkSession for a Hadoop FS listing"
+            )
+        fs, jpath = _hadoop_fs(spark, path)
+        names = [
+            st.getPath().getName()
+            for st in fs.listStatus(jpath)
+            if st.getPath().getName().startswith("part-")
+        ]
     counts: dict[int, int] = {}
-    for p in glob.glob(os.path.join(path, "part-*")):
-        m = _BUCKET_ID_RE.search(os.path.basename(p))
+    for nm in names:
+        m = _BUCKET_ID_RE.search(nm)
         if m:
             b = int(m.group(1))
             counts[b] = counts.get(b, 0) + 1
     return counts
 
 
-def read_spec(path: str) -> dict:
-    with open(os.path.join(path, SPEC_FILE)) as f:
-        return json.load(f)
+def _write_text(path: str, data: str, spark: SparkSession) -> None:
+    """Sidecar write that works on any Hadoop-visible filesystem (the
+    spec is what makes the layout durable beyond one session — it must
+    not silently require POSIX)."""
+    if os.path.isdir(os.path.dirname(path)):
+        with open(path, "w") as f:
+            f.write(data)
+        return
+    fs, jpath = _hadoop_fs(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(data.encode()))
+    finally:
+        out.close()
+
+
+def read_spec(path: str, spark: SparkSession | None = None) -> dict:
+    full = os.path.join(path, SPEC_FILE)
+    if os.path.isfile(full):
+        with open(full) as f:
+            return json.load(f)
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise FileNotFoundError(full)
+    fs, jpath = _hadoop_fs(spark, full)
+    stream = fs.open(jpath)
+    try:
+        data = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    return json.loads(data.decode())
 
 
 def register_bucketed(
@@ -124,7 +202,8 @@ def register_bucketed(
     sidecar (``CREATE TABLE … CLUSTERED BY … INTO n BUCKETS LOCATION``),
     which is what preserves the bucket metadata a bare
     ``spark.read.parquet(path)`` would lose."""
-    spec = read_spec(path)
+    ensure_bucket_ordering_conf(spark)
+    spec = read_spec(path, spark)
     name = name or spec["name"]
     if not spark.catalog.tableExists(name):
         cluster = ", ".join(f"`{c}`" for c in spec["bucket_columns"])
@@ -142,6 +221,7 @@ def read_bucketed(spark: SparkSession, name: str) -> DataFrame:
     """Read a bucketed table already registered in this session's catalog
     (bucket metadata only survives via the catalog table, not a bare
     parquet path read)."""
+    ensure_bucket_ordering_conf(spark)
     return spark.table(name)
 
 

@@ -33,10 +33,14 @@ Protocol mapping (one concept per POSIX primitive replaced):
   crashed compactor leaves at most an already-folded base plus record
   objects that the next round re-folds (records are idempotent by
   chunk id).
-- *Readers* fetch the base, list the record objects, and fetch each; a
-  record deleted mid-read means a compactor folded it into a NEWER
+- *Readers* fetch the base, list the record objects, fetch each, then
+  re-check the base's etag: a record deleted mid-read OR a base that
+  changed under the read means a compactor folded records into a NEWER
   base, so the read retries from the base.  (The optimistic-retry twin
-  of the POSIX backend's inode-version check.)
+  of the POSIX backend's inode-version check — without the final etag
+  re-check, a compactor that CAS-writes the base and deletes the folded
+  records between the reader's base GET and its LIST makes the reader
+  silently return old-base + surviving-records.)
 
 The in-memory store models object-store semantics exactly (per-object
 etags, atomic conditional ops) the way ``memory.rs`` backs the
@@ -291,12 +295,26 @@ class ObjectStoreManifestBackend:
 
     def load_part(self, table: str, fname: str) -> tuple[list[dict], set[int]]:
         """Consistent read of one partition's chain: base + every record
-        object.  A record deleted between LIST and GET was folded into a
-        newer base → retry from the base (bounded, with backoff)."""
+        object.  Two compaction races are detected, both retried from the
+        base (bounded, with backoff):
+
+        - a record deleted between our LIST and its GET (the GET returns
+          None) was folded into a newer base;
+        - a compactor that CAS-wrote the new base AND deleted the folded
+          records **between our base GET and our LIST** leaves every
+          remaining GET succeeding while the folded records simply never
+          appear — old base + surviving records silently misses them.
+          Caught by re-GETting the base after the record scan: an
+          unchanged etag proves base+records was one consistent snapshot
+          (the etag twin of the POSIX backend's inode-version check).
+          Appends never touch the base, so steady-state appending never
+          forces a retry.
+        """
         base_key = self._base_key(table, fname)
         rec_prefix = self._rec_prefix(table, fname)
         for attempt in range(self.READ_RETRIES):
             got = self.store.get(base_key)
+            base_etag = got[1] if got else None
             adds, drops = self._parse_base(got[0] if got else None)
             ok = True
             for k in self.store.list(rec_prefix):
@@ -307,7 +325,7 @@ class ObjectStoreManifestBackend:
                 a, d = self._parse_record(k, obj[0])
                 adds.extend(a)
                 drops |= d
-            if ok:
+            if ok and self.store.head(base_key) == base_etag:
                 return adds, drops
             _time.sleep(0.001 * attempt)
         raise RuntimeError(

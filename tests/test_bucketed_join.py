@@ -105,6 +105,27 @@ def test_multi_file_buckets_reintroduce_sort(spark, tmp_path, no_broadcast):
         spark.sql("DROP TABLE IF EXISTS m_orders")
 
 
+def test_gate_query_green_in_bare_session(spark):
+    """Round-11 regression: the driver harness builds its OWN
+    SparkSession (no session.get_spark builder), where the SPARK-28595
+    ordering flag defaulted false and the gate query red-rowed on
+    re-introduced Sorts.  Pin portability: in a session where the flag
+    is explicitly FALSE, the query itself must flip it (the layout
+    contract is self-contained) and pass its own colocation assertion."""
+    import __spark_entry__ as E
+
+    s2 = spark.newSession()
+    s2.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+    )
+    df = E.queries()["bucketed_join_revenue"](s2, "/root/testdata/sf0.01")
+    assert len(df.collect()) > 0
+    assert (
+        s2.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering")
+        == "true"
+    )
+
+
 CPU = IoxSchema.build(["host"], {"user": InfluxColumnType.FIELD_FLOAT})
 
 

@@ -352,6 +352,46 @@ def test_readers_race_compaction_without_losing_records(tmp_path, no_posix_manif
     assert final == sorted(written)
 
 
+def test_reader_base_swap_between_get_and_list_is_detected(
+    tmp_path, no_posix_manifest
+):
+    """Deterministic forcing of the narrowest lost-record window: a
+    compactor CAS-writes the new base and deletes the folded record
+    objects BETWEEN the reader's base GET and its LIST.  Every record
+    GET the reader still issues succeeds (the deleted ones simply never
+    appear in the LIST), so the GET-returns-None retry never fires —
+    only the post-scan base-etag re-check catches the swap.  Without it
+    the reader silently returns old-base + surviving-records (here: an
+    empty manifest, losing all three chunks)."""
+    obj = _new_obj()
+    store, _ = _make_store(tmp_path, obj)
+    metas = [_meta(store, "t", "p", "x") for _ in range(3)]
+    for m in metas:
+        store._append_manifest("t", m)
+
+    class BaseSwapStore(ThrottledObjectStore):
+        """Delegate that runs ONE full compaction (via the raw store)
+        the first time the record prefix is LISTed — i.e. exactly after
+        the reader's base GET and before its LIST."""
+
+        def __init__(self, inner):
+            super().__init__(inner, 0.0)
+            self.fired = False
+
+        def list(self, prefix):
+            if not self.fired and "/r-" in prefix:
+                self.fired = True
+                compact_side, _ = _make_store(tmp_path, obj)
+                assert compact_side.compact_manifest("t") == 1
+            return self.inner.list(prefix)
+
+    hooked = BaseSwapStore(obj)
+    reader, _ = _make_store(tmp_path, hooked)
+    ids = sorted(c.chunk_id for c in reader.manifest("t"))
+    assert hooked.fired, "interleaving hook never triggered"
+    assert ids == sorted(m.chunk_id for m in metas)
+
+
 def test_racing_compactors_exactly_one_wins_per_round(tmp_path, no_posix_manifest):
     """The conditional PUT is the serialization: N compactors folding the
     same partition concurrently never lose a record — a loser's CAS fails
