@@ -5012,18 +5012,66 @@ def _round_number() -> int:
     return _ROUND_NUMBER
 
 
+#: Pinned once per process, like _ROUND_NUMBER: the driver writes this
+#: round's CORRECTNESS file mid-round, and the query ordering must not
+#: shift between two checker invocations within one round.
+_LAST_GREEN_CACHE: dict[str, int] | None = None
+
+
+def _last_green_rounds() -> dict[str, int]:
+    """query name -> newest round with a GREEN driver row (absent =
+    never green), read from the committed CORRECTNESS_r*.json files.
+    Green = no error, row counts and schema matched, and the value hash
+    didn't mismatch (hash_match is None for the weaker rows-only checks
+    of non-SQL-expressible queries — those still count as driven)."""
+    global _LAST_GREEN_CACHE
+    if _LAST_GREEN_CACHE is None:
+        import glob as _glob
+        import json as _json
+        import re as _re
+
+        out: dict[str, int] = {}
+        for p in _glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json")):
+            m = _re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+            if m is None:
+                continue
+            rnd = int(m.group(1))
+            try:
+                with open(p) as f:
+                    rows = _json.load(f)
+            except (OSError, ValueError):
+                continue
+            if not isinstance(rows, dict):
+                continue
+            for name, row in rows.items():
+                if (
+                    isinstance(row, dict)
+                    and row.get("err") is None
+                    and row.get("rows_match")
+                    and row.get("schema_match")
+                    and row.get("hash_match") is not False
+                ):
+                    out[name] = max(out.get(name, 0), rnd)
+        _LAST_GREEN_CACHE = out
+    return _LAST_GREEN_CACHE
+
+
 def _rotate_for_round(base: dict) -> dict:
-    """Deterministic rotation of the query dict so the driver's ~50-entry
-    correctness window tiles the whole surface: round 4 checked canonical
-    positions [0, 50); each later round starts its window where the
-    previous one ended (shift += 50 mod n), so the UNION of any two
-    consecutive rounds covers every declared query — no query goes more
-    than one round without a fresh driver row.  Queries appended to the
-    canonical tail land inside the next round's window automatically."""
+    """Stalest-first ordering of the query dict: the driver checks the
+    FIRST ~50 entries per round, so putting the queries that have gone
+    longest without a green driver row first guarantees no query is ever
+    more than ceil(n/50) rounds stale — REGARDLESS of registry growth.
+    (The rounds-4..11 modular shift promised the same tiling but broke
+    when the registry grew 115 -> 122 between rounds, stranding 10 rpc_*
+    queries at their round-8 rows.)  Never-green queries — new this
+    round, or red last time — sort first of all; ties break by canonical
+    registry position, so the order is fully deterministic given the
+    committed CORRECTNESS files."""
     names = list(base)
-    r = _round_number()
-    shift = (50 * (r - 4)) % len(names) if r >= 4 else 0
-    return {k: base[k] for k in names[shift:] + names[:shift]}
+    last = _last_green_rounds()
+    pos = {k: i for i, k in enumerate(names)}
+    order = sorted(names, key=lambda k: (last.get(k, 0), pos[k]))
+    return {k: base[k] for k in order}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -5041,10 +5089,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
         "doc_exact_dedup": q_doc_exact_dedup,
-        # round 11: inserted HERE — the round-11 window is canonical
-        # [5, 55) (shift = 350 mod 115 at n=115; re-check test_entry_rotation
-        # after ANY insertion, each one moves every boundary); the blocks
-        # these logically belong to sit in the tail, outside the window.
+        # Since round 12 ordering is stalest-first (_rotate_for_round
+        # sorts by last green driver round), canonical POSITION only
+        # breaks ties — new queries land in the next window automatically
+        # wherever they're declared.  These sat here for the old modular
+        # shift; left in place to keep the canonical order stable.
         "influxql_holt_winters_fixed": q_influxql_holt_winters_fixed,
         "ann_pq_topk": q_ann_pq_topk,
         "bucketed_join_revenue": q_bucketed_join_revenue,

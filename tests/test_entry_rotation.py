@@ -1,16 +1,22 @@
-"""Correctness-window rotation invariants for __spark_entry__.
+"""Correctness-window ordering invariants for __spark_entry__.
 
-The driver checks a ~50-entry window of queries() per round; the entry
-rotates the dict so consecutive rounds' windows TILE the whole declared
-surface.  Two invariants keep that sound:
+The driver checks a ~50-entry window of queries() per round; since round
+12 the entry orders the dict STALEST-FIRST (by each query's newest green
+round in the committed CORRECTNESS_r*.json files, never-green first,
+canonical position as tiebreak).  That replaces the rounds-4..11 modular
+shift, whose "no query more than one round stale" promise silently broke
+when the registry grew between rounds (115 -> 122 stranded 10 rpc_*
+queries at their round-8 rows — the round-11 verdict's What's-wrong #3).
 
-1. The round number is pinned at import — the driver writes round N's
-   CORRECTNESS file mid-round, so a call-time count would shift the
-   window between two checker invocations within one round.
-2. Tiling: the union of any two consecutive rounds' windows covers every
-   declared query, which holds exactly while the query count stays in
-   [WINDOW, 2*WINDOW].  Growing past 100 queries must FAIL here so the
-   rotation step gets widened deliberately, not silently.
+Invariants kept sound here:
+
+1. The staleness table is pinned at first use — the driver writes round
+   N's CORRECTNESS file mid-round, so a call-time re-read could shift
+   the window between two checker invocations within one round.
+2. Bounded staleness UNDER GROWTH: simulating rounds where each round's
+   window goes green, every query gets a fresh driver row at least
+   every ceil(n/WINDOW) rounds even as new queries keep being added.
+3. New (never-driven) queries always land in the current window.
 
 No SparkSession needed — these only inspect the query registry.
 """
@@ -36,56 +42,84 @@ def test_round_number_pinned_at_import(monkeypatch):
     assert entry_mod._round_number() == before  # window cannot shift
 
 
-def test_consecutive_windows_tile_all_queries():
-    """Union of k = ceil(n/WINDOW) consecutive rounds' windows must cover
-    every declared query.  The rotation advances the window start by
-    exactly WINDOW per round, so k consecutive windows form one
-    contiguous span of length WINDOW*k >= n on the cycle — i.e. the
-    invariant holds for ANY n >= WINDOW, with a freshness guarantee of
-    "every query gets a driver row at least every k rounds" (k=2 while
-    n <= 100, k=3 up to 150, ...).  This test verifies it concretely for
-    the current registry rather than trusting the argument."""
+def test_staleness_table_pinned_after_first_use(tmp_path, monkeypatch):
+    """_last_green_rounds caches on first call: a CORRECTNESS file the
+    driver writes mid-round must not reorder queries() between two
+    checker invocations in the same process."""
+    first = entry_mod.queries()
+    # even wiping the repo-dir view cannot change the order now
+    monkeypatch.setattr(entry_mod, "_REPO_DIR", str(tmp_path))
+    assert list(entry_mod.queries()) == list(first)
+
+
+def _simulate(last_green: dict[str, int], names: list[str]) -> dict:
+    """Run _rotate_for_round against an injected staleness table."""
+    saved = entry_mod._LAST_GREEN_CACHE
+    entry_mod._LAST_GREEN_CACHE = dict(last_green)
+    try:
+        return entry_mod._rotate_for_round({k: k for k in names})
+    finally:
+        entry_mod._LAST_GREEN_CACHE = saved
+
+
+def test_stalest_first_bounds_staleness_under_registry_growth():
+    """THE invariant the modular shift lost: with stalest-first ordering,
+    every query gets a green driver row at least every ceil(n/WINDOW)
+    rounds EVEN while the registry keeps growing.  Simulate 30 rounds,
+    adding 7 queries per round (the observed growth shape), marking each
+    round's 50-entry window green, and assert the staleness bound on
+    every declared query at every step."""
     import math
 
+    names = [f"q{i:03d}" for i in range(115)]
+    last: dict[str, int] = {n: 8 for n in names}  # all green at r8
+    for rnd in range(9, 39):
+        # registry growth: new queries appear with NO green row
+        new = [f"q{len(names) + j:03d}" for j in range(7)]
+        names += new
+        ordered = list(_simulate(last, names))
+        window = ordered[:WINDOW]
+        # every never-green query must be in the window immediately
+        assert all(n in window for n in new), (rnd, new)
+        for n in window:
+            last[n] = rnd  # driver marks the window green
+        horizon = math.ceil(len(names) / WINDOW)
+        worst = min(last[n] for n in names)
+        assert rnd - worst <= horizon, (
+            f"round {rnd}: a query is {rnd - worst} rounds stale "
+            f"(bound {horizon}, n={len(names)})"
+        )
+
+
+def test_never_green_queries_order_first():
+    names = ["a", "b", "c", "d"]
+    ordered = list(_simulate({"a": 9, "c": 8}, names))
+    # never-green b, d first (canonical tiebreak), then c (r8), then a (r9)
+    assert ordered == ["b", "d", "c", "a"]
+
+
+def test_round11_strandees_front_of_round12_window():
+    """The 10 rpc_* queries stranded at round-8 rows by the old shift
+    must be inside the current window now (they're the stalest greens;
+    only never-green queries may precede them)."""
+    strandees = {
+        "rpc_read_filter", "rpc_read_group", "rpc_read_group_two_tags",
+        "rpc_window_agg_1h", "rpc_window_agg_offset",
+        "rpc_selector_last_first", "rpc_field_columns", "rpc_tag_values",
+        "rpc_window_gapfill_value", "doc_paragraph_dedup",
+    }
     names = list(entry_mod.queries())
-    n = len(names)
-    assert n >= WINDOW, f"{n} queries: one window must reach the whole surface"
-    k = math.ceil(n / WINDOW)
-    # simulate every run of k consecutive rounds' windows on the canonical
-    # cycle: round r starts at (WINDOW * (r - 4)) % n
-    for r in range(4, 4 + n):
-        union: set[str] = set()
-        for j in range(k):
-            s = (WINDOW * (r - 4 + j)) % n
-            union |= {names[(s + i) % n] for i in range(WINDOW)}
-        assert union == set(names), f"rounds {r}..{r + k - 1} miss queries"
-
-
-def test_freshness_horizon_documented():
-    """k = ceil(n/WINDOW) is the max rounds a long-green query can go
-    without a fresh driver row; keep it at 2 (n <= 100) unless a round
-    DELIBERATELY accepts a longer horizon — crossing 100 should be a
-    decision, not drift.  (The local DuckDB parity suite re-checks all
-    queries every run regardless, so driver-row staleness never means
-    unchecked correctness.)"""
-    n = len(entry_mod.queries())
-    # Round 8 DELIBERATELY crossed 100 (the InfluxQL front-end added four
-    # queries -> n=103, freshness horizon 3 rounds): every query still gets
-    # a driver row at least every ceil(n/50) rounds, and the local parity
-    # suite checks ALL of them on every run.  Next deliberate stop: 150.
-    assert n <= 3 * WINDOW, (
-        f"{n} queries -> freshness horizon {-(-n // WINDOW)} rounds; if "
-        "this growth is deliberate, raise this bound in the same commit "
-        "and say so"
-    )
+    window = set(names[:WINDOW])
+    missing = strandees - set(names)
+    assert not missing, f"strandees no longer declared: {missing}"
+    assert strandees <= window, sorted(strandees - window)
 
 
 def test_current_round_window_covers_undriven_queries():
     """Every query new this round (no CORRECTNESS_r* row yet) must sit
-    inside the CURRENT round's 50-entry window — a freshly-shipped query
-    that waits a full round for its first driver row is a registry
-    ordering bug (place new queries inside the window, displacing
-    long-green ones)."""
+    inside the CURRENT round's 50-entry window — never-green sorts
+    before every green query by construction, so a violation here means
+    the registry outgrew the window with >50 undriven queries."""
     import glob
     import json
     import pathlib
@@ -102,6 +136,21 @@ def test_current_round_window_covers_undriven_queries():
     assert undriven <= window, (
         f"queries with no driver row outside this round's window: "
         f"{sorted(undriven - window)}"
+    )
+
+
+def test_freshness_horizon_documented():
+    """ceil(n/WINDOW) is the max rounds any query can go without a fresh
+    driver row under stalest-first; keep the horizon at 3 (n <= 150)
+    unless a round DELIBERATELY accepts a longer one — crossing 150
+    should be a decision, not drift.  (The local DuckDB parity suite
+    re-checks all queries every run regardless, so driver-row staleness
+    never means unchecked correctness.)"""
+    n = len(entry_mod.queries())
+    assert n <= 3 * WINDOW, (
+        f"{n} queries -> freshness horizon {-(-n // WINDOW)} rounds; if "
+        "this growth is deliberate, raise this bound in the same commit "
+        "and say so"
     )
 
 
