@@ -58,25 +58,54 @@ def hash_password(password: str) -> str:
     )
 
 
+class HashedSecret(str):
+    """Marker type for a stored secret that IS a scrypt record.  Only
+    ``UserRegistry.get`` produces these, so hash-record parsing can never
+    swallow a plain config-dict password that happens to start with
+    ``scrypt$`` (which would make that user permanently unable to log
+    in — the sniff-the-prefix dispatch bug)."""
+
+    __slots__ = ()
+
+
+def _verify_scrypt(record: str, given: str) -> bool:
+    try:
+        _, n, r, p, salt_hex, hash_hex = record.split("$")
+        h = hashlib.scrypt(
+            given.encode("utf-8"),
+            salt=bytes.fromhex(salt_hex),
+            n=int(n),
+            r=int(r),
+            p=int(p),
+        )
+    except (ValueError, TypeError):
+        return False
+    return _secrets.compare_digest(h.hex(), hash_hex)
+
+
+#: lazily-built record for timing-equalized unknown-user rejections
+_DUMMY_RECORD: str | None = None
+
+
+def _burn_scrypt(given: str) -> None:
+    """One scrypt computation against a throwaway record, so rejecting an
+    unknown username costs the same as rejecting a wrong password —
+    otherwise the fast path is a username-enumeration timing oracle."""
+    global _DUMMY_RECORD
+    if _DUMMY_RECORD is None:
+        _DUMMY_RECORD = hash_password("\x00never-a-password\x00")
+    _verify_scrypt(_DUMMY_RECORD, given)
+
+
 def verify_secret(stored: str | None, given: str) -> bool:
     """Constant-time check of ``given`` against a stored secret — a
-    ``scrypt$…`` record (registry users) or a plaintext value (the
+    ``HashedSecret`` scrypt record (registry users; the TYPE carries the
+    dispatch, never a string-prefix sniff) or a plaintext value (the
     plain config-dict auth surface, which never persists)."""
     if stored is None:
         return False
-    if stored.startswith("scrypt$"):
-        try:
-            _, n, r, p, salt_hex, hash_hex = stored.split("$")
-            h = hashlib.scrypt(
-                given.encode("utf-8"),
-                salt=bytes.fromhex(salt_hex),
-                n=int(n),
-                r=int(r),
-                p=int(p),
-            )
-        except (ValueError, TypeError):
-            return False
-        return _secrets.compare_digest(h.hex(), hash_hex)
+    if isinstance(stored, HashedSecret):
+        return _verify_scrypt(stored, given)
     # bytes, not str: compare_digest(str, str) raises on non-ASCII, and
     # passwords are arbitrary text
     return _secrets.compare_digest(
@@ -86,10 +115,17 @@ def verify_secret(stored: str | None, given: str) -> bool:
 
 def verify_credentials(users, name: str | None, password: str) -> bool:
     """The one comparison the HTTP layer uses: works on a UserRegistry
-    (hashed at rest) and on a plain ``{user: password}`` dict alike."""
+    (hashed at rest) and on a plain ``{user: password}`` dict alike.
+    Against a hashed-at-rest registry, an unknown username burns a dummy
+    scrypt so its rejection is timing-indistinguishable from a wrong
+    password."""
     if name is None:
         return False
-    return verify_secret(users.get(name), password)
+    stored = users.get(name)
+    if stored is None and getattr(users, "hashed_at_rest", False):
+        _burn_scrypt(password)
+        return False
+    return verify_secret(stored, password)
 
 
 @dataclass
@@ -113,6 +149,10 @@ class UserRegistry:
     never ``==``, and ``get`` never returns plaintext.
     """
 
+    #: secrets from .get() are scrypt records (HashedSecret), and unknown
+    #: users must burn a dummy scrypt in verify_credentials
+    hashed_at_rest = True
+
     def __init__(self) -> None:
         self._lock = threading.Lock()
         self._users: dict[str, _User] = {}
@@ -123,7 +163,7 @@ class UserRegistry:
     def get(self, name: str):
         with self._lock:
             u = self._users.get(name)
-            return u.password if u is not None else None
+            return HashedSecret(u.password) if u is not None else None
 
     def __bool__(self) -> bool:
         with self._lock:

@@ -325,6 +325,17 @@ class KafkaWriteBuffer(WriteBuffer):
     #: deployments with more need a wider stride (documented, not silent:
     #: produce() rejects partition >= STRIDE)
     STRIDE = 1024
+    #: encoding-version marker (bit 62).  The collapse CHANGED what a
+    #: sequence MEANS — raw Kafka offsets before it, offset*STRIDE +
+    #: partition after — so a ``from_seq`` cursor persisted by a consumer
+    #: of the old encoding, replayed against the new one, would silently
+    #: seek ~STRIDE× too early and re-deliver a flood of records.  Every
+    #: collapsed sequence therefore carries this bit, and the decode side
+    #: REJECTS unversioned cursors loudly instead of mis-seeking
+    #: (``from_seq=0`` — "from the beginning" — stays valid by
+    #: convention).  Offsets are bounded to keep the payload below the
+    #: marker: 2**62/STRIDE = 2**52, far past any real Kafka log.
+    SEQ_V1 = 1 << 62
 
     # -- pure parts (no broker; unit-tested in test_kafka_adapter.py) ------
 
@@ -336,23 +347,43 @@ class KafkaWriteBuffer(WriteBuffer):
     @classmethod
     def _collapse_seq(cls, offset: int, partition: int) -> int:
         """(partition, offset) -> one globally-unique, per-partition-
-        monotone sequence int."""
+        monotone sequence int, tagged with the SEQ_V1 encoding marker."""
         if not 0 <= partition < cls.STRIDE:
             raise ValueError(
                 f"partition {partition} outside [0, {cls.STRIDE})"
             )
-        return offset * cls.STRIDE + partition
+        if not 0 <= offset < cls.SEQ_V1 // cls.STRIDE:
+            raise ValueError(f"offset {offset} outside the encodable range")
+        return cls.SEQ_V1 | (offset * cls.STRIDE + partition)
+
+    @classmethod
+    def _seq_body(cls, seq: int) -> int:
+        """Strip the version marker; reject a cursor that lacks it (a
+        raw-offset cursor persisted before the collapse existed)."""
+        if not seq & cls.SEQ_V1:
+            raise ValueError(
+                f"sequence {seq} lacks the v1 encoding marker — this is a "
+                "cursor persisted under the old raw-offset encoding; "
+                "replaying it against the offset*STRIDE+partition collapse "
+                "would seek far too early.  Reset it to 0 (replay from the "
+                "beginning) or re-derive it from a current produce()."
+            )
+        return seq ^ cls.SEQ_V1
 
     @classmethod
     def _split_seq(cls, seq: int) -> tuple[int, int]:
         """sequence -> (partition, offset); inverse of _collapse_seq."""
-        return seq % cls.STRIDE, seq // cls.STRIDE
+        body = cls._seq_body(seq)
+        return body % cls.STRIDE, body // cls.STRIDE
 
     @classmethod
     def _seek_offset(cls, from_seq: int, partition: int) -> int:
         """Smallest offset in ``partition`` whose collapsed sequence is
         >= ``from_seq`` (the per-partition consumer seek position)."""
-        return max(0, -(-(from_seq - partition) // cls.STRIDE))
+        if from_seq == 0:
+            return 0
+        body = cls._seq_body(from_seq)
+        return max(0, -(-(body - partition) // cls.STRIDE))
 
     @staticmethod
     def _decode_payload(headers, value: bytes) -> "str | bytes":

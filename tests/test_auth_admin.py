@@ -52,6 +52,35 @@ def test_registry_lifecycle():
         reg.create_user("root", "again", admin=True)
 
 
+def test_plain_dict_password_looking_like_scrypt_still_authenticates():
+    """Secret-kind dispatch is by TYPE (HashedSecret from the registry),
+    never a string-prefix sniff: a config-dict user whose plaintext
+    password legitimately begins with 'scrypt$' must be able to log in
+    (prefix-sniffing parsed it as a hash record and locked them out)."""
+    from influxdb_iox_spark.auth import verify_credentials
+
+    users = {"eve": "scrypt$my$actual$password"}
+    assert verify_credentials(users, "eve", "scrypt$my$actual$password")
+    assert not verify_credentials(users, "eve", "wrong")
+
+
+def test_unknown_user_burns_dummy_scrypt_against_registry(monkeypatch):
+    """Username-enumeration timing oracle: rejecting an unknown user
+    against a hashed-at-rest registry must cost one scrypt computation,
+    exactly like rejecting a wrong password."""
+    import influxdb_iox_spark.auth as A
+
+    reg = UserRegistry()
+    reg.create_user("root", "pw", admin=True)
+    burned = []
+    monkeypatch.setattr(A, "_burn_scrypt", lambda pw: burned.append(pw))
+    assert not A.verify_credentials(reg, "who", "guess")
+    assert burned == ["guess"]
+    # plain dicts (plaintext compares, both paths fast) never burn
+    assert not A.verify_credentials({"a": "b"}, "who", "guess")
+    assert burned == ["guess"]
+
+
 def test_registry_first_user_must_be_admin():
     reg = UserRegistry()
     with pytest.raises(AuthError):

@@ -81,13 +81,14 @@ def test_collapse_rejects_out_of_range_partition():
 
 
 @given(
-    st.integers(min_value=0, max_value=10**15),
+    st.integers(min_value=1, max_value=10**15),
     st.integers(min_value=0, max_value=K.STRIDE - 1),
 )
-def test_seek_offset_is_exact_lower_bound(from_seq, partition):
+def test_seek_offset_is_exact_lower_bound(body, partition):
     """_seek_offset returns the FIRST offset in the partition whose
     collapsed sequence is >= from_seq: no replay gap (one lower would
     collapse below from_seq) and no skipped record."""
+    from_seq = K.SEQ_V1 | body  # any v1-encoded cursor position
     o = K._seek_offset(from_seq, partition)
     assert K._collapse_seq(o, partition) >= from_seq
     if o > 0:
@@ -95,7 +96,7 @@ def test_seek_offset_is_exact_lower_bound(from_seq, partition):
 
 
 def test_seek_offset_examples():
-    # from_seq 0 -> read everything
+    # from_seq 0 -> read everything (the conventional start cursor)
     assert K._seek_offset(0, 0) == 0
     assert K._seek_offset(0, 3) == 0
     # resuming exactly after a produced record: next offset
@@ -105,6 +106,33 @@ def test_seek_offset_examples():
     assert K._seek_offset(seq + 1, 3) == 41 or K._collapse_seq(
         K._seek_offset(seq + 1, 3), 3
     ) >= seq + 1
+
+
+def test_sequences_are_version_marked():
+    """Every collapsed sequence carries the SEQ_V1 marker — the encoding
+    CHANGED meaning (raw offsets -> offset*STRIDE+partition), and the
+    marker is what keeps a stale pre-collapse cursor from silently
+    seeking ~STRIDE× too early."""
+    assert K._collapse_seq(0, 0) & K.SEQ_V1
+    assert K._collapse_seq(10**12, K.STRIDE - 1) & K.SEQ_V1
+
+
+def test_unversioned_cursor_rejected_loudly():
+    """A from_seq persisted under the old raw-offset encoding (no marker
+    bit) must fail with a message naming the remedy — never a silent
+    ~1024x-too-early seek."""
+    for stale in (1, 41, 10**9):
+        with pytest.raises(ValueError, match="raw-offset encoding"):
+            K._seek_offset(stale, 0)
+        with pytest.raises(ValueError, match="raw-offset encoding"):
+            K._split_seq(stale)
+
+
+def test_collapse_rejects_out_of_range_offset():
+    with pytest.raises(ValueError, match="offset"):
+        K._collapse_seq(K.SEQ_V1 // K.STRIDE, 0)
+    with pytest.raises(ValueError, match="offset"):
+        K._collapse_seq(-1, 0)
 
 
 def test_import_gate_message_names_alternative():
