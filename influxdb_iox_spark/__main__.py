@@ -117,6 +117,23 @@ def _build_parser() -> argparse.ArgumentParser:
             ssp.add_argument(arg, **kw)
         ssp.add_argument("--host", default="127.0.0.1")
         ssp.add_argument("--grpc-port", type=int, required=True)
+
+    # manage configuration about other servers (the reference's
+    # `server remote` subcommand, src/commands/server_remote.rs:26-33)
+    rem = srvsub.add_parser(
+        "remote", help="manage configuration about other servers"
+    )
+    remsub = rem.add_subparsers(dest="remote_command", required=True)
+    for name, extra in (
+        ("set", [("id", {"type": int}), ("connection_string", {})]),
+        ("remove", [("id", {"type": int})]),
+        ("list", []),
+    ):
+        rsp = remsub.add_parser(name)
+        for arg, kw in extra:
+            rsp.add_argument(arg, **kw)
+        rsp.add_argument("--host", default="127.0.0.1")
+        rsp.add_argument("--grpc-port", type=int, required=True)
     return p
 
 
@@ -266,7 +283,25 @@ def main(argv: list[str] | None = None, out=None) -> int:
     if args.command == "server":
         c = _client(args)
         try:
-            if args.server_command == "get-id":
+            if args.server_command == "remote":
+                if args.remote_command == "set":
+                    c.update_remote(args.id, args.connection_string)
+                    print("Ok", file=out)
+                elif args.remote_command == "remove":
+                    c.delete_remote(args.id)
+                    print("Ok", file=out)
+                elif args.remote_command == "list":
+                    remotes = c.list_remotes()
+                    if not remotes:
+                        print("no remotes configured", file=out)
+                    else:
+                        print("ID | Connection string", file=out)
+                        for r in remotes:
+                            print(
+                                f"{r['id']} | {r.get('connection_string', '')}",
+                                file=out,
+                            )
+            elif args.server_command == "get-id":
                 print(c.get_server_id(), file=out)
             elif args.server_command == "set-id":
                 c.update_server_id(args.id)

@@ -124,6 +124,20 @@ class IoxClient:
     def set_serving_readiness(self, ready: bool) -> None:
         self._mgmt("SetServingReadiness", {"ready": ready})
 
+    # -- remotes (server federation registry; the reference CLI's
+    #    `server remote set/remove/list`, src/commands/server_remote.rs) --
+    def update_remote(self, remote_id: int, connection_string: str) -> None:
+        self._mgmt(
+            "UpdateRemote",
+            {"remote": {"id": remote_id, "connection_string": connection_string}},
+        )
+
+    def delete_remote(self, remote_id: int) -> None:
+        self._mgmt("DeleteRemote", {"id": remote_id})
+
+    def list_remotes(self) -> list[dict]:
+        return self._mgmt("ListRemotes", {}).get("remotes", [])
+
     def server_status(self) -> dict:
         return self._mgmt("GetServerStatus", {})["server_status"]
 

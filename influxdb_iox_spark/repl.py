@@ -13,10 +13,10 @@ accumulate (joined with spaces) until one ends with ``;``.
 OBSERVER mode (observer.rs): pulls ``system.{chunks, chunk_columns,
 columns, operations}`` from EVERY database on the server, prepends a
 ``database`` column, and registers the unions as local tables queried
-with the stdlib sqlite3 engine — "locally query unified queryable views
-of remote system tables".  (The reference uses an embedded DataFusion
-context; the local-engine choice is an implementation detail of the
-client binary, not the server.)
+with the stdlib sqlite3 engine — one local view per system table,
+spanning every database at once.  (The reference uses an embedded
+DataFusion context; the local-engine choice is an implementation detail
+of the client binary, not the server.)
 """
 
 from __future__ import annotations
@@ -171,14 +171,17 @@ class Repl:
                     return
                 self.db_name = cmd.db_name
                 self._observer_con = None
-                self._print(f"You are now in remote mode, querying database {cmd.db_name}")
+                self._print(
+                    f"Remote mode enabled — SQL now runs against the "
+                    f"server, querying database {cmd.db_name}"
+                )
             elif isinstance(cmd, SetFormat):
                 f = cmd.format.lower()
                 if f not in _FORMATS:
                     self._print(f"Error: Unknown format type: {cmd.format}")
                     return
                 self.format = f
-                self._print(f"Set output format format to {f}")
+                self._print(f"Output format set to {f}")
             elif isinstance(cmd, Observer):
                 self._use_observer()
             elif isinstance(cmd, SqlCommand):

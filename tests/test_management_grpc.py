@@ -861,6 +861,36 @@ def test_cli_commands(srv, tmp_path):
     status = _json.loads(run("server", "status", "--grpc-port", str(port)))
     assert status["initialized"] is True
 
+    # server remote set/remove/list (reference src/commands/server_remote.rs)
+    assert "no remotes configured" in run(
+        "server", "remote", "list", "--grpc-port", str(port)
+    )
+    assert "Ok" in run(
+        "server", "remote", "set", "7", "http://peer-7:8082",
+        "--grpc-port", str(port),
+    )
+    assert "Ok" in run(
+        "server", "remote", "set", "3", "http://peer-3:8082",
+        "--grpc-port", str(port),
+    )
+    listing = run("server", "remote", "list", "--grpc-port", str(port))
+    lines = listing.strip().splitlines()
+    assert lines[0].startswith("ID") and len(lines) == 3
+    assert "3 | http://peer-3:8082" in listing  # sorted by id
+    assert "7 | http://peer-7:8082" in listing
+    assert listing.index("peer-3") < listing.index("peer-7")
+    assert "Ok" in run(
+        "server", "remote", "remove", "3", "--grpc-port", str(port)
+    )
+    assert "peer-3" not in run(
+        "server", "remote", "list", "--grpc-port", str(port)
+    )
+    # removing an unknown id surfaces the NotFound from the RPC
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotFound|not found"):
+        run("server", "remote", "remove", "99", "--grpc-port", str(port))
+
 
 def test_cli_run_once(spark, tmp_path):
     """`run --once` boots the full server stack on a fresh base dir and
