@@ -26,7 +26,9 @@ Scale: training is two hash aggregates over exploded tokens (the corpus
 n-gram shape); counts persist as plain parquet and SCORING is two
 shuffle joins keyed by token — no model object, no driver state, no
 Python.  At 100 TB the bigram table is the big side and both joins key
-on it; salt the handful of stopword-headed bigrams if skew shows.
+on it; the stopword-headed hot keys are handled by the opt-in
+``salt_hot_keys`` split in ``score_documents`` (score-identical, pinned
+by test; measured split in SCALE.md §LM-skew).
 """
 
 from __future__ import annotations
@@ -103,12 +105,23 @@ def score_documents(
     total_tokens: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    salt_hot_keys: int = 0,
 ) -> DataFrame:
     """(id, n_tokens, lm_score) per non-empty document; lm_score = mean
     ln-probability under the pinned stupid-backoff contract, rounded to
     1e-6 (see module docstring for why the rounding is part of the
     contract).  Higher = more reference-like.  An empty reference model
-    (zero tokens) is an error — every probability would be ∞/NaN."""
+    (zero tokens) is an error — every probability would be ∞/NaN.
+
+    ``salt_hot_keys=N`` (opt-in, for corpus scale where the model exceeds
+    the broadcast threshold and the joins shuffle): the N
+    highest-count model tokens — the stopword-headed keys that
+    concentrate a natural corpus's token mass onto a handful of shuffle
+    partitions — are split across N sub-keys.  Doc-side rows keyed by a
+    hot token take a deterministic per-row salt; model-side hot rows are
+    replicated once per salt value, so every doc row still meets exactly
+    one model row and the scores are IDENTICAL with or without salting
+    (pinned by test_lm.py).  Cost: ≤ N·N extra model rows."""
     if total_tokens <= 0:
         raise ValueError("reference corpus has no tokens")
     n = float(total_tokens)
@@ -121,18 +134,51 @@ def score_documents(
             F.lag("w").over(Window.partitionBy(id_col).orderBy("pos")),
         )
     )
-    joined = (
-        st.join(
-            bigrams.select(
-                F.col("w1").alias("prev"), F.col("w2").alias("w"),
-                "c2", F.col("c1").alias("c1p"),
+    bi_side = bigrams.select(
+        F.col("w1").alias("prev"), F.col("w2").alias("w"),
+        "c2", F.col("c1").alias("c1p"),
+    )
+    uni_side = unigrams.select("w", F.col("c1").alias("c1w"))
+    bi_keys, uni_keys = ["prev", "w"], ["w"]
+    if salt_hot_keys > 0:
+        s = salt_hot_keys
+        # driver-bounded: exactly N short strings
+        hot = F.array(*[
+            F.lit(r.w)
+            for r in unigrams.orderBy(F.desc("c1"), "w").limit(s).collect()
+        ])
+        salts = F.sequence(F.lit(0), F.lit(s - 1))
+        one = F.array(F.lit(0))
+        st = st.withColumn(
+            "salt_p",
+            F.when(
+                F.array_contains(hot, F.col("prev")),
+                F.pmod(F.hash(F.col(id_col), F.col("pos")), F.lit(s)),
+            ).otherwise(F.lit(0)),
+        ).withColumn(
+            "salt_w",
+            F.when(
+                F.array_contains(hot, F.col("w")),
+                F.pmod(F.hash(F.col(id_col), F.col("pos"), F.lit(1)), F.lit(s)),
+            ).otherwise(F.lit(0)),
+        )
+        bi_side = bi_side.withColumn(
+            "salt_p",
+            F.explode(
+                F.when(F.array_contains(hot, F.col("prev")), salts)
+                .otherwise(one)
             ),
-            ["prev", "w"],
-            "left",
         )
-        .join(
-            unigrams.select("w", F.col("c1").alias("c1w")), ["w"], "left"
+        uni_side = uni_side.withColumn(
+            "salt_w",
+            F.explode(
+                F.when(F.array_contains(hot, F.col("w")), salts)
+                .otherwise(one)
+            ),
         )
+        bi_keys, uni_keys = ["prev", "w", "salt_p"], ["w", "salt_w"]
+    joined = st.join(bi_side, bi_keys, "left").join(
+        uni_side, uni_keys, "left"
     )
     p1 = F.when(
         F.col("c1w").isNotNull(), F.col("c1w").cast("double") / F.lit(n)

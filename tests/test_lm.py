@@ -78,6 +78,43 @@ def test_empty_doc_absent(spark, model):
     assert [r.doc_id for r in rows] == [2]
 
 
+def test_salted_scores_identical(spark, model):
+    """salt_hot_keys only re-keys the shuffle — every doc row still meets
+    exactly one model row, so scores must be bit-identical with and
+    without salting (including OOV/backoff paths and NULL-prev rows)."""
+    bi, uni, total = model
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (3, "dog the cat the the"),
+         (5, "zxq the wvu"), (7, "cat sat ran the cat")],
+        SCHEMA,
+    )
+    plain = {
+        r.doc_id: (r.n_tokens, r.lm_score)
+        for r in score_documents(docs, bi, uni, total).collect()
+    }
+    for s in (1, 2, 4):
+        salted = {
+            r.doc_id: (r.n_tokens, r.lm_score)
+            for r in score_documents(
+                docs, bi, uni, total, salt_hot_keys=s
+            ).collect()
+        }
+        assert salted == plain, s
+    # salting survives a forced shuffle join (the plan it exists for)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        salted = {
+            r.doc_id: (r.n_tokens, r.lm_score)
+            for r in score_documents(
+                docs, bi, uni, total, salt_hot_keys=3
+            ).collect()
+        }
+        assert salted == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_lm_persistence_roundtrip(spark, model, tmp_path):
     bi, uni, total = model
     save_lm(bi, uni, total, str(tmp_path / "lm"))
