@@ -1405,6 +1405,63 @@ FROM c ORDER BY corr_micro DESC, event_type, time_us LIMIT {k}
 """
 
 
+def q_doc_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes classification (round 12; pipeline/nb.py
+    — the counts-based twin of GPT-3-style linear quality filters):
+    train on the even-id documents with their ``lang`` column as the
+    label, score every odd-id document against every label.  All
+    probabilities are Laplace-smoothed integer-count ratios, so the
+    engines agree bit-for-bit up to the final ln/sum, absorbed by the
+    1e-6 rounding (the lm.py contract class).  Every (doc, label) score
+    is emitted — the gate hashes the full likelihood surface instead of
+    trusting a float argmax straddle."""
+    from influxdb_iox_spark.pipeline.nb import score_nb, train_nb
+
+    t = _load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    wc, ls, v = train_nb(
+        docs.filter(F.col("doc_id") % 2 == 0), label_col="lang"
+    )
+    return (
+        score_nb(docs.filter(F.col("doc_id") % 2 == 1), wc, ls, v)
+        .orderBy("doc_id", "label")
+    )
+
+
+SQL_DOC_NB_CLASSIFY = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+                x -> x <> '') AS t
+  FROM documents
+), tr AS (
+  SELECT lang AS label, t FROM toks WHERE doc_id % 2 = 0 AND len(t) > 0
+), trw AS (SELECT label, unnest(t) AS w FROM tr),
+wc AS (SELECT label, w, COUNT(*) AS c FROM trw GROUP BY 1, 2),
+ls AS (
+  SELECT label, COUNT(*) AS n_docs, SUM(len(t)) AS n_tokens
+  FROM tr GROUP BY 1
+), v AS (SELECT COUNT(DISTINCT w) AS vs FROM trw),
+tot AS (SELECT SUM(n_docs) AS nd FROM ls),
+st AS (
+  SELECT doc_id, unnest(t) AS w
+  FROM toks WHERE doc_id % 2 = 1 AND len(t) > 0
+), sc AS (
+  SELECT s.doc_id, l.label, l.n_docs, l.n_tokens,
+    SUM(ln(CAST(COALESCE(wc.c, 0) + 1 AS DOUBLE)
+           / (l.n_tokens + (SELECT vs FROM v)))) AS ssum
+  FROM st s
+  CROSS JOIN ls l
+  LEFT JOIN wc ON wc.label = l.label AND wc.w = s.w
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_id, label,
+  round((ln(CAST(n_docs AS DOUBLE) / (SELECT nd FROM tot)) + ssum)
+        * 1000000) / 1000000 AS nb_score
+FROM sc ORDER BY doc_id, label
+"""
+
+
 def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram stupid-backoff LM quality scoring (round 11; pipeline/lm.py
     — the CCNet-style filter): train on the even-id documents, score the
@@ -5098,6 +5155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "bucketed_join_revenue": q_bucketed_join_revenue,
         "doc_lm_score": q_doc_lm_score,
+        "doc_nb_classify": q_doc_nb_classify,
         "doc_lm_buckets": q_doc_lm_buckets,
         "doc_shuffle_order": q_doc_shuffle_order,
         "series_pattern_topk": q_series_pattern_topk,
@@ -5354,6 +5412,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_topk": SQL_ANN_PQ_TOPK,
         "bucketed_join_revenue": SQL_BUCKETED_JOIN_REVENUE,
         "doc_lm_score": SQL_DOC_LM_SCORE,
+        "doc_nb_classify": SQL_DOC_NB_CLASSIFY,
         "doc_lm_buckets": _sql_lm_buckets(),
         "doc_shuffle_order": SQL_DOC_SHUFFLE_ORDER,
         "series_pattern_topk": _sql_pattern_topk(),

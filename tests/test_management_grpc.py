@@ -862,6 +862,13 @@ def test_cli_commands(srv, tmp_path):
     assert status["initialized"] is True
 
     # server remote set/remove/list (reference src/commands/server_remote.rs)
+    # the module-scoped server may carry remotes from earlier tests (e.g.
+    # test_list_update_delete_remotes leaves id 2) — clear them through
+    # the CLI itself so the empty-listing case is order-independent
+    for rid in list(srv[0].remotes):
+        assert "Ok" in run(
+            "server", "remote", "remove", str(rid), "--grpc-port", str(port)
+        )
     assert "no remotes configured" in run(
         "server", "remote", "list", "--grpc-port", str(port)
     )
