@@ -5105,7 +5105,7 @@ def _last_green_rounds() -> dict[str, int]:
                     isinstance(row, dict)
                     and row.get("err") is None
                     and row.get("rows_match")
-                    and row.get("schema_match")
+                    and row.get("schema_match") is not False
                     and row.get("hash_match") is not False
                 ):
                     out[name] = max(out.get(name, 0), rnd)
