@@ -67,6 +67,42 @@ def train_nb(
     return word_counts, label_stats, int(vocab_size)
 
 
+def save_nb(
+    word_counts: DataFrame,
+    label_stats: DataFrame,
+    vocab_size: int,
+    path: str,
+) -> None:
+    """Persist the model as parquet + a meta sidecar (the lm.py recipe).
+    Train once, save, score many — scoring from a LOADED model reads two
+    small parquet tables instead of re-running the training aggregates
+    through lazy lineage on every action."""
+    import json
+    import os
+
+    word_counts.write.mode("overwrite").parquet(
+        os.path.join(path, "word_counts")
+    )
+    label_stats.write.mode("overwrite").parquet(
+        os.path.join(path, "label_stats")
+    )
+    with open(os.path.join(path, "_nb_meta.json"), "w") as f:
+        json.dump({"kind": "multinomial_nb", "alpha": 1, "vocab_size": vocab_size}, f)
+
+
+def load_nb(spark, path: str) -> tuple[DataFrame, DataFrame, int]:
+    import json
+    import os
+
+    with open(os.path.join(path, "_nb_meta.json")) as f:
+        meta = json.load(f)
+    return (
+        spark.read.parquet(os.path.join(path, "word_counts")),
+        spark.read.parquet(os.path.join(path, "label_stats")),
+        int(meta["vocab_size"]),
+    )
+
+
 def score_nb(
     docs: DataFrame,
     word_counts: DataFrame,

@@ -79,6 +79,21 @@ def test_empty_training_rejected(spark, model):
         score_nb(docs, wc, ls, 0)
 
 
+def test_nb_persistence_roundtrip(spark, model, tmp_path):
+    from influxdb_iox_spark.pipeline.nb import load_nb, save_nb
+
+    wc, ls, v = model
+    save_nb(wc, ls, v, str(tmp_path / "nb"))
+    wc2, ls2, v2 = load_nb(spark, str(tmp_path / "nb"))
+    assert v2 == v
+    docs = spark.createDataFrame([(7, "x z", None)], SCHEMA).select(
+        "doc_id", "text"
+    )
+    a = sorted((r.label, r.nb_score) for r in score_nb(docs, wc, ls, v).collect())
+    b = sorted((r.label, r.nb_score) for r in score_nb(docs, wc2, ls2, v2).collect())
+    assert a == b
+
+
 def test_priors_weigh_imbalanced_labels(spark):
     # 3 docs of label a vs 1 of b, same token content: priors decide
     ref = spark.createDataFrame(
