@@ -132,25 +132,50 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
     a fixed tie-break order (en > de > fr > es > unknown).  Pure column
     expressions → distributes trivially.
 
-    Round-10 scoring contract (and perf): one lookaround alternation
-    ``(?<= )(w1|…|wn)(?= )`` regexp_count per LANGUAGE over the padded
-    normalized text — zero-width boundaries make this exactly "tokens of
-    the split-on-space normalized text that are stopwords", which is what
-    the DuckDB twin spells with list_filter(string_split(...)).  This is
-    4 scans instead of the previous 20 per-word replace() counters (1.7×
-    measured at sf0.1) and it counts adjacent repeats fully (" the the "
-    = 2) where the replace trick undercounted every second one — the
-    blocklist/quality counters keep the replace trick and its contract.
+    Scoring contract (unchanged since round 10): counts of STANDALONE
+    stopword tokens of the space-normalized text — what the DuckDB twin
+    spells with list_filter(string_split(...)); adjacent repeats count
+    fully (" the the " = 2).
+
+    Perf lineage: 20 per-word replace() counters (r9) → one lookaround
+    alternation ``(?<= )(w1|…|wn)(?= )`` regexp_count per LANGUAGE (r10,
+    1.7× at sf0.1) → ONE regexp_extract_all over the union alternation
+    (the per-language lists are disjoint) with per-language counts as
+    filters over the extracted-hits array (r12, a further 2.15× measured
+    at sf1: regex scans cost O(text), the filter lambdas — interpreted,
+    but over the few-element hits array — cost O(hits)).  All three
+    spellings are count-identical; the blocklist/quality counters keep
+    the replace trick and its contract.
     """
     tmp = "__padded"
     while tmp in df.columns:  # never clobber a caller's column
         tmp += "_"
-    with_padded = df.withColumn(tmp, _padded(F.col(text_col)))
-    p = F.col(tmp)
+    hcol = "__stophits"
+    while hcol in df.columns:
+        hcol += "_"
+    all_words = [w for ws in LANG_STOPWORDS.values() for w in ws]
+    with_padded = df.withColumn(
+        tmp, _padded(F.col(text_col))
+    ).withColumn(
+        hcol,
+        F.regexp_extract_all(
+            F.col(tmp),
+            F.lit("(?<= )(" + "|".join(all_words) + ")(?= )"),
+            1,
+        ),
+    )
+    def _in_list(words):
+        # isin() is unsupported on HOF lambda variables; OR-fold instead
+        def f(x):
+            cond = x == F.lit(words[0])
+            for w in words[1:]:
+                cond = cond | (x == F.lit(w))
+            return cond
+
+        return f
+
     scores = {
-        lang: F.regexp_count(
-            p, F.lit("(?<= )(" + "|".join(ws) + ")(?= )")
-        )
+        lang: F.size(F.filter(F.col(hcol), _in_list(ws)))
         for lang, ws in LANG_STOPWORDS.items()
     }
     langs = list(LANG_STOPWORDS)
