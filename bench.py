@@ -58,6 +58,9 @@ HEADLINE = [
     # round-11 addition: series pattern similarity search (one window
     # pass over every series, exact-integer correlation, TakeOrdered)
     "series_pattern_topk",
+    # round-12 addition: the NB classifier train-and-score path (two hash
+    # aggregates + one token-keyed join against the label-pivoted counts)
+    "doc_nb_classify",
 ]
 
 
