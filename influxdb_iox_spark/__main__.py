@@ -14,8 +14,11 @@ Client side (talks to a running server):
     ... database query <name> "<sql>" [--format json|csv|pretty]
     ... database chunks <name>
     ... database partitions <name> [<key>]     (key -> partition + chunks)
+    ... database new-chunk / close-chunk / unload-chunk <name> <table> <key> [id]
+    ... database catalog-wipe <name> --force
     ... server get-id / set-id <id> / status
-    ... operations list
+    ... server remote set <id> <conn> / remove <id> / list
+    ... operations list / get <id> / wait <id> / cancel <id> / test <nanos...>
 
 Every command is a thin shell over IoxServer / IoxClient — no logic
 lives here, so the CLI can never drift from the tested API surface.
@@ -76,6 +79,25 @@ def _build_parser() -> argparse.ArgumentParser:
         ),
         ("chunks", [("name", {})]),
         ("partitions", [("name", {}), ("key", {"nargs": "?", "default": None})]),
+        # chunk lifecycle verbs (src/commands/database/partition.rs
+        # NewChunk/CloseChunk/UnloadChunk)
+        ("new-chunk", [("name", {}), ("table", {}), ("key", {})]),
+        (
+            "close-chunk",
+            [("name", {}), ("table", {}), ("key", {}),
+             ("chunk_id", {"type": int})],
+        ),
+        (
+            "unload-chunk",
+            [("name", {}), ("table", {}), ("key", {}),
+             ("chunk_id", {"type": int})],
+        ),
+        # src/commands/database/catalog.rs Wipe (--force required: an
+        # accidental wipe erases every chunk record)
+        (
+            "catalog-wipe",
+            [("name", {}), ("--force", {"action": "store_true"})],
+        ),
     ):
         sp = dbsub.add_parser(name)
         for arg, kw in extra:
@@ -101,9 +123,18 @@ def _build_parser() -> argparse.ArgumentParser:
 
     ops = sub.add_parser("operations", help="operations commands")
     opssub = ops.add_subparsers(dest="ops_command", required=True)
-    lst = opssub.add_parser("list")
-    lst.add_argument("--host", default="127.0.0.1")
-    lst.add_argument("--grpc-port", type=int, required=True)
+    for name, extra in (
+        ("list", []),
+        ("get", [("id", {})]),
+        ("wait", [("id", {}), ("nanos", {"nargs": "?", "default": None})]),
+        ("cancel", [("id", {})]),
+        ("test", [("nanos", {"nargs": "+", "type": int})]),
+    ):
+        osp = opssub.add_parser(name)
+        for arg, kw in extra:
+            osp.add_argument(arg, **kw)
+        osp.add_argument("--host", default="127.0.0.1")
+        osp.add_argument("--grpc-port", type=int, required=True)
 
     srv = sub.add_parser("server", help="server commands (id, status)")
     srvsub = srv.add_subparsers(dest="server_command", required=True)
@@ -135,6 +166,16 @@ def _build_parser() -> argparse.ArgumentParser:
         rsp.add_argument("--host", default="127.0.0.1")
         rsp.add_argument("--grpc-port", type=int, required=True)
     return p
+
+
+def _b64(o):
+    """Operation metadata rides as protobuf Any bytes; render base64 like
+    JSON-mapped protobuf would."""
+    import base64
+
+    if isinstance(o, (bytes, bytearray)):
+        return base64.b64encode(bytes(o)).decode()
+    return str(o)
 
 
 def _partition_parts(spec: str) -> list[dict]:
@@ -276,6 +317,27 @@ def main(argv: list[str] | None = None, out=None) -> int:
                         ),
                         file=out,
                     )
+            elif args.db_command == "new-chunk":
+                c.new_partition_chunk(args.name, args.table, args.key)
+                print("Ok", file=out)
+            elif args.db_command == "close-chunk":
+                op = c.close_partition_chunk(
+                    args.name, args.table, args.key, args.chunk_id
+                )
+                print(json.dumps(op, indent=1, default=_b64), file=out)
+            elif args.db_command == "unload-chunk":
+                c.unload_partition_chunk(
+                    args.name, args.table, args.key, args.chunk_id
+                )
+                print("Ok", file=out)
+            elif args.db_command == "catalog-wipe":
+                if not args.force:
+                    raise SystemExit(
+                        "catalog-wipe erases every chunk record; pass "
+                        "--force to confirm"
+                    )
+                op = c.wipe_preserved_catalog(args.name)
+                print(json.dumps(op, indent=1, default=_b64), file=out)
         finally:
             c.close()
         return 0
@@ -315,9 +377,26 @@ def main(argv: list[str] | None = None, out=None) -> int:
     if args.command == "operations":
         c = _client(args)
         try:
-            for op in c.list_operations():
+            if args.ops_command == "list":
+                for op in c.list_operations():
+                    print(
+                        json.dumps(
+                            {"name": op["name"], "done": op.get("done", False)}
+                        ),
+                        file=out,
+                    )
+            elif args.ops_command == "get":
+                print(json.dumps(c.get_operation(args.id), indent=1, default=_b64), file=out)
+            elif args.ops_command == "wait":
+                # the server's WaitOperation returns current status (our
+                # jobs record synchronously); nanos rides for CLI parity
+                print(json.dumps(c.wait_operation(args.id), indent=1, default=_b64), file=out)
+            elif args.ops_command == "cancel":
+                c.cancel_operation(args.id)
+                print("Ok", file=out)
+            elif args.ops_command == "test":
                 print(
-                    json.dumps({"name": op["name"], "done": op.get("done", False)}),
+                    json.dumps(c.create_dummy_job(args.nanos), indent=1, default=_b64),
                     file=out,
                 )
         finally:

@@ -115,6 +115,24 @@ class IoxClient:
             },
         )["operation"]
 
+    def unload_partition_chunk(
+        self, db_name: str, table_name: str, partition_key: str, chunk_id: int
+    ) -> None:
+        self._mgmt(
+            "UnloadPartitionChunk",
+            {
+                "db_name": db_name,
+                "table_name": table_name,
+                "partition_key": partition_key,
+                "chunk_id": chunk_id,
+            },
+        )
+
+    def wipe_preserved_catalog(self, db_name: str) -> dict:
+        return self._mgmt("WipePreservedCatalog", {"db_name": db_name})[
+            "operation"
+        ]
+
     def update_server_id(self, server_id: int) -> None:
         self._mgmt("UpdateServerId", {"id": server_id})
 
@@ -191,6 +209,15 @@ class IoxClient:
 
     def get_operation(self, name: str) -> dict:
         return self._control.call("operations", "GetOperation", {"name": name})
+
+    def cancel_operation(self, name: str) -> None:
+        self._control.call("operations", "CancelOperation", {"name": name})
+
+    def wait_operation(self, name: str) -> dict:
+        return self._control.call("operations", "WaitOperation", {"name": name})
+
+    def create_dummy_job(self, nanos: list[int]) -> dict:
+        return self._mgmt("CreateDummyJob", {"nanos": list(nanos)})["operation"]
 
     def query_flight(self, db_name: str, sql: str):
         """SQL over Arrow Flight do_get on the gRPC socket — the data-plane

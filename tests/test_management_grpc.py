@@ -898,6 +898,46 @@ def test_cli_commands(srv, tmp_path):
     with _pytest.raises(Exception, match="NotFound|not found"):
         run("server", "remote", "remove", "99", "--grpc-port", str(port))
 
+    # operations get/wait/cancel/test (src/commands/operations.rs verbs)
+    op = _json.loads(run("operations", "test", "100", "200", "--grpc-port", str(port)))
+    assert op["name"] and op.get("done") in (True, False)
+    got = _json.loads(run("operations", "get", op["name"], "--grpc-port", str(port)))
+    assert got["name"] == op["name"]
+    waited = _json.loads(
+        run("operations", "wait", op["name"], "--grpc-port", str(port))
+    )
+    assert waited["name"] == op["name"]
+    assert "Ok" in run("operations", "cancel", op["name"], "--grpc-port", str(port))
+
+    # chunk lifecycle verbs (src/commands/database/partition.rs)
+    key = keys[0]
+    assert "Ok" in run(
+        "database", "new-chunk", "clidb", "cpu", key, "--grpc-port", str(port)
+    )
+    detail = _json.loads(
+        run("database", "partitions", "clidb", key, "--grpc-port", str(port))
+    )
+    cid = detail["chunks"][0]["id"]
+    closed = _json.loads(
+        run("database", "close-chunk", "clidb", "cpu", key, str(cid),
+            "--grpc-port", str(port))
+    )
+    assert closed["name"]
+    assert "Ok" in run(
+        "database", "unload-chunk", "clidb", "cpu", key, str(cid),
+        "--grpc-port", str(port),
+    )
+
+    # catalog wipe requires --force, then erases every chunk record
+    with _pytest.raises(SystemExit, match="--force"):
+        run("database", "catalog-wipe", "clidb", "--grpc-port", str(port))
+    wipe = _json.loads(
+        run("database", "catalog-wipe", "clidb", "--force",
+            "--grpc-port", str(port))
+    )
+    assert wipe["name"]
+    assert _json.loads(run("database", "chunks", "clidb", "--grpc-port", str(port))) == []
+
 
 def test_cli_run_once(spark, tmp_path):
     """`run --once` boots the full server stack on a fresh base dir and
