@@ -115,20 +115,28 @@ class DropDatabase:
 @dataclass(frozen=True)
 class CreateRetentionPolicy:
     """CREATE RETENTION POLICY <name> ON <db> DURATION d REPLICATION n
-    [SHARD DURATION d] [DEFAULT] — accepted for client compatibility;
-    retention here is lifecycle-rule driven (SURVEY 2.10)."""
+    [SHARD DURATION d] [DEFAULT].  Since round 12 the DURATION is parsed
+    and ENFORCED (retention.py: chunk drops + a boundary tombstone);
+    REPLICATION/SHARD DURATION remain accepted-and-ignored
+    (single-tenant server; chunks are the shard-group analogue)."""
 
     name: str
     db: str
+    #: ns; 0 = INF (keep forever).  None when the clause was omitted.
+    duration_ns: int | None = None
+    default: bool = False
 
 
 @dataclass(frozen=True)
 class AlterRetentionPolicy:
-    """ALTER RETENTION POLICY <name> ON <db> [DURATION…] — accepted for
-    client compatibility; retention is lifecycle-rule driven here."""
+    """ALTER RETENTION POLICY <name> ON <db> [DURATION d] [DEFAULT] —
+    DURATION/DEFAULT update the enforced policy (retention.py); other
+    clauses accepted-and-ignored."""
 
     name: str
     db: str
+    duration_ns: int | None = None
+    default: bool = False
 
 
 @dataclass(frozen=True)

@@ -289,6 +289,40 @@ class _Parser:
             raise InfluxQLParseError(f"expected a string literal, got {v!r}")
         return re.sub(r"\\(.)", r"\1", v[1:-1])
 
+    def _rp_clauses(self) -> tuple[int | None, bool]:
+        """Retention-policy clause tail: ``DURATION <dur|INF>`` and
+        ``DEFAULT`` are meaningful (returned); ``REPLICATION <n>`` and
+        ``SHARD DURATION <dur>`` are accepted-and-ignored (single-tenant
+        server; chunks are the shard-group analogue).  Stock treats both
+        INF and 0 as keep-forever → 0 ns."""
+        duration: int | None = None
+        default = False
+        while self._peek() is not None:
+            if self._kw("DURATION"):
+                t = self._next()
+                if t[0] == "ident" and t[1].upper() == "INF":
+                    duration = 0
+                elif t[0] == "dur":
+                    duration = duration_to_ns(t[1])
+                elif t[0] == "num" and t[1] == "0":
+                    duration = 0
+                else:
+                    raise InfluxQLParseError(
+                        f"expected a duration or INF, got {t[1]!r}"
+                    )
+            elif self._kw("REPLICATION"):
+                self._int()
+            elif self._kw("SHARD", "DURATION"):
+                self._next()
+            elif self._kw("DEFAULT"):
+                default = True
+            else:
+                raise InfluxQLParseError(
+                    f"unexpected token {self._peek()[1]!r} in retention "
+                    "policy clauses"
+                )
+        return duration, default
+
     # -- statements ---------------------------------------------------------
 
     def parse_statement(self):
@@ -325,14 +359,14 @@ class _Parser:
             name = self._ident()
             self._expect_kw("ON")
             db = self._ident()
-            self.i = len(self.toks)  # DURATION/REPLICATION/...: ignored
-            return CreateRetentionPolicy(name, db)
+            dur, default = self._rp_clauses()
+            return CreateRetentionPolicy(name, db, dur, default)
         if self._kw("ALTER", "RETENTION", "POLICY"):
             name = self._ident()
             self._expect_kw("ON")
             db = self._ident()
-            self.i = len(self.toks)  # DURATION/.../DEFAULT: ignored
-            return AlterRetentionPolicy(name, db)
+            dur, default = self._rp_clauses()
+            return AlterRetentionPolicy(name, db, dur, default)
         if self._kw("DROP", "RETENTION", "POLICY"):
             name = self._ident()
             self._expect_kw("ON")

@@ -1939,11 +1939,25 @@ def _apply_show_limit(stmt: ShowStatement, out: DataFrame) -> DataFrame:
     return out
 
 
+def format_duration_ns(ns: int) -> str:
+    """Stock's RP duration rendering: ``24h0m0s``; 0 = keep forever =
+    ``0s``.  Sub-second remainders (unreachable through stock clients,
+    possible through ours) render as a trailing ns part."""
+    if ns <= 0:
+        return "0s"
+    s, rem = divmod(int(ns), 1_000_000_000)
+    h, s = divmod(s, 3600)
+    m, s = divmod(s, 60)
+    out = f"{h}h{m}m{s}s"
+    return out + (f"{rem}ns" if rem else "")
+
+
 def plan_show(
     stmt: ShowStatement,
     catalog: dict[str, Measurement],
     databases: list[str] | None = None,
     now_ns: int | None = None,
+    retention: list[tuple[str, int, bool]] | None = None,
 ) -> DataFrame:
     now_ns = now_ns if now_ns is not None else _time.time_ns()
     # metadata-only SHOWs (DATABASES / RETENTION POLICIES / MEASUREMENTS)
@@ -1967,7 +1981,7 @@ def plan_show(
         raise InfluxQLPlanError(f"unknown measurement {stmt.measurement!r}")
     scope = [stmt.measurement] if stmt.measurement else names
     out = _plan_show_core(
-        stmt, catalog, spark, names, scope, databases, now_ns
+        stmt, catalog, spark, names, scope, databases, now_ns, retention
     )
     return _apply_show_limit(stmt, out)
 
@@ -1980,6 +1994,7 @@ def _plan_show_core(
     scope: list[str],
     databases: list[str] | None,
     now_ns: int,
+    retention: list[tuple[str, int, bool]] | None = None,
 ) -> DataFrame:
     def scoped_df(mm: Measurement) -> DataFrame:
         """The measurement's frame under the statement's WHERE (stock
@@ -2033,11 +2048,20 @@ def _plan_show_core(
             [(d,) for d in (databases or [])], "name string"
         )
     if stmt.what == "retention policies":
-        # single default policy per database (this engine's retention is
-        # lifecycle-rule driven; the stock autogen row keeps v1 clients
-        # like Grafana's datasource probe happy)
+        # declared policies (retention.RetentionRegistry, fed by the RP
+        # DDL and ENFORCED since round 12); a fresh database with none
+        # declared shows the stock autogen row so v1 clients' probes
+        # (Grafana's datasource check) stay happy
+        rows = (
+            [
+                (n, format_duration_ns(d), "168h0m0s", 1, bool(is_def))
+                for (n, d, is_def) in retention
+            ]
+            if retention
+            else [("autogen", "0s", "168h0m0s", 1, True)]
+        )
         return spark.createDataFrame(
-            [("autogen", "0s", "168h0m0s", 1, True)],
+            rows,
             "name string, duration string, shardGroupDuration string, "
             "replicaN int, `default` boolean",
         )

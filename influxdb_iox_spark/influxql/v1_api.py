@@ -597,8 +597,9 @@ def run_statements(
                 # client-library onboarding DDL (influxdb-python's
                 # create_database/create_retention_policy, Telegraf
                 # setup).  Single-tenant server: creating the database
-                # that already exists (or any RP on it) is an idempotent
-                # success; anything else is a per-statement error.
+                # that already exists is an idempotent success; RP
+                # statements land in the ENFORCED registry
+                # (retention.RetentionRegistry) since round 12.
                 if read_only:
                     raise InfluxQLPlanError(
                         f"{type(stmt).__name__} requires a POST request"
@@ -609,6 +610,33 @@ def run_statements(
                         f"this server hosts {databases[0]!r}; cannot "
                         f"manage database {target!r}"
                     )
+                if database is not None and isinstance(
+                    stmt,
+                    (
+                        CreateRetentionPolicy, AlterRetentionPolicy,
+                        DropRetentionPolicy,
+                    ),
+                ):
+                    from influxdb_iox_spark.retention import (
+                        RetentionRegistry,
+                    )
+
+                    reg = RetentionRegistry(database.store.base_dir)
+                    try:
+                        if isinstance(stmt, CreateRetentionPolicy):
+                            reg.set_policy(
+                                stmt.name, stmt.duration_ns, stmt.default
+                            )
+                        elif isinstance(stmt, AlterRetentionPolicy):
+                            reg.alter_policy(
+                                stmt.name, stmt.duration_ns, stmt.default
+                            )
+                        else:
+                            reg.drop_policy(stmt.name)
+                    except KeyError as e:
+                        raise InfluxQLPlanError(
+                            str(e).strip("'\"")
+                        ) from None
                 if isinstance(stmt, DropDatabase):
                     # resolve the VICTIM from the statement's own name:
                     # the connection's database (db= param) may be a
@@ -780,8 +808,22 @@ def run_statements(
                     stmt, catalog, now_ns=now_ns
                 )
             else:
+                retention = None
+                if (
+                    database is not None
+                    and isinstance(stmt, ShowStatement)
+                    and stmt.what == "retention policies"
+                ):
+                    from influxdb_iox_spark.retention import (
+                        RetentionRegistry,
+                    )
+
+                    retention = RetentionRegistry(
+                        database.store.base_dir
+                    ).policies()
                 df = plan_show(
-                    stmt, catalog, databases=databases, now_ns=now_ns
+                    stmt, catalog, databases=databases, now_ns=now_ns,
+                    retention=retention,
                 )
             rows = df.limit(max_rows + 1).collect()
             if len(rows) > max_rows:

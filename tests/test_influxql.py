@@ -1545,6 +1545,7 @@ def test_show_stats_and_diagnostics(spark, tmp_path):
 def test_parse_drop_series_and_retention_ddl():
     from influxdb_iox_spark.influxql.ast_nodes import (
         AlterRetentionPolicy,
+        CreateRetentionPolicy,
         DropRetentionPolicy,
         DropSeries,
     )
@@ -1553,8 +1554,14 @@ def test_parse_drop_series_and_retention_ddl():
     assert isinstance(s, DropSeries) and s.from_names == ["cpu"]
     assert parse("DROP SERIES FROM /^c/").from_regex == "^c"
     assert parse("ALTER RETENTION POLICY rp ON db DURATION 1d DEFAULT") == (
-        AlterRetentionPolicy("rp", "db")
+        AlterRetentionPolicy(
+            "rp", "db", duration_ns=86_400 * 10**9, default=True
+        )
     )
+    assert parse(
+        "CREATE RETENTION POLICY rp ON db DURATION INF REPLICATION 3 "
+        "SHARD DURATION 1h"
+    ) == CreateRetentionPolicy("rp", "db", duration_ns=0, default=False)
     assert parse("DROP RETENTION POLICY rp ON db") == DropRetentionPolicy(
         "rp", "db"
     )
