@@ -240,4 +240,22 @@ class LifecyclePolicy:
             report["__continuous_queries__"] = {
                 "ran": [r.name for r in self.cqs.run_due(now_ns=now_ns)]
             }
+        # retention enforcement rides the same sweep cadence (the stock
+        # 1.x retention service's periodic check): only when a default
+        # policy is declared, and duration 0/INF is keep-forever
+        from influxdb_iox_spark.retention import (
+            RetentionRegistry,
+            enforce_retention,
+        )
+
+        duration = RetentionRegistry(
+            self.store.base_dir
+        ).default_duration_ns()
+        if duration:
+            import time as _t
+
+            report["__retention__"] = enforce_retention(
+                self.store, duration,
+                now_ns if now_ns is not None else _t.time_ns(),
+            )
         return report

@@ -87,6 +87,25 @@ def test_enforce_spares_chunks_without_time_stats(spark, tmp_path):
     assert out["chunks_dropped"] == 1  # only the stats-bearing chunk
 
 
+def test_lifecycle_sweep_enforces_declared_policy(spark, tmp_path):
+    """check_for_work applies the default retention policy on the same
+    cadence as compaction/persist/CQs — and is a strict no-op when no
+    policy is declared (the pre-round-12 behavior)."""
+    from influxdb_iox_spark.streaming.lifecycle import LifecyclePolicy
+
+    store = TableStore(str(tmp_path / "s"))
+    _write(spark, store, 10, 20)
+    _write(spark, store, 150, 160)
+    pol = LifecyclePolicy(spark, store, {"cpu": SCH})
+    report = pol.check_for_work(now_ns=200 * S)
+    assert "__retention__" not in report  # no policy declared
+    RetentionRegistry(store.base_dir).set_policy("keep100", 100 * S)
+    report = pol.check_for_work(now_ns=200 * S)
+    assert report["__retention__"]["chunks_dropped"] == 1
+    times = sorted(r.time for r in store.scan(spark, "cpu", SCH).collect())
+    assert times == [150 * S, 160 * S]
+
+
 def test_ddl_show_enforce_roundtrip(spark, tmp_path):
     """CREATE RETENTION POLICY over the v1 envelope lands in the registry,
     SHOW RETENTION POLICIES reflects it, and enforcement applies it."""
