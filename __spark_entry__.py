@@ -1405,6 +1405,51 @@ FROM c ORDER BY corr_micro DESC, event_type, time_us LIMIT {k}
 """
 
 
+def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-substring spans (round 12; pipeline/spans.py —
+    the distributed re-expression of Lee et al. 2022's suffix-array
+    ExactSubstr dedup): every length-40 character window, ONE hash
+    aggregate for corpus-wide occurrence counts, join back, and a
+    gaps-and-islands merge into maximal half-open spans per document.
+    Pure integer offsets + exact substring keys, so the full span list
+    is hash-exact against DuckDB."""
+    from influxdb_iox_spark.pipeline.spans import duplicate_spans
+
+    t = _load(spark, sf_dir, "documents")
+    return duplicate_spans(t["documents"], k=40).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+SQL_DOC_DUP_SPANS = """
+WITH wins AS (
+  SELECT doc_id, pos, substring(text, pos + 1, 40) AS win
+  FROM (SELECT doc_id, text,
+               unnest(range(0, length(text) - 40 + 1)) AS pos
+        FROM documents WHERE length(text) >= 40)
+), dup AS (
+  SELECT w.doc_id, w.pos
+  FROM wins w
+  JOIN (SELECT win FROM wins GROUP BY win HAVING count(*) >= 2) d
+    USING (win)
+), isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > coalesce(max(pos + 40) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         THEN 1 ELSE 0 END AS newi
+  FROM dup
+), grp AS (
+  SELECT doc_id, pos, sum(newi) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+)
+SELECT doc_id, min(pos) AS span_start, max(pos) + 40 AS span_end
+FROM grp GROUP BY doc_id, island ORDER BY doc_id, span_start
+"""
+
+
 def q_doc_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes classification (round 12; pipeline/nb.py
     — the counts-based twin of GPT-3-style linear quality filters):
@@ -5156,6 +5201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join_revenue": q_bucketed_join_revenue,
         "doc_lm_score": q_doc_lm_score,
         "doc_nb_classify": q_doc_nb_classify,
+        "doc_dup_spans": q_doc_dup_spans,
         "doc_lm_buckets": q_doc_lm_buckets,
         "doc_shuffle_order": q_doc_shuffle_order,
         "series_pattern_topk": q_series_pattern_topk,
@@ -5413,6 +5459,7 @@ def oracle_sql() -> dict[str, str]:
         "bucketed_join_revenue": SQL_BUCKETED_JOIN_REVENUE,
         "doc_lm_score": SQL_DOC_LM_SCORE,
         "doc_nb_classify": SQL_DOC_NB_CLASSIFY,
+        "doc_dup_spans": SQL_DOC_DUP_SPANS,
         "doc_lm_buckets": _sql_lm_buckets(),
         "doc_shuffle_order": SQL_DOC_SHUFFLE_ORDER,
         "series_pattern_topk": _sql_pattern_topk(),
