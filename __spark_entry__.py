@@ -1450,6 +1450,68 @@ FROM grp GROUP BY doc_id, island ORDER BY doc_id, span_start
 """
 
 
+def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (round 12; pipeline/dsir.py — Xie et al.
+    2023 data selection): hashed unigram+bigram features (md5 buckets,
+    the engine-portable recipe), target = the English documents, raw =
+    the whole corpus; each document's log-weight is its feature counts
+    dotted with the Laplace-smoothed bucket log-ratios.  Counts stay
+    integers end-to-end; the final ln dot product follows the lm.py
+    1e-6-rounding contract."""
+    from influxdb_iox_spark.pipeline.dsir import (
+        bucket_totals,
+        dsir_log_weights,
+        hashed_ngram_counts,
+    )
+
+    t = _load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    feats = hashed_ngram_counts(docs, buckets=10_000)
+    target = bucket_totals(
+        hashed_ngram_counts(
+            docs.filter(F.col("lang") == "en"), buckets=10_000
+        )
+    )
+    raw = bucket_totals(feats)
+    return dsir_log_weights(feats, target, raw, buckets=10_000).orderBy(
+        "doc_id"
+    )
+
+
+SQL_DOC_DSIR_WEIGHTS = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+                x -> x <> '') AS t
+  FROM documents
+), nz AS (SELECT * FROM toks WHERE len(t) > 0),
+grams AS (
+  SELECT doc_id, lang,
+    unnest(t || list_transform(range(0, len(t) - 1),
+                               i -> t[i + 1] || ' ' || t[i + 2])) AS g
+  FROM nz
+), feats AS (
+  SELECT doc_id, lang,
+    ('0x' || substr(md5(g), 1, 8))::BIGINT % 10000 AS bucket,
+    count(*) AS cnt
+  FROM grams GROUP BY doc_id, lang, bucket
+), tgt AS (
+  SELECT bucket, sum(cnt) AS tc FROM feats WHERE lang = 'en' GROUP BY bucket
+), raw AS (
+  SELECT bucket, sum(cnt) AS rc FROM feats GROUP BY bucket
+), tots AS (
+  SELECT (SELECT sum(tc) FROM tgt) AS tt, (SELECT sum(rc) FROM raw) AS rt
+)
+SELECT f.doc_id, CAST(SUM(f.cnt) AS BIGINT) AS n_feats,
+  round(SUM(f.cnt * (ln(coalesce(t.tc, 0) + 1) - ln(tt + 10000)
+                     - ln(coalesce(r.rc, 0) + 1) + ln(rt + 10000)))
+        * 1000000) / 1000000 AS dsir_logw
+FROM feats f LEFT JOIN tgt t USING (bucket) LEFT JOIN raw r USING (bucket),
+     tots
+GROUP BY f.doc_id ORDER BY f.doc_id
+"""
+
+
 def q_doc_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes classification (round 12; pipeline/nb.py
     — the counts-based twin of GPT-3-style linear quality filters):
@@ -5202,6 +5264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_score": q_doc_lm_score,
         "doc_nb_classify": q_doc_nb_classify,
         "doc_dup_spans": q_doc_dup_spans,
+        "doc_dsir_weights": q_doc_dsir_weights,
         "doc_lm_buckets": q_doc_lm_buckets,
         "doc_shuffle_order": q_doc_shuffle_order,
         "series_pattern_topk": q_series_pattern_topk,
@@ -5460,6 +5523,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lm_score": SQL_DOC_LM_SCORE,
         "doc_nb_classify": SQL_DOC_NB_CLASSIFY,
         "doc_dup_spans": SQL_DOC_DUP_SPANS,
+        "doc_dsir_weights": SQL_DOC_DSIR_WEIGHTS,
         "doc_lm_buckets": _sql_lm_buckets(),
         "doc_shuffle_order": SQL_DOC_SHUFFLE_ORDER,
         "series_pattern_topk": _sql_pattern_topk(),

@@ -1,0 +1,194 @@
+"""DSIR — Data Selection with Importance Resampling (Xie et al. 2023).
+
+Given a small *target* corpus (high-quality text you want more of) and
+the big *raw* corpus you are filtering, DSIR selects raw documents whose
+hashed n-gram feature distribution looks like the target:
+
+1. every document is reduced to a bag of hashed n-gram features
+   (unigrams + bigrams → ``buckets`` hash buckets);
+2. two bucket-level unigram models are fit — one on the target, one on
+   the raw corpus — with Laplace smoothing;
+3. each raw document's importance log-weight is its feature counts
+   dotted with the buckets' log-probability ratios,
+   ``Σ_b cnt_b · (ln p_target(b) − ln p_raw(b))``;
+4. resampling draws k documents via Gumbel top-k over the log-weights —
+   a *sample* from the importance distribution, not a deterministic
+   top-k (which would collapse onto near-duplicates of the target).
+
+Spark shape, and why it scales where token-keyed scoring can't:
+
+- hashing makes the join key space FIXED (``buckets`` ids, uniform by
+  construction) — the bucket-count tables are ≤ ``buckets`` rows no
+  matter how big either corpus is, so both model joins are broadcasts
+  forever, and there is no hot-key skew to salt (contrast lm.py's
+  stopword-headed token keys);
+- feature extraction is explode + one hash aggregate per corpus;
+- scoring is one broadcast join + one per-doc sum — a single doc-keyed
+  aggregate, no window, no Python;
+- Gumbel keys are a pure function of (seed, id) — the md5 recipe of
+  ``corpus.shuffle_into_shards`` — so the resample is deterministic,
+  resumable, and engine-reproducible.
+
+Bucketing and ln both follow the repo's cross-engine contracts: buckets
+come from md5 (portable to the DuckDB oracle), counts stay integers
+end-to-end, and the reported log-weight is rounded to 1e-6 (ln is not
+IEEE-correctly-rounded; the micro-rounded value is the contract, same
+as pipeline/lm.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from influxdb_iox_spark.pipeline.text import word_tokens
+
+
+def _bucket(col):
+    """Engine-portable uniform bucket id for a feature string:
+    first 8 hex chars of md5 as an int (the shuffle_into_shards
+    recipe — DuckDB spells it ('0x' || substr(md5(g),1,8))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def hashed_ngram_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 10_000,
+    bigrams: bool = True,
+) -> DataFrame:
+    """(id, bucket, cnt): hashed unigram (+ bigram) bag-of-features.
+
+    Tokens are the corpus-wide word tokenizer (lower, split on
+    non-alphanumeric runs); bigrams are space-joined token pairs, so a
+    bigram can never collide with a unigram's text by construction of
+    the tokenizer (tokens contain no spaces).  Empty documents emit
+    nothing.
+    """
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    toks = df.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("t")
+    ).filter(F.size("t") > 0)
+    # Bigrams via zip_with over shifted slices — NEVER index-lambdas over
+    # sequence(): Catalyst inlines the token chain into the lambda body
+    # and the extraction goes quadratic in document length (the
+    # text.gram_structs lesson, measured 90 s vs ~1 s at sf0.1).
+    gram_col = F.col("t")
+    if bigrams:
+        tail = F.greatest(F.size("t") - 1, F.lit(0))
+        gram_col = F.concat(
+            F.col("t"),
+            F.zip_with(
+                F.slice("t", 1, tail),
+                F.slice("t", 2, tail),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        )
+    grams = toks.select(id_col, F.explode(gram_col).alias("g"))
+    return grams.select(
+        id_col, F.pmod(_bucket(F.col("g")), F.lit(buckets)).alias("bucket")
+    ).groupBy(id_col, "bucket").agg(F.count("*").alias("cnt"))
+
+
+def bucket_totals(feats: DataFrame) -> DataFrame:
+    """(bucket, cnt): corpus-level feature counts — the sufficient
+    statistics of one hashed unigram model (≤ buckets rows)."""
+    return feats.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def dsir_log_weights(
+    doc_feats: DataFrame,
+    target_counts: DataFrame,
+    raw_counts: DataFrame,
+    buckets: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_feats, dsir_logw) — importance log-weight per document.
+
+    ``dsir_logw = Σ_b cnt_b · (ln(t_b+1) − ln(T+B) − ln(r_b+1) + ln(R+B))``
+    with integer Laplace-smoothed counts; T/R are the model totals
+    (two driver scalars).  Both count tables are ≤ ``buckets`` rows, so
+    Spark broadcasts them regardless of corpus size.  Output rounded to
+    1e-6 per the repo's ln contract.
+    """
+    t_tot = target_counts.agg(F.sum("cnt")).collect()[0][0] or 0
+    r_tot = raw_counts.agg(F.sum("cnt")).collect()[0][0] or 0
+    if t_tot <= 0 or r_tot <= 0:
+        raise ValueError("target and raw models must both be non-empty")
+    joined = (
+        doc_feats.join(
+            F.broadcast(target_counts.withColumnRenamed("cnt", "t_cnt")),
+            "bucket",
+            "left",
+        )
+        .join(
+            F.broadcast(raw_counts.withColumnRenamed("cnt", "r_cnt")),
+            "bucket",
+            "left",
+        )
+        .select(
+            id_col,
+            "cnt",
+            (
+                F.log(F.coalesce("t_cnt", F.lit(0)) + F.lit(1))
+                - F.log(F.lit(float(t_tot + buckets)))
+                - F.log(F.coalesce("r_cnt", F.lit(0)) + F.lit(1))
+                + F.log(F.lit(float(r_tot + buckets)))
+            ).alias("lr"),
+        )
+    )
+    return joined.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_feats"),
+        (
+            F.round(F.sum(F.col("cnt") * F.col("lr")) * 1_000_000)
+            / 1_000_000
+        ).alias("dsir_logw"),
+    )
+
+
+def dsir_resample(
+    weights: DataFrame,
+    k: int,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gumbel top-k resampling: k documents drawn WITHOUT replacement
+    from the softmax of the importance log-weights — the exact
+    reservoir-free distributed formulation (Vieira 2014): key =
+    logw + Gumbel(0,1), take the k largest.
+
+    The Gumbel noise is a pure function of (seed, id) via the md5
+    recipe (u = (h32 + 0.5) / 2^32, g = −ln(−ln u)), so the draw is
+    deterministic across runs, cluster layouts, and engines — the same
+    reproducibility contract as shuffle_into_shards.  Selection is one
+    TakeOrderedAndProject-shaped top-k (rank over a single ordered
+    window is avoided: filter by the k-th key via a bounded sort).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h32.cast("double") + F.lit(0.5)) / F.lit(float(2**32))
+    keyed = weights.withColumn(
+        "__gkey", F.col("dsir_logw") - F.log(-F.log(u))
+    )
+    # orderBy + limit compiles to TakeOrderedAndProject: bounded heaps
+    # map-side and one k-row gather — never a global sort.
+    return (
+        keyed.orderBy(F.desc("__gkey"), id_col)
+        .limit(k)
+        .drop("__gkey")
+    )
