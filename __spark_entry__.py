@@ -1450,6 +1450,23 @@ FROM grp GROUP BY doc_id, island ORDER BY doc_id, span_start
 """
 
 
+def q_doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-BPE token counts (round 12; pipeline/bpe.py): train 24
+    merges on the even-id documents (one corpus scan builds the
+    distinct-word table; each merge is one hash aggregate over it),
+    then report per-document (n_words, n_pieces) under the learned
+    tokenizer.  Deterministic end-to-end (lexicographic tie-breaks),
+    but the trainer is an iterative driver loop — not SQL-expressible,
+    so this rides the driver's rows-only check; exact parity vs a pure
+    Python Sennrich reference is pinned in tests/test_bpe.py."""
+    from influxdb_iox_spark.pipeline.bpe import bpe_token_stats, train_bpe
+
+    t = _load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    merges = train_bpe(docs.filter(F.col("doc_id") % 2 == 0), n_merges=24)
+    return bpe_token_stats(docs, merges).orderBy("doc_id")
+
+
 def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (round 12; pipeline/dsir.py — Xie et al.
     2023 data selection): hashed unigram+bigram features (md5 buckets,
@@ -5265,6 +5282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_nb_classify": q_doc_nb_classify,
         "doc_dup_spans": q_doc_dup_spans,
         "doc_dsir_weights": q_doc_dsir_weights,
+        "doc_bpe_token_stats": q_doc_bpe_token_stats,
         "doc_lm_buckets": q_doc_lm_buckets,
         "doc_shuffle_order": q_doc_shuffle_order,
         "series_pattern_topk": q_series_pattern_topk,

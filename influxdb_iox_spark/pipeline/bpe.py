@@ -1,0 +1,201 @@
+"""Distributed BPE tokenizer — learned merges instead of a regex proxy.
+
+Byte-pair encoding (Sennrich et al. 2016) is THE tokenization step of a
+training-data pipeline; the corpus-side statistics are what make it
+expensive, and that is exactly the part Spark is good at:
+
+- **The trainer never touches the corpus after one scan.**  BPE
+  statistics only depend on the *distinct-word frequency table*
+  (word → count), which is tiny relative to the corpus (Heaps' law:
+  ~millions of types for trillions of tokens).  One corpus-wide hash
+  aggregate builds it; every merge iteration then runs on the word
+  table alone.
+- **One merge iteration = one hash aggregate.**  Adjacent symbol pairs
+  come from zip_with over shifted slices (never index-lambdas over
+  sequence() — the text.gram_structs quadratic-inlining lesson),
+  weighted by word frequency; the argmax pair is one 1-row collect.
+  Ties break lexicographically so training is deterministic across
+  runs, partitionings, and engines.
+- **Applying a merge is a codegen fold** (aggregate() with an array
+  accumulator — greedy left-to-right, the reference algorithm's
+  re.sub semantics), applied to the word table, with localCheckpoint
+  every few merges so lineage doesn't snowball across iterations.
+- **Encoding re-joins words to their learned segmentation**: the
+  word → pieces map is the fully-merged word table itself — encode is
+  one token explode + one join (broadcast while the vocabulary fits,
+  which it essentially always does), never a per-document Python loop.
+
+Pinned contract (the pytest oracle replays it in pure Python):
+words are word_tokens() output; each word's symbol sequence is its
+codepoints with a terminal ``</w>`` marker appended as one extra
+symbol; candidate pairs below ``min_pair_count`` stop training; the
+best pair is (count DESC, left ASC, right ASC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from influxdb_iox_spark.pipeline.text import word_tokens
+
+END = "</w>"
+
+
+def word_freq_table(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word, freq) — the one corpus scan the trainer needs."""
+    return (
+        df.select(F.explode(word_tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _initial_syms(word: Column) -> Column:
+    return F.concat(F.split(word, ""), F.array(F.lit(END)))
+
+
+def _adjacent_pairs(syms: Column) -> Column:
+    n = F.greatest(F.size(syms) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(syms, 1, n),
+        F.slice(syms, 2, n),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+
+
+def _merge_pair(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right merge of (left, right) → left+right inside a
+    symbol array — a pure codegen fold, no Python, literals handled by
+    lit() so arbitrary symbol text is safe."""
+    return F.aggregate(
+        syms,
+        F.slice(syms, 1, 0),  # typed empty accumulator
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.lit(left + right)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    checkpoint_every: int = 4,
+) -> list[tuple[str, str]]:
+    """Learn up to ``n_merges`` BPE merges from the corpus.
+
+    Returns the ordered merge list — the tokenizer model.  Driver
+    traffic is one (pair, count) row per iteration; per-iteration work
+    is one hash aggregate over the distinct-word table.
+    """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    if min_pair_count < 1:
+        raise ValueError("min_pair_count must be >= 1")
+    words = word_freq_table(df, text_col).select(
+        "freq", _initial_syms(F.col("word")).alias("syms")
+    )
+    words = words.localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        best = (
+            words.select("freq", F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), "l", "r")
+            .first()
+        )
+        if best is None or best["c"] < min_pair_count:
+            break
+        merges.append((best["l"], best["r"]))
+        words = words.select(
+            "freq", _merge_pair(F.col("syms"), best["l"], best["r"]).alias("syms")
+        )
+        if (i + 1) % checkpoint_every == 0:
+            words = words.localCheckpoint(eager=True)
+    return merges
+
+
+def segment_words(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """(word, pieces) — each distinct word's learned segmentation, by
+    replaying the merge list in order (the apply side of Sennrich's
+    algorithm).  Chained folds over a small table; checkpointed on the
+    same cadence as training."""
+    out = words.select("word", _initial_syms(F.col("word")).alias("pieces"))
+    for i, (l, r) in enumerate(merges):
+        out = out.select("word", _merge_pair(F.col("pieces"), l, r).alias("pieces"))
+        if (i + 1) % 4 == 0:
+            out = out.localCheckpoint(eager=True)
+    return out
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, pos, piece) — the corpus tokenized with the learned merges.
+
+    The segmentation map is built ONCE on the document set's own
+    distinct words and joined back (broadcast while the vocabulary
+    fits); pos is the piece's 0-based index in the document, so
+    downstream sequence packing keeps exact order.
+    """
+    toks = df.select(
+        F.col(id_col), F.posexplode(word_tokens(F.col(text_col))).alias("wpos", "word")
+    )
+    seg = segment_words(toks.select("word").distinct(), merges)
+    return (
+        toks.join(F.broadcast(seg), "word")
+        .select(
+            id_col,
+            "wpos",
+            F.posexplode("pieces").alias("ppos", "piece"),
+        )
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("wpos", "ppos")
+            )
+            - 1,
+        )
+        .select(id_col, F.col("pos").cast("long"), "piece")
+    )
+
+
+def bpe_token_stats(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_words, n_pieces) — learned-tokenizer token counts per doc
+    (the honest replacement for the regex token_count estimate).
+    Aggregates piece counts per WORD first, so no per-piece row ever
+    crosses an exchange: the doc-side cost is one broadcast join and
+    one per-doc sum."""
+    toks = df.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("word")
+    )
+    seg = segment_words(toks.select("word").distinct(), merges).select(
+        "word", F.size("pieces").alias("n_p")
+    )
+    return (
+        toks.join(F.broadcast(seg), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_p").alias("n_pieces"),
+        )
+    )

@@ -1,0 +1,128 @@
+"""Distributed BPE trainer/encoder vs a pure-Python Sennrich reference.
+
+The reference implements the pinned contract exactly: codepoint symbols
++ terminal </w>, greedy left-to-right merge application, best pair =
+(count DESC, left ASC, right ASC), stop below min_pair_count.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+
+from influxdb_iox_spark.pipeline.bpe import (
+    END,
+    bpe_encode,
+    bpe_token_stats,
+    train_bpe,
+)
+
+
+def _words(text):
+    return [w for w in re.split(r"[^0-9a-zÀ-￿]+", text.lower()) if w]
+
+
+def _ref_train(texts, n_merges, min_pair_count=2):
+    freqs = Counter()
+    for t in texts:
+        freqs.update(_words(t))
+    words = {w: list(w) + [END] for w in freqs}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += freqs[w]
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        (l, r) = best[0]
+        merges.append((l, r))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges, words
+
+
+TEXTS = [
+    "low lower lowest low low",
+    "new newer newest new new new",
+    "the newest lowest widest",
+    "wide wider widest wide",
+]
+
+
+def test_trainer_matches_reference(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    want, _ = _ref_train(TEXTS, 12)
+    got = train_bpe(df, n_merges=12)
+    assert got == want
+    assert len(got) > 4  # the corpus genuinely supports many merges
+
+
+def test_trainer_stops_at_min_pair_count(spark):
+    df = spark.createDataFrame(
+        [(1, "ab cd ef")], "doc_id long, text string"
+    )
+    # Every pair occurs once: nothing reaches min_pair_count=2.
+    assert train_bpe(df, n_merges=5) == []
+
+
+def test_encode_matches_reference_segmentation(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    merges, ref_words = _ref_train(TEXTS, 12)
+    enc = bpe_encode(df, merges).collect()
+    by_doc: dict[int, list[str]] = {}
+    for r in sorted(enc, key=lambda r: (r.doc_id, r.pos)):
+        by_doc.setdefault(r.doc_id, []).append(r.piece)
+        assert r.pos == len(by_doc[r.doc_id]) - 1  # dense 0-based positions
+    for i, t in enumerate(TEXTS):
+        want = [p for w in _words(t) for p in ref_words[w]]
+        assert by_doc[i] == want, f"doc {i}"
+
+
+def test_token_stats(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    merges, ref_words = _ref_train(TEXTS, 8)
+    got = {r.doc_id: (r.n_words, r.n_pieces) for r in bpe_token_stats(df, merges).collect()}
+    for i, t in enumerate(TEXTS):
+        ws = _words(t)
+        assert got[i] == (len(ws), sum(len(ref_words[w]) for w in ws))
+
+
+def test_unicode_words_segment_by_codepoint(spark):
+    texts = ["中文 中文 中文字", "中文 字典 字典"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    want, ref_words = _ref_train(texts, 4)
+    got = train_bpe(df, n_merges=4)
+    assert got == want
+    enc = bpe_encode(df, got).collect()
+    pieces0 = [r.piece for r in sorted(enc, key=lambda r: (r.doc_id, r.pos)) if r.doc_id == 0]
+    assert pieces0 == [p for w in _words(texts[0]) for p in ref_words[w]]
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        train_bpe(df, n_merges=0)
+    with pytest.raises(ValueError):
+        train_bpe(df, n_merges=1, min_pair_count=0)
