@@ -68,6 +68,12 @@ def hashed_ngram_counts(
     """
     if buckets < 2:
         raise ValueError("buckets must be >= 2")
+    # Feature extraction fans out ~2 rows per word; widen narrow scans
+    # so the explode + partial aggregate parallelize (the
+    # pipeline/dedup.minhash guard — no-op on real many-split corpora).
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism, F.col(id_col))
     toks = df.select(
         F.col(id_col), word_tokens(F.col(text_col)).alias("t")
     ).filter(F.size("t") > 0)

@@ -82,17 +82,34 @@ def window_occurrences(
         raise ValueError("stride must be >= 1")
     if key not in ("text", "hash"):
         raise ValueError("key must be 'text' or 'hash'")
-    win_expr = (
-        f"transform(sequence(0, length({text_col}) - {k}, 1), "
-        f"p -> struct(p AS pos, substring({text_col}, p + 1, {k}) AS win))"
-    )
+    # Window emission fans out ~1 row per character: Spark sizes scan
+    # partitions by INPUT bytes and cannot see that, so a compact corpus
+    # file explodes inside too few tasks (measured: the whole sf1
+    # pipeline on 2 tasks; 110 s → 11 s after re-keying).  Same guard as
+    # pipeline/dedup.minhash: widen only when the scan is narrower than
+    # the cluster — a real corpus with thousands of input splits never
+    # pays this shuffle.
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism, F.col(id_col))
+    # Explode a plain int sequence, THEN cut the substring with the
+    # three-arg codegen substring — never substring inside a transform()
+    # lambda: higher-order functions run interpreted, and the lambda
+    # formulation measured 24 s where this one measures 0.4 s for the
+    # same 15M windows at sf1 (the text.gram_structs lesson again).
     out = (
         df.filter(F.length(text_col) >= k)
-        .select(F.col(id_col), F.explode(F.expr(win_expr)).alias("w"))
         .select(
             F.col(id_col),
-            F.col("w.pos").cast("long").alias("pos"),
-            F.col("w.win").alias("win"),
+            F.col(text_col),
+            F.explode(
+                F.sequence(F.lit(0), F.length(text_col) - k)
+            ).alias("pos"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("pos").cast("long").alias("pos"),
+            F.expr(f"substring({text_col}, pos + 1, {k})").alias("win"),
         )
     )
     if stride > 1:
