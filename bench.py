@@ -61,6 +61,12 @@ HEADLINE = [
     # round-12 addition: the NB classifier train-and-score path (two hash
     # aggregates + one token-keyed join against the label-pivoted counts)
     "doc_nb_classify",
+    # round-12 additions: exact duplicate-substring spans (per-character
+    # window fan-out -> count -> join-back -> island merge; tracks the
+    # fan-out-parallelism posture) and DSIR importance weights (hashed
+    # features, broadcast-forever bucket models)
+    "doc_dup_spans",
+    "doc_dsir_weights",
 ]
 
 
