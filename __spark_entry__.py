@@ -1483,12 +1483,15 @@ def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _load(spark, sf_dir, "documents")
     docs = t["documents"]
-    feats = hashed_ngram_counts(docs, buckets=10_000)
-    target = bucket_totals(
-        hashed_ngram_counts(
-            docs.filter(F.col("lang") == "en"), buckets=10_000
-        )
+    # One feature extraction feeds the doc side AND both models:
+    # localCheckpoint materializes it once (feats is compact — one row
+    # per (doc, bucket)), and the target model is derived by filtering
+    # feats against the English ids instead of re-tokenizing.
+    feats = hashed_ngram_counts(docs, buckets=10_000).localCheckpoint(
+        eager=True
     )
+    en_ids = docs.filter(F.col("lang") == "en").select("doc_id")
+    target = bucket_totals(feats.join(F.broadcast(en_ids), "doc_id"))
     raw = bucket_totals(feats)
     return dsir_log_weights(feats, target, raw, buckets=10_000).orderBy(
         "doc_id"

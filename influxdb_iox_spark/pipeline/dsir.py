@@ -119,8 +119,14 @@ def dsir_log_weights(
     Spark broadcasts them regardless of corpus size.  Output rounded to
     1e-6 per the repo's ln contract.
     """
-    t_tot = target_counts.agg(F.sum("cnt")).collect()[0][0] or 0
-    r_tot = raw_counts.agg(F.sum("cnt")).collect()[0][0] or 0
+    # Both totals in ONE action (a 1-row cross of two 1-row aggregates)
+    # — two separate collects would evaluate the feature lineage twice.
+    trow = (
+        target_counts.agg(F.sum("cnt").alias("t"))
+        .crossJoin(raw_counts.agg(F.sum("cnt").alias("r")))
+        .collect()[0]
+    )
+    t_tot, r_tot = trow["t"] or 0, trow["r"] or 0
     if t_tot <= 0 or r_tot <= 0:
         raise ValueError("target and raw models must both be non-empty")
     joined = (
