@@ -1450,6 +1450,60 @@ FROM grp GROUP BY doc_id, island ORDER BY doc_id, span_start
 """
 
 
+def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 text retrieval (round 12; pipeline/search.py): inverted
+    postings with denormalized doc lengths, broadcast df slice for the
+    query terms, one doc-keyed aggregate, TakeOrderedAndProject top-20.
+    Integer tf/dl/df/N end-to-end; the ≤3-term double sum follows the
+    1e-6 ln contract, ties broken by doc_id.  Constant spelling note:
+    k1+1 is WRITTEN as 1.2 + 1.0 in both engines so the doubles are
+    bit-identical."""
+    from influxdb_iox_spark.pipeline.search import bm25_topk, build_bm25_index
+
+    t = _load(spark, sf_dir, "documents")
+    postings, dfreq, meta = build_bm25_index(t["documents"])
+    return bm25_topk(
+        postings, dfreq, meta, ["spark", "window", "merge"], k=20
+    )
+
+
+SQL_DOC_BM25_TOPK = r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+                x -> x <> '') AS t
+  FROM documents
+), terms AS (
+  SELECT doc_id, unnest(t) AS term FROM toks WHERE len(t) > 0
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM terms GROUP BY doc_id
+), post AS (
+  SELECT term, doc_id, count(*) AS tf FROM terms
+  WHERE term IN ('spark', 'window', 'merge') GROUP BY term, doc_id
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM terms
+  WHERE term IN ('spark', 'window', 'merge') GROUP BY term
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+)
+SELECT p.doc_id,
+  round(sum(
+    ln(1.0 + (n - CAST(f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))
+    * CAST(p.tf AS DOUBLE) * (1.2 + 1.0)
+    / (CAST(p.tf AS DOUBLE)
+       + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(d.dl AS DOUBLE) / avgdl))
+  ) * 1000000) / 1000000 AS bm25
+FROM post p
+JOIN dfreq f USING (term)
+JOIN dl d USING (doc_id), stats
+GROUP BY p.doc_id
+ORDER BY bm25 DESC, p.doc_id
+LIMIT 20
+"""
+
+
 def q_doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned-BPE token counts (round 12; pipeline/bpe.py): train 24
     merges on the even-id documents (one corpus scan builds the
@@ -5286,6 +5340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_spans": q_doc_dup_spans,
         "doc_dsir_weights": q_doc_dsir_weights,
         "doc_bpe_token_stats": q_doc_bpe_token_stats,
+        "doc_bm25_topk": q_doc_bm25_topk,
         "doc_lm_buckets": q_doc_lm_buckets,
         "doc_shuffle_order": q_doc_shuffle_order,
         "series_pattern_topk": q_series_pattern_topk,
@@ -5545,6 +5600,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_nb_classify": SQL_DOC_NB_CLASSIFY,
         "doc_dup_spans": SQL_DOC_DUP_SPANS,
         "doc_dsir_weights": SQL_DOC_DSIR_WEIGHTS,
+        "doc_bm25_topk": SQL_DOC_BM25_TOPK,
         "doc_lm_buckets": _sql_lm_buckets(),
         "doc_shuffle_order": SQL_DOC_SHUFFLE_ORDER,
         "series_pattern_topk": _sql_pattern_topk(),

@@ -1,0 +1,159 @@
+"""BM25 full-text retrieval — the lexical twin of the ANN search path.
+
+A training-data platform needs text retrieval next to embedding search
+(contamination forensics, targeted corpus slicing, eval-set mining).
+This is Okapi BM25 over an inverted-postings TABLE — the classic
+search-engine layout re-expressed relationally, the way Lucene's
+per-segment index becomes a distributed columnar dataset:
+
+- **Build once**: ``build_bm25_index`` produces one postings DataFrame
+  (term, doc, tf, dl) — document length DENORMALIZED onto every
+  posting so query-time scoring never joins a doc-stats side table —
+  plus a (term, df) document-frequency table and two corpus scalars
+  (N, avgdl) in a tiny meta dict.  Persist with ``save_bm25`` /
+  ``load_bm25``: postings are written **partitioned by a term hash
+  bucket**, so a query's scan prunes to |query-terms| buckets instead
+  of the whole index (the IVF-probe trick applied to text).
+- **Query time**: filter postings to the query terms (partition-pruned
+  + pushed down), broadcast-join the ≤|q|-row df slice, score each
+  posting with the BM25 saturation formula, ONE doc-keyed aggregate,
+  top-k via orderBy+limit (TakeOrderedAndProject: bounded heaps, never
+  a global sort).
+
+Scoring contract (engine-portable, DuckDB-oracle-paired):
+idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))  [the Lucene positive
+variant], score(d) = Σ_t idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)),
+with integer tf/dl/df/N end-to-end and the final double rounded to
+1e-6 (the repo's ln contract — the sum has ≤|q| terms, so ordering
+drift is bounded and absorbed by the rounding).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from influxdb_iox_spark.pipeline.text import word_tokens
+
+N_BUCKETS = 64  # term-hash partition fan-out of a persisted index
+
+
+def build_bm25_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, dict]:
+    """(postings, dfreq, meta) — postings = (term, id, tf, dl);
+    dfreq = (term, df); meta = {"n_docs": N, "total_len": L}
+    (avgdl = L/N is derived at query time so the stored stats stay
+    integers).  Documents with no tokens are excluded from N — they can
+    never match, and counting them would deflate every idf."""
+    toks = df.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("term")
+    )
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    postings = (
+        toks.groupBy("term", id_col)
+        .agg(F.count("*").alias("tf"))
+        .join(dl, id_col)
+        .select("term", id_col, "tf", "dl")
+    )
+    dfreq = postings.groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    stats = dl.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("l")
+    ).collect()[0]
+    meta = {"n_docs": int(stats["n"] or 0), "total_len": int(stats["l"] or 0)}
+    return postings, dfreq, meta
+
+
+def save_bm25(
+    postings: DataFrame, dfreq: DataFrame, meta: dict, path: str
+) -> None:
+    """Persist the index; postings partitioned by a term-hash bucket so
+    query scans prune to the buckets of the query's own terms."""
+    postings.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(N_BUCKETS)).cast("int")
+    ).write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(path, "postings")
+    )
+    dfreq.write.mode("overwrite").parquet(os.path.join(path, "dfreq"))
+    with open(os.path.join(path, "_bm25_meta.json"), "w") as f:
+        json.dump({"kind": "bm25", "buckets": N_BUCKETS, **meta}, f)
+
+
+def load_bm25(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame, dict]:
+    with open(os.path.join(path, "_bm25_meta.json")) as f:
+        meta = json.load(f)
+    return (
+        spark.read.parquet(os.path.join(path, "postings")),
+        spark.read.parquet(os.path.join(path, "dfreq")),
+        meta,
+    )
+
+
+def bm25_topk(
+    postings: DataFrame,
+    dfreq: DataFrame,
+    meta: dict,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k (id, bm25) for a bag of query terms.
+
+    Repeated query terms count once (bag-of-terms query, the standard
+    web-query semantics).  On a ``load_bm25`` index the term filter
+    prunes partitions via the bucket column when present; on an
+    in-memory index it pushes down to the scan either way.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    n_docs, total_len = int(meta["n_docs"]), int(meta["total_len"])
+    if n_docs <= 0:
+        raise ValueError("empty index")
+    avgdl = float(total_len) / float(n_docs)
+    p = postings.filter(F.col("term").isin(terms))
+    if "bucket" in postings.columns:
+        # Loaded index: restrict to the query terms' hash buckets.  Each
+        # comparison's right side is xxhash64 over a LITERAL — Catalyst
+        # constant-folds it, so this prunes partitions at planning time
+        # (asserted in tests), not per row.
+        cond = None
+        for t in terms:
+            c = F.col("bucket") == F.pmod(
+                F.xxhash64(F.lit(t)), F.lit(N_BUCKETS)
+            ).cast("int")
+            cond = c if cond is None else (cond | c)
+        p = p.filter(cond)
+    p = p.join(
+        F.broadcast(dfreq.filter(F.col("term").isin(terms))), "term"
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    denom = tf + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
+    )
+    contrib = idf * tf * F.lit(k1 + 1.0) / denom
+    return (
+        p.select(F.col(id_col), contrib.alias("c"))
+        .groupBy(id_col)
+        .agg((F.round(F.sum("c") * 1_000_000) / 1_000_000).alias("bm25"))
+        .orderBy(F.desc("bm25"), id_col)
+        .limit(k)
+    )

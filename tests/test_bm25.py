@@ -1,0 +1,128 @@
+"""BM25 retrieval (pipeline/search.py) vs a pure-Python reference."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+
+from influxdb_iox_spark.pipeline.search import (
+    N_BUCKETS,
+    bm25_topk,
+    build_bm25_index,
+    load_bm25,
+    save_bm25,
+)
+
+
+def _toks(text):
+    return [t for t in re.split(r"[^0-9a-z]+", text.lower()) if t]
+
+
+def _ref_bm25(docs, query, k1=1.2, b=0.75):
+    toked = {i: _toks(t) for i, t in docs.items()}
+    toked = {i: t for i, t in toked.items() if t}
+    n = len(toked)
+    avgdl = sum(len(t) for t in toked.values()) / n
+    dfreq = {}
+    for t in set(q for ts in toked.values() for q in ts):
+        dfreq[t] = sum(1 for ts in toked.values() if t in ts)
+    out = {}
+    for i, ts in toked.items():
+        s = 0.0
+        for q in set(query):
+            tf = ts.count(q)
+            if not tf:
+                continue
+            idf = math.log(1 + (n - dfreq[q] + 0.5) / (dfreq[q] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(ts) / avgdl))
+        if s > 0:
+            out[i] = round(s * 1e6) / 1e6
+    return out
+
+
+DOCS = {
+    1: "the quick brown fox jumps over the lazy dog",
+    2: "the dog barks at the other dog all night",
+    3: "foxes are quick; dogs are lazy",
+    4: "completely unrelated text about spark shuffles",
+    5: "",
+}
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in DOCS.items()], "doc_id long, text string"
+    )
+    return build_bm25_index(df)
+
+
+def test_scores_match_reference(spark, index):
+    postings, dfreq, meta = index
+    query = ["quick", "dog", "dog", "missingterm"]
+    got = {
+        r.doc_id: r.bm25
+        for r in bm25_topk(postings, dfreq, meta, query, k=10).collect()
+    }
+    want = _ref_bm25(DOCS, query)
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i] == pytest.approx(want[i], abs=2e-6)
+
+
+def test_ranking_and_k(spark, index):
+    postings, dfreq, meta = index
+    top1 = bm25_topk(postings, dfreq, meta, ["dog"], k=1).collect()
+    assert len(top1) == 1 and top1[0].doc_id == 2  # tf=3 wins
+    top2 = bm25_topk(postings, dfreq, meta, ["quick", "fox"], k=2).collect()
+    assert [r.doc_id for r in top2] == sorted(
+        _ref_bm25(DOCS, ["quick", "fox"]),
+        key=lambda i: (-_ref_bm25(DOCS, ["quick", "fox"])[i], i),
+    )[:2]
+
+
+def test_empty_doc_excluded_from_stats(index):
+    _, _, meta = index
+    assert meta["n_docs"] == 4  # doc 5 is token-less
+
+
+def test_save_load_round_trip_and_pruning(spark, index, tmp_path):
+    postings, dfreq, meta = index
+    save_bm25(postings, dfreq, meta, str(tmp_path / "idx"))
+    p2, d2, m2 = load_bm25(spark, str(tmp_path / "idx"))
+    assert m2["n_docs"] == meta["n_docs"]
+    got = {
+        r.doc_id: r.bm25
+        for r in bm25_topk(p2, d2, m2, ["dog", "quick"], k=10).collect()
+    }
+    want = _ref_bm25(DOCS, ["dog", "quick"])
+    for i in want:
+        assert got[i] == pytest.approx(want[i], abs=2e-6)
+    # Partition pruning: the scan must touch only the query terms' hash
+    # buckets (constant-folded xxhash64 literals), not all of them.
+    q = bm25_topk(p2, d2, m2, ["dog"], k=3)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    m = _re.search(r"partitions read[^\d]*(\d+)", plan)
+    if m:  # formatted detail available
+        assert int(m.group(1)) <= 2
+    n_parts = len(
+        [
+            f
+            for f in (tmp_path / "idx" / "postings").glob("bucket=*")
+        ]
+    )
+    assert n_parts > 2  # the index genuinely has more buckets than read
+
+
+def test_validation(spark, index):
+    postings, dfreq, meta = index
+    with pytest.raises(ValueError):
+        bm25_topk(postings, dfreq, meta, [], k=3)
+    with pytest.raises(ValueError):
+        bm25_topk(postings, dfreq, meta, ["dog"], k=0)
+    with pytest.raises(ValueError):
+        bm25_topk(postings, dfreq, {"n_docs": 0, "total_len": 0}, ["dog"])
