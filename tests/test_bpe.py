@@ -126,3 +126,33 @@ def test_validation(spark):
         train_bpe(df, n_merges=0)
     with pytest.raises(ValueError):
         train_bpe(df, n_merges=1, min_pair_count=0)
+
+
+def test_randomized_corpora_match_reference(spark):
+    """Seeded-random sweep: small-alphabet corpora make merge ties and
+    overlapping pairs (aa,aa in aaaa) common — exactly where greedy
+    application and tie-breaking can drift from the reference."""
+    import random
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        texts = [
+            " ".join(
+                "".join(rng.choice("ab") for _ in range(rng.randrange(1, 7)))
+                for _ in range(rng.randrange(1, 12))
+            )
+            for _ in range(rng.randrange(2, 6))
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        want_merges, ref_words = _ref_train(texts, 8)
+        got = train_bpe(df, n_merges=8)
+        assert got == want_merges, f"seed={seed} texts={texts}"
+        enc = bpe_encode(df, got).collect()
+        by_doc = {}
+        for r in sorted(enc, key=lambda r: (r.doc_id, r.pos)):
+            by_doc.setdefault(r.doc_id, []).append(r.piece)
+        for i, t in enumerate(texts):
+            want = [p for w in _words(t) for p in ref_words[w]]
+            assert by_doc.get(i, []) == want, f"seed={seed} doc={i}"

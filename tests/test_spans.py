@@ -140,3 +140,22 @@ def test_validation(spark):
         window_occurrences(df, k=4, stride=0)
     with pytest.raises(ValueError):
         window_occurrences(df, k=4, key="nope")
+
+
+def test_randomized_corpora_match_brute_force(spark):
+    """Seeded-random sweep (hypothesis-style, batched to keep Spark round
+    trips bounded): dense-duplicate corpora over a 3-char alphabet with
+    k=8 exercise within-doc repeats, overlap chains, and edge merges far
+    harder than the hand fixtures."""
+    import random
+
+    for seed in (0, 1, 2, 3, 4, 5):
+        rng = random.Random(seed)
+        docs = {
+            i: "".join(rng.choice("ab ") for _ in range(rng.randrange(0, 60)))
+            for i in range(1, rng.randrange(4, 12))
+        }
+        k = rng.choice([4, 8])
+        assert _spark_spans(spark, docs, k) == _brute_spans(docs, k), (
+            f"seed={seed} k={k} docs={docs}"
+        )
