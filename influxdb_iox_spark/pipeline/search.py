@@ -86,6 +86,64 @@ def save_bm25(
         json.dump({"kind": "bm25", "buckets": N_BUCKETS, **meta}, f)
 
 
+def update_bm25(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Fold a batch of NEW documents into a persisted index without
+    rebuilding it — the continuous-ingest twin of ``build_bm25_index``.
+
+    Contract: ids are append-only (run the corpus-dedup accept step
+    upstream; re-ingesting an id would double-count its postings —
+    exactly like re-appending a chunk without the manifest's drop
+    tombstone).  Cost model: the new batch's postings land in the term
+    buckets its OWN terms hash to, and ONLY those partitions rewrite
+    (dynamic partition overwrite — for a small batch that is a handful
+    of the 64 buckets, not the index); dfreq and the meta sidecar are
+    tiny and rewrite whole.  Returns the new meta.
+    """
+    postings, dfreq, meta = load_bm25(spark, path)
+    np_, nd, nm = build_bm25_index(new_docs, id_col=id_col, text_col=text_col)
+    np_ = np_.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(N_BUCKETS)).cast("int")
+    )
+    touched = [
+        r["bucket"] for r in np_.select("bucket").distinct().collect()
+    ]
+    if touched:
+        merged = postings.filter(F.col("bucket").isin(touched)).unionByName(
+            np_
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            # localCheckpoint breaks the read-from/write-to-same-path
+            # cycle (Spark refuses to overwrite a partition it is
+            # reading); the merged slice is only the touched buckets.
+            merged.localCheckpoint(eager=True).write.mode(
+                "overwrite"
+            ).partitionBy("bucket").parquet(os.path.join(path, "postings"))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    new_dfreq = (
+        dfreq.unionByName(nd)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .localCheckpoint(eager=True)
+    )
+    new_dfreq.write.mode("overwrite").parquet(os.path.join(path, "dfreq"))
+    out = {
+        "n_docs": int(meta["n_docs"]) + int(nm["n_docs"]),
+        "total_len": int(meta["total_len"]) + int(nm["total_len"]),
+    }
+    with open(os.path.join(path, "_bm25_meta.json"), "w") as f:
+        json.dump({"kind": "bm25", "buckets": N_BUCKETS, **out}, f)
+    return out
+
+
 def load_bm25(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame, dict]:

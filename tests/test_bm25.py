@@ -126,3 +126,65 @@ def test_validation(spark, index):
         bm25_topk(postings, dfreq, meta, ["dog"], k=0)
     with pytest.raises(ValueError):
         bm25_topk(postings, dfreq, {"n_docs": 0, "total_len": 0}, ["dog"])
+
+
+def test_incremental_update_equals_rebuild(spark, tmp_path):
+    from influxdb_iox_spark.pipeline.search import update_bm25
+    import os
+
+    a = {i: t for i, t in DOCS.items() if i <= 3}
+    b = {10: "a brand new dog document", 11: "quick quick updates arrive"}
+    df_a = spark.createDataFrame(list(a.items()), "doc_id long, text string")
+    df_b = spark.createDataFrame(list(b.items()), "doc_id long, text string")
+    df_ab = spark.createDataFrame(
+        list({**a, **b}.items()), "doc_id long, text string"
+    )
+
+    inc = str(tmp_path / "inc")
+    p, d, m = build_bm25_index(df_a)
+    save_bm25(p, d, m, inc)
+    before = {
+        e: sorted(os.listdir(tmp_path / "inc" / "postings" / e))
+        for e in os.listdir(tmp_path / "inc" / "postings")
+        if e.startswith("bucket=")
+    }
+    m2 = update_bm25(spark, inc, df_b)
+
+    full = build_bm25_index(df_ab)
+    assert m2 == full[2]
+    pi, di, mi = load_bm25(spark, inc)
+    key = lambda r: (r.term, r.doc_id)
+    assert sorted(
+        ((r.term, r.doc_id, r.tf, r.dl) for r in pi.collect())
+    ) == sorted((r.term, r.doc_id, r.tf, r.dl) for r in full[0].collect())
+    assert sorted((r.term, r.df) for r in di.collect()) == sorted(
+        (r.term, r.df) for r in full[1].collect()
+    )
+    # Same query answers as a fresh rebuild.
+    q = ["dog", "quick"]
+    got = {r.doc_id: r.bm25 for r in bm25_topk(pi, di, mi, q, k=10).collect()}
+    want = {
+        r.doc_id: r.bm25
+        for r in bm25_topk(full[0], full[1], full[2], q, k=10).collect()
+    }
+    assert got == want
+    # Untouched bucket partitions kept their original files (the rewrite
+    # was scoped by dynamic partition overwrite, not a full rewrite).
+    new_terms = {
+        t for ts in (b[k].split() for k in b) for t in ts
+    }
+    touched_rows = full[0].sparkSession.createDataFrame(
+        [(t,) for t in new_terms], "term string"
+    ).selectExpr(f"cast(pmod(xxhash64(term), {N_BUCKETS}) as int) b").collect()
+    touched = {r.b for r in touched_rows}
+    untouched = [
+        e for e in before if int(e.split("=")[1]) not in touched
+    ]
+    assert untouched, "fixture must leave some buckets untouched"
+    after = {
+        e: sorted(os.listdir(tmp_path / "inc" / "postings" / e))
+        for e in os.listdir(tmp_path / "inc" / "postings")
+        if e.startswith("bucket=")
+    }
+    for e in untouched:
+        assert after[e] == before[e], f"untouched bucket {e} was rewritten"
