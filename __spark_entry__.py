@@ -1521,6 +1521,62 @@ def q_doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_stats(docs, merges).orderBy("doc_id")
 
 
+def q_doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-character fractions from the merged
+    ExactSubstr spans (round 12; pipeline/spans.duplicate_span_stats):
+    the quality column a dedup pipeline filters on.  Integer char
+    counts; one double divide per doc, spelled identically in DuckDB."""
+    from influxdb_iox_spark.pipeline.spans import (
+        duplicate_span_stats,
+        duplicate_spans,
+    )
+
+    t = _load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    return duplicate_span_stats(docs, duplicate_spans(docs, k=40)).orderBy(
+        "doc_id"
+    )
+
+
+SQL_DOC_DUP_SPAN_STATS = """
+WITH wins AS (
+  SELECT doc_id, pos, substring(text, pos + 1, 40) AS win
+  FROM (SELECT doc_id, text,
+               unnest(range(0, length(text) - 40 + 1)) AS pos
+        FROM documents WHERE length(text) >= 40)
+), dup AS (
+  SELECT w.doc_id, w.pos
+  FROM wins w
+  JOIN (SELECT win FROM wins GROUP BY win HAVING count(*) >= 2) d
+    USING (win)
+), isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > coalesce(max(pos + 40) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         THEN 1 ELSE 0 END AS newi
+  FROM dup
+), grp AS (
+  SELECT doc_id, pos, sum(newi) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+), spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 40 AS e
+  FROM grp GROUP BY doc_id, island
+), agg AS (
+  SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS dup_chars
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+  coalesce(a.dup_chars, 0) AS dup_chars,
+  CAST(coalesce(a.dup_chars, 0) AS DOUBLE)
+    / CAST(length(d.text) AS DOUBLE) AS dup_frac
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (round 12; pipeline/dsir.py — Xie et al.
     2023 data selection): hashed unigram+bigram features (md5 buckets,
@@ -5341,6 +5397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir_weights": q_doc_dsir_weights,
         "doc_bpe_token_stats": q_doc_bpe_token_stats,
         "doc_bm25_topk": q_doc_bm25_topk,
+        "doc_dup_span_stats": q_doc_dup_span_stats,
         "doc_lm_buckets": q_doc_lm_buckets,
         "doc_shuffle_order": q_doc_shuffle_order,
         "series_pattern_topk": q_series_pattern_topk,
@@ -5601,6 +5658,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_spans": SQL_DOC_DUP_SPANS,
         "doc_dsir_weights": SQL_DOC_DSIR_WEIGHTS,
         "doc_bm25_topk": SQL_DOC_BM25_TOPK,
+        "doc_dup_span_stats": SQL_DOC_DUP_SPAN_STATS,
         "doc_lm_buckets": _sql_lm_buckets(),
         "doc_shuffle_order": SQL_DOC_SHUFFLE_ORDER,
         "series_pattern_topk": _sql_pattern_topk(),
