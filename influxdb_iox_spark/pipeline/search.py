@@ -76,14 +76,27 @@ def save_bm25(
 ) -> None:
     """Persist the index; postings partitioned by a term-hash bucket so
     query scans prune to the buckets of the query's own terms."""
-    postings.withColumn(
+    bp = postings.withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(N_BUCKETS)).cast("int")
-    ).write.mode("overwrite").partitionBy("bucket").parquet(
+    )
+    bp.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(path, "postings")
     )
     dfreq.write.mode("overwrite").parquet(os.path.join(path, "dfreq"))
     with open(os.path.join(path, "_bm25_meta.json"), "w") as f:
-        json.dump({"kind": "bm25", "buckets": N_BUCKETS, **meta}, f)
+        # Schemas ride in the sidecar so loads are schema-explicit: an
+        # EMPTY partitioned write (a fresh streaming bootstrap index)
+        # leaves no data files to infer from.
+        json.dump(
+            {
+                "kind": "bm25",
+                "buckets": N_BUCKETS,
+                "postings_schema": bp.schema.json(),
+                "dfreq_schema": dfreq.schema.json(),
+                **meta,
+            },
+            f,
+        )
 
 
 def update_bm25(
@@ -93,65 +106,103 @@ def update_bm25(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> dict:
-    """Fold a batch of NEW documents into a persisted index without
+    """Fold a batch of documents into a persisted index without
     rebuilding it — the continuous-ingest twin of ``build_bm25_index``.
 
-    Contract: ids are append-only (run the corpus-dedup accept step
-    upstream; re-ingesting an id would double-count its postings —
-    exactly like re-appending a chunk without the manifest's drop
-    tombstone).  Cost model: the new batch's postings land in the term
-    buckets its OWN terms hash to, and ONLY those partitions rewrite
-    (dynamic partition overwrite — for a small batch that is a handful
-    of the 64 buckets, not the index); dfreq and the meta sidecar are
-    tiny and rewrite whole.  Returns the new meta.
+    Semantics: REPLACEMENT by id.  A batch id already in the index has
+    its old postings dropped from the touched buckets and its stats
+    subtracted before the new ones land, so replaying the SAME batch is
+    a no-op (foreachBatch is at-least-once; every streaming effect in
+    this repo is an idempotent replay).  The replacement is complete
+    because a replayed doc's content is identical, so its terms hash to
+    exactly the buckets being rewritten; for a CHANGED doc the contract
+    is delete-then-add (old terms outside the new term set would leak a
+    posting) — a corpus pipeline never mutates a content-keyed doc.
+
+    Cost model: the batch's postings land in the term buckets its OWN
+    terms hash to, and ONLY those partitions rewrite (dynamic partition
+    overwrite — for a small batch that is a handful of the 64 buckets,
+    not the index); document frequencies for the affected TERMS are
+    recomputed from the merged buckets (complete per term, since a
+    term's postings all live in one bucket); dfreq and the meta sidecar
+    are tiny and rewrite whole.  Returns the new meta.
     """
     postings, dfreq, meta = load_bm25(spark, path)
-    np_, nd, nm = build_bm25_index(new_docs, id_col=id_col, text_col=text_col)
+    np_, _, nm = build_bm25_index(new_docs, id_col=id_col, text_col=text_col)
     np_ = np_.withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(N_BUCKETS)).cast("int")
-    )
+    ).localCheckpoint(eager=True)
     touched = [
         r["bucket"] for r in np_.select("bucket").distinct().collect()
     ]
-    if touched:
-        merged = postings.filter(F.col("bucket").isin(touched)).unionByName(
-            np_
-        )
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            # localCheckpoint breaks the read-from/write-to-same-path
-            # cycle (Spark refuses to overwrite a partition it is
-            # reading); the merged slice is only the touched buckets.
-            merged.localCheckpoint(eager=True).write.mode(
-                "overwrite"
-            ).partitionBy("bucket").parquet(os.path.join(path, "postings"))
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    if not touched:
+        return {"n_docs": int(meta["n_docs"]), "total_len": int(meta["total_len"])}
+    new_ids = np_.select(id_col).distinct()
+    old_touched = postings.filter(F.col("bucket").isin(touched))
+    # Stats of batch ids already present (the replay / replacement set):
+    # any one posting row carries the doc's dl.
+    replaced = (
+        old_touched.join(F.broadcast(new_ids), id_col)
+        .select(id_col, "dl")
+        .distinct()
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("l"))
+        .collect()[0]
+    )
+    merged = (
+        old_touched.join(F.broadcast(new_ids), id_col, "left_anti")
+        .unionByName(np_)
+        .localCheckpoint(eager=True)  # breaks the self-overwrite cycle
+    )
+    affected_terms = np_.select("term").distinct()
+    new_term_df = merged.join(F.broadcast(affected_terms), "term").groupBy(
+        "term"
+    ).agg(F.count("*").alias("df"))
     new_dfreq = (
-        dfreq.unionByName(nd)
-        .groupBy("term")
-        .agg(F.sum("df").alias("df"))
+        dfreq.join(F.broadcast(affected_terms), "term", "left_anti")
+        .unionByName(new_term_df)
         .localCheckpoint(eager=True)
     )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(path, "postings")
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     new_dfreq.write.mode("overwrite").parquet(os.path.join(path, "dfreq"))
     out = {
-        "n_docs": int(meta["n_docs"]) + int(nm["n_docs"]),
-        "total_len": int(meta["total_len"]) + int(nm["total_len"]),
+        "n_docs": int(meta["n_docs"]) - int(replaced["n"] or 0)
+        + int(nm["n_docs"]),
+        "total_len": int(meta["total_len"]) - int(replaced["l"] or 0)
+        + int(nm["total_len"]),
     }
     with open(os.path.join(path, "_bm25_meta.json"), "w") as f:
-        json.dump({"kind": "bm25", "buckets": N_BUCKETS, **out}, f)
+        keep = {
+            k: meta[k]
+            for k in ("postings_schema", "dfreq_schema")
+            if k in meta
+        }
+        json.dump({"kind": "bm25", "buckets": N_BUCKETS, **keep, **out}, f)
     return out
 
 
 def load_bm25(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame, dict]:
+    from pyspark.sql.types import StructType
+
     with open(os.path.join(path, "_bm25_meta.json")) as f:
         meta = json.load(f)
+    pr = spark.read
+    dr = spark.read
+    if "postings_schema" in meta:
+        pr = pr.schema(StructType.fromJson(json.loads(meta["postings_schema"])))
+    if "dfreq_schema" in meta:
+        dr = dr.schema(StructType.fromJson(json.loads(meta["dfreq_schema"])))
     return (
-        spark.read.parquet(os.path.join(path, "postings")),
-        spark.read.parquet(os.path.join(path, "dfreq")),
+        pr.parquet(os.path.join(path, "postings")),
+        dr.parquet(os.path.join(path, "dfreq")),
         meta,
     )
 

@@ -47,15 +47,37 @@ class CorpusDedupIngest:
         n_buckets: int = 64,
         text_col: str = "text",
         id_col: str = "doc_id",
+        search_index_dir: str | None = None,
     ) -> None:
+        """``search_index_dir``: optionally maintain a BM25 index over
+        the accepted corpus (pipeline/search.py) — each batch's accepted
+        docs fold in via ``update_bm25``, whose replacement-by-id
+        semantics make a crash-replayed batch a no-op, so the search
+        index stays exactly consistent with the accepted corpus."""
         self.spark = spark
         self.index_dir = index_dir
         self.corpus_dir = corpus_dir
         self.n_buckets = n_buckets
         self.text_col = text_col
         self.id_col = id_col
+        self.search_index_dir = search_index_dir
         self.batches_seen = 0
         self.accepted_total = 0
+        if search_index_dir is not None and not os.path.exists(
+            os.path.join(search_index_dir, "_bm25_meta.json")
+        ):
+            from influxdb_iox_spark.pipeline.search import (
+                build_bm25_index,
+                save_bm25,
+            )
+
+            empty = spark.createDataFrame(
+                [], f"{id_col} long, {text_col} string"
+            )
+            save_bm25(
+                *build_bm25_index(empty, id_col=id_col, text_col=text_col),
+                search_index_dir,
+            )
         if not os.path.exists(os.path.join(index_dir, "_dedup_meta.json")):
             # empty seed index (schema-complete, zero rows) so the first
             # batch's anti-join has a real right side
@@ -90,6 +112,16 @@ class CorpusDedupIngest:
                 self.spark, self.index_dir, accepted,
                 text_col=self.text_col, id_col=self.id_col,
             )
+            if self.search_index_dir is not None:
+                from influxdb_iox_spark.pipeline.search import update_bm25
+
+                # Replacement-by-id: a replayed batch re-updates the
+                # same ids with identical content — a no-op, matching
+                # the corpus/fingerprint idempotence above.
+                update_bm25(
+                    self.spark, self.search_index_dir, accepted,
+                    id_col=self.id_col, text_col=self.text_col,
+                )
         self.batches_seen += 1
         self.accepted_total += n
         return n

@@ -188,3 +188,37 @@ def test_incremental_update_equals_rebuild(spark, tmp_path):
     }
     for e in untouched:
         assert after[e] == before[e], f"untouched bucket {e} was rewritten"
+
+
+def test_update_is_idempotent_under_replay(spark, tmp_path):
+    from influxdb_iox_spark.pipeline.search import update_bm25
+
+    df_a = spark.createDataFrame(
+        [(i, t) for i, t in DOCS.items() if i <= 3],
+        "doc_id long, text string",
+    )
+    df_b = spark.createDataFrame(
+        [(10, "a brand new dog document")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "idx")
+    p, d, m = build_bm25_index(df_a)
+    save_bm25(p, d, m, path)
+    m1 = update_bm25(spark, path, df_b)
+    snap1 = {
+        "post": sorted(
+            (r.term, r.doc_id, r.tf, r.dl)
+            for r in load_bm25(spark, path)[0].collect()
+        ),
+        "df": sorted((r.term, r.df) for r in load_bm25(spark, path)[1].collect()),
+        "meta": m1,
+    }
+    # Replay the same batch: everything must be byte-identical.
+    m2 = update_bm25(spark, path, df_b)
+    assert m2 == m1
+    assert sorted(
+        (r.term, r.doc_id, r.tf, r.dl)
+        for r in load_bm25(spark, path)[0].collect()
+    ) == snap1["post"]
+    assert sorted(
+        (r.term, r.df) for r in load_bm25(spark, path)[1].collect()
+    ) == snap1["df"]

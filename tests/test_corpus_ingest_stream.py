@@ -107,3 +107,52 @@ def test_seed_index_created_and_reused(spark, tmp_path):
         spark.createDataFrame([(6, "doc z")], SCHEMA), 0
     )
     assert n == 0  # the index persisted across constructions
+
+
+def test_streaming_maintains_bm25_search_index(spark, tmp_path):
+    """End-to-end: the accept step also folds accepted docs into a BM25
+    index (update_bm25's replacement-by-id semantics).  After two
+    micro-batches with cross-batch duplicates, the maintained index must
+    answer queries exactly like a fresh rebuild over the accepted
+    corpus."""
+    from influxdb_iox_spark.pipeline.search import (
+        bm25_topk,
+        build_bm25_index,
+        load_bm25,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ing = CorpusDedupIngest(
+        spark,
+        index_dir=str(tmp_path / "idx"),
+        corpus_dir=str(tmp_path / "corpus"),
+        n_buckets=4,
+        search_index_dir=str(tmp_path / "search"),
+    )
+    _write_batch(
+        spark, src,
+        [(1, "the quick brown fox"), (2, "lazy dog sleeps")], "b1",
+    )
+    _write_batch(
+        spark, src,
+        [(3, "the quick brown fox"),   # cross-batch dup: rejected
+         (4, "another dog barks loudly")],
+        "b2",
+    )
+    q = ing.start(_read_stream(spark, src), str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    assert ing.accepted_total == 3
+
+    p, d, m = load_bm25(spark, str(tmp_path / "search"))
+    accepted = spark.read.parquet(str(tmp_path / "corpus"))
+    fp, fd, fm = build_bm25_index(accepted)
+    assert {k: m[k] for k in ("n_docs", "total_len")} == fm
+    got = {
+        r.doc_id: r.bm25 for r in bm25_topk(p, d, m, ["dog"], k=10).collect()
+    }
+    want = {
+        r.doc_id: r.bm25
+        for r in bm25_topk(fp, fd, fm, ["dog"], k=10).collect()
+    }
+    assert got == want and set(got) == {2, 4}
