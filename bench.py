@@ -67,6 +67,10 @@ HEADLINE = [
     # features, broadcast-forever bucket models)
     "doc_dup_spans",
     "doc_dsir_weights",
+    # round-12 addition: BM25 build-and-query in one DAG (the postings
+    # aggregate + broadcast df slice + TakeOrdered — index amortizes in
+    # production via save/update_bm25, same posture as incremental dedup)
+    "doc_bm25_topk",
 ]
 
 
