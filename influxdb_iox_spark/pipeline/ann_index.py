@@ -215,3 +215,58 @@ def query_ivfpq_index(
         vec_col,
         id_col,
     )
+
+
+def append_to_ann_index(
+    spark: SparkSession,
+    path: str,
+    new_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Fold new vectors into a persisted index — the append the module
+    docstring promises, for all three layouts.
+
+    New vectors are signed/assigned/encoded with the index's FROZEN
+    parameters (planes, centroids, codebooks from the meta sidecar) and
+    land as NEW FILES inside their bucket partitions (parquet append —
+    no existing file is touched, so concurrent queries keep reading a
+    consistent prefix; the object-store PUT-is-atomic story).  Queries
+    see the new vectors immediately: probing is by partition value, not
+    by a file manifest.
+
+    The dial this deliberately does NOT touch: parameters never retrain
+    on append, so a drifting vector distribution slowly degrades recall
+    (new mass lands in few lists) — the standard IVF trade; rebuild
+    when list-size skew says so.  Ids are the caller's contract, as in
+    ``build_*`` (append-only upstream dedup; this layout has no
+    replace-by-id because a vector's list assignment is content-keyed
+    and immutable)."""
+    import numpy as np
+
+    from influxdb_iox_spark.pipeline.similarity import pq_encode
+
+    with open(os.path.join(path, "_ann_meta.json")) as f:
+        meta = json.load(f)
+    kind = meta["kind"]
+    if kind == "lsh":
+        signed = hyperplane_signatures(
+            new_df, meta["dim"], meta["nbits"], meta["seed"], vec_col
+        )
+        signed.write.mode("append").partitionBy("lsh_bucket").parquet(path)
+        return
+    cent = [np.asarray(c, dtype="float64") for c in meta["centroids"]]
+    assigned = ivf_assign(new_df, cent, vec_col)
+    if kind == "ivf":
+        assigned.write.mode("append").partitionBy("ivf_list").parquet(path)
+        return
+    if kind != "ivfpq":
+        raise ValueError(f"unknown index kind {kind!r}")
+    books_int = np.asarray(meta["codebooks_int"], dtype="int64")
+    encoded = pq_encode(assigned, books_int, vec_col, id_col)
+    cols = [id_col, "ivf_list", "pq_codes"] + (
+        [vec_col] if meta["keep_vectors"] else []
+    )
+    encoded.select(*cols).write.mode("append").partitionBy(
+        "ivf_list"
+    ).parquet(path)

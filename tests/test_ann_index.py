@@ -56,21 +56,55 @@ def test_ivf_index_recall(spark, emb, exact, tmp_path):
     assert len(got & set(order[:10])) / 10 >= 0.7
 
 
-def test_ivf_index_incremental_append(spark, emb, tmp_path):
-    """New vectors append into their bucket partitions without a rebuild."""
-    import json, os
-    from influxdb_iox_spark.pipeline.similarity import ivf_assign
+def test_ivf_index_incremental_append(spark, emb, exact, tmp_path):
+    """New vectors append into their bucket partitions without a rebuild
+    (append_to_ann_index, frozen centroids) and are immediately
+    queryable: an appended copy of the query vector must win top-1."""
+    from influxdb_iox_spark.pipeline.ann_index import append_to_ann_index
 
+    qv, _ = exact
     path = str(tmp_path / "ivf_idx2")
     build_ivf_index(emb, path, n_centroids=8, sample_rows=500)
-    with open(os.path.join(path, "_ann_meta.json")) as f:
-        cent = json.load(f)["centroids"]
     newv = emb.limit(5).withColumn("vec_id", F.col("vec_id") + 1_000_000)
-    ivf_assign(newv, np.asarray(cent)).write.mode("append").partitionBy(
-        "ivf_list"
-    ).parquet(path)
+    append_to_ann_index(spark, path, newv)
     total = spark.read.parquet(path).count()
     assert total == emb.count() + 5
+    got = [
+        r.vec_id
+        for r in query_ivf_index(spark, path, qv, k=2, nprobe=4).collect()
+    ]
+    # vec 0's appended twin (id 1_000_000) ties it at cosine 1.0
+    assert set(got) == {0, 1_000_000}
+
+
+def test_append_lsh_and_ivfpq(spark, emb, exact, tmp_path):
+    from influxdb_iox_spark.pipeline.ann_index import (
+        append_to_ann_index,
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    qv, _ = exact
+    newv = emb.limit(3).withColumn("vec_id", F.col("vec_id") + 1_000_000)
+
+    lsh = str(tmp_path / "lsh")
+    build_lsh_index(emb, lsh, dim=64, nbits=6)
+    append_to_ann_index(spark, lsh, newv)
+    assert spark.read.parquet(lsh).count() == emb.count() + 3
+    got = {r.vec_id for r in query_lsh_index(spark, lsh, qv, k=5).collect()}
+    assert 1_000_000 in got  # the appended twin of vec 0 is findable
+
+    pq = str(tmp_path / "pq")
+    build_ivfpq_index(emb, pq, n_centroids=8, m=8, k_codes=8, sample_rows=500)
+    append_to_ann_index(spark, pq, newv)
+    assert spark.read.parquet(pq).count() == emb.count() + 3
+    got = {
+        r.vec_id
+        for r in query_ivfpq_index(
+            spark, pq, qv, k=5, nprobe=4, rerank=30
+        ).collect()
+    }
+    assert 1_000_000 in got
 
 
 def test_ivfpq_index_funnel(spark, emb, exact, tmp_path):
