@@ -211,10 +211,9 @@ def remove_duplicate_spans(
 ) -> DataFrame:
     """Rewrite each document with its duplicated spans cut out (the
     ExactSubstr removal step).  ``keep_first`` retains the corpus-wide
-    FIRST occurrence of each span's opening window (ordered by id, then
-    position) so one copy of the text survives — without it every copy
-    of a duplicated region is removed, like the reference tool's
-    default.
+    FIRST occurrence of each span's full text (ordered by id, then
+    position) so one copy survives — without it every copy of a
+    duplicated region is removed, like the reference tool's default.
 
     The splice is per-document: collect that doc's spans into one array
     (bounded by the doc's own length / k) and fold the keep-regions via
