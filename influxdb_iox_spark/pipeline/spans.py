@@ -222,14 +222,14 @@ def remove_duplicate_spans(
     """
     marked = spans
     if keep_first:
-        first = Window.partitionBy("span_start_win").orderBy(id_col, "span_start")
-        # The "same span" identity for keep-first is its opening window's
-        # content; recomputing it via a join against the docs keeps this
+        first = Window.partitionBy("span_text").orderBy(id_col, "span_start")
+        # The "same span" identity for keep-first is the span's full
+        # text; recomputing it via a join against the docs keeps this
         # function self-contained.
         marked = (
             spans.join(df.select(id_col, text_col), id_col)
             .withColumn(
-                "span_start_win",
+                "span_text",
                 F.expr(
                     f"substring({text_col}, span_start + 1, "
                     f"span_end - span_start)"
