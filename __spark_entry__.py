@@ -1521,6 +1521,74 @@ def q_doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_stats(docs, merges).orderBy("doc_id")
 
 
+def q_series_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition (round 12;
+    operators/decompose.py): hourly mean series per event_type →
+    trend (2×24 weighted centered MA, integer micro-unit window sums,
+    ONE double divide) / per-phase seasonal (mean-zero) / residual.
+    The hourly mean is exact-decimal-sum / count so both engines feed
+    identical doubles into the decomposition; outputs carry the 1e-6
+    float-aggregate rounding."""
+    from influxdb_iox_spark.operators.decompose import seasonal_decompose
+
+    t = _load(spark, sf_dir, "events")
+    b = (
+        t["events"]
+        .groupBy("event_type", F.expr(f"ts div {HOUR_NS}").alias("hr"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+                / F.count("*")
+            ).alias("value")
+        )
+    )
+    return seasonal_decompose(
+        b, 24, key_cols=["event_type"], time_col="hr", value_col="value"
+    ).orderBy("event_type", "hr")
+
+
+SQL_SERIES_SEASONAL_DECOMPOSE = """
+WITH b AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS value
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, hr, value,
+    CAST(round(value * 1000000) AS BIGINT) AS vm,
+    row_number() OVER wo - 1 AS pos,
+    count(*) OVER wf AS cnt,
+    sum(CAST(round(value * 1000000) AS BIGINT)) OVER wf AS wsum,
+    lag(CAST(round(value * 1000000) AS BIGINT), 12) OVER wo AS lo,
+    lead(CAST(round(value * 1000000) AS BIGINT), 12) OVER wo AS hi
+  FROM b
+  WINDOW wo AS (PARTITION BY event_type ORDER BY hr),
+         wf AS (PARTITION BY event_type ORDER BY hr
+                ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+), tr AS (
+  SELECT *, CASE WHEN cnt = 25
+                 THEN (2 * wsum - lo - hi) / (2000000.0 * 24) END AS trend,
+         pos % 24 AS phase
+  FROM s
+), d AS (
+  SELECT *, value - trend AS detr FROM tr
+), pm AS (
+  SELECT event_type, phase, avg(detr) AS s_raw
+  FROM d WHERE detr IS NOT NULL GROUP BY event_type, phase
+), pn AS (
+  SELECT event_type, phase,
+    s_raw - avg(s_raw) OVER (PARTITION BY event_type) AS seasonal
+  FROM pm
+)
+SELECT d.event_type, d.hr, d.value,
+  round(d.trend * 1000000) / 1000000 AS trend,
+  round(pn.seasonal * 1000000) / 1000000 AS seasonal,
+  round((d.value - d.trend - pn.seasonal) * 1000000) / 1000000 AS resid
+FROM d LEFT JOIN pn
+  ON d.event_type = pn.event_type AND d.phase = pn.phase
+ORDER BY d.event_type, d.hr
+"""
+
+
 def q_doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-character fractions from the merged
     ExactSubstr spans (round 12; pipeline/spans.duplicate_span_stats):
@@ -5398,6 +5466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_token_stats": q_doc_bpe_token_stats,
         "doc_bm25_topk": q_doc_bm25_topk,
         "doc_dup_span_stats": q_doc_dup_span_stats,
+        "series_seasonal_decompose": q_series_seasonal_decompose,
         "doc_lm_buckets": q_doc_lm_buckets,
         "doc_shuffle_order": q_doc_shuffle_order,
         "series_pattern_topk": q_series_pattern_topk,
@@ -5659,6 +5728,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dsir_weights": SQL_DOC_DSIR_WEIGHTS,
         "doc_bm25_topk": SQL_DOC_BM25_TOPK,
         "doc_dup_span_stats": SQL_DOC_DUP_SPAN_STATS,
+        "series_seasonal_decompose": SQL_SERIES_SEASONAL_DECOMPOSE,
         "doc_lm_buckets": _sql_lm_buckets(),
         "doc_shuffle_order": SQL_DOC_SHUFFLE_ORDER,
         "series_pattern_topk": _sql_pattern_topk(),
