@@ -156,3 +156,46 @@ def test_randomized_corpora_match_reference(spark):
         for i, t in enumerate(texts):
             want = [p for w in _words(t) for p in ref_words[w]]
             assert by_doc.get(i, []) == want, f"seed={seed} doc={i}"
+
+
+def test_gate_query_matches_reference_on_real_testdata(spark):
+    """doc_bpe_token_stats is the suite's one rows-only driver row (the
+    iterative trainer is non-SQL-expressible); this pins the exact gate
+    shape — train 24 merges on even-id docs, stats over all — against
+    the pure-Python reference on the real sf0.001 corpus."""
+    import __spark_entry__ as E
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.doc_id: (r.n_words, r.n_pieces)
+        for r in E.queries()["doc_bpe_token_stats"](spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    texts = {i: t for i, t in rows}
+    merges, ref_words = _ref_train(
+        [t for i, t in texts.items() if i % 2 == 0], 24
+    )
+    # Re-segment ALL docs' words under the learned merges.
+    def seg(w):
+        syms = list(w) + [END]
+        for (l, r) in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    want = {}
+    for i, t in texts.items():
+        ws = _words(t)
+        if ws:
+            want[i] = (len(ws), sum(len(seg(w)) for w in ws))
+    assert got == want
