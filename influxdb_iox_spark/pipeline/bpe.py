@@ -199,3 +199,30 @@ def bpe_token_stats(
             F.sum("n_p").alias("n_pieces"),
         )
     )
+
+
+def save_bpe(merges: list[tuple[str, str]], path: str) -> None:
+    """Persist the tokenizer (the ordered merge list IS the model) —
+    the train-once/save/encode-many posture of lm.py/nb.py/search.py."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_bpe_meta.json"), "w") as f:
+        json.dump(
+            {"kind": "bpe", "end": END, "merges": [list(m) for m in merges]},
+            f,
+        )
+
+
+def load_bpe(path: str) -> list[tuple[str, str]]:
+    import json
+    import os
+
+    with open(os.path.join(path, "_bpe_meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("end") != END:
+        raise ValueError(
+            f"model end-marker {meta.get('end')!r} != this build's {END!r}"
+        )
+    return [tuple(m) for m in meta["merges"]]

@@ -199,3 +199,14 @@ def test_gate_query_matches_reference_on_real_testdata(spark):
         if ws:
             want[i] = (len(ws), sum(len(seg(w)) for w in ws))
     assert got == want
+
+
+def test_save_load_round_trip(spark, tmp_path):
+    from influxdb_iox_spark.pipeline.bpe import load_bpe, save_bpe
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    merges = train_bpe(df, n_merges=8)
+    save_bpe(merges, str(tmp_path / "tok"))
+    assert load_bpe(str(tmp_path / "tok")) == merges
