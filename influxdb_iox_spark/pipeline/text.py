@@ -578,3 +578,49 @@ def top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "term", "tf", "df", "score_micro")
     )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_line_words: int = 3,
+    blockwords: tuple[str, ...] = ("lorem ipsum", "javascript", "{"),
+    require_terminal_punct: bool = True,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): rewrite
+    each document keeping only lines that (a) end in terminal
+    punctuation . ! ? ", (b) have at least ``min_line_words`` words,
+    and (c) contain no blocked phrase (case-insensitive).  Documents
+    whose every line is dropped come out as empty strings — compose
+    with a ``length(text) > 0`` filter or quality_filter to drop them.
+
+    Shape: one projection — split on newlines, filter() over the line
+    array (an interpreted HOF, but over a document's FEW lines, the
+    lang_id hits-array pattern — the per-character work of splitting
+    stays codegen), re-join with the newline preserved.  No explode, no
+    shuffle, no Python.
+
+    Note: the driver's synthetic documents table is single-line,
+    punctuation-free word salad, so this operator is pinned by pytest
+    fixtures instead of a gate query (a corpus-degenerate oracle row
+    would verify nothing).
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+
+    def keep(line):
+        cond = F.length(F.trim(line)) > 0
+        if require_terminal_punct:
+            cond = cond & F.trim(line).rlike('[.!?"]$')
+        if min_line_words > 0:
+            cond = cond & (
+                F.size(F.array_remove(F.split(F.trim(line), r"\s+"), ""))
+                >= min_line_words
+            )
+        for w in blockwords:
+            cond = cond & ~F.lower(line).contains(w.lower())
+        return cond
+
+    return df.withColumn(
+        text_col, F.array_join(F.filter(lines, keep), "\n")
+    )

@@ -207,3 +207,34 @@ def test_quality_filter_rules_are_data(spark):
     # survivors keep ONLY the original columns (features are internal)
     out = quality_filter(df, rules=[("q_n_tokens", 1, None)])
     assert out.columns == ["doc_id", "text"]
+
+
+def test_c4_line_filter(spark):
+    from influxdb_iox_spark.pipeline.text import c4_line_filter
+
+    doc = "\n".join(
+        [
+            "This line is a proper sentence.",          # kept
+            "short.",                                   # < 3 words
+            "no terminal punctuation here",             # no punct
+            "Enable JavaScript to view this page.",     # blockword
+            "Lorem Ipsum dolor sit amet.",              # blockword
+            'He said "keep this quoted line."',         # kept (quote end)
+            "Another good sentence stays here!",        # kept
+            "   ",                                      # blank
+        ]
+    )
+    df = spark.createDataFrame([(1, doc), (2, "")], "doc_id long, text string")
+    out = {r.doc_id: r.text for r in c4_line_filter(df).collect()}
+    assert out[1].split("\n") == [
+        "This line is a proper sentence.",
+        'He said "keep this quoted line."',
+        "Another good sentence stays here!",
+    ]
+    assert out[2] == ""
+    # knobs: punctuation requirement off keeps the bare line
+    loose = {
+        r.doc_id: r.text
+        for r in c4_line_filter(df, require_terminal_punct=False).collect()
+    }
+    assert "no terminal punctuation here" in loose[1]
