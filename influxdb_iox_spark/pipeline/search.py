@@ -119,6 +119,12 @@ def update_bm25(
     is delete-then-add (old terms outside the new term set would leak a
     posting) — a corpus pipeline never mutates a content-keyed doc.
 
+    Concurrency: single-writer, like every index maintainer here — the
+    read-merge-write cycle has no CAS, so two concurrent updaters lose
+    one batch.  The streaming wiring satisfies this by construction
+    (one foreachBatch query owns the index); a multi-writer deployment
+    serializes updates behind the write buffer instead.
+
     Cost model: the batch's postings land in the term buckets its OWN
     terms hash to, and ONLY those partitions rewrite (dynamic partition
     overwrite — for a small batch that is a handful of the 64 buckets,
