@@ -1671,9 +1671,9 @@ def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     en_ids = docs.filter(F.col("lang") == "en").select("doc_id")
     target = bucket_totals(feats.join(F.broadcast(en_ids), "doc_id"))
     raw = bucket_totals(feats)
-    return dsir_log_weights(feats, target, raw, buckets=10_000).orderBy(
-        "doc_id"
-    )
+    return dsir_log_weights(
+        feats, target, raw, buckets=10_000, validate=False
+    ).orderBy("doc_id")
 
 
 SQL_DOC_DSIR_WEIGHTS = r"""

@@ -110,25 +110,31 @@ def dsir_log_weights(
     raw_counts: DataFrame,
     buckets: int,
     id_col: str = "doc_id",
+    validate: bool = True,
 ) -> DataFrame:
     """(id, n_feats, dsir_logw) — importance log-weight per document.
 
     ``dsir_logw = Σ_b cnt_b · (ln(t_b+1) − ln(T+B) − ln(r_b+1) + ln(R+B))``
-    with integer Laplace-smoothed counts; T/R are the model totals
-    (two driver scalars).  Both count tables are ≤ ``buckets`` rows, so
+    with integer Laplace-smoothed counts.  The model totals T/R ride
+    INSIDE the plan as a broadcast 1-row cross of two aggregates — no
+    driver collect sits in the scoring path, so the whole weighting is
+    one lazy DataFrame.  Both count tables are ≤ ``buckets`` rows, so
     Spark broadcasts them regardless of corpus size.  Output rounded to
     1e-6 per the repo's ln contract.
+
+    ``validate=True`` (default) spends one tiny action up front to
+    reject an empty target/raw model with a clear error instead of a
+    silent all-null score column; pipelines that already guarantee
+    non-empty models can skip it.
     """
-    # Both totals in ONE action (a 1-row cross of two 1-row aggregates)
-    # — two separate collects would evaluate the feature lineage twice.
-    trow = (
-        target_counts.agg(F.sum("cnt").alias("t"))
-        .crossJoin(raw_counts.agg(F.sum("cnt").alias("r")))
-        .collect()[0]
+    tots = (
+        target_counts.agg(F.sum("cnt").alias("__t"))
+        .crossJoin(raw_counts.agg(F.sum("cnt").alias("__r")))
     )
-    t_tot, r_tot = trow["t"] or 0, trow["r"] or 0
-    if t_tot <= 0 or r_tot <= 0:
-        raise ValueError("target and raw models must both be non-empty")
+    if validate:
+        trow = tots.collect()[0]
+        if (trow["__t"] or 0) <= 0 or (trow["__r"] or 0) <= 0:
+            raise ValueError("target and raw models must both be non-empty")
     joined = (
         doc_feats.join(
             F.broadcast(target_counts.withColumnRenamed("cnt", "t_cnt")),
@@ -140,14 +146,15 @@ def dsir_log_weights(
             "bucket",
             "left",
         )
+        .crossJoin(F.broadcast(tots))
         .select(
             id_col,
             "cnt",
             (
                 F.log(F.coalesce("t_cnt", F.lit(0)) + F.lit(1))
-                - F.log(F.lit(float(t_tot + buckets)))
+                - F.log((F.col("__t") + F.lit(buckets)).cast("double"))
                 - F.log(F.coalesce("r_cnt", F.lit(0)) + F.lit(1))
-                + F.log(F.lit(float(r_tot + buckets)))
+                + F.log((F.col("__r") + F.lit(buckets)).cast("double"))
             ).alias("lr"),
         )
     )
