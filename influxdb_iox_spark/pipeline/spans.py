@@ -46,6 +46,11 @@ k-char string (collision odds ~n²/2⁶⁵ — at 10¹² windows that is ~3%
 chance of ONE false duplicated window corpus-wide, which the span
 merge then inflates by at most k chars); the gate uses the exact
 string so the DuckDB oracle is engine-portable.
+
+Offsets are in the engine's native string units — JVM UTF-16 code
+units — which equal Unicode codepoints (and DuckDB's length/substring
+units) for all BMP text including CJK; only astral-plane characters
+(emoji) shift offsets between engines, and never within Spark itself.
 """
 
 from __future__ import annotations

@@ -99,3 +99,21 @@ def test_validation(spark):
     df = spark.createDataFrame([("a", 0, 1.0)], "k string, time long, value double")
     with pytest.raises(ValueError):
         seasonal_decompose(df, 1)
+
+
+def test_randomized_series_match_reference(spark):
+    """Seeded-random sweep over lengths/periods incl. gaps-free random
+    walks — pins edge-null placement and phase arithmetic everywhere."""
+    import random
+
+    for seed in (0, 1, 2, 3):
+        rng = random.Random(seed)
+        m = rng.choice([3, 4, 6, 7])
+        n = rng.randrange(m + 2, 40)
+        values = []
+        x = rng.uniform(-5, 5)
+        for _ in range(n):
+            x += rng.uniform(-1, 1)
+            values.append(round(x + rng.uniform(-0.5, 0.5), 3))
+        got = _run(spark, values, m)
+        _check(got["a"], values, m)
