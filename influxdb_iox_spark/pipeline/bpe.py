@@ -91,38 +91,74 @@ def train_bpe(
     text_col: str = "text",
     min_pair_count: int = 2,
     checkpoint_every: int = 4,
+    batch_k: int = 1,
 ) -> list[tuple[str, str]]:
     """Learn up to ``n_merges`` BPE merges from the corpus.
 
     Returns the ordered merge list — the tokenizer model.  Driver
-    traffic is one (pair, count) row per iteration; per-iteration work
-    is one hash aggregate over the distinct-word table.
+    traffic is one count-table slice per ROUND; per-round work is one
+    hash aggregate over the distinct-word table.
+
+    ``batch_k=1`` (default) is exact Sennrich: one merge per round,
+    pinned against the pure-Python reference.  ``batch_k>1`` is the
+    opt-in fast trainer for production vocab sizes (30k merges × one
+    Spark job each is hours of pure scheduling): each round takes the
+    top candidates in (count DESC, pair ASC) order and greedily keeps
+    up to ``batch_k`` that are *symbol-disjoint* — no symbol of one
+    selected pair (or its merged token) appears in another — so the
+    kept merges cannot change each other's counts and their
+    applications commute.  Divergence from exact order is still
+    possible (a merge can CREATE a pair that sequential training would
+    have ranked next); that is the documented trade, same contract
+    class as the opt-in fast technical kernels — the exact path stays
+    the default and the oracle.
     """
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
     if min_pair_count < 1:
         raise ValueError("min_pair_count must be >= 1")
+    if batch_k < 1:
+        raise ValueError("batch_k must be >= 1")
     words = word_freq_table(df, text_col).select(
         "freq", _initial_syms(F.col("word")).alias("syms")
     )
     words = words.localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
-    for i in range(n_merges):
-        best = (
+    applied_since_ckpt = 0
+    while len(merges) < n_merges:
+        counts = (
             words.select("freq", F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
             .groupBy("p.l", "p.r")
             .agg(F.sum("freq").alias("c"))
+            .filter(F.col("c") >= min_pair_count)
             .orderBy(F.desc("c"), "l", "r")
-            .first()
+            # enough candidates to fill the batch past collisions
+            .limit(max(batch_k * 4, 16))
+            .collect()
         )
-        if best is None or best["c"] < min_pair_count:
+        if not counts:
             break
-        merges.append((best["l"], best["r"]))
-        words = words.select(
-            "freq", _merge_pair(F.col("syms"), best["l"], best["r"]).alias("syms")
-        )
-        if (i + 1) % checkpoint_every == 0:
+        used: set[str] = set()
+        round_merges: list[tuple[str, str]] = []
+        for row in counts:
+            if len(round_merges) >= min(batch_k, n_merges - len(merges)):
+                break
+            l, r, tok = row["l"], row["r"], row["l"] + row["r"]
+            if {l, r, tok} & used:
+                continue
+            used |= {l, r, tok}
+            round_merges.append((l, r))
+        if not round_merges:
+            break
+        merges.extend(round_merges)
+        col = F.col("syms")
+        for l, r in round_merges:
+            col = _merge_pair(col, l, r)
+        words = words.select("freq", col.alias("syms"))
+        applied_since_ckpt += len(round_merges)
+        if applied_since_ckpt >= checkpoint_every:
             words = words.localCheckpoint(eager=True)
+            applied_since_ckpt = 0
     return merges
 
 

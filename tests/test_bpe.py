@@ -210,3 +210,32 @@ def test_save_load_round_trip(spark, tmp_path):
     merges = train_bpe(df, n_merges=8)
     save_bpe(merges, str(tmp_path / "tok"))
     assert load_bpe(str(tmp_path / "tok")) == merges
+
+
+def test_batched_trainer(spark):
+    """batch_k>1 (the opt-in fast trainer): symbol-disjoint merges per
+    round.  Where no cross-pair interference is possible the batched
+    result EQUALS exact training; where merges interact it may reorder
+    (the documented divergence) but must stay deterministic, respect
+    n_merges, and produce merges the encoder can apply."""
+    # Single repeated word: each round has exactly one viable pair, so
+    # batched == exact regardless of k.
+    solo = spark.createDataFrame([(1, "ab ab ab")], "doc_id long, text string")
+    assert train_bpe(solo, n_merges=2, batch_k=4) == train_bpe(solo, n_merges=2)
+
+    texts = ["aa aa aa bb bb bb cc cc dd dd", "aa bb cc dd ee ff"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    fast = train_bpe(df, n_merges=4, batch_k=4)
+    assert fast == train_bpe(df, n_merges=4, batch_k=4)  # deterministic
+    assert len(fast) == 4
+    # The learned merges drive the encoder without error and reduce the
+    # piece count versus raw characters.
+    stats = {r.doc_id: r.n_pieces for r in bpe_token_stats(df, fast).collect()}
+    raw = {r.doc_id: r.n_pieces for r in bpe_token_stats(df, []).collect()}
+    assert all(stats[i] < raw[i] for i in stats)
+    # Batched still respects n_merges and validates batch_k.
+    assert len(train_bpe(df, n_merges=2, batch_k=8)) == 2
+    with pytest.raises(ValueError):
+        train_bpe(df, n_merges=2, batch_k=0)
