@@ -641,6 +641,10 @@ class _Parser:
                         "SHOW DIAGNOSTICS FOR expects a component name"
                     )
             return stmt
+        if self._kw("SHARD", "GROUPS"):
+            return ShowStatement("shard groups")
+        if self._kw("SHARDS"):
+            return ShowStatement("shards")
         if self._kw("USERS"):
             return ShowStatement("users")
         if self._kw("QUERIES"):

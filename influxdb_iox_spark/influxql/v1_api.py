@@ -263,6 +263,99 @@ def _frame_show(stmt: ShowStatement, cols, rows) -> list[dict]:
     return [entry] if rows else []
 
 
+def _show_shards_series(
+    stmt: ShowStatement, database, now_ns: int
+) -> list[dict]:
+    """SHOW SHARDS / SHOW SHARD GROUPS — the stock 1.x placement
+    statements, mapped onto this engine's honest analogues: a CHUNK is
+    a shard (independently queryable storage unit) and a PARTITION KEY
+    is a shard group (the time-bucketed container stock groups shards
+    under).  Times come from the manifest's ``time`` column stats —
+    metadata only, no scans; expiry = end + the default retention
+    policy's duration (stock semantics), 0-duration policies never
+    expire (empty expiry, like stock's infinite RPs)."""
+    if database is None:
+        raise InfluxQLPlanError(
+            f"SHOW {stmt.what.upper()} is not available on this endpoint"
+        )
+    from influxdb_iox_spark.retention import RetentionRegistry
+
+    reg = RetentionRegistry(database.store.base_dir)
+    rp_name, rp_dur = "autogen", 0
+    for name, dur, default in reg.policies():
+        if default:
+            rp_name, rp_dur = name, dur
+    groups: dict[str, list] = {}  # partition_key -> [min_ns, max_ns, ids]
+    for t in sorted(database.store.tables()):
+        for c in database.store.manifest(t):
+            tmin, tmax = (c.stats.get("time") or [None, None])[:2]
+            g = groups.setdefault(c.partition_key, [None, None, []])
+            if tmin is not None:
+                g[0] = tmin if g[0] is None else min(g[0], tmin)
+            if tmax is not None:
+                g[1] = tmax if g[1] is None else max(g[1], tmax)
+            g[2].append(c.chunk_id)
+
+    def rfc(ns):
+        if ns is None:
+            return ""
+        import datetime
+
+        return (
+            datetime.datetime.fromtimestamp(
+                ns / 1e9, tz=datetime.timezone.utc
+            ).strftime("%Y-%m-%dT%H:%M:%SZ")
+        )
+
+    gid = {k: i + 1 for i, k in enumerate(sorted(groups))}
+    if stmt.what == "shard groups":
+        values = [
+            [
+                gid[k],
+                database.name,
+                rp_name,
+                rfc(g[0]),
+                rfc(g[1]),
+                rfc(g[1] + rp_dur if g[1] is not None and rp_dur else None),
+            ]
+            for k, g in sorted(groups.items())
+        ]
+        return [
+            {
+                "name": "shard groups",
+                "columns": [
+                    "id", "database", "retention_policy",
+                    "start_time", "end_time", "expiry_time",
+                ],
+                "values": values,
+            }
+        ]
+    values = [
+        [
+            cid,
+            database.name,
+            rp_name,
+            gid[k],
+            rfc(g[0]),
+            rfc(g[1]),
+            rfc(g[1] + rp_dur if g[1] is not None and rp_dur else None),
+            "",
+        ]
+        for k, g in sorted(groups.items())
+        for cid in sorted(g[2])
+    ]
+    return [
+        {
+            "name": database.name,
+            "columns": [
+                "id", "database", "retention_policy", "shard_group",
+                "start_time", "end_time", "expiry_time", "owners",
+            ],
+            "values": values,
+        }
+    ]
+
+
 def _show_stats_series(
     stmt: ShowStatement, database, now_ns: int,
     tracker=None, subscriptions=None,
@@ -680,6 +773,14 @@ def run_statements(
                     tracker=tracker, subscriptions=subscriptions,
                 )
                 if series:
+                    entry["series"] = series
+                results.append(entry)
+                continue
+            if isinstance(stmt, ShowStatement) and stmt.what in (
+                "shards", "shard groups"
+            ):
+                series = _show_shards_series(stmt, database, now_ns)
+                if series and series[0]["values"]:
                     entry["series"] = series
                 results.append(entry)
                 continue

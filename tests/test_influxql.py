@@ -1598,3 +1598,59 @@ def test_run_drop_series(spark, tmp_path):
             parse("DROP SERIES FROM cpu WHERE time < 1h"),
             catalog_from_database(db), db,
         )
+
+
+def test_show_shards_and_shard_groups(spark, tmp_path):
+    """Stock 1.x placement statements mapped onto the engine's analogues:
+    chunk = shard, partition key = shard group; times from manifest
+    stats (metadata only), expiry from the default retention policy."""
+    from influxdb_iox_spark.database import Database
+    from influxdb_iox_spark.influxql.v1_api import (
+        catalog_from_database,
+        run_statements,
+    )
+    from influxdb_iox_spark.retention import RetentionRegistry
+    from influxdb_iox_spark.schema import InfluxColumnType, IoxSchema
+    from influxdb_iox_spark.sources.store import TableStore
+
+    store = TableStore(str(tmp_path / "shards_store"))
+    db = Database("sharddb", store, spark)
+    sch = IoxSchema.build(["host"], {"v": InfluxColumnType.FIELD_FLOAT})
+    for pk, t0 in (("2024-01-01", 100), ("2024-01-02", 86_500)):
+        store.write_chunk(
+            spark.createDataFrame(
+                [("a", 1.0, t0 * S), ("b", 2.0, (t0 + 60) * S)],
+                "host string, v double, time long",
+            ),
+            "cpu", sch, partition_key=pk,
+        )
+    db.register_table("cpu", sch)
+    RetentionRegistry(store.base_dir).set_policy(
+        "two_weeks", 14 * 24 * 3600 * S, default=True
+    )
+
+    env = run_statements(
+        "SHOW SHARD GROUPS", catalog_from_database(db), database=db
+    )
+    s = env["results"][0]["series"][0]
+    assert s["columns"][:3] == ["id", "database", "retention_policy"]
+    assert [v[0] for v in s["values"]] == [1, 2]
+    assert all(v[1] == "sharddb" and v[2] == "two_weeks" for v in s["values"])
+    # start_time comes from the DATA's time stats (100 s epoch), not the
+    # partition-key label
+    assert s["values"][0][3] == "1970-01-01T00:01:40Z"
+    env = run_statements(
+        "SHOW SHARDS", catalog_from_database(db), database=db
+    )
+    s = env["results"][0]["series"][0]
+    assert s["name"] == "sharddb"
+    assert len(s["values"]) == 2  # one row per chunk
+    ids = [v[0] for v in s["values"]]
+    assert ids == sorted(ids)
+    row = dict(zip(s["columns"], s["values"][0]))
+    assert row["shard_group"] == 1 and row["owners"] == ""
+    assert row["start_time"].startswith("1970-01-01T00:01:40")
+    assert row["expiry_time"] > row["end_time"]  # RFC3339 sorts
+    # database-less endpoint -> per-statement error, not a crash
+    env = run_statements("SHOW SHARDS", catalog_from_database(db))
+    assert "not available" in env["results"][0]["error"]
