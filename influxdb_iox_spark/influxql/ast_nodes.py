@@ -166,6 +166,15 @@ class DropMeasurement:
     name: str
 
 
+@dataclass(frozen=True)
+class DropShard:
+    """DROP SHARD <id> — the stock 1.x ops statement; a shard maps onto
+    a chunk here (the SHOW SHARDS analogue), so this drops one chunk by
+    id via the manifest tombstone path."""
+
+    shard_id: int
+
+
 @dataclass
 class DeleteStatement:
     """DELETE [FROM m [, m2] | /re/] [WHERE conds] — stock 1.x delete.

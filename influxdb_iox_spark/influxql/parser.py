@@ -47,6 +47,7 @@ from influxdb_iox_spark.influxql.ast_nodes import (
     DropDatabase,
     DropContinuousQuery,
     DropMeasurement,
+    DropShard,
     DropRetentionPolicy,
     DropSeries,
     DropSubscription,
@@ -379,6 +380,11 @@ class _Parser:
         if self._kw("DROP", "SERIES"):
             d = self._delete()  # same FROM/WHERE grammar as DELETE
             return DropSeries(d.from_names, d.from_regex, d.where)
+        if self._kw("DROP", "SHARD"):
+            sid = self._int()
+            if self._peek() is not None:
+                raise InfluxQLParseError("trailing input after DROP SHARD")
+            return DropShard(sid)
         if self._kw("DROP", "MEASUREMENT"):
             name = self._ident()
             if self._peek() is not None:

@@ -44,6 +44,7 @@ from influxdb_iox_spark.influxql.ast_nodes import (
     DropMeasurement,
     DropRetentionPolicy,
     DropSeries,
+    DropShard,
     DropSubscription,
     DropUser,
     ExplainStatement,
@@ -481,8 +482,9 @@ def _check_privilege(stmt, registry, identity, selected_db) -> None:
             CreateUser, DropUser, GrantStatement, RevokeStatement,
             CreateDatabase, DropDatabase, CreateRetentionPolicy,
             AlterRetentionPolicy, DropRetentionPolicy,
-            DropMeasurement, CreateContinuousQuery, DropContinuousQuery,
-            KillQuery, CreateSubscription, DropSubscription,
+            DropMeasurement, DropShard, CreateContinuousQuery,
+            DropContinuousQuery, KillQuery, CreateSubscription,
+            DropSubscription,
         ),
     ) or (isinstance(stmt, ShowStatement) and stmt.what in admin_shows)
     if isinstance(stmt, SetPassword):
@@ -747,6 +749,21 @@ def run_statements(
                         )
                     for t in list(victim.table_names()):
                         victim.drop_table(t)
+                results.append(entry)
+                continue
+            if isinstance(stmt, DropShard):
+                if read_only:
+                    raise InfluxQLPlanError(
+                        "DROP SHARD requires a POST request"
+                    )
+                if database is None:
+                    raise InfluxQLPlanError(
+                        "DROP SHARD is not available on this endpoint"
+                    )
+                # chunk = shard (the SHOW SHARDS mapping); stock silently
+                # succeeds on an unknown id, and so does drop_chunks
+                for t in database.store.tables():
+                    database.store.drop_chunks(t, [stmt.shard_id])
                 results.append(entry)
                 continue
             if isinstance(stmt, DropMeasurement):

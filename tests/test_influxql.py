@@ -1654,3 +1654,46 @@ def test_show_shards_and_shard_groups(spark, tmp_path):
     # database-less endpoint -> per-statement error, not a crash
     env = run_statements("SHOW SHARDS", catalog_from_database(db))
     assert "not available" in env["results"][0]["error"]
+
+
+def test_drop_shard(spark, tmp_path):
+    """DROP SHARD <id> (stock ops statement): drops one chunk by id via
+    the manifest tombstone path; unknown ids succeed silently (stock);
+    GET endpoint rejects it."""
+    from influxdb_iox_spark.database import Database
+    from influxdb_iox_spark.influxql.v1_api import (
+        catalog_from_database,
+        run_statements,
+    )
+    from influxdb_iox_spark.schema import InfluxColumnType, IoxSchema
+    from influxdb_iox_spark.sources.store import TableStore
+
+    store = TableStore(str(tmp_path / "ds_store"))
+    db = Database("dsdb", store, spark)
+    sch = IoxSchema.build(["host"], {"v": InfluxColumnType.FIELD_FLOAT})
+    for t0 in (100, 200):
+        store.write_chunk(
+            spark.createDataFrame(
+                [("a", 1.0, t0 * S)], "host string, v double, time long"
+            ),
+            "cpu", sch,
+        )
+    db.register_table("cpu", sch)
+    ids = [c.chunk_id for c in store.manifest("cpu")]
+    assert len(ids) == 2
+    env = run_statements(
+        f"DROP SHARD {ids[0]}", catalog_from_database(db), database=db
+    )
+    assert "error" not in env["results"][0]
+    assert [c.chunk_id for c in store.manifest("cpu")] == [ids[1]]
+    # unknown id: silent success (stock)
+    env = run_statements(
+        "DROP SHARD 999999", catalog_from_database(db), database=db
+    )
+    assert "error" not in env["results"][0]
+    # read-only endpoint refuses
+    env = run_statements(
+        f"DROP SHARD {ids[1]}", catalog_from_database(db), database=db,
+        read_only=True,
+    )
+    assert "requires a POST" in env["results"][0]["error"]
