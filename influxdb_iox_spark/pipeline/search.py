@@ -193,6 +193,95 @@ def update_bm25(
     return out
 
 
+def delete_from_bm25(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Remove documents from a persisted index — the takedown path
+    (eval-set contamination discovered post-index, right-to-be-forgotten).
+
+    The document TEXT locates the buckets to rewrite (a doc's postings
+    live exactly in its own terms' hash buckets — the same content-keyed
+    contract as ``update_bm25``: pass the text as indexed).  Only those
+    partitions rewrite; document frequencies for the affected terms are
+    recomputed from the merged buckets, terms with no remaining postings
+    vanish from dfreq; corpus stats subtract the deleted docs' indexed
+    dl (read from the OLD postings, so a drifted text column cannot
+    corrupt the totals).  Deleting an absent id is a no-op, so replays
+    are idempotent.  Single-writer, like update.  Returns the new meta.
+    """
+    postings, dfreq, meta = load_bm25(spark, path)
+    np_, _, _ = build_bm25_index(docs, id_col=id_col, text_col=text_col)
+    np_ = np_.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(N_BUCKETS)).cast("int")
+    ).localCheckpoint(eager=True)
+    touched = [r["bucket"] for r in np_.select("bucket").distinct().collect()]
+    if not touched:
+        return {
+            "n_docs": int(meta["n_docs"]),
+            "total_len": int(meta["total_len"]),
+        }
+    del_ids = np_.select(id_col).distinct()
+    old_touched = postings.filter(F.col("bucket").isin(touched))
+    removed = (
+        old_touched.join(F.broadcast(del_ids), id_col)
+        .select(id_col, "dl")
+        .distinct()
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("l"))
+        .collect()[0]
+    )
+    merged = old_touched.join(
+        F.broadcast(del_ids), id_col, "left_anti"
+    ).localCheckpoint(eager=True)
+    affected_terms = np_.select("term").distinct()
+    new_term_df = merged.join(F.broadcast(affected_terms), "term").groupBy(
+        "term"
+    ).agg(F.count("*").alias("df"))
+    new_dfreq = (
+        dfreq.join(F.broadcast(affected_terms), "term", "left_anti")
+        .unionByName(new_term_df)
+        .localCheckpoint(eager=True)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(path, "postings")
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # Dynamic overwrite only replaces partitions the write PRODUCES: a
+    # bucket left EMPTY by the deletion writes nothing and its stale
+    # files would survive — clear those partition dirs explicitly
+    # (Hadoop FS, so s3a/hdfs paths work like local ones).
+    survived = {
+        r["bucket"] for r in merged.select("bucket").distinct().collect()
+    }
+    jvm = spark._jvm
+    for b in set(touched) - survived:
+        jpath = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(path, "postings", f"bucket={b}")
+        )
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
+    new_dfreq.write.mode("overwrite").parquet(os.path.join(path, "dfreq"))
+    out = {
+        "n_docs": int(meta["n_docs"]) - int(removed["n"] or 0),
+        "total_len": int(meta["total_len"]) - int(removed["l"] or 0),
+    }
+    with open(os.path.join(path, "_bm25_meta.json"), "w") as f:
+        keep = {
+            k: meta[k]
+            for k in ("postings_schema", "dfreq_schema")
+            if k in meta
+        }
+        json.dump({"kind": "bm25", "buckets": N_BUCKETS, **keep, **out}, f)
+    return out
+
+
 def load_bm25(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame, dict]:

@@ -222,3 +222,46 @@ def test_update_is_idempotent_under_replay(spark, tmp_path):
     assert sorted(
         (r.term, r.df) for r in load_bm25(spark, path)[1].collect()
     ) == snap1["df"]
+
+
+def test_delete_equals_rebuild_and_clears_empty_buckets(spark, tmp_path):
+    from influxdb_iox_spark.pipeline.search import delete_from_bm25
+    import os
+
+    # doc 4's vocabulary is disjoint from the others, so deleting it
+    # empties some buckets — the dynamic-overwrite edge.
+    keep = {i: t for i, t in DOCS.items() if i in (1, 2)}
+    full = {**keep, 4: DOCS[4]}
+    df_full = spark.createDataFrame(list(full.items()), "doc_id long, text string")
+    df_del = spark.createDataFrame([(4, DOCS[4])], "doc_id long, text string")
+    df_keep = spark.createDataFrame(list(keep.items()), "doc_id long, text string")
+
+    path = str(tmp_path / "idx")
+    save_bm25(*build_bm25_index(df_full), path)
+    m = delete_from_bm25(spark, path, df_del)
+    want_p, want_d, want_m = build_bm25_index(df_keep)
+    assert m == want_m
+    # replay BEFORE loading (a rewrite invalidates previously-loaded
+    # frames' file lists): deleting again must be a no-op
+    m2 = delete_from_bm25(spark, path, df_del)
+    assert m2 == m
+    pi, di, mi = load_bm25(spark, path)
+    assert sorted(
+        (r.term, r.doc_id, r.tf, r.dl) for r in pi.collect()
+    ) == sorted((r.term, r.doc_id, r.tf, r.dl) for r in want_p.collect())
+    assert sorted((r.term, r.df) for r in di.collect()) == sorted(
+        (r.term, r.df) for r in want_d.collect()
+    )
+    # no stale bucket dir holds doc 4's unique terms
+    got_terms = {r.term for r in pi.collect()}
+    assert "spark" not in got_terms and "shuffles" not in got_terms
+    # queries answer exactly like the rebuilt index
+    got = {
+        r.doc_id: r.bm25
+        for r in bm25_topk(pi, di, mi, ["dog", "quick"], k=10).collect()
+    }
+    want = {
+        r.doc_id: r.bm25
+        for r in bm25_topk(want_p, want_d, want_m, ["dog", "quick"], k=10).collect()
+    }
+    assert got == want
