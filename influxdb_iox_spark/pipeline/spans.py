@@ -55,7 +55,7 @@ units) for all BMP text including CJK; only astral-plane characters
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
