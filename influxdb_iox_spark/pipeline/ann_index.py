@@ -270,3 +270,75 @@ def append_to_ann_index(
     encoded.select(*cols).write.mode("append").partitionBy(
         "ivf_list"
     ).parquet(path)
+
+
+def delete_from_ann_index(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> int:
+    """Remove vectors from a persisted index — the takedown twin of
+    ``search.delete_from_bm25`` (poisoned/contaminated embeddings,
+    right-to-be-forgotten).  Returns the number of rows removed.
+
+    The vector COLUMN locates the partitions to rewrite: a vector's
+    rows live exactly in the bucket its own content signs/assigns to
+    (frozen parameters from the meta sidecar), so only those partitions
+    are read, anti-joined by id, and rewritten — never the whole index.
+    Same content-keyed contract as every maintainer here: pass the
+    vectors as indexed.  A partition the deletion empties is cleared
+    explicitly (dynamic partition overwrite writes nothing for it —
+    the delete_from_bm25 gotcha, handled the same way).  Deleting an
+    absent id is a no-op; single-writer.
+    """
+    import json as _json
+    import os as _os
+
+    import numpy as np
+
+    with open(_os.path.join(path, "_ann_meta.json")) as f:
+        meta = _json.load(f)
+    kind = meta["kind"]
+    if kind == "lsh":
+        part_col = "lsh_bucket"
+        assigned = hyperplane_signatures(
+            docs, meta["dim"], meta["nbits"], meta["seed"], vec_col
+        )
+    elif kind in ("ivf", "ivfpq"):
+        part_col = "ivf_list"
+        cent = [np.asarray(c, dtype="float64") for c in meta["centroids"]]
+        assigned = ivf_assign(docs, cent, vec_col)
+    else:
+        raise ValueError(f"unknown index kind {kind!r}")
+    touched = [
+        r[part_col]
+        for r in assigned.select(part_col).distinct().collect()
+    ]
+    if not touched:
+        return 0
+    del_ids = assigned.select(id_col).distinct()
+    old = spark.read.parquet(path).filter(F.col(part_col).isin(touched))
+    n_before = old.count()
+    merged = old.join(F.broadcast(del_ids), id_col, "left_anti").localCheckpoint(
+        eager=True
+    )
+    n_removed = n_before - merged.count()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(part_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    survived = {
+        r[part_col] for r in merged.select(part_col).distinct().collect()
+    }
+    jvm = spark._jvm
+    for b in set(touched) - survived:
+        jpath = jvm.org.apache.hadoop.fs.Path(
+            _os.path.join(path, f"{part_col}={b}")
+        )
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
+    return n_removed

@@ -156,3 +156,57 @@ def test_ivfpq_codes_only_layout(spark, emb, exact, tmp_path):
     assert query_ivfpq_index(spark, path, qv, k=5, nprobe=8).count() == 5
     with pytest.raises(ValueError, match="keep_vectors"):
         query_ivfpq_index(spark, path, qv, k=5, nprobe=2, rerank=20)
+
+
+def test_delete_from_ann_index(spark, emb, exact, tmp_path):
+    """Takedown twin of delete_from_bm25: vector-guided partition-scoped
+    removal, empties cleared, absent ids a no-op, queries stop finding
+    deleted vectors."""
+    import os
+
+    from influxdb_iox_spark.pipeline.ann_index import (
+        build_ivfpq_index,
+        delete_from_ann_index,
+        query_ivfpq_index,
+    )
+
+    qv, _ = exact
+    path = str(tmp_path / "pq")
+    build_ivfpq_index(emb, path, n_centroids=8, m=8, k_codes=8, sample_rows=500)
+    total = spark.read.parquet(path).count()
+
+    # vec 0 (the query vector itself) must currently be findable
+    got = {
+        r.vec_id
+        for r in query_ivfpq_index(spark, path, qv, k=3, nprobe=8, rerank=30).collect()
+    }
+    assert 0 in got
+    n = delete_from_ann_index(spark, path, emb.filter(F.col("vec_id") == 0))
+    assert n == 1
+    assert spark.read.parquet(path).count() == total - 1
+    got = {
+        r.vec_id
+        for r in query_ivfpq_index(spark, path, qv, k=3, nprobe=8, rerank=30).collect()
+    }
+    assert 0 not in got
+    # absent id: no-op
+    ghost = emb.filter(F.col("vec_id") == 1).withColumn(
+        "vec_id", F.col("vec_id") + 5_000_000
+    )
+    assert delete_from_ann_index(spark, path, ghost) == 0
+    assert spark.read.parquet(path).count() == total - 1
+
+    # Empty an entire list: delete every member of one ivf_list — its
+    # partition dir must disappear (the dynamic-overwrite gotcha).
+    full = spark.read.parquet(path)
+    one_list = full.groupBy("ivf_list").count().orderBy("count").first()
+    victims = full.filter(F.col("ivf_list") == one_list["ivf_list"]).select(
+        "vec_id"
+    )
+    n = delete_from_ann_index(
+        spark, path, emb.join(victims, "vec_id")
+    )
+    assert n == one_list["count"]
+    assert not os.path.isdir(
+        os.path.join(path, f"ivf_list={one_list['ivf_list']}")
+    )
