@@ -164,6 +164,55 @@ def append_to_index(
     fp.write.mode("append").partitionBy("bucket").parquet(path)
 
 
+def remove_from_index(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    text_col: str = "text",
+) -> int:
+    """Remove fingerprints by CONTENT — the takedown path (a document
+    deleted for rights reasons must also stop blocking a future
+    legitimate copy; for contamination you usually KEEP the fingerprint
+    so the content can never re-enter — caller's choice, this is the
+    remove half).  Returns the number of fingerprints removed.
+
+    Partition-scoped like every maintainer: the docs' own content
+    hashes locate the buckets, only those rewrite (dynamic partition
+    overwrite), a bucket the removal empties is cleared explicitly, and
+    removing an absent fingerprint is a no-op (idempotent replays).
+    Single-writer, like the append side.
+    """
+    idx, n_buckets = _read_exact(spark, path)
+    victim = (
+        docs.select(_content_hash(text_col).alias("content_hash"))
+        .distinct()
+        .withColumn("bucket", _bucket(F.col("content_hash"), n_buckets))
+        .localCheckpoint(eager=True)
+    )
+    touched = [r["bucket"] for r in victim.select("bucket").distinct().collect()]
+    if not touched:
+        return 0
+    old = idx.filter(F.col("bucket").isin(touched))
+    n_before = old.count()
+    merged = old.join(
+        F.broadcast(victim.select("content_hash")), "content_hash", "left_anti"
+    ).localCheckpoint(eager=True)
+    n_removed = n_before - merged.count()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    survived = {r["bucket"] for r in merged.select("bucket").distinct().collect()}
+    jvm = spark._jvm
+    for b in set(touched) - survived:
+        jpath = jvm.org.apache.hadoop.fs.Path(os.path.join(path, f"bucket={b}"))
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
+    return n_removed
+
+
 def ingest_batch(
     spark: SparkSession,
     path: str,

@@ -201,3 +201,40 @@ def test_streaming_ingest_batch_dedup(spark, tmp_path):
     # the second drain reprocesses a.jsonl (no checkpoint) — the INDEX
     # dedups the replay: only the genuinely new doc 21 is accepted
     assert sorted(accepted_ids) == [10, 21]
+
+
+def test_remove_from_index_reopens_content(spark, tmp_path):
+    """Takedown: removing a fingerprint lets identical content be
+    accepted again; absent content is a no-op; an emptied bucket's
+    partition dir is cleared (the dynamic-overwrite gotcha)."""
+    import os
+
+    from influxdb_iox_spark.pipeline.dedup_index import (
+        build_exact_index,
+        dedup_against_index,
+        remove_from_index,
+    )
+
+    path = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "gamma text")],
+        "doc_id long, text string",
+    )
+    build_exact_index(docs, path, n_buckets=4)
+    dup = spark.createDataFrame([(9, "alpha text")], "doc_id long, text string")
+    assert dedup_against_index(spark, path, dup).count() == 0  # blocked
+    n = remove_from_index(spark, path, dup)
+    assert n == 1
+    assert dedup_against_index(spark, path, dup).count() == 1  # reopened
+    # replay: removing again is a no-op
+    assert remove_from_index(spark, path, dup) == 0
+    # others still blocked
+    dup2 = spark.createDataFrame([(8, "beta text")], "doc_id long, text string")
+    assert dedup_against_index(spark, path, dup2).count() == 0
+    # empty the whole index: every bucket dir must be gone
+    n = remove_from_index(spark, path, docs)
+    assert n == 2  # beta + gamma (alpha already removed)
+    assert not any(
+        e.startswith("bucket=") for e in os.listdir(path)
+    )
+    assert dedup_against_index(spark, path, docs).count() == 3
