@@ -342,3 +342,21 @@ def delete_from_ann_index(
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
         fs.delete(jpath, True)
     return n_removed
+
+
+def upsert_into_ann_index(
+    spark: SparkSession,
+    path: str,
+    new_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Replay-idempotent fold of a vector batch: delete-then-append,
+    both partition-scoped to the batch's own buckets (a replayed
+    identical batch deletes its first copy and lands the same rows —
+    a no-op in effect), matching ``search.update_bm25``'s
+    replacement-by-id contract.  This is the foreachBatch-safe write
+    for streaming vector ingest; plain ``append_to_ann_index`` remains
+    the cheaper bulk path when the caller guarantees at-most-once."""
+    delete_from_ann_index(spark, path, new_df, vec_col=vec_col, id_col=id_col)
+    append_to_ann_index(spark, path, new_df, vec_col=vec_col, id_col=id_col)

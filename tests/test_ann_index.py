@@ -210,3 +210,22 @@ def test_delete_from_ann_index(spark, emb, exact, tmp_path):
     assert not os.path.isdir(
         os.path.join(path, f"ivf_list={one_list['ivf_list']}")
     )
+
+
+def test_upsert_is_replay_idempotent(spark, emb, tmp_path):
+    from influxdb_iox_spark.pipeline.ann_index import (
+        build_ivf_index,
+        upsert_into_ann_index,
+    )
+
+    path = str(tmp_path / "ivf_up")
+    build_ivf_index(emb, path, n_centroids=8, sample_rows=500)
+    total = spark.read.parquet(path).count()
+    batch = emb.limit(4).withColumn("vec_id", F.col("vec_id") + 2_000_000)
+    upsert_into_ann_index(spark, path, batch)
+    assert spark.read.parquet(path).count() == total + 4
+    # replay the SAME batch: still exactly one copy of each id
+    upsert_into_ann_index(spark, path, batch)
+    after = spark.read.parquet(path)
+    assert after.count() == total + 4
+    assert after.groupBy("vec_id").count().filter("count > 1").count() == 0
