@@ -1589,6 +1589,131 @@ ORDER BY d.event_type, d.hr
 """
 
 
+def q_series_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly flags on the decomposition residual (round 12): after
+    the seasonal decomposition of q_series_seasonal_decompose, a point
+    is anomalous when its residual sits more than 3 sample-σ from the
+    series' residual mean.  The 3σ test runs ENTIRELY in integers:
+    residuals are 1e-6-rounded doubles identical across engines, so
+    resid_micro is the same int64 everywhere, and
+    (n·x − Σ)²·(n−1) > 9·n·(n·Σ² − Σ²) in decimal(38,0)/HUGEIN T is the
+    exact z²>9 inequality — no float σ, no rounding straddle
+    (the stats-family / pattern-search recipe)."""
+    from influxdb_iox_spark.operators.decompose import seasonal_decompose
+    from pyspark.sql import Window as W
+
+    t = _load(spark, sf_dir, "events")
+    b = (
+        t["events"]
+        .groupBy("event_type", F.expr(f"ts div {HOUR_NS}").alias("hr"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+                / F.count("*")
+            ).alias("value")
+        )
+    )
+    d = seasonal_decompose(
+        b, 24, key_cols=["event_type"], time_col="hr", value_col="value"
+    ).withColumn(
+        "rm",
+        F.when(
+            F.col("resid").isNotNull(),
+            F.round(F.col("resid") * 1_000_000).cast("long"),
+        ),
+    )
+    dec = "decimal(38,0)"
+    wk = W.partitionBy("event_type")
+    stats = (
+        d.withColumn("n", F.count("rm").over(wk).cast(dec))
+        .withColumn("s", F.sum(F.col("rm").cast(dec)).over(wk))
+        .withColumn(
+            "q",
+            F.sum((F.col("rm").cast(dec) * F.col("rm").cast(dec))).over(wk),
+        )
+    )
+    lhs = (
+        (F.col("n") * F.col("rm").cast(dec) - F.col("s"))
+        * (F.col("n") * F.col("rm").cast(dec) - F.col("s"))
+        * (F.col("n") - F.lit(1).cast(dec))
+    )
+    rhs = (
+        F.lit(9).cast(dec)
+        * F.col("n")
+        * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    )
+    # Edge rows (incomplete trend window -> null residual) are excluded
+    # and the flag rides as BIGINT 0/1: cross-engine pandas renders a
+    # NULLABLE boolean as None (Spark) vs NaN (DuckDB), which the
+    # value-hash treats as different — integers with no nulls are the
+    # robust spelling.
+    return (
+        stats.filter(F.col("rm").isNotNull())
+        .select(
+            "event_type",
+            "hr",
+            "resid",
+            (lhs > rhs).cast("bigint").alias("anomaly"),
+        )
+        .orderBy("event_type", "hr")
+    )
+
+
+SQL_SERIES_ANOMALY_FLAGS = """
+WITH b AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS value
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, hr, value,
+    CAST(round(value * 1000000) AS BIGINT) AS vm,
+    row_number() OVER wo - 1 AS pos,
+    count(*) OVER wf AS cnt,
+    sum(CAST(round(value * 1000000) AS BIGINT)) OVER wf AS wsum,
+    lag(CAST(round(value * 1000000) AS BIGINT), 12) OVER wo AS lo,
+    lead(CAST(round(value * 1000000) AS BIGINT), 12) OVER wo AS hi
+  FROM b
+  WINDOW wo AS (PARTITION BY event_type ORDER BY hr),
+         wf AS (PARTITION BY event_type ORDER BY hr
+                ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+), tr AS (
+  SELECT *, CASE WHEN cnt = 25
+                 THEN (2 * wsum - lo - hi) / (2000000.0 * 24) END AS trend,
+         pos % 24 AS phase
+  FROM s
+), d AS (
+  SELECT *, value - trend AS detr FROM tr
+), pm AS (
+  SELECT event_type, phase, avg(detr) AS s_raw
+  FROM d WHERE detr IS NOT NULL GROUP BY event_type, phase
+), pn AS (
+  SELECT event_type, phase,
+    s_raw - avg(s_raw) OVER (PARTITION BY event_type) AS seasonal
+  FROM pm
+), r AS (
+  SELECT d.event_type, d.hr,
+    round((d.value - d.trend - pn.seasonal) * 1000000) / 1000000 AS resid
+  FROM d LEFT JOIN pn
+    ON d.event_type = pn.event_type AND d.phase = pn.phase
+), rm AS (
+  SELECT event_type, hr, resid,
+    CASE WHEN resid IS NOT NULL
+         THEN CAST(round(resid * 1000000) AS HUGEINT) END AS x
+  FROM r
+), st AS (
+  SELECT event_type, hr, resid, x,
+    CAST(count(x) OVER wk AS HUGEINT) AS n,
+    sum(x) OVER wk AS s,
+    sum(x * x) OVER wk AS q
+  FROM rm WINDOW wk AS (PARTITION BY event_type)
+)
+SELECT event_type, hr, resid,
+  CAST((n * x - s) * (n * x - s) * (n - 1) > 9 * n * (n * q - s * s)
+       AS BIGINT) AS anomaly
+FROM st WHERE x IS NOT NULL ORDER BY event_type, hr
+"""
+
+
 def q_doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-character fractions from the merged
     ExactSubstr spans (round 12; pipeline/spans.duplicate_span_stats):
@@ -5467,6 +5592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_topk": q_doc_bm25_topk,
         "doc_dup_span_stats": q_doc_dup_span_stats,
         "series_seasonal_decompose": q_series_seasonal_decompose,
+        "series_anomaly_flags": q_series_anomaly_flags,
         "doc_lm_buckets": q_doc_lm_buckets,
         "doc_shuffle_order": q_doc_shuffle_order,
         "series_pattern_topk": q_series_pattern_topk,
@@ -5729,6 +5855,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_bm25_topk": SQL_DOC_BM25_TOPK,
         "doc_dup_span_stats": SQL_DOC_DUP_SPAN_STATS,
         "series_seasonal_decompose": SQL_SERIES_SEASONAL_DECOMPOSE,
+        "series_anomaly_flags": SQL_SERIES_ANOMALY_FLAGS,
         "doc_lm_buckets": _sql_lm_buckets(),
         "doc_shuffle_order": SQL_DOC_SHUFFLE_ORDER,
         "series_pattern_topk": _sql_pattern_topk(),
