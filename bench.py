@@ -71,6 +71,10 @@ HEADLINE = [
     # aggregate + broadcast df slice + TakeOrdered — index amortizes in
     # production via save/update_bm25, same posture as incremental dedup)
     "doc_bm25_topk",
+    # round-12 addition: the time-series decomposition path (exact-decimal
+    # hourly bucketing + one series-keyed window pass + phase-mean
+    # broadcast) — tracks the events-table heavy aggregate + window shape
+    "series_seasonal_decompose",
 ]
 
 
