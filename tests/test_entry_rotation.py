@@ -98,21 +98,56 @@ def test_never_green_queries_order_first():
     assert ordered == ["b", "d", "c", "a"]
 
 
-def test_round11_strandees_front_of_round12_window():
-    """The 10 rpc_* queries stranded at round-8 rows by the old shift
-    must be inside the current window now (they're the stalest greens;
-    only never-green queries may precede them)."""
+def test_round11_strandees_regreened_in_round12():
+    """History pin (round-12 verdict, What's-wrong closure): the 10
+    queries the rounds-4..11 modular shift stranded at round-8 rows all
+    received fresh GREEN driver rows in CORRECTNESS_r12.json once the
+    stalest-first rotation put them in the round-12 window.  This pins
+    what HAPPENED — it never re-asserts window membership, which by
+    design rotates them back out once their rows are the freshest."""
+    import json
+    import pathlib
+
     strandees = {
         "rpc_read_filter", "rpc_read_group", "rpc_read_group_two_tags",
         "rpc_window_agg_1h", "rpc_window_agg_offset",
         "rpc_selector_last_first", "rpc_field_columns", "rpc_tag_values",
         "rpc_window_gapfill_value", "doc_paragraph_dedup",
     }
+    repo_root = pathlib.Path(__file__).resolve().parents[1]
+    r12 = json.load(open(repo_root / "CORRECTNESS_r12.json"))
+    missing = strandees - set(r12)
+    assert not missing, f"strandees missing from CORRECTNESS_r12: {missing}"
+    for name in sorted(strandees):
+        row = r12[name]
+        assert row.get("rows_match") or row.get("hash_match"), (name, row)
+
+
+def test_no_green_query_staler_than_horizon():
+    """THE durable invariant, asserted against the real committed
+    history: at the start of the current round, no query with at least
+    one green driver row may be staler than ceil(n/WINDOW) rounds.
+    Stalest-first ordering guarantees this by construction (the
+    simulation above proves the mechanism); this checks the actual
+    CORRECTNESS_r*.json files never violated it."""
+    import math
+
     names = list(entry_mod.queries())
-    window = set(names[:WINDOW])
-    missing = strandees - set(names)
-    assert not missing, f"strandees no longer declared: {missing}"
-    assert strandees <= window, sorted(strandees - window)
+    current = entry_mod._round_number()
+    horizon = math.ceil(len(names) / WINDOW)
+    table = entry_mod._last_green_rounds()
+    # staleness at the start of round N = (N-1) - last_green: the number
+    # of completed rounds since the query's newest green row (the r12
+    # verdict's measure — three r9 rows at round 13 sit exactly at 3).
+    stale = {
+        n: (current - 1) - r
+        for n, r in table.items()
+        if n in set(names) and (current - 1) - r > horizon
+    }
+    assert not stale, (
+        f"green queries staler than the {horizon}-round bound at the "
+        f"start of round {current}: {stale}"
+    )
 
 
 def test_current_round_window_covers_undriven_queries():
