@@ -264,6 +264,23 @@ def _frame_show(stmt: ShowStatement, cols, rows) -> list[dict]:
     return [entry] if rows else []
 
 
+def _shard_id(table: str, chunk_id: int) -> int:
+    """Globally unique exposed shard id for a (table, chunk) pair.
+
+    Chunk ids are allocated PER TABLE (store.py _alloc_chunk_id starts
+    every table at the same block), so the raw chunk id collides across
+    tables and cannot serve as the stock-1.x globally-unique shard id.
+    The exposed id is a stable 48-bit blake2b of the pair: deterministic
+    across processes, unchanged by table create/drop (no ordinal
+    shifting), and content-addressed — a stale id can only ever refer to
+    the chunk it was minted for, never silently re-resolve to a
+    different one."""
+    import hashlib
+
+    key = f"{table}\x00{chunk_id}".encode()
+    return int.from_bytes(hashlib.blake2b(key, digest_size=6).digest(), "big")
+
+
 def _show_shards_series(
     stmt: ShowStatement, database, now_ns: int
 ) -> list[dict]:
@@ -295,7 +312,7 @@ def _show_shards_series(
                 g[0] = tmin if g[0] is None else min(g[0], tmin)
             if tmax is not None:
                 g[1] = tmax if g[1] is None else max(g[1], tmax)
-            g[2].append(c.chunk_id)
+            g[2].append((t, c.chunk_id))
 
     def rfc(ns):
         if ns is None:
@@ -333,7 +350,7 @@ def _show_shards_series(
         ]
     values = [
         [
-            cid,
+            _shard_id(t, cid),
             database.name,
             rp_name,
             gid[k],
@@ -343,7 +360,7 @@ def _show_shards_series(
             "",
         ]
         for k, g in sorted(groups.items())
-        for cid in sorted(g[2])
+        for t, cid in sorted(g[2])
     ]
     return [
         {
@@ -760,10 +777,36 @@ def run_statements(
                     raise InfluxQLPlanError(
                         "DROP SHARD is not available on this endpoint"
                     )
-                # chunk = shard (the SHOW SHARDS mapping); stock silently
-                # succeeds on an unknown id, and so does drop_chunks
+                # chunk = shard (the SHOW SHARDS mapping).  The exposed
+                # id is the globally-unique _shard_id hash, so it names
+                # exactly one (table, chunk) — chunk ids alone collide
+                # across tables and a blanket per-table drop would
+                # silently delete same-id chunks from unrelated tables.
+                # Stock silently succeeds on an unknown id.
+                hash_hits: list[tuple[str, int]] = []
+                raw_tables: list[str] = []
                 for t in database.store.tables():
-                    database.store.drop_chunks(t, [stmt.shard_id])
+                    for c in database.store.manifest(t):
+                        if _shard_id(t, c.chunk_id) == stmt.shard_id:
+                            hash_hits.append((t, c.chunk_id))
+                        if c.chunk_id == stmt.shard_id:
+                            if t not in raw_tables:
+                                raw_tables.append(t)
+                if hash_hits:
+                    for t, cid in hash_hits:
+                        database.store.drop_chunks(t, [cid])
+                elif len(raw_tables) > 1:
+                    # back-compat raw-chunk-id path: refuse rather than
+                    # guess when the bare id exists in several tables
+                    raise InfluxQLPlanError(
+                        f"shard id {stmt.shard_id} is ambiguous (chunks "
+                        f"in {', '.join(sorted(raw_tables))}); use the "
+                        "id reported by SHOW SHARDS"
+                    )
+                elif raw_tables:
+                    database.store.drop_chunks(
+                        raw_tables[0], [stmt.shard_id]
+                    )
                 results.append(entry)
                 continue
             if isinstance(stmt, DropMeasurement):

@@ -1646,7 +1646,13 @@ def test_show_shards_and_shard_groups(spark, tmp_path):
     assert s["name"] == "sharddb"
     assert len(s["values"]) == 2  # one row per chunk
     ids = [v[0] for v in s["values"]]
-    assert ids == sorted(ids)
+    # exposed ids are the globally-unique (table, chunk) hashes, not the
+    # raw per-table chunk ids (those collide across tables)
+    from influxdb_iox_spark.influxql.v1_api import _shard_id
+
+    chunk_ids = sorted(c.chunk_id for c in store.manifest("cpu"))
+    assert ids == [_shard_id("cpu", cid) for cid in chunk_ids]
+    assert len(set(ids)) == 2
     row = dict(zip(s["columns"], s["values"][0]))
     assert row["shard_group"] == 1 and row["owners"] == ""
     assert row["start_time"].startswith("1970-01-01T00:01:40")
@@ -1697,3 +1703,57 @@ def test_drop_shard(spark, tmp_path):
         read_only=True,
     )
     assert "requires a POST" in env["results"][0]["error"]
+
+
+def test_drop_shard_cross_table_ids(spark, tmp_path):
+    """Chunk ids are allocated per table and collide across tables; the
+    exposed SHOW SHARDS id is the globally-unique (table, chunk) hash,
+    DROP SHARD of that hash drops exactly one chunk, and DROP SHARD of
+    a bare colliding chunk id refuses instead of silently deleting
+    same-id chunks from unrelated tables."""
+    from influxdb_iox_spark.database import Database
+    from influxdb_iox_spark.influxql.v1_api import (
+        _shard_id,
+        catalog_from_database,
+        run_statements,
+    )
+    from influxdb_iox_spark.schema import InfluxColumnType, IoxSchema
+    from influxdb_iox_spark.sources.store import TableStore
+
+    store = TableStore(str(tmp_path / "xt_store"))
+    db = Database("xtdb", store, spark)
+    sch = IoxSchema.build(["host"], {"v": InfluxColumnType.FIELD_FLOAT})
+    for t in ("cpu", "mem"):
+        store.write_chunk(
+            spark.createDataFrame(
+                [("a", 1.0, 100 * S)], "host string, v double, time long"
+            ),
+            t, sch,
+        )
+        db.register_table(t, sch)
+    cpu_id = store.manifest("cpu")[0].chunk_id
+    mem_id = store.manifest("mem")[0].chunk_id
+    assert cpu_id == mem_id  # the collision under test
+
+    # SHOW SHARDS emits one unique id per chunk despite the collision
+    env = run_statements(
+        "SHOW SHARDS", catalog_from_database(db), database=db
+    )
+    shown = [v[0] for v in env["results"][0]["series"][0]["values"]]
+    assert len(shown) == 2 and len(set(shown)) == 2
+
+    # bare colliding chunk id -> refused, nothing deleted
+    env = run_statements(
+        f"DROP SHARD {cpu_id}", catalog_from_database(db), database=db
+    )
+    assert "ambiguous" in env["results"][0]["error"]
+    assert len(store.manifest("cpu")) == 1 and len(store.manifest("mem")) == 1
+
+    # the exposed hash id drops exactly its own (table, chunk)
+    env = run_statements(
+        f"DROP SHARD {_shard_id('mem', mem_id)}",
+        catalog_from_database(db), database=db,
+    )
+    assert "error" not in env["results"][0]
+    assert len(store.manifest("cpu")) == 1
+    assert len(store.manifest("mem")) == 0
