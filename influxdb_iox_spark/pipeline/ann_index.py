@@ -19,6 +19,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from influxdb_iox_spark.pipeline.index_txn import maintenance_txn
 from influxdb_iox_spark.pipeline.similarity import (
     _hyperplanes,
     cosine_topk,
@@ -223,6 +224,9 @@ def append_to_ann_index(
     new_df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    guard=None,
+    force: bool = False,
+    writer: str | None = None,
 ) -> None:
     """Fold new vectors into a persisted index — the append the module
     docstring promises, for all three layouts.
@@ -241,7 +245,16 @@ def append_to_ann_index(
     when list-size skew says so.  Ids are the caller's contract, as in
     ``build_*`` (append-only upstream dedup; this layout has no
     replace-by-id because a vector's list assignment is content-keyed
-    and immutable)."""
+    and immutable).
+
+    Serialized through the index's writer claim (``pipeline.index_txn``)
+    so concurrent maintenance runs apply one-after-the-other instead of
+    interleaving partition writes."""
+    with maintenance_txn(path, guard=guard, force=force, writer=writer) as txn:
+        _append_locked(spark, path, new_df, vec_col, id_col, txn)
+
+
+def _append_locked(spark, path, new_df, vec_col, id_col, txn) -> None:
     import numpy as np
 
     from influxdb_iox_spark.pipeline.similarity import pq_encode
@@ -253,11 +266,13 @@ def append_to_ann_index(
         signed = hyperplane_signatures(
             new_df, meta["dim"], meta["nbits"], meta["seed"], vec_col
         )
+        txn.mutating()
         signed.write.mode("append").partitionBy("lsh_bucket").parquet(path)
         return
     cent = [np.asarray(c, dtype="float64") for c in meta["centroids"]]
     assigned = ivf_assign(new_df, cent, vec_col)
     if kind == "ivf":
+        txn.mutating()
         assigned.write.mode("append").partitionBy("ivf_list").parquet(path)
         return
     if kind != "ivfpq":
@@ -267,6 +282,7 @@ def append_to_ann_index(
     cols = [id_col, "ivf_list", "pq_codes"] + (
         [vec_col] if meta["keep_vectors"] else []
     )
+    txn.mutating()
     encoded.select(*cols).write.mode("append").partitionBy(
         "ivf_list"
     ).parquet(path)
@@ -278,6 +294,9 @@ def delete_from_ann_index(
     docs: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    guard=None,
+    force: bool = False,
+    writer: str | None = None,
 ) -> int:
     """Remove vectors from a persisted index — the takedown twin of
     ``search.delete_from_bm25`` (poisoned/contaminated embeddings,
@@ -291,8 +310,14 @@ def delete_from_ann_index(
     vectors as indexed.  A partition the deletion empties is cleared
     explicitly (dynamic partition overwrite writes nothing for it —
     the delete_from_bm25 gotcha, handled the same way).  Deleting an
-    absent id is a no-op; single-writer.
+    absent id is a no-op; serialized through the index's writer claim
+    (``pipeline.index_txn``).
     """
+    with maintenance_txn(path, guard=guard, force=force, writer=writer) as txn:
+        return _delete_locked(spark, path, docs, vec_col, id_col, txn)
+
+
+def _delete_locked(spark, path, docs, vec_col, id_col, txn) -> int:
     import json as _json
     import os as _os
 
@@ -325,6 +350,7 @@ def delete_from_ann_index(
         eager=True
     )
     n_removed = n_before - merged.count()
+    txn.mutating()
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -350,6 +376,9 @@ def upsert_into_ann_index(
     new_df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    guard=None,
+    force: bool = False,
+    writer: str | None = None,
 ) -> None:
     """Replay-idempotent fold of a vector batch: delete-then-append,
     both partition-scoped to the batch's own buckets (a replayed
@@ -357,6 +386,10 @@ def upsert_into_ann_index(
     a no-op in effect), matching ``search.update_bm25``'s
     replacement-by-id contract.  This is the foreachBatch-safe write
     for streaming vector ingest; plain ``append_to_ann_index`` remains
-    the cheaper bulk path when the caller guarantees at-most-once."""
-    delete_from_ann_index(spark, path, new_df, vec_col=vec_col, id_col=id_col)
-    append_to_ann_index(spark, path, new_df, vec_col=vec_col, id_col=id_col)
+    the cheaper bulk path when the caller guarantees at-most-once.
+
+    The delete and the append run under ONE writer claim, so another
+    maintainer can never slot between the two halves."""
+    with maintenance_txn(path, guard=guard, force=force, writer=writer) as txn:
+        _delete_locked(spark, path, new_df, vec_col, id_col, txn)
+        _append_locked(spark, path, new_df, vec_col, id_col, txn)

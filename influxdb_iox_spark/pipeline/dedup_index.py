@@ -36,6 +36,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from influxdb_iox_spark.pipeline.dedup import minhash_signatures
+from influxdb_iox_spark.pipeline.index_txn import maintenance_txn
 from influxdb_iox_spark.pipeline.text import normalize_text
 
 EXACT_META = "_dedup_meta.json"
@@ -148,10 +149,19 @@ def append_to_index(
     accepted_docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    guard=None,
+    force: bool = False,
+    writer: str | None = None,
 ) -> None:
     """Append the accepted batch's fingerprints (caller guarantees the
     batch was dedup'd against the index first; intra-batch duplicates
-    collapse to their min id here).  One new file per touched bucket."""
+    collapse to their min id here).  One new file per touched bucket.
+    Serialized through the index's writer claim (``pipeline.index_txn``)."""
+    with maintenance_txn(path, guard=guard, force=force, writer=writer) as txn:
+        _append_fp_locked(spark, path, accepted_docs, text_col, id_col, txn)
+
+
+def _append_fp_locked(spark, path, accepted_docs, text_col, id_col, txn) -> None:
     _, n_buckets = _read_exact(spark, path)
     fp = (
         accepted_docs.select(
@@ -161,6 +171,7 @@ def append_to_index(
         .agg(F.min(id_col).alias("canonical_id"))
         .withColumn("bucket", _bucket(F.col("content_hash"), n_buckets))
     )
+    txn.mutating()
     fp.write.mode("append").partitionBy("bucket").parquet(path)
 
 
@@ -169,6 +180,9 @@ def remove_from_index(
     path: str,
     docs: DataFrame,
     text_col: str = "text",
+    guard=None,
+    force: bool = False,
+    writer: str | None = None,
 ) -> int:
     """Remove fingerprints by CONTENT — the takedown path (a document
     deleted for rights reasons must also stop blocking a future
@@ -180,37 +194,49 @@ def remove_from_index(
     hashes locate the buckets, only those rewrite (dynamic partition
     overwrite), a bucket the removal empties is cleared explicitly, and
     removing an absent fingerprint is a no-op (idempotent replays).
-    Single-writer, like the append side.
+    Serialized through the index's writer claim, like the append side.
     """
-    idx, n_buckets = _read_exact(spark, path)
-    victim = (
-        docs.select(_content_hash(text_col).alias("content_hash"))
-        .distinct()
-        .withColumn("bucket", _bucket(F.col("content_hash"), n_buckets))
-        .localCheckpoint(eager=True)
-    )
-    touched = [r["bucket"] for r in victim.select("bucket").distinct().collect()]
-    if not touched:
-        return 0
-    old = idx.filter(F.col("bucket").isin(touched))
-    n_before = old.count()
-    merged = old.join(
-        F.broadcast(victim.select("content_hash")), "content_hash", "left_anti"
-    ).localCheckpoint(eager=True)
-    n_removed = n_before - merged.count()
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        merged.write.mode("overwrite").partitionBy("bucket").parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    survived = {r["bucket"] for r in merged.select("bucket").distinct().collect()}
-    jvm = spark._jvm
-    for b in set(touched) - survived:
-        jpath = jvm.org.apache.hadoop.fs.Path(os.path.join(path, f"bucket={b}"))
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        fs.delete(jpath, True)
-    return n_removed
+    with maintenance_txn(path, guard=guard, force=force, writer=writer) as txn:
+        idx, n_buckets = _read_exact(spark, path)
+        victim = (
+            docs.select(_content_hash(text_col).alias("content_hash"))
+            .distinct()
+            .withColumn("bucket", _bucket(F.col("content_hash"), n_buckets))
+            .localCheckpoint(eager=True)
+        )
+        touched = [
+            r["bucket"] for r in victim.select("bucket").distinct().collect()
+        ]
+        if not touched:
+            return 0
+        old = idx.filter(F.col("bucket").isin(touched))
+        n_before = old.count()
+        merged = old.join(
+            F.broadcast(victim.select("content_hash")),
+            "content_hash",
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        n_removed = n_before - merged.count()
+        txn.mutating()
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy("bucket").parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        survived = {
+            r["bucket"] for r in merged.select("bucket").distinct().collect()
+        }
+        jvm = spark._jvm
+        for b in set(touched) - survived:
+            jpath = jvm.org.apache.hadoop.fs.Path(
+                os.path.join(path, f"bucket={b}")
+            )
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            fs.delete(jpath, True)
+        return n_removed
 
 
 def ingest_batch(
@@ -219,24 +245,30 @@ def ingest_batch(
     new_docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    guard=None,
+    force: bool = False,
+    writer: str | None = None,
 ) -> DataFrame:
     """The full incremental step: accept = dedup vs index (+ intra-batch),
     append accepted fingerprints, return the accepted documents.
 
-    Concurrency contract: ONE ingest pipeline per index (the accept→append
-    pair is not atomic, so two concurrent ingesters could both accept the
-    same content in the race window).  Parallelism lives INSIDE the batch
-    (every step is a distributed job); scale batch size, not ingester
-    count — the same single-logical-writer shape as a Kafka-partition
-    consumer.  A crash between accept and append re-accepts the batch on
-    retry, which is harmless: the re-append collapses to the same digest
-    rows and queries over accepted docs dedup on content anyway."""
-    fresh = dedup_against_index(spark, path, new_docs, text_col, id_col)
-    # materialize before appending: the append would otherwise change the
-    # index the SAME lazy plan reads (read-your-own-write hazard)
-    fresh = fresh.localCheckpoint(eager=True)
-    append_to_index(spark, path, fresh, text_col, id_col)
-    return fresh
+    The accept→append pair runs under ONE writer claim
+    (``pipeline.index_txn``), so two concurrent ingesters can no longer
+    both accept the same content in the race window — the second claims
+    after the first's append committed and its dedup sees the new
+    fingerprints.  Parallelism lives INSIDE the batch (every step is a
+    distributed job); scale batch size, not ingester count.  A crash
+    between accept and append re-accepts the batch on retry (re-drive
+    with ``force=True``), which is harmless: the re-append collapses to
+    the same digest rows and queries over accepted docs dedup on
+    content anyway."""
+    with maintenance_txn(path, guard=guard, force=force, writer=writer) as txn:
+        fresh = dedup_against_index(spark, path, new_docs, text_col, id_col)
+        # materialize before appending: the append would otherwise change
+        # the index the SAME lazy plan reads (read-your-own-write hazard)
+        fresh = fresh.localCheckpoint(eager=True)
+        _append_fp_locked(spark, path, fresh, text_col, id_col, txn)
+        return fresh
 
 
 # ---------------------------------------------------------------------------
@@ -514,10 +546,23 @@ def append_segments_to_index(
     accepted_docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    guard=None,
+    force: bool = False,
+    writer: str | None = None,
 ) -> None:
     """Append the accepted batch's segment digests (caller scrubbed the
     batch first; intra-batch repeats collapse to their min position).
-    One new file per touched bucket, no rewrite of existing files."""
+    One new file per touched bucket, no rewrite of existing files.
+    Serialized through the index's writer claim (``pipeline.index_txn``)."""
+    with maintenance_txn(path, guard=guard, force=force, writer=writer) as txn:
+        _append_segments_locked(
+            spark, path, accepted_docs, text_col, id_col, txn
+        )
+
+
+def _append_segments_locked(
+    spark, path, accepted_docs, text_col, id_col, txn
+) -> None:
     from influxdb_iox_spark.pipeline.paragraph import segment_documents
 
     _, meta = _read_segment(spark, path)
@@ -527,6 +572,7 @@ def append_segments_to_index(
         words_per_segment=meta["words_per_segment"],
     )
     fp = _segment_fingerprints(segs, id_col, meta["n_buckets"])
+    txn.mutating()
     fp.write.mode("append").partitionBy("bucket").parquet(path)
 
 
@@ -536,15 +582,19 @@ def ingest_segments_batch(
     new_docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    guard=None,
+    force: bool = False,
+    writer: str | None = None,
 ) -> DataFrame:
     """Full incremental repeated-span step: scrub vs index (+ intra-batch
     first-occurrence), append the surviving segments' digests, return the
-    rebuilt documents.  Same single-logical-writer contract and
-    crash-retry semantics as ``ingest_batch`` (a re-run re-appends the
-    same digest rows, which fold in the min-struct aggregate)."""
-    scrubbed = scrub_against_segment_index(
-        spark, path, new_docs, text_col, id_col
-    )
-    scrubbed = scrubbed.localCheckpoint(eager=True)
-    append_segments_to_index(spark, path, scrubbed, text_col, id_col)
-    return scrubbed
+    rebuilt documents.  The scrub→append pair runs under ONE writer claim
+    (same shape as ``ingest_batch``); crash-retry re-appends the same
+    digest rows, which fold in the min-struct aggregate."""
+    with maintenance_txn(path, guard=guard, force=force, writer=writer) as txn:
+        scrubbed = scrub_against_segment_index(
+            spark, path, new_docs, text_col, id_col
+        )
+        scrubbed = scrubbed.localCheckpoint(eager=True)
+        _append_segments_locked(spark, path, scrubbed, text_col, id_col, txn)
+        return scrubbed

@@ -36,6 +36,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from influxdb_iox_spark.pipeline.index_txn import maintenance_txn
 from influxdb_iox_spark.pipeline.text import word_tokens
 
 N_BUCKETS = 64  # term-hash partition fan-out of a persisted index
@@ -105,6 +106,9 @@ def update_bm25(
     new_docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    guard=None,
+    force: bool = False,
+    writer: str | None = None,
 ) -> dict:
     """Fold a batch of documents into a persisted index without
     rebuilding it — the continuous-ingest twin of ``build_bm25_index``.
@@ -116,14 +120,22 @@ def update_bm25(
     this repo is an idempotent replay).  The replacement is complete
     because a replayed doc's content is identical, so its terms hash to
     exactly the buckets being rewritten; for a CHANGED doc the contract
-    is delete-then-add (old terms outside the new term set would leak a
-    posting) — a corpus pipeline never mutates a content-keyed doc.
+    is delete-then-add — and that contract is ENFORCED, not assumed: a
+    replaced id whose indexed postings disagree with the batch (dl or
+    any per-term tf) raises before anything is written, because its old
+    terms outside the new term set would silently leak stale postings
+    into untouched buckets.  The check is complete with only the
+    touched buckets in hand: every NEW term's bucket is touched by
+    construction, and dl (total Σtf, riding on every posting row) pins
+    the mass in unseen buckets — identical (term, tf) on all new terms
+    plus equal dl leaves exactly zero tf for any unseen old term.
 
-    Concurrency: single-writer, like every index maintainer here — the
-    read-merge-write cycle has no CAS, so two concurrent updaters lose
-    one batch.  The streaming wiring satisfies this by construction
-    (one foreachBatch query owns the index); a multi-writer deployment
-    serializes updates behind the write buffer instead.
+    Concurrency: serialized through the index's writer claim
+    (``pipeline.index_txn``) — ``begin()`` is taken before the index is
+    read, so two concurrent updaters apply one-after-the-other instead
+    of losing a batch; a crashed run leaves an intent marker the next
+    run surfaces as ``IndexMaintenanceInterrupted`` (re-drive with
+    ``force=True``; the fold is replay-idempotent).
 
     Cost model: the batch's postings land in the term buckets its OWN
     terms hash to, and ONLY those partitions rewrite (dynamic partition
@@ -133,64 +145,113 @@ def update_bm25(
     term's postings all live in one bucket); dfreq and the meta sidecar
     are tiny and rewrite whole.  Returns the new meta.
     """
-    postings, dfreq, meta = load_bm25(spark, path)
-    np_, _, nm = build_bm25_index(new_docs, id_col=id_col, text_col=text_col)
-    np_ = np_.withColumn(
-        "bucket", F.pmod(F.xxhash64("term"), F.lit(N_BUCKETS)).cast("int")
-    ).localCheckpoint(eager=True)
-    touched = [
-        r["bucket"] for r in np_.select("bucket").distinct().collect()
-    ]
-    if not touched:
-        return {"n_docs": int(meta["n_docs"]), "total_len": int(meta["total_len"])}
-    new_ids = np_.select(id_col).distinct()
-    old_touched = postings.filter(F.col("bucket").isin(touched))
-    # Stats of batch ids already present (the replay / replacement set):
-    # any one posting row carries the doc's dl.
-    replaced = (
-        old_touched.join(F.broadcast(new_ids), id_col)
-        .select(id_col, "dl")
-        .distinct()
-        .agg(F.count("*").alias("n"), F.sum("dl").alias("l"))
-        .collect()[0]
-    )
-    merged = (
-        old_touched.join(F.broadcast(new_ids), id_col, "left_anti")
-        .unionByName(np_)
-        .localCheckpoint(eager=True)  # breaks the self-overwrite cycle
-    )
-    affected_terms = np_.select("term").distinct()
-    new_term_df = merged.join(F.broadcast(affected_terms), "term").groupBy(
-        "term"
-    ).agg(F.count("*").alias("df"))
-    new_dfreq = (
-        dfreq.join(F.broadcast(affected_terms), "term", "left_anti")
-        .unionByName(new_term_df)
-        .localCheckpoint(eager=True)
-    )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        merged.write.mode("overwrite").partitionBy("bucket").parquet(
-            os.path.join(path, "postings")
+    with maintenance_txn(path, guard=guard, force=force, writer=writer) as txn:
+        postings, dfreq, meta = load_bm25(spark, path)
+        np_, _, nm = build_bm25_index(
+            new_docs, id_col=id_col, text_col=text_col
         )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    new_dfreq.write.mode("overwrite").parquet(os.path.join(path, "dfreq"))
-    out = {
-        "n_docs": int(meta["n_docs"]) - int(replaced["n"] or 0)
-        + int(nm["n_docs"]),
-        "total_len": int(meta["total_len"]) - int(replaced["l"] or 0)
-        + int(nm["total_len"]),
-    }
-    with open(os.path.join(path, "_bm25_meta.json"), "w") as f:
-        keep = {
-            k: meta[k]
-            for k in ("postings_schema", "dfreq_schema")
-            if k in meta
+        np_ = np_.withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(N_BUCKETS)).cast("int")
+        ).localCheckpoint(eager=True)
+        touched = [
+            r["bucket"] for r in np_.select("bucket").distinct().collect()
+        ]
+        if not touched:
+            return {
+                "n_docs": int(meta["n_docs"]),
+                "total_len": int(meta["total_len"]),
+            }
+        new_ids = np_.select(id_col).distinct()
+        old_touched = postings.filter(F.col("bucket").isin(touched))
+        old_rep = old_touched.join(F.broadcast(new_ids), id_col)
+        # Changed-content enforcement (see docstring): full-outer match
+        # of old vs new postings for replaced ids on (id, term).
+        mismatch = (
+            old_rep.select(
+                id_col, "term",
+                F.col("tf").alias("tf_old"), F.col("dl").alias("dl_old"),
+            )
+            .join(
+                np_.join(
+                    F.broadcast(old_rep.select(id_col).distinct()), id_col
+                ).select(
+                    id_col, "term",
+                    F.col("tf").alias("tf_new"), F.col("dl").alias("dl_new"),
+                ),
+                [id_col, "term"],
+                "full_outer",
+            )
+            .filter(
+                F.col("tf_old").isNull()
+                | F.col("tf_new").isNull()
+                | (F.col("tf_old") != F.col("tf_new"))
+                | (F.col("dl_old") != F.col("dl_new"))
+            )
+            .select(id_col)
+            .distinct()
+            .limit(5)
+            .collect()
+        )
+        if mismatch:
+            ids = sorted(r[id_col] for r in mismatch)
+            raise ValueError(
+                f"update_bm25: batch content differs from the indexed "
+                f"content for id(s) {ids} — replacement-by-id only covers "
+                "identical replays; for changed documents call "
+                "delete_from_bm25 with the OLD text, then update_bm25 "
+                "with the new (old terms outside the new term set would "
+                "otherwise leak stale postings)"
+            )
+        # Stats of batch ids already present (the replay / replacement
+        # set): any one posting row carries the doc's dl.
+        replaced = (
+            old_rep.select(id_col, "dl")
+            .distinct()
+            .agg(F.count("*").alias("n"), F.sum("dl").alias("l"))
+            .collect()[0]
+        )
+        merged = (
+            old_touched.join(F.broadcast(new_ids), id_col, "left_anti")
+            .unionByName(np_)
+            .localCheckpoint(eager=True)  # breaks the self-overwrite cycle
+        )
+        affected_terms = np_.select("term").distinct()
+        new_term_df = merged.join(
+            F.broadcast(affected_terms), "term"
+        ).groupBy("term").agg(F.count("*").alias("df"))
+        new_dfreq = (
+            dfreq.join(F.broadcast(affected_terms), "term", "left_anti")
+            .unionByName(new_term_df)
+            .localCheckpoint(eager=True)
+        )
+        txn.mutating()
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy("bucket").parquet(
+                os.path.join(path, "postings")
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        new_dfreq.write.mode("overwrite").parquet(os.path.join(path, "dfreq"))
+        out = {
+            "n_docs": int(meta["n_docs"]) - int(replaced["n"] or 0)
+            + int(nm["n_docs"]),
+            "total_len": int(meta["total_len"]) - int(replaced["l"] or 0)
+            + int(nm["total_len"]),
         }
-        json.dump({"kind": "bm25", "buckets": N_BUCKETS, **keep, **out}, f)
-    return out
+        with open(os.path.join(path, "_bm25_meta.json"), "w") as f:
+            keep = {
+                k: meta[k]
+                for k in ("postings_schema", "dfreq_schema")
+                if k in meta
+            }
+            json.dump(
+                {"kind": "bm25", "buckets": N_BUCKETS, **keep, **out}, f
+            )
+        return out
 
 
 def delete_from_bm25(
@@ -199,6 +260,9 @@ def delete_from_bm25(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    guard=None,
+    force: bool = False,
+    writer: str | None = None,
 ) -> dict:
     """Remove documents from a persisted index — the takedown path
     (eval-set contamination discovered post-index, right-to-be-forgotten).
@@ -211,75 +275,84 @@ def delete_from_bm25(
     vanish from dfreq; corpus stats subtract the deleted docs' indexed
     dl (read from the OLD postings, so a drifted text column cannot
     corrupt the totals).  Deleting an absent id is a no-op, so replays
-    are idempotent.  Single-writer, like update.  Returns the new meta.
+    are idempotent.  Serialized through the index's writer claim, like
+    update (see ``pipeline.index_txn``).  Returns the new meta.
     """
-    postings, dfreq, meta = load_bm25(spark, path)
-    np_, _, _ = build_bm25_index(docs, id_col=id_col, text_col=text_col)
-    np_ = np_.withColumn(
-        "bucket", F.pmod(F.xxhash64("term"), F.lit(N_BUCKETS)).cast("int")
-    ).localCheckpoint(eager=True)
-    touched = [r["bucket"] for r in np_.select("bucket").distinct().collect()]
-    if not touched:
-        return {
-            "n_docs": int(meta["n_docs"]),
-            "total_len": int(meta["total_len"]),
-        }
-    del_ids = np_.select(id_col).distinct()
-    old_touched = postings.filter(F.col("bucket").isin(touched))
-    removed = (
-        old_touched.join(F.broadcast(del_ids), id_col)
-        .select(id_col, "dl")
-        .distinct()
-        .agg(F.count("*").alias("n"), F.sum("dl").alias("l"))
-        .collect()[0]
-    )
-    merged = old_touched.join(
-        F.broadcast(del_ids), id_col, "left_anti"
-    ).localCheckpoint(eager=True)
-    affected_terms = np_.select("term").distinct()
-    new_term_df = merged.join(F.broadcast(affected_terms), "term").groupBy(
-        "term"
-    ).agg(F.count("*").alias("df"))
-    new_dfreq = (
-        dfreq.join(F.broadcast(affected_terms), "term", "left_anti")
-        .unionByName(new_term_df)
-        .localCheckpoint(eager=True)
-    )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        merged.write.mode("overwrite").partitionBy("bucket").parquet(
-            os.path.join(path, "postings")
+    with maintenance_txn(path, guard=guard, force=force, writer=writer) as txn:
+        postings, dfreq, meta = load_bm25(spark, path)
+        np_, _, _ = build_bm25_index(docs, id_col=id_col, text_col=text_col)
+        np_ = np_.withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(N_BUCKETS)).cast("int")
+        ).localCheckpoint(eager=True)
+        touched = [
+            r["bucket"] for r in np_.select("bucket").distinct().collect()
+        ]
+        if not touched:
+            return {
+                "n_docs": int(meta["n_docs"]),
+                "total_len": int(meta["total_len"]),
+            }
+        del_ids = np_.select(id_col).distinct()
+        old_touched = postings.filter(F.col("bucket").isin(touched))
+        removed = (
+            old_touched.join(F.broadcast(del_ids), id_col)
+            .select(id_col, "dl")
+            .distinct()
+            .agg(F.count("*").alias("n"), F.sum("dl").alias("l"))
+            .collect()[0]
         )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    # Dynamic overwrite only replaces partitions the write PRODUCES: a
-    # bucket left EMPTY by the deletion writes nothing and its stale
-    # files would survive — clear those partition dirs explicitly
-    # (Hadoop FS, so s3a/hdfs paths work like local ones).
-    survived = {
-        r["bucket"] for r in merged.select("bucket").distinct().collect()
-    }
-    jvm = spark._jvm
-    for b in set(touched) - survived:
-        jpath = jvm.org.apache.hadoop.fs.Path(
-            os.path.join(path, "postings", f"bucket={b}")
+        merged = old_touched.join(
+            F.broadcast(del_ids), id_col, "left_anti"
+        ).localCheckpoint(eager=True)
+        affected_terms = np_.select("term").distinct()
+        new_term_df = merged.join(
+            F.broadcast(affected_terms), "term"
+        ).groupBy("term").agg(F.count("*").alias("df"))
+        new_dfreq = (
+            dfreq.join(F.broadcast(affected_terms), "term", "left_anti")
+            .unionByName(new_term_df)
+            .localCheckpoint(eager=True)
         )
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        fs.delete(jpath, True)
-    new_dfreq.write.mode("overwrite").parquet(os.path.join(path, "dfreq"))
-    out = {
-        "n_docs": int(meta["n_docs"]) - int(removed["n"] or 0),
-        "total_len": int(meta["total_len"]) - int(removed["l"] or 0),
-    }
-    with open(os.path.join(path, "_bm25_meta.json"), "w") as f:
-        keep = {
-            k: meta[k]
-            for k in ("postings_schema", "dfreq_schema")
-            if k in meta
+        txn.mutating()
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy("bucket").parquet(
+                os.path.join(path, "postings")
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # Dynamic overwrite only replaces partitions the write PRODUCES: a
+        # bucket left EMPTY by the deletion writes nothing and its stale
+        # files would survive — clear those partition dirs explicitly
+        # (Hadoop FS, so s3a/hdfs paths work like local ones).
+        survived = {
+            r["bucket"] for r in merged.select("bucket").distinct().collect()
         }
-        json.dump({"kind": "bm25", "buckets": N_BUCKETS, **keep, **out}, f)
-    return out
+        jvm = spark._jvm
+        for b in set(touched) - survived:
+            jpath = jvm.org.apache.hadoop.fs.Path(
+                os.path.join(path, "postings", f"bucket={b}")
+            )
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            fs.delete(jpath, True)
+        new_dfreq.write.mode("overwrite").parquet(os.path.join(path, "dfreq"))
+        out = {
+            "n_docs": int(meta["n_docs"]) - int(removed["n"] or 0),
+            "total_len": int(meta["total_len"]) - int(removed["l"] or 0),
+        }
+        with open(os.path.join(path, "_bm25_meta.json"), "w") as f:
+            keep = {
+                k: meta[k]
+                for k in ("postings_schema", "dfreq_schema")
+                if k in meta
+            }
+            json.dump(
+                {"kind": "bm25", "buckets": N_BUCKETS, **keep, **out}, f
+            )
+        return out
 
 
 def load_bm25(

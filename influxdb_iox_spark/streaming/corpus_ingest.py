@@ -108,9 +108,15 @@ class CorpusDedupIngest:
         n = accepted.count()
         if n:
             accepted.write.mode("append").parquet(self.corpus_dir)
+            # Stable writer identities (one streaming query owns each
+            # index): a restart after a mid-batch SIGKILL self-succeeds
+            # its own claim instead of stalling out the guard's TTL,
+            # and the replayed batch converges (both folds are
+            # replay-idempotent).
             append_to_index(
                 self.spark, self.index_dir, accepted,
                 text_col=self.text_col, id_col=self.id_col,
+                writer="stream:corpus-ingest",
             )
             if self.search_index_dir is not None:
                 from influxdb_iox_spark.pipeline.search import update_bm25
@@ -121,6 +127,7 @@ class CorpusDedupIngest:
                 update_bm25(
                     self.spark, self.search_index_dir, accepted,
                     id_col=self.id_col, text_col=self.text_col,
+                    writer="stream:corpus-ingest",
                 )
         self.batches_seen += 1
         self.accepted_total += n

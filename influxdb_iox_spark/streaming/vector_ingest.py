@@ -51,9 +51,15 @@ class VectorIngest:
     def accept_batch(self, batch_df: DataFrame, batch_id: int) -> int:
         n = batch_df.count()
         if n:
+            # Stable writer identity: ONE streaming query owns this
+            # index (the documented single-logical-writer contract), so
+            # a restart after a mid-batch SIGKILL self-succeeds its own
+            # claim instead of stalling out the guard's TTL; the
+            # replayed batch converges (upsert is replay-idempotent).
             upsert_into_ann_index(
                 self.spark, self.index_dir, batch_df,
                 vec_col=self.vec_col, id_col=self.id_col,
+                writer="stream:vector-ingest",
             )
         self.batches_seen += 1
         self.rows_total += n
