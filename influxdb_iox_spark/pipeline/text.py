@@ -143,24 +143,26 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
     (the per-language lists are disjoint) with per-language counts as
     filters over the extracted-hits array (r12, a further 2.15× measured
     at sf1: regex scans cost O(text), the filter lambdas — interpreted,
-    but over the few-element hits array — cost O(hits)).  All three
-    spellings are count-identical; the blocklist/quality counters keep
-    the replace trick and its contract.
+    but over the few-element hits array — cost O(hits)) → the extract
+    runs DIRECTLY on lower(text) with whitespace-boundary lookarounds
+    (r13): the space-normalize replace pass and the padding concat were
+    a second full-text regex scan + copy per row, and "standalone token
+    of the normalized text" ≡ "run delimited by whitespace-or-boundary
+    in the raw text", so fusing them is count-identical (pinned against
+    the replace-trick scorer in tests).  The blocklist/quality counters
+    keep the replace trick and its contract.
     """
-    tmp = "__padded"
-    while tmp in df.columns:  # never clobber a caller's column
-        tmp += "_"
     hcol = "__stophits"
-    while hcol in df.columns:
+    while hcol in df.columns:  # never clobber a caller's column
         hcol += "_"
     all_words = [w for ws in LANG_STOPWORDS.values() for w in ws]
     with_padded = df.withColumn(
-        tmp, _padded(F.col(text_col))
-    ).withColumn(
         hcol,
         F.regexp_extract_all(
-            F.col(tmp),
-            F.lit("(?<= )(" + "|".join(all_words) + ")(?= )"),
+            F.lower(F.col(text_col)),
+            F.lit(
+                "(?:^|(?<=\\s))(" + "|".join(all_words) + ")(?:$|(?=\\s))"
+            ),
             1,
         ),
     )
