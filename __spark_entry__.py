@@ -1509,10 +1509,12 @@ def q_doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges on the even-id documents (one corpus scan builds the
     distinct-word table; each merge is one hash aggregate over it),
     then report per-document (n_words, n_pieces) under the learned
-    tokenizer.  Deterministic end-to-end (lexicographic tie-breaks),
-    but the trainer is an iterative driver loop — not SQL-expressible,
-    so this rides the driver's rows-only check; exact parity vs a pure
-    Python Sennrich reference is pinned in tests/test_bpe.py."""
+    tokenizer.  Deterministic end-to-end (lexicographic tie-breaks).
+    ORACLE-PAIRED since round 13 (_sql_bpe_token_stats): the DuckDB twin
+    joins a (word -> n_pieces) table materialized by the pinned
+    pure-Python Sennrich reference trained the same way, so the trained
+    merges AND the distributed segmentation are hash-checked end-to-end;
+    trainer parity is additionally pinned in tests/test_bpe.py."""
     from influxdb_iox_spark.pipeline.bpe import bpe_token_stats, train_bpe
 
     t = _load(spark, sf_dir, "documents")
@@ -5743,8 +5745,122 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _rotate_for_round(base)
 
 
+_BPE_ORACLE_DIR = "/tmp/spark_graft_bpe_oracle"
+
+
+def _sql_bpe_token_stats() -> str:
+    """Oracle for the learned-BPE gate (closes round-12's one
+    ``no_oracle`` row).  The trainer itself is an iterative loop — not
+    SQL-expressible — but the ENCODER's output is relational once the
+    merges are fixed: materialize a (corpus_sig, word, n_pieces) table
+    where the segmentation comes from the PINNED PURE-PYTHON Sennrich
+    reference (``pipeline/bpe.reference_train/reference_segment``, the
+    contract tests/test_bpe.py pins the distributed trainer against),
+    trained the exact way the gate query trains (24 merges on even-id
+    docs).  DuckDB then tokenizes the corpus with the established RE2
+    twin of word_tokens and joins the reference table — so the Spark
+    side's merges AND its distributed segmentation/join/aggregate are
+    all checked against an independent implementation.
+
+    One parquet serves every known sf dir: rows are keyed by
+    corpus_sig = SUM(LEN(text)) (distinct across the testdata dirs —
+    doc COUNTS collide at 500 for sf0.001/sf0.01) and the SQL
+    self-selects its corpus's slice.  The materialization is cached on
+    source-file identity and runs in pure Python + DuckDB (no Spark),
+    so oracle_sql() stays callable anywhere the driver calls it."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    import duckdb as _duckdb
+
+    from influxdb_iox_spark.pipeline.bpe import (
+        reference_segment,
+        reference_train,
+    )
+
+    out_parquet = _os.path.join(_BPE_ORACLE_DIR, "words.parquet")
+    marker_path = _os.path.join(_BPE_ORACLE_DIR, "sources.json")
+    sf_dirs = sorted(
+        d
+        for d in _glob.glob("/root/testdata/sf*")
+        if _os.path.exists(_os.path.join(d, "documents.parquet"))
+    )
+    sources = {}
+    for d in sf_dirs:
+        st = _os.stat(_os.path.join(d, "documents.parquet"))
+        sources[d] = [st.st_size, st.st_mtime]
+    try:
+        with open(marker_path) as f:
+            if _json.load(f) == sources and _os.path.exists(out_parquet):
+                return _SQL_BPE_TOKEN_STATS
+    except (OSError, ValueError):
+        pass
+    _os.makedirs(_BPE_ORACLE_DIR, exist_ok=True)
+    con = _duckdb.connect()
+    tok = (
+        "list_filter(regexp_split_to_array(lower(text), "
+        "'[^\\p{L}\\p{N}]+'), x -> x <> '')"
+    )
+    rows: list[tuple[int, str, int]] = []
+    for d in sf_dirs:
+        docs = f"read_parquet('{d}/documents.parquet')"
+        sig = con.execute(
+            f"SELECT CAST(SUM(LEN(text)) AS BIGINT) FROM {docs}"
+        ).fetchone()[0]
+        freqs = dict(
+            con.execute(
+                f"SELECT word, CAST(count(*) AS BIGINT) FROM ("
+                f"SELECT unnest({tok}) AS word FROM {docs} "
+                f"WHERE doc_id % 2 = 0) GROUP BY word"
+            ).fetchall()
+        )
+        merges = reference_train(freqs, n_merges=24)
+        words = [
+            r[0]
+            for r in con.execute(
+                f"SELECT DISTINCT word FROM ("
+                f"SELECT unnest({tok}) AS word FROM {docs})"
+            ).fetchall()
+        ]
+        rows.extend(
+            (sig, w, len(reference_segment(w, merges))) for w in words
+        )
+    con.execute(
+        "CREATE TABLE wt (corpus_sig BIGINT, word VARCHAR, n_pieces BIGINT)"
+    )
+    con.executemany("INSERT INTO wt VALUES (?, ?, ?)", rows)
+    tmp = out_parquet + ".tmp"
+    con.execute(f"COPY wt TO '{tmp}' (FORMAT PARQUET)")
+    _os.replace(tmp, out_parquet)
+    with open(marker_path, "w") as f:
+        _json.dump(sources, f)
+    return _SQL_BPE_TOKEN_STATS
+
+
+_SQL_BPE_TOKEN_STATS = f"""
+WITH wt AS (
+  SELECT word, n_pieces
+  FROM read_parquet('{_BPE_ORACLE_DIR}/words.parquet')
+  WHERE corpus_sig = (SELECT CAST(SUM(LEN(text)) AS BIGINT) FROM documents)
+), toks AS (
+  SELECT doc_id,
+    unnest(list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
+           x -> x <> '')) AS word
+  FROM documents
+)
+SELECT t.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_words,
+  CAST(SUM(wt.n_pieces) AS BIGINT) AS n_pieces
+FROM toks t JOIN wt USING (word)
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "doc_bpe_token_stats": _sql_bpe_token_stats(),
         "tpch_q1_pricing_summary": SQL_TPCH_Q1,
         "orders_by_status_priority": SQL_ORDERS_BY_STATUS,
         "tpch_q3_shipping_priority": SQL_SHIPPING_PRIORITY,

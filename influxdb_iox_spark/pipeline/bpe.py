@@ -262,3 +262,62 @@ def load_bpe(path: str) -> list[tuple[str, str]]:
             f"model end-marker {meta.get('end')!r} != this build's {END!r}"
         )
     return [tuple(m) for m in meta["merges"]]
+
+
+# ---------------------------------------------------------------------------
+# Pinned pure-Python reference (classic Sennrich BPE)
+# ---------------------------------------------------------------------------
+# The contract both the distributed trainer and encoder are tested
+# against (tests/test_bpe.py keeps an INDEPENDENT copy as the test pin;
+# this one exists so the driver's DuckDB oracle can materialize a
+# (word -> n_pieces) table without Spark — see __spark_entry__'s
+# doc_bpe_token_stats oracle).  Symbols are codepoints + END; each round
+# merges the most frequent adjacent pair (ties: lexicographically
+# smallest), applied greedily left-to-right.
+
+
+def reference_train(
+    word_freqs: dict[str, int],
+    n_merges: int,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Train merges from a (word -> corpus frequency) table."""
+    words = {w: list(w) + [END] for w in word_freqs}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, syms in words.items():
+            f = word_freqs[w]
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        merges.append(best[0])
+        l, r = best[0]
+        for w in words:
+            words[w] = _reference_apply(words[w], l, r)
+    return merges
+
+
+def _reference_apply(syms: list[str], l: str, r: str) -> list[str]:
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def reference_segment(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Segment one word with an already-trained merge list."""
+    syms = list(word) + [END]
+    for l, r in merges:
+        syms = _reference_apply(syms, l, r)
+    return syms
