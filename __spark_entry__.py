@@ -1733,6 +1733,91 @@ def q_doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr REMOVAL gated end-to-end (round 13;
+    pipeline/spans.remove_duplicate_spans): compute the merged duplicate
+    spans, cut every non-first occurrence out of its document
+    (keep_first — the corpus-wide first copy, ordered by doc id then
+    position, survives), and report each rewritten document's length
+    and md5.  The codegen aggregate() splice's offset arithmetic is
+    exactly what an oracle catches: the DuckDB twin replays the splice
+    with lag()-gap segments + string_agg and must produce
+    byte-identical text (md5) for all 500/5000 docs."""
+    from influxdb_iox_spark.pipeline.spans import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    t = _load(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text")
+    rewritten = remove_duplicate_spans(
+        docs, duplicate_spans(docs, k=40), keep_first=True
+    )
+    return rewritten.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5("text").alias("text_md5"),
+    ).orderBy("doc_id")
+
+
+SQL_DOC_DUP_SPAN_REMOVAL = """
+WITH wins AS (
+  SELECT doc_id, pos, substring(text, pos + 1, 40) AS win
+  FROM (SELECT doc_id, text,
+               unnest(range(0, length(text) - 40 + 1)) AS pos
+        FROM documents WHERE length(text) >= 40)
+), dup AS (
+  SELECT w.doc_id, w.pos
+  FROM wins w
+  JOIN (SELECT win FROM wins GROUP BY win HAVING count(*) >= 2) d
+    USING (win)
+), isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > coalesce(max(pos + 40) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         THEN 1 ELSE 0 END AS newi
+  FROM dup
+), grp AS (
+  SELECT doc_id, pos, sum(newi) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+), spans AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + 40 AS span_end
+  FROM grp GROUP BY doc_id, island
+), ranked AS (
+  SELECT s.doc_id, s.span_start, s.span_end,
+    row_number() OVER (
+      PARTITION BY substring(d.text, s.span_start + 1,
+                             s.span_end - s.span_start)
+      ORDER BY s.doc_id, s.span_start) AS rk
+  FROM spans s JOIN documents d USING (doc_id)
+), rem AS (
+  SELECT doc_id, span_start, span_end FROM ranked WHERE rk > 1
+), pieces AS (
+  SELECT r.doc_id, r.span_start, r.span_end,
+    substring(d.text, coalesce(lag(r.span_end) OVER w, 0) + 1,
+              r.span_start - coalesce(lag(r.span_end) OVER w, 0)) AS gap
+  FROM rem r JOIN documents d USING (doc_id)
+  WINDOW w AS (PARTITION BY r.doc_id ORDER BY r.span_start)
+), rebuilt AS (
+  SELECT doc_id,
+    string_agg(gap, '' ORDER BY span_start) AS head,
+    max(span_end) AS tail_from
+  FROM pieces GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(length(CASE WHEN r.doc_id IS NULL THEN d.text
+       ELSE r.head || substring(d.text, r.tail_from + 1) END) AS BIGINT)
+    AS n_chars,
+  md5(CASE WHEN r.doc_id IS NULL THEN d.text
+      ELSE r.head || substring(d.text, r.tail_from + 1) END) AS text_md5
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 SQL_DOC_DUP_SPAN_STATS = """
 WITH wins AS (
   SELECT doc_id, pos, substring(text, pos + 1, 40) AS win
@@ -5593,6 +5678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_token_stats": q_doc_bpe_token_stats,
         "doc_bm25_topk": q_doc_bm25_topk,
         "doc_dup_span_stats": q_doc_dup_span_stats,
+        "doc_dup_span_removal": q_doc_dup_span_removal,
         "series_seasonal_decompose": q_series_seasonal_decompose,
         "series_anomaly_flags": q_series_anomaly_flags,
         "doc_lm_buckets": q_doc_lm_buckets,
@@ -5970,6 +6056,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dsir_weights": SQL_DOC_DSIR_WEIGHTS,
         "doc_bm25_topk": SQL_DOC_BM25_TOPK,
         "doc_dup_span_stats": SQL_DOC_DUP_SPAN_STATS,
+        "doc_dup_span_removal": SQL_DOC_DUP_SPAN_REMOVAL,
         "series_seasonal_decompose": SQL_SERIES_SEASONAL_DECOMPOSE,
         "series_anomaly_flags": SQL_SERIES_ANOMALY_FLAGS,
         "doc_lm_buckets": _sql_lm_buckets(),
