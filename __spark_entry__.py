@@ -1545,7 +1545,8 @@ def q_series_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return seasonal_decompose(
-        b, 24, key_cols=["event_type"], time_col="hr", value_col="value"
+        b, 24, key_cols=["event_type"], time_col="hr", value_col="value",
+        phase_from_time=True,
     ).orderBy("event_type", "hr")
 
 
@@ -1557,19 +1558,22 @@ WITH b AS (
 ), s AS (
   SELECT event_type, hr, value,
     CAST(round(value * 1000000) AS BIGINT) AS vm,
-    row_number() OVER wo - 1 AS pos,
     count(*) OVER wf AS cnt,
     sum(CAST(round(value * 1000000) AS BIGINT)) OVER wf AS wsum,
-    lag(CAST(round(value * 1000000) AS BIGINT), 12) OVER wo AS lo,
-    lead(CAST(round(value * 1000000) AS BIGINT), 12) OVER wo AS hi
+    sum(CAST(round(value * 1000000) AS BIGINT)) OVER wl AS lo,
+    sum(CAST(round(value * 1000000) AS BIGINT)) OVER wh AS hi
   FROM b
   WINDOW wo AS (PARTITION BY event_type ORDER BY hr),
          wf AS (PARTITION BY event_type ORDER BY hr
-                ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+                RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING),
+         wl AS (PARTITION BY event_type ORDER BY hr
+                RANGE BETWEEN 12 PRECEDING AND 12 PRECEDING),
+         wh AS (PARTITION BY event_type ORDER BY hr
+                RANGE BETWEEN 12 FOLLOWING AND 12 FOLLOWING)
 ), tr AS (
   SELECT *, CASE WHEN cnt = 25
                  THEN (2 * wsum - lo - hi) / (2000000.0 * 24) END AS trend,
-         pos % 24 AS phase
+         hr % 24 AS phase
   FROM s
 ), d AS (
   SELECT *, value - trend AS detr FROM tr
@@ -1598,9 +1602,18 @@ def q_series_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     series' residual mean.  The 3σ test runs ENTIRELY in integers:
     residuals are 1e-6-rounded doubles identical across engines, so
     resid_micro is the same int64 everywhere, and
-    (n·x − Σ)²·(n−1) > 9·n·(n·Σ² − Σ²) in decimal(38,0)/HUGEIN T is the
+    (n·x − Σ)²·(n−1) > 9·n·(n·Σ² − Σ²) in decimal(38,0)/HUGEINT is the
     exact z²>9 inequality — no float σ, no rounding straddle
-    (the stats-family / pattern-search recipe)."""
+    (the stats-family / pattern-search recipe).
+
+    Magnitude bound (documented + GUARDED): both sides are ≤
+    9·n³·M² for a series of n points with max |resid_micro| = M, so
+    decimal(38,0) holds exactly while M < 10^19/(3·n^1.5) — e.g. a
+    year of hourly buckets (n≈8.8k) tolerates |resid| up to ~4×10^6.
+    Beyond it Spark (non-ANSI) would null the product where DuckDB's
+    HUGEINT errors; the in-plan assert below turns that silent null
+    into a loud engine-side error, keeping cross-engine failure parity
+    instead of emitting null flags that contradict this contract."""
     from influxdb_iox_spark.operators.decompose import seasonal_decompose
     from pyspark.sql import Window as W
 
@@ -1616,7 +1629,8 @@ def q_series_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     d = seasonal_decompose(
-        b, 24, key_cols=["event_type"], time_col="hr", value_col="value"
+        b, 24, key_cols=["event_type"], time_col="hr", value_col="value",
+        phase_from_time=True,
     ).withColumn(
         "rm",
         F.when(
@@ -1649,13 +1663,28 @@ def q_series_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULLABLE boolean as None (Spark) vs NaN (DuckDB), which the
     # value-hash treats as different — integers with no nulls are the
     # robust spelling.
+    # Overflow guard (see docstring): for a non-null rm, a null lhs/rhs
+    # can ONLY be a decimal(38,0) overflow (Spark non-ANSI nulls the
+    # product); assert_true turns it into a loud error matching
+    # DuckDB's HUGEINT overflow error instead of a silent null flag.
+    flag = F.when(
+        lhs.isNull() | rhs.isNull(),
+        F.assert_true(
+            F.lit(False),
+            F.lit(
+                "anomaly z^2 overflowed decimal(38,0): |resid_micro| "
+                "exceeds the documented 10^19/(3*n^1.5) bound — rescale "
+                "residuals before the integer 3-sigma test"
+            ),
+        ).cast("bigint"),
+    ).otherwise((lhs > rhs).cast("bigint"))
     return (
         stats.filter(F.col("rm").isNotNull())
         .select(
             "event_type",
             "hr",
             "resid",
-            (lhs > rhs).cast("bigint").alias("anomaly"),
+            flag.alias("anomaly"),
         )
         .orderBy("event_type", "hr")
     )
@@ -1669,19 +1698,22 @@ WITH b AS (
 ), s AS (
   SELECT event_type, hr, value,
     CAST(round(value * 1000000) AS BIGINT) AS vm,
-    row_number() OVER wo - 1 AS pos,
     count(*) OVER wf AS cnt,
     sum(CAST(round(value * 1000000) AS BIGINT)) OVER wf AS wsum,
-    lag(CAST(round(value * 1000000) AS BIGINT), 12) OVER wo AS lo,
-    lead(CAST(round(value * 1000000) AS BIGINT), 12) OVER wo AS hi
+    sum(CAST(round(value * 1000000) AS BIGINT)) OVER wl AS lo,
+    sum(CAST(round(value * 1000000) AS BIGINT)) OVER wh AS hi
   FROM b
   WINDOW wo AS (PARTITION BY event_type ORDER BY hr),
          wf AS (PARTITION BY event_type ORDER BY hr
-                ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+                RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING),
+         wl AS (PARTITION BY event_type ORDER BY hr
+                RANGE BETWEEN 12 PRECEDING AND 12 PRECEDING),
+         wh AS (PARTITION BY event_type ORDER BY hr
+                RANGE BETWEEN 12 FOLLOWING AND 12 FOLLOWING)
 ), tr AS (
   SELECT *, CASE WHEN cnt = 25
                  THEN (2 * wsum - lo - hi) / (2000000.0 * 24) END AS trend,
-         pos % 24 AS phase
+         hr % 24 AS phase
   FROM s
 ), d AS (
   SELECT *, value - trend AS detr FROM tr

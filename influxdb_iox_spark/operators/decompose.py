@@ -35,11 +35,27 @@ def seasonal_decompose(
     key_cols: list[str] | None = None,
     time_col: str = "time",
     value_col: str = "value",
+    phase_from_time: bool = False,
 ) -> DataFrame:
     """(keys, time, value, trend, seasonal, resid) — additive classical
     decomposition with seasonality ``period`` (rows per cycle; the
     caller buckets irregular series first — window_bounds / gapfill are
     the repo's tools for that).  Rows must be unique per (keys, time).
+
+    Gap handling: the default (``phase_from_time=False``) numbers rows
+    within the series (row_number phases, ROWS-framed trend), which
+    ASSUMES a gap-free series — one missing period bucket shifts the
+    phase of every later row AND lets the trend window straddle the
+    hole (compose with gapfill first, or pass the flag).  When
+    ``time_col`` is an integer bucket index (hour number, day number,
+    …), set ``phase_from_time=True`` for the fully gap-honest mode:
+    phase = pmod(time, period) is exact per row regardless of gaps, and
+    the trend uses RANGE frames over the bucket index, so a window with
+    a missing bucket fails the completeness count and reports null
+    trend (the same no-padding stance as series edges).  On a gap-free
+    series starting anywhere, the two modes differ only by a constant
+    per-series rotation of phase LABELS — the per-phase groups (hence
+    trend/seasonal/resid values) are identical.
     """
     if period < 2:
         raise ValueError("period must be >= 2")
@@ -47,27 +63,36 @@ def seasonal_decompose(
     w = Window.partitionBy(*keys).orderBy(time_col)
     vm = F.round(F.col(value_col) * 1_000_000).cast("long")
     h = period // 2
-    if period % 2:
+    if phase_from_time:
+        frame = w.rangeBetween(-h, h)
+        # one-bucket range frames replace row-based lag/lead: null when
+        # the endpoint bucket is missing, which the count check catches
+        lag_h = F.sum(vm).over(w.rangeBetween(-h, -h))
+        lead_h = F.sum(vm).over(w.rangeBetween(h, h))
+    else:
         frame = w.rowsBetween(-h, h)
+        lag_h = F.lag(vm, h).over(w)
+        lead_h = F.lead(vm, h).over(w)
+    if period % 2:
         full = F.count(value_col).over(frame) == period
         trend_num = F.sum(vm).over(frame).cast("double")
         trend = F.when(full, trend_num / (1_000_000.0 * period))
     else:
-        frame = w.rowsBetween(-h, h)
         full = F.count(value_col).over(frame) == period + 1
         # 2×m weighted MA: full-window sum minus half of each endpoint,
         # kept integer (doubled) until ONE final divide.
-        num2 = (
-            F.sum(vm).over(frame) * 2 - F.lag(vm, h).over(w) - F.lead(vm, h).over(w)
-        ).cast("double")
+        num2 = (F.sum(vm).over(frame) * 2 - lag_h - lead_h).cast("double")
         trend = F.when(full, num2 / (2_000_000.0 * period))
-    pos = F.row_number().over(w) - 1
+    if phase_from_time:
+        phase = F.pmod(F.col(time_col), F.lit(period))
+    else:
+        phase = F.pmod(F.row_number().over(w) - 1, F.lit(period))
     base = df.select(
         *keys,
         F.col(time_col),
         F.col(value_col),
         trend.alias("trend"),
-        F.pmod(pos, F.lit(period)).alias("__phase"),
+        phase.alias("__phase"),
     ).withColumn("__detr", F.col(value_col) - F.col("trend"))
     means = (
         base.filter(F.col("__detr").isNotNull())

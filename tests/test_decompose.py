@@ -101,6 +101,47 @@ def test_validation(spark):
         seasonal_decompose(df, 1)
 
 
+def test_phase_from_time_is_gap_robust(spark):
+    """A missing period bucket shifts every later ordinal phase
+    (row_number mode) but leaves time-derived phases aligned: dropping
+    one row from a pure seasonal pattern must keep per-phase means
+    exact under phase_from_time=True.  (On the gap-free series both
+    modes agree up to a label rotation — same outputs.)"""
+    m = 4
+    pattern = [10.0, 20.0, 30.0, 40.0]
+    values = pattern * 6  # 24 points, exactly seasonal
+    rows = [("a", t, v) for t, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "k string, time long, value double")
+    full = {
+        r["time"]: r
+        for r in seasonal_decompose(
+            df, m, key_cols=["k"], phase_from_time=True
+        ).collect()
+    }
+    # drop bucket t=5; later rows keep their true phase alignment
+    gap = df.filter("time != 5")
+    got = {
+        r["time"]: r
+        for r in seasonal_decompose(
+            gap, m, key_cols=["k"], phase_from_time=True
+        ).collect()
+    }
+    # the pure pattern decomposes to ~zero residual wherever the trend
+    # window is complete — gap or not, because phases stay aligned
+    for t, r in got.items():
+        if r["resid"] is not None:
+            assert abs(r["resid"]) < 1e-6, (t, r)
+    # and seasonal labels match the gap-free run for shared timestamps
+    for t, r in got.items():
+        if r["seasonal"] is not None and full[t]["seasonal"] is not None:
+            assert abs(r["seasonal"] - full[t]["seasonal"]) < 1e-6, t
+    # the ordinal mode, by contrast, misaligns phases after the gap:
+    # some complete-window residual must be far from zero
+    ord_got = seasonal_decompose(gap, m, key_cols=["k"]).collect()
+    bad = [r for r in ord_got if r["resid"] is not None and abs(r["resid"]) > 1.0]
+    assert bad, "ordinal phases unexpectedly survived the gap"
+
+
 def test_randomized_series_match_reference(spark):
     """Seeded-random sweep over lengths/periods incl. gaps-free random
     walks — pins edge-null placement and phase arithmetic everywhere."""
