@@ -158,6 +158,50 @@ def test_randomized_corpora_match_reference(spark):
             assert by_doc.get(i, []) == want, f"seed={seed} doc={i}"
 
 
+def test_incremental_matches_recount_path(spark):
+    """The round-13 incremental-delta trainer must produce the IDENTICAL
+    merge list as the recount-every-round twin — including on
+    overlap-heavy small-alphabet corpora where neighbor-patching
+    shortcuts go wrong (the diff-whole-words delta must not).  Also
+    exercised with min_pair_count=1 (train-to-exhaustion) and with a
+    checkpoint cadence of 1."""
+    import random
+
+    for seed in (0, 1, 2, 3):
+        rng = random.Random(100 + seed)
+        texts = [
+            " ".join(
+                "".join(rng.choice("abc") for _ in range(rng.randrange(1, 8)))
+                for _ in range(rng.randrange(1, 10))
+            )
+            for _ in range(rng.randrange(2, 6))
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        mpc = 1 if seed % 2 else 2
+        inc = train_bpe(
+            df, n_merges=12, min_pair_count=mpc, checkpoint_every=1
+        )
+        rec = train_bpe(
+            df, n_merges=12, min_pair_count=mpc, incremental=False
+        )
+        assert inc == rec, f"seed={seed} texts={texts}"
+
+
+def test_incremental_matches_recount_batched(spark):
+    """batch_k>1 under the incremental counts: same symbol-disjoint
+    selection semantics as the recount path on a corpus where the
+    count table is deep enough that both see the same candidates."""
+    df = spark.createDataFrame(
+        [(0, "low lower lowest low low new newer newest new" )],
+        "doc_id long, text string",
+    )
+    inc = train_bpe(df, n_merges=10, batch_k=3)
+    rec = train_bpe(df, n_merges=10, batch_k=3, incremental=False)
+    assert inc == rec
+
+
 def test_gate_query_matches_reference_on_real_testdata(spark):
     """doc_bpe_token_stats is the suite's one rows-only driver row (the
     iterative trainer is non-SQL-expressible); this pins the exact gate
