@@ -1523,6 +1523,114 @@ def q_doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_stats(docs, merges).orderBy("doc_id")
 
 
+def q_doc_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (α=0.5) domain-mixture weights per source
+    (round 13; pipeline/corpus.temperature_weights): the upstream of
+    mixture_sample — token totals per stratum, sqrt-flattened shares,
+    and the implied per-stratum epochs.  sqrt is IEEE-exact so both
+    engines agree bit-for-bit before the 1e-6 rounding; one aggregate +
+    a 1-row broadcast total, no driver collect."""
+    from influxdb_iox_spark.pipeline.corpus import temperature_weights
+
+    t = _load(spark, sf_dir, "documents")
+    return temperature_weights(t["documents"], alpha=0.5).orderBy("source")
+
+
+SQL_DOC_MIXTURE_WEIGHTS = r"""
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(SUM(len(list_filter(
+      regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+      x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT SUM(sqrt(CAST(n_tokens AS DOUBLE))) AS z,
+         CAST(SUM(n_tokens) AS BIGINT) AS tt
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+  round(sqrt(CAST(n_tokens AS DOUBLE)) / z * 1000000) / 1000000 AS weight,
+  round(sqrt(CAST(n_tokens AS DOUBLE)) / z * CAST(tt AS DOUBLE)
+        / CAST(n_tokens AS DOUBLE) * 1000000) / 1000000 AS epochs
+FROM per, tot
+ORDER BY source
+"""
+
+
+def q_series_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift detection per event_type (round 13;
+    operators/changepoint.py): hourly mean series → integer-exact cusum
+    peak location (argmax |S_t|, earliest tie), range statistic, and
+    the k·σ·√n threshold flag evaluated entirely in
+    decimal(38,0)/HUGEINT (the anomaly-flags recipe — no float σ, no
+    rounding straddle).  Only s_range is a double (one divide,
+    1e-6-rounded)."""
+    from influxdb_iox_spark.operators.changepoint import cusum_changepoints
+
+    t = _load(spark, sf_dir, "events")
+    b = (
+        t["events"]
+        .groupBy("event_type", F.expr(f"ts div {HOUR_NS}").alias("hr"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+                / F.count("*")
+            ).alias("value")
+        )
+    )
+    return cusum_changepoints(
+        b, key_cols=["event_type"], time_col="hr", value_col="value"
+    ).orderBy("event_type")
+
+
+SQL_SERIES_CHANGEPOINTS = """
+WITH b AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS value
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, hr,
+    CAST(round(value * 1000000) AS BIGINT) AS vm,
+    sum(CAST(round(value * 1000000) AS BIGINT)) OVER (
+      PARTITION BY event_type ORDER BY hr
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+    row_number() OVER (PARTITION BY event_type ORDER BY hr) AS t_idx,
+    count(*) OVER (PARTITION BY event_type) AS n,
+    sum(CAST(round(value * 1000000) AS BIGINT)) OVER (
+      PARTITION BY event_type) AS tot,
+    sum(CAST(round(value * 1000000) AS HUGEINT)
+        * CAST(round(value * 1000000) AS HUGEINT)) OVER (
+      PARTITION BY event_type) AS q
+  FROM b
+), d AS (
+  SELECT *, CAST(n AS HUGEINT) * CAST(p AS HUGEINT)
+            - CAST(t_idx AS HUGEINT) * CAST(tot AS HUGEINT) AS dd
+  FROM s WHERE n >= 2
+), pk AS (
+  SELECT event_type, max(abs(dd)) AS peak FROM d GROUP BY event_type
+), cp AS (
+  SELECT d.event_type, min(d.hr) AS cp_hr
+  FROM d JOIN pk USING (event_type) WHERE abs(dd) = peak
+  GROUP BY d.event_type
+), a AS (
+  SELECT event_type, any_value(n) AS n, any_value(tot) AS tot,
+         any_value(q) AS q, max(dd) AS dmax, min(dd) AS dmin
+  FROM d GROUP BY event_type
+)
+SELECT a.event_type, a.n, cp.cp_hr,
+  round(CAST(a.dmax - a.dmin AS DOUBLE) / CAST(a.n AS DOUBLE)) / 1000000.0
+    AS s_range,
+  CAST((a.dmax - a.dmin) * (a.dmax - a.dmin)
+         * CAST(a.n - 1 AS HUGEINT) * 10000
+       > 26569 * CAST(a.n AS HUGEINT) * CAST(a.n AS HUGEINT)
+         * (CAST(a.n AS HUGEINT) * a.q
+            - CAST(a.tot AS HUGEINT) * CAST(a.tot AS HUGEINT))
+       AS BIGINT) AS shifted
+FROM a JOIN cp USING (event_type)
+ORDER BY a.event_type
+"""
+
+
 def q_series_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical seasonal decomposition (round 12;
     operators/decompose.py): hourly mean series per event_type →
@@ -5712,6 +5820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_span_stats": q_doc_dup_span_stats,
         "doc_dup_span_removal": q_doc_dup_span_removal,
         "series_seasonal_decompose": q_series_seasonal_decompose,
+        "series_changepoints": q_series_changepoints,
+        "doc_mixture_weights": q_doc_mixture_weights,
         "series_anomaly_flags": q_series_anomaly_flags,
         "doc_lm_buckets": q_doc_lm_buckets,
         "doc_shuffle_order": q_doc_shuffle_order,
@@ -6090,6 +6200,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_span_stats": SQL_DOC_DUP_SPAN_STATS,
         "doc_dup_span_removal": SQL_DOC_DUP_SPAN_REMOVAL,
         "series_seasonal_decompose": SQL_SERIES_SEASONAL_DECOMPOSE,
+        "series_changepoints": SQL_SERIES_CHANGEPOINTS,
+        "doc_mixture_weights": SQL_DOC_MIXTURE_WEIGHTS,
         "series_anomaly_flags": SQL_SERIES_ANOMALY_FLAGS,
         "doc_lm_buckets": _sql_lm_buckets(),
         "doc_shuffle_order": SQL_DOC_SHUFFLE_ORDER,

@@ -327,6 +327,65 @@ def mixture_sample(
     return deterministic_sample(df, rates, strata_col, id_col), rates
 
 
+def temperature_weights(
+    df: DataFrame,
+    alpha: float = 0.5,
+    strata_col: str = "source",
+    token_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled mixture weights per stratum — the upstream of
+    ``mixture_sample`` (the T5/multilingual-LM recipe): raw token shares
+    p_s = T_s/ΣT get flattened to w_s = T_s^α / Σ T_j^α, boosting
+    low-resource strata as α → 0 (α=1 is proportional, α=0 uniform).
+
+    Returns (strata, n_docs, n_tokens, weight, epochs): ``weight`` is
+    the training-mixture share; ``epochs`` = weight·ΣT/T_s is how many
+    passes over the stratum a proportional sampler at that share
+    implies (>1 flags upsampling/repetition of small strata).
+
+    One hash aggregate (O(strata) rows) + a 1-row broadcast total —
+    fully in-plan, no driver collect.  The default α=0.5 is spelled
+    ``sqrt`` (IEEE-exact, so both engines agree bit-for-bit before the
+    1e-6 rounding); other α use pow(), where the last-ulp is engine
+    math-library territory and only the rounded outputs are contracted.
+    ``token_col`` counts precomputed per-doc tokens; None tokenizes
+    ``text_col`` with the standard word_tokens split."""
+    from influxdb_iox_spark.pipeline.text import word_tokens
+
+    if token_col is not None:
+        toks = F.sum(F.col(token_col).cast("long"))
+    else:
+        toks = F.sum(F.size(word_tokens(F.col(text_col))).cast("long"))
+    per = df.groupBy(strata_col).agg(
+        F.count("*").alias("n_docs"), toks.alias("n_tokens")
+    )
+    scaled = (
+        F.sqrt(F.col("n_tokens").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    )
+    per = per.withColumn("__sc", scaled)
+    totals = per.agg(
+        F.sum("__sc").alias("__z"), F.sum("n_tokens").alias("__tt")
+    )
+    micro = lambda c: F.round(c * 1_000_000) / 1_000_000
+    return (
+        per.crossJoin(F.broadcast(totals))  # 1-row totals, in-plan
+        .select(
+            strata_col,
+            "n_docs",
+            "n_tokens",
+            micro(F.col("__sc") / F.col("__z")).alias("weight"),
+            micro(
+                (F.col("__sc") / F.col("__z"))
+                * F.col("__tt").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("epochs"),
+        )
+    )
+
+
 def shuffle_into_shards(
     df: DataFrame,
     id_col: str = "doc_id",

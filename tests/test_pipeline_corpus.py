@@ -387,3 +387,54 @@ def test_shuffle_into_shards_validation(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         shuffle_into_shards(docs, "doc_id", n_shards=0)
+
+
+def test_temperature_weights(spark):
+    """α=0.5 sqrt-flattening on hand-computable token totals, plus the
+    α dials: α=1 recovers proportional shares, α→0 flattens toward
+    uniform (the low-resource boost)."""
+    from influxdb_iox_spark.pipeline.corpus import temperature_weights
+
+    # srcA: 2 docs x 2 tokens = 4... build exact token counts via text
+    rows = [
+        (1, "a b", "srcA"), (2, "c d", "srcA"),          # 4 tokens
+        (3, "e f g h i j k l m n o p", "srcB"),          # 12
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["source"]: r
+        for r in temperature_weights(docs, alpha=0.5).collect()
+    }
+    import math
+
+    z = math.sqrt(4) + math.sqrt(12)
+    assert got["srcA"]["n_docs"] == 2 and got["srcA"]["n_tokens"] == 4
+    assert got["srcB"]["n_tokens"] == 12
+    assert abs(got["srcA"]["weight"] - math.sqrt(4) / z) < 1e-6
+    assert abs(got["srcB"]["weight"] - math.sqrt(12) / z) < 1e-6
+    # epochs: srcA upsampled (>1), srcB downsampled (<1)
+    assert abs(got["srcA"]["epochs"] - (math.sqrt(4) / z) * 16 / 4) < 1e-6
+    assert got["srcA"]["epochs"] > 1 > got["srcB"]["epochs"]
+    # alpha=1 -> proportional
+    prop = {
+        r["source"]: r["weight"]
+        for r in temperature_weights(docs, alpha=1.0).collect()
+    }
+    assert abs(prop["srcA"] - 4 / 16) < 1e-6
+    # alpha=0.1 flatter than alpha=0.5
+    flat = {
+        r["source"]: r["weight"]
+        for r in temperature_weights(docs, alpha=0.1).collect()
+    }
+    assert flat["srcA"] > got["srcA"]["weight"]
+    # precomputed token column path matches the tokenizing path
+    from pyspark.sql import functions as F2
+
+    pre = docs.withColumn(
+        "nt", F2.when(F2.col("source") == "srcA", 2).otherwise(12)
+    )
+    got2 = {
+        r["source"]: r["weight"]
+        for r in temperature_weights(pre, alpha=0.5, token_col="nt").collect()
+    }
+    assert abs(got2["srcA"] - got["srcA"]["weight"]) < 1e-6
