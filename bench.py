@@ -75,6 +75,13 @@ HEADLINE = [
     # hourly bucketing + one series-keyed window pass + phase-mean
     # broadcast) — tracks the events-table heavy aggregate + window shape
     "series_seasonal_decompose",
+    # round-13 addition: ExactSubstr REMOVAL end-to-end (span mine +
+    # keep-first rank + codegen splice rewrite) — tracks the heaviest
+    # document-rewrite shape in the suite
+    "doc_dup_span_removal",
+    # round-13 addition: CUSUM changepoints (ordered-window prefix sums +
+    # one series aggregate on a shared exchange, integer threshold test)
+    "series_changepoints",
 ]
 
 
