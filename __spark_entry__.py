@@ -1523,6 +1523,47 @@ def q_doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_stats(docs, merges).orderBy("doc_id")
 
 
+def q_series_median_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-median despike per event_type (round 13;
+    operators/transforms.median_filter): exact percentile(0.5) over the
+    centered ±2 ROWS frame (true sorted median, linear interpolation on
+    even counts — DuckDB's quantile_cont twin), truncated at series
+    edges; hourly means enter exact-decimal so both engines smooth
+    identical doubles, outputs 1e-6-rounded."""
+    from influxdb_iox_spark.operators.transforms import median_filter
+
+    t = _load(spark, sf_dir, "events")
+    b = (
+        t["events"]
+        .groupBy("event_type", F.expr(f"ts div {HOUR_NS}").alias("hr"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+                / F.count("*")
+            ).alias("value")
+        )
+    )
+    return median_filter(
+        b, ["event_type"], "hr", "value", half_window=2
+    ).orderBy("event_type", "hr")
+
+
+SQL_SERIES_MEDIAN_FILTER = """
+WITH b AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS value
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hr, value,
+  round(quantile_cont(value, 0.5) OVER (
+    PARTITION BY event_type ORDER BY hr
+    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) * 1000000) / 1000000
+    AS smoothed
+FROM b
+ORDER BY event_type, hr
+"""
+
+
 def q_doc_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled (α=0.5) domain-mixture weights per source
     (round 13; pipeline/corpus.temperature_weights): the upstream of
@@ -5822,6 +5863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_seasonal_decompose": q_series_seasonal_decompose,
         "series_changepoints": q_series_changepoints,
         "doc_mixture_weights": q_doc_mixture_weights,
+        "series_median_filter": q_series_median_filter,
         "series_anomaly_flags": q_series_anomaly_flags,
         "doc_lm_buckets": q_doc_lm_buckets,
         "doc_shuffle_order": q_doc_shuffle_order,
@@ -6202,6 +6244,7 @@ def oracle_sql() -> dict[str, str]:
         "series_seasonal_decompose": SQL_SERIES_SEASONAL_DECOMPOSE,
         "series_changepoints": SQL_SERIES_CHANGEPOINTS,
         "doc_mixture_weights": SQL_DOC_MIXTURE_WEIGHTS,
+        "series_median_filter": SQL_SERIES_MEDIAN_FILTER,
         "series_anomaly_flags": SQL_SERIES_ANOMALY_FLAGS,
         "doc_lm_buckets": _sql_lm_buckets(),
         "doc_shuffle_order": SQL_DOC_SHUFFLE_ORDER,

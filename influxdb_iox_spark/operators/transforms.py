@@ -250,3 +250,44 @@ def trapezoidal_integral(
         F.sum("__term").alias("integral_num"),
         (F.sum("__term").cast("double") / F.lit(denom)).alias("integral"),
     )
+
+
+def median_filter(
+    df: DataFrame,
+    keys: list[str],
+    time_col: str,
+    value_col: str,
+    half_window: int = 2,
+    out_col: str = "smoothed",
+) -> DataFrame:
+    """Per-series sliding-median despike (the classic robust smoother a
+    monitoring pipeline runs before rate/anomaly logic: a single wild
+    point cannot drag a median the way it drags a mean).
+
+    EXACT median over the centered ±``half_window`` ROWS frame via
+    Spark's ``percentile(…, 0.5)`` as a window aggregate (true sorted
+    median with linear interpolation on even counts — NOT
+    approx_percentile), which is also DuckDB's ``quantile_cont(0.5)``
+    semantics, so the twin oracles agree; outputs ride the repo's
+    1e-6 float-rounding contract.  Series edges use the truncated
+    window (median of what exists — no invented padding), matching the
+    standard medfilt edge behavior.
+
+    ONE series-keyed ordered window; the frame holds ≤ 2·half_window+1
+    values per row, so memory is O(window), and the exchange is shared
+    with any other same-key window transform (the series_transforms
+    posture)."""
+    if half_window < 1:
+        raise ValueError("half_window must be >= 1")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(time_col)
+        .rowsBetween(-half_window, half_window)
+    )
+    med = F.expr(f"percentile({value_col}, 0.5)").over(w)
+    return df.select(
+        *keys,
+        F.col(time_col),
+        F.col(value_col),
+        (F.round(med * 1_000_000) / 1_000_000).alias(out_col),
+    )

@@ -175,3 +175,34 @@ def test_exponential_moving_average_validates_alpha(series_df):
         T.exponential_moving_average(series_df, ["s"], ["t"], "v", alpha=0.0)
     with pytest.raises(ValueError):
         T.exponential_moving_average(series_df, ["s"], ["t"], "v", alpha=1.5)
+
+
+def test_median_filter_despikes(spark):
+    """Sliding median vs statistics.median over every truncated window:
+    spikes vanish, edges use the shortened frame, and a second series
+    never bleeds into the first."""
+    import statistics
+
+    from influxdb_iox_spark.operators.transforms import median_filter
+
+    vals = [1.0, 2.0, 100.0, 3.0, 4.0, 5.0, -50.0, 6.0]
+    other = [10.0, 20.0, 30.0]
+    rows = [("a", t, v) for t, v in enumerate(vals)] + [
+        ("b", t, v) for t, v in enumerate(other)
+    ]
+    df = spark.createDataFrame(rows, "k string, time long, value double")
+    out = median_filter(df, ["k"], "time", "value", half_window=2).collect()
+    got = {(r["k"], r["time"]): r["smoothed"] for r in out}
+    for key, series in (("a", vals), ("b", other)):
+        for t in range(len(series)):
+            lo, hi = max(0, t - 2), min(len(series), t + 3)
+            want = round(statistics.median(series[lo:hi]) * 1e6) / 1e6
+            assert abs(got[(key, t)] - want) < 1e-9, (key, t)
+    # the spikes are gone from the smoothed series
+    assert max(got[("a", t)] for t in range(len(vals))) < 10.0
+    assert min(got[("a", t)] for t in range(len(vals))) > -1.0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        median_filter(df, ["k"], "time", "value", half_window=0)
