@@ -286,7 +286,20 @@ class IndexTxnGuard:
 
 def guard_for_path(path: str, ttl_seconds: float = DEFAULT_TTL_SECONDS) -> IndexTxnGuard:
     """The default guard for a filesystem-hosted index: control keys in
-    ``<path>/_txncas/`` (underscore dir — parquet readers skip it)."""
+    ``<path>/_txncas/`` (underscore dir — parquet readers skip it).
+
+    Remote URIs (s3a://, gs://, …) are refused rather than silently
+    guarded by a LOCAL directory (which would only serialize writers on
+    one machine): an object-store-hosted index passes
+    ``guard=IndexTxnGuard(S3RestObjectStore(...), prefix=...)`` to its
+    maintainer so the claim lives next to the data with real
+    conditional-put CAS."""
+    if "://" in path.split(os.sep, 1)[0] or "://" in path[:12]:
+        raise ValueError(
+            f"guard_for_path only guards local paths; {path!r} needs an "
+            "explicit ObjectStore-backed IndexTxnGuard (the claim must "
+            "live in the same store as the index)"
+        )
     return IndexTxnGuard(
         PosixCasStore(os.path.join(path, "_txncas")), ttl_seconds=ttl_seconds
     )
