@@ -310,7 +310,7 @@ def maintenance_txn(
     path: str,
     guard: IndexTxnGuard | None = None,
     writer: str | None = None,
-    wait_seconds: float = 5.0,
+    wait_seconds: float = 600.0,
     force: bool = False,
 ):
     """Context manager every index maintainer wraps its body in:
@@ -321,7 +321,12 @@ def maintenance_txn(
             ...writes...           # a crash here leaves the intent marker
 
     Commits on clean exit; clean-aborts if nothing mutated; preserves
-    the intent marker (and re-raises) if mutation had started."""
+    the intent marker (and re-raises) if mutation had started.
+
+    The default claim wait is generous (10 min): a maintenance batch
+    that finds another writer mid-cycle should WAIT it out and then
+    apply — failing fast would turn healthy serialization into spurious
+    batch failures (a stuck writer is what the TTL is for)."""
     g = guard if guard is not None else guard_for_path(path)
     token = g.begin(writer=writer, wait_seconds=wait_seconds, force=force)
     try:
