@@ -76,6 +76,8 @@ def open_write_buffer(conn: str) -> "WriteBuffer":
     deployment swaps backends by changing ONLY the connection string in
     the database rules — exactly the reference's
     ``write_buffer_connection`` shape."""
+    if conn.startswith(("kafkawire:", "kafkawire://")):
+        return KafkaWireWriteBuffer(conn)
     if conn.startswith(("kafka:", "kafka://")):
         return KafkaWriteBuffer(conn)
     return FileWriteBuffer(conn)
@@ -466,4 +468,101 @@ class KafkaWriteBuffer(WriteBuffer):
         for s, payload in self.poll(db_name, seq)[0]:
             if s == seq:
                 return payload
+        return None
+
+
+class KafkaWireWriteBuffer(KafkaWriteBuffer):
+    """Kafka backend over the repo's OWN wire-protocol client
+    (``streaming/kafkawire.py`` — stdlib sockets, record-batch v2 with
+    headers, no client lib), selected by ``kafkawire://host:port``.
+
+    Closes round 12's standing transport gap the h2wire/s3rest way: the
+    adapter's pure parts (sequence collapse, topic mapping, payload
+    headers) are IDENTICAL to ``KafkaWriteBuffer`` — this subclass only
+    swaps kafka-python calls for KafkaWireClient requests — and the
+    whole write-buffer CONTRACT battery runs against it over real
+    sockets to an in-process broker stub (tests/kafka_stub.py), so
+    produce/poll/read_one semantics are wire-verified end-to-end.
+
+    Offset management is client-side (the contract's ``from_seq`` is
+    the consumer state — no consumer groups), and ``poll`` walks each
+    partition from its ``_seek_offset`` to the ListOffsets log end.
+    ``read_one`` treats an undecodable (unversioned) sequence as absent
+    rather than raising: such a cursor cannot have been handed out by
+    this encoding, and read_one's contract is the parked-recheck probe.
+    """
+
+    def __init__(self, conn: str):
+        from influxdb_iox_spark.streaming.kafkawire import KafkaWireClient
+
+        self.conn = conn
+        brokers = conn.split("://", 1)[-1]
+        host, _, port = brokers.split(",")[0].partition(":")
+        self._client = KafkaWireClient(host, int(port or 9092))
+
+    def close(self) -> None:
+        self._client.close()
+
+    def produce(self, db_name: str, lp_data: str, partition: int = 0) -> int:
+        return self._produce_wire(
+            db_name, lp_data.encode(), b"lp", partition
+        )
+
+    def produce_entry(
+        self, db_name: str, entry: bytes, partition: int = 0
+    ) -> int:
+        return self._produce_wire(db_name, bytes(entry), b"entry", partition)
+
+    def _produce_wire(
+        self, db_name: str, value: bytes, fmt: bytes, partition: int
+    ) -> int:
+        self._collapse_seq(0, partition)  # pre-send range check
+        base = self._client.produce(
+            self._topic(db_name), partition,
+            [(None, value, [("fmt", fmt)])],
+        )
+        return self._collapse_seq(base, partition)
+
+    def fetch(self, db_name: str, from_seq: int = 0) -> list[tuple[int, str]]:
+        return self.poll(db_name, from_seq)[0]
+
+    def poll(
+        self, db_name: str, from_seq: int = 0, with_partitions: bool = False
+    ) -> tuple[list[tuple], list[int]]:
+        topic = self._topic(db_name)
+        parts = self._client.metadata([topic]).get(topic, [0])
+        out: list[tuple] = []
+        for p in sorted(parts):
+            offset = self._seek_offset(from_seq, p)
+            end = self._client.list_offsets(topic, p, -1)
+            while offset < end:
+                records = self._client.fetch(topic, p, offset)
+                if not records:
+                    break  # log truncated under us; end is stale
+                for off, _key, value, headers in records:
+                    seq = self._collapse_seq(off, p)
+                    if seq < from_seq:
+                        continue
+                    payload = self._decode_payload(headers, value)
+                    if with_partitions:
+                        out.append((seq, p, payload))
+                    else:
+                        out.append((seq, payload))
+                offset = records[-1][0] + 1
+        out.sort(key=lambda t: t[0])
+        return out, []  # contiguous Kafka offsets: nothing ever parks
+
+    def read_one(self, db_name: str, seq: int) -> "str | bytes | None":
+        try:
+            partition, offset = self._split_seq(seq)
+        except ValueError:
+            return None  # not a sequence this encoding ever handed out
+        topic = self._topic(db_name)
+        if partition not in self._client.metadata([topic]).get(topic, []):
+            return None
+        for off, _key, value, headers in self._client.fetch(
+            topic, partition, offset
+        ):
+            if off == offset:
+                return self._decode_payload(headers, value)
         return None

@@ -483,3 +483,44 @@ def test_apply_stage_poison_is_quarantined_not_wedging(spark, tmp_path):
     assert [q["seq"] for q in quarantined] == [1]
     # startup replay over the same topic does not crash
     assert srv.perform_replay() == {"adb": 0}
+
+
+def test_replication_over_kafka_wire_protocol(spark, tmp_path):
+    """The reference deployment shape END-TO-END over the actual Kafka
+    wire protocol (r13): server A's writing connection and server B's
+    reading connection are ``kafkawire://`` URLs — every payload rides
+    a real TCP record-batch produce to the in-process broker stub, and
+    B's drain consumes it back with Fetch v4.  Same assertions as the
+    file-topic replication test: the transport is the ONLY difference,
+    which is the write-buffer abstraction's whole claim."""
+    from tests.kafka_stub import KafkaStub
+
+    stub = KafkaStub()
+    try:
+        conn = f"kafkawire://{stub.bootstrap}"
+        a = _server(spark, tmp_path, "ka")
+        b = _server(spark, tmp_path, "kb")
+        a.create_database(_rules("krepl", writing=conn))
+        b.create_database(_rules("krepl", reading=conn))
+
+        a.write_lp("krepl", "h2o,state=MA temp=70.4 100")
+        a.write_lp("krepl", "h2o,state=CA temp=90.0 200")
+        assert b.drain_write_buffer("krepl") == 2
+
+        def rows(srv):
+            return sorted(
+                (r.state, r.temp, r.time)
+                for r in srv.databases["krepl"].database.table("h2o").collect()
+            )
+
+        assert rows(a) == rows(b) == [("CA", 90.0, 200), ("MA", 70.4, 100)]
+        # replays are idempotent through PK dedup: drain again, no change
+        b.drain_write_buffer("krepl")
+        assert len(rows(b)) == 2
+        # offset survives a restart, like the file topic
+        b2 = IoxServer(spark, b.base_dir)
+        a.write_lp("krepl", "h2o,state=NY temp=61.4 300")
+        assert b2.drain_write_buffer("krepl") == 1
+        assert len(rows(b2)) == 3
+    finally:
+        stub.stop()

@@ -18,14 +18,28 @@ from influxdb_iox_spark.streaming.write_buffer import (
     open_write_buffer,
 )
 
-# each entry: name -> factory(tmp_path) returning a WriteBuffer.  Kafka
-# cannot run here (no broker, no client lib) — its class is import-gated
-# and excluded; adding a runnable backend means adding one line.
+# each entry: name -> factory(tmp_path) returning a WriteBuffer.  The
+# kafka-python adapter stays import-gated (no client lib here), but the
+# repo's OWN wire-protocol transport (streaming/kafkawire.py) runs the
+# whole battery over real sockets against an in-process broker stub —
+# the h2wire/s3rest play applied to the write buffer (r13).
+
+
+def _kafkawire_backend(tmp_path):
+    from tests.kafka_stub import KafkaStub
+
+    stub = KafkaStub()
+    buf = open_write_buffer(f"kafkawire://{stub.bootstrap}")
+    buf._stub = stub  # keep the broker alive for the buffer's lifetime
+    return buf
+
+
 BACKENDS = {
     "file": lambda tmp_path: FileWriteBuffer(str(tmp_path / "topic")),
     "factory-path": lambda tmp_path: open_write_buffer(
         str(tmp_path / "topic2")
     ),
+    "kafkawire": _kafkawire_backend,
 }
 
 
