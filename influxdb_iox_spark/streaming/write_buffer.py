@@ -299,10 +299,12 @@ class KafkaWriteBuffer(WriteBuffer):
                          records its offset after the drain lands.
 
     The class is a thin adapter over ``kafka-python`` (absent in this
-    sandbox, hence the import gate); the CONTRACT itself is exercised
-    against the file backend by the same parametrized battery, so a
-    deployment that swaps the connection string inherits verified
-    semantics and only the transport is new."""
+    sandbox, hence the import gate).  Since round 13 the transport gap
+    is closed by ``KafkaWireWriteBuffer`` below — the repo's OWN
+    wire-protocol client (``streaming/kafkawire.py``, stdlib sockets)
+    behind the same pure parts — and the whole contract battery runs
+    over it against an in-process broker stub, so the semantics here
+    are wire-verified even without kafka-python."""
 
     def __init__(self, conn: str):
         try:

