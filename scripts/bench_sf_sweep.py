@@ -22,6 +22,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import duckdb
 
+# Memory-fair single-node comparison: DuckDB uses the whole host (125 GiB
+# here); Spark's 16g default driver heap makes the sf10 fact joins spill.
+# 48g measured q5 14.3->10.7 s, q10 ~9.8->6.9 s (BENCH_NOTES S29
+# addendum).  Overridable, like everywhere else.
+os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+
 import __spark_entry__ as entry_mod
 from influxdb_iox_spark.session import get_spark
 
