@@ -1,0 +1,105 @@
+"""HLL cardinality rollups: accuracy bounds, merge algebra, incremental
+maintenance ≡ rebuild, and regrouping without raw data."""
+
+from __future__ import annotations
+
+import pytest
+
+from influxdb_iox_spark.pipeline.cardinality import (
+    build_cardinality_rollup,
+    estimate_cardinality,
+    load_rollup,
+    save_rollup,
+    update_rollup,
+)
+
+
+def _rows(spark, n, keys=4, card=500, offset=0):
+    from pyspark.sql import functions as F
+
+    return spark.range(offset, offset + n).select(
+        (F.col("id") % keys).alias("g"),
+        ((F.col("id") * 2654435761) % card).alias("v"),
+    )
+
+
+def test_estimates_within_hll_error_bounds(spark):
+    df = _rows(spark, 20_000, keys=4, card=500)
+    rollup = build_cardinality_rollup(df, ["g"], "v")
+    got = {r["g"]: r["estimate"] for r in estimate_cardinality(rollup, ["g"]).collect()}
+    from pyspark.sql import functions as F
+
+    exact = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g")
+        .agg(F.countDistinct("v").alias("n"))
+        .collect()
+    }
+    for g, n in exact.items():
+        assert abs(got[g] - n) / n < 0.05, (g, got[g], n)  # lgk=12 ~1.6% σ
+    # grand total via union of per-group sketches (no raw rescans)
+    total = estimate_cardinality(rollup).collect()[0]["estimate"]
+    exact_total = df.select("v").distinct().count()
+    assert abs(total - exact_total) / exact_total < 0.05
+
+
+def test_union_is_associative_across_splits(spark):
+    """Rollup(A ∪ B) and union(Rollup(A), Rollup(B)) estimate the same —
+    the property that makes the pre-agg answer arbitrary regroupings."""
+    a = _rows(spark, 5_000, card=300)
+    b = _rows(spark, 5_000, card=300, offset=5_000)
+    whole = estimate_cardinality(
+        build_cardinality_rollup(a.unionByName(b), ["g"], "v"), ["g"]
+    )
+    split = estimate_cardinality(
+        build_cardinality_rollup(a, ["g"], "v").unionByName(
+            build_cardinality_rollup(b, ["g"], "v")
+        ),
+        ["g"],
+    )
+    lhs = {r["g"]: r["estimate"] for r in whole.collect()}
+    rhs = {r["g"]: r["estimate"] for r in split.collect()}
+    assert lhs == rhs
+
+
+def test_incremental_update_equals_rebuild(spark, tmp_path):
+    path = str(tmp_path / "hll")
+    a = _rows(spark, 4_000, card=400)
+    b = _rows(spark, 4_000, card=400, offset=4_000)
+    save_rollup(build_cardinality_rollup(a, ["g"], "v"), path, ["g"], "v")
+    update_rollup(spark, path, b)
+    cells, meta = load_rollup(spark, path)
+    inc = {r["g"]: r["estimate"] for r in estimate_cardinality(cells, ["g"]).collect()}
+    rebuilt = {
+        r["g"]: r["estimate"]
+        for r in estimate_cardinality(
+            build_cardinality_rollup(a.unionByName(b), ["g"], "v"), ["g"]
+        ).collect()
+    }
+    assert inc == rebuilt
+    # replaying the same batch converges (insert-only set semantics)
+    update_rollup(spark, path, b)
+    cells2, _ = load_rollup(spark, path)
+    again = {r["g"]: r["estimate"] for r in estimate_cardinality(cells2, ["g"]).collect()}
+    assert again == rebuilt
+    # maintenance is claim-guarded: two commits in the ledger
+    from influxdb_iox_spark.pipeline.index_txn import guard_for_path
+
+    assert guard_for_path(path).current_version() == 2
+
+
+def test_new_cells_appear_via_update(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "hll2")
+    a = _rows(spark, 1_000, keys=2)
+    save_rollup(build_cardinality_rollup(a, ["g"], "v"), path, ["g"], "v")
+    # a batch introducing a brand-new group key
+    b = spark.range(100).select(
+        F.lit(99).alias("g"), (F.col("id") % 37).alias("v")
+    )
+    update_rollup(spark, path, b)
+    cells, _ = load_rollup(spark, path)
+    got = {r["g"]: r["estimate"] for r in estimate_cardinality(cells, ["g"]).collect()}
+    assert set(got) == {0, 1, 99}
+    assert abs(got[99] - 37) <= 2
