@@ -102,10 +102,14 @@ def update_rollup(
 ) -> None:
     """Fold a raw-row batch into a persisted rollup: batch cells union
     into existing cells (hll_union_agg over the two sketch sets), new
-    cells append.  Serialized by the index writer claim; HLL union is
-    associative + idempotent on re-inserted values, so rebuilding from
-    all raw data and incrementally folding batches converge to the same
-    estimates (pinned in tests)."""
+    cells append.  Serialized by the index writer claim.  HLL union is
+    associative and idempotent on re-inserted VALUES, so replaying a
+    batch leaves estimates unchanged; note the union-folded sketch
+    STATE is not guaranteed bit-identical to a single-pass sketch over
+    the same rows (DataSketches unions may settle in a different
+    internal mode), so incremental vs rebuilt rollups agree within the
+    sketch's error bounds, not necessarily to the exact estimate
+    (tests pin both properties)."""
     with maintenance_txn(path, guard=guard, force=force, writer=writer) as txn:
         cells, meta = load_rollup(spark, path)
         batch = build_cardinality_rollup(
