@@ -358,6 +358,35 @@ def test_update_bm25_rejects_changed_content(spark, tmp_path):
         update_bm25(spark, path, _mkdocs(spark, [(2, "charlie omega")]))
 
 
+def test_maintainer_accepts_objectstore_guard(spark, tmp_path):
+    """An object-store-hosted index passes its own ObjectStore-backed
+    guard (claim lives next to the data); guard_for_path refuses remote
+    URIs rather than silently local-guarding them."""
+    from influxdb_iox_spark.pipeline.search import (
+        build_bm25_index,
+        load_bm25,
+        save_bm25,
+        update_bm25,
+    )
+
+    with pytest.raises(ValueError, match="ObjectStore-backed"):
+        guard_for_path("s3a://bucket/index")
+
+    path = str(tmp_path / "bm25os")  # data local; CONTROL keys in-memory
+    save_bm25(*build_bm25_index(_mkdocs(spark, [(1, "alpha bravo")])), path)
+    store = InMemoryObjectStore()
+    g = IndexTxnGuard(store, prefix="idx/bm25/")
+    update_bm25(spark, path, _mkdocs(spark, [(2, "charlie delta")]), guard=g)
+    assert g.current_version() == 1
+    assert store.list("idx/bm25/v/")  # the ledger lives in the store
+    _, _, meta = load_bm25(spark, path)
+    assert meta["n_docs"] == 2
+    # no POSIX control dir was created for the explicit-guard path
+    import os
+
+    assert not os.path.exists(os.path.join(path, "_txncas"))
+
+
 def test_crashed_maintainer_surfaces_and_redrives(spark, tmp_path):
     """A writer that died mid-mutation leaves its intent marker; the next
     maintenance call raises IndexMaintenanceInterrupted (after TTL) and
