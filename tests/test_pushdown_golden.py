@@ -168,3 +168,46 @@ def test_tombstone_scan_plan_shape(spark, tmp_path):
     assert got == [
         ("h1", 201), ("h2", 2), ("h2", 102), ("h2", 202),
     ]
+
+
+def _series_bucket_plan_shape(plan: str) -> None:
+    """The bucket-then-series shape both r13 series gates share, pinned
+    deliberately: exchange #1 keys on (event_type, hr) — fine-grained
+    parallelism for the HEAVY hourly aggregate over raw events — and
+    exchange #2 re-keys the tiny hourly rows on event_type alone for
+    the window/aggregate.  Collapsing to one exchange is possible
+    (pre-partition by event_type satisfies the clustered distribution)
+    but would run the raw-events aggregate at series-count parallelism
+    — the wrong trade at scale, so TWO exchanges is the asserted plan,
+    with the series-keyed one carrying only bucketed rows."""
+    exchanges = re.findall(r"\(\d+\) Exchange.*?(?=\n\(\d+\)|\Z)", plan, re.S)
+    hash_ex = [e for e in exchanges if "hashpartitioning" in e]
+    assert len(hash_ex) == 2, plan
+    assert any(
+        "event_type" in e and "groupingexpression" in e for e in hash_ex
+    ), plan  # the fine-grained bucket-agg exchange
+    assert any(
+        "event_type" in e and "groupingexpression" not in e for e in hash_ex
+    ), plan  # the series-keyed exchange over bucketed rows only
+
+
+def test_changepoints_plan_shape(spark):
+    """CUSUM changepoints: bucket-then-series two-exchange shape; the
+    ordered window (prefix sums) and the per-series aggregate share the
+    series-keyed partitioning."""
+    plan = plan_of(spark, "series_changepoints")
+    _series_bucket_plan_shape(plan)
+    # two Window operators (the ORDERED prefix-sum/row-number pass and
+    # the whole-partition stats pass) but both ride the one series-keyed
+    # exchange asserted above — no extra shuffle between them
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2
+
+
+def test_median_filter_plan_shape(spark):
+    """Sliding-median despike: bucket-then-series shape, one Window
+    operator, and the median is the exact percentile aggregate (never
+    approx_percentile)."""
+    plan = plan_of(spark, "series_median_filter")
+    _series_bucket_plan_shape(plan)
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+    assert "percentile" in plan and "approx_percentile" not in plan
