@@ -73,6 +73,47 @@ def estimate_cardinality(
     return rollup.agg(agg)
 
 
+def estimate_overlap(
+    rollup: DataFrame,
+    cell_a: dict,
+    cell_b: dict,
+) -> dict:
+    """Estimated |A|, |B|, |A∪B| and |A∩B| between two rollup cells
+    (key-column → value dicts), via inclusion–exclusion over sketch
+    unions — the day-over-day retained-users primitive, answered from
+    the pre-agg alone.
+
+    Honesty: HLL supports union natively; the intersection comes from
+    |A|+|B|−|A∪B|, so its ABSOLUTE error is the sum of three estimate
+    errors — fine when the overlap is a sizable fraction of the sets,
+    useless for tiny intersections of huge sets (that needs theta/KMV
+    sketches, out of scope).  Clamped at 0."""
+    import functools
+    import operator
+
+    def pick(cell: dict):
+        cond = functools.reduce(
+            operator.and_, (F.col(k) == F.lit(v) for k, v in cell.items())
+        )
+        return rollup.filter(cond)
+
+    a, b = pick(cell_a), pick(cell_b)
+    est = lambda df: (
+        df.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("e")
+        ).collect()[0]["e"]
+        or 0
+    )
+    na, nb = est(a), est(b)
+    nu = est(a.unionByName(b))
+    return {
+        "a": na,
+        "b": nb,
+        "union": nu,
+        "intersection": max(0, na + nb - nu),
+    }
+
+
 def save_rollup(
     rollup: DataFrame, path: str, keys: list[str], value_col: str,
     lgk: int = DEFAULT_LGK,

@@ -110,3 +110,22 @@ def test_new_cells_appear_via_update(spark, tmp_path):
     got = {r["g"]: r["estimate"] for r in estimate_cardinality(cells, ["g"]).collect()}
     assert set(got) == {0, 1, 99}
     assert abs(got[99] - 37) <= 2
+
+
+def test_overlap_estimation_inclusion_exclusion(spark):
+    """Retained-users shape: two day cells with a known 50% overlap;
+    the inclusion-exclusion intersection lands within a few percent of
+    truth (overlap is a sizable fraction — the documented good case)."""
+    from pyspark.sql import functions as F
+
+    from influxdb_iox_spark.pipeline.cardinality import estimate_overlap
+
+    # day 0: users 0..999; day 1: users 500..1499 (overlap 500)
+    d0 = spark.range(0, 1000).select(F.lit(0).alias("day"), F.col("id").alias("u"))
+    d1 = spark.range(500, 1500).select(F.lit(1).alias("day"), F.col("id").alias("u"))
+    rollup = build_cardinality_rollup(d0.unionByName(d1), ["day"], "u")
+    got = estimate_overlap(rollup, {"day": 0}, {"day": 1})
+    assert abs(got["a"] - 1000) / 1000 < 0.05
+    assert abs(got["b"] - 1000) / 1000 < 0.05
+    assert abs(got["union"] - 1500) / 1500 < 0.05
+    assert abs(got["intersection"] - 500) / 500 < 0.2  # 3-way error sum
