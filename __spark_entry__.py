@@ -1523,6 +1523,61 @@ def q_doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_stats(docs, merges).orderBy("doc_id")
 
 
+def q_events_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic KMV distinct-user sketches per event_type (round
+    13; pipeline/kmv.py): bottom-k=32 of the 60-bit md5 hashes, the
+    (k−1)·2^60/h_k estimator (exact below k).  Unlike HLL the sketch is
+    engine-portable — DuckDB derives the IDENTICAL hashes, so estimate
+    AND the k-th hash value are hash-exact across engines (each
+    event_type has ~150 distinct users at gate scale, so the estimator
+    branch, not the exact branch, is what's checked)."""
+    from influxdb_iox_spark.pipeline.kmv import kmv_estimate, kmv_sketch
+
+    t = _load(spark, sf_dir, "events")
+    sk = kmv_sketch(t["events"], ["event_type"], "user_id", k=32)
+    est = kmv_estimate(sk, k=32)
+    return (
+        est.join(
+            sk.select(
+                "event_type",
+                F.try_element_at("sketch", F.lit(32)).alias("h_k"),
+            ),
+            "event_type",
+            "left",
+        )
+        .select("event_type", "n_distinct", "is_exact", "h_k")
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_KMV_USERS = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events
+), r AS (
+  SELECT event_type, hv,
+    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk,
+    count(*) OVER (PARTITION BY event_type) AS n_all
+  FROM h
+), s AS (
+  SELECT event_type,
+    CASE WHEN any_value(n_all) < 32 THEN any_value(n_all) ELSE 32 END AS sz,
+    any_value(n_all) AS n_all,
+    max(CASE WHEN rk = 32 THEN hv END) AS h_k
+  FROM r WHERE rk <= 32 GROUP BY event_type
+)
+SELECT event_type,
+  CASE WHEN n_all < 32 THEN round(CAST(n_all AS DOUBLE) * 1000000) / 1000000
+       ELSE round(31.0 * 1152921504606846976.0 / CAST(h_k AS DOUBLE)
+                  * 1000000) / 1000000 END AS n_distinct,
+  CAST(n_all < 32 AS BIGINT) AS is_exact,
+  CASE WHEN n_all >= 32 THEN h_k END AS h_k
+FROM s
+ORDER BY event_type
+"""
+
+
 def q_series_median_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-median despike per event_type (round 13;
     operators/transforms.median_filter): exact percentile(0.5) over the
@@ -5864,6 +5919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_changepoints": q_series_changepoints,
         "doc_mixture_weights": q_doc_mixture_weights,
         "series_median_filter": q_series_median_filter,
+        "events_kmv_users": q_events_kmv_users,
         "series_anomaly_flags": q_series_anomaly_flags,
         "doc_lm_buckets": q_doc_lm_buckets,
         "doc_shuffle_order": q_doc_shuffle_order,
@@ -6245,6 +6301,7 @@ def oracle_sql() -> dict[str, str]:
         "series_changepoints": SQL_SERIES_CHANGEPOINTS,
         "doc_mixture_weights": SQL_DOC_MIXTURE_WEIGHTS,
         "series_median_filter": SQL_SERIES_MEDIAN_FILTER,
+        "events_kmv_users": SQL_EVENTS_KMV_USERS,
         "series_anomaly_flags": SQL_SERIES_ANOMALY_FLAGS,
         "doc_lm_buckets": _sql_lm_buckets(),
         "doc_shuffle_order": SQL_DOC_SHUFFLE_ORDER,

@@ -1,0 +1,157 @@
+"""KMV (k-minimum-values) distinct sketches — DETERMINISTIC, so unlike
+HLL they are engine-portable: the same md5-derived hashes come out of
+Spark and DuckDB, making sketch contents and estimates hash-exact
+across engines (the oracle-pairing property ``pipeline/cardinality``'s
+DataSketches HLL cannot offer).
+
+The KMV idea (Bar-Yossef et al. 2002; the bottom-k sketch every theta
+framework generalizes): hash each value uniformly into [0, 2^60), keep
+the k SMALLEST distinct hashes per cell.  If fewer than k exist the
+sketch IS the exact distinct set; otherwise the k-th smallest hash h_k
+estimates density — n̂ = (k−1)·2^60/h_k (standard error ≈ 1/√(k−2)).
+Sketches merge losslessly (k smallest of a union of sketches = sketch
+of the union) and support INTERSECTION estimates natively (Jaccard over
+the merged bottom-k), which inclusion–exclusion HLL does badly.
+
+Spark shape: build = one DISTINCT on (cell, hash) — the honest
+exact-pass cost — then a per-cell rank window that keeps ≤ k rows per
+cell before anything is collected, so no unbounded collect_list ever
+materializes a cell's full distinct set; the persisted sketch is a
+sorted array<long> of ≤ k hashes (k=256 ⇒ 2 KB/cell).  Merge/estimate
+are array expressions over sketch rows — no raw-data rescan.
+
+Hash: the repo's portable md5 recipe (shuffle_into_shards /
+deterministic_sample class) widened to 60 bits — first 15 hex chars of
+md5(value as string); DuckDB spells it
+``('0x' || substr(md5(CAST(v AS VARCHAR)),1,15))::BIGINT``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_K = 256
+HASH_SPACE = float(1 << 60)
+
+
+def _kmv_hash(col) -> F.Column:
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """(keys..., sketch) — the k smallest distinct value hashes per key
+    cell, sorted ascending."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    hashes = df.select(
+        *keys, _kmv_hash(F.col(value_col)).alias("__h")
+    ).distinct()
+    w = Window.partitionBy(*keys).orderBy("__h")
+    kept = hashes.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") <= k
+    )
+    return kept.groupBy(*keys).agg(
+        F.array_sort(F.collect_list("__h")).alias("sketch")
+    )
+
+
+def kmv_estimate(sketches: DataFrame, k: int = DEFAULT_K) -> DataFrame:
+    """(keys..., n_distinct, is_exact) — per sketch row: the exact
+    distinct count when the cell had fewer than k values (the sketch is
+    the whole set), else the (k−1)·2^60/h_k estimator.  n_distinct is a
+    1e-6-rounded double in BOTH branches so the column type is uniform
+    and engine-portable."""
+    size = F.size("sketch")
+    est = F.when(
+        size < k, size.cast("double")
+    ).otherwise(
+        F.lit(float(k - 1))
+        * F.lit(HASH_SPACE)
+        # try_element_at: when() does not guarantee branch-level
+        # short-circuit under codegen, and plain element_at throws on
+        # a sub-k sketch instead of yielding the unused null
+        / F.try_element_at("sketch", F.lit(k)).cast("double")
+    )
+    keys = [c for c in sketches.columns if c != "sketch"]
+    return sketches.select(
+        *keys,
+        (F.round(est * 1_000_000) / 1_000_000).alias("n_distinct"),
+        (size < k).cast("bigint").alias("is_exact"),
+    )
+
+
+def kmv_merge(
+    sketches: DataFrame, group_keys: list[str] | None = None,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Re-group sketch rows to any SUBSET of their key columns: the k
+    smallest distinct hashes across each group's sketches — exactly the
+    sketch that would have been built from the unioned raw data
+    (bottom-k merge is lossless), without touching raw data."""
+    gk = list(group_keys or [])
+    exploded = sketches.select(
+        *gk, F.explode("sketch").alias("__h")
+    ).distinct()
+    if gk:
+        w = Window.partitionBy(*gk).orderBy("__h")
+        kept = exploded.withColumn("__rk", F.row_number().over(w)).filter(
+            F.col("__rk") <= k
+        )
+        return kept.groupBy(*gk).agg(
+            F.array_sort(F.collect_list("__h")).alias("sketch")
+        )
+    w = Window.orderBy("__h")
+    kept = exploded.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") <= k
+    )
+    return kept.agg(F.array_sort(F.collect_list("__h")).alias("sketch"))
+
+
+def kmv_intersection(
+    sketches: DataFrame,
+    cell_a: dict,
+    cell_b: dict,
+    k: int = DEFAULT_K,
+) -> dict:
+    """Estimated |A|, |B|, |A∪B|, |A∩B| and Jaccard between two sketch
+    rows — the NATIVE bottom-k intersection (Jaccard over the merged
+    bottom-k membership), which stays accurate for small intersections
+    where HLL inclusion–exclusion drowns in error.  Deterministic."""
+    import functools
+    import operator
+
+    def pick(cell: dict) -> list[int]:
+        cond = functools.reduce(
+            operator.and_, (F.col(c) == F.lit(v) for c, v in cell.items())
+        )
+        rows = sketches.filter(cond).select("sketch").collect()
+        return list(rows[0]["sketch"]) if rows else []
+
+    a, b = pick(cell_a), pick(cell_b)
+    sa, sb = set(a), set(b)
+    union_bottom = sorted(sa | sb)[:k]
+    nu = (
+        float(len(union_bottom))
+        if len(union_bottom) < k
+        else (k - 1) * HASH_SPACE / float(union_bottom[k - 1])
+    )
+    in_both = sum(1 for h in union_bottom if h in sa and h in sb)
+    j = in_both / len(union_bottom) if union_bottom else 0.0
+    est = lambda s: (
+        float(len(s)) if len(s) < k else (k - 1) * HASH_SPACE / float(sorted(s)[k - 1])
+    )
+    return {
+        "a": est(sa),
+        "b": est(sb),
+        "union": nu,
+        "jaccard": j,
+        "intersection": j * nu,
+    }

@@ -1,0 +1,82 @@
+"""KMV bottom-k sketches: exactness below k, estimator accuracy above,
+lossless merge, deterministic cross-run equality, and intersection
+behavior on small overlaps (the case HLL inclusion-exclusion loses)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from influxdb_iox_spark.pipeline.kmv import (
+    kmv_estimate,
+    kmv_intersection,
+    kmv_merge,
+    kmv_sketch,
+)
+
+
+def _cells(spark, spec: dict[int, range]):
+    rows = [(g, v) for g, rng in spec.items() for v in rng]
+    return spark.createDataFrame(rows, "g int, v long")
+
+
+def test_below_k_is_exact(spark):
+    df = _cells(spark, {0: range(10), 1: range(100, 140)})
+    est = kmv_estimate(kmv_sketch(df, ["g"], "v", k=64), k=64)
+    got = {r["g"]: (r["n_distinct"], r["is_exact"]) for r in est.collect()}
+    assert got == {0: (10.0, 1), 1: (40.0, 1)}
+
+
+def test_estimator_accuracy_above_k(spark):
+    df = _cells(spark, {0: range(20_000)})
+    est = kmv_estimate(kmv_sketch(df, ["g"], "v", k=256), k=256).collect()[0]
+    assert est["is_exact"] == 0
+    assert abs(est["n_distinct"] - 20_000) / 20_000 < 0.15  # ~1/sqrt(k-2)
+
+
+def test_merge_is_lossless_vs_direct(spark):
+    """Bottom-k merge of per-part sketches == sketch of the union —
+    EXACTLY (same arrays), the property HLL state cannot offer."""
+    a = _cells(spark, {0: range(0, 3000)})
+    b = _cells(spark, {0: range(1500, 4500)})
+    direct = kmv_sketch(a.unionByName(b), ["g"], "v", k=128).collect()[0]["sketch"]
+    merged = kmv_merge(
+        kmv_sketch(a, ["g"], "v", k=128).unionByName(
+            kmv_sketch(b, ["g"], "v", k=128)
+        ),
+        ["g"],
+        k=128,
+    ).collect()[0]["sketch"]
+    assert list(direct) == list(merged)
+    # regroup to the grand total (no keys)
+    total = kmv_merge(kmv_sketch(a.unionByName(b), ["g"], "v", k=128), [], k=128)
+    assert list(total.collect()[0]["sketch"]) == list(direct)
+
+
+def test_deterministic_across_runs(spark):
+    df = _cells(spark, {0: range(5000)})
+    s1 = kmv_sketch(df, ["g"], "v", k=64).collect()[0]["sketch"]
+    s2 = kmv_sketch(df, ["g"], "v", k=64).collect()[0]["sketch"]
+    assert list(s1) == list(s2)
+    assert list(s1) == sorted(s1) and len(s1) == 64
+
+
+def test_intersection_small_overlap(spark):
+    """1000-element sets overlapping in 100 (10%): the bottom-k Jaccard
+    estimate stays in the right ballpark where HLL's |A|+|B|-|A∪B|
+    would be noise-dominated."""
+    df = _cells(spark, {0: range(0, 1000), 1: range(900, 1900)})
+    sk = kmv_sketch(df, ["g"], "v", k=256)
+    got = kmv_intersection(sk, {"g": 0}, {"g": 1}, k=256)
+    assert abs(got["union"] - 1900) / 1900 < 0.15
+    assert 30 <= got["intersection"] <= 250  # truth 100
+    assert got["jaccard"] > 0
+    # absent cell -> empty set semantics
+    none = kmv_intersection(sk, {"g": 0}, {"g": 9}, k=256)
+    assert none["b"] == 0.0 and none["intersection"] == 0.0
+
+
+def test_validation(spark):
+    df = _cells(spark, {0: range(5)})
+    with pytest.raises(ValueError):
+        kmv_sketch(df, ["g"], "v", k=1)
