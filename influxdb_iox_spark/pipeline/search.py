@@ -166,7 +166,13 @@ def update_bm25(
         old_rep = old_touched.join(F.broadcast(new_ids), id_col)
         # Changed-content enforcement (see docstring): full-outer match
         # of old vs new postings for replaced ids on (id, term).
-        mismatch = (
+        # SKIPPED under force=True: a crash-interrupted run leaves a
+        # batch PARTIALLY applied (dynamic overwrite commits partition
+        # dirs one by one), so the re-drive legitimately sees its own
+        # half-written postings — a false "changed content" positive;
+        # force is the documented I-am-re-driving-that-batch switch and
+        # the fold converges regardless.
+        mismatch = [] if force else (
             old_rep.select(
                 id_col, "term",
                 F.col("tf").alias("tf_old"), F.col("dl").alias("dl_old"),

@@ -416,6 +416,79 @@ def test_crashed_maintainer_surfaces_and_redrives(spark, tmp_path):
     assert meta2["n_docs"] == 2
 
 
+def test_partial_crash_redrive_converges(spark, tmp_path):
+    """The false-positive the force switch exists for: a crash mid
+    dynamic-partition-overwrite leaves a batch HALF applied (some
+    touched buckets rewritten, some still pre-update).  The re-drive
+    sees its own half-written postings, which the changed-content check
+    would misread as a changed document — so force=True skips the check
+    and the replacement-by-id fold converges to the clean result."""
+    import os
+    import shutil
+
+    from influxdb_iox_spark.pipeline.search import (
+        bm25_topk,
+        build_bm25_index,
+        load_bm25,
+        save_bm25,
+        update_bm25,
+    )
+
+    path = str(tmp_path / "bm25partial")
+    base = _mkdocs(spark, [(1, "alpha bravo charlie")])
+    save_bm25(*build_bm25_index(base), path)
+    batch = _mkdocs(spark, [(2, "delta echo foxtrot golf")])
+
+    # snapshot the pre-update state of every postings partition
+    postings_dir = os.path.join(path, "postings")
+    pre = {}
+    for d in os.listdir(postings_dir):
+        if d.startswith("bucket="):
+            pre[d] = os.path.join(str(tmp_path), "snap", d)
+            shutil.copytree(os.path.join(postings_dir, d), pre[d])
+    update_bm25(spark, path, batch)
+    # simulate the crash: revert ONE touched bucket to its pre-update
+    # content (or remove it if it didn't exist before) and leave a
+    # dead mutated claim behind
+    changed = [
+        d for d in os.listdir(postings_dir)
+        if d.startswith("bucket=")
+        and (d not in pre or _dir_sig(os.path.join(postings_dir, d)) != _dir_sig(pre[d]))
+    ]
+    victim = sorted(changed)[0]
+    shutil.rmtree(os.path.join(postings_dir, victim))
+    if victim in pre:
+        shutil.copytree(pre[victim], os.path.join(postings_dir, victim))
+    store = PosixCasStore(os.path.join(path, "_txncas"))
+    store.delete("txn")
+    store.put(
+        "txn",
+        json.dumps({"writer": "w-dead", "ts": time.time() - 3600}).encode(),
+        if_not_exists=True,
+    )
+
+    with pytest.raises(IndexMaintenanceInterrupted):
+        update_bm25(spark, path, batch)
+    update_bm25(spark, path, batch, force=True)
+
+    postings, dfreq, meta = load_bm25(spark, path)
+    # converged: every term of both docs retrievable, stats exact
+    assert meta["n_docs"] == 2 and meta["total_len"] == 7
+    for term, want in (("charlie", 1), ("golf", 2), ("delta", 2)):
+        got = bm25_topk(postings, dfreq, meta, [term], k=1).collect()
+        assert [r["doc_id"] for r in got] == [want], term
+
+
+def _dir_sig(d):
+    import os
+
+    return sorted(
+        (f, os.path.getsize(os.path.join(d, f)))
+        for f in os.listdir(d)
+        if not f.endswith(".crc")
+    )
+
+
 def test_upsert_holds_one_claim(spark, tmp_path):
     """upsert_into_ann_index's delete+append run under a single claim —
     exactly one version is minted per upsert, so no other maintainer can
