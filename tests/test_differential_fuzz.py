@@ -153,3 +153,66 @@ def test_differential_random_queries(spark, events, duck):
         if got != want:
             failures.append((seed, sql, got[:3], want[:3]))
     assert not failures, failures
+
+
+def test_differential_document_queries(spark, duck):
+    """Same harness over the documents table: random text-derived
+    predicates (length bands, token-count bands, md5-prefix buckets,
+    lang/source lists) and exact aggregates — crossing the tokenizer
+    and fingerprint recipes the doc oracles rely on."""
+    import __spark_entry__ as entry_mod
+
+    duck.execute(
+        f"CREATE VIEW IF NOT EXISTS documents AS "
+        f"SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    docs = entry_mod._load(spark, SF, "documents")["documents"]
+    tok_df = (
+        "size(array_remove(split(lower(text), '[^\\\\p{L}\\\\p{N}]+'), ''))"
+    )
+    tok_sql = (
+        "len(list_filter(regexp_split_to_array(lower(text), "
+        "'[^\\p{L}\\p{N}]+'), x -> x <> ''))"
+    )
+    failures = []
+    for seed in range(20):
+        rng = random.Random(7000 + seed)
+        preds_df, preds_sql = [], []
+        if rng.random() < 0.6:
+            lo = rng.randrange(0, 200)
+            hi = lo + rng.randrange(50, 400)
+            preds_df.append(f"length(text) >= {lo} AND length(text) < {hi}")
+            preds_sql.append(f"length(text) >= {lo} AND length(text) < {hi}")
+        if rng.random() < 0.5:
+            t = rng.randrange(5, 40)
+            op = rng.choice([">", "<="])
+            preds_df.append(f"{tok_df} {op} {t}")
+            preds_sql.append(f"{tok_sql} {op} {t}")
+        if rng.random() < 0.5:
+            c = rng.choice("0123456789abcdef")
+            preds_df.append(f"substring(md5(text), 1, 1) = '{c}'")
+            preds_sql.append(f"substr(md5(text), 1, 1) = '{c}'")
+        if rng.random() < 0.5:
+            srcs = rng.sample(["src0", "src1", "src2"], rng.randrange(1, 3))
+            quoted = ", ".join(f"'{s}'" for s in srcs)
+            preds_df.append(f"source IN ({quoted})")
+            preds_sql.append(f"source IN ({quoted})")
+        group = rng.choice([[], ["lang"], ["source"], ["lang", "source"]])
+        where_df = " AND ".join(preds_df) if preds_df else "true"
+        sel = docs.filter(where_df)
+        aggs = [F.count("*").alias("n"),
+                F.sum(F.col("n_chars")).alias("sc"),
+                F.min(F.md5("text")).alias("m5")]
+        got_df = sel.groupBy(*group).agg(*aggs) if group else sel.agg(*aggs)
+        got = sorted(tuple(r) for r in got_df.collect())
+        where = (" WHERE " + " AND ".join(preds_sql)) if preds_sql else ""
+        cols = "CAST(count(*) AS BIGINT) AS n, CAST(sum(n_chars) AS BIGINT) AS sc, min(md5(text)) AS m5"
+        if group:
+            sql = (f"SELECT {', '.join(group)}, {cols} FROM documents{where} "
+                   f"GROUP BY {', '.join(group)}")
+        else:
+            sql = f"SELECT {cols} FROM documents{where}"
+        want = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+        if got != want:
+            failures.append((seed, sql, got[:2], want[:2]))
+    assert not failures, failures
