@@ -1523,6 +1523,49 @@ def q_doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_stats(docs, merges).orderBy("doc_id")
 
 
+def q_series_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-shaped counter increase/rate per event_type (round 13;
+    operators/transforms.counter_increase): reset-aware growth — a
+    sample below its predecessor restarts the counter at its own value
+    — summed in exact micro-unit integers; rate = increase over the
+    observed span, the two 1e-6-rounded doubles.  Ordering ties broken
+    by event_id so both engines walk identical sequences."""
+    from influxdb_iox_spark.operators.transforms import counter_increase
+
+    t = _load(spark, sf_dir, "events")
+    return counter_increase(
+        t["events"], ["event_type"], "ts", "value",
+        order_tiebreak=["event_id"],
+    ).orderBy("event_type")
+
+
+SQL_SERIES_COUNTER_RATE = """
+WITH s AS (
+  SELECT event_type, epoch_us(ts) * 1000 AS t,
+    CAST(round(value * 1000000) AS BIGINT) AS vm,
+    lag(CAST(round(value * 1000000) AS BIGINT)) OVER (
+      PARTITION BY event_type ORDER BY epoch_us(ts) * 1000, event_id
+    ) AS pv
+  FROM events
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_samples,
+  CAST(sum(CASE WHEN pv IS NOT NULL AND vm < pv THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_resets,
+  round(CAST(sum(CASE WHEN pv IS NULL THEN 0
+                      WHEN vm >= pv THEN vm - pv
+                      ELSE vm END) AS DOUBLE)) / 1000000.0 AS increase,
+  CASE WHEN max(t) > min(t)
+       THEN round(CAST(sum(CASE WHEN pv IS NULL THEN 0
+                                WHEN vm >= pv THEN vm - pv
+                                ELSE vm END) AS DOUBLE) / 1000000.0
+                  / (CAST(max(t) - min(t) AS DOUBLE) / 1000000000.0)
+                  * 1000000) / 1000000
+       ELSE 0.0 END AS rate_per_s
+FROM s GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_events_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic KMV distinct-user sketches per event_type (round
     13; pipeline/kmv.py): bottom-k=32 of the 60-bit md5 hashes, the
@@ -5920,6 +5963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mixture_weights": q_doc_mixture_weights,
         "series_median_filter": q_series_median_filter,
         "events_kmv_users": q_events_kmv_users,
+        "series_counter_rate": q_series_counter_rate,
         "series_anomaly_flags": q_series_anomaly_flags,
         "doc_lm_buckets": q_doc_lm_buckets,
         "doc_shuffle_order": q_doc_shuffle_order,
@@ -6302,6 +6346,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_mixture_weights": SQL_DOC_MIXTURE_WEIGHTS,
         "series_median_filter": SQL_SERIES_MEDIAN_FILTER,
         "events_kmv_users": SQL_EVENTS_KMV_USERS,
+        "series_counter_rate": SQL_SERIES_COUNTER_RATE,
         "series_anomaly_flags": SQL_SERIES_ANOMALY_FLAGS,
         "doc_lm_buckets": _sql_lm_buckets(),
         "doc_shuffle_order": SQL_DOC_SHUFFLE_ORDER,

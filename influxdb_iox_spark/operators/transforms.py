@@ -291,3 +291,57 @@ def median_filter(
         F.col(value_col),
         (F.round(med * 1_000_000) / 1_000_000).alias(out_col),
     )
+
+
+def counter_increase(
+    df: DataFrame,
+    keys: list[str],
+    time_col: str,
+    value_col: str,
+    time_units_per_second: int = 1_000_000_000,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """PromQL-shaped counter semantics per series: ``increase`` = the
+    total counter growth over the series with RESET handling — when a
+    sample drops below its predecessor the counter is taken to have
+    restarted from zero, so that sample contributes its own value
+    instead of a negative delta (exactly Prometheus's
+    increase()/rate() reset rule, minus PromQL's range extrapolation —
+    this is the sum over actual samples, which is the honest exact
+    form).  Also emits ``n_resets`` and ``rate`` = increase / observed
+    time span (per second).
+
+    Exactness: deltas are 1e-6-micro-unit integers summed exactly; the
+    single divide producing ``rate`` is the only float op
+    (1e-6-rounded).  One series-keyed ordered window feeding one
+    series aggregate — the shared-exchange posture."""
+    w = series_window(keys, [time_col] + list(order_tiebreak or []))
+    vm = to_micro_units(F.col(value_col))
+    prev = F.lag(vm).over(w)
+    contrib = F.when(prev.isNull(), F.lit(0)).when(
+        vm >= prev, vm - prev
+    ).otherwise(vm)
+    reset = F.when(prev.isNotNull() & (vm < prev), 1).otherwise(0)
+    per_row = df.select(
+        *keys,
+        F.col(time_col).alias("__t"),
+        contrib.alias("__c"),
+        reset.alias("__r"),
+    )
+    span = (F.max("__t") - F.min("__t")).cast("double") / F.lit(
+        float(time_units_per_second)
+    )
+    return per_row.groupBy(*keys).agg(
+        F.count("*").alias("n_samples"),
+        F.sum("__r").cast("long").alias("n_resets"),
+        (F.round(F.sum("__c").cast("double")) / 1_000_000.0).alias("increase"),
+        (
+            F.round(
+                F.when(
+                    span > 0, F.sum("__c").cast("double") / 1_000_000.0 / span
+                ).otherwise(F.lit(0.0))
+                * 1_000_000
+            )
+            / 1_000_000
+        ).alias("rate_per_s"),
+    )

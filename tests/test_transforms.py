@@ -206,3 +206,27 @@ def test_median_filter_despikes(spark):
 
     with pytest.raises(ValueError):
         median_filter(df, ["k"], "time", "value", half_window=0)
+
+
+def test_counter_increase_with_resets(spark):
+    """PromQL reset rule: a drop restarts the counter at the sample's
+    own value.  Hand series 0→5→2(reset)→7: contributions 5 (0→5),
+    2 (restart at 2), 5 (2→7) = increase 12 with 1 reset; rate over
+    the 3-second span = 4/s."""
+    from influxdb_iox_spark.operators.transforms import counter_increase
+
+    rows = [
+        ("a", 0, 0.0), ("a", 1_000_000_000, 5.0),
+        ("a", 2_000_000_000, 2.0), ("a", 3_000_000_000, 7.0),
+        ("b", 0, 10.0),  # single sample: zero span, rate 0
+    ]
+    df = spark.createDataFrame(rows, "k string, time long, value double")
+    got = {
+        r["k"]: r
+        for r in counter_increase(df, ["k"], "time", "value").collect()
+    }
+    assert got["a"]["n_samples"] == 4
+    assert got["a"]["n_resets"] == 1
+    assert abs(got["a"]["increase"] - 12.0) < 1e-9
+    assert abs(got["a"]["rate_per_s"] - 4.0) < 1e-9
+    assert got["b"]["increase"] == 0.0 and got["b"]["rate_per_s"] == 0.0
