@@ -1523,6 +1523,42 @@ def q_doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_stats(docs, merges).orderBy("doc_id")
 
 
+def q_series_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histograms per event_type (round 13): the
+    Flux/Prometheus histogram() shape — 10 buckets over [0, 50), with
+    an overflow bucket 10 and an underflow bucket -1, all in integer
+    arithmetic over micro-unit values (bucket edges land exactly, no
+    float boundary straddle)."""
+    t = _load(spark, sf_dir, "events")
+    vm = F.round(F.col("value") * 1_000_000).cast("long")
+    width = 5_000_000  # 5.0 in micro-units
+    bucket = (
+        F.when(vm < 0, F.lit(-1))
+        .when(vm >= 10 * width, F.lit(10))
+        .otherwise((vm / width).cast("long"))
+    )
+    return (
+        t["events"]
+        .groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "bucket")
+    )
+
+
+SQL_SERIES_VALUE_HISTOGRAM = """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS vm
+  FROM events
+)
+SELECT event_type,
+  CASE WHEN vm < 0 THEN -1
+       WHEN vm >= 50000000 THEN 10
+       ELSE CAST(vm // 5000000 AS BIGINT) END AS bucket,
+  CAST(count(*) AS BIGINT) AS n
+FROM v GROUP BY 1, 2 ORDER BY event_type, bucket
+"""
+
+
 def q_series_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL-shaped counter increase/rate per event_type (round 13;
     operators/transforms.counter_increase): reset-aware growth — a
@@ -5964,6 +6000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_median_filter": q_series_median_filter,
         "events_kmv_users": q_events_kmv_users,
         "series_counter_rate": q_series_counter_rate,
+        "series_value_histogram": q_series_value_histogram,
         "series_anomaly_flags": q_series_anomaly_flags,
         "doc_lm_buckets": q_doc_lm_buckets,
         "doc_shuffle_order": q_doc_shuffle_order,
@@ -6347,6 +6384,7 @@ def oracle_sql() -> dict[str, str]:
         "series_median_filter": SQL_SERIES_MEDIAN_FILTER,
         "events_kmv_users": SQL_EVENTS_KMV_USERS,
         "series_counter_rate": SQL_SERIES_COUNTER_RATE,
+        "series_value_histogram": SQL_SERIES_VALUE_HISTOGRAM,
         "series_anomaly_flags": SQL_SERIES_ANOMALY_FLAGS,
         "doc_lm_buckets": _sql_lm_buckets(),
         "doc_shuffle_order": SQL_DOC_SHUFFLE_ORDER,
