@@ -193,3 +193,119 @@ def docs_to_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
             F.lit(16000).cast("int").alias("sample_rate"),
         ).alias("meta"),
     )
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_samples", LongType(), True),
+        StructField("rms", FloatType(), True),
+        StructField("peak", FloatType(), True),
+        StructField("zero_crossings", LongType(), True),
+        StructField("embedding", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    decoder: str = "fake",
+    embed_dim: int = 32,
+    chunk_ms: int = 0,
+    sample_rate: int = 16_000,
+) -> DataFrame:
+    """audio blob → per-clip (or per-chunk) waveform features: sample
+    count, RMS level, peak, zero-crossing count, and a content
+    embedding — the audio leg of the image/video decode family (same
+    Arrow-batched ``mapInPandas`` plumbing; swap the marked stub for
+    soundfile/torchaudio to make it real, the schema/batching/null
+    handling do not change).
+
+    ``chunk_ms > 0`` fans each clip out to one row per fixed-duration
+    chunk (media_id keeps a ``chunk_idx`` column in that mode, and
+    chunk boundaries come from meta.duration_ms — metadata-only until
+    the decode), matching ``sample_video_frames``'s frame-sampling
+    shape for the VAD / diarization-style pipelines that consume
+    windows, not whole files.
+
+    The fake decoder derives a deterministic int16 waveform from the
+    content hash (md5-keystream), so every feature is reproducible and
+    unit-testable without audio libraries."""
+    out_schema = AUDIO_FEATURES_SCHEMA
+    if chunk_ms > 0:
+        out_schema = StructType(
+            [AUDIO_FEATURES_SCHEMA[0],
+             StructField("chunk_idx", IntegerType(), False)]
+            + list(AUDIO_FEATURES_SCHEMA[1:])
+        )
+
+    def _fake_waveform(blob: bytes, n: int) -> "list[int]":
+        out = []
+        h = hashlib.md5(blob).digest()
+        i = 0
+        while len(out) < n:
+            h = hashlib.md5(h + bytes([i % 256])).digest()
+            out.extend(
+                int.from_bytes(h[j : j + 2], "big", signed=True)
+                for j in range(0, 16, 2)
+            )
+            i += 1
+        return out[:n]
+
+    def _features(wave: "list[int]"):
+        n = len(wave)
+        if n == 0:
+            return 0, 0.0, 0.0, 0
+        scale = 32768.0
+        rms = (sum((s / scale) ** 2 for s in wave) / n) ** 0.5
+        peak = max(abs(s) for s in wave) / scale
+        zc = sum(
+            1 for a, b in zip(wave, wave[1:]) if (a >= 0) != (b >= 0)
+        )
+        return n, float(rms), float(peak), zc
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows: dict = {f.name: [] for f in out_schema.fields}
+            for mid, blob, dur in zip(
+                pdf["media_id"], pdf["blob"], pdf["duration_ms"]
+            ):
+                if blob is None or dur is None:
+                    continue
+                if decoder != "fake":
+                    # REAL DECODER GOES HERE: soundfile.read(io.BytesIO(blob))
+                    raise NotImplementedError(
+                        "real audio decoding requires soundfile/torchaudio "
+                        "(not in container)"
+                    )
+                total = max(1, int(dur) * sample_rate // 1000)
+                wave = _fake_waveform(bytes(blob), total)
+                if chunk_ms > 0:
+                    step = max(1, chunk_ms * sample_rate // 1000)
+                    chunks = [
+                        (ci, wave[o : o + step])
+                        for ci, o in enumerate(range(0, total, step))
+                    ]
+                else:
+                    chunks = [(None, wave)]
+                for ci, w in chunks:
+                    n, rms, peak, zc = _features(w)
+                    emb = _fake_embed(
+                        bytes(blob) + (ci or 0).to_bytes(4, "big"), embed_dim
+                    )
+                    rows["media_id"].append(mid)
+                    if chunk_ms > 0:
+                        rows["chunk_idx"].append(ci)
+                    rows["n_samples"].append(n)
+                    rows["rms"].append(rms)
+                    rows["peak"].append(peak)
+                    rows["zero_crossings"].append(zc)
+                    rows["embedding"].append(emb)
+            yield pd.DataFrame(rows)
+
+    flat = df.select(
+        "media_id", "blob", F.col("meta.duration_ms").alias("duration_ms")
+    )
+    return flat.mapInPandas(run, out_schema)

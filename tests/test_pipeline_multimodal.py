@@ -67,3 +67,48 @@ def test_metadata_only_projection_skips_blob(media, spark, tmp_path):
     df = spark.read.parquet(p)
     plan = filter_by_metadata(df, min_width=100)._jdf.queryExecution().executedPlan().toString()
     assert "blob" not in plan.split("ReadSchema")[-1]
+
+
+def test_extract_audio_features(media):
+    from influxdb_iox_spark.pipeline.multimodal import extract_audio_features
+
+    out = extract_audio_features(media.limit(5), embed_dim=8)
+    rows = out.collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.n_samples > 0
+        assert 0.0 < r.rms < 1.0 and 0.0 < r.peak <= 1.0
+        assert 0 <= r.zero_crossings < r.n_samples
+        assert len(r.embedding) == 8
+        norm = sum(x * x for x in r.embedding) ** 0.5
+        assert abs(norm - 1.0) < 1e-5
+    # deterministic across runs (fake decoder is content-keyed)
+    again = {r.media_id: r.rms for r in extract_audio_features(
+        media.limit(5), embed_dim=8
+    ).collect()}
+    assert again == {r.media_id: r.rms for r in rows}
+
+
+def test_extract_audio_chunks(media):
+    from influxdb_iox_spark.pipeline.multimodal import extract_audio_features
+
+    whole = {r.media_id: r for r in extract_audio_features(media.limit(3)).collect()}
+    chunked = extract_audio_features(media.limit(3), chunk_ms=250).collect()
+    per_clip = {}
+    for r in chunked:
+        per_clip.setdefault(r.media_id, []).append(r)
+    for mid, rs in per_clip.items():
+        idxs = sorted(r.chunk_idx for r in rs)
+        assert idxs == list(range(len(rs)))  # dense chunk indices
+        # chunk samples partition the clip exactly
+        assert sum(r.n_samples for r in rs) == whole[mid].n_samples
+
+
+def test_extract_audio_real_stub(media):
+    from influxdb_iox_spark.pipeline.multimodal import extract_audio_features
+
+    with pytest.raises(Exception) as ei:
+        extract_audio_features(media.limit(1), decoder="real").collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
