@@ -108,10 +108,12 @@ def kmv_merge(
         return kept.groupBy(*gk).agg(
             F.array_sort(F.collect_list("__h")).alias("sketch")
         )
-    w = Window.orderBy("__h")
-    kept = exploded.withColumn("__rk", F.row_number().over(w)).filter(
-        F.col("__rk") <= k
-    )
+    # Ungrouped grand total: an unpartitioned rank window would funnel
+    # every cell's exploded hashes (cells x k rows) through ONE task.
+    # orderBy().limit(k) plans as TakeOrderedAndProject — each partition
+    # keeps its local bottom-k and only k rows ever reach the driver-side
+    # merge — so the grand-total merge stays distributed at any cell count.
+    kept = exploded.orderBy("__h").limit(k)
     return kept.agg(F.array_sort(F.collect_list("__h")).alias("sketch"))
 
 
