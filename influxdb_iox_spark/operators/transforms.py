@@ -284,7 +284,10 @@ def median_filter(
         .orderBy(time_col)
         .rowsBetween(-half_window, half_window)
     )
-    med = F.expr(f"percentile({value_col}, 0.5)").over(w)
+    # F.percentile (not an F.expr f-string) so value_col is resolved as a
+    # column reference — names needing backticks (spaces, dots, reserved
+    # words) work like in every other operator here (round-13 advice).
+    med = F.percentile(F.col(value_col), F.lit(0.5)).over(w)
     return df.select(
         *keys,
         F.col(time_col),

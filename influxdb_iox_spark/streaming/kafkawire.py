@@ -376,7 +376,15 @@ class KafkaWireClient:
         }
 
     def metadata(self, topics: list[str]) -> dict[str, list[int]]:
-        """topic -> sorted live partition ids (Metadata v0)."""
+        """topic -> sorted live partition ids (Metadata v0).
+
+        A topic with a non-zero topic-level error code RAISES
+        ``KafkaWireError`` (``.code`` carries the Kafka error, e.g. 5 =
+        LEADER_NOT_AVAILABLE during auto-create) instead of being
+        silently omitted — callers must be able to tell "topic in error
+        state" from "empty topic" (round-13 advice).  The one
+        exception: UNKNOWN_TOPIC_OR_PARTITION (3) means the topic
+        genuinely does not exist, which IS absence — omitted."""
         w = _W().i32(len(topics))
         for t in topics:
             w.string(t)
@@ -399,6 +407,8 @@ class KafkaWireClient:
                 parts.append(pid)
             if terr == 0:
                 out[name] = sorted(parts)
+            elif terr != 3:  # 3 = UNKNOWN_TOPIC_OR_PARTITION -> absent
+                raise KafkaWireError(f"Metadata[{name}]", terr)
         return out
 
     def produce(self, topic: str, partition: int, records: list) -> int:

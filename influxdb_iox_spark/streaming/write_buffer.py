@@ -528,11 +528,38 @@ class KafkaWireWriteBuffer(KafkaWriteBuffer):
     def fetch(self, db_name: str, from_seq: int = 0) -> list[tuple[int, str]]:
         return self.poll(db_name, from_seq)[0]
 
+    def _partitions(
+        self, topic: str, absent: tuple = (0,)
+    ) -> list[int]:
+        """Live partition ids, retrying TRANSIENT topic errors (5 =
+        LEADER_NOT_AVAILABLE during auto-create, 6 = NOT_LEADER) with a
+        short backoff; any other broker error propagates so a topic in
+        error state is never mistaken for an empty topic (round-13
+        advice).  A topic the broker reports UNKNOWN yields ``absent``
+        — [0] (the pre-first-produce default partition) for poll, []
+        for read_one's existence probe."""
+        import time as _time
+
+        from influxdb_iox_spark.streaming.kafkawire import KafkaWireError
+
+        delay = 0.05
+        for attempt in range(6):
+            try:
+                return self._client.metadata([topic]).get(
+                    topic, list(absent)
+                )
+            except KafkaWireError as e:
+                if e.code not in (5, 6) or attempt == 5:
+                    raise
+                _time.sleep(delay)
+                delay = min(delay * 2, 1.0)
+        raise AssertionError("unreachable")
+
     def poll(
         self, db_name: str, from_seq: int = 0, with_partitions: bool = False
     ) -> tuple[list[tuple], list[int]]:
         topic = self._topic(db_name)
-        parts = self._client.metadata([topic]).get(topic, [0])
+        parts = self._partitions(topic)
         out: list[tuple] = []
         for p in sorted(parts):
             offset = self._seek_offset(from_seq, p)
@@ -560,7 +587,7 @@ class KafkaWireWriteBuffer(KafkaWriteBuffer):
         except ValueError:
             return None  # not a sequence this encoding ever handed out
         topic = self._topic(db_name)
-        if partition not in self._client.metadata([topic]).get(topic, []):
+        if partition not in self._partitions(topic, absent=()):
             return None
         for off, _key, value, headers in self._client.fetch(
             topic, partition, offset

@@ -38,6 +38,11 @@ class KafkaStub:
         self.n_partitions = n_partitions
         self.logs: dict[tuple[str, int], list] = {}
         self.topics: dict[str, int] = {}  # topic -> partition count
+        #: error injection: topic -> list of topic-level error codes to
+        #: return from successive Metadata responses (popped front-first;
+        #: empty list = healthy).  Lets tests simulate transient
+        #: LEADER_NOT_AVAILABLE (5) during auto-create.
+        self.metadata_errors: dict[str, list[int]] = {}
         self.lock = threading.Lock()
         stub = self
 
@@ -121,6 +126,10 @@ class KafkaStub:
         out.i32(len(topics))
         for t in topics:
             n = self.topics[t]
+            pending = self.metadata_errors.get(t)
+            if pending:
+                out.i16(pending.pop(0)).string(t).i32(0)
+                continue
             out.i16(0).string(t).i32(n)
             for p in range(n):
                 out.i16(0).i32(p).i32(0)  # error, id, leader

@@ -16,6 +16,7 @@ import pytest
 
 from influxdb_iox_spark.streaming.kafkawire import (
     KafkaWireClient,
+    KafkaWireError,
     crc32c,
     decode_record_batches,
     encode_record_batch,
@@ -169,3 +170,43 @@ def test_concurrent_producers_get_unique_offsets(broker):
         t.join()
     c.close()
     assert sorted(offsets) == list(range(12))
+
+
+def test_metadata_raises_on_topic_error(client, broker):
+    """A topic-level broker error must RAISE, not read as an absent/empty
+    topic (round-13 advice): transient LEADER_NOT_AVAILABLE (5) during
+    auto-create was previously indistinguishable from 'no data'."""
+    broker.metadata_errors["sick"] = [5]
+    with pytest.raises(KafkaWireError) as ei:
+        client.metadata(["sick"])
+    assert ei.value.code == 5
+    # error drained -> healthy again
+    assert client.metadata(["sick"])["sick"] == [0, 1, 2, 3]
+    # UNKNOWN_TOPIC_OR_PARTITION (3) IS absence -> omitted, no raise
+    broker.metadata_errors["ghost"] = [3]
+    assert "ghost" not in client.metadata(["ghost"])
+
+
+def test_write_buffer_poll_retries_transient_metadata_error(broker):
+    """KafkaWireWriteBuffer.poll retries LEADER_NOT_AVAILABLE with
+    backoff and then reads through; a persistent hard error propagates
+    instead of silently returning []."""
+    from influxdb_iox_spark.streaming.write_buffer import (
+        KafkaWireWriteBuffer,
+    )
+
+    wb = KafkaWireWriteBuffer(f"kafkawire://{broker.host}:{broker.port}")
+    try:
+        seq = wb.produce("db", "m v=1i 1")
+        topic = wb._topic("db")
+        broker.metadata_errors[topic] = [5, 5]  # two transient failures
+        got = wb.poll("db", 0)[0]
+        assert [s for s, _ in got] == [seq]
+        assert broker.metadata_errors[topic] == []  # retried through both
+        # hard (non-retriable) error -> propagates
+        broker.metadata_errors[topic] = [41]  # NOT_CONTROLLER-ish hard code
+        with pytest.raises(KafkaWireError) as ei:
+            wb.poll("db", 0)
+        assert ei.value.code == 41
+    finally:
+        wb.close()

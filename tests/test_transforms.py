@@ -230,3 +230,16 @@ def test_counter_increase_with_resets(spark):
     assert abs(got["a"]["increase"] - 12.0) < 1e-9
     assert abs(got["a"]["rate_per_s"] - 4.0) < 1e-9
     assert got["b"]["increase"] == 0.0 and got["b"]["rate_per_s"] == 0.0
+
+
+def test_median_filter_backtick_column_name(spark):
+    """value columns whose names need backticks (spaces, dots) must work —
+    the aggregate is built from F.col, not an interpolated SQL string
+    (round-13 advice)."""
+    from influxdb_iox_spark.operators.transforms import median_filter
+
+    rows = [("a", t, float(v)) for t, v in enumerate([1, 2, 100, 3, 4])]
+    df = spark.createDataFrame(rows, ["k", "time", "the value"])
+    out = median_filter(df, ["k"], "time", "the value", half_window=1)
+    got = [r["smoothed"] for r in out.orderBy("time").collect()]
+    assert got == [1.5, 2.0, 3.0, 4.0, 3.5]
