@@ -249,7 +249,7 @@ def append_to_ann_index(
 
     Serialized through the index's writer claim (``pipeline.index_txn``)
     so concurrent maintenance runs apply one-after-the-other instead of
-    interleaving partition writes."""
+    interleaving partition writes.  ``writer=`` names a SINGLE logical owner — two live processes must never share a name (a quiet dead incarnation is self-succeeded after the liveness grace)."""
     with maintenance_txn(path, guard=guard, force=force, writer=writer) as txn:
         _append_locked(spark, path, new_df, vec_col, id_col, txn)
 
@@ -311,7 +311,7 @@ def delete_from_ann_index(
     explicitly (dynamic partition overwrite writes nothing for it —
     the delete_from_bm25 gotcha, handled the same way).  Deleting an
     absent id is a no-op; serialized through the index's writer claim
-    (``pipeline.index_txn``).
+    (``pipeline.index_txn``).  ``writer=`` names a SINGLE logical owner — two live processes must never share a name (a quiet dead incarnation is self-succeeded after the liveness grace).
     """
     with maintenance_txn(path, guard=guard, force=force, writer=writer) as txn:
         return _delete_locked(spark, path, docs, vec_col, id_col, txn)
@@ -389,7 +389,7 @@ def upsert_into_ann_index(
     the cheaper bulk path when the caller guarantees at-most-once.
 
     The delete and the append run under ONE writer claim, so another
-    maintainer can never slot between the two halves."""
+    maintainer can never slot between the two halves.  ``writer=`` names a SINGLE logical owner — two live processes must never share a name (a quiet dead incarnation is self-succeeded after the liveness grace)."""
     with maintenance_txn(path, guard=guard, force=force, writer=writer) as txn:
         _delete_locked(spark, path, new_df, vec_col, id_col, txn)
         _append_locked(spark, path, new_df, vec_col, id_col, txn)

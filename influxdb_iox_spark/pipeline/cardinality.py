@@ -143,7 +143,7 @@ def update_rollup(
 ) -> None:
     """Fold a raw-row batch into a persisted rollup: batch cells union
     into existing cells (hll_union_agg over the two sketch sets), new
-    cells append.  Serialized by the index writer claim.  HLL union is
+    cells append.  Serialized by the index writer claim.  ``writer=`` names a SINGLE logical owner — two live processes must never share a name (a quiet dead incarnation is self-succeeded after the liveness grace).  HLL union is
     associative and idempotent on re-inserted VALUES, so replaying a
     batch leaves estimates unchanged; note the union-folded sketch
     STATE is not guaranteed bit-identical to a single-pass sketch over

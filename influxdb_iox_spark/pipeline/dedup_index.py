@@ -156,7 +156,7 @@ def append_to_index(
     """Append the accepted batch's fingerprints (caller guarantees the
     batch was dedup'd against the index first; intra-batch duplicates
     collapse to their min id here).  One new file per touched bucket.
-    Serialized through the index's writer claim (``pipeline.index_txn``)."""
+    Serialized through the index's writer claim (``pipeline.index_txn``).  ``writer=`` names a SINGLE logical owner — two live processes must never share a name (a quiet dead incarnation is self-succeeded after the liveness grace)."""
     with maintenance_txn(path, guard=guard, force=force, writer=writer) as txn:
         _append_fp_locked(spark, path, accepted_docs, text_col, id_col, txn)
 
@@ -194,7 +194,7 @@ def remove_from_index(
     hashes locate the buckets, only those rewrite (dynamic partition
     overwrite), a bucket the removal empties is cleared explicitly, and
     removing an absent fingerprint is a no-op (idempotent replays).
-    Serialized through the index's writer claim, like the append side.
+    Serialized through the index's writer claim, like the append side.  ``writer=`` names a SINGLE logical owner — two live processes must never share a name (a quiet dead incarnation is self-succeeded after the liveness grace).
     """
     with maintenance_txn(path, guard=guard, force=force, writer=writer) as txn:
         idx, n_buckets = _read_exact(spark, path)
@@ -261,7 +261,7 @@ def ingest_batch(
     between accept and append re-accepts the batch on retry (re-drive
     with ``force=True``), which is harmless: the re-append collapses to
     the same digest rows and queries over accepted docs dedup on
-    content anyway."""
+    content anyway.  ``writer=`` names a SINGLE logical owner — two live processes must never share a name (a quiet dead incarnation is self-succeeded after the liveness grace)."""
     with maintenance_txn(path, guard=guard, force=force, writer=writer) as txn:
         fresh = dedup_against_index(spark, path, new_docs, text_col, id_col)
         # materialize before appending: the append would otherwise change
@@ -553,7 +553,7 @@ def append_segments_to_index(
     """Append the accepted batch's segment digests (caller scrubbed the
     batch first; intra-batch repeats collapse to their min position).
     One new file per touched bucket, no rewrite of existing files.
-    Serialized through the index's writer claim (``pipeline.index_txn``)."""
+    Serialized through the index's writer claim (``pipeline.index_txn``).  ``writer=`` names a SINGLE logical owner — two live processes must never share a name (a quiet dead incarnation is self-succeeded after the liveness grace)."""
     with maintenance_txn(path, guard=guard, force=force, writer=writer) as txn:
         _append_segments_locked(
             spark, path, accepted_docs, text_col, id_col, txn
@@ -590,7 +590,7 @@ def ingest_segments_batch(
     first-occurrence), append the surviving segments' digests, return the
     rebuilt documents.  The scrub→append pair runs under ONE writer claim
     (same shape as ``ingest_batch``); crash-retry re-appends the same
-    digest rows, which fold in the min-struct aggregate."""
+    digest rows, which fold in the min-struct aggregate.  ``writer=`` names a SINGLE logical owner — two live processes must never share a name (a quiet dead incarnation is self-succeeded after the liveness grace)."""
     with maintenance_txn(path, guard=guard, force=force, writer=writer) as txn:
         scrubbed = scrub_against_segment_index(
             spark, path, new_docs, text_col, id_col

@@ -72,16 +72,43 @@ def build_bm25_index(
     return postings, dfreq, meta
 
 
+def _id_col_of(postings: DataFrame) -> str:
+    ids = [
+        c for c in postings.columns
+        if c not in ("term", "tf", "dl", "bucket")
+    ]
+    if len(ids) != 1:
+        raise ValueError(f"cannot identify id column in {postings.columns}")
+    return ids[0]
+
+
+def _ibucket(col) -> F.Column:
+    return F.pmod(F.xxhash64(col), F.lit(N_BUCKETS)).cast("int")
+
+
 def save_bm25(
     postings: DataFrame, dfreq: DataFrame, meta: dict, path: str
 ) -> None:
     """Persist the index; postings partitioned by a term-hash bucket so
-    query scans prune to the buckets of the query's own terms."""
+    query scans prune to the buckets of the query's own terms, plus a
+    ``doclen/`` sidecar — (id, dl) partitioned by an ID-hash bucket —
+    the authoritative which-ids-are-indexed map that lets the
+    incremental maintainers probe any batch's ids by pruning to the
+    batch's own id buckets instead of scanning every postings bucket."""
     bp = postings.withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(N_BUCKETS)).cast("int")
     )
     bp.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(path, "postings")
+    )
+    id_col = _id_col_of(postings)
+    dlen = (
+        postings.select(id_col, "dl")
+        .distinct()
+        .withColumn("ibucket", _ibucket(F.col(id_col)))
+    )
+    dlen.write.mode("overwrite").partitionBy("ibucket").parquet(
+        os.path.join(path, "doclen")
     )
     dfreq.write.mode("overwrite").parquet(os.path.join(path, "dfreq"))
     with open(os.path.join(path, "_bm25_meta.json"), "w") as f:
@@ -94,10 +121,40 @@ def save_bm25(
                 "buckets": N_BUCKETS,
                 "postings_schema": bp.schema.json(),
                 "dfreq_schema": dfreq.schema.json(),
+                "doclen_schema": dlen.schema.json(),
                 **meta,
             },
             f,
         )
+
+
+def _load_doclen(
+    spark: SparkSession, path: str, meta: dict, postings: DataFrame
+) -> DataFrame:
+    """The (id, dl, ibucket) sidecar; a pre-sidecar index (older save
+    layout) is adopted by bootstrapping it ONCE from a full postings
+    scan — every later batch probes by id bucket."""
+    from pyspark.sql.types import StructType
+
+    dpath = os.path.join(path, "doclen")
+    # _SUCCESS gates trust: a crash mid-bootstrap leaves a partial dir
+    # that must be re-bootstrapped, not read as authoritative.
+    if os.path.exists(os.path.join(dpath, "_SUCCESS")):
+        r = spark.read
+        if "doclen_schema" in meta:
+            r = r.schema(
+                StructType.fromJson(json.loads(meta["doclen_schema"]))
+            )
+        return r.parquet(dpath)
+    id_col = _id_col_of(postings)
+    dlen = (
+        postings.select(id_col, "dl")
+        .distinct()
+        .withColumn("ibucket", _ibucket(F.col(id_col)))
+        .localCheckpoint(eager=True)
+    )
+    dlen.write.mode("overwrite").partitionBy("ibucket").parquet(dpath)
+    return dlen
 
 
 def update_bm25(
@@ -124,18 +181,25 @@ def update_bm25(
     replaced id whose indexed postings disagree with the batch (dl or
     any per-term tf) raises before anything is written, because its old
     terms outside the new term set would silently leak stale postings
-    into untouched buckets.  The check is complete with only the
-    touched buckets in hand: every NEW term's bucket is touched by
-    construction, and dl (total Σtf, riding on every posting row) pins
-    the mass in unseen buckets — identical (term, tf) on all new terms
-    plus equal dl leaves exactly zero tf for any unseen old term.
+    into untouched buckets.  The check is COMPLETE via the ``doclen``
+    id-sidecar: the batch's ids are probed against it (pruned to the
+    batch's own id-hash buckets), so a replaced id is detected even
+    when its OLD terms hash to none of the touched postings buckets —
+    such an id has zero old rows in the touched buckets, which is
+    itself proof of changed content (identical content would land in
+    exactly those buckets) and raises; ids that DO surface old rows get
+    the full (term, tf) + dl comparison, and every NEW term's bucket is
+    touched by construction.
 
     Concurrency: serialized through the index's writer claim
     (``pipeline.index_txn``) — ``begin()`` is taken before the index is
     read, so two concurrent updaters apply one-after-the-other instead
     of losing a batch; a crashed run leaves an intent marker the next
     run surfaces as ``IndexMaintenanceInterrupted`` (re-drive with
-    ``force=True``; the fold is replay-idempotent).
+    ``force=True``; the fold is replay-idempotent).  ``writer=`` names
+    a SINGLE logical owner (e.g. one streaming query per index): two
+    live processes must never share a name — a dead incarnation's claim
+    is self-succeeded once its heartbeat ages past the liveness grace.
 
     Cost model: the batch's postings land in the term buckets its OWN
     terms hash to, and ONLY those partitions rewrite (dynamic partition
@@ -162,10 +226,28 @@ def update_bm25(
                 "total_len": int(meta["total_len"]),
             }
         new_ids = np_.select(id_col).distinct()
+        doclen = _load_doclen(spark, path, meta, postings)
+        # Replaced-id probe via the id sidecar: prune to the batch ids'
+        # OWN hash buckets — batch-proportional, never a full-index scan.
+        ibs = [
+            r["ibucket"]
+            for r in new_ids.select(
+                _ibucket(F.col(id_col)).alias("ibucket")
+            ).distinct().collect()
+        ]
+        rep_dl = (
+            doclen.filter(F.col("ibucket").isin(ibs))
+            .join(F.broadcast(new_ids), id_col)
+            .select(id_col, "dl")
+            .localCheckpoint(eager=True)
+        )
         old_touched = postings.filter(F.col("bucket").isin(touched))
         old_rep = old_touched.join(F.broadcast(new_ids), id_col)
         # Changed-content enforcement (see docstring): full-outer match
-        # of old vs new postings for replaced ids on (id, term).
+        # of old vs new postings for replaced ids on (id, term), PLUS
+        # the sidecar completeness net — a replaced id with NO old rows
+        # in the touched buckets has all its old terms elsewhere, which
+        # is proof of changed content.
         # SKIPPED under force=True: a crash-interrupted run leaves a
         # batch PARTIALLY applied (dynamic overwrite commits partition
         # dirs one by one), so the re-drive legitimately sees its own
@@ -194,6 +276,11 @@ def update_bm25(
                 | (F.col("dl_old") != F.col("dl_new"))
             )
             .select(id_col)
+            .unionByName(  # indexed id invisible in touched buckets
+                rep_dl.select(id_col).join(
+                    old_rep.select(id_col).distinct(), id_col, "left_anti"
+                )
+            )
             .distinct()
             .limit(5)
             .collect()
@@ -209,13 +296,11 @@ def update_bm25(
                 "otherwise leak stale postings)"
             )
         # Stats of batch ids already present (the replay / replacement
-        # set): any one posting row carries the doc's dl.
-        replaced = (
-            old_rep.select(id_col, "dl")
-            .distinct()
-            .agg(F.count("*").alias("n"), F.sum("dl").alias("l"))
-            .collect()[0]
-        )
+        # set), from the authoritative id sidecar — complete even for
+        # ids whose old postings sit outside the touched buckets.
+        replaced = rep_dl.agg(
+            F.count("*").alias("n"), F.sum("dl").alias("l")
+        ).collect()[0]
         merged = (
             old_touched.join(F.broadcast(new_ids), id_col, "left_anti")
             .unionByName(np_)
@@ -230,6 +315,17 @@ def update_bm25(
             .unionByName(new_term_df)
             .localCheckpoint(eager=True)
         )
+        merged_dlen = (
+            doclen.filter(F.col("ibucket").isin(ibs))
+            .join(F.broadcast(new_ids), id_col, "left_anti")
+            .select(id_col, "dl", "ibucket")
+            .unionByName(
+                np_.select(id_col, "dl")
+                .distinct()
+                .withColumn("ibucket", _ibucket(F.col(id_col)))
+            )
+            .localCheckpoint(eager=True)
+        )
         txn.mutating()
         prev = spark.conf.get(
             "spark.sql.sources.partitionOverwriteMode", "static"
@@ -239,6 +335,9 @@ def update_bm25(
             merged.write.mode("overwrite").partitionBy("bucket").parquet(
                 os.path.join(path, "postings")
             )
+            merged_dlen.write.mode("overwrite").partitionBy(
+                "ibucket"
+            ).parquet(os.path.join(path, "doclen"))
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         new_dfreq.write.mode("overwrite").parquet(os.path.join(path, "dfreq"))
@@ -251,9 +350,11 @@ def update_bm25(
         with open(os.path.join(path, "_bm25_meta.json"), "w") as f:
             keep = {
                 k: meta[k]
-                for k in ("postings_schema", "dfreq_schema")
+                for k in ("postings_schema", "dfreq_schema", "doclen_schema")
                 if k in meta
             }
+            # adopted legacy index: record the bootstrapped sidecar schema
+            keep.setdefault("doclen_schema", merged_dlen.schema.json())
             json.dump(
                 {"kind": "bm25", "buckets": N_BUCKETS, **keep, **out}, f
             )
@@ -279,10 +380,12 @@ def delete_from_bm25(
     partitions rewrite; document frequencies for the affected terms are
     recomputed from the merged buckets, terms with no remaining postings
     vanish from dfreq; corpus stats subtract the deleted docs' indexed
-    dl (read from the OLD postings, so a drifted text column cannot
-    corrupt the totals).  Deleting an absent id is a no-op, so replays
-    are idempotent.  Serialized through the index's writer claim, like
-    update (see ``pipeline.index_txn``).  Returns the new meta.
+    dl (read from the ``doclen`` id sidecar, so a drifted text column
+    cannot corrupt the totals).  Deleting an absent id is a no-op, so
+    replays are idempotent.  Serialized through the index's writer
+    claim, like update (see ``pipeline.index_txn``); ``writer=`` names
+    a single logical owner — two live processes must never share a
+    name.  Returns the new meta.
     """
     with maintenance_txn(path, guard=guard, force=force, writer=writer) as txn:
         postings, dfreq, meta = load_bm25(spark, path)
@@ -299,17 +402,30 @@ def delete_from_bm25(
                 "total_len": int(meta["total_len"]),
             }
         del_ids = np_.select(id_col).distinct()
-        old_touched = postings.filter(F.col("bucket").isin(touched))
+        doclen = _load_doclen(spark, path, meta, postings)
+        ibs = [
+            r["ibucket"]
+            for r in del_ids.select(
+                _ibucket(F.col(id_col)).alias("ibucket")
+            ).distinct().collect()
+        ]
+        # removed stats from the authoritative id sidecar (id-bucket
+        # pruned), so a drifted text column cannot corrupt the totals
         removed = (
-            old_touched.join(F.broadcast(del_ids), id_col)
-            .select(id_col, "dl")
-            .distinct()
+            doclen.filter(F.col("ibucket").isin(ibs))
+            .join(F.broadcast(del_ids), id_col)
             .agg(F.count("*").alias("n"), F.sum("dl").alias("l"))
             .collect()[0]
         )
+        old_touched = postings.filter(F.col("bucket").isin(touched))
         merged = old_touched.join(
             F.broadcast(del_ids), id_col, "left_anti"
         ).localCheckpoint(eager=True)
+        merged_dlen = (
+            doclen.filter(F.col("ibucket").isin(ibs))
+            .join(F.broadcast(del_ids), id_col, "left_anti")
+            .localCheckpoint(eager=True)
+        )
         affected_terms = np_.select("term").distinct()
         new_term_df = merged.join(
             F.broadcast(affected_terms), "term"
@@ -328,6 +444,9 @@ def delete_from_bm25(
             merged.write.mode("overwrite").partitionBy("bucket").parquet(
                 os.path.join(path, "postings")
             )
+            merged_dlen.write.mode("overwrite").partitionBy(
+                "ibucket"
+            ).parquet(os.path.join(path, "doclen"))
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         # Dynamic overwrite only replaces partitions the write PRODUCES: a
@@ -344,6 +463,16 @@ def delete_from_bm25(
             )
             fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
             fs.delete(jpath, True)
+        survived_i = {
+            r["ibucket"]
+            for r in merged_dlen.select("ibucket").distinct().collect()
+        }
+        for b in set(ibs) - survived_i:
+            jpath = jvm.org.apache.hadoop.fs.Path(
+                os.path.join(path, "doclen", f"ibucket={b}")
+            )
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            fs.delete(jpath, True)
         new_dfreq.write.mode("overwrite").parquet(os.path.join(path, "dfreq"))
         out = {
             "n_docs": int(meta["n_docs"]) - int(removed["n"] or 0),
@@ -352,9 +481,10 @@ def delete_from_bm25(
         with open(os.path.join(path, "_bm25_meta.json"), "w") as f:
             keep = {
                 k: meta[k]
-                for k in ("postings_schema", "dfreq_schema")
+                for k in ("postings_schema", "dfreq_schema", "doclen_schema")
                 if k in meta
             }
+            keep.setdefault("doclen_schema", merged_dlen.schema.json())
             json.dump(
                 {"kind": "bm25", "buckets": N_BUCKETS, **keep, **out}, f
             )
