@@ -43,10 +43,30 @@ class Database:
     #: fed by the write-buffer consumer; rebuilt on replay like the
     #: reference's in-memory tracker)
     persistence_windows: dict = field(default_factory=dict)
+    #: table -> (cells DataFrame, meta) series-cardinality rollups
+    #: (pipeline/cardinality.py): once registered, ReadSeriesCardinality
+    #: answers from the sketch cells whenever they cover the predicate —
+    #: the reference's metadata-first posture (influxrpc.rs:244-293) —
+    #: with the exact rescan as the fallback and the opt-in exact path.
+    series_rollups: dict = field(default_factory=dict)
 
     # -- catalog ----------------------------------------------------------
     def register_table(self, table: str, schema: IoxSchema) -> None:
         self.schemas[table] = schema
+
+    def register_series_rollup(self, path: str) -> str:
+        """Adopt a persisted series-cardinality rollup
+        (``pipeline/cardinality.save_series_rollup``) for metadata-first
+        cardinality answers.  Returns the table it covers."""
+        from influxdb_iox_spark.pipeline.cardinality import load_rollup
+
+        cells, meta = load_rollup(self.spark, path)
+        if meta.get("kind") != "hll_series_rollup":
+            raise ValueError(
+                f"{path!r} is not a series rollup (kind={meta.get('kind')!r})"
+            )
+        self.series_rollups[meta["table"]] = (cells, meta)
+        return meta["table"]
 
     def drop_table(self, table: str) -> int:
         """DROP MEASUREMENT: drop every chunk (manifest tombstones +

@@ -295,6 +295,7 @@ class ShowStatement:
     offset: int = 0
     for_component: str | None = None  # SHOW STATS FOR '<component>'
     for_user: str | None = None  # SHOW GRANTS FOR <user>
+    exact: bool = False  # SHOW <kind> EXACT CARDINALITY
 
 
 @dataclass(frozen=True)
@@ -307,3 +308,8 @@ class Measurement:
     tags: tuple
     fields: tuple
     time_col: str = "time"
+    #: optional (cells DataFrame, meta) series-cardinality rollup
+    #: (pipeline/cardinality.py): SHOW SERIES CARDINALITY answers from
+    #: it when the statement's WHERE is coverable; the EXACT keyword
+    #: always rescans.
+    series_rollup: object = None

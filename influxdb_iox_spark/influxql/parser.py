@@ -578,9 +578,11 @@ class _Parser:
         return stmt
 
     def _show_core(self) -> ShowStatement:
-        # cardinality family: SHOW <kind> [EXACT] CARDINALITY (the EXACT
-        # keyword is accepted and identical — counts here are always
-        # exact distinct counts, there is no sketch estimate tier)
+        # cardinality family: SHOW <kind> [EXACT] CARDINALITY.  The EXACT
+        # keyword is recorded: SHOW SERIES CARDINALITY answers from a
+        # registered HLL series rollup when one covers the statement
+        # (stock InfluxQL's estimated-vs-EXACT split); every other kind
+        # — and EXACT — computes exact distinct counts.
         for words, what in (
             (("SERIES",), "series cardinality"),
             (("MEASUREMENT",), "measurement cardinality"),
@@ -589,10 +591,15 @@ class _Parser:
             (("TAG", "VALUES"), "tag values cardinality"),
         ):
             save = self.i
-            if self._kw(*words) and (
-                self._kw("EXACT", "CARDINALITY") or self._kw("CARDINALITY")
-            ):
+            exact = False
+            if self._kw(*words):
+                if self._kw("EXACT", "CARDINALITY"):
+                    exact = True
+                elif not self._kw("CARDINALITY"):
+                    self.i = save
+                    continue
                 stmt = ShowStatement(what)
+                stmt.exact = exact
                 if self._kw("FROM"):
                     stmt.measurement = self._ident()
                 if what == "tag values cardinality":

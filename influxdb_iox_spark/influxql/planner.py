@@ -2012,6 +2012,31 @@ def _plan_show_core(
 
         if stmt.what == "measurement cardinality":
             return spark.createDataFrame([(len(names),)], "count long")
+        if (
+            stmt.what == "series cardinality"
+            and not stmt.exact
+            and stmt.where is None
+            and scope
+            and all(catalog[n].series_rollup is not None for n in scope)
+        ):
+            # Metadata-first: every in-scope measurement carries a
+            # registered HLL series rollup and the statement has no
+            # WHERE — answer from sketch cells (one union-fold each,
+            # KB-sized rows), never scanning raw tables.  Measurements'
+            # series sets are disjoint, so the per-table estimates sum.
+            # EXACT CARDINALITY (stmt.exact) always takes the rescan
+            # below — the opt-in exactness toggle.
+            from influxdb_iox_spark.pipeline.cardinality import (
+                estimate_series_cardinality,
+            )
+
+            total = sum(
+                estimate_series_cardinality(
+                    catalog[n].series_rollup[0], [], identity="tagset"
+                )
+                for n in scope
+            )
+            return spark.createDataFrame([(total,)], "count long")
         inner = copy.copy(stmt)
         inner.what = {
             "series cardinality": "series",

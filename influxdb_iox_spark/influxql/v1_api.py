@@ -86,6 +86,7 @@ def catalog_from_database(database) -> dict[str, Measurement]:
             tags=tuple(sch.tag_columns),
             fields=tuple(sch.field_columns),
             time_col=sch.time_column,
+            series_rollup=database.series_rollups.get(t),
         )
     return cat
 

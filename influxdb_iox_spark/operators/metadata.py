@@ -163,7 +163,10 @@ def tag_values(
 
 
 def series_cardinality(
-    db: Database, table: str, predicate: Predicate | None = None
+    db: Database,
+    table: str,
+    predicate: Predicate | None = None,
+    exact: bool = False,
 ) -> int:
     """Number of distinct series the table contributes under the predicate.
 
@@ -174,11 +177,30 @@ def series_cardinality(
     row with a non-null field value — i.e. exactly the number of
     SeriesFrames a read_filter for the same predicate would stream.
 
-    One aggregation pass: per field, ``count_distinct`` of the tag tuple
-    over rows where the field is non-null (the WHEN collapses excluded
-    rows to NULL, which count_distinct ignores).  Map-side partials make
-    this a single shuffle of pre-aggregated sketches at scale.
+    Metadata-first (influxrpc.rs:244-293 posture): when the database has
+    a registered series rollup for the table
+    (``Database.register_series_rollup``) whose cells COVER the
+    predicate, the answer is one sketch-union fold over KB-sized cells —
+    zero raw scans (~1.6% standard error at the default lgk).  The exact
+    rescan below remains the fallback for unsketchable predicates and
+    the explicit path when ``exact=True``.
+
+    Exact path, one aggregation pass: per field, ``count_distinct`` of
+    the tag tuple over rows where the field is non-null (the WHEN
+    collapses excluded rows to NULL, which count_distinct ignores).
+    Map-side partials make this a single shuffle of pre-aggregated
+    sketches at scale.
     """
+    if not exact and table in db.series_rollups:
+        from influxdb_iox_spark.pipeline.cardinality import (
+            covering_filters,
+            estimate_series_cardinality,
+        )
+
+        cells, meta = db.series_rollups[table]
+        filters = covering_filters(meta, predicate)
+        if filters is not None:
+            return estimate_series_cardinality(cells, filters)
     schema = db.table_schema(table)
     fields = schema.field_columns
     if not fields:

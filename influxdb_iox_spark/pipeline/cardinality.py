@@ -143,7 +143,10 @@ def update_rollup(
 ) -> None:
     """Fold a raw-row batch into a persisted rollup: batch cells union
     into existing cells (hll_union_agg over the two sketch sets), new
-    cells append.  Serialized by the index writer claim.  ``writer=`` names a SINGLE logical owner — two live processes must never share a name (a quiet dead incarnation is self-succeeded after the liveness grace).  HLL union is
+    cells append.  Serialized by the index writer claim; ``writer=``
+    names a SINGLE logical owner — two live processes must never share
+    a name (a quiet dead incarnation is self-succeeded after the
+    liveness grace).  HLL union is
     associative and idempotent on re-inserted VALUES, so replaying a
     batch leaves estimates unchanged; note the union-folded sketch
     STATE is not guaranteed bit-identical to a single-pass sketch over
@@ -164,3 +167,297 @@ def update_rollup(
         )
         txn.mutating()
         merged.write.mode("overwrite").parquet(os.path.join(path, "cells"))
+
+
+# ---------------------------------------------------------------------------
+# series-cardinality rollups — the query-surface integration
+# ---------------------------------------------------------------------------
+#
+# The reference's metadata posture is answer-from-precomputed-state when
+# possible (query/src/frontend/influxrpc.rs:244-293 serves tag metadata
+# from chunk metadata before touching data; query/src/lib.rs:100-115).
+# These helpers give ReadSeriesCardinality / SHOW SERIES CARDINALITY the
+# same posture: a registered rollup — HLL sketches of the table's SERIES
+# KEYS per (key columns, time bucket) cell — answers any cardinality
+# question whose predicate the cells can express, with ZERO raw scans;
+# anything unsketchable falls back to the exact rescan.
+
+
+_ALL_SENTINEL = "\u0000__all__"
+
+
+def _series_rows(
+    df: DataFrame,
+    tags: list[str],
+    fields: list[str],
+    keys: list[str],
+    time_col: str | None,
+    bucket_ns: int | None,
+) -> DataFrame:
+    """The rollup's pre-aggregate frame, ONE scan: each raw row explodes
+    to one row per non-null field (carrying the (tags..., field) series
+    key — the RPC ReadSeriesCardinality identity) plus one SENTINEL row
+    (carrying the tags-only key — the InfluxQL SHOW SERIES identity,
+    which counts tag sets regardless of field liveness).  Null inputs
+    to ``hll_sketch_agg`` are skipped, so the two WHENs route each row
+    into exactly one sketch."""
+    field_arr = F.array(
+        *[F.when(F.col(f).isNotNull(), F.lit(f)) for f in fields],
+        F.lit(_ALL_SENTINEL),
+    )
+    rows = df.select(
+        *keys,
+        *([time_col] if bucket_ns is not None else []),
+        *[c for c in tags if c not in keys],
+        F.explode(field_arr).alias("__field"),
+    ).filter(F.col("__field").isNotNull())
+    out = rows
+    if bucket_ns is not None:
+        out = out.withColumn(
+            "__bucket",
+            (F.col(time_col) - F.pmod(F.col(time_col), F.lit(bucket_ns)))
+            .cast("long"),
+        )
+    series = F.when(
+        F.col("__field") != _ALL_SENTINEL,
+        F.to_json(F.struct(*[F.col(t) for t in tags], F.col("__field"))),
+    ).alias("__series")
+    tagset = F.when(
+        F.col("__field") == _ALL_SENTINEL,
+        F.to_json(F.struct(*[F.col(t) for t in tags])),
+    ).alias("__tagset")
+    cell_keys = keys + (["__bucket"] if bucket_ns is not None else [])
+    return out.select(*cell_keys, series, tagset)
+
+
+def _series_cells(rows: DataFrame, cell_keys: list[str], lgk: int) -> DataFrame:
+    return rows.groupBy(*cell_keys).agg(
+        F.hll_sketch_agg(F.col("__series"), F.lit(lgk)).alias("sketch"),
+        F.hll_sketch_agg(F.col("__tagset"), F.lit(lgk)).alias("sketch_tags"),
+    )
+
+
+def build_series_rollup(
+    df: DataFrame,
+    tags: list[str],
+    fields: list[str],
+    keys: list[str] | None = None,
+    time_col: str | None = None,
+    bucket_ns: int | None = None,
+    lgk: int = DEFAULT_LGK,
+) -> DataFrame:
+    """Rollup cells for SERIES cardinality: per (``keys``...,
+    [``__bucket``]) cell, an HLL sketch of the table's series keys under
+    BOTH identities the engine serves —
+
+    - ``sketch``: one series per (tag tuple, field) pair with a non-null
+      field value, exactly what ``operators/metadata.series_cardinality``
+      (ReadSeriesCardinality) counts;
+    - ``sketch_tags``: one series per tag tuple, regardless of fields —
+      the InfluxQL SHOW SERIES listing identity.
+
+    ONE scan (sentinel-exploded; see ``_series_rows``).  ``keys``
+    (⊆ tag columns, typically) become the dimensions later predicates
+    can filter on; ``bucket_ns`` adds a ``__bucket`` time key (floor of
+    ``time_col``) so aligned half-open time ranges are answerable from
+    cells."""
+    if bucket_ns is not None and not time_col:
+        raise ValueError("bucket_ns requires time_col")
+    keys = list(keys or [])
+    cell_keys = keys + (["__bucket"] if bucket_ns is not None else [])
+    return _series_cells(
+        _series_rows(df, tags, fields, keys, time_col, bucket_ns),
+        cell_keys,
+        lgk,
+    )
+
+
+def save_series_rollup(
+    rollup: DataFrame,
+    path: str,
+    table: str,
+    tags: list[str],
+    fields: list[str],
+    keys: list[str] | None = None,
+    time_col: str | None = None,
+    bucket_ns: int | None = None,
+    lgk: int = DEFAULT_LGK,
+) -> None:
+    """Persist a series rollup with enough meta (tags/fields/time_col)
+    that maintenance (``update_series_rollup`` / ``rebuild_cells``) can
+    re-derive the series keys from raw rows."""
+    keys = list(keys or [])
+    rollup.write.mode("overwrite").parquet(os.path.join(path, "cells"))
+    with open(os.path.join(path, "_hll_meta.json"), "w") as f:
+        json.dump(
+            {
+                "kind": "hll_series_rollup",
+                "table": table,
+                "tags": list(tags),
+                "fields": list(fields),
+                "keys": keys + (["__bucket"] if bucket_ns else []),
+                "user_keys": keys,
+                "time_col": time_col,
+                "bucket_ns": bucket_ns,
+                "value_col": "__series",
+                "lgk": lgk,
+            },
+            f,
+        )
+
+
+def update_series_rollup(
+    spark: SparkSession,
+    path: str,
+    new_raw_rows: DataFrame,
+    guard=None,
+    force: bool = False,
+    writer: str | None = None,
+) -> None:
+    """Fold a RAW-row batch into a persisted series rollup (the series
+    derivation comes from the saved meta): batch cells union into
+    existing cells, new cells append — both sketches.  Same guard,
+    replay, and single-owner ``writer=`` contract as ``update_rollup``."""
+    with maintenance_txn(path, guard=guard, force=force, writer=writer) as txn:
+        cells, meta = load_rollup(spark, path)
+        batch = build_series_rollup(
+            new_raw_rows,
+            meta["tags"],
+            meta["fields"],
+            meta["user_keys"],
+            meta["time_col"],
+            meta["bucket_ns"],
+            meta["lgk"],
+        )
+        merged = (
+            cells.unionByName(batch)
+            .groupBy(*meta["keys"])
+            .agg(
+                F.hll_union_agg("sketch").alias("sketch"),
+                F.hll_union_agg("sketch_tags").alias("sketch_tags"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        txn.mutating()
+        merged.write.mode("overwrite").parquet(os.path.join(path, "cells"))
+
+
+def covering_filters(meta: dict, predicate) -> "list | None":
+    """Cell filters answering ``predicate`` from a series rollup, or
+    ``None`` when the predicate is NOT expressible over the cells (the
+    caller then falls back to the exact rescan).  Coverable:
+
+    - no predicate / row-unconstrained parts only;
+    - a half-open time range ALIGNED to the rollup's bucket (both ends
+      multiples of ``bucket_ns``);
+    - conjunctive column bounds on rollup KEY columns — but only when
+      every row expr is a ``with_col_range`` mirror (the 1:1 accounting
+      below), so no opaque expr goes silently unapplied.
+
+    A field_columns restriction or partition_key is never coverable
+    (the sketch folds all fields into one series key)."""
+    filters: list = []
+    if predicate is None:
+        return filters
+    if getattr(predicate, "field_columns", None):
+        return None
+    if getattr(predicate, "partition_key", None):
+        return None
+    rng = getattr(predicate, "range", None)
+    bucket_ns = meta.get("bucket_ns")
+    if rng is not None:
+        if not bucket_ns:
+            return None
+        if rng.start % bucket_ns != 0 or rng.end % bucket_ns != 0:
+            return None
+        filters.append(F.col("__bucket") >= F.lit(rng.start))
+        filters.append(F.col("__bucket") < F.lit(rng.end))
+    exprs = getattr(predicate, "exprs", []) or []
+    ranges = getattr(predicate, "col_ranges", []) or []
+    expected = sum(
+        (lo is not None) + (hi is not None) for _c, lo, hi, _lo, _ho in ranges
+    )
+    if len(exprs) != expected:
+        return None  # an opaque expr the cells cannot honor
+    keys = set(meta.get("keys") or [])
+    for col, lo, hi, lo_open, hi_open in ranges:
+        if col not in keys:
+            return None
+        c = F.col(col)
+        if lo is not None:
+            filters.append(c > F.lit(lo) if lo_open else c >= F.lit(lo))
+        if hi is not None:
+            filters.append(c < F.lit(hi) if hi_open else c <= F.lit(hi))
+    return filters
+
+
+def estimate_series_cardinality(
+    cells: DataFrame, filters: list, identity: str = "rpc"
+) -> int:
+    """Fold the matching cells' sketches into one estimate — KB-sized
+    sketch rows, never the raw table.  ``identity``: "rpc" counts
+    (tag tuple, live field) series (ReadSeriesCardinality); "tagset"
+    counts tag tuples (InfluxQL SHOW SERIES)."""
+    col = {"rpc": "sketch", "tagset": "sketch_tags"}[identity]
+    for f in filters:
+        cells = cells.filter(f)
+    row = cells.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(col)).alias("e")
+    ).collect()[0]
+    return int(row["e"] or 0)
+
+
+def rebuild_cells(
+    spark: SparkSession,
+    path: str,
+    raw_rows: DataFrame,
+    cell_predicate,
+    guard=None,
+    force: bool = False,
+    writer: str | None = None,
+) -> int:
+    """Targeted takedown for a persisted rollup (HLL cannot un-insert —
+    deletion means recomputing affected cells from raw data; module
+    docstring).  ``cell_predicate`` — a boolean Column over the rollup's
+    KEY columns — names the cells a deletion could have touched (e.g.
+    the deleted rows' time buckets / key values); ONLY those cells are
+    recomputed from ``raw_rows`` (the post-delete raw table, in rollup
+    input form: key columns + value column — for a series rollup, the
+    ``build_series_rollup`` row shape).  Untouched cells keep their
+    sketches byte-identical; an affected cell with no surviving raw rows
+    vanishes.  Claim-guarded and replay-idempotent: re-driving the same
+    rebuild recomputes the same cells from the same raw state.  Returns
+    the number of cells recomputed.  ``writer=`` names a SINGLE logical
+    owner — two live processes must never share a name."""
+    with maintenance_txn(path, guard=guard, force=force, writer=writer) as txn:
+        cells, meta = load_rollup(spark, path)
+        n_affected = cells.filter(cell_predicate).count()
+        if meta.get("kind") == "hll_series_rollup":
+            # re-derive series keys from the raw rows, filter the
+            # pre-aggregate frame to the affected cells, re-sketch
+            rows = _series_rows(
+                raw_rows,
+                meta["tags"],
+                meta["fields"],
+                meta["user_keys"],
+                meta["time_col"],
+                meta["bucket_ns"],
+            )
+            recomputed = _series_cells(
+                rows.filter(cell_predicate), meta["keys"], meta["lgk"]
+            )
+        else:
+            recomputed = build_cardinality_rollup(
+                raw_rows.filter(cell_predicate),
+                meta["keys"],
+                meta["value_col"],
+                meta["lgk"],
+            )
+        merged = (
+            cells.filter(~cell_predicate)
+            .unionByName(recomputed)
+            .localCheckpoint(eager=True)  # break the self-overwrite cycle
+        )
+        txn.mutating()
+        merged.write.mode("overwrite").parquet(os.path.join(path, "cells"))
+        return n_affected

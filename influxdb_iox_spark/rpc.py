@@ -91,16 +91,20 @@ class InfluxRpc:
     ) -> list[dict]:
         return md.field_columns(self.db, table, predicate)
 
-    def series_cardinality(self, predicate: Predicate | None = None) -> int:
+    def series_cardinality(
+        self, predicate: Predicate | None = None, exact: bool = False
+    ) -> int:
         """Bucket-wide series cardinality — the sum over measurements of
         distinct (tag set, live field) series (beyond the reference:
         service.rs:560-566 is unimplemented!; semantics documented on
-        operators/metadata.series_cardinality)."""
+        operators/metadata.series_cardinality).  Tables with a registered
+        series rollup answer from sketch cells when the predicate is
+        coverable (metadata-first); ``exact=True`` forces the rescan."""
         total = 0
         for t in sorted(self.db.schemas):
             if predicate is not None and not predicate.should_scan_table(t):
                 continue
-            total += md.series_cardinality(self.db, t, predicate)
+            total += md.series_cardinality(self.db, t, predicate, exact=exact)
         return total
 
     # -- data menu --------------------------------------------------------

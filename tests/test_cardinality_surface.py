@@ -1,0 +1,227 @@
+"""Series-cardinality rollups wired into the query surface (round 14):
+ReadSeriesCardinality / SHOW SERIES CARDINALITY answer from registered
+HLL sketch cells — ZERO raw-table scans — whenever the predicate is
+coverable, with the exact rescan as fallback and opt-in, plus the
+targeted ``rebuild_cells`` takedown (recompute only predicate-affected
+cells after a raw-data deletion)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from influxdb_iox_spark.database import Database
+from influxdb_iox_spark.operators.metadata import series_cardinality
+from influxdb_iox_spark.pipeline.cardinality import (
+    build_cardinality_rollup,
+    build_series_rollup,
+    covering_filters,
+    estimate_cardinality,
+    estimate_series_cardinality,
+    load_rollup,
+    rebuild_cells,
+    save_rollup,
+    save_series_rollup,
+)
+from influxdb_iox_spark.plans.predicate import Predicate
+from influxdb_iox_spark.schema import InfluxColumnType, IoxSchema
+from influxdb_iox_spark.sources.store import TableStore
+
+SCHEMA = IoxSchema.build(
+    ["t1", "t2"],
+    {
+        "v1": InfluxColumnType.FIELD_FLOAT,
+        "v2": InfluxColumnType.FIELD_FLOAT,
+    },
+)
+
+BUCKET = 1_000  # ns per rollup time bucket
+
+
+def _raw(spark, n=4_000):
+    """Synthetic measurement: ~n/2 distinct (t1, t2) tag sets, two
+    fields with disjoint null patterns, time spanning 8 buckets."""
+    return spark.range(n).select(
+        (F.col("id") % 8).cast("string").alias("t1"),
+        ((F.col("id") * 2654435761) % 997).cast("string").alias("t2"),
+        F.when(F.col("id") % 3 != 0, F.col("id").cast("double")).alias("v1"),
+        F.when(F.col("id") % 3 != 1, F.col("id").cast("double")).alias("v2"),
+        ((F.col("id") % 8) * BUCKET + (F.col("id") % 500)).alias("time"),
+    )
+
+
+@pytest.fixture(scope="module")
+def db(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cardsurf")
+    store = TableStore(str(root / "store"))
+    store.write_chunk(_raw(spark), "m", SCHEMA)
+    d = Database("db", store, spark)
+    d.register_table("m", SCHEMA)
+    rollup = build_series_rollup(
+        d.table("m"),
+        tags=["t1", "t2"],
+        fields=["v1", "v2"],
+        keys=["t1"],
+        time_col="time",
+        bucket_ns=BUCKET,
+    )
+    path = str(root / "rollup")
+    save_series_rollup(
+        rollup, path, "m",
+        tags=["t1", "t2"], fields=["v1", "v2"],
+        keys=["t1"], time_col="time", bucket_ns=BUCKET,
+    )
+    assert d.register_series_rollup(path) == "m"
+    return d
+
+
+def test_rollup_estimate_matches_exact_within_error(db):
+    exact = series_cardinality(db, "m", exact=True)
+    est = series_cardinality(db, "m")
+    assert exact > 500
+    assert abs(est - exact) / exact < 0.05  # lgk=12 σ ≈ 1.6%
+    # a covered predicate: aligned half-open time range + key equality
+    pred = Predicate().with_range(0, 4 * BUCKET).with_col_range(
+        "t1", "2", "2"
+    )
+    assert (
+        abs(
+            series_cardinality(db, "m", pred)
+            - series_cardinality(db, "m", pred, exact=True)
+        )
+        / max(series_cardinality(db, "m", pred, exact=True), 1)
+        < 0.05
+    )
+
+
+def test_rollup_path_never_scans_raw_table(db):
+    """THE metadata-first guarantee: with a covering rollup the raw
+    table is never even resolved — Database.table is poisoned and the
+    sketch answer still comes back; exact=True then takes the rescan
+    and trips the poison."""
+    real = db.table
+
+    def poisoned(*a, **k):
+        raise AssertionError("raw table scanned on the rollup path")
+
+    db.table = poisoned
+    try:
+        assert series_cardinality(db, "m") > 0
+        assert series_cardinality(db, "m", Predicate().with_range(0, BUCKET)) > 0
+        with pytest.raises(AssertionError, match="raw table scanned"):
+            series_cardinality(db, "m", exact=True)
+        # uncoverable predicate -> falls back to the (poisoned) rescan
+        with pytest.raises(AssertionError, match="raw table scanned"):
+            series_cardinality(
+                db, "m", Predicate().with_range(0, BUCKET + 1)
+            )
+    finally:
+        db.table = real
+
+
+def test_covering_filters_rules():
+    meta = {"keys": ["t1", "__bucket"], "bucket_ns": BUCKET}
+    assert covering_filters(meta, None) == []
+    # aligned half-open range: two bucket filters
+    assert len(covering_filters(meta, Predicate().with_range(0, 2 * BUCKET))) == 2
+    # unaligned range -> not coverable
+    assert covering_filters(meta, Predicate().with_range(0, 1500)) is None
+    # key-column bound -> coverable; non-key column -> not
+    assert len(covering_filters(meta, Predicate().with_col_range("t1", "a", "b"))) == 2
+    assert covering_filters(meta, Predicate().with_col_range("t9", "a", "b")) is None
+    # field restriction is never coverable
+    assert covering_filters(meta, Predicate().fields("v1")) is None
+    # an opaque expr (no readable col_range mirror) -> not coverable
+    p = Predicate().with_expr(F.col("t1") == "2", columns=("t1",))
+    assert covering_filters(meta, p) is None
+    # no bucket key -> time ranges not coverable
+    assert covering_filters({"keys": ["t1"], "bucket_ns": None},
+                            Predicate().with_range(0, BUCKET)) is None
+
+
+def test_influxql_show_series_cardinality_uses_rollup(db, monkeypatch):
+    """SHOW SERIES CARDINALITY answers from the registered rollup; SHOW
+    SERIES EXACT CARDINALITY is the opt-in rescan and must bypass it."""
+    import influxdb_iox_spark.pipeline.cardinality as card
+    from influxdb_iox_spark.influxql import execute
+    from influxdb_iox_spark.influxql.v1_api import catalog_from_database
+
+    cat = catalog_from_database(db)
+    assert cat["m"].series_rollup is not None
+
+    calls = []
+    orig = card.estimate_series_cardinality
+
+    def spy(cells, filters, **kw):
+        calls.append(1)
+        return orig(cells, filters, **kw)
+
+    monkeypatch.setattr(card, "estimate_series_cardinality", spy)
+    est = execute("SHOW SERIES CARDINALITY", cat).collect()[0]["count"]
+    assert calls, "estimated path was not taken"
+    exact = execute("SHOW SERIES EXACT CARDINALITY", cat).collect()[0]["count"]
+    assert len(calls) == 1  # EXACT did not consult the rollup
+    assert exact > 0 and abs(est - exact) / exact < 0.05
+
+
+@pytest.mark.parametrize("backend", ["posix", "memory"])
+def test_rebuild_cells_parity_with_full_rebuild(spark, tmp_path, backend):
+    """Targeted takedown: delete one user from the raw rows, rebuild
+    ONLY the affected cells — estimates match a from-scratch rollup of
+    the post-delete data on every regrouping, and untouched cells'
+    sketch bytes are byte-identical to the original."""
+    from influxdb_iox_spark.pipeline.index_txn import IndexTxnGuard
+    from influxdb_iox_spark.sources.objstore import InMemoryObjectStore
+
+    raw = spark.range(6_000).select(
+        (F.col("id") % 6).alias("g"),
+        ((F.col("id") * 2654435761) % 400).alias("user"),
+    )
+    path = str(tmp_path / "rollup")
+    save_rollup(
+        build_cardinality_rollup(raw, ["g"], "user"), path, ["g"], "user"
+    )
+    before = {
+        bytes(r["sketch"]) for r in load_rollup(spark, path)[0]
+        .filter(~F.col("g").isin([2, 3])).collect()
+    }
+
+    survivors = raw.filter(F.col("user") != 7)
+    guard = (
+        IndexTxnGuard(InMemoryObjectStore()) if backend == "memory" else None
+    )
+    # the deletion touched cells g in {2, 3} (say, the user's activity
+    # was located there); rebuild only those from the post-delete raw
+    n = rebuild_cells(
+        spark, path, survivors, F.col("g").isin([2, 3]), guard=guard
+    )
+    assert n == 2
+
+    cells, _ = load_rollup(spark, path)
+    got = {
+        r["g"]: r["estimate"]
+        for r in estimate_cardinality(cells, ["g"]).collect()
+    }
+    fresh = build_cardinality_rollup(
+        survivors.filter(F.col("g").isin([2, 3])), ["g"], "user"
+    )
+    want = {
+        r["g"]: r["estimate"]
+        for r in estimate_cardinality(fresh, ["g"]).collect()
+    }
+    for g in (2, 3):
+        assert got[g] == want[g], (g, got[g], want[g])
+    # untouched cells: byte-identical sketches survived
+    after = {
+        bytes(r["sketch"]) for r in cells
+        .filter(~F.col("g").isin([2, 3])).collect()
+    }
+    assert after == before
+    # replay-idempotent: re-driving the same rebuild changes nothing
+    rebuild_cells(spark, path, survivors, F.col("g").isin([2, 3]), guard=guard)
+    cells2, _ = load_rollup(spark, path)
+    got2 = {
+        r["g"]: r["estimate"]
+        for r in estimate_cardinality(cells2, ["g"]).collect()
+    }
+    assert got2 == got
