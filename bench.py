@@ -331,10 +331,19 @@ def build_output_line(
     sent_hi = {
         k: v for k, v in sentinels.items() if med > 0 and v >= 1.5 * med
     }
+    # Quiet-host gate (round-13 judge): a committed record measured on a
+    # loaded box reads as a code regression one round and a code win the
+    # next.  The bench cannot refuse to run (the driver invokes it once,
+    # unconditionally), so it MARKS the record instead: any downstream
+    # comparison must treat a noisy_host record's totals as environmental,
+    # not behavioral.  Threshold 0.12 s: quiet-host sentinels here run
+    # 0.06-0.11 (r03 0.086, r12 0.100); the r13 noisy run was 0.161.
+    noisy = med > 0.12 or conditions.get("sentinel_before_sec", 0) > 0.12
     payload = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "noisy_host": noisy,
         # compare THIS number across rounds, normalized by the sentinel
         "value_r04_comparable": round(
             sum(v for k, v in timings.items() if k in _R04_COMPARABLE), 3

