@@ -272,9 +272,15 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate").cast("date") > F.lit("1997-06-01").cast("date"))
         .withColumn("__rev_c", F.expr(_REV_C_SQL))
         .join(
+            # shuffle_hash on the fact-fact join (round 14, BENCH_NOTES
+            # S32): l_orderkey is bounded-multiplicity (<=7 lineitems per
+            # order, no skew by construction), so the per-partition build
+            # map is rows/shuffle-partitions bounded and SHJ skips both
+            # sorts — sf10 5.4 -> 3.6 s.  Dims stay unhinted (AQE
+            # broadcasts them when small).
             t["orders"].filter(
                 F.col("o_orderdate").cast("date") < F.lit("1997-06-01").cast("date")
-            ),
+            ).hint("shuffle_hash"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
@@ -316,7 +322,13 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .withColumn("__rev_c", F.expr(_REV_C_SQL))
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        # shuffle_hash on the bounded-key fact join (see q3 note; sf10
+        # 17.4 -> 11.0 s on the probe host); customer stays unhinted so
+        # AQE can still broadcast a small customer dim.
+        .join(
+            t["orders"].hint("shuffle_hash"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(
             F.broadcast(t["supplier"]),
@@ -352,7 +364,12 @@ def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .filter(F.col("l_returnflag") == "R")
         .withColumn("__rev_c", F.expr(_REV_C_SQL))
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        # shuffle_hash on the bounded-key fact join (see q3 note): the
+        # round-13 probe's biggest win — sf10 9.8 -> 2.5-3.4 s at 48g.
+        .join(
+            t["orders"].hint("shuffle_hash"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name")
         .agg(_rev_sum("revenue"))
@@ -758,6 +775,67 @@ SELECT
   + (COUNT(DISTINCT (event_type, user_id)) FILTER (WHERE props IS NOT NULL))
   AS cardinality
 FROM events
+"""
+
+
+def q_events_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs audience overlap between event types from KMV sketches
+    (round 14; pipeline/kmv.kmv_pairwise_overlap): per event-type pair,
+    estimated |A|, |B|, |A∪B|, bottom-k Jaccard and |A∩B| — the
+    retained-users primitive, computed ENTIRELY from the bottom-k=32
+    sketch rows (never a raw rescan) and deterministic end-to-end, so
+    every value is hash-exact vs DuckDB replaying the identical md5
+    recipe and bottom-k algebra."""
+    from influxdb_iox_spark.pipeline.kmv import (
+        kmv_pairwise_overlap,
+        kmv_sketch,
+    )
+
+    t = _load(spark, sf_dir, "events")
+    sk = kmv_sketch(t["events"], ["event_type"], "user_id", k=32)
+    return kmv_pairwise_overlap(sk, "event_type", k=32).orderBy("a", "b")
+
+
+SQL_EVENTS_KMV_OVERLAP = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events
+), r AS (
+  SELECT event_type, hv,
+    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+  FROM h
+), sk AS (
+  SELECT event_type, list_sort(list(hv)) AS sketch
+  FROM r WHERE rk <= 32 GROUP BY event_type
+), p AS (
+  SELECT sa.event_type AS a, sb.event_type AS b, sa.sketch AS ska,
+         sb.sketch AS skb,
+         list_sort(list_distinct(list_concat(sa.sketch, sb.sketch)))[1:32]
+           AS ub
+  FROM sk sa JOIN sk sb ON sa.event_type < sb.event_type
+), m AS (
+  SELECT a, b, ska, skb, ub,
+    CASE WHEN len(ska) < 32 THEN CAST(len(ska) AS DOUBLE)
+         ELSE 31.0 * 1152921504606846976.0 / CAST(ska[32] AS DOUBLE) END
+      AS ea,
+    CASE WHEN len(skb) < 32 THEN CAST(len(skb) AS DOUBLE)
+         ELSE 31.0 * 1152921504606846976.0 / CAST(skb[32] AS DOUBLE) END
+      AS eb,
+    CASE WHEN len(ub) < 32 THEN CAST(len(ub) AS DOUBLE)
+         ELSE 31.0 * 1152921504606846976.0 / CAST(ub[32] AS DOUBLE) END
+      AS eu,
+    CAST(len(list_intersect(ub, list_intersect(ska, skb))) AS DOUBLE)
+      / greatest(len(ub), 1) AS j
+  FROM p
+)
+SELECT a, b,
+  round(ea * 1000000) / 1000000 AS est_a,
+  round(eb * 1000000) / 1000000 AS est_b,
+  round(eu * 1000000) / 1000000 AS est_union,
+  round(j * 1000000) / 1000000 AS jaccard,
+  round(j * eu * 1000000) / 1000000 AS est_intersection
+FROM m ORDER BY a, b
 """
 
 
@@ -5995,6 +6073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mixture_weights": q_doc_mixture_weights,
         "series_median_filter": q_series_median_filter,
         "events_kmv_users": q_events_kmv_users,
+        "events_kmv_overlap": q_events_kmv_overlap,
         "series_counter_rate": q_series_counter_rate,
         "series_value_histogram": q_series_value_histogram,
         "series_anomaly_flags": q_series_anomaly_flags,
@@ -6379,6 +6458,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_mixture_weights": SQL_DOC_MIXTURE_WEIGHTS,
         "series_median_filter": SQL_SERIES_MEDIAN_FILTER,
         "events_kmv_users": SQL_EVENTS_KMV_USERS,
+        "events_kmv_overlap": SQL_EVENTS_KMV_OVERLAP,
         "series_counter_rate": SQL_SERIES_COUNTER_RATE,
         "series_value_histogram": SQL_SERIES_VALUE_HISTOGRAM,
         "series_anomaly_flags": SQL_SERIES_ANOMALY_FLAGS,

@@ -82,6 +82,10 @@ HEADLINE = [
     # round-13 addition: CUSUM changepoints (ordered-window prefix sums +
     # one series aggregate on a shared exchange, integer threshold test)
     "series_changepoints",
+    # round-14 addition: all-pairs sketch intersection (bottom-k build +
+    # cells-only self-join with array algebra — tracks the answer-from-
+    # sketches posture in the driver bench)
+    "events_kmv_overlap",
 ]
 
 

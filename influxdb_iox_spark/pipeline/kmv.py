@@ -157,3 +157,61 @@ def kmv_intersection(
         "jaccard": j,
         "intersection": j * nu,
     }
+
+
+def kmv_pairwise_overlap(
+    sketches: DataFrame, key_col: str, k: int = DEFAULT_K
+) -> DataFrame:
+    """All-pairs overlap estimates between sketch rows, IN-PLAN — the
+    DataFrame twin of ``kmv_intersection`` (which collects two rows to
+    the driver): for every key pair (a < b), estimated |A|, |B|, |A∪B|,
+    bottom-k Jaccard, and |A∩B| = J·|A∪B| — the retained-users /
+    audience-overlap primitive, computed entirely from KB-sized sketch
+    rows (never raw data) and DETERMINISTIC, so unlike HLL
+    inclusion–exclusion the whole result is engine-portable and
+    oracle-pairable hash-exact.
+
+    Self-join on sketch rows (cells × cells — sketch tables are tiny by
+    construction; the raw-data cost was paid once at build) feeding pure
+    array expressions: the union's bottom-k is ``slice(array_sort(
+    array_union(sa, sb)), 1, k)`` (both inputs are distinct ascending
+    bottom-k arrays, so their union's k smallest = the k smallest of the
+    concatenation), membership-in-both via ``array_intersect`` against
+    the union window.  Doubles are 1e-6-rounded per the repo contract."""
+    a = sketches.select(
+        F.col(key_col).alias("a"), F.col("sketch").alias("sa")
+    )
+    b = sketches.select(
+        F.col(key_col).alias("b"), F.col("sketch").alias("sb")
+    )
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    ub = F.slice(
+        F.array_sort(F.array_union(F.col("sa"), F.col("sb"))), 1, k
+    )
+    pairs = pairs.withColumn("ub", ub)
+    est = lambda arr: F.when(
+        F.size(arr) < k, F.size(arr).cast("double")
+    ).otherwise(
+        F.lit(float(k - 1))
+        * F.lit(HASH_SPACE)
+        / F.try_element_at(arr, F.lit(k)).cast("double")
+    )
+    in_both = F.size(
+        F.array_intersect(
+            F.col("ub"), F.array_intersect(F.col("sa"), F.col("sb"))
+        )
+    )
+    nu = est(F.col("ub"))
+    j = in_both.cast("double") / F.greatest(F.size("ub"), F.lit(1)).cast(
+        "double"
+    )
+    r6 = lambda c: F.round(c * 1_000_000) / 1_000_000
+    return pairs.select(
+        "a",
+        "b",
+        r6(est(F.col("sa"))).alias("est_a"),
+        r6(est(F.col("sb"))).alias("est_b"),
+        r6(nu).alias("est_union"),
+        r6(j).alias("jaccard"),
+        r6(j * nu).alias("est_intersection"),
+    )
