@@ -150,6 +150,9 @@ class Database:
         self.system_persistence_windows().createOrReplaceTempView(
             "system_persistence_windows"
         )
+        self.system_cardinality_rollups().createOrReplaceTempView(
+            "system_cardinality_rollups"
+        )
         self.information_schema_tables().createOrReplaceTempView(
             "information_schema_tables"
         )
@@ -182,6 +185,32 @@ class Database:
             "table_name string, chunk_id long, partition_key string, "
             "storage string, row_count long, sorted_by string, "
             "estimated_bytes long"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def system_cardinality_rollups(self) -> DataFrame:
+        """system.cardinality_rollups — one row per REGISTERED series
+        rollup (beyond the reference, same posture as the other system
+        tables: the operator-observable answer to "which cardinality
+        statements get the metadata-first sketch path, and at what
+        error").  n_cells is counted from the KB-sized cell table, never
+        raw data."""
+        rows = [
+            Row(
+                table_name=t,
+                keys=",".join(
+                    k for k in (meta.get("keys") or []) if k != "__bucket"
+                ),
+                bucket_ns=meta.get("bucket_ns"),
+                lgk=int(meta.get("lgk", 0)),
+                rse_pct=round(104.0 / (2 ** (meta.get("lgk", 12) / 2)), 3),
+                n_cells=cells.count(),
+            )
+            for t, (cells, meta) in sorted(self.series_rollups.items())
+        ]
+        schema = (
+            "table_name string, keys string, bucket_ns long, lgk int, "
+            "rse_pct double, n_cells long"
         )
         return self.spark.createDataFrame(rows, schema)
 

@@ -225,3 +225,22 @@ def test_rebuild_cells_parity_with_full_rebuild(spark, tmp_path, backend):
         for r in estimate_cardinality(cells2, ["g"]).collect()
     }
     assert got2 == got
+
+
+def test_system_cardinality_rollups_table(db):
+    rows = db.system_cardinality_rollups().collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["table_name"] == "m"
+    assert r["keys"] == "t1"
+    assert r["bucket_ns"] == BUCKET
+    assert r["lgk"] == 12 and abs(r["rse_pct"] - 1.625) < 0.01
+    # the fixture ties bucket to t1 (time = (id%8)*BUCKET + id%500), so
+    # cells = the 8 (t1, bucket) pairs
+    assert r["n_cells"] == 8
+    # surfaced through the SQL catalog like every other system table
+    db.register_views(force=True)
+    got = db.query(
+        "SELECT table_name, n_cells FROM system_cardinality_rollups"
+    ).collect()
+    assert got[0]["table_name"] == "m" and got[0]["n_cells"] == r["n_cells"]
