@@ -57,16 +57,32 @@ class Database:
     def register_series_rollup(self, path: str) -> str:
         """Adopt a persisted series-cardinality rollup
         (``pipeline/cardinality.save_series_rollup``) for metadata-first
-        cardinality answers.  Returns the table it covers."""
+        cardinality answers.  Returns the table it covers.
+
+        The registry stores the PATH, not a DataFrame: rollup maintenance
+        (``update_rollup`` / ``rebuild_cells``) OVERWRITES the cells
+        directory, and a DataFrame captured at registration would hold
+        the old file listing — every later query would fail on deleted
+        files.  ``rollup_cells`` re-reads per query (a parquet listing of
+        a KB-sized table — negligible), so registered rollups stay live
+        across maintenance."""
         from influxdb_iox_spark.pipeline.cardinality import load_rollup
 
-        cells, meta = load_rollup(self.spark, path)
+        _cells, meta = load_rollup(self.spark, path)
         if meta.get("kind") != "hll_series_rollup":
             raise ValueError(
                 f"{path!r} is not a series rollup (kind={meta.get('kind')!r})"
             )
-        self.series_rollups[meta["table"]] = (cells, meta)
+        self.series_rollups[meta["table"]] = (path, meta)
         return meta["table"]
+
+    def rollup_cells(self, table: str) -> "DataFrame":
+        """Fresh cells DataFrame for a registered series rollup (re-read
+        per call; see register_series_rollup)."""
+        import os as _os
+
+        path, _meta = self.series_rollups[table]
+        return self.spark.read.parquet(_os.path.join(path, "cells"))
 
     def drop_table(self, table: str) -> int:
         """DROP MEASUREMENT: drop every chunk (manifest tombstones +
@@ -204,9 +220,9 @@ class Database:
                 bucket_ns=meta.get("bucket_ns"),
                 lgk=int(meta.get("lgk", 0)),
                 rse_pct=round(104.0 / (2 ** (meta.get("lgk", 12) / 2)), 3),
-                n_cells=cells.count(),
+                n_cells=self.rollup_cells(t).count(),
             )
-            for t, (cells, meta) in sorted(self.series_rollups.items())
+            for t, (_path, meta) in sorted(self.series_rollups.items())
         ]
         schema = (
             "table_name string, keys string, bucket_ns long, lgk int, "

@@ -86,7 +86,15 @@ def catalog_from_database(database) -> dict[str, Measurement]:
             tags=tuple(sch.tag_columns),
             fields=tuple(sch.field_columns),
             time_col=sch.time_column,
-            series_rollup=database.series_rollups.get(t),
+            # fresh cells DF per catalog build: rollup maintenance
+            # overwrites the dir, so a longer-lived DF would hold a
+            # stale file listing (catalogs are per-request on the HTTP
+            # path, so this stays live)
+            series_rollup=(
+                (database.rollup_cells(t), database.series_rollups[t][1])
+                if t in database.series_rollups
+                else None
+            ),
         )
     return cat
 

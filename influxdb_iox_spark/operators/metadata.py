@@ -197,10 +197,10 @@ def series_cardinality(
             estimate_series_cardinality,
         )
 
-        cells, meta = db.series_rollups[table]
+        _path, meta = db.series_rollups[table]
         filters = covering_filters(meta, predicate)
         if filters is not None:
-            return estimate_series_cardinality(cells, filters)
+            return estimate_series_cardinality(db.rollup_cells(table), filters)
     schema = db.table_schema(table)
     fields = schema.field_columns
     if not fields:

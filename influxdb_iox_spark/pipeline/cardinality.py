@@ -421,9 +421,11 @@ def rebuild_cells(
     docstring).  ``cell_predicate`` — a boolean Column over the rollup's
     KEY columns — names the cells a deletion could have touched (e.g.
     the deleted rows' time buckets / key values); ONLY those cells are
-    recomputed from ``raw_rows`` (the post-delete raw table, in rollup
-    input form: key columns + value column — for a series rollup, the
-    ``build_series_rollup`` row shape).  Untouched cells keep their
+    recomputed from ``raw_rows`` — the post-delete raw table: for a
+    plain rollup in rollup input form (key columns + value column), for
+    a series rollup the raw table shape (tags/fields/time — the series
+    derivation is re-applied from the saved meta).  Untouched cells
+    keep their
     sketches byte-identical; an affected cell with no surviving raw rows
     vanishes.  Claim-guarded and replay-idempotent: re-driving the same
     rebuild recomputes the same cells from the same raw state.  Returns

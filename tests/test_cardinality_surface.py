@@ -244,3 +244,48 @@ def test_system_cardinality_rollups_table(db):
         "SELECT table_name, n_cells FROM system_cardinality_rollups"
     ).collect()
     assert got[0]["table_name"] == "m" and got[0]["n_cells"] == r["n_cells"]
+
+
+def test_registered_rollup_survives_maintenance(spark, tmp_path):
+    """The registry stores the PATH, not a captured DataFrame: rollup
+    maintenance OVERWRITES the cells dir, and a registration-time file
+    listing would reference deleted files — every later cardinality
+    answer would crash.  Register, then update AND targeted-rebuild the
+    rollup, and the registered path must keep answering (with the new
+    data visible)."""
+    from influxdb_iox_spark.pipeline.cardinality import (
+        update_series_rollup,
+    )
+
+    store = TableStore(str(tmp_path / "store"))
+    store.write_chunk(_raw(spark, 2_000), "m", SCHEMA)
+    d = Database("db2", store, spark)
+    d.register_table("m", SCHEMA)
+    path = str(tmp_path / "rollup")
+    save_series_rollup(
+        build_series_rollup(
+            d.table("m"), ["t1", "t2"], ["v1", "v2"],
+            keys=["t1"], time_col="time", bucket_ns=BUCKET,
+        ),
+        path, "m", tags=["t1", "t2"], fields=["v1", "v2"],
+        keys=["t1"], time_col="time", bucket_ns=BUCKET,
+    )
+    d.register_series_rollup(path)
+    before = series_cardinality(d, "m")
+    assert before > 0
+
+    # maintenance #1: fold a fresh batch (overwrites cells)
+    batch = spark.createDataFrame(
+        [("9", f"u{i}", 1.0, None, 9 * BUCKET + i) for i in range(50)],
+        "t1 string, t2 string, v1 double, v2 double, time long",
+    )
+    update_series_rollup(spark, path, batch)
+    after_update = series_cardinality(d, "m")
+    assert after_update > before  # new cells visible through the registry
+
+    # maintenance #2: targeted rebuild (overwrites cells again); a series
+    # rollup's rebuild takes RAW rows and re-derives the series form
+    rebuild_cells(
+        spark, path, d.table("m").unionByName(batch), F.col("t1") == "9"
+    )
+    assert series_cardinality(d, "m") == after_update  # still answers
