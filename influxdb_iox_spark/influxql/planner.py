@@ -2037,6 +2037,30 @@ def _plan_show_core(
                 for n in scope
             )
             return spark.createDataFrame([(total,)], "count long")
+        if (
+            stmt.what == "tag values cardinality"
+            and not stmt.exact
+            and stmt.where is None
+            and len(scope) == 1  # the listing DEDUPES across
+            # measurements, so multi-measurement estimates cannot sum
+            and stmt.with_key is not None
+            and catalog[scope[0]].series_rollup is not None
+            and f"sketch_tv_{stmt.with_key}"
+            in catalog[scope[0]].series_rollup[0].columns
+        ):
+            # Metadata-first tag-values count: fold the tag's per-cell
+            # value sketches (see build_series_rollup); EXACT CARDINALITY
+            # takes the listing rescan below.
+            from influxdb_iox_spark.pipeline.cardinality import (
+                estimate_series_cardinality,
+            )
+
+            total = estimate_series_cardinality(
+                catalog[scope[0]].series_rollup[0],
+                [],
+                identity=f"tv:{stmt.with_key}",
+            )
+            return spark.createDataFrame([(total,)], "count long")
         inner = copy.copy(stmt)
         inner.what = {
             "series cardinality": "series",

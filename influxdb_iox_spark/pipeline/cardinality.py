@@ -226,14 +226,30 @@ def _series_rows(
         F.col("__field") == _ALL_SENTINEL,
         F.to_json(F.struct(*[F.col(t) for t in tags])),
     ).alias("__tagset")
+    # per-tag VALUE streams (sentinel rows only, so each raw row counts
+    # once) -> the SHOW TAG VALUES CARDINALITY estimate source
+    tag_vals = [
+        F.when(F.col("__field") == _ALL_SENTINEL, F.col(t)).alias(
+            f"__tv_{t}"
+        )
+        for t in tags
+    ]
     cell_keys = keys + (["__bucket"] if bucket_ns is not None else [])
-    return out.select(*cell_keys, series, tagset)
+    return out.select(*cell_keys, series, tagset, *tag_vals)
 
 
-def _series_cells(rows: DataFrame, cell_keys: list[str], lgk: int) -> DataFrame:
+def _series_cells(
+    rows: DataFrame, cell_keys: list[str], lgk: int, tags: list[str]
+) -> DataFrame:
     return rows.groupBy(*cell_keys).agg(
         F.hll_sketch_agg(F.col("__series"), F.lit(lgk)).alias("sketch"),
         F.hll_sketch_agg(F.col("__tagset"), F.lit(lgk)).alias("sketch_tags"),
+        *[
+            F.hll_sketch_agg(F.col(f"__tv_{t}"), F.lit(lgk)).alias(
+                f"sketch_tv_{t}"
+            )
+            for t in tags
+        ],
     )
 
 
@@ -269,6 +285,7 @@ def build_series_rollup(
         _series_rows(df, tags, fields, keys, time_col, bucket_ns),
         cell_keys,
         lgk,
+        tags,
     )
 
 
@@ -329,12 +346,12 @@ def update_series_rollup(
             meta["bucket_ns"],
             meta["lgk"],
         )
+        sketch_cols = [c for c in cells.columns if c not in meta["keys"]]
         merged = (
-            cells.unionByName(batch)
+            cells.unionByName(batch.select(*cells.columns))
             .groupBy(*meta["keys"])
             .agg(
-                F.hll_union_agg("sketch").alias("sketch"),
-                F.hll_union_agg("sketch_tags").alias("sketch_tags"),
+                *[F.hll_union_agg(c).alias(c) for c in sketch_cols]
             )
             .localCheckpoint(eager=True)
         )
@@ -397,8 +414,12 @@ def estimate_series_cardinality(
     """Fold the matching cells' sketches into one estimate — KB-sized
     sketch rows, never the raw table.  ``identity``: "rpc" counts
     (tag tuple, live field) series (ReadSeriesCardinality); "tagset"
-    counts tag tuples (InfluxQL SHOW SERIES)."""
-    col = {"rpc": "sketch", "tagset": "sketch_tags"}[identity]
+    counts tag tuples (InfluxQL SHOW SERIES); "tv:<tag>" counts that
+    tag's distinct non-null VALUES (SHOW TAG VALUES CARDINALITY)."""
+    if identity.startswith("tv:"):
+        col = f"sketch_tv_{identity[3:]}"
+    else:
+        col = {"rpc": "sketch", "tagset": "sketch_tags"}[identity]
     for f in filters:
         cells = cells.filter(f)
     row = cells.agg(
@@ -446,7 +467,10 @@ def rebuild_cells(
                 meta["bucket_ns"],
             )
             recomputed = _series_cells(
-                rows.filter(cell_predicate), meta["keys"], meta["lgk"]
+                rows.filter(cell_predicate),
+                meta["keys"],
+                meta["lgk"],
+                meta["tags"],
             )
         else:
             recomputed = build_cardinality_rollup(

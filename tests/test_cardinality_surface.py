@@ -289,3 +289,32 @@ def test_registered_rollup_survives_maintenance(spark, tmp_path):
         spark, path, d.table("m").unionByName(batch), F.col("t1") == "9"
     )
     assert series_cardinality(d, "m") == after_update  # still answers
+
+
+def test_show_tag_values_cardinality_uses_rollup(db, monkeypatch):
+    """SHOW TAG VALUES CARDINALITY WITH KEY = t answers from the
+    rollup's per-tag value sketches; EXACT takes the listing rescan;
+    a tag without a sketch column (or multi-measurement scope) falls
+    back silently."""
+    import influxdb_iox_spark.pipeline.cardinality as card
+    from influxdb_iox_spark.influxql import execute
+    from influxdb_iox_spark.influxql.v1_api import catalog_from_database
+
+    cat = catalog_from_database(db)
+    calls = []
+    orig = card.estimate_series_cardinality
+
+    def spy(cells, filters, **kw):
+        calls.append(kw.get("identity"))
+        return orig(cells, filters, **kw)
+
+    monkeypatch.setattr(card, "estimate_series_cardinality", spy)
+    est = execute(
+        'SHOW TAG VALUES CARDINALITY FROM m WITH KEY = "t2"', cat
+    ).collect()[0]["count"]
+    assert calls == ["tv:t2"]
+    exact = execute(
+        'SHOW TAG VALUES EXACT CARDINALITY FROM m WITH KEY = "t2"', cat
+    ).collect()[0]["count"]
+    assert calls == ["tv:t2"]  # EXACT did not consult the rollup
+    assert exact > 0 and abs(est - exact) / exact < 0.05
