@@ -778,6 +778,75 @@ FROM events
 """
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (round 14; operators/sessionize.py):
+    per-user sessions with a 6 h inactivity threshold — ONE series
+    window (lag gap + running boundary sum, the gaps-and-islands idiom)
+    sharing its exchange with the per-session stats aggregate.  Times
+    are µs-floored on BOTH engines (DuckDB truncates ns parquet
+    timestamps to µs), so the boundary comparisons and durations are
+    integer-exact."""
+    from influxdb_iox_spark.operators.sessionize import session_stats
+    from influxdb_iox_spark.schema import ns_to_us_floor
+
+    t = _load(spark, sf_dir, "events")
+    e = t["events"].select(
+        "user_id", ns_to_us_floor("ts").alias("t_us")
+    )
+    return (
+        session_stats(e, ["user_id"], "t_us", gap=21_600_000_000)
+        .select(
+            "user_id",
+            "session_id",
+            "n_events",
+            F.col("session_start").alias("start_us"),
+            F.col("session_end").alias("end_us"),
+            F.col("duration").alias("duration_us"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+b AS (
+  SELECT user_id, t,
+    CASE WHEN lag(t) OVER w IS NULL
+              OR t - lag(t) OVER w <= 21600000000 THEN 0 ELSE 1 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+), s AS (
+  SELECT user_id, t,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY t) AS session_id
+  FROM b
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+  COUNT(*) AS n_events,
+  MIN(t) AS start_us, MAX(t) AS end_us, MAX(t) - MIN(t) AS duration_us
+FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
+"""
+
+
+def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent-items gate (round 14; operators/sessionize.py
+    heavy_hitters): (user, event_type) pairs with support >= 20 — one
+    map-side-combined aggregate + one filter; deterministic where a
+    Misra-Gries candidate set would depend on partition order (module
+    docstring states the trade)."""
+    from influxdb_iox_spark.operators.sessionize import heavy_hitters
+
+    t = _load(spark, sf_dir, "events")
+    return heavy_hitters(
+        t["events"], ["user_id", "event_type"], min_count=20
+    ).orderBy("user_id", "event_type")
+
+
+SQL_EVENTS_HEAVY_HITTERS = """
+SELECT user_id, event_type, COUNT(*) AS n
+FROM events GROUP BY user_id, event_type HAVING COUNT(*) >= 20
+ORDER BY user_id, event_type
+"""
+
+
 def q_events_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs audience overlap between event types from KMV sketches
     (round 14; pipeline/kmv.kmv_pairwise_overlap): per event-type pair,
@@ -6074,6 +6143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_median_filter": q_series_median_filter,
         "events_kmv_users": q_events_kmv_users,
         "events_kmv_overlap": q_events_kmv_overlap,
+        "events_sessionize": q_events_sessionize,
+        "events_heavy_hitters": q_events_heavy_hitters,
         "series_counter_rate": q_series_counter_rate,
         "series_value_histogram": q_series_value_histogram,
         "series_anomaly_flags": q_series_anomaly_flags,
@@ -6459,6 +6530,8 @@ def oracle_sql() -> dict[str, str]:
         "series_median_filter": SQL_SERIES_MEDIAN_FILTER,
         "events_kmv_users": SQL_EVENTS_KMV_USERS,
         "events_kmv_overlap": SQL_EVENTS_KMV_OVERLAP,
+        "events_sessionize": SQL_EVENTS_SESSIONIZE,
+        "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,
         "series_counter_rate": SQL_SERIES_COUNTER_RATE,
         "series_value_histogram": SQL_SERIES_VALUE_HISTOGRAM,
         "series_anomaly_flags": SQL_SERIES_ANOMALY_FLAGS,
