@@ -847,6 +847,90 @@ ORDER BY user_id, event_type
 """
 
 
+def q_events_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel LTTB visual downsampling (round 14; operators/lttb.py):
+    each event_type's (time, max value) series reduced to 20 points —
+    endpoints + per-bucket largest-triangle argmax with bucket-average
+    anchors, areas compared as decimal(38,0)/HUGEINT integers so the
+    selection is bit-identical across engines.  Times are pre-deduped
+    per (series, µs) so ntile bucketing is order-unambiguous."""
+    from influxdb_iox_spark.operators.lttb import lttb_downsample
+    from influxdb_iox_spark.schema import ns_to_us_floor
+
+    t = _load(spark, sf_dir, "events")
+    pts = (
+        t["events"]
+        .select(
+            "event_type",
+            ns_to_us_floor("ts").alias("t_us"),
+            F.col("value"),
+        )
+        .groupBy("event_type", "t_us")
+        .agg(F.max("value").alias("v"))
+    )
+    return (
+        lttb_downsample(pts, ["event_type"], "t_us", "v", n_out=20)
+        .select("event_type", "t_us", F.col("v").alias("value"))
+        .orderBy("event_type", "t_us")
+    )
+
+
+SQL_EVENTS_LTTB = """
+WITH pts AS (
+  SELECT event_type AS k, epoch_us(ts) AS t,
+         CAST(round(max(value) * 1000000) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), nb AS (
+  SELECT k, t, v,
+    row_number() OVER w AS rn,
+    count(*) OVER (PARTITION BY k) AS n,
+    min(t) OVER (PARTITION BY k) AS t0
+  FROM pts WINDOW w AS (PARTITION BY k ORDER BY t)
+), interior AS (
+  SELECT k, t, v, t - t0 AS x,
+    ntile(18) OVER (PARTITION BY k ORDER BY rn) AS b
+  FROM nb WHERE rn > 1 AND rn < n AND n > 20
+), sums AS (
+  SELECT k, b, SUM(x) AS sx, SUM(v) AS sy, COUNT(*) AS cnt
+  FROM interior GROUP BY 1, 2
+), ends AS (
+  SELECT k, CASE WHEN rn = 1 THEN 0 ELSE 19 END AS b,
+         t - t0 AS sx, v AS sy, 1 AS cnt
+  FROM nb WHERE (rn = 1 OR rn = n) AND n > 20
+), anchors AS (
+  SELECT * FROM sums UNION ALL SELECT * FROM ends
+), ctx AS (
+  SELECT k, b,
+    lag(sx) OVER w AS ax, lag(sy) OVER w AS ay, lag(cnt) OVER w AS an,
+    lead(sx) OVER w AS cx, lead(sy) OVER w AS cy, lead(cnt) OVER w AS cn
+  FROM anchors WINDOW w AS (PARTITION BY k ORDER BY b)
+), scored AS (
+  SELECT i.k, i.t, i.v, i.b,
+    abs( (c.ax::HUGEINT * c.cn - c.cx::HUGEINT * c.an)
+           * (i.v::HUGEINT * c.an - c.ay)
+       - (c.ax::HUGEINT - i.x::HUGEINT * c.an)
+           * (c.cy::HUGEINT * c.an - c.ay::HUGEINT * c.cn) ) AS s
+  FROM interior i JOIN ctx c ON i.k = c.k AND i.b = c.b
+  WHERE c.b BETWEEN 1 AND 18
+), picked AS (
+  SELECT k, t, v FROM (
+    SELECT k, t, v,
+      row_number() OVER (PARTITION BY k, b ORDER BY s DESC, t ASC) AS rk
+    FROM scored) WHERE rk = 1
+), fl AS (
+  SELECT k, t, v FROM nb WHERE (rn = 1 OR rn = n) AND n > 20
+), short AS (
+  SELECT k, t, v FROM nb WHERE n <= 20
+), allpts AS (
+  SELECT * FROM picked UNION ALL SELECT * FROM fl
+  UNION ALL SELECT * FROM short
+)
+SELECT k AS event_type, t AS t_us,
+  CAST(v AS DOUBLE) / 1000000 AS value
+FROM allpts ORDER BY event_type, t_us
+"""
+
+
 def q_events_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs audience overlap between event types from KMV sketches
     (round 14; pipeline/kmv.kmv_pairwise_overlap): per event-type pair,
@@ -6145,6 +6229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kmv_overlap": q_events_kmv_overlap,
         "events_sessionize": q_events_sessionize,
         "events_heavy_hitters": q_events_heavy_hitters,
+        "events_lttb_downsample": q_events_lttb,
         "series_counter_rate": q_series_counter_rate,
         "series_value_histogram": q_series_value_histogram,
         "series_anomaly_flags": q_series_anomaly_flags,
@@ -6532,6 +6617,7 @@ def oracle_sql() -> dict[str, str]:
         "events_kmv_overlap": SQL_EVENTS_KMV_OVERLAP,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,
+        "events_lttb_downsample": SQL_EVENTS_LTTB,
         "series_counter_rate": SQL_SERIES_COUNTER_RATE,
         "series_value_histogram": SQL_SERIES_VALUE_HISTOGRAM,
         "series_anomaly_flags": SQL_SERIES_ANOMALY_FLAGS,
