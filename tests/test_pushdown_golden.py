@@ -211,3 +211,35 @@ def test_median_filter_plan_shape(spark):
     _series_bucket_plan_shape(plan)
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
     assert "percentile" in plan and "approx_percentile" not in plan
+
+
+def test_sessionize_plan_shape(spark):
+    """Sessionization: the lag window, the boundary-sum window, AND the
+    per-session stats aggregate all ride ONE series-keyed hash exchange
+    (hashpartitioning(user_id) satisfies the (user_id, session_id)
+    clustering); only the presentation ORDER BY adds a range exchange."""
+    plan = plan_of(spark, "events_sessionize")
+    final = plan.split("== Initial Plan ==")[0]
+    hashex = re.findall(
+        r"\(\d+\) Exchange\s*\nInput[^\n]*\nArguments: hashpartitioning",
+        final,
+    )
+    assert len(hashex) == 1, final
+    assert len(re.findall(r"\(\d+\) Window\b", final)) == 2
+    # the aggregate sits directly on the windowed output: partial+final
+    # HashAggregate pair with no exchange between them
+    assert re.search(
+        r"HashAggregate(?:(?!Exchange).)*HashAggregate", final, re.S
+    )
+
+
+def test_lttb_plan_shape(spark):
+    """LTTB: no cartesian products, no Python rows (pure codegen
+    expressions), and the per-bucket argmax is a rank-1 filter that
+    Spark rewrites into WindowGroupLimit (top-1 per group pushed into
+    the sort, never a full per-bucket sort retained)."""
+    plan = plan_of(spark, "events_lttb_downsample")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert "EvalPython" not in final and "InPandas" not in final
+    assert "WindowGroupLimit" in final
