@@ -86,6 +86,11 @@ HEADLINE = [
     # cells-only self-join with array algebra — tracks the answer-from-
     # sketches posture in the driver bench)
     "events_kmv_overlap",
+    # round-14 additions: gaps-and-islands sessionization (one shared
+    # series exchange for two windows + the session aggregate) and
+    # parallel LTTB (integer triangle-area argmax via WindowGroupLimit)
+    "events_sessionize",
+    "events_lttb_downsample",
 ]
 
 
