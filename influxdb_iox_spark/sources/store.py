@@ -740,6 +740,7 @@ class TableStore:
         seq_column: str | None = None,
         register: bool = True,
         persisted: bool = False,
+        bloom_columns: list[str] | None = None,
     ) -> ChunkMeta:
         """Persist one chunk: within-batch dedup → PK sort → sorted parquet.
 
@@ -747,6 +748,15 @@ class TableStore:
         sort-key-ordered chunks (internal_types/src/schema/sort.rs) — parquet
         row-group min/max stats on (tags, time) become tight, so Spark's
         row-group skipping does the fine-grained pruning the read buffer did.
+
+        ``bloom_columns`` writes a parquet BLOOM FILTER for each named
+        column — the storage knob for point lookups on HIGH-cardinality
+        columns where sorted min/max stats can't discriminate (a
+        user_id/trace_id equality probe skips row groups the sort key
+        doesn't help with; min/max already covers the sort-leading
+        columns, so blooms there would be wasted bytes).  Readers use
+        them automatically (parquet-mr side of Spark's scan); cost is a
+        few bits/row in the footer region.
 
         ``register=False`` writes the files but defers the manifest append:
         callers batching several chunks can register them together after ALL
@@ -766,7 +776,12 @@ class TableStore:
         chunk_id = self._alloc_chunk_id(table)
         rel = os.path.join(table, f"chunk-{chunk_id:06d}-{uuid.uuid4().hex[:8]}")
         path = os.path.join(self.base_dir, rel)
-        df.write.mode("errorifexists").parquet(path)
+        writer = df.write.mode("errorifexists")
+        for c in bloom_columns or []:
+            if c not in out_cols:
+                raise ValueError(f"bloom column {c!r} not in chunk columns")
+            writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        writer.parquet(path)
 
         # Stats for ALL columns (not just the PK): field min/max enable the
         # scan's field-stat chunk pruning (the pruning.rs behavior), and the
