@@ -319,25 +319,60 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_nationkey", "n_name")
     )
-    return (
+    # Round 15 (verdict #3, the worst remaining sf10 ratio): the
+    # orders⋈customer leg was a full-width SMJ over 60M joined lineitem
+    # rows.  Reordered Spark-first: broadcast supplier + ASIA nations
+    # onto the fact FIRST (cuts rows 5/25 and attaches s_nationkey),
+    # PRE-AGGREGATE the exact revenue limbs by (o_custkey, s_nationkey)
+    # — int64 limb sums are associative, so two-level summation is
+    # bit-identical to the oracle's single-level sum — then join the
+    # collapsed rows (≤ |customer|×5 groups, map-side combined) against
+    # customer on the SAME two keys, so the groupBy exchange is REUSED
+    # by the join.  shuffle_hash on both fact joins per the SCALE.md
+    # §r14 bounded-key discipline (≤7 lineitems/order; (custkey,
+    # nationkey) unique on the build side).
+    pre = (
         t["lineitem"]
         .withColumn("__rev_c", F.expr(_REV_C_SQL))
-        # shuffle_hash on the bounded-key fact join (see q3 note; sf10
-        # 17.4 -> 11.0 s on the probe host); customer stays unhinted so
-        # AQE can still broadcast a small customer dim.
         .join(
             t["orders"].hint("shuffle_hash"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(
             F.broadcast(t["supplier"]),
-            (F.col("l_suppkey") == F.col("s_suppkey"))
-            & (F.col("c_nationkey") == F.col("s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
         )
-        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(nr.select("n_nationkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        # long-only aggregate buffer: adding min(n_name) here would
+        # demote the pre-agg to SortAggregate (string buffers aren't
+        # hash-agg mutable) and re-sort the fact rows; n_name re-joins
+        # from the 5-row broadcast AFTER the collapse instead
+        .groupBy("o_custkey", "s_nationkey")
+        .agg(
+            F.sum(F.expr("__rev_c div 10000")).alias("__hi"),
+            F.sum(F.expr("__rev_c % 10000")).alias("__lo"),
+        )
+    )
+    return (
+        pre.join(
+            t["customer"].hint("shuffle_hash"),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(
+            F.broadcast(nr),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
         .groupBy("n_name")
-        .agg(_rev_sum("revenue"))
+        .agg(
+            (
+                F.sum("__hi").cast("double")
+                + F.sum("__lo").cast("double") / 10000
+            ).alias("revenue")
+        )
         .orderBy("n_name")
     )
 
@@ -852,8 +887,10 @@ def q_events_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     each event_type's (time, max value) series reduced to 20 points —
     endpoints + per-bucket largest-triangle argmax with bucket-average
     anchors, areas compared as decimal(38,0)/HUGEINT integers so the
-    selection is bit-identical across engines.  Times are pre-deduped
-    per (series, µs) so ntile bucketing is order-unambiguous."""
+    selection is bit-identical across engines; output values are the
+    ORIGINAL doubles carried through (round 15 — no µ-unit round trip).
+    Times are pre-deduped per (series, µs) so ntile bucketing is
+    order-unambiguous."""
     from influxdb_iox_spark.operators.lttb import lttb_downsample
     from influxdb_iox_spark.schema import ns_to_us_floor
 
@@ -878,16 +915,17 @@ def q_events_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EVENTS_LTTB = """
 WITH pts AS (
   SELECT event_type AS k, epoch_us(ts) AS t,
-         CAST(round(max(value) * 1000000) AS BIGINT) AS v
+         CAST(round(max(value) * 1000000) AS BIGINT) AS v,
+         max(value) AS v0
   FROM events GROUP BY 1, 2
 ), nb AS (
-  SELECT k, t, v,
+  SELECT k, t, v, v0,
     row_number() OVER w AS rn,
     count(*) OVER (PARTITION BY k) AS n,
     min(t) OVER (PARTITION BY k) AS t0
   FROM pts WINDOW w AS (PARTITION BY k ORDER BY t)
 ), interior AS (
-  SELECT k, t, v, t - t0 AS x,
+  SELECT k, t, v, v0, t - t0 AS x,
     ntile(18) OVER (PARTITION BY k ORDER BY rn) AS b
   FROM nb WHERE rn > 1 AND rn < n AND n > 20
 ), sums AS (
@@ -905,7 +943,7 @@ WITH pts AS (
     lead(sx) OVER w AS cx, lead(sy) OVER w AS cy, lead(cnt) OVER w AS cn
   FROM anchors WINDOW w AS (PARTITION BY k ORDER BY b)
 ), scored AS (
-  SELECT i.k, i.t, i.v, i.b,
+  SELECT i.k, i.t, i.v0, i.b,
     abs( (c.ax::HUGEINT * c.cn - c.cx::HUGEINT * c.an)
            * (i.v::HUGEINT * c.an - c.ay)
        - (c.ax::HUGEINT - i.x::HUGEINT * c.an)
@@ -913,20 +951,19 @@ WITH pts AS (
   FROM interior i JOIN ctx c ON i.k = c.k AND i.b = c.b
   WHERE c.b BETWEEN 1 AND 18
 ), picked AS (
-  SELECT k, t, v FROM (
-    SELECT k, t, v,
+  SELECT k, t, v0 FROM (
+    SELECT k, t, v0,
       row_number() OVER (PARTITION BY k, b ORDER BY s DESC, t ASC) AS rk
     FROM scored) WHERE rk = 1
 ), fl AS (
-  SELECT k, t, v FROM nb WHERE (rn = 1 OR rn = n) AND n > 20
+  SELECT k, t, v0 FROM nb WHERE (rn = 1 OR rn = n) AND n > 20
 ), short AS (
-  SELECT k, t, v FROM nb WHERE n <= 20
+  SELECT k, t, v0 FROM nb WHERE n <= 20
 ), allpts AS (
   SELECT * FROM picked UNION ALL SELECT * FROM fl
   UNION ALL SELECT * FROM short
 )
-SELECT k AS event_type, t AS t_us,
-  CAST(v AS DOUBLE) / 1000000 AS value
+SELECT k AS event_type, t AS t_us, v0 AS value
 FROM allpts ORDER BY event_type, t_us
 """
 
@@ -6182,7 +6219,14 @@ def _rotate_for_round(base: dict) -> dict:
     queries at their round-8 rows.)  Never-green queries — new this
     round, or red last time — sort first of all; ties break by canonical
     registry position, so the order is fully deterministic given the
-    committed CORRECTNESS files."""
+    committed CORRECTNESS files.
+
+    Round-15 note (verdict #8): q3/q5/q10's newest DRIVER rows (r12)
+    predate the r14 shuffle_hash hints and the r15 q5 pre-aggregation
+    restructure; their last-green age places them inside this round's
+    stalest-first window automatically, so the plans that changed get
+    their driver-side re-green without any manual pinning — that is the
+    property this function exists to provide."""
     names = list(base)
     last = _last_green_rounds()
     pos = {k: i for i, k in enumerate(names)}

@@ -153,6 +153,14 @@ def main() -> None:
     def _sentinel() -> float:
         return round(min(_sentinel_once() for _ in range(2)), 3)
 
+    # One UNTIMED warmup of the sentinel query itself: the pre-run
+    # bracket otherwise measures JIT compilation of the sentinel's
+    # decimal-sum codegen (~0.20 s on a fresh JVM vs 0.10 warm — r13 and
+    # r14 both carried noisy_host solely from this artifact while their
+    # per-row medians ran quiet).  Per-row sentinels execute JIT-warm, so
+    # the bracket must too — it exists to measure MACHINE state, and a
+    # warmup makes before/after/per-row all read the same steady state.
+    _sentinel_once()
     sentinel_before = _sentinel()
 
     # Two timed runs per query; report the minimum as the headline number

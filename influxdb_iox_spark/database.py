@@ -211,6 +211,10 @@ class Database:
         statements get the metadata-first sketch path, and at what
         error").  n_cells is counted from the KB-sized cell table, never
         raw data."""
+        from influxdb_iox_spark.pipeline.cardinality import DEFAULT_LGK
+
+        # ONE default for both columns: lgk and rse_pct must describe the
+        # same sketch (round-14 advice — lgk=0 next to lgk-12's error).
         rows = [
             Row(
                 table_name=t,
@@ -218,11 +222,12 @@ class Database:
                     k for k in (meta.get("keys") or []) if k != "__bucket"
                 ),
                 bucket_ns=meta.get("bucket_ns"),
-                lgk=int(meta.get("lgk", 0)),
-                rse_pct=round(104.0 / (2 ** (meta.get("lgk", 12) / 2)), 3),
+                lgk=int(lgk),
+                rse_pct=round(104.0 / (2 ** (lgk / 2)), 3),
                 n_cells=self.rollup_cells(t).count(),
             )
             for t, (_path, meta) in sorted(self.series_rollups.items())
+            for lgk in [meta.get("lgk", DEFAULT_LGK)]
         ]
         schema = (
             "table_name string, keys string, bucket_ns long, lgk int, "

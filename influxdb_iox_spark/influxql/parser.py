@@ -577,6 +577,27 @@ class _Parser:
             raise InfluxQLParseError("trailing input after SHOW")
         return stmt
 
+    def _with_key_selector(self, stmt: ShowStatement) -> None:
+        """WITH KEY (= key | =~ /regex/ | IN (k1, k2, …)) — shared by
+        SHOW TAG VALUES and SHOW TAG VALUES [EXACT] CARDINALITY."""
+        self._expect_kw("WITH", "KEY")
+        if self._kw("IN"):
+            self._expect_op("(")
+            keys = [self._ident()]
+            while self._peek() == ("op", ","):
+                self.i += 1
+                keys.append(self._ident())
+            self._expect_op(")")
+            stmt.with_keys = keys
+        else:
+            t = self._peek()
+            if t == ("op", "=~"):
+                self.i += 1
+                stmt.with_key_regex = str(self._regex().value)
+            else:
+                self._expect_op("=")
+                stmt.with_key = self._ident()
+
     def _show_core(self) -> ShowStatement:
         # cardinality family: SHOW <kind> [EXACT] CARDINALITY.  The EXACT
         # keyword is recorded: SHOW SERIES CARDINALITY answers from a
@@ -603,9 +624,9 @@ class _Parser:
                 if self._kw("FROM"):
                     stmt.measurement = self._ident()
                 if what == "tag values cardinality":
-                    self._expect_kw("WITH", "KEY")
-                    self._expect_op("=")
-                    stmt.with_key = self._ident()
+                    # stock InfluxQL: the CARDINALITY form takes the same
+                    # WITH KEY (= | =~ | IN) selector as the listing
+                    self._with_key_selector(stmt)
                 return stmt
             self.i = save
         if self._kw("MEASUREMENTS"):
@@ -679,24 +700,7 @@ class _Parser:
                 meas = self._ident() if self._kw("FROM") else None
                 stmt = ShowStatement(what, measurement=meas)
                 if what == "tag values":
-                    self._expect_kw("WITH", "KEY")
-                    if self._kw("IN"):
-                        self._expect_op("(")
-                        keys = [self._ident()]
-                        while self._peek() == ("op", ","):
-                            self.i += 1
-                            keys.append(self._ident())
-                        self._expect_op(")")
-                        stmt.with_keys = keys
-                    else:
-                        t = self._peek()
-                        if t == ("op", "=~"):
-                            self.i += 1
-                            reg = self._regex()
-                            stmt.with_key_regex = str(reg.value)
-                        else:
-                            self._expect_op("=")
-                            stmt.with_key = self._ident()
+                    self._with_key_selector(stmt)
                 return stmt
         raise InfluxQLParseError(
             "expected MEASUREMENTS, SERIES, DATABASES, RETENTION POLICIES, "

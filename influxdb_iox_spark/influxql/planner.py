@@ -1986,6 +1986,27 @@ def plan_show(
     return _apply_show_limit(stmt, out)
 
 
+def _tag_values_keys(stmt: ShowStatement, mm: Measurement) -> list[str]:
+    """The tag keys a SHOW TAG VALUES [CARDINALITY] statement selects on
+    one measurement (WITH KEY =, WITH KEY IN, WITH KEY =~), restricted
+    to keys the measurement actually has — shared by the listing
+    lowering and the sketch-estimate branch so they can never pick
+    different keys."""
+    import re as _re
+
+    if stmt.with_key is not None:
+        return [stmt.with_key] if stmt.with_key in mm.tags else []
+    if stmt.with_keys is not None:
+        return [k for k in stmt.with_keys if k in mm.tags]
+    if stmt.with_key_regex is not None:
+        try:
+            pat = _re.compile(stmt.with_key_regex)
+        except _re.error as e:
+            raise InfluxQLPlanError(f"bad WITH KEY regex: {e}") from None
+        return [k for k in mm.tags if pat.search(k)]
+    raise InfluxQLPlanError("SHOW TAG VALUES needs WITH KEY")
+
+
 def _plan_show_core(
     stmt: ShowStatement,
     catalog: dict[str, Measurement],
@@ -2041,26 +2062,46 @@ def _plan_show_core(
             stmt.what == "tag values cardinality"
             and not stmt.exact
             and stmt.where is None
-            and len(scope) == 1  # the listing DEDUPES across
-            # measurements, so multi-measurement estimates cannot sum
-            and stmt.with_key is not None
-            and catalog[scope[0]].series_rollup is not None
-            and f"sketch_tv_{stmt.with_key}"
-            in catalog[scope[0]].series_rollup[0].columns
+            and scope
+            and (
+                stmt.with_key is not None
+                or stmt.with_keys is not None
+                or stmt.with_key_regex is not None
+            )
         ):
-            # Metadata-first tag-values count: fold the tag's per-cell
-            # value sketches (see build_series_rollup); EXACT CARDINALITY
-            # takes the listing rescan below.
+            # Metadata-first tag-values count, multi-measurement + IN /
+            # regex key selection (round-15; was single-measurement
+            # WITH KEY = only).  The listing DEDUPES values across
+            # measurements, so per-measurement sketches are HLL-UNIONED
+            # per key (never summed); distinct keys' (key, value) pair
+            # sets are disjoint, so per-key estimates sum.  Coverable
+            # only when EVERY measurement carrying a selected key has a
+            # registered rollup sketching that key; otherwise the exact
+            # listing rescan below answers.  EXACT CARDINALITY
+            # (stmt.exact) always rescans — the opt-in toggle.
             from influxdb_iox_spark.pipeline.cardinality import (
-                estimate_series_cardinality,
+                estimate_union_cardinality,
             )
 
-            total = estimate_series_cardinality(
-                catalog[scope[0]].series_rollup[0],
-                [],
-                identity=f"tv:{stmt.with_key}",
+            key_tables: dict[str, list[str]] = {}
+            for n in scope:
+                for key in _tag_values_keys(stmt, catalog[n]):
+                    key_tables.setdefault(key, []).append(n)
+            coverable = key_tables and all(
+                catalog[n].series_rollup is not None
+                and f"sketch_tv_{k}" in catalog[n].series_rollup[0].columns
+                for k, ns in key_tables.items()
+                for n in ns
             )
-            return spark.createDataFrame([(total,)], "count long")
+            if coverable:
+                total = sum(
+                    estimate_union_cardinality(
+                        [catalog[n].series_rollup[0] for n in ns],
+                        identity=f"tv:{k}",
+                    )
+                    for k, ns in sorted(key_tables.items())
+                )
+                return spark.createDataFrame([(total,)], "count long")
         inner = copy.copy(stmt)
         inner.what = {
             "series cardinality": "series",
@@ -2189,25 +2230,10 @@ def _plan_show_core(
             rows, "measurement string, field_key string, field_type string"
         )
     if stmt.what == "tag values":
-        import re as _re
-
-        def keys_for(mm: Measurement) -> list[str]:
-            if stmt.with_key is not None:
-                return [stmt.with_key] if stmt.with_key in mm.tags else []
-            if stmt.with_keys is not None:
-                return [k for k in stmt.with_keys if k in mm.tags]
-            if stmt.with_key_regex is not None:
-                try:
-                    pat = _re.compile(stmt.with_key_regex)
-                except _re.error as e:
-                    raise InfluxQLPlanError(f"bad WITH KEY regex: {e}") from None
-                return [k for k in mm.tags if pat.search(k)]
-            raise InfluxQLPlanError("SHOW TAG VALUES needs WITH KEY")
-
         frames = []
         for n in scope:
             mm = catalog[n]
-            for key in keys_for(mm):
+            for key in _tag_values_keys(stmt, mm):
                 frames.append(
                     scoped_df(mm)
                     .select(

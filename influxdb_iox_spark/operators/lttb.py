@@ -22,16 +22,25 @@ is decided by
          − (Σx_a − x_b·n_a)·(Σy_c·n_a − Σy_a·n_c)
 
 (2·Area·n_a²·n_c — the common positive denominator cancels inside one
-bucket), computed in decimal(38,0) over µs-rebased times and µ-unit
-values: |N| < ~1e30 at any realistic series length, and DuckDB's
-HUGEINT reproduces it bit-for-bit.  Ties break to the EARLIEST point.
+bucket), computed in decimal(38,0) over rebased times and µ-unit
+values, and DuckDB's HUGEINT reproduces it bit-for-bit.  Ties break to
+the EARLIEST point.
 
-Bucketing: interior points are split with ``ntile`` over the time
-order (both engines distribute remainders to the leading buckets, so
-bucket membership is engine-identical); bucket 1's left anchor is the
-actual first point and the last bucket's right anchor is the actual
-last point, exactly like stock LTTB.  Series with ≤ n_out points pass
-through unchanged.
+Time-unit contract (round-14 advice): the score stays inside
+decimal(38,0) for µs-scale times — a 30-year series span rebases to
+~9.5e14.  Nanosecond time columns must pass ``time_unit="ns"``, which
+floor-divides the rebased offsets by 1000 inside the operator (x ≥ 0
+always, so floor division is engine-identical); sub-µs ordering is
+irrelevant to the argmax because ties already break on the carried
+exact time.  Values must satisfy |v| ≤ 9.2e12 for the µ-unit long
+scaling.  Both limits are ENFORCED in-plan: an out-of-range value or a
+decimal-overflowed score raises at execution instead of Spark's
+non-ANSI silent NULL (which would quietly degrade the bucket argmax to
+earliest-point while DuckDB's HUGEINT raised — divergence, not
+parity).
+
+Selection uses the µ-quantized value; the OUTPUT carries the original
+value column bit-exactly (no round-trip through the scaled long).
 """
 
 from __future__ import annotations
@@ -41,6 +50,9 @@ from pyspark.sql import functions as F
 
 _DEC = "decimal(38,0)"
 
+#: |value| bound for the exact µ-unit long scaling (9.2e12·1e6 < 2^63).
+_V_MAX = 9.2e12
+
 
 def lttb_downsample(
     df: DataFrame,
@@ -48,18 +60,38 @@ def lttb_downsample(
     time_col: str,
     value_col: str,
     n_out: int,
+    time_unit: str = "us",
 ) -> DataFrame:
     """(keys..., time, value) — at most ``n_out`` points per series:
-    first + last + one largest-triangle point per interior bucket."""
+    first + last + one largest-triangle point per interior bucket.
+    ``time_unit`` is "us" (default) or "ns"; see the module docstring's
+    time-unit contract."""
     if n_out < 3:
         raise ValueError("n_out must be >= 3")
+    if time_unit not in ("us", "ns"):
+        raise ValueError(f"time_unit must be 'us' or 'ns', got {time_unit!r}")
     n_buckets = n_out - 2
-    wo = Window.partitionBy(*keys).orderBy(time_col)
     wa = Window.partitionBy(*keys)
-    vm = F.round(F.col(value_col).cast("double") * 1_000_000).cast("long")
+    v_dbl = F.col(value_col).cast("double")
+    # in-plan guard: a value past the µ-unit long range must raise, not
+    # saturate the cast (raise_error rides inside the expression tree so
+    # column pruning can never drop it)
+    vm = F.when(
+        F.abs(v_dbl) <= F.lit(_V_MAX),
+        F.round(v_dbl * 1_000_000).cast("long"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"lttb_downsample: |{value_col}| exceeds {_V_MAX:.1e} — "
+                "outside the exact µ-unit scaling range (see the module "
+                "docstring's contract)"
+            )
+        ).cast("long")
+    )
     base = df.select(
         *keys,
         F.col(time_col).alias("__t"),
+        F.col(value_col).alias("__v0"),
         vm.alias("__v"),
         F.row_number().over(
             Window.partitionBy(*keys).orderBy(time_col)
@@ -73,13 +105,18 @@ def lttb_downsample(
     first_last = long_series.filter(
         (F.col("__rn") == 1) | (F.col("__rn") == F.col("__n"))
     )
-    # µs-rebased x keeps products inside decimal(38,0)
-    x = (F.col("__t") - F.col("__t0")).alias("__x")
+    # rebased x keeps products inside decimal(38,0); ns inputs are
+    # floor-divided to µs (x >= 0, so floor is engine-identical)
+    raw_x = F.col("__t") - F.col("__t0")
+    x = (
+        F.floor(raw_x / 1000).cast("long") if time_unit == "ns" else raw_x
+    ).alias("__x")
     interior = long_series.filter(
         (F.col("__rn") > 1) & (F.col("__rn") < F.col("__n"))
     ).select(
         *keys,
         "__t",
+        "__v0",
         "__v",
         x,
         F.ntile(n_buckets).over(
@@ -99,7 +136,11 @@ def lttb_downsample(
         F.when(F.col("__rn") == 1, F.lit(0))
         .otherwise(F.lit(n_buckets + 1))
         .alias("__b"),
-        (F.col("__t") - F.col("__t0")).alias("sx"),
+        (
+            F.floor((F.col("__t") - F.col("__t0")) / 1000).cast("long")
+            if time_unit == "ns"
+            else (F.col("__t") - F.col("__t0"))
+        ).alias("sx"),
         F.col("__v").alias("sy"),
         F.lit(1).alias("cnt"),
     )
@@ -122,8 +163,23 @@ def lttb_downsample(
     ) - (d("ax") - d("__x") * d("an")) * (
         d("cy") * d("an") - d("ay") * d("cn")
     )
+    # Every score input is structurally non-null (interior rows always
+    # have both anchors), so a NULL |score| can only be Spark's
+    # non-ANSI decimal(38,0) overflow — the silent argmax degradation
+    # the round-14 advice flagged.  Raise it instead (DuckDB's HUGEINT
+    # raises too, so parity is loud-vs-loud, never silent-vs-loud).
+    score = F.abs(n_score)
+    guarded = F.when(score.isNotNull(), score).otherwise(
+        F.raise_error(
+            F.lit(
+                "lttb_downsample: triangle score overflowed decimal(38,0) "
+                "— rebase the time column to a coarser unit (time_unit="
+                "'ns' for nanosecond inputs) or split the series"
+            )
+        ).cast(_DEC)
+    )
     picked = (
-        j.withColumn("__s", F.abs(n_score))
+        j.withColumn("__s", guarded)
         .withColumn(
             "__rk",
             F.row_number().over(
@@ -133,15 +189,15 @@ def lttb_downsample(
             ),
         )
         .filter(F.col("__rk") == 1)
-        .select(*keys, "__t", "__v")
+        .select(*keys, "__t", "__v0")
     )
     out = (
-        passthrough.select(*keys, "__t", "__v")
-        .unionByName(first_last.select(*keys, "__t", "__v"))
+        passthrough.select(*keys, "__t", "__v0")
+        .unionByName(first_last.select(*keys, "__t", "__v0"))
         .unionByName(picked)
     )
     return out.select(
         *keys,
         F.col("__t").alias(time_col),
-        (F.col("__v").cast("double") / 1_000_000).alias(value_col),
+        F.col("__v0").alias(value_col),
     )

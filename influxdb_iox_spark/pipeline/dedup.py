@@ -204,7 +204,13 @@ def minhash_signatures(
     sets_df = pre.groupBy(id_col).agg(
         F.collect_set("__h64").alias("shingles")
     )
-    return mins_df.join(sets_df, id_col).select(
+    # eqNullSafe: groupBy retains a NULL-id group on both sides; a plain
+    # equi-join would silently drop it (round-14 advice), diverging from
+    # the pre-split single-aggregate semantics.
+    return mins_df.join(
+        sets_df.withColumnRenamed(id_col, "__id_r"),
+        F.col(id_col).eqNullSafe(F.col("__id_r")),
+    ).select(
         F.col(id_col),
         F.col("shingles"),
         F.array(*[F.col(f"__m{i}") for i in range(num_perm)]).alias(

@@ -25,6 +25,16 @@ on GCS, ``If-None-Match`` on Azure, the in-memory store's CAS):
   put-if-absent.  ``commit()`` mints version V+1; the monotonic ledger
   makes every committed maintenance run visible to audits, and a version
   observed to move while a claim is held is corruption and raises.
+Unfenced-lease residual (documented, not fixable with put-if-absent
+alone): between a holder's GET-verify and its PUT-refresh there is a
+window where a TTL/grace eviction can install a successor whose claim
+the resurfacing holder then overwrites.  Verified heartbeats (claim-id
+match before every refresh), ownership re-checks at ``mutating()`` and
+``commit()``, and the background heartbeater shrink that window to a
+single GET→PUT round-trip, but a store-side fencing token (conditional
+put on the claim's etag) would be needed to close it entirely — the
+classic residual of every TTL-lease protocol without fencing.
+
 - Crash safety (the round-12 advice's journal/intent ask): a claim is an
   INTENT MARKER.  ``TxnToken.mutating()`` is called by each maintainer
   right before its first on-disk mutation; an exception before that
@@ -46,6 +56,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import uuid
 from contextlib import contextmanager
@@ -171,28 +182,54 @@ class PosixCasStore(ObjectStore):
 class TxnToken:
     """Handle for one claimed maintenance transaction."""
 
-    def __init__(self, guard: "IndexTxnGuard", base_version: int, writer: str):
+    def __init__(
+        self,
+        guard: "IndexTxnGuard",
+        base_version: int,
+        writer: str,
+        claim_id: str,
+    ):
         self._guard = guard
         self.base_version = base_version
         self.writer = writer
+        self.claim_id = claim_id
         self._mutated = False
         self._done = False
+        #: Set (to a description) when a heartbeat discovered the claim
+        #: was lost to a successor — every subsequent mutating()/
+        #: heartbeat()/commit() raises instead of touching the index.
+        self._lost: str | None = None
+        #: Serializes the background heartbeater against commit/abort so
+        #: a beat can never re-create the claim after release deleted it.
+        self._hb_lock = threading.Lock()
 
     def mutating(self) -> None:
         """Declare that on-disk mutation is about to start: from here, a
         failure leaves the claim as an intent marker instead of aborting
         cleanly (the index may be torn; see module docstring).  Also
-        heartbeats the claim, so the write phase starts with a fresh
-        liveness timestamp."""
-        self._mutated = True
+        heartbeats the claim — VERIFIED, so a writer whose claim was
+        evicted during a long pre-mutation phase raises here, BEFORE its
+        first write, instead of mutating concurrently with its
+        successor (round-14 advice)."""
         self.heartbeat()
+        self._mutated = True
 
     def heartbeat(self) -> None:
-        """Refresh the claim's timestamp (unconditional put — we hold the
-        exclusive claim).  A long-running named writer calls this between
-        phases to stay inside the self-succession liveness window; the
-        guard calls it automatically at ``mutating()``."""
-        self._guard._refresh_claim(self.writer)
+        """Refresh the claim's timestamp — verified, never blind: the
+        current claim is read first and must carry THIS token's claim
+        id; a mismatch means a successor legitimately claimed after a
+        grace/TTL eviction, so the refresh raises ``IndexWriteConflict``
+        instead of clobbering the successor's claim (the round-14
+        advice's torn-index scenario).  A long-running named writer
+        calls this between phases to stay inside the self-succession
+        liveness window; ``maintenance_txn`` also heartbeats in the
+        background every grace/3 seconds."""
+        if self._lost is not None:
+            raise IndexWriteConflict(self._lost)
+        with self._hb_lock:
+            if self._done:
+                return  # released; a late beat must not resurrect the claim
+            self._guard._refresh_claim(self)
 
 
 class IndexTxnGuard:
@@ -213,18 +250,43 @@ class IndexTxnGuard:
     def _key(self, k: str) -> str:
         return self.prefix + k
 
-    def _claim_body(self, writer: str) -> bytes:
+    def _claim_body(self, writer: str, claim_id: str) -> bytes:
         return json.dumps(
             {
                 "writer": writer,
                 "ts": self.clock(),
                 "nonce": _PROCESS_NONCE,
                 "pid": os.getpid(),
+                "claim_id": claim_id,
             }
         ).encode()
 
-    def _refresh_claim(self, writer: str) -> None:
-        self.store.put(self._key(TXN_KEY), self._claim_body(writer))
+    def _verify_ownership(self, token: TxnToken) -> None:
+        """Raise (and poison the token) unless the stored claim is THIS
+        token's claim.  GET→compare is the verification half of every
+        refresh/commit; the GET→PUT window that remains is the unfenced-
+        lease residual documented in the module docstring."""
+        existing = self.store.get(self._key(TXN_KEY))
+        holder = None
+        if existing is not None:
+            try:
+                holder = json.loads(existing[0])
+            except (ValueError, TypeError):
+                holder = {}
+        if holder is None or holder.get("claim_id") != token.claim_id:
+            token._lost = (
+                f"writer claim for {token.writer!r} was lost to "
+                f"{(holder or {}).get('writer', '<deleted>')!r} (a grace/TTL "
+                "eviction installed a successor while this writer stalled); "
+                "aborting to preserve mutual exclusion — re-drive the batch"
+            )
+            raise IndexWriteConflict(token._lost)
+
+    def _refresh_claim(self, token: TxnToken) -> None:
+        self._verify_ownership(token)
+        self.store.put(
+            self._key(TXN_KEY), self._claim_body(token.writer, token.claim_id)
+        )
 
     def current_version(self) -> int:
         """Newest committed version (0 for a never-guarded index — the
@@ -252,6 +314,7 @@ class IndexTxnGuard:
         it (the documented re-drive path)."""
         named_writer = writer is not None
         writer = writer or f"w-{uuid.uuid4().hex[:12]}"
+        claim_id = uuid.uuid4().hex
         deadline = self.clock() + wait_seconds
         delay = _WAIT_INITIAL
         while True:
@@ -304,33 +367,42 @@ class IndexTxnGuard:
                 continue
             etag = self.store.put(
                 self._key(TXN_KEY),
-                self._claim_body(writer),
+                self._claim_body(writer, claim_id),
                 if_not_exists=True,
             )
             if etag is None:
                 continue  # lost the claim race; loop re-evaluates
             # version read AFTER the exclusive claim: nobody can commit
             # between this read and our own commit
-            return TxnToken(self, self.current_version(), writer)
+            return TxnToken(self, self.current_version(), writer, claim_id)
 
     def commit(self, token: TxnToken) -> int:
-        """Mint version base+1 and release the claim.  The put-if-absent
-        on the version marker MUST win — we hold the exclusive claim —
-        so a loss means the control state was tampered with and raises
-        rather than guessing."""
-        new_v = token.base_version + 1
-        etag = self.store.put(
-            self._key(f"{VER_PREFIX}{new_v:012d}"),
-            json.dumps({"writer": token.writer, "ts": self.clock()}).encode(),
-            if_not_exists=True,
-        )
-        if etag is None:
-            raise RuntimeError(
-                f"version {new_v} already committed while the writer claim "
-                "was held — control keys were modified externally"
+        """Mint version base+1 and release the claim.  Ownership is
+        re-verified first (claim-id match) so a writer whose claim was
+        evicted and re-claimed never mints a version over its
+        successor's in-flight run.  The put-if-absent on the version
+        marker MUST then win — we hold the exclusive claim — so a loss
+        means the control state was tampered with and raises rather
+        than guessing."""
+        if token._lost is not None:
+            raise IndexWriteConflict(token._lost)
+        with token._hb_lock:
+            self._verify_ownership(token)
+            new_v = token.base_version + 1
+            etag = self.store.put(
+                self._key(f"{VER_PREFIX}{new_v:012d}"),
+                json.dumps(
+                    {"writer": token.writer, "ts": self.clock()}
+                ).encode(),
+                if_not_exists=True,
             )
-        token._done = True
-        self.store.delete(self._key(TXN_KEY))
+            if etag is None:
+                raise RuntimeError(
+                    f"version {new_v} already committed while the writer "
+                    "claim was held — control keys were modified externally"
+                )
+            token._done = True
+            self.store.delete(self._key(TXN_KEY))
         return new_v
 
     def abort(self, token: TxnToken) -> None:
@@ -338,9 +410,18 @@ class IndexTxnGuard:
         ``mutating()`` the claim is deliberately LEFT IN PLACE as the
         crashed-run intent marker — callers re-raise their exception and
         the next ``begin()`` surfaces the interruption."""
-        token._done = True
-        if not token._mutated:
-            self.store.delete(self._key(TXN_KEY))
+        with token._hb_lock:
+            token._done = True
+            if not token._mutated:
+                # Best-effort ownership check before the release: an
+                # aborting writer whose claim was already evicted and
+                # re-claimed must not delete its SUCCESSOR's live claim.
+                # Never raises — abort runs inside exception handlers.
+                try:
+                    self._verify_ownership(token)
+                except IndexWriteConflict:
+                    return
+                self.store.delete(self._key(TXN_KEY))
 
 
 def guard_for_path(path: str, ttl_seconds: float = DEFAULT_TTL_SECONDS) -> IndexTxnGuard:
@@ -382,16 +463,46 @@ def maintenance_txn(
     Commits on clean exit; clean-aborts if nothing mutated; preserves
     the intent marker (and re-raises) if mutation had started.
 
+    A daemon heartbeater refreshes the claim every grace/3 REAL seconds
+    for the whole transaction, so a named writer whose pre-mutation
+    phase (reads/joins/collects before ``mutating()``) outlasts the
+    30 s self-succession grace stays visibly alive instead of being
+    evicted by a same-named restart (round-14 advice).  Heartbeats are
+    verified — if the claim was nonetheless lost, the heartbeater
+    poisons the token and the next ``mutating()``/``commit()`` raises
+    before touching the index.
+
     The default claim wait is generous (10 min): a maintenance batch
     that finds another writer mid-cycle should WAIT it out and then
     apply — failing fast would turn healthy serialization into spurious
     batch failures (a stuck writer is what the TTL is for)."""
     g = guard if guard is not None else guard_for_path(path)
     token = g.begin(writer=writer, wait_seconds=wait_seconds, force=force)
+    stop = threading.Event()
+    interval = max(0.5, g.self_succession_grace / 3.0)
+
+    def _beat() -> None:
+        while not stop.wait(interval):
+            try:
+                token.heartbeat()
+            except IndexWriteConflict:
+                return  # token is poisoned; main thread raises at next gate
+            except Exception:
+                continue  # transient store hiccup: keep trying
+
+    beater = threading.Thread(
+        target=_beat, name=f"idx-heartbeat-{token.writer}", daemon=True
+    )
+    beater.start()
     try:
         yield token
     except BaseException:
+        stop.set()
         g.abort(token)
         raise
     else:
+        stop.set()
         g.commit(token)
+    finally:
+        stop.set()
+        beater.join(timeout=5.0)

@@ -79,13 +79,23 @@ def main() -> None:
         warm_docs, threshold=0.5, materialize="parquet"
     ).write.mode("overwrite").format("noop").save()
 
-    def sentinel() -> float:
+    def _sentinel_once() -> float:
         t0 = time.perf_counter()
         spark.range(5_000_000).select(
             F.sum(F.col("id").cast("decimal(18,2)")).alias("s"),
             F.min(F.hash("id")).alias("h"),
         ).write.mode("overwrite").format("noop").save()
-        return round(time.perf_counter() - t0, 3)
+        return time.perf_counter() - t0
+
+    # Untimed sentinel warmup + min-of-2, same as bench.py (round 15):
+    # a fresh JVM's first sentinel measures JIT compilation (~0.2-0.35 s
+    # vs ~0.1 warm) — r14's four sweep attempts all read 0.34-0.73 partly
+    # from this artifact, not only co-tenancy.  The sentinel exists to
+    # measure MACHINE state; warm it like everything else.
+    _sentinel_once()
+
+    def sentinel() -> float:
+        return round(min(_sentinel_once() for _ in range(2)), 3)
 
     for sf_dir in dirs:
         spark_t: dict[str, float] = {}

@@ -695,3 +695,84 @@ def test_randomized_writer_interleavings_hold_invariants(tmp_path):
     # ledger == commits, exactly, strictly sequential from 1
     assert sorted(commits) == list(range(1, len(commits) + 1))
     assert g.current_version() == len(commits)
+
+
+# ---------------------------------------------------------------------------
+# verified heartbeats (round-14 advice: blind refresh re-enabled the
+# two-writer race after a grace eviction)
+# ---------------------------------------------------------------------------
+
+
+def test_evicted_writer_heartbeat_raises_not_clobbers(backend, tmp_path):
+    """The advice's torn-index scenario: a live named writer stalls past
+    the self-succession grace in its PRE-MUTATION phase, a same-named
+    restart evicts + reclaims, then the original reaches mutating().
+    Its (formerly blind) heartbeat must now RAISE instead of
+    overwriting the successor's claim — and the successor's claim must
+    be byte-untouched."""
+    now = [1000.0]
+    g = IndexTxnGuard(
+        _new_store(tmp_path), clock=lambda: now[0], self_succession_grace=30.0
+    )
+    tok1 = g.begin(writer="stream:ingest")
+    # tok1 stalls (no heartbeat) past the grace; its twin restarts
+    now[0] += 31.0
+    tok2 = g.begin(writer="stream:ingest", wait_seconds=0.0)
+    claim_after_reclaim = g.store.get(g._key("txn"))[0]
+    # the original wakes up and declares mutation: must raise BEFORE
+    # its first write, not mutate concurrently with tok2
+    with pytest.raises(IndexWriteConflict):
+        tok1.mutating()
+    assert g.store.get(g._key("txn"))[0] == claim_after_reclaim
+    # ...and stays poisoned: commit refuses too, without minting
+    with pytest.raises(IndexWriteConflict):
+        g.commit(tok1)
+    assert g.current_version() == 0
+    # the successor is unharmed end-to-end
+    tok2.mutating()
+    g.commit(tok2)
+    assert g.current_version() == 1
+
+
+def test_evicted_writer_abort_spares_successor_claim(backend, tmp_path):
+    """A clean abort from an evicted writer must not delete the
+    successor's live claim."""
+    now = [1000.0]
+    g = IndexTxnGuard(
+        _new_store(tmp_path), clock=lambda: now[0], self_succession_grace=30.0
+    )
+    tok1 = g.begin(writer="stream:ingest")
+    now[0] += 31.0
+    tok2 = g.begin(writer="stream:ingest", wait_seconds=0.0)
+    g.abort(tok1)  # never raises; must be a no-op on the claim
+    assert g.store.get(g._key("txn")) is not None
+    g.commit(tok2)
+    assert g.current_version() == 1
+
+
+def test_heartbeat_after_release_is_noop(tmp_path):
+    """A late background beat racing commit must not resurrect the
+    deleted claim (the token is marked done under the hb lock)."""
+    g = IndexTxnGuard(InMemoryObjectStore())
+    tok = g.begin(writer="w")
+    g.commit(tok)
+    tok.heartbeat()  # no-op, no raise
+    assert g.store.get(g._key("txn")) is None
+
+
+def test_background_heartbeater_keeps_long_prephase_alive(tmp_path):
+    """maintenance_txn heartbeats in the background every grace/3, so a
+    pre-mutation phase LONGER than the grace stays inside the liveness
+    window: a same-named twin probing mid-phase must conflict, not
+    evict (the advice's 'heartbeat periodically during the pre-mutation
+    phase' ask).  Real clocks — the beater sleeps wall time."""
+    store = InMemoryObjectStore()
+    g = IndexTxnGuard(store, self_succession_grace=1.5)
+    with maintenance_txn("unused", guard=g, writer="stream:ingest") as txn:
+        time.sleep(2.2)  # pre-mutation phase > grace; beater covers it
+        g2 = IndexTxnGuard(store, self_succession_grace=1.5)
+        with pytest.raises(IndexWriteConflict):
+            g2.begin(writer="stream:ingest", wait_seconds=0.0)
+        txn.mutating()
+    assert g.current_version() == 1
+    assert store.get(g._key("txn")) is None  # beater did not resurrect
