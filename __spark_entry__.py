@@ -842,6 +842,72 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized interval join (round 15; operators/interval_join.py):
+    error-burst windows (hours with ≥3 error events, widened ±30 min —
+    each interval spans THREE hourly buckets, exercising the expansion)
+    joined to purchase events falling inside them, as an EQUI-join on
+    the time bucket — never a BroadcastNestedLoopJoin.  Per window:
+    purchase count and 1e-6-rounded value sum."""
+    from influxdb_iox_spark.operators.interval_join import interval_join
+    from influxdb_iox_spark.schema import ns_to_us_floor
+
+    t = _load(spark, sf_dir, "events")
+    e = t["events"].select(
+        ns_to_us_floor("ts").alias("t_us"), "event_type", "value"
+    )
+    m_us = 3_600_000_000  # one hour in µs (events are sparse per minute)
+    iv = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy(F.floor(F.col("t_us") / m_us).alias("__b"))
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= 3)
+        .select(
+            (F.col("__b") * m_us - m_us // 2).alias("w_start"),
+            ((F.col("__b") + 1) * m_us + m_us // 2).alias("w_end"),
+        )
+    )
+    pts = e.filter(F.col("event_type") == "purchase").select("t_us", "value")
+    joined = interval_join(
+        pts, iv, "t_us", "w_start", "w_end", bucket_ns=m_us
+    )
+    return (
+        joined.groupBy("w_start")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            (F.round(F.sum("value") * 1_000_000) / 1_000_000).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w_start").alias("window_start_us"),
+            "n_purchases",
+            "total_value",
+        )
+        .orderBy("window_start_us")
+    )
+
+
+SQL_EVENTS_INTERVAL_JOIN = """
+WITH e AS (SELECT epoch_us(ts) AS t, event_type, value FROM events),
+iv AS (
+  SELECT b * 3600000000 - 1800000000 AS w_start,
+         (b + 1) * 3600000000 + 1800000000 AS w_end
+  FROM (
+    SELECT t // 3600000000 AS b, count(*) AS c
+    FROM e WHERE event_type = 'error' GROUP BY 1
+  ) WHERE c >= 3
+), j AS (
+  SELECT iv.w_start, p.value
+  FROM e p JOIN iv ON p.t >= iv.w_start AND p.t < iv.w_end
+  WHERE p.event_type = 'purchase'
+)
+SELECT w_start AS window_start_us, count(*) AS n_purchases,
+       round(sum(value) * 1000000) / 1000000 AS total_value
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
 SQL_EVENTS_SESSIONIZE = """
 WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
 b AS (
@@ -6274,6 +6340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_heavy_hitters": q_events_heavy_hitters,
         "events_lttb_downsample": q_events_lttb,
+        "events_interval_join": q_events_interval_join,
         "series_counter_rate": q_series_counter_rate,
         "series_value_histogram": q_series_value_histogram,
         "series_anomaly_flags": q_series_anomaly_flags,
@@ -6662,6 +6729,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,
         "events_lttb_downsample": SQL_EVENTS_LTTB,
+        "events_interval_join": SQL_EVENTS_INTERVAL_JOIN,
         "series_counter_rate": SQL_SERIES_COUNTER_RATE,
         "series_value_histogram": SQL_SERIES_VALUE_HISTOGRAM,
         "series_anomaly_flags": SQL_SERIES_ANOMALY_FLAGS,
