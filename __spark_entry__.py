@@ -1987,6 +1987,67 @@ ORDER BY event_type
 """
 
 
+def q_events_kmv_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per (event_type, day) from daily
+    KMV sketches (round 15; pipeline/kmv.kmv_sliding_estimate): daily
+    bottom-k=32 sketches built once, each window re-sketched from
+    sketch rows only — never a per-window raw rescan.  Bottom-k merge
+    is lossless, so the DuckDB oracle replays the window directly from
+    raw hashes and every estimate is hash-exact; early partial windows
+    exercise the exact (<k) branch, full windows the estimator."""
+    from influxdb_iox_spark.pipeline.kmv import (
+        kmv_sketch,
+        kmv_sliding_estimate,
+    )
+    from influxdb_iox_spark.schema import ns_to_us_floor
+
+    t = _load(spark, sf_dir, "events")
+    day_us = 86_400_000_000
+    daily = kmv_sketch(
+        t["events"].select(
+            "event_type",
+            F.floor(ns_to_us_floor("ts") / day_us).alias("day_bucket"),
+            "user_id",
+        ),
+        ["event_type", "day_bucket"],
+        "user_id",
+        k=32,
+    )
+    return kmv_sliding_estimate(
+        daily, "day_bucket", 7, keys=["event_type"], k=32
+    ).orderBy("event_type", "day_bucket")
+
+
+SQL_EVENTS_KMV_SLIDING = """
+WITH e AS (
+  SELECT DISTINCT event_type, epoch_us(ts) // 86400000000 AS d,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events
+), anchors AS (
+  SELECT DISTINCT event_type, d FROM e
+), contrib AS (
+  SELECT DISTINCT a.event_type, a.d AS w, e.hv
+  FROM e JOIN anchors a
+    ON e.event_type = a.event_type AND e.d BETWEEN a.d - 6 AND a.d
+), r AS (
+  SELECT event_type, w, hv,
+    row_number() OVER (PARTITION BY event_type, w ORDER BY hv) AS rk,
+    count(*) OVER (PARTITION BY event_type, w) AS n_all
+  FROM contrib
+)
+SELECT event_type, w AS day_bucket,
+  CASE WHEN any_value(n_all) < 32
+       THEN round(CAST(any_value(n_all) AS DOUBLE) * 1000000) / 1000000
+       ELSE round(31.0 * 1152921504606846976.0
+                  / CAST(max(CASE WHEN rk = 32 THEN hv END) AS DOUBLE)
+                  * 1000000) / 1000000 END AS n_distinct,
+  CAST(any_value(n_all) < 32 AS BIGINT) AS is_exact
+FROM r WHERE rk <= 32
+GROUP BY event_type, w
+ORDER BY event_type, day_bucket
+"""
+
+
 def q_series_median_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-median despike per event_type (round 13;
     operators/transforms.median_filter): exact percentile(0.5) over the
@@ -2682,6 +2743,46 @@ st AS (
 SELECT doc_id, COUNT(*) AS n_tokens,
   round(SUM(ln(p)) / COUNT(*) * 1000000) / 1000000 AS lm_score
 FROM sc GROUP BY 1 ORDER BY doc_id
+"""
+
+
+def q_doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (round 15;
+    pipeline/corpus.split_assign): each document's split label is a
+    pure function of md5('split' ‖ doc_id) against cumulative
+    boundaries — stable under corpus growth (no slow train/test
+    leakage across snapshots), salted so it decorrelates from every
+    other md5-keyed decision, engine-portable.  Gate checks the FULL
+    per-(split, lang) census: counts and char totals."""
+    from influxdb_iox_spark.pipeline.corpus import split_assign
+
+    t = _load(spark, sf_dir, "documents")
+    return (
+        split_assign(t["documents"])
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+SQL_DOC_SPLIT_ASSIGN = """
+WITH s AS (
+  SELECT lang, n_chars,
+    ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      / 4294967296.0 AS frac
+  FROM documents
+), lab AS (
+  SELECT lang, n_chars,
+    CASE WHEN frac < 0.05 THEN 'test'
+         WHEN frac < 0.95 THEN 'train'
+         ELSE 'val' END AS split
+  FROM s
+)
+SELECT split, lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM lab GROUP BY 1, 2 ORDER BY split, lang
 """
 
 
@@ -6341,6 +6442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_heavy_hitters": q_events_heavy_hitters,
         "events_lttb_downsample": q_events_lttb,
         "events_interval_join": q_events_interval_join,
+        "events_kmv_sliding": q_events_kmv_sliding,
+        "doc_split_assign": q_doc_split_assign,
         "series_counter_rate": q_series_counter_rate,
         "series_value_histogram": q_series_value_histogram,
         "series_anomaly_flags": q_series_anomaly_flags,
@@ -6730,6 +6833,8 @@ def oracle_sql() -> dict[str, str]:
         "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,
         "events_lttb_downsample": SQL_EVENTS_LTTB,
         "events_interval_join": SQL_EVENTS_INTERVAL_JOIN,
+        "events_kmv_sliding": SQL_EVENTS_KMV_SLIDING,
+        "doc_split_assign": SQL_DOC_SPLIT_ASSIGN,
         "series_counter_rate": SQL_SERIES_COUNTER_RATE,
         "series_value_histogram": SQL_SERIES_VALUE_HISTOGRAM,
         "series_anomaly_flags": SQL_SERIES_ANOMALY_FLAGS,

@@ -91,6 +91,9 @@ HEADLINE = [
     # parallel LTTB (integer triangle-area argmax via WindowGroupLimit)
     "events_sessionize",
     "events_lttb_downsample",
+    # round-15 addition: bucketized interval join (point-in-interval as an
+    # equi-join on covering time buckets — the nested-loop trap avoided)
+    "events_interval_join",
 ]
 
 

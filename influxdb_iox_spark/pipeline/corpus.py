@@ -283,6 +283,62 @@ def deterministic_sample(
     )
 
 
+def split_assign(
+    df: DataFrame,
+    splits: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row gets a split
+    label from the leading 32 bits of md5(salt ‖ id) against the
+    cumulative split boundaries — a pure column expression, so the
+    assignment is engine-portable (the DuckDB oracle derives identical
+    labels), stable under corpus growth (a doc keeps its split forever —
+    the property that prevents slow train/test leakage as snapshots
+    roll), and shard-local (no shuffle, no RNG state, no sampleBy).
+
+    ``salt`` decorrelates this hash from every other md5-keyed decision
+    in the pipeline (``deterministic_sample``, ``shuffle_into_shards``):
+    reusing the bare id hash would make "sampled at rate r" and "in
+    train" correlated selections.  Fractions must sum to 1 (labels
+    partition the corpus); order is lexicographic by label so the
+    boundary layout is reproducible from the dict alone."""
+    splits = splits or {"test": 0.05, "train": 0.9, "val": 0.05}
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(2**32))
+    )
+    label = None
+    cum = 0.0
+    items = sorted(splits.items())
+    for name, share in items[:-1]:
+        cum += float(share)
+        cond = frac < F.lit(cum)
+        label = (
+            F.when(cond, F.lit(name))
+            if label is None
+            else label.when(cond, F.lit(name))
+        )
+    label = (
+        label.otherwise(F.lit(items[-1][0]))
+        if label is not None
+        else F.lit(items[-1][0])
+    )
+    return df.withColumn(out_col, label)
+
+
 def mixture_sample(
     df: DataFrame,
     weights: dict[str, float],

@@ -117,6 +117,59 @@ def kmv_merge(
     return kept.agg(F.array_sort(F.collect_list("__h")).alias("sketch"))
 
 
+def kmv_sliding_estimate(
+    sketches: DataFrame,
+    bucket_col: str,
+    window_buckets: int,
+    keys: list[str] | None = None,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Trailing-window distinct counts from per-bucket sketches — the
+    "distinct users in the trailing 7 days, per day" dashboard
+    primitive, answered ENTIRELY from the bottom-k sketch table (built
+    once per bucket at ingest), never a per-window raw rescan: at
+    100 TB a 90-day retention × 7-day window would otherwise re-scan
+    each raw day seven times.
+
+    Shape: each bucket's sketch contributes to the ``window_buckets``
+    windows ending at buckets [b, b+W) — one ``sequence`` explode —
+    then a per-(key, window) bottom-k rank over the (distinct) exploded
+    hashes re-sketches every window.  Bottom-k merge is LOSSLESS
+    (module docstring), so the windowed estimate is bit-identical to a
+    sketch built directly from the window's raw union — which is
+    exactly how the DuckDB oracle replays it, keeping the whole surface
+    hash-exact.  Work is |sketch rows| × W × k — bounded by cells, not
+    data.  Output: one row per (keys…, bucket) PRESENT in the input
+    (trailing windows are anchored at observed buckets), with
+    ``kmv_estimate``'s (n_distinct, is_exact) columns."""
+    gk = list(keys or [])
+    contrib = sketches.select(
+        *gk,
+        F.explode(
+            F.sequence(
+                F.col(bucket_col),
+                F.col(bucket_col) + F.lit(window_buckets - 1),
+            )
+        ).alias("__w"),
+        "sketch",
+    )
+    exploded = contrib.select(
+        *gk, "__w", F.explode("sketch").alias("__h")
+    ).distinct()
+    w = Window.partitionBy(*gk, "__w").orderBy("__h")
+    merged = (
+        exploded.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .groupBy(*gk, "__w")
+        .agg(F.array_sort(F.collect_list("__h")).alias("sketch"))
+    )
+    anchors = sketches.select(
+        *gk, F.col(bucket_col).alias("__w")
+    ).distinct()
+    merged = merged.join(anchors, [*gk, "__w"])
+    return kmv_estimate(merged, k=k).withColumnRenamed("__w", bucket_col)
+
+
 def kmv_intersection(
     sketches: DataFrame,
     cell_a: dict,

@@ -109,3 +109,51 @@ def test_ungrouped_merge_is_distributed(spark):
     assert list(kmv_merge(sk, [], k=64).collect()[0]["sketch"]) == list(
         direct.collect()[0]["sketch"]
     )
+
+
+def test_sliding_estimate_equals_direct_window_sketch(spark):
+    """kmv_sliding_estimate (round 15): trailing-window estimates from
+    per-bucket sketches equal estimates from a sketch built DIRECTLY on
+    each window's raw union (bottom-k merge is lossless) — and windows
+    are anchored only at buckets present in the input."""
+    from influxdb_iox_spark.pipeline.kmv import kmv_sliding_estimate
+
+    # 6 buckets (bucket 3 missing), overlapping value ranges, k=8 so
+    # full windows exceed k (estimator branch) while bucket 0's lone
+    # window stays below it (exact branch)
+    spec = {b: range(b * 7, b * 7 + 12) for b in (1, 2, 4, 5, 6)}
+    spec[0] = range(0, 5)
+    rows = [(b, v) for b, rng in spec.items() for v in rng]
+    df = spark.createDataFrame(rows, "b long, v long")
+    daily = kmv_sketch(df, ["b"], "v", k=8)
+    got = {
+        r["b"]: (r["n_distinct"], r["is_exact"])
+        for r in kmv_sliding_estimate(daily, "b", 3, k=8).collect()
+    }
+    assert set(got) == set(spec)  # anchored at observed buckets only
+    for anchor in spec:
+        window_vals = df.filter(
+            (F.col("b") >= anchor - 2) & (F.col("b") <= anchor)
+        ).select(F.lit(1).alias("g"), "v")
+        direct = kmv_estimate(
+            kmv_sketch(window_vals, ["g"], "v", k=8), k=8
+        ).collect()[0]
+        assert got[anchor] == (direct["n_distinct"], direct["is_exact"]), anchor
+    # both branches exercised
+    assert any(e for _, e in got.values()) and not all(
+        e for _, e in got.values()
+    )
+
+
+def test_sliding_estimate_with_keys(spark):
+    from influxdb_iox_spark.pipeline.kmv import kmv_sliding_estimate
+
+    rows = [(k, b, v) for k in ("x", "y") for b in range(3) for v in range(b * 4, b * 4 + 6)]
+    df = spark.createDataFrame(rows, "k string, b long, v long")
+    daily = kmv_sketch(df, ["k", "b"], "v", k=64)
+    out = kmv_sliding_estimate(daily, "b", 2, keys=["k"], k=64).collect()
+    got = {(r["k"], r["b"]): r["n_distinct"] for r in out}
+    # window of 2 buckets: b=1 covers values 0..5 and 4..9 -> 10 distinct
+    assert got[("x", 0)] == 6.0
+    assert got[("x", 1)] == 10.0
+    assert got[("y", 2)] == 10.0

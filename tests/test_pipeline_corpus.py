@@ -438,3 +438,37 @@ def test_temperature_weights(spark):
         for r in temperature_weights(pre, alpha=0.5, token_col="nt").collect()
     }
     assert abs(got2["srcA"] - got["srcA"]["weight"]) < 1e-6
+
+
+def test_split_assign_partitions_and_is_stable(spark):
+    """split_assign (round 15): labels partition the corpus at the
+    requested proportions, a doc's label never changes when the corpus
+    grows, and the salt decorrelates splits from sample selections."""
+    from influxdb_iox_spark.pipeline.corpus import (
+        deterministic_sample,
+        split_assign,
+    )
+
+    df = spark.range(20_000).select(F.col("id").alias("doc_id"))
+    out = split_assign(df)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 20_000  # a partition: one label each
+    assert abs(counts["train"] / 20_000 - 0.90) < 0.02
+    assert abs(counts["val"] / 20_000 - 0.05) < 0.01
+    assert abs(counts["test"] / 20_000 - 0.05) < 0.01
+    # growth stability: the first 5k docs keep their labels verbatim
+    small = {r["doc_id"]: r["split"] for r in split_assign(df.filter(F.col("doc_id") < 5_000)).collect()}
+    big = {r["doc_id"]: r["split"] for r in out.filter(F.col("doc_id") < 5_000).collect()}
+    assert small == big
+    # salt decorrelation: among docs sampled at rate 0.5 via the UNSALTED
+    # md5 fraction, the train share stays ~0.9 (correlated hashing would
+    # skew it toward the low-fraction half)
+    sampled = deterministic_sample(
+        df.withColumn("lang", F.lit("en")), {"en": 0.5}, id_col="doc_id"
+    )
+    sc = {r["split"]: r["n"] for r in split_assign(sampled).groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert abs(sc["train"] / sum(sc.values()) - 0.90) < 0.02
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_assign(df, splits={"train": 0.8, "val": 0.1})
