@@ -842,6 +842,87 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_funnel_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence ordered funnel with a bounded conversion
+    horizon (round 15; operators/funnel.py — the within-14-days twin of
+    the unbounded events_funnel):
+    signup → view → purchase per user, each later step's first time
+    strictly after the previous step's and within 14 days of signup.
+    ONE user-keyed hash aggregate (k conditional mins) + a scalar fold
+    — no windows, no self-joins; exact and engine-portable."""
+    from influxdb_iox_spark.operators.funnel import funnel_counts
+    from influxdb_iox_spark.schema import ns_to_us_floor
+
+    t = _load(spark, sf_dir, "events")
+    e = t["events"].select(
+        "user_id", "event_type", ns_to_us_floor("ts").alias("t_us")
+    )
+    return funnel_counts(
+        e,
+        "user_id",
+        "t_us",
+        "event_type",
+        ["signup", "view", "purchase"],
+        within=14 * 86_400_000_000,
+    )
+
+
+SQL_EVENTS_FUNNEL_HORIZON = """
+WITH f AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t0,
+    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t1,
+    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t2
+  FROM events GROUP BY 1
+), r AS (
+  SELECT
+    CAST(t0 IS NOT NULL AS BIGINT) AS r0,
+    CAST(t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+         AND t1 - t0 <= 1209600000000 AS BIGINT) AS r1,
+    CAST(t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+         AND t1 - t0 <= 1209600000000
+         AND t2 IS NOT NULL AND t2 > t1
+         AND t2 - t0 <= 1209600000000 AS BIGINT) AS r2
+  FROM f
+)
+SELECT step, step_index, n_users FROM (
+  SELECT 'signup' AS step, 0 AS step_index,
+         CAST(sum(r0) AS BIGINT) AS n_users FROM r
+  UNION ALL
+  SELECT 'view', 1, CAST(sum(r1) AS BIGINT) FROM r
+  UNION ALL
+  SELECT 'purchase', 2, CAST(sum(r2) AS BIGINT) FROM r
+) ORDER BY step_index
+"""
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort matrix (round 15;
+    operators/funnel.retention_cohorts): cohort = week of a user's
+    first event; per (cohort, week offset) the exact distinct active
+    users.  The activity join reuses the user-keyed partitioning of the
+    cohort aggregate — one fact shuffle total."""
+    from influxdb_iox_spark.operators.funnel import retention_cohorts
+    from influxdb_iox_spark.schema import ns_to_us_floor
+
+    t = _load(spark, sf_dir, "events")
+    e = t["events"].select("user_id", ns_to_us_floor("ts").alias("t_us"))
+    return retention_cohorts(e, "user_id", "t_us", 7 * 86_400_000_000)
+
+
+SQL_EVENTS_RETENTION = """
+WITH ub AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS b FROM events
+), c AS (
+  SELECT user_id, min(b) AS cohort FROM ub GROUP BY 1
+)
+SELECT c.cohort AS cohort_bucket, ub.b - c.cohort AS period_offset,
+       count(DISTINCT ub.user_id) AS n_users
+FROM ub JOIN c USING (user_id)
+GROUP BY 1, 2 ORDER BY cohort_bucket, period_offset
+"""
+
+
 def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketized interval join (round 15; operators/interval_join.py):
     error-burst windows (hours with ≥3 error events, widened ±30 min —
@@ -6444,6 +6525,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join": q_events_interval_join,
         "events_kmv_sliding": q_events_kmv_sliding,
         "doc_split_assign": q_doc_split_assign,
+        "events_funnel_horizon": q_events_funnel_horizon,
+        "events_retention": q_events_retention,
         "series_counter_rate": q_series_counter_rate,
         "series_value_histogram": q_series_value_histogram,
         "series_anomaly_flags": q_series_anomaly_flags,
@@ -6835,6 +6918,8 @@ def oracle_sql() -> dict[str, str]:
         "events_interval_join": SQL_EVENTS_INTERVAL_JOIN,
         "events_kmv_sliding": SQL_EVENTS_KMV_SLIDING,
         "doc_split_assign": SQL_DOC_SPLIT_ASSIGN,
+        "events_funnel_horizon": SQL_EVENTS_FUNNEL_HORIZON,
+        "events_retention": SQL_EVENTS_RETENTION,
         "series_counter_rate": SQL_SERIES_COUNTER_RATE,
         "series_value_histogram": SQL_SERIES_VALUE_HISTOGRAM,
         "series_anomaly_flags": SQL_SERIES_ANOMALY_FLAGS,
