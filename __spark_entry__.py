@@ -2867,6 +2867,57 @@ FROM lab GROUP BY 1, 2 ORDER BY split, lang
 """
 
 
+def q_doc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff census (round 15; pipeline/corpus.corpus_diff):
+    documents vs a deterministically perturbed next snapshot (ids %23
+    removed, %17 text-changed, %31 cloned to id+10⁶ as additions) —
+    per-status counts.  Content is md5-fingerprinted BEFORE the
+    full-outer id join, so only (id, fp) rows shuffle."""
+    from influxdb_iox_spark.pipeline.corpus import corpus_diff
+
+    t = _load(spark, sf_dir, "documents")
+    old = t["documents"]
+    kept = old.filter(F.col("doc_id") % 23 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 17 == 0, F.concat(F.col("text"), F.lit("!"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    added = old.filter(F.col("doc_id") % 31 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    new = kept.unionByName(added)
+    return (
+        corpus_diff(old, new)
+        .groupBy("status")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("status")
+    )
+
+
+SQL_DOC_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT doc_id, md5(CAST(text AS VARCHAR)) AS fp FROM documents
+), new AS (
+  SELECT doc_id,
+    md5(CAST(CASE WHEN doc_id % 17 = 0 THEN text || '!' ELSE text END
+             AS VARCHAR)) AS fp
+  FROM documents WHERE doc_id % 23 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, md5(CAST(text AS VARCHAR))
+  FROM documents WHERE doc_id % 31 = 0
+), j AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+    CASE WHEN o.fp IS NULL THEN 'added'
+         WHEN n.fp IS NULL THEN 'removed'
+         WHEN o.fp <> n.fp THEN 'changed'
+         ELSE 'unchanged' END AS status
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT status, count(*) AS n_docs FROM j GROUP BY 1 ORDER BY status
+"""
+
+
 def q_doc_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-order shuffle (round 11;
     pipeline/corpus.shuffle_into_shards): every document's (shard, pos)
@@ -6525,6 +6576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join": q_events_interval_join,
         "events_kmv_sliding": q_events_kmv_sliding,
         "doc_split_assign": q_doc_split_assign,
+        "doc_snapshot_diff": q_doc_snapshot_diff,
         "events_funnel_horizon": q_events_funnel_horizon,
         "events_retention": q_events_retention,
         "series_counter_rate": q_series_counter_rate,
@@ -6918,6 +6970,7 @@ def oracle_sql() -> dict[str, str]:
         "events_interval_join": SQL_EVENTS_INTERVAL_JOIN,
         "events_kmv_sliding": SQL_EVENTS_KMV_SLIDING,
         "doc_split_assign": SQL_DOC_SPLIT_ASSIGN,
+        "doc_snapshot_diff": SQL_DOC_SNAPSHOT_DIFF,
         "events_funnel_horizon": SQL_EVENTS_FUNNEL_HORIZON,
         "events_retention": SQL_EVENTS_RETENTION,
         "series_counter_rate": SQL_SERIES_COUNTER_RATE,

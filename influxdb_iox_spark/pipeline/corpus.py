@@ -339,6 +339,39 @@ def split_assign(
     return df.withColumn(out_col, label)
 
 
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_cols: tuple[str, ...] = ("text",),
+) -> DataFrame:
+    """Per-document status between two corpus snapshots: ``added``
+    (id only in new), ``removed`` (only in old), ``changed`` (both,
+    content fingerprint differs), ``unchanged`` — the primitive behind
+    incremental re-processing (re-embed/re-score only added+changed,
+    tombstone removed) and snapshot audits.
+
+    Scale shape: content is md5-fingerprinted BEFORE the join, so the
+    id-keyed full-outer shuffle moves (id, 32-byte fp) rows — never
+    document bodies; at 100 TB the exchange is ~fingerprint-table
+    sized.  md5 (not xxhash) keeps the fingerprint engine-portable, so
+    the whole diff is oracle-pairable.  Multi-column content is joined
+    with an \\x1f separator (never appears in text) before hashing."""
+    fp = F.md5(
+        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols])
+    )
+    o = old.select(F.col(id_col), fp.alias("__fp_old"))
+    n = new.select(F.col(id_col), fp.alias("__fp_new"))
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("__fp_old").isNull(), F.lit("added"))
+        .when(F.col("__fp_new").isNull(), F.lit("removed"))
+        .when(F.col("__fp_old") != F.col("__fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(F.col(id_col), status.alias("status"))
+
+
 def mixture_sample(
     df: DataFrame,
     weights: dict[str, float],

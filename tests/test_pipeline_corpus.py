@@ -472,3 +472,35 @@ def test_split_assign_partitions_and_is_stable(spark):
 
     with pytest.raises(ValueError, match="sum to 1"):
         split_assign(df, splits={"train": 0.8, "val": 0.1})
+
+
+def test_corpus_diff_statuses(spark):
+    """corpus_diff (round 15): full status census on a hand-built pair
+    of snapshots, multi-column content participation, and the
+    fingerprint-before-join shape (only id+fp reach the join)."""
+    from influxdb_iox_spark.pipeline.corpus import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", "z")],
+        "doc_id long, text string, meta string",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", "y"), (3, "c", "CHANGED"), (4, "d", "w")],
+        "doc_id long, text string, meta string",
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in corpus_diff(
+            old, new, content_cols=("text", "meta")
+        ).collect()
+    }
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+    # meta-only change is invisible unless meta is a content column
+    got_text_only = {
+        r["doc_id"]: r["status"]
+        for r in corpus_diff(old, new, content_cols=("text",)).collect()
+    }
+    assert got_text_only[3] == "unchanged"
+    # plan: the join inputs are (id, fp) projections, not document bodies
+    plan = corpus_diff(old, new)._jdf.queryExecution().executedPlan().toString()
+    assert "text" not in plan.split("SortMergeJoin")[0].split("Project")[0]
