@@ -154,15 +154,19 @@ def main() -> None:
         return time.perf_counter() - t0
 
     def _sentinel() -> float:
-        return round(min(_sentinel_once() for _ in range(2)), 3)
+        return round(min(_sentinel_once() for _ in range(3)), 3)
 
-    # One UNTIMED warmup of the sentinel query itself: the pre-run
-    # bracket otherwise measures JIT compilation of the sentinel's
-    # decimal-sum codegen (~0.20 s on a fresh JVM vs 0.10 warm — r13 and
-    # r14 both carried noisy_host solely from this artifact while their
-    # per-row medians ran quiet).  Per-row sentinels execute JIT-warm, so
-    # the bracket must too — it exists to measure MACHINE state, and a
-    # warmup makes before/after/per-row all read the same steady state.
+    # UNTIMED warmups of the sentinel query itself, then a min-of-3
+    # bracket: the pre-run bracket otherwise measures JIT compilation of
+    # the sentinel's decimal-sum codegen (~0.20 s on a fresh JVM vs 0.10
+    # warm — r13 and r14 both carried noisy_host solely from this
+    # artifact while their per-row medians ran quiet), and one warmup +
+    # min-of-2 still read 0.13-0.15 on hosts whose 36-sample per-row
+    # medians held 0.096-0.111 (r15 attempts 3-5): C2 tiering needs a
+    # few executions, and a 2-sample min is a wide estimator.  Per-row
+    # sentinels execute JIT-warm; the bracket exists to measure MACHINE
+    # state and must read the same steady state they do.
+    _sentinel_once()
     _sentinel_once()
     sentinel_before = _sentinel()
 

@@ -33,6 +33,9 @@ beyond-reference training-pipeline surface.
 
 from __future__ import annotations
 
+import functools
+import operator
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -89,7 +92,7 @@ def interval_join(
         cond.append(pt[k] == iv[k])
     cond.append(pt[time_col] >= iv[start_col])
     cond.append(pt[time_col] < iv[end_col])
-    joined = pt.join(iv, functools_and(cond), how)
+    joined = pt.join(iv, functools.reduce(operator.and_, cond), how)
     if how == "left_semi":
         return joined.drop("__bucket")
     drop = [iv["__bucket"], pt["__bucket"]] + [iv[k] for k in keys]
@@ -98,9 +101,3 @@ def interval_join(
         out = out.drop(c)
     return out
 
-
-def functools_and(conds):
-    import functools
-    import operator
-
-    return functools.reduce(operator.and_, conds)

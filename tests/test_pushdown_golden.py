@@ -243,3 +243,30 @@ def test_lttb_plan_shape(spark):
     assert "CartesianProduct" not in final
     assert "EvalPython" not in final and "InPandas" not in final
     assert "WindowGroupLimit" in final
+
+
+def test_q5_preagg_is_hash_aggregate_with_reused_partitioning(spark):
+    """Round-15 q5 restructure goldens: the revenue pre-aggregation must
+    stay a HashAggregate (a string min in the buffer would demote it to
+    SortAggregate and re-sort the fact rows), the customer join must be
+    shuffled-hash on the pre-agg's own (custkey, nationkey) keys — NO
+    extra exchange between the aggregate and the join — and supplier/
+    nation/region stay broadcast."""
+    plan = plan_of(spark, "tpch_q5_local_supplier")
+    assert "SortAggregate" not in plan
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" in plan
+    # exchanges: lineitem, orders, customer, the pre-agg, and the final
+    # two aggs' n_name hash + the orderBy range exchange = 6 total; the
+    # join side of the pre-agg must NOT add a seventh
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 6
+    # the pre-agg partitioning doubles as the customer join distribution
+    assert "hashpartitioning(o_custkey" in plan
+
+
+def test_interval_join_never_nested_loop_at_query_level(spark):
+    plan = plan_of(spark, "events_interval_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the expansion explode feeds an equi-join
+    assert "Explode" in plan or "Generate" in plan
