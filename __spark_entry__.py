@@ -395,7 +395,16 @@ ORDER BY n_name
 def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: top-20 customers by returned-item revenue."""
     t = _load(spark, sf_dir, "customer", "orders", "lineitem")
-    return (
+    # Round 15 (the q5 lesson applied): collapse the exact revenue limbs
+    # by o_custkey BEFORE the customer join — the R-filtered fact rows
+    # reduce to <=|customer| pre-agg rows (map-side combined), the
+    # customer join moves collapsed rows on the reused custkey
+    # partitioning, and since each custkey is then unique on BOTH sides
+    # the final per-customer "aggregate" is the single joined row — the
+    # top-20 plans as TakeOrderedAndProject with no second groupBy.
+    # Limb sums are associative, so the revenue double is bit-identical
+    # to the oracle's single-level sum.
+    pre = (
         t["lineitem"]
         .filter(F.col("l_returnflag") == "R")
         .withColumn("__rev_c", F.expr(_REV_C_SQL))
@@ -405,9 +414,25 @@ def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             t["orders"].hint("shuffle_hash"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_custkey", "c_name")
-        .agg(_rev_sum("revenue"))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("__rev_c div 10000")).alias("__hi"),
+            F.sum(F.expr("__rev_c % 10000")).alias("__lo"),
+        )
+    )
+    return (
+        pre.join(
+            t["customer"].hint("shuffle_hash"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            (
+                F.col("__hi").cast("double")
+                + F.col("__lo").cast("double") / 10000
+            ).alias("revenue"),
+        )
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
