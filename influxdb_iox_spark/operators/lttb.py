@@ -164,10 +164,12 @@ def lttb_downsample(
         d("cy") * d("an") - d("ay") * d("cn")
     )
     # Every score input is structurally non-null (interior rows always
-    # have both anchors), so a NULL |score| can only be Spark's
-    # non-ANSI decimal(38,0) overflow — the silent argmax degradation
-    # the round-14 advice flagged.  Raise it instead (DuckDB's HUGEINT
-    # raises too, so parity is loud-vs-loud, never silent-vs-loud).
+    # have both anchors), so a NULL |score| can only be decimal(38,0)
+    # overflow.  Under ANSI mode (Spark 4's and this engine's default)
+    # Spark raises NUMERIC_VALUE_OUT_OF_RANGE by itself; this guard
+    # makes NON-ANSI deployments equally loud instead of silently
+    # degrading the argmax to earliest-point (the round-14 advice).
+    # DuckDB's HUGEINT raises too — parity is loud-vs-loud either way.
     score = F.abs(n_score)
     guarded = F.when(score.isNotNull(), score).otherwise(
         F.raise_error(

@@ -71,3 +71,66 @@ def test_series_isolation(spark):
 def test_validation(spark):
     with pytest.raises(ValueError):
         lttb_downsample(_series(spark, [1.0]), ["k"], "t", "v", n_out=2)
+
+
+def test_ns_time_unit_selects_like_us(spark):
+    """time_unit='ns' (round 15): ns inputs pick the same points as the
+    equivalent µs series — the rebase happens inside the operator."""
+    vals = [0.0] * 30
+    vals[4], vals[15], vals[24] = 100.0, -50.0, 80.0
+    us = _series(spark, vals, step=10)          # µs-scale times
+    ns = _series(spark, vals, step=10_000)      # the same, in ns
+    got_us = sorted(
+        r["t"] for r in lttb_downsample(us, ["k"], "t", "v", n_out=5).collect()
+    )
+    got_ns = sorted(
+        r["t"] // 1000
+        for r in lttb_downsample(
+            ns, ["k"], "t", "v", n_out=5, time_unit="ns"
+        ).collect()
+    )
+    assert got_us == got_ns
+
+
+def test_output_carries_original_values(spark):
+    """Round-15 advice fix: output values are the input doubles
+    bit-exactly, not a µ-unit round trip (sub-1e-6 fractions survive)."""
+    v = 1.0000004999  # would quantize to 1.0 through round(v*1e6)/1e6
+    df = _series(spark, [v] * 4)
+    out = lttb_downsample(df, ["k"], "t", "v", n_out=3).collect()
+    assert all(r["v"] == v for r in out)
+
+
+def test_value_out_of_scaling_range_raises(spark):
+    # AQE may wrap the raise in STAGE_MATERIALIZATION_MULTIPLE_FAILURES,
+    # so match the operator's message, not a specific exception class
+    df = _series(spark, [0.0, 1e13, 2.0, 3.0, 4.0])
+    with pytest.raises(Exception, match="lttb_downsample"):
+        lttb_downsample(df, ["k"], "t", "v", n_out=3).collect()
+
+
+def test_score_overflow_raises_not_degrades(spark):
+    """Un-rebased ns-scale spans with large values overflow the
+    decimal(38,0) score and must raise LOUDLY either way: under ANSI
+    (this session's default) Spark itself raises
+    NUMERIC_VALUE_OUT_OF_RANGE; under non-ANSI the silent NULL would
+    degrade the argmax to earliest-point (round-14 advice), which the
+    operator's in-plan isNotNull guard turns into its own raise."""
+    # ~1e18 span, values near the 9.2e12 limit: |N| ~ 8*X*V*n^3 > 1e38
+    n = 12
+    rows = [
+        ("a", i * 90_000_000_000_000_000, 9.1e12 * (1 if i % 2 else -1))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    # n_out=4 -> two interior buckets whose anchors are 5-point SUMS
+    # (single-point anchors keep |N| just under 1e38)
+    with pytest.raises(
+        Exception, match="overflowed|cannot be represented as Decimal"
+    ):
+        lttb_downsample(df, ["k"], "t", "v", n_out=4).collect()
+    # the documented fix — time_unit='ns' — makes the same data work
+    out = lttb_downsample(
+        df, ["k"], "t", "v", n_out=4, time_unit="ns"
+    ).collect()
+    assert len(out) == 4
