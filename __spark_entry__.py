@@ -2887,7 +2887,8 @@ WITH s AS (
          ELSE 'val' END AS split
   FROM s
 )
-SELECT split, lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT split, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM lab GROUP BY 1, 2 ORDER BY split, lang
 """
 

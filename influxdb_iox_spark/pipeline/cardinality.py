@@ -434,6 +434,43 @@ def estimate_series_cardinality(
     return int(row["e"] or 0)
 
 
+def estimate_sliding_cardinality(
+    cells: DataFrame,
+    bucket_col: str,
+    window_buckets: int,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Trailing-window distinct estimates from a TIME-BUCKETED rollup's
+    cells — the HLL twin of ``pipeline/kmv.kmv_sliding_estimate`` (use
+    that one when oracle-exact portability matters; this one when the
+    rollup already exists for the cardinality surface): each cell's
+    sketch explodes to the ``window_buckets`` windows it feeds, one
+    ``hll_union_agg`` per (keys…, window) folds them, windows anchored
+    at observed buckets.  Work is |cells| × W sketch rows — never a
+    per-window raw rescan.  HLL union is lossless w.r.t. the estimate
+    bound, so each window's error is the rollup's own lgk bound."""
+    gk = list(keys or [])
+    contrib = cells.select(
+        *gk,
+        F.explode(
+            F.sequence(
+                F.col(bucket_col),
+                F.col(bucket_col) + F.lit(window_buckets - 1),
+            )
+        ).alias("__w"),
+        "sketch",
+    )
+    merged = contrib.groupBy(*gk, "__w").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("estimate")
+    )
+    anchors = cells.select(*gk, F.col(bucket_col).alias("__w")).distinct()
+    return (
+        merged.join(anchors, [*gk, "__w"])
+        .withColumnRenamed("__w", bucket_col)
+        .select(*gk, bucket_col, "estimate")
+    )
+
+
 def estimate_union_cardinality(
     cells_list: list[DataFrame], identity: str = "rpc"
 ) -> int:

@@ -129,3 +129,36 @@ def test_overlap_estimation_inclusion_exclusion(spark):
     assert abs(got["b"] - 1000) / 1000 < 0.05
     assert abs(got["union"] - 1500) / 1500 < 0.05
     assert abs(got["intersection"] - 500) / 500 < 0.2  # 3-way error sum
+
+
+def test_sliding_cardinality_tracks_exact_trailing_distinct(spark):
+    """estimate_sliding_cardinality (round 15): trailing-3-bucket
+    estimates from bucketed cells stay within the lgk error bound of
+    the exact trailing distinct counts; windows anchor only at observed
+    buckets (bucket 3 missing)."""
+    from pyspark.sql import functions as F
+
+    from influxdb_iox_spark.pipeline.cardinality import (
+        build_cardinality_rollup,
+        estimate_sliding_cardinality,
+    )
+
+    buckets = [0, 1, 2, 4, 5]
+    rows = [
+        (b, (b * 700 + i) % 2500) for b in buckets for i in range(1200)
+    ]
+    df = spark.createDataFrame(rows, "b long, v long")
+    cells = build_cardinality_rollup(df, ["b"], "v")
+    got = {
+        r["b"]: r["estimate"]
+        for r in estimate_sliding_cardinality(cells, "b", 3).collect()
+    }
+    assert set(got) == set(buckets)
+    for anchor in buckets:
+        exact = (
+            df.filter((F.col("b") >= anchor - 2) & (F.col("b") <= anchor))
+            .select("v")
+            .distinct()
+            .count()
+        )
+        assert abs(got[anchor] - exact) / exact < 0.05, (anchor, got[anchor], exact)
