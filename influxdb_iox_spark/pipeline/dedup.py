@@ -349,14 +349,32 @@ def jaccard_verify(
     for the driver.  The shuffle-hash hint (same choice as the banding
     self-join) keeps the plan size-independent; AQE may still downgrade to
     a broadcast when the pair list really is small.
+
+    Size prefilter (round 15, LOSSLESS): J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|)
+    is a hard bound, so a pair whose set sizes alone put that bound under
+    the threshold is dropped BEFORE its shingle arrays are joined — the
+    size join moves one long per side where the array join moves whole
+    shingle sets.  Output is provably identical (only true-J < threshold
+    pairs are dropped), so the DuckDB oracle needs no change.
     """
+    sz = sig_df.select(F.col(id_col), F.size("shingles").alias("__n"))
+    survivors = (
+        pairs.hint("shuffle_hash")
+        .join(sz.withColumnsRenamed({id_col: "a", "__n": "__n_a"}), "a")
+        .join(sz.withColumnsRenamed({id_col: "b", "__n": "__n_b"}), "b")
+        .filter(
+            F.least("__n_a", "__n_b").cast("double")
+            >= F.lit(threshold) * F.greatest("__n_a", "__n_b")
+        )
+        .select("a", "b")
+    )
     sh = sig_df.select(F.col(id_col), F.col("shingles"))
     a_sh = sh.withColumnsRenamed({id_col: "a", "shingles": "sh_a"})
     b_sh = sh.withColumnsRenamed({id_col: "b", "shingles": "sh_b"})
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     return (
-        pairs.hint("shuffle_hash").join(a_sh, "a")
+        survivors.hint("shuffle_hash").join(a_sh, "a")
         .join(b_sh, "b")
         .select(
             "a",
