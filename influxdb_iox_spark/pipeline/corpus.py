@@ -356,9 +356,20 @@ def corpus_diff(
     document bodies; at 100 TB the exchange is ~fingerprint-table
     sized.  md5 (not xxhash) keeps the fingerprint engine-portable, so
     the whole diff is oracle-pairable.  Multi-column content is joined
-    with an \\x1f separator (never appears in text) before hashing."""
+    with an \\x1f separator (never appears in text) before hashing;
+    each column is NULL-coalesced to a distinct \\x00-sentinel first —
+    concat_ws silently SKIPS NULLs, so without the sentinel ('a', NULL),
+    (NULL, 'a') and ('a',) would all fingerprint identically and a
+    change that nulls out or moves content between columns would read
+    ``unchanged`` (round-15 advice)."""
     fp = F.md5(
-        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols])
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                for c in content_cols
+            ],
+        )
     )
     o = old.select(F.col(id_col), fp.alias("__fp_old"))
     n = new.select(F.col(id_col), fp.alias("__fp_new"))

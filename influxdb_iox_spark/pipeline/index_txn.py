@@ -416,12 +416,16 @@ class IndexTxnGuard:
                 # Best-effort ownership check before the release: an
                 # aborting writer whose claim was already evicted and
                 # re-claimed must not delete its SUCCESSOR's live claim.
-                # Never raises — abort runs inside exception handlers.
+                # Never raises — abort runs inside exception handlers,
+                # so ANY failure (conflict, transient store I/O in the
+                # verify GET or the delete) must not mask the caller's
+                # original exception; the leftover claim just ages out
+                # via TTL eviction (round-15 advice).
                 try:
                     self._verify_ownership(token)
-                except IndexWriteConflict:
+                    self.store.delete(self._key(TXN_KEY))
+                except Exception:
                     return
-                self.store.delete(self._key(TXN_KEY))
 
 
 def guard_for_path(path: str, ttl_seconds: float = DEFAULT_TTL_SECONDS) -> IndexTxnGuard:

@@ -776,3 +776,23 @@ def test_background_heartbeater_keeps_long_prephase_alive(tmp_path):
         txn.mutating()
     assert g.current_version() == 1
     assert store.get(g._key("txn")) is None  # beater did not resurrect
+
+
+def test_abort_swallows_transient_store_errors(tmp_path):
+    """Round-15 advice: abort() runs inside exception handlers, so a
+    transient store failure in the ownership GET (or the delete) must
+    not propagate and mask the caller's ORIGINAL exception — the
+    leftover claim just ages out via TTL eviction."""
+    store = InMemoryObjectStore()
+    g = IndexTxnGuard(store)
+    tok = g.begin(writer="w")
+
+    real_get = store.get
+
+    def flaky_get(key):
+        raise OSError("transient store outage")
+
+    store.get = flaky_get
+    g.abort(tok)  # must not raise despite the store error
+    store.get = real_get
+    assert store.get(g._key("txn")) is not None  # claim left; TTL evicts

@@ -134,3 +134,35 @@ def test_score_overflow_raises_not_degrades(spark):
         df, ["k"], "t", "v", n_out=4, time_unit="ns"
     ).collect()
     assert len(out) == 4
+
+
+def test_ns_rebase_is_exact_integer_div(spark):
+    """Round-15 advice: the ns→µs rebase must use integral `div`, not
+    floor of a DOUBLE division — doubles are exact only to 2^53, so a
+    >104-day ns span can floor one µs off and flip the decimal argmax
+    vs the HUGEINT oracle.  Two assertions: the trap is real at this
+    magnitude, and the operator's plan carries the exact div."""
+    # odd µs offsets past 2^53 aren't representable as doubles at all
+    d = (2**53 + 1) * 1000 + 999
+    row = (
+        spark.createDataFrame([(d,)], "x long")
+        .select(
+            F.expr("x div 1000").alias("exact"),
+            F.floor(F.col("x") / 1000).cast("long").alias("dbl"),
+        )
+        .first()
+    )
+    assert row["exact"] == d // 1000
+    assert row["dbl"] != row["exact"]  # the double path is genuinely wrong
+    df = spark.createDataFrame(
+        [("a", i * 1_000_000, float(i)) for i in range(10)],
+        "k string, t long, v double",
+    )
+    plan = (
+        lttb_downsample(df, ["k"], "t", "v", n_out=4, time_unit="ns")
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert " div cast(1000" in plan
+    assert "floor" not in plan.lower()  # no double-floor rebase anywhere

@@ -504,3 +504,28 @@ def test_corpus_diff_statuses(spark):
     # plan: the join inputs are (id, fp) projections, not document bodies
     plan = corpus_diff(old, new)._jdf.queryExecution().executedPlan().toString()
     assert "text" not in plan.split("SortMergeJoin")[0].split("Project")[0]
+
+
+def test_corpus_diff_null_layouts_fingerprint_distinctly(spark):
+    """Round-15 advice: concat_ws silently SKIPS NULLs, so without a
+    per-column NULL sentinel ('a', NULL) and (NULL, 'a')
+    would collide — a change that nulls out or moves content between
+    columns must read ``changed``, never ``unchanged``."""
+    from influxdb_iox_spark.pipeline.corpus import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, None, "a"), (3, "a", None)],
+        "doc_id long, text string, meta string",
+    )
+    new = spark.createDataFrame(
+        [(1, None, "a"), (2, "a", None), (3, "a", None)],
+        "doc_id long, text string, meta string",
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in corpus_diff(
+            old, new, content_cols=("text", "meta")
+        ).collect()
+    }
+    # 1 and 2 moved content across columns — changed; 3 is identical
+    assert got == {1: "changed", 2: "changed", 3: "unchanged"}
