@@ -267,25 +267,48 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: broadcast the small dimension, top-10 by revenue."""
     t = _load(spark, sf_dir, "customer", "orders", "lineitem")
     cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
-    return (
+    # Round 16 (verdict #2 — the q5/q10 pre-agg trick, q3 edition): the
+    # group key (l_orderkey, o_orderdate) CONTAINS the join key and
+    # o_orderdate is functionally determined by it, so the exact revenue
+    # limbs collapse by l_orderkey BEFORE the orders join.  The
+    # date/segment predicates only drop WHOLE groups (they're order- and
+    # customer-level), and int64 limb sums are associative, so the
+    # two-level sum is bit-identical to the oracle's single-level sum.
+    # The orders join then probes ~5x fewer, 3-column-narrow rows, the
+    # pre-agg's l_orderkey exchange is REUSED as the join distribution
+    # (no extra shuffle), each orderkey is unique on BOTH sides, and the
+    # top-10 plans as TakeOrderedAndProject with no post-join aggregate.
+    # Long-only agg buffer per the q5 lesson (no string min here).
+    pre = (
         t["lineitem"]
         .filter(F.col("l_shipdate").cast("date") > F.lit("1997-06-01").cast("date"))
         .withColumn("__rev_c", F.expr(_REV_C_SQL))
-        .join(
-            # shuffle_hash on the fact-fact join (round 14, BENCH_NOTES
-            # S32): l_orderkey is bounded-multiplicity (<=7 lineitems per
-            # order, no skew by construction), so the per-partition build
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.expr("__rev_c div 10000")).alias("__hi"),
+            F.sum(F.expr("__rev_c % 10000")).alias("__lo"),
+        )
+    )
+    return (
+        pre.join(
+            # shuffle_hash per the SCALE.md §r14 bounded-key discipline:
+            # o_orderkey is unique on the build side, so the per-partition
             # map is rows/shuffle-partitions bounded and SHJ skips both
-            # sorts — sf10 5.4 -> 3.6 s.  Dims stay unhinted (AQE
-            # broadcasts them when small).
+            # sorts.  Dims stay unhinted (AQE broadcasts them when small).
             t["orders"].filter(
                 F.col("o_orderdate").cast("date") < F.lit("1997-06-01").cast("date")
             ).hint("shuffle_hash"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"))
-        .agg(_rev_sum("revenue"))
+        .select(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            (
+                F.col("__hi").cast("double")
+                + F.col("__lo").cast("double") / 10000
+            ).alias("revenue"),
+        )
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )

@@ -270,3 +270,23 @@ def test_interval_join_never_nested_loop_at_query_level(spark):
     assert "CartesianProduct" not in plan
     # the expansion explode feeds an equi-join
     assert "Explode" in plan or "Generate" in plan
+
+
+def test_q3_preagg_top10_is_take_ordered_no_post_join_agg(spark):
+    """Round-16 q3 restructure goldens (the q5/q10 pre-agg trick): the
+    revenue limbs collapse by l_orderkey BEFORE the orders join (group
+    key contains the join key; o_orderdate is functionally determined),
+    the pre-agg stays a HashAggregate with a long-only buffer, its
+    l_orderkey exchange doubles as the SHJ distribution, and the top-10
+    plans as TakeOrderedAndProject with NO aggregate above the joins."""
+    plan = plan_of(spark, "tpch_q3_shipping_priority")
+    assert "SortAggregate" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" in plan
+    # lineitem scan, orders scan, pre-agg, orders-join side = 4 exchanges
+    # max; a post-join aggregate or a second pre-agg shuffle would add more
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 4
+    # no aggregate above the joins: the only HashAggregate nodes are the
+    # two-phase (partial + final) pre-agg below them
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2
