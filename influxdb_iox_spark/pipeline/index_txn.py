@@ -12,9 +12,11 @@ puts, mirrored in ``sources/objstore.py``); this module gives the index
 maintainers the same discipline without changing their partition-scoped
 cost model.
 
-Protocol — put-if-absent only (so it runs unchanged on every backend:
-O_CREAT|O_EXCL on POSIX, ``If-None-Match: *`` on S3, ``ifGenerationMatch=0``
-on GCS, ``If-None-Match`` on Azure, the in-memory store's CAS):
+Protocol — put-if-absent for acquisition, etag-conditional put for
+replacement (both run unchanged on every backend: O_CREAT|O_EXCL /
+flock-CAS on POSIX, ``If-None-Match: *`` / ``If-Match`` on S3,
+``ifGenerationMatch`` on GCS, ``If-None-Match`` / ``If-Match`` on
+Azure, the in-memory store's locked CAS):
 
 - ``_txncas/txn`` — the writer claim, created with put-if-absent.  Exactly
   one writer holds it; a second ``begin()`` waits (bounded) then raises
@@ -25,15 +27,28 @@ on GCS, ``If-None-Match`` on Azure, the in-memory store's CAS):
   put-if-absent.  ``commit()`` mints version V+1; the monotonic ledger
   makes every committed maintenance run visible to audits, and a version
   observed to move while a claim is held is corruption and raises.
-Unfenced-lease residual (documented, not fixable with put-if-absent
-alone): between a holder's GET-verify and its PUT-refresh there is a
-window where a TTL/grace eviction can install a successor whose claim
-the resurfacing holder then overwrites.  Verified heartbeats (claim-id
-match before every refresh), ownership re-checks at ``mutating()`` and
-``commit()``, and the background heartbeater shrink that window to a
-single GET→PUT round-trip, but a store-side fencing token (conditional
-put on the claim's etag) would be needed to close it entirely — the
-classic residual of every TTL-lease protocol without fencing.
+Fenced leases (round-16, closing the round-14/15 residual): every claim
+REPLACEMENT — a holder's heartbeat refresh, and a waiter's grace/TTL
+eviction — is a conditional put on the etag the preceding GET verified,
+so the store arbitrates exactly one winner: a refresh racing an
+eviction fails loudly (``IndexWriteConflict``) instead of overwriting
+the successor's claim, and two waiters racing the same eviction can
+never double-evict (the old delete-then-put-if-absent had that race).
+The fence is real on every in-repo backend: the memory store's locked
+CAS, POSIX flock-serialized compare-and-replace, GCS
+``ifGenerationMatch``, Azure ``If-Match``, S3 ``If-Match`` (honored by
+AWS conditional writes; an S3-compatible store that silently IGNORES
+``If-Match`` degrades to the old GET→PUT residual — verify enforcement
+before trusting the fence there).  Backends whose ``put`` raises
+``NotImplementedError`` on ``if_match`` keep the legacy unfenced paths.
+Remaining sliver: the claim DELETE on commit/abort release is
+unconditional (the ObjectStore interface has no conditional delete), so
+a successor installed between the release's verify and its delete could
+lose its claim — that window requires the releasing writer's claim to
+already be grace-stale despite the background heartbeater, and the
+successor then re-claims on its next begin(); mutual exclusion of INDEX
+WRITES is preserved because the releasing writer performs no further
+writes after verify.
 
 - Crash safety (the round-12 advice's journal/intent ask): a claim is an
   INTENT MARKER.  ``TxnToken.mutating()`` is called by each maintainer
@@ -108,11 +123,18 @@ class IndexMaintenanceInterrupted(RuntimeError):
 
 class PosixCasStore(ObjectStore):
     """Minimal ObjectStore over a local directory — just enough for the
-    guard protocol (put-if-absent, get, list, delete).  Put-if-absent is
-    O_CREAT|O_EXCL: a true kernel-arbitrated compare-and-swap, the same
-    primitive ``store.py`` uses for chunk-id block claims.  ``if_match``
-    is unsupported (POSIX has no atomic compare-content-and-rename; the
-    guard protocol never needs it)."""
+    guard protocol (put-if-absent, get, conditional put, list, delete).
+    Put-if-absent is O_CREAT|O_EXCL: a true kernel-arbitrated
+    compare-and-swap, the same primitive ``store.py`` uses for chunk-id
+    block claims.  ``if_match`` (round-16, the fenced-lease ask) is a
+    compare-etag-and-replace serialized by an exclusive flock on a
+    sidecar ``.caslock`` — POSIX has no native conditional rename, but
+    on a single host the flock makes check+replace atomic against every
+    other ``if_match`` writer, and put-if-absent's link(2) fails against
+    an existing key regardless, so the fence holds for the guard
+    protocol's access pattern.  Etags are ``(inode, mtime_ns)`` pairs:
+    inode alone recycles after delete (ABA), the ns mtime breaks the
+    tie."""
 
     def __init__(self, root: str):
         self.root = root
@@ -124,11 +146,30 @@ class PosixCasStore(ObjectStore):
             raise ValueError(f"key escapes store root: {key!r}")
         return p
 
+    @staticmethod
+    def _etag_of(p: str) -> str:
+        st = os.stat(p)
+        return f"posix-{st.st_ino}-{st.st_mtime_ns}"
+
     def put(self, key, data, *, if_not_exists=False, if_match=None):
-        if if_match is not None:
-            raise NotImplementedError("PosixCasStore supports only put-if-absent CAS")
         p = self._path(key)
         os.makedirs(os.path.dirname(p), exist_ok=True)
+        if if_match is not None:
+            import fcntl
+
+            lock_path = os.path.join(self.root, ".caslock")
+            with open(lock_path, "w") as lock:
+                fcntl.flock(lock, fcntl.LOCK_EX)
+                try:
+                    if self._etag_of(p) != if_match:
+                        return None  # CAS lost: key changed since the GET
+                except FileNotFoundError:
+                    return None  # CAS lost: key deleted since the GET
+                tmp = p + f".tmp-{uuid.uuid4().hex[:8]}"
+                with open(tmp, "wb") as f:
+                    f.write(bytes(data))
+                os.replace(tmp, p)
+                return self._etag_of(p)
         if if_not_exists:
             # Content-atomic CAS: write the bytes to a private temp file
             # first, then hard-link it into place — link(2) fails with
@@ -146,12 +187,12 @@ class PosixCasStore(ObjectStore):
                 return None  # CAS lost
             finally:
                 os.remove(tmp)
-            return f"posix-{os.stat(p).st_ino}"
+            return self._etag_of(p)
         tmp = p + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "wb") as f:
             f.write(bytes(data))
         os.replace(tmp, p)
-        return f"posix-{os.stat(p).st_ino}"
+        return self._etag_of(p)
 
     def get(self, key):
         try:
@@ -159,7 +200,10 @@ class PosixCasStore(ObjectStore):
                 data = f.read()
         except FileNotFoundError:
             return None
-        return data, f"posix-{os.stat(self._path(key)).st_ino}"
+        try:
+            return data, self._etag_of(self._path(key))
+        except FileNotFoundError:
+            return None  # deleted between read and stat
 
     def list(self, prefix):
         out = []
@@ -261,11 +305,11 @@ class IndexTxnGuard:
             }
         ).encode()
 
-    def _verify_ownership(self, token: TxnToken) -> None:
+    def _verify_ownership(self, token: TxnToken) -> str:
         """Raise (and poison the token) unless the stored claim is THIS
-        token's claim.  GET→compare is the verification half of every
-        refresh/commit; the GET→PUT window that remains is the unfenced-
-        lease residual documented in the module docstring."""
+        token's claim; returns the verified claim's etag so callers can
+        FENCE their follow-up write on it (round-16: the GET→PUT window
+        is closed by conditional put wherever the backend supports it)."""
         existing = self.store.get(self._key(TXN_KEY))
         holder = None
         if existing is not None:
@@ -281,12 +325,55 @@ class IndexTxnGuard:
                 "aborting to preserve mutual exclusion — re-drive the batch"
             )
             raise IndexWriteConflict(token._lost)
+        return existing[1]
 
     def _refresh_claim(self, token: TxnToken) -> None:
-        self._verify_ownership(token)
-        self.store.put(
-            self._key(TXN_KEY), self._claim_body(token.writer, token.claim_id)
-        )
+        """Fenced refresh (round-16, closing the round-14/15 residual):
+        the replacement put is CONDITIONAL on the etag the verify just
+        read, so an eviction that installs a successor between the GET
+        and the PUT makes the put FAIL instead of overwriting the
+        successor's live claim — a true fencing token on every backend
+        with conditional put (memory, POSIX flock-CAS, GCS
+        ifGenerationMatch, Azure If-Match, S3 If-Match where the
+        deployment enforces it).  A backend without ``if_match`` support
+        (NotImplementedError) falls back to the documented GET→PUT
+        residual."""
+        etag = self._verify_ownership(token)
+        body = self._claim_body(token.writer, token.claim_id)
+        try:
+            res = self.store.put(self._key(TXN_KEY), body, if_match=etag)
+        except NotImplementedError:
+            self.store.put(self._key(TXN_KEY), body)
+            return
+        if res is None:
+            token._lost = (
+                f"writer claim for {token.writer!r} was replaced between "
+                "verify and refresh (fenced put refused); a successor "
+                "holds the claim — aborting to preserve mutual exclusion"
+            )
+            raise IndexWriteConflict(token._lost)
+
+    def _evict_and_claim(
+        self, stale_etag: str, writer: str, claim_id: str
+    ) -> bool:
+        """Atomically replace a stale/dead claim with OUR claim via a
+        conditional put on the stale claim's etag (round-16).  The old
+        delete-then-put-if-absent eviction had a classic double-evict
+        race: two waiters both decide the holder is dead, A deletes and
+        claims, B's queued delete then removes A's LIVE claim — zero
+        mutual exclusion under eviction storms.  CAS-replace closes it:
+        exactly one waiter's put matches the stale etag.  Backends
+        without ``if_match`` keep the legacy delete+put-if-absent path
+        (the delete may still race; documented residual)."""
+        body = self._claim_body(writer, claim_id)
+        try:
+            res = self.store.put(
+                self._key(TXN_KEY), body, if_match=stale_etag
+            )
+        except NotImplementedError:
+            self.store.delete(self._key(TXN_KEY))
+            return False  # legacy: loop re-races the put-if-absent
+        return res is not None
 
     def current_version(self) -> int:
         """Newest committed version (0 for a never-guarded index — the
@@ -342,7 +429,13 @@ class IndexTxnGuard:
                     # (round-13 advice) — and is waited on below.  The
                     # re-driven batch converges: every maintainer is
                     # replay-idempotent.
-                    self.store.delete(self._key(TXN_KEY))
+                    claimed = self._evict_and_claim(
+                        existing[1], writer, claim_id
+                    )
+                    if claimed:
+                        return TxnToken(
+                            self, self.current_version(), writer, claim_id
+                        )
                     continue
                 if self.clock() - ts > self.ttl_seconds:
                     if not force:
@@ -353,8 +446,14 @@ class IndexTxnGuard:
                             "crashed mid-mutation; re-drive its batch with "
                             "force=True (maintainers are replay-idempotent)"
                         )
-                    self.store.delete(self._key(TXN_KEY))
-                    continue  # race the put-if-absent below
+                    claimed = self._evict_and_claim(
+                        existing[1], writer, claim_id
+                    )
+                    if claimed:
+                        return TxnToken(
+                            self, self.current_version(), writer, claim_id
+                        )
+                    continue  # someone else evicted/claimed first
                 if self.clock() >= deadline:
                     raise IndexWriteConflict(
                         f"index writer claim held by {body.get('writer')!r}; "

@@ -796,3 +796,75 @@ def test_abort_swallows_transient_store_errors(tmp_path):
     g.abort(tok)  # must not raise despite the store error
     store.get = real_get
     assert store.get(g._key("txn")) is not None  # claim left; TTL evicts
+
+
+class _InjectOnFencedPut:
+    """Store wrapper that installs a SUCCESSOR claim in the exact window
+    between a holder's verify-GET and its fenced refresh-PUT: the first
+    ``if_match`` put first writes the successor's claim through the
+    inner store (changing the etag), then delegates — so the fence must
+    refuse."""
+
+    def __init__(self, inner, successor_body: bytes):
+        self._inner = inner
+        self._successor_body = successor_body
+        self.injected = False
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+    def put(self, key, data, *, if_not_exists=False, if_match=None):
+        if if_match is not None and not self.injected:
+            self.injected = True
+            self._inner.put(key, self._successor_body)
+        return self._inner.put(
+            key, data, if_not_exists=if_not_exists, if_match=if_match
+        )
+
+
+def test_fenced_refresh_refuses_mid_window_successor(backend, tmp_path):
+    """Round-16 fence (closing the round-14/15 unfenced-lease residual):
+    a successor claim installed BETWEEN the holder's verify-GET and its
+    refresh-PUT must make the conditional put fail — the holder raises
+    IndexWriteConflict and the successor's claim survives byte-intact,
+    on every backend."""
+    inner = _new_store(tmp_path)
+    successor = json.dumps(
+        {"writer": "successor", "ts": 1e18, "claim_id": "succ-claim"}
+    ).encode()
+    store = _InjectOnFencedPut(inner, successor)
+    g = IndexTxnGuard(store)
+    tok = g.begin(writer="holder")
+    with pytest.raises(IndexWriteConflict, match="fenced put refused"):
+        tok.heartbeat()
+    # the successor's claim is untouched
+    got = inner.get(g._key("txn"))
+    assert got is not None and json.loads(got[0])["claim_id"] == "succ-claim"
+    # and the poisoned token refuses all later gates
+    with pytest.raises(IndexWriteConflict):
+        tok.mutating()
+    with pytest.raises(IndexWriteConflict):
+        g.commit(tok)
+
+
+def test_eviction_is_atomic_cas_no_double_evict(backend, tmp_path):
+    """Round-16: eviction replaces the stale claim via conditional put,
+    so two waiters racing the SAME eviction get exactly one winner — the
+    loser's CAS fails instead of deleting the winner's live claim (the
+    delete-then-put-if-absent double-evict race)."""
+    store = _new_store(tmp_path)
+    g = IndexTxnGuard(store)
+    store.put(
+        g._key("txn"),
+        json.dumps(
+            {"writer": "dead", "ts": 0.0, "claim_id": "dead-claim"}
+        ).encode(),
+    )
+    stale_etag = store.get(g._key("txn"))[1]
+    winner = g._evict_and_claim(stale_etag, "waiter-a", "claim-a")
+    assert winner is True
+    loser = g._evict_and_claim(stale_etag, "waiter-b", "claim-b")
+    assert loser is False
+    # waiter-a's live claim survived waiter-b's failed eviction
+    body = json.loads(store.get(g._key("txn"))[0])
+    assert body["claim_id"] == "claim-a"
