@@ -118,6 +118,9 @@ def _rev_sum(alias: str) -> F.Column:
     ).alias(alias)
 
 
+#: one day in the canonical i64-ns time unit
+_DAY_NS = 86_400 * 10**9
+
 #: the same two-limb sum for SQL twins (DuckDB spelling)
 _REV_SUM_SQL = (
     "CAST(SUM(({rc}) // 10000) AS DOUBLE)"
@@ -2964,6 +2967,99 @@ WITH old AS (
   FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 )
 SELECT status, count(*) AS n_docs FROM j GROUP BY 1 ORDER BY status
+"""
+
+
+def q_events_moment_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window mean/σ from exact moment cells (round 16;
+    pipeline/moments): per-(event_type, day) cells — one hash
+    aggregate of (n, Σv_µ, Σv_µ²) in decimal(38,0) — then trailing
+    3-day mean/variance/stddev folded ENTIRELY from cells (the
+    kmv_sliding shape: sequence-explode, sum, anchor at present
+    buckets).  Moment merge is lossless, so every window's stats are
+    bit-identical to a direct computation over the window's raw rows —
+    which is exactly how the oracle replays it (HUGEINT sums)."""
+    from influxdb_iox_spark.pipeline.moments import (
+        build_moment_cells,
+        moment_sliding_stats,
+    )
+
+    t = _load(spark, sf_dir, "events")
+    cells = build_moment_cells(
+        t["events"], ["event_type"], "ts", "value", _DAY_NS
+    )
+    return moment_sliding_stats(
+        cells, "bucket", 3, ["event_type"]
+    ).orderBy("event_type", "bucket")
+
+
+SQL_EVENTS_MOMENT_SLIDING = """
+WITH r AS (
+  SELECT event_type,
+         (epoch_us(ts) * 1000) // 86400000000000 AS bucket,
+         value AS v,
+         CAST(round(value * 1000000) AS HUGEINT) AS vm
+  FROM events
+), b AS (
+  SELECT DISTINCT event_type, bucket FROM r
+), w AS (
+  SELECT b.event_type, b.bucket,
+         COUNT(r.v) AS n,
+         SUM(r.vm) AS s,
+         SUM(r.vm * r.vm) AS s2
+  FROM b JOIN r ON r.event_type = b.event_type
+             AND r.bucket BETWEEN b.bucket - 2 AND b.bucket
+  GROUP BY 1, 2
+)
+SELECT event_type, bucket, n,
+  round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6) * 1000000) / 1000000
+    AS mean,
+  round(greatest((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) / 1e12, 0.0)
+    * 1000000) / 1000000 AS variance,
+  round(sqrt(greatest((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) / 1e12, 0.0))
+    * 1000000) / 1000000 AS stddev
+FROM w ORDER BY event_type, bucket
+"""
+
+
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified weighted sampling (round 16;
+    pipeline/corpus.stratified_weighted_sample): top-5 documents per
+    language drawn without replacement with probability ∝ n_chars —
+    Efraimidis–Spirakis keys (ln w + Gumbel(0,1)) from the portable
+    md5-uniform recipe, so the SAME sample falls out of any engine."""
+    from influxdb_iox_spark.pipeline.corpus import stratified_weighted_sample
+
+    t = _load(spark, sf_dir, "documents")
+    return (
+        stratified_weighted_sample(
+            t["documents"], k=5, weight_col="n_chars",
+            strata_col="lang", id_col="doc_id", seed=7,
+        )
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("lang", "doc_id")
+    )
+
+
+SQL_DOC_WEIGHTED_SAMPLE = """
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+    ln(CAST(n_chars AS DOUBLE))
+      - ln(-ln((CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)),
+                                     1, 8)) AS BIGINT) + 0.5)
+               / 4294967296.0)) AS gkey
+  FROM documents
+  WHERE CAST(n_chars AS DOUBLE) > 0
+), r AS (
+  SELECT doc_id, lang, n_chars,
+    row_number() OVER (PARTITION BY lang ORDER BY gkey DESC, doc_id) AS rk
+  FROM keyed
+)
+SELECT doc_id, lang, n_chars FROM r WHERE rk <= 5 ORDER BY lang, doc_id
 """
 
 
@@ -6628,6 +6724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_snapshot_diff": q_doc_snapshot_diff,
         "events_funnel_horizon": q_events_funnel_horizon,
         "events_retention": q_events_retention,
+        "events_moment_sliding": q_events_moment_sliding,
+        "doc_weighted_sample": q_doc_weighted_sample,
         "series_counter_rate": q_series_counter_rate,
         "series_value_histogram": q_series_value_histogram,
         "series_anomaly_flags": q_series_anomaly_flags,
@@ -7020,6 +7118,8 @@ def oracle_sql() -> dict[str, str]:
         "events_kmv_sliding": SQL_EVENTS_KMV_SLIDING,
         "doc_split_assign": SQL_DOC_SPLIT_ASSIGN,
         "doc_snapshot_diff": SQL_DOC_SNAPSHOT_DIFF,
+        "events_moment_sliding": SQL_EVENTS_MOMENT_SLIDING,
+        "doc_weighted_sample": SQL_DOC_WEIGHTED_SAMPLE,
         "events_funnel_horizon": SQL_EVENTS_FUNNEL_HORIZON,
         "events_retention": SQL_EVENTS_RETENTION,
         "series_counter_rate": SQL_SERIES_COUNTER_RATE,

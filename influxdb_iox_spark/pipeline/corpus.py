@@ -283,6 +283,67 @@ def deterministic_sample(
     )
 
 
+def stratified_weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Top-``k`` documents PER STRATUM drawn without replacement with
+    probability proportional to ``weight_col`` — the per-language /
+    per-domain twin of ``dsir.dsir_resample``'s global Gumbel top-k
+    (Efraimidis–Spirakis weighted reservoir, distributed formulation):
+    key = ln(w) + Gumbel(0,1), keep each stratum's k largest keys.
+
+    "Sample 100k docs per language, weighted by quality score" is the
+    standard curriculum-mixing primitive; uniform per-stratum sampling
+    (``deterministic_sample``) can't express the weighting, and the
+    global resample can't express the quota.
+
+    The Gumbel noise is a pure function of (seed, id) via the engine's
+    portable md5 recipe (u = (h32 + 0.5)/2^32, g = −ln(−ln u)), so the
+    draw is deterministic across runs, cluster layouts, and engines —
+    DuckDB replays it bit-for-bit, making the operator oracle-pairable.
+    Rows with NULL or non-positive weight are excluded (ln undefined) —
+    matching the oracle's WHERE.
+
+    Scale shape: one rank window partitioned BY STRATUM — parallelism
+    is stratum count, and within a stratum the window's sort carries
+    only (stratum, key, id).  A single monster stratum serializes into
+    one task's sort — the same documented per-key floor as every
+    per-series analytic (SCALE.md §r15); quota sampling cannot avoid
+    ranking within the quota's scope."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h32.cast("double") + F.lit(0.5)) / F.lit(float(2**32))
+    key = F.log(F.col(weight_col).cast("double")) - F.log(-F.log(u))
+    w = Window.partitionBy(strata_col).orderBy(F.desc("__gkey"), id_col)
+    return (
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .withColumn("__gkey", key)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__gkey", "__rk")
+    )
+
+
 def split_assign(
     df: DataFrame,
     splits: dict[str, float] | None = None,

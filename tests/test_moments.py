@@ -1,0 +1,118 @@
+"""Exact mergeable moment cells (pipeline/moments — round 16).
+
+The rollup trio's exact member: unlike the HLL cells (approximate,
+pytest-gated) and like the KMV cells (deterministic), moment cells are
+LOSSLESSLY mergeable — summing (n, Σv_µ, Σv_µ²) over any cell union is
+bit-identical to aggregating the unioned raw rows — so every derived
+stat is checked here against a direct numpy computation at full
+precision, and the declared query is oracle-paired vs DuckDB HUGEINT.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from influxdb_iox_spark.pipeline.moments import (
+    build_moment_cells,
+    moment_sliding_stats,
+    moment_stats,
+)
+
+DAY = 86_400 * 10**9
+
+
+def _toy(spark):
+    rows = []
+    vals = [1.5, -2.25, 3.125, 7.0, 0.0, -1.0, 2.5, 4.75, -3.5, 6.25]
+    for i, v in enumerate(vals):
+        rows.append(("a", (i % 4) * DAY + i, v))
+    for i, v in enumerate(vals[:6]):
+        rows.append(("b", (i % 2) * DAY + i, v * 2))
+    return spark.createDataFrame(rows, "k string, t long, v double")
+
+
+def _expected(rows):
+    n = len(rows)
+    mus = [round(v * 1e6) for v in rows]
+    s, s2 = sum(mus), sum(m * m for m in mus)
+    mean = s / n / 1e6
+    var = max((s2 / n - (s / n) * (s / n)) / 1e12, 0.0)
+    r6 = lambda x: round(x * 1e6) / 1e6
+    return n, r6(mean), r6(var), r6(math.sqrt(var))
+
+
+def test_cells_merge_losslessly_to_direct_aggregate(spark):
+    df = _toy(spark)
+    cells = build_moment_cells(df, ["k"], "t", "v", DAY)
+    # regroup to per-key totals and compare against full-precision python
+    got = {
+        r["k"]: (r["n"], r["mean"], r["variance"], r["stddev"])
+        for r in moment_stats(cells, ["k"]).collect()
+    }
+    data = {
+        "a": [1.5, -2.25, 3.125, 7.0, 0.0, -1.0, 2.5, 4.75, -3.5, 6.25],
+        "b": [v * 2 for v in [1.5, -2.25, 3.125, 7.0, 0.0, -1.0]],
+    }
+    for k, vals in data.items():
+        assert got[k] == pytest.approx(_expected(vals), abs=2e-6)
+    # grand total (group_keys=[]) merges across keys
+    tot = moment_stats(cells, []).collect()[0]
+    allv = data["a"] + data["b"]
+    assert (
+        tot["n"], tot["mean"], tot["variance"], tot["stddev"]
+    ) == pytest.approx(_expected(allv), abs=2e-6)
+
+
+def test_sliding_windows_match_direct_window_aggregates(spark):
+    df = _toy(spark)
+    cells = build_moment_cells(df, ["k"], "t", "v", DAY)
+    out = {
+        (r["k"], r["bucket"]): (r["n"], r["mean"], r["variance"])
+        for r in moment_sliding_stats(cells, "bucket", 2, ["k"]).collect()
+    }
+    raw = [(r["k"], r["t"] // DAY, r["v"]) for r in df.collect()]
+    buckets = sorted({(k, b) for k, b, _ in raw})
+    assert set(out) == set(buckets)  # anchored at present buckets only
+    for k, b in buckets:
+        vals = [v for kk, bb, v in raw if kk == k and b - 1 <= bb <= b]
+        n, mean, var, _ = _expected(vals)
+        assert out[(k, b)] == pytest.approx((n, mean, var), abs=2e-6)
+
+
+def test_value_range_guard_raises_in_plan(spark):
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 1, 1e13)], "k string, t long, v double"
+    )
+    with pytest.raises(Exception, match="moment cells"):
+        build_moment_cells(df, ["k"], "t", "v", DAY).collect()
+
+
+def test_null_values_excluded_like_sql(spark):
+    df = spark.createDataFrame(
+        [("a", 0, 2.0), ("a", 1, None), ("a", 2, 4.0)],
+        "k string, t long, v double",
+    )
+    cells = build_moment_cells(df, ["k"], "t", "v", DAY)
+    row = moment_stats(cells, ["k"]).collect()[0]
+    assert row["n"] == 2 and row["mean"] == pytest.approx(3.0)
+
+
+def test_cells_stay_jvm_side_single_aggregate(spark):
+    df = _toy(spark)
+    cells = build_moment_cells(df, ["k"], "t", "v", DAY)
+    plan = cells._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    # one logical aggregate = partial + final HashAggregate, one exchange
+    assert plan.count("Exchange") <= 2  # final+initial sections double-print
+
+
+def test_validation(spark):
+    df = _toy(spark)
+    with pytest.raises(ValueError, match="bucket_ns"):
+        build_moment_cells(df, ["k"], "t", "v", 0)
+    cells = build_moment_cells(df, ["k"], "t", "v", DAY)
+    with pytest.raises(ValueError, match="window_buckets"):
+        moment_sliding_stats(cells, "bucket", 0, ["k"])

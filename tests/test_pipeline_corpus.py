@@ -529,3 +529,44 @@ def test_corpus_diff_null_layouts_fingerprint_distinctly(spark):
     }
     # 1 and 2 moved content across columns — changed; 3 is identical
     assert got == {1: "changed", 2: "changed", 3: "unchanged"}
+
+
+def test_stratified_weighted_sample_quota_and_determinism(spark):
+    """stratified_weighted_sample (round 16): exact per-stratum quota,
+    deterministic across runs/layouts, non-positive weights excluded,
+    and heavier docs win proportionally more often (E-S property checked
+    coarsely: doubling every weight in one stratum changes nothing —
+    keys shift by a constant — while a dominant-weight doc is always
+    picked)."""
+    from influxdb_iox_spark.pipeline.corpus import stratified_weighted_sample
+
+    rows = [(i, "en" if i % 2 else "fr", float(1 + i % 7)) for i in range(200)]
+    rows += [(900, "en", 1e9)]          # dominant weight: must be sampled
+    rows += [(901, "en", 0.0), (902, "fr", -3.0), (903, "fr", None)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w double")
+
+    got = stratified_weighted_sample(
+        df, k=5, weight_col="w", strata_col="lang", id_col="doc_id", seed=7
+    ).collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    assert sorted(len(v) for v in by_lang.values()) == [5, 5]
+    assert 900 in by_lang["en"]                       # dominant weight wins
+    assert not {901, 902, 903} & set(d for v in by_lang.values() for d in v)
+
+    again = stratified_weighted_sample(
+        df.repartition(7), k=5, weight_col="w", strata_col="lang",
+        id_col="doc_id", seed=7,
+    ).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in got}
+
+    # scaling every weight by a constant is rank-invariant (ln w + g)
+    scaled = stratified_weighted_sample(
+        df.withColumn("w", F.col("w") * 2), k=5, weight_col="w",
+        strata_col="lang", id_col="doc_id", seed=7,
+    ).collect()
+    assert {r["doc_id"] for r in scaled} == {r["doc_id"] for r in got}
+
+    with pytest.raises(ValueError, match="k must be"):
+        stratified_weighted_sample(df, k=0, weight_col="w")
