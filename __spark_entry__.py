@@ -293,14 +293,17 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        pre.join(
-            # shuffle_hash per the SCALE.md §r14 bounded-key discipline:
-            # o_orderkey is unique on the build side, so the per-partition
-            # map is rows/shuffle-partitions bounded and SHJ skips both
-            # sorts.  Dims stay unhinted (AQE broadcasts them when small).
+        # shuffle_hash builds on PRE (the hinted side): post-collapse it
+        # is the SMALLER side (~orders-with-recent-lineitems, one narrow
+        # row per key) and l_orderkey is unique on it, so the per-task
+        # build map is bounded and SHJ skips both sorts — the SCALE.md
+        # §r14 bounded-key discipline.  Dims stay unhinted (AQE
+        # broadcasts them when small).
+        pre.hint("shuffle_hash")
+        .join(
             t["orders"].filter(
                 F.col("o_orderdate").cast("date") < F.lit("1997-06-01").cast("date")
-            ).hint("shuffle_hash"),
+            ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
