@@ -41,14 +41,15 @@ AWS conditional writes; an S3-compatible store that silently IGNORES
 ``If-Match`` degrades to the old GET→PUT residual — verify enforcement
 before trusting the fence there).  Backends whose ``put`` raises
 ``NotImplementedError`` on ``if_match`` keep the legacy unfenced paths.
-Remaining sliver: the claim DELETE on commit/abort release is
-unconditional (the ObjectStore interface has no conditional delete), so
-a successor installed between the release's verify and its delete could
-lose its claim — that window requires the releasing writer's claim to
-already be grace-stale despite the background heartbeater, and the
-successor then re-claims on its next begin(); mutual exclusion of INDEX
-WRITES is preserved because the releasing writer performs no further
-writes after verify.
+The claim DELETE on commit/abort release is fenced too (round 16):
+``ObjectStore.delete(key, if_match=etag)`` is conditional on the etag
+the release's verify read (both under the token's hb lock, so our own
+heartbeater can't move it in between) — a successor installed in the
+verify→delete window keeps its claim.  Every in-repo backend supports
+it (memory, POSIX flock-CAS, GCS ``ifGenerationMatch``, Azure/S3
+``If-Match``); a third-party store without conditional delete falls
+back to the unconditional path, which is then the ONLY remaining
+unfenced window, on that backend alone.
 
 - Crash safety (the round-12 advice's journal/intent ask): a claim is an
   INTENT MARKER.  ``TxnToken.mutating()`` is called by each maintainer
@@ -216,9 +217,23 @@ class PosixCasStore(ObjectStore):
                     out.append(k)
         return sorted(out)
 
-    def delete(self, key):
+    def delete(self, key, *, if_match=None):
+        p = self._path(key)
+        if if_match is not None:
+            import fcntl
+
+            lock_path = os.path.join(self.root, ".caslock")
+            with open(lock_path, "w") as lock:
+                fcntl.flock(lock, fcntl.LOCK_EX)
+                try:
+                    if self._etag_of(p) != if_match:
+                        return False
+                    os.remove(p)
+                    return True
+                except FileNotFoundError:
+                    return False
         try:
-            os.remove(self._path(key))
+            os.remove(p)
         except FileNotFoundError:
             pass
 
@@ -375,6 +390,20 @@ class IndexTxnGuard:
             return False  # legacy: loop re-races the put-if-absent
         return res is not None
 
+    def _release_claim(self, etag: str) -> None:
+        """Fenced release (round 16, closing the last release sliver):
+        the claim delete is CONDITIONAL on the etag the release's verify
+        read (both run under the token's hb lock, so our own heartbeater
+        cannot move the etag in between) — a successor installed in the
+        verify→delete window keeps its claim, the store refusing our
+        stale delete.  Backends without conditional delete fall back to
+        the unconditional path (now the only unfenced residual, and only
+        on those backends)."""
+        try:
+            self.store.delete(self._key(TXN_KEY), if_match=etag)
+        except (NotImplementedError, TypeError):
+            self.store.delete(self._key(TXN_KEY))
+
     def current_version(self) -> int:
         """Newest committed version (0 for a never-guarded index — the
         protocol is transparently adoptable on existing layouts)."""
@@ -486,7 +515,7 @@ class IndexTxnGuard:
         if token._lost is not None:
             raise IndexWriteConflict(token._lost)
         with token._hb_lock:
-            self._verify_ownership(token)
+            claim_etag = self._verify_ownership(token)
             new_v = token.base_version + 1
             etag = self.store.put(
                 self._key(f"{VER_PREFIX}{new_v:012d}"),
@@ -501,7 +530,7 @@ class IndexTxnGuard:
                     "claim was held — control keys were modified externally"
                 )
             token._done = True
-            self.store.delete(self._key(TXN_KEY))
+            self._release_claim(claim_etag)
         return new_v
 
     def abort(self, token: TxnToken) -> None:
@@ -521,8 +550,8 @@ class IndexTxnGuard:
                 # original exception; the leftover claim just ages out
                 # via TTL eviction (round-15 advice).
                 try:
-                    self._verify_ownership(token)
-                    self.store.delete(self._key(TXN_KEY))
+                    etag = self._verify_ownership(token)
+                    self._release_claim(etag)
                 except Exception:
                     return
 

@@ -210,7 +210,17 @@ class AzureRestObjectStore(ObjectStore):
     def list_with_etags(self, prefix):
         return sorted(self._list_pages(prefix))
 
-    def delete(self, key):
-        self._request(
-            "DELETE", self._url(key), ok=(200, 202), tolerate=(404,)
+    def delete(self, key, *, if_match=None):
+        if if_match is None:
+            self._request(
+                "DELETE", self._url(key), ok=(200, 202), tolerate=(404,)
+            )
+            return None
+        # Conditional delete (round 16): Delete Blob honors If-Match —
+        # first-class Azure semantics (412 on etag mismatch).
+        status, _, _ = self._request(
+            "DELETE", self._url(key),
+            headers={"If-Match": f'"{if_match}"'},
+            ok=(200, 202), tolerate=(404, 409, 412),
         )
+        return status in (200, 202)

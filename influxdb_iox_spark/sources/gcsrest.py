@@ -168,7 +168,19 @@ class GcsRestObjectStore(ObjectStore):
     def list_with_etags(self, prefix):
         return sorted(self._list_pages(prefix))
 
-    def delete(self, key):
-        self._request(
-            "DELETE", self._obj_url(key), ok=(200, 204), tolerate=(404,)
+    def delete(self, key, *, if_match=None):
+        if if_match is None:
+            self._request(
+                "DELETE", self._obj_url(key), ok=(200, 204), tolerate=(404,)
+            )
+            return None
+        # Conditional delete (round 16): generation-fenced via
+        # ifGenerationMatch — long-standing first-class GCS semantics.
+        if not str(if_match).isdigit():
+            return False  # non-generation token can never match (put's rule)
+        status, _, _ = self._request(
+            "DELETE",
+            self._obj_url(key, "ifGenerationMatch=" + str(if_match)),
+            ok=(200, 204), tolerate=(404, 412),
         )
+        return status in (200, 204)

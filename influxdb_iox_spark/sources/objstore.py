@@ -107,8 +107,15 @@ class ObjectStore:
         got = self.get(key)
         return None if got is None else got[1]
 
-    def delete(self, key: str) -> None:
-        """Idempotent delete."""
+    def delete(self, key: str, *, if_match: str | None = None) -> bool | None:
+        """Idempotent delete.  With ``if_match`` (round 16) the delete
+        succeeds only while the object's etag still matches — returns
+        True on success, False when the precondition failed (etag moved
+        or object already gone: the state the caller asserted no longer
+        holds).  Unconditional deletes keep the legacy None return.
+        Backends without conditional-delete support raise
+        NotImplementedError for ``if_match`` (callers fall back to the
+        unconditional path)."""
         raise NotImplementedError
 
 
@@ -154,8 +161,14 @@ class InMemoryObjectStore(ObjectStore):
                 if k.startswith(prefix)
             )
 
-    def delete(self, key):
+    def delete(self, key, *, if_match=None):
         with self._lock:
+            if if_match is not None:
+                cur = self._objects.get(key)
+                if cur is None or cur[1] != if_match:
+                    return False
+                del self._objects[key]
+                return True
             self._objects.pop(key, None)
 
 
@@ -198,9 +211,11 @@ class ThrottledObjectStore(ObjectStore):
         self._wait()
         return self.inner.head(key)
 
-    def delete(self, key):
+    def delete(self, key, *, if_match=None):
         self._wait()
-        return self.inner.delete(key)
+        if if_match is None:
+            return self.inner.delete(key)
+        return self.inner.delete(key, if_match=if_match)
 
 
 def fold_records(adds: list[dict], drops: set[int]) -> list[dict]:

@@ -245,5 +245,19 @@ class S3RestObjectStore(ObjectStore):
     def list_with_etags(self, prefix):
         return sorted(self._list_pages(prefix))
 
-    def delete(self, key):
-        self._request("DELETE", self._url(key), ok=(200, 204), tolerate=(404,))
+    def delete(self, key, *, if_match=None):
+        if if_match is None:
+            self._request(
+                "DELETE", self._url(key), ok=(200, 204), tolerate=(404,)
+            )
+            return None
+        # Conditional delete (round 16): If-Match per AWS conditional
+        # requests.  Same honesty note as the conditional put — an
+        # S3-compatible store that silently ignores If-Match degrades to
+        # an unconditional delete; verify enforcement before trusting it.
+        status, _, _ = self._request(
+            "DELETE", self._url(key),
+            headers={"If-Match": f'"{if_match}"'},
+            ok=(200, 204), tolerate=(404, 409, 412),
+        )
+        return status in (200, 204)

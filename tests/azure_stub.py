@@ -118,7 +118,16 @@ def _make_handler(stub: AzureStub):
             if not key:
                 self._reply(404)
                 return
+            if_match = self.headers.get("If-Match")
             with stub.lock:
+                if if_match is not None:
+                    cur = stub.objects.get(key)
+                    if cur is None:
+                        self._reply(404)
+                        return
+                    if if_match.strip('"') != cur[1]:
+                        self._reply(412)
+                        return
                 existed = stub.objects.pop(key, None) is not None
             self._reply(202 if existed else 404)
 

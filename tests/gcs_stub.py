@@ -117,7 +117,17 @@ def _make_handler(stub: GcsStub):
                 self._reply(404)
                 return
             key = urllib.parse.unquote(u.path[len(obj_root) + 1:])
+            q = urllib.parse.parse_qs(u.query)
+            want_gen = (q.get("ifGenerationMatch") or [None])[0]
             with stub.lock:
+                if want_gen is not None:
+                    cur = stub.objects.get(key)
+                    if cur is None:
+                        self._reply(404)
+                        return
+                    if str(cur[1]) != want_gen:
+                        self._reply(412)
+                        return
                 existed = stub.objects.pop(key, None) is not None
             self._reply(204 if existed else 404)
 

@@ -868,3 +868,59 @@ def test_eviction_is_atomic_cas_no_double_evict(backend, tmp_path):
     # waiter-a's live claim survived waiter-b's failed eviction
     body = json.loads(store.get(g._key("txn"))[0])
     assert body["claim_id"] == "claim-a"
+
+
+def test_conditional_delete_semantics(backend, tmp_path):
+    """Round-16 conditional delete, all 5 backends: a stale etag (or an
+    already-gone key) refuses and leaves the object; the verified etag
+    deletes; unconditional delete keeps the legacy idempotent None."""
+    store = _new_store(tmp_path)
+    e1 = store.put("cd/k", b"v1")
+    assert store.delete("cd/k", if_match="bogus-" + str(e1)) is False
+    assert store.get("cd/k") is not None            # survived the stale try
+    e2 = store.get("cd/k")[1]
+    assert store.delete("cd/k", if_match=e2) is True
+    assert store.get("cd/k") is None
+    assert store.delete("cd/k", if_match=e2) is False   # already gone
+    assert store.delete("cd/k") is None                 # legacy idempotent
+
+
+class _InjectOnFencedDelete:
+    """Installs a SUCCESSOR claim between a release's verify-GET and its
+    conditional DELETE: the first ``if_match`` delete first overwrites
+    the claim through the inner store, then delegates — the fence must
+    refuse and the successor survive."""
+
+    def __init__(self, inner, successor_body: bytes):
+        self._inner = inner
+        self._successor_body = successor_body
+        self.injected = False
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+    def delete(self, key, *, if_match=None):
+        if if_match is not None and not self.injected:
+            self.injected = True
+            self._inner.put(key, self._successor_body)
+        if if_match is None:
+            return self._inner.delete(key)
+        return self._inner.delete(key, if_match=if_match)
+
+
+def test_fenced_release_spares_mid_window_successor(backend, tmp_path):
+    """Round-16: commit's claim release is conditional on the verified
+    etag, so a successor installed in the verify→delete window keeps its
+    claim (the old unconditional delete would have destroyed it) — and
+    the commit itself still succeeds (its version was already minted;
+    the releasing writer performs no index writes after verify)."""
+    inner = _new_store(tmp_path)
+    successor = json.dumps(
+        {"writer": "successor", "ts": 1e18, "claim_id": "succ-claim"}
+    ).encode()
+    store = _InjectOnFencedDelete(inner, successor)
+    g = IndexTxnGuard(store)
+    tok = g.begin(writer="holder")
+    assert g.commit(tok) == 1
+    got = inner.get(g._key("txn"))
+    assert got is not None and json.loads(got[0])["claim_id"] == "succ-claim"
