@@ -116,3 +116,191 @@ def test_validation(spark):
     cells = build_moment_cells(df, ["k"], "t", "v", DAY)
     with pytest.raises(ValueError, match="window_buckets"):
         moment_sliding_stats(cells, "bucket", 0, ["k"])
+
+
+# ---------------------------------------------------------------------------
+# Persistence + exactly-once incremental maintenance (round 16)
+# ---------------------------------------------------------------------------
+
+
+def _raw(spark, n, offset=0):
+    return spark.range(offset, offset + n).select(
+        (F.col("id") % 3).cast("string").alias("k"),
+        (F.col("id") * 1_000_000).alias("t"),
+        (F.col("id") % 100).cast("double").alias("v"),
+    )
+
+
+def test_persisted_fold_matches_from_scratch(spark, tmp_path):
+    from influxdb_iox_spark.pipeline.moments import (
+        build_moment_cells,
+        moment_stats,
+        read_moment_cells,
+        save_moment_cells,
+        update_moment_cells,
+    )
+
+    path = str(tmp_path / "mo")
+    seed = _raw(spark, 1_000)
+    save_moment_cells(spark, path, seed, ["k"], "t", "v", DAY)
+    b1 = _raw(spark, 500, offset=1_000)
+    assert update_moment_cells(spark, path, b1, batch_id=1) is True
+
+    cells, meta = read_moment_cells(spark, path)
+    assert meta["bucket_ns"] == DAY
+    got = {
+        r["k"]: (r["n"], r["mean"], r["variance"])
+        for r in moment_stats(cells, ["k"]).collect()
+    }
+    direct = build_moment_cells(
+        seed.unionByName(b1), ["k"], "t", "v", DAY
+    )
+    want = {
+        r["k"]: (r["n"], r["mean"], r["variance"])
+        for r in moment_stats(direct, ["k"]).collect()
+    }
+    assert got == want  # lossless fold: bit-identical to from-scratch
+
+
+def test_replayed_batch_id_is_skipped_exactly_once(spark, tmp_path):
+    from influxdb_iox_spark.pipeline.moments import (
+        moment_stats,
+        read_moment_cells,
+        save_moment_cells,
+        update_moment_cells,
+    )
+
+    path = str(tmp_path / "mo")
+    save_moment_cells(spark, path, _raw(spark, 400), ["k"], "t", "v", DAY)
+    b1 = _raw(spark, 300, offset=400)
+    assert update_moment_cells(spark, path, b1, batch_id=7) is True
+    before = sorted(
+        map(tuple, moment_stats(read_moment_cells(spark, path)[0], ["k"]).collect())
+    )
+    # at-least-once replay of the SAME batch: must be a no-op
+    assert update_moment_cells(spark, path, b1, batch_id=7) is False
+    after = sorted(
+        map(tuple, moment_stats(read_moment_cells(spark, path)[0], ["k"]).collect())
+    )
+    assert after == before  # no double-count
+
+
+def test_crashed_fold_redrives_convergently(spark, tmp_path):
+    """A failure AFTER the next version's directory write but BEFORE the
+    commit mint leaves the current version untouched; the re-driven
+    batch rebuilds from it and converges (versioned swap, not
+    overwrite-in-place)."""
+    from influxdb_iox_spark.pipeline.index_txn import (
+        IndexMaintenanceInterrupted,
+        guard_for_path,
+    )
+    from influxdb_iox_spark.pipeline.moments import (
+        _cells_dir,
+        build_moment_cells,
+        moment_stats,
+        read_moment_cells,
+        save_moment_cells,
+        update_moment_cells,
+    )
+
+    path = str(tmp_path / "mo")
+    seed = _raw(spark, 400)
+    save_moment_cells(spark, path, seed, ["k"], "t", "v", DAY)
+    b1 = _raw(spark, 300, offset=400)
+
+    # simulate the torn run: next version's directory exists, claim left
+    # as the intent marker, version NOT minted.  A FOREIGN writer name —
+    # a same-named crash would self-succeed by the named-writer rule
+    # instead of surfacing the interruption.
+    g = guard_for_path(path)
+    tok = g.begin(writer="moments:crashed-twin")
+    tok.mutating()
+    build_moment_cells(b1, ["k"], "t", "v", DAY).write.mode(
+        "overwrite"
+    ).parquet(_cells_dir(path, tok.base_version + 1))
+    # crash: no commit, no abort; ttl-expire the claim so redrive sees a wreck
+    import json as _json
+    import os as _os
+
+    claim_path = _os.path.join(path, "_txncas", "txn")
+    body = _json.loads(open(claim_path).read())
+    body["ts"] -= 10_000.0
+    open(claim_path, "w").write(_json.dumps(body))
+
+    with pytest.raises(IndexMaintenanceInterrupted):
+        update_moment_cells(spark, path, b1, batch_id=1)
+    assert update_moment_cells(spark, path, b1, batch_id=1, force=True)
+    got = sorted(
+        map(tuple, moment_stats(read_moment_cells(spark, path)[0], ["k"]).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            moment_stats(
+                build_moment_cells(seed.unionByName(b1), ["k"], "t", "v", DAY),
+                ["k"],
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
+def test_streaming_moments_ingest_exactly_once(spark, tmp_path):
+    """MomentsIngest through a real Structured Streaming source: folds
+    match a from-scratch build EXACTLY (not within-error — moments are
+    exact), a checkpoint restart re-folds nothing, and a replayed batch
+    id is skipped by the applied ledger."""
+    import os
+
+    from influxdb_iox_spark.pipeline.moments import (
+        build_moment_cells,
+        moment_stats,
+        read_moment_cells,
+        save_moment_cells,
+    )
+    from influxdb_iox_spark.streaming.moments_ingest import MomentsIngest
+
+    path = str(tmp_path / "mo")
+    seed = _raw(spark, 1_000)
+    save_moment_cells(spark, path, seed, ["k"], "t", "v", DAY)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b1 = _raw(spark, 600, offset=1_000)
+    b2 = _raw(spark, 600, offset=1_600)
+    b1.coalesce(1).write.mode("append").json(src)
+    b2.coalesce(1).write.mode("append").json(src)
+
+    def stream():
+        return (
+            spark.readStream.schema("k string, t long, v double")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+
+    ing = MomentsIngest(spark, path)
+    ing.start(stream(), str(tmp_path / "ckpt")).awaitTermination(120)
+    assert ing.rows_total == 1_200
+
+    everything = seed.unionByName(b1).unionByName(b2)
+    want = sorted(
+        map(
+            tuple,
+            moment_stats(
+                build_moment_cells(everything, ["k"], "t", "v", DAY), ["k"]
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(tuple, moment_stats(read_moment_cells(spark, path)[0], ["k"]).collect())
+    )
+    assert got == want
+
+    # restart on the same checkpoint: nothing re-folds
+    ing2 = MomentsIngest(spark, path)
+    ing2.start(stream(), str(tmp_path / "ckpt")).awaitTermination(120)
+    assert ing2.rows_total == 0
+    got2 = sorted(
+        map(tuple, moment_stats(read_moment_cells(spark, path)[0], ["k"]).collect())
+    )
+    assert got2 == want
