@@ -56,7 +56,7 @@ def main() -> None:
 
     # plan-shape JIT warm on a small slice (bench.py protocol)
     near_duplicate_pairs_minhash(
-        docs.limit(2000), threshold=0.7, materialize="parquet"
+        docs.limit(2000), threshold=0.5, materialize="parquet"
     ).write.mode("overwrite").format("noop").save()
 
     # ---- stage decomposition (one pass, parquet-materialized) ----
@@ -74,7 +74,7 @@ def main() -> None:
 
     sent_mid = round(_sentinel_once(), 3)
     t0 = time.perf_counter()
-    jaccard_verify(cands, sigs, "doc_id", 0.7).write.mode(
+    jaccard_verify(cands, sigs, "doc_id", 0.5).write.mode(
         "overwrite"
     ).format("noop").save()
     stages["jaccard_verify"] = round(time.perf_counter() - t0, 3)
@@ -92,7 +92,7 @@ def main() -> None:
         sents.append(round(_sentinel_once(), 3))
         t0 = time.perf_counter()
         near_duplicate_pairs_minhash(
-            docs, threshold=0.7, materialize="parquet"
+            docs, threshold=0.5, materialize="parquet"
         ).write.mode("overwrite").format("noop").save()
         runs.append(round(time.perf_counter() - t0, 3))
     sent_after = round(min(_sentinel_once() for _ in range(3)), 3)
