@@ -3029,6 +3029,54 @@ FROM w ORDER BY event_type, bucket
 """
 
 
+def q_events_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantiles from deterministic bottom-k sample cells
+    (round 16; pipeline/samples): per-(event_type, day) cells keep the
+    k=256 rows with smallest md5(event_id) hashes; per-event_type
+    p25/p50/p95 come from the losslessly merged samples — bit-identical
+    to sampling the raw rows directly, which is exactly how the oracle
+    replays it (same md5 recipe, same order statistic)."""
+    from influxdb_iox_spark.pipeline.samples import (
+        build_sample_cells,
+        sample_quantiles,
+    )
+
+    t = _load(spark, sf_dir, "events")
+    cells = build_sample_cells(
+        t["events"], ["event_type"], "ts", "event_id", "value", _DAY_NS
+    )
+    return sample_quantiles(
+        cells, [0.25, 0.5, 0.95], ["event_type"]
+    ).orderBy("event_type")
+
+
+SQL_EVENTS_SAMPLE_QUANTILES = """
+WITH h AS (
+  SELECT event_type, value AS v,
+    row_number() OVER (
+      PARTITION BY event_type
+      ORDER BY CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+               AS BIGINT)
+    ) AS rk
+  FROM events
+), tot AS (
+  SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1
+), s AS (
+  SELECT event_type,
+    list_sort(list(v) FILTER (v IS NOT NULL)) AS vals,
+    COUNT(*) AS ns
+  FROM h WHERE rk <= 256 GROUP BY 1
+)
+SELECT s.event_type, tot.n,
+  CAST(tot.n <= s.ns AS BIGINT) AS is_exact,
+  vals[CAST(floor(0.25 * (len(vals) - 1)) AS INT) + 1] AS q_25,
+  vals[CAST(floor(0.5  * (len(vals) - 1)) AS INT) + 1] AS q_50,
+  vals[CAST(floor(0.95 * (len(vals) - 1)) AS INT) + 1] AS q_95
+FROM s JOIN tot ON s.event_type = tot.event_type
+ORDER BY s.event_type
+"""
+
+
 def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified weighted sampling (round 16;
     pipeline/corpus.stratified_weighted_sample): top-5 documents per
@@ -6728,6 +6776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel_horizon": q_events_funnel_horizon,
         "events_retention": q_events_retention,
         "events_moment_sliding": q_events_moment_sliding,
+        "events_sample_quantiles": q_events_sample_quantiles,
         "doc_weighted_sample": q_doc_weighted_sample,
         "series_counter_rate": q_series_counter_rate,
         "series_value_histogram": q_series_value_histogram,
@@ -7122,6 +7171,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_split_assign": SQL_DOC_SPLIT_ASSIGN,
         "doc_snapshot_diff": SQL_DOC_SNAPSHOT_DIFF,
         "events_moment_sliding": SQL_EVENTS_MOMENT_SLIDING,
+        "events_sample_quantiles": SQL_EVENTS_SAMPLE_QUANTILES,
         "doc_weighted_sample": SQL_DOC_WEIGHTED_SAMPLE,
         "events_funnel_horizon": SQL_EVENTS_FUNNEL_HORIZON,
         "events_retention": SQL_EVENTS_RETENTION,

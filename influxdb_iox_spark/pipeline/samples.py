@@ -1,0 +1,148 @@
+"""Deterministic bottom-k sample cells — mergeable quantiles, no rescan.
+
+The fourth rollup family (HLL ≈distinct, KMV exact-pairable distinct,
+moments exact mean/σ — this adds DISTRIBUTION SHAPE): each cell keeps a
+uniform without-replacement sample of its rows — the k rows whose
+md5-derived 60-bit row-id hashes are smallest (``pipeline/kmv``'s hash
+recipe applied to row IDENTITY instead of value).  Ordering rows by a
+uniform hash of a unique id is a uniform random permutation, so
+bottom-k by hash IS a uniform sample; and bottom-k of a UNION equals
+bottom-k of the per-cell bottom-k's (any union-bottom-k row is in its
+own cell's bottom-k), so cells merge LOSSLESSLY across any regrouping
+or time range — a merged quantile is bit-identical to sampling the
+unioned raw rows directly.
+
+Why not t-digest/KLL: those are better estimators per byte, but their
+merge is implementation-defined and no other engine reproduces their
+internal state — unpairable, like HLL.  This sketch trades constant
+factors for DETERMINISM: DuckDB replays the identical sample and the
+identical order-statistic from the same md5 recipe, so the whole
+surface is hash-exact (the repo's oracle-pairing discipline).
+
+Estimator: the q-quantile of a cell group is the order statistic at
+zero-based index ``floor(q·(n_s−1))`` of the merged sample's sorted
+values (n_s = sample size ≤ k).  When the group's TRUE row count
+n ≤ k the sample is the whole population and the quantile is exact
+(``is_exact`` says so).  Sampling error otherwise is the classic
+order-statistic bound: the returned value's true rank is within
+O(√(q(1−q)/k)) of q with high probability (k=256 ⇒ ~±3% rank at the
+median).
+
+Scale shape: build is one rank-window + one aggregate per cell
+(bounded by k rows/cell, 12-16 B each ⇒ ~4 KB at k=256); every later
+quantile question folds cell arrays, never raw data.  Requires a
+UNIQUE row id column (event_id, doc_id) — sampling a multiset needs
+row identity, not values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_K = 256
+
+
+def _id_hash(col) -> F.Column:
+    """60-bit md5 hash of the row id — the engine's portable recipe
+    (DuckDB: ``CAST(('0x' || substr(md5(CAST(id AS VARCHAR)),1,15)) AS
+    BIGINT)``)."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def build_sample_cells(
+    df: DataFrame,
+    keys: list[str],
+    time_col: str,
+    id_col: str,
+    value_col: str,
+    bucket_ns: int,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """(keys…, bucket, n, sample) cells: ``n`` the exact row count,
+    ``sample`` the ≤k (hash, value) structs with smallest id hashes,
+    sorted by hash.  NULL values participate like any row (quantile
+    callers exclude them at estimate time, mirroring SQL order
+    statistics over non-null values); NULL ids are rejected by the
+    uniqueness contract — the hash of NULL would collide every NULL-id
+    row into one sample slot."""
+    if bucket_ns <= 0:
+        raise ValueError("bucket_ns must be positive")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    base = df.select(
+        *keys,
+        F.expr(f"{time_col} div {bucket_ns}").alias("bucket"),
+        _id_hash(F.col(id_col)).alias("__h"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    w = Window.partitionBy(*keys, "bucket").orderBy("__h")
+    ranked = base.withColumn("__rk", F.row_number().over(w))
+    return (
+        ranked.groupBy(*keys, "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("__rk") <= k,
+                        F.struct(F.col("__h").alias("h"), F.col("__v").alias("v")),
+                    )
+                )
+            ).alias("sample"),
+        )
+    )
+
+
+def sample_quantiles(
+    cells: DataFrame,
+    quantiles: list[float],
+    group_keys: list[str] | None = None,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Re-group cells to any SUBSET of their key/bucket columns and
+    estimate each quantile from the merged bottom-k sample (lossless
+    merge — see module docstring).  Output: (group_keys…, n, is_exact,
+    q_<NN> per requested quantile).  Quantiles are order statistics
+    over the sample's NON-NULL values at zero-based index
+    ``floor(q·(n_s−1))`` — spelled identically in the DuckDB twin, so
+    results are bit-exact across engines."""
+    for q in quantiles:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+    gk = list(group_keys or [])
+    ex = cells.select(
+        *gk, F.col("n").alias("__cell_n"), F.explode("sample").alias("e")
+    ).select(*gk, "__cell_n", F.col("e.h").alias("__h"), F.col("e.v").alias("__v"))
+    if gk:
+        w = Window.partitionBy(*gk).orderBy("__h")
+        kept = ex.withColumn("__rk", F.row_number().over(w)).filter(
+            F.col("__rk") <= k
+        )
+    else:
+        # grand total: TakeOrderedAndProject keeps the merge distributed
+        # (per-partition bottom-k, k rows to the final gather)
+        kept = ex.orderBy("__h").limit(k)
+    # group totals ride a separate small aggregate over cell rows (the
+    # sample explode must not double-count n)
+    totals = cells.groupBy(*gk).agg(F.sum("n").alias("n"))
+    merged = kept.groupBy(*gk).agg(
+        F.array_sort(F.collect_list("__v")).alias("__vals"),  # skips NULLs
+        F.count("*").alias("__ns"),
+    )
+    j = merged.join(totals, gk) if gk else merged.crossJoin(totals)
+    nv = F.size("__vals")
+    cols = [
+        *gk,
+        F.col("n"),
+        (F.col("n") <= F.col("__ns")).cast("bigint").alias("is_exact"),
+    ]
+    for q in quantiles:
+        idx = F.floor(F.lit(float(q)) * (nv - 1).cast("double")).cast("int") + 1
+        name = f"q_{int(round(q * 100)):02d}"
+        cols.append(
+            F.when(nv > 0, F.element_at("__vals", idx)).alias(name)
+        )
+    return j.select(*cols)
