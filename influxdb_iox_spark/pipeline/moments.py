@@ -187,32 +187,18 @@ def moment_sliding_stats(
 #
 # Moment folds are NOT replay-convergent: re-summing a replayed batch
 # double-counts (unlike the HLL rollups, where re-inserting the same
-# values is a set-semantics no-op).  Under at-least-once foreachBatch
-# the fold therefore uses a VERSIONED-SWAP layout instead of the HLL
-# rollups' overwrite-in-place:
-#
-#   <dir>/_moments_meta.json      static config (keys, time/value cols,
-#                                 bucket_ns)
-#   <dir>/cells/v=NNNN/           immutable cell tables, one per
-#                                 committed version; `_applied.json`
-#                                 inside each records every batch id
-#                                 folded into it
-#   <dir>/_txncas/                the index_txn guard (claims + the
-#                                 version ledger that IS the commit)
-#
-# An update writes the NEXT version's directory, then commits — the
-# guard's put-if-absent version mint is the atomic swap.  A crash after
-# the directory write but before the mint leaves the current version
-# untouched; the replayed batch rebuilds v+1 from v and converges.  A
-# replayed ALREADY-COMMITTED batch is skipped by its id in the current
-# version's `_applied.json`.  Exactly-once, not merely at-least-once.
+# values is a set-semantics no-op).  The fold therefore rides the
+# shared exactly-once versioned-swap machinery (pipeline/versioned_fold
+# — layout and crash-safety argument documented there).
+
+from influxdb_iox_spark.pipeline.versioned_fold import (  # noqa: E402
+    cells_dir as _cells_dir,
+    read_versioned_cells,
+    seed_versioned_cells,
+    versioned_fold,
+)
 
 META_FILE = "_moments_meta.json"
-APPLIED_FILE = "_applied.json"
-
-
-def _cells_dir(path: str, version: int) -> str:
-    return os.path.join(path, "cells", f"v={version:04d}")
 
 
 def save_moment_cells(
@@ -226,41 +212,26 @@ def save_moment_cells(
 ) -> None:
     """Seed a persisted moment-cell table (version 1) from a frame —
     possibly an empty one (a stream-maintained table starts empty)."""
-    from influxdb_iox_spark.pipeline.index_txn import guard_for_path
-
-    os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, META_FILE), "w") as f:
-        json.dump(
-            {
-                "kind": "moment_cells",
-                "keys": list(keys),
-                "time_col": time_col,
-                "value_col": value_col,
-                "bucket_ns": int(bucket_ns),
-            },
-            f,
-        )
-    guard = guard_for_path(path)
-    token = guard.begin(writer="moments:seed")
-    token.mutating()
-    cells = build_moment_cells(df, keys, time_col, value_col, bucket_ns)
-    target = _cells_dir(path, token.base_version + 1)
-    cells.write.mode("overwrite").parquet(target)
-    with open(os.path.join(target, APPLIED_FILE), "w") as f:
-        json.dump({"applied": []}, f)
-    guard.commit(token)
+    seed_versioned_cells(
+        path,
+        build_moment_cells(df, keys, time_col, value_col, bucket_ns),
+        {
+            "kind": "moment_cells",
+            "keys": list(keys),
+            "time_col": time_col,
+            "value_col": value_col,
+            "bucket_ns": int(bucket_ns),
+        },
+        META_FILE,
+        writer="moments:seed",
+    )
 
 
 def read_moment_cells(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, dict]:
     """(current-version cells, meta)."""
-    from influxdb_iox_spark.pipeline.index_txn import guard_for_path
-
-    with open(os.path.join(path, META_FILE)) as f:
-        meta = json.load(f)
-    v = guard_for_path(path).current_version()
-    return spark.read.parquet(_cells_dir(path, v)), meta
+    return read_versioned_cells(spark, path, META_FILE)
 
 
 def update_moment_cells(
@@ -274,61 +245,34 @@ def update_moment_cells(
     """Fold one batch of RAW rows into the persisted cells.  Returns
     False (no-op) when ``batch_id`` was already folded into the current
     version — the replayed-batch case; True when a new version was
-    committed.  See the layout comment for the crash-safety argument."""
-    from influxdb_iox_spark.pipeline.index_txn import (
-        guard_for_path,
-        maintenance_txn,
-    )
-
+    committed."""
     with open(os.path.join(path, META_FILE)) as f:
         meta = json.load(f)
-    guard = guard_for_path(path)
 
-    # A replayed batch must leave the version ledger UNTOUCHED, and
-    # maintenance_txn commits (mints a version) on any clean exit — so
-    # the skip path exits via a private exception, which clean-aborts
-    # (nothing mutated: claim released, no version minted).
-    class _AlreadyApplied(Exception):
-        pass
+    def merge(existing: DataFrame) -> DataFrame:
+        batch_cells = build_moment_cells(
+            batch_df,
+            meta["keys"],
+            meta["time_col"],
+            meta["value_col"],
+            meta["bucket_ns"],
+        )
+        return (
+            existing.select(batch_cells.columns)
+            .unionByName(batch_cells)
+            .groupBy(*meta["keys"], "bucket")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("s").alias("s"),
+                F.sum("s2").alias("s2"),
+            )
+        )
 
-    try:
-        with maintenance_txn(
-            path, guard=guard, writer=writer or "moments:update", force=force
-        ) as txn:
-            cur = _cells_dir(path, txn.base_version)
-            with open(os.path.join(cur, APPLIED_FILE)) as f:
-                applied = json.load(f)["applied"]
-            if batch_id is not None and batch_id in applied:
-                raise _AlreadyApplied
-            existing = spark.read.parquet(cur)
-            batch_cells = build_moment_cells(
-                batch_df,
-                meta["keys"],
-                meta["time_col"],
-                meta["value_col"],
-                meta["bucket_ns"],
-            )
-            merged = (
-                existing.select(batch_cells.columns)
-                .unionByName(batch_cells)
-                .groupBy(*meta["keys"], "bucket")
-                .agg(
-                    F.sum("n").alias("n"),
-                    F.sum("s").alias("s"),
-                    F.sum("s2").alias("s2"),
-                )
-            )
-            txn.mutating()
-            target = _cells_dir(path, txn.base_version + 1)
-            merged.write.mode("overwrite").parquet(target)
-            with open(os.path.join(target, APPLIED_FILE), "w") as f:
-                json.dump(
-                    {
-                        "applied": applied
-                        + ([batch_id] if batch_id is not None else [])
-                    },
-                    f,
-                )
-    except _AlreadyApplied:
-        return False
-    return True
+    return versioned_fold(
+        spark,
+        path,
+        merge,
+        batch_id=batch_id,
+        writer=writer or "moments:update",
+        force=force,
+    )

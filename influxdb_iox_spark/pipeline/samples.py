@@ -146,3 +146,112 @@ def sample_quantiles(
             F.when(nv > 0, F.element_at("__vals", idx)).alias(name)
         )
     return j.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Persistence + exactly-once incremental maintenance
+# ---------------------------------------------------------------------------
+#
+# The sample ARRAYS would be replay-convergent under (h, v) dedup, but
+# the exact per-cell count ``n`` is not (a replayed batch would
+# double-count it, and `is_exact` with it) — so sample cells ride the
+# same exactly-once versioned-swap machinery as moment cells
+# (pipeline/versioned_fold: batch-id ledger, atomic version mint,
+# convergent redrive of torn runs).
+
+import json as _json
+import os as _os
+
+from influxdb_iox_spark.pipeline.versioned_fold import (  # noqa: E402
+    read_versioned_cells,
+    seed_versioned_cells,
+    versioned_fold,
+)
+
+META_FILE = "_samples_meta.json"
+
+
+def save_sample_cells(
+    spark,
+    path: str,
+    df: DataFrame,
+    keys: list[str],
+    time_col: str,
+    id_col: str,
+    value_col: str,
+    bucket_ns: int,
+    k: int = DEFAULT_K,
+) -> None:
+    """Seed a persisted sample-cell table (version 1) from a frame —
+    possibly an empty one."""
+    seed_versioned_cells(
+        path,
+        build_sample_cells(df, keys, time_col, id_col, value_col, bucket_ns, k),
+        {
+            "kind": "sample_cells",
+            "keys": list(keys),
+            "time_col": time_col,
+            "id_col": id_col,
+            "value_col": value_col,
+            "bucket_ns": int(bucket_ns),
+            "k": int(k),
+        },
+        META_FILE,
+        writer="samples:seed",
+    )
+
+
+def read_sample_cells(spark, path: str):
+    """(current-version cells, meta)."""
+    return read_versioned_cells(spark, path, META_FILE)
+
+
+def update_sample_cells(
+    spark,
+    path: str,
+    batch_df: DataFrame,
+    batch_id: int | str | None = None,
+    writer: str | None = None,
+    force: bool = False,
+) -> bool:
+    """Fold one batch of RAW rows into the persisted cells: per cell,
+    ``n`` sums and the sample becomes the k smallest of the merged
+    (hash, value) structs — ``slice(array_sort(...), 1, k)``, the
+    lossless bottom-k merge.  Batches must be row-disjoint (standard
+    ingest contract); replays of the SAME batch are skipped by id."""
+    with open(_os.path.join(path, META_FILE)) as f:
+        meta = _json.load(f)
+    k = int(meta["k"])
+
+    def merge(existing: DataFrame) -> DataFrame:
+        batch_cells = build_sample_cells(
+            batch_df,
+            meta["keys"],
+            meta["time_col"],
+            meta["id_col"],
+            meta["value_col"],
+            meta["bucket_ns"],
+            k,
+        )
+        return (
+            existing.select(batch_cells.columns)
+            .unionByName(batch_cells)
+            .groupBy(*meta["keys"], "bucket")
+            .agg(
+                F.sum("n").alias("n"),
+                F.slice(
+                    F.array_sort(F.flatten(F.collect_list("sample"))),
+                    1,
+                    k,
+                ).alias("sample"),
+            )
+        )
+
+    return versioned_fold(
+        spark,
+        path,
+        merge,
+        batch_id=batch_id,
+        writer=writer or "samples:update",
+        force=force,
+    )

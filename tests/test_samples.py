@@ -108,3 +108,115 @@ def test_validation(spark):
     cells = build_sample_cells(df, ["k"], "t", "rid", "v", DAY)
     with pytest.raises(ValueError, match="outside"):
         sample_quantiles(cells, [1.5], ["k"])
+
+
+# ---------------------------------------------------------------------------
+# Persistence + exactly-once incremental maintenance (shared machinery)
+# ---------------------------------------------------------------------------
+
+
+def _raw_ids(spark, n, offset=0):
+    return spark.range(offset, offset + n).select(
+        (F.col("id") % 3).cast("string").alias("k"),
+        (F.col("id") * 1_000_000).alias("t"),
+        F.col("id").alias("rid"),
+        ((F.col("id") * 37) % 1000).cast("double").alias("v"),
+    )
+
+
+def test_persisted_sample_fold_matches_from_scratch_and_skips_replay(
+    spark, tmp_path
+):
+    from influxdb_iox_spark.pipeline.samples import (
+        read_sample_cells,
+        save_sample_cells,
+        update_sample_cells,
+    )
+
+    path = str(tmp_path / "sm")
+    seed = _raw_ids(spark, 1_000)
+    save_sample_cells(spark, path, seed, ["k"], "t", "rid", "v", DAY, k=64)
+    b1 = _raw_ids(spark, 500, offset=1_000)
+    assert update_sample_cells(spark, path, b1, batch_id=1) is True
+
+    cells, meta = read_sample_cells(spark, path)
+    assert meta["k"] == 64
+    got = sorted(
+        map(tuple, sample_quantiles(cells, [0.5, 0.9], ["k"], k=64).collect())
+    )
+    direct = build_sample_cells(
+        seed.unionByName(b1), ["k"], "t", "rid", "v", DAY, k=64
+    )
+    want = sorted(
+        map(tuple, sample_quantiles(direct, [0.5, 0.9], ["k"], k=64).collect())
+    )
+    assert got == want  # lossless fold: bit-identical to from-scratch
+
+    # replay of the same batch id: exactly-once skip, cells unchanged
+    assert update_sample_cells(spark, path, b1, batch_id=1) is False
+    cells2, _ = read_sample_cells(spark, path)
+    got2 = sorted(
+        map(tuple, sample_quantiles(cells2, [0.5, 0.9], ["k"], k=64).collect())
+    )
+    assert got2 == want
+
+
+def test_streaming_samples_ingest_exactly_once(spark, tmp_path):
+    import os
+
+    from influxdb_iox_spark.pipeline.samples import (
+        read_sample_cells,
+        save_sample_cells,
+    )
+    from influxdb_iox_spark.streaming.samples_ingest import SamplesIngest
+
+    path = str(tmp_path / "sm")
+    seed = _raw_ids(spark, 800)
+    save_sample_cells(spark, path, seed, ["k"], "t", "rid", "v", DAY, k=64)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b1 = _raw_ids(spark, 400, offset=800)
+    b2 = _raw_ids(spark, 400, offset=1_200)
+    b1.coalesce(1).write.mode("append").json(src)
+    b2.coalesce(1).write.mode("append").json(src)
+
+    def stream():
+        return (
+            spark.readStream.schema("k string, t long, rid long, v double")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+
+    ing = SamplesIngest(spark, path)
+    ing.start(stream(), str(tmp_path / "ckpt")).awaitTermination(120)
+    assert ing.rows_total == 800
+
+    everything = seed.unionByName(b1).unionByName(b2)
+    want = sorted(
+        map(
+            tuple,
+            sample_quantiles(
+                build_sample_cells(
+                    everything, ["k"], "t", "rid", "v", DAY, k=64
+                ),
+                [0.25, 0.5],
+                ["k"],
+                k=64,
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            sample_quantiles(
+                read_sample_cells(spark, path)[0], [0.25, 0.5], ["k"], k=64
+            ).collect(),
+        )
+    )
+    assert got == want
+
+    # checkpoint restart: nothing re-folds
+    ing2 = SamplesIngest(spark, path)
+    ing2.start(stream(), str(tmp_path / "ckpt")).awaitTermination(120)
+    assert ing2.rows_total == 0
