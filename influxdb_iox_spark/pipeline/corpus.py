@@ -317,23 +317,13 @@ def stratified_weighted_sample(
     ranking within the quota's scope."""
     from pyspark.sql import Window
 
+    from influxdb_iox_spark.pipeline.randkeys import gumbel_key
+
     if k < 1:
         raise ValueError("k must be >= 1")
-    h32 = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string")
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
-    u = (h32.cast("double") + F.lit(0.5)) / F.lit(float(2**32))
-    key = F.log(F.col(weight_col).cast("double")) - F.log(-F.log(u))
+    key = gumbel_key(
+        seed, F.col(id_col), F.log(F.col(weight_col).cast("double"))
+    )
     w = Window.partitionBy(strata_col).orderBy(F.desc("__gkey"), id_col)
     return (
         df.filter(F.col(weight_col).cast("double") > 0)

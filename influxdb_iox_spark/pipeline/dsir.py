@@ -185,24 +185,12 @@ def dsir_resample(
     TakeOrderedAndProject-shaped top-k (rank over a single ordered
     window is avoided: filter by the k-th key via a bounded sort).
     """
+    from influxdb_iox_spark.pipeline.randkeys import gumbel_key
+
     if k < 1:
         raise ValueError("k must be >= 1")
-    h32 = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string")
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
-    u = (h32.cast("double") + F.lit(0.5)) / F.lit(float(2**32))
     keyed = weights.withColumn(
-        "__gkey", F.col("dsir_logw") - F.log(-F.log(u))
+        "__gkey", gumbel_key(seed, F.col(id_col), F.col("dsir_logw"))
     )
     # orderBy + limit compiles to TakeOrderedAndProject: bounded heaps
     # map-side and one k-row gather — never a global sort.

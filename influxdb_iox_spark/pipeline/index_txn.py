@@ -401,7 +401,23 @@ class IndexTxnGuard:
         on those backends)."""
         try:
             self.store.delete(self._key(TXN_KEY), if_match=etag)
-        except (NotImplementedError, TypeError):
+        except NotImplementedError:
+            self.store.delete(self._key(TXN_KEY))
+        except TypeError:
+            # Only a pre-conditional-delete signature (a third-party
+            # store whose delete(key) takes no if_match) may fall back;
+            # a TypeError raised INSIDE a fenced implementation must
+            # propagate — an unconditional fallback there could erase a
+            # successor's claim, the exact race the fence closes
+            # (round-16 review).
+            import inspect
+
+            try:
+                params = inspect.signature(self.store.delete).parameters
+            except (TypeError, ValueError):
+                params = {}
+            if "if_match" in params:
+                raise
             self.store.delete(self._key(TXN_KEY))
 
     def current_version(self) -> int:

@@ -191,8 +191,8 @@ def moment_sliding_stats(
 # shared exactly-once versioned-swap machinery (pipeline/versioned_fold
 # — layout and crash-safety argument documented there).
 
-from influxdb_iox_spark.pipeline.versioned_fold import (  # noqa: E402
-    cells_dir as _cells_dir,
+from influxdb_iox_spark.pipeline.versioned_fold import (  # noqa: E402,F401
+    cells_dir as _cells_dir,  # re-exported: tests/test_moments.py builds torn-run layouts with it
     read_versioned_cells,
     seed_versioned_cells,
     versioned_fold,

@@ -46,10 +46,24 @@ DEFAULT_K = 256
 def _id_hash(col) -> F.Column:
     """60-bit md5 hash of the row id — the engine's portable recipe
     (DuckDB: ``CAST(('0x' || substr(md5(CAST(id AS VARCHAR)),1,15)) AS
-    BIGINT)``)."""
-    return F.conv(
-        F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    BIGINT)``).  A NULL id raises IN-PLAN: the uniqueness contract is
+    load-bearing (every NULL would hash to the same NULL slot, and
+    Spark's NULLS FIRST vs DuckDB's NULLS LAST would silently desync
+    the sample from the oracle), so it fails loudly like every other
+    contract breach in this engine (round-16 review)."""
+    return F.when(
+        col.isNotNull(),
+        F.conv(
+            F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
+        ).cast("long"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "sample cells: NULL row id — the sampler requires a "
+                "unique non-null id column (see the module docstring)"
+            )
+        ).cast("long")
+    )
 
 
 def build_sample_cells(
@@ -113,9 +127,37 @@ def sample_quantiles(
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"quantile {q} outside [0, 1]")
     gk = list(group_keys or [])
+    # In-plan k guard (round-16 review): merging at k LARGER than the k
+    # the cells were built with silently breaks the lossless-merge
+    # invariant (ranks past a truncated cell's own k are missing, so
+    # the merged set is no longer the union's bottom-k and quantiles
+    # bias).  A cell that was truncated (n > |sample|) with |sample| <
+    # the requested k proves the mismatch — raise in-plan, riding the
+    # hash expression so pruning can never drop it.
+    checked_h = F.when(
+        (F.col("__cell_n") > F.col("__cs")) & (F.col("__cs") < F.lit(k)),
+        F.raise_error(
+            F.lit(
+                f"sample_quantiles: k={k} exceeds the k these cells "
+                "were built with (a truncated cell holds fewer rows) — "
+                "merge at the cells' own k or rebuild them larger"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("__h0"))
     ex = cells.select(
-        *gk, F.col("n").alias("__cell_n"), F.explode("sample").alias("e")
-    ).select(*gk, "__cell_n", F.col("e.h").alias("__h"), F.col("e.v").alias("__v"))
+        *gk,
+        F.col("n").alias("__cell_n"),
+        F.size("sample").alias("__cs"),
+        F.explode("sample").alias("e"),
+    ).select(
+        *gk,
+        "__cell_n",
+        "__cs",
+        F.col("e.h").alias("__h0"),
+        F.col("e.v").alias("__v"),
+    ).select(
+        *gk, "__cell_n", checked_h.alias("__h"), "__v"
+    )
     if gk:
         w = Window.partitionBy(*gk).orderBy("__h")
         kept = ex.withColumn("__rk", F.row_number().over(w)).filter(

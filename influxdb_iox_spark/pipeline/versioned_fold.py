@@ -30,6 +30,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 APPLIED_FILE = "_applied.json"
 
+#: Non-integer batch ids kept verbatim in the ledger tail; integer ids
+#: beyond the tail are covered by the monotone high-water mark.
+_LEDGER_TAIL = 256
+
 
 def cells_dir(path: str, version: int) -> str:
     return os.path.join(path, "cells", f"v={version:04d}")
@@ -42,19 +46,30 @@ def seed_versioned_cells(
     meta_file: str,
     writer: str,
 ) -> None:
-    """Write the family meta and commit the seed cells as version 1."""
+    """Write the family meta and commit the seed cells as version 1.
+    The meta write happens INSIDE the claimed section (round-16 review:
+    written outside, two racing seeders could leave one seeder's meta
+    over the other's cells — bucket_ns mismatch silently corrupting
+    every later fold), and a second seed of an already-versioned table
+    is refused outright."""
     from influxdb_iox_spark.pipeline.index_txn import guard_for_path
 
     os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, meta_file), "w") as f:
-        json.dump(meta, f)
     guard = guard_for_path(path)
     token = guard.begin(writer=writer)
+    if token.base_version > 0:
+        guard.abort(token)
+        raise ValueError(
+            f"{path} is already seeded (version {token.base_version}); "
+            "fold batches with the family's update function instead"
+        )
+    with open(os.path.join(path, meta_file), "w") as f:
+        json.dump(meta, f)
     token.mutating()
     target = cells_dir(path, token.base_version + 1)
     cells.write.mode("overwrite").parquet(target)
     with open(os.path.join(target, APPLIED_FILE), "w") as f:
-        json.dump({"applied": []}, f)
+        json.dump({"applied": [], "applied_max": None}, f)
     guard.commit(token)
 
 
@@ -103,18 +118,41 @@ def versioned_fold(
         ) as txn:
             cur = cells_dir(path, txn.base_version)
             with open(os.path.join(cur, APPLIED_FILE)) as f:
-                applied = json.load(f)["applied"]
-            if batch_id is not None and batch_id in applied:
+                ledger = json.load(f)
+            applied = ledger["applied"]
+            applied_max = ledger.get("applied_max")
+            # Replay detection is O(1), not an unbounded history scan
+            # (round-16 review): integer batch ids are MONOTONE per
+            # checkpoint (Structured Streaming's contract), so any int
+            # id ≤ the high-water mark is a replay; the bounded tail
+            # covers non-int ids and the ids still inside it.
+            is_replay = batch_id is not None and (
+                batch_id in applied
+                or (
+                    isinstance(batch_id, int)
+                    and applied_max is not None
+                    and batch_id <= applied_max
+                )
+            )
+            if is_replay:
                 raise _AlreadyApplied
             merged = merge(spark.read.parquet(cur))
             txn.mutating()
             target = cells_dir(path, txn.base_version + 1)
             merged.write.mode("overwrite").parquet(target)
+            new_applied = applied + (
+                [batch_id] if batch_id is not None else []
+            )
+            new_max = applied_max
+            if isinstance(batch_id, int):
+                new_max = (
+                    batch_id if new_max is None else max(new_max, batch_id)
+                )
             with open(os.path.join(target, APPLIED_FILE), "w") as f:
                 json.dump(
                     {
-                        "applied": applied
-                        + ([batch_id] if batch_id is not None else [])
+                        "applied": new_applied[-_LEDGER_TAIL:],
+                        "applied_max": new_max,
                     },
                     f,
                 )

@@ -924,3 +924,41 @@ def test_fenced_release_spares_mid_window_successor(backend, tmp_path):
     assert g.commit(tok) == 1
     got = inner.get(g._key("txn"))
     assert got is not None and json.loads(got[0])["claim_id"] == "succ-claim"
+
+
+def test_release_typeerror_inside_fenced_delete_propagates(tmp_path):
+    """Round-16 review: a TypeError raised INSIDE a fenced delete
+    implementation must propagate — only a pre-conditional-delete
+    SIGNATURE (no if_match parameter) may fall back to the unconditional
+    path (falling back on an internal error could erase a successor's
+    claim)."""
+    inner = InMemoryObjectStore()
+
+    class BuggyFencedStore:
+        def __getattr__(self, name):
+            return getattr(inner, name)
+
+        def delete(self, key, *, if_match=None):
+            if if_match is not None:
+                raise TypeError("internal bug inside a fenced delete")
+            return inner.delete(key)
+
+    g = IndexTxnGuard(BuggyFencedStore())
+    tok = g.begin(writer="w")
+    with pytest.raises(TypeError, match="internal bug"):
+        g.commit(tok)
+    assert inner.get(g._key("txn")) is not None  # claim NOT clobbered
+
+    class LegacyStore:
+        def __getattr__(self, name):
+            return getattr(inner, name)
+
+        def delete(self, key):  # pre-conditional-delete signature
+            return inner.delete(key)
+
+    inner2 = InMemoryObjectStore()
+    inner = inner2  # rebind for the closures above
+    g2 = IndexTxnGuard(LegacyStore())
+    tok2 = g2.begin(writer="w")
+    assert g2.commit(tok2) == 1  # falls back cleanly
+    assert inner2.get(g2._key("txn")) is None

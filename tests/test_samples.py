@@ -220,3 +220,60 @@ def test_streaming_samples_ingest_exactly_once(spark, tmp_path):
     ing2 = SamplesIngest(spark, path)
     ing2.start(stream(), str(tmp_path / "ckpt")).awaitTermination(120)
     assert ing2.rows_total == 0
+
+
+def test_null_id_raises_in_plan(spark):
+    """Round-16 review: a NULL row id would collide every NULL row into
+    one NULL-hash slot AND desync Spark's NULLS FIRST rank from the
+    oracle's NULLS LAST — the uniqueness contract raises in-plan."""
+    df = spark.createDataFrame(
+        [("a", 0, 1, 1.0), ("a", 1, None, 2.0)],
+        "k string, t long, rid long, v double",
+    )
+    with pytest.raises(Exception, match="NULL row id"):
+        build_sample_cells(df, ["k"], "t", "rid", "v", DAY).collect()
+
+
+def test_merge_k_larger_than_cell_k_raises(spark):
+    """Round-16 review: merging at k larger than the cells' build k
+    silently breaks the lossless-merge invariant (ranks past a
+    truncated cell's own k are missing) — the in-plan guard raises on
+    the first truncated cell instead."""
+    df = _raw(spark, 400)  # 100 rows/key: truncated at k=4
+    cells = build_sample_cells(df, ["k"], "t", "rid", "v", 100 * DAY, k=4)
+    with pytest.raises(Exception, match="exceeds the k these cells"):
+        sample_quantiles(cells, [0.5], ["k"], k=8).collect()
+    # at the cells' own k the merge is fine
+    assert len(sample_quantiles(cells, [0.5], ["k"], k=4).collect()) == 4
+    # and UNtruncated cells accept any k (the sample is the population)
+    small = build_sample_cells(df.limit(3), ["k"], "t", "rid", "v", DAY, k=64)
+    sample_quantiles(small, [0.5], ["k"], k=256).collect()  # no raise
+
+
+def test_seed_refused_twice_and_monotone_replay_high_water(spark, tmp_path):
+    """Round-16 review: (a) re-seeding an already-versioned table is
+    refused (racing seeders could leave meta/cells mismatched); (b) the
+    batch ledger keeps an O(1) high-water mark — an integer id at or
+    below it is a replay even when outside the bounded tail (Structured
+    Streaming ids are monotone per checkpoint)."""
+    from influxdb_iox_spark.pipeline.samples import (
+        save_sample_cells,
+        update_sample_cells,
+    )
+
+    path = str(tmp_path / "sm")
+    save_sample_cells(
+        spark, path, _raw_ids(spark, 100), ["k"], "t", "rid", "v", DAY, k=16
+    )
+    with pytest.raises(ValueError, match="already seeded"):
+        save_sample_cells(
+            spark, path, _raw_ids(spark, 100), ["k"], "t", "rid", "v", DAY,
+            k=16,
+        )
+    assert update_sample_cells(
+        spark, path, _raw_ids(spark, 50, offset=100), batch_id=5
+    ) is True
+    # id 3 < high-water 5: a replay under the monotone contract
+    assert update_sample_cells(
+        spark, path, _raw_ids(spark, 50, offset=150), batch_id=3
+    ) is False
