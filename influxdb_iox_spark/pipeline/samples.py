@@ -92,22 +92,27 @@ def build_sample_cells(
         _id_hash(F.col(id_col)).alias("__h"),
         F.col(value_col).cast("double").alias("__v"),
     )
+    # Split shapes so the bottom-k leg gets WindowGroupLimit (round-16
+    # review of the sf10 plan): an explicit rank-filter lets Spark push
+    # a per-partition partial top-k BELOW the exchange — each map task
+    # ships at most k rows per cell instead of the cell's whole row set
+    # (the 100 TB difference).  Folding the filter into a `when` inside
+    # collect_list hid it from the optimizer.  The exact count rides a
+    # separate plain aggregate; both legs shuffle on the same keys, so
+    # the join is co-partitioned.
+    counts = base.groupBy(*keys, "bucket").agg(F.count("*").alias("n"))
     w = Window.partitionBy(*keys, "bucket").orderBy("__h")
-    ranked = base.withColumn("__rk", F.row_number().over(w))
-    return (
-        ranked.groupBy(*keys, "bucket")
-        .agg(
-            F.count("*").alias("n"),
-            F.array_sort(
-                F.collect_list(
-                    F.when(
-                        F.col("__rk") <= k,
-                        F.struct(F.col("__h").alias("h"), F.col("__v").alias("v")),
-                    )
-                )
-            ).alias("sample"),
-        )
+    kept = base.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") <= k
     )
+    samples = kept.groupBy(*keys, "bucket").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("__h").alias("h"), F.col("__v").alias("v"))
+            )
+        ).alias("sample")
+    )
+    return counts.join(samples, [*keys, "bucket"])
 
 
 def sample_quantiles(

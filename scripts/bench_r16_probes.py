@@ -30,8 +30,8 @@ PROBES = [
     "events_kmv_sliding",
     "doc_snapshot_diff",
     "events_moment_sliding",
+    "events_sample_quantiles",
     "doc_weighted_sample",
-    "events_lttb_downsample",
 ]
 
 
