@@ -110,6 +110,20 @@ def lttb_downsample(
         F.max(F.col(time_col)).over(wa).alias("__t1"),
         F.max(F.abs(v_dbl)).over(wa).alias("__vamax"),
     )
+    # Materialize the windowed base ONCE (round-16 optimization): five
+    # downstream consumers reference it (passthrough, first/last, the
+    # interior bucket rows on BOTH sides of the anchor join, and the
+    # endpoint anchors), and their subtrees differ just enough — pushed
+    # filters, extra projections — that ReuseExchange can never fire, so
+    # without this the ENTIRE upstream (scan + any caller aggregation +
+    # this window pass) re-executes five times (plan-verified:
+    # plans/r16/events_lttb_downsample_before.txt shows 5 parquet scans
+    # and 10 aggregate exchanges for one query).  localCheckpoint, not
+    # cache(): checkpointed blocks are keyed to THIS RDD object, so a
+    # repeated invocation recomputes from the inputs — no cross-run
+    # result reuse — and the downsampled base (≤ input rows, a handful
+    # of longs per row) is small relative to the raw series.
+    base = base.localCheckpoint(eager=True)
     # short series pass through whole
     passthrough = base.filter(F.col("__n") <= n_out)
     long_series = base.filter(F.col("__n") > n_out)

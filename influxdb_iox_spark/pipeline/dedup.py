@@ -635,12 +635,29 @@ def simhash(
         )
         votes.append(F.sum(bit * 2 - 1).alias(f"__v{b}"))
     agg = toks.groupBy(id_col).agg(*votes)
-    sig = F.lit(0).cast("long")
-    for b in range(64):
-        term = (1 << b) if b < 63 else -(1 << 63)
-        sig = sig + F.when(
-            F.col(f"__v{b}") > 0, F.lit(term).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
+    # Reassemble the signature from the vote signs as two 32-bit halves
+    # via conv(bitstring) — NOT a 64-term chained sum: the chained
+    # when(+)-tree nests 64 Adds deep and Catalyst's optimizer pays for
+    # that depth on EVERY action (a DataFrame write re-plans), measured
+    # ~1.3 s/plan vs ~0.5 s for this flat concat shape on an otherwise
+    # idle driver (round-16 optimization; results verified bit-identical
+    # — shiftleft wraps two's-complement, so hi<<32|lo is exactly the
+    # u64 bit pattern the vote signs spell).
+    bits_hi = F.concat(
+        *[
+            F.when(F.col(f"__v{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for b in range(63, 31, -1)
+        ]
+    )
+    bits_lo = F.concat(
+        *[
+            F.when(F.col(f"__v{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for b in range(31, -1, -1)
+        ]
+    )
+    sig = F.shiftleft(F.conv(bits_hi, 2, 10).cast("long"), 32).bitwiseOR(
+        F.conv(bits_lo, 2, 10).cast("long")
+    )
     sigs = agg.select(F.col(id_col), sig.alias(out_col))
     return df.join(sigs, on=id_col, how="left").withColumn(
         out_col, F.coalesce(F.col(out_col), F.lit(0).cast("long"))
@@ -697,6 +714,16 @@ def simhash_near_pairs(
     sig = simhash(df.select(id_col, text_col), text_col, "sig", id_col).select(
         id_col, "sig"
     )
+    # Materialize the signature frame ONCE (round-16 optimization): both
+    # sides of the banded self-join below derive from it, and without a
+    # materialization the ENTIRE signature pipeline — tokenize, explode,
+    # md5 per token, the 64-sum bit-vote aggregate — executes twice
+    # (plan-verified: plans/r16/simhash_near_dup_before.txt carries the
+    # Generate + 64×partial_sum subtree on BOTH join inputs).  The frame
+    # is two fixed-width columns per document, so the checkpoint is tiny;
+    # localCheckpoint blocks are keyed to this RDD object, so a repeated
+    # invocation recomputes from the inputs (no cross-run result reuse).
+    sig = sig.localCheckpoint(eager=True)
     bands = _simhash_banded(sig, id_col, nbands)
 
     # Banded shuffle-hash self-join on (band, bits): rows are (doc, sig,
@@ -704,8 +731,9 @@ def simhash_near_pairs(
     # output never carry per-bucket struct lists.  (A collect_list +
     # posexplode/slice rewrite measured ~4x slower on first execution
     # because the first Generate materializes the whole bucket array into
-    # every exploded row; the self-join recomputes `bands` twice but both
-    # sides are cheap codegen over the signature frame.)
+    # every exploded row; the banded explode runs once per join side over
+    # the checkpointed signature frame — cheap codegen over two fixed-
+    # width columns.)
     if max_bucket_size is not None and max_bucket_size > 0:
         hot = (
             bands.groupBy("band", "bits")
