@@ -564,27 +564,44 @@ def q_tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _load(spark, sf_dir, "supplier", "lineitem", "orders")
     s, l, o = t["supplier"], t["lineitem"], t["orders"]
     finished = o.filter(o.o_orderstatus == "F").select("o_orderkey", "o_orderdate")
+    # ONE pass over lineitem⋈orders (round-16 optimization — the
+    # EXISTS/NOT-EXISTS distinct-count formulation evaluated the fact
+    # join three times: the all-pairs distinct, and the late-pairs
+    # distinct on both sides of its self-join; 3 lineitem + 3 orders
+    # scans in the before-plan).  The orderkey-partitioned join output
+    # feeds everything downstream without another exchange: the
+    # (orderkey, suppkey) aggregate's clustering is satisfied by the
+    # orderkey hash partitioning (subset rule), and the per-order
+    # window reuses it too — so one fact exchange total.  is_late is
+    # max-of-flags per pair, exactly the old DISTINCT-late membership;
+    # nsupp/nlate are the old COUNT(DISTINCT) values because the rows
+    # counted are already one per pair.
     li = l.join(finished, l.l_orderkey == finished.o_orderkey).select(
-        "l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate"
-    )
-    pairs = li.select("l_orderkey", "l_suppkey").distinct()
-    late = (
-        li.filter(
-            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
         )
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+        .cast("int")
+        .alias("__late"),
     )
-    per_order = pairs.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("nsupp")
+    pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("__late").alias("__is_late")
     )
-    late_per_order = late.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("nlate")
-    )
-    waiting = (
-        late.join(per_order, "l_orderkey")
-        .join(late_per_order, "l_orderkey")
-        .filter((F.col("nsupp") > 1) & (F.col("nlate") == 1))
+    from pyspark.sql import Window
+
+    w_ord = Window.partitionBy("l_orderkey")
+    waiting = pair.select(
+        "l_orderkey",
+        "l_suppkey",
+        "__is_late",
+        F.count("*").over(w_ord).alias("nsupp"),
+        F.sum("__is_late").over(w_ord).alias("nlate"),
+    ).filter(
+        (F.col("__is_late") == 1)
+        & (F.col("nsupp") > 1)
+        & (F.col("nlate") == 1)
     )
     return (
         waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)

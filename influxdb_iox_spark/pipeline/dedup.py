@@ -144,7 +144,16 @@ def minhash_signatures(
 
     a, b = _affine_params(num_perm)
     toks = word_tokens(F.col(text_col))
-    base_df = df.select(F.col(id_col), toks.alias("__t"), F.size(toks).alias("__k"))
+    # Two-step projection so the document is tokenized ONCE: computing
+    # size(toks) alongside toks.alias() inlines a second full split into
+    # the same Project; referencing the materialized __t from a second
+    # Project is safe because CollapseProject only inlines an alias that
+    # is referenced once or cheap, and __t is referenced twice here
+    # (round-16 optimization, plan-verified: one split() in the scan
+    # projection instead of two).
+    base_df = df.select(F.col(id_col), toks.alias("__t")).select(
+        F.col(id_col), F.col("__t"), F.size(F.col("__t")).alias("__k")
+    )
     sc = df.sparkSession.sparkContext
     if base_df.rdd.getNumPartitions() < sc.defaultParallelism:
         base_df = base_df.repartition(sc.defaultParallelism, F.col(id_col))
@@ -188,6 +197,17 @@ def minhash_signatures(
         ),
         F.when(F.col("s").isNotNull(), F.xxhash64(F.col("s"))).alias("__h64"),
     )
+    # Materialize the hashed shingle rows ONCE (round-16 optimization):
+    # the split aggregate below reads `pre` twice (codegen mins +
+    # object-hash collect_set), and the planner does not reuse the
+    # shared subtree (verified: the executed plan carries two full
+    # scan→tokenize→shingle→hash pipelines, no ReusedExchange), so
+    # without this every shingle is cut and hashed twice.  The
+    # checkpointed rows are (id, 2 longs) per shingle — the same bytes
+    # the repartition exchange already moves — and blocks are keyed to
+    # this RDD object, so repeated invocations recompute (no cross-run
+    # result reuse).
+    pre = pre.localCheckpoint(eager=True)
     mins = [
         F.coalesce(
             F.min(

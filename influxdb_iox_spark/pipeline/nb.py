@@ -48,22 +48,37 @@ def train_nb(
     ``word_counts``: (label, w, c).  ``label_stats``: (label, n_docs,
     n_tokens) over non-empty documents.  ``vocab_size``: distinct
     training vocabulary across all labels (the Laplace V)."""
-    toks = ref_docs.select(
-        F.col(label_col).alias("label"),
-        word_tokens(F.col(text_col)).alias("t"),
-    ).filter(F.size("t") > 0)
-    word_counts = (
-        toks.select("label", F.explode("t").alias("w"))
+    # ONE tokenize pass for the whole model (round-16 optimization —
+    # the previous shape re-tokenized the corpus three times: word
+    # counts, label stats, and the eager vocabulary count each replayed
+    # the explode).  posexplode marks each non-empty document exactly
+    # once (pos == 0), so the single (label, w) aggregate carries both
+    # the tf counts and a document-marker sum whose per-label total is
+    # n_docs; n_tokens is the per-label sum of tf.  Empty documents
+    # vanish at the explode (empty array → no rows), preserving the
+    # documented non-empty-documents semantics.  The aggregate is
+    # vocabulary-sized, so the checkpoint is tiny; blocks are keyed to
+    # this RDD object (repeated invocations recompute — no cross-run
+    # result reuse).
+    agg = (
+        ref_docs.select(
+            F.col(label_col).alias("label"),
+            word_tokens(F.col(text_col)).alias("t"),
+        )
+        .select("label", F.posexplode("t").alias("pos", "w"))
         .groupBy("label", "w")
-        .agg(F.count("*").alias("c"))
+        .agg(
+            F.count("*").alias("c"),
+            F.sum(F.when(F.col("pos") == 0, 1).otherwise(0)).alias("__d0"),
+        )
+        .localCheckpoint(eager=True)
     )
-    label_stats = toks.select("label", F.size("t").alias("n")).groupBy(
-        "label"
-    ).agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n").alias("n_tokens"),
+    word_counts = agg.select("label", "w", "c")
+    label_stats = agg.groupBy("label").agg(
+        F.sum("__d0").alias("n_docs"),
+        F.sum("c").alias("n_tokens"),
     )
-    vocab_size = word_counts.select("w").distinct().count()
+    vocab_size = agg.select("w").distinct().count()
     return word_counts, label_stats, int(vocab_size)
 
 

@@ -55,14 +55,24 @@ def build_bm25_index(
     toks = df.select(
         F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("term")
     )
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
-    postings = (
+    # ONE tokenize pass (round-16 optimization): every downstream frame
+    # — doc lengths, postings, document frequencies, the corpus stats
+    # row — derives from the per-(term, doc) tf aggregate, so the
+    # corpus is tokenized and exploded once instead of four times (the
+    # before-plan carried four scan→explode pipelines: dl, postings,
+    # dfreq, and the eager stats collect each re-derived `toks`).  The
+    # doc length is recovered exactly as sum(tf); the checkpoint rows
+    # are (term, id, tf) — the index itself, the same rows the term
+    # exchange already moves — and blocks are keyed to this RDD object,
+    # so repeated invocations recompute (no cross-run result reuse).
+    tf = (
         toks.groupBy("term", id_col)
         .agg(F.count("*").alias("tf"))
-        .join(dl, id_col)
-        .select("term", id_col, "tf", "dl")
+        .localCheckpoint(eager=True)
     )
-    dfreq = postings.groupBy("term").agg(
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    postings = tf.join(dl, id_col).select("term", id_col, "tf", "dl")
+    dfreq = tf.groupBy("term").agg(
         F.count("*").alias("df")
     )
     stats = dl.agg(

@@ -244,9 +244,20 @@ def ngram_counts(
     corpus-statistics shape; at 100 TB add a salt-presplit on the handful
     of stopword-pair grams if AQE's skew handling is not enough.
     """
-    toks = word_tokens(F.col(text_col))
-    ex = df.select(
-        F.col(id_col).alias("__doc"), F.explode(gram_structs(toks, n)).alias("__g")
+    # Project the token array into its own attribute BEFORE the explode
+    # (round-16 optimization): gram_structs references its input 2n
+    # times (n shifted slices + their size bounds), and when the
+    # tokenizer expression is inlined into the Generate operator every
+    # reference re-splits the document — 4 full tokenizations per row
+    # for bigrams (plan-verified).  A Project below Generate survives
+    # optimization (Catalyst collapses Project into Project, not into
+    # Generate), so the split runs once and the slices re-read the
+    # materialized array.
+    base = df.select(
+        F.col(id_col).alias("__doc"), word_tokens(F.col(text_col)).alias("__toks")
+    )
+    ex = base.select(
+        "__doc", F.explode(gram_structs(F.col("__toks"), n)).alias("__g")
     ).select("__doc", gram_join("__g", n).alias("gram"))
     out = ex.groupBy("gram").agg(
         F.count_distinct("__doc").alias("n_docs"),
@@ -440,9 +451,14 @@ def winnow_fingerprints(
     """
     from pyspark.sql import Window
 
-    toks = word_tokens(F.col(text_col))
+    # tokens projected into an attribute before the explode so the
+    # k-gram slices re-read one materialized array instead of inlining
+    # 2k re-tokenizations into the Generate (see ngram_counts)
     grams = df.select(
-        F.col(id_col), F.posexplode(gram_structs(toks, k)).alias("pos", "__g")
+        F.col(id_col), word_tokens(F.col(text_col)).alias("__toks")
+    ).select(
+        F.col(id_col),
+        F.posexplode(gram_structs(F.col("__toks"), k)).alias("pos", "__g"),
     ).select(
         id_col,
         "pos",
