@@ -94,6 +94,14 @@ def seasonal_decompose(
         trend.alias("trend"),
         phase.alias("__phase"),
     ).withColumn("__detr", F.col(value_col) - F.col("trend"))
+    # Materialize the windowed trend frame ONCE (round-16 optimization):
+    # both the phase-mean aggregate and the final join read `base`, and
+    # without this the whole upstream (any caller bucketing aggregate +
+    # the trend window pass) executes twice — the before-plan carried
+    # two full scan→aggregate→window pipelines.  Rows are one per
+    # series point; checkpoint blocks are keyed to this RDD object
+    # (repeated invocations recompute — no cross-run result reuse).
+    base = base.localCheckpoint(eager=True)
     means = (
         base.filter(F.col("__detr").isNotNull())
         .groupBy(*keys, "__phase")

@@ -249,6 +249,14 @@ def kmv_pairwise_overlap(
     to bucketed pairing (pre-filter the sketch table to the key pairs
     you actually need, or add a coarse bucket column and pair within
     buckets), matching the hot-bucket cap discipline in LSH."""
+    # Materialize the sketch table ONCE (round-16 optimization): the
+    # guard count plus both sides of the self-join otherwise re-run the
+    # whole sketch build (scan → agg → bottom-k → collect) three times —
+    # the before-plan carried the build subtree on each join input.  The
+    # table is KB-sized by construction, and checkpoint blocks are keyed
+    # to this RDD object (repeated invocations recompute — no cross-run
+    # result reuse).
+    sketches = sketches.localCheckpoint(eager=True)
     n_keys = sketches.count()  # sketch rows: KB-sized by construction
     if n_keys > max_keys:
         raise ValueError(
