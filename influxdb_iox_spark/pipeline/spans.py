@@ -237,19 +237,27 @@ def remove_duplicate_spans(
     """
     marked = spans
     if keep_first:
-        first = Window.partitionBy("span_text").orderBy(id_col, "span_start")
-        # The "same span" identity for keep-first is the span's full
-        # text; recomputing it via a join against the docs keeps this
-        # function self-contained.
+        first = Window.partitionBy("__span_md5").orderBy(id_col, "span_start")
+        # The "same span" identity for keep-first is the md5 of the
+        # span's full text (the repo-wide md5-identity convention, same
+        # as exact dedup) — grouping by the digest instead of the raw
+        # substring means the ranking exchange and its sort buffers
+        # carry 32-char digests, not arbitrarily long span bytes.
+        # Partitioning by the raw span_text OOM'd a 48 g heap at the
+        # 500k-doc scale probe; recomputing the text via a join against
+        # the docs keeps this function self-contained.
         marked = (
             spans.join(df.select(id_col, text_col), id_col)
             .withColumn(
-                "span_text",
-                F.expr(
-                    f"substring({text_col}, span_start + 1, "
-                    f"span_end - span_start)"
+                "__span_md5",
+                F.md5(
+                    F.expr(
+                        f"substring({text_col}, span_start + 1, "
+                        f"span_end - span_start)"
+                    )
                 ),
             )
+            .select(id_col, "span_start", "span_end", "__span_md5")
             .withColumn("__rk", F.row_number().over(first))
             .filter(F.col("__rk") > 1)
             .select(id_col, "span_start", "span_end")
