@@ -2724,7 +2724,7 @@ def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers end-to-end; the final ln dot product follows the lm.py
     1e-6-rounding contract."""
     from influxdb_iox_spark.pipeline.dsir import (
-        bucket_totals,
+        dsir_bucket_models,
         dsir_log_weights,
         hashed_ngram_counts,
     )
@@ -2739,8 +2739,14 @@ def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     )
     en_ids = docs.filter(F.col("lang") == "en").select("doc_id")
-    target = bucket_totals(feats.join(F.broadcast(en_ids), "doc_id"))
-    raw = bucket_totals(feats)
+    # BOTH bucket models (and, downstream, the scalar totals) come from
+    # ONE checkpointed (bucket, t_cnt, r_cnt) aggregate — the previous
+    # two-frame formulation aggregated feats four times (target and raw
+    # each once for the broadcast and once again inside the totals
+    # cross; before-plan plans/r16/doc_dsir_weights_before.txt).
+    # Bit-identical outputs (integer sufficient statistics; see
+    # dsir_bucket_models' equivalence contract + test).
+    target, raw = dsir_bucket_models(feats, en_ids)
     return dsir_log_weights(
         feats, target, raw, buckets=10_000, validate=False
     ).orderBy("doc_id")
@@ -4240,6 +4246,11 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     is deterministic)."""
     t = _load(spark, sf_dir, "lineitem", "supplier")
     revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", "4,2"))
+    # rev feeds BOTH the max-scalar and the equality join; without
+    # materialization the filtered lineitem scan + aggregate runs twice
+    # (audit plan plans/r16/audit/tpch_q15_*: 2 fact scans).
+    # localCheckpoint the ≤|suppliers|-row frame once — half the fact
+    # work, identical rows.
     rev = (
         t["lineitem"]
         .filter(
@@ -4248,7 +4259,7 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_suppkey")
         .agg(F.sum(revenue).alias("total_rev"))
-    )
+    ).localCheckpoint(eager=True)
     mx = rev.agg(F.max("total_rev").alias("mx"))
     return (
         rev.join(F.broadcast(mx), F.col("total_rev") == F.col("mx"))
@@ -4364,11 +4375,16 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar total becomes a 1-row broadcast cross join."""
     t = _load(spark, sf_dir, "lineitem", "part")
     val = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", "4,2"))
+    # The per-part value frame feeds BOTH the output rows and the scalar
+    # total; without materialization the full lineitem scan + aggregate
+    # runs twice (audit plan plans/r16/audit/tpch_q11_*: 2 fact scans).
+    # localCheckpoint the ≤|parts|-row frame once — half the fact work,
+    # identical rows.
     per_part = (
         t["lineitem"]
         .groupBy("l_partkey")
         .agg(F.sum(val).alias("__v"))
-    )
+    ).localCheckpoint(eager=True)
     total = per_part.agg(F.sum("__v").alias("__total"))
     return (
         per_part.crossJoin(F.broadcast(total))

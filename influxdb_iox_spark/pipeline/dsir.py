@@ -104,6 +104,56 @@ def bucket_totals(feats: DataFrame) -> DataFrame:
     return feats.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
 
 
+def dsir_bucket_models(
+    feats: DataFrame,
+    target_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """(target_counts, raw_counts) — BOTH unigram models from ONE pass.
+
+    ``bucket_totals(feats.join(target_ids))`` + ``bucket_totals(feats)``
+    aggregate the feature frame twice, and a consumer that also derives
+    the model totals from the returned frames (``dsir_log_weights``'s
+    in-plan ``tots`` cross) replays each aggregation again — four passes
+    over the feature frame for ≤ ``buckets`` rows of sufficient
+    statistics.  Here the target membership rides as a broadcast-join
+    marker and one ``(bucket, t_cnt, r_cnt)`` aggregate is
+    ``localCheckpoint``-ed (KB-sized: ≤ buckets rows of three numbers),
+    so every downstream consumer — both model broadcasts AND the totals
+    — reads the materialized statistics instead of re-aggregating.
+
+    Exact-equivalence contract: ``target_ids`` must be DISTINCT ids (the
+    inner-join formulation would double-count duplicated ids; the marker
+    formulation never does).  Counts are integer sums end-to-end, and a
+    bucket with no target-document features is ABSENT from
+    ``target_counts`` (conditional sum → NULL → filtered), exactly as
+    the inner join leaves it absent — so downstream Laplace smoothing
+    sees identical inputs and the scores are bit-identical.
+    """
+    marked = feats.join(
+        F.broadcast(
+            target_ids.select(F.col(id_col)).withColumn("__in_t", F.lit(1))
+        ),
+        id_col,
+        "left",
+    )
+    model = (
+        marked.groupBy("bucket")
+        .agg(
+            F.sum("cnt").alias("__r_cnt"),
+            F.sum(
+                F.when(F.col("__in_t").isNotNull(), F.col("cnt"))
+            ).alias("__t_cnt"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    target = model.filter(F.col("__t_cnt").isNotNull()).select(
+        "bucket", F.col("__t_cnt").alias("cnt")
+    )
+    raw = model.select("bucket", F.col("__r_cnt").alias("cnt"))
+    return target, raw
+
+
 def dsir_log_weights(
     doc_feats: DataFrame,
     target_counts: DataFrame,

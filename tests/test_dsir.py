@@ -16,6 +16,7 @@ import pytest
 
 from influxdb_iox_spark.pipeline.dsir import (
     bucket_totals,
+    dsir_bucket_models,
     dsir_log_weights,
     dsir_resample,
     hashed_ngram_counts,
@@ -145,6 +146,36 @@ def test_resample_tilts_toward_high_weight(spark):
         hits += sum(1 for p in picks if p < 20)
         total += len(picks)
     assert hits / total > 0.7
+
+
+def test_bucket_models_one_pass_equivalence(spark):
+    """dsir_bucket_models (single checkpointed aggregate) must return
+    EXACTLY the rows of the two-pass bucket_totals formulation — same
+    buckets present/absent, same integer counts — and the weights built
+    from it must be bit-identical to the two-pass weights."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in DOCS.items()], "doc_id long, text string"
+    )
+    feats = hashed_ngram_counts(df, buckets=B)
+    tgt_ids = df.filter(df.doc_id.isin(list(TARGET))).select("doc_id")
+
+    tgt2 = bucket_totals(feats.join(tgt_ids, "doc_id"))
+    raw2 = bucket_totals(feats)
+    tgt1, raw1 = dsir_bucket_models(feats, tgt_ids)
+
+    as_set = lambda d: {(r.bucket, r.cnt) for r in d.collect()}
+    assert as_set(tgt1) == as_set(tgt2)
+    assert as_set(raw1) == as_set(raw2)
+    # absent-bucket contract: a bucket with no target features is absent,
+    # not zero (doc 3 is pure off-target text, so such buckets exist here)
+    assert len(as_set(tgt1)) < len(as_set(raw1))
+
+    w1 = dsir_log_weights(feats, tgt1, raw1, buckets=B)
+    w2 = dsir_log_weights(feats, tgt2, raw2, buckets=B)
+    rows = lambda d: sorted(
+        (r.doc_id, r.n_feats, r.dsir_logw) for r in d.collect()
+    )
+    assert rows(w1) == rows(w2)
 
 
 def test_validation(spark):
