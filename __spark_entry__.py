@@ -3065,9 +3065,15 @@ def q_events_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = _load(spark, sf_dir, "events")
+    # The cells frame feeds every downstream branch of the quantile
+    # estimator (the k guard, the merge, and the exact-count fold each
+    # replay the scan→count/window→aggregate build — round-16 audit
+    # plan: 8 events scans).  The cells ARE the KB-bounded rollup
+    # (≤256 (hash, value) pairs per (event_type, day)), so materialize
+    # them once; in production they'd be persisted rollup cells anyway.
     cells = build_sample_cells(
         t["events"], ["event_type"], "ts", "event_id", "value", _DAY_NS
-    )
+    ).localCheckpoint(eager=True)
     return sample_quantiles(
         cells, [0.25, 0.5, 0.95], ["event_type"]
     ).orderBy("event_type")

@@ -215,13 +215,25 @@ def contamination_check(
     )
     if prefilter:
         tr = tr.withColumn("__gh", F.xxhash64("gram"))
-        ev = ev.withColumn("__gh", F.xxhash64("gram"))
-        matched = (
-            tr.select("__gh")
-            .distinct()
-            .join(F.broadcast(ev.select("__gh").distinct()), "__gh", "left_semi")
+        # The eval gram frame feeds TWO branches (the distinct-hash
+        # broadcast and the string-carrying join) and is the small side
+        # by contract (benchmark sets); materialize it once instead of
+        # re-tokenizing the eval docs per branch (round-16 audit plan:
+        # 8 document scans for this operator).
+        ev = (
+            ev.withColumn("__gh", F.xxhash64("gram"))
+            .localCheckpoint(eager=True)
         )
-        tr = tr.join(F.broadcast(matched), "__gh", "left_semi")
+        # Semi-join train grams DIRECTLY against the broadcast eval
+        # hash set.  The previous `matched` intermediate (train-distinct
+        # hashes ∩ eval-distinct hashes) filtered tr to exactly the same
+        # rows — a semi-join against an intersection-with-the-left's-own-
+        # key-set equals a semi-join against the right set — while
+        # costing a full shuffle-distinct over every train gram plus a
+        # second train tokenize.
+        tr = tr.join(
+            F.broadcast(ev.select("__gh").distinct()), "__gh", "left_semi"
+        )
         joined = tr.join(ev, (tr["__gh"] == ev["__gh"]) & (tr["gram"] == ev["gram"]))
     else:
         joined = tr.join(ev, "gram")

@@ -51,10 +51,17 @@ def train_bigram_lm(
     toks = ref_docs.select(word_tokens(F.col(text_col)).alias("t")).filter(
         F.size("t") > 0
     )
+    # uni feeds THREE consumers (the total collect below, the bigram
+    # frame's context join, and the caller's unigram model side), each
+    # of which would otherwise replay the corpus tokenize+explode+agg —
+    # the round-16 audit plan showed the reference corpus scanned 3×.
+    # One eager localCheckpoint of the vocabulary-sized frame runs the
+    # tokenize once; the pairs leg below keeps its own single pass.
     uni = (
         toks.select(F.explode("t").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c1"))
+        .localCheckpoint(eager=True)
     )
     total = uni.agg(F.sum("c1")).collect()[0][0] or 0
     pairs = toks.select(

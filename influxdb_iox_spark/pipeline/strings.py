@@ -44,6 +44,12 @@ def edit_distance_join(
     if max_dist < 0 or q < 1:
         raise ValueError("max_dist >= 0 and q >= 1 required")
     d = max_dist
+    # base feeds SIX join legs (both gram sides, both short sides, both
+    # edge sides); without materialization each leg replays the upstream
+    # scan (+ any distinct/aggregate the caller stacked under df — the
+    # part_name_edit_join audit plan showed 6 part scans).  One eager
+    # localCheckpoint of the (id, s, len) projection — bounded by the
+    # caller's row count — runs that pipeline once.
     base = (
         df.select(
             F.col(id_col).alias("id"),
@@ -51,6 +57,7 @@ def edit_distance_join(
             F.length(str_col).alias("len"),
         )
         .filter(F.col("s").isNotNull() & (F.col("len") > 0))
+        .localCheckpoint(eager=True)
     )
     short_max = q * (d + 1) - 1  # count bound vacuous at/below this length
 

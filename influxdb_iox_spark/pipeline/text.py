@@ -485,7 +485,7 @@ def winnow_similar_pairs(
     w: int = 4,
     min_shared: int = 2,
     max_df: int | None = 50,
-    materialize: str | None = None,
+    materialize: str | None = "local_checkpoint",
 ) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` winnowing fingerprints —
     the MOSS-style local-overlap detector (catches plagiarised/quoted
@@ -502,14 +502,25 @@ def winnow_similar_pairs(
     reproduced verbatim by the oracle SQL), not a sampling shortcut.
 
     The fingerprint set feeds THREE plan branches (df-count, left and
-    right sides of the pair join); pass ``materialize`` (a shared-
-    storage dir on a cluster, any string e.g. "tmp" on local mode —
-    forwarded to dedup.materialize_parquet) to compute the
-    tokenize+hash+window pass once instead of three times — the same
-    lever the MinHash pipeline exposes for its signatures.
+    right sides of the pair join — and the df-cut join puts the first
+    two UNDER each pair side, so an unmaterialized plan replays the
+    tokenize+gram+md5+window pipeline four times; the round-16 audit
+    plan showed 4 document scans).  ``materialize`` picks the
+    once-not-four-times strategy — the same lever the MinHash pipeline
+    exposes for its signatures:
+
+    - ``"local_checkpoint"`` (default): eager executor-local blocks of
+      the compact distinct (id, fingerprint) frame; works anywhere with
+      no storage config.
+    - any other string: a shared-storage dir for a parquet write+reread
+      (``"tmp"`` = process-local temp dir, LOCAL MODE ONLY) via
+      dedup.materialize_parquet — exact file stats for AQE.
+    - ``None``: no materialization (fully lazy plan).
     """
     fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w)
-    if materialize is not None:
+    if materialize == "local_checkpoint":
+        fps = fps.localCheckpoint(eager=True)
+    elif materialize is not None:
         from influxdb_iox_spark.pipeline.dedup import materialize_parquet
 
         fps = materialize_parquet(
@@ -568,11 +579,17 @@ def top_terms(
     from pyspark.sql import Window
 
     toks = word_tokens(F.col(text_col))
+    # tf feeds TWO branches (the vocabulary df aggregate and the scoring
+    # join's left side); unmaterialized, each branch replays the
+    # tokenize+explode+aggregate (round-16 audit plan: 2 document
+    # scans).  Materialize the (doc, term, tf) aggregate once — the same
+    # lever build_bm25_index uses for its tf frame.
     tf = (
         df.select(F.col(id_col), F.explode(toks).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
         .filter(F.col("tf") >= min_tf)
+        .localCheckpoint(eager=True)
     )
     n_docs = df.select(id_col).distinct().count()
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
