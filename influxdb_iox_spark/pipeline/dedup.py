@@ -376,6 +376,18 @@ def jaccard_verify(
     size join moves one long per side where the array join moves whole
     shingle sets.  Output is provably identical (only true-J < threshold
     pairs are dropped), so the DuckDB oracle needs no change.
+
+    Union by arithmetic (round 16, EXACT): ``minhash_signatures`` emits
+    distinct, null-free shingle-hash sets, so ``|A∪B| = |A| + |B| − |A∩B|``
+    holds as integer identity and the per-pair ``array_union`` hash-set
+    build is replaced by arithmetic over the sizes the prefilter join
+    already computed.  The optimizer pushes the jaccard filter into the
+    pair join condition, so each set expression is evaluated TWICE
+    (condition + projection) — dropping ``array_union`` removes two
+    |A|+|B|-element hash-set builds per candidate pair.  Numerator and
+    denominator are the same exact integers, the divided double is
+    bit-identical, and the declared query's rows are unchanged
+    (scripts/ab_verify_union.py asserts exact row equality before timing).
     """
     sz = sig_df.select(F.col(id_col), F.size("shingles").alias("__n"))
     survivors = (
@@ -386,20 +398,25 @@ def jaccard_verify(
             F.least("__n_a", "__n_b").cast("double")
             >= F.lit(threshold) * F.greatest("__n_a", "__n_b")
         )
-        .select("a", "b")
+        .select("a", "b", "__n_a", "__n_b")
     )
     sh = sig_df.select(F.col(id_col), F.col("shingles"))
     a_sh = sh.withColumnsRenamed({id_col: "a", "shingles": "sh_a"})
     b_sh = sh.withColumnsRenamed({id_col: "b", "shingles": "sh_b"})
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     return (
         survivors.hint("shuffle_hash").join(a_sh, "a")
         .join(b_sh, "b")
+        .select("a", "b", "__n_a", "__n_b", inter.alias("__i"))
         .select(
             "a",
             "b",
-            (inter / F.greatest(union, F.lit(1))).alias("jaccard"),
+            (
+                F.col("__i")
+                / F.greatest(
+                    F.col("__n_a") + F.col("__n_b") - F.col("__i"), F.lit(1)
+                )
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

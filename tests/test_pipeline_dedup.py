@@ -225,3 +225,35 @@ def test_simhash_tokenizers_are_equivalent():
         != (unicodedata.category(chr(cp))[0] in ("L", "N"))
     ]
     assert diffs == []
+
+
+def test_jaccard_verify_union_arithmetic_bit_identical(spark, docs):
+    """Round-16 union elimination: jaccard = i / (n_a + n_b - i) must be
+    bit-identical to the array_union reference on every surviving pair —
+    same integers divided, so the doubles (not just approx values) match."""
+    from influxdb_iox_spark.pipeline.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+    )
+
+    sigs = minhash_signatures(docs, "text", "doc_id", 3, 64)
+    cands = lsh_candidate_pairs(sigs, "doc_id", 64, 16)
+    got = {(r.a, r.b): r.jaccard for r in jaccard_verify(cands, sigs, "doc_id", 0.5).collect()}
+
+    sh = sigs.select("doc_id", "shingles")
+    ref_df = (
+        cands.join(sh.withColumnsRenamed({"doc_id": "a", "shingles": "sh_a"}), "a")
+        .join(sh.withColumnsRenamed({"doc_id": "b", "shingles": "sh_b"}), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    ref = {(r.a, r.b): r.jaccard for r in ref_df.collect()}
+    assert got == ref  # exact dict equality: same pairs, bit-identical doubles
+    assert (1, 4) in got  # the planted near pair actually exercises the math
