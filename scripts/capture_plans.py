@@ -1,5 +1,5 @@
 """Capture .explain('formatted') for every bench HEADLINE query into
-plans/r16/<query>_<tag>.txt (tag = before/after, argv[1]; optional query
+plans/$PLANS_ROUND/<query>_<tag>.txt (default r17) (tag = before/after, argv[1]; optional query
 names after the tag restrict the set).
 
 Planning only — no execution — so it is safe to run alongside other work.
@@ -26,7 +26,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r16",
+        os.environ.get("PLANS_ROUND", "r17"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(
