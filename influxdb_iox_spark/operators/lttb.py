@@ -38,13 +38,11 @@ ties already break on the carried exact time.  Values must satisfy
 in-plan: an out-of-range value or a decimal-overflowed score raises at
 execution instead of Spark's non-ANSI silent NULL (which would quietly
 degrade the bucket argmax to earliest-point while DuckDB's HUGEINT
-raised — divergence, not parity).  The overflow check is two-tier
-(round-15 verdict): a per-series bound — 8·m³·span·vmax with m the
-largest ntile bucket — is computed once from the same window exchange
-that already carries count/min, and series provably an order of
-magnitude inside 10^38 skip the per-row NULL check entirely; the
-in-plan raise remains as the backstop for series the bound can't
-clear.
+raised — divergence, not parity).  The overflow backstop is an
+UNCONDITIONAL per-row isNotNull check on the computed score (round-17;
+the round-15/16 two-tier form gated it behind a precomputed per-series
+bound, which made the backstop soft-fail if the bound were ever wrong
+— and the gate was not even cheaper than the check it skipped).
 
 Selection uses the µ-quantized value; the OUTPUT carries the original
 value column bit-exactly (no round-trip through the scaled long).
@@ -105,10 +103,6 @@ def lttb_downsample(
         ).alias("__rn"),
         F.count("*").over(wa).alias("__n"),
         F.min(F.col(time_col)).over(wa).alias("__t0"),
-        # per-series overflow pre-check inputs (ride the same window
-        # exchange): series span and max |value| bound the score below
-        F.max(F.col(time_col)).over(wa).alias("__t1"),
-        F.max(F.abs(v_dbl)).over(wa).alias("__vamax"),
     )
     # Materialize the windowed base ONCE (round-16 optimization): five
     # downstream consumers reference it (passthrough, first/last, the
@@ -139,22 +133,6 @@ def lttb_downsample(
     x = (
         F.expr("(__t - __t0) div 1000") if time_unit == "ns" else raw_x
     ).alias("__x")
-    # Per-series safety pre-check (round-15 verdict): with the largest
-    # ntile bucket m = ceil((n-2)/B), every |score| term is bounded by
-    # 8·m³·xmax·vmax (sums ≤ m·xmax / m·vmax, counts ≤ m, endpoint
-    # anchors cnt=1 ≤ m).  When that bound sits an order of magnitude
-    # under decimal(38,0)'s 10^38 ceiling the per-row NULL-overflow
-    # check is provably dead and codegen takes the raw score; the
-    # in-plan raise stays only as the backstop for unsafe series.
-    span = F.col("__t1") - F.col("__t0")
-    xmax = (span / 1000.0) if time_unit == "ns" else span.cast("double")
-    m_cap = F.ceil((F.col("__n") - 2) / F.lit(n_buckets)).cast("double")
-    bound = (
-        F.lit(8.0)
-        * m_cap * m_cap * m_cap
-        * (xmax + 1.0)
-        * (F.col("__vamax") * 1e6 + 1.0)
-    )
     interior = long_series.filter(
         (F.col("__rn") > 1) & (F.col("__rn") < F.col("__n"))
     ).select(
@@ -163,7 +141,6 @@ def lttb_downsample(
         "__v0",
         "__v",
         x,
-        (bound < F.lit(1e37)).alias("__safe"),
         F.ntile(n_buckets).over(
             Window.partitionBy(*keys).orderBy("__rn")
         ).alias("__b"),
@@ -215,11 +192,15 @@ def lttb_downsample(
     # makes NON-ANSI deployments equally loud instead of silently
     # degrading the argmax to earliest-point (the round-14 advice).
     # DuckDB's HUGEINT raises too — parity is loud-vs-loud either way.
-    # __safe short-circuits the per-row NULL check for series whose
-    # precomputed bound proves overflow impossible (the common case) —
-    # the raise branch is then dead code the JIT never reaches.
+    # The check is UNCONDITIONAL per row (round-17, VERDICT r16 item 8):
+    # the round-16 two-tier form gated it behind a precomputed per-series
+    # bound, which turned the backstop into a soft-fail if the bound
+    # derivation were ever wrong — and isNotNull on the already-computed
+    # score is cheaper than the bound-OR it replaces, so the gate bought
+    # nothing.  The bound's window inputs (__t1/__vamax) are gone with
+    # it, narrowing the checkpointed base by two columns.
     score = F.abs(n_score)
-    guarded = F.when(F.col("__safe") | score.isNotNull(), score).otherwise(
+    guarded = F.when(score.isNotNull(), score).otherwise(
         F.raise_error(
             F.lit(
                 "lttb_downsample: triangle score overflowed decimal(38,0) "

