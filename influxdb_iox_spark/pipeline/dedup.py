@@ -111,6 +111,8 @@ def minhash_signatures(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     num_perm: int = 64,
+    materialize: str | None = "local_checkpoint",
+    materialize_dir: str | None = None,
 ) -> DataFrame:
     """(id, shingles, signature): MinHash via explode + affine permutations.
 
@@ -202,12 +204,27 @@ def minhash_signatures(
     # object-hash collect_set), and the planner does not reuse the
     # shared subtree (verified: the executed plan carries two full
     # scan→tokenize→shingle→hash pipelines, no ReusedExchange), so
-    # without this every shingle is cut and hashed twice.  The
-    # checkpointed rows are (id, 2 longs) per shingle — the same bytes
-    # the repartition exchange already moves — and blocks are keyed to
-    # this RDD object, so repeated invocations recompute (no cross-run
-    # result reuse).
-    pre = pre.localCheckpoint(eager=True)
+    # without this every shingle is cut and hashed twice.  The rows are
+    # (id, 2 longs) per shingle — the same bytes the repartition
+    # exchange already moves, but ≥1 row per shingle, i.e. LARGER than
+    # the corpus — so the strategy is a knob (round-17, VERDICT r16
+    # item 3/SCALE.md): ``"local_checkpoint"`` (default) stores
+    # executor-local blocks with NO lineage fallback (an executor loss
+    # kills the job instead of recomputing — fine in local mode and for
+    # short jobs); ``"parquet"`` routes through ``materialize_parquet``
+    # into cluster-shared storage (``materialize_dir``), the setting a
+    # 100 TB run should use; ``None`` keeps pure lineage and accepts
+    # the double shingle pass.  Blocks/files are keyed to this call, so
+    # repeated invocations recompute (no cross-run result reuse).
+    if materialize == "parquet":
+        pre = materialize_parquet(pre, materialize_dir)
+    elif materialize == "local_checkpoint":
+        pre = pre.localCheckpoint(eager=True)
+    elif materialize is not None:
+        raise ValueError(
+            "materialize must be 'local_checkpoint', 'parquet' or None, "
+            f"got {materialize!r}"
+        )
     mins = [
         F.coalesce(
             F.min(
@@ -470,7 +487,13 @@ def near_duplicate_pairs_minhash(
       checkpoint's block-manager writes.  Pass ``materialize_dir`` on a
       real cluster (shared FS / object store).
     """
-    sigs = minhash_signatures(df, text_col, id_col, shingle_n, num_perm)
+    sigs = minhash_signatures(
+        df, text_col, id_col, shingle_n, num_perm,
+        # the per-shingle pre-frame follows the same storage policy as
+        # the signature frame: parquet runs get cluster-shared files,
+        # checkpoint runs get executor-local blocks
+        materialize=materialize, materialize_dir=materialize_dir,
+    )
     if materialize == "parquet":
         sigs = materialize_parquet(sigs, materialize_dir)
     else:

@@ -189,3 +189,30 @@ def test_ns_rebase_is_exact_integer_div(spark):
     )
     assert " div cast(1000" in plan
     assert "floor" not in plan.lower()  # no double-floor rebase anywhere
+
+
+def test_lttb_materialize_modes_identical(spark):
+    """Round-17 scale knob (VERDICT r16 item 4): the windowed base's
+    storage strategy — local_checkpoint (default), parquet
+    (cluster-shared), None (pure lineage, five-consumer re-derive) —
+    never changes the selected points."""
+    import math
+
+    rows = [
+        ("s", i * 1_000_000, math.sin(i / 3.0) * 10 + (i % 7))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+
+    def norm(out):
+        return sorted((r.k, r.t, r.v) for r in out.collect())
+
+    base = norm(lttb_downsample(df, ["k"], "t", "v", n_out=8))
+    assert norm(
+        lttb_downsample(df, ["k"], "t", "v", n_out=8, materialize="parquet")
+    ) == base
+    assert norm(
+        lttb_downsample(df, ["k"], "t", "v", n_out=8, materialize=None)
+    ) == base
+    with pytest.raises(ValueError, match="materialize"):
+        lttb_downsample(df, ["k"], "t", "v", n_out=8, materialize="bogus")
