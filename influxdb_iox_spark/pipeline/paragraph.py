@@ -57,18 +57,43 @@ def segment_documents(
         raise ValueError("pass exactly one of delimiter / words_per_segment")
     if delimiter is not None:
         segs = F.split(F.col(text_col), re.escape(delimiter), -1)
-    else:
-        w = int(words_per_segment)
-        if w <= 0:
-            raise ValueError("words_per_segment must be positive")
-        toks = F.split(F.col(text_col), " ", -1)
-        n_segs = F.ceil(F.size(toks) / F.lit(w)).cast("int")
-        segs = F.transform(
-            F.sequence(F.lit(0), F.greatest(n_segs, F.lit(1)) - F.lit(1)),
-            lambda i: F.array_join(F.slice(toks, i * w + 1, w), " "),
+        out = df.select(
+            F.col(id_col), F.posexplode(segs).alias("seg_idx", "segment")
         )
-    out = df.select(
-        F.col(id_col), F.posexplode(segs).alias("seg_idx", "segment")
+        return out.filter(F.trim(F.col("segment")) != "")
+    w = int(words_per_segment)
+    if w <= 0:
+        raise ValueError("words_per_segment must be positive")
+    # Two-step projection + explode-an-index-sequence, NEVER an
+    # index-lambda over sequence() (round-17 fix): the previous
+    # ``transform(sequence(...), i -> array_join(slice(toks, ...)))``
+    # inlined the token split into the lambda body, re-splitting the
+    # document once PER SEGMENT — O(words²/w), the text.gram_structs
+    # trap this repo's own verify recipe warns about.  Materializing
+    # the token array as its own attribute (referenced twice, so
+    # CollapseProject keeps it) and slicing AFTER the explode keeps
+    # segmentation linear and fully codegen.
+    toks = F.split(F.col(text_col), " ", -1)
+    base = df.select(F.col(id_col), toks.alias("__t")).select(
+        F.col(id_col),
+        F.col("__t"),
+        F.ceil(F.size("__t") / F.lit(w)).cast("int").alias("__n"),
+    )
+    ex = base.select(
+        F.col(id_col),
+        F.col("__t"),
+        F.posexplode(
+            F.sequence(
+                F.lit(0), F.greatest(F.col("__n"), F.lit(1)) - F.lit(1)
+            )
+        ).alias("seg_idx", "__i"),
+    )
+    out = ex.select(
+        F.col(id_col),
+        F.col("seg_idx"),
+        F.array_join(
+            F.slice(F.col("__t"), F.col("__i") * w + 1, F.lit(w)), " "
+        ).alias("segment"),
     )
     return out.filter(F.trim(F.col("segment")) != "")
 
