@@ -2735,8 +2735,14 @@ def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint materializes it once (feats is compact — one row
     # per (doc, bucket)), and the target model is derived by filtering
     # feats against the English ids instead of re-tokenizing.
+    # eager=False (round-17): the model aggregate — the first consumer,
+    # inside the query's own action — materializes the blocks as a side
+    # effect; the doc-side scoring join reads them.  Two fewer
+    # synchronous pre-jobs per query (this one + the model's own, see
+    # dsir_bucket_models), which also narrows the first-run/warm spread
+    # the round-16 verdict flagged (item 9).
     feats = hashed_ngram_counts(docs, buckets=10_000).localCheckpoint(
-        eager=True
+        eager=False
     )
     en_ids = docs.filter(F.col("lang") == "en").select("doc_id")
     # BOTH bucket models (and, downstream, the scalar totals) come from

@@ -137,6 +137,11 @@ def dsir_bucket_models(
         id_col,
         "left",
     )
+    # eager=False (round-17): the first consumer — one of the model
+    # broadcast builds inside the scoring query's own action —
+    # materializes the blocks as a side effect; the other broadcast and
+    # the totals aggregate read them.  Removes a synchronous pre-job
+    # from every scoring query (same shape, fewer scheduling barriers).
     model = (
         marked.groupBy("bucket")
         .agg(
@@ -145,7 +150,7 @@ def dsir_bucket_models(
                 F.when(F.col("__in_t").isNotNull(), F.col("cnt"))
             ).alias("__t_cnt"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     target = model.filter(F.col("__t_cnt").isNotNull()).select(
         "bucket", F.col("__t_cnt").alias("cnt")
