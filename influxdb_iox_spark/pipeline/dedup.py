@@ -469,6 +469,7 @@ def near_duplicate_pairs_minhash(
     max_bucket_size: int = 20_000,
     materialize: str = "local_checkpoint",
     materialize_dir: str | None = None,
+    pre_materialize: str | None = "local_checkpoint",
 ) -> DataFrame:
     """End-to-end MinHash near-dup: shingle → sign → band → verify.
 
@@ -489,10 +490,15 @@ def near_duplicate_pairs_minhash(
     """
     sigs = minhash_signatures(
         df, text_col, id_col, shingle_n, num_perm,
-        # the per-shingle pre-frame follows the same storage policy as
-        # the signature frame: parquet runs get cluster-shared files,
-        # checkpoint runs get executor-local blocks
-        materialize=materialize, materialize_dir=materialize_dir,
+        # the per-shingle pre-frame keeps its executor-local checkpoint
+        # default even when the SIGNATURE frame goes to parquet: the
+        # honest timed-build A/B (scripts/ab_minhash_pre_r17.py, build
+        # inside the window) reads checkpoint-pre 2.955 vs parquet-pre
+        # 3.489 s min at sf0.1 with flat medians — the extra parquet
+        # round-trip costs more than block-manager jitter here.  A
+        # cluster that needs lineage-free storage for the corpus-scale
+        # pre frame passes pre_materialize="parquet" (SCALE.md §r17).
+        materialize=pre_materialize, materialize_dir=materialize_dir,
     )
     if materialize == "parquet":
         sigs = materialize_parquet(sigs, materialize_dir)

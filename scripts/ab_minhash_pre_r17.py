@@ -67,9 +67,11 @@ def main() -> None:
     for r in range(rounds):
         for m in order if r % 2 == 0 else order[::-1]:
             sents.append(sentinel())
-            df = build(m)
+            # build INSIDE the window: materialize_parquet and the eager
+            # checkpoints run their jobs at build time, exactly as the
+            # bench times them (fn(spark, sf_dir) is inside its window)
             t0 = time.perf_counter()
-            df.write.mode("overwrite").format("noop").save()
+            build(m).write.mode("overwrite").format("noop").save()
             times[m].append(round(time.perf_counter() - t0, 3))
     sents.append(sentinel())
     print(json.dumps({
